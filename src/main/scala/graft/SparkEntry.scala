@@ -8,7 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * §7.3 and has matching DuckDB ANSI SQL in [[oracleSql]] (the driver
   * hash-compares both on sf0.01). Column names, rounding, integer
   * widths, and final ordering are aligned on both sides (SURVEY.md
-  * §7.0 determinism rules).
+  * §7.0 determinism rules). Queries live next to their oracle SQL in
+  * per-package packs; this object only aggregates.
   */
 object SparkEntry {
 
@@ -17,19 +18,12 @@ object SparkEntry {
     olap.OlapQueries.revenueByCategory(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_revenue_by_category" -> (olap.OlapQueries.revenueByCategory _)
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    etl.EtlQueries.queries ++ olap.OlapQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
-    "q_revenue_by_category" ->
-      """SELECT p_type AS category,
-        |       round(sum(ceil(l_quantity * p_retailprice * 100) / 100), 4) AS total_revenue,
-        |       count(*) AS n_items
-        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
-  )
+  def oracleSql: Map[String, String] =
+    etl.EtlQueries.oracle ++ olap.OlapQueries.oracle
 }

@@ -1,0 +1,216 @@
+package graft.etl
+
+import graft.schema.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared ETL-semantics queries 1-8 (SURVEY.md §7.3) — each pins one
+  * or more reference operators onto the testdata mapping (FIXTURES.md)
+  * with a DuckDB oracle.
+  *
+  * The query wrappers apply the determinism edge (round doubles to 4,
+  * cast ints to long, total ORDER BY) so the library functions stay
+  * clean for composition.
+  */
+object EtlQueries {
+
+  /** DuckDB 1.0 has no `initcap`; this expression reproduces Spark's
+    * semantics (capitalize first char of each whitespace-delimited
+    * word, lowercase the rest).
+    */
+  def duckInitcap(expr: String): String =
+    s"array_to_string(list_transform(string_split(trim($expr), ' '), " +
+      s"w -> upper(w[1]) || lower(w[2:])), ' ')"
+
+  private val duckSegmentRecode =
+    """CASE c_mktsegment WHEN 'BUILDING' THEN 'Building'
+      | WHEN 'MACHINERY' THEN 'Industrial' WHEN 'AUTOMOBILE' THEN 'Auto'
+      | WHEN 'HOUSEHOLD' THEN 'Home' ELSE c_mktsegment END""".stripMargin
+
+  /** Shared oracle CTEs for the four dimensions + raw fact — mirrors
+    * StarSchema.{userDim,productDim,locationDim,dateDim,factSource}.
+    */
+  private def duckUserDim: String =
+    s"""SELECT nat_key, username, segment, nationkey, acctbal,
+       |       CAST(row_number() OVER (ORDER BY username) AS BIGINT) AS user_sk
+       |FROM (SELECT c_custkey AS nat_key, ${duckInitcap("c_name")} AS username,
+       |             $duckSegmentRecode AS segment,
+       |             CAST(c_nationkey AS BIGINT) AS nationkey,
+       |             round(c_acctbal, 4) AS acctbal,
+       |             row_number() OVER (PARTITION BY ${duckInitcap("c_name")}
+       |                                ORDER BY c_custkey) AS rn
+       |      FROM customer) WHERE rn = 1""".stripMargin
+
+  private def duckProductDim: String =
+    s"""SELECT nat_key, name, brand, category, price,
+       |       CAST(row_number() OVER (ORDER BY name, brand) AS BIGINT) AS product_sk
+       |FROM (SELECT p_partkey AS nat_key, ${duckInitcap("p_name")} AS name,
+       |             p_brand AS brand, p_type AS category,
+       |             ceil(p_retailprice * 100) / 100 AS price,
+       |             row_number() OVER (PARTITION BY ${duckInitcap("p_name")}, p_brand
+       |                                ORDER BY p_partkey) AS rn
+       |      FROM part) WHERE rn = 1""".stripMargin
+
+  private def duckLocationDim: String =
+    s"""SELECT nat_key, nation, region,
+       |       CAST(row_number() OVER (ORDER BY nation) AS BIGINT) AS location_sk
+       |FROM (SELECT CAST(n_nationkey AS BIGINT) AS nat_key,
+       |             ${duckInitcap("n_name")} AS nation,
+       |             ${duckInitcap("r_name")} AS region,
+       |             row_number() OVER (PARTITION BY ${duckInitcap("n_name")}
+       |                                ORDER BY n_nationkey) AS rn
+       |      FROM nation JOIN region ON n_regionkey = r_regionkey
+       |      WHERE n_name IS NOT NULL AND r_name IS NOT NULL) WHERE rn = 1""".stripMargin
+
+  private def duckDateDim: String =
+    """SELECT d AS date, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS date_sk
+      |FROM (SELECT DISTINCT CAST(date_trunc('day', o_orderdate) AS DATE) AS d
+      |      FROM orders WHERE o_orderdate IS NOT NULL)""".stripMargin
+
+  private def duckFactSource: String =
+    """SELECT o_orderkey || '-' || l_linenumber AS order_number,
+      |       l_quantity AS quantity,
+      |       ceil(l_quantity * p_retailprice * 100) / 100 AS revenue,
+      |       c_custkey AS user_nat_key, p_partkey AS product_nat_key,
+      |       CAST(c_nationkey AS BIGINT) AS location_nat_key,
+      |       CAST(date_trunc('day', o_orderdate) AS DATE) AS date_nat_key
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |              JOIN part ON l_partkey = p_partkey
+      |              JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  // ----- 1. q_clean_user_dim: F1+F2+F3+F4+D1 + surrogate -----
+  def cleanUserDim(spark: SparkSession, sfDir: String): DataFrame =
+    StarSchema.userDim(spark, sfDir)
+      .select(col("user_sk"), col("nat_key"), col("username"), col("segment"),
+        col("nationkey"), round(col("acctbal"), 4).as("acctbal"))
+      .orderBy("user_sk")
+
+  private val sqlCleanUserDim =
+    s"""WITH u AS ($duckUserDim)
+       |SELECT user_sk, nat_key, username, segment, nationkey, acctbal
+       |FROM u ORDER BY user_sk""".stripMargin
+
+  // ----- 2. q_recode_categorical: F4/F5 dict recode + pass-through -----
+  def recodeCategorical(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .groupBy(CleanFns.recode(col("c_mktsegment"), StarSchema.segmentRecode).as("segment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("segment")
+
+  private val sqlRecodeCategorical =
+    s"""SELECT $duckSegmentRecode AS segment, count(*) AS n
+       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----- 3. q_date_dim: F7+D4 + surrogate -----
+  def dateDimQ(spark: SparkSession, sfDir: String): DataFrame =
+    StarSchema.dateDim(spark, sfDir)
+      .select(col("date_sk"), date_format(col("date"), "yyyy-MM-dd").as("date"))
+      .orderBy("date_sk")
+
+  private val sqlDateDim =
+    s"""WITH d AS ($duckDateDim)
+       |SELECT date_sk, strftime(date, '%Y-%m-%d') AS date FROM d ORDER BY date_sk""".stripMargin
+
+  // ----- 4. q_ceil_prices: F9 ceiling to 2 decimals -----
+  def ceilPrices(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"), round(CleanFns.ceil2(col("p_retailprice")), 4).as("price"))
+      .orderBy("p_partkey")
+
+  private val sqlCeilPrices =
+    """SELECT p_partkey, round(ceil(p_retailprice * 100) / 100, 4) AS price
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ----- 5. q_numeric_coerce: F8 lenient coercion over JSON-extracted value -----
+  def numericCoerce(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", CleanFns.coerceDouble(get_json_object(col("props"), "$.k")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), count(col("k")).as("n_valid"),
+        round(sum(col("k")), 4).as("sum_k"), round(avg(col("k")), 4).as("avg_k"))
+      .orderBy("event_type")
+
+  private val sqlNumericCoerce =
+    """SELECT event_type, count(*) AS n_events,
+      |       count(try_cast(json_extract_string(props, '$.k') AS DOUBLE)) AS n_valid,
+      |       round(sum(try_cast(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS sum_k,
+      |       round(avg(try_cast(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----- 6. q_fact_build: J1+F10+P4+J6 full fact snapshot -----
+  def factBuild(spark: SparkSession, sfDir: String): DataFrame =
+    StarSchema.factWithSurrogates(spark, sfDir)
+      .select(col("order_number"), round(col("quantity"), 4).as("quantity"),
+        round(col("revenue"), 4).as("revenue"),
+        col("user_sk"), col("product_sk"), col("location_sk"), col("date_sk"))
+      .orderBy("order_number")
+
+  private val sqlFactBuild =
+    s"""WITH u AS ($duckUserDim), p AS ($duckProductDim),
+       |     l AS ($duckLocationDim), d AS ($duckDateDim),
+       |     f AS ($duckFactSource)
+       |SELECT f.order_number, round(f.quantity, 4) AS quantity,
+       |       round(f.revenue, 4) AS revenue,
+       |       u.user_sk, p.product_sk, l.location_sk, d.date_sk
+       |FROM f JOIN u ON f.user_nat_key = u.nat_key
+       |       JOIN p ON f.product_nat_key = p.nat_key
+       |       JOIN l ON f.location_nat_key = l.nat_key
+       |       JOIN d ON f.date_nat_key = d.date
+       |ORDER BY f.order_number""".stripMargin
+
+  // ----- 7. q_surrogate_map: J2/J6 nat→surrogate mapping -----
+  def surrogateMap(spark: SparkSession, sfDir: String): DataFrame =
+    StarSchema.userDim(spark, sfDir)
+      .select(col("nat_key"), col("user_sk"))
+      .orderBy("nat_key")
+
+  private val sqlSurrogateMap =
+    s"""WITH u AS ($duckUserDim)
+       |SELECT nat_key, user_sk FROM u ORDER BY nat_key""".stripMargin
+
+  // ----- 8. q_ri_filter: P4 referential-integrity drop accounting -----
+  def riFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    def orphans(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_dropped")).select(lit(name).as("reason"), col("n_dropped"))
+    orphans("lineitem_no_order", li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti"))
+      .union(orphans("lineitem_no_part", li.join(p, li("l_partkey") === p("p_partkey"), "left_anti")))
+      .union(orphans("order_no_customer", o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")))
+      .orderBy("reason")
+  }
+
+  private val sqlRiFilter =
+    """SELECT * FROM (
+      |  SELECT 'lineitem_no_order' AS reason, count(*) AS n_dropped FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |  UNION ALL
+      |  SELECT 'lineitem_no_part', count(*) FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+      |  UNION ALL
+      |  SELECT 'order_no_customer', count(*) FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |) ORDER BY reason""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_clean_user_dim" -> (cleanUserDim _),
+    "q_recode_categorical" -> (recodeCategorical _),
+    "q_date_dim" -> (dateDimQ _),
+    "q_ceil_prices" -> (ceilPrices _),
+    "q_numeric_coerce" -> (numericCoerce _),
+    "q_fact_build" -> (factBuild _),
+    "q_surrogate_map" -> (surrogateMap _),
+    "q_ri_filter" -> (riFilter _))
+
+  val oracle: Map[String, String] = Map(
+    "q_clean_user_dim" -> sqlCleanUserDim,
+    "q_recode_categorical" -> sqlRecodeCategorical,
+    "q_date_dim" -> sqlDateDim,
+    "q_ceil_prices" -> sqlCeilPrices,
+    "q_numeric_coerce" -> sqlNumericCoerce,
+    "q_fact_build" -> sqlFactBuild,
+    "q_surrogate_map" -> sqlSurrogateMap,
+    "q_ri_filter" -> sqlRiFilter)
+}

@@ -39,7 +39,7 @@ object StarSchema {
       CleanFns.cleanTitle(col("c_name")).as("username"),
       CleanFns.recode(col("c_mktsegment"), segmentRecode).as("segment"),
       col("c_nationkey").cast("long").as("nationkey"),
-      round(col("c_acctbal"), 2).as("acctbal"))
+      col("c_acctbal").as("acctbal"))
     val deduped = Dedup.firstWins(cleaned, Seq("username"), Seq(col("nat_key")))
     SurrogateKeys.dense(deduped, Seq(col("username")), "user_sk")
   }

@@ -30,4 +30,15 @@ object OlapQueries {
         count(lit(1)).as("n_items"))
       .orderBy(col("category"))
   }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_revenue_by_category" -> (revenueByCategory _))
+
+  val oracle: Map[String, String] = Map(
+    "q_revenue_by_category" ->
+      """SELECT p_type AS category,
+        |       round(sum(ceil(l_quantity * p_retailprice * 100) / 100), 4) AS total_revenue,
+        |       count(*) AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }
