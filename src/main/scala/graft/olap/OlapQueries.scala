@@ -3,16 +3,27 @@ package graft.olap
 import graft.etl.CleanFns
 import graft.schema.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** OLAP query library over the star schema — the capability the
   * reference's warehouse exists to serve (its NextJS query layer is a
   * separate missing repo, reference `README.md:7`; SURVEY.md §2.6
-  * declares the operator set we must provide).
+  * declares the operator set we must provide): hash aggregation,
+  * ROLLUP/grouping sets, windows (ranking + frames), top-k, distinct
+  * counting, set operations.
   *
   * Determinism rules (SURVEY.md §7.0) applied to every query: total
   * ORDER BY over the output, `round(x, 4)` on every double, BIGINT
   * casts on integer outputs so the DuckDB oracle hashes identically.
+  * Where an ORDER BY ranks a double aggregate, the *rounded* value is
+  * ranked with an integer tie-break so a last-ulp difference between
+  * engines cannot flip the output set.
+  *
+  * Scale notes: every query below is a scan→(broadcastable dim joins)→
+  * partial+final hash aggregate→small ordered output. The only global
+  * sorts run on post-aggregation outputs (≤ a few thousand rows at any
+  * scale); top-k compiles to TakeOrderedAndProject (no full sort).
   */
 object OlapQueries {
 
@@ -31,8 +42,233 @@ object OlapQueries {
       .orderBy(col("category"))
   }
 
+  /** Fact grain joined out to the geography + segment dimensions —
+    * shared input for the rollup. Fact-side joins on customer/nation/
+    * region are broadcastable (dims are tiny); the lineitem⋈orders and
+    * lineitem⋈part joins are the only potentially large shuffles and
+    * AQE converts them to broadcast when a side fits.
+    */
+  private def revenueCube(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(p, li("l_partkey") === p("p_partkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(
+        col("r_name").as("region"), col("n_name").as("nation"),
+        col("c_mktsegment").as("segment"),
+        CleanFns.revenue(col("l_quantity"), col("p_retailprice")).as("revenue"))
+  }
+
+  /** 10. ROLLUP(region, nation, segment) with grouping flags — the
+    * roll-up/drill-down operator of SURVEY.md §2.6. Null group cells
+    * are recoded to 'ALL' (data values are never null here) so both
+    * engines hash the same strings.
+    */
+  def revenueRollup(spark: SparkSession, sfDir: String): DataFrame =
+    revenueCube(spark, sfDir)
+      .rollup(col("region"), col("nation"), col("segment"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        round(sum(col("revenue")), 4).as("total_revenue"),
+        count(lit(1)).as("n_items"))
+      .select(
+        coalesce(col("region"), lit("ALL")).as("region"),
+        coalesce(col("nation"), lit("ALL")).as("nation"),
+        coalesce(col("segment"), lit("ALL")).as("segment"),
+        col("gid"), col("total_revenue"), col("n_items"))
+      .orderBy("gid", "region", "nation", "segment")
+
+  private val sqlRevenueRollup =
+    """SELECT coalesce(region, 'ALL') AS region,
+      |       coalesce(nation, 'ALL') AS nation,
+      |       coalesce(segment, 'ALL') AS segment,
+      |       CAST(GROUPING(region)*4 + GROUPING(nation)*2 + GROUPING(segment) AS BIGINT) AS gid,
+      |       round(sum(revenue), 4) AS total_revenue,
+      |       count(*) AS n_items
+      |FROM (SELECT r_name AS region, n_name AS nation, c_mktsegment AS segment,
+      |             ceil(l_quantity * p_retailprice * 100) / 100 AS revenue
+      |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |                    JOIN part ON l_partkey = p_partkey
+      |                    JOIN customer ON o_custkey = c_custkey
+      |                    JOIN nation ON c_nationkey = n_nationkey
+      |                    JOIN region ON n_regionkey = r_regionkey)
+      |GROUP BY ROLLUP(region, nation, segment)
+      |ORDER BY gid, region, nation, segment""".stripMargin
+
+  /** 11. Monthly revenue trend — date_trunc bucketing + sum/avg
+    * (SURVEY.md §7.3 #11). Order grain, so no fact join needed.
+    */
+  def monthlyTrend(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+      .agg(
+        round(sum(col("o_totalprice")), 4).as("total_revenue"),
+        round(avg(col("o_totalprice")), 4).as("avg_order_value"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("month")
+
+  private val sqlMonthlyTrend =
+    """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+      |       round(sum(o_totalprice), 4) AS total_revenue,
+      |       round(avg(o_totalprice), 4) AS avg_order_value,
+      |       count(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** 12. Top-10 customers by lifetime order value — orderBy+limit
+    * compiles to TakeOrderedAndProject (per-partition heap, no global
+    * sort). Ranking uses the rounded measure + key tie-break so the
+    * selected set is engine-independent.
+    */
+  def topkCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(round(sum(col("o_totalprice")), 4).as("total_spent"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(desc("total_spent"), col("c_custkey"))
+      .limit(10)
+  }
+
+  private val sqlTopkCustomers =
+    """SELECT c_custkey, c_name, round(sum(o_totalprice), 4) AS total_spent,
+      |       count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2 ORDER BY total_spent DESC, c_custkey LIMIT 10""".stripMargin
+
+  /** 13. Ranking window: top-3 parts per category by units sold.
+    * rank() over an integer measure is fully deterministic (ties share
+    * a rank; the qualifying row set is identical in both engines).
+    */
+  def windowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    val counts = li.join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_type").as("category"), col("p_partkey"))
+      .agg(count(lit(1)).as("n_sold"))
+    val w = Window.partitionBy(col("category")).orderBy(desc("n_sold"), col("p_partkey"))
+    counts.withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy("category", "rnk", "p_partkey")
+  }
+
+  private val sqlWindowRank =
+    """SELECT * FROM (
+      |  SELECT p_type AS category, p_partkey, count(*) AS n_sold,
+      |         CAST(rank() OVER (PARTITION BY p_type
+      |                           ORDER BY count(*) DESC, p_partkey) AS BIGINT) AS rnk
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2)
+      |WHERE rnk <= 3 ORDER BY category, rnk, p_partkey""".stripMargin
+
+  /** 14. Frame window: running total of monthly revenue
+    * (rowsBetween unboundedPreceding → current). The cumulative sum
+    * adds identical month aggregates in the identical (month) order in
+    * both engines, so rounding the output is safe.
+    */
+  def runningTotal(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = Tables.orders(spark, sfDir)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+    val w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .select(col("month"), round(col("rev"), 4).as("monthly_revenue"),
+        round(sum(col("rev")).over(w), 4).as("running_total"))
+      .orderBy("month")
+  }
+
+  private val sqlRunningTotal =
+    """WITH m AS (
+      |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+      |         sum(o_totalprice) AS rev
+      |  FROM orders GROUP BY 1)
+      |SELECT month, round(rev, 4) AS monthly_revenue,
+      |       round(sum(rev) OVER (ORDER BY month
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+      |FROM m ORDER BY month""".stripMargin
+
+  /** 15. Distinct buyers per nation — exact count(distinct). The
+    * approximate variant (`approx_count_distinct`, Spark's built-in
+    * HLL) ships as [[approxDistinctBuyers]] for scale but is excluded
+    * from the hash-compared output because HLL estimates are
+    * engine-specific (SURVEY.md §7.3 #15).
+    */
+  def distinctBuyers(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(countDistinct(col("o_custkey")).as("n_buyers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("nation")
+  }
+
+  /** Scale path for #15: one pass, no distinct-expansion shuffle. */
+  def approxDistinctBuyers(spark: SparkSession, sfDir: String, rsd: Double = 0.01): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(approx_count_distinct(col("o_custkey"), rsd).as("n_buyers_approx"))
+      .orderBy("nation")
+  }
+
+  private val sqlDistinctBuyers =
+    """SELECT n_name AS nation, count(DISTINCT o_custkey) AS n_buyers,
+      |       count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |            JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** 16. Set operations over customer key sets: buyers of urgent-
+    * priority orders vs buyers of low-priority orders — union /
+    * intersect / except cardinalities (SURVEY.md §7.3 #16).
+    */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    val low = o.filter(col("o_orderpriority") === "5-LOW")
+      .select(col("o_custkey")).distinct()
+    def counted(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_customers")).select(lit(name).as("op"), col("n_customers"))
+    counted("except", urgent.except(low))
+      .union(counted("intersect", urgent.intersect(low)))
+      .union(counted("union", urgent.union(low).distinct()))
+      .orderBy("op")
+  }
+
+  private val sqlSetOps =
+    """WITH urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |     low AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+      |SELECT * FROM (
+      |  SELECT 'except' AS op, count(*) AS n_customers FROM (SELECT * FROM urgent EXCEPT SELECT * FROM low)
+      |  UNION ALL
+      |  SELECT 'intersect', count(*) FROM (SELECT * FROM urgent INTERSECT SELECT * FROM low)
+      |  UNION ALL
+      |  SELECT 'union', count(*) FROM (SELECT * FROM urgent UNION SELECT * FROM low)
+      |) ORDER BY op""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_revenue_by_category" -> (revenueByCategory _))
+    "q_revenue_by_category" -> (revenueByCategory _),
+    "q_revenue_rollup" -> (revenueRollup _),
+    "q_monthly_trend" -> (monthlyTrend _),
+    "q_topk_customers" -> (topkCustomers _),
+    "q_window_rank" -> (windowRank _),
+    "q_running_total" -> (runningTotal _),
+    "q_distinct_buyers" -> (distinctBuyers _),
+    "q_setops" -> (setOps _))
 
   val oracle: Map[String, String] = Map(
     "q_revenue_by_category" ->
@@ -40,5 +276,12 @@ object OlapQueries {
         |       round(sum(ceil(l_quantity * p_retailprice * 100) / 100), 4) AS total_revenue,
         |       count(*) AS n_items
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_revenue_rollup" -> sqlRevenueRollup,
+    "q_monthly_trend" -> sqlMonthlyTrend,
+    "q_topk_customers" -> sqlTopkCustomers,
+    "q_window_rank" -> sqlWindowRank,
+    "q_running_total" -> sqlRunningTotal,
+    "q_distinct_buyers" -> sqlDistinctBuyers,
+    "q_setops" -> sqlSetOps)
 }
