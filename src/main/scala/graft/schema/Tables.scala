@@ -29,14 +29,15 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   /** `events.ts` is a nanosecond parquet timestamp (TESTDATA/FIXTURES),
     * which Spark's vectorized reader rejects. Read nanos as long
-    * (documented legacy flag) and convert to a micros timestamp — the
-    * testdata nanos are µs-aligned so this is lossless, and it matches
-    * DuckDB's `CAST(ts AS TIMESTAMP)` on the oracle side.
+    * (documented legacy flag) and truncate to a micros timestamp with
+    * INTEGER division (`div`) — `/` would promote the ~1.7e18 epoch-nano
+    * long to double, whose 53-bit mantissa rounds off-by-1µs — matching
+    * DuckDB's truncating `CAST(ts AS TIMESTAMP)` on the oracle side.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(s, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -1,0 +1,102 @@
+package graft.stream
+
+import graft.schema.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-time analytics over the `events` table (SURVEY.md §2.7,
+  * §7.3 #17-19). Batch-first: these run on the static table here and
+  * are verified against the DuckDB oracle; [[Streaming]] exposes the
+  * identical transforms over `readStream` sources with watermarks —
+  * same `window`/`session_window` expressions, so batch verification
+  * covers the streaming semantics.
+  *
+  * Scale: event streams are the 100 TB-shaped input. Every query is a
+  * single partial+final hash aggregate keyed on (bucket, type) or
+  * (user, session); no joins, no global state. Skewed hot keys would
+  * be handled by AQE skew splitting; the session window needs a shuffle
+  * on user_id only (key cardinality ~users, not events).
+  */
+object EventQueries {
+
+  /** 17. Tumbling 1-hour event-time windows: counts + value sums per
+    * (hour, event_type). `window()` is the Spark-native bucketing
+    * operator (works identically under Structured Streaming with a
+    * watermark); an aligned 1-hour tumble is equivalent to
+    * date_trunc('hour') on the oracle side.
+    */
+  def eventsTumbling(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("hour", "event_type")
+
+  private val sqlEventsTumbling =
+    """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
+      |       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** 18. Session windows (30-minute gap) per user: Spark's
+    * `session_window` merges events whose [ts, ts+gap) intervals
+    * overlap — a new session starts when the gap to the previous event
+    * is >= 30 min, which is exactly the gaps-and-islands formulation
+    * the oracle uses.
+    */
+  def eventsSession(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  private val sqlEventsSession =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |     flagged AS (
+      |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |                 THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |     sessions AS (
+      |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
+  /** 19. JSON props extraction via `from_json` into a map column
+    * (SURVEY.md §1.4: props → MapType), bucketed histogram of the
+    * numeric payload. Exercises the semi-structured path: parse once,
+    * then map access + cast + bucket, all codegen'd.
+    */
+  def jsonProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("props_map",
+        from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
+      .withColumn("k", element_at(col("props_map"), "k").cast("double"))
+      .groupBy(floor(col("k") / 10).cast("long").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("k")), 4).as("sum_k"))
+      .orderBy("k_bucket")
+
+  private val sqlJsonProps =
+    """SELECT CAST(floor(try_cast(json_extract_string(props, '$.k') AS DOUBLE) / 10) AS BIGINT) AS k_bucket,
+      |       count(*) AS n,
+      |       round(sum(try_cast(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS sum_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_tumbling" -> (eventsTumbling _),
+    "q_events_session" -> (eventsSession _),
+    "q_json_props" -> (jsonProps _))
+
+  val oracle: Map[String, String] = Map(
+    "q_events_tumbling" -> sqlEventsTumbling,
+    "q_events_session" -> sqlEventsSession,
+    "q_json_props" -> sqlJsonProps)
+}

@@ -1,0 +1,110 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.7 extension table).
+  *
+  * The reference's "streaming" is bounded chunk iteration over a JDBC
+  * cursor (`ETL/user_ETL.py:71-96`) — no watermarks, no event time, no
+  * state. This module provides the real thing on Spark's engine. Each
+  * transform takes any events-shaped DataFrame (`ts` timestamp,
+  * `user_id` long, `event_type` string, `value` double) — static for
+  * the batch tests, `readStream` for production — because the
+  * DataFrame API is identical on both; the streaming-only pieces
+  * (watermark, output mode, state timeout) are declared here.
+  *
+  * Scale: all state is keyed and watermark-bounded, so executor state
+  * stores stay O(active keys × window horizon) regardless of total
+  * stream volume; late data past the watermark is dropped rather than
+  * accumulating state.
+  */
+object Streaming {
+
+  /** Tumbling/sliding event-time window aggregation with a watermark.
+    * Late rows older than `lateness` are dropped; in append mode a
+    * window emits once its end passes the watermark.
+    */
+  def windowedCounts(events: DataFrame, windowLen: String, slide: Option[String] = None,
+                     lateness: String = "1 hour"): DataFrame = {
+    val win = slide match {
+      case Some(s) => window(col("ts"), windowLen, s)
+      case None => window(col("ts"), windowLen)
+    }
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(win, col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  /** Session windows (gap-based) per user with a watermark — the
+    * streaming twin of [[EventQueries.eventsSession]].
+    */
+  def sessionizedSums(events: DataFrame, gap: String = "30 minutes",
+                      lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Stateful exact dedup within the watermark horizon — the streaming
+    * analogue of the reference's upsert-keyed idempotence
+    * (`ETL/fact_ETL.py:129-143` dedups on OrderNumber across batches).
+    * State per key is dropped once the watermark passes, bounding it.
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Per-user running counters via explicit keyed state
+    * (`mapGroupsWithState`) — the custom-state extension point the
+    * north star asks for. Emits (user_id, events_seen_so_far,
+    * value_sum_so_far) on every trigger; state never grows beyond one
+    * small tuple per active user and times out after inactivity.
+    */
+  def runningUserTotals(events: DataFrame,
+                        timeout: String = "1 hour"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) {
+            val (n, s) = state.get
+            state.remove()
+            (user, n, s)
+          } else {
+            val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+            val batch = rows.toSeq
+            val updated = (n0 + batch.size, s0 + batch.map(_._2).sum)
+            state.update(updated)
+            state.setTimeoutDuration(timeout)
+            (user, updated._1, updated._2)
+          }
+      }
+      .toDF("user_id", "n_events", "sum_value")
+  }
+
+  /** Canonical sink wiring for a streaming aggregate: append mode for
+    * watermark-closed windows, checkpointed for exactly-once restart.
+    */
+  def startParquetSink(df: DataFrame, path: String, checkpoint: String,
+                       mode: OutputMode = OutputMode.Append()) =
+    df.writeStream
+      .outputMode(mode)
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .start()
+}
