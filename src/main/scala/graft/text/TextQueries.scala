@@ -1,0 +1,337 @@
+package graft.text
+
+import graft.schema.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared text-pipeline queries over the `documents` table — the
+  * LLM-training-data operator set (exact + near dedup, fingerprints,
+  * language-ID scoring, quality filtering, token accounting) the
+  * builder north star adds on top of the reference's capabilities.
+  *
+  * Every oracle below is generated from the SAME constants as the
+  * Spark expressions ([[TextFns]]) so both engines evaluate the
+  * identical integer recurrences — the driver hash-compares output
+  * values, so "similar" hashes are not enough.
+  *
+  * Scale design: all per-document features are pure array expressions
+  * (no UDF, no shuffle); the only shuffles are the final small
+  * aggregations and the LSH band-key self-join, which is exactly the
+  * join you want at 100 TB (candidates meet only within a band
+  * bucket — the join key IS the partition key, and bucket sizes are
+  * bounded by banding probability, not corpus size).
+  */
+object TextQueries {
+
+  import TextFns.{P => p}
+  private val K = 5 // shingle length (chars)
+  private val NumHashes = 16 // minhash signature width
+  private val RowsPerBand = 4
+  private val NumBands = NumHashes / RowsPerBand
+  private val NgramN = 3 // word n-gram width for jaccard
+  private val SimBits = 32 // simhash width
+
+  // ---------- shared DuckDB oracle fragments (built from the same
+  // constants as the Spark side) ----------
+
+  /** codes CTE body: 1-based code-point list of `text`. */
+  private val duckCodes =
+    "list_transform(range(1, greatest(length(text), 1) + 1), " +
+      "i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT))"
+
+  /** Closed-form K-gram polynomial hash at position i over list `cs`
+    * — mirrors [[TextFns.shingleHashAt]] step by step.
+    */
+  private def duckShingleHash: String =
+    (0 until K).foldLeft("CAST(0 AS BIGINT)") { (acc, off) =>
+      s"(($acc * 31 + coalesce(cs[CAST(i + $off AS INT)], 0)) % $p)"
+    }
+
+  private val duckShingles =
+    s"list_transform(range(1, greatest(length(text) - ${K - 1}, 1) + 1), i -> $duckShingleHash)"
+
+  /** Whole-document rolling hash — mirrors [[TextFns.polyHash]]. */
+  private val duckPolyHash =
+    s"list_reduce([CAST(0 AS BIGINT)] || cs, (acc, c) -> (acc * 31 + c) % $p)"
+
+  private val duckTokens =
+    "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+
+  /** Per-token rolling hashes (tokens already materialized as `ts`). */
+  private val duckTokenHashes =
+    "list_transform(ts, t -> list_reduce([CAST(0 AS BIGINT)] || " +
+      "list_transform(range(1, greatest(length(t), 1) + 1), " +
+      "i -> CAST(ascii(substring(t, CAST(i AS INT), 1)) AS BIGINT)), " +
+      s"(acc, c) -> (acc * 31 + c) % $p))"
+
+  /** SimHash over token-hash list `hs` — mirrors [[TextFns.simHash]]:
+    * bit j set iff sum over tokens of (2*bit_j(h) - 1) > 0.
+    */
+  private def duckSimHash: String =
+    (0 until SimBits).map { j =>
+      val pow = 1L << j
+      s"(CASE WHEN list_sum(list_transform(hs, h -> ((h // $pow) % 2) * 2 - 1)) > 0 THEN $pow ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** MinHash signature list — mirrors [[TextFns.minHashSignature]]. */
+  private def duckSignature: String =
+    (0 until NumHashes).map { j =>
+      s"list_min(list_transform(shs, x -> (x * ${TextFns.aj(j)} + ${TextFns.bj(j)}) % $p))"
+    }.mkString("[", ", ", "]")
+
+  /** LSH band keys — mirrors [[TextFns.lshBandKeys]]. */
+  private def duckBandKeys: String =
+    (0 until NumBands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => s"sig[${b * RowsPerBand + r + 1}]")
+      s"'$b:' || " + parts.map(x => s"CAST($x AS VARCHAR)").mkString(" || ',' || ")
+    }.mkString("[", ", ", "]")
+
+  private val duckQuality = {
+    val stop = TextFns.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    """(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.3
+      | + least(CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+      |         / CAST(length(text) AS DOUBLE) * 20.0, 1.0) * 0.2
+      | + least(CAST(len(list_filter(ts, t -> list_contains(STOP, t))) AS DOUBLE)
+      |         / CAST(greatest(len(ts), 1) AS DOUBLE) * 4.0, 1.0) * 0.3
+      | + least(CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+      |         / CAST(greatest(len(ts), 1) AS DOUBLE) / 8.0, 1.0) * 0.2)"""
+      .stripMargin.replace("STOP", stop).replace("\n", " ")
+  }
+
+  // ---------- 1. q_doc_dedup: exact dedup on normalized-text hash ----------
+
+  /** Normalization: lowercase, collapse non-alphanumeric runs to one
+    * space, trim — the standard exact-dedup key for text corpora.
+    */
+  private def normText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  def docDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("h", sha2(normText(col("text")), 256))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_dup_docs"))
+      .orderBy("source")
+
+  private val sqlDocDedup =
+    """SELECT source, count(*) AS n_docs,
+      |       count(DISTINCT sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS n_distinct,
+      |       count(*) - count(DISTINCT sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS n_dup_docs
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------- 2. q_doc_fingerprint: rolling-hash + simhash per doc ----------
+
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    docs
+      .withColumn("cs", TextFns.codes(col("text")))
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .withColumn("hs", TextFns.tokenHashesFromTokens(col("ts")))
+      .select(col("doc_id"),
+        TextFns.polyHash(col("cs")).as("fingerprint"),
+        TextFns.simHashFromHashes(col("hs"), SimBits).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  private val sqlDocFingerprint =
+    s"""WITH c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),
+       |     t AS (SELECT doc_id, text, cs, $duckTokens AS ts FROM c),
+       |     h AS (SELECT doc_id, cs, $duckTokenHashes AS hs FROM t)
+       |SELECT doc_id, $duckPolyHash AS fingerprint, $duckSimHash AS simhash
+       |FROM h ORDER BY doc_id""".stripMargin
+
+  // ---------- 3. q_minhash_pairs: MinHash-LSH near-dup candidates ----------
+
+  /** Full MinHash+LSH pipeline: per-doc signature (no shuffle) →
+    * explode band keys → self-join on band key (the only shuffle;
+    * key-partitioned, bucket-bounded) → distinct candidate pairs →
+    * signature-agreement similarity ≥ 0.5.
+    */
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("cs", TextFns.codes(col("text")))
+      .withColumn("sh", TextFns.shingleHashesFromCodes(col("cs"), length(col("text")), K))
+      .withColumn("sig", TextFns.minHashFromShingles(col("sh"), NumHashes))
+    val sigs = docs.select(col("doc_id"), col("sig"))
+    val bands = docs.select(col("doc_id"),
+      explode(TextFns.lshBandKeys(col("sig"), RowsPerBand, NumBands)).as("band"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
+      .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
+      .withColumn("est_sim",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v)
+          .cast("double") / NumHashes)
+      .filter(col("est_sim") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("est_sim"), 4).as("est_sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val sqlMinhashPairs =
+    s"""WITH c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),
+       |     s AS (SELECT doc_id, $duckShingles AS shs FROM c),
+       |     g AS (SELECT doc_id, $duckSignature AS sig FROM s),
+       |     bands AS (SELECT doc_id, unnest($duckBandKeys) AS band FROM g),
+       |     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |              FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |     est AS (SELECT doc_a, doc_b,
+       |                    CAST(list_sum(list_transform(range(1, ${NumHashes + 1}),
+       |                      i -> CASE WHEN ga.sig[CAST(i AS INT)] = gb.sig[CAST(i AS INT)] THEN 1 ELSE 0 END)) AS DOUBLE)
+       |                      / $NumHashes AS est_sim
+       |             FROM cand JOIN g ga ON cand.doc_a = ga.doc_id
+       |                       JOIN g gb ON cand.doc_b = gb.doc_id)
+       |SELECT doc_a, doc_b, round(est_sim, 4) AS est_sim
+       |FROM est WHERE est_sim >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------- 4. q_ngram_jaccard: exact word-3-gram Jaccard on
+  // prefix-blocked candidate pairs ----------
+
+  /** Blocking key: (lang, first 20 chars). At scale this is the
+    * standard blocked pairwise comparison — candidates only meet
+    * inside a block, so the self-join is key-partitioned and the
+    * quadratic blowup is bounded per block.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, 20).as("blk"),
+        TextFns.wordNgramsFromTokens(col("ts"), NgramN).as("grams"))
+    docs.as("a").join(docs.as("b"),
+        col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jac", TextFns.jaccard(col("a.grams"), col("b.grams")))
+      .filter(col("jac") >= 0.3)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(col("jac"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val duckNgrams =
+    s"list_transform(range(1, greatest(len(ts) - ${NgramN - 1}, 1) + 1), " +
+      "i -> " + (0 until NgramN).map(o => s"coalesce(ts[CAST(i + $o AS INT)], '')")
+        .mkString(" || ") + ")"
+
+  private val sqlNgramJaccard =
+    s"""WITH t AS (SELECT doc_id, lang, substring(text, 1, 20) AS blk, $duckTokens AS ts
+       |           FROM documents),
+       |     n AS (SELECT doc_id, lang, blk, list_distinct($duckNgrams) AS grams FROM t),
+       |     pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                      CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE) AS inter,
+       |                      CAST(len(a.grams) + len(b.grams) AS DOUBLE) AS tot
+       |               FROM n a JOIN n b ON a.lang = b.lang AND a.blk = b.blk
+       |                                AND a.doc_id < b.doc_id),
+       |     j AS (SELECT doc_a, doc_b,
+       |                  CASE WHEN tot - inter = 0 THEN 1.0 ELSE inter / (tot - inter) END AS jac
+       |           FROM pairs)
+       |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+       |FROM j WHERE jac >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------- 5. q_lang_id: lexicon-hit language scoring matrix ----------
+
+  /** Per actual-lang totals of marker-lexicon hits for every candidate
+    * language — the deterministic core of lexicon language-ID (the
+    * argmax lives in [[TextFns]] and is unit-tested; the synthetic
+    * corpus shares one vocabulary across langs, so a matrix is the
+    * honest oracle-checkable output).
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val langs = TextFns.langMarkers.keys.toSeq.sorted
+    val docs = Tables.documents(spark, sfDir)
+    val hitCols = langs.map(l =>
+      sum(TextFns.lexiconHits(col("text"), TextFns.langMarkers(l))).as(s"hits_$l"))
+    val aggCols = count(lit(1)).as("n_docs") +: hitCols
+    docs.groupBy("lang")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .orderBy("lang")
+  }
+
+  private val sqlLangId = {
+    val langs = TextFns.langMarkers.keys.toSeq.sorted
+    val hitSel = langs.map { l =>
+      val lex = TextFns.langMarkers(l).map(s => s"'$s'").mkString("[", ", ", "]")
+      s"CAST(sum(len(list_filter(ts, t -> list_contains($lex, t)))) AS BIGINT) AS hits_$l"
+    }.mkString(", ")
+    s"""WITH t AS (SELECT lang, $duckTokens AS ts FROM documents)
+       |SELECT lang, count(*) AS n_docs, $hitSel
+       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ---------- 6. q_text_stats: per-lang corpus statistics ----------
+
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("ts"))).as("total_tokens"),
+        round(avg(length(col("text"))), 4).as("avg_chars"),
+        round(avg(TextFns.qualityScore(col("text"), col("ts"))), 4).as("avg_quality"))
+      .orderBy("lang")
+
+  private val sqlTextStats =
+    s"""WITH t AS (SELECT lang, text, $duckTokens AS ts FROM documents)
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(len(ts)) AS BIGINT) AS total_tokens,
+       |       round(avg(length(text)), 4) AS avg_chars,
+       |       round(avg($duckQuality), 4) AS avg_quality
+       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------- 7. q_token_count: BPE-ish regex token accounting ----------
+
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tok",
+        size(expr(s"regexp_extract_all(text, '${TextFns.bpeTokenRegex}', 0)")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("total_tokens"),
+        max(col("n_tok")).cast("long").as("max_tokens"))
+      .orderBy("source")
+
+  private val sqlTokenCount =
+    s"""SELECT source, count(*) AS n_docs,
+       |       CAST(sum(len(regexp_extract_all(text, '${TextFns.bpeTokenRegex}'))) AS BIGINT) AS total_tokens,
+       |       CAST(max(len(regexp_extract_all(text, '${TextFns.bpeTokenRegex}'))) AS BIGINT) AS max_tokens
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------- 8. q_quality_score: per-doc quality (C4-style heuristics) ----------
+
+  def qualityScoreQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("doc_id"),
+        TextFns.round4(TextFns.qualityScore(col("text"), col("ts"))).as("quality"))
+      .orderBy("doc_id")
+
+  private val sqlQualityScore =
+    s"""WITH t AS (SELECT doc_id, text, $duckTokens AS ts FROM documents)
+       |SELECT doc_id, ${TextFns.duckRound4(duckQuality)} AS quality
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_dedup" -> (docDedup _),
+    "q_doc_fingerprint" -> (docFingerprint _),
+    "q_minhash_pairs" -> (minhashPairs _),
+    "q_ngram_jaccard" -> (ngramJaccard _),
+    "q_lang_id" -> (langId _),
+    "q_text_stats" -> (textStats _),
+    "q_token_count" -> (tokenCount _),
+    "q_quality_score" -> (qualityScoreQ _))
+
+  val oracle: Map[String, String] = Map(
+    "q_doc_dedup" -> sqlDocDedup,
+    "q_doc_fingerprint" -> sqlDocFingerprint,
+    "q_minhash_pairs" -> sqlMinhashPairs,
+    "q_ngram_jaccard" -> sqlNgramJaccard,
+    "q_lang_id" -> sqlLangId,
+    "q_text_stats" -> sqlTextStats,
+    "q_token_count" -> sqlTokenCount,
+    "q_quality_score" -> sqlQualityScore)
+}

@@ -1,0 +1,54 @@
+package graft.vector
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity primitives for the LLM-data-pipeline
+  * extension (ANN search, embedding near-dup). No reference
+  * counterpart (the reference is purely relational); the design
+  * target is the `embeddings` fixture (`ArrayType(FloatType)`,
+  * FIXTURES.md).
+  *
+  * All kernels are Spark higher-order array functions — codegen'd
+  * column expressions, no UDFs — and every floating-point reduction
+  * is a LEFT FOLD (`aggregate`) so the DuckDB oracle can replay the
+  * identical operation order; cosine scores must match bit-for-bit
+  * for the driver's hash compare.
+  *
+  * Scale: cosine against a constant probe is a per-row map (no
+  * shuffle, pushed through whole-stage codegen); top-k is
+  * TakeOrderedAndProject (per-partition heap + driver merge of k
+  * rows, never a global sort); the sign-LSH bucket turns brute-force
+  * O(N) per query into O(N/2^bits) and — crucially at 100 TB — is a
+  * *partition-prunable* key: store the table bucketed/partitioned by
+  * `bucket` and a probe reads one partition.
+  */
+object VectorFns {
+
+  /** Cast a float vector to doubles (exact) so both engines compute
+    * in double precision.
+    */
+  def toDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
+
+  /** Left-fold dot product — mirrors the oracle's list_reduce. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity, structured exactly as dot/(sqrt(na)*sqrt(nb))
+    * — the oracle mirrors this association order, NOT sqrt(na*nb),
+    * which differs in the last ulp.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Sign-LSH bucket: bit j of the bucket is the sign of component
+    * `1 + j*stride` (1-based). A fixed-basis special case of
+    * random-hyperplane LSH (Charikar's SimHash for vectors): vectors
+    * in the same bucket agree on `bits` hyperplane signs, so cosine
+    * neighbors collide with high probability.
+    */
+  def signBucket(vec: Column, bits: Int, stride: Int): Column =
+    (0 until bits).map { j =>
+      when(element_at(vec, 1 + j * stride) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

@@ -1,0 +1,158 @@
+package graft.vector
+
+import graft.schema.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Declared similarity-search queries over the `embeddings` table
+  * (64-dim float vectors, FIXTURES.md). Probe vector: `vec_id = 0`
+  * (fixture rule), excluded from its own result set.
+  *
+  * Oracle parity: DuckDB evaluates the same left-fold dot products
+  * over `CAST(embedding AS DOUBLE[])` (see [[VectorFns]]) — not
+  * list_cosine_similarity, whose internal association order is not
+  * guaranteed to match.
+  */
+object VectorQueries {
+
+  private val TopK = 10
+  private val LshBits = 8
+  private val LshStride = 8 // bits sample dims 1,9,...,57 (1-based)
+  private val NearDupThreshold = 0.25
+
+  /** DuckDB left-fold dot product over 1-based DOUBLE[] columns. */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, len($a) + 1), " +
+      s"i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]), (acc, v) -> acc + v)"
+
+  private def duckCos(a: String, b: String): String =
+    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+
+  private val duckBucket =
+    (0 until LshBits).map { j =>
+      s"(CASE WHEN v[${1 + j * LshStride}] > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private def withVecs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        VectorFns.toDouble(col("embedding")).as("v"))
+
+  // ---------- 1. q_knn: brute-force cosine top-k vs fixed probe ----------
+
+  /** Baseline exact kNN: broadcast the 1-row probe, per-row cosine
+    * map, TakeOrderedAndProject top-k. This is the flat-scan path an
+    * IVF/LSH variant is measured against.
+    */
+  def knn(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+    val probe = vecs.filter(col("vec_id") === 0).select(col("v").as("pv"))
+    vecs.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("sim", VectorFns.cosine(col("v"), col("pv")))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(TopK)
+      .select(col("vec_id"), col("label"), round(col("sim"), 4).as("sim"))
+  }
+
+  private val sqlKnn =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |     p AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+       |SELECT vec_id, label, round(${duckCos("v", "pv")}, 4) AS sim
+       |FROM e, p WHERE vec_id <> 0
+       |ORDER BY ${duckCos("v", "pv")} DESC, vec_id LIMIT $TopK""".stripMargin
+
+  // ---------- 2. q_ann_lsh: sign-LSH bucketed approximate kNN ----------
+
+  /** ANN scale path: prune to the probe's sign-LSH bucket
+    * (~N/2^$LshBits candidates), then exact cosine + top-k inside the
+    * bucket. At warehouse scale the table is partitioned by `bucket`,
+    * so this reads one partition instead of scanning N vectors.
+    */
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+      .withColumn("bucket", VectorFns.signBucket(col("v"), LshBits, LshStride))
+    val probe = vecs.filter(col("vec_id") === 0)
+      .select(col("v").as("pv"), col("bucket").as("pbucket"))
+    vecs.filter(col("vec_id") =!= 0)
+      .join(broadcast(probe), col("bucket") === col("pbucket"))
+      .withColumn("sim", VectorFns.cosine(col("v"), col("pv")))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(TopK)
+      .select(col("vec_id"), col("bucket"), round(col("sim"), 4).as("sim"))
+  }
+
+  private val sqlAnnLsh =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |     b AS (SELECT vec_id, v, $duckBucket AS bucket FROM e),
+       |     p AS (SELECT v AS pv, bucket AS pbucket FROM b WHERE vec_id = 0)
+       |SELECT vec_id, bucket, round(${duckCos("v", "pv")}, 4) AS sim
+       |FROM b, p WHERE vec_id <> 0 AND bucket = pbucket
+       |ORDER BY ${duckCos("v", "pv")} DESC, vec_id LIMIT $TopK""".stripMargin
+
+  // ---------- 3. q_embed_neardup: blocked cosine near-dup pairs ----------
+
+  /** Embedding near-dup detection: candidate pairs meet only inside a
+    * sign-LSH bucket (the blocked self-join that keeps the pair count
+    * ~N²/2^$LshBits instead of N²), exact cosine on candidates,
+    * threshold filter. The fixture vectors are near-random (max
+    * pairwise cosine ≈ 0.37, measured), so the threshold is set to
+    * $NearDupThreshold to exercise a non-empty result; real corpora
+    * use ≥ 0.95 with the identical plan.
+    */
+  def embedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+      .withColumn("bucket", VectorFns.signBucket(col("v"), LshBits, LshStride))
+    vecs.as("a").join(vecs.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", VectorFns.cosine(col("a.v"), col("b.v")))
+      .filter(col("sim") >= NearDupThreshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private val sqlEmbedNearDup =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |     b AS (SELECT vec_id, v, $duckBucket AS bucket FROM e),
+       |     pairs AS (SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       |                      ${duckCos("a.v", "b2.v")} AS sim
+       |               FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |SELECT vec_a, vec_b, round(sim, 4) AS sim
+       |FROM pairs WHERE sim >= $NearDupThreshold ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---------- 4. q_centroids: per-label centroids (IVF coarse quantizer) ----------
+
+  /** Elementwise mean vector per label — the k-means/IVF building
+    * block. posexplode → (label, dim) partial aggregation: one
+    * shuffle keyed on (label, dim), fully map-side combinable, scales
+    * as O(labels × dims) state regardless of row count.
+    */
+  def centroids(spark: SparkSession, sfDir: String): DataFrame =
+    withVecs(spark, sfDir)
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), round(avg(col("x")), 4).as("centroid"))
+      .filter(col("dim") < 8) // report first 8 dims (64×10 rows is noise; shape is proven)
+      .orderBy("label", "dim")
+
+  private val sqlCentroids =
+    """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |     x AS (SELECT label, CAST(i - 1 AS INT) AS dim, v[CAST(i AS INT)] AS x
+      |           FROM e CROSS JOIN range(1, 65) t(i))
+      |SELECT label, dim, count(*) AS n, round(avg(x), 4) AS centroid
+      |FROM x WHERE dim < 8 GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn" -> (knn _),
+    "q_ann_lsh" -> (annLsh _),
+    "q_embed_neardup" -> (embedNearDup _),
+    "q_centroids" -> (centroids _))
+
+  val oracle: Map[String, String] = Map(
+    "q_knn" -> sqlKnn,
+    "q_ann_lsh" -> sqlAnnLsh,
+    "q_embed_neardup" -> sqlEmbedNearDup,
+    "q_centroids" -> sqlCentroids)
+}
