@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-hash kernels
+  * (graft.text.TextFns defines the same semantics as composed
+  * higher-order array functions; these are drop-in equivalents).
+  *
+  * Why native: Spark's higher-order functions are interpreted (no
+  * whole-stage codegen), so a MinHash signature composed of
+  * transform/aggregate lambdas costs ~k·len boxed lambda invocations
+  * per row. These expressions do the same integer recurrences in one
+  * tight primitive loop over the UTF8String bytes — one virtual call
+  * per ROW — and their doGenCode emits a static call, so they stay
+  * inside the surrounding whole-stage-codegen span instead of
+  * breaking it.
+  *
+  * Semantics contract (shared with TextFns and the DuckDB oracle):
+  * code points = bytes (corpus is ASCII; TESTDATA.md), hashes are
+  * polynomial folds acc*31+c mod 2^31-1, tokens split on single
+  * spaces with empties dropped, lowercase is ASCII A-Z only.
+  */
+object TextHashUtil {
+  final val P: Long = 2147483647L
+  final val B: Long = 31L
+
+  /** Rabin-Karp rolling hash of the whole string. */
+  def polyHash(s: UTF8String): Long = {
+    val n = s.numBytes
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc = (acc * B + (s.getByte(i) & 0xffL)) % P
+      i += 1
+    }
+    acc
+  }
+
+  /** MinHash signature over character k-gram hashes with permutations
+    * h_j(x) = ((2j+1)x + 101j+17) mod P. Texts shorter than k yield
+    * one zero-padded shingle (TextFns.shingleHashesFromCodes parity).
+    */
+  def minHashSig(s: UTF8String, k: Int, numHashes: Int): ArrayData = {
+    val n = s.numBytes
+    val nSh = math.max(n - k + 1, 1)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < nSh) {
+      var h = 0L
+      var off = 0
+      while (off < k) {
+        val c = if (i + off < n) s.getByte(i + off) & 0xffL else 0L
+        h = (h * B + c) % P
+        off += 1
+      }
+      var j = 0
+      while (j < numHashes) {
+        val v = (h * (2L * j + 1) + 101L * j + 17) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** SimHash over space-delimited lowercased token hashes: bit j set
+    * iff tokens with bit j set outnumber those without.
+    */
+  def simHash(s: UTF8String, bits: Int): Long = {
+    val n = s.numBytes
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      // consume one token
+      while (i < n && s.getByte(i) == ' ') i += 1
+      if (i < n) {
+        var h = 0L
+        var len = 0
+        while (i < n && s.getByte(i) != ' ') {
+          var c = s.getByte(i) & 0xffL
+          if (c >= 'A' && c <= 'Z') c += 32 // ASCII lowercase
+          h = (h * B + c) % P
+          len += 1
+          i += 1
+        }
+        if (len > 0) {
+          var j = 0
+          while (j < bits) {
+            votes(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+            j += 1
+          }
+        }
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+}
+
+/** graft_poly_hash(text): whole-document rolling hash. */
+case class PolyHashExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_poly_hash"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashUtil.polyHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.polyHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHashExpr =
+    copy(child = newChild)
+}
+
+/** graft_minhash(text): k-gram MinHash signature (array<long>). */
+case class MinHashSigExpr(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashUtil.minHashSig(input.asInstanceOf[UTF8String], k, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashUtil.minHashSig($c, $k, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** graft_simhash(text): token-vote SimHash (long). */
+case class SimHashExpr(child: Expression, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashUtil.simHash(input.asInstanceOf[UTF8String], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.simHash($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
+/** Column-level API for the native kernels. */
+object TextHashes {
+  def polyHash(text: Column): Column =
+    ColumnBridge.column(PolyHashExpr(ColumnBridge.expression(text)))
+  def minHashSig(text: Column, k: Int, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(text), k, numHashes))
+  def simHash(text: Column, bits: Int): Column =
+    ColumnBridge.column(SimHashExpr(ColumnBridge.expression(text), bits))
+}
