@@ -40,8 +40,10 @@ object CleanFns {
 
   /** F8: lenient numeric coercion — null on garbage (reference
     * `pd.to_numeric(errors='coerce')`, `ETL/fact_ETL.py:52`).
+    * `try_cast`, not `cast`: Spark 4 runs ANSI mode by default, where
+    * a plain cast THROWS on malformed input instead of nulling.
     */
-  def coerceDouble(c: Column): Column = c.cast("double")
+  def coerceDouble(c: Column): Column = c.try_cast("double")
 
   /** F7: truncate timestamp to day (reference `.dt.normalize()`,
     * `ETL/date_ETL.py:47`).

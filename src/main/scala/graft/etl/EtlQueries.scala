@@ -67,16 +67,25 @@ object EtlQueries {
       |FROM (SELECT DISTINCT CAST(date_trunc('day', o_orderdate) AS DATE) AS d
       |      FROM orders WHERE o_orderdate IS NOT NULL)""".stripMargin
 
+  /** Mirrors StarSchema.factSource incl. the D5 grain dedup
+    * (first-wins on order_number with a total tiebreak — the synthetic
+    * lineitem repeats (o_orderkey, l_linenumber)).
+    */
   private def duckFactSource: String =
-    """SELECT o_orderkey || '-' || l_linenumber AS order_number,
-      |       l_quantity AS quantity,
-      |       ceil(l_quantity * p_retailprice * 100) / 100 AS revenue,
-      |       c_custkey AS user_nat_key, p_partkey AS product_nat_key,
-      |       CAST(c_nationkey AS BIGINT) AS location_nat_key,
-      |       CAST(date_trunc('day', o_orderdate) AS DATE) AS date_nat_key
-      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      |              JOIN part ON l_partkey = p_partkey
-      |              JOIN customer ON o_custkey = c_custkey""".stripMargin
+    """SELECT order_number, quantity, revenue, user_nat_key,
+      |       product_nat_key, location_nat_key, date_nat_key
+      |FROM (SELECT *, row_number() OVER (PARTITION BY order_number
+      |                ORDER BY product_nat_key, quantity, revenue) AS rn
+      |      FROM (SELECT o_orderkey || '-' || l_linenumber AS order_number,
+      |                   l_quantity AS quantity,
+      |                   ceil(l_quantity * p_retailprice * 100) / 100 AS revenue,
+      |                   c_custkey AS user_nat_key, p_partkey AS product_nat_key,
+      |                   CAST(c_nationkey AS BIGINT) AS location_nat_key,
+      |                   CAST(date_trunc('day', o_orderdate) AS DATE) AS date_nat_key
+      |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |                          JOIN part ON l_partkey = p_partkey
+      |                          JOIN customer ON o_custkey = c_custkey))
+      |WHERE rn = 1""".stripMargin
 
   // ----- 1. q_clean_user_dim: F1+F2+F3+F4+D1 + surrogate -----
   def cleanUserDim(spark: SparkSession, sfDir: String): DataFrame =

@@ -103,7 +103,7 @@ object StarSchema {
     val o = Tables.orders(spark, sfDir)
     val p = Tables.part(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(p, li("l_partkey") === p("p_partkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .select(
@@ -114,6 +114,13 @@ object StarSchema {
         col("p_partkey").as("product_nat_key"),
         col("c_nationkey").cast("long").as("location_nat_key"),
         CleanFns.toDay(col("o_orderdate")).as("date_nat_key"))
+    // D5: the reference dedups the fact batch on its grain key
+    // (`ETL/fact_ETL.py:54`) — and the synthetic lineitem does repeat
+    // (o_orderkey, l_linenumber). Deterministic first-wins on a total
+    // tiebreak; rows tying on all tiebreak columns are identical in
+    // this projection, so the survivor is well-defined either way.
+    Dedup.firstWins(joined, Seq("order_number"),
+      Seq(col("product_nat_key"), col("quantity"), col("revenue")))
   }
 
   /** J6: remap the four natural keys to surrogates via broadcast inner

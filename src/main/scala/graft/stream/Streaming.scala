@@ -71,14 +71,22 @@ object Streaming {
     * small tuple per active user and times out after inactivity.
     */
   def runningUserTotals(events: DataFrame,
-                        timeout: String = "1 hour"): DataFrame = {
+                        timeout: Option[String] = Some("1 hour")): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
+    // NoTimeout when eviction is off: a ProcessingTimeTimeout query
+    // schedules a no-data micro-batch every trigger to fire timeouts,
+    // which never quiesces under the default 0-interval trigger
+    // (tests use None; production passes an eviction horizon and a
+    // real trigger interval).
+    val conf =
+      if (timeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .select(col("user_id").cast("long"), col("value").cast("double"))
       .as[(Long, Double)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout) {
+      .mapGroupsWithState(conf) {
         (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
           if (state.hasTimedOut) {
             val (n, s) = state.get
@@ -89,7 +97,7 @@ object Streaming {
             val batch = rows.toSeq
             val updated = (n0 + batch.size, s0 + batch.map(_._2).sum)
             state.update(updated)
-            state.setTimeoutDuration(timeout)
+            timeout.foreach(state.setTimeoutDuration)
             (user, updated._1, updated._2)
           }
       }

@@ -60,8 +60,11 @@ object TextFns {
     * staged).
     */
   def shingleHashAt(codesCol: Column, i: Column, k: Int): Column = {
+    // try_element_at: ANSI mode (Spark 4 default) makes element_at
+    // THROW on out-of-range instead of returning null; DuckDB's list
+    // index returns NULL, which coalesce maps to 0 on both engines.
     def c(off: Int): Column =
-      coalesce(element_at(codesCol, (i + lit(off)).cast("int")), lit(0L))
+      coalesce(try_element_at(codesCol, (i + lit(off)).cast("int")), lit(0L))
     (0 until k).foldLeft(lit(0L)) { (acc, off) => (acc * B + c(off)) % P }
   }
 
@@ -143,7 +146,7 @@ object TextFns {
     transform(
       sequence(lit(1), greatest(size(ts) - lit(n - 1), lit(1))),
       i => concat_ws("", (0 until n).map(o =>
-        coalesce(element_at(ts, (i + lit(o)).cast("int")), lit(""))): _*))
+        coalesce(try_element_at(ts, (i + lit(o)).cast("int")), lit(""))): _*))
 
   /** Exact Jaccard similarity of two string-array columns (set
     * semantics via array_distinct; intersection/union by size).

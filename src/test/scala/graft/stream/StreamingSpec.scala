@@ -1,0 +1,74 @@
+package graft.stream
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Structured Streaming semantics under a real micro-batch engine
+  * (MemoryStream → memory sink): windowed aggregation with watermark,
+  * watermark-bounded dedup, and keyed running state. The reference has
+  * no streaming at all (SURVEY.md §2.7) — these pin the extension
+  * surface.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowedCounts aggregates by tumbling event-time window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = Streaming.windowedCounts(events, "10 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (ts(1), 1L, "click", 1.0), (ts(2), 2L, "click", 2.0),
+        (ts(11), 1L, "view", 3.0),
+        (ts(40), 1L, "click", 9.0)) // advances watermark past both windows
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows.contains((ts(0), "click", 2L, 3.0)))
+      assert(rows.contains((ts(10), "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark drops duplicate keys inside the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = Streaming.dedupWithinWatermark(events, Seq("user_id", "event_type"),
+        lateness = "30 minutes")
+      .writeStream.format("memory").queryName("dd").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (ts(1), 1L, "click", 1.0), (ts(2), 1L, "click", 99.0), // dup key
+        (ts(3), 2L, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("dd").count() == 2)
+    } finally q.stop()
+  }
+
+  test("runningUserTotals keeps per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = Streaming.runningUserTotals(events, timeout = None)
+      .writeStream.format("memory").queryName("rt").outputMode(OutputMode.Update).start()
+    try {
+      input.addData((ts(1), 7L, "click", 1.5))
+      q.processAllAvailable()
+      input.addData((ts(2), 7L, "click", 2.5))
+      q.processAllAvailable()
+      val last = spark.table("rt").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(_._1 == 7L).maxBy(_._2)
+      assert(last == ((7L, 2L, 4.0)))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,107 @@
+package graft.text
+
+import graft.SparkSpec
+import graft.functions.{TextHashUtil, TextHashes}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Parity between the native Catalyst hash expressions and the
+  * higher-order-function reference implementations in TextFns (both
+  * must match the DuckDB oracle recurrences), plus semantic checks on
+  * planted near-duplicates.
+  */
+class TextHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy cat",
+    "completely different content with nothing shared here",
+    "tiny",
+    "Mixed CASE Words and MORE",
+    "a b  c   d")
+
+  test("native polyHash equals HOF polyHash(codes)") {
+    val df = texts.toDF("text")
+      .withColumn("cs", TextFns.codes(col("text")))
+      .select(
+        TextHashes.polyHash(col("text")).as("native"),
+        TextFns.polyHash(col("cs")).as("hof"))
+    df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("native minHashSig equals HOF minhash pipeline") {
+    val df = texts.toDF("text")
+      .withColumn("cs", TextFns.codes(col("text")))
+      .withColumn("sh", TextFns.shingleHashesFromCodes(col("cs"), length(col("text")), 5))
+      .select(
+        TextHashes.minHashSig(col("text"), 5, 16).as("native"),
+        TextFns.minHashFromShingles(col("sh"), 16).as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("native simHash equals HOF simhash pipeline") {
+    val df = texts.toDF("text")
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .withColumn("hs", TextFns.tokenHashesFromTokens(col("ts")))
+      .select(
+        TextHashes.simHash(col("text"), 32).as("native"),
+        TextFns.simHashFromHashes(col("hs"), 32).as("hof"))
+    df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("near-duplicate texts agree on most minhash slots; unrelated do not") {
+    def sig(s: String): Seq[Long] =
+      (0 until 16).map(j => TextHashUtil.minHashSig(UTF8String.fromString(s), 5, 16)
+        .getLong(j))
+    val a = sig(texts(0)); val b = sig(texts(1)); val c = sig(texts(2))
+    val ab = a.zip(b).count { case (x, y) => x == y }
+    val ac = a.zip(c).count { case (x, y) => x == y }
+    assert(ab >= 10, s"near-dup agreement only $ab/16")
+    assert(ac <= 6, s"unrelated agreement $ac/16")
+  }
+
+  test("simhash hamming distance small for near-dups, large for unrelated") {
+    def sh(s: String): Long = TextHashUtil.simHash(UTF8String.fromString(s), 32)
+    def ham(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    assert(ham(sh(texts(0)), sh(texts(1))) <= 8)
+    assert(ham(sh(texts(0)), sh(texts(2))) >= 8)
+  }
+
+  test("jaccard of word 3-gram sets: identical=1, disjoint=0") {
+    val df = Seq(
+      ("a b c d e", "a b c d e"),
+      ("a b c d e", "v w x y z"))
+      .toDF("s1", "s2")
+      .withColumn("t1", TextFns.tokens(col("s1")))
+      .withColumn("t2", TextFns.tokens(col("s2")))
+      .select(TextFns.jaccard(
+        TextFns.wordNgramsFromTokens(col("t1"), 3),
+        TextFns.wordNgramsFromTokens(col("t2"), 3)).as("j"))
+    val got = df.collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(1.0, 0.0))
+  }
+
+  test("tokens split on single spaces and drop empties") {
+    val got = Seq("a b  c   d").toDF("text")
+      .select(TextFns.tokens(col("text"))).collect().head.getSeq[String](0)
+    assert(got == Seq("a", "b", "c", "d"))
+  }
+
+  test("round4 rounds half up on the binary value (0.31525 case)") {
+    // 0.31525 as a double is 0.31524999…, so 4-digit rounding must
+    // give 0.3152 (matching DuckDB), not String-based 0.3153.
+    val got = Seq(0.31525, 0.125, 0.12345).toDF("x")
+      .select(TextFns.round4(col("x"))).collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(0.3152, 0.125, 0.1235))
+  }
+
+  test("lexiconHits counts only exact token matches") {
+    val got = Seq("the cat and the hat in a box").toDF("text")
+      .select(TextFns.lexiconHits(col("text"), Seq("the", "a", "and", "of", "is")))
+      .collect().head.getInt(0)
+    assert(got == 4) // the, and, the, a
+  }
+}

@@ -1,0 +1,45 @@
+package graft.vector
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
+      (Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)),
+      (Seq(1.0, 1.0, 0.0), Seq(-1.0, -1.0, 0.0)))
+      .toDF("a", "b")
+      .select(VectorFns.cosine(col("a"), col("b")).as("c"))
+    val got = df.collect().map(_.getDouble(0)).toSeq
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(got(1) == 0.0)
+    assert(math.abs(got(2) + 1.0) < 1e-12)
+  }
+
+  test("dot is a left fold (matches sequential sum)") {
+    val a = Seq(0.1, 0.2, 0.3, 0.4)
+    val b = Seq(0.4, 0.3, 0.2, 0.1)
+    val expected = a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(VectorFns.dot(col("a"), col("b"))).collect().head.getDouble(0)
+    assert(got == expected)
+  }
+
+  test("signBucket encodes hyperplane signs at the strided dims") {
+    // dims 1, 3, 5 (1-based) with bits=3, stride=2
+    val df = Seq(
+      Seq(1.0, 9.0, -1.0, 9.0, 1.0), // signs +,-,+ → bits 0 and 2 → 5
+      Seq(-1.0, 9.0, -1.0, 9.0, -1.0)) // all non-positive → 0
+      .toDF("v").select(VectorFns.signBucket(col("v"), 3, 2).as("b"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(5L, 0L))
+  }
+
+  test("toDouble casts float vectors exactly") {
+    val got = Seq(Seq(1.5f, -2.25f)).toDF("v")
+      .select(VectorFns.toDouble(col("v"))).collect().head.getSeq[Double](0)
+    assert(got == Seq(1.5, -2.25))
+  }
+}
