@@ -1,0 +1,158 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column support for the LLM-data-pipeline extension:
+  * image/audio/video as opaque BINARY columns plus a typed metadata
+  * struct, with decode / feature-extract / resize / frame-sample
+  * stages. No counterpart in the reference (purely relational); the
+  * design is the standard lakehouse pattern — media bytes travel as a
+  * column, per-row compute runs inside partition iterators, and
+  * everything downstream of decode is ordinary relational Spark.
+  *
+  * The actual codec work is STUBBED with a deterministic fake (this
+  * environment ships no image/audio libraries): [[FakeCodec]] derives
+  * "decoded" properties purely from the bytes. Everything around the
+  * stub — schema, encoders, partition-iterator batch shape, the
+  * column contracts each stage consumes/produces — is real and
+  * tested, so swapping FakeCodec for a JNI/javacv decoder changes one
+  * object.
+  *
+  * Scale: decode runs as `mapPartitions` over the typed Dataset — one
+  * iterator per partition, constant memory, no shuffle, trivially
+  * parallel across 1000 executors. Media bytes should be stored as
+  * parquet binary with a small row-group size (or external object
+  * refs) so `spark.sql.files.maxPartitionBytes` bounds task input;
+  * metadata-only queries prune the binary column entirely at the scan
+  * (columnar projection), which is the point of keeping meta in its
+  * own typed struct.
+  */
+object Multimodal {
+
+  /** media(media_id, kind, content, meta) — canonical multimodal table. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("content", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("codec", StringType))))))
+
+  case class MediaMeta(width: Option[Int], height: Option[Int],
+                       sample_rate: Option[Int], duration_ms: Option[Long],
+                       codec: Option[String])
+  case class MediaRow(media_id: Long, kind: String, content: Array[Byte],
+                      meta: MediaMeta)
+  case class DecodedImage(media_id: Long, width: Int, height: Int,
+                          mean_intensity: Double, histogram: Seq[Long])
+  case class AudioFeatures(media_id: Long, sample_rate: Int, n_samples: Long,
+                           rms: Double, zero_crossings: Long)
+
+  /** Deterministic stand-in for real decoders: all outputs are pure
+    * functions of the content bytes, so tests and reruns converge.
+    * Replace with a real codec binding at deployment; signatures are
+    * the contract.
+    */
+  object FakeCodec {
+    def imageDims(bytes: Array[Byte]): (Int, Int) = {
+      val w = 16 + math.floorMod(if (bytes.isEmpty) 0 else bytes(0).toInt, 112)
+      val h = 16 + math.floorMod(if (bytes.length < 2) 0 else bytes(1).toInt, 112)
+      (w, h)
+    }
+    def pixels(bytes: Array[Byte]): Array[Int] = bytes.map(_ & 0xff)
+    def audioSamples(bytes: Array[Byte]): Array[Int] = bytes.map(_.toInt)
+  }
+
+  /** Build the deterministic media fixture from the documents table
+    * (media bytes := utf8 text bytes; kind round-robins by doc_id).
+    * Stands in for `spark.read.parquet("media/")` until real media
+    * fixtures exist.
+    */
+  def mediaFixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val kinds = array(lit("image"), lit("audio"), lit("video"))
+    graft.schema.Tables.documents(spark, sfDir).select(
+      col("doc_id").as("media_id"),
+      element_at(kinds, (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("content"),
+      struct(
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        when(col("doc_id") % 3 === 1, lit(16000)).cast(IntegerType).as("sample_rate"),
+        (col("n_chars") * 10).cast(LongType).as("duration_ms"),
+        lit("fake").as("codec")).as("meta"))
+  }
+
+  /** Decode stage for images: partition-iterator compute (the Scala
+    * analogue of mapInPandas — one lazy iterator per partition, rows
+    * streamed, nothing collected) producing typed rows.
+    */
+  def decodeImages(media: DataFrame): Dataset[DecodedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h) = FakeCodec.imageDims(r.content)
+          val px = FakeCodec.pixels(r.content)
+          val hist = new Array[Long](16)
+          var s = 0L
+          px.foreach { p => hist(p / 16) += 1; s += p }
+          DecodedImage(r.media_id, w, h,
+            if (px.isEmpty) 0.0 else s.toDouble / px.length, hist.toSeq)
+        }
+      }
+  }
+
+  /** Feature extraction for audio: RMS energy + zero crossings over
+    * the fake sample stream.
+    */
+  def audioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val xs = FakeCodec.audioSamples(r.content)
+          var sq = 0.0; var zc = 0L
+          var i = 0
+          while (i < xs.length) {
+            sq += xs(i).toDouble * xs(i)
+            if (i > 0 && (xs(i) >= 0) != (xs(i - 1) >= 0)) zc += 1
+            i += 1
+          }
+          AudioFeatures(r.media_id, r.meta.sample_rate.getOrElse(0),
+            xs.length.toLong,
+            if (xs.isEmpty) 0.0 else math.sqrt(sq / xs.length), zc)
+        }
+      }
+  }
+
+  /** Resize planning: pure column arithmetic on decoded dims —
+    * aspect-preserving fit into a bounding box. Runs codegen'd; no
+    * pixel work here (that belongs to the decode stage contract).
+    */
+  def resizePlan(decoded: DataFrame, maxSide: Int): DataFrame = {
+    val scale = least(
+      lit(maxSide).cast("double") / col("width"),
+      lit(maxSide).cast("double") / col("height"), lit(1.0))
+    decoded.select(col("media_id"), col("width"), col("height"),
+      floor(col("width") * scale).cast("int").as("out_width"),
+      floor(col("height") * scale).cast("int").as("out_height"))
+  }
+
+  /** Frame sampling for video: one output row per sampled frame
+    * timestamp — sequence + explode, fully relational, no decode
+    * needed until the frames are actually fetched.
+    */
+  def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("meta.duration_ms").as("duration_ms"))
+      .filter(col("duration_ms").isNotNull && col("duration_ms") > 0)
+      .select(col("media_id"), col("duration_ms"),
+        explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))).as("frame_ts_ms"))
+}
