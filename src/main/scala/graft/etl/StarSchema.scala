@@ -41,7 +41,7 @@ object StarSchema {
       col("c_nationkey").cast("long").as("nationkey"),
       col("c_acctbal").as("acctbal"))
     val deduped = Dedup.firstWins(cleaned, Seq("username"), Seq(col("nat_key")))
-    SurrogateKeys.dense(deduped, Seq(col("username")), "user_sk")
+    SurrogateKeys.scalable(deduped, Seq(col("username")), "user_sk")
   }
 
   /** Product dimension (reference `ETL/prod_ETL.py`): ceil-2 price
@@ -55,7 +55,7 @@ object StarSchema {
       col("p_type").as("category"),
       CleanFns.ceil2(col("p_retailprice")).as("price"))
     val deduped = Dedup.firstWins(cleaned, Seq("name", "brand"), Seq(col("nat_key")))
-    SurrogateKeys.dense(deduped, Seq(col("name"), col("brand")), "product_sk")
+    SurrogateKeys.scalable(deduped, Seq(col("name"), col("brand")), "product_sk")
   }
 
   /** Location dimension (reference `ETL/loc_ETL.py`): the testdata
@@ -73,7 +73,7 @@ object StarSchema {
         CleanFns.cleanTitle(col("n_name")).as("nation"),
         CleanFns.cleanTitle(col("r_name")).as("region"))
     val deduped = Dedup.firstWins(joined, Seq("nation"), Seq(col("nat_key")))
-    SurrogateKeys.dense(deduped, Seq(col("nation")), "location_sk")
+    SurrogateKeys.scalable(deduped, Seq(col("nation")), "location_sk")
   }
 
   /** Date dimension (reference `ETL/date_ETL.py`): distinct
@@ -85,7 +85,7 @@ object StarSchema {
       .select(CleanFns.toDay(col("o_orderdate")).as("date"))
       .filter(col("date").isNotNull)
       .distinct()
-    SurrogateKeys.dense(dates, Seq(col("date")), "date_sk")
+    SurrogateKeys.scalable(dates, Seq(col("date")), "date_sk")
   }
 
   /** Fact build (reference `ETL/fact_ETL.py`): 3-way source join + the

@@ -26,31 +26,33 @@ object SurrogateKeys {
     df.withColumn(skName, row_number().over(Window.orderBy(orderBy: _*)).cast("long"))
 
   /** Scalable deterministic surrogate for large inputs: range-partition
-    * by the order columns (so partition i holds keys strictly before
-    * partition i+1), number rows within each partition, then add the
-    * per-partition offsets computed from partition sizes. Two passes
-    * over the data, no single-partition bottleneck, same ids as
-    * [[dense]] when the order is total.
+    * + sort by the order columns (a distributed total sort — partition
+    * i holds keys before partition i+1), then `zipWithIndex`, which
+    * runs one small count job over partition sizes and prefixes each
+    * partition's offset. One materialization, no single-partition
+    * bottleneck, same ids as [[dense]] on a total order.
+    *
+    * NOT expressed as window-over-partition-id + offset join: that
+    * shape evaluates the range partitioner twice (once per DAG
+    * branch), and RangePartitioner samples with an RDD-id-derived
+    * seed, so the two evaluations can pick different boundaries and
+    * misalign the offsets — observed as off-by-2 surrogates at sf0.01.
+    * zipWithIndex sees one set of boundaries by construction, and the
+    * global order (partition index × within-partition position) is
+    * boundary-independent.
     */
   def scalable(df: DataFrame, orderBy: Seq[Column], skName: String, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
     val n = if (partitions > 0) partitions
-            else df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(n, orderBy: _*)
+            else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, orderBy: _*)
       .sortWithinPartitions(orderBy: _*)
-    val withPid = ranged
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__pid")).orderBy(orderBy: _*)))
-    // Partition sizes are a tiny aggregate (one row per partition) —
-    // broadcast the cumulative offsets back.
-    val offsets = withPid.groupBy("__pid").count()
-      .withColumn("__offset",
-        coalesce(sum(col("count")).over(
-          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select("__pid", "__offset")
-    withPid.join(broadcast(offsets), "__pid")
-      .withColumn(skName, (col("__offset") + col("__rn")).cast("long"))
-      .drop("__pid", "__rn", "__offset")
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        skName, org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    spark.createDataFrame(rows, schema)
   }
 }
