@@ -30,6 +30,18 @@ object TextHashUtil {
   final val P: Long = 2147483647L
   final val B: Long = 31L
 
+  /** MinHash permutation constants h_j(x) = (a_j·x + b_j) mod P —
+    * THE single source of truth: TextFns delegates here and the
+    * DuckDB oracle SQL embeds these values as literals, so all three
+    * evaluation paths agree. The Knuth multiplier spreads the odd
+    * index so a_0 is not the identity (a plain 2j+1 made slot 0 a
+    * pass-through and correlated the low slots, observed as weak
+    * append-robustness in the property suite). Bounds: a_j,b_j < P,
+    * x < P ⇒ a_j·x + b_j < 2^62, no 64-bit overflow.
+    */
+  def aj(j: Int): Long = (2L * j + 1) * 2654435761L % P
+  def bj(j: Int): Long = (104729L * j + 12345L) % P
+
   /** Rabin-Karp rolling hash of the whole string. */
   def polyHash(s: UTF8String): Long = {
     val n = s.numBytes
@@ -42,13 +54,15 @@ object TextHashUtil {
     acc
   }
 
-  /** MinHash signature over character k-gram hashes with permutations
-    * h_j(x) = ((2j+1)x + 101j+17) mod P. Texts shorter than k yield
-    * one zero-padded shingle (TextFns.shingleHashesFromCodes parity).
+  /** MinHash signature over character k-gram hashes with the [[aj]]/
+    * [[bj]] permutations. Texts shorter than k yield one zero-padded
+    * shingle (TextFns.shingleHashesFromCodes parity).
     */
   def minHashSig(s: UTF8String, k: Int, numHashes: Int): ArrayData = {
     val n = s.numBytes
     val nSh = math.max(n - k + 1, 1)
+    val as = Array.tabulate(numHashes)(aj)
+    val bs = Array.tabulate(numHashes)(bj)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < nSh) {
@@ -61,7 +75,7 @@ object TextHashUtil {
       }
       var j = 0
       while (j < numHashes) {
-        val v = (h * (2L * j + 1) + 101L * j + 17) % P
+        val v = (h * as(j) + bs(j)) % P
         if (v < mins(j)) mins(j) = v
         j += 1
       }

@@ -76,11 +76,13 @@ object TextFns {
       sequence(lit(1), greatest(textLen - lit(k - 1), lit(1))),
       i => shingleHashAt(codesCol, i, k))
 
-  /** j-th MinHash permutation constants — shared verbatim with the
-    * DuckDB oracle (TextQueries builds its SQL from these).
+  /** j-th MinHash permutation constants — delegated to
+    * [[graft.functions.TextHashUtil]], the single source of truth
+    * shared by the native expressions and the DuckDB oracle
+    * (TextQueries embeds these values as SQL literals).
     */
-  def aj(j: Int): Long = 2L * j + 1 // odd multiplier
-  def bj(j: Int): Long = 101L * j + 17
+  def aj(j: Int): Long = graft.functions.TextHashUtil.aj(j)
+  def bj(j: Int): Long = graft.functions.TextHashUtil.bj(j)
 
   /** MinHash signature from a STAGED shingle-hash column: for each of
     * `numHashes` permutations h_j(x) = (a_j*x + b_j) mod P, take the

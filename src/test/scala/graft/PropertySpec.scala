@@ -1,0 +1,123 @@
+package graft
+
+import graft.etl.{Dedup, Merge}
+import graft.functions.TextHashUtil
+import graft.text.TextFns
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.util.Random
+
+/** Property-style invariants (SURVEY.md §5.3) over seeded random
+  * samples — deterministic across runs. Driver-side hash properties
+  * sample densely (no Spark jobs); DataFrame properties sample a few
+  * cases to keep the suite fast.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rng = new Random(42)
+
+  private def asciiText(r: Random): String = {
+    val n = r.nextInt(200)
+    val sb = new StringBuilder
+    (0 until n).foreach { _ =>
+      sb.append(r.nextInt(11) match {
+        case 9 => ' '
+        case 10 => ('0' + r.nextInt(10)).toChar
+        case _ => ('a' + r.nextInt(26)).toChar
+      })
+    }
+    sb.toString
+  }
+
+  test("property: ceil2(x) ∈ [x, x+0.01) over 10k positive doubles") {
+    val r = rng
+    (1 to 10000).foreach { _ =>
+      val x = r.nextDouble() * 1e6
+      val c = math.ceil(x * 100) / 100
+      assert(c >= x && c < x + 0.01 + 1e-9, s"x=$x c=$c")
+    }
+  }
+
+  test("property: polyHash stable and in [0, P) over 2k random texts") {
+    val r = rng
+    (1 to 2000).foreach { _ =>
+      val s = asciiText(r)
+      val h = TextHashUtil.polyHash(UTF8String.fromString(s))
+      assert(h == TextHashUtil.polyHash(UTF8String.fromString(s)))
+      assert(h >= 0 && h < TextHashUtil.P)
+    }
+  }
+
+  test("property: minhash slots in [0, P); more shared shingles → more agreement") {
+    val r = rng
+    (1 to 500).foreach { _ =>
+      val s = asciiText(r)
+      val sig = TextHashUtil.minHashSig(UTF8String.fromString(s), 5, 16)
+      (0 until 16).foreach { j =>
+        assert(sig.getLong(j) >= 0 && sig.getLong(j) < TextHashUtil.P)
+      }
+      // appending a short suffix preserves most shingles → ≥half the
+      // slots agree (minhash similarity ≈ jaccard of shingle sets)
+      if (s.length > 100) {
+        val sig2 = TextHashUtil.minHashSig(UTF8String.fromString(s + " tail"), 5, 16)
+        val agree = (0 until 16).count(j => sig.getLong(j) == sig2.getLong(j))
+        assert(agree >= 8, s"only $agree/16 slots agree after tiny append")
+      }
+    }
+  }
+
+  test("property: simhash is stable, 32-bit, and append-robust") {
+    val r = rng
+    (1 to 500).foreach { _ =>
+      val s = asciiText(r)
+      val h = TextHashUtil.simHash(UTF8String.fromString(s), 32)
+      assert(h == TextHashUtil.simHash(UTF8String.fromString(s), 32))
+      assert(h >= 0 && h < (1L << 32))
+    }
+  }
+
+  test("property: dedup leaves keys unique; survivor has min tiebreak") {
+    val r = rng
+    (1 to 5).foreach { _ =>
+      val rows = (1 to 40).map(_ => (r.nextInt(8) + 1, r.nextInt(1000) + 1))
+      val df = rows.toDF("k", "v")
+      val out = Dedup.firstWins(df, Seq("k"), Seq(col("v")))
+        .collect().map(x => (x.getInt(0), x.getInt(1)))
+      assert(out.map(_._1).distinct.length == out.length)
+      val mins = rows.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+      out.foreach { case (k, v) => assert(v == mins(k)) }
+    }
+  }
+
+  test("property: jaccard ∈ [0,1] and symmetric over sampled arrays") {
+    val r = rng
+    val cases = (1 to 8).map { _ =>
+      val a = (1 to 6).map(_ => ('a' + r.nextInt(4)).toChar.toString)
+      val b = (1 to 6).map(_ => ('a' + r.nextInt(4)).toChar.toString)
+      (a, b)
+    }
+    val df = cases.toDF("a", "b").select(
+      TextFns.jaccard(col("a"), col("b")).as("ab"),
+      TextFns.jaccard(col("b"), col("a")).as("ba"))
+    df.collect().foreach { row =>
+      assert(row.getDouble(0) >= 0.0 && row.getDouble(0) <= 1.0)
+      assert(row.getDouble(0) == row.getDouble(1))
+    }
+  }
+
+  test("property: merge upsert converges after one application") {
+    val r = rng
+    (1 to 3).foreach { _ =>
+      val e = (1 to 10).map(_ => (r.nextInt(6) + 1, r.nextInt(100)))
+      val u = (1 to 6).map(_ => (r.nextInt(8) + 1, r.nextInt(100)))
+      val existing = Dedup.firstWins(e.toDF("k", "v"), Seq("k"), Seq(col("v")))
+      val updates = Dedup.firstWins(u.toDF("k", "v"), Seq("k"), Seq(col("v")))
+      val once = Merge.upsert(existing, updates, Seq("k"))
+      val twice = Merge.upsert(once, updates, Seq("k"))
+      assert(once.orderBy("k", "v").collect().toSeq ==
+        twice.orderBy("k", "v").collect().toSeq)
+    }
+  }
+}

@@ -98,6 +98,16 @@ class TextHashSpec extends SparkSpec {
     assert(got == Seq(0.3152, 0.125, 0.1235))
   }
 
+  test("native hash functions are SQL-callable after registration") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_poly_hash('abc') AS h, graft_simhash('a b c', 32) AS s, " +
+        "size(graft_minhash('hello world', 5, 16)) AS m").collect().head
+    assert(r.getLong(0) == TextHashUtil.polyHash(UTF8String.fromString("abc")))
+    assert(r.getLong(1) == TextHashUtil.simHash(UTF8String.fromString("a b c"), 32))
+    assert(r.getInt(2) == 16)
+  }
+
   test("lexiconHits counts only exact token matches") {
     val got = Seq("the cat and the hat in a box").toDF("text")
       .select(TextFns.lexiconHits(col("text"), Seq("the", "a", "and", "of", "is")))
