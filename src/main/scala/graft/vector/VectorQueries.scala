@@ -144,15 +144,68 @@ object VectorQueries {
       |SELECT label, dim, count(*) AS n, round(avg(x), 4) AS centroid
       |FROM x WHERE dim < 8 GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  // ---------- 5. q_ivf_assign: IVF coarse assignment (one k-means step) ----------
+
+  /** IVF index build step: per-label mean vectors as the coarse
+    * codebook, then every vector assigned to its nearest centroid by
+    * cosine — i.e. one k-means assignment round. Output is the
+    * label × assigned-cell confusion matrix (bounded: labels²).
+    *
+    * Scale: centroids are O(cells × dims) — computed with one
+    * map-side-combinable shuffle and BROADCAST to the assignment
+    * scan, so assignment is a per-row map over N vectors, no shuffle
+    * until the final tiny matrix aggregate. An IVF *query* then
+    * searches only the probe's cell (same pruning shape as
+    * [[annLsh]], with learned cells instead of hyperplane buckets).
+    */
+  def ivfAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+    val cents = vecs
+      .select(col("label").as("c_label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("c_label", "dim").agg(avg(col("x")).as("cx"))
+      .groupBy("c_label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
+      .select(col("c_label"), expr("transform(pairs, p -> p.cx)").as("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("c_label"))
+    vecs.join(broadcast(cents))
+      .withColumn("sim", VectorFns.cosine(col("v"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("label"), col("c_label").as("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "assigned")
+  }
+
+  private val sqlIvfAssign =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |     x AS (SELECT label AS c_label, CAST(i - 1 AS INT) AS dim, v[CAST(i AS INT)] AS x
+       |           FROM e CROSS JOIN range(1, 65) t(i)),
+       |     cd AS (SELECT c_label, dim, avg(x) AS cx FROM x GROUP BY c_label, dim),
+       |     c AS (SELECT c_label, list_transform(list_sort(list({'dim': dim, 'cx': cx})), p -> p.cx) AS cv
+       |           FROM cd GROUP BY c_label),
+       |     scored AS (SELECT e.vec_id, e.label, c.c_label,
+       |                       ${duckCos("e.v", "c.cv")} AS sim
+       |                FROM e CROSS JOIN c),
+       |     best AS (SELECT vec_id, label, c_label,
+       |                     row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY sim DESC, c_label) AS rk
+       |              FROM scored)
+       |SELECT label, c_label AS assigned, count(*) AS n
+       |FROM best WHERE rk = 1 GROUP BY label, c_label
+       |ORDER BY label, assigned""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn" -> (knn _),
     "q_ann_lsh" -> (annLsh _),
     "q_embed_neardup" -> (embedNearDup _),
-    "q_centroids" -> (centroids _))
+    "q_centroids" -> (centroids _),
+    "q_ivf_assign" -> (ivfAssign _))
 
   val oracle: Map[String, String] = Map(
     "q_knn" -> sqlKnn,
     "q_ann_lsh" -> sqlAnnLsh,
     "q_embed_neardup" -> sqlEmbedNearDup,
-    "q_centroids" -> sqlCentroids)
+    "q_centroids" -> sqlCentroids,
+    "q_ivf_assign" -> sqlIvfAssign)
 }
