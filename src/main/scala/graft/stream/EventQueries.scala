@@ -90,13 +90,47 @@ object EventQueries {
       |       round(sum(try_cast(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS sum_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** 20. As-of join: each purchase event attached to the user's
+    * latest click at-or-before the purchase time ([[AsOfJoin]] — one
+    * key-partitioned shuffle, no range join). Lag reported in exact
+    * integer microseconds (both engines subtract epoch-µs BIGINTs).
+    */
+  def asofClicks(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    AsOfJoin.asOf(purchases, clicks, key = "user_id", ts = "ts",
+        tieCol = "click_id", valueCols = Seq("click_id"))
+      .select(col("event_id"), col("user_id"),
+        col("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("__r_ts"))).as("lag_us"))
+      .orderBy("event_id")
+  }
+
+  private val sqlAsofClicks =
+    """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |     p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+      |     c AS (SELECT user_id, ts, event_id AS click_id FROM e WHERE event_type = 'click'),
+      |     best AS (SELECT p.event_id, p.user_id, p.ts,
+      |                     c.click_id, c.ts AS click_ts,
+      |                     row_number() OVER (PARTITION BY p.event_id
+      |                       ORDER BY c.ts DESC, c.click_id DESC) AS rk
+      |              FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+      |SELECT event_id, user_id, click_id,
+      |       epoch_us(ts) - epoch_us(click_ts) AS lag_us
+      |FROM best WHERE rk = 1 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_tumbling" -> (eventsTumbling _),
     "q_events_session" -> (eventsSession _),
-    "q_json_props" -> (jsonProps _))
+    "q_json_props" -> (jsonProps _),
+    "q_asof_clicks" -> (asofClicks _))
 
   val oracle: Map[String, String] = Map(
     "q_events_tumbling" -> sqlEventsTumbling,
     "q_events_session" -> sqlEventsSession,
-    "q_json_props" -> sqlJsonProps)
+    "q_json_props" -> sqlJsonProps,
+    "q_asof_clicks" -> sqlAsofClicks)
 }
