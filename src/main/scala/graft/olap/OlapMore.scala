@@ -88,11 +88,47 @@ object OlapMore {
       |GROUP BY GROUPING SETS ((region), (segment), ())
       |ORDER BY gid, region, segment""".stripMargin
 
+  // ---------- q_percentiles: exact distribution summary per segment ----------
+
+  /** Exact interpolated percentiles per segment (Spark `percentile` ≡
+    * DuckDB `quantile_cont` — verified bit-identical on this data: both
+    * interpolate linearly at rank p·(n−1)). At 100 TB exact percentiles
+    * sort each group; the scale path swaps in `approx_percentile`
+    * (t-digest, mergeable partial aggregation) at a declared error
+    * bound — same query shape, no oracle (approximation is
+    * engine-specific by design).
+    */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_totalprice").as("price"))
+      .groupBy("segment")
+      .agg(
+        round(percentile(col("price"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("price"), lit(0.9)), 4).as("p90"),
+        round(percentile(col("price"), lit(0.99)), 4).as("p99"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("segment")
+  }
+
+  private val sqlPercentiles =
+    """SELECT segment,
+      |       round(quantile_cont(price, 0.5), 4) AS p50,
+      |       round(quantile_cont(price, 0.9), 4) AS p90,
+      |       round(quantile_cont(price, 0.99), 4) AS p99,
+      |       count(*) AS n_orders
+      |FROM (SELECT c_mktsegment AS segment, o_totalprice AS price
+      |      FROM orders JOIN customer ON o_custkey = c_custkey)
+      |GROUP BY segment ORDER BY segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pivot" -> (pivotRevenue _),
-    "q_grouping_sets" -> (groupingSets _))
+    "q_grouping_sets" -> (groupingSets _),
+    "q_percentiles" -> (percentiles _))
 
   val oracle: Map[String, String] = Map(
     "q_pivot" -> sqlPivot,
-    "q_grouping_sets" -> sqlGroupingSets)
+    "q_grouping_sets" -> sqlGroupingSets,
+    "q_percentiles" -> sqlPercentiles)
 }
