@@ -54,6 +54,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startParquetSink writes watermark-closed windows exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = Streaming.startParquetSink(
+      Streaming.windowedCounts(events, "10 minutes", lateness = "5 minutes"),
+      s"$dir/out", s"$dir/chk")
+    try {
+      input.addData((ts(1), 1L, "click", 1.0), (ts(2), 2L, "click", 2.0))
+      q.processAllAvailable()
+      input.addData((ts(40), 1L, "view", 9.0)) // watermark passes window [0,10)
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$dir/out")
+        .select("event_type", "n_events", "sum_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains(("click", 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("runningUserTotals keeps per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Double)]
