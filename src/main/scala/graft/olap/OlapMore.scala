@@ -122,13 +122,91 @@ object OlapMore {
       |      FROM orders JOIN customer ON o_custkey = c_custkey)
       |GROUP BY segment ORDER BY segment""".stripMargin
 
+  // ---------- q_pricing_summary: TPC-H Q1-shaped scan+aggregate ----------
+
+  /** The classic pricing-summary report (TPC-H Q1 shape) over the
+    * lineitem pricing columns: one pruned scan with a pushed shipdate
+    * filter into a 4-group hash aggregate — the canonical "is the
+    * scan-aggregate path healthy" probe. Every aggregate is algebraic
+    * (map-side partial), so this runs at input bandwidth at any scale.
+    */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val sqlPricingSummary =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 4) AS sum_qty,
+      |       round(sum(l_extendedprice), 4) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+      |       round(avg(l_quantity), 4) AS avg_qty,
+      |       round(avg(l_discount), 4) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------- q_supplier_stats: supplier-side rollup (last unused table) ----------
+
+  /** Supplier account-balance rollup by region/nation with GROUPING
+    * flags — covers the supplier table and the negative-balance
+    * filter predicate pushdown.
+    */
+  def supplierStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_suppliers"),
+        round(sum(col("s_acctbal")), 4).as("total_acctbal"),
+        sum(when(col("s_acctbal") < 0, 1L).otherwise(0L)).as("n_negative"))
+      .select(
+        coalesce(col("region"), lit("ALL")).as("region"),
+        coalesce(col("nation"), lit("ALL")).as("nation"),
+        col("gid"), col("n_suppliers"), col("total_acctbal"), col("n_negative"))
+      .orderBy("gid", "region", "nation")
+  }
+
+  private val sqlSupplierStats =
+    """SELECT coalesce(region, 'ALL') AS region,
+      |       coalesce(nation, 'ALL') AS nation,
+      |       CAST(GROUPING(region)*2 + GROUPING(nation) AS BIGINT) AS gid,
+      |       count(*) AS n_suppliers,
+      |       round(sum(s_acctbal), 4) AS total_acctbal,
+      |       CAST(sum(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+      |FROM (SELECT r_name AS region, n_name AS nation, s_acctbal
+      |      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |                    JOIN region ON n_regionkey = r_regionkey)
+      |GROUP BY ROLLUP(region, nation)
+      |ORDER BY gid, region, nation""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pivot" -> (pivotRevenue _),
     "q_grouping_sets" -> (groupingSets _),
-    "q_percentiles" -> (percentiles _))
+    "q_percentiles" -> (percentiles _),
+    "q_pricing_summary" -> (pricingSummary _),
+    "q_supplier_stats" -> (supplierStats _))
 
   val oracle: Map[String, String] = Map(
     "q_pivot" -> sqlPivot,
     "q_grouping_sets" -> sqlGroupingSets,
-    "q_percentiles" -> sqlPercentiles)
+    "q_percentiles" -> sqlPercentiles,
+    "q_pricing_summary" -> sqlPricingSummary,
+    "q_supplier_stats" -> sqlSupplierStats)
 }

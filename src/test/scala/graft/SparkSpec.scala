@@ -21,6 +21,8 @@ object SparkSpec {
       // ChecksumCheckpointFileManager.awaitResult); checksums add
       // nothing to in-memory test checkpoints.
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
