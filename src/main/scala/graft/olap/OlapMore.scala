@@ -122,6 +122,37 @@ object OlapMore {
       |      FROM orders JOIN customer ON o_custkey = c_custkey)
       |GROUP BY segment ORDER BY segment""".stripMargin
 
+  // ---------- q_revenue_cube: CUBE over (region, segment) ----------
+
+  /** CUBE(region, segment): all four grouping combinations in one
+    * pass — completes the rollup/cube/grouping-sets trio (SURVEY.md
+    * §2.6). Two dims keep the output 4·|region|·|segment| bounded.
+    */
+  def revenueCubeQ(spark: SparkSession, sfDir: String): DataFrame =
+    orderRegions(spark, sfDir)
+      .cube(col("region"), col("segment"))
+      .agg(grouping_id().cast("long").as("gid"),
+        round(sum(col("price")), 4).as("total_price"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("region"), lit("ALL")).as("region"),
+        coalesce(col("segment"), lit("ALL")).as("segment"),
+        col("gid"), col("total_price"), col("n_orders"))
+      .orderBy("gid", "region", "segment")
+
+  private val sqlRevenueCube =
+    """SELECT coalesce(region, 'ALL') AS region,
+      |       coalesce(segment, 'ALL') AS segment,
+      |       CAST(GROUPING(region)*2 + GROUPING(segment) AS BIGINT) AS gid,
+      |       round(sum(price), 4) AS total_price,
+      |       count(*) AS n_orders
+      |FROM (SELECT r_name AS region, c_mktsegment AS segment, o_totalprice AS price
+      |      FROM orders JOIN customer ON o_custkey = c_custkey
+      |                  JOIN nation ON c_nationkey = n_nationkey
+      |                  JOIN region ON n_regionkey = r_regionkey)
+      |GROUP BY CUBE(region, segment)
+      |ORDER BY gid, region, segment""".stripMargin
+
   // ---------- q_pricing_summary: TPC-H Q1-shaped scan+aggregate ----------
 
   /** The classic pricing-summary report (TPC-H Q1 shape) over the
@@ -201,12 +232,14 @@ object OlapMore {
     "q_grouping_sets" -> (groupingSets _),
     "q_percentiles" -> (percentiles _),
     "q_pricing_summary" -> (pricingSummary _),
-    "q_supplier_stats" -> (supplierStats _))
+    "q_supplier_stats" -> (supplierStats _),
+    "q_revenue_cube" -> (revenueCubeQ _))
 
   val oracle: Map[String, String] = Map(
     "q_pivot" -> sqlPivot,
     "q_grouping_sets" -> sqlGroupingSets,
     "q_percentiles" -> sqlPercentiles,
     "q_pricing_summary" -> sqlPricingSummary,
-    "q_supplier_stats" -> sqlSupplierStats)
+    "q_supplier_stats" -> sqlSupplierStats,
+    "q_revenue_cube" -> sqlRevenueCube)
 }

@@ -90,6 +90,31 @@ object EventQueries {
       |       round(sum(try_cast(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS sum_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Sliding windows: 1-hour windows every 30 minutes — each event
+    * contributes to exactly 2 overlapping windows (len/slide copies;
+    * Spark expands them at the scan, the aggregation stays a single
+    * partial+final hash agg keyed on (window, type)). The oracle
+    * replays the expansion arithmetically: epoch-aligned 30-minute
+    * floors at offsets 0 and 1.
+    */
+  def eventsSliding(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  private val sqlEventsSliding =
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+      |     x AS (SELECT make_timestamp((epoch_us(ts) // 1800000000 - off) * 1800000000) AS ws,
+      |                  event_type, value
+      |           FROM e CROSS JOIN (SELECT unnest([0, 1]) AS off))
+      |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+      |       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM x GROUP BY ws, event_type ORDER BY win_start, event_type""".stripMargin
+
   /** 20. As-of join: each purchase event attached to the user's
     * latest click at-or-before the purchase time ([[AsOfJoin]] — one
     * key-partitioned shuffle, no range join). Lag reported in exact
@@ -126,11 +151,13 @@ object EventQueries {
     "q_events_tumbling" -> (eventsTumbling _),
     "q_events_session" -> (eventsSession _),
     "q_json_props" -> (jsonProps _),
-    "q_asof_clicks" -> (asofClicks _))
+    "q_asof_clicks" -> (asofClicks _),
+    "q_events_sliding" -> (eventsSliding _))
 
   val oracle: Map[String, String] = Map(
     "q_events_tumbling" -> sqlEventsTumbling,
     "q_events_session" -> sqlEventsSession,
     "q_json_props" -> sqlJsonProps,
-    "q_asof_clicks" -> sqlAsofClicks)
+    "q_asof_clicks" -> sqlAsofClicks,
+    "q_events_sliding" -> sqlEventsSliding)
 }
