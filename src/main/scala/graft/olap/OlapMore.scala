@@ -227,7 +227,35 @@ object OlapMore {
       |GROUP BY ROLLUP(region, nation)
       |ORDER BY gid, region, nation""".stripMargin
 
+  // ---------- q_supplier_revenue: lineitem⋈supplier nation revenue ----------
+
+  /** Discounted revenue by supplier nation (TPC-H Q5 flavor): the big
+    * lineitem scan joins the small supplier/nation dims — both
+    * broadcast — then one hash aggregate. Covers the l_suppkey FK.
+    */
+  def supplierRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    li.join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("supp_nation"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation")
+  }
+
+  private val sqlSupplierRevenue =
+    """SELECT n_name AS supp_nation,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |              JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY supp_nation""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_supplier_revenue" -> (supplierRevenue _),
     "q_pivot" -> (pivotRevenue _),
     "q_grouping_sets" -> (groupingSets _),
     "q_percentiles" -> (percentiles _),
@@ -236,6 +264,7 @@ object OlapMore {
     "q_revenue_cube" -> (revenueCubeQ _))
 
   val oracle: Map[String, String] = Map(
+    "q_supplier_revenue" -> sqlSupplierRevenue,
     "q_pivot" -> sqlPivot,
     "q_grouping_sets" -> sqlGroupingSets,
     "q_percentiles" -> sqlPercentiles,

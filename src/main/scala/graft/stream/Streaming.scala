@@ -115,4 +115,35 @@ object Streaming {
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** Streaming upsert into a warehouse snapshot: every micro-batch is
+    * merged into the parquet snapshot at `path` on the business key
+    * (graft.etl.Merge) — the streaming twin of the reference's
+    * per-batch upsert loop (`ETL/user_ETL.py:91-117`), with the
+    * micro-batch as the unit the chunked cursor was imitating.
+    * Checkpointed, so restarts resume from the last committed batch;
+    * the merge itself is idempotent per key, so replayed batches
+    * converge (at-least-once delivery → exactly-once state).
+    */
+  def startUpsertSink(updates: DataFrame, path: String, checkpoint: String,
+                      keys: Seq[String]) =
+    updates.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val merged =
+          if (new java.io.File(path).exists)
+            graft.etl.Merge.upsert(spark.read.parquet(path), batch, keys)
+          else batch
+        // write via temp + swap: the read above and the overwrite
+        // below touch the same path
+        val tmp = path + ".next"
+        merged.write.mode("overwrite").parquet(tmp)
+        val target = new java.io.File(path)
+        if (target.exists) org.apache.commons.io.FileUtils.deleteDirectory(target)
+        new java.io.File(tmp).renameTo(target)
+        ()
+      }
+      .start()
 }

@@ -107,6 +107,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: native hash expressions equal HOF forms on random texts") {
+    val r = rng
+    val texts = (1 to 60).map(_ => asciiText(r))
+    val df = texts.toDF("text")
+      .withColumn("cs", TextFns.codes(col("text")))
+      .withColumn("sh", TextFns.shingleHashesFromCodes(col("cs"), length(col("text")), 5))
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .withColumn("hs", TextFns.tokenHashesFromTokens(col("ts")))
+      .select(
+        graft.functions.TextHashes.polyHash(col("text")).as("np"),
+        TextFns.polyHash(col("cs")).as("hp"),
+        graft.functions.TextHashes.minHashSig(col("text"), 5, 16).as("nm"),
+        TextFns.minHashFromShingles(col("sh"), 16).as("hm"),
+        graft.functions.TextHashes.simHash(col("text"), 32).as("ns"),
+        TextFns.simHashFromHashes(col("hs"), 32).as("hs2"))
+    df.collect().foreach { row =>
+      assert(row.getLong(0) == row.getLong(1), "polyHash mismatch")
+      assert(row.getSeq[Long](2) == row.getSeq[Long](3), "minhash mismatch")
+      assert(row.getLong(4) == row.getLong(5), "simhash mismatch")
+    }
+  }
+
   test("property: merge upsert converges after one application") {
     val r = rng
     (1 to 3).foreach { _ =>

@@ -74,6 +74,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startUpsertSink merges each micro-batch into the snapshot by key") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val input = MemoryStream[(String, Int)]
+    val updates = input.toDF().toDF("k", "v")
+    val q = Streaming.startUpsertSink(updates, s"$dir/snap", s"$dir/chk", Seq("k"))
+    try {
+      input.addData(("a", 1), ("b", 2))
+      q.processAllAvailable()
+      input.addData(("b", 99), ("c", 3)) // update b, insert c
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/snap").orderBy("k")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      assert(got == Seq(("a", 1), ("b", 99), ("c", 3)))
+    } finally q.stop()
+  }
+
   test("runningUserTotals keeps per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Double)]
