@@ -61,19 +61,19 @@ object OlapMore {
     * totals, and the grand total in ONE aggregation pass (the engine
     * expands to a single shuffle), vs three separate scans.
     */
-  def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
-    val src = orderRegions(spark, sfDir)
-    src.createOrReplaceTempView("graft_gs_src")
-    src.sparkSession.sql(
-      """SELECT coalesce(region, 'ALL') AS region,
-        |       coalesce(segment, 'ALL') AS segment,
-        |       CAST(grouping(region)*2 + grouping(segment) AS BIGINT) AS gid,
-        |       round(sum(price), 4) AS total_price,
-        |       count(*) AS n_orders
-        |FROM graft_gs_src
-        |GROUP BY GROUPING SETS ((region), (segment), ())
-        |ORDER BY gid, region, segment""".stripMargin)
-  }
+  def groupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    orderRegions(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("region")), Seq(col("segment")), Seq()),
+        col("region"), col("segment"))
+      .agg(grouping_id().cast("long").as("gidraw"),
+        round(sum(col("price")), 4).as("total_price"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("region"), lit("ALL")).as("region"),
+        coalesce(col("segment"), lit("ALL")).as("segment"),
+        col("gidraw").as("gid"), col("total_price"), col("n_orders"))
+      .orderBy("gid", "region", "segment")
 
   private val sqlGroupingSets =
     """SELECT coalesce(region, 'ALL') AS region,

@@ -19,14 +19,22 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Salted sum+count per key (the building block — avg, rates, and
-    * weighted means all derive from sums and counts). Deterministic:
-    * the salt is a hash of the value column, not a random draw.
+    * weighted means all derive from sums and counts). The salt mixes
+    * the partition id and a per-row id so a hot key splits even when
+    * its VALUE column is constant (counter-style skew, the textbook
+    * case — a value-only hash would map every such row to one salt
+    * and change nothing). Row placement in salts is therefore not
+    * run-stable, which is fine: integer sums/counts are
+    * order-independent, and float sums are already order-dependent
+    * under any parallel aggregation.
     */
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
                      salt: Int = 16): DataFrame = {
     val keyCols = keys.map(col)
     val phase1 = df
-      .withColumn("__salt", pmod(hash(col(valueCol)), lit(salt)))
+      .withColumn("__salt", pmod(
+        hash(col(valueCol), spark_partition_id(), monotonically_increasing_id()),
+        lit(salt)))
       .groupBy((keyCols :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
     phase1

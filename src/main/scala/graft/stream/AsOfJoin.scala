@@ -37,16 +37,27 @@ object AsOfJoin {
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
            tieCol: String, valueCols: Seq[String]): DataFrame = {
-    val carried = (right.col(ts).as(s"__r_$ts") +: valueCols.map(c => col(c))).toSeq
-    val r = right.select((col(key) +: col(ts) +: lit(0).as("__side") +: carried): _*)
+    // The whole right row travels as ONE struct so the window's
+    // last(ignoreNulls) picks all attributes from the SAME matched
+    // row — per-column lasts would splice a stale non-null value from
+    // an older row next to a newer row's timestamp whenever a carried
+    // column is null in the match. The tie column is also lifted to a
+    // top-level __tie so ordering never resolves against a same-named
+    // left column.
+    val rStruct = struct(
+      (right.col(ts).as(s"__r_$ts") +: valueCols.map(c => right.col(c).as(c))): _*)
+    val r = right.select(col(key), col(ts), lit(0).as("__side"),
+      right.col(tieCol).as("__tie"), rStruct.as("__r"))
     val l = left.withColumn("__side", lit(1))
     val combined = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side"), col(tieCol).asc_nulls_first)
+      .orderBy(col(ts), col("__side"), col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = (s"__r_$ts" +: valueCols.map(identity)).foldLeft(combined) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val attached = combined
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+    val unpacked = (s"__r_$ts" +: valueCols).foldLeft(attached) {
+      (df, c) => df.withColumn(c, col("__r").getField(c))
     }
-    attached.filter(col("__side") === 1).drop("__side")
+    unpacked.filter(col("__side") === 1).drop("__side", "__tie", "__r")
   }
 }

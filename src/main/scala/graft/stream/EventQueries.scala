@@ -79,7 +79,10 @@ object EventQueries {
     Tables.events(spark, sfDir)
       .withColumn("props_map",
         from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
-      .withColumn("k", element_at(col("props_map"), "k").cast("double"))
+      // try_element_at + try_cast: ANSI mode (Spark 4 default) makes a
+      // missing map key / malformed number THROW; the oracle's
+      // json_extract_string + try_cast nulls them, and so must we.
+      .withColumn("k", try_element_at(col("props_map"), lit("k")).try_cast("double"))
       .groupBy(floor(col("k") / 10).cast("long").as("k_bucket"))
       .agg(count(lit(1)).as("n"), round(sum(col("k")), 4).as("sum_k"))
       .orderBy("k_bucket")

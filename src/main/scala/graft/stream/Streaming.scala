@@ -94,8 +94,11 @@ object Streaming {
             (user, n, s)
           } else {
             val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
-            val batch = rows.toSeq
-            val updated = (n0 + batch.size, s0 + batch.map(_._2).sum)
+            // single streaming fold — materializing the group (toSeq)
+            // would hold a hot user's whole micro-batch in memory
+            val updated = rows.foldLeft((n0, s0)) {
+              case ((n, s), (_, v)) => (n + 1, s + v)
+            }
             state.update(updated)
             timeout.foreach(state.setTimeoutDuration)
             (user, updated._1, updated._2)
@@ -132,17 +135,30 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // Recover a committed-but-unswapped snapshot from a previous
+        // crash (see swap protocol below) before reading.
+        val target = new java.io.File(path)
+        val next = new java.io.File(path + ".next")
+        val old = new java.io.File(path + ".old")
+        if (!target.exists && next.exists) require(next.renameTo(target),
+          s"recovery rename failed: $next -> $target")
+        if (old.exists) org.apache.commons.io.FileUtils.deleteDirectory(old)
         val merged =
-          if (new java.io.File(path).exists)
+          if (target.exists)
             graft.etl.Merge.upsert(spark.read.parquet(path), batch, keys)
           else batch
-        // write via temp + swap: the read above and the overwrite
-        // below touch the same path
-        val tmp = path + ".next"
-        merged.write.mode("overwrite").parquet(tmp)
-        val target = new java.io.File(path)
-        if (target.exists) org.apache.commons.io.FileUtils.deleteDirectory(target)
-        new java.io.File(tmp).renameTo(target)
+        // Swap protocol (the read above and the write below touch the
+        // same path): write .next → move current to .old → move .next
+        // in → drop .old. Each step is a checked rename; a crash
+        // between the two renames leaves .next complete on disk, and
+        // the recovery block above finishes the swap on replay —
+        // the snapshot is never the only copy that gets deleted.
+        if (next.exists) org.apache.commons.io.FileUtils.deleteDirectory(next)
+        merged.write.mode("overwrite").parquet(next.getPath)
+        if (target.exists) require(target.renameTo(old),
+          s"swap rename failed: $target -> $old")
+        require(next.renameTo(target), s"swap rename failed: $next -> $target")
+        org.apache.commons.io.FileUtils.deleteDirectory(old)
         ()
       }
       .start()

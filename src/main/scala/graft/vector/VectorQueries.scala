@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions._
 object VectorQueries {
 
   private val TopK = 10
-  private val LshBits = 8
-  private val LshStride = 8 // bits sample dims 1,9,...,57 (1-based)
+  // 6 bits = 64 buckets: coarse enough that the probe's bucket holds
+  // candidates at EVERY verified scale (8 bits left it empty at
+  // sf0.01, making the oracle check vacuous — any ANN bug would have
+  // "passed" with 0 rows on both engines).
+  private val LshBits = 6
+  private val LshStride = 10 // bits sample dims 1,11,...,51 (1-based)
   private val NearDupThreshold = 0.25
 
   /** DuckDB left-fold dot product over 1-based DOUBLE[] columns. */
@@ -166,8 +170,13 @@ object VectorQueries {
       .groupBy("c_label")
       .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
       .select(col("c_label"), expr("transform(pairs, p -> p.cx)").as("cv"))
+    // Rank on the ROUNDED similarity: centroids come from avg(),
+    // whose summation order varies with partitioning, so unrounded
+    // sims can differ in the last ulp between engines and flip a
+    // near-tied argmin. 6 decimals collapses ulp noise; c_label
+    // breaks real ties deterministically (both sides identical).
     val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("c_label"))
+      .orderBy(round(col("sim"), 6).desc, col("c_label"))
     vecs.join(broadcast(cents))
       .withColumn("sim", VectorFns.cosine(col("v"), col("cv")))
       .withColumn("rk", row_number().over(w))
@@ -189,7 +198,7 @@ object VectorQueries {
        |                FROM e CROSS JOIN c),
        |     best AS (SELECT vec_id, label, c_label,
        |                     row_number() OVER (PARTITION BY vec_id
-       |                       ORDER BY sim DESC, c_label) AS rk
+       |                       ORDER BY round(sim, 6) DESC, c_label) AS rk
        |              FROM scored)
        |SELECT label, c_label AS assigned, count(*) AS n
        |FROM best WHERE rk = 1 GROUP BY label, c_label

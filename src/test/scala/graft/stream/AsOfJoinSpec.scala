@@ -34,6 +34,21 @@ class AsOfJoinSpec extends SparkSpec {
       (102L, None))) // right row is after the left row
   }
 
+  test("null attribute in the matching row is NOT spliced from an older row") {
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), 100L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Some(5L)),
+      (1L, ts("2024-01-01 11:00:00"), None)) // latest match carries null v
+      .toDF("user_id", "ts", "v")
+    val row = AsOfJoin.asOf(left, right, "user_id", "ts", "v", Seq("v"))
+      .collect().head
+    // correct as-of: the 11:00 row wins with v = null — the whole row,
+    // not a mix of 11:00's timestamp and 09:00's value
+    assert(row.getAs[Timestamp]("__r_ts") == ts("2024-01-01 11:00:00"))
+    assert(row.isNullAt(row.fieldIndex("v")))
+  }
+
   test("equal timestamps match, ties resolve to greatest tie column") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), 100L))
       .toDF("user_id", "ts", "event_id")
