@@ -2,6 +2,7 @@ package graft.olap
 
 import graft.schema.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Second OLAP pack: pivot, GROUPING SETS, and percentile summaries —
@@ -254,7 +255,73 @@ object OlapMore {
       |              JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY supp_nation""".stripMargin
 
+  // ---------- q_mom_delta: lag/lead month-over-month movement ----------
+
+  /** Month-over-month revenue deltas via lag(): the drill-across
+    * companion to the running total. Percent change is guarded
+    * against a zero prior month and rounded on both sides.
+    */
+  def momDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = Tables.orders(spark, sfDir)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+    val w = Window.orderBy("month")
+    monthly
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .select(col("month"),
+        round(col("rev"), 4).as("revenue"),
+        round(col("rev") - col("prev"), 4).as("delta"),
+        round((col("rev") - col("prev")) / col("prev") * 100, 4).as("pct_change"))
+      .orderBy("month")
+  }
+
+  private val sqlMomDelta =
+    """WITH m AS (SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+      |                  sum(o_totalprice) AS rev
+      |           FROM orders GROUP BY 1)
+      |SELECT month, round(rev, 4) AS revenue,
+      |       round(rev - lag(rev) OVER (ORDER BY month), 4) AS delta,
+      |       round((rev - lag(rev) OVER (ORDER BY month))
+      |             / lag(rev) OVER (ORDER BY month) * 100, 4) AS pct_change
+      |FROM m ORDER BY month""".stripMargin
+
+  // ---------- q_ntile: quartile segmentation ----------
+
+  /** ntile(4) over customer balances — the segmentation window. The
+    * order includes the key tie-break so both engines split rows into
+    * quartiles identically.
+    *
+    * Scale note: global ntile is inherently a total order (here a
+    * single-partition window over the customer DIM — fine at dim
+    * cardinality). For fact-sized inputs segment by approx_percentile
+    * boundaries instead (mergeable sketch, no global sort); same for
+    * [[momDelta]]'s window, which runs over ~tens of monthly rows.
+    */
+  def ntileQuartiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, sfDir)
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("n_customers"),
+        round(min(col("c_acctbal")), 4).as("min_bal"),
+        round(max(col("c_acctbal")), 4).as("max_bal"),
+        round(avg(col("c_acctbal")), 4).as("avg_bal"))
+      .orderBy("quartile")
+  }
+
+  private val sqlNtile =
+    """WITH q AS (SELECT c_acctbal,
+      |                  ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      |           FROM customer)
+      |SELECT CAST(quartile AS BIGINT) AS quartile, count(*) AS n_customers,
+      |       round(min(c_acctbal), 4) AS min_bal,
+      |       round(max(c_acctbal), 4) AS max_bal,
+      |       round(avg(c_acctbal), 4) AS avg_bal
+      |FROM q GROUP BY quartile ORDER BY quartile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mom_delta" -> (momDelta _),
+    "q_ntile" -> (ntileQuartiles _),
     "q_supplier_revenue" -> (supplierRevenue _),
     "q_pivot" -> (pivotRevenue _),
     "q_grouping_sets" -> (groupingSets _),
@@ -264,6 +331,8 @@ object OlapMore {
     "q_revenue_cube" -> (revenueCubeQ _))
 
   val oracle: Map[String, String] = Map(
+    "q_mom_delta" -> sqlMomDelta,
+    "q_ntile" -> sqlNtile,
     "q_supplier_revenue" -> sqlSupplierRevenue,
     "q_pivot" -> sqlPivot,
     "q_grouping_sets" -> sqlGroupingSets,

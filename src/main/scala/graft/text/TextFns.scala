@@ -6,6 +6,12 @@ import org.apache.spark.sql.functions._
 /** Text-analysis primitives for the LLM-data-pipeline extension
   * (builder north star; no counterpart in the reference, whose only
   * string ops are trim/lower/title — `ETL/user_ETL.py:47-53`).
+  * Algorithms follow the published formulations: MinHash resemblance
+  * (Broder, "On the resemblance and containment of documents", 1997)
+  * with banded LSH (Leskovec/Rajaraman/Ullman, MMDS ch.3), SimHash
+  * (Charikar, "Similarity estimation techniques from rounding
+  * algorithms", STOC 2002), Rabin-Karp rolling hashes, and C4-style
+  * quality heuristics (Raffel et al., 2020).
   *
   * Everything here is a pure per-row Column expression built from
   * Spark's higher-order array functions — no UDFs, no shuffles — so

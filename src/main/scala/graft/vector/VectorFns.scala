@@ -43,9 +43,13 @@ object VectorFns {
 
   /** Sign-LSH bucket: bit j of the bucket is the sign of component
     * `1 + j*stride` (1-based). A fixed-basis special case of
-    * random-hyperplane LSH (Charikar's SimHash for vectors): vectors
-    * in the same bucket agree on `bits` hyperplane signs, so cosine
-    * neighbors collide with high probability.
+    * random-hyperplane LSH (Charikar, STOC 2002 — the hyperplanes are
+    * coordinate axes, valid because the embedding basis is already
+    * arbitrary): vectors in the same bucket agree on `bits` hyperplane
+    * signs, so cosine neighbors collide with high probability. The
+    * IVF companion (inverted lists under a learned coarse quantizer,
+    * Jégou et al., "Product quantization for nearest neighbor
+    * search", 2011) is VectorQueries.ivfAssign.
     */
   def signBucket(vec: Column, bits: Int, stride: Int): Column =
     (0 until bits).map { j =>
