@@ -319,7 +319,99 @@ object OlapMore {
       |       round(avg(c_acctbal), 4) AS avg_bal
       |FROM q GROUP BY quartile ORDER BY quartile""".stripMargin
 
+  // ---------- q_division: relational division (parts sold in ALL regions) ----------
+
+  /** Relational division expressed as the count-match aggregate:
+    * parts whose orders span every region. Division via counting is
+    * the scalable form — one aggregate over (part, region) pairs, no
+    * nested NOT EXISTS double-negation.
+    */
+  def division(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val nRegions = Tables.region(spark, sfDir).count()
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(countDistinct(col("n_regionkey")).as("n_regions"),
+        count(lit(1)).as("n_sales"))
+      .filter(col("n_regions") === nRegions)
+      .orderBy("partkey")
+  }
+
+  private val sqlDivision =
+    """SELECT l_partkey AS partkey,
+      |       count(DISTINCT n_regionkey) AS n_regions,
+      |       count(*) AS n_sales
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |              JOIN customer ON o_custkey = c_custkey
+      |              JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY l_partkey
+      |HAVING count(DISTINCT n_regionkey) = (SELECT count(*) FROM region)
+      |ORDER BY partkey""".stripMargin
+
+  // ---------- q_above_avg: correlated comparison via window ----------
+
+  /** Orders above their own customer's average order value — the
+    * correlated-subquery pattern decorrelated into a per-key window
+    * (one shuffle on the key instead of a per-row subquery).
+    */
+  def aboveAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+    Tables.orders(spark, sfDir)
+      .withColumn("cust_avg", avg(col("o_totalprice")).over(w))
+      .filter(col("o_totalprice") > col("cust_avg") * 1.5)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_above"),
+        round(avg(col("o_totalprice") / col("cust_avg")), 4).as("avg_ratio"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val sqlAboveAvg =
+    """WITH w AS (SELECT o_orderpriority, o_totalprice,
+      |                  avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+      |           FROM orders)
+      |SELECT o_orderpriority, count(*) AS n_above,
+      |       round(avg(o_totalprice / cust_avg), 4) AS avg_ratio
+      |FROM w WHERE o_totalprice > cust_avg * 1.5
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------- q_edit_distance: Levenshtein fuzzy matching ----------
+
+  /** Edit-distance near-matching over part names (blocked on p_brand
+    * so candidate pairs stay bounded) — the third dedup family next
+    * to MinHash (set) and SimHash (vector): character-level edits.
+    * Both engines implement unit-cost Levenshtein identically.
+    */
+  def editDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir).select(
+      col("p_partkey"), col("p_brand"), col("p_name"))
+    p.as("a").join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+      .filter(col("dist") <= 3)
+      .groupBy(col("a.p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_close_pairs"),
+        min(col("dist")).cast("long").as("min_dist"))
+      .orderBy("brand")
+  }
+
+  private val sqlEditDistance =
+    """SELECT a.p_brand AS brand, count(*) AS n_close_pairs,
+      |       CAST(min(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dist
+      |FROM part a JOIN part b ON a.p_brand = b.p_brand
+      |                       AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |GROUP BY a.p_brand ORDER BY brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_division" -> (division _),
+    "q_above_avg" -> (aboveAvg _),
+    "q_edit_distance" -> (editDistance _),
     "q_mom_delta" -> (momDelta _),
     "q_ntile" -> (ntileQuartiles _),
     "q_supplier_revenue" -> (supplierRevenue _),
@@ -331,6 +423,9 @@ object OlapMore {
     "q_revenue_cube" -> (revenueCubeQ _))
 
   val oracle: Map[String, String] = Map(
+    "q_division" -> sqlDivision,
+    "q_above_avg" -> sqlAboveAvg,
+    "q_edit_distance" -> sqlEditDistance,
     "q_mom_delta" -> sqlMomDelta,
     "q_ntile" -> sqlNtile,
     "q_supplier_revenue" -> sqlSupplierRevenue,
