@@ -192,7 +192,9 @@ object TextFns {
     * staged tokens column (referenced 3×, see shingleHashAt note).
     */
   def qualityScore(text: Column, ts: Column): Column = {
-    val nChars = length(text).cast("double")
+    // guard: ANSI mode throws on /0 for empty text (DuckDB would give
+    // inf) — both sides divide by max(len, 1)
+    val nChars = greatest(length(text), lit(1)).cast("double")
     val nTok = greatest(size(ts), lit(1)).cast("double")
     val punct = (nChars - length(regexp_replace(text, "[.!?,;:]", ""))).cast("double")
     val stopHits = size(filter(ts, t => t.isInCollection(stopwords))).cast("double")

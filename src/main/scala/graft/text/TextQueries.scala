@@ -88,9 +88,9 @@ object TextQueries {
 
   private val duckQuality = {
     val stop = TextFns.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
-    """(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.3
+    """(least(CAST(greatest(length(text), 1) AS DOUBLE) / 400.0, 1.0) * 0.3
       | + least(CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
-      |         / CAST(length(text) AS DOUBLE) * 20.0, 1.0) * 0.2
+      |         / CAST(greatest(length(text), 1) AS DOUBLE) * 20.0, 1.0) * 0.2
       | + least(CAST(len(list_filter(ts, t -> list_contains(STOP, t))) AS DOUBLE)
       |         / CAST(greatest(len(ts), 1) AS DOUBLE) * 4.0, 1.0) * 0.3
       | + least(CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
