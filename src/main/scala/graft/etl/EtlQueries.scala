@@ -203,7 +203,30 @@ object EtlQueries {
       |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
       |) ORDER BY reason""".stripMargin
 
+  // ----- 9. q_profile: one-pass data-profiling over the source -----
+
+  /** [[Profile.profile]] on the customer source: per-column null /
+    * distinct / range in one aggregation pass. Profiled columns are
+    * ints+strings only — double→string rendering differs between
+    * engines and the min/max land in a string column.
+    */
+  def profileQ(spark: SparkSession, sfDir: String): DataFrame =
+    Profile.profile(Tables.customer(spark, sfDir),
+      Seq("c_custkey", "c_mktsegment", "c_name", "c_nationkey"))
+
+  private val sqlProfile = {
+    def block(c: String) =
+      s"""SELECT '$c' AS "column", count(*) - count($c) AS n_null,
+         |       count(DISTINCT $c) AS n_distinct,
+         |       CAST(min($c) AS VARCHAR) AS min_value,
+         |       CAST(max($c) AS VARCHAR) AS max_value
+         |FROM customer""".stripMargin
+    Seq("c_custkey", "c_mktsegment", "c_name", "c_nationkey")
+      .map(block).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile" -> (profileQ _),
     "q_clean_user_dim" -> (cleanUserDim _),
     "q_recode_categorical" -> (recodeCategorical _),
     "q_date_dim" -> (dateDimQ _),
@@ -214,6 +237,7 @@ object EtlQueries {
     "q_ri_filter" -> (riFilter _))
 
   val oracle: Map[String, String] = Map(
+    "q_profile" -> sqlProfile,
     "q_clean_user_dim" -> sqlCleanUserDim,
     "q_recode_categorical" -> sqlRecodeCategorical,
     "q_date_dim" -> sqlDateDim,
