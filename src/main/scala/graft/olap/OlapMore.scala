@@ -381,16 +381,24 @@ object OlapMore {
 
   // ---------- q_edit_distance: Levenshtein fuzzy matching ----------
 
-  /** Edit-distance near-matching over part names (blocked on p_brand
-    * so candidate pairs stay bounded) — the third dedup family next
-    * to MinHash (set) and SimHash (vector): character-level edits.
-    * Both engines implement unit-cost Levenshtein identically.
+  /** Edit-distance near-matching over part names — the third dedup
+    * family next to MinHash (set) and SimHash (vector): character-
+    * level edits. Both engines implement unit-cost Levenshtein
+    * identically. Blocking key is (brand, last name token): brand
+    * alone left ~800-row blocks (≈8M Levenshtein pairs at sf0.1,
+    * measured 14.8s); names are "adjective noun", so blocking on the
+    * noun is the semantically right candidate set for small-edit
+    * variants AND cuts pairs ~20× — a recall heuristic (an edit in
+    * the last token crosses blocks), identical on both engines so the
+    * oracle compares the same candidate set.
     */
   def editDistance(spark: SparkSession, sfDir: String): DataFrame = {
     val p = Tables.part(spark, sfDir).select(
-      col("p_partkey"), col("p_brand"), col("p_name"))
+      col("p_partkey"), col("p_brand"), col("p_name"),
+      element_at(split(col("p_name"), " "), -1).as("noun_blk"))
     p.as("a").join(p.as("b"),
         col("a.p_brand") === col("b.p_brand") &&
+          col("a.noun_blk") === col("b.noun_blk") &&
           col("a.p_partkey") < col("b.p_partkey"))
       .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
       .filter(col("dist") <= 3)
@@ -401,10 +409,13 @@ object OlapMore {
   }
 
   private val sqlEditDistance =
-    """SELECT a.p_brand AS brand, count(*) AS n_close_pairs,
+    """WITH p AS (SELECT p_partkey, p_brand, p_name,
+      |                  string_split(p_name, ' ')[-1] AS noun_blk FROM part)
+      |SELECT a.p_brand AS brand, count(*) AS n_close_pairs,
       |       CAST(min(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dist
-      |FROM part a JOIN part b ON a.p_brand = b.p_brand
-      |                       AND a.p_partkey < b.p_partkey
+      |FROM p a JOIN p b ON a.p_brand = b.p_brand
+      |                 AND a.noun_blk = b.noun_blk
+      |                 AND a.p_partkey < b.p_partkey
       |WHERE levenshtein(a.p_name, b.p_name) <= 3
       |GROUP BY a.p_brand ORDER BY brand""".stripMargin
 
