@@ -6,20 +6,38 @@ import org.apache.spark.sql.functions._
 /** Data profiling — the quality gate a warehouse load runs before
   * trusting a source (the reference's only instrumentation is row
   * counters, `ETL/user_ETL.py:119`; this is the real version).
-  * One pass over the table computes per-column null counts, distinct
-  * cardinalities (exact + HLL approx for the scale path), and
-  * numeric ranges — all algebraic/sketch aggregates, so the whole
-  * profile is a single map-side-combinable aggregation regardless of
-  * table size.
+  * [[profile]] is EXACT (oracle-comparable) but its multi-column
+  * countDistinct plans an Expand that replicates input ~(cols+1)× and
+  * shuffles the distinct value sets — fine for dims/samples, not the
+  * 100 TB path. [[approxProfile]] is the scale path: HLL sketches are
+  * mergeable, so the whole profile is one map-side-combinable
+  * aggregation pass regardless of table size.
   */
 object Profile {
 
+  private def checkCols(df: DataFrame, cols: Seq[String]): Unit = {
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    require(cols.forall(!_.contains("__")),
+      "profiled column names must not contain '__' (alias separator)")
+  }
+
   /** Long-format profile: one output row per profiled column. */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => countDistinct(col(c)))
+
+  /** Scale-path profile: HLL approximate distinct counts (default rsd
+    * ~2.3%), single combinable pass.
+    */
+  def approxProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(col(c)))
+
+  private def profileWith(df: DataFrame, cols: Seq[String],
+                          distinctAgg: String => Column): DataFrame = {
+    checkCols(df, cols)
     val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__nonnull"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
+        distinctAgg(c).as(s"${c}__distinct"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }

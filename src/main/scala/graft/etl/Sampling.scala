@@ -14,17 +14,21 @@ object Sampling {
 
   private val Buckets = 1000000
 
-  /** Per-row hash in [0, 1) derived from the id columns. xxhash64 is
-    * Spark-stable (fixed seed 42) and uniform.
+  /** Per-row hash in [0, 1) derived from the id columns PLUS a
+    * purpose salt. The salt decorrelates the operations: without it,
+    * sampling then splitting on the same id columns is degenerate
+    * (every sampled row has h < sampleFrac, so it all lands in
+    * train and val/test come out empty).
     */
-  private def hashFrac(cols: Seq[String]) =
-    (pmod(xxhash64(cols.map(col): _*), lit(Buckets.toLong)).cast("double")
-      / Buckets)
+  private def hashFrac(cols: Seq[String], salt: String) =
+    (pmod(xxhash64((lit(salt) +: cols.map(col)): _*), lit(Buckets.toLong))
+      .cast("double") / Buckets)
 
   /** Keep ~fraction of rows, chosen by content hash of `idCols`. */
   def deterministicSample(df: DataFrame, fraction: Double,
-                          idCols: Seq[String]): DataFrame =
-    df.filter(hashFrac(idCols) < fraction)
+                          idCols: Seq[String],
+                          salt: String = "sample"): DataFrame =
+    df.filter(hashFrac(idCols, salt) < fraction)
 
   /** Stratified sample: per-stratum fractions (absent strata keep
     * nothing). One scan, no shuffle — the filter is a pure per-row
@@ -32,19 +36,21 @@ object Sampling {
     */
   def stratifiedSample(df: DataFrame, stratumCol: String,
                        fractions: Map[String, Double],
-                       idCols: Seq[String]): DataFrame = {
+                       idCols: Seq[String],
+                       salt: String = "stratified"): DataFrame = {
     val frac = fractions.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
       when(col(stratumCol) === k, lit(f)).otherwise(acc)
     }
-    df.filter(hashFrac(idCols) < frac)
+    df.filter(hashFrac(idCols, salt) < frac)
   }
 
   /** Disjoint train/validation/test split by content hash —
     * reproducible and leak-free (a row's split never changes).
     */
   def split(df: DataFrame, trainFrac: Double, valFrac: Double,
-            idCols: Seq[String]): (DataFrame, DataFrame, DataFrame) = {
-    val h = hashFrac(idCols)
+            idCols: Seq[String],
+            salt: String = "split"): (DataFrame, DataFrame, DataFrame) = {
+    val h = hashFrac(idCols, salt)
     (df.filter(h < trainFrac),
       df.filter(h >= trainFrac && h < trainFrac + valFrac),
       df.filter(h >= trainFrac + valFrac))

@@ -271,7 +271,10 @@ object OlapMore {
       .select(col("month"),
         round(col("rev"), 4).as("revenue"),
         round(col("rev") - col("prev"), 4).as("delta"),
-        round((col("rev") - col("prev")) / col("prev") * 100, 4).as("pct_change"))
+        // explicit zero guard (ANSI mode throws on /0), mirrored below
+        round(when(col("prev") === 0, lit(null))
+          .otherwise((col("rev") - col("prev")) / col("prev") * 100), 4)
+          .as("pct_change"))
       .orderBy("month")
   }
 
@@ -281,8 +284,9 @@ object OlapMore {
       |           FROM orders GROUP BY 1)
       |SELECT month, round(rev, 4) AS revenue,
       |       round(rev - lag(rev) OVER (ORDER BY month), 4) AS delta,
-      |       round((rev - lag(rev) OVER (ORDER BY month))
-      |             / lag(rev) OVER (ORDER BY month) * 100, 4) AS pct_change
+      |       round(CASE WHEN lag(rev) OVER (ORDER BY month) = 0 THEN NULL
+      |                  ELSE (rev - lag(rev) OVER (ORDER BY month))
+      |                       / lag(rev) OVER (ORDER BY month) * 100 END, 4) AS pct_change
       |FROM m ORDER BY month""".stripMargin
 
   // ---------- q_ntile: quartile segmentation ----------
@@ -331,14 +335,20 @@ object OlapMore {
     val o = Tables.orders(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
     val n = Tables.nation(spark, sfDir)
-    val nRegions = Tables.region(spark, sfDir).count()
+    // the divisor cardinality joins in lazily (broadcast 1-row cross
+    // join) — an eager .count() here would run a Spark job during
+    // plan CONSTRUCTION, unlike every other query in the pack
+    val nRegions = Tables.region(spark, sfDir)
+      .agg(count(lit(1)).as("__n_total"))
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("l_partkey").as("partkey"))
       .agg(countDistinct(col("n_regionkey")).as("n_regions"),
         count(lit(1)).as("n_sales"))
-      .filter(col("n_regions") === nRegions)
+      .crossJoin(broadcast(nRegions))
+      .filter(col("n_regions") === col("__n_total"))
+      .drop("__n_total")
       .orderBy("partkey")
   }
 

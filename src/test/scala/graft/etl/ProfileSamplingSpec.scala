@@ -18,6 +18,36 @@ class ProfileSamplingSpec extends SparkSpec {
       ("x", 1L, 2L, "1", "2")))
   }
 
+  test("approxProfile matches exact counts within HLL error on small data") {
+    val df = (1 to 500).map(i => (i.toLong, s"v${i % 37}")).toDF("id", "s")
+    val exact = Profile.profile(df, Seq("id", "s")).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val approx = Profile.approxProfile(df, Seq("id", "s")).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    exact.foreach { case (c, n) =>
+      assert(math.abs(approx(c) - n) <= math.max(3, n / 10), s"$c: $n vs ${approx(c)}")
+    }
+  }
+
+  test("profile rejects duplicate and separator-colliding column lists") {
+    val df = Seq((1, 2)).toDF("x", "y")
+    intercept[IllegalArgumentException] { Profile.profile(df, Seq("x", "x")) }
+    intercept[IllegalArgumentException] {
+      Profile.profile(df.withColumnRenamed("x", "a__b"), Seq("a__b"))
+    }
+  }
+
+  test("sampling then splitting is not degenerate (purpose salts decorrelate)") {
+    val df = (1 to 4000).map(i => (i.toLong, i % 5)).toDF("id", "v")
+    val sampled = Sampling.deterministicSample(df, 0.5, Seq("id"))
+    val (tr, va, te) = Sampling.split(sampled, 0.7, 0.15, Seq("id"))
+    // with a shared unsalted hash every sampled row would land in
+    // train; salted hashes keep all three splits populated
+    assert(tr.count() > 0 && va.count() > 0 && te.count() > 0)
+    val n = sampled.count().toDouble
+    assert(math.abs(tr.count() / n - 0.7) < 0.08)
+  }
+
   test("deterministic sample is stable across runs and repartitioning") {
     val df = (1 to 2000).map(i => (i.toLong, s"row$i")).toDF("id", "payload")
     val a = Sampling.deterministicSample(df, 0.3, Seq("id"))
