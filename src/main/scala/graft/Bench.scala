@@ -22,16 +22,23 @@ object Bench {
     // absorb one-time startup cost.
     try SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
+    // Two passes per query, report the SECOND: single-run timings are
+    // not regression-trustworthy (round-1 bench showed a 19× spread
+    // between two near-identical plans — first-touch parquet footer
+    // reads, codegen compilation, and JIT warmup all land on whichever
+    // query runs a plan shape first).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+              (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+          -1.0 // a failed query reports -1, never a plausible fast time
         }
-      // a failed query reports -1, never a plausible-looking fast time
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      val warm = once()
+      (name, if (warm < 0) warm else once())
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

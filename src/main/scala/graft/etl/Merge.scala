@@ -29,20 +29,34 @@ object Merge {
     * overwrite only the attributes), new keys get fresh surrogates
     * above the current max, assigned deterministically in business-key
     * order. `existing` carries `skName`; `updates` does not.
+    *
+    * Duplicate business keys in `updates` are resolved first-wins on
+    * `orderBy` BEFORE merging — without this, each duplicate would
+    * join the existing surrogate (or mint its own) and the dimension
+    * would carry repeated keys, breaking re-application convergence.
+    *
+    * Entirely lazy: the current max surrogate joins in as a broadcast
+    * 1-row aggregate (same shape as OlapMore.division's divisor) — an
+    * eager `.head()` here would run a Spark job at plan-CONSTRUCTION
+    * time, once per call, before any action.
     */
   def upsertDim(existing: DataFrame, updates: DataFrame, keys: Seq[String],
                 skName: String, orderBy: Seq[Column]): DataFrame = {
-    val keyCols = keys.map(col)
+    val up = Dedup.firstWins(updates, keys, orderBy)
     // updates for known keys: keep the existing surrogate, take the
     // updated attributes
     val sks = existing.select((keys.map(col) :+ col(skName)): _*)
-    val updatedKnown = updates.join(sks, keys, "inner")
-    val untouched = existing.join(updates, keys, "left_anti")
-    // brand-new keys: fresh surrogates above the current max
-    val maxSk = existing.agg(coalesce(max(col(skName)), lit(0L))).head().getLong(0)
-    val fresh = SurrogateKeys.scalable(
-      updates.join(existing, keys, "left_anti"), orderBy, skName)
-      .withColumn(skName, col(skName) + lit(maxSk))
+    val updatedKnown = up.join(sks, keys, "inner")
+    val untouched = existing.join(up, keys, "left_anti")
+    // brand-new keys: fresh surrogates above the current max. The
+    // anti-joined updates are dim-cardinality (deduped on the business
+    // key), so the dense window form applies (SurrogateKeys rule).
+    val maxSk = existing.agg(coalesce(max(col(skName)), lit(0L)).as("__max_sk"))
+    val fresh = SurrogateKeys.dense(
+      up.join(existing, keys, "left_anti"), orderBy, skName)
+      .crossJoin(broadcast(maxSk))
+      .withColumn(skName, col(skName) + col("__max_sk"))
+      .drop("__max_sk")
     untouched.unionByName(updatedKnown.select(untouched.columns.map(col): _*))
       .unionByName(fresh.select(untouched.columns.map(col): _*))
   }

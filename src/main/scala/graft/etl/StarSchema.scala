@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   * business key), so every dim→fact join is a broadcast hash join; the
   * only big shuffles are the fact-side source joins, which AQE plans
   * (and can convert to broadcast when a side fits).
+  *
+  * Surrogate assignment uses [[SurrogateKeys.dense]] (single-partition
+  * window) in all four dim builders: the inputs are dim-cardinality by
+  * construction (post-dedup on a unique business key), where the dense
+  * form assigns the SAME ids as [[SurrogateKeys.scalable]] without the
+  * RDD zipWithIndex round-trip (two extra jobs + double row conversion
+  * per dim per query). Fact-scale inputs must use `scalable` — the
+  * rule documented on both methods.
   */
 object StarSchema {
 
@@ -41,7 +49,7 @@ object StarSchema {
       col("c_nationkey").cast("long").as("nationkey"),
       col("c_acctbal").as("acctbal"))
     val deduped = Dedup.firstWins(cleaned, Seq("username"), Seq(col("nat_key")))
-    SurrogateKeys.scalable(deduped, Seq(col("username")), "user_sk")
+    SurrogateKeys.dense(deduped, Seq(col("username")), "user_sk")
   }
 
   /** Product dimension (reference `ETL/prod_ETL.py`): ceil-2 price
@@ -55,7 +63,7 @@ object StarSchema {
       col("p_type").as("category"),
       CleanFns.ceil2(col("p_retailprice")).as("price"))
     val deduped = Dedup.firstWins(cleaned, Seq("name", "brand"), Seq(col("nat_key")))
-    SurrogateKeys.scalable(deduped, Seq(col("name"), col("brand")), "product_sk")
+    SurrogateKeys.dense(deduped, Seq(col("name"), col("brand")), "product_sk")
   }
 
   /** Location dimension (reference `ETL/loc_ETL.py`): the testdata
@@ -73,7 +81,7 @@ object StarSchema {
         CleanFns.cleanTitle(col("n_name")).as("nation"),
         CleanFns.cleanTitle(col("r_name")).as("region"))
     val deduped = Dedup.firstWins(joined, Seq("nation"), Seq(col("nat_key")))
-    SurrogateKeys.scalable(deduped, Seq(col("nation")), "location_sk")
+    SurrogateKeys.dense(deduped, Seq(col("nation")), "location_sk")
   }
 
   /** Date dimension (reference `ETL/date_ETL.py`): distinct
@@ -85,7 +93,7 @@ object StarSchema {
       .select(CleanFns.toDay(col("o_orderdate")).as("date"))
       .filter(col("date").isNotNull)
       .distinct()
-    SurrogateKeys.scalable(dates, Seq(col("date")), "date_sk")
+    SurrogateKeys.dense(dates, Seq(col("date")), "date_sk")
   }
 
   /** Fact build (reference `ETL/fact_ETL.py`): 3-way source join + the

@@ -331,8 +331,12 @@ object OlapMore {
     * nested NOT EXISTS double-negation.
     */
   def division(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-    val o = Tables.orders(spark, sfDir)
+    // pre-project lineitem to the two join/group columns BEFORE the
+    // orders shuffle — the join then moves 2 narrow columns instead of
+    // the full 16-column rows (the scan prunes either way; the shuffle
+    // width is what this trims)
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
     val c = Tables.customer(spark, sfDir)
     val n = Tables.nation(spark, sfDir)
     // the divisor cardinality joins in lazily (broadcast 1-row cross

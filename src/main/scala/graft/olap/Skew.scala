@@ -19,22 +19,25 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Salted sum+count per key (the building block — avg, rates, and
-    * weighted means all derive from sums and counts). The salt mixes
-    * the partition id and a per-row id so a hot key splits even when
-    * its VALUE column is constant (counter-style skew, the textbook
-    * case — a value-only hash would map every such row to one salt
-    * and change nothing). Row placement in salts is therefore not
-    * run-stable, which is fine: integer sums/counts are
-    * order-independent, and float sums are already order-dependent
-    * under any parallel aggregation.
+    * weighted means all derive from sums and counts). The salt is a
+    * DETERMINISTIC function of every column in the row: a task retried
+    * after a fetch failure recomputes the identical salt assignment,
+    * so no row can be double-counted in one salt group and lost from
+    * another when some reducers already consumed the old map output
+    * (the indeterminate-shuffle hazard of partition-id/row-id salts).
+    * The trade-off is that fully-identical rows share a salt — a hot
+    * key whose rows are byte-identical still funnels to one reducer.
+    * That case is the map-side combiner's job anyway (identical rows
+    * pre-aggregate perfectly); salting targets hot keys with VARYING
+    * payloads, which xxhash64 over all columns spreads uniformly.
     */
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
                      salt: Int = 16): DataFrame = {
     val keyCols = keys.map(col)
     val phase1 = df
       .withColumn("__salt", pmod(
-        hash(col(valueCol), spark_partition_id(), monotonically_increasing_id()),
-        lit(salt)))
+        xxhash64(df.columns.map(col).toIndexedSeq: _*),
+        lit(salt.toLong)))
       .groupBy((keyCols :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
     phase1

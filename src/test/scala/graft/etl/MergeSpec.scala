@@ -51,4 +51,37 @@ class MergeSpec extends SparkSpec {
     assert(once.orderBy("name").collect().toSeq ==
       twice.orderBy("name").collect().toSeq)
   }
+
+  test("upsertDim dedups duplicate business keys in updates (first-wins)") {
+    val dupUpdates = Seq(("dave", 10), ("dave", 77), ("bob", 99))
+      .toDF("name", "score")
+    val merged = Merge.upsertDim(existing, dupUpdates, Seq("name"), "sk",
+      Seq(col("score")))
+      .orderBy("name").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    // dave appears ONCE (score 10 wins on the orderBy tiebreak) with
+    // one fresh surrogate; re-application converges
+    assert(merged == Seq(
+      ("alice", 30, 1L), ("bob", 99, 2L), ("carol", 50, 3L),
+      ("dave", 10, 4L)))
+  }
+
+  test("upsertDim runs NO Spark job at plan-construction time") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          jobStart: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Merge.upsertDim(existing, updates, Seq("name"), "sk", Seq(col("name")))
+      // listener events post asynchronously; an eager action would have
+      // BLOCKED through its job, so its start event is already enqueued
+      // — a short drain is enough to observe it
+      Thread.sleep(500)
+      assert(counter.get() == 0,
+        s"plan construction launched ${counter.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
