@@ -30,9 +30,28 @@ object VectorFns {
     */
   def toDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
 
-  /** Left-fold dot product — mirrors the oracle's list_reduce. */
+  /** Left-fold dot product — mirrors the oracle's list_reduce.
+    * Delegates to the native codegen'd kernel
+    * ([[graft.functions.VecUtil.dot]]), which evaluates the identical
+    * IEEE operation sequence as the HOF form ([[dotHof]], kept for the
+    * cross-check spec) in one primitive loop per call.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorNative.dot(a, b)
+
+  /** The interpreted higher-order form of [[dot]] — retained only so
+    * the spec can assert the native kernel computes bit-identical
+    * folds; never use in a query hot path (re-evaluated per pair,
+    * outside codegen).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm as sqrt(dot(v,v)) — stage this ONCE per row (withColumn)
+    * before any pairwise join; computing it inside the pair expression
+    * multiplies the fold count by the candidate-pair count.
+    */
+  def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Cosine similarity, structured exactly as dot/(sqrt(na)*sqrt(nb))
     * — the oracle mirrors this association order, NOT sqrt(na*nb),
@@ -40,6 +59,14 @@ object VectorFns {
     */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Pairwise cosine from STAGED norms: dot(a,b)/(nrmA*nrmB) — the
+    * identical association order as [[cosine]] (each norm is the same
+    * sqrt-of-self-dot, just computed once per row instead of once per
+    * pair).
+    */
+  def cosineStaged(a: Column, b: Column, nrmA: Column, nrmB: Column): Column =
+    dot(a, b) / (nrmA * nrmB)
 
   /** Sign-LSH bucket: bit j of the bucket is the sign of component
     * `1 + j*stride` (1-based). A fixed-basis special case of

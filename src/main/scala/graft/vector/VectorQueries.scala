@@ -1,6 +1,7 @@
 package graft.vector
 
 import graft.schema.Tables
+import graft.text.TextFns.{duckRound4, round4}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -13,6 +14,15 @@ import org.apache.spark.sql.functions._
   * over `CAST(embedding AS DOUBLE[])` (see [[VectorFns]]) — not
   * list_cosine_similarity, whose internal association order is not
   * guaranteed to match.
+  *
+  * Kernel discipline (the 100 TB rule): the L2 norm is STAGED once
+  * per row (`nrm` column) before any pairwise join, so the pair loop
+  * evaluates ONE dot product per candidate instead of three; the dot
+  * itself is the native codegen'd kernel
+  * ([[graft.functions.VecUtil.dot]]). Both engines stage identically,
+  * and the staged form keeps the exact association order of
+  * dot/(sqrt(na)*sqrt(nb)) — bit-for-bit what the unstaged round-1
+  * queries computed.
   */
 object VectorQueries {
 
@@ -30,42 +40,59 @@ object VectorQueries {
     s"list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, len($a) + 1), " +
       s"i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]), (acc, v) -> acc + v)"
 
-  private def duckCos(a: String, b: String): String =
-    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+  /** Explicit 6-decimal HALF-UP-toward-+inf rounding, identical IEEE
+    * ops on both engines (same rationale as TextFns.round4) — used
+    * only to collapse ulp noise before an argmin rank, never in
+    * output.
+    */
+  private def round6(c: org.apache.spark.sql.Column) =
+    floor(c * 1000000.0 + 0.5) / 1000000.0
+  private def duckRound6(e: String): String =
+    s"(floor(($e) * 1000000.0 + 0.5) / 1000000.0)"
 
   private val duckBucket =
     (0 until LshBits).map { j =>
       s"(CASE WHEN v[${1 + j * LshStride}] > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** Shared oracle base: cast to double + per-row staged norm. */
+  private val duckVecs =
+    s"""e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |     e AS (SELECT vec_id, label, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e0)""".stripMargin
+
   private def withVecs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"),
         VectorFns.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorFns.norm(col("v")))
 
   // ---------- 1. q_knn: brute-force cosine top-k vs fixed probe ----------
 
   /** Baseline exact kNN: broadcast the 1-row probe, per-row cosine
-    * map, TakeOrderedAndProject top-k. This is the flat-scan path an
+    * map (one native dot per row against the staged norms),
+    * TakeOrderedAndProject top-k. This is the flat-scan path an
     * IVF/LSH variant is measured against.
     */
   def knn(spark: SparkSession, sfDir: String): DataFrame = {
     val vecs = withVecs(spark, sfDir)
-    val probe = vecs.filter(col("vec_id") === 0).select(col("v").as("pv"))
+    val probe = vecs.filter(col("vec_id") === 0)
+      .select(col("v").as("pv"), col("nrm").as("pnrm"))
     vecs.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(probe))
-      .withColumn("sim", VectorFns.cosine(col("v"), col("pv")))
+      .withColumn("sim",
+        VectorFns.cosineStaged(col("v"), col("pv"), col("nrm"), col("pnrm")))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(TopK)
-      .select(col("vec_id"), col("label"), round(col("sim"), 4).as("sim"))
+      .select(col("vec_id"), col("label"), round4(col("sim")).as("sim"))
   }
 
   private val sqlKnn =
-    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |     p AS (SELECT v AS pv FROM e WHERE vec_id = 0)
-       |SELECT vec_id, label, round(${duckCos("v", "pv")}, 4) AS sim
-       |FROM e, p WHERE vec_id <> 0
-       |ORDER BY ${duckCos("v", "pv")} DESC, vec_id LIMIT $TopK""".stripMargin
+    s"""WITH $duckVecs,
+       |     p AS (SELECT v AS pv, nrm AS pnrm FROM e WHERE vec_id = 0),
+       |     s AS (SELECT vec_id, label, ${duckDot("v", "pv")} / (nrm * pnrm) AS sim0
+       |           FROM e, p WHERE vec_id <> 0)
+       |SELECT vec_id, label, ${duckRound4("sim0")} AS sim
+       |FROM s ORDER BY sim0 DESC, vec_id LIMIT $TopK""".stripMargin
 
   // ---------- 2. q_ann_lsh: sign-LSH bucketed approximate kNN ----------
 
@@ -78,30 +105,33 @@ object VectorQueries {
     val vecs = withVecs(spark, sfDir)
       .withColumn("bucket", VectorFns.signBucket(col("v"), LshBits, LshStride))
     val probe = vecs.filter(col("vec_id") === 0)
-      .select(col("v").as("pv"), col("bucket").as("pbucket"))
+      .select(col("v").as("pv"), col("nrm").as("pnrm"), col("bucket").as("pbucket"))
     vecs.filter(col("vec_id") =!= 0)
       .join(broadcast(probe), col("bucket") === col("pbucket"))
-      .withColumn("sim", VectorFns.cosine(col("v"), col("pv")))
+      .withColumn("sim",
+        VectorFns.cosineStaged(col("v"), col("pv"), col("nrm"), col("pnrm")))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(TopK)
-      .select(col("vec_id"), col("bucket"), round(col("sim"), 4).as("sim"))
+      .select(col("vec_id"), col("bucket"), round4(col("sim")).as("sim"))
   }
 
   private val sqlAnnLsh =
-    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |     b AS (SELECT vec_id, v, $duckBucket AS bucket FROM e),
-       |     p AS (SELECT v AS pv, bucket AS pbucket FROM b WHERE vec_id = 0)
-       |SELECT vec_id, bucket, round(${duckCos("v", "pv")}, 4) AS sim
-       |FROM b, p WHERE vec_id <> 0 AND bucket = pbucket
-       |ORDER BY ${duckCos("v", "pv")} DESC, vec_id LIMIT $TopK""".stripMargin
+    s"""WITH $duckVecs,
+       |     b AS (SELECT vec_id, v, nrm, $duckBucket AS bucket FROM e),
+       |     p AS (SELECT v AS pv, nrm AS pnrm, bucket AS pbucket FROM b WHERE vec_id = 0),
+       |     s AS (SELECT vec_id, bucket, ${duckDot("v", "pv")} / (nrm * pnrm) AS sim0
+       |           FROM b, p WHERE vec_id <> 0 AND bucket = pbucket)
+       |SELECT vec_id, bucket, ${duckRound4("sim0")} AS sim
+       |FROM s ORDER BY sim0 DESC, vec_id LIMIT $TopK""".stripMargin
 
   // ---------- 3. q_embed_neardup: blocked cosine near-dup pairs ----------
 
   /** Embedding near-dup detection: candidate pairs meet only inside a
     * sign-LSH bucket (the blocked self-join that keeps the pair count
     * ~N²/2^$LshBits instead of N²), exact cosine on candidates,
-    * threshold filter. The fixture vectors are near-random (max
-    * pairwise cosine ≈ 0.37, measured), so the threshold is set to
+    * threshold filter. The pair kernel is ONE native dot over the
+    * staged norms. The fixture vectors are near-random (max pairwise
+    * cosine ≈ 0.37, measured), so the threshold is set to
     * $NearDupThreshold to exercise a non-empty result; real corpora
     * use ≥ 0.95 with the identical plan.
     */
@@ -110,20 +140,21 @@ object VectorQueries {
       .withColumn("bucket", VectorFns.signBucket(col("v"), LshBits, LshStride))
     vecs.as("a").join(vecs.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", VectorFns.cosine(col("a.v"), col("b.v")))
+      .withColumn("sim", VectorFns.cosineStaged(
+        col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
       .filter(col("sim") >= NearDupThreshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(col("sim"), 4).as("sim"))
+        round4(col("sim")).as("sim"))
       .orderBy("vec_a", "vec_b")
   }
 
   private val sqlEmbedNearDup =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |     b AS (SELECT vec_id, v, $duckBucket AS bucket FROM e),
+    s"""WITH $duckVecs,
+       |     b AS (SELECT vec_id, v, nrm, $duckBucket AS bucket FROM e),
        |     pairs AS (SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-       |                      ${duckCos("a.v", "b2.v")} AS sim
+       |                      ${duckDot("a.v", "b2.v")} / (a.nrm * b2.nrm) AS sim
        |               FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
-       |SELECT vec_a, vec_b, round(sim, 4) AS sim
+       |SELECT vec_a, vec_b, ${duckRound4("sim")} AS sim
        |FROM pairs WHERE sim >= $NearDupThreshold ORDER BY vec_a, vec_b""".stripMargin
 
   // ---------- 4. q_centroids: per-label centroids (IVF coarse quantizer) ----------
@@ -157,10 +188,11 @@ object VectorQueries {
     *
     * Scale: centroids are O(cells × dims) — computed with one
     * map-side-combinable shuffle and BROADCAST to the assignment
-    * scan, so assignment is a per-row map over N vectors, no shuffle
-    * until the final tiny matrix aggregate. An IVF *query* then
-    * searches only the probe's cell (same pruning shape as
-    * [[annLsh]], with learned cells instead of hyperplane buckets).
+    * scan, so assignment is a per-row map over N vectors (one native
+    * dot per (vector, cell) against staged norms), no shuffle until
+    * the final tiny matrix aggregate. An IVF *query* then searches
+    * only the probe's cell (same pruning shape as [[annLsh]], with
+    * learned cells instead of hyperplane buckets).
     */
   def ivfAssign(spark: SparkSession, sfDir: String): DataFrame = {
     val vecs = withVecs(spark, sfDir)
@@ -170,15 +202,19 @@ object VectorQueries {
       .groupBy("c_label")
       .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
       .select(col("c_label"), expr("transform(pairs, p -> p.cx)").as("cv"))
+      .withColumn("cnrm", VectorFns.norm(col("cv")))
     // Rank on the ROUNDED similarity: centroids come from avg(),
     // whose summation order varies with partitioning, so unrounded
     // sims can differ in the last ulp between engines and flip a
-    // near-tied argmin. 6 decimals collapses ulp noise; c_label
-    // breaks real ties deterministically (both sides identical).
+    // near-tied argmin. 6 decimals collapses ulp noise (floor form on
+    // both sides — engine round() itself diverges on .5 boundaries);
+    // c_label breaks real ties deterministically (both sides
+    // identical).
     val w = Window.partitionBy(col("vec_id"))
-      .orderBy(round(col("sim"), 6).desc, col("c_label"))
+      .orderBy(round6(col("sim")).desc, col("c_label"))
     vecs.join(broadcast(cents))
-      .withColumn("sim", VectorFns.cosine(col("v"), col("cv")))
+      .withColumn("sim", VectorFns.cosineStaged(
+        col("v"), col("cv"), col("nrm"), col("cnrm")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .groupBy(col("label"), col("c_label").as("assigned"))
@@ -187,18 +223,19 @@ object VectorQueries {
   }
 
   private val sqlIvfAssign =
-    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH $duckVecs,
        |     x AS (SELECT label AS c_label, CAST(i - 1 AS INT) AS dim, v[CAST(i AS INT)] AS x
-       |           FROM e CROSS JOIN range(1, 65) t(i)),
+       |           FROM e0 CROSS JOIN range(1, 65) t(i)),
        |     cd AS (SELECT c_label, dim, avg(x) AS cx FROM x GROUP BY c_label, dim),
-       |     c AS (SELECT c_label, list_transform(list_sort(list({'dim': dim, 'cx': cx})), p -> p.cx) AS cv
-       |           FROM cd GROUP BY c_label),
+       |     c0 AS (SELECT c_label, list_transform(list_sort(list({'dim': dim, 'cx': cx})), p -> p.cx) AS cv
+       |            FROM cd GROUP BY c_label),
+       |     c AS (SELECT c_label, cv, sqrt(${duckDot("cv", "cv")}) AS cnrm FROM c0),
        |     scored AS (SELECT e.vec_id, e.label, c.c_label,
-       |                       ${duckCos("e.v", "c.cv")} AS sim
+       |                       ${duckDot("e.v", "c.cv")} / (e.nrm * c.cnrm) AS sim
        |                FROM e CROSS JOIN c),
        |     best AS (SELECT vec_id, label, c_label,
        |                     row_number() OVER (PARTITION BY vec_id
-       |                       ORDER BY round(sim, 6) DESC, c_label) AS rk
+       |                       ORDER BY ${duckRound6("sim")} DESC, c_label) AS rk
        |              FROM scored)
        |SELECT label, c_label AS assigned, count(*) AS n
        |FROM best WHERE rk = 1 GROUP BY label, c_label

@@ -28,6 +28,27 @@ class VectorFnsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("native dot is bit-identical to the interpreted HOF fold") {
+    // values chosen to accumulate rounding error — any association
+    // difference between the two paths would surface in the low bits
+    val vecs = Seq(
+      (Seq(0.1, 0.2, 0.3, 1e15, -1e15, 0.7), Seq(0.3, 0.1, 0.9, 1.0, 1.0, 0.2)),
+      (Seq.tabulate(64)(i => math.sin(i + 1.0)), Seq.tabulate(64)(i => math.cos(i * 0.7))))
+    val df = vecs.toDF("a", "b").select(
+      VectorFns.dot(col("a"), col("b")).as("native"),
+      VectorFns.dotHof(col("a"), col("b")).as("hof"))
+    df.collect().foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("native dot returns null on length mismatch (zip_with parity)") {
+    val got = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+      .select(VectorFns.dot(col("a"), col("b"))).collect().head
+    assert(got.isNullAt(0))
+  }
+
   test("signBucket encodes hyperplane signs at the strided dims") {
     // dims 1, 3, 5 (1-based) with bits=3, stride=2
     val df = Seq(
