@@ -149,6 +149,10 @@ object StarSchema {
       .join(broadcast(d), col("date_nat_key") === col("d_nat"))
       .select(
         col("order_number"), col("quantity"), col("revenue"),
-        col("user_sk"), col("product_sk"), col("location_sk"), col("date_sk"))
+        col("user_sk"), col("product_sk"), col("location_sk"), col("date_sk"),
+        // kept for the writer: Warehouse.writeFactByMonth partitions on
+        // the month of the natural date (the surrogate alone can't
+        // derive it without a dim join at write time)
+        col("date_nat_key"))
   }
 }

@@ -218,7 +218,10 @@ object TextFns {
     * rounds the binary value, so a score whose nearest double sits
     * just below an .xxxx5 boundary (e.g. 0.31525 → 0.31524999…)
     * rounds differently. This form evaluates identical IEEE ops on
-    * both engines. Non-negative inputs only.
+    * both engines. For negative inputs it rounds halves toward +inf
+    * (not away from zero) — fine for parity, since both engines
+    * evaluate the same formula; callers who need away-from-zero
+    * semantics for display should not feed negatives.
     */
   def round4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
 

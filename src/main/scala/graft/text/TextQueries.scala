@@ -189,20 +189,29 @@ object TextQueries {
     * standard blocked pairwise comparison — candidates only meet
     * inside a block, so the self-join is key-partitioned and the
     * quadratic blowup is bounded per block.
+    *
+    * The gram SET and its size are staged per DOCUMENT (array_distinct
+    * once per row) so the pair expression is a single array_intersect
+    * over pre-deduped arrays — the staged-norm rule applied to set
+    * similarity. The oracle stages identically (list_distinct in its
+    * own CTE).
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .withColumn("ts", TextFns.tokens(col("text")))
       .select(col("doc_id"), col("lang"),
         substring(col("text"), 1, 20).as("blk"),
-        TextFns.wordNgramsFromTokens(col("ts"), NgramN).as("grams"))
+        array_distinct(TextFns.wordNgramsFromTokens(col("ts"), NgramN)).as("grams"))
+      .withColumn("ng", size(col("grams")))
+    val inter = size(array_intersect(col("a.grams"), col("b.grams"))).cast("double")
+    val union = (col("a.ng") + col("b.ng")).cast("double") - inter
     docs.as("a").join(docs.as("b"),
         col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
           col("a.doc_id") < col("b.doc_id"))
-      .withColumn("jac", TextFns.jaccard(col("a.grams"), col("b.grams")))
+      .withColumn("jac", when(union === 0, lit(1.0)).otherwise(inter / union))
       .filter(col("jac") >= 0.3)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(col("jac"), 4).as("jaccard"))
+        TextFns.round4(col("jac")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -223,7 +232,7 @@ object TextQueries {
        |     j AS (SELECT doc_a, doc_b,
        |                  CASE WHEN tot - inter = 0 THEN 1.0 ELSE inter / (tot - inter) END AS jac
        |           FROM pairs)
-       |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+       |SELECT doc_a, doc_b, ${TextFns.duckRound4("jac")} AS jaccard
        |FROM j WHERE jac >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------- 5. q_lang_id: lexicon-hit language scoring matrix ----------
