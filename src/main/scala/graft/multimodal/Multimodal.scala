@@ -53,7 +53,46 @@ object Multimodal {
   case class AudioFeatures(media_id: Long, sample_rate: Int, n_samples: Long,
                            rms: Double, zero_crossings: Long)
 
-  /** Deterministic stand-in for real decoders: all outputs are pure
+  /** Real image decode via the JDK's own `javax.imageio` (PNG / JPEG /
+    * BMP / GIF — no external jars, headless-safe). Pixels are reduced
+    * to integer-luma grayscale (BT.601 weights in integer arithmetic)
+    * so every downstream stat is deterministic across JVMs. Returns
+    * None for bytes no registered reader claims — callers fall back to
+    * [[FakeCodec]] for synthetic fixtures and for the audio/video
+    * kinds this environment still can't decode.
+    */
+  object ImageIoCodec {
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val px = new Array[Int](w * h)
+          // bulk-fetch each row's ARGB (one JNI-free array call per
+          // row, not a getRGB per pixel)
+          val rowBuf = new Array[Int](w)
+          var y = 0
+          var i = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, rowBuf, 0, w)
+            var x = 0
+            while (x < w) {
+              val rgb = rowBuf(x)
+              px(i) = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              i += 1; x += 1
+            }
+            y += 1
+          }
+          Some((w, h, px))
+        }
+      } catch { case _: java.io.IOException => None }
+  }
+
+  /** Deterministic stand-in for the decoders the JDK doesn't ship
+    * (audio/video) and for non-media test bytes: all outputs are pure
     * functions of the content bytes, so tests and reruns converge.
     * Replace with a real codec binding at deployment; signatures are
     * the contract.
@@ -89,7 +128,10 @@ object Multimodal {
 
   /** Decode stage for images: partition-iterator compute (the Scala
     * analogue of mapInPandas — one lazy iterator per partition, rows
-    * streamed, nothing collected) producing typed rows.
+    * streamed, nothing collected) producing typed rows. Real bytes
+    * decode through [[ImageIoCodec]]; bytes no image reader claims
+    * (the synthetic text-byte fixture) keep the [[FakeCodec]]
+    * derivation so the stage is total either way.
     */
   def decodeImages(media: DataFrame): Dataset[DecodedImage] = {
     val spark = media.sparkSession
@@ -97,8 +139,10 @@ object Multimodal {
     media.filter(col("kind") === "image").as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val (w, h) = FakeCodec.imageDims(r.content)
-          val px = FakeCodec.pixels(r.content)
+          val (w, h, px) = ImageIoCodec.decode(r.content).getOrElse {
+            val (fw, fh) = FakeCodec.imageDims(r.content)
+            (fw, fh, FakeCodec.pixels(r.content))
+          }
           val hist = new Array[Long](16)
           var s = 0L
           px.foreach { p => hist(p / 16) += 1; s += p }

@@ -433,7 +433,37 @@ object OlapMore {
       |WHERE levenshtein(a.p_name, b.p_name) <= 3
       |GROUP BY a.p_brand ORDER BY brand""".stripMargin
 
+  // ---------- q_topk_agg: custom UDAF (typed Aggregator) ----------
+
+  /** Per-event-type top-3 values via [[graft.functions.TopKAgg]] —
+    * exercises the `Aggregator` → `functions.udaf` registration
+    * surface (SQL registration is spec-proven in TopKAggSpec). The
+    * array result is exploded to scalar rows for the oracle compare;
+    * values pass through unrounded (selection only, no arithmetic —
+    * ties at the boundary yield identical values either way).
+    */
+  def topkAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val top3 = udaf(new graft.functions.TopKAgg(3))
+    Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(top3(col("value")).as("vals"))
+      .select(col("event_type"), posexplode(col("vals")).as(Seq("pos", "value")))
+      .select(col("event_type"), (col("pos") + 1).as("rank"), col("value"))
+      .orderBy("event_type", "rank")
+  }
+
+  private val sqlTopkAgg =
+    """SELECT event_type,
+      |       CAST(row_number() OVER (PARTITION BY event_type
+      |                               ORDER BY value DESC) AS INT) AS rank,
+      |       value
+      |FROM events WHERE value IS NOT NULL
+      |QUALIFY rank <= 3
+      |ORDER BY event_type, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_agg" -> (topkAgg _),
     "q_division" -> (division _),
     "q_above_avg" -> (aboveAvg _),
     "q_edit_distance" -> (editDistance _),
@@ -448,6 +478,7 @@ object OlapMore {
     "q_revenue_cube" -> (revenueCubeQ _))
 
   val oracle: Map[String, String] = Map(
+    "q_topk_agg" -> sqlTopkAgg,
     "q_division" -> sqlDivision,
     "q_above_avg" -> sqlAboveAvg,
     "q_edit_distance" -> sqlEditDistance,

@@ -127,6 +127,14 @@ object Streaming {
     * Checkpointed, so restarts resume from the last committed batch;
     * the merge itself is idempotent per key, so replayed batches
     * converge (at-least-once delivery → exactly-once state).
+    *
+    * Filesystem scope: the swap relies on atomic directory rename,
+    * which Hadoop's FileSystem provides on local FS and HDFS. On
+    * object stores (S3A, GCS) rename is a non-atomic copy+delete, so
+    * this sink is NOT safe there — the production path on an object
+    * store is a transactional table format (Delta/Iceberg), whose
+    * commit protocol replaces this whole swap; this method is the
+    * seam to swap that in.
     */
   def startUpsertSink(updates: DataFrame, path: String, checkpoint: String,
                       keys: Seq[String]) =
@@ -135,16 +143,20 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // Hadoop FileSystem, not java.io.File: resolves hdfs:// and
+        // file:// URIs alike from the session's Hadoop conf.
+        val target = new org.apache.hadoop.fs.Path(path)
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val next = new org.apache.hadoop.fs.Path(path + ".next")
+        val old = new org.apache.hadoop.fs.Path(path + ".old")
         // Recover a committed-but-unswapped snapshot from a previous
         // crash (see swap protocol below) before reading.
-        val target = new java.io.File(path)
-        val next = new java.io.File(path + ".next")
-        val old = new java.io.File(path + ".old")
-        if (!target.exists && next.exists) require(next.renameTo(target),
-          s"recovery rename failed: $next -> $target")
-        if (old.exists) org.apache.commons.io.FileUtils.deleteDirectory(old)
+        if (!fs.exists(target) && fs.exists(next))
+          require(fs.rename(next, target),
+            s"recovery rename failed: $next -> $target")
+        if (fs.exists(old)) fs.delete(old, true)
         val merged =
-          if (target.exists)
+          if (fs.exists(target))
             graft.etl.Merge.upsert(spark.read.parquet(path), batch, keys)
           else batch
         // Swap protocol (the read above and the write below touch the
@@ -153,12 +165,12 @@ object Streaming {
         // between the two renames leaves .next complete on disk, and
         // the recovery block above finishes the swap on replay —
         // the snapshot is never the only copy that gets deleted.
-        if (next.exists) org.apache.commons.io.FileUtils.deleteDirectory(next)
-        merged.write.mode("overwrite").parquet(next.getPath)
-        if (target.exists) require(target.renameTo(old),
+        if (fs.exists(next)) fs.delete(next, true)
+        merged.write.mode("overwrite").parquet(next.toString)
+        if (fs.exists(target)) require(fs.rename(target, old),
           s"swap rename failed: $target -> $old")
-        require(next.renameTo(target), s"swap rename failed: $next -> $target")
-        org.apache.commons.io.FileUtils.deleteDirectory(old)
+        require(fs.rename(next, target), s"swap rename failed: $next -> $target")
+        fs.delete(old, true)
         ()
       }
       .start()

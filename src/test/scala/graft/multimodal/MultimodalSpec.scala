@@ -34,6 +34,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeImages decodes a real PNG via javax.imageio") {
+    import spark.implicits._
+    // 10×7 PNG, every pixel RGB(100,150,200):
+    // integer luma = (100*299 + 150*587 + 200*114) / 1000 = 140
+    val img = new java.awt.image.BufferedImage(
+      10, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 7; x <- 0 until 10)
+      img.setRGB(x, y, (100 << 16) | (150 << 8) | 200)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val realPng = Multimodal.mediaFixture(spark, sfTiny)
+      .filter(col("kind") === "image").limit(1)
+      .withColumn("content", typedLit(bos.toByteArray))
+    val d = Multimodal.decodeImages(realPng).collect().head
+    assert(d.width == 10 && d.height == 7)
+    assert(d.mean_intensity == 140.0)
+    assert(d.histogram(140 / 16) == 70L && d.histogram.sum == 70L)
+  }
+
   test("decode survives repartitioning (partition-iterator shape)") {
     val one = Multimodal.decodeImages(media).orderBy("media_id").collect().toSeq
     val many = Multimodal.decodeImages(media.repartition(7)).orderBy("media_id").collect().toSeq

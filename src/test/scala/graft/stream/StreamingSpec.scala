@@ -91,6 +91,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startUpsertSink recovers a crash between the two swap renames") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_rec").toString
+    // Simulate the worst-case crash window: the current snapshot was
+    // renamed away to .old and the process died before .next moved in
+    // — on disk: no `snap`, a complete `snap.next`, a stale `snap.old`.
+    Seq(("a", 1), ("b", 2)).toDF("k", "v")
+      .write.parquet(s"$dir/snap.next")
+    Seq(("a", 0)).toDF("k", "v").write.parquet(s"$dir/snap.old")
+    val input = MemoryStream[(String, Int)]
+    val q = Streaming.startUpsertSink(
+      input.toDF().toDF("k", "v"), s"$dir/snap", s"$dir/chk", Seq("k"))
+    try {
+      input.addData(("b", 99)) // replayed update lands on the RECOVERED state
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/snap").orderBy("k")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      assert(got == Seq(("a", 1), ("b", 99)))
+      assert(!new java.io.File(s"$dir/snap.old").exists)
+      assert(!new java.io.File(s"$dir/snap.next").exists)
+    } finally q.stop()
+  }
+
   test("runningUserTotals keeps per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Double)]
