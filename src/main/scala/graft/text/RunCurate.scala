@@ -1,0 +1,136 @@
+package graft.text
+
+import graft.schema.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation orchestrator — the LLM-training-data
+  * twin of [[graft.etl.RunEtl]]: one command takes the raw `documents`
+  * table to a training-ready corpus through the standard curation
+  * funnel, reporting per-stage wall-clock + surviving row counts
+  * (the numbers a data-pipeline operator actually watches: how many
+  * documents each gate dropped).
+  *
+  * Stages (each built from the same oracle-checked kernels as the
+  * declared queries):
+  *   1. annotate  — language-ID (lexicon argmax), quality score,
+  *                  token count ([[TextFns]]; `q_lang_id`,
+  *                  `q_quality_score`, `q_token_count` kernels)
+  *   2. quality   — drop documents below the quality threshold
+  *   3. exact     — first-wins dedup on the normalized-text sha256
+  *                  (`q_doc_dedup` key)
+  *   4. neardup   — MinHash-LSH cluster assignment, keep each
+  *                  cluster's canonical (min doc_id) member
+  *                  (`q_minhash_cluster` shape)
+  *   5. corpus    — final snapshot partitioned by predicted language
+  *
+  * Each stage persists a parquet snapshot and the next reads it back:
+  * at 100 TB a multi-stage curation run wants stage boundaries on
+  * storage anyway (restartability, lineage truncation, per-stage
+  * inspection) — the same snapshot discipline as the warehouse build.
+  * All stage logic is shuffle-minimal: annotate is per-row (no
+  * shuffle), the dedup stages shuffle once each on their bucket keys,
+  * and nothing is pairwise.
+  */
+object RunCurate {
+
+  final case class StageStat(stage: String, rows: Long, seconds: Double)
+
+  /** Lexicon-argmax language prediction: score every candidate
+    * language by marker hits, pick the best, ties broken by language
+    * code (deterministic on both engines; the scoring matrix itself is
+    * what `q_lang_id` oracle-checks).
+    */
+  def bestLang(text: Column): Column = {
+    val scored = TextFns.langMarkers.toSeq.sortBy(_._1).map { case (lang, lex) =>
+      struct(TextFns.lexiconHits(text, lex).as("score"), lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** Run the curation funnel; returns per-stage stats in order. */
+  def curate(spark: SparkSession, sfDir: String, outDir: String,
+             minQuality: Double = 0.5): Seq[StageStat] = {
+    def stage(name: String)(df: => DataFrame): StageStat = {
+      val t0 = System.nanoTime()
+      val path = s"$outDir/$name"
+      df.write.mode("overwrite").parquet(path)
+      val rows = spark.read.parquet(path).count()
+      StageStat(name, rows, (System.nanoTime() - t0) / 1e9)
+    }
+    def read(name: String): DataFrame = spark.read.parquet(s"$outDir/$name")
+
+    val s1 = stage("annotate") {
+      Tables.documents(spark, sfDir)
+        .withColumn("ts", TextFns.tokens(col("text")))
+        .select(col("doc_id"), col("source"), col("lang"), col("text"),
+          bestLang(col("text")).as("lang_pred"),
+          TextFns.round4(TextFns.qualityScore(col("text"), col("ts"))).as("quality"),
+          size(col("ts")).as("n_tokens"),
+          sha2(TextQueries.normText(col("text")), 256).as("content_hash"))
+    }
+
+    val s2 = stage("quality") {
+      read("annotate").filter(col("quality") >= minQuality)
+    }
+
+    val s3 = stage("exact") {
+      // first-wins per content hash: one shuffle on the hash key
+      graft.etl.Dedup.firstWins(read("quality"),
+        Seq("content_hash"), Seq(col("doc_id")))
+    }
+
+    val s4 = stage("neardup") {
+      val docs = read("exact")
+      val bands = docs
+        .withColumn("sig", graft.functions.TextHashes.minHashSig(
+          col("text"), TextQueries.K, TextQueries.NumHashes))
+        .select(col("doc_id"), explode(TextFns.lshBandKeys(
+          col("sig"), TextQueries.RowsPerBand, TextQueries.NumBands)).as("band"))
+      val reps = bands.groupBy("band").agg(min(col("doc_id")).as("rep"))
+      // one-hop single-link: a doc's cluster is the smallest doc any
+      // of its bands collides with; the canonical member is the doc
+      // that IS its own cluster id — keeps exactly one per cluster
+      // and every singleton
+      val clusters = bands.join(reps, "band")
+        .groupBy("doc_id").agg(min(col("rep")).as("cluster_id"))
+      docs.join(clusters.where(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    }
+
+    val s5 = stage("corpus") {
+      // lang cardinality is fixed (the marker map), so partition
+      // directories stay bounded at any corpus size
+      read("neardup").repartition(col("lang_pred"))
+    }
+    // partitioned rewrite for the final layout (corpus/ is the flat
+    // snapshot the stats read; corpus_by_lang/ the serving layout)
+    graft.etl.Warehouse.writePartitioned(
+      read("corpus"), s"$outDir/corpus_by_lang", Seq("lang_pred"))
+
+    Seq(s1, s2, s3, s4, s5)
+  }
+
+  /** `runMain graft.text.RunCurate [sfDir] [outDir] [minQuality]` */
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_corpus"
+    val minQ = if (args.length > 2) args(2).toDouble else 0.5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val stats = curate(spark, sfDir, outDir, minQ)
+    val total = (System.nanoTime() - t0) / 1e9
+    stats.foreach { s =>
+      println(f"[curate] ${s.stage}%-10s rows=${s.rows}%-8d ${s.seconds}%.2fs")
+    }
+    println(f"[curate] TOTAL      kept=${stats.last.rows}%-8d $total%.2fs -> $outDir")
+    spark.stop()
+  }
+}

@@ -24,10 +24,10 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   import TextFns.{P => p}
-  private val K = 5 // shingle length (chars)
-  private val NumHashes = 16 // minhash signature width
-  private val RowsPerBand = 4
-  private val NumBands = NumHashes / RowsPerBand
+  private[text] val K = 5 // shingle length (chars)
+  private[text] val NumHashes = 16 // minhash signature width
+  private[text] val RowsPerBand = 4
+  private[text] val NumBands = NumHashes / RowsPerBand
   private val NgramN = 3 // word n-gram width for jaccard
   private val SimBits = 32 // simhash width
 
@@ -103,7 +103,7 @@ object TextQueries {
   /** Normalization: lowercase, collapse non-alphanumeric runs to one
     * space, trim — the standard exact-dedup key for text corpora.
     */
-  private def normText(text: Column): Column =
+  private[text] def normText(text: Column): Column =
     trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
   def docDedup(spark: SparkSession, sfDir: String): DataFrame =
