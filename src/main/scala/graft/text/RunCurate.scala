@@ -36,14 +36,16 @@ object RunCurate {
 
   final case class StageStat(stage: String, rows: Long, seconds: Double)
 
-  /** Lexicon-argmax language prediction: score every candidate
-    * language by marker hits, pick the best, ties broken by language
-    * code (deterministic on both engines; the scoring matrix itself is
-    * what `q_lang_id` oracle-checks).
+  /** Lexicon-argmax language prediction over a STAGED tokens column:
+    * score every candidate language by marker hits, pick the best,
+    * ties broken by language code (deterministic; the scoring matrix
+    * itself is what `q_lang_id` oracle-checks). Takes tokens, not
+    * text — scoring 5 lexicons from raw text would re-tokenize 5×
+    * per row inside interpreted HOFs.
     */
-  def bestLang(text: Column): Column = {
+  def bestLang(ts: Column): Column = {
     val scored = TextFns.langMarkers.toSeq.sortBy(_._1).map { case (lang, lex) =>
-      struct(TextFns.lexiconHits(text, lex).as("score"), lit(lang).as("lang"))
+      struct(TextFns.lexiconHitsFromTokens(ts, lex).as("score"), lit(lang).as("lang"))
     }
     array_max(array(scored: _*)).getField("lang")
   }
@@ -64,7 +66,7 @@ object RunCurate {
       Tables.documents(spark, sfDir)
         .withColumn("ts", TextFns.tokens(col("text")))
         .select(col("doc_id"), col("source"), col("lang"), col("text"),
-          bestLang(col("text")).as("lang_pred"),
+          bestLang(col("ts")).as("lang_pred"),
           TextFns.round4(TextFns.qualityScore(col("text"), col("ts"))).as("quality"),
           size(col("ts")).as("n_tokens"),
           sha2(TextQueries.normText(col("text")), 256).as("content_hash"))

@@ -181,9 +181,17 @@ object TextFns {
     "fr" -> Seq("le", "la", "et", "les", "des"),
     "zh" -> Seq("de", "shi", "le", "zai", "he"))
 
-  /** Count of tokens present in a fixed lexicon. */
+  /** Count of tokens present in a fixed lexicon, over a STAGED tokens
+    * column — callers scoring several lexicons must tokenize once and
+    * reuse (HOFs are interpreted; an inlined `tokens(text)` here would
+    * re-split the text per lexicon per row).
+    */
+  def lexiconHitsFromTokens(ts: Column, lexicon: Seq[String]): Column =
+    size(filter(ts, t => t.isInCollection(lexicon)))
+
+  /** Single-lexicon convenience over raw text. */
   def lexiconHits(text: Column, lexicon: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isInCollection(lexicon)))
+    lexiconHitsFromTokens(tokens(text), lexicon)
 
   /** Quality score in [0,1]: weighted mix of length band, punctuation
     * ratio, stopword ratio, and mean token length — the standard

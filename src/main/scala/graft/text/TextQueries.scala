@@ -246,8 +246,9 @@ object TextQueries {
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     val langs = TextFns.langMarkers.keys.toSeq.sorted
     val docs = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text"))) // staged: scored 5×
     val hitCols = langs.map(l =>
-      sum(TextFns.lexiconHits(col("text"), TextFns.langMarkers(l))).as(s"hits_$l"))
+      sum(TextFns.lexiconHitsFromTokens(col("ts"), TextFns.langMarkers(l))).as(s"hits_$l"))
     val aggCols = count(lit(1)).as("n_docs") +: hitCols
     docs.groupBy("lang")
       .agg(aggCols.head, aggCols.tail: _*)
