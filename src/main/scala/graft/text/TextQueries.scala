@@ -304,6 +304,75 @@ object TextQueries {
        |       CAST(max(len(regexp_extract_all(text, '${TextFns.bpeTokenRegex}'))) AS BIGINT) AS max_tokens
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------- 7b. q_simhash_neardup: banded-SimHash near-dup clustering ----------
+
+  private val SimBands = 4 // 8-bit bands over the 32-bit fingerprint
+  private val MaxHamming = 3 // pigeonhole: ≤3 flipped bits ⇒ ≥1 of 4 bands equal
+
+  /** The third near-dup family endpoint (next to MinHash-LSH set
+    * similarity and n-gram Jaccard): character-distribution similarity
+    * via SimHash, using the fingerprint's own bits as the blocking
+    * key — split the 32-bit simhash into 4 bands of 8 bits; any pair
+    * within Hamming distance 3 must agree on at least one whole band
+    * (pigeonhole), so candidates meet only inside a band bucket and
+    * the exact Hamming check runs per candidate, never all-pairs.
+    * Output is cluster assignments (one-hop min-neighbor, as
+    * `q_minhash_cluster`), not pair lists.
+    *
+    * Scale: band width is the recall/cost dial — at larger corpora
+    * use more, wider bands (e.g. 6×11 bits of a 64-bit fingerprint
+    * for Hamming ≤5); bucket sizes are set by fingerprint entropy,
+    * not corpus size, and every step is a key-partitioned join/agg.
+    */
+  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.TextHashes.simHash(col("text"), SimBits).as("sh"))
+    val bandKeys = array((0 until SimBands).map { b =>
+      concat(lit(s"$b:"),
+        ((col("sh") / lit(1L << (b * 8))).cast("long") % 256L).cast("string"))
+    }: _*)
+    val bands = docs.select(col("doc_id"), col("sh"),
+      explode(bandKeys).as("band"))
+    // only SMALLER neighbors matter: cluster_id = least(doc, min nbr)
+    // can never be lowered by a larger id — so join half the pairs;
+    // and duplicates (several agreeing bands) are absorbed by the min
+    // aggregate, no distinct needed
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") > col("b.doc_id"))
+      .filter(TextFns.hammingDist(col("a.sh"), col("b.sh"), SimBits) <= MaxHamming)
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("nbr"))
+    val mn = pairs.groupBy("doc_id").agg(min(col("nbr")).as("mn"))
+    docs.join(mn, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("mn"), col("doc_id"))).as("cluster_id"))
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .orderBy("cluster_id")
+  }
+
+  private val sqlSimhashNearDup = {
+    val bandList = (0 until SimBands).map { b =>
+      s"'$b:' || CAST((sh // ${1L << (b * 8)}) % 256 AS VARCHAR)"
+    }.mkString("[", ", ", "]")
+    s"""WITH c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),
+       |     t AS (SELECT doc_id, text, $duckTokens AS ts FROM c),
+       |     h AS (SELECT doc_id, $duckTokenHashes AS hs FROM t),
+       |     s AS (SELECT doc_id, $duckSimHash AS sh FROM h),
+       |     bands AS (SELECT doc_id, sh, unnest($bandList) AS band FROM s),
+       |     pairs AS (SELECT a.doc_id AS doc_id, b.doc_id AS nbr
+       |               FROM bands a JOIN bands b
+       |                 ON a.band = b.band AND a.doc_id > b.doc_id
+       |               WHERE bit_count(xor(a.sh, b.sh)) <= $MaxHamming),
+       |     mn AS (SELECT doc_id, min(nbr) AS mn FROM pairs GROUP BY doc_id),
+       |     assign AS (SELECT s.doc_id,
+       |                       least(s.doc_id, coalesce(mn.mn, s.doc_id)) AS cluster_id
+       |                FROM s LEFT JOIN mn ON s.doc_id = mn.doc_id)
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM assign GROUP BY cluster_id HAVING count(*) > 1
+       |ORDER BY cluster_id""".stripMargin
+  }
+
   // ---------- 8. q_quality_score: per-doc quality (C4-style heuristics) ----------
 
   def qualityScoreQ(spark: SparkSession, sfDir: String): DataFrame =
@@ -322,6 +391,7 @@ object TextQueries {
     "q_doc_dedup" -> (docDedup _),
     "q_doc_fingerprint" -> (docFingerprint _),
     "q_minhash_cluster" -> (minhashCluster _),
+    "q_simhash_neardup" -> (simhashNearDup _),
     "q_ngram_jaccard" -> (ngramJaccard _),
     "q_lang_id" -> (langId _),
     "q_text_stats" -> (textStats _),
@@ -332,6 +402,7 @@ object TextQueries {
     "q_doc_dedup" -> sqlDocDedup,
     "q_doc_fingerprint" -> sqlDocFingerprint,
     "q_minhash_cluster" -> sqlMinhashCluster,
+    "q_simhash_neardup" -> sqlSimhashNearDup,
     "q_ngram_jaccard" -> sqlNgramJaccard,
     "q_lang_id" -> sqlLangId,
     "q_text_stats" -> sqlTextStats,
