@@ -107,6 +107,31 @@ object Streaming {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  /** Stream-stream event-time interval join — click attribution: each
+    * click joins the views by the same user within the preceding
+    * `horizon`. Both sides carry watermarks and the join predicate
+    * bounds view_ts to a window around click_ts, so the state store
+    * retains each side only for watermark + horizon — the
+    * bounded-state form of a stream-stream join (an unconstrained
+    * equi-join would buffer both streams forever). At scale, state is
+    * O(active users × horizon), independent of stream length.
+    */
+  def clickAttribution(views: DataFrame, clicks: DataFrame,
+                       horizon: String = "30 minutes",
+                       lateness: String = "1 hour"): DataFrame = {
+    val v = views
+      .withWatermark("ts", lateness)
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val c = clicks
+      .withWatermark("ts", lateness)
+      .select(col("user_id"), col("ts").as("click_ts"), col("value"))
+    c.join(v,
+      col("user_id") === col("v_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("view_ts"), col("click_ts"), col("value"))
+  }
+
   /** Canonical sink wiring for a streaming aggregate: append mode for
     * watermark-closed windows, checkpointed for exactly-once restart.
     */

@@ -1,0 +1,49 @@
+package graft
+
+import graft.etl.StarSchema
+import graft.olap.OlapMore
+import graft.stream.EventQueries
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Pins the scale-critical physical-plan properties the CLAUDE.md
+  * rules demand, so a refactor that silently drops a broadcast hint,
+  * widens a scan, or un-pushes a filter fails CI instead of surfacing
+  * as a 100×-scale regression. (`graft.Explain` is the interactive
+  * twin; these are the assertions worth freezing.)
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
+
+  test("factWithSurrogates resolves all four dims via broadcast hash joins") {
+    val plan = StarSchema.factWithSurrogates(spark, sfTiny)
+      .queryExecution.sparkPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 4, s"expected >=4 broadcast dim joins, plan had $broadcasts")
+  }
+
+  test("division's lineitem scan is pruned to the two join columns") {
+    val li = scans(OlapMore.division(spark, sfTiny))
+      .find(_.requiredSchema.fieldNames.contains("l_orderkey"))
+      .getOrElse(fail("no lineitem scan in q_division plan"))
+    assert(li.requiredSchema.fieldNames.toSet == Set("l_orderkey", "l_partkey"),
+      s"lineitem scan reads ${li.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("as-of join pushes the event-type filters into the parquet scans") {
+    val pushed = scans(EventQueries.asofClicks(spark, sfTiny))
+      .flatMap(_.metadata.get("PushedFilters"))
+    assert(pushed.nonEmpty && pushed.exists(_.contains("EqualTo(event_type")),
+      s"event_type filter not pushed: $pushed")
+  }
+
+  test("no declared query plan contains a cartesian product") {
+    // nested-loop joins are legitimate ONLY with a broadcast-tiny side
+    // (kNN probe, IVF codebook); a CartesianProduct is never right
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sfTiny).queryExecution.sparkPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+}

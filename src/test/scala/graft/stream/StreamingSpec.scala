@@ -91,6 +91,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clickAttribution joins clicks to in-horizon views, stream-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val viewsIn = MemoryStream[(Timestamp, Long, String, Double)]
+    val clicksIn = MemoryStream[(Timestamp, Long, String, Double)]
+    val views = viewsIn.toDF().toDF("ts", "user_id", "event_type", "value")
+    val clicks = clicksIn.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = Streaming.clickAttribution(views, clicks, horizon = "10 minutes")
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      viewsIn.addData(
+        (ts(1), 1L, "view", 0.0), // in horizon of 1's click at :08
+        (ts(2), 2L, "view", 0.0)) // 2 never clicks
+      clicksIn.addData(
+        (ts(8), 1L, "click", 5.0),
+        (ts(30), 3L, "click", 7.0)) // 3 never viewed
+      q.processAllAvailable()
+      val got = spark.table("attr")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      assert(got.toSeq == Seq((1L, ts(1), ts(8))))
+    } finally q.stop()
+  }
+
   test("startUpsertSink recovers a crash between the two swap renames") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_rec").toString
