@@ -129,6 +129,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: TopKAgg under any partitioning equals sort-take") {
+    val agg = new graft.functions.TopKAgg(3)
+    val r = rng
+    (1 to 200).foreach { _ =>
+      val xs = (1 to r.nextInt(20) + 1).map(_ => (r.nextInt(50) - 25).toDouble)
+      // arbitrary split: reduce each chunk, merge in chunk order
+      val chunks = xs.grouped(r.nextInt(4) + 1).toSeq
+      val merged = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) == xs.sorted(Ordering[Double].reverse).take(3),
+        s"xs=$xs")
+    }
+  }
+
+  test("property: hammingDist is a metric on random 32-bit fingerprints") {
+    val r = rng
+    val triples = (1 to 50).map(_ =>
+      (r.nextLong() & 0xffffffffL, r.nextLong() & 0xffffffffL, r.nextLong() & 0xffffffffL))
+    val rows = triples.toDF("a", "b", "c").select(
+      TextFns.hammingDist(col("a"), col("a"), 32).as("aa"),
+      TextFns.hammingDist(col("a"), col("b"), 32).as("ab"),
+      TextFns.hammingDist(col("b"), col("a"), 32).as("ba"),
+      TextFns.hammingDist(col("b"), col("c"), 32).as("bc"),
+      TextFns.hammingDist(col("a"), col("c"), 32).as("ac"))
+      .collect()
+    rows.foreach { x =>
+      assert(x.getLong(0) == 0L) // identity
+      assert(x.getLong(1) == x.getLong(2)) // symmetry
+      assert(x.getLong(4) <= x.getLong(1) + x.getLong(3)) // triangle
+      assert(x.getLong(1) >= 0 && x.getLong(1) <= 32)
+    }
+  }
+
   test("property: merge upsert converges after one application") {
     val r = rng
     (1 to 3).foreach { _ =>
