@@ -123,6 +123,28 @@ object OlapMore {
       |      FROM orders JOIN customer ON o_custkey = c_custkey)
       |GROUP BY segment ORDER BY segment""".stripMargin
 
+  /** The 100 TB twin of [[percentiles]]: `approx_percentile`
+    * (t-digest-style mergeable sketch, `accuracy` trades memory for
+    * error) replaces the per-group sort with a partial-aggregable
+    * summary. Excluded from the oracle set by design (approximation is
+    * engine-specific); `ApproxSpec` pins it within tolerance of the
+    * exact result.
+    */
+  def approxPercentiles(spark: SparkSession, sfDir: String,
+                        accuracy: Int = 10000): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_totalprice").as("price"))
+      .groupBy("segment")
+      .agg(
+        approx_percentile(col("price"), lit(0.5), lit(accuracy)).as("p50"),
+        approx_percentile(col("price"), lit(0.9), lit(accuracy)).as("p90"),
+        approx_percentile(col("price"), lit(0.99), lit(accuracy)).as("p99"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("segment")
+  }
+
   // ---------- q_revenue_cube: CUBE over (region, segment) ----------
 
   /** CUBE(region, segment): all four grouping combinations in one
