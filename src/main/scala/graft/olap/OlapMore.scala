@@ -436,8 +436,11 @@ object OlapMore {
         col("a.p_brand") === col("b.p_brand") &&
           col("a.noun_blk") === col("b.noun_blk") &&
           col("a.p_partkey") < col("b.p_partkey"))
-      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
-      .filter(col("dist") <= 3)
+      // threshold form: the DP early-exits once distance exceeds 3
+      // and returns -1 — filtered out exactly like the oracle's
+      // unbounded distance failing `<= 3`, but O(3·n) not O(n²) per pair
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name"), 3))
+      .filter(col("dist") >= 0 && col("dist") <= 3)
       .groupBy(col("a.p_brand").as("brand"))
       .agg(count(lit(1)).as("n_close_pairs"),
         min(col("dist")).cast("long").as("min_dist"))
