@@ -150,7 +150,41 @@ object EventQueries {
       |       epoch_us(ts) - epoch_us(click_ts) AS lag_us
       |FROM best WHERE rk = 1 ORDER BY event_id""".stripMargin
 
+  /** 21. Range join: each purchase joined into its user's view-span
+    * interval (first view … last view) via the bucketed interval join
+    * ([[graft.olap.RangeJoin]] — equi-join on (user, week cell) +
+    * exact refine, never a theta join). The oracle replays the same
+    * semantics as a plain BETWEEN join — blocking is physical only.
+    * Sum rounded at the edge; count is exact.
+    */
+  def rangeJoinSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val spans = ev.filter(col("event_type") === "view")
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.olap.RangeJoin.pointInInterval(purchases, spans,
+        key = "user_id", pt = "ts", start = "start_ts", end = "end_ts",
+        bucket = 7L * 86400) // week cells ≈ median span scale
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_in_span"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  private val sqlRangeJoinSpans =
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |     spans AS (SELECT user_id, min(ts) AS start_ts, max(ts) AS end_ts
+      |               FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |     p AS (SELECT user_id, ts, value FROM e WHERE event_type = 'purchase')
+      |SELECT p.user_id, count(*) AS n_in_span, round(sum(p.value), 4) AS sum_value
+      |FROM p JOIN spans ON p.user_id = spans.user_id
+      |                 AND p.ts >= spans.start_ts AND p.ts <= spans.end_ts
+      |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join" -> (rangeJoinSpans _),
     "q_events_tumbling" -> (eventsTumbling _),
     "q_events_session" -> (eventsSession _),
     "q_json_props" -> (jsonProps _),
@@ -158,6 +192,7 @@ object EventQueries {
     "q_events_sliding" -> (eventsSliding _))
 
   val oracle: Map[String, String] = Map(
+    "q_range_join" -> sqlRangeJoinSpans,
     "q_events_tumbling" -> sqlEventsTumbling,
     "q_events_session" -> sqlEventsSession,
     "q_json_props" -> sqlJsonProps,
