@@ -42,7 +42,8 @@ object GraftExtensions {
     "graft_simhash" -> { args =>
       SimHashExpr(args.head,
         if (args.length > 1) intArg(args(1), "bits") else 32)
-    })
+    },
+    "graft_dot" -> { args => DotProductExpr(args.head, args(1)) })
 
   /** Runtime registration for sessions built without the extensions
     * config (tests, notebooks).

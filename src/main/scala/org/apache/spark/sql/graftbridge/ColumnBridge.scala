@@ -14,4 +14,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `org.apache.spark.sql.types.AbstractDataType` is private[sql] in
+    * Spark 4; this public alias lets graft expressions declare
+    * `inputTypes` (so the analyzer coerces e.g. array&lt;float&gt; →
+    * array&lt;double&gt;) without living inside the sql package.
+    */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

@@ -41,7 +41,9 @@ class JdbcUpsertSpec extends SparkSpec {
   }
 
   test("upsert converges against embedded Derby (insert then update)") {
-    val url = "jdbc:derby:memory:graftups;create=true"
+    // unique DB per run: in-memory Derby outlives the test within the
+    // forked JVM, so a fixed name would collide on any re-entry
+    val url = s"jdbc:derby:memory:graftups${System.nanoTime()};create=true"
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       conn.createStatement().execute(

@@ -102,10 +102,13 @@ class TextHashSpec extends SparkSpec {
     graft.functions.GraftExtensions.register(spark)
     val r = spark.sql(
       "SELECT graft_poly_hash('abc') AS h, graft_simhash('a b c', 32) AS s, " +
-        "size(graft_minhash('hello world', 5, 16)) AS m").collect().head
+        "size(graft_minhash('hello world', 5, 16)) AS m, " +
+        "graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").collect().head
     assert(r.getLong(0) == TextHashUtil.polyHash(UTF8String.fromString("abc")))
     assert(r.getLong(1) == TextHashUtil.simHash(UTF8String.fromString("a b c"), 32))
     assert(r.getInt(2) == 16)
+    assert(r.getDouble(3) == 11.0)
   }
 
   test("lexiconHits counts only exact token matches") {
