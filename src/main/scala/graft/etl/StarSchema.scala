@@ -115,7 +115,7 @@ object StarSchema {
       .join(p, li("l_partkey") === p("p_partkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .select(
-        concat(col("o_orderkey"), lit("-"), col("l_linenumber")).as("order_number"),
+        col("o_orderkey"), col("l_linenumber"),
         col("l_quantity").as("quantity"),
         CleanFns.revenue(col("l_quantity"), col("p_retailprice")).as("revenue"),
         col("c_custkey").as("user_nat_key"),
@@ -127,8 +127,16 @@ object StarSchema {
     // (o_orderkey, l_linenumber). Deterministic first-wins on a total
     // tiebreak; rows tying on all tiebreak columns are identical in
     // this projection, so the survivor is well-defined either way.
-    Dedup.firstWins(joined, Seq("order_number"),
-      Seq(col("product_nat_key"), col("quantity"), col("revenue")))
+    // The grain key is the raw INT pair — bijective with the printed
+    // order_number, so survivors are identical, but the dedup shuffle
+    // hashes/compares two longs instead of a concatenated string
+    // (order_number materializes after, on the surviving rows only).
+    Dedup.firstWins(joined, Seq("o_orderkey", "l_linenumber"),
+        Seq(col("product_nat_key"), col("quantity"), col("revenue")))
+      .select(
+        concat(col("o_orderkey"), lit("-"), col("l_linenumber")).as("order_number"),
+        col("quantity"), col("revenue"), col("user_nat_key"),
+        col("product_nat_key"), col("location_nat_key"), col("date_nat_key"))
   }
 
   /** J6: remap the four natural keys to surrogates via broadcast inner
