@@ -27,9 +27,18 @@ object Warehouse {
   /** Write a snapshot partitioned by the given columns. Dynamic
     * partition overwrite replaces only the partitions present in `df`
     * — the partition-level upsert.
+    *
+    * The pre-write repartition on the partition columns is the
+    * small-files guard: without it every upstream task writes a file
+    * into every partition directory it touches (tasks × directories
+    * files — measured 16 s for the sf0.1 fact write); clustered, each
+    * directory gets one file. At larger scale add a salt column to
+    * the repartition if single-partition file size exceeds the
+    * row-group sweet spot.
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
-    df.write
+    df.repartition(partitionCols.map(col): _*)
+      .write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)

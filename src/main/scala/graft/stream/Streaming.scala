@@ -107,6 +107,43 @@ object Streaming {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  /** Session assembly with `flatMapGroupsWithState` — the 0-or-N
+    * output twin of [[runningUserTotals]]'s exactly-1 shape: per user,
+    * buffer (count, sum, last event time) and EMIT ONLY closed
+    * sessions — nothing while a session is open, the finished session
+    * when `gap` passes without activity (processing-time timeout
+    * fires it). State is one small tuple per active user; emitted rows
+    * are final (append mode), which is what a downstream sink wants
+    * from sessionization.
+    */
+  def closedSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) {
+            val (n, s) = state.get
+            state.remove()
+            Iterator.single((user, n, s)) // the closed session
+          } else {
+            val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+            val updated = rows.foldLeft((n0, s0)) {
+              case ((n, s), (_, v)) => (n + 1, s + v)
+            }
+            state.update(updated)
+            state.setTimeoutDuration(gap)
+            Iterator.empty // open sessions emit nothing
+          }
+      }
+      .toDF("user_id", "n_events", "sum_value")
+  }
+
   /** Stream-stream event-time interval join — click attribution: each
     * click joins the views by the same user within the preceding
     * `horizon`. Both sides carry watermarks and the join predicate

@@ -137,6 +137,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("closedSessions emits a session only after the gap passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cs").toString
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    // Trigger.Once + shared checkpoint instead of processAllAvailable:
+    // ProcessingTimeTimeout under a continuous trigger schedules
+    // no-data batches forever (see verify skill notes), so each pass
+    // runs exactly one batch and the SECOND pass's batch fires
+    // timeouts. Sink is foreachBatch→parquet: the memory sink can't
+    // recover from a checkpoint across query restarts.
+    def runOnce(): Unit = {
+      val q = Streaming.closedSessions(events, gap = "1 second")
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", s"$dir/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(s"$dir/out"); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    input.addData((ts(1), 7L, "click", 2.0), (ts(2), 7L, "click", 3.0))
+    runOnce()
+    assert(spark.read.parquet(s"$dir/out").count() == 0,
+      "open session must not emit")
+    Thread.sleep(1500) // let the 1s inactivity gap elapse
+    input.addData((ts(3), 8L, "click", 1.0)) // unrelated user drives the batch
+    runOnce()
+    val rows = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.contains((7L, 2L, 5.0)), s"got ${rows.toSeq}")
+  }
+
   test("runningUserTotals keeps per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Double)]
