@@ -60,4 +60,61 @@ object Merge {
     untouched.unionByName(updatedKnown.select(untouched.columns.map(col): _*))
       .unionByName(fresh.select(untouched.columns.map(col): _*))
   }
+
+  /** SCD Type-2 merge: history-preserving dimension versioning — the
+    * warehouse op one level up from [[upsertDim]]'s overwrite (SCD1).
+    * `existing` carries (`keys…`, attributes, `valid_from`,
+    * `valid_to`, `is_current`); `updates` carries (`keys…`,
+    * attributes) all stamped `asOf`. Per business key:
+    *
+    *  - attribute-identical update → no-op (current row stands);
+    *  - changed attributes → the current row CLOSES
+    *    (`valid_to = asOf`, `is_current = false`) and a new current
+    *    version opens at `asOf`;
+    *  - new key → first version opens at `asOf`.
+    *
+    * One shuffle on the business key (the change detection is a
+    * key-equi join; history rows pass through untouched), so the cost
+    * profile matches `upsert` at any scale. Idempotent: re-applying
+    * the same updates at the same `asOf` changes nothing (no-op rule
+    * fires on the version the first application opened).
+    */
+  def scd2(existing: DataFrame, updates: DataFrame, keys: Seq[String],
+           attrs: Seq[String], asOf: Column): DataFrame = {
+    val meta = Seq("valid_from", "valid_to", "is_current")
+    require(existing.columns.toSet == (keys ++ attrs ++ meta).toSet,
+      s"existing must carry $keys + $attrs + $meta, has ${existing.columns.toSeq}")
+    require(updates.columns.toSet == (keys ++ attrs).toSet,
+      s"updates must carry exactly $keys + $attrs, has ${updates.columns.toSeq}")
+    val history = existing.filter(!col("is_current"))
+    val current = existing.filter(col("is_current"))
+    // <=> (null-safe equality) per attribute: a null attribute equals
+    // null, so a null→null "change" is correctly a no-op
+    val same = attrs.map(a => col(a) <=> col(s"__u_$a")).reduce(_ && _)
+    // explicit presence markers on both sides: attribute columns can
+    // be legitimately null, so "all attrs null" must not be read as
+    // "side absent" after the full outer join
+    val upd = updates.select(
+      (keys.map(col) ++ attrs.map(a => col(a).as(s"__u_$a")) :+
+        lit(true).as("__has_upd")): _*)
+    val joined = current.join(upd, keys, "full_outer")
+    val hasCur = col("is_current").isNotNull // current rows carry true
+    val hasUpd = col("__has_upd").isNotNull
+    val unchanged = joined.filter(hasCur && (!hasUpd || same))
+    val closed = joined
+      .filter(hasCur && hasUpd && !same)
+      .withColumn("valid_to", asOf)
+      .withColumn("is_current", lit(false))
+    val opened = joined
+      .filter(hasUpd && (!hasCur || !same))
+      .select((keys.map(col) ++ attrs.map(a => col(s"__u_$a").as(a))): _*)
+      .withColumn("valid_from", asOf)
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+    val cols = existing.columns.map(col).toIndexedSeq
+    history
+      .unionByName(unchanged.select(cols: _*))
+      .unionByName(closed.select(cols: _*))
+      .unionByName(opened.select(cols: _*))
+  }
 }

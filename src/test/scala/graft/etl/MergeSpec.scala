@@ -66,6 +66,59 @@ class MergeSpec extends SparkSpec {
       ("dave", 10, 4L)))
   }
 
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+
+  private def scdBase = Seq(
+    // bob has history: a closed v1 and a current v2
+    ("bob", 10, ts("2024-01-01"), Some(ts("2024-02-01")), false),
+    ("bob", 40, ts("2024-02-01"), None, true),
+    ("alice", 30, ts("2024-01-01"), None, true))
+    .toDF("name", "score", "valid_from", "valid_to", "is_current")
+
+  test("scd2: change closes the current version and opens a new one") {
+    val out = Merge.scd2(scdBase,
+      Seq(("bob", 99), ("dave", 10)).toDF("name", "score"),
+      Seq("name"), Seq("score"), lit(ts("2024-03-01"))).cache()
+    // bob: v1 history untouched, v2 closed at asOf, v3 current
+    val bob = out.filter(col("name") === "bob").orderBy("valid_from")
+      .collect().map(r => (r.getInt(1), r.getTimestamp(3), r.getBoolean(4)))
+    assert(bob.toSeq == Seq(
+      (10, ts("2024-02-01"), false),
+      (40, ts("2024-03-01"), false),
+      (99, null, true)))
+    // alice untouched current; dave opens his first version
+    assert(out.filter(col("name") === "alice" && col("is_current")).count() == 1)
+    val dave = out.filter(col("name") === "dave").collect().head
+    assert(dave.getTimestamp(2) == ts("2024-03-01") && dave.getBoolean(4))
+    // invariant: exactly one current version per key
+    assert(out.filter(col("is_current")).groupBy("name").count()
+      .filter(col("count") > 1).count() == 0)
+    out.unpersist()
+  }
+
+  test("scd2: attribute-identical update is a no-op (idempotence)") {
+    val updates = Seq(("bob", 40), ("alice", 30)).toDF("name", "score")
+    val once = Merge.scd2(scdBase, updates, Seq("name"), Seq("score"),
+      lit(ts("2024-03-01")))
+    assert(once.orderBy("name", "valid_from").collect().toSeq ==
+      scdBase.orderBy("name", "valid_from").collect().toSeq)
+  }
+
+  test("scd2: null-safe change detection (null attrs equal null)") {
+    val base = Seq(("x", Option.empty[Integer], ts("2024-01-01"),
+        Option.empty[java.sql.Timestamp], true))
+      .toDF("name", "score", "valid_from", "valid_to", "is_current")
+    val same = Merge.scd2(base,
+      Seq(("x", Option.empty[Integer])).toDF("name", "score"),
+      Seq("name"), Seq("score"), lit(ts("2024-02-01")))
+    assert(same.count() == 1 && same.filter(col("is_current")).count() == 1)
+    val changed = Merge.scd2(base,
+      Seq(("x", Option(Integer.valueOf(7)))).toDF("name", "score"),
+      Seq("name"), Seq("score"), lit(ts("2024-02-01")))
+    assert(changed.count() == 2)
+    assert(changed.filter(col("is_current")).collect().head.getInt(1) == 7)
+  }
+
   test("upsertDim runs NO Spark job at plan-construction time") {
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
