@@ -328,24 +328,30 @@ object TextQueries {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         graft.functions.TextHashes.simHash(col("text"), SimBits).as("sh"))
+    // Collapse to DISTINCT fingerprints before any pairwise work: a
+    // doc's Hamming neighborhood depends only on its fingerprint, and
+    // pigeonhole guarantees every ≤3-Hamming neighbor shares a band —
+    // so each doc's cluster is min(doc ids of its fingerprint
+    // neighborhood) = min over related fingerprints' min-doc reps.
+    // Exact-duplicate texts (common in real corpora) would otherwise
+    // make bucket pair counts quadratic in duplicate multiplicity.
+    val fps = docs.groupBy("sh").agg(min(col("doc_id")).as("rep"))
     val bandKeys = array((0 until SimBands).map { b =>
       concat(lit(s"$b:"),
         ((col("sh") / lit(1L << (b * 8))).cast("long") % 256L).cast("string"))
     }: _*)
-    val bands = docs.select(col("doc_id"), col("sh"),
-      explode(bandKeys).as("band"))
-    // only SMALLER neighbors matter: cluster_id = least(doc, min nbr)
-    // can never be lowered by a larger id — so join half the pairs;
-    // and duplicates (several agreeing bands) are absorbed by the min
-    // aggregate, no distinct needed
+    val bands = fps.select(col("sh"), col("rep"), explode(bandKeys).as("band"))
+    // only SMALLER neighbor reps matter: the cluster id is a min;
+    // duplicate pairs (several agreeing bands) are absorbed by the
+    // min aggregate, no distinct needed
     val pairs = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") > col("b.doc_id"))
+        col("a.band") === col("b.band") && col("a.rep") > col("b.rep"))
       .filter(TextFns.hammingDist(col("a.sh"), col("b.sh"), SimBits) <= MaxHamming)
-      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("nbr"))
-    val mn = pairs.groupBy("doc_id").agg(min(col("nbr")).as("mn"))
-    docs.join(mn, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        least(col("doc_id"), coalesce(col("mn"), col("doc_id"))).as("cluster_id"))
+      .select(col("a.sh").as("sh"), col("b.rep").as("nbr"))
+    val mn = pairs.groupBy("sh").agg(min(col("nbr")).as("mn"))
+    val fpCluster = fps.join(mn, Seq("sh"), "left")
+      .select(col("sh"), least(col("rep"), coalesce(col("mn"), col("rep"))).as("cluster_id"))
+    docs.join(fpCluster, Seq("sh"))
       .groupBy("cluster_id").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)
       .orderBy("cluster_id")
@@ -359,17 +365,19 @@ object TextQueries {
        |     t AS (SELECT doc_id, text, $duckTokens AS ts FROM c),
        |     h AS (SELECT doc_id, $duckTokenHashes AS hs FROM t),
        |     s AS (SELECT doc_id, $duckSimHash AS sh FROM h),
-       |     bands AS (SELECT doc_id, sh, unnest($bandList) AS band FROM s),
-       |     pairs AS (SELECT a.doc_id AS doc_id, b.doc_id AS nbr
+       |     fps AS (SELECT sh, min(doc_id) AS rep FROM s GROUP BY sh),
+       |     bands AS (SELECT sh, rep, unnest($bandList) AS band FROM fps),
+       |     pairs AS (SELECT a.sh AS sh, b.rep AS nbr
        |               FROM bands a JOIN bands b
-       |                 ON a.band = b.band AND a.doc_id > b.doc_id
+       |                 ON a.band = b.band AND a.rep > b.rep
        |               WHERE bit_count(xor(a.sh, b.sh)) <= $MaxHamming),
-       |     mn AS (SELECT doc_id, min(nbr) AS mn FROM pairs GROUP BY doc_id),
-       |     assign AS (SELECT s.doc_id,
-       |                       least(s.doc_id, coalesce(mn.mn, s.doc_id)) AS cluster_id
-       |                FROM s LEFT JOIN mn ON s.doc_id = mn.doc_id)
+       |     mn AS (SELECT sh, min(nbr) AS mn FROM pairs GROUP BY sh),
+       |     fpc AS (SELECT fps.sh,
+       |                    least(fps.rep, coalesce(mn.mn, fps.rep)) AS cluster_id
+       |             FROM fps LEFT JOIN mn ON fps.sh = mn.sh)
        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
-       |FROM assign GROUP BY cluster_id HAVING count(*) > 1
+       |FROM s JOIN fpc ON s.sh = fpc.sh
+       |GROUP BY cluster_id HAVING count(*) > 1
        |ORDER BY cluster_id""".stripMargin
   }
 
