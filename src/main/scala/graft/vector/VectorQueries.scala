@@ -194,33 +194,44 @@ object VectorQueries {
     * only the probe's cell (same pruning shape as [[annLsh]], with
     * learned cells instead of hyperplane buckets).
     */
-  def ivfAssign(spark: SparkSession, sfDir: String): DataFrame = {
-    val vecs = withVecs(spark, sfDir)
-    val cents = vecs
+  /** Per-label mean-vector codebook with staged norms — the coarse
+    * quantizer shared by [[ivfAssign]] and [[ivfSearch]].
+    */
+  private def codebook(vecs: DataFrame): DataFrame =
+    vecs
       .select(col("label").as("c_label"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("c_label", "dim").agg(avg(col("x")).as("cx"))
       .groupBy("c_label")
       .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
       .select(col("c_label"), expr("transform(pairs, p -> p.cx)").as("cv"))
       .withColumn("cnrm", VectorFns.norm(col("cv")))
-    // Rank on the ROUNDED similarity: centroids come from avg(),
-    // whose summation order varies with partitioning, so unrounded
-    // sims can differ in the last ulp between engines and flip a
-    // near-tied argmin. 6 decimals collapses ulp noise (floor form on
-    // both sides — engine round() itself diverges on .5 boundaries);
-    // c_label breaks real ties deterministically (both sides
-    // identical).
+
+  /** Every vector tagged with its nearest-centroid cell.
+    *
+    * Rank on the ROUNDED similarity: centroids come from avg(), whose
+    * summation order varies with partitioning, so unrounded sims can
+    * differ in the last ulp between engines and flip a near-tied
+    * argmin. 6 decimals collapses ulp noise (floor form on both sides
+    * — engine round() itself diverges on .5 boundaries); c_label
+    * breaks real ties deterministically (both sides identical).
+    */
+  private def assignedCells(vecs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(round6(col("sim")).desc, col("c_label"))
-    vecs.join(broadcast(cents))
+    vecs.join(broadcast(codebook(vecs)))
       .withColumn("sim", VectorFns.cosineStaged(
         col("v"), col("cv"), col("nrm"), col("cnrm")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .groupBy(col("label"), col("c_label").as("assigned"))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        col("c_label").as("cell"))
+  }
+
+  def ivfAssign(spark: SparkSession, sfDir: String): DataFrame =
+    assignedCells(withVecs(spark, sfDir))
+      .groupBy(col("label"), col("cell").as("assigned"))
       .agg(count(lit(1)).as("n"))
       .orderBy("label", "assigned")
-  }
 
   private val sqlIvfAssign =
     s"""WITH $duckVecs,
@@ -241,7 +252,54 @@ object VectorQueries {
        |FROM best WHERE rk = 1 GROUP BY label, c_label
        |ORDER BY label, assigned""".stripMargin
 
+  // ---------- 6. q_ivf_search: IVF-pruned approximate kNN ----------
+
+  /** The IVF QUERY path completing [[ivfAssign]]'s index build: the
+    * probe searches only its own nearest-centroid cell — exact cosine
+    * + top-k over ~N/cells candidates instead of the flat scan
+    * ([[knn]]) — the learned-cell twin of [[annLsh]]'s hyperplane
+    * pruning. At warehouse scale the table is partitioned by `cell`,
+    * so the search reads one partition; nprobe > 1 generalizes by
+    * taking the top-n cells from the same rounded ranking.
+    */
+  def ivfSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigned = assignedCells(withVecs(spark, sfDir))
+    val probe = assigned.filter(col("vec_id") === 0)
+      .select(col("v").as("pv"), col("nrm").as("pnrm"), col("cell").as("pcell"))
+    assigned.filter(col("vec_id") =!= 0)
+      .join(broadcast(probe), col("cell") === col("pcell"))
+      .withColumn("sim",
+        VectorFns.cosineStaged(col("v"), col("pv"), col("nrm"), col("pnrm")))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(TopK)
+      .select(col("vec_id"), col("cell"), round4(col("sim")).as("sim"))
+  }
+
+  private val sqlIvfSearch =
+    s"""WITH $duckVecs,
+       |     x AS (SELECT label AS c_label, CAST(i - 1 AS INT) AS dim, v[CAST(i AS INT)] AS x
+       |           FROM e0 CROSS JOIN range(1, 65) t(i)),
+       |     cd AS (SELECT c_label, dim, avg(x) AS cx FROM x GROUP BY c_label, dim),
+       |     c0 AS (SELECT c_label, list_transform(list_sort(list({'dim': dim, 'cx': cx})), p -> p.cx) AS cv
+       |            FROM cd GROUP BY c_label),
+       |     c AS (SELECT c_label, cv, sqrt(${duckDot("cv", "cv")}) AS cnrm FROM c0),
+       |     scored AS (SELECT e.vec_id, e.c_label, e.sim,
+       |                       row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY ${duckRound6("e.sim")} DESC, e.c_label) AS rk
+       |                FROM (SELECT e.vec_id, c.c_label,
+       |                             ${duckDot("e.v", "c.cv")} / (e.nrm * c.cnrm) AS sim
+       |                      FROM e CROSS JOIN c) e),
+       |     a AS (SELECT e.vec_id, e.v, e.nrm, s.c_label AS cell
+       |           FROM e JOIN scored s ON e.vec_id = s.vec_id AND s.rk = 1),
+       |     p AS (SELECT v AS pv, nrm AS pnrm, cell AS pcell FROM a WHERE vec_id = 0),
+       |     s2 AS (SELECT a.vec_id, a.cell,
+       |                   ${duckDot("a.v", "pv")} / (a.nrm * pnrm) AS sim0
+       |            FROM a, p WHERE a.vec_id <> 0 AND a.cell = pcell)
+       |SELECT vec_id, cell, ${duckRound4("sim0")} AS sim
+       |FROM s2 ORDER BY sim0 DESC, vec_id LIMIT $TopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ivf_search" -> (ivfSearch _),
     "q_knn" -> (knn _),
     "q_ann_lsh" -> (annLsh _),
     "q_embed_neardup" -> (embedNearDup _),
@@ -249,6 +307,7 @@ object VectorQueries {
     "q_ivf_assign" -> (ivfAssign _))
 
   val oracle: Map[String, String] = Map(
+    "q_ivf_search" -> sqlIvfSearch,
     "q_knn" -> sqlKnn,
     "q_ann_lsh" -> sqlAnnLsh,
     "q_embed_neardup" -> sqlEmbedNearDup,
