@@ -86,6 +86,10 @@ object Merge {
       s"existing must carry $keys + $attrs + $meta, has ${existing.columns.toSeq}")
     require(updates.columns.toSet == (keys ++ attrs).toSet,
       s"updates must carry exactly $keys + $attrs, has ${updates.columns.toSeq}")
+    // duplicate business keys in one batch would open two current
+    // versions (same hazard upsertDim guards): first-wins on the
+    // attribute ordering before merging
+    val up0 = Dedup.firstWins(updates, keys, attrs.map(col))
     val history = existing.filter(!col("is_current"))
     val current = existing.filter(col("is_current"))
     // <=> (null-safe equality) per attribute: a null attribute equals
@@ -94,7 +98,7 @@ object Merge {
     // explicit presence markers on both sides: attribute columns can
     // be legitimately null, so "all attrs null" must not be read as
     // "side absent" after the full outer join
-    val upd = updates.select(
+    val upd = up0.select(
       (keys.map(col) ++ attrs.map(a => col(a).as(s"__u_$a")) :+
         lit(true).as("__has_upd")): _*)
     val joined = current.join(upd, keys, "full_outer")

@@ -50,7 +50,14 @@ object RunEtl {
       plain("dim_product")(StarSchema.productDim(spark, sfDir)),
       plain("dim_location")(StarSchema.locationDim(spark, sfDir)),
       plain("dim_date")(StarSchema.dateDim(spark, sfDir)),
-      stage("fact_sales", StarSchema.factWithSurrogates(spark, sfDir), d => {
+      // the fact resolves against the dim SNAPSHOTS written above —
+      // each dim pipeline runs once per build, and the fact stage's
+      // wall-clock is the fact's own cost, not re-run dim work
+      stage("fact_sales", StarSchema.factFromDims(spark, sfDir,
+        spark.read.parquet(s"$outDir/dim_user"),
+        spark.read.parquet(s"$outDir/dim_product"),
+        spark.read.parquet(s"$outDir/dim_location"),
+        spark.read.parquet(s"$outDir/dim_date")), d => {
         val p = s"$outDir/fact_sales"
         Warehouse.writeFactByMonth(d, p)
         p

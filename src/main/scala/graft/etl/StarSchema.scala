@@ -23,13 +23,14 @@ import org.apache.spark.sql.functions._
   * only big shuffles are the fact-side source joins, which AQE plans
   * (and can convert to broadcast when a side fits).
   *
-  * Surrogate assignment uses [[SurrogateKeys.dense]] (single-partition
-  * window) in all four dim builders: the inputs are dim-cardinality by
-  * construction (post-dedup on a unique business key), where the dense
-  * form assigns the SAME ids as [[SurrogateKeys.scalable]] without the
-  * RDD zipWithIndex round-trip (two extra jobs + double row conversion
-  * per dim per query). Fact-scale inputs must use `scalable` — the
-  * rule documented on both methods.
+  * Surrogate assignment is cardinality-class-aware: location (25
+  * nations) and date (days — bounded by the calendar) are genuinely
+  * dim-cardinality, so they use [[SurrogateKeys.dense]] (single-
+  * partition window, no RDD hop); user (customer) and product (part)
+  * SCALE WITH the fact table in TPC-H, so they use
+  * [[SurrogateKeys.scalable]] (distributed sort + zipWithIndex) —
+  * both forms assign the same ids over the same total order, so the
+  * choice is purely physical.
   */
 object StarSchema {
 
@@ -49,7 +50,10 @@ object StarSchema {
       col("c_nationkey").cast("long").as("nationkey"),
       col("c_acctbal").as("acctbal"))
     val deduped = Dedup.firstWins(cleaned, Seq("username"), Seq(col("nat_key")))
-    SurrogateKeys.dense(deduped, Seq(col("username")), "user_sk")
+    // customer scales WITH the fact table (TPC-H: 150k rows per SF),
+    // so this dim is fact-proportional, not bounded — the distributed
+    // form is required; same ids as dense on the same total order
+    SurrogateKeys.scalable(deduped, Seq(col("username")), "user_sk")
   }
 
   /** Product dimension (reference `ETL/prod_ETL.py`): ceil-2 price
@@ -63,7 +67,9 @@ object StarSchema {
       col("p_type").as("category"),
       CleanFns.ceil2(col("p_retailprice")).as("price"))
     val deduped = Dedup.firstWins(cleaned, Seq("name", "brand"), Seq(col("nat_key")))
-    SurrogateKeys.dense(deduped, Seq(col("name"), col("brand")), "product_sk")
+    // part also scales with SF (200k rows per SF) — distributed form,
+    // same reasoning as userDim
+    SurrogateKeys.scalable(deduped, Seq(col("name"), col("brand")), "product_sk")
   }
 
   /** Location dimension (reference `ETL/loc_ETL.py`): the testdata
@@ -144,12 +150,23 @@ object StarSchema {
     * (`ETL/fact_ETL.py:115-118`); a broadcast hash join IS that lookup,
     * executed distributed.
     */
-  def factWithSurrogates(spark: SparkSession, sfDir: String): DataFrame = {
+  def factWithSurrogates(spark: SparkSession, sfDir: String): DataFrame =
+    factFromDims(spark, sfDir, userDim(spark, sfDir), productDim(spark, sfDir),
+      locationDim(spark, sfDir), dateDim(spark, sfDir))
+
+  /** Fact build against ALREADY-BUILT dimensions — the orchestrated
+    * path: RunEtl writes the dim snapshots first and passes them back
+    * in, so the dim pipelines (dedup + surrogate assignment) run once
+    * per warehouse build, not once per dim plus once inside the fact.
+    */
+  def factFromDims(spark: SparkSession, sfDir: String, userD: DataFrame,
+                   productD: DataFrame, locationD: DataFrame,
+                   dateD: DataFrame): DataFrame = {
     val fact = factSource(spark, sfDir)
-    val u = userDim(spark, sfDir).select(col("nat_key").as("u_nat"), col("user_sk"))
-    val p = productDim(spark, sfDir).select(col("nat_key").as("p_nat"), col("product_sk"))
-    val l = locationDim(spark, sfDir).select(col("nat_key").as("l_nat"), col("location_sk"))
-    val d = dateDim(spark, sfDir).select(col("date").as("d_nat"), col("date_sk"))
+    val u = userD.select(col("nat_key").as("u_nat"), col("user_sk"))
+    val p = productD.select(col("nat_key").as("p_nat"), col("product_sk"))
+    val l = locationD.select(col("nat_key").as("l_nat"), col("location_sk"))
+    val d = dateD.select(col("date").as("d_nat"), col("date_sk"))
     fact
       .join(broadcast(u), col("user_nat_key") === col("u_nat"))
       .join(broadcast(p), col("product_nat_key") === col("p_nat"))

@@ -43,7 +43,11 @@ object GraftExtensions {
       SimHashExpr(args.head,
         if (args.length > 1) intArg(args(1), "bits") else 32)
     },
-    "graft_dot" -> { args => DotProductExpr(args.head, args(1)) })
+    "graft_dot" -> { args =>
+      require(args.length == 2,
+        s"graft_dot takes exactly 2 array arguments, got ${args.length}")
+      DotProductExpr(args.head, args(1))
+    })
 
   /** Runtime registration for sessions built without the extensions
     * config (tests, notebooks).

@@ -88,7 +88,12 @@ object Multimodal {
           }
           Some((w, h, px))
         }
-      } catch { case _: java.io.IOException => None }
+      } catch {
+        // image readers throw unchecked exceptions on corrupt-but-
+        // claimed bytes (IllegalArgument, CMMException, index errors)
+        // — any decode failure must fall back, not kill the task
+        case scala.util.control.NonFatal(_) => None
+      }
   }
 
   /** Deterministic stand-in for the decoders the JDK doesn't ship

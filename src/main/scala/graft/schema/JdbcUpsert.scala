@@ -152,6 +152,15 @@ object JdbcUpsert {
             // transaction activity on some engines (Derby), and a
             // dangling open transaction fails the connection close
             conn.commit()
+          } catch {
+            case e: Throwable =>
+              // roll back the open transaction before close, swallowing
+              // any rollback error: closing with a live transaction
+              // throws on Derby, and a throw from the cleanup path
+              // would REPLACE the real batch failure
+              try conn.rollback()
+              catch { case scala.util.control.NonFatal(_) => () }
+              throw e
           } finally ps.close()
         } finally conn.close()
       }

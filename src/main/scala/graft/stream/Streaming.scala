@@ -120,6 +120,9 @@ object Streaming {
     val spark = events.sparkSession
     import spark.implicits._
     events
+      // events.value is nullable; a null into the primitive tuple
+      // encoder would kill the query on its first appearance
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
       .select(col("user_id").cast("long"), col("value").cast("double"))
       .as[(Long, Double)]
       .groupByKey(_._1)

@@ -84,18 +84,10 @@ object RunCurate {
 
     val s4 = stage("neardup") {
       val docs = read("exact")
-      val bands = docs
-        .withColumn("sig", graft.functions.TextHashes.minHashSig(
-          col("text"), TextQueries.K, TextQueries.NumHashes))
-        .select(col("doc_id"), explode(TextFns.lshBandKeys(
-          col("sig"), TextQueries.RowsPerBand, TextQueries.NumBands)).as("band"))
-      val reps = bands.groupBy("band").agg(min(col("doc_id")).as("rep"))
-      // one-hop single-link: a doc's cluster is the smallest doc any
-      // of its bands collides with; the canonical member is the doc
-      // that IS its own cluster id — keeps exactly one per cluster
-      // and every singleton
-      val clusters = bands.join(reps, "band")
-        .groupBy("doc_id").agg(min(col("rep")).as("cluster_id"))
+      // the oracle-verified clustering kernel (q_minhash_cluster);
+      // the canonical member is the doc that IS its own cluster id —
+      // keeps exactly one per cluster and every singleton
+      val clusters = TextQueries.minhashAssignments(docs)
       docs.join(clusters.where(col("doc_id") === col("cluster_id"))
         .select(col("doc_id")), Seq("doc_id"), "left_semi")
     }

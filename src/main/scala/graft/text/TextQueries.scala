@@ -155,8 +155,14 @@ object TextQueries {
     * per cluster) and every step here is a linear key-partitioned
     * aggregate/join that survives 100 TB.
     */
-  def minhashCluster(spark: SparkSession, sfDir: String): DataFrame = {
-    val bands = Tables.documents(spark, sfDir)
+  /** Per-document MinHash-LSH cluster assignment (doc_id →
+    * cluster_id), the shared kernel of [[minhashCluster]] and
+    * RunCurate's near-dup gate — one definition so the curation
+    * funnel can never diverge from the oracle-verified clustering.
+    * Input must carry (`doc_id`, `text`).
+    */
+  private[text] def minhashAssignments(docs: DataFrame): DataFrame = {
+    val bands = docs
       .withColumn("sig",
         graft.functions.TextHashes.minHashSig(col("text"), K, NumHashes))
       .select(col("doc_id"),
@@ -164,10 +170,13 @@ object TextQueries {
     val reps = bands.groupBy("band").agg(min(col("doc_id")).as("rep"))
     bands.join(reps, "band")
       .groupBy("doc_id").agg(min(col("rep")).as("cluster_id"))
+  }
+
+  def minhashCluster(spark: SparkSession, sfDir: String): DataFrame =
+    minhashAssignments(Tables.documents(spark, sfDir))
       .groupBy("cluster_id").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)
       .orderBy("cluster_id")
-  }
 
   private val sqlMinhashCluster =
     s"""WITH c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),

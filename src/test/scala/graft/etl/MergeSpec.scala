@@ -104,6 +104,17 @@ class MergeSpec extends SparkSpec {
       scdBase.orderBy("name", "valid_from").collect().toSeq)
   }
 
+  test("scd2: duplicate business keys in one batch open exactly one version") {
+    val out = Merge.scd2(scdBase,
+      Seq(("bob", 77), ("bob", 88)).toDF("name", "score"), // dup key
+      Seq("name"), Seq("score"), lit(ts("2024-03-01")))
+    val current = out.filter(col("name") === "bob" && col("is_current")).collect()
+    assert(current.length == 1)
+    assert(current.head.getInt(1) == 77) // first-wins on attribute order
+    // exactly one closed row was produced for the superseded version
+    assert(out.filter(col("name") === "bob").count() == 3)
+  }
+
   test("scd2: null-safe change detection (null attrs equal null)") {
     val base = Seq(("x", Option.empty[Integer], ts("2024-01-01"),
         Option.empty[java.sql.Timestamp], true))
