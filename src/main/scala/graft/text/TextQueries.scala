@@ -390,6 +390,49 @@ object TextQueries {
        |ORDER BY cluster_id""".stripMargin
   }
 
+  // ---------- 7c. q_repetition: Gopher-style repeated-n-gram filter ----------
+
+  private val RepetitionThreshold = 0.2
+
+  /** Repetition scoring (the Gopher quality rule family): fraction of
+    * token 2-grams that are repeats of an earlier 2-gram in the same
+    * document — degenerate generated/boilerplate text scores high and
+    * gets flagged. Pure per-row array expressions over the staged
+    * token/gram columns (no shuffle but the final sort); the corpus
+    * has no newlines, so the n-gram form stands in for Gopher's
+    * duplicate-line fraction with the same intent.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .withColumn("grams", TextFns.wordNgramsFromTokens(col("ts"), 2))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio", TextFns.round4(
+        lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double")))
+      .withColumn("is_repetitive", col("rep_ratio") >= RepetitionThreshold)
+      .orderBy("doc_id")
+
+  private val duckBigrams =
+    "list_transform(range(1, greatest(len(ts) - 1, 1) + 1), " +
+      "i -> coalesce(ts[CAST(i AS INT)], '') || coalesce(ts[CAST(i + 1 AS INT)], ''))"
+
+  private val sqlRepetition =
+    s"""WITH t AS (SELECT doc_id, $duckTokens AS ts FROM documents),
+       |     g AS (SELECT doc_id, $duckBigrams AS grams FROM t),
+       |     r AS (SELECT doc_id,
+       |                  CAST(len(grams) AS BIGINT) AS n_grams,
+       |                  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct
+       |           FROM g),
+       |     s AS (SELECT doc_id, n_grams, n_distinct,
+       |                  ${TextFns.duckRound4(
+                            "1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)")} AS rep_ratio
+       |           FROM r)
+       |SELECT doc_id, n_grams, n_distinct, rep_ratio,
+       |       (rep_ratio >= $RepetitionThreshold) AS is_repetitive
+       |FROM s ORDER BY doc_id""".stripMargin
+
   // ---------- 8. q_quality_score: per-doc quality (C4-style heuristics) ----------
 
   def qualityScoreQ(spark: SparkSession, sfDir: String): DataFrame =
@@ -409,6 +452,7 @@ object TextQueries {
     "q_doc_fingerprint" -> (docFingerprint _),
     "q_minhash_cluster" -> (minhashCluster _),
     "q_simhash_neardup" -> (simhashNearDup _),
+    "q_repetition" -> (repetition _),
     "q_ngram_jaccard" -> (ngramJaccard _),
     "q_lang_id" -> (langId _),
     "q_text_stats" -> (textStats _),
@@ -420,6 +464,7 @@ object TextQueries {
     "q_doc_fingerprint" -> sqlDocFingerprint,
     "q_minhash_cluster" -> sqlMinhashCluster,
     "q_simhash_neardup" -> sqlSimhashNearDup,
+    "q_repetition" -> sqlRepetition,
     "q_ngram_jaccard" -> sqlNgramJaccard,
     "q_lang_id" -> sqlLangId,
     "q_text_stats" -> sqlTextStats,
