@@ -65,15 +65,22 @@ object RunCurate {
     val s1 = stage("annotate") {
       Tables.documents(spark, sfDir)
         .withColumn("ts", TextFns.tokens(col("text")))
+        .withColumn("grams", TextFns.wordNgramsFromTokens(col("ts"), 2))
         .select(col("doc_id"), col("source"), col("lang"), col("text"),
           bestLang(col("ts")).as("lang_pred"),
           TextFns.round4(TextFns.qualityScore(col("text"), col("ts"))).as("quality"),
           size(col("ts")).as("n_tokens"),
+          (TextFns.repetitionRatio(col("grams")) >=
+            TextQueries.RepetitionThreshold).as("is_repetitive"),
           sha2(TextQueries.normText(col("text")), 256).as("content_hash"))
     }
 
     val s2 = stage("quality") {
-      read("annotate").filter(col("quality") >= minQuality)
+      // C4-style score floor AND the Gopher-style repetition ceiling
+      // (the q_repetition kernel): both are cheap per-row gates, so
+      // they share one stage
+      read("annotate")
+        .filter(col("quality") >= minQuality && !col("is_repetitive"))
     }
 
     val s3 = stage("exact") {

@@ -214,6 +214,14 @@ object TextFns {
     lenScore * 0.3 + punctScore * 0.2 + stopScore * 0.3 + tokLenScore * 0.2
   }
 
+  /** Repeated-gram fraction over a STAGED gram array (the Gopher
+    * repetition signal shared by q_repetition and RunCurate's gate):
+    * 1 − distinct/total, round4 for cross-engine parity.
+    */
+  def repetitionRatio(grams: Column): Column =
+    round4(lit(1.0) -
+      size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
+
   /** BPE-ish tokenizer regex: letter runs, single digits, or
     * punctuation runs — the GPT-2-style pre-tokenization shape,
     * restricted to a regex subset Java and RE2 treat identically.

@@ -392,7 +392,7 @@ object TextQueries {
 
   // ---------- 7c. q_repetition: Gopher-style repeated-n-gram filter ----------
 
-  private val RepetitionThreshold = 0.2
+  private[text] val RepetitionThreshold = 0.2
 
   /** Repetition scoring (the Gopher quality rule family): fraction of
     * token 2-grams that are repeats of an earlier 2-gram in the same
@@ -408,9 +408,8 @@ object TextQueries {
       .withColumn("grams", TextFns.wordNgramsFromTokens(col("ts"), 2))
       .select(col("doc_id"),
         size(col("grams")).cast("long").as("n_grams"),
-        size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
-      .withColumn("rep_ratio", TextFns.round4(
-        lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double")))
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct"),
+        TextFns.repetitionRatio(col("grams")).as("rep_ratio"))
       .withColumn("is_repetitive", col("rep_ratio") >= RepetitionThreshold)
       .orderBy("doc_id")
 
@@ -433,6 +432,55 @@ object TextQueries {
        |       (rep_ratio >= $RepetitionThreshold) AS is_repetitive
        |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---------- 7d. q_contamination: benchmark-overlap screening ----------
+
+  /** Decontamination screen: fraction of each document's distinct
+    * word-3-grams that appear in a held-out probe set — the standard
+    * benchmark-contamination check run before training. The probe
+    * here is doc 0's gram set (a deterministic stand-in for an eval
+    * suite); real usage swaps in the benchmark corpus.
+    *
+    * Scale: the probe set is BROADCAST (benchmark suites are tiny
+    * next to a training corpus), so the membership check is a
+    * broadcast semi-join on the exploded grams — per-document work is
+    * linear and shuffles only the per-doc hit counts. Docs with zero
+    * overlap drop out via the inner join (the interesting output is
+    * what to quarantine).
+    */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .withColumn("grams",
+        array_distinct(TextFns.wordNgramsFromTokens(col("ts"), NgramN)))
+    val probe = docs.filter(col("doc_id") === 0)
+      .select(explode(col("grams")).as("pgram")).distinct()
+    val exploded = docs.filter(col("doc_id") =!= 0)
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("gram"))
+    exploded
+      .join(broadcast(probe), col("gram") === col("pgram"), "left_semi")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("contamination", TextFns.round4(
+        col("n_hits").cast("double") / col("n_grams").cast("double")))
+      .select("doc_id", "n_grams", "n_hits", "contamination")
+      .orderBy("doc_id")
+  }
+
+  private val sqlContamination =
+    s"""WITH t AS (SELECT doc_id, $duckTokens AS ts FROM documents),
+       |     g AS (SELECT doc_id, list_distinct($duckNgrams) AS grams FROM t),
+       |     p AS (SELECT DISTINCT unnest(grams) AS pgram FROM g WHERE doc_id = 0),
+       |     x AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+       |           FROM g WHERE doc_id != 0),
+       |     h AS (SELECT x.doc_id, CAST(max(x.n_grams) AS BIGINT) AS n_grams,
+       |                  count(*) AS n_hits
+       |           FROM x JOIN p ON x.gram = p.pgram GROUP BY x.doc_id)
+       |SELECT doc_id, n_grams, n_hits,
+       |       ${TextFns.duckRound4(
+                 "CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE)")} AS contamination
+       |FROM h ORDER BY doc_id""".stripMargin
+
   // ---------- 8. q_quality_score: per-doc quality (C4-style heuristics) ----------
 
   def qualityScoreQ(spark: SparkSession, sfDir: String): DataFrame =
@@ -453,6 +501,7 @@ object TextQueries {
     "q_minhash_cluster" -> (minhashCluster _),
     "q_simhash_neardup" -> (simhashNearDup _),
     "q_repetition" -> (repetition _),
+    "q_contamination" -> (contamination _),
     "q_ngram_jaccard" -> (ngramJaccard _),
     "q_lang_id" -> (langId _),
     "q_text_stats" -> (textStats _),
@@ -465,6 +514,7 @@ object TextQueries {
     "q_minhash_cluster" -> sqlMinhashCluster,
     "q_simhash_neardup" -> sqlSimhashNearDup,
     "q_repetition" -> sqlRepetition,
+    "q_contamination" -> sqlContamination,
     "q_ngram_jaccard" -> sqlNgramJaccard,
     "q_lang_id" -> sqlLangId,
     "q_text_stats" -> sqlTextStats,

@@ -29,6 +29,7 @@ class RunCurateSpec extends SparkSpec {
     stats // force
     val corpus = spark.read.parquet(s"$outDir/corpus").cache()
     assert(corpus.filter(col("quality") < 0.5).count() == 0)
+    assert(corpus.filter(col("is_repetitive")).count() == 0, "repetitive docs survived")
     assert(corpus.count() ==
       corpus.select("content_hash").distinct().count(), "exact dups survived")
     assert(corpus.filter(col("n_tokens") <= 0).count() == 0)
