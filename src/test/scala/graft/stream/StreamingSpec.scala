@@ -172,6 +172,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((7L, 2L, 5.0)), s"got ${rows.toSeq}")
   }
 
+  test("curation kernels run unchanged on a stream (quality gate)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.TextFns
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .withColumn("grams", TextFns.wordNgramsFromTokens(col("ts"), 2))
+      .withColumn("quality",
+        TextFns.round4(TextFns.qualityScore(col("text"), col("ts"))))
+      .withColumn("rep", TextFns.repetitionRatio(col("grams")))
+      .filter(col("rep") < 0.5) // drop degenerate repeats, stream-side
+      .select("doc_id", "quality", "rep")
+    val q = docs.writeStream.format("memory").queryName("curate_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog, with style."),
+        (2L, "spam spam spam spam spam spam spam spam")) // pure repetition
+      q.processAllAvailable()
+      val got = spark.table("curate_stream").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      assert(got.contains(1L) && !got.contains(2L))
+      assert(got(1L)._1 > 0.0 && got(1L)._2 < 0.5)
+    } finally q.stop()
+  }
+
   test("runningUserTotals keeps per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Double)]
