@@ -452,18 +452,20 @@ object TextQueries {
       .withColumn("ts", TextFns.tokens(col("text")))
       .withColumn("grams",
         array_distinct(TextFns.wordNgramsFromTokens(col("ts"), NgramN)))
+    // the probe travels as ONE broadcast array: the overlap is then a
+    // per-row set intersection (no gram explode, no 250k-row shuffle)
+    // — both sets are pre-deduped, so |intersect| ≡ the semi-join
+    // hit count
     val probe = docs.filter(col("doc_id") === 0)
-      .select(explode(col("grams")).as("pgram")).distinct()
-    val exploded = docs.filter(col("doc_id") =!= 0)
+      .agg(array_sort(array_distinct(flatten(collect_list(col("grams")))))
+        .as("parr"))
+    docs.filter(col("doc_id") =!= 0)
+      .crossJoin(broadcast(probe))
       .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
-        explode(col("grams")).as("gram"))
-    exploded
-      .join(broadcast(probe), col("gram") === col("pgram"), "left_semi")
-      .groupBy("doc_id", "n_grams")
-      .agg(count(lit(1)).as("n_hits"))
+        size(array_intersect(col("grams"), col("parr"))).cast("long").as("n_hits"))
+      .filter(col("n_hits") > 0)
       .withColumn("contamination", TextFns.round4(
         col("n_hits").cast("double") / col("n_grams").cast("double")))
-      .select("doc_id", "n_grams", "n_hits", "contamination")
       .orderBy("doc_id")
   }
 
