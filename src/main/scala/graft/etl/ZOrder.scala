@@ -45,19 +45,21 @@ object ZOrder {
   def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
                     numFiles: Int, bits: Int = 16): Unit = {
     val levels = (1L << bits) - 1
-    val stats = df.agg(
-      cols.flatMap(c => Seq(
-        min(col(c)).cast("double").as(s"__min_$c"),
-        max(col(c)).cast("double").as(s"__max_$c"))).head,
-      cols.flatMap(c => Seq(
-        min(col(c)).cast("double").as(s"__min_$c"),
-        max(col(c)).cast("double").as(s"__max_$c"))).tail: _*)
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"__min_$c"),
+      max(col(c)).cast("double").as(s"__max_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
     val scaled = cols.map { c =>
       val range = col(s"__max_$c") - col(s"__min_$c")
-      // degenerate (constant) columns scale to level 0
-      when(range === 0.0, lit(0L)).otherwise(
-        floor((col(c).cast("double") - col(s"__min_$c")) / range * levels)
-          .cast("long"))
+      // degenerate (constant) columns scale to level 0; try_cast, not
+      // cast: a NaN in the column makes max/range NaN and ANSI mode
+      // would throw on NaN→long for EVERY row — null z-components
+      // cluster the bad rows together instead (CLAUDE.md ANSI rule)
+      coalesce(
+        when(range === 0.0, lit(0L)).otherwise(
+          floor((col(c).cast("double") - col(s"__min_$c")) / range * levels)
+            .try_cast("long")),
+        lit(0L))
     }
     df.crossJoin(broadcast(stats))
       .withColumn("__z", zValue(scaled, bits))

@@ -224,10 +224,15 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  private val duckNgrams =
-    s"list_transform(range(1, greatest(len(ts) - ${NgramN - 1}, 1) + 1), " +
-      "i -> " + (0 until NgramN).map(o => s"coalesce(ts[CAST(i + $o AS INT)], '')")
+  /** Word n-gram list over staged tokens `ts` — the single oracle
+    * mirror of [[TextFns.wordNgramsFromTokens]] for every gram width.
+    */
+  private def duckNgramsOf(n: Int): String =
+    s"list_transform(range(1, greatest(len(ts) - ${n - 1}, 1) + 1), " +
+      "i -> " + (0 until n).map(o => s"coalesce(ts[CAST(i + $o AS INT)], '')")
         .mkString(" || ") + ")"
+
+  private val duckNgrams = duckNgramsOf(NgramN)
 
   private val sqlNgramJaccard =
     s"""WITH t AS (SELECT doc_id, lang, substring(text, 1, 20) AS blk, $duckTokens AS ts
@@ -392,7 +397,10 @@ object TextQueries {
 
   // ---------- 7c. q_repetition: Gopher-style repeated-n-gram filter ----------
 
-  private[text] val RepetitionThreshold = 0.2
+  // 0.1 flags the corpus's top ~2% most-repetitive docs (max measured
+  // ratio 0.138) — the gate provably FIRES at every test scale, so a
+  // sign flip can't pass the suite; production corpora tune this
+  private[text] val RepetitionThreshold = 0.1
 
   /** Repetition scoring (the Gopher quality rule family): fraction of
     * token 2-grams that are repeats of an earlier 2-gram in the same
@@ -413,9 +421,7 @@ object TextQueries {
       .withColumn("is_repetitive", col("rep_ratio") >= RepetitionThreshold)
       .orderBy("doc_id")
 
-  private val duckBigrams =
-    "list_transform(range(1, greatest(len(ts) - 1, 1) + 1), " +
-      "i -> coalesce(ts[CAST(i AS INT)], '') || coalesce(ts[CAST(i + 1 AS INT)], ''))"
+  private val duckBigrams = duckNgramsOf(2)
 
   private val sqlRepetition =
     s"""WITH t AS (SELECT doc_id, $duckTokens AS ts FROM documents),
@@ -457,8 +463,7 @@ object TextQueries {
     // — both sets are pre-deduped, so |intersect| ≡ the semi-join
     // hit count
     val probe = docs.filter(col("doc_id") === 0)
-      .agg(array_sort(array_distinct(flatten(collect_list(col("grams")))))
-        .as("parr"))
+      .agg(array_distinct(flatten(collect_list(col("grams")))).as("parr"))
     docs.filter(col("doc_id") =!= 0)
       .crossJoin(broadcast(probe))
       .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),

@@ -29,6 +29,11 @@ class RunCurateSpec extends SparkSpec {
     stats // force
     val corpus = spark.read.parquet(s"$outDir/corpus").cache()
     assert(corpus.filter(col("quality") < 0.5).count() == 0)
+    // the repetition gate must provably FIRE on this corpus (threshold
+    // is calibrated so the input contains flagged docs) — otherwise
+    // this assertion would pass with the gate deleted or inverted
+    assert(spark.read.parquet(s"$outDir/annotate")
+      .filter(col("is_repetitive")).count() > 0, "gate input is vacuous")
     assert(corpus.filter(col("is_repetitive")).count() == 0, "repetitive docs survived")
     assert(corpus.count() ==
       corpus.select("content_hash").distinct().count(), "exact dups survived")
