@@ -96,8 +96,40 @@ object Multimodal {
       }
   }
 
+  /** Real audio decode via the JDK's own `javax.sound.sampled` (WAV /
+    * AIFF / AU PCM — no external jars). Samples are decoded to 16-bit
+    * signed ints channel-interleaved, honoring the stream's declared
+    * endianness. Returns None for bytes no registered reader claims —
+    * callers fall back to [[FakeCodec]], mirroring [[ImageIoCodec]].
+    */
+  object SoundCodec {
+    def decode(bytes: Array[Byte]): Option[(Int, Array[Int])] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16) None // scope: PCM-16 only
+          else {
+            val raw = in.readAllBytes()
+            val n = raw.length / 2
+            val px = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              val (lo, hi) =
+                if (fmt.isBigEndian) (raw(2 * i + 1), raw(2 * i))
+                else (raw(2 * i), raw(2 * i + 1))
+              px(i) = (hi.toInt << 8) | (lo & 0xff)
+              i += 1
+            }
+            Some((fmt.getSampleRate.toInt, px))
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Deterministic stand-in for the decoders the JDK doesn't ship
-    * (audio/video) and for non-media test bytes: all outputs are pure
+    * (video) and for non-media test bytes: all outputs are pure
     * functions of the content bytes, so tests and reruns converge.
     * Replace with a real codec binding at deployment; signatures are
     * the contract.
@@ -157,8 +189,10 @@ object Multimodal {
       }
   }
 
-  /** Feature extraction for audio: RMS energy + zero crossings over
-    * the fake sample stream.
+  /** Feature extraction for audio: RMS energy + zero crossings. Real
+    * WAV/AIFF bytes decode through [[SoundCodec]] (which also yields
+    * the true sample rate); undecodable bytes keep the [[FakeCodec]]
+    * derivation with the metadata-declared rate — total either way.
     */
   def audioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
     val spark = media.sparkSession
@@ -166,7 +200,8 @@ object Multimodal {
     media.filter(col("kind") === "audio").as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val xs = FakeCodec.audioSamples(r.content)
+          val (rate, xs) = SoundCodec.decode(r.content).getOrElse(
+            (r.meta.sample_rate.getOrElse(0), FakeCodec.audioSamples(r.content)))
           var sq = 0.0; var zc = 0L
           var i = 0
           while (i < xs.length) {
@@ -174,7 +209,7 @@ object Multimodal {
             if (i > 0 && (xs(i) >= 0) != (xs(i - 1) >= 0)) zc += 1
             i += 1
           }
-          AudioFeatures(r.media_id, r.meta.sample_rate.getOrElse(0),
+          AudioFeatures(r.media_id, rate,
             xs.length.toLong,
             if (xs.isEmpty) 0.0 else math.sqrt(sq / xs.length), zc)
         }

@@ -53,6 +53,32 @@ class MultimodalSpec extends SparkSpec {
     assert(d.histogram(140 / 16) == 70L && d.histogram.sum == 70L)
   }
 
+  test("audioFeatures decodes a real PCM WAV via javax.sound.sampled") {
+    import spark.implicits._
+    // 100-sample 8kHz mono square wave alternating ±1000 every 10
+    // samples: RMS = 1000 exactly, zero crossings = 9
+    val samples = (0 until 100).map(i => if ((i / 10) % 2 == 0) 1000 else -1000)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      raw(2 * i) = (s & 0xff).toByte
+      raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val realWav = Multimodal.mediaFixture(spark, sfTiny)
+      .filter(col("kind") === "audio").limit(1)
+      .withColumn("content", typedLit(bos.toByteArray))
+    val f = Multimodal.audioFeatures(realWav).collect().head
+    assert(f.sample_rate == 8000)
+    assert(f.n_samples == 100)
+    assert(f.rms == 1000.0)
+    assert(f.zero_crossings == 9)
+  }
+
   test("decode survives repartitioning (partition-iterator shape)") {
     val one = Multimodal.decodeImages(media).orderBy("media_id").collect().toSeq
     val many = Multimodal.decodeImages(media.repartition(7)).orderBy("media_id").collect().toSeq
