@@ -488,6 +488,39 @@ object TextQueries {
                  "CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE)")} AS contamination
        |FROM h ORDER BY doc_id""".stripMargin
 
+  // ---------- 7e. q_token_shards: capacity-packed training shards ----------
+
+  private val ShardTokens = 5000L
+
+  /** Training-shard packing: fill shards to $ShardTokens whitespace
+    * tokens in doc_id order (the sequence-sharding step before
+    * tokenized training data is written). Runs on the DISTRIBUTED
+    * prefix scan ([[graft.etl.PrefixScan]] — range partition +
+    * two-pass offsets, never a single-partition window); the oracle
+    * replays the same semantics with a window cumsum, which is fine
+    * at oracle scale.
+    */
+  def tokenShards(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.etl.PrefixScan.packByCapacity(docs, "doc_id", "n_tokens", ShardTokens)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("shard")
+  }
+
+  private val sqlTokenShards =
+    s"""WITH t AS (SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n_tokens
+       |           FROM documents),
+       |     p AS (SELECT doc_id, n_tokens,
+       |                  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+       |           FROM t)
+       |SELECT CAST(prefix // $ShardTokens AS BIGINT) AS shard,
+       |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM p GROUP BY 1 ORDER BY shard""".stripMargin
+
   // ---------- 8. q_quality_score: per-doc quality (C4-style heuristics) ----------
 
   def qualityScoreQ(spark: SparkSession, sfDir: String): DataFrame =
@@ -509,6 +542,7 @@ object TextQueries {
     "q_simhash_neardup" -> (simhashNearDup _),
     "q_repetition" -> (repetition _),
     "q_contamination" -> (contamination _),
+    "q_token_shards" -> (tokenShards _),
     "q_ngram_jaccard" -> (ngramJaccard _),
     "q_lang_id" -> (langId _),
     "q_text_stats" -> (textStats _),
@@ -522,6 +556,7 @@ object TextQueries {
     "q_simhash_neardup" -> sqlSimhashNearDup,
     "q_repetition" -> sqlRepetition,
     "q_contamination" -> sqlContamination,
+    "q_token_shards" -> sqlTokenShards,
     "q_ngram_jaccard" -> sqlNgramJaccard,
     "q_lang_id" -> sqlLangId,
     "q_text_stats" -> sqlTextStats,
