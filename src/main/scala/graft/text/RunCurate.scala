@@ -69,7 +69,7 @@ object RunCurate {
         .select(col("doc_id"), col("source"), col("lang"), col("text"),
           bestLang(col("ts")).as("lang_pred"),
           TextFns.round4(TextFns.qualityScore(col("text"), col("ts"))).as("quality"),
-          size(col("ts")).as("n_tokens"),
+          size(col("ts")).cast("long").as("n_tokens"),
           (TextFns.repetitionRatio(col("grams")) >=
             TextQueries.RepetitionThreshold).as("is_repetitive"),
           sha2(TextQueries.normText(col("text")), 256).as("content_hash"))
@@ -100,14 +100,18 @@ object RunCurate {
     }
 
     val s5 = stage("corpus") {
-      // lang cardinality is fixed (the marker map), so partition
-      // directories stay bounded at any corpus size
-      read("neardup").repartition(col("lang_pred"))
+      // survivors packed into training shards of bounded token budget
+      // (the distributed prefix scan — the same q_token_shards kernel)
+      graft.etl.PrefixScan.packByCapacity(
+        read("neardup"), "doc_id", "n_tokens", capacity = 50000L)
     }
-    // partitioned rewrite for the final layout (corpus/ is the flat
-    // snapshot the stats read; corpus_by_lang/ the serving layout)
+    // partitioned rewrites for the serving layouts (corpus/ is the
+    // flat snapshot the stats read): by language for filtering, by
+    // shard for training ingestion
     graft.etl.Warehouse.writePartitioned(
       read("corpus"), s"$outDir/corpus_by_lang", Seq("lang_pred"))
+    graft.etl.Warehouse.writePartitioned(
+      read("corpus"), s"$outDir/corpus_by_shard", Seq("shard"))
 
     Seq(s1, s2, s3, s4, s5)
   }

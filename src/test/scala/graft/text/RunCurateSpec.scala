@@ -44,6 +44,23 @@ class RunCurateSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("corpus is packed into bounded training shards") {
+    stats // force
+    val corpus = spark.read.parquet(s"$outDir/corpus")
+    val byShard = corpus.groupBy("shard")
+      .agg(sum(col("n_tokens")).as("tok")).orderBy("shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(byShard.head._1 == 0L)
+    // every shard's fill stays within capacity + one max-doc overhang
+    val maxDoc = corpus.agg(max(col("n_tokens"))).collect().head.getLong(0)
+    byShard.foreach { case (s, tok) =>
+      assert(tok <= 50000L + maxDoc, s"shard $s overfilled: $tok")
+    }
+    val dirs = new java.io.File(s"$outDir/corpus_by_shard").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("shard=")))
+  }
+
   test("corpus_by_lang is partitioned by predicted language") {
     stats // force
     val dirs = new java.io.File(s"$outDir/corpus_by_lang").listFiles()
