@@ -1,0 +1,32 @@
+package graft
+
+/** Driver-contract invariants: the pack aggregation must not silently
+  * drop queries (Map ++ overwrites on key collision), every oracle
+  * entry must have a query, and the flagship must be non-vacuous.
+  */
+class SparkEntrySpec extends SparkSpec {
+
+  test("pack aggregation loses no queries to name collisions") {
+    val packs = Seq(
+      etl.EtlQueries.queries, olap.OlapQueries.queries,
+      olap.OlapMore.queries, stream.EventQueries.queries,
+      text.TextQueries.queries, vector.VectorQueries.queries)
+    val total = packs.map(_.size).sum
+    assert(SparkEntry.queries.size == total,
+      s"aggregated ${SparkEntry.queries.size} of $total — duplicate query name across packs")
+  }
+
+  test("every oracle key has a query; every query has an oracle") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
+    // the contract allows omitting oracles for non-SQL-expressible
+    // queries, but every current query IS oracle-checked — losing one
+    // silently would weaken the gate, so pin the full set
+    assert((q -- o).isEmpty, s"queries without oracles: ${q -- o}")
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
