@@ -298,7 +298,85 @@ object VectorQueries {
        |SELECT vec_id, cell, ${duckRound4("sim0")} AS sim
        |FROM s2 ORDER BY sim0 DESC, vec_id LIMIT $TopK""".stripMargin
 
+  // ---------- 7. q_sq_error: int8 scalar-quantization fidelity ----------
+
+  private val SqLevels = 255L
+
+  /** Scalar quantization (the FAISS-style SQ8 storage step): each
+    * dimension is linearly mapped to 0..255 against its corpus-wide
+    * min/max, reconstructed, and the per-vector reconstruction error
+    * reported per label — the fidelity audit run before committing a
+    * corpus to compressed storage (4× smaller than float32, 8× than
+    * the double working form).
+    *
+    * Scale: the per-dim min/max stats are one map-side-combinable
+    * shuffle of O(dims) state, BROADCAST back (the codebook pattern of
+    * [[ivfAssign]]); quantize + error is then a per-row map. The
+    * rounding inside quantization is the floor(x+0.5) form, identical
+    * IEEE ops on both engines; the max error aggregate is
+    * order-independent, and the mean follows the round(avg) convention
+    * of [[centroids]].
+    */
+  def sqError(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+    val stats = vecs
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .groupBy()
+      .agg(
+        expr("transform(array_sort(collect_list(struct(dim, mn))), p -> p.mn)").as("mns"),
+        expr("transform(array_sort(collect_list(struct(dim, mx))), p -> p.mx)").as("mxs"))
+    // per element: |x - dequant(quant(x))|; degenerate dims (mx = mn)
+    // reconstruct exactly
+    val errs = expr(
+      s"""transform(v, (x, i) ->
+         |  CASE WHEN element_at(mxs, i + 1) = element_at(mns, i + 1) THEN 0.0D
+         |  ELSE abs(x - (element_at(mns, i + 1) +
+         |    floor((x - element_at(mns, i + 1)) /
+         |          (element_at(mxs, i + 1) - element_at(mns, i + 1)) * $SqLevels + 0.5D)
+         |    / $SqLevels *
+         |    (element_at(mxs, i + 1) - element_at(mns, i + 1)))) END)""".stripMargin)
+    vecs.crossJoin(broadcast(stats))
+      .withColumn("errs", errs)
+      .withColumn("mean_err",
+        aggregate(col("errs"), lit(0.0), (a, e) => a + e) / size(col("v")))
+      .withColumn("max_err", array_max(col("errs")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("mean_err")), 4).as("avg_err"),
+        round4(max(col("max_err"))).as("worst_err"))
+      .orderBy("label")
+  }
+
+  private val sqlSqError = {
+    val deq = s"(mns[CAST(i AS INT)] + floor((v[CAST(i AS INT)] - mns[CAST(i AS INT)]) / " +
+      s"(mxs[CAST(i AS INT)] - mns[CAST(i AS INT)]) * $SqLevels + 0.5) / $SqLevels * " +
+      s"(mxs[CAST(i AS INT)] - mns[CAST(i AS INT)]))"
+    s"""WITH $duckVecs,
+       |     x AS (SELECT CAST(i - 1 AS INT) AS dim, v[CAST(i AS INT)] AS x
+       |           FROM e0 CROSS JOIN range(1, 65) t(i)),
+       |     d AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY dim),
+       |     s AS (SELECT list_transform(list_sort(list({'dim': dim, 'mn': mn})), p -> p.mn) AS mns,
+       |                  list_transform(list_sort(list({'dim': dim, 'mx': mx})), p -> p.mx) AS mxs
+       |           FROM d),
+       |     er AS (SELECT e0.vec_id, e0.label,
+       |                   list_transform(range(1, len(v) + 1), i ->
+       |                     CASE WHEN mxs[CAST(i AS INT)] = mns[CAST(i AS INT)] THEN 0.0
+       |                     ELSE abs(v[CAST(i AS INT)] - $deq) END) AS errs,
+       |                   len(v) AS nd
+       |            FROM e0 CROSS JOIN s),
+       |     pe AS (SELECT vec_id, label,
+       |                   list_reduce([CAST(0.0 AS DOUBLE)] || errs, (a, e) -> a + e) / nd AS mean_err,
+       |                   list_max(errs) AS max_err
+       |            FROM er)
+       |SELECT label, count(*) AS n,
+       |       round(avg(mean_err), 4) AS avg_err,
+       |       ${duckRound4("max(max_err)")} AS worst_err
+       |FROM pe GROUP BY label ORDER BY label""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sq_error" -> (sqError _),
     "q_ivf_search" -> (ivfSearch _),
     "q_knn" -> (knn _),
     "q_ann_lsh" -> (annLsh _),
@@ -307,6 +385,7 @@ object VectorQueries {
     "q_ivf_assign" -> (ivfAssign _))
 
   val oracle: Map[String, String] = Map(
+    "q_sq_error" -> sqlSqError,
     "q_ivf_search" -> sqlIvfSearch,
     "q_knn" -> sqlKnn,
     "q_ann_lsh" -> sqlAnnLsh,
