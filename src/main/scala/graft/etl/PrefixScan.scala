@@ -37,9 +37,12 @@ object PrefixScan {
     val sorted = df.repartitionByRange(n, col(orderCol))
       .sortWithinPartitions(orderCol)
     val vIdx = sorted.schema.fieldIndex(valueCol)
+    // null values contribute 0 — Row.getLong would NPE on a null, and
+    // the oracle's window sum skips nulls, which is the same semantics
+    def valOf(r: Row): Long = if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
     val rdd = sorted.rdd
     val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
-      Iterator((i, it.foldLeft(0L)((a, r) => a + r.getLong(vIdx))))
+      Iterator((i, it.foldLeft(0L)((a, r) => a + valOf(r))))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = spark.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
     val schema = StructType(sorted.schema.fields :+
@@ -48,7 +51,7 @@ object PrefixScan {
       var acc = offsets.value(i)
       it.map { r =>
         val out = Row.fromSeq(r.toSeq :+ acc)
-        acc += r.getLong(vIdx)
+        acc += (if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx))
         out
       }
     }

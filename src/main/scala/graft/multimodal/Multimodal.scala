@@ -12,13 +12,12 @@ import org.apache.spark.sql.types._
   * column, per-row compute runs inside partition iterators, and
   * everything downstream of decode is ordinary relational Spark.
   *
-  * The actual codec work is STUBBED with a deterministic fake (this
-  * environment ships no image/audio libraries): [[FakeCodec]] derives
-  * "decoded" properties purely from the bytes. Everything around the
-  * stub — schema, encoders, partition-iterator batch shape, the
-  * column contracts each stage consumes/produces — is real and
-  * tested, so swapping FakeCodec for a JNI/javacv decoder changes one
-  * object.
+  * Codec status: image (PNG/JPEG/BMP/GIF) decodes for real through
+  * [[ImageIoCodec]] (javax.imageio) and audio (WAV/AIFF/AU signed
+  * PCM-16) through [[SoundCodec]] (javax.sound.sampled) — both
+  * JDK-native, no external jars. Video and undecodable bytes fall
+  * back to the deterministic [[FakeCodec]], so every stage is total;
+  * swapping in a JNI/javacv video decoder changes one object.
   *
   * Scale: decode runs as `mapPartitions` over the typed Dataset — one
   * iterator per partition, constant memory, no shuffle, trivially
@@ -58,8 +57,7 @@ object Multimodal {
     * to integer-luma grayscale (BT.601 weights in integer arithmetic)
     * so every downstream stat is deterministic across JVMs. Returns
     * None for bytes no registered reader claims — callers fall back to
-    * [[FakeCodec]] for synthetic fixtures and for the audio/video
-    * kinds this environment still can't decode.
+    * [[FakeCodec]] (synthetic fixtures, video).
     */
   object ImageIoCodec {
     def decode(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
@@ -109,7 +107,12 @@ object Multimodal {
           new java.io.ByteArrayInputStream(bytes))
         try {
           val fmt = in.getFormat
-          if (fmt.getSampleSizeInBits != 16) None // scope: PCM-16 only
+          // scope: SIGNED PCM-16 only — an unsigned stream through the
+          // signed reinterpretation would decode silence as full-scale
+          // DC instead of falling back
+          if (fmt.getSampleSizeInBits != 16 ||
+              fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            None
           else {
             val raw = in.readAllBytes()
             val n = raw.length / 2

@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   *   4. neardup   — MinHash-LSH cluster assignment, keep each
   *                  cluster's canonical (min doc_id) member
   *                  (`q_minhash_cluster` shape)
-  *   5. corpus    — final snapshot partitioned by predicted language
+  *   5. corpus    — survivors packed into token-budgeted training
+  *                  shards (`q_token_shards` kernel); a by-language
+  *                  serving layout is rewritten alongside
   *
   * Each stage persists a parquet snapshot and the next reads it back:
   * at 100 TB a multi-stage curation run wants stage boundaries on
@@ -105,13 +107,15 @@ object RunCurate {
       graft.etl.PrefixScan.packByCapacity(
         read("neardup"), "doc_id", "n_tokens", capacity = 50000L)
     }
-    // partitioned rewrites for the serving layouts (corpus/ is the
-    // flat snapshot the stats read): by language for filtering, by
-    // shard for training ingestion
+    // partitioned rewrite for the language serving layout (corpus/ is
+    // the flat snapshot the stats read). Lang cardinality is bounded
+    // by the marker map, so directories stay sane at any corpus size;
+    // shard is corpus-proportional and must NOT be a Hive partition
+    // key — shard locality is already file-level in corpus/ (the
+    // prefix scan leaves rows shard-monotone, so parquet min/max on
+    // `shard` prunes files for a shard read).
     graft.etl.Warehouse.writePartitioned(
       read("corpus"), s"$outDir/corpus_by_lang", Seq("lang_pred"))
-    graft.etl.Warehouse.writePartitioned(
-      read("corpus"), s"$outDir/corpus_by_shard", Seq("shard"))
 
     Seq(s1, s2, s3, s4, s5)
   }
