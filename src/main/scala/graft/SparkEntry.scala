@@ -20,14 +20,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     etl.EtlQueries.queries ++ olap.OlapQueries.queries ++
-      olap.OlapMore.queries ++ stream.EventQueries.queries ++
-      text.TextQueries.queries ++ vector.VectorQueries.queries
+      olap.OlapMore.queries ++ olap.Analytics.queries ++
+      stream.EventQueries.queries ++ text.TextQueries.queries ++
+      text.TextAnalytics.queries ++ vector.VectorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     etl.EtlQueries.oracle ++ olap.OlapQueries.oracle ++
-      olap.OlapMore.oracle ++ stream.EventQueries.oracle ++
-      text.TextQueries.oracle ++ vector.VectorQueries.oracle
+      olap.OlapMore.oracle ++ olap.Analytics.oracle ++
+      stream.EventQueries.oracle ++ text.TextQueries.oracle ++
+      text.TextAnalytics.oracle ++ vector.VectorQueries.oracle
 }

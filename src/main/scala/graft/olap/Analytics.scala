@@ -1,0 +1,180 @@
+package graft.olap
+
+import graft.schema.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Behavioral / time-series analytics over the star schema and the
+  * event stream — the cohort, funnel, and series-completion shapes a
+  * warehouse user reaches for right after the core OLAP layer
+  * (SURVEY.md §2.6 extension set).
+  *
+  * Scale: every query here is built from key-partitioned aggregates
+  * and joins whose key is the natural entity (customer, user, hour
+  * bucket) — no pairwise work, no fact-scale windows. The only
+  * single-row inputs are scalar aggregate bounds, which are joined in
+  * (never `.head()`-ed) per the lazy-plan rule.
+  */
+object Analytics {
+
+  // ---------- q_cohort_retention: first-order cohorts × months-since ----------
+
+  /** Classic retention matrix: cohort = month of the customer's first
+    * order; for each (cohort month, months since) count the customers
+    * who placed an order that far out.
+    *
+    * Shape: collapse orders to the (customer, month) grain FIRST (the
+    * pairwise-collapse rule — 10 orders/customer become ≤80 rows
+    * before any join), derive first-month per customer from that same
+    * grain, then one equi-join on o_custkey and one hash aggregate.
+    * At 100 TB both sides of the join are customer-keyed shuffles;
+    * the output is bounded by months² regardless of fact size.
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val custMonth = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), date_trunc("month", col("o_orderdate")).as("m"))
+      .distinct()
+    val firstMonth = custMonth.groupBy("o_custkey")
+      .agg(min(col("m")).as("cohort_m"))
+    custMonth.join(firstMonth, "o_custkey")
+      .groupBy(
+        date_format(col("cohort_m"), "yyyy-MM").as("cohort_month"),
+        months_between(col("m"), col("cohort_m")).cast("long").as("months_since"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy("cohort_month", "months_since")
+  }
+
+  private val sqlCohortRetention =
+    """WITH cm AS (SELECT DISTINCT o_custkey,
+      |                   date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS m
+      |            FROM orders),
+      |     f AS (SELECT o_custkey, min(m) AS cohort_m FROM cm GROUP BY 1)
+      |SELECT strftime(f.cohort_m, '%Y-%m') AS cohort_month,
+      |       date_diff('month', f.cohort_m, cm.m) AS months_since,
+      |       count(DISTINCT cm.o_custkey) AS n_customers
+      |FROM cm JOIN f USING (o_custkey)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------- q_funnel: ordered view → click → purchase stages ----------
+
+  /** Ordered conversion funnel: users with a view, users whose first
+    * post-view click exists, users whose first post-click purchase
+    * exists. Each stage is a filtered aggregate joined on user_id to
+    * the previous stage's first-timestamp — the ordering constraint
+    * (`ts >= prev stage ts`) is what makes it a funnel rather than
+    * three independent counts.
+    *
+    * Shape: three user-keyed hash aggregates chained by user-keyed
+    * equi-joins; per-stage state is one timestamp per user. The final
+    * three scalar counts are unioned lazily (no driver-side action).
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .join(views, "user_id").filter(col("ts") >= col("v_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id").filter(col("ts") >= col("c_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+    views.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
+      .unionByName(clicks.agg(count(lit(1)).as("n_users"))
+        .withColumn("stage", lit("2_click_after_view")))
+      .unionByName(purchases.agg(count(lit(1)).as("n_users"))
+        .withColumn("stage", lit("3_purchase_after_click")))
+      .select(col("stage"), col("n_users"))
+      .orderBy("stage")
+  }
+
+  private val sqlFunnel =
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |     v AS (SELECT user_id, min(ts) AS v_ts FROM e WHERE event_type = 'view' GROUP BY 1),
+      |     c AS (SELECT e.user_id, min(e.ts) AS c_ts
+      |           FROM e JOIN v ON e.user_id = v.user_id AND e.ts >= v.v_ts
+      |           WHERE e.event_type = 'click' GROUP BY 1),
+      |     p AS (SELECT e.user_id, min(e.ts) AS p_ts
+      |           FROM e JOIN c ON e.user_id = c.user_id AND e.ts >= c.c_ts
+      |           WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+      |UNION ALL SELECT '2_click_after_view', count(*) FROM c
+      |UNION ALL SELECT '3_purchase_after_click', count(*) FROM p
+      |ORDER BY stage""".stripMargin
+
+  // ---------- q_gap_fill: dense hourly series with zero-filled gaps ----------
+
+  /** Hourly purchase revenue with missing hours restored as explicit
+    * zero rows (time-series completion — ML feature windows and
+    * charting both need the dense grid; 47 of 720 hours are empty on
+    * this corpus, so the fill is exercised).
+    *
+    * Shape: the hour spine is `sequence()` over the min/max bounds —
+    * a scalar aggregate JOINED in (cross join of one row), never
+    * collected. Spine cardinality scales with wall-clock time, not
+    * data volume, so the left join's build side stays tiny at any SF.
+    */
+  def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(date_trunc("hour", col("ts")).as("hr"), col("value"))
+    val hourly = purchases.groupBy("hr")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 4).as("sum_value"))
+    val spine = purchases
+      .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+      .select(explode(expr("sequence(mn, mx, interval 1 hour)")).as("hr"))
+    spine.join(hourly, Seq("hr"), "left")
+      .select(
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("hour")
+  }
+
+  private val sqlGapFill =
+    """WITH p AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, value
+      |           FROM events WHERE event_type = 'purchase'),
+      |     hourly AS (SELECT hr, count(*) AS n_purchases,
+      |                       round(sum(value), 4) AS sum_value
+      |                FROM p GROUP BY 1),
+      |     b AS (SELECT min(hr) AS mn, max(hr) AS mx FROM p),
+      |     spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr FROM b)
+      |SELECT strftime(spine.hr, '%Y-%m-%d %H:%M:%S') AS hour,
+      |       coalesce(n_purchases, 0) AS n_purchases,
+      |       coalesce(sum_value, 0.0) AS sum_value
+      |FROM spine LEFT JOIN hourly ON spine.hr = hourly.hr
+      |ORDER BY 1""".stripMargin
+
+  // ---------- q_salted_agg: skew-salted two-phase aggregate, plain oracle ----------
+
+  /** Oracle-verified twin of [[Skew.saltedSumCount]]: the salted
+    * two-phase sum/count must equal the plain one-phase aggregate
+    * (salting only re-associates the additions). This promotes the
+    * skew operator from spec-only to oracle-gated — the deterministic
+    * xxhash64 salt and the partial/final split are both on the line.
+    */
+  def saltedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+    Skew.saltedSumCount(e, Seq("event_type"), "value", salt = 16)
+      .select(col("event_type"),
+        round(col("sum_value"), 4).as("sum_value"), col("n"))
+      .orderBy("event_type")
+  }
+
+  private val sqlSaltedAgg =
+    """SELECT event_type, round(sum(value), 4) AS sum_value, count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_retention" -> (cohortRetention _),
+    "q_funnel" -> (funnel _),
+    "q_gap_fill" -> (gapFill _),
+    "q_salted_agg" -> (saltedAgg _))
+
+  val oracle: Map[String, String] = Map(
+    "q_cohort_retention" -> sqlCohortRetention,
+    "q_funnel" -> sqlFunnel,
+    "q_gap_fill" -> sqlGapFill,
+    "q_salted_agg" -> sqlSaltedAgg)
+}

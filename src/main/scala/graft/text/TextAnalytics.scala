@@ -1,0 +1,120 @@
+package graft.text
+
+import graft.schema.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level term statistics and deterministic sampling — the
+  * text-analysis shapes that sit between per-document scoring
+  * ([[TextFns]]) and pairwise dedup ([[TextQueries]]).
+  *
+  * Scale notes inline per query; tokenization is the shared
+  * [[TextFns.tokens]] / [[TextQueries.duckTokens]] pair so every text
+  * operator in the repo agrees on what a token is.
+  */
+object TextAnalytics {
+
+  // ---------- q_tfidf: top-3 TF-IDF terms per document ----------
+
+  /** Per-document top-3 terms by TF-IDF (tf × ln(N/df)) — the
+    * classic relevance weight, and the repo's inverted-index /
+    * keyword-extraction primitive.
+    *
+    * Shape: explode to (doc, term) grain → two hash aggregates (term
+    * frequency per doc, document frequency per term) → join back on
+    * term. N is a scalar aggregate joined in as a broadcast (never
+    * `.head()`-ed). The per-doc top-3 is a row_number window
+    * partitioned by doc_id — fact-cardinality partitions, so no hot
+    * key. Ranking follows the CLAUDE.md rule: order on the ROUNDED
+    * score with the term string as total tie-break, so cross-engine
+    * ulp drift in `ln` cannot flip ranks (both engines rank the same
+    * round4 value).
+    */
+  def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val terms = docs.select(col("doc_id"),
+      explode(TextFns.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        TextFns.round4(col("tf") * log(col("n_docs").cast("double") / col("df"))))
+    val byDoc = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rk", row_number().over(byDoc))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  private val sqlTfidf = {
+    val score = TextFns.duckRound4("tf * ln(CAST(n_docs AS DOUBLE) / df)")
+    s"""WITH t AS (SELECT doc_id, ${TextQueries.duckTokens} AS ts FROM documents),
+       |     terms AS (SELECT doc_id, unnest(ts) AS term FROM t),
+       |     tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |     dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |     nd AS (SELECT count(*) AS n_docs FROM documents),
+       |     scored AS (SELECT tf.doc_id, tf.term, $score AS score
+       |                FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+       |     ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                  ORDER BY score DESC, term) AS rk
+       |                FROM scored)
+       |SELECT doc_id, rk, term, score FROM ranked
+       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+  }
+
+  // ---------- q_strat_sample: deterministic stratified sample ----------
+
+  /** Exact-k deterministic stratified sample: 5 documents per
+    * language, selected by md5(doc_id) order — reproducible across
+    * runs, partition layouts, and engines (content-hash membership,
+    * the [[graft.etl.Sampling]] principle applied to exact-k).
+    *
+    * Shape: the strata (5 langs) are hot keys, so a single window
+    * partitioned by lang would funnel the corpus through 5 reducers.
+    * Instead: phase 1 takes the per-(lang, salt) top-5 over 8 salt
+    * shards (row_number over lang×salt — 40 partitions, each seeing
+    * ~1/8 of a stratum), phase 2 re-ranks the ≤40 survivors per lang.
+    * Selection by a total order composes, so two-phase ≡ one global
+    * rank — the oracle ranks once and must agree exactly. This is the
+    * relational form of the mergeable top-k (TopKAgg) pattern.
+    */
+  def stratSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 5
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("hkey"))
+    val phase1 = Window
+      .partitionBy(col("lang"), pmod(col("doc_id"), lit(8L)))
+      .orderBy(col("hkey"), col("doc_id"))
+    val survivors = docs
+      .withColumn("rk1", row_number().over(phase1))
+      .filter(col("rk1") <= k)
+    val phase2 = Window.partitionBy("lang").orderBy(col("hkey"), col("doc_id"))
+    survivors.withColumn("rk", row_number().over(phase2))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy("lang", "rk")
+  }
+
+  private val sqlStratSample =
+    """WITH h AS (SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hkey
+      |           FROM documents),
+      |     ranked AS (SELECT lang, doc_id,
+      |                       row_number() OVER (PARTITION BY lang
+      |                         ORDER BY hkey, doc_id) AS rk
+      |                FROM h)
+      |SELECT lang, rk, doc_id FROM ranked WHERE rk <= 5
+      |ORDER BY lang, rk""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf" -> (tfidf _),
+    "q_strat_sample" -> (stratSample _))
+
+  val oracle: Map[String, String] = Map(
+    "q_tfidf" -> sqlTfidf,
+    "q_strat_sample" -> sqlStratSample)
+}

@@ -54,7 +54,10 @@ object TextQueries {
   private val duckPolyHash =
     s"list_reduce([CAST(0 AS BIGINT)] || cs, (acc, c) -> (acc * 31 + c) % $p)"
 
-  private val duckTokens =
+  /** Shared with [[TextAnalytics]] (single source of truth for the
+    * token oracle form, per the TextHash-constants rule).
+    */
+  private[text] val duckTokens =
     "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
 
   /** Per-token rolling hashes (tokens already materialized as `ts`). */
