@@ -1,0 +1,70 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by iterative min-label
+  * propagation — the transitive-closure step that turns one-hop
+  * near-dup buckets (MinHash band collisions, SimHash Hamming pairs)
+  * into full duplicate CLUSTERS. One-hop single-link (what
+  * `q_minhash_cluster` emits) under-merges whenever A~B and B~C
+  * collide in different bands; the closure is what a dedup pipeline
+  * must canonicalize on.
+  *
+  * Algorithm: label(v) starts as v; each round every vertex takes the
+  * min of its own label and its neighbors' labels; fixpoint when no
+  * label changes. Rounds needed = graph diameter, and near-dup graphs
+  * are star-shaped (docs hang off bucket representatives), so the
+  * diameter is small — single digits in practice. Each round is one
+  * key-partitioned join (edges ⋈ labels on dst) plus one hash
+  * aggregate (min per node): O(E) shuffle per round, no driver-side
+  * data, scale-safe at any edge count. The per-round driver action is
+  * an O(1) convergence probe (`isEmpty` on the changed set), the
+  * canonical iterate-until-fixpoint shape (same as GraphX/Pregel).
+  *
+  * Lineage: labels are `localCheckpoint`-ed each round — without
+  * truncation the plan doubles per iteration and the optimizer
+  * re-walks it quadratically. On a cluster with dynamic allocation
+  * prefer `spark.sparkContext.setCheckpointDir` + `checkpoint()`
+  * (localCheckpoint blocks die with their executor); at 100 TB the
+  * halving variant (large-star/small-star, Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) cuts
+  * rounds from diameter to O(log diameter) — same per-round shape,
+  * worth it only for chain-heavy graphs.
+  */
+object ConnectedComponents {
+
+  /** @param edges undirected edge list; orientation and duplicates
+    *              are normalized away internally.
+    * @return (node, component) where component = min node id
+    *         reachable from `node`; every endpoint of `edges` appears
+    *         exactly once.
+    */
+  def run(edges: DataFrame, src: String = "src", dst: String = "dst",
+          maxIter: Int = 50): DataFrame = {
+    val e0 = edges.select(col(src).as("a"), col(dst).as("b"))
+    val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(true)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbr = sym
+        .join(labels.select(col("node").as("b"), col("lbl")), "b")
+        .select(col("a").as("node"), col("lbl"))
+      val next = labels.union(nbr)
+        .groupBy("node").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      converged = next.as("n").join(labels.as("o"), "node")
+        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
+      labels = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds " +
+          "(diameter exceeds maxIter — raise it or use the halving variant)")
+    labels.select(col("node"), col("lbl").as("component"))
+  }
+}

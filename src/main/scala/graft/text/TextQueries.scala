@@ -164,12 +164,19 @@ object TextQueries {
     * funnel can never diverge from the oracle-verified clustering.
     * Input must carry (`doc_id`, `text`).
     */
-  private[text] def minhashAssignments(docs: DataFrame): DataFrame = {
-    val bands = docs
+  /** (doc_id, band) LSH bucket memberships — the collision stage
+    * shared by one-hop clustering ([[minhashAssignments]]) and the
+    * transitive closure ([[ccClusters]]).
+    */
+  private[text] def minhashBands(docs: DataFrame): DataFrame =
+    docs
       .withColumn("sig",
         graft.functions.TextHashes.minHashSig(col("text"), K, NumHashes))
       .select(col("doc_id"),
         explode(TextFns.lshBandKeys(col("sig"), RowsPerBand, NumBands)).as("band"))
+
+  private[text] def minhashAssignments(docs: DataFrame): DataFrame = {
+    val bands = minhashBands(docs)
     val reps = bands.groupBy("band").agg(min(col("doc_id")).as("rep"))
     bands.join(reps, "band")
       .groupBy("doc_id").agg(min(col("rep")).as("cluster_id"))
@@ -193,6 +200,54 @@ object TextQueries {
        |SELECT cluster_id, count(*) AS n_docs
        |FROM clusters GROUP BY cluster_id HAVING count(*) > 1
        |ORDER BY cluster_id""".stripMargin
+
+  // ---------- 3b. q_cc_clusters: transitive-closure near-dup clusters ----------
+
+  /** Full connected-components closure over the MinHash band-collision
+    * graph ([[graft.graph.ConnectedComponents]]): docs A and C land in
+    * one cluster whenever a chain of band collisions links them, even
+    * if no single band holds both. [[minhashCluster]] is the one-hop
+    * approximation (each doc takes the smallest representative it
+    * directly collides with); this is the fixpoint a dedup pipeline
+    * canonicalizes on. Edges are the star (bucket-rep → member) pairs
+    * — O(docs × bands), never the quadratic within-bucket pair list.
+    *
+    * The oracle replays the closure as a recursive CTE (min label
+    * reachable over the symmetric edge set) — exponential-path-free
+    * because the recursive UNION deduplicates (node, lbl) states.
+    */
+  def ccClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = minhashBands(Tables.documents(spark, sfDir))
+    val reps = bands.groupBy("band").agg(min(col("doc_id")).as("rep"))
+    val edges = bands.join(reps, "band")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("src"), col("doc_id").as("dst"))
+      .distinct()
+    graft.graph.ConnectedComponents.run(edges)
+      .groupBy("component").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .orderBy("component")
+  }
+
+  private val sqlCcClusters =
+    s"""WITH RECURSIVE
+       |     c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),
+       |     s AS (SELECT doc_id, $duckShingles AS shs FROM c),
+       |     g AS (SELECT doc_id, $duckSignature AS sig FROM s),
+       |     bands AS (SELECT doc_id, unnest($duckBandKeys) AS band FROM g),
+       |     reps AS (SELECT band, min(doc_id) AS rep FROM bands GROUP BY band),
+       |     e0 AS (SELECT DISTINCT reps.rep AS a, bands.doc_id AS b
+       |            FROM bands JOIN reps ON bands.band = reps.band
+       |            WHERE bands.doc_id <> reps.rep),
+       |     edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+       |     reach AS (
+       |       SELECT DISTINCT a AS node, a AS lbl FROM edges
+       |       UNION
+       |       SELECT e.a AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.b),
+       |     comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+       |SELECT component, count(*) AS n_docs
+       |FROM comp GROUP BY component HAVING count(*) > 1
+       |ORDER BY component""".stripMargin
 
   // ---------- 4. q_ngram_jaccard: exact word-3-gram Jaccard on
   // prefix-blocked candidate pairs ----------
@@ -542,6 +597,7 @@ object TextQueries {
     "q_doc_dedup" -> (docDedup _),
     "q_doc_fingerprint" -> (docFingerprint _),
     "q_minhash_cluster" -> (minhashCluster _),
+    "q_cc_clusters" -> (ccClusters _),
     "q_simhash_neardup" -> (simhashNearDup _),
     "q_repetition" -> (repetition _),
     "q_contamination" -> (contamination _),
@@ -556,6 +612,7 @@ object TextQueries {
     "q_doc_dedup" -> sqlDocDedup,
     "q_doc_fingerprint" -> sqlDocFingerprint,
     "q_minhash_cluster" -> sqlMinhashCluster,
+    "q_cc_clusters" -> sqlCcClusters,
     "q_simhash_neardup" -> sqlSimhashNearDup,
     "q_repetition" -> sqlRepetition,
     "q_contamination" -> sqlContamination,
