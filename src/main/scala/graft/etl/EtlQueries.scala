@@ -225,7 +225,40 @@ object EtlQueries {
       .map(block).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
   }
 
+  // ----- 10. q_bloom_prune: bloom-pruned semi-join (shuffle reducer) -----
+
+  /** [[BloomPrune.prunedSemiJoin]] on the fact ⋈ selective-dim shape:
+    * lineitems of finished high-value orders. The bloom probe drops
+    * most non-qualifying fact rows before the semi-join shuffle; the
+    * exact semi-join after the probe makes the result value-identical
+    * to the oracle's plain EXISTS — which is exactly what this query
+    * pins.
+    */
+  def bloomPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val hotOrders = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 200000)
+      .select(col("o_orderkey"))
+    BloomPrune.prunedSemiJoin(
+        Tables.lineitem(spark, sfDir), hotOrders,
+        bigKey = "l_orderkey", smallKey = "o_orderkey",
+        expectedItems = 100000L)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 4).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private val sqlBloomPrune =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |       round(sum(l_extendedprice), 4) AS sum_price
+      |FROM lineitem l
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_orderkey = l.l_orderkey
+      |                AND o.o_orderstatus = 'F' AND o.o_totalprice > 200000)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_prune" -> (bloomPrune _),
     "q_profile" -> (profileQ _),
     "q_clean_user_dim" -> (cleanUserDim _),
     "q_recode_categorical" -> (recodeCategorical _),
@@ -237,6 +270,7 @@ object EtlQueries {
     "q_ri_filter" -> (riFilter _))
 
   val oracle: Map[String, String] = Map(
+    "q_bloom_prune" -> sqlBloomPrune,
     "q_profile" -> sqlProfile,
     "q_clean_user_dim" -> sqlCleanUserDim,
     "q_recode_categorical" -> sqlRecodeCategorical,

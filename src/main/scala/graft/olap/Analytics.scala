@@ -166,15 +166,104 @@ object Analytics {
     """SELECT event_type, round(sum(value), 4) AS sum_value, count(*) AS n
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------- q_minmax_by: argmin/argmax aggregates ----------
+
+  /** Revenue of each nation's first and last active order month —
+    * `min_by`/`max_by` (argmin/argmax) aggregates, the single-pass
+    * alternative to a self-join or window for "value at the extreme
+    * of another column". Deterministic here because the ordering key
+    * (month) is unique within each group after the monthly rollup;
+    * with tied keys both engines pick arbitrarily, so never use raw
+    * fact rows as min_by input (the monthly pre-aggregate IS the
+    * determinism guard, not just a perf one).
+    *
+    * Shape: broadcast dim joins → one hash aggregate to monthly grain
+    * → one argmin/argmax aggregate over dim-cardinality input.
+    */
+  def minmaxBy(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+    monthly.groupBy("n_name")
+      .agg(min_by(col("rev"), col("m")).as("first_month_rev"),
+        max_by(col("rev"), col("m")).as("last_month_rev"),
+        count(lit(1)).as("n_months"))
+      .orderBy("n_name")
+  }
+
+  private val sqlMinmaxBy =
+    """WITH monthly AS (
+      |  SELECT n_name, date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS m,
+      |         round(sum(o_totalprice), 4) AS rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT n_name, min_by(rev, m) AS first_month_rev,
+      |       max_by(rev, m) AS last_month_rev, count(*) AS n_months
+      |FROM monthly GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------- q_percent_rank: relative-standing windows ----------
+
+  /** Nations ranked by total revenue with `percent_rank` and
+    * `cume_dist` — the relative-standing window pair (exact rational
+    * arithmetic: (rank-1)/(n-1) and rank/n, so cross-engine doubles
+    * are bit-identical; round4 at the edge per convention).
+    *
+    * Scale note: the single-partition window runs over the 25-row
+    * nation aggregate, not the fact table (the CLAUDE.md dim-input
+    * exception); at fact-scale grain you'd rank within partitions
+    * (percent_rank OVER a partitioned window) or derive standing from
+    * a global sort + prefix counts ([[graft.etl.PrefixScan]]).
+    */
+  def percentRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byNation = Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("n_name"))
+    byNation
+      .withColumn("pct_rank", graft.text.TextFns.round4(percent_rank().over(w)))
+      .withColumn("cume", graft.text.TextFns.round4(cume_dist().over(w)))
+      .select(col("n_name"), col("rev"), col("pct_rank"), col("cume"))
+      .orderBy("n_name")
+  }
+
+  private val sqlPercentRank = {
+    import graft.text.TextFns.duckRound4
+    s"""WITH byn AS (
+       |  SELECT n_name, round(sum(o_totalprice), 4) AS rev
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1)
+       |SELECT n_name, rev,
+       |       ${duckRound4("percent_rank() OVER (ORDER BY rev DESC, n_name)")} AS pct_rank,
+       |       ${duckRound4("cume_dist() OVER (ORDER BY rev DESC, n_name)")} AS cume
+       |FROM byn ORDER BY n_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cohort_retention" -> (cohortRetention _),
     "q_funnel" -> (funnel _),
     "q_gap_fill" -> (gapFill _),
-    "q_salted_agg" -> (saltedAgg _))
+    "q_salted_agg" -> (saltedAgg _),
+    "q_minmax_by" -> (minmaxBy _),
+    "q_percent_rank" -> (percentRank _))
 
   val oracle: Map[String, String] = Map(
     "q_cohort_retention" -> sqlCohortRetention,
     "q_funnel" -> sqlFunnel,
     "q_gap_fill" -> sqlGapFill,
-    "q_salted_agg" -> sqlSaltedAgg)
+    "q_salted_agg" -> sqlSaltedAgg,
+    "q_minmax_by" -> sqlMinmaxBy,
+    "q_percent_rank" -> sqlPercentRank)
 }

