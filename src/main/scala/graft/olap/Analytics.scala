@@ -251,7 +251,57 @@ object Analytics {
        |FROM byn ORDER BY n_name""".stripMargin
   }
 
+  // ---------- q_rolling_7d: time-RANGE window frames ----------
+
+  /** 7-day rolling revenue per order priority — a RANGE frame over
+    * event time (`RANGE BETWEEN 6 DAYS PRECEDING AND CURRENT ROW` on
+    * epoch seconds), the window shape behind every trailing-metric
+    * dashboard.
+    *
+    * Float parity: Spark re-aggregates each sliding frame left-to-
+    * right, DuckDB uses a segment tree — different association, so a
+    * DOUBLE window sum is not cross-engine-stable. The daily rollup
+    * is therefore cast to DECIMAL(18,4) before the window: decimal
+    * addition is exact, making the frame sum association-free; both
+    * edges cast back to DOUBLE for output.
+    *
+    * Scale: the window input is the (priority, day) pre-aggregate —
+    * time-bounded cardinality, not fact rows (the CLAUDE.md rule);
+    * the frame itself holds ≤7 rows regardless of data volume.
+    */
+  def rolling7d(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority").as("prio"),
+        date_trunc("day", col("o_orderdate")).as("d"))
+      .agg(round(sum(col("o_totalprice")), 4).cast("decimal(18,4)").as("rev_dec"))
+    val w = Window.partitionBy("prio")
+      .orderBy(col("d").cast("long"))
+      .rangeBetween(-6L * 86400L, 0L)
+    daily
+      .withColumn("rev_7d_dec", sum(col("rev_dec")).over(w))
+      .select(col("prio"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("rev_dec").cast("double").as("rev"),
+        col("rev_7d_dec").cast("double").as("rev_7d"))
+      .orderBy("prio", "day")
+  }
+
+  private val sqlRolling7d =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS prio,
+      |         date_trunc('day', CAST(o_orderdate AS TIMESTAMP)) AS d,
+      |         CAST(round(sum(o_totalprice), 4) AS DECIMAL(18,4)) AS rev_dec
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT prio, strftime(d, '%Y-%m-%d') AS day,
+      |       CAST(rev_dec AS DOUBLE) AS rev,
+      |       CAST(sum(rev_dec) OVER (PARTITION BY prio ORDER BY d
+      |              RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+      |            AS DOUBLE) AS rev_7d
+      |FROM daily ORDER BY prio, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_7d" -> (rolling7d _),
     "q_cohort_retention" -> (cohortRetention _),
     "q_funnel" -> (funnel _),
     "q_gap_fill" -> (gapFill _),
@@ -260,6 +310,7 @@ object Analytics {
     "q_percent_rank" -> (percentRank _))
 
   val oracle: Map[String, String] = Map(
+    "q_rolling_7d" -> sqlRolling7d,
     "q_cohort_retention" -> sqlCohortRetention,
     "q_funnel" -> sqlFunnel,
     "q_gap_fill" -> sqlGapFill,

@@ -110,11 +110,49 @@ object TextAnalytics {
       |SELECT lang, rk, doc_id FROM ranked WHERE rk <= 5
       |ORDER BY lang, rk""".stripMargin
 
+  // ---------- q_inverted_index: term → posting-list build ----------
+
+  /** Inverted-index build: per term, the document frequency and the
+    * sorted posting list — the search-index materialization step
+    * (and the exact-df companion to [[tfidf]]'s join).
+    *
+    * Shape: explode → distinct to the (term, doc) grain → one hash
+    * aggregate; `sort_array(collect_list(...))` makes the posting
+    * order deterministic regardless of partition layout (collect_list
+    * alone is arrival-ordered). Posting lists render as a joined
+    * string so the oracle compare is byte-stable.
+    *
+    * Scale: posting-list length is bounded by docs-per-term; hot
+    * terms (stopwords) dominate — a production index shards postings
+    * by (term, doc_id range) and stores df separately, which this
+    * query's grain makes a pure re-partitioning of.
+    */
+  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val postings = Tables.documents(spark, sfDir)
+      .select(explode(TextFns.tokens(col("text"))).as("term"), col("doc_id"))
+      .distinct()
+    postings.groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          transform(sort_array(collect_list(col("doc_id"))), _.cast("string")),
+          ",").as("postings"))
+      .orderBy("term")
+  }
+
+  private val sqlInvertedIndex =
+    s"""WITH t AS (SELECT doc_id, ${TextQueries.duckTokens} AS ts FROM documents),
+       |     p AS (SELECT DISTINCT unnest(ts) AS term, doc_id FROM t)
+       |SELECT term, count(*) AS df,
+       |       array_to_string(list_sort(list(doc_id)), ',') AS postings
+       |FROM p GROUP BY term ORDER BY term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf" -> (tfidf _),
-    "q_strat_sample" -> (stratSample _))
+    "q_strat_sample" -> (stratSample _),
+    "q_inverted_index" -> (invertedIndex _))
 
   val oracle: Map[String, String] = Map(
     "q_tfidf" -> sqlTfidf,
-    "q_strat_sample" -> sqlStratSample)
+    "q_strat_sample" -> sqlStratSample,
+    "q_inverted_index" -> sqlInvertedIndex)
 }
