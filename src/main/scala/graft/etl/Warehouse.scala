@@ -53,6 +53,31 @@ object Warehouse {
         date_format(col("date_nat_key"), "yyyy-MM")),
       path, Seq("order_month"))
 
+  /** Compact a partitioned snapshot: rewrite `srcPath` to `destPath`
+    * with AQE-rebalanced, size-bounded files per partition directory —
+    * the maintenance pass for partitions that accreted small files
+    * through incremental upserts (the streaming sink's foreachBatch
+    * appends are the typical source).
+    *
+    * `REBALANCE` (AQE) both coalesces tiny shuffle blocks and splits
+    * skewed ones, so hot partitions keep write parallelism — unlike a
+    * plain `repartition(partitionCols)`, which funnels each directory
+    * through one task. `maxRecordsPerFile` bounds the upper end.
+    * Writes to a NEW path: pair with the crash-safe snapshot swap
+    * ([[graft.stream.Streaming]]'s Hadoop-FS rename protocol) to
+    * publish atomically.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, srcPath: String,
+              destPath: String, partitionCols: Seq[String],
+              maxRecordsPerFile: Long = 5000000L): Unit =
+    spark.read.parquet(srcPath)
+      .hint("rebalance", partitionCols.map(col): _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(destPath)
+
   /** Save as a bucketed+sorted table (catalog-managed): `buckets`
     * files per partition, co-located and pre-sorted on `keys`, so
     * joins and aggregations on `keys` skip the exchange (and the

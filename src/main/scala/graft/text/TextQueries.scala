@@ -216,20 +216,31 @@ object TextQueries {
     * reachable over the symmetric edge set) — exponential-path-free
     * because the recursive UNION deduplicates (node, lbl) states.
     */
-  def ccClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val bands = minhashBands(Tables.documents(spark, sfDir))
+  /** Star edges (bucket representative ↔ member) of the band-collision
+    * graph — the closure input shared by [[ccClusters]] and
+    * [[canonicalDocs]].
+    */
+  private def minhashEdges(docs: DataFrame): DataFrame = {
+    val bands = minhashBands(docs)
     val reps = bands.groupBy("band").agg(min(col("doc_id")).as("rep"))
-    val edges = bands.join(reps, "band")
+    bands.join(reps, "band")
       .filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("src"), col("doc_id").as("dst"))
       .distinct()
-    graft.graph.ConnectedComponents.run(edges)
+  }
+
+  def ccClusters(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.ConnectedComponents.run(
+        minhashEdges(Tables.documents(spark, sfDir)))
       .groupBy("component").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)
       .orderBy("component")
-  }
 
-  private val sqlCcClusters =
+  /** Shared oracle prefix: recursive-CTE closure ending in
+    * `comp(node, component)` — every endpoint of the collision graph
+    * labeled with its min reachable doc_id.
+    */
+  private val duckCcComp =
     s"""WITH RECURSIVE
        |     c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),
        |     s AS (SELECT doc_id, $duckShingles AS shs FROM c),
@@ -244,10 +255,46 @@ object TextQueries {
        |       SELECT DISTINCT a AS node, a AS lbl FROM edges
        |       UNION
        |       SELECT e.a AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.b),
-       |     comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+       |     comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)""".stripMargin
+
+  private val sqlCcClusters =
+    s"""$duckCcComp
        |SELECT component, count(*) AS n_docs
        |FROM comp GROUP BY component HAVING count(*) > 1
        |ORDER BY component""".stripMargin
+
+  // ---------- 3c. q_canonical_docs: keep-one-per-cluster selection ----------
+
+  /** The dedup pipeline's final step: for every transitive near-dup
+    * cluster, elect the canonical document (longest text, doc_id as
+    * tie-break) the corpus keeps. The election is a mergeable
+    * struct-min aggregate — (-n_chars, doc_id) compared
+    * lexicographically — NOT a per-cluster window: a hash aggregate
+    * stays O(1) state per cluster and map-side-combines, where a
+    * window over a mega-cluster funnels the whole cluster through one
+    * reducer.
+    */
+  def canonicalDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    graft.graph.ConnectedComponents.run(minhashEdges(docs))
+      .join(docs.select(col("doc_id").as("node"), col("n_chars")), "node")
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_docs"),
+        min(struct((-col("n_chars")).as("a"), col("node").as("b"))).as("pick"))
+      .select(col("component"), col("n_docs"),
+        col("pick.b").as("canonical_doc"),
+        (-col("pick.a")).as("canonical_chars"))
+      .orderBy("component")
+  }
+
+  private val sqlCanonicalDocs =
+    s"""$duckCcComp,
+       |     m AS (SELECT comp.component, d.doc_id, d.n_chars
+       |           FROM comp JOIN documents d ON comp.node = d.doc_id)
+       |SELECT component, count(*) AS n_docs,
+       |       (min({'a': -n_chars, 'b': doc_id})).b AS canonical_doc,
+       |       -(min({'a': -n_chars, 'b': doc_id})).a AS canonical_chars
+       |FROM m GROUP BY component ORDER BY component""".stripMargin
 
   // ---------- 4. q_ngram_jaccard: exact word-3-gram Jaccard on
   // prefix-blocked candidate pairs ----------
@@ -598,6 +645,7 @@ object TextQueries {
     "q_doc_fingerprint" -> (docFingerprint _),
     "q_minhash_cluster" -> (minhashCluster _),
     "q_cc_clusters" -> (ccClusters _),
+    "q_canonical_docs" -> (canonicalDocs _),
     "q_simhash_neardup" -> (simhashNearDup _),
     "q_repetition" -> (repetition _),
     "q_contamination" -> (contamination _),
@@ -613,6 +661,7 @@ object TextQueries {
     "q_doc_fingerprint" -> sqlDocFingerprint,
     "q_minhash_cluster" -> sqlMinhashCluster,
     "q_cc_clusters" -> sqlCcClusters,
+    "q_canonical_docs" -> sqlCanonicalDocs,
     "q_simhash_neardup" -> sqlSimhashNearDup,
     "q_repetition" -> sqlRepetition,
     "q_contamination" -> sqlContamination,

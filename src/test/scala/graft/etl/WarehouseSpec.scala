@@ -59,4 +59,26 @@ class WarehouseSpec extends SparkSpec {
       assert(joined.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("compact collapses a small-file storm without changing the data") {
+    import spark.implicits._
+    val src = s"$tmp/frag"
+    // simulate incremental appends: 12 tiny batches into one partition
+    (1 to 12).foreach { i =>
+      Seq((s"k$i", "2024-01", i.toLong)).toDF("k", "m", "v")
+        .write.mode("append").partitionBy("m").parquet(src)
+    }
+    def parquetFiles(dir: String): Int = {
+      val d = new java.io.File(s"$dir/m=2024-01")
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    assert(parquetFiles(src) >= 12, "fixture did not fragment")
+    val dest = s"$tmp/compacted"
+    Warehouse.compact(spark, src, dest, Seq("m"))
+    assert(parquetFiles(dest) < parquetFiles(src) / 2,
+      s"compaction left ${parquetFiles(dest)} files")
+    val a = spark.read.parquet(src).orderBy("k").collect().toSeq
+    val b = spark.read.parquet(dest).orderBy("k").collect().toSeq
+    assert(a == b)
+  }
 }
