@@ -300,7 +300,80 @@ object Analytics {
       |            AS DOUBLE) AS rev_7d
       |FROM daily ORDER BY prio, day""".stripMargin
 
+  // ---------- q_full_outer: two-source reconciliation join ----------
+
+  /** Full-outer reconciliation of two entity populations (customers
+    * who order vs users who click) with presence classification —
+    * the audit query for pipelines that must account for every key on
+    * either side. Completes the join-type coverage (inner/semi/anti/
+    * left are pinned elsewhere).
+    *
+    * Shape: two keyed pre-aggregates then one full-outer hash join on
+    * the key — both sides shrink to entity cardinality before the
+    * join, so the outer join never sees fact rows.
+    */
+  def fullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val buyers = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("id")).agg(count(lit(1)).as("n_orders"))
+    val actives = Tables.events(spark, sfDir)
+      .groupBy(col("user_id").as("id")).agg(count(lit(1)).as("n_events"))
+    buyers.join(actives, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("n_orders").isNull, lit("event_only"))
+          .when(col("n_events").isNull, lit("order_only"))
+          .otherwise(lit("both")).as("presence"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("id")
+  }
+
+  private val sqlFullOuter =
+    """WITH b AS (SELECT o_custkey AS id, count(*) AS n_orders FROM orders GROUP BY 1),
+      |     a AS (SELECT user_id AS id, count(*) AS n_events FROM events GROUP BY 1)
+      |SELECT coalesce(b.id, a.id) AS id,
+      |       CASE WHEN b.id IS NULL THEN 'event_only'
+      |            WHEN a.id IS NULL THEN 'order_only'
+      |            ELSE 'both' END AS presence,
+      |       coalesce(n_orders, 0) AS n_orders,
+      |       coalesce(n_events, 0) AS n_events
+      |FROM b FULL OUTER JOIN a ON b.id = a.id
+      |ORDER BY id""".stripMargin
+
+  // ---------- q_unpivot: wide → long melt (inverse of q_pivot) ----------
+
+  /** Unpivot/melt: the per-flag measure columns of a Q1-style rollup
+    * turned into (flag, measure, value) rows — the wide→long reshape
+    * feeding generic metric stores and chart layers. Runs on the
+    * aggregate (6 rows × 3 measures), where reshapes belong; melting
+    * raw fact columns would triple the scan instead.
+    */
+  def unpivotQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+        "measure", "value")
+      .orderBy("l_returnflag", "measure")
+  }
+
+  private val sqlUnpivot =
+    """WITH wide AS (
+      |  SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
+      |         round(sum(l_extendedprice), 4) AS sum_price,
+      |         round(avg(l_discount), 4) AS avg_disc
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, measure, value
+      |FROM (UNPIVOT wide ON sum_qty, sum_price, avg_disc
+      |      INTO NAME measure VALUE value)
+      |ORDER BY l_returnflag, measure""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_full_outer" -> (fullOuter _),
+    "q_unpivot" -> (unpivotQ _),
     "q_rolling_7d" -> (rolling7d _),
     "q_cohort_retention" -> (cohortRetention _),
     "q_funnel" -> (funnel _),
@@ -310,6 +383,8 @@ object Analytics {
     "q_percent_rank" -> (percentRank _))
 
   val oracle: Map[String, String] = Map(
+    "q_full_outer" -> sqlFullOuter,
+    "q_unpivot" -> sqlUnpivot,
     "q_rolling_7d" -> sqlRolling7d,
     "q_cohort_retention" -> sqlCohortRetention,
     "q_funnel" -> sqlFunnel,

@@ -38,6 +38,32 @@ class PlanAuditSpec extends SparkSpec {
       s"event_type filter not pushed: $pushed")
   }
 
+  test("minmaxBy resolves customer and nation via broadcast hash joins") {
+    val plan = olap.Analytics.minmaxBy(spark, sfTiny)
+      .queryExecution.sparkPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 2, s"expected >=2 broadcast dim joins, plan had $broadcasts")
+  }
+
+  test("bloom prune pushes the dim filter into the orders scan") {
+    val pushed = scans(etl.EtlQueries.bloomPrune(spark, sfTiny))
+      .flatMap(_.metadata.get("PushedFilters"))
+    assert(pushed.exists(p => p.contains("o_orderstatus") && p.contains("o_totalprice")),
+      s"order filters not pushed: $pushed")
+  }
+
+  test("tfidf and stratSample scans are pruned to the referenced columns") {
+    val tfidfScan = scans(text.TextAnalytics.tfidf(spark, sfTiny))
+      .find(_.requiredSchema.fieldNames.contains("text"))
+      .getOrElse(fail("no documents scan in q_tfidf plan"))
+    assert(tfidfScan.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
+      s"tfidf reads ${tfidfScan.requiredSchema.fieldNames.mkString(",")}")
+    val sampleScans = scans(text.TextAnalytics.stratSample(spark, sfTiny))
+    assert(sampleScans.nonEmpty &&
+      sampleScans.forall(_.requiredSchema.fieldNames.toSet == Set("lang", "doc_id")),
+      s"stratSample reads ${sampleScans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(";")}")
+  }
+
   test("no declared query plan contains a cartesian product") {
     // nested-loop joins are legitimate ONLY with a broadcast-tiny side
     // (kNN probe, IVF codebook); a CartesianProduct is never right

@@ -9,8 +9,9 @@ class SparkEntrySpec extends SparkSpec {
   test("pack aggregation loses no queries to name collisions") {
     val packs = Seq(
       etl.EtlQueries.queries, olap.OlapQueries.queries,
-      olap.OlapMore.queries, stream.EventQueries.queries,
-      text.TextQueries.queries, vector.VectorQueries.queries)
+      olap.OlapMore.queries, olap.Analytics.queries,
+      stream.EventQueries.queries, text.TextQueries.queries,
+      text.TextAnalytics.queries, vector.VectorQueries.queries)
     val total = packs.map(_.size).sum
     assert(SparkEntry.queries.size == total,
       s"aggregated ${SparkEntry.queries.size} of $total — duplicate query name across packs")

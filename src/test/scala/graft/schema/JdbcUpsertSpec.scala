@@ -41,9 +41,12 @@ class JdbcUpsertSpec extends SparkSpec {
   }
 
   test("upsert converges against embedded Derby (insert then update)") {
-    // unique DB per run: in-memory Derby outlives the test within the
-    // forked JVM, so a fixed name would collide on any re-entry
-    val url = s"jdbc:derby:memory:graftups${System.nanoTime()};create=true"
+    // directory-backed DB in a fresh temp dir: unique per run AND
+    // robust to an embedded-engine reboot mid-test (an in-memory
+    // Derby DB silently vanishes with the engine, which surfaced as a
+    // once-in-a-full-suite flake losing the first upsert's rows)
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_derby")
+    val url = s"jdbc:derby:$dbDir/graftups;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       conn.createStatement().execute(
