@@ -36,14 +36,32 @@ object BloomPrune {
   def prunedSemiJoin(big: DataFrame, small: DataFrame,
                      bigKey: String, smallKey: String,
                      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
+    // The sketch hashes the VALUE AS ITS DECLARED TYPE (putLong vs
+    // putString reach different bits), so the probe must dispatch on
+    // the key's type — probing string-built bits with a long (or vice
+    // versa) would yield false NEGATIVES, silently dropping matches.
+    val bigType = big.schema(bigKey).dataType
+    val smallType = small.schema(smallKey).dataType
+    require(bigType == smallType,
+      s"bloom prune needs matching key types, got $bigType vs $smallType")
     val spark = big.sparkSession
     val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
     val bfBc = spark.sparkContext.broadcast(bf)
     // A scala UDF is the public seam for probing a driver-built sketch;
     // the probe is a few hash ops per row and the payoff is shuffle
     // rows avoided, so the non-codegen cost is bought back immediately.
-    val probe = udf((k: java.lang.Long) => k != null && bfBc.value.mightContainLong(k))
-    big.filter(probe(col(bigKey)))
+    val probe = bigType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        udf((k: java.lang.Long) => k != null && bfBc.value.mightContainLong(k))
+          .apply(col(bigKey).cast("long"))
+      case StringType =>
+        udf((k: String) => k != null && bfBc.value.mightContainString(k))
+          .apply(col(bigKey))
+      case t => throw new IllegalArgumentException(
+        s"bloom prune supports integral and string keys, got $t")
+    }
+    big.filter(probe)
       .join(small, big.col(bigKey) === small.col(smallKey), "left_semi")
   }
 }

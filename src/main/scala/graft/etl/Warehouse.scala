@@ -66,17 +66,31 @@ object Warehouse {
     * Writes to a NEW path: pair with the crash-safe snapshot swap
     * ([[graft.stream.Streaming]]'s Hadoop-FS rename protocol) to
     * publish atomically.
+    *
+    * Partition values round-trip BYTE-EXACTLY: the read disables
+    * partition-column type inference, because inference would parse a
+    * directory value like `m=01` as integer 1 and rewrite the
+    * compacted snapshot as `m=1` with a changed column type —
+    * corrupting a maintenance pass that must be a physical no-op.
+    * Partition columns therefore surface as strings in the compacted
+    * snapshot, which is what directory names actually are.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, srcPath: String,
               destPath: String, partitionCols: Seq[String],
-              maxRecordsPerFile: Long = 5000000L): Unit =
-    spark.read.parquet(srcPath)
-      .hint("rebalance", partitionCols.map(col): _*)
+              maxRecordsPerFile: Long = 5000000L): Unit = {
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(inferKey)
+    spark.conf.set(inferKey, "false")
+    val src =
+      try spark.read.parquet(srcPath)
+      finally spark.conf.set(inferKey, prev)
+    src.hint("rebalance", partitionCols.map(col): _*)
       .write
       .mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
       .parquet(destPath)
+  }
 
   /** Save as a bucketed+sorted table (catalog-managed): `buckets`
     * files per partition, co-located and pre-sorted on `keys`, so

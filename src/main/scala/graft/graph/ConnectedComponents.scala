@@ -42,25 +42,44 @@ object ConnectedComponents {
     */
   def run(edges: DataFrame, src: String = "src", dst: String = "dst",
           maxIter: Int = 50): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+
+    // localCheckpoint persists RDD-level blocks that Dataset.unpersist
+    // cannot reach (it only consults the cache manager), so track the
+    // persisted-RDD ids around each checkpoint and free the superseded
+    // round explicitly — otherwise executor storage holds O(rounds)
+    // label copies until the ContextCleaner happens to GC them. The
+    // id diff is race-free here: the loop is the only job submitter
+    // on this driver thread.
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val chk = df.localCheckpoint(true)
+      (chk, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
     val e0 = edges.select(col(src).as("a"), col(dst).as("b"))
-    val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint(true)
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint(true)
+    val (sym, symIds) = checkpointTracked(
+      e0.union(e0.select(col("b").as("a"), col("a").as("b"))).distinct())
+    var (labels, labelIds) = checkpointTracked(
+      sym.select(col("a").as("node")).distinct().withColumn("lbl", col("node")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val nbr = sym
         .join(labels.select(col("node").as("b"), col("lbl")), "b")
         .select(col("a").as("node"), col("lbl"))
-      val next = labels.union(nbr)
-        .groupBy("node").agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+      val (next, nextIds) = checkpointTracked(
+        labels.union(nbr).groupBy("node").agg(min(col("lbl")).as("lbl")))
       converged = next.as("n").join(labels.as("o"), "node")
         .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
+      free(labelIds)
       labels = next
+      labelIds = nextIds
       iter += 1
     }
+    free(symIds)
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds " +

@@ -158,12 +158,6 @@ object TextQueries {
     * per cluster) and every step here is a linear key-partitioned
     * aggregate/join that survives 100 TB.
     */
-  /** Per-document MinHash-LSH cluster assignment (doc_id →
-    * cluster_id), the shared kernel of [[minhashCluster]] and
-    * RunCurate's near-dup gate — one definition so the curation
-    * funnel can never diverge from the oracle-verified clustering.
-    * Input must carry (`doc_id`, `text`).
-    */
   /** (doc_id, band) LSH bucket memberships — the collision stage
     * shared by one-hop clustering ([[minhashAssignments]]) and the
     * transitive closure ([[ccClusters]]).
@@ -175,12 +169,27 @@ object TextQueries {
       .select(col("doc_id"),
         explode(TextFns.lshBandKeys(col("sig"), RowsPerBand, NumBands)).as("band"))
 
-  private[text] def minhashAssignments(docs: DataFrame): DataFrame = {
+  /** Each band membership joined to its bucket representative
+    * (min doc_id per band) — the single definition of bucket
+    * structure consumed by both the one-hop clustering and the
+    * closure's edge list, so the two can never disagree about which
+    * docs collide.
+    */
+  private def bandReps(docs: DataFrame): DataFrame = {
     val bands = minhashBands(docs)
     val reps = bands.groupBy("band").agg(min(col("doc_id")).as("rep"))
     bands.join(reps, "band")
-      .groupBy("doc_id").agg(min(col("rep")).as("cluster_id"))
   }
+
+  /** Per-document MinHash-LSH cluster assignment (doc_id →
+    * cluster_id), the shared kernel of [[minhashCluster]] and
+    * RunCurate's near-dup gate — one definition so the curation
+    * funnel can never diverge from the oracle-verified clustering.
+    * Input must carry (`doc_id`, `text`).
+    */
+  private[text] def minhashAssignments(docs: DataFrame): DataFrame =
+    bandReps(docs)
+      .groupBy("doc_id").agg(min(col("rep")).as("cluster_id"))
 
   def minhashCluster(spark: SparkSession, sfDir: String): DataFrame =
     minhashAssignments(Tables.documents(spark, sfDir))
@@ -203,32 +212,30 @@ object TextQueries {
 
   // ---------- 3b. q_cc_clusters: transitive-closure near-dup clusters ----------
 
+  /** Star edges (bucket representative ↔ member) of the band-collision
+    * graph — the closure input shared by [[ccClusters]] and
+    * [[canonicalDocs]]. Built from the same [[bandReps]] stage as the
+    * one-hop clustering; O(docs × bands) edges, never the quadratic
+    * within-bucket pair list.
+    */
+  private def minhashEdges(docs: DataFrame): DataFrame =
+    bandReps(docs)
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("src"), col("doc_id").as("dst"))
+      .distinct()
+
   /** Full connected-components closure over the MinHash band-collision
     * graph ([[graft.graph.ConnectedComponents]]): docs A and C land in
     * one cluster whenever a chain of band collisions links them, even
     * if no single band holds both. [[minhashCluster]] is the one-hop
     * approximation (each doc takes the smallest representative it
     * directly collides with); this is the fixpoint a dedup pipeline
-    * canonicalizes on. Edges are the star (bucket-rep → member) pairs
-    * — O(docs × bands), never the quadratic within-bucket pair list.
+    * canonicalizes on.
     *
     * The oracle replays the closure as a recursive CTE (min label
     * reachable over the symmetric edge set) — exponential-path-free
     * because the recursive UNION deduplicates (node, lbl) states.
     */
-  /** Star edges (bucket representative ↔ member) of the band-collision
-    * graph — the closure input shared by [[ccClusters]] and
-    * [[canonicalDocs]].
-    */
-  private def minhashEdges(docs: DataFrame): DataFrame = {
-    val bands = minhashBands(docs)
-    val reps = bands.groupBy("band").agg(min(col("doc_id")).as("rep"))
-    bands.join(reps, "band")
-      .filter(col("doc_id") =!= col("rep"))
-      .select(col("rep").as("src"), col("doc_id").as("dst"))
-      .distinct()
-  }
-
   def ccClusters(spark: SparkSession, sfDir: String): DataFrame =
     graft.graph.ConnectedComponents.run(
         minhashEdges(Tables.documents(spark, sfDir)))

@@ -31,6 +31,20 @@ class BloomPruneSpec extends SparkSpec {
     assert(BloomPrune.prunedSemiJoin(big, small, "key", "k", 1000L).isEmpty)
   }
 
+  test("string keys dispatch to the string probe (no false negatives)") {
+    // regression: probing string-built bloom bits with the long probe
+    // hashes different bytes and silently DROPS matching rows
+    val big = Seq(("k1", "a"), ("k2", "b"), ("k3", "c")).toDF("key", "payload")
+    val small = Seq("k1", "k3").toDF("k")
+    val got = BloomPrune.prunedSemiJoin(big, small, "key", "k", 10L)
+      .select("payload").as[String].collect().sorted
+    assert(got.sameElements(Array("a", "c")))
+    // and mismatched key types fail loudly instead of false-negating
+    intercept[IllegalArgumentException] {
+      BloomPrune.prunedSemiJoin(big, Seq(1L).toDF("k"), "key", "k", 10L)
+    }
+  }
+
   test("null probe keys never match") {
     val big = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (2L, "c"))
       .toDF("key", "payload")

@@ -81,4 +81,17 @@ class WarehouseSpec extends SparkSpec {
     val b = spark.read.parquet(dest).orderBy("k").collect().toSeq
     assert(a == b)
   }
+
+  test("compact preserves partition directory values byte-exactly") {
+    import spark.implicits._
+    // zero-padded value: type inference would rewrite m=01 as m=1
+    val src = s"$tmp/padded"
+    Seq(("a", "01", 1L), ("b", "02", 2L)).toDF("k", "m", "v")
+      .write.partitionBy("m").parquet(src)
+    val dest = s"$tmp/padded_compacted"
+    Warehouse.compact(spark, src, dest, Seq("m"))
+    val dirs = new java.io.File(dest).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("m=01", "m=02"), s"partition values rewritten: $dirs")
+  }
 }
