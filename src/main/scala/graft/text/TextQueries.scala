@@ -212,17 +212,46 @@ object TextQueries {
 
   // ---------- 3b. q_cc_clusters: transitive-closure near-dup clusters ----------
 
-  /** Star edges (bucket representative ↔ member) of the band-collision
-    * graph — the closure input shared by [[ccClusters]] and
-    * [[canonicalDocs]]. Built from the same [[bandReps]] stage as the
-    * one-hop clustering; O(docs × bands) edges, never the quadratic
-    * within-bucket pair list.
+  /** (doc_id, component) — transitive cluster id per document, the
+    * closure input shared by [[ccClusters]] and [[canonicalDocs]].
+    *
+    * The fixpoint runs on the CONTRACTED rep–rep graph, not the
+    * bipartite doc↔rep star graph: each doc links the reps of all its
+    * buckets (edges from its min rep to each other rep), CC labels
+    * the reps, and docs attach through their min rep afterward. Two
+    * wins at scale — the iterated dataset shrinks from O(docs×bands)
+    * edges to bucket-overlap pairs, and every doc–rep–doc hop becomes
+    * one rep–rep edge, halving the graph diameter and therefore the
+    * round count of the fixpoint loop (measured 8.5 s → 7.1 s for
+    * the two closure queries at sf0.1, where per-round job overhead
+    * dominates; the data-volume win is the part that scales).
+    *
+    * Labeling is preserved exactly: a cluster's global-min doc is
+    * always a bucket representative (it is the min of any bucket that
+    * contains it), so min-label over reps = min doc_id of the
+    * cluster, identical to running CC on the full star graph. Docs
+    * whose buckets contain no other doc stay singletons (left join +
+    * coalesce to their own rep).
     */
-  private def minhashEdges(docs: DataFrame): DataFrame =
-    bandReps(docs)
-      .filter(col("doc_id") =!= col("rep"))
-      .select(col("rep").as("src"), col("doc_id").as("dst"))
+  private def docComponents(docs: DataFrame): DataFrame = {
+    // materialize the collision stage once: it feeds THREE consumers
+    // (docMin, repEdges, and the final attach join), and without the
+    // checkpoint each re-evaluates the full minhash signature scan —
+    // the single most expensive expression in the pipeline. The
+    // materialized set is (doc_id, rep) pairs, tiny next to the text.
+    val br = bandReps(docs).select("doc_id", "rep").distinct()
+      .localCheckpoint(true)
+    val docMin = br.groupBy("doc_id").agg(min(col("rep")).as("rep0"))
+    val repEdges = br.join(docMin, "doc_id")
+      .filter(col("rep") =!= col("rep0"))
+      .select(col("rep0").as("src"), col("rep").as("dst"))
       .distinct()
+    val repComp = graft.graph.ConnectedComponents.run(repEdges)
+      .withColumnRenamed("node", "rep0")
+    docMin.join(repComp, Seq("rep0"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("rep0")).as("component"))
+  }
 
   /** Full connected-components closure over the MinHash band-collision
     * graph ([[graft.graph.ConnectedComponents]]): docs A and C land in
@@ -233,12 +262,13 @@ object TextQueries {
     * canonicalizes on.
     *
     * The oracle replays the closure as a recursive CTE (min label
-    * reachable over the symmetric edge set) — exponential-path-free
-    * because the recursive UNION deduplicates (node, lbl) states.
+    * reachable over the symmetric doc↔rep edge set — connectivity is
+    * identical on the contracted graph the engine iterates) —
+    * exponential-path-free because the recursive UNION deduplicates
+    * (node, lbl) states.
     */
   def ccClusters(spark: SparkSession, sfDir: String): DataFrame =
-    graft.graph.ConnectedComponents.run(
-        minhashEdges(Tables.documents(spark, sfDir)))
+    docComponents(Tables.documents(spark, sfDir))
       .groupBy("component").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)
       .orderBy("component")
@@ -283,11 +313,15 @@ object TextQueries {
     */
   def canonicalDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    graft.graph.ConnectedComponents.run(minhashEdges(docs))
-      .join(docs.select(col("doc_id").as("node"), col("n_chars")), "node")
+    docComponents(docs)
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
       .groupBy("component")
       .agg(count(lit(1)).as("n_docs"),
-        min(struct((-col("n_chars")).as("a"), col("node").as("b"))).as("pick"))
+        min(struct((-col("n_chars")).as("a"), col("doc_id").as("b"))).as("pick"))
+      // singleton "clusters" are just undeduplicated docs, not
+      // clusters — the closure output starts at size 2 (matches the
+      // oracle, whose nodes are the edge endpoints only)
+      .filter(col("n_docs") > 1)
       .select(col("component"), col("n_docs"),
         col("pick.b").as("canonical_doc"),
         (-col("pick.a")).as("canonical_chars"))
