@@ -18,12 +18,8 @@ class ConnectedComponentsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
-  test("matches driver-side union-find on a seeded random graph") {
-    val rnd = new scala.util.Random(42)
-    val edges = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
-      .filter { case (a, b) => a != b }
-
-    // reference: plain union-find with min-id canonicalization
+  /** Reference: plain union-find with min-id canonicalization. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       val p = parent.getOrElseUpdate(x, x)
@@ -33,14 +29,42 @@ class ConnectedComponentsSpec extends SparkSpec {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
-      .map(n => n -> find(n)).toMap
+    edges.flatMap(e => Seq(e._1, e._2)).distinct.map(n => n -> find(n)).toMap
+  }
 
-    assert(components(edges) == want)
+  test("matches driver-side union-find on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    assert(components(edges) == unionFind(edges))
   }
 
   test("orientation and duplicate edges are normalized") {
     val got = components(Seq((2L, 1L), (1L, 2L), (2L, 1L), (3L, 2L)))
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  private def componentsHalving(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.runHalving(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("halving variant collapses a 60-node chain (diameter beyond run's budget)") {
+    // the chain is the halving algorithm's reason to exist: diameter
+    // 59 would cost plain propagation a round per hop (it refuses at
+    // its default maxIter=50) while the star rewrites converge in
+    // ~log2(59) rounds — checked against union-find, not run(), so
+    // the test doesn't pay for 59 propagation rounds
+    val chain = (1L until 60L).map(i => (i, i + 1)) :+ (100L, 101L)
+    assert(componentsHalving(chain) == unionFind(chain))
+  }
+
+  test("halving variant equals label propagation on seeded random graphs") {
+    for (seed <- Seq(7, 21, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(50)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      assert(componentsHalving(edges) == components(edges),
+        s"halving/propagation mismatch at seed $seed")
+    }
   }
 }
