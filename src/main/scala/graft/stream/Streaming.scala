@@ -147,6 +147,66 @@ object Streaming {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  /** CEP-style funnel detection over the event stream: a per-user
+    * state machine advancing view → click → purchase (each stage's
+    * event at-or-after the previous stage's), emitting one row per
+    * COMPLETED conversion with the three stage timestamps, then
+    * resetting so repeat conversions re-emit — the streaming twin of
+    * the batch funnel (`q_funnel` counts the same ordered stages at
+    * rest).
+    *
+    * State is one (stage, view_ts, click_ts) triple per active user —
+    * O(users), independent of stream length; `timeout` evicts
+    * abandoned funnels (ProcessingTimeTimeout, same contract as
+    * [[runningUserTotals]] — tests pass None because timeout queries
+    * never quiesce under the 0-interval test trigger). Each user's
+    * micro-batch slice is sorted by event time before the fold:
+    * micro-batch iterators carry no time order, and a funnel is
+    * order-sensitive — the sort holds one user's BATCH slice, not the
+    * stream, so memory is bounded by (hot user × trigger interval).
+    */
+  def funnelConversions(events: DataFrame,
+                        timeout: Option[String] = None): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val conf =
+      if (timeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append, conf) {
+        (user: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[(Int, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove() // abandoned mid-funnel: evict, emit nothing
+            Iterator.empty
+          } else {
+            var (stage, vUs, cUs) = state.getOption.getOrElse((0, 0L, 0L))
+            val out = Seq.newBuilder[(Long, Long, Long, Long)]
+            rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, typ, us) =>
+              (stage, typ) match {
+                case (0, "view") => stage = 1; vUs = us
+                case (1, "click") if us >= vUs => stage = 2; cUs = us
+                case (2, "purchase") if us >= cUs =>
+                  out += ((user, vUs, cUs, us))
+                  stage = 0; vUs = 0L; cUs = 0L
+                case _ => () // out-of-pattern event: no transition
+              }
+            }
+            state.update((stage, vUs, cUs))
+            timeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+      .toDF("user_id", "view_us", "click_us", "purchase_us")
+  }
+
   /** Stream-stream event-time interval join — click attribution: each
     * click joins the views by the same user within the preceding
     * `horizon`. Both sides carry watermarks and the join predicate

@@ -216,4 +216,41 @@ class StreamingSpec extends SparkSpec {
       assert(last == ((7L, 2L, 4.0)))
     } finally q.stop()
   }
+
+  test("funnelConversions detects ordered stages across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = Streaming.funnelConversions(events)
+      .writeStream.format("memory").queryName("fc").outputMode(OutputMode.Append).start()
+    try {
+      // user 1: view + click in batch 1 … purchase in batch 2 (state
+      // must survive the batch boundary). user 2: purchase BEFORE its
+      // click — ordered semantics must reject it. user 3: full funnel
+      // delivered out of order INSIDE one batch — the per-batch sort
+      // must recover it.
+      input.addData(
+        (ts(1), 1L, "view", 0.0), (ts(2), 1L, "click", 0.0),
+        (ts(1), 2L, "view", 0.0), (ts(3), 2L, "purchase", 0.0),
+        (ts(5), 3L, "purchase", 0.0), (ts(2), 3L, "view", 0.0),
+        (ts(4), 3L, "click", 0.0))
+      q.processAllAvailable()
+      input.addData(
+        (ts(9), 1L, "purchase", 0.0),
+        (ts(9), 2L, "click", 0.0)) // too late: funnel already mis-ordered
+      q.processAllAvailable()
+      val got = spark.table("fc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      def us(minute: Int): Long = ts(minute).getTime * 1000L
+      assert(got == Set(
+        (1L, us(1), us(2), us(9)),
+        (3L, us(2), us(4), us(5))), s"got $got")
+      // repeat conversion: state reset means a second full pass emits
+      input.addData(
+        (ts(11), 1L, "view", 0.0), (ts(12), 1L, "click", 0.0),
+        (ts(13), 1L, "purchase", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("fc").count() == 3)
+    } finally q.stop()
+  }
 }
