@@ -117,7 +117,7 @@ object ConnectedComponents {
 
     val e0 = edges.select(col(src).as("u"), col(dst).as("v"))
       .filter(col("u") =!= col("v"))
-    val (nodes, nodeIds) = checkpointTracked(
+    val (nodes, _) = checkpointTracked(
       e0.select(col("u").as("node"))
         .union(e0.select(col("v").as("node"))).distinct())
     var (cur, curIds) = checkpointTracked(e0.distinct())
