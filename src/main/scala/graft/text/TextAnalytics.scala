@@ -146,13 +146,57 @@ object TextAnalytics {
        |       array_to_string(list_sort(list(doc_id)), ',') AS postings
        |FROM p GROUP BY term ORDER BY term""".stripMargin
 
+  // ---------- q_weighted_sample: quality-weighted retention ----------
+
+  /** CCNet-style quality-weighted sampling: each document is kept
+    * with probability equal to its quality score, decided by a
+    * DETERMINISTIC content hash (md5 of the doc id mapped to a
+    * fraction in [0,1)) — reproducible across runs and partition
+    * layouts, the [[graft.etl.Sampling]] contract with a per-row
+    * weight instead of a constant. Output is the per-lang retention
+    * funnel (corpus count, kept count, kept-average quality).
+    *
+    * Cross-engine determinism: the hash fraction is an exact dyadic
+    * rational (first 8 md5 hex chars / 2^32) and the quality score is
+    * the same IEEE expression DAG on both engines, so the keep
+    * decision `hfrac < q` never straddles engines. Pure per-row
+    * predicate — one scan, no shuffle beyond the final tiny rollup.
+    */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .withColumn("q", TextFns.qualityScore(col("text"), col("ts")))
+      .withColumn("hfrac",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("double") / 4294967296.0)
+      .withColumn("kept", col("hfrac") < col("q"))
+    docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("kept"), lit(1))).as("n_kept"),
+        TextFns.round4(avg(when(col("kept"), col("q")))).as("avg_kept_q"))
+      .orderBy("lang")
+  }
+
+  private val sqlWeightedSample =
+    s"""WITH t AS (SELECT doc_id, lang, text, ${TextQueries.duckTokens} AS ts FROM documents),
+       |     q AS (SELECT lang, ${TextQueries.duckQuality} AS q,
+       |                  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |                    / 4294967296.0 AS hfrac
+       |           FROM t)
+       |SELECT lang, count(*) AS n_docs,
+       |       count(CASE WHEN hfrac < q THEN 1 END) AS n_kept,
+       |       ${TextFns.duckRound4("avg(CASE WHEN hfrac < q THEN q END)")} AS avg_kept_q
+       |FROM q GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf" -> (tfidf _),
     "q_strat_sample" -> (stratSample _),
-    "q_inverted_index" -> (invertedIndex _))
+    "q_inverted_index" -> (invertedIndex _),
+    "q_weighted_sample" -> (weightedSample _))
 
   val oracle: Map[String, String] = Map(
     "q_tfidf" -> sqlTfidf,
     "q_strat_sample" -> sqlStratSample,
-    "q_inverted_index" -> sqlInvertedIndex)
+    "q_inverted_index" -> sqlInvertedIndex,
+    "q_weighted_sample" -> sqlWeightedSample)
 }

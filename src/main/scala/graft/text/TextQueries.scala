@@ -89,7 +89,10 @@ object TextQueries {
       s"'$b:' || " + parts.map(x => s"CAST($x AS VARCHAR)").mkString(" || ',' || ")
     }.mkString("[", ", ", "]")
 
-  private val duckQuality = {
+  /** Shared with [[TextAnalytics.weightedSample]] (single source of
+    * truth for the quality-score oracle form).
+    */
+  private[text] val duckQuality = {
     val stop = TextFns.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
     """(least(CAST(greatest(length(text), 1) AS DOUBLE) / 400.0, 1.0) * 0.3
       | + least(CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
