@@ -189,18 +189,34 @@ object Streaming {
           } else {
             var (stage, vUs, cUs) = state.getOption.getOrElse((0, 0L, 0L))
             val out = Seq.newBuilder[(Long, Long, Long, Long)]
-            rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, typ, us) =>
-              (stage, typ) match {
-                case (0, "view") => stage = 1; vUs = us
-                case (1, "click") if us >= vUs => stage = 2; cUs = us
-                case (2, "purchase") if us >= cUs =>
-                  out += ((user, vUs, cUs, us))
-                  stage = 0; vUs = 0L; cUs = 0L
-                case _ => () // out-of-pattern event: no transition
+            // tie-break equal timestamps by STAGE order, not event_type
+            // text (lexicographic click<purchase<view is the reverse of
+            // the funnel): the >= guards deliberately admit
+            // same-instant progressions, and the sort must present
+            // them in stage order or an in-batch (view,click,purchase)
+            // at one timestamp would be dropped while the same events
+            // split across batches convert — a batch-boundary
+            // dependency the batch twin (q_funnel) doesn't have
+            val stageRank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+            rows.toSeq.sortBy(r => (r._3, stageRank.getOrElse(r._2, 3)))
+              .foreach { case (_, typ, us) =>
+                (stage, typ) match {
+                  case (0, "view") => stage = 1; vUs = us
+                  case (1, "click") if us >= vUs => stage = 2; cUs = us
+                  case (2, "purchase") if us >= cUs =>
+                    out += ((user, vUs, cUs, us))
+                    stage = 0; vUs = 0L; cUs = 0L
+                  case _ => () // out-of-pattern event: no transition
+                }
               }
+            // stage 0 carries no information — storing it would grow
+            // the state store with every user ever seen (the getOrElse
+            // default reconstructs it for free on the next event)
+            if (stage == 0) state.remove()
+            else {
+              state.update((stage, vUs, cUs))
+              timeout.foreach(state.setTimeoutDuration)
             }
-            state.update((stage, vUs, cUs))
-            timeout.foreach(state.setTimeoutDuration)
             out.result().iterator
           }
       }

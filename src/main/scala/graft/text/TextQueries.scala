@@ -91,15 +91,24 @@ object TextQueries {
 
   /** Shared with [[TextAnalytics.weightedSample]] (single source of
     * truth for the quality-score oracle form).
+    *
+    * Token-less/empty-text parity with [[TextFns.qualityScore]]:
+    * Spark's punct numerator subtracts from the CLAMPED length
+    * (`greatest(length,1)`) and its token-length fold over an empty
+    * array yields 0 where DuckDB's `list_sum([])` is NULL — both
+    * mirrored here (`greatest` in the numerator, `coalesce(...,0)`),
+    * otherwise a whitespace-only document scores NULL in the oracle
+    * and every consumer of the unrounded score (`q_weighted_sample`'s
+    * keep decision) diverges.
     */
   private[text] val duckQuality = {
     val stop = TextFns.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
     """(least(CAST(greatest(length(text), 1) AS DOUBLE) / 400.0, 1.0) * 0.3
-      | + least(CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+      | + least(CAST(greatest(length(text), 1) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
       |         / CAST(greatest(length(text), 1) AS DOUBLE) * 20.0, 1.0) * 0.2
       | + least(CAST(len(list_filter(ts, t -> list_contains(STOP, t))) AS DOUBLE)
       |         / CAST(greatest(len(ts), 1) AS DOUBLE) * 4.0, 1.0) * 0.3
-      | + least(CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+      | + least(CAST(coalesce(list_sum(list_transform(ts, t -> length(t))), 0) AS DOUBLE)
       |         / CAST(greatest(len(ts), 1) AS DOUBLE) / 8.0, 1.0) * 0.2)"""
       .stripMargin.replace("STOP", stop).replace("\n", " ")
   }

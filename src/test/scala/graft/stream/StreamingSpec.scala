@@ -251,6 +251,14 @@ class StreamingSpec extends SparkSpec {
         (ts(13), 1L, "purchase", 0.0))
       q.processAllAvailable()
       assert(spark.table("fc").count() == 3)
+      // same-instant progression in ONE batch: the >= guards admit it,
+      // so the in-batch sort must present stage order at equal
+      // timestamps (lexicographic event_type would drop it)
+      input.addData(
+        (ts(20), 9L, "view", 0.0), (ts(20), 9L, "click", 0.0),
+        (ts(20), 9L, "purchase", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("fc").filter("user_id = 9").count() == 1)
     } finally q.stop()
   }
 }
