@@ -45,20 +45,27 @@ object ZOrder {
   def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
                     numFiles: Int, bits: Int = 16): Unit = {
     val levels = (1L << bits) - 1
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c)).cast("double").as(s"__min_$c"),
-      max(col(c)).cast("double").as(s"__max_$c")))
+    // NaN sorts ABOVE +Inf in Spark's double ordering, so an unguarded
+    // max() over a column with one NaN returns NaN, the range goes NaN,
+    // and every row's component silently folds to level 0 (floor(double)
+    // is already LONG and folds NaN to 0 without any ANSI throw —
+    // clustering would quietly degrade on that whole dimension). Exclude
+    // NaN from the stats so finite rows keep their full scale...
+    val aggs = cols.flatMap { c =>
+      val d = col(c).cast("double")
+      Seq(min(when(!isnan(d), d)).as(s"__min_$c"),
+        max(when(!isnan(d), d)).as(s"__max_$c"))
+    }
     val stats = df.agg(aggs.head, aggs.tail: _*)
     val scaled = cols.map { c =>
+      val d = col(c).cast("double")
       val range = col(s"__max_$c") - col(s"__min_$c")
-      // degenerate (constant) columns scale to level 0; try_cast, not
-      // cast: a NaN in the column makes max/range NaN and ANSI mode
-      // would throw on NaN→long for EVERY row — null z-components
-      // cluster the bad rows together instead (CLAUDE.md ANSI rule)
+      // ...and pin NaN/null rows (and degenerate constant columns) to
+      // level 0 explicitly — bad rows cluster together at the curve's
+      // origin instead of poisoning the scaling of every other row
       coalesce(
-        when(range === 0.0, lit(0L)).otherwise(
-          floor((col(c).cast("double") - col(s"__min_$c")) / range * levels)
-            .try_cast("long")),
+        when(range === 0.0 || isnan(d), lit(0L)).otherwise(
+          floor((d - col(s"__min_$c")) / range * levels)),
         lit(0L))
     }
     df.crossJoin(broadcast(stats))

@@ -34,30 +34,51 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** localCheckpoint persists RDD-level blocks that Dataset.unpersist
+    * cannot reach (it only consults the cache manager), so track the
+    * persisted-RDD ids around each checkpoint and free superseded
+    * checkpoints explicitly — otherwise executor storage holds stale
+    * copies until the ContextCleaner happens to GC them. The id diff
+    * is race-free as long as the calling driver thread is the only
+    * job submitter (true for the fixpoint loops here and the dedup
+    * pipelines in `graft.text`).
+    */
+  private[graft] def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val chk = df.localCheckpoint(true)
+    (chk, (sc.getPersistentRDDs.keySet -- before).toSet)
+  }
+
+  /** Unpersist the blocks tracked by [[checkpointTracked]]. Safe only
+    * after every consumer of the checkpointed frame has materialized:
+    * localCheckpoint blocks are NOT recomputable.
+    */
+  private[graft] def free(df: DataFrame, ids: Set[Int]): Unit = {
+    val sc = df.sparkSession.sparkContext
+    ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+  }
+
   /** @param edges undirected edge list; orientation and duplicates
     *              are normalized away internally.
     * @return (node, component) where component = min node id
     *         reachable from `node`; every endpoint of `edges` appears
-    *         exactly once.
+    *         exactly once. The result reads lazily from the final
+    *         round's localCheckpoint, whose blocks stay persisted
+    *         (ContextCleaner reclaims them on GC); callers that
+    *         materialize the result and want the blocks back now
+    *         should use [[runTracked]].
     */
   def run(edges: DataFrame, src: String = "src", dst: String = "dst",
-          maxIter: Int = 50): DataFrame = {
-    val sc = edges.sparkSession.sparkContext
+          maxIter: Int = 50): DataFrame =
+    runTracked(edges, src, dst, maxIter)._1
 
-    // localCheckpoint persists RDD-level blocks that Dataset.unpersist
-    // cannot reach (it only consults the cache manager), so track the
-    // persisted-RDD ids around each checkpoint and free the superseded
-    // round explicitly — otherwise executor storage holds O(rounds)
-    // label copies until the ContextCleaner happens to GC them. The
-    // id diff is race-free here: the loop is the only job submitter
-    // on this driver thread.
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val chk = df.localCheckpoint(true)
-      (chk, (sc.getPersistentRDDs.keySet -- before).toSet)
-    }
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+  /** [[run]], plus the persisted-RDD ids backing the returned labels —
+    * pass them to [[free]] once the result has been materialized.
+    */
+  def runTracked(edges: DataFrame, src: String = "src", dst: String = "dst",
+                 maxIter: Int = 50): (DataFrame, Set[Int]) = {
+    def free(ids: Set[Int]): Unit = this.free(edges, ids)
 
     val e0 = edges.select(col(src).as("a"), col(dst).as("b"))
     val (sym, symIds) = checkpointTracked(
@@ -84,7 +105,7 @@ object ConnectedComponents {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds " +
           "(diameter exceeds maxIter — raise it or use the halving variant)")
-    labels.select(col("node"), col("lbl").as("component"))
+    (labels.select(col("node"), col("lbl").as("component")), labelIds)
   }
 
   /** The O(log d)-round variant: alternating Large-Star / Small-Star
@@ -106,14 +127,7 @@ object ConnectedComponents {
     */
   def runHalving(edges: DataFrame, src: String = "src", dst: String = "dst",
                  maxIter: Int = 50): DataFrame = {
-    val sc = edges.sparkSession.sparkContext
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val chk = df.localCheckpoint(true)
-      (chk, (sc.getPersistentRDDs.keySet -- before).toSet)
-    }
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    def free(ids: Set[Int]): Unit = this.free(edges, ids)
 
     val e0 = edges.select(col(src).as("u"), col(dst).as("v"))
       .filter(col("u") =!= col("v"))

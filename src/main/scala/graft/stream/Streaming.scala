@@ -157,16 +157,18 @@ object Streaming {
     *
     * State is one (stage, view_ts, click_ts) triple per active user —
     * O(users), independent of stream length; `timeout` evicts
-    * abandoned funnels (ProcessingTimeTimeout, same contract as
-    * [[runningUserTotals]] — tests pass None because timeout queries
-    * never quiesce under the 0-interval test trigger). Each user's
+    * abandoned funnels (ProcessingTimeTimeout), and it DEFAULTS ON
+    * (30 min): a user who abandons mid-funnel must not hold a state
+    * entry forever. Pass `timeout = None` ONLY in tests —
+    * timeout-bearing queries never quiesce under the 0-interval test
+    * trigger (`processAllAvailable` would hang). Each user's
     * micro-batch slice is sorted by event time before the fold:
     * micro-batch iterators carry no time order, and a funnel is
     * order-sensitive — the sort holds one user's BATCH slice, not the
     * stream, so memory is bounded by (hot user × trigger interval).
     */
   def funnelConversions(events: DataFrame,
-                        timeout: Option[String] = None): DataFrame = {
+                        timeout: Option[String] = Some("30 minutes")): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val conf =

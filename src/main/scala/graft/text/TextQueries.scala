@@ -246,23 +246,34 @@ object TextQueries {
     * coalesce to their own rep).
     */
   private def docComponents(docs: DataFrame): DataFrame = {
+    import graft.graph.ConnectedComponents
     // materialize the collision stage once: it feeds THREE consumers
     // (docMin, repEdges, and the final attach join), and without the
     // checkpoint each re-evaluates the full minhash signature scan —
     // the single most expensive expression in the pipeline. The
     // materialized set is (doc_id, rep) pairs, tiny next to the text.
-    val br = bandReps(docs).select("doc_id", "rep").distinct()
-      .localCheckpoint(true)
+    val (br, brIds) = ConnectedComponents.checkpointTracked(
+      bandReps(docs).select("doc_id", "rep").distinct())
     val docMin = br.groupBy("doc_id").agg(min(col("rep")).as("rep0"))
     val repEdges = br.join(docMin, "doc_id")
       .filter(col("rep") =!= col("rep0"))
       .select(col("rep0").as("src"), col("rep").as("dst"))
       .distinct()
-    val repComp = graft.graph.ConnectedComponents.run(repEdges)
-      .withColumnRenamed("node", "rep0")
-    docMin.join(repComp, Seq("rep0"), "left")
+    val (repComp, repIds) = ConnectedComponents.runTracked(repEdges)
+    val out = docMin.join(repComp.withColumnRenamed("node", "rep0"),
+        Seq("rep0"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("rep0")).as("component"))
+    // materialize the tiny (doc_id, component) labeling eagerly so the
+    // collision set and per-round label blocks can be freed NOW —
+    // localCheckpoint blocks are unreachable by Dataset.unpersist, and
+    // without this every invocation (Bench runs each closure query
+    // twice per session) parks a persisted RDD until ContextCleaner GC.
+    // Only the final labeling's own checkpoint stays resident, one
+    // O(docs)-pair set the caller reads lazily (reclaimed on GC).
+    val (res, _) = ConnectedComponents.checkpointTracked(out)
+    ConnectedComponents.free(docs, brIds ++ repIds)
+    res
   }
 
   /** Full connected-components closure over the MinHash band-collision

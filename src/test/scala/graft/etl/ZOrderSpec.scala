@@ -50,6 +50,27 @@ class ZOrderSpec extends SparkSpec {
     assert(zy < sy / 2, "z-order must at least halve y extents vs x-sort")
   }
 
+  test("a NaN row pins to level 0 without degrading finite rows") {
+    val df = grid.map { case (x, y) => (x.toDouble, y.toDouble) }
+      .toDF("x", "y")
+      .union(Seq((Double.NaN, 500.0)).toDF("x", "y"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zn").toString + "/z"
+    ZOrder.writeZOrdered(df, dir, Seq("x", "y"), numFiles = 16)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == n + 1) // lossless, NaN row included
+    assert(back.filter(isnan(col("x"))).count() == 1)
+    // finite rows must keep x locality: if the NaN leaked into min/max
+    // the whole x dimension scales to level 0 and extents blow up to ~1
+    val extents = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).flatMap { f =>
+        val r = spark.read.parquet(f).filter(!isnan(col("x")))
+          .agg((max(col("x")) - min(col("x"))).cast("double")).collect().head
+        if (r.isNullAt(0)) None else Some(r.getDouble(0) / 1000.0)
+      }
+    val mean = extents.sum / extents.length
+    assert(mean < 0.5, f"NaN poisoned x scaling: mean extent $mean%.2f")
+  }
+
   test("constant and single-column inputs degrade gracefully") {
     val df = Seq((1, 5), (2, 5), (3, 5)).toDF("a", "b") // b constant
     val dir = java.nio.file.Files.createTempDirectory("graft_zc").toString + "/z"

@@ -221,7 +221,9 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Double)]
     val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
-    val q = Streaming.funnelConversions(events)
+    // timeout = None: the default ProcessingTimeTimeout never fires
+    // under processAllAvailable's 0-interval trigger (query hangs)
+    val q = Streaming.funnelConversions(events, timeout = None)
       .writeStream.format("memory").queryName("fc").outputMode(OutputMode.Append).start()
     try {
       // user 1: view + click in batch 1 … purchase in batch 2 (state
