@@ -21,6 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     etl.EtlQueries.queries ++ olap.OlapQueries.queries ++
       olap.OlapMore.queries ++ olap.Analytics.queries ++
+      olap.OlapStats.queries ++
       stream.EventQueries.queries ++ text.TextQueries.queries ++
       text.TextAnalytics.queries ++ vector.VectorQueries.queries
 
@@ -30,6 +31,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     etl.EtlQueries.oracle ++ olap.OlapQueries.oracle ++
       olap.OlapMore.oracle ++ olap.Analytics.oracle ++
+      olap.OlapStats.oracle ++
       stream.EventQueries.oracle ++ text.TextQueries.oracle ++
       text.TextAnalytics.oracle ++ vector.VectorQueries.oracle
 }

@@ -1,0 +1,219 @@
+package graft.olap
+
+import graft.schema.Tables
+import graft.text.TextFns.{round4, duckRound4}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistical OLAP operators — second-moment statistics, modal
+  * aggregates, binning, and Pareto (skyline) selection. Extends the
+  * §2.6 aggregate layer with the shapes an analyst reaches for once
+  * sums and ranks are exhausted (reference scope: the OLAP report SQL
+  * under the reference's `queries/` dir; these are the same
+  * star-schema reads with richer aggregate math).
+  *
+  * Cross-engine determinism: every query here either aggregates in
+  * DECIMAL (exact, order-independent) and converts to double once at
+  * the end, or compares/ranks only ROUNDED measures — double sum
+  * order across partitions never reaches an output or a comparison
+  * unrounded (CLAUDE.md parity rules).
+  */
+object OlapStats {
+
+  // ---------- q_corr_stats: exact-moment correlation / covariance ----------
+
+  /** Pearson correlation, sample covariance, and sample stddevs of
+    * (l_quantity, l_extendedprice) per return flag — computed from
+    * EXACT decimal co-moments (n, Σx, Σy, Σxy, Σx², Σy²), not from
+    * `corr()`/`covar_samp()`: the built-ins fold doubles in partition
+    * order, which is nondeterministic across engines AND across runs,
+    * while decimal sums are associative-exact, so both engines see
+    * bit-identical moments and the one double formula at the end is
+    * IEEE-deterministic. This is also the scale story: the five sums
+    * are one map-side-combinable hash aggregate (O(groups) state), and
+    * the closed-form combine is exactly how a 1000-executor cluster
+    * merges partial moments.
+    *
+    * The double arithmetic is written with explicit association —
+    * `sqrt(a)*sqrt(b)`, never `sqrt(a*b)` — and mirrored token-for-
+    * token in the oracle (verify-skill float rules).
+    */
+  def corrStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,4)")
+    val y = col("l_extendedprice").cast("decimal(18,4)")
+    // product operands widen to (18,4)×(20,4): combined width 38 is the
+    // widest DuckDB will multiply, and Spark's (39,8) caps to (38,8)
+    // without value loss at these magnitudes — both engines hold the
+    // exact product
+    val x20 = col("l_quantity").cast("decimal(20,4)")
+    val y20 = col("l_extendedprice").cast("decimal(20,4)")
+    val m = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y20).as("sxy"), sum(x * x20).as("sxx"), sum(y * y20).as("syy"))
+    val nD = col("n").cast("double")
+    def d(c: String): Column = col(c).cast("double")
+    val varX = (d("sxx") - d("sx") * d("sx") / nD) / (nD - 1.0)
+    val varY = (d("syy") - d("sy") * d("sy") / nD) / (nD - 1.0)
+    val cov = (d("sxy") - d("sx") * d("sy") / nD) / (nD - 1.0)
+    m.select(col("l_returnflag"), col("n").as("n_items"),
+        round4(cov / (sqrt(varX) * sqrt(varY))).as("corr_qty_price"),
+        round4(cov).as("cov_qty_price"),
+        round4(sqrt(varX)).as("std_qty"),
+        round4(sqrt(varY)).as("std_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private val sqlCorrStats = {
+    val varX = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)"
+    val varY = "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)"
+    val cov = "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)"
+    s"""WITH t AS (SELECT l_returnflag,
+       |                  CAST(l_quantity AS DECIMAL(18,4)) AS x,
+       |                  CAST(l_extendedprice AS DECIMAL(18,4)) AS y,
+       |                  CAST(l_quantity AS DECIMAL(20,4)) AS x20,
+       |                  CAST(l_extendedprice AS DECIMAL(20,4)) AS y20
+       |           FROM lineitem),
+       |     m AS (SELECT l_returnflag, count(*) AS n,
+       |                  sum(x) AS sx, sum(y) AS sy,
+       |                  sum(x * y20) AS sxy, sum(x * x20) AS sxx, sum(y * y20) AS syy
+       |           FROM t GROUP BY 1)
+       |SELECT l_returnflag, CAST(n AS BIGINT) AS n_items,
+       |       ${duckRound4(s"$cov / (sqrt($varX) * sqrt($varY))")} AS corr_qty_price,
+       |       ${duckRound4(cov)} AS cov_qty_price,
+       |       ${duckRound4(s"sqrt($varX)")} AS std_qty,
+       |       ${duckRound4(s"sqrt($varY)")} AS std_price
+       |FROM m ORDER BY l_returnflag""".stripMargin
+  }
+
+  // ---------- q_mode_priority: deterministic modal aggregate ----------
+
+  /** Most frequent order priority per order status — the MODE
+    * aggregate, built deterministically instead of calling `mode()`
+    * (whose tie-break is engine-defined): count per (status,
+    * priority), then one mergeable struct-min over (-count, priority)
+    * picks highest-count-then-lexicographic-smallest. Two hash
+    * aggregates, O(groups) state, no window — a per-status window
+    * would funnel each status's candidates through one reducer, the
+    * struct-min combines map-side.
+    */
+  def modePriority(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("o_orderstatus")
+      .agg(min(struct((-col("n")).as("a"), col("o_orderpriority").as("b")))
+        .as("pick"))
+      .select(col("o_orderstatus"), col("pick.b").as("mode_priority"),
+        (-col("pick.a")).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  private val sqlModePriority =
+    """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      |           FROM orders GROUP BY 1, 2),
+      |     r AS (SELECT o_orderstatus, o_orderpriority, n,
+      |                  row_number() OVER (PARTITION BY o_orderstatus
+      |                                     ORDER BY n DESC, o_orderpriority) AS rk
+      |           FROM c)
+      |SELECT o_orderstatus, o_orderpriority AS mode_priority,
+      |       CAST(n AS BIGINT) AS n_orders
+      |FROM r WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin
+
+  // ---------- q_histogram: equi-width binning ----------
+
+  /** Order-value histogram: fixed-width price buckets with count and
+    * bucket-local average — the binning primitive behind distribution
+    * dashboards and feature bucketization. One hash aggregate keyed by
+    * the computed bucket id; bucket count is bounded by the value
+    * range / width, not by row count, so the output (and the combine
+    * state) stays tiny at any SF.
+    */
+  def histogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .withColumn("bucket", floor(col("o_totalprice") / 25000.0))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        round4(avg(col("o_totalprice"))).as("avg_price"))
+      .withColumn("bucket_lo", (col("bucket") * 25000.0).cast("double"))
+      .select("bucket", "bucket_lo", "n_orders", "avg_price")
+      .orderBy("bucket")
+
+  private val sqlHistogram =
+    s"""SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+       |       CAST(floor(o_totalprice / 25000.0) AS BIGINT) * 25000.0 AS bucket_lo,
+       |       count(*) AS n_orders,
+       |       ${duckRound4("avg(o_totalprice)")} AS avg_price
+       |FROM orders GROUP BY 1, 2 ORDER BY bucket""".stripMargin
+
+  // ---------- q_skyline: Pareto frontier (non-dominated selection) ----------
+
+  /** Skyline of nations on (revenue ↑ better, avg discount ↓ better):
+    * a nation survives unless some other nation has ≥ revenue AND
+    * ≤ discount with at least one strict — the relational "skyline"
+    * operator, expressed as aggregate → dominance anti-join.
+    *
+    * Dominance compares only ROUNDED measures (rank-on-rounded rule:
+    * raw double sums differ across engines in the last ulp, and a
+    * dominance decision is a comparison, i.e. a rank). The quadratic
+    * dominance join is safe ONLY because the input is the
+    * dim-cardinality nation aggregate (25 rows, bounded by the
+    * schema); for a fact-proportional entity (suppliers, customers)
+    * the scale path is the 2-D sort-scan skyline — sort by discount,
+    * keep the running revenue max (one range partition + PrefixScan's
+    * two-pass running aggregate, no pairwise join).
+    */
+  def skyline(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"),
+        col("l_discount"))
+    val perNation = li
+      .join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey")
+      .agg(round4(sum(col("rev"))).as("revenue"),
+        round4(avg(col("l_discount"))).as("avg_disc"))
+    // one left_anti on the dominance predicate IS the skyline (rows
+    // with no dominating partner) — the direct NOT EXISTS mirror; a
+    // 25-row broadcast NLJ here, bounded by nation cardinality
+    perNation.as("a").join(perNation.as("b"),
+        col("b.revenue") >= col("a.revenue") &&
+          col("b.avg_disc") <= col("a.avg_disc") &&
+          (col("b.revenue") > col("a.revenue") ||
+            col("b.avg_disc") < col("a.avg_disc")),
+        "left_anti")
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("revenue"), col("avg_disc"))
+      .orderBy("n_name")
+  }
+
+  private val sqlSkyline =
+    s"""WITH pn AS (
+       |  SELECT s.s_nationkey,
+       |         ${duckRound4("sum(l.l_extendedprice * (1.0 - l.l_discount))")} AS revenue,
+       |         ${duckRound4("avg(l.l_discount)")} AS avg_disc
+       |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1)
+       |SELECT n.n_name, a.revenue, a.avg_disc
+       |FROM pn a JOIN nation n ON a.s_nationkey = n.n_nationkey
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM pn b
+       |  WHERE b.revenue >= a.revenue AND b.avg_disc <= a.avg_disc
+       |    AND (b.revenue > a.revenue OR b.avg_disc < a.avg_disc))
+       |ORDER BY n.n_name""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corr_stats" -> (corrStats _),
+    "q_mode_priority" -> (modePriority _),
+    "q_histogram" -> (histogram _),
+    "q_skyline" -> (skyline _))
+
+  val oracle: Map[String, String] = Map(
+    "q_corr_stats" -> sqlCorrStats,
+    "q_mode_priority" -> sqlModePriority,
+    "q_histogram" -> sqlHistogram,
+    "q_skyline" -> sqlSkyline)
+}

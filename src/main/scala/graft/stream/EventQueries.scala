@@ -183,7 +183,43 @@ object EventQueries {
       |                 AND p.ts >= spans.start_ts AND p.ts <= spans.end_ts
       |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
 
+  /** Clickstream transition matrix: for every user timeline, count
+    * (event_type → next event_type) adjacencies — the first-order
+    * Markov statistics behind next-action models and the sequence
+    * sanity check run before exporting behavioral training data.
+    *
+    * Shape: one `lead` window PARTITIONED BY user (per-user timelines
+    * are bounded; key cardinality = users, the same shuffle key as the
+    * session queries), then a hash aggregate onto the types² matrix —
+    * bounded output regardless of event volume. Equal timestamps are
+    * tie-broken by event_id on BOTH sides, otherwise the adjacency
+    * relation itself is nondeterministic.
+    */
+  def transitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val sqlTransitions =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |           FROM events),
+      |     nx AS (SELECT event_type AS from_type,
+      |                   lead(event_type) OVER (PARTITION BY user_id
+      |                                          ORDER BY ts, event_id) AS to_type
+      |            FROM e)
+      |SELECT from_type, to_type, count(*) AS n
+      |FROM nx WHERE to_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_transitions" -> (transitions _),
     "q_range_join" -> (rangeJoinSpans _),
     "q_events_tumbling" -> (eventsTumbling _),
     "q_events_session" -> (eventsSession _),
@@ -192,6 +228,7 @@ object EventQueries {
     "q_events_sliding" -> (eventsSliding _))
 
   val oracle: Map[String, String] = Map(
+    "q_transitions" -> sqlTransitions,
     "q_range_join" -> sqlRangeJoinSpans,
     "q_events_tumbling" -> sqlEventsTumbling,
     "q_events_session" -> sqlEventsSession,

@@ -188,13 +188,63 @@ object TextAnalytics {
        |       ${TextFns.duckRound4("avg(CASE WHEN hfrac < q THEN q END)")} AS avg_kept_q
        |FROM q GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------- q_cross_entropy: unigram-LM quality scoring ----------
+
+  /** Per-document cross-entropy under the corpus's own unigram
+    * distribution — the language-model quality signal (CCNet-style)
+    * one step up from [[graft.text.TextFns.qualityScore]]'s
+    * heuristics: documents whose token mix diverges from the corpus
+    * score high (surprising), boilerplate scores low. Emitted per doc
+    * so a curation gate can threshold it.
+    *
+    * Shape: corpus token counts are one map-side-combinable hash
+    * aggregate (O(vocab) state); the corpus total is a one-row scalar
+    * JOINED in (never collected); the per-doc score is then a
+    * (doc, term)-grain join + hash aggregate — all key-partitioned,
+    * no windows, no pairwise work. Both engines compute
+    * `-ln(count/total)` per term and round the per-doc mean once at
+    * the end (round4 convention).
+    */
+  def crossEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy("term").agg(sum(col("tf")).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("tot"))
+    tf.join(cnt, "term")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        TextFns.round4(
+          sum(col("tf").cast("double") *
+            -log(col("c").cast("double") / col("tot").cast("double"))) /
+            sum(col("tf")).cast("double")).as("xent"))
+      .orderBy("doc_id")
+  }
+
+  private val sqlCrossEntropy = {
+    val xent = TextFns.duckRound4(
+      "sum(CAST(tf AS DOUBLE) * -ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))) " +
+        "/ CAST(sum(tf) AS DOUBLE)")
+    s"""WITH t AS (SELECT doc_id, ${TextQueries.duckTokens} AS ts FROM documents),
+       |     terms AS (SELECT doc_id, unnest(ts) AS term FROM t),
+       |     tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |     cnt AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1),
+       |     tot AS (SELECT sum(c) AS tot FROM cnt)
+       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, $xent AS xent
+       |FROM tf JOIN cnt USING (term) CROSS JOIN tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cross_entropy" -> (crossEntropy _),
     "q_tfidf" -> (tfidf _),
     "q_strat_sample" -> (stratSample _),
     "q_inverted_index" -> (invertedIndex _),
     "q_weighted_sample" -> (weightedSample _))
 
   val oracle: Map[String, String] = Map(
+    "q_cross_entropy" -> sqlCrossEntropy,
     "q_tfidf" -> sqlTfidf,
     "q_strat_sample" -> sqlStratSample,
     "q_inverted_index" -> sqlInvertedIndex,

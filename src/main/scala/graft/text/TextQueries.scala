@@ -704,7 +704,41 @@ object TextQueries {
        |SELECT doc_id, ${TextFns.duckRound4(duckQuality)} AS quality
        |FROM t ORDER BY doc_id""".stripMargin
 
+  // ---------- q_anti_join: unique-doc complement of exact dedup ----------
+
+  /** The anti-join operator in its dedup-pipeline role: documents with
+    * NO exact duplicate anywhere in the corpus (the complement of
+    * [[docDedup]]'s duplicate groups), summarized per language. Shape:
+    * hash aggregate over the normalized-text hash to find duplicated
+    * keys, then `left_anti` (≡ NOT EXISTS) from the corpus against
+    * that key set. Both sides shuffle on the hash key — the duplicated-
+    * key set is corpus-proportional, so it is NOT broadcast (contrast
+    * [[contamination]]'s bounded probe set, which is).
+    */
+  def uniqueDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("h", sha2(normText(col("text")), 256))
+    val dupKeys = docs.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("h")
+    docs.join(dupKeys, Seq("h"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_unique"),
+        TextFns.round4(avg(col("n_chars"))).as("avg_chars"))
+      .orderBy("lang")
+  }
+
+  private val sqlAntiJoin =
+    s"""WITH hs AS (SELECT lang, n_chars,
+       |                   sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
+       |            FROM documents),
+       |     d AS (SELECT h FROM hs GROUP BY h HAVING count(*) > 1)
+       |SELECT lang, count(*) AS n_unique,
+       |       ${TextFns.duckRound4("avg(n_chars)")} AS avg_chars
+       |FROM hs WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.h = hs.h)
+       |GROUP BY 1 ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anti_join" -> (uniqueDocs _),
     "q_doc_dedup" -> (docDedup _),
     "q_doc_fingerprint" -> (docFingerprint _),
     "q_minhash_cluster" -> (minhashCluster _),
@@ -721,6 +755,7 @@ object TextQueries {
     "q_quality_score" -> (qualityScoreQ _))
 
   val oracle: Map[String, String] = Map(
+    "q_anti_join" -> sqlAntiJoin,
     "q_doc_dedup" -> sqlDocDedup,
     "q_doc_fingerprint" -> sqlDocFingerprint,
     "q_minhash_cluster" -> sqlMinhashCluster,

@@ -124,6 +124,56 @@ object VectorQueries {
        |SELECT vec_id, bucket, ${duckRound4("sim0")} AS sim
        |FROM s ORDER BY sim0 DESC, vec_id LIMIT $TopK""".stripMargin
 
+  // ---------- 2b. q_knn_batch: many-probe ANN join ----------
+
+  private val BatchProbeStep = 100
+  private val BatchTopK = 3
+
+  /** The batch form of [[annLsh]] — a kNN JOIN: every probe (here each
+    * ${BatchProbeStep}th vector, the deterministic stand-in for "the
+    * new batch") retrieves its top-$BatchTopK bucket-local neighbors
+    * in ONE plan, instead of one query per probe. This is the shape
+    * embedding-pipeline backfills actually run: N_probe × N_corpus
+    * pruned to bucket collisions by the equi-join on the LSH key, then
+    * a per-probe rank over the bucket-bounded candidate set. Neither
+    * side broadcasts — probes are corpus-proportional, so the join
+    * shuffles both sides on `bucket` (at warehouse scale the corpus is
+    * already partitioned by it, leaving one-sided exchange only).
+    */
+  def knnBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+      .withColumn("bucket", VectorFns.signBucket(col("v"), LshBits, LshStride))
+    val probes = vecs.filter(col("vec_id") % BatchProbeStep === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("bucket").as("pbucket"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    vecs.join(probes,
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
+      .withColumn("sim",
+        VectorFns.cosineStaged(col("v"), col("pv"), col("nrm"), col("pnrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= BatchTopK)
+      .select(col("probe_id"), col("rk"), col("vec_id").as("neighbor"),
+        round4(col("sim")).as("sim"))
+      .orderBy("probe_id", "rk")
+  }
+
+  private val sqlKnnBatch =
+    s"""WITH $duckVecs,
+       |     b AS (SELECT vec_id, v, nrm, $duckBucket AS bucket FROM e),
+       |     p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm, bucket AS pbucket
+       |           FROM b WHERE vec_id % $BatchProbeStep = 0),
+       |     s AS (SELECT p.probe_id, b.vec_id,
+       |                  ${duckDot("b.v", "pv")} / (b.nrm * pnrm) AS sim0
+       |           FROM b JOIN p ON b.bucket = p.pbucket AND b.vec_id <> p.probe_id),
+       |     r AS (SELECT probe_id, vec_id, sim0,
+       |                  row_number() OVER (PARTITION BY probe_id
+       |                                     ORDER BY sim0 DESC, vec_id) AS rk
+       |           FROM s)
+       |SELECT probe_id, rk, vec_id AS neighbor, ${duckRound4("sim0")} AS sim
+       |FROM r WHERE rk <= $BatchTopK ORDER BY probe_id, rk""".stripMargin
+
   // ---------- 3. q_embed_neardup: blocked cosine near-dup pairs ----------
 
   /** Embedding near-dup detection: candidate pairs meet only inside a
@@ -379,6 +429,7 @@ object VectorQueries {
     "q_sq_error" -> (sqError _),
     "q_ivf_search" -> (ivfSearch _),
     "q_knn" -> (knn _),
+    "q_knn_batch" -> (knnBatch _),
     "q_ann_lsh" -> (annLsh _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_centroids" -> (centroids _),
@@ -388,6 +439,7 @@ object VectorQueries {
     "q_sq_error" -> sqlSqError,
     "q_ivf_search" -> sqlIvfSearch,
     "q_knn" -> sqlKnn,
+    "q_knn_batch" -> sqlKnnBatch,
     "q_ann_lsh" -> sqlAnnLsh,
     "q_embed_neardup" -> sqlEmbedNearDup,
     "q_centroids" -> sqlCentroids,

@@ -10,6 +10,7 @@ class SparkEntrySpec extends SparkSpec {
     val packs = Seq(
       etl.EtlQueries.queries, olap.OlapQueries.queries,
       olap.OlapMore.queries, olap.Analytics.queries,
+      olap.OlapStats.queries,
       stream.EventQueries.queries, text.TextQueries.queries,
       text.TextAnalytics.queries, vector.VectorQueries.queries)
     val total = packs.map(_.size).sum
