@@ -48,12 +48,37 @@ object Bench {
       val warm = once()
       (name, if (warm < 0) warm else once())
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""errors":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    // The harness captures only the LAST 2000 chars of stdout and parses
+    // the JSON line out of that window; sbt appends its own ~75-char
+    // "[success] Total time" trailer after us. Full-precision doubles for
+    // ~80 queries overflow the window and the line arrives truncated
+    // (unparseable — observed rounds 1-4). Emit compact per-query values
+    // (2 decimals, trailing zeros trimmed) and drop "errors" when empty;
+    // if the line still exceeds the budget, fall back to 1 decimal. The
+    // untruncated full-precision detail goes to target/bench_detail.json.
+    def fmt(v: Double, scale: Int): String =
+      if (v < 0) "-1"
+      else BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.stripTrailingZeros.toPlainString
+    def line(scale: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, scale) }
+        .mkString("{", ",", "}")
+      val errs = if (failed.isEmpty) ""
+                 else s""","errors":[${failed.mkString(",")}]"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
+        s""""queries":$qs$errs,"sf":"$sfDir"}"""
+    }
+    val compact = { val l2 = line(2); if (l2.length <= 1850) l2 else line(1) }
+    try {
+      val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val w = new java.io.PrintWriter("target/bench_detail.json")
+      try w.println(s"""{"total":$total,"queries":$detail,"sf":"$sfDir"}""")
+      finally w.close()
+    } catch { case _: Throwable => () }
+    println(compact)
     spark.stop()
   }
 }
