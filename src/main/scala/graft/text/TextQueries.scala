@@ -2,6 +2,7 @@ package graft.text
 
 import graft.schema.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declared text-pipeline queries over the `documents` table — the
@@ -657,7 +658,112 @@ object TextQueries {
                  "CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE)")} AS contamination
        |FROM h ORDER BY doc_id""".stripMargin
 
-  // ---------- 7e. q_token_shards: capacity-packed training shards ----------
+  // ---------- 7e. q_dup_ngrams: cross-document duplication profile ----------
+
+  private[text] val DupN = 5 // wide enough that a shared gram means copying
+
+  /** Across-document duplication profile (the RefinedWeb / Gopher
+    * corpus-quality measure): per source, how many documents share at
+    * least one word-5-gram with ANOTHER document, and what fraction
+    * of all per-doc-distinct 5-grams are corpus-duplicated. Unlike
+    * [[repetition]] (within-doc repeats) this measures cross-document
+    * copying — the signal behind boilerplate/mirror removal.
+    *
+    * Scale: linear — explode per-doc DISTINCT grams, count docs per
+    * gram (grams are pre-deduped per doc, so count(*) IS the doc
+    * count), join back on the gram key, aggregate to doc then source.
+    * Two key shuffles, no pairwise join anywhere. Per-source ratios
+    * are ratios of BIGINT sums (one double division at the end) —
+    * never order-dependent double accumulation, so the oracle compare
+    * is exact.
+    */
+  def dupNgrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        array_distinct(TextFns.wordNgramsFromTokens(col("ts"), DupN)).as("grams"))
+    val x = docs.select(col("doc_id"), col("source"),
+      explode(col("grams")).as("gram"))
+    val nd = x.groupBy("gram").agg(count(lit(1)).as("nd"))
+    val perDoc = x.join(nd, Seq("gram"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_dup") > 0, 1L).otherwise(0L)).as("docs_with_dup"),
+        TextFns.round4(sum(col("n_dup")).cast("double") /
+          sum(col("n_grams")).cast("double")).as("dup_frac"))
+      .orderBy("source")
+  }
+
+  private val sqlDupNgrams = {
+    val grams5 = duckNgramsOf(DupN)
+    s"""WITH t AS (SELECT doc_id, source, $duckTokens AS ts FROM documents),
+       |     g AS (SELECT doc_id, source, list_distinct($grams5) AS grams FROM t),
+       |     x AS (SELECT doc_id, source, unnest(grams) AS gram FROM g),
+       |     c AS (SELECT gram, count(*) AS nd FROM x GROUP BY gram),
+       |     d AS (SELECT x.doc_id, x.source,
+       |                  CAST(count(*) AS BIGINT) AS n_grams,
+       |                  CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |           FROM x JOIN c ON x.gram = c.gram GROUP BY x.doc_id, x.source)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_dup,
+       |       ${TextFns.duckRound4(
+                 "CAST(sum(n_dup) AS DOUBLE) / CAST(sum(n_grams) AS DOUBLE)")} AS dup_frac
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------- 7f. q_vocab_coverage: Zipf-head vocabulary coverage ----------
+
+  private val VocabTopK = 20
+
+  /** Top-k corpus tokens with rank and cumulative share of all token
+    * occurrences — the vocabulary-coverage (Zipf head) curve used to
+    * budget tokenizer vocabularies and spot boilerplate-dominated
+    * corpora.
+    *
+    * Scale: token counts are one linear hash aggregate; the top-k is
+    * TakeOrderedAndProject (k rows cross the wire, not the vocab);
+    * the cumulative window runs over exactly k=$VocabTopK rows AFTER
+    * the limit (bounded by construction, per the single-partition-
+    * window rule), with the corpus total joined in as one broadcast
+    * scalar. Ranks tie-break on the token itself, so the order is
+    * total and RANGE-vs-ROWS frame semantics cannot diverge.
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val top = counts.orderBy(col("n").desc, col("token")).limit(VocabTopK)
+    val w = Window.orderBy(col("n").desc, col("token"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_share", TextFns.round4(
+        sum(col("n")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / col("total").cast("double")))
+      .select(col("rank"), col("token"), col("n"), col("cum_share"))
+      .orderBy("rank")
+  }
+
+  private val sqlVocabCoverage =
+    s"""WITH t AS (SELECT $duckTokens AS ts FROM documents),
+       |     tok AS (SELECT unnest(ts) AS token FROM t),
+       |     c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token),
+       |     tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+       |     top AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT $VocabTopK)
+       |SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank,
+       |       token, n,
+       |       ${TextFns.duckRound4(
+                 "CAST(sum(n) OVER (ORDER BY n DESC, token " +
+                 "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)" +
+                 " / CAST((SELECT total FROM tot) AS DOUBLE)")} AS cum_share
+       |FROM top
+       |ORDER BY rank""".stripMargin
+
+  // ---------- 7g. q_token_shards: capacity-packed training shards ----------
 
   private val ShardTokens = 5000L
 
@@ -747,6 +853,8 @@ object TextQueries {
     "q_simhash_neardup" -> (simhashNearDup _),
     "q_repetition" -> (repetition _),
     "q_contamination" -> (contamination _),
+    "q_dup_ngrams" -> (dupNgrams _),
+    "q_vocab_coverage" -> (vocabCoverage _),
     "q_token_shards" -> (tokenShards _),
     "q_ngram_jaccard" -> (ngramJaccard _),
     "q_lang_id" -> (langId _),
@@ -764,6 +872,8 @@ object TextQueries {
     "q_simhash_neardup" -> sqlSimhashNearDup,
     "q_repetition" -> sqlRepetition,
     "q_contamination" -> sqlContamination,
+    "q_dup_ngrams" -> sqlDupNgrams,
+    "q_vocab_coverage" -> sqlVocabCoverage,
     "q_token_shards" -> sqlTokenShards,
     "q_ngram_jaccard" -> sqlNgramJaccard,
     "q_lang_id" -> sqlLangId,
