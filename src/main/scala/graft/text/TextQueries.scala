@@ -682,8 +682,14 @@ object TextQueries {
       .withColumn("ts", TextFns.tokens(col("text")))
       .select(col("doc_id"), col("source"),
         array_distinct(TextFns.wordNgramsFromTokens(col("ts"), DupN)).as("grams"))
+    // explode_outer, NOT explode: InferFiltersFromGenerate puts a
+    // size(grams) > 0 filter under a non-outer Generate, and projection
+    // collapse inlines the whole tokenize+gram HOF pipeline into it —
+    // every element access re-tokenizes the document (21 s → 2 s at
+    // sf0.1). The gram array is never empty (greatest(..., 1) pads), so
+    // outer ≡ inner here and no filter is inferred.
     val x = docs.select(col("doc_id"), col("source"),
-      explode(col("grams")).as("gram"))
+      explode_outer(col("grams")).as("gram"))
     val nd = x.groupBy("gram").agg(count(lit(1)).as("nd"))
     val perDoc = x.join(nd, Seq("gram"))
       .groupBy("doc_id", "source")
