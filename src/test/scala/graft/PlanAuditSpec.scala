@@ -38,6 +38,20 @@ class PlanAuditSpec extends SparkSpec {
       s"event_type filter not pushed: $pushed")
   }
 
+  test("dupNgrams explode grows no inferred filter over the gram HOFs") {
+    // InferFiltersFromGenerate + projection collapse can inline the
+    // whole tokenize+ngram pipeline into a size(...) > 0 filter that
+    // re-tokenizes the document per array element access (10× at
+    // sf0.1); explode_outer suppresses the inference. Pin that no
+    // physical Filter evaluates the HOF chain.
+    val filters = text.TextQueries.dupNgrams(spark, sfTiny)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f.condition.toString
+      }
+    assert(!filters.exists(_.contains("transform(")),
+      s"inferred filter re-evaluates the gram pipeline: $filters")
+  }
+
   test("minmaxBy resolves customer and nation via broadcast hash joins") {
     val plan = olap.Analytics.minmaxBy(spark, sfTiny)
       .queryExecution.sparkPlan.toString
