@@ -223,6 +223,46 @@ object TextQueries {
        |FROM clusters GROUP BY cluster_id HAVING count(*) > 1
        |ORDER BY cluster_id""".stripMargin
 
+  // ---------- 3a². q_delta_dedup: incremental dedup vs a corpus index ----------
+
+  /** Incremental (delta) near-dedup: screen an INCOMING batch against
+    * the band index of an already-ingested corpus, without touching
+    * corpus text. Here even doc_ids stand in for the indexed corpus
+    * and odd doc_ids for the incoming batch; production persists the
+    * (band, doc_id) table once per ingest and appends to it. For each
+    * new doc: how many distinct indexed docs it LSH-collides with and
+    * the smallest such (its dedup representative).
+    *
+    * Scale: THE realistic 100 TB dedup shape — the incoming batch
+    * (small) joins the corpus's band index (key-partitioned, append-
+    * only) on the band key; nothing rescans or re-hashes the corpus,
+    * and work is proportional to the batch, not the archive.
+    */
+  def deltaDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = minhashBands(Tables.documents(spark, sfDir))
+    val index = bands.filter(col("doc_id") % 2 === 0)
+      .select(col("band"), col("doc_id").as("idx_doc"))
+    val incoming = bands.filter(col("doc_id") % 2 === 1)
+    incoming.join(index, "band")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("idx_doc")).as("n_index_collisions"),
+        min(col("idx_doc")).as("dedup_rep"))
+      .orderBy("doc_id")
+  }
+
+  private val sqlDeltaDedup =
+    s"""WITH c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),
+       |     s AS (SELECT doc_id, $duckShingles AS shs FROM c),
+       |     g AS (SELECT doc_id, $duckSignature AS sig FROM s),
+       |     bands AS (SELECT doc_id, unnest($duckBandKeys) AS band FROM g),
+       |     idx AS (SELECT band, doc_id AS idx_doc FROM bands WHERE doc_id % 2 = 0),
+       |     nw AS (SELECT doc_id, band FROM bands WHERE doc_id % 2 = 1)
+       |SELECT nw.doc_id,
+       |       CAST(count(DISTINCT idx.idx_doc) AS BIGINT) AS n_index_collisions,
+       |       min(idx.idx_doc) AS dedup_rep
+       |FROM nw JOIN idx ON nw.band = idx.band
+       |GROUP BY nw.doc_id ORDER BY doc_id""".stripMargin
+
   // ---------- 3b. q_cc_clusters: transitive-closure near-dup clusters ----------
 
   /** (doc_id, component) — transitive cluster id per document, the
@@ -854,6 +894,7 @@ object TextQueries {
     "q_doc_dedup" -> (docDedup _),
     "q_doc_fingerprint" -> (docFingerprint _),
     "q_minhash_cluster" -> (minhashCluster _),
+    "q_delta_dedup" -> (deltaDedup _),
     "q_cc_clusters" -> (ccClusters _),
     "q_canonical_docs" -> (canonicalDocs _),
     "q_simhash_neardup" -> (simhashNearDup _),
@@ -873,6 +914,7 @@ object TextQueries {
     "q_doc_dedup" -> sqlDocDedup,
     "q_doc_fingerprint" -> sqlDocFingerprint,
     "q_minhash_cluster" -> sqlMinhashCluster,
+    "q_delta_dedup" -> sqlDeltaDedup,
     "q_cc_clusters" -> sqlCcClusters,
     "q_canonical_docs" -> sqlCanonicalDocs,
     "q_simhash_neardup" -> sqlSimhashNearDup,
