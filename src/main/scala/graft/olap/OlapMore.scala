@@ -1,5 +1,6 @@
 package graft.olap
 
+import graft.etl.SurrogateKeys
 import graft.schema.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -313,20 +314,34 @@ object OlapMore {
 
   // ---------- q_ntile: quartile segmentation ----------
 
-  /** ntile(4) over customer balances — the segmentation window. The
-    * order includes the key tie-break so both engines split rows into
-    * quartiles identically.
-    *
-    * Scale note: global ntile is inherently a total order (here a
-    * single-partition window over the customer DIM — fine at dim
-    * cardinality). For fact-sized inputs segment by approx_percentile
-    * boundaries instead (mergeable sketch, no global sort); same for
-    * [[momDelta]]'s window, which runs over ~tens of monthly rows.
+  /** ntile(4) over customer balances — the segmentation quartiles,
+    * WITHOUT a global window. Customer SCALES with SF (CLAUDE.md: it is
+    * not a bounded dim), so `Window.orderBy` with no partition key —
+    * a single-partition sort of the whole table — is banned here.
+    * Instead: distributed total sort + `zipWithIndex` rank
+    * ([[graft.etl.SurrogateKeys.scalable]], range-partitioned, no
+    * single-partition stage), then the exact ntile bucket formula
+    * `n = q·k + r ⇒ first r buckets hold q+1 rows` applied to the
+    * rank — bit-identical to `ntile(4) OVER (ORDER BY c_acctbal,
+    * c_custkey)` on any engine, for any n. The order includes the key
+    * tie-break so both engines split ties identically.
     */
   def ntileQuartiles(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    Tables.customer(spark, sfDir)
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
+    val cust = Tables.customer(spark, sfDir).select("c_acctbal", "c_custkey")
+    val n = cust.count() // one distributed count; scalar to the driver
+    val k = 4L
+    val q = math.max(n / k, 1L) // q=0 only when n<k; max keeps the DIV total
+    val r = n % k
+    val ranked = SurrogateKeys.scalable(
+      cust, Seq(col("c_acctbal"), col("c_custkey")), "rk")
+    // rank p (1-based): buckets 1..r have q+1 rows, buckets r+1..k have q
+    val cut = r * (q + 1) // last rank inside the wide buckets
+    val quartile = when(col("rk") <= cut,
+        expr(s"(rk - 1) DIV ${q + 1} + 1"))
+      .otherwise(expr(s"$r + (rk - 1 - $cut) DIV $q + 1"))
+      .cast("long")
+    ranked
+      .withColumn("quartile", quartile)
       .groupBy("quartile")
       .agg(count(lit(1)).as("n_customers"),
         round(min(col("c_acctbal")), 4).as("min_bal"),

@@ -668,19 +668,32 @@ object TextQueries {
       .withColumn("ts", TextFns.tokens(col("text")))
       .withColumn("grams",
         array_distinct(TextFns.wordNgramsFromTokens(col("ts"), NgramN)))
-    // the probe travels as ONE broadcast array: the overlap is then a
-    // per-row set intersection (no gram explode, no 250k-row shuffle)
-    // — both sets are pre-deduped, so |intersect| ≡ the semi-join
-    // hit count
+      .select(col("doc_id"), col("grams"))
+    // probe = the distinct gram ROWS of doc 0, broadcast as a hash
+    // relation: the membership test is then a broadcast hash join on
+    // exploded candidate grams — the probe set is hashed ONCE per
+    // executor, vs per-row `array_intersect(grams, probe_array)`
+    // which rebuilds the probe hash set on every row (~3× slower at
+    // sf0.1 for the same 20-row answer). Both sides are pre-deduped,
+    // so the per-doc join hit count ≡ |intersection|; docs with zero
+    // overlap drop out via the inner join (what to quarantine is the
+    // interesting output).
     val probe = docs.filter(col("doc_id") === 0)
-      .agg(array_distinct(flatten(collect_list(col("grams")))).as("parr"))
+      .select(explode(col("grams")).as("pgram")).distinct()
     docs.filter(col("doc_id") =!= 0)
-      .crossJoin(broadcast(probe))
-      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
-        size(array_intersect(col("grams"), col("parr"))).cast("long").as("n_hits"))
-      .filter(col("n_hits") > 0)
+      .withColumn("n_grams", size(col("grams")).cast("long"))
+      // explode_outer, not explode: an inferred size(grams)>0 filter
+      // under a plain Generate inlines the HOF gram pipeline
+      // (CLAUDE.md / PlanAuditSpec dupNgrams rule); null grams can't
+      // match the inner join, so semantics are identical
+      .select(col("doc_id"), col("n_grams"),
+        explode_outer(col("grams")).as("gram"))
+      .join(broadcast(probe), col("gram") === col("pgram"))
+      .groupBy("doc_id")
+      .agg(max(col("n_grams")).as("n_grams"), count(lit(1)).as("n_hits"))
       .withColumn("contamination", TextFns.round4(
         col("n_hits").cast("double") / col("n_grams").cast("double")))
+      .select("doc_id", "n_grams", "n_hits", "contamination")
       .orderBy("doc_id")
   }
 

@@ -50,6 +50,27 @@ class PlanAuditSpec extends SparkSpec {
       }
     assert(!filters.exists(_.contains("transform(")),
       s"inferred filter re-evaluates the gram pipeline: $filters")
+    // the mechanism that suppresses the inference is the OUTER
+    // generate (InferFiltersFromGenerate skips outer=true) — pin it
+    // directly so a regression via a different HOF shape still fails
+    val gens = text.TextQueries.dupNgrams(spark, sfTiny)
+      .queryExecution.sparkPlan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }
+    assert(gens.nonEmpty && gens.forall(_.outer),
+      s"dupNgrams generate lost outer=true (${gens.size} generates)")
+  }
+
+  test("ntileQuartiles plans no single-partition window over customer") {
+    // customer scales with SF: the quartile assignment must go through
+    // the distributed rank (range partition + zipWithIndex), never a
+    // partition-less WindowExec (CLAUDE.md scale rule)
+    val windows = OlapMore.ntileQuartiles(spark, sfTiny)
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    assert(windows.isEmpty,
+      s"q_ntile plan contains ${windows.size} WindowExec node(s)")
   }
 
   test("minmaxBy resolves customer and nation via broadcast hash joins") {
