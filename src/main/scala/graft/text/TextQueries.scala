@@ -225,29 +225,43 @@ object TextQueries {
 
   // ---------- 3a². q_delta_dedup: incremental dedup vs a corpus index ----------
 
-  /** Incremental (delta) near-dedup: screen an INCOMING batch against
-    * the band index of an already-ingested corpus, without touching
-    * corpus text. Here even doc_ids stand in for the indexed corpus
-    * and odd doc_ids for the incoming batch; production persists the
-    * (band, doc_id) table once per ingest and appends to it. For each
-    * new doc: how many distinct indexed docs it LSH-collides with and
-    * the smallest such (its dedup representative).
-    *
-    * Scale: THE realistic 100 TB dedup shape — the incoming batch
-    * (small) joins the corpus's band index (key-partitioned, append-
-    * only) on the band key; nothing rescans or re-hashes the corpus,
-    * and work is proportional to the batch, not the archive.
+  /** The persistable (band, idx_doc) LSH band index of a corpus — the
+    * table an incremental-dedup deployment writes once per ingest and
+    * APPENDS each accepted batch's rows to (key-partitioned on band).
     */
-  def deltaDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val bands = minhashBands(Tables.documents(spark, sfDir))
-    val index = bands.filter(col("doc_id") % 2 === 0)
-      .select(col("band"), col("doc_id").as("idx_doc"))
-    val incoming = bands.filter(col("doc_id") % 2 === 1)
-    incoming.join(index, "band")
+  def bandIndex(docs: DataFrame): DataFrame =
+    minhashBands(docs).select(col("band"), col("doc_id").as("idx_doc"))
+
+  /** Screen an incoming batch against a (band, idx_doc) index: for
+    * each new doc, how many distinct indexed docs it LSH-collides
+    * with and the smallest such (its dedup representative). Work is
+    * a band-key join + per-doc aggregate — proportional to the batch
+    * when `index` is a persisted table.
+    */
+  def screenAgainstIndex(incoming: DataFrame, index: DataFrame): DataFrame =
+    minhashBands(incoming).join(index, "band")
       .groupBy("doc_id")
       .agg(countDistinct(col("idx_doc")).as("n_index_collisions"),
         min(col("idx_doc")).as("dedup_rep"))
       .orderBy("doc_id")
+
+  /** Incremental (delta) near-dedup: screen an INCOMING batch against
+    * the band index of an already-ingested corpus, without touching
+    * corpus text. Here even doc_ids stand in for the indexed corpus
+    * and odd doc_ids for the incoming batch.
+    *
+    * Scale: the SHAPE is the realistic 100 TB one — the incoming
+    * batch (small) joins the corpus's band index on the band key, so
+    * with a PERSISTED index ([[bandIndex]] written to parquet, as
+    * `DeltaDedupSpec` exercises) work is proportional to the batch,
+    * not the archive. This self-contained DEMO recomputes the index
+    * from the even-doc_id half on each run — only the
+    * persisted-index deployment has the batch-proportional property.
+    */
+  def deltaDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    screenAgainstIndex(docs.filter(col("doc_id") % 2 === 1),
+      bandIndex(docs.filter(col("doc_id") % 2 === 0)))
   }
 
   private val sqlDeltaDedup =
