@@ -271,49 +271,35 @@ object Streaming {
     * the merge itself is idempotent per key, so replayed batches
     * converge (at-least-once delivery → exactly-once state).
     *
-    * Filesystem scope: the swap relies on atomic directory rename,
-    * which Hadoop's FileSystem provides on local FS and HDFS. On
-    * object stores (S3A, GCS) rename is a non-atomic copy+delete, so
-    * this sink is NOT safe there — the production path on an object
-    * store is a transactional table format (Delta/Iceberg), whose
-    * commit protocol replaces this whole swap; this method is the
-    * seam to swap that in.
+    * Storage scope is the COMMITTER's ([[SnapshotCommitter]]): the
+    * default [[RenameCommitter]] swaps in place via atomic directory
+    * rename (HDFS/local FS); pass `new ManifestCommitter(_, _)` for
+    * object stores, where the snapshot lives in immutable version
+    * directories and the commit is one manifest-pointer write. Both
+    * run the same recover → read → stage → commit loop below.
     */
   def startUpsertSink(updates: DataFrame, path: String, checkpoint: String,
-                      keys: Seq[String]) =
+                      keys: Seq[String],
+                      committerFor: (String, org.apache.hadoop.conf.Configuration)
+                        => SnapshotCommitter = new RenameCommitter(_, _)) =
     updates.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        // Hadoop FileSystem, not java.io.File: resolves hdfs:// and
-        // file:// URIs alike from the session's Hadoop conf.
-        val target = new org.apache.hadoop.fs.Path(path)
-        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val next = new org.apache.hadoop.fs.Path(path + ".next")
-        val old = new org.apache.hadoop.fs.Path(path + ".old")
-        // Recover a committed-but-unswapped snapshot from a previous
-        // crash (see swap protocol below) before reading.
-        if (!fs.exists(target) && fs.exists(next))
-          require(fs.rename(next, target),
-            s"recovery rename failed: $next -> $target")
-        if (fs.exists(old)) fs.delete(old, true)
-        val merged =
-          if (fs.exists(target))
-            graft.etl.Merge.upsert(spark.read.parquet(path), batch, keys)
-          else batch
-        // Swap protocol (the read above and the write below touch the
-        // same path): write .next → move current to .old → move .next
-        // in → drop .old. Each step is a checked rename; a crash
-        // between the two renames leaves .next complete on disk, and
-        // the recovery block above finishes the swap on replay —
-        // the snapshot is never the only copy that gets deleted.
-        if (fs.exists(next)) fs.delete(next, true)
-        merged.write.mode("overwrite").parquet(next.toString)
-        if (fs.exists(target)) require(fs.rename(target, old),
-          s"swap rename failed: $target -> $old")
-        require(fs.rename(next, target), s"swap rename failed: $next -> $target")
-        fs.delete(old, true)
+        // Hadoop conf, not java.io.File: the committer resolves
+        // hdfs:// and file:// URIs alike from the session's conf.
+        val committer =
+          committerFor(path, spark.sparkContext.hadoopConfiguration)
+        committer.recover() // finish/roll back any interrupted commit
+        val merged = committer.current() match {
+          case Some(cur) =>
+            graft.etl.Merge.upsert(spark.read.parquet(cur.toString), batch, keys)
+          case None => batch
+        }
+        val staged = committer.stage()
+        merged.write.mode("overwrite").parquet(staged.toString)
+        committer.commit(staged)
         ()
       }
       .start()

@@ -137,6 +137,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startUpsertSink with ManifestCommitter merges batches and keeps one version") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_m").toString
+    val input = MemoryStream[(String, Int)]
+    val q = Streaming.startUpsertSink(
+      input.toDF().toDF("k", "v"), s"$dir/snap", s"$dir/chk", Seq("k"),
+      committerFor = new ManifestCommitter(_, _))
+    try {
+      input.addData(("a", 1), ("b", 2))
+      q.processAllAvailable()
+      input.addData(("b", 99), ("c", 3)) // update b, insert c
+      q.processAllAvailable()
+      val committer = new ManifestCommitter(
+        s"$dir/snap", spark.sparkContext.hadoopConfiguration)
+      val cur = committer.current()
+        .getOrElse(fail("no committed snapshot")).toString
+      assert(cur.endsWith("/v2"), s"expected version 2, got $cur")
+      val got = spark.read.parquet(cur).orderBy("k")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      assert(got == Seq(("a", 1), ("b", 99), ("c", 3)))
+      // superseded v1 is swept after the pointer flip
+      assert(!new java.io.File(s"$dir/snap/v1").exists)
+    } finally q.stop()
+  }
+
+  test("ManifestCommitter rolls back a crash before the manifest flip") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_mrec").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    // Committed state: v1 = {a:1, b:2}, MANIFEST -> 1.
+    val boot = new ManifestCommitter(s"$dir/snap", conf)
+    Seq(("a", 1), ("b", 2)).toDF("k", "v").write.parquet(s"$dir/snap/v1")
+    boot.commit(new org.apache.hadoop.fs.Path(s"$dir/snap/v1"))
+    // Worst-case crash window: the next batch fully staged v2 and even
+    // wrote MANIFEST.tmp, but died before the atomic pointer rename —
+    // the commit never happened, so v2 and the tmp are garbage.
+    Seq(("a", 777)).toDF("k", "v").write.parquet(s"$dir/snap/v2")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/snap/MANIFEST.tmp"), "2")
+    val input = MemoryStream[(String, Int)]
+    val q = Streaming.startUpsertSink(
+      input.toDF().toDF("k", "v"), s"$dir/snap", s"$dir/chk", Seq("k"),
+      committerFor = new ManifestCommitter(_, _))
+    try {
+      input.addData(("b", 99)) // replayed update merges onto v1, NOT v2
+      q.processAllAvailable()
+      val cur = new ManifestCommitter(s"$dir/snap", conf).current()
+        .getOrElse(fail("no committed snapshot")).toString
+      assert(cur.endsWith("/v2"), s"expected re-staged version 2, got $cur")
+      val got = spark.read.parquet(cur).orderBy("k")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      assert(got == Seq(("a", 1), ("b", 99)))
+      assert(!new java.io.File(s"$dir/snap/MANIFEST.tmp").exists)
+      assert(!new java.io.File(s"$dir/snap/v1").exists)
+    } finally q.stop()
+  }
+
   test("closedSessions emits a session only after the gap passes") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_cs").toString
