@@ -13,11 +13,14 @@ import org.apache.spark.sql.types._
   * everything downstream of decode is ordinary relational Spark.
   *
   * Codec status: image (PNG/JPEG/BMP/GIF) decodes for real through
-  * [[ImageIoCodec]] (javax.imageio) and audio (WAV/AIFF/AU signed
-  * PCM-16) through [[SoundCodec]] (javax.sound.sampled) — both
-  * JDK-native, no external jars. Video and undecodable bytes fall
-  * back to the deterministic [[FakeCodec]], so every stage is total;
-  * swapping in a JNI/javacv video decoder changes one object.
+  * [[ImageIoCodec]] (javax.imageio), audio (WAV/AIFF/AU signed
+  * PCM-16) through [[SoundCodec]] (javax.sound.sampled), and video
+  * through [[AviMjpegCodec]] (MJPEG-in-AVI RIFF walk; frames are
+  * JPEGs decoded by ImageIO) — all JDK-native, no external jars.
+  * Bytes no codec claims (other video codecs, synthetic test bytes)
+  * fall back to the deterministic [[FakeCodec]], so every stage is
+  * total; an H.264-class decoder would need a JNI/javacv binding and
+  * slots in beside AviMjpegCodec.
   *
   * Scale: decode runs as `mapPartitions` over the typed Dataset — one
   * iterator per partition, constant memory, no shuffle, trivially
@@ -131,11 +134,74 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Deterministic stand-in for the decoders the JDK doesn't ship
-    * (video) and for non-media test bytes: all outputs are pure
-    * functions of the content bytes, so tests and reruns converge.
-    * Replace with a real codec binding at deployment; signatures are
-    * the contract.
+  /** Real video container parse for MJPEG-in-AVI — the one video
+    * format decodable with ONLY the JDK, because each frame is a JPEG
+    * that [[ImageIoCodec]] already reads. Walks the RIFF chunk tree
+    * (no index required: `movi` is scanned directly, `rec ` lists
+    * recursed, `idx1` ignored) and returns frame byte ranges plus the
+    * `avih` timing/dimensions — random access to any frame without
+    * materializing the rest. Returns None for anything that isn't a
+    * RIFF/AVI with at least one `..dc`/`..db` frame — callers fall
+    * back to [[FakeCodec]], mirroring the image/audio codecs.
+    */
+  object AviMjpegCodec {
+    /** usPerFrame from avih; dims from avih; (offset, length) of each
+      * video frame chunk's bytes within the container, in stream order.
+      */
+    case class AviInfo(usPerFrame: Long, width: Int, height: Int,
+                       frames: IndexedSeq[(Int, Int)]) {
+      def durationMs: Long = frames.length.toLong * usPerFrame / 1000
+    }
+
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+    def parse(bytes: Array[Byte]): Option[AviInfo] =
+      try {
+        if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+            fourcc(bytes, 8) != "AVI ") return None
+        var usPerFrame = 0L
+        var w = 0
+        var h = 0
+        val frames = IndexedSeq.newBuilder[(Int, Int)]
+        def walk(start: Int, end: Int): Unit = {
+          var o = start
+          while (o + 8 <= end) {
+            val id = fourcc(bytes, o)
+            val sz = u32(bytes, o + 4).toInt
+            val dataStart = o + 8
+            if (sz < 0 || dataStart + sz > end)
+              return // malformed size: stop at what parsed cleanly
+            if (id == "LIST") walk(dataStart + 4, dataStart + sz)
+            else if (id == "avih" && sz >= 40) {
+              usPerFrame = u32(bytes, dataStart)
+              w = u32(bytes, dataStart + 32).toInt
+              h = u32(bytes, dataStart + 36).toInt
+            } else if (id.length == 4 &&
+                       (id.endsWith("dc") || id.endsWith("db")))
+              frames += ((dataStart, sz))
+            o = dataStart + sz + (sz & 1) // chunks pad to even
+          }
+        }
+        walk(12, math.min(bytes.length.toLong, 8 + u32(bytes, 4)).toInt)
+        val fs = frames.result()
+        if (fs.isEmpty || usPerFrame <= 0) None
+        else Some(AviInfo(usPerFrame, w, h, fs))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    def frameBytes(bytes: Array[Byte], info: AviInfo, i: Int): Array[Byte] = {
+      val (off, len) = info.frames(i)
+      java.util.Arrays.copyOfRange(bytes, off, off + len)
+    }
+  }
+
+  /** Deterministic stand-in for undecodable bytes (non-AVI video,
+    * non-media test bytes): all outputs are pure functions of the
+    * content bytes, so tests and reruns converge. Real decode paths:
+    * [[ImageIoCodec]], [[SoundCodec]], [[AviMjpegCodec]].
     */
   object FakeCodec {
     def imageDims(bytes: Array[Byte]): (Int, Int) = {
@@ -242,4 +308,54 @@ object Multimodal {
       .filter(col("duration_ms").isNotNull && col("duration_ms") > 0)
       .select(col("media_id"), col("duration_ms"),
         explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))).as("frame_ts_ms"))
+
+  case class VideoFrame(media_id: Long, frame_index: Int, frame_ts_ms: Long,
+                        width: Int, height: Int, mean_intensity: Double)
+
+  /** Frame decode for video: sample one frame every `everyMs` of
+    * stream time and decode it to grayscale stats. MJPEG-in-AVI
+    * containers go through [[AviMjpegCodec]] (frame timing and byte
+    * ranges from the container, pixels via [[ImageIoCodec]] — all
+    * JDK); bytes no parser claims keep the [[FakeCodec]] derivation
+    * over the metadata-declared duration so the stage is total.
+    *
+    * Scale: same `mapPartitions` shape as [[decodeImages]] — the
+    * container's chunk walk is O(bytes) once per video, then only the
+    * SAMPLED frames are JPEG-decoded (random access via the parsed
+    * offsets); nothing shuffles, parallelism is per-file.
+    */
+  def decodeVideoFrames(media: DataFrame, everyMs: Long): Dataset[VideoFrame] = {
+    require(everyMs > 0, s"everyMs must be positive, got $everyMs")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          AviMjpegCodec.parse(r.content) match {
+            case Some(info) =>
+              val dur = math.max(info.durationMs, 1L)
+              Iterator.range(0L, dur, everyMs).flatMap { ts =>
+                val idx = math.min((ts * 1000 / info.usPerFrame).toInt,
+                  info.frames.length - 1)
+                ImageIoCodec.decode(AviMjpegCodec.frameBytes(r.content, info, idx))
+                  .map { case (w, h, px) =>
+                    var s = 0L
+                    px.foreach(s += _)
+                    VideoFrame(r.media_id, idx, ts, w, h,
+                      if (px.isEmpty) 0.0 else s.toDouble / px.length)
+                  }
+              }
+            case None =>
+              val dur = r.meta.duration_ms.getOrElse(0L)
+              val (fw, fh) = FakeCodec.imageDims(r.content)
+              val px = FakeCodec.pixels(r.content)
+              var s = 0L
+              px.foreach(s += _)
+              val mean = if (px.isEmpty) 0.0 else s.toDouble / px.length
+              Iterator.range(0L, dur, everyMs).map(ts =>
+                VideoFrame(r.media_id, (ts / everyMs).toInt, ts, fw, fh, mean))
+          }
+        }
+      }
+  }
 }

@@ -117,6 +117,95 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // ---- in-test MJPEG-AVI fixture (RIFF writer, ~20 lines) ----
+
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val pad: Array[Byte] = if (data.length % 2 == 1) Array(0.toByte) else Array.empty
+    id.getBytes("ISO-8859-1") ++ le32(data.length) ++ data ++ pad
+  }
+
+  private def riffList(typ: String, body: Array[Byte]): Array[Byte] =
+    chunk("LIST", typ.getBytes("ISO-8859-1") ++ body)
+
+  private def jpegFrame(shade: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (shade << 16) | (shade << 8) | shade)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  private def makeAvi(frames: Seq[Array[Byte]], usPerFrame: Int,
+                      w: Int, h: Int): Array[Byte] = {
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(0, usPerFrame)
+    avih.putInt(16, frames.size) // dwTotalFrames
+    avih.putInt(24, 1)           // dwStreams
+    avih.putInt(32, w)
+    avih.putInt(36, h)
+    val hdrl = riffList("hdrl", chunk("avih", avih.array()))
+    val movi = riffList("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ le32(body.length) ++ body
+  }
+
+  test("AviMjpegCodec parses a real AVI container") {
+    val avi = makeAvi(Seq(jpegFrame(30, 16, 12), jpegFrame(128, 16, 12),
+      jpegFrame(220, 16, 12)), usPerFrame = 40000, w = 16, h = 12)
+    val info = Multimodal.AviMjpegCodec.parse(avi)
+      .getOrElse(fail("parse returned None"))
+    assert(info.usPerFrame == 40000L)
+    assert(info.width == 16 && info.height == 12)
+    assert(info.frames.length == 3)
+    assert(info.durationMs == 120L)
+    // each extracted frame is a decodable JPEG
+    val f1 = Multimodal.ImageIoCodec.decode(
+      Multimodal.AviMjpegCodec.frameBytes(avi, info, 1))
+      .getOrElse(fail("frame 1 not a decodable JPEG"))
+    assert(f1._1 == 16 && f1._2 == 12)
+    // non-AVI bytes are rejected, not mangled
+    assert(Multimodal.AviMjpegCodec.parse("hello world".getBytes).isEmpty)
+    assert(Multimodal.AviMjpegCodec.parse(avi.take(20)).isEmpty)
+  }
+
+  test("decodeVideoFrames samples and decodes real MJPEG-AVI frames") {
+    import spark.implicits._
+    // 3 solid-gray frames (shades 30, 128, 220) at 25 fps: sampling
+    // every 40 ms hits each frame exactly once, in order
+    val avi = makeAvi(Seq(jpegFrame(30, 16, 12), jpegFrame(128, 16, 12),
+      jpegFrame(220, 16, 12)), usPerFrame = 40000, w = 16, h = 12)
+    val video = Multimodal.mediaFixture(spark, sfTiny)
+      .filter(col("kind") === "video").limit(1)
+      .withColumn("content", typedLit(avi))
+    val frames = Multimodal.decodeVideoFrames(video, everyMs = 40)
+      .orderBy("frame_ts_ms").collect().toSeq
+    assert(frames.map(_.frame_index) == Seq(0, 1, 2))
+    assert(frames.map(_.frame_ts_ms) == Seq(0L, 40L, 80L))
+    frames.foreach(f => assert(f.width == 16 && f.height == 12))
+    // JPEG is lossy but a solid-color frame decodes within ±2 of its shade
+    val means = frames.map(_.mean_intensity)
+    Seq(30.0, 128.0, 220.0).zip(means).foreach { case (want, got) =>
+      assert(math.abs(want - got) <= 2.0, s"mean $got too far from $want")
+    }
+  }
+
+  test("decodeVideoFrames falls back to FakeCodec for non-AVI bytes") {
+    val frames = Multimodal.decodeVideoFrames(media, everyMs = 500)
+      .collect()
+    assert(frames.nonEmpty) // the synthetic text-byte fixture decodes via fallback
+    frames.foreach { f =>
+      assert(f.width >= 16 && f.width < 128)
+      assert(f.mean_intensity > 0)
+    }
+  }
+
   test("metadata-only query prunes the binary column at the scan") {
     // different sf dir than the cached fixture: the cache manager
     // substitutes InMemoryRelation (which pins all columns) for any
