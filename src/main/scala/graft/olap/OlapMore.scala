@@ -2,7 +2,7 @@ package graft.olap
 
 import graft.etl.SurrogateKeys
 import graft.schema.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -326,22 +326,32 @@ object OlapMore {
     * c_custkey)` on any engine, for any n. The order includes the key
     * tie-break so both engines split ties identically.
     */
+  /** The exact `ntile(k)` bucket of 1-based rank `rkName` among `n`
+    * rows — `n = q·k + r ⇒ buckets 1..r hold q+1 rows, the rest q` —
+    * as a column expression over a precomputed rank. This is what lets
+    * ntile run WITHOUT a global window (rank comes from a distributed
+    * sort); `NtileFormulaSpec` proves it ≡ `ntile(k)` for ragged n.
+    */
+  private[olap] def ntileByRank(rkName: String, n: Long, k: Long): Column = {
+    val q = n / k // 0 when n<k: every row is its own (q+1 = 1)-row bucket
+    val r = n % k
+    val cut = r * (q + 1) // last rank inside the wide buckets
+    // when q=0, cut=n and the otherwise branch never evaluates — the
+    // clamp only keeps the (lazily skipped) DIV total
+    val qSafe = math.max(q, 1L)
+    when(col(rkName) <= cut,
+        expr(s"($rkName - 1) DIV ${q + 1} + 1"))
+      .otherwise(expr(s"$r + ($rkName - 1 - $cut) DIV $qSafe + 1"))
+      .cast("long")
+  }
+
   def ntileQuartiles(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir).select("c_acctbal", "c_custkey")
     val n = cust.count() // one distributed count; scalar to the driver
-    val k = 4L
-    val q = math.max(n / k, 1L) // q=0 only when n<k; max keeps the DIV total
-    val r = n % k
     val ranked = SurrogateKeys.scalable(
       cust, Seq(col("c_acctbal"), col("c_custkey")), "rk")
-    // rank p (1-based): buckets 1..r have q+1 rows, buckets r+1..k have q
-    val cut = r * (q + 1) // last rank inside the wide buckets
-    val quartile = when(col("rk") <= cut,
-        expr(s"(rk - 1) DIV ${q + 1} + 1"))
-      .otherwise(expr(s"$r + (rk - 1 - $cut) DIV $q + 1"))
-      .cast("long")
     ranked
-      .withColumn("quartile", quartile)
+      .withColumn("quartile", ntileByRank("rk", n, 4L))
       .groupBy("quartile")
       .agg(count(lit(1)).as("n_customers"),
         round(min(col("c_acctbal")), 4).as("min_bal"),

@@ -236,17 +236,72 @@ object TextAnalytics {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---------- q_pii_redact: identifier detection + redaction screen ----------
+
+  private val CustIdRe = "Customer#\\d+"
+  private val AcctRe = "acct \\d+"
+
+  /** Identifier redaction (pseudonymization) — the screen a corpus
+    * runs before sharing: detect identifier patterns, count hits,
+    * rewrite them to placeholder tags, and PROVE the rewrite complete
+    * by re-scanning the redacted text (residual_hits must be 0 — the
+    * audit most redaction pipelines skip). The identifier-shaped data
+    * this synthetic dataset has is entity ids (`Customer#\d+` names,
+    * account numbers composed from the key); a production deployment
+    * adds email/phone/SSN patterns to the exact same shape.
+    *
+    * Scale: pure per-row regex work (codegen'd `regexp_count` /
+    * `regexp_replace`) + one hash aggregate — linear, no shuffle
+    * beyond the group-by, embarrassingly parallel at 100 TB.
+    */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val contact = Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment").as("segment"),
+        concat_ws(" ", col("c_name"),
+          lit("acct"), col("c_custkey").cast("string")).as("contact"))
+      .withColumn("red",
+        regexp_replace(regexp_replace(col("contact"), CustIdRe, "[ID]"),
+          AcctRe, "acct [N]"))
+    contact
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(regexp_count(col("contact"), lit(CustIdRe))).cast("long").as("id_hits"),
+        sum(regexp_count(col("contact"), lit(AcctRe))).cast("long").as("acct_hits"),
+        sum(regexp_count(col("red"), lit(CustIdRe)) +
+          regexp_count(col("red"), lit(AcctRe))).cast("long").as("residual_hits"),
+        min(col("red")).as("sample_redacted"))
+      .orderBy("segment")
+  }
+
+  private val sqlPiiRedact =
+    """WITH t AS (SELECT c_mktsegment AS segment,
+      |                  concat_ws(' ', c_name, 'acct', CAST(c_custkey AS VARCHAR)) AS contact
+      |           FROM customer),
+      |     r AS (SELECT segment, contact,
+      |                  regexp_replace(regexp_replace(contact, 'Customer#\d+', '[ID]', 'g'),
+      |                                 'acct \d+', 'acct [N]', 'g') AS red
+      |           FROM t)
+      |SELECT segment, count(*) AS n_docs,
+      |       CAST(sum(len(regexp_extract_all(contact, 'Customer#\d+'))) AS BIGINT) AS id_hits,
+      |       CAST(sum(len(regexp_extract_all(contact, 'acct \d+'))) AS BIGINT) AS acct_hits,
+      |       CAST(sum(len(regexp_extract_all(red, 'Customer#\d+'))
+      |                + len(regexp_extract_all(red, 'acct \d+'))) AS BIGINT) AS residual_hits,
+      |       min(red) AS sample_redacted
+      |FROM r GROUP BY segment ORDER BY segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cross_entropy" -> (crossEntropy _),
     "q_tfidf" -> (tfidf _),
     "q_strat_sample" -> (stratSample _),
     "q_inverted_index" -> (invertedIndex _),
-    "q_weighted_sample" -> (weightedSample _))
+    "q_weighted_sample" -> (weightedSample _),
+    "q_pii_redact" -> (piiRedact _))
 
   val oracle: Map[String, String] = Map(
     "q_cross_entropy" -> sqlCrossEntropy,
     "q_tfidf" -> sqlTfidf,
     "q_strat_sample" -> sqlStratSample,
     "q_inverted_index" -> sqlInvertedIndex,
-    "q_weighted_sample" -> sqlWeightedSample)
+    "q_weighted_sample" -> sqlWeightedSample,
+    "q_pii_redact" -> sqlPiiRedact)
 }

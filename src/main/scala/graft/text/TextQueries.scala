@@ -692,8 +692,12 @@ object TextQueries {
     // so the per-doc join hit count ≡ |intersection|; docs with zero
     // overlap drop out via the inner join (what to quarantine is the
     // interesting output).
+    // explode_outer here too: plain explode infers size(grams)>0 and
+    // inlines the gram pipeline into the filter (cheap for one probe
+    // doc, but the banned plan shape); the null row from an empty
+    // array can't match the join
     val probe = docs.filter(col("doc_id") === 0)
-      .select(explode(col("grams")).as("pgram")).distinct()
+      .select(explode_outer(col("grams")).as("pgram")).distinct()
     docs.filter(col("doc_id") =!= 0)
       .withColumn("n_grams", size(col("grams")).cast("long"))
       // explode_outer, not explode: an inferred size(grams)>0 filter

@@ -61,6 +61,20 @@ class PlanAuditSpec extends SparkSpec {
       s"dupNgrams generate lost outer=true (${gens.size} generates)")
   }
 
+  test("contamination plans outer generates and no inferred HOF filter") {
+    val plan = text.TextQueries.contamination(spark, sfTiny).queryExecution.sparkPlan
+    val filters = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f.condition.toString
+    }
+    assert(!filters.exists(_.contains("transform(")),
+      s"inferred filter re-evaluates the gram pipeline: $filters")
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.nonEmpty && gens.forall(_.outer),
+      s"contamination generate lost outer=true (${gens.size} generates)")
+  }
+
   test("ntileQuartiles plans no single-partition window over customer") {
     // customer scales with SF: the quartile assignment must go through
     // the distributed rank (range partition + zipWithIndex), never a
