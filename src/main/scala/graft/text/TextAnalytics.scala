@@ -289,13 +289,91 @@ object TextAnalytics {
       |       min(red) AS sample_redacted
       |FROM r GROUP BY segment ORDER BY segment""".stripMargin
 
+  // ---------- q_source_quota: per-domain quota balancing ----------
+
+  private val QuotaK = 40
+
+  /** Domain/source quota balancing — the corpus-mix stage (cap every
+    * source at K documents, keep the K best by quality) that stops a
+    * crawl's biggest domain from dominating the training mix. Emits
+    * the before/after profile per source: how many documents, how
+    * many survive the quota, and the mean quality of kept vs dropped
+    * (the quota's selection lift, the number a curation report shows).
+    *
+    * Shape: the same two-phase salted rank as [[stratSample]] (top-K
+    * per (source, salt-shard), then re-rank the ≤8K survivors per
+    * source) — exact-k selection by a total order composes, so no
+    * hot-source window sees more than ~1/8 of a stratum. Quality is
+    * summed in integer BASIS POINTS (`floor(q·10⁴ + ½)` per doc):
+    * integer sums are associative-exact, so the kept/dropped means
+    * are order- and engine-independent without any float-fold parity
+    * care — the [[graft.olap.OlapStats.corrStats]] exact-moment
+    * principle applied to a curation report.
+    */
+  def sourceQuota(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("source"), col("doc_id"),
+        floor(TextFns.qualityScore(col("text"), col("ts")) * 10000.0 + 0.5)
+          .cast("long").as("q4"))
+    val phase1 = Window
+      .partitionBy(col("source"), pmod(col("doc_id"), lit(8L)))
+      .orderBy(col("q4").desc, col("doc_id"))
+    val survivors = docs
+      .withColumn("rk1", row_number().over(phase1))
+      .filter(col("rk1") <= QuotaK)
+    val phase2 = Window.partitionBy("source").orderBy(col("q4").desc, col("doc_id"))
+    val kept = survivors
+      .withColumn("rk", row_number().over(phase2))
+      .filter(col("rk") <= QuotaK)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("q4")).as("kept_q4"))
+    val all = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("q4")).as("all_q4"))
+    all.join(kept, "source")
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        TextFns.round4(col("kept_q4").cast("double") /
+          col("n_kept").cast("double") / 10000.0).as("kept_avg_quality"),
+        when(col("n_docs") > col("n_kept"),
+          TextFns.round4((col("all_q4") - col("kept_q4")).cast("double") /
+            (col("n_docs") - col("n_kept")).cast("double") / 10000.0))
+          .as("dropped_avg_quality"))
+      .orderBy("source")
+  }
+
+  private val sqlSourceQuota =
+    s"""WITH t AS (SELECT source, doc_id, text, ${TextQueries.duckTokens} AS ts FROM documents),
+       |     q AS (SELECT source, doc_id,
+       |                  CAST(floor((${TextQueries.duckQuality}) * 10000.0 + 0.5) AS BIGINT) AS q4
+       |           FROM t),
+       |     r AS (SELECT source, doc_id, q4,
+       |                  row_number() OVER (PARTITION BY source
+       |                    ORDER BY q4 DESC, doc_id) AS rk
+       |           FROM q),
+       |     kept AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       |                     CAST(sum(q4) AS BIGINT) AS kept_q4
+       |              FROM r WHERE rk <= $QuotaK GROUP BY source),
+       |     alld AS (SELECT source, count(*) AS n_docs,
+       |                     CAST(sum(q4) AS BIGINT) AS all_q4
+       |              FROM q GROUP BY source)
+       |SELECT alld.source, n_docs, n_kept,
+       |       ${TextFns.duckRound4(
+                 "CAST(kept_q4 AS DOUBLE) / CAST(n_kept AS DOUBLE) / 10000.0")} AS kept_avg_quality,
+       |       CASE WHEN n_docs > n_kept THEN
+       |         ${TextFns.duckRound4(
+                   "CAST(all_q4 - kept_q4 AS DOUBLE) / CAST(n_docs - n_kept AS DOUBLE) / 10000.0")}
+       |       ELSE NULL END AS dropped_avg_quality
+       |FROM alld JOIN kept ON alld.source = kept.source
+       |ORDER BY alld.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cross_entropy" -> (crossEntropy _),
     "q_tfidf" -> (tfidf _),
     "q_strat_sample" -> (stratSample _),
     "q_inverted_index" -> (invertedIndex _),
     "q_weighted_sample" -> (weightedSample _),
-    "q_pii_redact" -> (piiRedact _))
+    "q_pii_redact" -> (piiRedact _),
+    "q_source_quota" -> (sourceQuota _))
 
   val oracle: Map[String, String] = Map(
     "q_cross_entropy" -> sqlCrossEntropy,
@@ -303,5 +381,6 @@ object TextAnalytics {
     "q_strat_sample" -> sqlStratSample,
     "q_inverted_index" -> sqlInvertedIndex,
     "q_weighted_sample" -> sqlWeightedSample,
-    "q_pii_redact" -> sqlPiiRedact)
+    "q_pii_redact" -> sqlPiiRedact,
+    "q_source_quota" -> sqlSourceQuota)
 }
