@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   *   4. neardup   — MinHash-LSH cluster assignment, keep each
   *                  cluster's canonical (min doc_id) member
   *                  (`q_minhash_cluster` shape)
-  *   5. corpus    — survivors packed into token-budgeted training
+  *   5. balance   — per-source quota: each source keeps its best
+  *                  `quota` docs by quality (`q_source_quota` kernel),
+  *                  capping any domain's share of the mix
+  *   6. corpus    — survivors packed into token-budgeted training
   *                  shards (`q_token_shards` kernel); a by-language
   *                  serving layout is rewritten alongside
   *
@@ -54,7 +57,7 @@ object RunCurate {
 
   /** Run the curation funnel; returns per-stage stats in order. */
   def curate(spark: SparkSession, sfDir: String, outDir: String,
-             minQuality: Double = 0.5): Seq[StageStat] = {
+             minQuality: Double = 0.5, quota: Int = 40): Seq[StageStat] = {
     def stage(name: String)(df: => DataFrame): StageStat = {
       val t0 = System.nanoTime()
       val path = s"$outDir/$name"
@@ -101,11 +104,18 @@ object RunCurate {
         .select(col("doc_id")), Seq("doc_id"), "left_semi")
     }
 
-    val s5 = stage("corpus") {
+    val s5 = stage("balance") {
+      // per-source quota (the q_source_quota selection kernel): caps
+      // any single domain's share of the final mix, keeping each
+      // source's best `quota` docs by quality
+      TextAnalytics.quotaSelect(read("neardup"), quota, "quality")
+    }
+
+    val s6 = stage("corpus") {
       // survivors packed into training shards of bounded token budget
       // (the distributed prefix scan — the same q_token_shards kernel)
       graft.etl.PrefixScan.packByCapacity(
-        read("neardup"), "doc_id", "n_tokens", capacity = 50000L)
+        read("balance"), "doc_id", "n_tokens", capacity = 50000L)
     }
     // partitioned rewrite for the language serving layout (corpus/ is
     // the flat snapshot the stats read). Lang cardinality is bounded
@@ -117,7 +127,7 @@ object RunCurate {
     graft.etl.Warehouse.writePartitioned(
       read("corpus"), s"$outDir/corpus_by_lang", Seq("lang_pred"))
 
-    Seq(s1, s2, s3, s4, s5)
+    Seq(s1, s2, s3, s4, s5, s6)
   }
 
   /** `runMain graft.text.RunCurate [sfDir] [outDir] [minQuality]` */

@@ -293,6 +293,29 @@ object TextAnalytics {
 
   private val QuotaK = 40
 
+  /** The quota-selection kernel: keep the top-`k` rows per `source`
+    * ordered by (`scoreCol` desc, doc_id) via the [[stratSample]]
+    * two-phase salted rank — exact-k selection by a total order
+    * composes across the salt shards, so no hot-source window sees
+    * more than ~1/8 of a stratum. Shared by [[sourceQuota]] (the
+    * oracle-verified report) and [[RunCurate]]'s balance stage, so
+    * the funnel can never diverge from the verified selection.
+    */
+  private[text] def quotaSelect(docs: DataFrame, k: Int,
+                                scoreCol: String): DataFrame = {
+    val phase1 = Window
+      .partitionBy(col("source"), pmod(col("doc_id"), lit(8L)))
+      .orderBy(col(scoreCol).desc, col("doc_id"))
+    val phase2 = Window.partitionBy("source")
+      .orderBy(col(scoreCol).desc, col("doc_id"))
+    docs
+      .withColumn("rk1", row_number().over(phase1))
+      .filter(col("rk1") <= k)
+      .withColumn("rk", row_number().over(phase2))
+      .filter(col("rk") <= k)
+      .drop("rk1", "rk")
+  }
+
   /** Domain/source quota balancing — the corpus-mix stage (cap every
     * source at K documents, keep the K best by quality) that stops a
     * crawl's biggest domain from dominating the training mix. Emits
@@ -316,16 +339,7 @@ object TextAnalytics {
       .select(col("source"), col("doc_id"),
         floor(TextFns.qualityScore(col("text"), col("ts")) * 10000.0 + 0.5)
           .cast("long").as("q4"))
-    val phase1 = Window
-      .partitionBy(col("source"), pmod(col("doc_id"), lit(8L)))
-      .orderBy(col("q4").desc, col("doc_id"))
-    val survivors = docs
-      .withColumn("rk1", row_number().over(phase1))
-      .filter(col("rk1") <= QuotaK)
-    val phase2 = Window.partitionBy("source").orderBy(col("q4").desc, col("doc_id"))
-    val kept = survivors
-      .withColumn("rk", row_number().over(phase2))
-      .filter(col("rk") <= QuotaK)
+    val kept = quotaSelect(docs, QuotaK, "q4")
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"), sum(col("q4")).as("kept_q4"))
     val all = docs.groupBy("source")

@@ -16,7 +16,7 @@ class RunCurateSpec extends SparkSpec {
 
   test("stages run in funnel order with non-increasing survivors") {
     assert(stats.map(_.stage) ==
-      Seq("annotate", "quality", "exact", "neardup", "corpus"))
+      Seq("annotate", "quality", "exact", "neardup", "balance", "corpus"))
     stats.foreach(s => assert(s.rows > 0, s"${s.stage} kept no rows"))
     stats.sliding(2).foreach { case Seq(a, b) =>
       assert(b.rows <= a.rows, s"${b.stage} grew from ${a.stage}")
@@ -69,6 +69,29 @@ class RunCurateSpec extends SparkSpec {
     val dirs = new java.io.File(s"$outDir/corpus_by_lang").listFiles()
       .filter(_.isDirectory).map(_.getName)
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("lang_pred=")))
+  }
+
+  test("balance stage caps every source at the quota with best-by-quality selection") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft_curate_q").toString
+    // quota=2 so the cap actually bites at sf0.001; quality floor off
+    // so the balance input is big enough to have >2 docs per source
+    RunCurate.curate(spark, sfTiny, dir, minQuality = 0.0, quota = 2)
+    val balance = spark.read.parquet(s"$dir/balance")
+    val bySource = balance.groupBy("source").count().collect()
+    assert(bySource.nonEmpty && bySource.forall(_.getLong(1) <= 2),
+      "a source exceeded its quota")
+    assert(balance.count() <
+      spark.read.parquet(s"$dir/neardup").count(), "quota gated nothing")
+    // kept set ≡ the single-window top-2 per source (two-phase rank
+    // must compose to the same selection)
+    val expect = spark.read.parquet(s"$dir/neardup")
+      .withColumn("rk", row_number().over(Window.partitionBy("source")
+        .orderBy(col("quality").desc, col("doc_id"))))
+      .filter(col("rk") <= 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = balance.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect, "quota selection diverged from the global rank")
   }
 
   test("rerun converges to the identical corpus") {
