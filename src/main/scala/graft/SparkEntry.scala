@@ -23,7 +23,8 @@ object SparkEntry {
       olap.OlapMore.queries ++ olap.Analytics.queries ++
       olap.OlapStats.queries ++
       stream.EventQueries.queries ++ text.TextQueries.queries ++
-      text.TextAnalytics.queries ++ vector.VectorQueries.queries
+      text.TextAnalytics.queries ++ text.CorpusOps.queries ++
+      vector.VectorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,5 +34,6 @@ object SparkEntry {
       olap.OlapMore.oracle ++ olap.Analytics.oracle ++
       olap.OlapStats.oracle ++
       stream.EventQueries.oracle ++ text.TextQueries.oracle ++
-      text.TextAnalytics.oracle ++ vector.VectorQueries.oracle
+      text.TextAnalytics.oracle ++ text.CorpusOps.oracle ++
+      vector.VectorQueries.oracle
 }

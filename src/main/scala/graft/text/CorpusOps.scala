@@ -1,0 +1,355 @@
+package graft.text
+
+import graft.schema.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale frequency / ranking / packing operators — the round-6
+  * additions to the LLM-data-pipeline pack (no counterpart in the
+  * reference, whose string surface is trim/lower/title —
+  * `ETL/user_ETL.py:47-53`): two-pass exact heavy hitters, BM25
+  * retrieval ranking, sliding-window chunk planning for RAG/context
+  * packing, and largest-remainder token-budget apportionment across
+  * sources.
+  *
+  * Everything shares [[TextFns.tokens]] / the TextQueries duck-token
+  * oracle form, and the polynomial-hash parity contract from
+  * [[graft.functions.TextHashUtil]].
+  */
+object CorpusOps {
+
+  import TextFns.{P => p}
+
+  /** Token oracle fragment (same as [[TextQueries.duckTokens]], which
+    * is the single source of truth).
+    */
+  private val duckTokens = TextQueries.duckTokens
+
+  /** 1-based code-point list of an arbitrary string expression
+    * (parameterized twin of TextQueries' `duckCodes`, which is fixed
+    * to the `text` column).
+    */
+  private def duckCodesOf(e: String): String =
+    s"list_transform(range(1, greatest(length($e), 1) + 1), " +
+      s"i -> CAST(ascii(substring($e, CAST(i AS INT), 1)) AS BIGINT))"
+
+  /** Rolling polynomial hash over a staged code list `cs` — mirrors
+    * [[TextFns.polyHash]].
+    */
+  private val duckPolyHash =
+    s"list_reduce([CAST(0 AS BIGINT)] || cs, (acc, c) -> (acc * 31 + c) % $p)"
+
+  // ---------- q_heavy_hitters: two-pass exact heavy hitters ----------
+
+  /** Misra-Gries capacity. The MG guarantee: an item never surviving
+    * any partition summary has per-partition count ≤ localN/(m+1), so
+    * global count ≤ N/(m+1) = N/257 < N/[[HhDenom]] — every true heavy
+    * hitter is a candidate, and the exact recount pass removes the
+    * false ones. Deterministic output from a partition-layout-dependent
+    * candidate set.
+    */
+  private val MgCapacity = 256
+  private val HhDenom = 200L // heavy ⇔ cnt ≥ total/200 (0.5%)
+
+  /** One Misra-Gries pass over a partition's tokens: bounded state
+    * (≤ `m` counters), emits the surviving candidate keys. Factored
+    * out for direct unit testing of the frequency guarantee.
+    */
+  private[text] def mgCandidates(it: Iterator[String], m: Int): Iterator[String] = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      if (counts.contains(t)) counts(t) += 1L
+      else if (counts.size < m) counts(t) = 1L
+      else {
+        counts.mapValuesInPlace((_, v) => v - 1L)
+        counts.filterInPlace((_, v) => v > 0L)
+      }
+    }
+    counts.keysIterator
+  }
+
+  /** Exact distributed heavy hitters (tokens with ≥ 0.5% corpus
+    * frequency) via the two-pass candidate/verify pattern: pass 1 runs
+    * bounded-state Misra-Gries per partition (`mapPartitions`, O(m)
+    * memory, zero shuffle), pass 2 recounts ONLY the ≤ m·P candidate
+    * tokens exactly and filters by the true threshold.
+    *
+    * Scale: this is the 100 TB shape for frequency mining — a naive
+    * `groupBy(term)` shuffles every token occurrence (the corpus),
+    * while here the only shuffled rows are occurrences of candidate
+    * terms (≤ m per partition, the heavy tail by construction) plus a
+    * tiny candidate-key distinct. The corpus is scanned twice but
+    * scans are cheap; shuffles are not. Misra & Gries 1982; the
+    * summary is mergeable, so pass 1 is also expressible as a
+    * partial-aggregate if candidates must come from one job.
+    *
+    * Correctness does not depend on partitioning: MG guarantees every
+    * term with count ≥ N/(m+1) survives some partition summary
+    * (m = 256 > [[HhDenom]]), and pass 2 is exact — so the output is
+    * the exact heavy-hitter set regardless of layout, which is what
+    * the oracle (single-pass exact counts) verifies.
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(explode_outer(col("ts")).as("term"))
+      .filter(col("term").isNotNull)
+    val candidates = terms.as[String]
+      .mapPartitions(it => mgCandidates(it, MgCapacity))
+      .toDF("term").distinct()
+    val exact = terms.join(broadcast(candidates), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val tot = terms.agg(count(lit(1)).as("total"))
+    exact.crossJoin(broadcast(tot))
+      .filter(col("cnt") * HhDenom >= col("total"))
+      .select(col("term"), col("cnt"),
+        expr("CAST(cnt * 10000 DIV total AS BIGINT)").as("share_bp"))
+      .orderBy("term")
+  }
+
+  private val sqlHeavyHitters =
+    s"""WITH t AS (SELECT $duckTokens AS ts FROM documents),
+       |     terms AS (SELECT unnest(ts) AS term FROM t),
+       |     c AS (SELECT term, count(*) AS cnt FROM terms GROUP BY 1),
+       |     tot AS (SELECT count(*) AS total FROM terms)
+       |SELECT term, CAST(cnt AS BIGINT) AS cnt,
+       |       CAST(cnt * 10000 // total AS BIGINT) AS share_bp
+       |FROM c CROSS JOIN tot
+       |WHERE cnt * $HhDenom >= total
+       |ORDER BY term""".stripMargin
+
+  // ---------- q_bm25: BM25 retrieval ranking ----------
+
+  private val QueryTerms = Seq("table", "spark", "window")
+  private val Bm25K = 15
+
+  /** BM25 top-k over the corpus for a fixed conjunctive query
+    * (Robertson/Spärck Jones; the Lucene `1 + (N-df+0.5)/(df+0.5)`
+    * idf form so scores stay positive) — the retrieval-ranking
+    * primitive next to [[TextAnalytics.tfidf]]'s keyword extraction.
+    *
+    * Shape: explode → filter to the query terms FIRST (the scored
+    * universe is only documents matching ≥1 term), tf at (doc, term)
+    * grain, df broadcast-joined back, corpus stats (N, avgdl) as a
+    * broadcast scalar — never collected. Float parity: each query
+    * term's contribution is summed by a separate single-row aggregate
+    * (the (doc, term) grain has ≤1 row per term), then added in FIXED
+    * literal order, so no order-dependent float reduction exists on
+    * either engine; the rank orders on the ROUNDED score with doc_id
+    * tie-break (CLAUDE.md rank rule).
+    *
+    * Scale: top-k uses the [[TextAnalytics.stratSample]] two-phase
+    * salted rank — phase 1 takes top-k per (doc_id mod 8) shard,
+    * phase 2 re-ranks the ≤ 8k survivors; selection by a total order
+    * composes, and no window ever sees more than ~1/8 of the scored
+    * set. The phase-2 window is unpartitioned but bounded at 8k rows
+    * by construction (post-filter input, not corpus-proportional).
+    */
+  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("doc_id"), col("ts"),
+        size(col("ts")).cast("double").as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+    val terms = docs
+      .select(col("doc_id"), col("dl"), explode_outer(col("ts")).as("term"))
+      .filter(col("term").isInCollection(QueryTerms))
+    val tf = terms.groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    val perTerm = QueryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("contrib"))).as(s"s$i")
+    }
+    val perDoc = scored.groupBy("doc_id")
+      .agg(perTerm.head, perTerm.tail :+ count(lit(1)).as("n_terms"): _*)
+      .withColumn("score", TextFns.round4(
+        QueryTerms.indices.map(i => coalesce(col(s"s$i"), lit(0.0)))
+          .reduceLeft(_ + _)))
+    val phase1 = Window.partitionBy(pmod(col("doc_id"), lit(8L)))
+      .orderBy(col("score").desc, col("doc_id"))
+    val phase2 = Window.orderBy(col("score").desc, col("doc_id"))
+    perDoc
+      .withColumn("rk1", row_number().over(phase1))
+      .filter(col("rk1") <= Bm25K)
+      .withColumn("rk", row_number().over(phase2))
+      .filter(col("rk") <= Bm25K)
+      .select(col("rk"), col("doc_id"), col("n_terms"), col("score"))
+      .orderBy("rk")
+  }
+
+  private val sqlBm25 = {
+    val inList = QueryTerms.map(t => s"'$t'").mkString(", ")
+    val sumTerms = QueryTerms.zipWithIndex.map { case (t, i) =>
+      s"coalesce(sum(CASE WHEN term = '$t' THEN contrib END), 0.0)"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, $duckTokens AS ts FROM documents),
+       |     d AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl, ts FROM t),
+       |     stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS sum_dl,
+       |                      sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl
+       |               FROM d),
+       |     terms AS (SELECT doc_id, dl, unnest(ts) AS term FROM d),
+       |     tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, max(dl) AS dl
+       |            FROM terms WHERE term IN ($inList) GROUP BY 1, 2),
+       |     dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |     scored AS (SELECT doc_id, term,
+       |                  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |                    * (tf * 2.2)
+       |                    / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS contrib
+       |                FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+       |     perdoc AS (SELECT doc_id, count(*) AS n_terms,
+       |                  ${TextFns.duckRound4(sumTerms)} AS score
+       |                FROM scored GROUP BY doc_id),
+       |     ranked AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+       |                FROM perdoc)
+       |SELECT rk, doc_id, CAST(n_terms AS BIGINT) AS n_terms, score
+       |FROM ranked WHERE rk <= $Bm25K ORDER BY rk""".stripMargin
+  }
+
+  // ---------- q_chunk_plan: sliding-window chunking for RAG ----------
+
+  private val ChunkW = 32 // tokens per chunk
+  private val ChunkS = 24 // stride (8-token overlap)
+
+  /** Sliding-window token chunking — the context-packing /
+    * RAG-ingestion step: each document becomes ⌈max(n−W,0)/S⌉+1
+    * overlapping chunks of W=[[ChunkW]] tokens at stride S=[[ChunkS]],
+    * the last chunk keeping its natural short length. Emits the chunk
+    * plan (position, length) plus a content fingerprint (the shared
+    * [[TextFns.polyHash]] rolling hash of the chunk text) so chunk
+    * payloads can be routed/deduped downstream without re-reading the
+    * document.
+    *
+    * Shape: pure per-row array work — tokens staged once, chunk index
+    * exploded from a `sequence` (explode_outer: the array is
+    * non-empty by construction and the plain explode would let
+    * InferFiltersFromGenerate inline the token pipeline into an
+    * inferred size() filter — the q_dup_ngrams rule), chunk text by
+    * `slice` on the staged token array. No shuffle at all until the
+    * contract ORDER BY; at 100 TB this is embarrassingly parallel and
+    * the chunk rows land partition-local, ready for
+    * [[graft.etl.PrefixScan]]-style shard packing.
+    */
+  def chunkPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .withColumn("n_tok", size(col("ts")).cast("long"))
+      .withColumn("n_chunks",
+        ceil(greatest(col("n_tok") - ChunkW, lit(0L)).cast("double") / ChunkS) + 1L)
+    docs
+      .select(col("doc_id"), col("ts"), col("n_tok"),
+        explode_outer(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * ChunkS + 1L)
+      .withColumn("chunk_len",
+        least(lit(ChunkW.toLong), col("n_tok") - col("start_tok") + 1L))
+      .withColumn("chunk_txt",
+        array_join(slice(col("ts"), col("start_tok").cast("int"), lit(ChunkW)), " "))
+      .withColumn("cs", TextFns.codes(col("chunk_txt")))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"), col("chunk_len"),
+        TextFns.polyHash(col("cs")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private val sqlChunkPlan =
+    s"""WITH t AS (SELECT doc_id, $duckTokens AS ts FROM documents),
+       |     n AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n_tok,
+       |             CAST(ceil(CAST(greatest(CAST(len(ts) AS BIGINT) - $ChunkW, 0) AS DOUBLE)
+       |                       / $ChunkS) + 1 AS BIGINT) AS n_chunks
+       |           FROM t),
+       |     c AS (SELECT doc_id, ts, n_tok,
+       |             unnest(range(0, n_chunks)) AS chunk_idx
+       |           FROM n),
+       |     s AS (SELECT doc_id, chunk_idx, chunk_idx * $ChunkS + 1 AS start_tok,
+       |             least($ChunkW, n_tok - (chunk_idx * $ChunkS + 1) + 1) AS chunk_len,
+       |             array_to_string(list_slice(ts, CAST(chunk_idx * $ChunkS + 1 AS INT),
+       |               CAST(chunk_idx * $ChunkS + $ChunkW AS INT)), ' ') AS ctext
+       |           FROM c),
+       |     h AS (SELECT doc_id, chunk_idx, start_tok, chunk_len,
+       |             ${duckCodesOf("ctext")} AS cs
+       |           FROM s)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |       CAST(start_tok AS BIGINT) AS start_tok,
+       |       CAST(chunk_len AS BIGINT) AS chunk_len,
+       |       $duckPolyHash AS chunk_hash
+       |FROM h ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------- q_mix_schedule: largest-remainder budget apportionment ----------
+
+  private val MixBudget = 1000000L // token budget to apportion
+
+  /** Training-mixture apportionment: split a fixed token budget across
+    * sources proportionally to their token mass, using
+    * largest-remainder (Hamilton) rounding so the allocations are
+    * integers that sum EXACTLY to the budget — the deterministic
+    * mixture-schedule input a trainer consumes. All arithmetic is
+    * integer (floor quotient + remainder rank), so the result is
+    * associative-exact on both engines with no float parity care.
+    *
+    * Shape: one hash aggregate to per-source token counts, scalar
+    * totals broadcast back, and the remainder rank over the SOURCE
+    * cardinality (20 here; bounded-dim, not fact-proportional — the
+    * CLAUDE.md window rule's accepted class). At web scale
+    * (source = registrable domain, ~10⁷ rows) the +1 set is "top-R by
+    * remainder", a TakeOrderedAndProject of R ≤ #sources — still no
+    * corpus-proportional window. `tokens * budget` must fit in 64 bits
+    * (here ≪ 2⁶³); a 100 TB deployment with >2⁵⁰ tokens divides
+    * per-source counts by a common scale first (or uses decimal).
+    */
+  def mixSchedule(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .withColumn("n_tok", size(TextFns.tokens(col("text"))).cast("long"))
+      .groupBy("source").agg(sum(col("n_tok")).as("tokens"))
+    val tot = toks.agg(sum(col("tokens")).as("total"))
+    val base = toks.crossJoin(broadcast(tot))
+      .withColumn("alloc_floor", expr(s"CAST(tokens * $MixBudget DIV total AS BIGINT)"))
+      .withColumn("rem", expr(s"(tokens * $MixBudget) % total"))
+    val sumFloor = base.agg(sum(col("alloc_floor")).as("sum_floor"))
+    val byRem = Window.orderBy(col("rem").desc, col("source"))
+    base.crossJoin(broadcast(sumFloor))
+      .withColumn("rk", row_number().over(byRem))
+      .withColumn("alloc",
+        col("alloc_floor") +
+          when(col("rk") <= lit(MixBudget) - col("sum_floor"), 1L).otherwise(0L))
+      .select(col("source"), col("tokens"), col("alloc"))
+      .orderBy("source")
+  }
+
+  private val sqlMixSchedule =
+    s"""WITH t AS (SELECT source, $duckTokens AS ts FROM documents),
+       |     c AS (SELECT source, CAST(sum(len(ts)) AS BIGINT) AS tokens FROM t GROUP BY 1),
+       |     tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM c),
+       |     b AS (SELECT source, tokens,
+       |             CAST(tokens * $MixBudget // total AS BIGINT) AS alloc_floor,
+       |             CAST((tokens * $MixBudget) % total AS BIGINT) AS rem
+       |           FROM c CROSS JOIN tot),
+       |     sf AS (SELECT CAST(sum(alloc_floor) AS BIGINT) AS sum_floor FROM b),
+       |     r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+       |           FROM b CROSS JOIN sf)
+       |SELECT source, tokens,
+       |       CAST(alloc_floor + CASE WHEN rk <= $MixBudget - sum_floor THEN 1 ELSE 0 END
+       |            AS BIGINT) AS alloc
+       |FROM r ORDER BY source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters" -> (heavyHitters _),
+    "q_bm25" -> (bm25 _),
+    "q_chunk_plan" -> (chunkPlan _),
+    "q_mix_schedule" -> (mixSchedule _))
+
+  val oracle: Map[String, String] = Map(
+    "q_heavy_hitters" -> sqlHeavyHitters,
+    "q_bm25" -> sqlBm25,
+    "q_chunk_plan" -> sqlChunkPlan,
+    "q_mix_schedule" -> sqlMixSchedule)
+}
