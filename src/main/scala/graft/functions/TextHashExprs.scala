@@ -84,6 +84,33 @@ object TextHashUtil {
     new GenericArrayData(mins)
   }
 
+  /** Distinct k-gram hashes in first-occurrence order —
+    * `array_distinct(TextFns.shingleHashesFromCodes(...))` parity
+    * (the exact-Jaccard input; set semantics, so only membership
+    * matters downstream, but first-occurrence order keeps the arrays
+    * bit-identical to the HOF form). Texts shorter than k yield the
+    * one zero-padded shingle, as [[minHashSig]].
+    */
+  def shingleSet(s: UTF8String, k: Int): ArrayData = {
+    val n = s.numBytes
+    val nSh = math.max(n - k + 1, 1)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](nSh)
+    var i = 0
+    while (i < nSh) {
+      var h = 0L
+      var off = 0
+      while (off < k) {
+        val c = if (i + off < n) s.getByte(i + off) & 0xffL else 0L
+        h = (h * B + c) % P
+        off += 1
+      }
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** SimHash over space-delimited lowercased token hashes: bit j set
     * iff tokens with bit j set outnumber those without.
     */
@@ -150,6 +177,19 @@ case class MinHashSigExpr(child: Expression, k: Int, numHashes: Int)
     copy(child = newChild)
 }
 
+/** graft_shingle_set(text): distinct k-gram hash set (array<long>). */
+case class ShingleSetExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_set"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashUtil.shingleSet(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.shingleSet($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleSetExpr =
+    copy(child = newChild)
+}
+
 /** graft_simhash(text): token-vote SimHash (long). */
 case class SimHashExpr(child: Expression, bits: Int)
     extends UnaryExpression {
@@ -171,4 +211,6 @@ object TextHashes {
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(text), k, numHashes))
   def simHash(text: Column, bits: Int): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(text), bits))
+  def shingleSet(text: Column, k: Int): Column =
+    ColumnBridge.column(ShingleSetExpr(ColumnBridge.expression(text), k))
 }

@@ -205,15 +205,74 @@ object OlapStats {
        |    AND (b.revenue > a.revenue OR b.avg_disc < a.avg_disc))
        |ORDER BY n.n_name""".stripMargin
 
+  // ---------- q_outliers: IQR-fence outlier screen ----------
+
+  /** Tukey IQR outlier screen per market segment: fences at
+    * q1 − 1.5·IQR / q3 + 1.5·IQR, then a second pass counts and bounds
+    * the orders outside them — the standard robust anomaly gate (box-
+    * plot fences) an order-quality monitor runs, and the quantile
+    * sibling of [[histogram]]'s equi-width bins.
+    *
+    * Cross-engine determinism: exact `percentile` ≡ `quantile_cont`
+    * (bit-identical linear interpolation, the q_percentiles-proven
+    * pair); the fence arithmetic is the same IEEE DAG on both sides,
+    * so the strict comparisons classify identically; outputs round via
+    * round4 because 1.5·IQR can land past 4 decimals on a half.
+    *
+    * Scale: two passes over orders (exact percentiles sort per group —
+    * at 100 TB swap in `approx_percentile`, same shape, see
+    * [[approxPercentiles]]'s note in OlapMore) with the 5-row fence
+    * table broadcast back; no window, no pairwise work.
+    */
+  def outliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val priced = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_totalprice").as("price"))
+    val fences = priced.groupBy("segment")
+      .agg(percentile(col("price"), lit(0.25)).as("q1"),
+        percentile(col("price"), lit(0.75)).as("q3"))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+      .select("segment", "lo", "hi")
+    priced.join(broadcast(fences), "segment")
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_orders"),
+        count(when(col("price") > col("hi") || col("price") < col("lo"), lit(1)))
+          .as("n_outliers"),
+        round4(min(col("lo"))).as("lo_fence"),
+        round4(max(col("hi"))).as("hi_fence"),
+        round4(max(when(col("price") > col("hi"), col("price")))).as("max_outlier"))
+      .orderBy("segment")
+  }
+
+  private val sqlOutliers =
+    s"""WITH p AS (SELECT c_mktsegment AS segment, o_totalprice AS price
+       |           FROM orders JOIN customer ON o_custkey = c_custkey),
+       |     f AS (SELECT segment, quantile_cont(price, 0.25) AS q1,
+       |                  quantile_cont(price, 0.75) AS q3
+       |           FROM p GROUP BY 1),
+       |     g AS (SELECT segment, q1 - 1.5 * (q3 - q1) AS lo,
+       |                  q3 + 1.5 * (q3 - q1) AS hi FROM f)
+       |SELECT p.segment, count(*) AS n_orders,
+       |       count(CASE WHEN price > hi OR price < lo THEN 1 END) AS n_outliers,
+       |       ${duckRound4("min(lo)")} AS lo_fence,
+       |       ${duckRound4("max(hi)")} AS hi_fence,
+       |       ${duckRound4("max(CASE WHEN price > hi THEN price END)")} AS max_outlier
+       |FROM p JOIN g ON p.segment = g.segment
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corr_stats" -> (corrStats _),
     "q_mode_priority" -> (modePriority _),
     "q_histogram" -> (histogram _),
-    "q_skyline" -> (skyline _))
+    "q_skyline" -> (skyline _),
+    "q_outliers" -> (outliers _))
 
   val oracle: Map[String, String] = Map(
     "q_corr_stats" -> sqlCorrStats,
     "q_mode_priority" -> sqlModePriority,
     "q_histogram" -> sqlHistogram,
-    "q_skyline" -> sqlSkyline)
+    "q_skyline" -> sqlSkyline,
+    "q_outliers" -> sqlOutliers)
 }

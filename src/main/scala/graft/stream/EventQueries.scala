@@ -218,7 +218,59 @@ object EventQueries {
       |FROM nx WHERE to_type IS NOT NULL
       |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
 
+  // ---------- q_ewma_trend: EWMA-smoothed daily event volume ----------
+
+  /** Exponentially-weighted moving average over each event type's
+    * daily volume (α = 0.3) — the smoothed trend/anomaly baseline a
+    * monitoring pipeline keeps per stream. Emits the series length,
+    * the final day's raw count, and the EWMA it lands on, so a
+    * threshold alert compares `last_cnt` against `ewma`.
+    *
+    * Cross-engine determinism: the recurrence s₁ = x₁,
+    * sᵢ = 0.3·xᵢ + 0.7·sᵢ₋₁ is inherently ordered, so it is evaluated
+    * as an explicit LEFT FOLD on both engines (Spark `aggregate` over
+    * the day-sorted counts seeded with the first element ≡ DuckDB
+    * `list_reduce`, which folds left from the head) — the float-fold
+    * parity rule. Day order comes from `sort_array(collect_list)` ≡
+    * `list(... ORDER BY day)`, total because days are distinct within
+    * a type.
+    *
+    * Scale: the fold input is the DAILY aggregate per type — calendar
+    * cardinality (n_days × types), not event cardinality; the heavy
+    * work is one partial+final hash agg over the raw events. A
+    * longer-horizon deployment windows the fold (EWMA telescopes:
+    * seed each chunk with the previous chunk's smoothed value).
+    */
+  def ewmaTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("series"))
+      .withColumn("cs", transform(col("series"), s => s.getField("cnt").cast("double")))
+      .select(col("event_type"),
+        size(col("cs")).cast("long").as("n_days"),
+        element_at(col("cs"), -1).cast("long").as("last_cnt"),
+        graft.text.TextFns.round4(
+          aggregate(slice(col("cs"), 2, 1000000), element_at(col("cs"), 1),
+            (acc, x) => lit(0.3) * x + lit(0.7) * acc)).as("ewma"))
+      .orderBy("event_type")
+  }
+
+  private val sqlEwmaTrend =
+    s"""WITH d AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       |                  count(*) AS cnt
+       |           FROM events GROUP BY 1, 2),
+       |     s AS (SELECT event_type, list(CAST(cnt AS DOUBLE) ORDER BY day) AS cs
+       |           FROM d GROUP BY 1)
+       |SELECT event_type, CAST(len(cs) AS BIGINT) AS n_days,
+       |       CAST(cs[-1] AS BIGINT) AS last_cnt,
+       |       ${graft.text.TextFns.duckRound4(
+                  "list_reduce(cs, (acc, x) -> 0.3 * x + 0.7 * acc)")} AS ewma
+       |FROM s ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ewma_trend" -> (ewmaTrend _),
     "q_transitions" -> (transitions _),
     "q_range_join" -> (rangeJoinSpans _),
     "q_events_tumbling" -> (eventsTumbling _),
@@ -228,6 +280,7 @@ object EventQueries {
     "q_events_sliding" -> (eventsSliding _))
 
   val oracle: Map[String, String] = Map(
+    "q_ewma_trend" -> sqlEwmaTrend,
     "q_transitions" -> sqlTransitions,
     "q_range_join" -> sqlRangeJoinSpans,
     "q_events_tumbling" -> sqlEventsTumbling,

@@ -223,6 +223,85 @@ object TextQueries {
        |FROM clusters GROUP BY cluster_id HAVING count(*) > 1
        |ORDER BY cluster_id""".stripMargin
 
+  // ---------- 3a¹. q_minhash_est: sketch-accuracy audit ----------
+
+  /** MinHash estimator accuracy audit, measured on the clustering's
+    * OWN edges: for every (bucket representative, member) pair the LSH
+    * stage actually produces, compare the signature estimate
+    * (matching positions / [[NumHashes]]) against the exact Jaccard of
+    * the distinct shingle-hash sets. This is the calibration query a
+    * dedup deployment runs before trusting a banding config — it
+    * answers "how wrong is the sketch on the pairs it acts on"
+    * (Broder 1997's estimator, audited like `q_sq_error` audits SQ8).
+    *
+    * Scale: auditing the EDGE LIST keeps the pair count linear —
+    * each doc contributes at most [[NumBands]] (rep, doc) pairs, never
+    * an all-pairs or within-bucket quadratic join (the CLAUDE.md
+    * pairwise rule). Signatures and distinct shingle sets are staged
+    * per doc before the pair join; the estimate is an integer match
+    * count over 16 positions (order-free), the exact side a single
+    * array_intersect over pre-deduped arrays.
+    */
+  def minhashEst(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val staged = docs
+      // native codegen'd distinct-shingle set + signature (HOF parity
+      // pinned by TextHashSpec) — the interpreted HOF form cost ~2.5 s
+      // of this query's 3.6 s at sf0.1
+      .withColumn("shs", graft.functions.TextHashes.shingleSet(col("text"), K))
+      .withColumn("sig",
+        graft.functions.TextHashes.minHashSig(col("text"), K, NumHashes))
+      .select(col("doc_id"), col("shs"), size(col("shs")).as("nsh"), col("sig"))
+    val pairs = bandReps(docs)
+      .filter(col("rep") < col("doc_id"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+    val a = staged.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"),
+      col("nsh").as("nsh_a"), col("sig").as("sig_a"))
+    val b = staged.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"),
+      col("nsh").as("nsh_b"), col("sig").as("sig_b"))
+    pairs.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("matches", aggregate(
+        zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
+        lit(0L), _ + _))
+      .withColumn("est", col("matches").cast("double") / NumHashes)
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("double"))
+      .withColumn("uni", (col("nsh_a") + col("nsh_b")).cast("double") - col("inter"))
+      .withColumn("ex", when(col("uni") === 0, lit(1.0)).otherwise(col("inter") / col("uni")))
+      .select(col("doc_a"), col("doc_b"),
+        TextFns.round4(col("est")).as("est_sim"),
+        TextFns.round4(col("ex")).as("exact_sim"),
+        TextFns.round4(abs(col("est") - col("ex"))).as("abs_err"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val sqlMinhashEst =
+    s"""WITH c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),
+       |     s AS (SELECT doc_id, $duckShingles AS shs FROM c),
+       |     g AS (SELECT doc_id, list_distinct(shs) AS dsh, $duckSignature AS sig FROM s),
+       |     bands AS (SELECT doc_id, unnest($duckBandKeys) AS band FROM g),
+       |     reps AS (SELECT band, min(doc_id) AS rep FROM bands GROUP BY band),
+       |     pairs AS (SELECT DISTINCT reps.rep AS doc_a, bands.doc_id AS doc_b
+       |               FROM bands JOIN reps ON bands.band = reps.band
+       |               WHERE reps.rep < bands.doc_id),
+       |     m AS (SELECT doc_a, doc_b,
+       |             CAST(list_sum(list_transform(range(1, $NumHashes + 1),
+       |               i -> CASE WHEN ga.sig[CAST(i AS INT)] = gb.sig[CAST(i AS INT)]
+       |                         THEN 1 ELSE 0 END)) AS DOUBLE) / $NumHashes AS est,
+       |             CAST(len(list_filter(ga.dsh, x -> list_contains(gb.dsh, x))) AS DOUBLE) AS inter,
+       |             CAST(len(ga.dsh) + len(gb.dsh) AS DOUBLE) AS tot
+       |           FROM pairs JOIN g ga ON pairs.doc_a = ga.doc_id
+       |                      JOIN g gb ON pairs.doc_b = gb.doc_id),
+       |     e AS (SELECT doc_a, doc_b, est,
+       |             CASE WHEN tot - inter = 0 THEN 1.0
+       |                  ELSE inter / (tot - inter) END AS ex
+       |           FROM m)
+       |SELECT doc_a, doc_b, ${TextFns.duckRound4("est")} AS est_sim,
+       |       ${TextFns.duckRound4("ex")} AS exact_sim,
+       |       ${TextFns.duckRound4("abs(est - ex)")} AS abs_err
+       |FROM e ORDER BY doc_a, doc_b""".stripMargin
+
   // ---------- 3a². q_delta_dedup: incremental dedup vs a corpus index ----------
 
   /** The persistable (band, idx_doc) LSH band index of a corpus — the
@@ -925,6 +1004,7 @@ object TextQueries {
     "q_doc_dedup" -> (docDedup _),
     "q_doc_fingerprint" -> (docFingerprint _),
     "q_minhash_cluster" -> (minhashCluster _),
+    "q_minhash_est" -> (minhashEst _),
     "q_delta_dedup" -> (deltaDedup _),
     "q_cc_clusters" -> (ccClusters _),
     "q_canonical_docs" -> (canonicalDocs _),
@@ -945,6 +1025,7 @@ object TextQueries {
     "q_doc_dedup" -> sqlDocDedup,
     "q_doc_fingerprint" -> sqlDocFingerprint,
     "q_minhash_cluster" -> sqlMinhashCluster,
+    "q_minhash_est" -> sqlMinhashEst,
     "q_delta_dedup" -> sqlDeltaDedup,
     "q_cc_clusters" -> sqlCcClusters,
     "q_canonical_docs" -> sqlCanonicalDocs,

@@ -42,6 +42,18 @@ class TextHashSpec extends SparkSpec {
     }
   }
 
+  test("native shingleSet equals array_distinct of the HOF shingle pipeline") {
+    val df = texts.toDF("text")
+      .withColumn("cs", TextFns.codes(col("text")))
+      .withColumn("sh", TextFns.shingleHashesFromCodes(col("cs"), length(col("text")), 5))
+      .select(
+        TextHashes.shingleSet(col("text"), 5).as("native"),
+        array_distinct(col("sh")).as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
   test("native simHash equals HOF simhash pipeline") {
     val df = texts.toDF("text")
       .withColumn("ts", TextFns.tokens(col("text")))
