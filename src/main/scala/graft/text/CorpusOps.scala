@@ -344,15 +344,59 @@ object CorpusOps {
        |            AS BIGINT) AS alloc
        |FROM r ORDER BY source""".stripMargin
 
+  // ---------- q_src_checksum: order-independent snapshot checksum ----------
+
+  /** Per-source integrity digest — the anti-entropy primitive for
+    * replicated/migrated snapshots: row hash = the shared polyHash
+    * over a canonical field rendering, partition digest = XOR of row
+    * hashes (commutative and overflow-free, so it is order- and
+    * partition-layout-independent and MERGEABLE across shards) plus
+    * count and min/max hash as tie-down corroborators. Two copies of
+    * a table agree iff every (source) digest row agrees — comparing
+    * digests replaces comparing rows, which is the point at 100 TB:
+    * each side computes its digest locally (one linear scan, one
+    * tiny shuffle on the group key) and ships rows only for groups
+    * whose digests differ (Merkle-style anti-entropy, per-source
+    * granularity here, hierarchical in a production deployment).
+    *
+    * XOR cancels duplicate PAIRS, which is why the count travels with
+    * it (a doubled+dropped row flips count but not xor; both together
+    * catch it).
+    */
+  def srcChecksum(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("h", graft.functions.TextHashes.polyHash(
+        concat_ws("|", col("doc_id").cast("string"), col("lang"), col("text"))))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(bit_xor(h) AS BIGINT)").as("xor_hash"),
+        min(col("h")).as("min_hash"),
+        max(col("h")).as("max_hash"))
+      .orderBy("source")
+
+  private val sqlSrcChecksum =
+    s"""WITH t AS (SELECT source,
+       |             concat_ws('|', CAST(doc_id AS VARCHAR), lang, text) AS ctext
+       |           FROM documents),
+       |     h2 AS (SELECT source, ${duckCodesOf("ctext")} AS cs FROM t),
+       |     h AS (SELECT source, $duckPolyHash AS h FROM h2)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+       |       CAST(min(h) AS BIGINT) AS min_hash,
+       |       CAST(max(h) AS BIGINT) AS max_hash
+       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> (heavyHitters _),
     "q_bm25" -> (bm25 _),
     "q_chunk_plan" -> (chunkPlan _),
-    "q_mix_schedule" -> (mixSchedule _))
+    "q_mix_schedule" -> (mixSchedule _),
+    "q_src_checksum" -> (srcChecksum _))
 
   val oracle: Map[String, String] = Map(
     "q_heavy_hitters" -> sqlHeavyHitters,
     "q_bm25" -> sqlBm25,
     "q_chunk_plan" -> sqlChunkPlan,
-    "q_mix_schedule" -> sqlMixSchedule)
+    "q_mix_schedule" -> sqlMixSchedule,
+    "q_src_checksum" -> sqlSrcChecksum)
 }

@@ -302,6 +302,62 @@ object TextQueries {
        |       ${TextFns.duckRound4("abs(est - ex)")} AS abs_err
        |FROM e ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------- 3a¹ᵇ. q_pagerank: centrality over the collision graph ----------
+
+  private val PrScale = 1000000L
+  private val PrIters = 3
+
+  /** PageRank (3 fixed rounds, d = 0.85) over the LSH collision
+    * graph — the same rep-member edge list [[minhashEst]] audits,
+    * symmetrized. High-rank documents are the hubs of near-duplicate
+    * neighborhoods: the ones whose removal (or canonical election)
+    * collapses the most duplication — centrality as a curation
+    * signal, one step past [[ccClusters]]' membership-only view.
+    *
+    * Determinism + scale live in [[graft.graph.PageRank]]: scaled
+    * integer arithmetic (float message sums would be partition-order-
+    * dependent and unverifiable), each round one src-keyed join + one
+    * dst-keyed hash aggregate. The oracle unrolls the same three
+    * integer rounds as CTEs.
+    */
+  def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = bandReps(Tables.documents(spark, sfDir))
+      .filter(col("rep") < col("doc_id"))
+      .select(col("rep").as("a"), col("doc_id").as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    graft.graph.PageRank.integerRanks(edges, PrIters, PrScale)
+      .select(col("v").as("doc_id"), col("deg"), col("r").as("rank_ppm"))
+      .orderBy("doc_id")
+  }
+
+  private val sqlPagerank = {
+    def round(i: Int, prev: String): String =
+      s"""c$i AS (SELECT dir.dst AS v,
+         |          CAST(sum((85 * r) // (100 * deg)) AS BIGINT) AS contrib
+         |        FROM dir JOIN $prev ON dir.src = $prev.v GROUP BY 1),
+         |r$i AS (SELECT deg.v, deg.deg,
+         |          CAST((15 * $PrScale) // (100 * n_nodes) + contrib AS BIGINT) AS r
+         |        FROM deg JOIN c$i ON deg.v = c$i.v CROSS JOIN nn)""".stripMargin
+    s"""WITH c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),
+       |     s AS (SELECT doc_id, $duckShingles AS shs FROM c),
+       |     g AS (SELECT doc_id, $duckSignature AS sig FROM s),
+       |     bands AS (SELECT doc_id, unnest($duckBandKeys) AS band FROM g),
+       |     reps AS (SELECT band, min(doc_id) AS rep FROM bands GROUP BY band),
+       |     pairs AS (SELECT DISTINCT reps.rep AS a, bands.doc_id AS b
+       |               FROM bands JOIN reps ON bands.band = reps.band
+       |               WHERE reps.rep < bands.doc_id),
+       |     dir AS (SELECT a AS src, b AS dst FROM pairs
+       |             UNION ALL SELECT b, a FROM pairs),
+       |     deg AS (SELECT src AS v, count(*) AS deg FROM dir GROUP BY 1),
+       |     nn AS (SELECT count(*) AS n_nodes FROM deg),
+       |     r0 AS (SELECT v, deg, CAST($PrScale // n_nodes AS BIGINT) AS r
+       |            FROM deg CROSS JOIN nn),
+       |     ${(1 to PrIters).map(i => round(i, s"r${i - 1}")).mkString(",\n")}
+       |SELECT v AS doc_id, deg, r AS rank_ppm FROM r$PrIters ORDER BY doc_id""".stripMargin
+  }
+
   // ---------- 3a². q_delta_dedup: incremental dedup vs a corpus index ----------
 
   /** The persistable (band, idx_doc) LSH band index of a corpus — the
@@ -1005,6 +1061,7 @@ object TextQueries {
     "q_doc_fingerprint" -> (docFingerprint _),
     "q_minhash_cluster" -> (minhashCluster _),
     "q_minhash_est" -> (minhashEst _),
+    "q_pagerank" -> (pagerank _),
     "q_delta_dedup" -> (deltaDedup _),
     "q_cc_clusters" -> (ccClusters _),
     "q_canonical_docs" -> (canonicalDocs _),
@@ -1026,6 +1083,7 @@ object TextQueries {
     "q_doc_fingerprint" -> sqlDocFingerprint,
     "q_minhash_cluster" -> sqlMinhashCluster,
     "q_minhash_est" -> sqlMinhashEst,
+    "q_pagerank" -> sqlPagerank,
     "q_delta_dedup" -> sqlDeltaDedup,
     "q_cc_clusters" -> sqlCcClusters,
     "q_canonical_docs" -> sqlCanonicalDocs,

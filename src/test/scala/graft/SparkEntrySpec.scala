@@ -12,7 +12,8 @@ class SparkEntrySpec extends SparkSpec {
       olap.OlapMore.queries, olap.Analytics.queries,
       olap.OlapStats.queries,
       stream.EventQueries.queries, text.TextQueries.queries,
-      text.TextAnalytics.queries, vector.VectorQueries.queries)
+      text.TextAnalytics.queries, text.CorpusOps.queries,
+      vector.VectorQueries.queries)
     val total = packs.map(_.size).sum
     assert(SparkEntry.queries.size == total,
       s"aggregated ${SparkEntry.queries.size} of $total — duplicate query name across packs")
