@@ -250,6 +250,72 @@ object Streaming {
       .select(col("user_id"), col("view_ts"), col("click_ts"), col("value"))
   }
 
+  /** Streaming heavy-hitter monitor: maintains a persisted Misra-
+    * Gries summary (≤ `m` counters + the running token total) across
+    * micro-batches — the streaming twin of the batch two-pass
+    * `q_heavy_hitters`, for when the corpus arrives as a stream and
+    * "what's trending" must be answerable at any time without a
+    * rescan.
+    *
+    * Per batch: each partition folds its terms into a bounded local
+    * summary (`CorpusOps.mgSummary` — only P·m counters ever cross to
+    * the driver, never the token stream), the partials are combined
+    * and capped, then merged into the persisted summary with
+    * `CorpusOps.mgMerge` (mergeable-summaries guarantee: the
+    * underestimation bound grows by ≤ batchN/(m+1) per batch, so any
+    * term with frequency ≥ totalN/(m+1) since stream start is present).
+    * The snapshot swap reuses the [[SnapshotCommitter]] protocol, so
+    * crash recovery and object-store semantics match
+    * [[startUpsertSink]]; the merge is idempotent only up to the MG
+    * error bound, which the at-least-once replay contract absorbs
+    * (a replayed batch can inflate counts by its size — acceptable
+    * for a trending monitor, documented here for consumers).
+    *
+    * Snapshot schema: (term, cnt, n_total) — n_total repeated per row
+    * so the scalar survives in a plain parquet table.
+    */
+  def startHeavyHitterSink(terms: DataFrame, path: String, checkpoint: String,
+                           m: Int = 256,
+                           committerFor: (String, org.apache.hadoop.conf.Configuration)
+                             => SnapshotCommitter = new RenameCommitter(_, _)) =
+    terms.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val batchN = batch.count()
+        val partials = batch.select(col("term")).as[String]
+          .mapPartitions(it => graft.text.CorpusOps.mgSummary(it, m))
+          .collect()
+        val combined = partials.groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).sum }
+        val batchSummary = graft.text.CorpusOps.mgMerge(combined, Map.empty, m)
+        val committer =
+          committerFor(path, spark.sparkContext.hadoopConfiguration)
+        committer.recover()
+        val (cur, curN) = committer.current() match {
+          case Some(p) =>
+            val df = spark.read.parquet(p.toString)
+            // a zero-token first batch persists an empty summary:
+            // max() over it is null, not 0
+            val r = df.select(max(col("n_total"))).collect()(0)
+            val n = if (r.isNullAt(0)) 0L else r.getLong(0)
+            (df.select(col("term"), col("cnt")).as[(String, Long)]
+              .collect().toMap, n)
+          case None => (Map.empty[String, Long], 0L)
+        }
+        val merged = graft.text.CorpusOps.mgMerge(cur, batchSummary, m)
+        val staged = committer.stage()
+        merged.toSeq.toDF("term", "cnt")
+          .withColumn("n_total", lit(curN + batchN))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(staged.toString)
+        committer.commit(staged)
+        ()
+      }
+      .start()
+
   /** Canonical sink wiring for a streaming aggregate: append mode for
     * watermark-closed windows, checkpointed for exactly-once restart.
     */

@@ -53,10 +53,12 @@ object CorpusOps {
   private val HhDenom = 200L // heavy ⇔ cnt ≥ total/200 (0.5%)
 
   /** One Misra-Gries pass over a partition's tokens: bounded state
-    * (≤ `m` counters), emits the surviving candidate keys. Factored
-    * out for direct unit testing of the frequency guarantee.
+    * (≤ `m` counters), emits the surviving (key, residual count)
+    * counters. Residuals underestimate true counts by at most
+    * localN/(m+1) — the mergeable-summary form consumed by
+    * [[graft.stream.Streaming.startHeavyHitterSink]].
     */
-  private[text] def mgCandidates(it: Iterator[String], m: Int): Iterator[String] = {
+  private[graft] def mgSummary(it: Iterator[String], m: Int): Iterator[(String, Long)] = {
     val counts = scala.collection.mutable.HashMap.empty[String, Long]
     it.foreach { t =>
       if (counts.contains(t)) counts(t) += 1L
@@ -66,7 +68,32 @@ object CorpusOps {
         counts.filterInPlace((_, v) => v > 0L)
       }
     }
-    counts.keysIterator
+    counts.iterator
+  }
+
+  /** Surviving candidate keys only (the two-pass query's pass 1). */
+  private[text] def mgCandidates(it: Iterator[String], m: Int): Iterator[String] =
+    mgSummary(it, m).map(_._1)
+
+  /** Merge two MG summaries back to capacity `m` (Agarwal et al.,
+    * "Mergeable Summaries", PODS 2012): counter-wise sum, then if over
+    * capacity subtract the (m+1)-th largest combined count from every
+    * counter and drop the non-positive ones. Each merge adds at most
+    * n_b/(m+1) to the underestimation bound, so summaries combine
+    * across partitions, micro-batches, or shards without ever holding
+    * more than m counters.
+    */
+  private[graft] def mgMerge(a: Map[String, Long], b: Map[String, Long],
+                             m: Int): Map[String, Long] = {
+    val c = scala.collection.mutable.HashMap.empty[String, Long]
+    a.foreach { case (k, v) => c(k) = v }
+    b.foreach { case (k, v) => c(k) = c.getOrElse(k, 0L) + v }
+    if (c.size <= m) c.toMap
+    else {
+      val thr = c.values.toIndexedSeq.sorted(Ordering[Long].reverse).apply(m)
+      c.iterator.map { case (k, v) => k -> (v - thr) }
+        .filter(_._2 > 0L).toMap
+    }
   }
 
   /** Exact distributed heavy hitters (tokens with ≥ 0.5% corpus

@@ -74,6 +74,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startHeavyHitterSink keeps a bounded summary with the hot term across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("hh").toString
+    val input = MemoryStream[String]
+    val terms = input.toDF().toDF("term")
+    val q = Streaming.startHeavyHitterSink(terms, s"$dir/snap", s"$dir/chk", m = 8)
+    try {
+      input.addData(Seq.fill(30)("hot") ++ (1 to 100).map(i => s"t$i"): _*)
+      q.processAllAvailable()
+      input.addData(Seq.fill(25)("hot") ++ (101 to 200).map(i => s"t$i"): _*)
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$dir/snap").collect()
+      assert(rows.length <= 8, s"summary exceeded capacity: ${rows.length}")
+      assert(rows.head.getAs[Long]("n_total") == 255L)
+      val hot = rows.find(_.getString(0) == "hot")
+        .getOrElse(fail("hot term (55/255 > n/(m+1)) lost from summary"))
+      val cnt = hot.getAs[Long]("cnt")
+      assert(cnt >= 1L && cnt <= 55L, s"residual outside [1, true count]: $cnt")
+    } finally q.stop()
+  }
+
   test("startUpsertSink merges each micro-batch into the snapshot by key") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString

@@ -38,6 +38,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(single == Seq("x"))
   }
 
+  test("mgMerge caps at capacity and keeps combined-heavy items") {
+    val a = CorpusOps.mgSummary(
+      (Seq.fill(80)("x") ++ (1 to 300).map(i => s"a$i")).iterator, 10).toMap
+    val b = CorpusOps.mgSummary(
+      (Seq.fill(90)("x") ++ (1 to 300).map(i => s"b$i")).iterator, 10).toMap
+    val merged = CorpusOps.mgMerge(a, b, 10)
+    assert(merged.size <= 10)
+    // x has 170/760 total (> n/(m+1) = 69) — must survive the merge,
+    // and its residual can only underestimate
+    assert(merged.contains("x") && merged("x") <= 170L)
+    // residual bound: underestimation ≤ n/(m+1) accumulated over both
+    // passes and the merge
+    assert(merged("x") >= 170L - 760L / 11 * 3)
+  }
+
+  test("mgMerge with an empty side is a pure capacity cap") {
+    val big = (1 to 30).map(i => s"k$i" -> i.toLong).toMap
+    val capped = CorpusOps.mgMerge(big, Map.empty, 10)
+    assert(capped.size <= 10)
+    // subtracting the 11th-largest (19) keeps exactly the top 10 ranks
+    assert(capped.keySet.forall(k => k.drop(1).toInt > 20))
+    assert(CorpusOps.mgMerge(Map.empty, Map.empty, 4).isEmpty)
+  }
+
   test("heavyHitters output is exact regardless of candidate layout") {
     // the two-pass result must equal a naive exact computation
     val got = CorpusOps.heavyHitters(spark, sfTiny)
