@@ -43,6 +43,10 @@ object GraftExtensions {
       SimHashExpr(args.head,
         if (args.length > 1) intArg(args(1), "bits") else 32)
     },
+    "graft_shingle_set" -> { args =>
+      ShingleSetExpr(args.head,
+        if (args.length > 1) intArg(args(1), "k") else 5)
+    },
     "graft_dot" -> { args =>
       require(args.length == 2,
         s"graft_dot takes exactly 2 array arguments, got ${args.length}")

@@ -268,8 +268,15 @@ object CorpusOps {
     * the chunk rows land partition-local, ready for
     * [[graft.etl.PrefixScan]]-style shard packing.
     */
-  def chunkPlan(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+  def chunkPlan(spark: SparkSession, sfDir: String): DataFrame =
+    chunkPlanOf(Tables.documents(spark, sfDir)).orderBy("doc_id", "chunk_idx")
+
+  /** The chunking kernel over any (doc_id, text) input — shared by the
+    * oracle query above and [[RunCurate]]'s chunk artifact, so the
+    * pipeline cannot diverge from the verified plan.
+    */
+  private[text] def chunkPlanOf(input: DataFrame): DataFrame = {
+    val docs = input
       .withColumn("ts", TextFns.tokens(col("text")))
       .withColumn("n_tok", size(col("ts")).cast("long"))
       .withColumn("n_chunks",
@@ -288,7 +295,6 @@ object CorpusOps {
       // 2.7 s at sf0.1
       .select(col("doc_id"), col("chunk_idx"), col("start_tok"), col("chunk_len"),
         graft.functions.TextHashes.polyHash(col("chunk_txt")).as("chunk_hash"))
-      .orderBy("doc_id", "chunk_idx")
   }
 
   private val sqlChunkPlan =

@@ -126,6 +126,15 @@ object RunCurate {
     // `shard` prunes files for a shard read).
     graft.etl.Warehouse.writePartitioned(
       read("corpus"), s"$outDir/corpus_by_lang", Seq("lang_pred"))
+    // chunk-grain serving artifact (the q_chunk_plan kernel): each
+    // surviving document as overlapping fixed-width token chunks with
+    // content fingerprints, tagged with its shard — the sample-level
+    // view a trainer/RAG indexer reads; doc-grain corpus/ stays the
+    // funnel's snapshot (chunking multiplies rows, it is not a gate)
+    val corpus = read("corpus")
+    CorpusOps.chunkPlanOf(corpus.select("doc_id", "text"))
+      .join(corpus.select("doc_id", "shard", "lang_pred"), "doc_id")
+      .write.mode("overwrite").parquet(s"$outDir/chunks")
 
     Seq(s1, s2, s3, s4, s5, s6)
   }

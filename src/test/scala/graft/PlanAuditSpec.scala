@@ -113,6 +113,27 @@ class PlanAuditSpec extends SparkSpec {
       s"stratSample reads ${sampleScans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(";")}")
   }
 
+  test("heavyHitters recount joins the candidate set via broadcast") {
+    // the two-pass design's whole point: only candidate-term
+    // occurrences shuffle (for the recount agg); the candidate join
+    // itself must be map-side — a SortMergeJoin here would shuffle
+    // the full exploded token stream
+    val plan = text.CorpusOps.heavyHitters(spark, sfTiny)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "candidate join not broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "token stream reaches a sort-merge join")
+  }
+
+  test("bm25 broadcasts df and corpus stats to the scored stream") {
+    val plan = text.CorpusOps.bm25(spark, sfTiny)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "df join not broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "per-term rows reach a sort-merge join")
+  }
+
   test("no declared query plan contains a cartesian product") {
     // nested-loop joins are legitimate ONLY with a broadcast-tiny side
     // (kNN probe, IVF codebook); a CartesianProduct is never right

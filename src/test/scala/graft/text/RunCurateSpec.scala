@@ -64,6 +64,25 @@ class RunCurateSpec extends SparkSpec {
     inOrder.sliding(2).foreach { case Array(a, b) => assert(b >= a) }
   }
 
+  test("chunks artifact covers every corpus document end-to-end") {
+    stats // force
+    val corpus = spark.read.parquet(s"$outDir/corpus")
+    val chunks = spark.read.parquet(s"$outDir/chunks")
+    // chunk grain: every corpus doc present, last chunk ends at the
+    // last token, shard tag carried through
+    val cover = chunks.groupBy("doc_id")
+      .agg(max(col("start_tok") + col("chunk_len") - 1).as("covered"),
+        min(col("chunk_len")).as("min_len"))
+      .join(corpus.select(col("doc_id"), col("n_tokens"), col("shard")), "doc_id")
+    assert(cover.count() == corpus.count(), "a corpus doc has no chunks")
+    assert(cover.filter(col("covered") =!= col("n_tokens")).count() == 0,
+      "chunk coverage does not end at the doc's last token")
+    assert(cover.filter(col("min_len") <= 0).count() == 0)
+    assert(chunks.join(corpus.select("doc_id", "shard"),
+      Seq("doc_id", "shard")).count() == chunks.count(),
+      "chunk shard tags diverge from the corpus")
+  }
+
   test("corpus_by_lang is partitioned by predicted language") {
     stats // force
     val dirs = new java.io.File(s"$outDir/corpus_by_lang").listFiles()

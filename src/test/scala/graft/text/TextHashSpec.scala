@@ -116,11 +116,13 @@ class TextHashSpec extends SparkSpec {
       "SELECT graft_poly_hash('abc') AS h, graft_simhash('a b c', 32) AS s, " +
         "size(graft_minhash('hello world', 5, 16)) AS m, " +
         "graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
-        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").collect().head
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d, " +
+        "size(graft_shingle_set('aaaaaa', 5)) AS ss").collect().head
     assert(r.getLong(0) == TextHashUtil.polyHash(UTF8String.fromString("abc")))
     assert(r.getLong(1) == TextHashUtil.simHash(UTF8String.fromString("a b c"), 32))
     assert(r.getInt(2) == 16)
     assert(r.getDouble(3) == 11.0)
+    assert(r.getInt(4) == 1) // 'aaaaaa' has 2 positions, 1 distinct 5-gram
   }
 
   test("lexiconHits counts only exact token matches") {
