@@ -162,6 +162,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: Misra-Gries guarantee holds over random zipf-ish streams") {
+    val r = rng
+    (1 to 200).foreach { _ =>
+      val m = 4 + r.nextInt(40)
+      val n = 200 + r.nextInt(2000)
+      // zipf-ish: key k with weight ∝ 1/(k+1); heavy head, long tail
+      val stream = (1 to n).map { _ =>
+        val u = r.nextDouble()
+        s"k${math.min((1.0 / (u + 0.02) - 1.0).toInt, 500)}"
+      }
+      val counts = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val summary = graft.text.CorpusOps.mgSummary(stream.iterator, m).toMap
+      assert(summary.size <= m, s"capacity violated: ${summary.size} > $m")
+      counts.filter { case (_, c) => c > n.toLong / (m + 1) }.foreach {
+        case (k, c) =>
+          assert(summary.contains(k), s"guaranteed-heavy $k (count $c, n=$n, m=$m) dropped")
+          assert(summary(k) <= c, s"residual overestimates: ${summary(k)} > $c")
+          assert(summary(k) >= c - n.toLong / (m + 1),
+            s"residual below MG bound: ${summary(k)} < $c - $n/${m + 1}")
+      }
+      // splitting the stream and merging must preserve the guarantee
+      val (l, rr) = stream.splitAt(stream.size / 2)
+      val merged = graft.text.CorpusOps.mgMerge(
+        graft.text.CorpusOps.mgSummary(l.iterator, m).toMap,
+        graft.text.CorpusOps.mgSummary(rr.iterator, m).toMap, m)
+      assert(merged.size <= m)
+      counts.filter { case (_, c) => c > 2L * n / (m + 1) }.foreach {
+        case (k, _) => assert(merged.contains(k),
+          s"merge dropped $k heavy beyond the doubled bound (n=$n, m=$m)")
+      }
+    }
+  }
+
   test("property: merge upsert converges after one application") {
     val r = rng
     (1 to 3).foreach { _ =>
