@@ -425,7 +425,105 @@ object VectorQueries {
        |FROM pe GROUP BY label ORDER BY label""".stripMargin
   }
 
+  // ---------- 2c. q_ann_recall: ANN recall audit vs exact kNN ----------
+
+  private val RecallProbeStep = 100L
+
+  /** Recall@[[TopK]] of the sign-LSH ANN path against brute-force
+    * exact kNN, per probe — the measurement that validates an ANN
+    * config (bits/stride) before trusting it, the vector twin of
+    * `q_minhash_est` and `q_sq_error`'s sketch audits (and the
+    * oracle-verified form of `VectorRecallSpec`'s fixed assertion).
+    *
+    * Probes are a deterministic 1% sample (every [[RecallProbeStep]]th
+    * vector) — a recall audit is always sampled; the exact side is
+    * inherently probes × corpus, which is exactly why it cannot be
+    * the production query path. Both sides stage norms and buckets
+    * once, rank on the identical raw-sim DAG with vec_id tie-break,
+    * and the recall ratio is an integer hit count over k — no float
+    * reduction anywhere.
+    *
+    * Scale: the probe set is bounded (sampled) and broadcast; the
+    * exact side is one broadcast-nested-loop map over the corpus with
+    * a per-probe top-k window (probe-keyed partitions); the ANN side
+    * prunes to bucket collisions first. Hit counting is a tiny join
+    * of two k·P-row sets.
+    *
+    * On this corpus the verdict is itself informative: the synthetic
+    * embeddings are NOT clustered, so single-bucket recall measures
+    * 0.0–0.2 — the audit correctly tells a deployer this config needs
+    * multi-probe (neighboring buckets) or the IVF path before
+    * production, which is precisely the decision it exists to drive
+    * (`VectorRecallSpec` shows the same config reaching ≥0.9 on
+    * clustered data, where LSH assumptions hold).
+    */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+      .withColumn("bucket", VectorFns.signBucket(col("v"), LshBits, LshStride))
+    val probes = vecs.filter(pmod(col("vec_id"), lit(RecallProbeStep)) === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("bucket").as("pbucket"))
+    val byProbe = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val exact = vecs.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("sim",
+        VectorFns.cosineStaged(col("v"), col("pv"), col("nrm"), col("pnrm")))
+      .withColumn("rk", row_number().over(byProbe))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("vec_id"))
+    val annCands = vecs.join(broadcast(probes), col("bucket") === col("pbucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+    val ann = annCands
+      .withColumn("sim",
+        VectorFns.cosineStaged(col("v"), col("pv"), col("nrm"), col("pnrm")))
+      .withColumn("rk", row_number().over(byProbe))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("vec_id"))
+    val nCands = annCands.groupBy("probe_id")
+      .agg(count(lit(1)).as("n_cands"))
+    val hits = exact.join(ann, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("hits"))
+    nCands
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_cands"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round4(coalesce(col("hits"), lit(0L)).cast("double") / TopK)
+          .as("recall"))
+      .orderBy("probe_id")
+  }
+
+  private val sqlAnnRecall =
+    s"""WITH $duckVecs,
+       |     b AS (SELECT vec_id, v, nrm, $duckBucket AS bucket FROM e),
+       |     p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm, bucket AS pbucket
+       |           FROM b WHERE vec_id % $RecallProbeStep = 0),
+       |     ex AS (SELECT probe_id, vec_id,
+       |              row_number() OVER (PARTITION BY probe_id
+       |                ORDER BY ${duckDot("v", "pv")} / (nrm * pnrm) DESC, vec_id) AS rk
+       |            FROM b, p WHERE vec_id <> probe_id),
+       |     exact AS (SELECT probe_id, vec_id FROM ex WHERE rk <= $TopK),
+       |     ac AS (SELECT probe_id, vec_id,
+       |              row_number() OVER (PARTITION BY probe_id
+       |                ORDER BY ${duckDot("v", "pv")} / (nrm * pnrm) DESC, vec_id) AS rk
+       |            FROM b JOIN p ON b.bucket = p.pbucket
+       |            WHERE vec_id <> probe_id),
+       |     ann AS (SELECT probe_id, vec_id FROM ac WHERE rk <= $TopK),
+       |     nc AS (SELECT probe_id, count(*) AS n_cands
+       |            FROM b JOIN p ON b.bucket = p.pbucket
+       |            WHERE vec_id <> probe_id GROUP BY 1),
+       |     h AS (SELECT exact.probe_id, count(*) AS hits
+       |           FROM exact JOIN ann ON exact.probe_id = ann.probe_id
+       |                              AND exact.vec_id = ann.vec_id
+       |           GROUP BY 1)
+       |SELECT nc.probe_id, CAST(n_cands AS BIGINT) AS n_cands,
+       |       CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+       |       ${duckRound4(s"CAST(coalesce(hits, 0) AS DOUBLE) / $TopK")} AS recall
+       |FROM nc LEFT JOIN h ON nc.probe_id = h.probe_id
+       |ORDER BY nc.probe_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_recall" -> (annRecall _),
     "q_sq_error" -> (sqError _),
     "q_ivf_search" -> (ivfSearch _),
     "q_knn" -> (knn _),
@@ -436,6 +534,7 @@ object VectorQueries {
     "q_ivf_assign" -> (ivfAssign _))
 
   val oracle: Map[String, String] = Map(
+    "q_ann_recall" -> sqlAnnRecall,
     "q_sq_error" -> sqlSqError,
     "q_ivf_search" -> sqlIvfSearch,
     "q_knn" -> sqlKnn,
