@@ -425,6 +425,53 @@ object VectorQueries {
        |FROM pe GROUP BY label ORDER BY label""".stripMargin
   }
 
+  // ---------- 2b². q_ann_multiprobe: Hamming-1 multi-probe ANN ----------
+
+  /** Multi-probe ANN: search the probe's bucket AND its [[LshBits]]
+    * Hamming-1 neighbor buckets — the standard recall repair for
+    * sign-LSH (Lv et al., "Multi-probe LSH", VLDB 2007) that
+    * [[annRecall]]'s audit calls for on this unclustered corpus. A
+    * vector one sign-flip away from the probe lands in a neighbor
+    * bucket; probing all of them trades a bounded candidate-set
+    * growth (≤ (bits+1)/2^bits of the corpus in expectation) for a
+    * large recall gain.
+    *
+    * Scale shape: the neighbor buckets are GENERATED on the tiny
+    * probe side (explode of bits+1 XOR keys, broadcast), so the
+    * corpus side still meets candidates through a plain equi-join on
+    * its one precomputed bucket key — no range or bit-distance
+    * predicate ever touches the big side, which keeps the join
+    * key-partitioned and partition-prunable at 100 TB.
+    */
+  def annMultiprobe(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+      .withColumn("bucket", VectorFns.signBucket(col("v"), LshBits, LshStride))
+    val masks = lit(0L) +: (0 until LshBits).map(j => lit(1L << j))
+    val probeBuckets = vecs.filter(col("vec_id") === 0)
+      .select(col("v").as("pv"), col("nrm").as("pnrm"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(m)): _*)).as("bucket"))
+    vecs.filter(col("vec_id") =!= 0)
+      .join(broadcast(probeBuckets), "bucket")
+      .withColumn("sim",
+        VectorFns.cosineStaged(col("v"), col("pv"), col("nrm"), col("pnrm")))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(TopK)
+      .select(col("vec_id"), col("bucket"), round4(col("sim")).as("sim"))
+  }
+
+  private val sqlAnnMultiprobe = {
+    val masks = 0L +: (0 until LshBits).map(j => 1L << j)
+    val keys = masks.map(m => s"xor(pbucket, $m)").mkString("[", ", ", "]")
+    s"""WITH $duckVecs,
+       |     b AS (SELECT vec_id, v, nrm, $duckBucket AS bucket FROM e),
+       |     p AS (SELECT v AS pv, nrm AS pnrm, bucket AS pbucket FROM b WHERE vec_id = 0),
+       |     pb AS (SELECT pv, pnrm, unnest($keys) AS bucket FROM p),
+       |     s AS (SELECT vec_id, b.bucket, ${duckDot("v", "pv")} / (nrm * pnrm) AS sim0
+       |           FROM b JOIN pb ON b.bucket = pb.bucket WHERE vec_id <> 0)
+       |SELECT vec_id, bucket, ${duckRound4("sim0")} AS sim
+       |FROM s ORDER BY sim0 DESC, vec_id LIMIT $TopK""".stripMargin
+  }
+
   // ---------- 2c. q_ann_recall: ANN recall audit vs exact kNN ----------
 
   private val RecallProbeStep = 100L
@@ -524,6 +571,7 @@ object VectorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_recall" -> (annRecall _),
+    "q_ann_multiprobe" -> (annMultiprobe _),
     "q_sq_error" -> (sqError _),
     "q_ivf_search" -> (ivfSearch _),
     "q_knn" -> (knn _),
@@ -535,6 +583,7 @@ object VectorQueries {
 
   val oracle: Map[String, String] = Map(
     "q_ann_recall" -> sqlAnnRecall,
+    "q_ann_multiprobe" -> sqlAnnMultiprobe,
     "q_sq_error" -> sqlSqError,
     "q_ivf_search" -> sqlIvfSearch,
     "q_knn" -> sqlKnn,
