@@ -26,13 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
-  private val TopK = 10
+  private[vector] val TopK = 10
   // 6 bits = 64 buckets: coarse enough that the probe's bucket holds
   // candidates at EVERY verified scale (8 bits left it empty at
   // sf0.01, making the oracle check vacuous — any ANN bug would have
   // "passed" with 0 rows on both engines).
-  private val LshBits = 6
-  private val LshStride = 10 // bits sample dims 1,11,...,51 (1-based)
+  private[vector] val LshBits = 6
+  private[vector] val LshStride = 10 // bits sample dims 1,11,...,51 (1-based)
   private val NearDupThreshold = 0.25
 
   /** DuckDB left-fold dot product over 1-based DOUBLE[] columns. */
@@ -60,7 +60,7 @@ object VectorQueries {
     s"""e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |     e AS (SELECT vec_id, label, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e0)""".stripMargin
 
-  private def withVecs(spark: SparkSession, sfDir: String): DataFrame =
+  private[vector] def withVecs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"),
         VectorFns.toDouble(col("embedding")).as("v"))
