@@ -257,7 +257,40 @@ object EtlQueries {
       |                AND o.o_orderstatus = 'F' AND o.o_totalprice > 200000)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------- q_agg_refresh: incremental aggregate ≡ full recompute ----------
+
+  /** The [[AggMaintain]] contract as a DRIVER-GATED query (the
+    * `q_delta_dedup` trick applied to aggregates): the Spark side
+    * builds the snapshot from even order keys and REFRESHES it with
+    * the odd-key delta through `refreshAdditive`; the oracle computes
+    * the full aggregate directly. They hash-match only if the
+    * incremental combine is exact — decimal measures make the monoid
+    * associative-exact, so it is.
+    */
+  def aggRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+        col("l_quantity").cast("decimal(18,4)").as("qty"), lit(1L).as("cnt"))
+    def full(df: DataFrame) = df.groupBy(keys.map(col): _*)
+      .agg(sum("qty").as("qty"), sum("cnt").as("cnt"))
+    val snapshot = full(li.filter(col("l_orderkey") % 2 === 0))
+    AggMaintain.refreshAdditive(
+        snapshot, li.filter(col("l_orderkey") % 2 === 1), keys, Seq("qty", "cnt"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("qty").cast("double"), 4).as("sum_qty"),
+        col("cnt").cast("long").as("n_items"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val sqlAggRefresh =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+      |       count(*) AS n_items
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_refresh" -> (aggRefresh _),
     "q_bloom_prune" -> (bloomPrune _),
     "q_profile" -> (profileQ _),
     "q_clean_user_dim" -> (cleanUserDim _),
@@ -270,6 +303,7 @@ object EtlQueries {
     "q_ri_filter" -> (riFilter _))
 
   val oracle: Map[String, String] = Map(
+    "q_agg_refresh" -> sqlAggRefresh,
     "q_bloom_prune" -> sqlBloomPrune,
     "q_profile" -> sqlProfile,
     "q_clean_user_dim" -> sqlCleanUserDim,

@@ -34,6 +34,10 @@ object VectorQueries {
   private[vector] val LshBits = 6
   private[vector] val LshStride = 10 // bits sample dims 1,11,...,51 (1-based)
   private val NearDupThreshold = 0.25
+  // declared with the other constants: string-interpolated into oracle
+  // SQL vals, so it must initialize BEFORE every sql* val (object vals
+  // initialize in declaration order; a later declaration reads as 0)
+  private val RecallProbeStep = 100L
 
   /** DuckDB left-fold dot product over 1-based DOUBLE[] columns. */
   private def duckDot(a: String, b: String): String =
@@ -472,9 +476,54 @@ object VectorQueries {
        |FROM s ORDER BY sim0 DESC, vec_id LIMIT $TopK""".stripMargin
   }
 
+  // ---------- 2b³. q_topk_refresh: incremental top-k ≡ full recompute ----------
+
+  private val RefreshK = 5
+
+  /** The [[TopKMaintain]] contract as a DRIVER-GATED query: the Spark
+    * side builds each probe's top-[[RefreshK]] from even vec_ids only
+    * and REFRESHES it with the odd-id delta through `refreshTopK`;
+    * the oracle ranks the full corpus directly. Hash-match holds
+    * because top-k under the total order (sim desc, vec_id) is a
+    * mergeable summary and both paths evaluate the identical cosine
+    * DAG — the `q_delta_dedup` trick applied to similarity search.
+    */
+  def topkRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+    val probes = vecs.filter(pmod(col("vec_id"), lit(RecallProbeStep)) === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"))
+    val byProbe = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val snapshot = vecs.filter(col("vec_id") % 2 === 0)
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("sim",
+        VectorFns.cosineStaged(col("v"), col("pv"), col("nrm"), col("pnrm")))
+      .withColumn("rk", row_number().over(byProbe))
+      .filter(col("rk") <= RefreshK)
+      .select("probe_id", "vec_id", "sim")
+    TopKMaintain.refreshTopK(
+        snapshot, probes, vecs.filter(col("vec_id") % 2 === 1), RefreshK)
+      .select(col("probe_id"), col("vec_id"),
+        round4(col("sim")).as("sim"))
+      .orderBy("probe_id", "vec_id")
+  }
+
+  private val sqlTopkRefresh =
+    s"""WITH $duckVecs,
+       |     p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm
+       |           FROM e WHERE vec_id % $RecallProbeStep = 0),
+       |     s AS (SELECT probe_id, vec_id,
+       |             ${duckDot("v", "pv")} / (nrm * pnrm) AS sim0,
+       |             row_number() OVER (PARTITION BY probe_id
+       |               ORDER BY ${duckDot("v", "pv")} / (nrm * pnrm) DESC, vec_id) AS rk
+       |           FROM e, p WHERE vec_id <> probe_id)
+       |SELECT probe_id, vec_id, ${duckRound4("sim0")} AS sim
+       |FROM s WHERE rk <= $RefreshK ORDER BY probe_id, vec_id""".stripMargin
+
   // ---------- 2c. q_ann_recall: ANN recall audit vs exact kNN ----------
 
-  private val RecallProbeStep = 100L
 
   /** Recall@[[TopK]] of the sign-LSH ANN path against brute-force
     * exact kNN, per probe — the measurement that validates an ANN
@@ -572,6 +621,7 @@ object VectorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_recall" -> (annRecall _),
     "q_ann_multiprobe" -> (annMultiprobe _),
+    "q_topk_refresh" -> (topkRefresh _),
     "q_sq_error" -> (sqError _),
     "q_ivf_search" -> (ivfSearch _),
     "q_knn" -> (knn _),
@@ -584,6 +634,7 @@ object VectorQueries {
   val oracle: Map[String, String] = Map(
     "q_ann_recall" -> sqlAnnRecall,
     "q_ann_multiprobe" -> sqlAnnMultiprobe,
+    "q_topk_refresh" -> sqlTopkRefresh,
     "q_sq_error" -> sqlSqError,
     "q_ivf_search" -> sqlIvfSearch,
     "q_knn" -> sqlKnn,
