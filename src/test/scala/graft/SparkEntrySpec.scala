@@ -32,4 +32,16 @@ class SparkEntrySpec extends SparkSpec {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("no oracle SQL carries a zero-interpolated constant") {
+    // Scala object vals initialize in declaration order: an oracle SQL
+    // val that interpolates a constant declared BELOW it silently
+    // embeds 0 (q_topk_refresh shipped `vec_id % 0` this way). Scan
+    // for the signatures of a zeroed divisor/modulus/limit.
+    val bad = "(?i)(% 0\\b|// 0\\b|DIV 0\\b|LIMIT 0\\b|range\\(1, 0\\b)".r
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(bad.findFirstIn(sql).isEmpty,
+        s"$name oracle embeds a zeroed constant: ${bad.findFirstIn(sql).get}")
+    }
+  }
 }
