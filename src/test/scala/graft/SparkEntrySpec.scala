@@ -40,8 +40,8 @@ class SparkEntrySpec extends SparkSpec {
     // for the signatures of a zeroed divisor/modulus/limit.
     val bad = "(?i)(% 0\\b|// 0\\b|DIV 0\\b|LIMIT 0\\b|range\\(1, 0\\b)".r
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      assert(bad.findFirstIn(sql).isEmpty,
-        s"$name oracle embeds a zeroed constant: ${bad.findFirstIn(sql).get}")
+      val hit = bad.findFirstIn(sql)
+      assert(hit.isEmpty, s"$name oracle embeds a zeroed constant: $hit")
     }
   }
 }
