@@ -48,6 +48,17 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0 // a failed query reports -1, never a plausible fast time
         }
+        finally {
+          // free per-query resident state: the closure/PageRank queries
+          // leave their final localCheckpoint blocks persisted (one
+          // small RDD per invocation, reclaimed only on GC) — across
+          // 97 queries × 4 runs the accumulation degraded the
+          // late-alphabet queries ~10× (q_transitions 0.8 s isolated
+          // vs 11.6 s in-suite). No declared query shares persisted
+          // state across invocations, so a blanket unpersist is safe.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(false))
+        }
       }
       val warm = once()
       val runs = if (warm < 0) Nil else List.fill(3)(once())
@@ -86,13 +97,24 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
         s""""queries":$qs,$errs,"sf":"$sfDir"}"""
     }
+    // last resort (query set too big for even 1-decimal full maps):
+    // keep the SLOWEST 20 queries in the line — the per-query numbers
+    // a regression judgment actually needs — and say how many were
+    // omitted; the full distribution is always in bench_detail.json
+    def lineTop(k: Int): String = {
+      val top = stats.filter(_.median >= 0).sortBy(-_.median).take(k)
+      val qs = top.map(s => "\"" + s.name + "\":" + fmt(s.median, 2))
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
+        s""""queries":$qs,"omitted":${stats.size - top.size},$errs,""" +
+        s""""sf":"$sfDir"}"""
+    }
     val compact = {
       val l2 = line(2)
       if (l2.length <= 1850) l2
       else { val l1 = line(1)
              if (l1.length <= 1850) l1
-             else s"""{"metric":"total","value":${fmt(total, 2)},""" +
-               s""""unit":"sec",$errs,"sf":"$sfDir"}""" }
+             else lineTop(20) }
     }
     try {
       val detail = stats.map { s =>
