@@ -27,6 +27,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same per-query hygiene as Bench: closure/PageRank queries leave
+      // their final localCheckpoint blocks persisted; free them so the
+      // dump never degrades from accumulated executor storage
+      finally spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
