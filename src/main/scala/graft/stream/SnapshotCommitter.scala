@@ -100,8 +100,10 @@ final class RenameCommitter(path: String, conf: Configuration)
   * production deployment would keep a retention window of old
   * versions instead of the immediate sweep.
   */
-final class ManifestCommitter(base: String, conf: Configuration)
+final class ManifestCommitter(base: String, conf: Configuration,
+                              retain: Int = 1)
     extends SnapshotCommitter {
+  require(retain >= 1, s"retain must be >= 1, got $retain")
   private val baseDir = new Path(base)
   private val fs = baseDir.getFileSystem(conf)
   private val manifest = new Path(baseDir, "MANIFEST")
@@ -119,14 +121,35 @@ final class ManifestCommitter(base: String, conf: Configuration)
       finally in.close()
     }
 
+  /** Versions inside the retention window (committed first). Versions
+    * are immutable once committed, so any listed dir is readable —
+    * the time-travel surface a lakehouse table exposes.
+    */
+  def versions(): Seq[Long] = committedVersion() match {
+    case None => Seq.empty
+    case Some(cur) =>
+      (cur to math.max(cur - retain + 1, 1L) by -1L)
+        .filter(n => fs.exists(versionDir(n)))
+  }
+
+  /** The immutable snapshot directory of a retained version, if it is
+    * still inside the retention window (`retain` newest).
+    */
+  def snapshotAt(n: Long): Option[Path] =
+    if (versions().contains(n)) Some(versionDir(n)) else None
+
   def recover(): Unit = {
     if (fs.exists(manifestTmp)) fs.delete(manifestTmp, false)
     if (fs.exists(baseDir)) {
       val cur = committedVersion()
+      val floor = cur.map(_ - retain + 1).getOrElse(Long.MaxValue)
       fs.listStatus(baseDir).foreach { st =>
         st.getPath.getName match {
-          case VersionDir(n) if !cur.contains(n.toLong) =>
-            fs.delete(st.getPath, true) // orphaned staging or swept old
+          // above current = orphaned staging; below the retention
+          // floor = swept old version — both safe to drop
+          case VersionDir(n)
+              if cur.forall(c => n.toLong > c) || n.toLong < floor =>
+            fs.delete(st.getPath, true)
           case _ => ()
         }
       }
@@ -143,13 +166,19 @@ final class ManifestCommitter(base: String, conf: Configuration)
 
   def commit(staged: Path): Unit = {
     val VersionDir(n) = staged.getName: @unchecked
-    val prev = committedVersion()
     val out = fs.create(manifestTmp, true)
     try out.write(n.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     // FileContext (not FileSystem.rename): supports atomic OVERWRITE
     FileContext.getFileContext(baseDir.toUri, conf)
       .rename(manifestTmp, manifest, Options.Rename.OVERWRITE)
-    prev.foreach(p => fs.delete(versionDir(p), true))
+    // sweep versions that just left the retention window
+    val floor = n.toLong - retain + 1
+    if (fs.exists(baseDir)) fs.listStatus(baseDir).foreach { st =>
+      st.getPath.getName match {
+        case VersionDir(o) if o.toLong < floor => fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
   }
 }

@@ -183,6 +183,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ManifestCommitter with retention serves time-travel reads") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_tt").toString
+    val input = MemoryStream[(String, Int)]
+    val q = Streaming.startUpsertSink(
+      input.toDF().toDF("k", "v"), s"$dir/snap", s"$dir/chk", Seq("k"),
+      committerFor = new ManifestCommitter(_, _, retain = 2))
+    try {
+      input.addData(("a", 1), ("b", 2))
+      q.processAllAvailable()
+      input.addData(("b", 99), ("c", 3))
+      q.processAllAvailable()
+      input.addData(("d", 4))
+      q.processAllAvailable()
+      val c = new ManifestCommitter(
+        s"$dir/snap", spark.sparkContext.hadoopConfiguration, retain = 2)
+      assert(c.versions() == Seq(3L, 2L), s"window: ${c.versions()}")
+      // current = all three batches merged
+      val cur = spark.read.parquet(c.current().get.toString).orderBy("k")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      assert(cur == Seq(("a", 1), ("b", 99), ("c", 3), ("d", 4)))
+      // time travel: version 2 is the pre-third-batch state
+      val v2 = spark.read.parquet(c.snapshotAt(2L).get.toString).orderBy("k")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      assert(v2 == Seq(("a", 1), ("b", 99), ("c", 3)))
+      // v1 left the window and was swept; snapshotAt refuses it
+      assert(c.snapshotAt(1L).isEmpty)
+      assert(!new java.io.File(s"$dir/snap/v1").exists)
+    } finally q.stop()
+  }
+
   test("ManifestCommitter rolls back a crash before the manifest flip") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_mrec").toString
