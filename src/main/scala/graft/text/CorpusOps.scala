@@ -96,26 +96,39 @@ object CorpusOps {
     }
   }
 
+  /** Candidate cap for the residual-sum reduction. The bound: a term
+    * with count ≥ N/[[HhDenom]] keeps summed residual
+    * ≥ N/200 − N/(m+1) = N·57/51400 > N/902 across the partition
+    * summaries (each partition underestimates by ≤ localN/(m+1)), and
+    * residual sums total ≤ N, so at most 902 terms can clear that
+    * bar — every true heavy hitter is inside the top-1024 by summed
+    * residual at ANY partition count.
+    */
+  private val CandidateCap = 1024
+
   /** Exact distributed heavy hitters (tokens with ≥ 0.5% corpus
     * frequency) via the two-pass candidate/verify pattern: pass 1 runs
     * bounded-state Misra-Gries per partition (`mapPartitions`, O(m)
-    * memory, zero shuffle), pass 2 recounts ONLY the ≤ m·P candidate
-    * tokens exactly and filters by the true threshold.
+    * memory, zero shuffle), reduces the partial summaries by term
+    * ([[CandidateCap]] survivors via TakeOrderedAndProject on summed
+    * residual — see the bound above; a naive distinct of per-partition
+    * keys would broadcast m·P candidates, 25M keys at 100k
+    * partitions), and pass 2 recounts ONLY those candidates exactly,
+    * filtering by the true threshold.
     *
     * Scale: this is the 100 TB shape for frequency mining — a naive
     * `groupBy(term)` shuffles every token occurrence (the corpus),
-    * while here the only shuffled rows are occurrences of candidate
-    * terms (≤ m per partition, the heavy tail by construction) plus a
-    * tiny candidate-key distinct. The corpus is scanned twice but
-    * scans are cheap; shuffles are not. Misra & Gries 1982; the
-    * summary is mergeable, so pass 1 is also expressible as a
-    * partial-aggregate if candidates must come from one job.
+    * while here the shuffled rows are the ≤ m·P summary COUNTERS
+    * (keys, not occurrences) and the occurrences of ≤ 1024 candidate
+    * terms. The corpus is scanned twice but scans are cheap; shuffles
+    * are not. Misra & Gries 1982 + the mergeable-summaries residual
+    * bound (Agarwal et al. 2012).
     *
-    * Correctness does not depend on partitioning: MG guarantees every
-    * term with count ≥ N/(m+1) survives some partition summary
-    * (m = 256 > [[HhDenom]]), and pass 2 is exact — so the output is
-    * the exact heavy-hitter set regardless of layout, which is what
-    * the oracle (single-pass exact counts) verifies.
+    * Correctness does not depend on partitioning: the candidate set
+    * provably contains every term with count ≥ N/[[HhDenom]], and
+    * pass 2 is exact — so the output is the exact heavy-hitter set
+    * regardless of layout, which is what the oracle (single-pass
+    * exact counts) verifies.
     */
   def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -124,8 +137,11 @@ object CorpusOps {
       .select(explode_outer(col("ts")).as("term"))
       .filter(col("term").isNotNull)
     val candidates = terms.as[String]
-      .mapPartitions(it => mgCandidates(it, MgCapacity))
-      .toDF("term").distinct()
+      .mapPartitions(it => mgSummary(it, MgCapacity))
+      .toDF("term", "residual")
+      .groupBy("term").agg(sum(col("residual")).as("rsum"))
+      .orderBy(col("rsum").desc, col("term")).limit(CandidateCap)
+      .select("term")
     val exact = terms.join(broadcast(candidates), Seq("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
     val tot = terms.agg(count(lit(1)).as("total"))
