@@ -289,7 +289,49 @@ object EtlQueries {
       |       count(*) AS n_items
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------- q_scd2_history: Type-2 versioning vs its contract ----------
+
+  /** [[Merge.scd2]] driver-gated (S7's history-preserving half, until
+    * now spec-only): seed a current-only dimension from customer,
+    * apply an update batch that moves every third key to a new
+    * segment, and summarize the resulting version table. The oracle
+    * CONSTRUCTS the contractual post-state directly (changed keys →
+    * one closed v1 + one open v2; unchanged keys → untouched current
+    * row), so the hash-compare proves the close/open/no-op semantics
+    * end-to-end — the kernel itself never appears in the oracle.
+    */
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment").as("segment"))
+    val existing = cust
+      .withColumn("valid_from", lit("2024-01-01").cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+    val updates = cust.withColumn("segment",
+      when(col("custkey") % 3 === 0, lit("MOVED")).otherwise(col("segment")))
+    Merge.scd2(existing, updates, Seq("custkey"), Seq("segment"),
+        asOf = lit("2024-06-01").cast("timestamp"))
+      .groupBy("segment", "is_current")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("valid_to").isNull, lit(1))).as("n_open"))
+      .orderBy("segment", "is_current")
+  }
+
+  private val sqlScd2History =
+    """WITH c AS (SELECT c_custkey AS custkey, c_mktsegment AS segment FROM customer),
+      |     v AS (
+      |  SELECT segment, FALSE AS is_current, 0 AS open_flag
+      |  FROM c WHERE custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT segment, TRUE, 1 FROM c WHERE custkey % 3 <> 0
+      |  UNION ALL
+      |  SELECT 'MOVED', TRUE, 1 FROM c WHERE custkey % 3 = 0)
+      |SELECT segment, is_current, count(*) AS n_rows,
+      |       CAST(sum(open_flag) AS BIGINT) AS n_open
+      |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2_history" -> (scd2History _),
     "q_agg_refresh" -> (aggRefresh _),
     "q_bloom_prune" -> (bloomPrune _),
     "q_profile" -> (profileQ _),
@@ -303,6 +345,7 @@ object EtlQueries {
     "q_ri_filter" -> (riFilter _))
 
   val oracle: Map[String, String] = Map(
+    "q_scd2_history" -> sqlScd2History,
     "q_agg_refresh" -> sqlAggRefresh,
     "q_bloom_prune" -> sqlBloomPrune,
     "q_profile" -> sqlProfile,
