@@ -289,6 +289,56 @@ object EtlQueries {
       |       count(*) AS n_items
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------- q_zorder_addr: Morton-interleave kernel vs oracle ----------
+
+  private val ZBits = 8
+
+  /** [[ZOrder.zValue]] driver-gated: min/max-scale (c_acctbal,
+    * c_custkey) to [[ZBits]]-bit levels and interleave — the oracle
+    * replays the scaling (identical IEEE DAG; the floor input is the
+    * same double on both engines) and the bit interleave as explicit
+    * `(c // 2^j) % 2 · 2^(2j+i)` arithmetic. Gates the address
+    * kernel's exact bit layout, which `ZOrderSpec`'s locality tests
+    * (by design) never pin value-for-value.
+    */
+  def zorderAddr(spark: SparkSession, sfDir: String): DataFrame = {
+    val levels = (1L << ZBits) - 1
+    val c = Tables.customer(spark, sfDir).select(
+      col("c_custkey"), col("c_acctbal").cast("double").as("bal"))
+    val stats = c.agg(
+      min(col("bal")).as("mn_b"), max(col("bal")).as("mx_b"),
+      min(col("c_custkey")).cast("double").as("mn_k"),
+      max(col("c_custkey")).cast("double").as("mx_k"))
+    val scaled = Seq(
+      floor((col("bal") - col("mn_b")) / (col("mx_b") - col("mn_b")) * levels),
+      floor((col("c_custkey").cast("double") - col("mn_k")) /
+        (col("mx_k") - col("mn_k")) * levels))
+    c.crossJoin(broadcast(stats))
+      .withColumn("zaddr", ZOrder.zValue(scaled, ZBits))
+      .orderBy(col("zaddr").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("zaddr"))
+  }
+
+  private val sqlZorderAddr = {
+    val levels = (1L << ZBits) - 1
+    def lvl(e: String) = s"CAST(floor($e * $levels) AS BIGINT)"
+    val sb = lvl("(bal - mn_b) / (mx_b - mn_b)")
+    val sk = lvl("(CAST(c_custkey AS DOUBLE) - mn_k) / (mx_k - mn_k)")
+    val terms = for {
+      (c, i) <- Seq("sb" -> 0, "sk" -> 1)
+      j <- 0 until ZBits
+    } yield s"(($c // ${1L << j}) % 2) * ${1L << (j * 2 + i)}"
+    s"""WITH c AS (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal FROM customer),
+       |     st AS (SELECT min(bal) AS mn_b, max(bal) AS mx_b,
+       |                   CAST(min(c_custkey) AS DOUBLE) AS mn_k,
+       |                   CAST(max(c_custkey) AS DOUBLE) AS mx_k FROM c),
+       |     s AS (SELECT c_custkey, $sb AS sb, $sk AS sk FROM c CROSS JOIN st),
+       |     z AS (SELECT c_custkey, ${terms.mkString(" + ")} AS zaddr FROM s)
+       |SELECT c_custkey, CAST(zaddr AS BIGINT) AS zaddr
+       |FROM z ORDER BY zaddr DESC, c_custkey LIMIT 20""".stripMargin
+  }
+
   // ---------- q_scd2_history: Type-2 versioning vs its contract ----------
 
   /** [[Merge.scd2]] driver-gated (S7's history-preserving half, until
@@ -332,6 +382,7 @@ object EtlQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2_history" -> (scd2History _),
+    "q_zorder_addr" -> (zorderAddr _),
     "q_agg_refresh" -> (aggRefresh _),
     "q_bloom_prune" -> (bloomPrune _),
     "q_profile" -> (profileQ _),
@@ -346,6 +397,7 @@ object EtlQueries {
 
   val oracle: Map[String, String] = Map(
     "q_scd2_history" -> sqlScd2History,
+    "q_zorder_addr" -> sqlZorderAddr,
     "q_agg_refresh" -> sqlAggRefresh,
     "q_bloom_prune" -> sqlBloomPrune,
     "q_profile" -> sqlProfile,
