@@ -316,6 +316,75 @@ object Streaming {
       }
       .start()
 
+  /** Streaming ingest dedup — the streaming form of `q_delta_dedup`'s
+    * incremental screen, composed from the same oracle-verified
+    * kernels: each micro-batch of (doc_id, text) documents is
+    *
+    *  1. self-screened (batch-internal near-dups collapse to the
+    *     min-doc_id canonical via the batch's own band index),
+    *  2. screened against the PERSISTED (band, idx_doc) index —
+    *     any LSH collision with an already-ingested doc drops the
+    *     newcomer (work ∝ batch, never the archive),
+    *  3. accepted docs merge into the corpus snapshot (doc_id-keyed
+    *     upsert) and their bands append to the index.
+    *
+    * Crash safety under at-least-once replay: the CORPUS commits
+    * before the INDEX. A crash between the two replays the batch
+    * against the OLD index, re-accepting the same docs — the
+    * doc_id-keyed corpus merge and the distinct band union are both
+    * idempotent, so the state converges. (Index-first would be wrong:
+    * the replayed batch would collide with its own bands and the
+    * corpus would lose the accepted docs.)
+    */
+  def startDedupIngest(docs: DataFrame, path: String, checkpoint: String,
+                       committerFor: (String, org.apache.hadoop.conf.Configuration)
+                         => SnapshotCommitter = new RenameCommitter(_, _)) =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.text.TextQueries.{bandIndex, screenAgainstIndex}
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val corpusC = committerFor(s"$path/corpus", conf)
+        val indexC = committerFor(s"$path/index", conf)
+        corpusC.recover(); indexC.recover()
+        // 1. batch-internal canonical election: a doc survives iff it
+        // is its own smallest band-collision representative
+        val canonical = batch.join(
+          screenAgainstIndex(batch, bandIndex(batch))
+            .filter(col("dedup_rep") === col("doc_id")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        // 2. drop anything colliding with the persisted index
+        val accepted = indexC.current() match {
+          case Some(p) =>
+            val idx = spark.read.parquet(p.toString)
+            canonical.join(screenAgainstIndex(canonical, idx).select("doc_id"),
+              Seq("doc_id"), "left_anti")
+          case None => canonical
+        }
+        // 3a. corpus merge (commit FIRST — see scaladoc)
+        val corpus = corpusC.current() match {
+          case Some(p) => graft.etl.Merge.upsert(
+            spark.read.parquet(p.toString), accepted, Seq("doc_id"))
+          case None => accepted
+        }
+        val corpusStage = corpusC.stage()
+        corpus.write.mode("overwrite").parquet(corpusStage.toString)
+        corpusC.commit(corpusStage)
+        // 3b. index append (distinct union — replay-idempotent)
+        val index = indexC.current() match {
+          case Some(p) => spark.read.parquet(p.toString)
+            .unionByName(bandIndex(accepted)).distinct()
+          case None => bandIndex(accepted)
+        }
+        val indexStage = indexC.stage()
+        index.write.mode("overwrite").parquet(indexStage.toString)
+        indexC.commit(indexStage)
+        ()
+      }
+      .start()
+
   /** Canonical sink wiring for a streaming aggregate: append mode for
     * watermark-closed windows, checkpointed for exactly-once restart.
     */

@@ -95,6 +95,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startDedupIngest screens batches against the persisted index across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = Streaming.startDedupIngest(docs, s"$dir/dedup", s"$dir/chk")
+    try {
+      // batch 1: two distinct docs + an in-batch exact dup of doc 1
+      input.addData(
+        (1L, "alpha beta gamma delta epsilon zeta"),
+        (5L, "alpha beta gamma delta epsilon zeta"), // in-batch dup of 1
+        (2L, "completely different second document text"))
+      q.processAllAvailable()
+      // batch 2: a cross-batch dup of doc 1 + a genuinely new doc
+      input.addData(
+        (3L, "alpha beta gamma delta epsilon zeta"), // dup of ingested 1
+        (4L, "yet another unrelated document body here"))
+      q.processAllAvailable()
+      val corpus = spark.read.parquet(s"$dir/dedup/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(corpus == Set(1L, 2L, 4L),
+        s"expected in-batch dup 5 and cross-batch dup 3 dropped, got $corpus")
+      // the index holds bands for exactly the accepted docs
+      val indexed = spark.read.parquet(s"$dir/dedup/index")
+        .select("idx_doc").distinct().collect().map(_.getLong(0)).toSet
+      assert(indexed == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("startUpsertSink merges each micro-batch into the snapshot by key") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
