@@ -51,6 +51,46 @@ object RunIndex {
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$outDir/vectors")
 
+  /** Build the IVF layout beside the LSH one: the corpus assigned to
+    * its nearest-centroid cell (the oracle-verified `q_ivf_assign`
+    * kernel) and written partitioned BY CELL — the learned-quantizer
+    * twin of [[build]]'s hash layout. `q_ivf_search`'s scale claim
+    * ("the probe's cell only") becomes physical here: a cell read is
+    * one partition directory of ~N/k vectors.
+    */
+  def buildIvf(spark: SparkSession, sfDir: String, outDir: String): StageStat = {
+    val t0 = System.nanoTime()
+    val assigned = VectorQueries.assignedCells(VectorQueries.withVecs(spark, sfDir))
+      .select("vec_id", "label", "v", "nrm", "cell")
+    graft.etl.Warehouse.writePartitioned(assigned, s"$outDir/cells", Seq("cell"))
+    val rows = spark.read.parquet(s"$outDir/cells").count()
+    StageStat("build_ivf", rows, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Top-k from the persisted IVF layout: the probe's cell is a 1-row
+    * driver lookup, and the literal cell filter prunes to ONE
+    * partition directory before any row IO. Result ≡ `q_ivf_search`
+    * (RunIndexSpec pins it).
+    */
+  def serveIvf(spark: SparkSession, outDir: String, probeVecId: Long,
+               k: Int = TopK): DataFrame = {
+    val idx = spark.read.parquet(s"$outDir/cells")
+      .withColumn("cell", col("cell").cast("int"))
+    val p = idx.filter(col("vec_id") === probeVecId)
+      .select(col("v"), col("nrm"), col("cell")).collect()(0)
+    val (pv, pnrm, pcell) = (p.getSeq[Double](0), p.getDouble(1), p.getInt(2))
+    val probe = spark.range(1).select(
+      typedLit(pv).as("pv"), lit(pnrm).as("pnrm"))
+    idx.filter(col("cell") === pcell && col("vec_id") =!= probeVecId)
+      .crossJoin(broadcast(probe))
+      .withColumn("sim",
+        VectorFns.cosineStaged(col("v"), col("pv"), col("nrm"), col("pnrm")))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("cell"),
+        graft.text.TextFns.round4(col("sim")).as("sim"))
+  }
+
   /** Multi-probe top-k from the PERSISTED index: the probe row is a
     * 1-row driver lookup (like RunEtl's connectivity probe — not a
     * per-row collect), its bucket expands to the Hamming-1 key LIST,

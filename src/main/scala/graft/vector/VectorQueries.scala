@@ -269,7 +269,7 @@ object VectorQueries {
     * — engine round() itself diverges on .5 boundaries); c_label
     * breaks real ties deterministically (both sides identical).
     */
-  private def assignedCells(vecs: DataFrame): DataFrame = {
+  private[vector] def assignedCells(vecs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(round6(col("sim")).desc, col("c_label"))
     vecs.join(broadcast(codebook(vecs)))

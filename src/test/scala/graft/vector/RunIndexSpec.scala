@@ -37,6 +37,22 @@ class RunIndexSpec extends SparkSpec {
     assert(selected <= 7, s"read $selected partitions, expected <= bits+1 = 7")
   }
 
+  test("IVF layout serves the probe's cell only and matches q_ivf_search") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_index_ivf").toString
+    assert(RunIndex.buildIvf(spark, sfTiny, dir).rows > 0)
+    val got = RunIndex.serveIvf(spark, dir, probeVecId = 0L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val want = VectorQueries.ivfSearch(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got == want)
+    val scans = RunIndex.serveIvf(spark, dir, probeVecId = 0L)
+      .queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
+      .filter(_.relation.partitionSchema.fieldNames.contains("cell"))
+    assert(scans.nonEmpty && scans.head.partitionFilters.nonEmpty)
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      s"read ${scans.head.selectedPartitions.partitionCount} cells, expected 1")
+  }
+
   test("incremental append converges to the full rebuild") {
     val dirA = java.nio.file.Files.createTempDirectory("graft_index_a").toString
     // build from even ids only, then append the odd delta
