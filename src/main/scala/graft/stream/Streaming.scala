@@ -343,47 +343,61 @@ object Streaming {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        import graft.text.TextQueries.{bandIndex, screenAgainstIndex}
-        val spark = batch.sparkSession
-        val conf = spark.sparkContext.hadoopConfiguration
-        val corpusC = committerFor(s"$path/corpus", conf)
-        val indexC = committerFor(s"$path/index", conf)
-        corpusC.recover(); indexC.recover()
-        // 1. batch-internal canonical election: a doc survives iff it
-        // is its own smallest band-collision representative
-        val canonical = batch.join(
-          screenAgainstIndex(batch, bandIndex(batch))
-            .filter(col("dedup_rep") === col("doc_id")).select("doc_id"),
-          Seq("doc_id"), "left_semi")
-        // 2. drop anything colliding with the persisted index
-        val accepted = indexC.current() match {
-          case Some(p) =>
-            val idx = spark.read.parquet(p.toString)
-            canonical.join(screenAgainstIndex(canonical, idx).select("doc_id"),
-              Seq("doc_id"), "left_anti")
-          case None => canonical
-        }
-        // 3a. corpus merge (commit FIRST — see scaladoc)
-        val corpus = corpusC.current() match {
-          case Some(p) => graft.etl.Merge.upsert(
-            spark.read.parquet(p.toString), accepted, Seq("doc_id"))
-          case None => accepted
-        }
-        val corpusStage = corpusC.stage()
-        corpus.write.mode("overwrite").parquet(corpusStage.toString)
-        corpusC.commit(corpusStage)
-        // 3b. index append (distinct union — replay-idempotent)
-        val index = indexC.current() match {
-          case Some(p) => spark.read.parquet(p.toString)
-            .unionByName(bandIndex(accepted)).distinct()
-          case None => bandIndex(accepted)
-        }
-        val indexStage = indexC.stage()
-        index.write.mode("overwrite").parquet(indexStage.toString)
-        indexC.commit(indexStage)
-        ()
+        dedupIngestBatch(batch, path, committerFor)
       }
       .start()
+
+  /** One micro-batch of the dedup ingest — factored out so the
+    * at-least-once replay property (re-applying the SAME batch to the
+    * committed state converges) is directly testable; the scaladoc
+    * above states the argument, `StreamingSpec` executes it.
+    */
+  private[stream] def dedupIngestBatch(batch: DataFrame, path: String,
+                                       committerFor: (String, org.apache.hadoop.conf.Configuration)
+                                         => SnapshotCommitter): Unit = {
+    import graft.text.TextQueries.{bandIndex, screenAgainstIndex}
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val corpusC = committerFor(s"$path/corpus", conf)
+    val indexC = committerFor(s"$path/index", conf)
+    corpusC.recover(); indexC.recover()
+    // 1. batch-internal canonical election: a doc survives iff it
+    // is its own smallest band-collision representative
+    val canonical = batch.join(
+      screenAgainstIndex(batch, bandIndex(batch))
+        .filter(col("dedup_rep") === col("doc_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    // 2. drop anything colliding with the persisted index. Replay
+    // note: a fully-replayed doc collides with its OWN bands from the
+    // first application and is dropped — harmless, the corpus upsert
+    // already holds it, so the state converges either way
+    val accepted = indexC.current() match {
+      case Some(p) =>
+        val idx = spark.read.parquet(p.toString)
+        canonical.join(screenAgainstIndex(canonical, idx).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      case None => canonical
+    }
+    // 3a. corpus merge (commit FIRST — see scaladoc)
+    val corpus = corpusC.current() match {
+      case Some(p) => graft.etl.Merge.upsert(
+        spark.read.parquet(p.toString), accepted, Seq("doc_id"))
+      case None => accepted
+    }
+    val corpusStage = corpusC.stage()
+    corpus.write.mode("overwrite").parquet(corpusStage.toString)
+    corpusC.commit(corpusStage)
+    // 3b. index append (distinct union — replay-idempotent)
+    val index = indexC.current() match {
+      case Some(p) => spark.read.parquet(p.toString)
+        .unionByName(bandIndex(accepted)).distinct()
+      case None => bandIndex(accepted)
+    }
+    val indexStage = indexC.stage()
+    index.write.mode("overwrite").parquet(indexStage.toString)
+    indexC.commit(indexStage)
+    ()
+  }
 
   /** Canonical sink wiring for a streaming aggregate: append mode for
     * watermark-closed windows, checkpointed for exactly-once restart.

@@ -124,6 +124,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupIngestBatch replay converges (at-least-once safety)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_rp").toString
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "completely different second document text")).toDF("doc_id", "text")
+    def state() = (
+      spark.read.parquet(s"$dir/dedup/corpus").orderBy("doc_id").collect().toSeq,
+      spark.read.parquet(s"$dir/dedup/index")
+        .orderBy("band", "idx_doc").collect().toSeq)
+    Streaming.dedupIngestBatch(batch, s"$dir/dedup", new RenameCommitter(_, _))
+    val first = state()
+    // the checkpoint replays the SAME batch after a crash — state must
+    // not change (docs collide with their own indexed bands; the
+    // corpus upsert and distinct band union are no-ops)
+    Streaming.dedupIngestBatch(batch, s"$dir/dedup", new RenameCommitter(_, _))
+    assert(state() == first, "replaying the identical batch changed state")
+  }
+
   test("startUpsertSink merges each micro-batch into the snapshot by key") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
