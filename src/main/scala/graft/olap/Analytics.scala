@@ -371,7 +371,63 @@ object Analytics {
       |      INTO NAME measure VALUE value)
       |ORDER BY l_returnflag, measure""".stripMargin
 
+  // ---------- q_window_frames: dense_rank + frame-bounded value picks ----------
+
+  /** The window functions the rest of the pack doesn't exercise:
+    * `dense_rank` (gap-free ranking of each segment's months by
+    * revenue) plus full-frame value picking — `first_value` /
+    * `last_value` / `nth_value` over ROWS UNBOUNDED PRECEDING AND
+    * UNBOUNDED FOLLOWING give every month its segment's first,
+    * latest, and second month revenue for baseline comparisons.
+    * Completes the §2.6 window-function surface next to rank
+    * (`q_window_rank`), lag (`q_mom_delta`), ntile (`q_ntile`),
+    * percent_rank/cume_dist (`q_percent_rank`) and frame sums
+    * (`q_running_total`, `q_rolling_7d`).
+    *
+    * Determinism: ranking orders on the ROUNDED revenue with the
+    * month as tie-break (CLAUDE.md rank rule); the frame picks are
+    * positional over the month order, which is total. Scale: the
+    * window input is the segment × month AGGREGATE (calendar
+    * cardinality), not the fact table.
+    */
+  def windowFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val m = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+    val byRev = Window.partitionBy("segment")
+      .orderBy(col("rev").desc, col("month"))
+    val frame = Window.partitionBy("segment").orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    m.withColumn("rev_rank", dense_rank().over(byRev).cast("long"))
+      .withColumn("first_rev", first(col("rev")).over(frame))
+      .withColumn("last_rev", last(col("rev")).over(frame))
+      .withColumn("second_rev", nth_value(col("rev"), 2).over(frame))
+      .orderBy("segment", "month")
+  }
+
+  private val sqlWindowFrames =
+    """WITH m AS (SELECT c_mktsegment AS segment,
+      |                  strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+      |                  round(sum(o_totalprice), 4) AS rev
+      |           FROM orders JOIN customer ON o_custkey = c_custkey
+      |           GROUP BY 1, 2)
+      |SELECT segment, month, rev,
+      |       CAST(dense_rank() OVER (PARTITION BY segment
+      |              ORDER BY rev DESC, month) AS BIGINT) AS rev_rank,
+      |       first_value(rev) OVER w AS first_rev,
+      |       last_value(rev) OVER w AS last_rev,
+      |       nth_value(rev, 2) OVER w AS second_rev
+      |FROM m
+      |WINDOW w AS (PARTITION BY segment ORDER BY month
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY segment, month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_frames" -> (windowFrames _),
     "q_full_outer" -> (fullOuter _),
     "q_unpivot" -> (unpivotQ _),
     "q_rolling_7d" -> (rolling7d _),
@@ -383,6 +439,7 @@ object Analytics {
     "q_percent_rank" -> (percentRank _))
 
   val oracle: Map[String, String] = Map(
+    "q_window_frames" -> sqlWindowFrames,
     "q_full_outer" -> sqlFullOuter,
     "q_unpivot" -> sqlUnpivot,
     "q_rolling_7d" -> sqlRolling7d,
