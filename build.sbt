@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output normally passes through sbt's logger, which
+// prefixes every stdout line with "[info] " — the harness parses the
+// Bench/Verify JSON line out of raw stdout, and the prefix broke that
+// (BENCH_r05/r06 both record "parsed": null). Inheriting stdout gives
+// the driver clean lines; Spark's log4j noise stays on stderr.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -29,6 +29,10 @@ object PageRank {
     * (`src`, `dst`) — pass both directions for an undirected graph.
     * Every node is assumed to have out-degree ≥ 1 (true for edge
     * lists derived from symmetric relations; no dangling-mass term).
+    * In-degree-0 nodes (a source feeding a cycle) keep their
+    * ⌊15·scale/(100·N)⌋ base term each round: the contribution join
+    * is a LEFT join with a zero default, not an inner join that
+    * would silently drop them from the output.
     *
     * Returns (v, deg, r) where r ≈ scale · rank(v):
     * r₀(v) = ⌊scale/N⌋, then
@@ -59,10 +63,11 @@ object PageRank {
           expr("CAST((85 * r) DIV (100 * deg) AS BIGINT)").as("c"))
         .groupBy("v").agg(sum(col("c")).as("contrib"))
       val (next, nextIds) = checkpointTracked(
-        nodes.join(contrib, "v")
+        nodes.join(contrib, Seq("v"), "left")
           .crossJoin(broadcast(n))
           .select(col("v"), col("deg"),
-            expr(s"CAST((15 * $scale) DIV (100 * n_nodes) + contrib AS BIGINT)").as("r")))
+            expr(s"CAST((15 * $scale) DIV (100 * n_nodes)" +
+              " + coalesce(contrib, 0) AS BIGINT)").as("r")))
       free(ranks, rankIds)
       ranks = next
       rankIds = nextIds

@@ -272,7 +272,14 @@ object Streaming {
     * for a trending monitor, documented here for consumers).
     *
     * Snapshot schema: (term, cnt, n_total) — n_total repeated per row
-    * so the scalar survives in a plain parquet table.
+    * for plain-parquet consumers, AND written out-of-band as an
+    * `_n_total` side file inside the snapshot directory (`_`-prefixed
+    * files are invisible to Spark's parquet reader, like `_SUCCESS`).
+    * The side file is authoritative: mgMerge can legitimately return
+    * an EMPTY summary (the capacity cap's threshold subtraction zeroes
+    * every counter when combined counts tie, or a zero-token batch),
+    * and a zero-row snapshot would silently reset the running total —
+    * skewing the heavy-hitter threshold for every later read.
     */
   def startHeavyHitterSink(terms: DataFrame, path: String, checkpoint: String,
                            m: Int = 256,
@@ -291,16 +298,18 @@ object Streaming {
         val combined = partials.groupBy(_._1)
           .map { case (k, vs) => k -> vs.map(_._2).sum }
         val batchSummary = graft.text.CorpusOps.mgMerge(combined, Map.empty, m)
-        val committer =
-          committerFor(path, spark.sparkContext.hadoopConfiguration)
+        val conf = spark.sparkContext.hadoopConfiguration
+        val committer = committerFor(path, conf)
         committer.recover()
         val (cur, curN) = committer.current() match {
           case Some(p) =>
             val df = spark.read.parquet(p.toString)
-            // a zero-token first batch persists an empty summary:
-            // max() over it is null, not 0
-            val r = df.select(max(col("n_total"))).collect()(0)
-            val n = if (r.isNullAt(0)) 0L else r.getLong(0)
+            val n = readNTotal(p, conf).getOrElse {
+              // pre-side-file snapshot: fall back to the column form
+              // (null over an empty summary reads as 0)
+              val r = df.select(max(col("n_total"))).collect()(0)
+              if (r.isNullAt(0)) 0L else r.getLong(0)
+            }
             (df.select(col("term"), col("cnt")).as[(String, Long)]
               .collect().toMap, n)
           case None => (Map.empty[String, Long], 0L)
@@ -311,10 +320,41 @@ object Streaming {
           .withColumn("n_total", lit(curN + batchN))
           .coalesce(1)
           .write.mode("overwrite").parquet(staged.toString)
+        writeNTotal(staged, conf, curN + batchN)
         committer.commit(staged)
         ()
       }
       .start()
+
+  /** The running token total rides INSIDE the committed snapshot dir
+    * (so the committer's atomic swap covers it) as a `_`-prefixed text
+    * file Spark's file source ignores. Absent ⇒ None (legacy snapshot
+    * written before the side file existed).
+    */
+  private def writeNTotal(dir: org.apache.hadoop.fs.Path,
+                          conf: org.apache.hadoop.conf.Configuration,
+                          n: Long): Unit = {
+    val fs = dir.getFileSystem(conf)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_n_total"), true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readNTotal(dir: org.apache.hadoop.fs.Path,
+                         conf: org.apache.hadoop.conf.Configuration): Option[Long] = {
+    val fs = dir.getFileSystem(conf)
+    val p = new org.apache.hadoop.fs.Path(dir, "_n_total")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](64)
+        var r = in.read(tmp)
+        while (r > 0) { buf.write(tmp, 0, r); r = in.read(tmp) }
+        Some(buf.toString("UTF-8").trim.toLong)
+      } finally in.close()
+    }
+  }
 
   /** Streaming ingest dedup — the streaming form of `q_delta_dedup`'s
     * incremental screen, composed from the same oracle-verified

@@ -338,8 +338,9 @@ object TextQueries {
          |          CAST(sum((85 * r) // (100 * deg)) AS BIGINT) AS contrib
          |        FROM dir JOIN $prev ON dir.src = $prev.v GROUP BY 1),
          |r$i AS (SELECT deg.v, deg.deg,
-         |          CAST((15 * $PrScale) // (100 * n_nodes) + contrib AS BIGINT) AS r
-         |        FROM deg JOIN c$i ON deg.v = c$i.v CROSS JOIN nn)""".stripMargin
+         |          CAST((15 * $PrScale) // (100 * n_nodes)
+         |               + coalesce(contrib, 0) AS BIGINT) AS r
+         |        FROM deg LEFT JOIN c$i ON deg.v = c$i.v CROSS JOIN nn)""".stripMargin
     s"""WITH c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),
        |     s AS (SELECT doc_id, $duckShingles AS shs FROM c),
        |     g AS (SELECT doc_id, $duckSignature AS sig FROM s),

@@ -36,6 +36,20 @@ class PageRankSpec extends SparkSpec {
     assert(total <= 1000000L && total > 1000000L - 9 * 4 * 3)
   }
 
+  test("in-degree-0 source keeps its base term (directed contract)") {
+    // 0 → 1 → 2 → 1: node 0 has out-degree 1 (contract OK) but
+    // in-degree 0 — it receives no contributions, yet must stay in
+    // the output with the (1-d)/N base term each round, not vanish
+    // through an inner contribution join.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val ranks = PageRank.integerRanks(edges, 3, 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ranks.contains(0L), "in-degree-0 node dropped from output")
+    // base term = 15*scale/(100*N) with N=3
+    assert(ranks(0L) == 15L * 1000000L / (100L * 3L))
+    assert(ranks(1L) > ranks(2L), "cycle hub should outrank its leaf")
+  }
+
   test("ranks are identical under different partition layouts") {
     val a = PageRank.integerRanks(starEdges.repartition(1), 3, 1000000L)
       .orderBy("v").collect().toSeq

@@ -95,6 +95,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startHeavyHitterSink survives an empty-summary batch without resetting n_total") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("hh0").toString
+    val input = MemoryStream[String]
+    val terms = input.toDF().toDF("term")
+    // m=2 and a 3-distinct-terms batch: Misra-Gries fills {a,b}, then c
+    // decrements both to zero — the persisted summary has ZERO rows, so
+    // the n_total COLUMN vanishes with it. The _n_total side file must
+    // carry the running total across that batch.
+    val q = Streaming.startHeavyHitterSink(terms, s"$dir/snap", s"$dir/chk", m = 2)
+    try {
+      input.addData("a", "b", "c")
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/snap").count() == 0L,
+        "precondition: the all-ties batch should zero the summary")
+      input.addData(Seq.fill(5)("hot"): _*)
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$dir/snap").collect()
+      val hot = rows.find(_.getString(0) == "hot")
+        .getOrElse(fail("hot term lost from summary"))
+      assert(hot.getAs[Long]("n_total") == 8L,
+        s"running total reset: ${hot.getAs[Long]("n_total")} != 3 + 5")
+    } finally q.stop()
+  }
+
   test("startDedupIngest screens batches against the persisted index across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
