@@ -232,7 +232,9 @@ object CorpusOps {
       .orderBy("rk")
   }
 
-  private val sqlBm25 = {
+  // private[graft]: q_rrf_fusion's oracle embeds the bm25 ranking as
+  // a nested CTE so the fused oracle can never drift from this one
+  private[graft] val sqlBm25 = {
     val inList = QueryTerms.map(t => s"'$t'").mkString(", ")
     val sumTerms = QueryTerms.zipWithIndex.map { case (t, i) =>
       s"coalesce(sum(CASE WHEN term = '$t' THEN contrib END), 0.0)"

@@ -436,7 +436,7 @@ object TextQueries {
     * whose buckets contain no other doc stay singletons (left join +
     * coalesce to their own rep).
     */
-  private def docComponents(docs: DataFrame): DataFrame = {
+  private[text] def docComponents(docs: DataFrame): DataFrame = {
     import graft.graph.ConnectedComponents
     // materialize the collision stage once: it feeds THREE consumers
     // (docMin, repEdges, and the final attach join), and without the
@@ -550,6 +550,64 @@ object TextQueries {
        |       (min({'a': -n_chars, 'b': doc_id})).b AS canonical_doc,
        |       -(min({'a': -n_chars, 'b': doc_id})).a AS canonical_chars
        |FROM m GROUP BY component ORDER BY component""".stripMargin
+
+  // ---------- 3d. q_leakage_split: cluster-atomic train/val/test split ----------
+
+  /** Leakage-safe train/val/test split: the unit of assignment is the
+    * near-dup CLUSTER ([[docComponents]]' transitive closure), not the
+    * document — a doc-level random split puts near-duplicates of
+    * training documents into the eval set, and the eval loss silently
+    * measures memorization (the standard train/test-contamination
+    * failure). Hashing the cluster id sends every member of a cluster
+    * to the same split by construction: split = polyHash(component)
+    * mod 10, buckets 0-7 → train, 8 → val, 9 → test.
+    *
+    * Determinism: the bucket comes from the shared content-derived
+    * [[graft.functions.TextHashes.polyHash]] (same parity contract as
+    * q_doc_fingerprint), never from `rand()` or a partition-dependent
+    * sample — re-running on any layout, any engine, reproduces the
+    * split (the membership-hash rule from `Sampling`).
+    *
+    * Scale: closure cost is [[ccClusters]]' (rep-contracted fixpoint);
+    * the split itself is one hash per doc and one 3-group aggregate —
+    * no window, no extra shuffle beyond the closure's own.
+    */
+  def leakageSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(docComponents(docs), "doc_id")
+      .withColumn("b", pmod(graft.functions.TextHashes.polyHash(
+        col("component").cast("string")), lit(10L)))
+      .withColumn("split",
+        when(col("b") < 8, "train").when(col("b") === 8, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(countDistinct(col("component")).as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"))
+      .orderBy("split")
+  }
+
+  private val sqlLeakageSplit =
+    s"""$duckCcComp,
+       |     alldocs AS (SELECT d.doc_id, d.n_chars,
+       |                   coalesce(comp.component, d.doc_id) AS component
+       |                 FROM documents d LEFT JOIN comp ON comp.node = d.doc_id),
+       |     cstrs AS (SELECT component, n_chars,
+       |                 CAST(component AS VARCHAR) AS cstr
+       |               FROM alldocs),
+       |     hcs AS (SELECT component, n_chars,
+       |              list_transform(range(1, greatest(length(cstr), 1) + 1),
+       |                i -> CAST(ascii(substring(cstr, CAST(i AS INT), 1)) AS BIGINT)) AS cs
+       |             FROM cstrs),
+       |     hb AS (SELECT component, n_chars, ($duckPolyHash) % 10 AS b FROM hcs),
+       |     sp AS (SELECT component, n_chars,
+       |              CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+       |                   ELSE 'test' END AS split
+       |            FROM hb)
+       |SELECT split, count(DISTINCT component) AS n_clusters,
+       |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |FROM sp GROUP BY split ORDER BY split""".stripMargin
 
   // ---------- 4. q_ngram_jaccard: exact word-3-gram Jaccard on
   // prefix-blocked candidate pairs ----------
@@ -1065,6 +1123,7 @@ object TextQueries {
     "q_pagerank" -> (pagerank _),
     "q_delta_dedup" -> (deltaDedup _),
     "q_cc_clusters" -> (ccClusters _),
+    "q_leakage_split" -> (leakageSplit _),
     "q_canonical_docs" -> (canonicalDocs _),
     "q_simhash_neardup" -> (simhashNearDup _),
     "q_repetition" -> (repetition _),
@@ -1087,6 +1146,7 @@ object TextQueries {
     "q_pagerank" -> sqlPagerank,
     "q_delta_dedup" -> sqlDeltaDedup,
     "q_cc_clusters" -> sqlCcClusters,
+    "q_leakage_split" -> sqlLeakageSplit,
     "q_canonical_docs" -> sqlCanonicalDocs,
     "q_simhash_neardup" -> sqlSimhashNearDup,
     "q_repetition" -> sqlRepetition,

@@ -618,7 +618,79 @@ object VectorQueries {
        |FROM nc LEFT JOIN h ON nc.probe_id = h.probe_id
        |ORDER BY nc.probe_id""".stripMargin
 
+  // ---------- 12. q_rrf_fusion: hybrid lexical + vector retrieval ----------
+
+  private val RrfK = 60 // the standard RRF constant (Cormack et al. 2009)
+
+  /** Reciprocal-rank fusion of the two retrieval modalities the engine
+    * already serves: the BM25 lexical top-[[graft.text.CorpusOps]]
+    * ranking and the exact cosine top-[[TopK]] against the fixed probe
+    * (embeddings.vec_id ≡ documents.doc_id, FIXTURES.md). Fused score
+    * = Σ 1/(k + rank) over the lists the doc appears in (k = 60) —
+    * rank-based fusion needs no score normalization across modalities,
+    * which is why it is the standard hybrid-search combiner.
+    *
+    * Float parity: both fused terms are 1/(60+rank) of INTEGER ranks —
+    * identical IEEE doubles on both engines, summed in fixed literal
+    * order; the final rank orders on the ROUNDED score with doc_id
+    * tie-break (CLAUDE.md rank rule).
+    *
+    * Scale: each modality produces its top-k with its own scale path
+    * (BM25: salted two-phase rank; kNN: TakeOrderedAndProject — the
+    * IVF/LSH variants swap in transparently); the fusion join and the
+    * final window touch ≤ |bm25| + |knn| ≤ 25 rows by construction —
+    * bounded post-limit inputs, the CLAUDE.md-accepted window class.
+    */
+  def rrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val bm = graft.text.CorpusOps.bm25(spark, sfDir)
+      .select(col("doc_id"), col("rk").as("bm25_rk"))
+    val vecs = withVecs(spark, sfDir)
+    val probe = vecs.filter(col("vec_id") === 0)
+      .select(col("v").as("pv"), col("nrm").as("pnrm"))
+    val kn = vecs.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("sim",
+        VectorFns.cosineStaged(col("v"), col("pv"), col("nrm"), col("pnrm")))
+      .orderBy(col("sim").desc, col("vec_id")).limit(TopK)
+      // rank over the already-limited TopK rows (bounded window)
+      .withColumn("knn_rk",
+        row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("knn_rk"))
+    bm.join(kn, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round4(
+        coalesce(lit(1.0) / (col("bm25_rk") + RrfK), lit(0.0)) +
+          coalesce(lit(1.0) / (col("knn_rk") + RrfK), lit(0.0))))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("bm25_rk"), col("knn_rk"),
+        col("rrf"))
+      .orderBy("rank")
+  }
+
+  private val sqlRrfFusion =
+    s"""WITH bm AS (SELECT doc_id, rk AS bm25_rk
+       |            FROM (${graft.text.CorpusOps.sqlBm25})),
+       |     $duckVecs,
+       |     p AS (SELECT v AS pv, nrm AS pnrm FROM e WHERE vec_id = 0),
+       |     s AS (SELECT vec_id, ${duckDot("v", "pv")} / (nrm * pnrm) AS sim0
+       |           FROM e, p WHERE vec_id <> 0),
+       |     kr AS (SELECT vec_id,
+       |              row_number() OVER (ORDER BY sim0 DESC, vec_id) AS knn_rk
+       |            FROM s),
+       |     kn AS (SELECT vec_id AS doc_id, knn_rk FROM kr WHERE knn_rk <= $TopK),
+       |     f AS (SELECT coalesce(bm.doc_id, kn.doc_id) AS doc_id,
+       |             bm25_rk, knn_rk,
+       |             coalesce(1.0 / (bm25_rk + $RrfK), 0.0)
+       |               + coalesce(1.0 / (knn_rk + $RrfK), 0.0) AS score
+       |           FROM bm FULL JOIN kn ON bm.doc_id = kn.doc_id),
+       |     r AS (SELECT doc_id, bm25_rk, knn_rk,
+       |             ${duckRound4("score")} AS rrf FROM f)
+       |SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank,
+       |       doc_id, bm25_rk, knn_rk, rrf
+       |FROM r ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rrf_fusion" -> (rrfFusion _),
     "q_ann_recall" -> (annRecall _),
     "q_ann_multiprobe" -> (annMultiprobe _),
     "q_topk_refresh" -> (topkRefresh _),
@@ -632,6 +704,7 @@ object VectorQueries {
     "q_ivf_assign" -> (ivfAssign _))
 
   val oracle: Map[String, String] = Map(
+    "q_rrf_fusion" -> sqlRrfFusion,
     "q_ann_recall" -> sqlAnnRecall,
     "q_ann_multiprobe" -> sqlAnnMultiprobe,
     "q_topk_refresh" -> sqlTopkRefresh,

@@ -36,6 +36,30 @@ class TextQueriesSpec extends SparkSpec {
     assert(df.distinct().count() == 1)
   }
 
+  test("leakageSplit assigns every near-dup cluster to exactly one split") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = graft.schema.Tables.documents(spark, sf)
+    // replay the query's own assignment at doc grain and check the
+    // contract the aggregate output can't show: no component straddles
+    // two splits, and the per-doc assignment is exhaustive
+    val assigned = docs.select(col("doc_id"))
+      .join(TextQueries.docComponents(docs), "doc_id")
+      .withColumn("b", pmod(graft.functions.TextHashes.polyHash(
+        col("component").cast("string")), lit(10L)))
+      .withColumn("split",
+        when(col("b") < 8, "train").when(col("b") === 8, "val")
+          .otherwise("test"))
+    assert(assigned.count() == docs.count(), "split must cover every doc")
+    val straddlers = assigned.groupBy("component")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(straddlers == 0, s"$straddlers clusters span multiple splits")
+    // and the headline query exposes all three splits, non-vacuously
+    val splits = TextQueries.leakageSplit(spark, sf)
+      .collect().map(_.getString(0)).toSet
+    assert(splits == Set("train", "val", "test"))
+  }
+
   test("minhashCluster groups exact duplicates into one cluster") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

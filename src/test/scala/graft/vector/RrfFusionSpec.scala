@@ -1,0 +1,50 @@
+package graft.vector
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** RRF fusion semantics the oracle hash can't articulate: the fused
+  * ranking must reward presence in BOTH modality lists, every output
+  * row must come from at least one source list, and the score must be
+  * exactly Σ 1/(60 + rank) over the lists the doc appears in.
+  */
+class RrfFusionSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("fused output is the union of the two source lists with exact RRF scores") {
+    val rows = VectorQueries.rrfFusion(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach { r =>
+      val bm = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      val kn = if (r.isNullAt(3)) None else Some(r.getInt(3))
+      assert(bm.isDefined || kn.isDefined,
+        s"doc ${r.getLong(1)} in neither source list")
+      val expect = bm.map(v => 1.0 / (v + 60)).getOrElse(0.0) +
+        kn.map(v => 1.0 / (v + 60)).getOrElse(0.0)
+      val got = r.getDouble(4)
+      assert(math.abs(got - expect) < 5e-5,
+        s"doc ${r.getLong(1)}: rrf $got != 1/(60+r) sum $expect")
+    }
+    // ranks are a total order aligned with the score
+    val byRank = rows.sortBy(_.getInt(0)).map(_.getDouble(4))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+      "fused score must be non-increasing in rank")
+  }
+
+  test("a doc in both lists outranks a doc with the same single-list rank") {
+    val rows = VectorQueries.rrfFusion(spark, sf).collect()
+    val both = rows.filter(r => !r.isNullAt(2) && !r.isNullAt(3))
+    val single = rows.filter(r => r.isNullAt(2) ^ r.isNullAt(3))
+    for (b <- both; s <- single) {
+      val bBest = math.min(
+        if (b.isNullAt(2)) Int.MaxValue else b.getInt(2),
+        if (b.isNullAt(3)) Int.MaxValue else b.getInt(3))
+      val sRank = if (s.isNullAt(2)) s.getInt(3) else s.getInt(2)
+      if (bBest <= sRank)
+        assert(b.getInt(0) < s.getInt(0),
+          s"doc ${b.getLong(1)} (both lists, best $bBest) should outrank " +
+            s"doc ${s.getLong(1)} (one list, rank $sRank)")
+    }
+  }
+}
