@@ -32,5 +32,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g gave local[32] only ~250 MB/task and made the gram-explode
+  // queries GC/spill-bound whenever the machine was otherwise busy
+  // (driver round-6 bench: q_dup_ngrams 27 s vs 2 s clean); 24g keeps
+  // the heavy shuffles in memory with plenty of host headroom
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -19,6 +19,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Task-metric accounting: per-query shuffle/spill volume is
+    // the scale signal timings can't give (a query can be fast at
+    // sf0.1 while shuffling its whole input — the thing that dies at
+    // 100 TB). Counters accumulate on task end; ListenerBridge.drain
+    // flushes the bus so per-run deltas are exact.
+    val sc = spark.sparkContext
+    val mShuffle = new java.util.concurrent.atomic.AtomicLong
+    val mSpill = new java.util.concurrent.atomic.AtomicLong
+    sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          mShuffle.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          mSpill.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
     // Warm the session (noop sink registration, codegen, parquet
     // footer caches) on the tiny sf so the first timed query doesn't
     // absorb one-time startup cost.
@@ -42,14 +59,20 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    case class Run(sec: Double, shuffleB: Long, spillB: Long)
     val results = selected.map { case (name, fn) =>
-      def once(): Double = {
+      def once(): Run = {
+        val (s0, p0) = (mShuffle.get, mSpill.get)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-              (System.nanoTime() - t0) / 1e9 }
+              val sec = (System.nanoTime() - t0) / 1e9
+              // flush in-flight task-end events BEFORE reading deltas
+              // (outside the timed window)
+              org.apache.spark.sql.graftbridge.ListenerBridge.drain(sc)
+              Run(sec, mShuffle.get - s0, mSpill.get - p0) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0 // a failed query reports -1, never a plausible fast time
+          Run(-1.0, 0, 0) // a failed query reports -1, never a plausible fast time
         }
         finally {
           // free per-query resident state: the closure/PageRank queries
@@ -64,19 +87,25 @@ object Bench {
         }
       }
       val warm = once()
-      val runs = if (warm < 0) Nil else List.fill(3)(once())
+      val runs = if (warm.sec < 0) Nil else List.fill(3)(once())
       (name, warm, runs)
     }
     // best = min over warm + measured runs (the headline number);
-    // median/spread are computed over the measured runs only
+    // median/spread are computed over the measured runs only; the
+    // shuffle/spill bytes reported are the BEST run's (plan
+    // volume is layout-deterministic; interference only adds spill)
     case class Stat(name: String, best: Double, median: Double,
-                    spread: Double, warm: Double, runs: List[Double])
+                    spread: Double, warm: Double, runs: List[Double],
+                    shuffleB: Long, spillB: Long)
     val stats = results.map { case (name, warm, runs) =>
-      if (warm < 0 || runs.exists(_ < 0))
-        Stat(name, -1, -1, 0, warm, runs)
+      if (warm.sec < 0 || runs.exists(_.sec < 0))
+        Stat(name, -1, -1, 0, warm.sec, runs.map(_.sec), 0, 0)
       else {
-        val s = runs.sorted
-        Stat(name, (warm :: runs).min, s(s.size / 2), s.last - s.head, warm, runs)
+        val all = warm :: runs
+        val best = all.minBy(_.sec)
+        val s = runs.map(_.sec).sorted
+        Stat(name, best.sec, s(s.size / 2), s.last - s.head, warm.sec,
+          runs.map(_.sec), best.shuffleB, best.spillB)
       }
     }
     val failed = stats.collect { case s if s.best < 0 => "\"" + s.name + "\"" }
@@ -96,11 +125,16 @@ object Bench {
       else BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
         .underlying.stripTrailingZeros.toPlainString
     val errs = s""""errors":[${failed.mkString(",")}]"""
+    // suite-level plan-volume totals (best runs): the one-line scale
+    // signature next to the one-line timing
+    def mb(b: Long): Long = b / (1024 * 1024)
+    val vols = s""""shuffle_mb":${mb(stats.map(_.shuffleB).sum)},""" +
+      s""""spill_mb":${mb(stats.map(_.spillB).sum)}"""
     def line(scale: Int): String = {
       val qs = stats.map { s => "\"" + s.name + "\":" + fmt(s.best, scale) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
-        s""""queries":$qs,$errs,"sf":"$sfDir"}"""
+        s""""queries":$qs,$vols,$errs,"sf":"$sfDir"}"""
     }
     // last resort (query set too big for even 1-decimal full maps):
     // keep the SLOWEST 20 queries in the line — the per-query numbers
@@ -111,7 +145,7 @@ object Bench {
       val qs = top.map(s => "\"" + s.name + "\":" + fmt(s.best, 2))
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
-        s""""queries":$qs,"omitted":${stats.size - top.size},$errs,""" +
+        s""""queries":$qs,"omitted":${stats.size - top.size},$vols,$errs,""" +
         s""""sf":"$sfDir"}"""
     }
     val compact = {
@@ -125,10 +159,11 @@ object Bench {
       val detail = stats.map { s =>
         "\"" + s.name + "\":{\"best\":" + s.best + ",\"median\":" + s.median +
           ",\"spread\":" + s.spread + ",\"warm\":" + s.warm +
-          ",\"runs\":[" + s.runs.mkString(",") + "]}"
+          ",\"runs\":[" + s.runs.mkString(",") + "]" +
+          ",\"shuffle_mb\":" + mb(s.shuffleB) + ",\"spill_mb\":" + mb(s.spillB) + "}"
       }.mkString("{", ",", "}")
       val w = new java.io.PrintWriter("target/bench_detail.json")
-      try w.println(s"""{"total":$total,"queries":$detail,"sf":"$sfDir"}""")
+      try w.println(s"""{"total":$total,$vols,"queries":$detail,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => () }
     println(compact)
