@@ -134,6 +134,30 @@ class PlanAuditSpec extends SparkSpec {
       "per-term rows reach a sort-merge join")
   }
 
+  test("leakageSplit plans no window at all (hash-only split)") {
+    // the split is closure labels + a content hash + one 3-group
+    // aggregate; any WindowExec appearing here would mean the split
+    // picked up a rank/ntile shape that funnels fact-scale rows
+    val windows = text.TextQueries.leakageSplit(spark, sfTiny)
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    assert(windows.isEmpty,
+      s"q_leakage_split plan contains ${windows.size} WindowExec node(s)")
+  }
+
+  test("rrfFusion bounds both modality lists before the fusion join") {
+    // the fusion windows are legal ONLY because each input is already
+    // top-k-limited; pin that both lists flow through a limit operator
+    // (TakeOrderedAndProject / the BM25 WindowGroupLimit pair), so a
+    // refactor can't silently fuse over corpus-proportional rows
+    val plan = vector.VectorQueries.rrfFusion(spark, sfTiny)
+      .queryExecution.sparkPlan.toString
+    val limits = "TakeOrderedAndProject".r.findAllIn(plan).size
+    assert(limits >= 2,
+      s"expected both fusion inputs limited, found $limits TakeOrderedAndProject")
+  }
+
   test("no declared query plan contains a cartesian product") {
     // nested-loop joins are legitimate ONLY with a broadcast-tiny side
     // (kNN probe, IVF codebook); a CartesianProduct is never right
