@@ -90,13 +90,21 @@ object ConnectedComponents {
     while (!converged && iter < maxIter) {
       val nbr = sym
         .join(labels.select(col("node").as("b"), col("lbl")), "b")
-        .select(col("a").as("node"), col("lbl"))
+        .select(col("a").as("node"), col("lbl"), lit(false).as("own"))
+      // fold the convergence evidence into the SAME aggregate that
+      // computes the new labels: each node contributes exactly one
+      // `own` row, so min(lbl WHERE own) is the previous label and the
+      // probe becomes a shuffle-free filter over the checkpointed
+      // result — one join + one shuffle per round instead of two (the
+      // old probe re-joined next against labels every round)
       val (next, nextIds) = checkpointTracked(
-        labels.union(nbr).groupBy("node").agg(min(col("lbl")).as("lbl")))
-      converged = next.as("n").join(labels.as("o"), "node")
-        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
+        labels.withColumn("own", lit(true)).union(nbr)
+          .groupBy("node")
+          .agg(min(col("lbl")).as("lbl"),
+            min(when(col("own"), col("lbl"))).as("prev_lbl")))
+      converged = next.filter(col("lbl") =!= col("prev_lbl")).isEmpty
       free(labelIds)
-      labels = next
+      labels = next.select(col("node"), col("lbl"))
       labelIds = nextIds
       iter += 1
     }
