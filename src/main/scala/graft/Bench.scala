@@ -36,11 +36,21 @@ object Bench {
         }
       }
     })
+    // Best-effort bus flush: waitUntilEmpty THROWS TimeoutException
+    // after 10 s if the dispatch thread is starved (exactly the
+    // contention regime the min-of-runs reporting exists for) — a
+    // drain failure must never turn a successfully timed query into a
+    // bench error, only leave that run's byte deltas approximate.
+    def drainQuiet(): Unit =
+      try org.apache.spark.sql.graftbridge.ListenerBridge.drain(sc)
+      catch { case _: Throwable => () }
     // Warm the session (noop sink registration, codegen, parquet
     // footer caches) on the tiny sf so the first timed query doesn't
-    // absorb one-time startup cost.
+    // absorb one-time startup cost. Drain afterward so the warmup's
+    // in-flight task events don't bleed into the first query's deltas.
     try SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
+    drainQuiet()
     // One warmup + THREE measured passes per query, report the MIN over
     // all four executions: single-run timings are not regression-
     // trustworthy (round-1 showed a 19× spread between near-identical
@@ -67,11 +77,14 @@ object Bench {
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save()
               val sec = (System.nanoTime() - t0) / 1e9
               // flush in-flight task-end events BEFORE reading deltas
-              // (outside the timed window)
-              org.apache.spark.sql.graftbridge.ListenerBridge.drain(sc)
+              // (outside the timed window; best-effort — see drainQuiet)
+              drainQuiet()
               Run(sec, mShuffle.get - s0, mSpill.get - p0) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          // drain here too: a failed run's stragglers must not be
+          // charged to the NEXT run's byte deltas
+          drainQuiet()
           Run(-1.0, 0, 0) // a failed query reports -1, never a plausible fast time
         }
         finally {

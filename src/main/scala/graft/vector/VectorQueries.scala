@@ -77,7 +77,12 @@ object VectorQueries {
     * TakeOrderedAndProject top-k. This is the flat-scan path an
     * IVF/LSH variant is measured against.
     */
-  def knn(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The exact-cosine top-[[TopK]] list against the fixed probe, with
+    * the UNROUNDED `sim` — the single kernel behind [[knn]] (which
+    * rounds at its output edge) and [[rrfFusion]] (which ranks over
+    * it), so the two can never drift.
+    */
+  private def knnList(spark: SparkSession, sfDir: String): DataFrame = {
     val vecs = withVecs(spark, sfDir)
     val probe = vecs.filter(col("vec_id") === 0)
       .select(col("v").as("pv"), col("nrm").as("pnrm"))
@@ -87,14 +92,23 @@ object VectorQueries {
         VectorFns.cosineStaged(col("v"), col("pv"), col("nrm"), col("pnrm")))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(TopK)
-      .select(col("vec_id"), col("label"), round4(col("sim")).as("sim"))
   }
+
+  def knn(spark: SparkSession, sfDir: String): DataFrame =
+    knnList(spark, sfDir)
+      .select(col("vec_id"), col("label"), round4(col("sim")).as("sim"))
+
+  /** Oracle twin of [[knnList]] minus the LIMIT (CTEs can't carry it;
+    * consumers cut at [[TopK]] themselves): probe + scored stream.
+    */
+  private val duckKnnScored =
+    s"""p AS (SELECT v AS pv, nrm AS pnrm FROM e WHERE vec_id = 0),
+       |     s AS (SELECT vec_id, label, ${duckDot("v", "pv")} / (nrm * pnrm) AS sim0
+       |           FROM e, p WHERE vec_id <> 0)""".stripMargin
 
   private val sqlKnn =
     s"""WITH $duckVecs,
-       |     p AS (SELECT v AS pv, nrm AS pnrm FROM e WHERE vec_id = 0),
-       |     s AS (SELECT vec_id, label, ${duckDot("v", "pv")} / (nrm * pnrm) AS sim0
-       |           FROM e, p WHERE vec_id <> 0)
+       |     $duckKnnScored
        |SELECT vec_id, label, ${duckRound4("sim0")} AS sim
        |FROM s ORDER BY sim0 DESC, vec_id LIMIT $TopK""".stripMargin
 
@@ -644,14 +658,7 @@ object VectorQueries {
   def rrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
     val bm = graft.text.CorpusOps.bm25(spark, sfDir)
       .select(col("doc_id"), col("rk").as("bm25_rk"))
-    val vecs = withVecs(spark, sfDir)
-    val probe = vecs.filter(col("vec_id") === 0)
-      .select(col("v").as("pv"), col("nrm").as("pnrm"))
-    val kn = vecs.filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(probe))
-      .withColumn("sim",
-        VectorFns.cosineStaged(col("v"), col("pv"), col("nrm"), col("pnrm")))
-      .orderBy(col("sim").desc, col("vec_id")).limit(TopK)
+    val kn = knnList(spark, sfDir)
       // rank over the already-limited TopK rows (bounded window)
       .withColumn("knn_rk",
         row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
@@ -671,9 +678,7 @@ object VectorQueries {
     s"""WITH bm AS (SELECT doc_id, rk AS bm25_rk
        |            FROM (${graft.text.CorpusOps.sqlBm25})),
        |     $duckVecs,
-       |     p AS (SELECT v AS pv, nrm AS pnrm FROM e WHERE vec_id = 0),
-       |     s AS (SELECT vec_id, ${duckDot("v", "pv")} / (nrm * pnrm) AS sim0
-       |           FROM e, p WHERE vec_id <> 0),
+       |     $duckKnnScored,
        |     kr AS (SELECT vec_id,
        |              row_number() OVER (ORDER BY sim0 DESC, vec_id) AS knn_rk
        |            FROM s),
