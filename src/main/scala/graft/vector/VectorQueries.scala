@@ -632,6 +632,79 @@ object VectorQueries {
        |FROM nc LEFT JOIN h ON nc.probe_id = h.probe_id
        |ORDER BY nc.probe_id""".stripMargin
 
+  // ---------- 11b. q_semantic_dedup: SemDeDup cell-blocked dedup ----------
+
+  /** Semantic deduplication, the cluster-then-dedup recipe (SemDeDup,
+    * Abbas et al. 2023): assign every vector to its k-means cell
+    * ([[assignedCells]] — one broadcast codebook pass, no shuffle),
+    * compare pairs ONLY within a cell, and elect the min-id
+    * representative for every vector with a ≥ threshold neighbor.
+    * Output is one row per vector — (cell, sem_rep, kept) — the keep/
+    * drop decision a curation pipeline consumes, never a pair list
+    * (CLAUDE.md near-dup rule).
+    *
+    * vs [[embedNearDup]]: learned cells block by SEMANTIC neighborhood
+    * (centroid proximity), where sign-LSH blocks by random hyperplane
+    * side — cells are what the published recipe prunes with, and the
+    * same blocked-join shape serves both. Representative election is
+    * one-hop min (the [[graft.text.TextQueries.minhashCluster]]
+    * approximation); transitive closure is [[graft.graph
+    * .ConnectedComponents]]' job when chains matter.
+    *
+    * Scale: pair count is Σ_cell |cell|²/2, bounded by the coarse
+    * quantizer's balance — at web scale cells are capped (split heavy
+    * cells by a sub-quantizer) so the blocked join is key-partitioned
+    * on `cell` with bounded per-key fan-out. The fixture's 10
+    * label-derived cells make the demo exact. Threshold matches
+    * [[embedNearDup]]'s fixture-calibrated $NearDupThreshold (real
+    * corpora: ≥ 0.95, identical plan).
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = assignedCells(withVecs(spark, sfDir))
+    val reps = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", VectorFns.cosineStaged(
+        col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
+      .filter(col("sim") >= NearDupThreshold)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("sem_rep"))
+    cells.join(reps, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("sem_rep"), col("vec_id")).as("sem_rep"))
+      .withColumn("kept",
+        when(col("sem_rep") === col("vec_id"), 1L).otherwise(0L))
+      .orderBy("vec_id")
+  }
+
+  private val sqlSemanticDedup =
+    s"""WITH $duckVecs,
+       |     x AS (SELECT label AS c_label, CAST(i - 1 AS INT) AS dim, v[CAST(i AS INT)] AS x
+       |           FROM e0 CROSS JOIN range(1, 65) t(i)),
+       |     cd AS (SELECT c_label, dim, avg(x) AS cx FROM x GROUP BY c_label, dim),
+       |     c0 AS (SELECT c_label, list_transform(list_sort(list({'dim': dim, 'cx': cx})), p -> p.cx) AS cv
+       |            FROM cd GROUP BY c_label),
+       |     c AS (SELECT c_label, cv, sqrt(${duckDot("cv", "cv")}) AS cnrm FROM c0),
+       |     scored AS (SELECT e.vec_id, e.v, e.nrm, c.c_label,
+       |                       ${duckDot("e.v", "c.cv")} / (e.nrm * c.cnrm) AS sim
+       |                FROM e CROSS JOIN c),
+       |     best AS (SELECT vec_id, v, nrm, c_label,
+       |                     row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY ${duckRound6("sim")} DESC, c_label) AS rk
+       |              FROM scored),
+       |     cells AS (SELECT vec_id, v, nrm, c_label AS cell FROM best WHERE rk = 1),
+       |     prs AS (SELECT b2.vec_id AS vec_id, a.vec_id AS rep,
+       |                    ${duckDot("a.v", "b2.v")} / (a.nrm * b2.nrm) AS sim
+       |             FROM cells a JOIN cells b2
+       |               ON a.cell = b2.cell AND a.vec_id < b2.vec_id),
+       |     reps AS (SELECT vec_id, min(rep) AS sem_rep
+       |              FROM prs WHERE sim >= $NearDupThreshold GROUP BY vec_id)
+       |SELECT cells.vec_id, cells.cell,
+       |       coalesce(reps.sem_rep, cells.vec_id) AS sem_rep,
+       |       CAST(CASE WHEN coalesce(reps.sem_rep, cells.vec_id) = cells.vec_id
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM cells LEFT JOIN reps ON cells.vec_id = reps.vec_id
+       |ORDER BY cells.vec_id""".stripMargin
+
   // ---------- 12. q_rrf_fusion: hybrid lexical + vector retrieval ----------
 
   private val RrfK = 60 // the standard RRF constant (Cormack et al. 2009)
@@ -695,6 +768,7 @@ object VectorQueries {
        |FROM r ORDER BY rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_semantic_dedup" -> (semanticDedup _),
     "q_rrf_fusion" -> (rrfFusion _),
     "q_ann_recall" -> (annRecall _),
     "q_ann_multiprobe" -> (annMultiprobe _),
@@ -709,6 +783,7 @@ object VectorQueries {
     "q_ivf_assign" -> (ivfAssign _))
 
   val oracle: Map[String, String] = Map(
+    "q_semantic_dedup" -> sqlSemanticDedup,
     "q_rrf_fusion" -> sqlRrfFusion,
     "q_ann_recall" -> sqlAnnRecall,
     "q_ann_multiprobe" -> sqlAnnMultiprobe,

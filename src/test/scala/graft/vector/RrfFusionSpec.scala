@@ -32,6 +32,28 @@ class RrfFusionSpec extends SparkSpec {
       "fused score must be non-increasing in rank")
   }
 
+  test("semanticDedup emits a total keep/drop assignment with in-cell min reps") {
+    val rows = VectorQueries.semanticDedup(spark, sf).collect()
+    assert(rows.length == 500, "assignment must cover every vector")
+    // cell is int32 (it is the label column); read numerics by Number
+    val cellOf = rows.map(r =>
+      r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    var kept = 0
+    rows.foreach { r =>
+      val (vid, cell, rep, k) = (r.getLong(0),
+        r.getAs[Number](1).longValue, r.getLong(2), r.getLong(3))
+      assert(rep <= vid, s"rep $rep newer than member $vid")
+      assert(cellOf(rep) == cell,
+        s"rep $rep of $vid crosses cells (${cellOf(rep)} != $cell)")
+      assert((k == 1L) == (rep == vid), s"kept flag inconsistent for $vid")
+      if (k == 1L) kept += 1
+    }
+    // the fixture threshold must actually dedup something AND keep
+    // something — a degenerate all-kept or all-dropped result would
+    // make the oracle check vacuous
+    assert(kept > 0 && kept < rows.length, s"degenerate keep set: $kept/500")
+  }
+
   test("a doc in both lists outranks a doc with the same single-list rank") {
     val rows = VectorQueries.rrfFusion(spark, sf).collect()
     val both = rows.filter(r => !r.isNullAt(2) && !r.isNullAt(3))
