@@ -93,6 +93,50 @@ object EventQueries {
       |       round(sum(try_cast(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS sum_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Sliding 7-day distinct users per day (rolling reach). Exact
+    * distinct is NOT frame-decomposable — a `count(distinct)` window
+    * frame would re-scan every frame — so the distributed shape is:
+    * collapse to distinct (day, user) grain FIRST (one hash shuffle,
+    * linear in events), then fan each user-day out to the ≤7 window
+    * days it serves via a broadcast of the tiny day spine, and finish
+    * with one distinct-aggregate keyed by window day. Work after the
+    * collapse is (active user-days × window width), independent of
+    * raw event volume — the per-day event count never reaches the
+    * join. At 100 TB the same two aggregates hold; if exact distinct
+    * over user-day grain is itself too wide, the sketch path keeps
+    * per-day HLL partials and merges 7 of them per output day
+    * ([[graft.etl.Sketches]] persists exactly that shape).
+    */
+  def rollingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.events(spark, sfDir)
+      .select(date_trunc("day", col("ts")).as("d"), col("user_id"))
+      .distinct()
+    val dau = pairs.groupBy("d")
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val spine = pairs.select(col("d").as("day")).distinct()
+    val win = pairs
+      .join(broadcast(spine),
+        col("d") >= col("day") - expr("INTERVAL 6 DAYS") && col("d") <= col("day"))
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as("users_7d"))
+    dau.join(win, col("d") === col("day"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("users_7d"))
+      .orderBy("day")
+  }
+
+  private val sqlRollingDistinct =
+    """WITH p AS (SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, user_id
+      |           FROM events),
+      |     dau AS (SELECT d, count(DISTINCT user_id) AS dau FROM p GROUP BY 1),
+      |     spine AS (SELECT DISTINCT d AS day FROM p),
+      |     win AS (SELECT s.day, count(DISTINCT p.user_id) AS users_7d
+      |             FROM p JOIN spine s
+      |               ON p.d >= s.day - INTERVAL 6 DAY AND p.d <= s.day
+      |             GROUP BY 1)
+      |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau AS dau, win.users_7d AS users_7d
+      |FROM dau JOIN win ON dau.d = win.day ORDER BY day""".stripMargin
+
   /** Sliding windows: 1-hour windows every 30 minutes — each event
     * contributes to exactly 2 overlapping windows (len/slide copies;
     * Spark expands them at the scan, the aggregation stays a single
@@ -277,7 +321,8 @@ object EventQueries {
     "q_events_session" -> (eventsSession _),
     "q_json_props" -> (jsonProps _),
     "q_asof_clicks" -> (asofClicks _),
-    "q_events_sliding" -> (eventsSliding _))
+    "q_events_sliding" -> (eventsSliding _),
+    "q_rolling_distinct" -> (rollingDistinct _))
 
   val oracle: Map[String, String] = Map(
     "q_ewma_trend" -> sqlEwmaTrend,
@@ -287,5 +332,6 @@ object EventQueries {
     "q_events_session" -> sqlEventsSession,
     "q_json_props" -> sqlJsonProps,
     "q_asof_clicks" -> sqlAsofClicks,
-    "q_events_sliding" -> sqlEventsSliding)
+    "q_events_sliding" -> sqlEventsSliding,
+    "q_rolling_distinct" -> sqlRollingDistinct)
 }

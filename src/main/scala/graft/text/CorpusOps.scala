@@ -437,17 +437,201 @@ object CorpusOps {
        |       CAST(max(h) AS BIGINT) AS max_hash
        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------- q_source_overlap: pairwise source n-gram Jaccard ----------
+
+  /** Word n-gram width for the source-overlap audit (matches the
+    * corpus-dedup gram width so "overlap" means the same thing as
+    * "duplication" elsewhere in the pack).
+    */
+  private val OverlapN = 3
+
+  /** Cross-source contamination audit: exact Jaccard similarity of the
+    * distinct word-3-gram sets of every source pair — the dataset-
+    * provenance check run before mixing crawls/dumps into one training
+    * corpus (two "different" sources with high gram Jaccard are the
+    * same crawl twice).
+    *
+    * Shape: collapse to distinct (source, gram) FIRST (the CLAUDE.md
+    * collapse-before-pairs rule — document multiplicity never reaches
+    * the join), then a gram-keyed self-join counts intersections.
+    * Per-gram fan-out is bounded by |sources|² and source is a
+    * bounded dim (20 here), so the pair stage is linear in distinct
+    * grams with a constant factor — never document-pair-quadratic.
+    * For UNBOUNDED pair domains (per-document) this exact form is
+    * wrong by construction; that path is MinHash ([[TextQueries]]'
+    * cluster queries, `q_minhash_est` for estimator fidelity).
+    */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .withColumn("grams",
+        array_distinct(TextFns.wordNgramsFromTokens(col("ts"), OverlapN)))
+      // explode_outer (not explode): a plain Generate over the
+      // HOF-built array infers size(grams)>0 and inlines the gram
+      // pipeline into that filter (PlanAuditSpec dupNgrams rule);
+      // wordNgramsFromTokens pads, so the array is never empty anyway
+      .select(col("source"), explode_outer(col("grams")).as("gram"))
+      .distinct()
+    val sizes = g.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = g.as("a")
+      .join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .withColumn("jaccard", TextFns.round4(
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double")))
+      .select("src_a", "src_b", "n_inter", "jaccard")
+      .orderBy("src_a", "src_b")
+  }
+
+  private val sqlSourceOverlap = {
+    val jac = TextFns.duckRound4(
+      "CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)")
+    s"""WITH t AS (SELECT source, $duckTokens AS ts FROM documents),
+       |     n AS (SELECT source, list_distinct(${TextQueries.duckNgramsOf(OverlapN)}) AS grams FROM t),
+       |     g AS (SELECT DISTINCT source, unnest(grams) AS gram FROM n),
+       |     s AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+       |     pr AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+       |            FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+       |            GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_inter, $jac AS jaccard
+       |FROM pr
+       |JOIN (SELECT source AS src_a, n AS n_a FROM s) sa USING (src_a)
+       |JOIN (SELECT source AS src_b, n AS n_b FROM s) sb USING (src_b)
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
+  // ---------- q_prefix_dup: shared-prefix clone detection ----------
+
+  /** Prefix length (tokens) for clone grouping: long enough that a
+    * shared prefix means a shared origin, short enough to catch
+    * tail-mutated near-clones that whole-document hashing misses.
+    */
+  private val PrefixLen = 16
+
+  /** Shared-prefix clone groups: documents whose first [[PrefixLen]]
+    * tokens hash identically — the crawl-artifact detector for
+    * template pages / boilerplate headers / tail-truncated refetches,
+    * which whole-text exact dedup (`q_doc_dedup`) misses whenever the
+    * tail differs (on this corpus: 0 exact-dup groups, 22 prefix
+    * groups at sf0.01).
+    *
+    * Shape: one linear pass fingerprints each document's prefix (the
+    * shared polyHash, evaluated natively — no shuffle), one hash
+    * aggregate groups by fingerprint. The group-by key is a 64-bit
+    * hash, so at 100 TB this is the same single-shuffle shape as
+    * exact dedup; prefix extraction costs O(PrefixLen) per row
+    * regardless of document length.
+    */
+  def prefixDup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .withColumn("pref", concat_ws(" ", slice(col("ts"), 1, PrefixLen)))
+      .select(col("doc_id"),
+        graft.functions.TextHashes.polyHash(col("pref")).as("prefix_hash"))
+      .groupBy("prefix_hash")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("prefix_hash")
+
+  private val sqlPrefixDup =
+    s"""WITH t AS (SELECT doc_id, $duckTokens AS ts FROM documents),
+       |     pt AS (SELECT doc_id, array_to_string(ts[1:$PrefixLen], ' ') AS pref FROM t),
+       |     c AS (SELECT doc_id, ${duckCodesOf("pref")} AS cs FROM pt),
+       |     h AS (SELECT doc_id, $duckPolyHash AS prefix_hash FROM c)
+       |SELECT prefix_hash, count(*) AS n_docs, CAST(min(doc_id) AS BIGINT) AS first_doc
+       |FROM h GROUP BY 1 HAVING count(*) > 1 ORDER BY prefix_hash""".stripMargin
+
+  // ---------- q_temperature_mix: temperature-flattened language mixture ----------
+
+  /** Document budget apportioned across languages by temperature-
+    * sampled weights.
+    */
+  private val TempBudget = 10000L
+
+  /** Temperature-flattened language sampling weights (α = 1/2, i.e.
+    * T = 2): w_l ∝ p_l^α — the multilingual rebalancing rule from
+    * XLM-R (Conneau et al., 2020) that upsamples low-resource
+    * languages without letting them dominate. α = 1/2 specifically
+    * because p^(1/2) = sqrt(p) and IEEE-754 sqrt is correctly rounded
+    * on every engine — pow(p, 0.3) is NOT, and a 1-ulp divergence
+    * would break the cross-engine hash compare (CLAUDE.md float
+    * parity rules).
+    *
+    * Determinism: the rounded weight w4 = floor(sqrt(p)·1e4 + 0.5) is
+    * an INTEGER, and the budget apportionment is largest-remainder
+    * (Hamilton) arithmetic on those integers — same all-integer shape
+    * as [[mixSchedule]], so no float sum whose addition order could
+    * differ between engines ever reaches the output. The
+    * rank-by-remainder window runs over lang-cardinality rows (5), a
+    * genuinely bounded dim — single-partition is fine (CLAUDE.md
+    * scale-rule carve-out).
+    */
+  def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("n_total"))
+    val w = counts.crossJoin(broadcast(tot))
+      .withColumn("w4",
+        floor(sqrt(col("n_docs").cast("double") / col("n_total").cast("double"))
+          * 10000.0 + 0.5).cast("long"))
+    val sumW = w.agg(sum(col("w4")).as("sum_w"))
+    val base = w.crossJoin(broadcast(sumW))
+      .withColumn("alloc_floor", expr(s"CAST($TempBudget * w4 DIV sum_w AS BIGINT)"))
+      .withColumn("rem", expr(s"($TempBudget * w4) % sum_w"))
+    val sumFloor = base.agg(sum(col("alloc_floor")).as("sum_floor"))
+    val byRem = Window.orderBy(col("rem").desc, col("lang"))
+    base.crossJoin(broadcast(sumFloor))
+      .withColumn("rk", row_number().over(byRem))
+      .withColumn("alloc",
+        col("alloc_floor") +
+          when(col("rk") <= lit(TempBudget) - col("sum_floor"), 1L).otherwise(0L))
+      .withColumn("w_temp", col("w4").cast("double") / 10000.0)
+      .select(col("lang"), col("n_docs"), col("w_temp"), col("alloc"))
+      .orderBy("lang")
+  }
+
+  private val sqlTemperatureMix =
+    s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+       |     tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
+       |     w AS (SELECT lang, n_docs,
+       |             CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE))
+       |                        * 10000.0 + 0.5) AS BIGINT) AS w4
+       |           FROM c CROSS JOIN tot),
+       |     sw AS (SELECT CAST(sum(w4) AS BIGINT) AS sum_w FROM w),
+       |     b AS (SELECT lang, n_docs, w4,
+       |             CAST($TempBudget * w4 // sum_w AS BIGINT) AS alloc_floor,
+       |             CAST(($TempBudget * w4) % sum_w AS BIGINT) AS rem
+       |           FROM w CROSS JOIN sw),
+       |     sf AS (SELECT CAST(sum(alloc_floor) AS BIGINT) AS sum_floor FROM b),
+       |     r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk
+       |           FROM b CROSS JOIN sf)
+       |SELECT lang, n_docs, CAST(w4 AS DOUBLE) / 10000.0 AS w_temp,
+       |       CAST(alloc_floor + CASE WHEN rk <= $TempBudget - sum_floor THEN 1 ELSE 0 END
+       |            AS BIGINT) AS alloc
+       |FROM r ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> (heavyHitters _),
     "q_bm25" -> (bm25 _),
     "q_chunk_plan" -> (chunkPlan _),
     "q_mix_schedule" -> (mixSchedule _),
-    "q_src_checksum" -> (srcChecksum _))
+    "q_src_checksum" -> (srcChecksum _),
+    "q_source_overlap" -> (sourceOverlap _),
+    "q_prefix_dup" -> (prefixDup _),
+    "q_temperature_mix" -> (temperatureMix _))
 
   val oracle: Map[String, String] = Map(
     "q_heavy_hitters" -> sqlHeavyHitters,
     "q_bm25" -> sqlBm25,
     "q_chunk_plan" -> sqlChunkPlan,
     "q_mix_schedule" -> sqlMixSchedule,
-    "q_src_checksum" -> sqlSrcChecksum)
+    "q_src_checksum" -> sqlSrcChecksum,
+    "q_source_overlap" -> sqlSourceOverlap,
+    "q_prefix_dup" -> sqlPrefixDup,
+    "q_temperature_mix" -> sqlTemperatureMix)
 }

@@ -645,7 +645,7 @@ object TextQueries {
   /** Word n-gram list over staged tokens `ts` — the single oracle
     * mirror of [[TextFns.wordNgramsFromTokens]] for every gram width.
     */
-  private def duckNgramsOf(n: Int): String =
+  private[text] def duckNgramsOf(n: Int): String =
     s"list_transform(range(1, greatest(len(ts) - ${n - 1}, 1) + 1), " +
       "i -> " + (0 until n).map(o => s"coalesce(ts[CAST(i + $o AS INT)], '')")
         .mkString(" || ") + ")"
