@@ -767,7 +767,181 @@ object VectorQueries {
        |       doc_id, bm25_rk, knn_rk, rrf
        |FROM r ORDER BY rank""".stripMargin
 
+  // ---------- 13. q_triangle_count: clustering structure of the near-dup graph ----------
+
+  /** Edge threshold for the triangle audit — looser than
+    * [[NearDupThreshold]] so the graph has enough structure to count
+    * (17 triangles at sf0.01; at 0.25 the fixture graph is a near-
+    * forest with 1).
+    */
+  private val TriThreshold = 0.2
+
+  /** Local clustering coefficients of the blocked similarity graph —
+    * the graph-shape audit run on a near-dup graph before trusting
+    * its clusters: nodes with high local CC sit in genuine dense
+    * near-dup communities; low-CC high-degree nodes are hubs gluing
+    * UNRELATED docs together (the failure mode that makes
+    * single-link dedup over-merge).
+    *
+    * Shape: edges are the [[embedNearDup]] kernel (bucket-blocked
+    * pairs, never all-pairs), oriented low-id → high-id, so each
+    * triangle is counted exactly once by the two-hop join
+    * e1(x,y) ⋈ e2(y,z) ⋈ e3(x,z). Edge orientation bounds the join:
+    * at scale the standard refinement orients by DEGREE (low-degree
+    * endpoint first, O(m^1.5) worst case — Suri & Vassilvitskii,
+    * WWW'11) instead of by id; the id form keeps the oracle twin
+    * exact here. All three join legs shuffle on edge endpoints —
+    * linear in edges, and the blocked edge list is itself bounded by
+    * bucket sizes.
+    */
+  def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+      .withColumn("bucket", VectorFns.signBucket(col("v"), LshBits, LshStride))
+    val edges = vecs.as("a").join(vecs.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", VectorFns.cosineStaged(
+        col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
+      .filter(col("sim") >= TriThreshold)
+      .select(col("a.vec_id").as("u"), col("b.vec_id").as("w"))
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.w") === col("e2.u"))
+      .join(edges.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.w") === col("e2.w"))
+      .select(col("e1.u").as("x"), col("e1.w").as("y"), col("e2.w").as("z"))
+    val triNodes = tri
+      .select(explode_outer(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    val degrees = edges
+      .select(explode_outer(array(col("u"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    triNodes.join(degrees, "node")
+      .withColumn("local_cc", round4(
+        col("n_tri").cast("double") * 2.0 /
+          (col("degree") * (col("degree") - 1)).cast("double")))
+      .select(col("node").as("vec_id"), col("degree"), col("n_tri"), col("local_cc"))
+      .orderBy("vec_id")
+  }
+
+  private val sqlTriangleCount =
+    s"""WITH $duckVecs,
+       |     b AS (SELECT vec_id, v, nrm, $duckBucket AS bucket FROM e),
+       |     edges AS (SELECT a.vec_id AS u, b2.vec_id AS w
+       |               FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       |               WHERE ${duckDot("a.v", "b2.v")} / (a.nrm * b2.nrm) >= $TriThreshold),
+       |     tri AS (SELECT e1.u AS x, e1.w AS y, e2.w AS z
+       |             FROM edges e1
+       |             JOIN edges e2 ON e1.w = e2.u
+       |             JOIN edges e3 ON e3.u = e1.u AND e3.w = e2.w),
+       |     tn AS (SELECT node, count(*) AS n_tri
+       |            FROM (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY 1),
+       |     dg AS (SELECT node, count(*) AS degree
+       |            FROM (SELECT unnest([u, w]) AS node FROM edges) GROUP BY 1)
+       |SELECT tn.node AS vec_id, degree, n_tri,
+       |       ${duckRound4("CAST(n_tri AS DOUBLE) * 2.0 / CAST(degree * (degree - 1) AS DOUBLE)")} AS local_cc
+       |FROM tn JOIN dg ON tn.node = dg.node
+       |ORDER BY vec_id""".stripMargin
+
+  // ---------- 14. q_pq_codes: product-quantization encoding ----------
+
+  private val PqM = 4          // subspaces
+  private val PqSubDim = 16    // dims per subspace (4 × 16 = 64)
+
+  /** Product quantization (Jégou et al., "Product quantization for
+    * nearest neighbor search", TPAMI 2011): split each vector into
+    * [[PqM]] subvectors, learn a per-subspace codebook (here the
+    * per-label subvector means — the same one-assignment-step
+    * convention as [[ivfAssign]]'s coarse quantizer), and encode each
+    * vector as its nearest code per subspace by L2 distance. Output:
+    * the 4-byte-equivalent code word per vector plus the total squared
+    * reconstruction error — 64 floats compressed to 4 code ids.
+    *
+    * Scale: the codebook is O(labels × dims) and BROADCAST; encoding
+    * is a per-row map over (vector × [[PqM]] subspaces × codes) with
+    * one native fold per candidate — no shuffle until the final
+    * per-vector pivot (keyed on vec_id, fact-cardinality, no hot
+    * key). Distances rank on the ROUNDED value with the code id as
+    * tie-break (codebook comes from avg() — the [[assignedCells]]
+    * ulp rule). The error sum is the FIXED-ORDER d0+d1+d2+d3 over the
+    * pivoted columns, never a float groupBy-sum whose partition order
+    * could differ between engines.
+    */
+  def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+    // (vec_id, label, s, sv): one row per subspace; static slices so
+    // the split stays inside codegen. explode_outer per the repo rule
+    // (the array is 4 literal structs — provably non-empty).
+    def subRows(df: DataFrame) = df.select(col("vec_id"), col("label"),
+      explode_outer(array((0 until PqM).map(s =>
+        struct(lit(s).as("s"), slice(col("v"), s * PqSubDim + 1, PqSubDim).as("sv"))): _*)).as("sub"))
+      .select(col("vec_id"), col("label"), col("sub.s").as("s"), col("sub.sv").as("sv"))
+    val subs = subRows(vecs)
+    // per-(subspace, label) mean subvector — the trained codebook
+    val cb = subs
+      .select(col("s"), col("label").as("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+      .groupBy("s", "code", "dim").agg(avg(col("x")).as("cx"))
+      .groupBy("s", "code")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
+      .select(col("s").as("cs"), col("code"), expr("transform(pairs, p -> p.cx)").as("cv"))
+    val w = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(round6(col("d2")).asc, col("code"))
+    val assigned = subs.join(broadcast(cb), col("s") === col("cs"))
+      .withColumn("diff", zip_with(col("sv"), col("cv"), (x, y) => x - y))
+      .withColumn("d2", VectorFns.dot(col("diff"), col("diff")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+    assigned.groupBy("vec_id")
+      .agg(
+        max(when(col("s") === 0, col("code"))).as("code0"),
+        max(when(col("s") === 1, col("code"))).as("code1"),
+        max(when(col("s") === 2, col("code"))).as("code2"),
+        max(when(col("s") === 3, col("code"))).as("code3"),
+        max(when(col("s") === 0, col("d2"))).as("d0"),
+        max(when(col("s") === 1, col("d2"))).as("d1"),
+        max(when(col("s") === 2, col("d2"))).as("d2s"),
+        max(when(col("s") === 3, col("d2"))).as("d3"))
+      .withColumn("err", round4(col("d0") + col("d1") + col("d2s") + col("d3")))
+      .select(col("vec_id"), col("code0"), col("code1"), col("code2"), col("code3"), col("err"))
+      .orderBy("vec_id")
+  }
+
+  private val sqlPqCodes = {
+    val lastDim = PqM * PqSubDim
+    val dd = s"list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, $PqSubDim + 1), " +
+      "i -> (sv[CAST(i AS INT)] - cv[CAST(i AS INT)]) * (sv[CAST(i AS INT)] - cv[CAST(i AS INT)])), " +
+      "(acc, v) -> acc + v)"
+    s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |     subs AS (SELECT vec_id, label, CAST(s AS INT) AS s,
+       |                     v[CAST(s * $PqSubDim + 1 AS INT):CAST((s + 1) * $PqSubDim AS INT)] AS sv
+       |              FROM e0 CROSS JOIN range(0, $PqM) t(s)),
+       |     x AS (SELECT s, label AS code, CAST(i - 1 AS INT) AS dim, sv[CAST(i AS INT)] AS x
+       |           FROM subs CROSS JOIN range(1, $PqSubDim + 1) t2(i)),
+       |     cd AS (SELECT s, code, dim, avg(x) AS cx FROM x GROUP BY 1, 2, 3),
+       |     cb AS (SELECT s, code, list_transform(list_sort(list({'dim': dim, 'cx': cx})), p -> p.cx) AS cv
+       |            FROM cd GROUP BY s, code),
+       |     scored AS (SELECT subs.vec_id, subs.s, cb.code, $dd AS d2
+       |                FROM subs JOIN cb ON subs.s = cb.s),
+       |     best AS (SELECT vec_id, s, code, d2,
+       |                     row_number() OVER (PARTITION BY vec_id, s
+       |                       ORDER BY ${duckRound6("d2")} ASC, code) AS rk
+       |              FROM scored),
+       |     piv AS (SELECT vec_id,
+       |               max(CASE WHEN s = 0 THEN code END) AS code0,
+       |               max(CASE WHEN s = 1 THEN code END) AS code1,
+       |               max(CASE WHEN s = 2 THEN code END) AS code2,
+       |               max(CASE WHEN s = 3 THEN code END) AS code3,
+       |               max(CASE WHEN s = 0 THEN d2 END) AS d0,
+       |               max(CASE WHEN s = 1 THEN d2 END) AS d1,
+       |               max(CASE WHEN s = 2 THEN d2 END) AS d2s,
+       |               max(CASE WHEN s = 3 THEN d2 END) AS d3
+       |             FROM best WHERE rk = 1 GROUP BY vec_id)
+       |SELECT vec_id, code0, code1, code2, code3,
+       |       ${duckRound4("d0 + d1 + d2s + d3")} AS err
+       |FROM piv ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_triangle_count" -> (triangleCount _),
+    "q_pq_codes" -> (pqCodes _),
     "q_semantic_dedup" -> (semanticDedup _),
     "q_rrf_fusion" -> (rrfFusion _),
     "q_ann_recall" -> (annRecall _),
@@ -783,6 +957,8 @@ object VectorQueries {
     "q_ivf_assign" -> (ivfAssign _))
 
   val oracle: Map[String, String] = Map(
+    "q_triangle_count" -> sqlTriangleCount,
+    "q_pq_codes" -> sqlPqCodes,
     "q_semantic_dedup" -> sqlSemanticDedup,
     "q_rrf_fusion" -> sqlRrfFusion,
     "q_ann_recall" -> sqlAnnRecall,
