@@ -551,7 +551,7 @@ object CorpusOps {
   /** Document budget apportioned across languages by temperature-
     * sampled weights.
     */
-  private val TempBudget = 10000L
+  private[text] val TempBudget = 10000L
 
   /** Temperature-flattened language sampling weights (α = 1/2, i.e.
     * T = 2): w_l ∝ p_l^α — the multilingual rebalancing rule from

@@ -794,15 +794,13 @@ object VectorQueries {
     * linear in edges, and the blocked edge list is itself bounded by
     * bucket sizes.
     */
-  def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
-    val vecs = withVecs(spark, sfDir)
-      .withColumn("bucket", VectorFns.signBucket(col("v"), LshBits, LshStride))
-    val edges = vecs.as("a").join(vecs.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", VectorFns.cosineStaged(
-        col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
-      .filter(col("sim") >= TriThreshold)
-      .select(col("a.vec_id").as("u"), col("b.vec_id").as("w"))
+  /** Per-node triangle participation + local clustering coefficient
+    * over an id-oriented edge list (`u` < `w`, no duplicates) — the
+    * kernel behind [[triangleCount]], factored so the spec can prove
+    * the oriented two-hop join ≡ brute-force triangle enumeration on
+    * arbitrary graphs.
+    */
+  private[vector] def localTriangleStats(edges: DataFrame): DataFrame = {
     val tri = edges.as("e1")
       .join(edges.as("e2"), col("e1.w") === col("e2.u"))
       .join(edges.as("e3"),
@@ -819,7 +817,18 @@ object VectorQueries {
         col("n_tri").cast("double") * 2.0 /
           (col("degree") * (col("degree") - 1)).cast("double")))
       .select(col("node").as("vec_id"), col("degree"), col("n_tri"), col("local_cc"))
-      .orderBy("vec_id")
+  }
+
+  def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+      .withColumn("bucket", VectorFns.signBucket(col("v"), LshBits, LshStride))
+    val edges = vecs.as("a").join(vecs.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", VectorFns.cosineStaged(
+        col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
+      .filter(col("sim") >= TriThreshold)
+      .select(col("a.vec_id").as("u"), col("b.vec_id").as("w"))
+    localTriangleStats(edges).orderBy("vec_id")
   }
 
   private val sqlTriangleCount =

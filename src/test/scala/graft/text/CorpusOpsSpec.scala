@@ -126,4 +126,29 @@ class CorpusOpsSpec extends SparkSpec {
       .filter(abs(col("alloc").cast("double") - col("exact")) >= 1.0)
     assert(off.count() == 0, "an allocation deviates >=1 from its exact quota")
   }
+
+  test("temperatureMix conserves the budget and flattens toward uniform") {
+    val out = CorpusOps.temperatureMix(spark, sfTiny).collect()
+    assert(out.map(_.getAs[Long]("alloc")).sum == CorpusOps.TempBudget,
+      "temperature allocations must sum exactly to the budget")
+    // flattening: allocation shares sit strictly between the raw doc
+    // share and uniform for every non-boundary language (sqrt pulls
+    // p < 1/k up and p > 1/k down, never past uniform)
+    val nTot = out.map(_.getAs[Long]("n_docs")).sum.toDouble
+    val k = out.length.toDouble
+    out.foreach { r =>
+      val p = r.getAs[Long]("n_docs") / nTot
+      val share = r.getAs[Long]("alloc") / CorpusOps.TempBudget.toDouble
+      if (math.abs(p - 1.0 / k) > 0.01) {
+        val lo = math.min(p, 1.0 / k) - 0.01
+        val hi = math.max(p, 1.0 / k) + 0.01
+        assert(share > lo && share < hi,
+          s"${r.getAs[String]("lang")}: share $share outside ($lo, $hi) for p=$p")
+      }
+      // order preserved: weights are monotone in p
+    }
+    val byDocs = out.sortBy(_.getAs[Long]("n_docs")).map(_.getAs[Long]("alloc"))
+    assert(byDocs.zip(byDocs.tail).forall { case (a, b) => a <= b },
+      "temperature weights must preserve the document-count order")
+  }
 }
