@@ -265,9 +265,16 @@ object VectorQueries {
   /** Per-label mean-vector codebook with staged norms — the coarse
     * quantizer shared by [[ivfAssign]] and [[ivfSearch]].
     */
-  private def codebook(vecs: DataFrame): DataFrame =
-    vecs
-      .select(col("label").as("c_label"), posexplode(col("v")).as(Seq("dim", "x")))
+  private def codebook(vecs: DataFrame): DataFrame = codebookBy(vecs, "label")
+
+  /** Mean-vector codebook keyed by an arbitrary cell column — the
+    * generalization of the label codebook that lets Lloyd rounds
+    * recompute centroids from the previous assignment
+    * ([[kmeansRefine]]).
+    */
+  private def codebookBy(df: DataFrame, keyCol: String): DataFrame =
+    df
+      .select(col(keyCol).as("c_label"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("c_label", "dim").agg(avg(col("x")).as("cx"))
       .groupBy("c_label")
       .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
@@ -283,16 +290,25 @@ object VectorQueries {
     * — engine round() itself diverges on .5 boundaries); c_label
     * breaks real ties deterministically (both sides identical).
     */
-  private[vector] def assignedCells(vecs: DataFrame): DataFrame = {
+  private[vector] def assignedCells(vecs: DataFrame): DataFrame =
+    assignStep(vecs, codebook(vecs)).drop("sim")
+
+  /** One argmin assignment of every row (vec_id, label, v, nrm)
+    * against a BROADCAST codebook, keeping the winning sim — the
+    * shared step behind [[assignedCells]] and each [[kmeansRefine]]
+    * round. Rank on the rounded sim with c_label tie-break (avg-built
+    * centroids — the ulp rule).
+    */
+  private def assignStep(df: DataFrame, cb: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(round6(col("sim")).desc, col("c_label"))
-    vecs.join(broadcast(codebook(vecs)))
+    df.join(broadcast(cb))
       .withColumn("sim", VectorFns.cosineStaged(
         col("v"), col("cv"), col("nrm"), col("cnrm")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("label"), col("v"), col("nrm"),
-        col("c_label").as("cell"))
+        col("c_label").as("cell"), col("sim"))
   }
 
   def ivfAssign(spark: SparkSession, sfDir: String): DataFrame =
@@ -948,7 +964,91 @@ object VectorQueries {
        |FROM piv ORDER BY vec_id""".stripMargin
   }
 
+  // ---------- 15. q_kmeans_refine: Lloyd refinement rounds ----------
+
+  private val KmRounds = 2
+
+  /** [[KmRounds]] full Lloyd iterations on top of the coarse
+    * quantizer: assignment 0 is [[ivfAssign]]'s (label-codebook
+    * argmin), then each round recomputes centroids FROM the previous
+    * assignment and re-assigns every vector — the actual k-means
+    * training step an IVF index build runs until its cells settle.
+    * Output: final cell sizes + mean within-cell similarity (the
+    * cosine analogue of inertia).
+    *
+    * Scale shape per round: centroid recompute is one map-side-
+    * combinable shuffle to O(cells × dims) state; the new codebook is
+    * BROADCAST back, so re-assignment is a per-row map — the round
+    * cost is one aggregate + one scan, no vector ever shuffles.
+    * Driver-paced per the CLAUDE.md iterative-kernel rule: each
+    * round's assignment is localCheckpoint'd eagerly
+    * ([[graft.graph.ConnectedComponents.checkpointTracked]]) and the
+    * superseded round freed — an un-checkpointed round-r plan would
+    * re-derive every earlier round once per reference (the q_pagerank
+    * 44-scan pathology), and the lineage would double per round.
+    *
+    * Determinism: assignments rank on round-6 sims with the cell id
+    * tie-break (both engines identical); the mean sim aggregates
+    * round-6 sims as DECIMAL — exact, order-independent — and divides
+    * once at the edge, so no float sum whose order could differ ever
+    * forms.
+    */
+  def kmeansRefine(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.graph.ConnectedComponents.{checkpointTracked, free}
+    val (vecs, vecIds) = checkpointTracked(withVecs(spark, sfDir))
+    var (assigned, ids) = checkpointTracked(assignStep(vecs, codebookBy(vecs, "label")))
+    (1 to KmRounds).foreach { _ =>
+      val (next, nextIds) =
+        checkpointTracked(assignStep(vecs, codebookBy(assigned, "cell")))
+      free(assigned, ids) // safe: `next` is materialized by the eager checkpoint
+      assigned = next
+      ids = nextIds
+    }
+    free(vecs, vecIds) // the output reads only the final checkpointed round
+    assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round6(col("sim")).cast("decimal(18,6)")).as("sim_dec"))
+      .withColumn("avg_sim",
+        round4(col("sim_dec").cast("double") / col("n_vecs").cast("double")))
+      .select(col("cell"), col("n_vecs"), col("avg_sim"))
+      .orderBy("cell")
+    // final round's blocks stay persisted (CC contract; Bench sweeps
+    // leftovers after each timed run)
+  }
+
+  /** One oracle Lloyd round `a$suffix` = argmin assignment of every
+    * vector in `e` against the mean-vector codebook of `srcRel` keyed
+    * by `keyCol` — the SQL twin of `assignStep(vecs,
+    * codebookBy(srcRel, keyCol))`, suffix-namespaced so rounds chain.
+    */
+  private def duckKmRound(suffix: String, srcRel: String, keyCol: String): String =
+    s"""x$suffix AS (SELECT $keyCol AS c_label, CAST(i - 1 AS INT) AS dim, v[CAST(i AS INT)] AS x
+       |           FROM $srcRel CROSS JOIN range(1, 65) t$suffix(i)),
+       |     cd$suffix AS (SELECT c_label, dim, avg(x) AS cx FROM x$suffix GROUP BY 1, 2),
+       |     c0$suffix AS (SELECT c_label, list_transform(list_sort(list({'dim': dim, 'cx': cx})), p -> p.cx) AS cv
+       |            FROM cd$suffix GROUP BY c_label),
+       |     c$suffix AS (SELECT c_label, cv, sqrt(${duckDot("cv", "cv")}) AS cnrm FROM c0$suffix),
+       |     s$suffix AS (SELECT t.vec_id, t.label, t.v, t.nrm, c.c_label,
+       |                  ${duckDot("t.v", "c.cv")} / (t.nrm * c.cnrm) AS sim
+       |           FROM e t CROSS JOIN c$suffix c),
+       |     a$suffix AS (SELECT vec_id, label, v, nrm, c_label AS cell, sim FROM (
+       |             SELECT *, row_number() OVER (PARTITION BY vec_id
+       |               ORDER BY ${duckRound6("sim")} DESC, c_label) AS rk FROM s$suffix)
+       |           WHERE rk = 1)""".stripMargin
+
+  private val sqlKmeansRefine =
+    s"""WITH $duckVecs,
+       |     ${duckKmRound("0", "e", "label")},
+       |     ${duckKmRound("1", "a0", "cell")},
+       |     ${duckKmRound("2", "a1", "cell")}
+       |SELECT cell, count(*) AS n_vecs,
+       |       ${duckRound4(
+                 s"CAST(sum(CAST(${duckRound6("sim")} AS DECIMAL(18,6))) AS DOUBLE)" +
+                   " / CAST(count(*) AS DOUBLE)")} AS avg_sim
+       |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmeans_refine" -> (kmeansRefine _),
     "q_triangle_count" -> (triangleCount _),
     "q_pq_codes" -> (pqCodes _),
     "q_semantic_dedup" -> (semanticDedup _),
@@ -966,6 +1066,7 @@ object VectorQueries {
     "q_ivf_assign" -> (ivfAssign _))
 
   val oracle: Map[String, String] = Map(
+    "q_kmeans_refine" -> sqlKmeansRefine,
     "q_triangle_count" -> sqlTriangleCount,
     "q_pq_codes" -> sqlPqCodes,
     "q_semantic_dedup" -> sqlSemanticDedup,
