@@ -318,13 +318,28 @@ object OlapMore {
     * WITHOUT a global window. Customer SCALES with SF (CLAUDE.md: it is
     * not a bounded dim), so `Window.orderBy` with no partition key —
     * a single-partition sort of the whole table — is banned here.
-    * Instead: distributed total sort + `zipWithIndex` rank
-    * ([[graft.etl.SurrogateKeys.scalable]], range-partitioned, no
-    * single-partition stage), then the exact ntile bucket formula
-    * `n = q·k + r ⇒ first r buckets hold q+1 rows` applied to the
-    * rank — bit-identical to `ntile(4) OVER (ORDER BY c_acctbal,
-    * c_custkey)` on any engine, for any n. The order includes the key
-    * tie-break so both engines split ties identically.
+    * The rank comes from a LAZY deterministic radix rank:
+    *  - bucket each row by exact cents (`round(bal·100)` — injective
+    *    and order-preserving for 2-decimal money; the domain bounds
+    *    distinct buckets at ~1.1M REGARDLESS of SF),
+    *  - per-bucket counts (one hash agg) → cumulative offsets via a
+    *    window over the DOMAIN-bounded bucket spine (the CLAUDE.md
+    *    bounded-input carve-out: cardinality is money-domain-sized,
+    *    constant in SF, like calendar months),
+    *  - within-bucket `row_number` partitioned by bucket (distributed;
+    *    skew = ties at one exact balance — uniform for money; a skewed
+    *    domain would sub-bucket by a custkey range, same shape),
+    *  - broadcast the offsets back; rank = offset + within-bucket row.
+    * Then the exact ntile bucket formula `n = q·k + r ⇒ first r
+    * buckets hold q+1 rows` applied to the rank — bit-identical to
+    * `ntile(4) OVER (ORDER BY c_acctbal, c_custkey)` on any engine,
+    * for any n. The order includes the key tie-break so both engines
+    * split ties identically. Unlike `SurrogateKeys.scalable`
+    * (zipWithIndex computes partition offsets in its CONSTRUCTOR —
+    * an eager job) every step here is aggregates/windows/broadcast
+    * joins: calling this function runs no Spark job
+    * (`NtileFormulaSpec` pins it), and no sampling partitioner means
+    * no branch-disagreement hazard.
     */
   /** The exact `ntile(k)` bucket of 1-based rank `rkName` among `n`
     * rows — `n = q·k + r ⇒ buckets 1..r hold q+1 rows, the rest q` —
@@ -332,26 +347,47 @@ object OlapMore {
     * ntile run WITHOUT a global window (rank comes from a distributed
     * sort); `NtileFormulaSpec` proves it ≡ `ntile(k)` for ragged n.
     */
-  private[olap] def ntileByRank(rkName: String, n: Long, k: Long): Column = {
-    val q = n / k // 0 when n<k: every row is its own (q+1 = 1)-row bucket
-    val r = n % k
-    val cut = r * (q + 1) // last rank inside the wide buckets
+  private[olap] def ntileByRank(rk: Column, n: Column, k: Long): Column = {
+    val kL = lit(k)
+    // long DIV via floor over exact-integer doubles (n < 2^53 always)
+    val q = floor(n / kL).cast("long") // 0 when n<k: each row its own bucket
+    val r = (n % kL).cast("long")
+    val cut = r * (q + lit(1L)) // last rank inside the wide buckets
     // when q=0, cut=n and the otherwise branch never evaluates — the
     // clamp only keeps the (lazily skipped) DIV total
-    val qSafe = math.max(q, 1L)
-    when(col(rkName) <= cut,
-        expr(s"($rkName - 1) DIV ${q + 1} + 1"))
-      .otherwise(expr(s"$r + ($rkName - 1 - $cut) DIV $qSafe + 1"))
+    val qSafe = greatest(q, lit(1L))
+    when(rk <= cut, floor((rk - lit(1L)) / (q + lit(1L))).cast("long") + lit(1L))
+      .otherwise(r + floor((rk - lit(1L) - cut) / qSafe).cast("long") + lit(1L))
       .cast("long")
   }
 
+  /** Literal-n form (spec convenience); delegates to the column form. */
+  private[olap] def ntileByRank(rkName: String, n: Long, k: Long): Column =
+    ntileByRank(col(rkName), lit(n), k)
+
   def ntileQuartiles(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir).select("c_acctbal", "c_custkey")
-    val n = cust.count() // one distributed count; scalar to the driver
-    val ranked = SurrogateKeys.scalable(
-      cust, Seq(col("c_acctbal"), col("c_custkey")), "rk")
+    // the total joins in lazily (broadcast 1-row cross join, the
+    // `division`/`nRegions` pattern) — an eager .count() here would run
+    // a Spark job during plan CONSTRUCTION (NtileFormulaSpec pins
+    // the no-job property)
+    val nTotal = cust.agg(count(lit(1)).as("__n_total"))
+    val bucketed = cust.withColumn("cents",
+      round(col("c_acctbal") * 100).cast("long"))
+    // domain-bounded spine (≤ ~1.1M cents values at ANY SF): counts by
+    // hash agg, offsets by one bounded-input cumulative window
+    val offsets = bucketed.groupBy("cents").agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        sum(col("cnt")).over(Window.orderBy("cents")) - col("cnt"))
+      .select("cents", "off")
+    val ranked = bucketed
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("cents").orderBy("c_custkey")))
+      .join(broadcast(offsets), "cents")
+      .withColumn("rk", col("off") + col("rn"))
     ranked
-      .withColumn("quartile", ntileByRank("rk", n, 4L))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("quartile", ntileByRank(col("rk"), col("__n_total"), 4L))
       .groupBy("quartile")
       .agg(count(lit(1)).as("n_customers"),
         round(min(col("c_acctbal")), 4).as("min_bal"),

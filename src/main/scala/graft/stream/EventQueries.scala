@@ -97,14 +97,19 @@ object EventQueries {
     * distinct is NOT frame-decomposable — a `count(distinct)` window
     * frame would re-scan every frame — so the distributed shape is:
     * collapse to distinct (day, user) grain FIRST (one hash shuffle,
-    * linear in events), then fan each user-day out to the ≤7 window
-    * days it serves via a broadcast of the tiny day spine, and finish
-    * with one distinct-aggregate keyed by window day. Work after the
-    * collapse is (active user-days × window width), independent of
-    * raw event volume — the per-day event count never reaches the
-    * join. At 100 TB the same two aggregates hold; if exact distinct
-    * over user-day grain is itself too wide, the sketch path keeps
-    * per-day HLL partials and merges 7 of them per output day
+    * linear in events), then REPLICATE each user-day to the exactly-7
+    * window days it serves (`sequence(d, d+6) → explode`, the
+    * [[graft.olap.RangeJoin]] cell pattern), and finish with one
+    * distinct-aggregate hash-keyed by serving day. Work after the
+    * collapse is (active user-days × window width) — a theta join
+    * against a day spine would instead plan BroadcastNestedLoopJoin
+    * and compare every user-day against EVERY calendar day
+    * (user-days × |calendar|, quadratic in elapsed time at constant
+    * daily volume; `PlanAuditSpec` pins the no-BNLJ shape). Serving
+    * days past the last active day fall out of the inner dau join.
+    * At 100 TB the same two aggregates hold; if exact distinct over
+    * user-day grain is itself too wide, the sketch path keeps per-day
+    * HLL partials and merges 7 of them per output day
     * ([[graft.etl.Sketches]] persists exactly that shape).
     */
   def rollingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
@@ -113,10 +118,14 @@ object EventQueries {
       .distinct()
     val dau = pairs.groupBy("d")
       .agg(countDistinct(col("user_id")).as("dau"))
-    val spine = pairs.select(col("d").as("day")).distinct()
+    // explode_outer: the 7-element sequence is provably non-empty, and
+    // outer generates suppress InferFiltersFromGenerate's size(...)>0
+    // filter (which would re-evaluate the sequence per row — CLAUDE.md
+    // explode-over-built-array rule)
     val win = pairs
-      .join(broadcast(spine),
-        col("d") >= col("day") - expr("INTERVAL 6 DAYS") && col("d") <= col("day"))
+      .withColumn("serve",
+        sequence(col("d"), col("d") + expr("INTERVAL 6 DAYS"), expr("INTERVAL 1 DAY")))
+      .select(explode_outer(col("serve")).as("day"), col("user_id"))
       .groupBy("day")
       .agg(countDistinct(col("user_id")).as("users_7d"))
     dau.join(win, col("d") === col("day"))

@@ -590,6 +590,14 @@ object CorpusOps {
       .withColumn("alloc",
         col("alloc_floor") +
           when(col("rk") <= lit(TempBudget) - col("sum_floor"), 1L).otherwise(0L))
+      // w_temp skips the usual round4 wrap DELIBERATELY: both engines
+      // compute the bit-identical expression CAST(w4 AS DOUBLE)/1e4
+      // over the same integer w4 ≤ 10000, and IEEE division of exact
+      // operands is correctly rounded — the value already has ≤4
+      // decimal digits by construction. Do NOT copy this shape into a
+      // query whose operands differ across engines (CLAUDE.md rule:
+      // round4 every double output) — it is safe only because the
+      // dividend is an integer both sides agree on exactly.
       .withColumn("w_temp", col("w4").cast("double") / 10000.0)
       .select(col("lang"), col("n_docs"), col("w_temp"), col("alloc"))
       .orderBy("lang")

@@ -75,16 +75,22 @@ class PlanAuditSpec extends SparkSpec {
       s"contamination generate lost outer=true (${gens.size} generates)")
   }
 
-  test("ntileQuartiles plans no single-partition window over customer") {
-    // customer scales with SF: the quartile assignment must go through
-    // the distributed rank (range partition + zipWithIndex), never a
-    // partition-less WindowExec (CLAUDE.md scale rule)
+  test("ntileQuartiles: no partition-less window over raw customer rows") {
+    // customer scales with SF: the quartile assignment goes through
+    // the lazy radix rank — the ONLY partition-less window allowed is
+    // the cumulative-offset pass over the DOMAIN-bounded cents spine,
+    // which must sit above the collapsing hash aggregate (CLAUDE.md
+    // bounded-input carve-out); a partition-less window fed raw rows
+    // would be a single-partition sort of the whole table
     val windows = OlapMore.ntileQuartiles(spark, sfTiny)
       .queryExecution.sparkPlan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }
-    assert(windows.isEmpty,
-      s"q_ntile plan contains ${windows.size} WindowExec node(s)")
+    assert(windows.nonEmpty, "radix rank lost its window stages")
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.toString.contains("HashAggregate"),
+        s"partition-less window runs over un-collapsed input:\n${w.child}")
+    }
   }
 
   test("minmaxBy resolves customer and nation via broadcast hash joins") {
@@ -156,6 +162,20 @@ class PlanAuditSpec extends SparkSpec {
     val limits = "TakeOrderedAndProject".r.findAllIn(plan).size
     assert(limits >= 2,
       s"expected both fusion inputs limited, found $limits TakeOrderedAndProject")
+  }
+
+  test("rollingDistinct replicates window days — no nested-loop spine join") {
+    // the 7-day fan-out must be sequence-explode + hash aggregate;
+    // a theta join against the day spine plans BNLJ and compares
+    // every user-day against EVERY calendar day (quadratic in time)
+    val plan = EventQueries.rollingDistinct(spark, sfTiny).queryExecution.sparkPlan
+    assert(!plan.toString.contains("BroadcastNestedLoopJoin"),
+      "rolling distinct spine join degenerated to a nested loop")
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.nonEmpty && gens.forall(_.outer),
+      s"window-day replication lost the outer generate (${gens.size} generates)")
   }
 
   test("no declared query plan contains a cartesian product") {

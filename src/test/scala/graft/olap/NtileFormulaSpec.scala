@@ -42,4 +42,36 @@ class NtileFormulaSpec extends SparkSpec {
     check(1, 4)
     check(2, 5)
   }
+
+  test("ntileQuartiles runs NO data job at plan-construction time") {
+    // the total-count must join in lazily (broadcast 1-row cross join,
+    // the division/nRegions pattern) and the rank must come from the
+    // lazy radix shape — an eager .count() or zipWithIndex would run a
+    // distributed job over the DATA the moment the query function is
+    // CALLED. The only jobs schema-on-read construction may launch are
+    // parquet footer reads (every `spark.read.parquet` resolution runs
+    // one; metadata-sized, not data-sized).
+    val stages = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          jobStart: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobStart.stageInfos.foreach(si => stages.add(si.name))
+    }
+    // flush in-flight events from earlier tests FIRST — the async bus
+    // delivers queued events to listeners added after the post, so a
+    // stale jobStart from the previous test would false-positive here
+    org.apache.spark.sql.graftbridge.ListenerBridge.drain(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      OlapMore.ntileQuartiles(spark, sfTiny)
+      // an eager action would have BLOCKED through its job, so its
+      // start event is already enqueued — a synchronous drain observes it
+      org.apache.spark.sql.graftbridge.ListenerBridge.drain(spark.sparkContext)
+      val dataJobs = stages.toArray(Array.empty[String])
+        .filterNot(_.contains("parquet at"))
+      assert(dataJobs.isEmpty,
+        s"plan construction launched data job stage(s): ${dataJobs.mkString("; ")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
