@@ -24,7 +24,7 @@ object SparkEntry {
       olap.OlapStats.queries ++
       stream.EventQueries.queries ++ text.TextQueries.queries ++
       text.TextAnalytics.queries ++ text.CorpusOps.queries ++
-      vector.VectorQueries.queries
+      text.DocOps.queries ++ vector.VectorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -35,5 +35,5 @@ object SparkEntry {
       olap.OlapStats.oracle ++
       stream.EventQueries.oracle ++ text.TextQueries.oracle ++
       text.TextAnalytics.oracle ++ text.CorpusOps.oracle ++
-      vector.VectorQueries.oracle
+      text.DocOps.oracle ++ vector.VectorQueries.oracle
 }

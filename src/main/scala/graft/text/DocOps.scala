@@ -1,0 +1,288 @@
+package graft.text
+
+import graft.schema.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document-grain curation operators — the round-8 additions to the
+  * LLM-data-pipeline pack (no counterpart in the reference, whose
+  * string surface is trim/lower/title — `ETL/user_ETL.py:47-53`):
+  * segment-grain dedup (the CCNet/RefinedWeb line-dedup shape over
+  * fixed token windows), a Gopher-style quality-rule audit (Rae et
+  * al., 2021 §A1.1.2 — repetition/length/stopword screens), and the
+  * first BPE merge round's pair statistics (Sennrich et al., 2016 —
+  * the vocabulary-induction kernel a tokenizer trainer runs
+  * repeatedly).
+  *
+  * Shares [[TextFns.tokens]] / [[TextQueries.duckTokens]] and the
+  * polynomial-hash parity contract from
+  * [[graft.functions.TextHashUtil]].
+  */
+object DocOps {
+
+  /** Token oracle fragment ([[TextQueries.duckTokens]] is the single
+    * source of truth).
+    */
+  private val duckTokens = TextQueries.duckTokens
+
+  private def duckCodesOf(e: String): String =
+    s"list_transform(range(1, greatest(length($e), 1) + 1), " +
+      s"i -> CAST(ascii(substring($e, CAST(i AS INT), 1)) AS BIGINT))"
+
+  private val duckPolyHash =
+    s"list_reduce([CAST(0 AS BIGINT)] || cs, (acc, c) -> (acc * 31 + c) % ${TextFns.P})"
+
+  // ---------- q_segment_dedup: CCNet-style segment-grain dedup ----------
+
+  /** Segment width in tokens. CCNet dedups at line grain; this corpus
+    * has no newlines (TESTDATA.md), so the segment is a fixed
+    * 10-token window — the same kernel, a synthetic line boundary.
+    */
+  private val SegLen = 10
+
+  /** Segment-grain exact dedup audit: split every document into
+    * consecutive [[SegLen]]-token segments, keep each distinct
+    * segment at its FIRST occurrence ((doc_id, seg_idx) order — the
+    * deterministic first-wins rule shared with D1-D3 row dedup), and
+    * report the per-source retained fraction. This is the
+    * paragraph/line-dedup stage of CCNet/RefinedWeb-style pipelines:
+    * boilerplate segments repeat across pages even when whole-document
+    * hashes differ, and the retained fraction is the quality signal
+    * curation monitors per source.
+    *
+    * Shape: the segment fan-out is `explode_outer` over an index
+    * `sequence` (chunkPlan's zero-shuffle outer-generate shape —
+    * outer, so InferFiltersFromGenerate adds no size()>0 filter that
+    * would inline the tokens pipeline); the winner election is ONE
+    * row_number window partitioned by the 64-bit segment hash (key
+    * cardinality = distinct segments, fact-proportional partitioning,
+    * ties broken by integer (doc_id, seg_idx) — engine-independent);
+    * the audit is one hash aggregate by source. Work is linear in
+    * corpus tokens at any SF; no joins.
+    *
+    * Parity: documents with zero tokens would vanish from BOTH
+    * engines identically (Spark: size(ts)=0 makes n_segs=1 but the
+    * segment text is '' with polyHash 0 — still present; the corpus
+    * has none), and the kept/total ratio is a division of exact
+    * integers — identical bits — wrapped in round4 on both sides.
+    */
+  def segmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val segs = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .withColumn("n_tok", size(col("ts")).cast("long"))
+      .withColumn("n_segs", expr(s"greatest((n_tok + ${SegLen - 1}) DIV $SegLen, 1)"))
+      .select(col("doc_id"), col("source"), col("ts"),
+        explode_outer(sequence(lit(0L), col("n_segs") - 1L)).as("seg_idx"))
+      .withColumn("seg",
+        array_join(slice(col("ts"), (col("seg_idx") * SegLen + 1L).cast("int"), lit(SegLen)), " "))
+      .select(col("doc_id"), col("source"), col("seg_idx"),
+        graft.functions.TextHashes.polyHash(col("seg")).as("h"))
+    val firstWins = Window.partitionBy("h").orderBy("doc_id", "seg_idx")
+    segs
+      .withColumn("kept", when(row_number().over(firstWins) === 1, 1L).otherwise(0L))
+      .groupBy("source")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_segments"),
+        sum(col("kept")).as("n_kept"))
+      .withColumn("kept_ratio",
+        TextFns.round4(col("n_kept").cast("double") / col("n_segments").cast("double")))
+      .orderBy("source")
+  }
+
+  private val sqlSegmentDedup =
+    s"""WITH t AS (SELECT doc_id, source, $duckTokens AS ts FROM documents),
+       |     n AS (SELECT doc_id, source, ts,
+       |             greatest((CAST(len(ts) AS BIGINT) + ${SegLen - 1}) // $SegLen, 1) AS n_segs
+       |           FROM t),
+       |     sg AS (SELECT doc_id, source, ts, unnest(range(0, n_segs)) AS seg_idx FROM n),
+       |     sx AS (SELECT doc_id, source, seg_idx,
+       |             array_to_string(list_slice(ts, CAST(seg_idx * $SegLen + 1 AS INT),
+       |               CAST(seg_idx * $SegLen + $SegLen AS INT)), ' ') AS seg
+       |           FROM sg),
+       |     hs AS (SELECT doc_id, source, seg_idx, ${duckCodesOf("seg")} AS cs FROM sx),
+       |     h AS (SELECT doc_id, source, seg_idx, $duckPolyHash AS h FROM hs),
+       |     w AS (SELECT source, doc_id,
+       |             CASE WHEN row_number() OVER (PARTITION BY h ORDER BY doc_id, seg_idx) = 1
+       |                  THEN 1 ELSE 0 END AS kept
+       |           FROM h)
+       |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       count(*) AS n_segments, CAST(sum(kept) AS BIGINT) AS n_kept,
+       |       ${TextFns.duckRound4(
+                  "CAST(sum(kept) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS kept_ratio
+       |FROM w GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------- q_gopher_rules: quality-rule audit ----------
+
+  /** Rule thresholds — Gopher's screens re-based to this corpus's
+    * measured distributions (word counts 10-99 median 56, mean word
+    * length 3.7-5.3, top-word fraction up to 0.30) so each rule
+    * genuinely discriminates: at sf0.01, 289/500 documents pass all
+    * four.
+    */
+  private val WcMin = 30L
+  private val WcMax = 90L
+  private val MwlMin = 4L // mean word length bounds, applied as
+  private val MwlMax = 10L // cross-multiplied INTEGER compares
+  private val StopMin = 2L
+  private val RepDenom = 8L // top word must be ≤ 1/8 of tokens
+
+  /** Gopher-style quality-rule audit: per-document boolean screens
+    * (word-count bounds, mean-word-length bounds, minimum stopword
+    * occurrences, maximum single-token repetition), rolled up to
+    * per-source failure counts and a pass rate — the go/no-go summary
+    * a corpus curation run reports per ingest source.
+    *
+    * All four rules are INTEGER comparisons (mean word length as the
+    * cross-multiplied `MwlMin·n ≤ letters ≤ MwlMax·n`, repetition as
+    * `topc·RepDenom ≤ n`), so no float ever reaches a rule decision —
+    * cross-engine parity by construction; the only double output is
+    * the pass rate, a single exact-integer division wrapped in round4
+    * on both sides.
+    *
+    * Shape: every per-document statistic — token count, letter count,
+    * stopword hits, top-token count — is derived from ONE
+    * (doc, token)-grain count aggregate (n = Σcnt, letters =
+    * Σcnt·len(tok), stops = Σcnt·[tok∈stop], topc = max cnt), i.e.
+    * explode + two hash aggregates + the source rollup, all linear in
+    * corpus tokens and map-side combinable. The in-array alternative
+    * (count each distinct token by rescanning the token array) is
+    * O(len·distinct) per document in an interpreted lambda — quadratic
+    * in document length, wrong at 100 TB where documents are
+    * unbounded. A document with zero tokens produces no token rows on
+    * EITHER engine (explode_outer + null filter ≡ unnest of an empty
+    * list) and is deliberately absent from the audit.
+    */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = TextFns.stopwords
+    val toks = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("doc_id"), col("source"), explode_outer(col("ts")).as("tok"))
+      .filter(col("tok").isNotNull)
+    val perDoc = toks
+      .groupBy("doc_id", "source", "tok")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "source")
+      .agg(
+        sum(col("cnt")).as("n"),
+        sum(col("cnt") * length(col("tok")).cast("long")).as("letters"),
+        sum(when(col("tok").isInCollection(stop), col("cnt")).otherwise(0L)).as("stops"),
+        max(col("cnt")).as("topc"))
+    perDoc
+      .withColumn("p_wc",
+        when(col("n").between(WcMin, WcMax), 1L).otherwise(0L))
+      .withColumn("p_mwl",
+        when(col("letters") >= lit(MwlMin) * col("n") &&
+          col("letters") <= lit(MwlMax) * col("n"), 1L).otherwise(0L))
+      .withColumn("p_stop", when(col("stops") >= StopMin, 1L).otherwise(0L))
+      .withColumn("p_rep",
+        when(col("topc") * RepDenom <= col("n"), 1L).otherwise(0L))
+      .withColumn("p_all", col("p_wc") * col("p_mwl") * col("p_stop") * col("p_rep"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(lit(1L) - col("p_wc")).as("n_fail_wordcount"),
+        sum(lit(1L) - col("p_mwl")).as("n_fail_wordlen"),
+        sum(lit(1L) - col("p_stop")).as("n_fail_stopword"),
+        sum(lit(1L) - col("p_rep")).as("n_fail_repetition"),
+        sum(col("p_all")).as("n_pass"))
+      .withColumn("pass_rate",
+        TextFns.round4(col("n_pass").cast("double") / col("n_docs").cast("double")))
+      .orderBy("source")
+  }
+
+  private val sqlGopherRules = {
+    val stop = TextFns.stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+    s"""WITH t AS (SELECT doc_id, source, $duckTokens AS ts FROM documents),
+       |     e AS (SELECT doc_id, source, unnest(ts) AS tok FROM t),
+       |     g AS (SELECT doc_id, source, tok, count(*) AS cnt FROM e GROUP BY 1, 2, 3),
+       |     d AS (SELECT doc_id, source,
+       |             CAST(sum(cnt) AS BIGINT) AS n,
+       |             CAST(sum(cnt * length(tok)) AS BIGINT) AS letters,
+       |             CAST(sum(CASE WHEN tok IN $stop THEN cnt ELSE 0 END) AS BIGINT) AS stops,
+       |             CAST(max(cnt) AS BIGINT) AS topc
+       |           FROM g GROUP BY 1, 2),
+       |     r AS (SELECT source,
+       |             CASE WHEN n BETWEEN $WcMin AND $WcMax THEN 1 ELSE 0 END AS p_wc,
+       |             CASE WHEN letters >= $MwlMin * n AND letters <= $MwlMax * n
+       |                  THEN 1 ELSE 0 END AS p_mwl,
+       |             CASE WHEN stops >= $StopMin THEN 1 ELSE 0 END AS p_stop,
+       |             CASE WHEN topc * $RepDenom <= n THEN 1 ELSE 0 END AS p_rep
+       |           FROM d)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(1 - p_wc) AS BIGINT) AS n_fail_wordcount,
+       |       CAST(sum(1 - p_mwl) AS BIGINT) AS n_fail_wordlen,
+       |       CAST(sum(1 - p_stop) AS BIGINT) AS n_fail_stopword,
+       |       CAST(sum(1 - p_rep) AS BIGINT) AS n_fail_repetition,
+       |       CAST(sum(p_wc * p_mwl * p_stop * p_rep) AS BIGINT) AS n_pass,
+       |       ${TextFns.duckRound4(
+                  "CAST(sum(p_wc * p_mwl * p_stop * p_rep) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS pass_rate
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------- q_bpe_pairs: BPE first-merge pair statistics ----------
+
+  private val BpeTopK = 20
+
+  /** The first BPE merge round's candidate statistics: weighted
+    * adjacent character-pair counts over the corpus vocabulary, top
+    * [[BpeTopK]] by count — the argmax of this table IS the first
+    * merge a BPE tokenizer trainer performs, and re-running the same
+    * kernel over the merged symbol sequences yields every subsequent
+    * round (the iteration is driver-paced like
+    * [[graft.vector.VectorQueries.kmeansRefine]]'s Lloyd rounds).
+    *
+    * Shape — the collapse-first rule: pair generation runs over the
+    * DISTINCT vocabulary (one (word, freq) hash aggregate collapses
+    * corpus tokens to vocab grain first), weighted by word frequency,
+    * so the per-round work after the collapse is O(vocab · word
+    * length), independent of corpus size — exactly how production BPE
+    * trainers scale. The pair fan-out is an outer generate over words
+    * pre-filtered to length ≥ 2 (≥ 1 pair, provably non-empty — and
+    * the sequence bound stays ≥ 1, avoiding Spark's descending-
+    * sequence surprise on `sequence(1, 0)`). Top-K is a
+    * TakeOrderedAndProject with the (count DESC, pair) total order so
+    * the cut is engine-independent.
+    */
+  def bpePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(explode_outer(col("ts")).as("word"))
+      .filter(col("word").isNotNull)
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+      .filter(length(col("word")) >= 2)
+    vocab
+      .withColumn("pairs",
+        transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2))))
+      .select(col("freq"), explode_outer(col("pairs")).as("pair"))
+      .groupBy("pair")
+      .agg(sum(col("freq")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(BpeTopK)
+  }
+
+  private val sqlBpePairs =
+    s"""WITH t AS (SELECT $duckTokens AS ts FROM documents),
+       |     e AS (SELECT unnest(ts) AS word FROM t),
+       |     v AS (SELECT word, count(*) AS freq FROM e GROUP BY 1 HAVING length(word) >= 2),
+       |     p AS (SELECT freq,
+       |             unnest(list_transform(range(1, length(word)),
+       |               i -> substring(word, CAST(i AS INT), 2))) AS pair
+       |           FROM v)
+       |SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences
+       |FROM p GROUP BY pair
+       |ORDER BY n_occurrences DESC, pair LIMIT $BpeTopK""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_segment_dedup" -> (segmentDedup _),
+    "q_gopher_rules" -> (gopherRules _),
+    "q_bpe_pairs" -> (bpePairs _))
+
+  val oracle: Map[String, String] = Map(
+    "q_segment_dedup" -> sqlSegmentDedup,
+    "q_gopher_rules" -> sqlGopherRules,
+    "q_bpe_pairs" -> sqlBpePairs)
+}
