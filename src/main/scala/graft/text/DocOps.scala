@@ -276,13 +276,113 @@ object DocOps {
        |FROM p GROUP BY pair
        |ORDER BY n_occurrences DESC, pair LIMIT $BpeTopK""".stripMargin
 
+  // ---------- q_winnow_fp: winnowing fingerprints (MOSS) ----------
+
+  /** Winnowing parameters (Schleimer, Wilkerson & Aiken, SIGMOD'03):
+    * character k-gram width and the window over consecutive gram
+    * hashes from which one minimum is selected. Guarantee: any shared
+    * substring of length ≥ WinK + WinW - 1 (= 11 chars) produces at
+    * least one shared fingerprint.
+    */
+  private val WinK = 7
+  private val WinW = 5
+
+  /** Discriminative-fingerprint band: a fingerprint appearing in more
+    * than [[WinMaxDf]] documents is boilerplate (MOSS drops overly
+    * common fingerprints for the same reason an inverted index drops
+    * stopwords); pairs must share ≥ [[WinMinShared]] fingerprints to
+    * be reported. At sf0.01: 2081 distinct fingerprints, median df
+    * 11, max 390 — the 2..5 band keeps the discriminative tail and
+    * yields 107 candidate pairs.
+    */
+  private val WinMaxDf = 5L
+  private val WinMinShared = 2L
+
+  /** Winnowing fingerprint near-dup candidates: per document, hash
+    * every [[WinK]]-char gram, select the minimum hash of each
+    * [[WinW]]-wide window of consecutive gram hashes (the winnowing
+    * selection — position-robust, so partial overlaps that whole-doc
+    * hashing ([[TextQueries.docFingerprint]]) and prefix hashing
+    * ([[CorpusOps.prefixDup]]) both miss still collide), and report
+    * document pairs sharing ≥ [[WinMinShared]] selected fingerprints.
+    *
+    * Shape — every CLAUDE.md pair-join rule applied: collapse to
+    * distinct (doc, fingerprint) BEFORE any join (`array_distinct`
+    * per row — winnowing itself already cuts fingerprints per doc to
+    * ~len/W); drop non-discriminative fingerprints by document
+    * frequency (df ≤ [[WinMaxDf]]) so the per-fingerprint pair
+    * fan-out is ≤ C(MaxDf,2) = 10 — the pair list is LINEAR in kept
+    * fingerprints by construction, never quadratic in cluster size
+    * (the capped-df band is what makes a pair-list output safe here
+    * where the MinHash path must emit cluster assignments instead);
+    * the join is a fingerprint-keyed equi-join, no theta join. At
+    * 100 TB df of boilerplate grows with the corpus while the cap
+    * stays fixed, so kept fingerprints stay the rare discriminative
+    * tail — the same reason the band works for MOSS at web scale.
+    *
+    * Per-row cost: the window-min `transform` references only the
+    * STAGED `hs` column (interpreted-HOF staging rule) and costs
+    * O(len · W) — the O(len) rightmost-min deque variant is the
+    * single-machine optimization; at W = 5 the constant is smaller
+    * than a second staged pass.
+    */
+  def winnowFp(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = Tables.documents(spark, sfDir)
+      .withColumn("cs", TextFns.codes(col("text")))
+      .withColumn("hs",
+        TextFns.shingleHashesFromCodes(col("cs"), length(col("text")).cast("long"), WinK))
+      .withColumn("fps",
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(col("hs")) - (WinW - 1), lit(1))),
+          i => array_min(slice(col("hs"), i, lit(WinW))))))
+      .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2L, WinMaxDf))
+      .select("fp")
+    val kept = fps.join(keep, "fp")
+    kept.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinMinShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val sqlWinnowFp = {
+    // closed-form WinK-gram hash at position i over staged codes `cs`
+    // (TextQueries.duckShingleHash's shape at this pack's gram width)
+    val gramHash = (0 until WinK).foldLeft("CAST(0 AS BIGINT)") { (acc, off) =>
+      s"(($acc * 31 + coalesce(cs[CAST(i + $off AS INT)], 0)) % ${TextFns.P})"
+    }
+    s"""WITH c AS (SELECT doc_id, ${duckCodesOf("text")} AS cs FROM documents),
+       |     g AS (SELECT doc_id,
+       |             list_transform(range(1, greatest(length(text) - ${WinK - 1}, 1) + 1),
+       |               i -> $gramHash) AS hs
+       |           FROM c JOIN documents USING (doc_id)),
+       |     f AS (SELECT doc_id,
+       |             unnest(list_distinct(list_transform(
+       |               range(1, greatest(len(hs) - ${WinW - 1}, 1) + 1),
+       |               i -> list_min(hs[CAST(i AS INT):CAST(i + ${WinW - 1} AS INT)])))) AS fp
+       |           FROM g),
+       |     keep AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM f GROUP BY 1)
+       |              WHERE df BETWEEN 2 AND $WinMaxDf),
+       |     k AS (SELECT fp, doc_id FROM f JOIN keep USING (fp))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |FROM k a JOIN k b USING (fp) WHERE a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $WinMinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_segment_dedup" -> (segmentDedup _),
     "q_gopher_rules" -> (gopherRules _),
-    "q_bpe_pairs" -> (bpePairs _))
+    "q_bpe_pairs" -> (bpePairs _),
+    "q_winnow_fp" -> (winnowFp _))
 
   val oracle: Map[String, String] = Map(
     "q_segment_dedup" -> sqlSegmentDedup,
     "q_gopher_rules" -> sqlGopherRules,
-    "q_bpe_pairs" -> sqlBpePairs)
+    "q_bpe_pairs" -> sqlBpePairs,
+    "q_winnow_fp" -> sqlWinnowFp)
 }

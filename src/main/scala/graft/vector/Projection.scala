@@ -1,0 +1,144 @@
+package graft.vector
+
+import graft.functions.TextHashUtil
+import graft.schema.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Johnson-Lindenstrauss random projection with a distance-distortion
+  * audit (round 8; no counterpart in the reference — the ANN serving
+  * path's dimensionality-reduction front end). A ±1 (Rademacher)
+  * projection matrix derived from the shared [[TextHashUtil]] hash
+  * constants maps 64-d embeddings to [[ProjK]]-d; the JL lemma says
+  * pairwise distances survive within 1±ε, and the audit MEASURES that
+  * on a deterministic pair sample — the go/no-go check before
+  * swapping a projected index in for the full-width one
+  * ([[RunIndex]]'s layouts would then store [[ProjK]]-d codes).
+  *
+  * Cross-engine float parity (CLAUDE.md rules): the projection and
+  * both distances are LEFT-ASSOCIATED nested sums generated from the
+  * same Scala constants on both sides (identical evaluation order ⇒
+  * identical bits), sqrt is the only transcendental (correctly
+  * rounded; √16 is written as the exact literal 4.0), the mean
+  * distortion is a DECIMAL sum of round6'd ratios divided once at
+  * the output edge, and min/max commute with the final round4.
+  */
+object Projection {
+
+  private val Dim = 64
+  private val ProjK = 16
+  private val PairOffset = 25L
+
+  /** Rademacher sign s(j,i) ∈ {-1,+1} from the [[TextHashUtil.aj]]/
+    * [[TextHashUtil.bj]] permutation parity — deterministic, engine-
+    * independent, and inlined as literals into BOTH plans (the
+    * projection matrix never materializes anywhere).
+    */
+  private def sign(j: Int, i: Int): Double =
+    if ((TextHashUtil.aj(j) * i + TextHashUtil.bj(j)) % TextHashUtil.P % 2 == 1L) 1.0
+    else -1.0
+
+  /** p_j = Σ_i s(j,i)·v[i] as a left-associated nested sum over the
+    * staged vector column.
+    */
+  private def projCol(v: Column, j: Int): Column =
+    (1 to Dim).foldLeft(lit(0.0)) { (acc, i) =>
+      acc + element_at(v, i) * lit(sign(j, i))
+    }
+
+  private def duckProj(v: String, j: Int): String =
+    (1 to Dim).foldLeft("CAST(0.0 AS DOUBLE)") { (acc, i) =>
+      s"($acc + $v[$i] * ${sign(j, i)})"
+    }
+
+  /** Same explicit 6-decimal rounding as VectorQueries.round6 (floor
+    * form, identical IEEE ops both engines) — collapses ulp noise
+    * before the order-independent DECIMAL mean.
+    */
+  private def round6(c: Column): Column = floor(c * 1000000.0 + 0.5) / 1000000.0
+
+  /** JL distortion audit: project every embedding to [[ProjK]]-d with
+    * the hash-sign matrix, pair each vector with the one
+    * [[PairOffset]] ids above it (a fixed derangement — a
+    * deterministic O(N) pair sample with no sampling partitioner, so
+    * both engines audit the identical pair set), and compare
+    * projected to original Euclidean distance. `ratio` =
+    * d_proj / (√ProjK · d_orig) — 1 ± ε under JL; the output is the
+    * audit summary: how many pairs landed within ±25%, and the
+    * mean/min/max distortion.
+    *
+    * Shape: the projection is a per-row map (zero shuffle — the map
+    * stage a projected ANN index build prepends); the pair-up is an
+    * equi-join on the shifted integer id (AQE-planned, broadcastable
+    * when one side is a sample); the audit output is one aggregate
+    * row. Work is linear in vectors at any SF; the 16×64 multiply-add
+    * projection stays inside whole-stage codegen (closed-form
+    * expressions, no interpreted HOF in the hot path).
+    */
+  def randProj(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("v"))
+    val proj = (0 until ProjK).foldLeft(vecs) { (df, j) =>
+      df.withColumn(s"p$j", projCol(col("v"), j))
+    }
+    val a = proj.select(
+      (col("vec_id").as("ida") +: col("v").as("va") +:
+        (0 until ProjK).map(j => col(s"p$j").as(s"pa$j"))): _*)
+    val b = proj.select(
+      (col("vec_id").as("idb") +: col("v").as("vb") +:
+        (0 until ProjK).map(j => col(s"p$j").as(s"pb$j"))): _*)
+    val dOrig2 = (1 to Dim).foldLeft(lit(0.0)) { (acc, i) =>
+      val d = element_at(col("va"), i) - element_at(col("vb"), i)
+      acc + d * d
+    }
+    val dProj2 = (0 until ProjK).foldLeft(lit(0.0)) { (acc, j) =>
+      val d = col(s"pa$j") - col(s"pb$j")
+      acc + d * d
+    }
+    a.join(b, col("idb") === col("ida") + PairOffset)
+      .withColumn("ratio", sqrt(dProj2) / (lit(4.0) * sqrt(dOrig2)))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("ratio").between(0.75, 1.25), 1L).otherwise(0L)).as("n_within_25pct"),
+        sum(round6(col("ratio")).cast("decimal(18,6)")).as("ratio_dec"),
+        min(col("ratio")).as("min_r"),
+        max(col("ratio")).as("max_r"))
+      .select(
+        col("n_pairs"),
+        col("n_within_25pct"),
+        graft.text.TextFns.round4(
+          col("ratio_dec").cast("double") / col("n_pairs").cast("double")).as("avg_ratio"),
+        graft.text.TextFns.round4(col("min_r")).as("min_ratio"),
+        graft.text.TextFns.round4(col("max_r")).as("max_ratio"))
+  }
+
+  private val sqlRandProj = {
+    val projA = (0 until ProjK).map(j => s"${duckProj("v", j)} AS p$j").mkString(", ")
+    val dOrig2 = (1 to Dim).foldLeft("CAST(0.0 AS DOUBLE)") { (acc, i) =>
+      s"($acc + (a.v[$i] - b.v[$i]) * (a.v[$i] - b.v[$i]))"
+    }
+    val dProj2 = (0 until ProjK).foldLeft("CAST(0.0 AS DOUBLE)") { (acc, j) =>
+      s"($acc + (a.p$j - b.p$j) * (a.p$j - b.p$j))"
+    }
+    val round6 = (e: String) => s"(floor(($e) * 1000000.0 + 0.5) / 1000000.0)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |     p AS (SELECT vec_id, v, $projA FROM e),
+       |     r AS (SELECT sqrt($dProj2) / (4.0 * sqrt($dOrig2)) AS ratio
+       |           FROM p a JOIN p b ON b.vec_id = a.vec_id + $PairOffset)
+       |SELECT count(*) AS n_pairs,
+       |       CAST(sum(CASE WHEN ratio BETWEEN 0.75 AND 1.25 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_within_25pct,
+       |       ${graft.text.TextFns.duckRound4(
+                  s"CAST(sum(CAST(${round6("ratio")} AS DECIMAL(18,6))) AS DOUBLE)" +
+                    " / CAST(count(*) AS DOUBLE)")} AS avg_ratio,
+       |       ${graft.text.TextFns.duckRound4("min(ratio)")} AS min_ratio,
+       |       ${graft.text.TextFns.duckRound4("max(ratio)")} AS max_ratio
+       |FROM r""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rand_proj" -> (randProj _))
+
+  val oracle: Map[String, String] = Map(
+    "q_rand_proj" -> sqlRandProj)
+}
