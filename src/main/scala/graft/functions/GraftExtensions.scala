@@ -47,6 +47,11 @@ object GraftExtensions {
       ShingleSetExpr(args.head,
         if (args.length > 1) intArg(args(1), "k") else 5)
     },
+    "graft_winnow_fp" -> { args =>
+      WinnowFpExpr(args.head,
+        if (args.length > 1) intArg(args(1), "k") else 7,
+        if (args.length > 2) intArg(args(2), "w") else 5)
+    },
     "graft_dot" -> { args =>
       require(args.length == 2,
         s"graft_dot takes exactly 2 array arguments, got ${args.length}")

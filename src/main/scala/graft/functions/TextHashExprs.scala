@@ -111,6 +111,50 @@ object TextHashUtil {
     new GenericArrayData(out.toArray)
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03): hash every k-gram (same zero-padded recurrence as
+    * [[minHashSig]]/[[shingleSet]]), slide a w-wide window over the
+    * gram hashes, keep the minimum of each window, return the
+    * distinct minima in first-occurrence order — exactly
+    * `array_distinct(transform(1..max(nh-w+1,1), i ->
+    * array_min(slice(hs, i, w))))` over the HOF shingle pipeline
+    * (parity pinned by TextHashSpec). One tight primitive loop per
+    * row instead of ~len interpreted slice allocations.
+    */
+  def winnowFp(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val n = s.numBytes
+    val nSh = math.max(n - k + 1, 1)
+    val hs = new Array[Long](nSh)
+    var i = 0
+    while (i < nSh) {
+      var h = 0L
+      var off = 0
+      while (off < k) {
+        val c = if (i + off < n) s.getByte(i + off) & 0xffL else 0L
+        h = (h * B + c) % P
+        off += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    val nW = math.max(nSh - w + 1, 1)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    i = 0
+    while (i < nW) {
+      var m = Long.MaxValue
+      var j = i
+      val end = math.min(i + w, nSh)
+      while (j < end) {
+        if (hs(j) < m) m = hs(j)
+        j += 1
+      }
+      if (seen.add(m)) out += m
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** SimHash over space-delimited lowercased token hashes: bit j set
     * iff tokens with bit j set outnumber those without.
     */
@@ -190,6 +234,21 @@ case class ShingleSetExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** graft_winnow_fp(text): distinct winnowing window-min fingerprints
+  * (array<long>).
+  */
+case class WinnowFpExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_fp"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashUtil.winnowFp(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.winnowFp($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFpExpr =
+    copy(child = newChild)
+}
+
 /** graft_simhash(text): token-vote SimHash (long). */
 case class SimHashExpr(child: Expression, bits: Int)
     extends UnaryExpression {
@@ -213,4 +272,6 @@ object TextHashes {
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(text), bits))
   def shingleSet(text: Column, k: Int): Column =
     ColumnBridge.column(ShingleSetExpr(ColumnBridge.expression(text), k))
+  def winnowFp(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFpExpr(ColumnBridge.expression(text), k, w))
 }

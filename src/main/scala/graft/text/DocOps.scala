@@ -320,22 +320,21 @@ object DocOps {
     * stays fixed, so kept fingerprints stay the rare discriminative
     * tail — the same reason the band works for MOSS at web scale.
     *
-    * Per-row cost: the window-min `transform` references only the
-    * STAGED `hs` column (interpreted-HOF staging rule) and costs
-    * O(len · W) — the O(len) rightmost-min deque variant is the
-    * single-machine optimization; at W = 5 the constant is smaller
-    * than a second staged pass.
+    * Per-row cost: the fingerprint extraction is the NATIVE
+    * codegen'd [[graft.functions.TextHashes.winnowFp]] kernel (one
+    * tight O(len·(K+W)) primitive loop — TextHashSpec pins it ≡ the
+    * interpreted `array_distinct(transform(.., i ->
+    * array_min(slice(hs, i, W))))` HOF reference form). Native
+    * matters doubly here: the fps relation is consumed three times
+    * (df census + both pair-join sides), and the interpreted form
+    * re-evaluated ~len slice allocations per row per consumer —
+    * measured 11.4 s at sf0.1 vs 1 s native.
     */
   def winnowFp(spark: SparkSession, sfDir: String): DataFrame = {
     val fps = Tables.documents(spark, sfDir)
-      .withColumn("cs", TextFns.codes(col("text")))
-      .withColumn("hs",
-        TextFns.shingleHashesFromCodes(col("cs"), length(col("text")).cast("long"), WinK))
-      .withColumn("fps",
-        array_distinct(transform(
-          sequence(lit(1), greatest(size(col("hs")) - (WinW - 1), lit(1))),
-          i => array_min(slice(col("hs"), i, lit(WinW))))))
-      .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+      .select(col("doc_id"),
+        explode_outer(
+          graft.functions.TextHashes.winnowFp(col("text"), WinK, WinW)).as("fp"))
     val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2L, WinMaxDf))
       .select("fp")

@@ -54,6 +54,35 @@ class TextHashSpec extends SparkSpec {
     }
   }
 
+  test("native winnowFp equals HOF window-min-of-shingles pipeline") {
+    val w = 5
+    val df = texts.toDF("text")
+      .withColumn("cs", TextFns.codes(col("text")))
+      .withColumn("hs", TextFns.shingleHashesFromCodes(col("cs"), length(col("text")), 7))
+      .select(
+        TextHashes.winnowFp(col("text"), 7, w).as("native"),
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
+          i => array_min(slice(col("hs"), i, lit(w))))).as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("winnowing guarantee: shared substring of length >= k+w-1 shares a fingerprint") {
+    // two documents sharing an 11-char substring (k=7, w=5) must share
+    // at least one selected fingerprint — the SIGMOD'03 theorem the
+    // q_winnow_fp candidate generation relies on
+    def fps(s: String): Set[Long] = {
+      val a = TextHashUtil.winnowFp(UTF8String.fromString(s), 7, 5)
+      (0 until a.numElements()).map(a.getLong).toSet
+    }
+    val shared = "abcdefghijk" // exactly k + w - 1 = 11 chars
+    val d1 = s"xxxx $shared yyyy"
+    val d2 = s"zz $shared qqqqqq"
+    assert(fps(d1).intersect(fps(d2)).nonEmpty)
+  }
+
   test("native simHash equals HOF simhash pipeline") {
     val df = texts.toDF("text")
       .withColumn("ts", TextFns.tokens(col("text")))
