@@ -1,7 +1,8 @@
 package graft.text
 
+import graft.functions.TextHashUtil
 import graft.schema.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -373,13 +374,173 @@ object DocOps {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---------- q_cms_est: count-min sketch accuracy audit ----------
+
+  /** Count-min sketch geometry (Cormode & Muthukrishnan, 2005): d
+    * hash rows × w counters. State is d·w = 2048 integers — a
+    * mergeable summary (counter-wise addition), the same class as the
+    * Misra-Gries summaries [[CorpusOps.heavyHitters]] persists and
+    * the HLL registers in [[graft.etl.Sketches]].
+    */
+  private val CmsD = 4
+  private val CmsW = 512
+  private val CmsTopQ = 20
+
+  /** CMS row/column of a staged 64-bit token hash `h`: the j-th
+    * [[TextHashUtil.aj]]/[[TextHashUtil.bj]] permutation reduced mod
+    * [[CmsW]] — engine-independent integers, so unlike an
+    * xxhash64-based sketch (the [[graft.etl.Sampling]] limit in
+    * CLAUDE.md) this sketch IS cross-engine verifiable.
+    */
+  private def cmsCol(h: Column, j: Int): Column =
+    pmod(pmod(h * TextHashUtil.aj(j) + TextHashUtil.bj(j), lit(TextHashUtil.P)), lit(CmsW.toLong))
+
+  private def duckCmsCol(h: String, j: Int): String =
+    s"((($h * ${TextHashUtil.aj(j)} + ${TextHashUtil.bj(j)}) % ${TextHashUtil.P}) % $CmsW)"
+
+  /** Count-min sketch accuracy audit: build a d×w CMS over corpus
+    * token counts, then compare the sketch estimate against the exact
+    * count for the corpus's top-[[CmsTopQ]] tokens. CMS guarantees
+    * est ≥ exact, with overcount ≤ εN w.h.p. — `overcount` is the
+    * audit column a deployment tracks before trusting the sketch for
+    * admission control / rate limiting over streams too wide to count
+    * exactly.
+    *
+    * Shape — collapse-first again: corpus tokens collapse to (word,
+    * freq) vocab grain ONCE (one hash aggregate, the only
+    * corpus-sized shuffle); the sketch build fans each vocab row to
+    * its d counter cells (outer generate over a 4-element literal
+    * array) and sums freq per (row, col) — work ∝ vocab · d, state
+    * d·w. The query side broadcasts the top-Q probe set (≤ 20 rows
+    * post-limit) against the 2048-row counter table. The top-Q cut
+    * uses the (freq DESC, word) total order so both engines cut the
+    * identical set.
+    */
+  def cmsEst(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(explode_outer(col("ts")).as("word"))
+      .filter(col("word").isNotNull)
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("h", graft.functions.TextHashes.polyHash(col("word")))
+    val cells = vocab
+      .select(col("freq"),
+        explode_outer(array((0 until CmsD).map(j =>
+          struct(lit(j).as("j"), cmsCol(col("h"), j).as("c"))): _*)).as("jc"))
+      .groupBy(col("jc.j").as("j"), col("jc.c").as("c"))
+      .agg(sum(col("freq")).as("cnt"))
+    val top = vocab
+      .orderBy(col("freq").desc, col("word"))
+      .limit(CmsTopQ)
+    top
+      .select(col("word"), col("freq"),
+        explode_outer(array((0 until CmsD).map(j =>
+          struct(lit(j).as("j"), cmsCol(col("h"), j).as("c"))): _*)).as("jc"))
+      .join(cells, col("jc.j") === cells("j") && col("jc.c") === cells("c"))
+      .groupBy("word", "freq")
+      .agg(min(col("cnt")).as("n_est"))
+      .select(col("word").as("token"), col("freq").as("n_exact"),
+        col("n_est"), (col("n_est") - col("freq")).as("overcount"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
+  private val sqlCmsEst = {
+    val fan = (0 until CmsD).map(j =>
+      s"SELECT word, freq, $j AS j, ${duckCmsCol("h", j)} AS c FROM h")
+      .mkString("(", " UNION ALL ", ")")
+    s"""WITH t AS (SELECT $duckTokens AS ts FROM documents),
+       |     e AS (SELECT unnest(ts) AS word FROM t),
+       |     v AS (SELECT word, count(*) AS freq FROM e GROUP BY 1),
+       |     vc AS (SELECT word, freq, ${duckCodesOf("word")} AS cs FROM v),
+       |     h AS (SELECT word, freq, $duckPolyHash AS h FROM vc),
+       |     f AS (SELECT * FROM $fan),
+       |     cells AS (SELECT j, c, CAST(sum(freq) AS BIGINT) AS cnt FROM f GROUP BY 1, 2),
+       |     top AS (SELECT word, freq FROM v ORDER BY freq DESC, word LIMIT $CmsTopQ),
+       |     q AS (SELECT f.word, f.freq, f.j, f.c FROM f JOIN top
+       |             ON f.word = top.word AND f.freq = top.freq)
+       |SELECT q.word AS token, CAST(q.freq AS BIGINT) AS n_exact,
+       |       CAST(min(cells.cnt) AS BIGINT) AS n_est,
+       |       CAST(min(cells.cnt) - q.freq AS BIGINT) AS overcount
+       |FROM q JOIN cells ON q.j = cells.j AND q.c = cells.c
+       |GROUP BY q.word, q.freq
+       |ORDER BY n_exact DESC, token""".stripMargin
+  }
+
+  // ---------- q_dict_encode: dictionary-encoding compression audit ----------
+
+  /** Dictionary-encoding audit: assign dense codes to the vocabulary
+    * by (frequency DESC, token) rank — the order a columnar store's
+    * dictionary builder uses so hot values get short codes — and
+    * measure the encoded size under byte-aligned code widths (1 byte
+    * for codes < 2⁸, 2 for < 2¹⁶, else 4) against the raw
+    * space-joined text bytes. The compression ratio is the signal
+    * that decides whether a string column gets dictionary-encoded at
+    * write time ([[graft.etl.Warehouse]]'s parquet writes make this
+    * choice implicitly; this query makes the estimate explicit).
+    *
+    * Scale note (CLAUDE.md window rule): the rank window runs
+    * partition-less over the VOCABULARY — an aggregate of the corpus
+    * (one hash-agg collapse), ~√N by Heaps' law, not
+    * fact-proportional; at web scale where the vocab itself is wide,
+    * the rank swaps to the lazy radix rank over freq buckets
+    * ([[graft.olap.OlapMore.ntileQuartiles]]'s shape) — named here as
+    * the fact-scale alternative. Everything else is integer
+    * arithmetic and two aggregates.
+    */
+  def dictEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(explode_outer(col("ts")).as("word"))
+      .filter(col("word").isNotNull)
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+    val coded = vocab
+      .withColumn("code",
+        row_number().over(Window.orderBy(col("freq").desc, col("word"))).cast("long") - 1L)
+      .withColumn("code_bytes",
+        when(col("code") < 256L, 1L).when(col("code") < 65536L, 2L).otherwise(4L))
+    coded.agg(
+        count(lit(1)).as("n_vocab"),
+        sum(col("freq")).as("n_tokens"),
+        // raw bytes: token chars + one separator per token (the
+        // space-joined wire form both engines agree on exactly)
+        sum(col("freq") * (length(col("word")).cast("long") + 1L)).as("raw_bytes"),
+        sum(col("freq") * col("code_bytes")).as("encoded_bytes"))
+      .withColumn("ratio",
+        TextFns.round4(col("encoded_bytes").cast("double") / col("raw_bytes").cast("double")))
+      .select(col("n_vocab"), col("n_tokens"), col("raw_bytes"),
+        col("encoded_bytes"), col("ratio"))
+  }
+
+  private val sqlDictEncode =
+    s"""WITH t AS (SELECT $duckTokens AS ts FROM documents),
+       |     e AS (SELECT unnest(ts) AS word FROM t),
+       |     v AS (SELECT word, count(*) AS freq FROM e GROUP BY 1),
+       |     c AS (SELECT word, freq,
+       |             row_number() OVER (ORDER BY freq DESC, word) - 1 AS code
+       |           FROM v),
+       |     b AS (SELECT word, freq,
+       |             CASE WHEN code < 256 THEN 1 WHEN code < 65536 THEN 2 ELSE 4 END AS code_bytes
+       |           FROM c)
+       |SELECT count(*) AS n_vocab, CAST(sum(freq) AS BIGINT) AS n_tokens,
+       |       CAST(sum(freq * (length(word) + 1)) AS BIGINT) AS raw_bytes,
+       |       CAST(sum(freq * code_bytes) AS BIGINT) AS encoded_bytes,
+       |       ${TextFns.duckRound4(
+                  "CAST(sum(freq * code_bytes) AS DOUBLE) / CAST(sum(freq * (length(word) + 1)) AS DOUBLE)")} AS ratio
+       |FROM b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cms_est" -> (cmsEst _),
+    "q_dict_encode" -> (dictEncode _),
     "q_segment_dedup" -> (segmentDedup _),
     "q_gopher_rules" -> (gopherRules _),
     "q_bpe_pairs" -> (bpePairs _),
     "q_winnow_fp" -> (winnowFp _))
 
   val oracle: Map[String, String] = Map(
+    "q_cms_est" -> sqlCmsEst,
+    "q_dict_encode" -> sqlDictEncode,
     "q_segment_dedup" -> sqlSegmentDedup,
     "q_gopher_rules" -> sqlGopherRules,
     "q_bpe_pairs" -> sqlBpePairs,

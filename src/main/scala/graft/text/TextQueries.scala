@@ -359,6 +359,77 @@ object TextQueries {
        |SELECT v AS doc_id, deg, r AS rank_ppm FROM r$PrIters ORDER BY doc_id""".stripMargin
   }
 
+  // ---------- 3a¹ᶜ. q_label_prop: one label-propagation round ----------
+
+  /** One synchronous label-propagation round (Raghavan et al., 2007)
+    * over the LSH collision graph: every graph node takes the
+    * MAJORITY language label of its neighbors (count DESC, then
+    * smallest label — a total order, so both engines elect the same
+    * winner), and the output is the orig-lang × new-label confusion
+    * table. Near-duplicate neighborhoods are overwhelmingly
+    * monolingual, so disagreement rows are exactly the
+    * cross-language near-dup bridges — the label-noise signal a
+    * curation pipeline reviews before trusting per-language quotas
+    * ([[CorpusOps.temperatureMix]] consumes those lang counts).
+    * Further rounds are driver-paced exactly like
+    * [[graft.graph.PageRank]]'s (checkpoint-tracked); one round is
+    * already the audit.
+    *
+    * Shape: the edge list is the linear rep-member band graph (never
+    * within-bucket quadratic), the vote is one (node, label) hash
+    * aggregate, and the winner election is a row_number window
+    * partitioned BY NODE (per-partition width = distinct neighbor
+    * labels ≤ 5 here, label-cardinality bounded). The confusion
+    * rollup is a (lang, label) aggregate over lang²-bounded keys.
+    */
+  def labelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = bandReps(docs)
+      .filter(col("rep") < col("doc_id"))
+      .select(col("rep").as("a"), col("doc_id").as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val langs = docs.select(col("doc_id"), col("lang"))
+    val votes = edges
+      .join(langs.select(col("doc_id").as("dst"), col("lang").as("nb_lang")), "dst")
+      .groupBy("src", "nb_lang")
+      .agg(count(lit(1)).as("n_votes"))
+    val byVote = Window.partitionBy("src")
+      .orderBy(col("n_votes").desc, col("nb_lang"))
+    val newLabels = votes
+      .withColumn("rk", row_number().over(byVote))
+      .filter(col("rk") === 1)
+      .select(col("src").as("doc_id"), col("nb_lang").as("new_label"))
+    newLabels
+      .join(langs, "doc_id")
+      .groupBy("lang", "new_label")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "new_label")
+  }
+
+  private val sqlLabelProp =
+    s"""WITH c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),
+       |     s AS (SELECT doc_id, $duckShingles AS shs FROM c),
+       |     g AS (SELECT doc_id, $duckSignature AS sig FROM s),
+       |     bands AS (SELECT doc_id, unnest($duckBandKeys) AS band FROM g),
+       |     reps AS (SELECT band, min(doc_id) AS rep FROM bands GROUP BY band),
+       |     pairs AS (SELECT DISTINCT reps.rep AS a, bands.doc_id AS b
+       |               FROM bands JOIN reps ON bands.band = reps.band
+       |               WHERE reps.rep < bands.doc_id),
+       |     dir AS (SELECT a AS src, b AS dst FROM pairs
+       |             UNION ALL SELECT b, a FROM pairs),
+       |     votes AS (SELECT dir.src, d.lang AS nb_lang, count(*) AS n_votes
+       |               FROM dir JOIN documents d ON dir.dst = d.doc_id
+       |               GROUP BY 1, 2),
+       |     win AS (SELECT src AS doc_id, nb_lang AS new_label FROM (
+       |               SELECT *, row_number() OVER (PARTITION BY src
+       |                 ORDER BY n_votes DESC, nb_lang) AS rk FROM votes)
+       |             WHERE rk = 1)
+       |SELECT d.lang, w.new_label, count(*) AS n_docs
+       |FROM win w JOIN documents d ON w.doc_id = d.doc_id
+       |GROUP BY 1, 2 ORDER BY lang, new_label""".stripMargin
+
   // ---------- 3a². q_delta_dedup: incremental dedup vs a corpus index ----------
 
   /** The persistable (band, idx_doc) LSH band index of a corpus — the
@@ -1121,6 +1192,7 @@ object TextQueries {
     "q_minhash_cluster" -> (minhashCluster _),
     "q_minhash_est" -> (minhashEst _),
     "q_pagerank" -> (pagerank _),
+    "q_label_prop" -> (labelProp _),
     "q_delta_dedup" -> (deltaDedup _),
     "q_cc_clusters" -> (ccClusters _),
     "q_leakage_split" -> (leakageSplit _),
@@ -1144,6 +1216,7 @@ object TextQueries {
     "q_minhash_cluster" -> sqlMinhashCluster,
     "q_minhash_est" -> sqlMinhashEst,
     "q_pagerank" -> sqlPagerank,
+    "q_label_prop" -> sqlLabelProp,
     "q_delta_dedup" -> sqlDeltaDedup,
     "q_cc_clusters" -> sqlCcClusters,
     "q_leakage_split" -> sqlLeakageSplit,
