@@ -13,7 +13,8 @@ class SparkEntrySpec extends SparkSpec {
       olap.OlapStats.queries,
       stream.EventQueries.queries, text.TextQueries.queries,
       text.TextAnalytics.queries, text.CorpusOps.queries,
-      vector.VectorQueries.queries)
+      text.DocOps.queries,
+      vector.VectorQueries.queries, vector.Projection.queries)
     val total = packs.map(_.size).sum
     assert(SparkEntry.queries.size == total,
       s"aggregated ${SparkEntry.queries.size} of $total — duplicate query name across packs")
