@@ -530,7 +530,131 @@ object DocOps {
                   "CAST(sum(freq * code_bytes) AS DOUBLE) / CAST(sum(freq * (length(word) + 1)) AS DOUBLE)")} AS ratio
        |FROM b""".stripMargin
 
+  // ---------- q_novelty: first-occurrence n-gram novelty scoring ----------
+
+  private val NovN = 3 // word n-gram width (the q_ngram_jaccard width)
+
+  /** Data-valuation novelty scoring: attribute every distinct word
+    * [[NovN]]-gram to the FIRST document containing it (min doc_id —
+    * ingestion order), then score each source by the fraction of its
+    * gram occurrences that are first occurrences. A source full of
+    * grams already seen elsewhere contributes little new signal even
+    * when whole-document dedup passes — this is the marginal-
+    * contribution number a curation pipeline weighs acquisition cost
+    * against (the same first-wins attribution rule as
+    * [[segmentDedup]], one granularity down).
+    *
+    * Shape: distinct (doc, gram) collapse per row (`array_distinct`),
+    * one gram-keyed min aggregate (the only corpus-wide shuffle), and
+    * the novelty join is gram-keyed equi. The ratio is
+    * sum-of-integers / sum-of-integers per source — one exact
+    * division at the output edge, no float aggregation anywhere.
+    */
+  def novelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .withColumn("gs", array_distinct(TextFns.wordNgramsFromTokens(col("ts"), NovN)))
+      .select(col("doc_id"), col("source"), explode_outer(col("gs")).as("gram"))
+      .filter(col("gram").isNotNull)
+    val firstDoc = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstDoc, "gram")
+      .withColumn("novel", when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+      .groupBy("source")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_grams"),
+        sum(col("novel")).as("n_novel"))
+      .withColumn("novelty",
+        TextFns.round4(col("n_novel").cast("double") / col("n_grams").cast("double")))
+      .orderBy("source")
+  }
+
+  private val sqlNovelty =
+    s"""WITH t AS (SELECT doc_id, source, $duckTokens AS ts FROM documents),
+       |     g0 AS (SELECT doc_id, source,
+       |             list_distinct(${TextQueries.duckNgramsOf(NovN)}) AS gs
+       |           FROM t),
+       |     g AS (SELECT doc_id, source, unnest(gs) AS gram FROM g0),
+       |     f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+       |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       count(*) AS n_grams,
+       |       CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |       ${TextFns.duckRound4(
+                  "CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS DOUBLE)" +
+                    " / CAST(count(*) AS DOUBLE)")} AS novelty
+       |FROM g JOIN f USING (gram)
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------- q_source_skew: chi-square language-mix skew audit ----------
+
+  /** Per-source χ² statistic of the source's language distribution
+    * against the global mix: χ² = Σ_lang (obs − exp)²/exp with
+    * exp = n_source · n_lang / n_total. Flags sources whose language
+    * composition diverges from the corpus — the drift/contamination
+    * alarm a multilingual ingest monitors per feed (χ² chosen over KL
+    * divergence DELIBERATELY: χ² is rational arithmetic — exact
+    * integer counts and correctly-rounded IEEE divisions — where KL's
+    * ln has no cross-engine ulp guarantee; CLAUDE.md float-parity
+    * rule).
+    *
+    * Parity: each (source, lang) term is computed from identical-bit
+    * doubles, then round6'd and summed AS DECIMAL (order-independent
+    * exact sum — the Σ over langs would otherwise depend on partial-
+    * aggregation order), divided by nothing, rounded once at the
+    * edge. Shape: two bounded aggregates (source×lang, then source)
+    * over counts, broadcast lang totals — no fact-proportional
+    * windows, no joins beyond source×lang cardinality.
+    */
+  def sourceSkew(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val cell = docs.groupBy("source", "lang").agg(count(lit(1)).as("obs"))
+    val bySource = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
+    val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val round6 = (c: Column) => floor(c * 1000000.0 + 0.5) / 1000000.0
+    cell
+      .join(broadcast(byLang), "lang")
+      .join(bySource, "source")
+      .crossJoin(broadcast(total))
+      .withColumn("exp",
+        col("n_source").cast("double") * col("n_lang").cast("double")
+          / col("n_total").cast("double"))
+      .withColumn("term",
+        (col("obs").cast("double") - col("exp")) * (col("obs").cast("double") - col("exp"))
+          / col("exp"))
+      .groupBy("source")
+      .agg(
+        max(col("n_source")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum(round6(col("term")).cast("decimal(18,6)")).as("chi2_dec"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        TextFns.round4(col("chi2_dec").cast("double")).as("chi2"))
+      .orderBy("source")
+  }
+
+  private val sqlSourceSkew =
+    s"""WITH cell AS (SELECT source, lang, count(*) AS obs FROM documents GROUP BY 1, 2),
+       |     bs AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
+       |     bl AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+       |     tot AS (SELECT count(*) AS n_total FROM documents),
+       |     e AS (SELECT cell.source, cell.obs,
+       |             CAST(n_source AS DOUBLE) * CAST(n_lang AS DOUBLE)
+       |               / CAST(n_total AS DOUBLE) AS exp,
+       |             n_source
+       |           FROM cell JOIN bl USING (lang) JOIN bs USING (source) CROSS JOIN tot),
+       |     t AS (SELECT source, n_source,
+       |             (CAST(obs AS DOUBLE) - exp) * (CAST(obs AS DOUBLE) - exp) / exp AS term
+       |           FROM e)
+       |SELECT source, CAST(max(n_source) AS BIGINT) AS n_docs,
+       |       count(*) AS n_langs,
+       |       ${TextFns.duckRound4(
+                  "CAST(sum(CAST((floor(term * 1000000.0 + 0.5) / 1000000.0)" +
+                    " AS DECIMAL(18,6))) AS DOUBLE)")} AS chi2
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_novelty" -> (novelty _),
+    "q_source_skew" -> (sourceSkew _),
     "q_cms_est" -> (cmsEst _),
     "q_dict_encode" -> (dictEncode _),
     "q_segment_dedup" -> (segmentDedup _),
@@ -539,6 +663,8 @@ object DocOps {
     "q_winnow_fp" -> (winnowFp _))
 
   val oracle: Map[String, String] = Map(
+    "q_novelty" -> sqlNovelty,
+    "q_source_skew" -> sqlSourceSkew,
     "q_cms_est" -> sqlCmsEst,
     "q_dict_encode" -> sqlDictEncode,
     "q_segment_dedup" -> sqlSegmentDedup,
