@@ -56,6 +56,15 @@ object GraftExtensions {
       require(args.length == 2,
         s"graft_dot takes exactly 2 array arguments, got ${args.length}")
       DotProductExpr(args.head, args(1))
+    },
+    "graft_sqdist" -> { args =>
+      require(args.length == 2,
+        s"graft_sqdist takes exactly 2 array arguments, got ${args.length}")
+      SqDistExpr(args.head, args(1))
+    },
+    "graft_rademacher" -> { args =>
+      RademacherExpr(args.head,
+        if (args.length > 1) intArg(args(1), "k") else 16)
     })
 
   /** Runtime registration for sessions built without the extensions

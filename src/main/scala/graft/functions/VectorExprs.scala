@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
@@ -38,6 +38,51 @@ object VecUtil {
     }
     acc
   }
+
+  /** Left-fold squared Euclidean distance Σ (a_i − b_i)² — the same
+    * index-order accumulation as the oracle's left-associated nested
+    * sum, bit-for-bit.
+    */
+  def sqDist(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Rademacher (±1 hash-sign) projection to k dims: out[j] =
+    * Σ_i s(j,i)·v[i] accumulated in index order — IEEE-identical to
+    * the left-associated literal sums the DuckDB oracle evaluates
+    * (multiplication by ±1 is exact; addition order matches). The
+    * sign is the [[TextHashUtil.aj]]/[[TextHashUtil.bj]] permutation
+    * parity at (j, i+1) — the same constants inlined as literals on
+    * the oracle side, so the projection matrix exists only as
+    * arithmetic.
+    */
+  def rademacher(v: ArrayData, k: Int): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val aj = TextHashUtil.aj(j)
+      val bj = TextHashUtil.bj(j)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val s = if ((aj * (i + 1) + bj) % TextHashUtil.P % 2 == 1L) 1.0 else -1.0
+        acc += v.getDouble(i) * s
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** graft_dot(a, b): left-fold dot product of two array&lt;double&gt;
@@ -71,9 +116,58 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** graft_sqdist(a, b): left-fold squared Euclidean distance; null on
+  * length mismatch (same contract as [[DotProductExpr]]).
+  */
+case class SqDistExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sqdist"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    if (aa.numElements() != bb.numElements()) null else VecUtil.sqDist(aa, bb)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |if ($a.numElements() != $b.numElements()) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = graft.functions.VecUtil.sqDist($a, $b);
+      |}""".stripMargin)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** graft_rademacher(v, k): hash-sign ±1 projection to k dims
+  * (array&lt;double&gt;).
+  */
+case class RademacherExpr(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_rademacher"
+  override protected def nullSafeEval(input: Any): Any =
+    VecUtil.rademacher(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecUtil.rademacher($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): RademacherExpr =
+    copy(child = newChild)
+}
+
 /** Column-level API for the native vector kernels. */
 object VectorNative {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def sqDist(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SqDistExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def rademacher(v: Column, k: Int): Column =
+    ColumnBridge.column(RademacherExpr(ColumnBridge.expression(v), k))
 }

@@ -38,14 +38,6 @@ object Projection {
     if ((TextHashUtil.aj(j) * i + TextHashUtil.bj(j)) % TextHashUtil.P % 2 == 1L) 1.0
     else -1.0
 
-  /** p_j = Σ_i s(j,i)·v[i] as a left-associated nested sum over the
-    * staged vector column.
-    */
-  private def projCol(v: Column, j: Int): Column =
-    (1 to Dim).foldLeft(lit(0.0)) { (acc, i) =>
-      acc + element_at(v, i) * lit(sign(j, i))
-    }
-
   private def duckProj(v: String, j: Int): String =
     (1 to Dim).foldLeft("CAST(0.0 AS DOUBLE)") { (acc, i) =>
       s"($acc + $v[$i] * ${sign(j, i)})"
@@ -72,31 +64,24 @@ object Projection {
     * equi-join on the shifted integer id (AQE-planned, broadcastable
     * when one side is a sample); the audit output is one aggregate
     * row. Work is linear in vectors at any SF; the 16×64 multiply-add
-    * projection stays inside whole-stage codegen (closed-form
-    * expressions, no interpreted HOF in the hot path).
+    * projection and both distances run as NATIVE codegen'd kernels
+    * ([[graft.functions.VectorNative.rademacher]]/[[graft.functions.
+    * VectorNative.sqDist]] — index-order left folds, IEEE-identical
+    * to the oracle's left-associated literal sums; the first draft's
+    * 1024-term closed-form column trees cost ~1.4 s of per-run plan
+    * processing at sf0.1, the native form ~0.3 s).
     */
   def randProj(spark: SparkSession, sfDir: String): DataFrame = {
-    val vecs = Tables.embeddings(spark, sfDir)
+    import graft.functions.VectorNative
+    val proj = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), VectorFns.toDouble(col("embedding")).as("v"))
-    val proj = (0 until ProjK).foldLeft(vecs) { (df, j) =>
-      df.withColumn(s"p$j", projCol(col("v"), j))
-    }
-    val a = proj.select(
-      (col("vec_id").as("ida") +: col("v").as("va") +:
-        (0 until ProjK).map(j => col(s"p$j").as(s"pa$j"))): _*)
-    val b = proj.select(
-      (col("vec_id").as("idb") +: col("v").as("vb") +:
-        (0 until ProjK).map(j => col(s"p$j").as(s"pb$j"))): _*)
-    val dOrig2 = (1 to Dim).foldLeft(lit(0.0)) { (acc, i) =>
-      val d = element_at(col("va"), i) - element_at(col("vb"), i)
-      acc + d * d
-    }
-    val dProj2 = (0 until ProjK).foldLeft(lit(0.0)) { (acc, j) =>
-      val d = col(s"pa$j") - col(s"pb$j")
-      acc + d * d
-    }
+      .withColumn("p", VectorNative.rademacher(col("v"), ProjK))
+    val a = proj.select(col("vec_id").as("ida"), col("v").as("va"), col("p").as("pa"))
+    val b = proj.select(col("vec_id").as("idb"), col("v").as("vb"), col("p").as("pb"))
     a.join(b, col("idb") === col("ida") + PairOffset)
-      .withColumn("ratio", sqrt(dProj2) / (lit(4.0) * sqrt(dOrig2)))
+      .withColumn("ratio",
+        sqrt(VectorNative.sqDist(col("pa"), col("pb")))
+          / (lit(4.0) * sqrt(VectorNative.sqDist(col("va"), col("vb")))))
       .agg(
         count(lit(1)).as("n_pairs"),
         sum(when(col("ratio").between(0.75, 1.25), 1L).otherwise(0L)).as("n_within_25pct"),
