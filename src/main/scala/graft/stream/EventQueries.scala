@@ -322,7 +322,69 @@ object EventQueries {
                   "list_reduce(cs, (acc, x) -> 0.3 * x + 0.7 * acc)")} AS ewma
        |FROM s ORDER BY event_type""".stripMargin
 
+  // ---------- q_time_decay: dyadic half-life recency weighting ----------
+
+  /** Cap on the half-life exponent: 2⁵² is the largest power of two
+    * whose reciprocal scaling is still exact for every double
+    * mantissa; events older than 52 half-lives contribute ~0 anyway.
+    */
+  private val DecayMaxK = 52L
+
+  /** Recency-weighted value totals per event type: weight = 2^(−k)
+    * where k = whole 7-day half-lives between the event and the
+    * stream's newest event. The decay base is a POWER OF TWO
+    * deliberately: multiplying a double by 2^(−k) only shifts the
+    * exponent — exact on every IEEE engine — where the conventional
+    * exp(−λ·age) has no cross-engine ulp guarantee (the same
+    * correctly-rounded-ops-only rule that picked sqrt for
+    * [[graft.text.CorpusOps.temperatureMix]]'s α). Ages are pure
+    * integer arithmetic on epoch microseconds.
+    *
+    * Parity: the weighted values are exact per row, then round6'd and
+    * summed AS DECIMAL (order-independent) with one round4 at the
+    * edge — no order-dependent float sum ever reaches the output.
+    * Shape: the reference timestamp joins in lazily (broadcast 1-row
+    * cross join, the division/nRegions pattern), then ONE hash
+    * aggregate over events. A streaming deployment keeps per-(type,
+    * half-life-bucket) partial sums and rescales on read — the
+    * telescoping EWMA note above, dyadic edition.
+    */
+  def timeDecay(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("value"))
+    val mx = ev.agg(max(col("ts")).as("max_ts"))
+    val round6 = (c: org.apache.spark.sql.Column) => floor(c * 1000000.0 + 0.5) / 1000000.0
+    ev.crossJoin(broadcast(mx))
+      .withColumn("k",
+        least(expr("(unix_micros(max_ts) - unix_micros(ts)) DIV 86400000000 DIV 7"),
+          lit(DecayMaxK)))
+      .withColumn("wv", col("value") / expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)) AS DOUBLE)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round6(col("wv")).cast("decimal(18,6)")).as("dec"))
+      .select(col("event_type"), col("n_events"),
+        graft.text.TextFns.round4(col("dec").cast("double")).as("decayed_value"))
+      .orderBy("event_type")
+  }
+
+  private val sqlTimeDecay =
+    s"""WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+       |     mx AS (SELECT max(ts) AS max_ts FROM e),
+       |     k AS (SELECT event_type, value,
+       |             least((epoch_us(max_ts) - epoch_us(ts)) // 86400000000 // 7,
+       |                   $DecayMaxK) AS k
+       |           FROM e CROSS JOIN mx),
+       |     w AS (SELECT event_type,
+       |             value / CAST((CAST(1 AS BIGINT) << CAST(k AS INT)) AS DOUBLE) AS wv
+       |           FROM k)
+       |SELECT event_type, count(*) AS n_events,
+       |       ${graft.text.TextFns.duckRound4(
+                  "CAST(sum(CAST((floor(wv * 1000000.0 + 0.5) / 1000000.0)" +
+                    " AS DECIMAL(18,6))) AS DOUBLE)")} AS decayed_value
+       |FROM w GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_decay" -> (timeDecay _),
     "q_ewma_trend" -> (ewmaTrend _),
     "q_transitions" -> (transitions _),
     "q_range_join" -> (rangeJoinSpans _),
@@ -334,6 +396,7 @@ object EventQueries {
     "q_rolling_distinct" -> (rollingDistinct _))
 
   val oracle: Map[String, String] = Map(
+    "q_time_decay" -> sqlTimeDecay,
     "q_ewma_trend" -> sqlEwmaTrend,
     "q_transitions" -> sqlTransitions,
     "q_range_join" -> sqlRangeJoinSpans,

@@ -416,20 +416,36 @@ object DocOps {
     * uses the (freq DESC, word) total order so both engines cut the
     * identical set.
     */
-  def cmsEst(spark: SparkSession, sfDir: String): DataFrame = {
-    val vocab = Tables.documents(spark, sfDir)
+  /** Hashed (word, freq) vocabulary of a documents relation — the
+    * collapse both the sketch build and the probe side share.
+    */
+  private[text] def hashedVocab(docs: DataFrame): DataFrame =
+    docs
       .withColumn("ts", TextFns.tokens(col("text")))
       .select(explode_outer(col("ts")).as("word"))
       .filter(col("word").isNotNull)
       .groupBy("word")
       .agg(count(lit(1)).as("freq"))
       .withColumn("h", graft.functions.TextHashes.polyHash(col("word")))
-    val cells = vocab
+
+  /** The (j, c, cnt) CMS counter table of a documents relation.
+    * Counter-wise ADDITIVE: cmsCells(A ⊎ B) = cmsCells(A) + cmsCells(B)
+    * summed per cell — the mergeable-summary law `DocOpsSpec` pins,
+    * and the reason a sharded/streaming deployment can build per-batch
+    * sketches and fold them.
+    */
+  private[text] def cmsCells(docs: DataFrame): DataFrame =
+    hashedVocab(docs)
       .select(col("freq"),
         explode_outer(array((0 until CmsD).map(j =>
           struct(lit(j).as("j"), cmsCol(col("h"), j).as("c"))): _*)).as("jc"))
       .groupBy(col("jc.j").as("j"), col("jc.c").as("c"))
       .agg(sum(col("freq")).as("cnt"))
+
+  def cmsEst(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val vocab = hashedVocab(docs)
+    val cells = cmsCells(docs)
     val top = vocab
       .orderBy(col("freq").desc, col("word"))
       .limit(CmsTopQ)

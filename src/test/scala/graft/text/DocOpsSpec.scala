@@ -20,6 +20,18 @@ class DocOpsSpec extends SparkSpec {
     }
   }
 
+  test("cms cells are a mergeable summary: cells(A) + cells(B) = cells(A union B)") {
+    val docs = graft.schema.Tables.documents(spark, sfTiny)
+    val whole = DocOps.cmsCells(docs)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val even = DocOps.cmsCells(docs.filter(col("doc_id") % 2 === 0)).collect()
+    val odd = DocOps.cmsCells(docs.filter(col("doc_id") % 2 === 1)).collect()
+    val merged = (even ++ odd)
+      .groupBy(r => (r.getInt(0), r.getLong(1)))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(merged == whole, "per-half sketches did not fold to the whole-corpus sketch")
+  }
+
   test("dict_encode never inflates: encoded <= raw, and totals are consistent") {
     val r = DocOps.dictEncode(spark, sfTiny).collect().head
     assert(r.getAs[Long]("encoded_bytes") <= r.getAs[Long]("raw_bytes"))
