@@ -326,6 +326,48 @@ object Streaming {
       }
       .start()
 
+  /** Streaming count-min sketch maintenance: folds each micro-batch's
+    * CMS counter table ([[graft.text.DocOps.cmsCells]] over the
+    * batch's documents) into a persisted d×w counter snapshot — the
+    * sketch twin of [[startHeavyHitterSink]], for when "roughly how
+    * often has this token appeared since stream start" must be
+    * answerable without a rescan (admission control, rate limiting).
+    * Correct BECAUSE the counter table is counter-wise additive
+    * (cells(A ⊎ B) = cells(A) + cells(B) — the mergeability law
+    * `DocOpsSpec` pins), so the merge is one union + (j, c) sum of two
+    * ≤ d·w = 2048-row tables; nothing batch-sized or stream-sized is
+    * ever collected. The snapshot swap reuses the [[SnapshotCommitter]]
+    * protocol (crash recovery, object-store semantics as
+    * [[startUpsertSink]]). At-least-once replay inflates counts by the
+    * replayed batch — the same monotone-overcount direction CMS
+    * already guarantees (est ≥ exact), documented for consumers.
+    */
+  def startCmsSink(docs: DataFrame, path: String, checkpoint: String,
+                   committerFor: (String, org.apache.hadoop.conf.Configuration)
+                     => SnapshotCommitter = new RenameCommitter(_, _)) =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val batchCells = graft.text.DocOps.cmsCells(batch)
+        val conf = spark.sparkContext.hadoopConfiguration
+        val committer = committerFor(path, conf)
+        committer.recover()
+        val merged = committer.current() match {
+          case Some(p) =>
+            batchCells.unionByName(spark.read.parquet(p.toString))
+              .groupBy("j", "c")
+              .agg(sum(col("cnt")).as("cnt"))
+          case None => batchCells
+        }
+        val staged = committer.stage()
+        merged.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+        committer.commit(staged)
+        ()
+      }
+      .start()
+
   /** The running token total rides INSIDE the committed snapshot dir
     * (so the committer's atomic swap covers it) as a `_`-prefixed text
     * file Spark's file source ignores. Absent ⇒ None (legacy snapshot

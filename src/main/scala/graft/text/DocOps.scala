@@ -434,7 +434,7 @@ object DocOps {
     * and the reason a sharded/streaming deployment can build per-batch
     * sketches and fold them.
     */
-  private[text] def cmsCells(docs: DataFrame): DataFrame =
+  private[graft] def cmsCells(docs: DataFrame): DataFrame =
     hashedVocab(docs)
       .select(col("freq"),
         explode_outer(array((0 until CmsD).map(j =>

@@ -120,6 +120,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startCmsSink folds per-batch sketches into the whole-stream counter table") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cms").toString
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = Streaming.startCmsSink(docs, s"$dir/snap", s"$dir/chk")
+    try {
+      input.addData((1L, "alpha beta alpha"), (2L, "beta gamma"))
+      q.processAllAvailable()
+      input.addData((3L, "alpha delta delta"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/snap").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // the streamed snapshot must equal the one-shot sketch of the
+      // full stream — the mergeability law, exercised via the sink
+      import spark.implicits._
+      val whole = graft.text.DocOps.cmsCells(
+        Seq((1L, "alpha beta alpha"), (2L, "beta gamma"), (3L, "alpha delta delta"))
+          .toDF("doc_id", "text"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == whole, "streamed counter table diverged from the one-shot sketch")
+    } finally q.stop()
+  }
+
   test("startDedupIngest screens batches against the persisted index across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
