@@ -121,9 +121,99 @@ object Projection {
        |FROM r""".stripMargin
   }
 
+  // ---------- q_centroid_drift: per-label centroid vs global centroid ----------
+
+  /** DuckDB left-fold dot product (the VectorQueries fragment,
+    * re-stated for this pack's oracle).
+    */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, len($a) + 1), " +
+      s"i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]), (acc, v) -> acc + v)"
+
+  /** Embedding-space drift audit: cosine between each label's mean
+    * vector and the global mean vector. A label (or, in a curation
+    * deployment, an ingest source/snapshot epoch) whose centroid
+    * drifts from the corpus centroid signals distribution shift —
+    * the embedding-space twin of [[graft.text.DocOps.sourceSkew]]'s
+    * categorical χ², and the go/no-go check before mixing a new batch
+    * into an ANN index whose IVF cells were trained on the old
+    * distribution ([[VectorQueries.kmeansRefine]]'s codebook).
+    *
+    * Parity — mean vectors are ORDER-DEPENDENT float sums, so the
+    * centroids here are decimal-exact: per (label, dim), sum
+    * round6(x) CAST AS DECIMAL (order-independent, the CLAUDE.md
+    * exact-sum rule), divide once to double (identical bits), then
+    * cosine as index-order left folds (native [[graft.functions.
+    * VecUtil.dot]] ≡ the oracle's list_reduce) with √a·√b staging and
+    * one round4 at the edge. Dim order comes from
+    * sort_array(collect_list(struct(dim, c))) ≡ list_sort — total
+    * because dims are distinct within a group.
+    *
+    * Shape: one posexplode to (label, dim) grain — vecs × 64 rows,
+    * linear, map-side combinable — two hash aggregates, a broadcast
+    * 1-row global centroid, and a label-cardinality output. The same
+    * two-aggregate shape computes per-SOURCE drift at 100 TB with
+    * source as the key.
+    */
+  def centroidDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorNative
+    val round6 = (c: Column) => floor(c * 1000000.0 + 0.5) / 1000000.0
+    val dims = Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(VectorFns.toDouble(col("embedding"))).as(Seq("dim", "x")))
+    def centroidOf(grouped: DataFrame, keys: Seq[String]): DataFrame =
+      grouped
+        .groupBy((keys :+ "dim").map(col): _*)
+        .agg(sum(round6(col("x")).cast("decimal(28,6)")).as("sx"),
+          count(lit(1)).as("n"))
+        .withColumn("c", col("sx").cast("double") / col("n").cast("double"))
+        .groupBy(keys.map(col): _*)
+        .agg(max(col("n")).as("n_vecs"),
+          transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+            s => s.getField("c")).as("cv"))
+    val byLabel = centroidOf(dims, Seq("label"))
+    val global = centroidOf(dims.withColumn("g", lit(1)), Seq("g"))
+      .select(col("cv").as("gv"))
+    byLabel.crossJoin(broadcast(global))
+      .withColumn("cos",
+        VectorNative.dot(col("cv"), col("gv"))
+          / (sqrt(VectorNative.dot(col("cv"), col("cv")))
+            * sqrt(VectorNative.dot(col("gv"), col("gv")))))
+      .select(col("label"), col("n_vecs"),
+        graft.text.TextFns.round4(col("cos")).as("drift_cos"))
+      .orderBy("label")
+  }
+
+  private val sqlCentroidDrift = {
+    val round6 = (e: String) => s"(floor(($e) * 1000000.0 + 0.5) / 1000000.0)"
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |     x AS (SELECT label, CAST(i - 1 AS INT) AS dim, v[CAST(i AS INT)] AS x
+       |           FROM e CROSS JOIN range(1, ${Dim + 1}) t(i)),
+       |     lc AS (SELECT label, dim,
+       |              CAST(sum(CAST(${round6("x")} AS DECIMAL(28,6))) AS DOUBLE)
+       |                / count(*) AS c,
+       |              count(*) AS n
+       |            FROM x GROUP BY 1, 2),
+       |     la AS (SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+       |              list_transform(list_sort(list({'dim': dim, 'c': c})), p -> p.c) AS cv
+       |            FROM lc GROUP BY label),
+       |     gc AS (SELECT dim,
+       |              CAST(sum(CAST(${round6("x")} AS DECIMAL(28,6))) AS DOUBLE)
+       |                / count(*) AS c
+       |            FROM x GROUP BY 1),
+       |     ga AS (SELECT list_transform(list_sort(list({'dim': dim, 'c': c})), p -> p.c) AS gv
+       |            FROM gc)
+       |SELECT label, n_vecs,
+       |       ${graft.text.TextFns.duckRound4(
+                  s"${duckDot("cv", "gv")} / (sqrt(${duckDot("cv", "cv")})" +
+                    s" * sqrt(${duckDot("gv", "gv")}))")} AS drift_cos
+       |FROM la CROSS JOIN ga ORDER BY label""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_rand_proj" -> (randProj _))
+    "q_rand_proj" -> (randProj _),
+    "q_centroid_drift" -> (centroidDrift _))
 
   val oracle: Map[String, String] = Map(
-    "q_rand_proj" -> sqlRandProj)
+    "q_rand_proj" -> sqlRandProj,
+    "q_centroid_drift" -> sqlCentroidDrift)
 }
