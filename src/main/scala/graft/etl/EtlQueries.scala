@@ -380,7 +380,92 @@ object EtlQueries {
       |       CAST(sum(open_flag) AS BIGINT) AS n_open
       |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------- q_constraint_audit: declarative data-quality checks ----------
+
+  /** Deequ-style declarative constraint audit over the warehouse
+    * inputs: one row per named check with its violation count — the
+    * CI gate a pipeline runs before publishing a snapshot (the
+    * reference enforces these implicitly via dropna/dedup/upsert-
+    * conflict keys, `ETL/fact_ETL.py:54,132`; this makes them
+    * explicit and countable). Checks: primary-key uniqueness,
+    * referential integrity both ways the star schema needs
+    * (lineitem→orders, customer→nation), domain membership, value
+    * positivity, and an expected date window (the one check this
+    * corpus genuinely violates — 5,980 post-1998 orders at sf0.01 —
+    * so the audit output exercises the nonzero path too).
+    *
+    * Shape: the three orders scalar checks share ONE scan (a single
+    * aggregate emitting all three counters, unpivoted — the Deequ
+    * batched-verification trick); uniqueness is one group-by-key
+    * aggregate; each RI check is a broadcast/shuffle anti-join count.
+    * Everything is linear and map-side combinable; violation counts,
+    * not violating-row lists, cross to the output (row lists are
+    * re-derivable by filtering, and at 100 TB an audit that ships
+    * rows is itself the bottleneck).
+    */
+  def constraintAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val lineitem = Tables.lineitem(spark, sfDir)
+    val customer = Tables.customer(spark, sfDir)
+    val nation = Tables.nation(spark, sfDir)
+    // three scalar checks, one scan: aggregate once, unpivot to rows
+    val ordersScalar = orders.agg(
+        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("price"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("status"),
+        sum(when(col("o_orderdate") > lit("1998-12-31").cast("timestamp"), 1L)
+          .otherwise(0L)).as("window"))
+      .select(explode(array(
+        struct(lit("orders_price_positive").as("check_name"), col("price").as("n_violations")),
+        struct(lit("orders_status_domain").as("check_name"), col("status").as("n_violations")),
+        struct(lit("orders_date_window").as("check_name"), col("window").as("n_violations"))))
+        .as("c"))
+      .select(col("c.check_name"), col("c.n_violations"))
+    val pkUnique = orders.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_violations"))
+      .select(lit("orders_pk_unique").as("check_name"), col("n_violations"))
+    val liFk = lineitem.join(orders.select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("lineitem_fk_orders").as("check_name"), col("n_violations"))
+    val custFk = customer.join(broadcast(nation.select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("customer_fk_nation").as("check_name"), col("n_violations"))
+    ordersScalar
+      .unionByName(pkUnique).unionByName(liFk).unionByName(custFk)
+      .orderBy("check_name")
+  }
+
+  private val sqlConstraintAudit =
+    """SELECT * FROM (
+      |  SELECT 'orders_price_positive' AS check_name,
+      |         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders_status_domain',
+      |         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders_date_window',
+      |         CAST(sum(CASE WHEN o_orderdate > TIMESTAMP '1998-12-31' THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders_pk_unique',
+      |         CAST(coalesce(sum(n), 0) AS BIGINT)
+      |  FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+      |  UNION ALL
+      |  SELECT 'lineitem_fk_orders',
+      |         CAST(count(*) AS BIGINT)
+      |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |  UNION ALL
+      |  SELECT 'customer_fk_nation',
+      |         CAST(count(*) AS BIGINT)
+      |  FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+      |) ORDER BY check_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_constraint_audit" -> (constraintAudit _),
     "q_scd2_history" -> (scd2History _),
     "q_zorder_addr" -> (zorderAddr _),
     "q_agg_refresh" -> (aggRefresh _),
@@ -396,6 +481,7 @@ object EtlQueries {
     "q_ri_filter" -> (riFilter _))
 
   val oracle: Map[String, String] = Map(
+    "q_constraint_audit" -> sqlConstraintAudit,
     "q_scd2_history" -> sqlScd2History,
     "q_zorder_addr" -> sqlZorderAddr,
     "q_agg_refresh" -> sqlAggRefresh,
