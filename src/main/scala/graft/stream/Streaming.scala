@@ -250,6 +250,35 @@ object Streaming {
       .select(col("user_id"), col("view_ts"), col("click_ts"), col("value"))
   }
 
+  /** LEFT OUTER stream-stream attribution: every click emits exactly
+    * once — joined to its in-horizon views when they exist, with a
+    * NULL `view_ts` otherwise. The outer semantics are the
+    * watermark-driven part: an unmatched click can only emit once the
+    * VIEW side's watermark proves no matching view can still arrive,
+    * so the row is held in state until `click_ts + lateness` passes
+    * the global watermark and then released with nulls — exactly-once
+    * unmatched emission, impossible without the engine's state-store
+    * eviction contract (a batch anti-join would either double-emit or
+    * need a full rescan). Same bounded state as the inner form:
+    * O(active users × (horizon + lateness)).
+    */
+  def clickAttributionOuter(views: DataFrame, clicks: DataFrame,
+                            horizon: String = "30 minutes",
+                            lateness: String = "1 hour"): DataFrame = {
+    val v = views
+      .withWatermark("ts", lateness)
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val c = clicks
+      .withWatermark("ts", lateness)
+      .select(col("user_id"), col("ts").as("click_ts"), col("value"))
+    c.join(v,
+      col("user_id") === col("v_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $horizon"),
+      "left_outer")
+      .select(col("user_id"), col("view_ts"), col("click_ts"), col("value"))
+  }
+
   /** Streaming heavy-hitter monitor: maintains a persisted Misra-
     * Gries summary (≤ `m` counters + the running token total) across
     * micro-batches — the streaming twin of the batch two-pass

@@ -120,6 +120,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clickAttributionOuter emits unmatched clicks with nulls after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val vIn = MemoryStream[(Timestamp, Long)]
+    val cIn = MemoryStream[(Timestamp, Long, Double)]
+    val views = vIn.toDF().toDF("ts", "user_id")
+    val clicks = cIn.toDF().toDF("ts", "user_id", "value")
+    val q = Streaming.clickAttributionOuter(views, clicks,
+        horizon = "30 minutes", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("cao").outputMode(OutputMode.Append).start()
+    try {
+      vIn.addData((ts(1), 1L)) // user 1 has a view in horizon
+      cIn.addData((ts(5), 1L, 1.0), (ts(6), 2L, 2.0)) // user 2: no view
+      q.processAllAvailable()
+      // advance BOTH sides' watermarks far past click+lateness, then
+      // run further batches so eviction emits the unmatched row
+      vIn.addData((ts(59), 9L))
+      cIn.addData((ts(59), 9L, 0.0))
+      q.processAllAvailable()
+      vIn.addData((ts(59), 8L))
+      cIn.addData((ts(59), 8L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("cao")
+        .select("user_id", "view_ts", "click_ts", "value").collect()
+        .map(r => (r.getLong(0), Option(r.getTimestamp(1)), r.getTimestamp(2), r.getDouble(3)))
+      assert(rows.contains((1L, Some(ts(1)), ts(5), 1.0)), "matched click lost its view")
+      assert(rows.contains((2L, None, ts(6), 2.0)),
+        s"unmatched click never emitted with nulls: ${rows.mkString("; ")}")
+      // exactly-once: the matched click appears once, not once per state pass
+      assert(rows.count(_._1 == 1L) == 1)
+    } finally q.stop()
+  }
+
   test("startCmsSink folds per-batch sketches into the whole-stream counter table") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("cms").toString
