@@ -382,6 +382,72 @@ object VectorQueries {
        |SELECT vec_id, cell, ${duckRound4("sim0")} AS sim
        |FROM s2 ORDER BY sim0 DESC, vec_id LIMIT $TopK""".stripMargin
 
+  // ---------- 6b. q_ivf_nprobe: nprobe=2 IVF serving ----------
+
+  private val IvfNprobe = 2
+
+  /** IVF search probing the TOP-2 cells by probe-to-centroid
+    * similarity — the recall/latency knob every IVF deployment turns
+    * ([[ivfSearch]]'s nprobe = 1 misses neighbors that landed just
+    * across a cell boundary; nprobe = 2 reads one more partition and
+    * repairs most of them — the learned-cell analogue of
+    * [[annMultiprobe]]'s Hamming-1 bucket expansion). Cell election
+    * reuses the SAME rounded ranking as the assignment step (rk ≤ 2
+    * instead of rk = 1), so the served cells are exactly the
+    * assignment argmin's runners-up — engine-independent by the same
+    * round6 + c_label tie-break.
+    *
+    * Scale: the corpus side still reads only its own cell partitions
+    * (nprobe of K directories under [[RunIndex]]'s layout); the probe
+    * side is a broadcast of nprobe rows. Work scales with the two
+    * cells' occupancy, never the corpus.
+    */
+  def ivfSearchNprobe(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+    val cb = codebook(vecs)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(round6(col("sim")).desc, col("c_label"))
+    val probeCells = vecs.filter(col("vec_id") === 0)
+      .join(broadcast(cb))
+      .withColumn("sim", VectorFns.cosineStaged(
+        col("v"), col("cv"), col("nrm"), col("cnrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= IvfNprobe)
+      .select(col("c_label").as("pcell"), col("v").as("pv"), col("nrm").as("pnrm"))
+    assignedCells(vecs).filter(col("vec_id") =!= 0)
+      .join(broadcast(probeCells), col("cell") === col("pcell"))
+      .withColumn("sim",
+        VectorFns.cosineStaged(col("v"), col("pv"), col("nrm"), col("pnrm")))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(TopK)
+      .select(col("vec_id"), col("cell"), round4(col("sim")).as("sim"))
+  }
+
+  private val sqlIvfSearchNprobe =
+    s"""WITH $duckVecs,
+       |     x AS (SELECT label AS c_label, CAST(i - 1 AS INT) AS dim, v[CAST(i AS INT)] AS x
+       |           FROM e0 CROSS JOIN range(1, 65) t(i)),
+       |     cd AS (SELECT c_label, dim, avg(x) AS cx FROM x GROUP BY c_label, dim),
+       |     c0 AS (SELECT c_label, list_transform(list_sort(list({'dim': dim, 'cx': cx})), p -> p.cx) AS cv
+       |            FROM cd GROUP BY c_label),
+       |     c AS (SELECT c_label, cv, sqrt(${duckDot("cv", "cv")}) AS cnrm FROM c0),
+       |     scored AS (SELECT e.vec_id, e.c_label, e.sim,
+       |                       row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY ${duckRound6("e.sim")} DESC, e.c_label) AS rk
+       |                FROM (SELECT e.vec_id, c.c_label,
+       |                             ${duckDot("e.v", "c.cv")} / (e.nrm * c.cnrm) AS sim
+       |                      FROM e CROSS JOIN c) e),
+       |     a AS (SELECT e.vec_id, e.v, e.nrm, s.c_label AS cell
+       |           FROM e JOIN scored s ON e.vec_id = s.vec_id AND s.rk = 1),
+       |     p2 AS (SELECT c_label AS pcell FROM scored WHERE vec_id = 0 AND rk <= $IvfNprobe),
+       |     pv AS (SELECT v AS pv, nrm AS pnrm FROM e WHERE vec_id = 0),
+       |     s2 AS (SELECT a.vec_id, a.cell,
+       |                   ${duckDot("a.v", "pv")} / (a.nrm * pnrm) AS sim0
+       |            FROM a JOIN p2 ON a.cell = p2.pcell CROSS JOIN pv
+       |            WHERE a.vec_id <> 0)
+       |SELECT vec_id, cell, ${duckRound4("sim0")} AS sim
+       |FROM s2 ORDER BY sim0 DESC, vec_id LIMIT $TopK""".stripMargin
+
   // ---------- 7. q_sq_error: int8 scalar-quantization fidelity ----------
 
   private val SqLevels = 255L
@@ -1058,6 +1124,7 @@ object VectorQueries {
     "q_topk_refresh" -> (topkRefresh _),
     "q_sq_error" -> (sqError _),
     "q_ivf_search" -> (ivfSearch _),
+    "q_ivf_nprobe" -> (ivfSearchNprobe _),
     "q_knn" -> (knn _),
     "q_knn_batch" -> (knnBatch _),
     "q_ann_lsh" -> (annLsh _),
@@ -1076,6 +1143,7 @@ object VectorQueries {
     "q_topk_refresh" -> sqlTopkRefresh,
     "q_sq_error" -> sqlSqError,
     "q_ivf_search" -> sqlIvfSearch,
+    "q_ivf_nprobe" -> sqlIvfSearchNprobe,
     "q_knn" -> sqlKnn,
     "q_knn_batch" -> sqlKnnBatch,
     "q_ann_lsh" -> sqlAnnLsh,
