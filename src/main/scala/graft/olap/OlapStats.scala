@@ -262,7 +262,54 @@ object OlapStats {
        |FROM p JOIN g ON p.segment = g.segment
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------- q_mad_outliers: median-absolute-deviation screen ----------
+
+  /** MAD-fence anomaly screen per event type: flag events whose
+    * |value − median| exceeds 3·MAD, where MAD = median(|x − median|)
+    * — the robust-statistics upgrade of [[outliers]]' IQR fences (MAD
+    * has a 50% breakdown point vs the IQR's 25%: half a feed can go
+    * bad before the fence moves, which is exactly the telemetry-
+    * monitoring regime). Three passes: per-group exact median,
+    * per-group MAD of the broadcast-joined deviations, fence
+    * classification — each an aggregate + tiny broadcast, no windows
+    * (Spark exact `percentile` ≡ DuckDB `quantile_cont`, the proven
+    * bit-identical pair; at 100 TB both medians swap to
+    * `approx_percentile`, same shape).
+    */
+  def madOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"),
+        max(col("med")).as("med"))
+    ev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(abs(col("value") - col("med")) > lit(3.0) * col("mad"), lit(1)))
+          .as("n_anomalies"),
+        round4(max(col("med"))).as("median"),
+        round4(max(col("mad"))).as("mad"))
+      .orderBy("event_type")
+  }
+
+  private val sqlMadOutliers =
+    s"""WITH e AS (SELECT event_type, value FROM events),
+       |     m AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM e GROUP BY 1),
+       |     d AS (SELECT e.event_type, quantile_cont(abs(value - med), 0.5) AS mad,
+       |                  max(med) AS med
+       |           FROM e JOIN m ON e.event_type = m.event_type GROUP BY 1)
+       |SELECT e.event_type, count(*) AS n_events,
+       |       count(CASE WHEN abs(value - med) > 3.0 * mad THEN 1 END) AS n_anomalies,
+       |       ${duckRound4("max(med)")} AS median,
+       |       ${duckRound4("max(mad)")} AS mad
+       |FROM e JOIN d ON e.event_type = d.event_type
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mad_outliers" -> (madOutliers _),
     "q_corr_stats" -> (corrStats _),
     "q_mode_priority" -> (modePriority _),
     "q_histogram" -> (histogram _),
@@ -270,6 +317,7 @@ object OlapStats {
     "q_outliers" -> (outliers _))
 
   val oracle: Map[String, String] = Map(
+    "q_mad_outliers" -> sqlMadOutliers,
     "q_corr_stats" -> sqlCorrStats,
     "q_mode_priority" -> sqlModePriority,
     "q_histogram" -> sqlHistogram,

@@ -668,7 +668,79 @@ object DocOps {
                     " AS DECIMAL(18,6))) AS DOUBLE)")} AS chi2
        |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------- q_collocations: PMI-lift bigram phrase mining ----------
+
+  private val ColMinCount = 5L
+  private val ColTopK = 20
+
+  /** Collocation (phrase) mining: top bigrams by LIFT — the
+    * multiword-expression detector a tokenizer/vocab builder runs to
+    * decide which token pairs deserve a fused vocabulary entry
+    * (word-level twin of [[bpePairs]]' character merges).
+    * lift(a,b) = P(ab)/(P(a)·P(b)) = n_ab·N / (n_a·n_b), the
+    * monotone transform of PMI — ranking on lift instead of
+    * log-lift drops the `ln` whose cross-engine ulp is unguaranteed
+    * (the same correctly-rounded-ops-only rule as
+    * [[CorpusOps.temperatureMix]]'s sqrt and [[sourceSkew]]'s χ²).
+    *
+    * Parity: numerator and denominator are exact integer products
+    * (n ≤ 2³¹-scale counts ⇒ products < 2⁶³; a web-scale corpus
+    * divides counts by a common sample factor first, as
+    * [[CorpusOps.mixSchedule]] notes), ONE double division (identical
+    * bits), round4 before the rank, integer tie-break. Shape: unigram
+    * and bigram counts are two hash aggregates over one explode each;
+    * the join attaches unigram counts to the BIGRAM-DISTINCT grain
+    * (vocab², not corpus); top-K is a total-order cut.
+    */
+  def collocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+    val uni = toks
+      .select(explode_outer(col("ts")).as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val tot = uni.agg(sum(col("n_w")).as("n_total"))
+    // adjacent-pair fan-out by position index (the sequence bound
+    // stays >= 1 via the size-2 prefilter — Spark's sequence(1, 0)
+    // COUNTS DOWN); grams-with-separator would not split back, the
+    // shared n-gram form concatenates bare
+    val bi = toks.filter(size(col("ts")) >= 2)
+      .select(col("ts"), explode_outer(sequence(lit(1), size(col("ts")) - 1)).as("i"))
+      .select(
+        try_element_at(col("ts"), col("i")).as("w1"),
+        try_element_at(col("ts"), col("i") + 1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= ColMinCount)
+    bi
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift",
+        TextFns.round4((col("n_ab") * col("n_total")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double")))
+      .select(col("w1"), col("w2"), col("n_ab"), col("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(ColTopK)
+  }
+
+  private val sqlCollocations =
+    s"""WITH t AS (SELECT doc_id, $duckTokens AS ts FROM documents),
+       |     u AS (SELECT unnest(ts) AS w FROM t),
+       |     uni AS (SELECT w, count(*) AS n_w FROM u GROUP BY 1),
+       |     tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_total FROM uni),
+       |     b0 AS (SELECT ts, unnest(range(1, greatest(len(ts), 1))) AS i
+       |            FROM t WHERE len(ts) >= 2),
+       |     bi AS (SELECT ts[CAST(i AS INT)] AS w1, ts[CAST(i + 1 AS INT)] AS w2,
+       |              count(*) AS n_ab
+       |            FROM b0 GROUP BY 1, 2 HAVING count(*) >= $ColMinCount)
+       |SELECT bi.w1, bi.w2, CAST(n_ab AS BIGINT) AS n_ab,
+       |       ${TextFns.duckRound4(
+                  "CAST(n_ab * n_total AS DOUBLE) / CAST(a.n_w * b.n_w AS DOUBLE)")} AS lift
+       |FROM bi JOIN uni a ON bi.w1 = a.w JOIN uni b ON bi.w2 = b.w CROSS JOIN tot
+       |ORDER BY lift DESC, w1, w2 LIMIT $ColTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_collocations" -> (collocations _),
     "q_novelty" -> (novelty _),
     "q_source_skew" -> (sourceSkew _),
     "q_cms_est" -> (cmsEst _),
@@ -679,6 +751,7 @@ object DocOps {
     "q_winnow_fp" -> (winnowFp _))
 
   val oracle: Map[String, String] = Map(
+    "q_collocations" -> sqlCollocations,
     "q_novelty" -> sqlNovelty,
     "q_source_skew" -> sqlSourceSkew,
     "q_cms_est" -> sqlCmsEst,
