@@ -496,7 +496,12 @@ object OlapMore {
     p.as("a").join(p.as("b"),
         col("a.p_brand") === col("b.p_brand") &&
           col("a.noun_blk") === col("b.noun_blk") &&
-          col("a.p_partkey") < col("b.p_partkey"))
+          col("a.p_partkey") < col("b.p_partkey") &&
+          // |len(a)-len(b)| <= 3 is NECESSARY for dist <= 3: an exact
+          // integer prefilter that skips the DP entirely on impossible
+          // pairs (results unchanged; mirrored in the oracle so both
+          // engines evaluate the identical candidate set)
+          abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 3)
       // threshold form: the DP early-exits once distance exceeds 3
       // and returns -1 — filtered out exactly like the oracle's
       // unbounded distance failing `<= 3`, but O(3·n) not O(n²) per pair
@@ -516,6 +521,7 @@ object OlapMore {
       |FROM p a JOIN p b ON a.p_brand = b.p_brand
       |                 AND a.noun_blk = b.noun_blk
       |                 AND a.p_partkey < b.p_partkey
+      |                 AND abs(length(a.p_name) - length(b.p_name)) <= 3
       |WHERE levenshtein(a.p_name, b.p_name) <= 3
       |GROUP BY a.p_brand ORDER BY brand""".stripMargin
 
