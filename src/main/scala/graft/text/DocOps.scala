@@ -601,6 +601,66 @@ object DocOps {
        |FROM g JOIN f USING (gram)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------- q_delta_novelty: batch novelty vs a persisted gram index ----------
+
+  /** Incremental novelty screen: score an INCOMING batch's marginal
+    * contribution against the already-ingested corpus's distinct-gram
+    * index — the ingest-time twin of [[novelty]] (which attributes
+    * within one snapshot) and the novelty analogue of
+    * [[TextQueries.deltaDedup]]: an acquisition pipeline asks "how
+    * much of this feed is new against everything we have?" BEFORE
+    * paying to ingest it. Even doc_ids stand in for the indexed
+    * corpus, odd for the batch (the deltaDedup convention).
+    *
+    * Scale: with the gram index persisted (the
+    * [[TextQueries.bandIndex]] pattern at gram grain), the left-anti
+    * join is batch-grams × index on the gram key — work ∝ batch, the
+    * archive is never re-tokenized. This self-contained demo
+    * recomputes the index from the even half each run; only the
+    * persisted-index deployment has the batch-proportional property.
+    */
+  def deltaNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    def grams(df: DataFrame) = df
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .withColumn("gs", array_distinct(TextFns.wordNgramsFromTokens(col("ts"), NovN)))
+      .select(col("doc_id"), col("source"), explode_outer(col("gs")).as("gram"))
+      .filter(col("gram").isNotNull)
+    val docs = Tables.documents(spark, sfDir)
+    val index = grams(docs.filter(col("doc_id") % 2 === 0))
+      .select("gram").distinct()
+    val batch = grams(docs.filter(col("doc_id") % 2 === 1))
+    val novel = batch.join(index, Seq("gram"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_novel"))
+    batch.groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_grams"))
+      .join(novel, Seq("source"), "left_outer")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .withColumn("novelty",
+        TextFns.round4(col("n_novel").cast("double") / col("n_grams").cast("double")))
+      .select("source", "n_docs", "n_grams", "n_novel", "novelty")
+      .orderBy("source")
+  }
+
+  private val sqlDeltaNovelty =
+    s"""WITH t AS (SELECT doc_id, source, $duckTokens AS ts FROM documents),
+       |     g0 AS (SELECT doc_id, source,
+       |             list_distinct(${TextQueries.duckNgramsOf(NovN)}) AS gs
+       |           FROM t),
+       |     g AS (SELECT doc_id, source, unnest(gs) AS gram FROM g0),
+       |     idx AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+       |     b AS (SELECT * FROM g WHERE doc_id % 2 = 1),
+       |     nv AS (SELECT source, count(*) AS n_novel FROM b
+       |            WHERE gram NOT IN (SELECT gram FROM idx) GROUP BY 1),
+       |     tot AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |               count(*) AS n_grams
+       |             FROM b GROUP BY 1)
+       |SELECT tot.source, n_docs, n_grams,
+       |       CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+       |       ${TextFns.duckRound4(
+                  "CAST(coalesce(n_novel, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE)")} AS novelty
+       |FROM tot LEFT JOIN nv ON tot.source = nv.source
+       |ORDER BY tot.source""".stripMargin
+
   // ---------- q_source_skew: chi-square language-mix skew audit ----------
 
   /** Per-source χ² statistic of the source's language distribution
@@ -742,6 +802,7 @@ object DocOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_collocations" -> (collocations _),
     "q_novelty" -> (novelty _),
+    "q_delta_novelty" -> (deltaNovelty _),
     "q_source_skew" -> (sourceSkew _),
     "q_cms_est" -> (cmsEst _),
     "q_dict_encode" -> (dictEncode _),
@@ -753,6 +814,7 @@ object DocOps {
   val oracle: Map[String, String] = Map(
     "q_collocations" -> sqlCollocations,
     "q_novelty" -> sqlNovelty,
+    "q_delta_novelty" -> sqlDeltaNovelty,
     "q_source_skew" -> sqlSourceSkew,
     "q_cms_est" -> sqlCmsEst,
     "q_dict_encode" -> sqlDictEncode,
