@@ -70,39 +70,57 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     case class Run(sec: Double, shuffleB: Long, spillB: Long)
-    val results = selected.map { case (name, fn) =>
-      def once(): Run = {
-        val (s0, p0) = (mShuffle.get, mSpill.get)
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-              val sec = (System.nanoTime() - t0) / 1e9
-              // flush in-flight task-end events BEFORE reading deltas
-              // (outside the timed window; best-effort — see drainQuiet)
-              drainQuiet()
-              Run(sec, mShuffle.get - s0, mSpill.get - p0) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          // drain here too: a failed run's stragglers must not be
-          // charged to the NEXT run's byte deltas
-          drainQuiet()
-          Run(-1.0, 0, 0) // a failed query reports -1, never a plausible fast time
-        }
-        finally {
-          // free per-query resident state: the closure/PageRank queries
-          // leave their final localCheckpoint blocks persisted (one
-          // small RDD per invocation, reclaimed only on GC) — across
-          // 97 queries × 4 runs the accumulation degraded the
-          // late-alphabet queries ~10× (q_transitions 0.8 s isolated
-          // vs 11.6 s in-suite). No declared query shares persisted
-          // state across invocations, so a blanket unpersist is safe.
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(false))
-        }
+    def execOnce(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                 dir: String): Run = {
+      val (s0, p0) = (mShuffle.get, mSpill.get)
+      val t0 = System.nanoTime()
+      try { fn(spark, dir).write.mode("overwrite").format("noop").save()
+            val sec = (System.nanoTime() - t0) / 1e9
+            // flush in-flight task-end events BEFORE reading deltas
+            // (outside the timed window; best-effort — see drainQuiet)
+            drainQuiet()
+            Run(sec, mShuffle.get - s0, mSpill.get - p0) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        // drain here too: a failed run's stragglers must not be
+        // charged to the NEXT run's byte deltas
+        drainQuiet()
+        Run(-1.0, 0, 0) // a failed query reports -1, never a plausible fast time
       }
-      val warm = once()
-      val runs = if (warm.sec < 0) Nil else List.fill(3)(once())
+      finally {
+        // free per-query resident state: the closure/PageRank queries
+        // leave their final localCheckpoint blocks persisted (one
+        // small RDD per invocation, reclaimed only on GC) — across
+        // 97 queries × 4 runs the accumulation degraded the
+        // late-alphabet queries ~10× (q_transitions 0.8 s isolated
+        // vs 11.6 s in-suite). No declared query shares persisted
+        // state across invocations, so a blanket unpersist is safe.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(false))
+      }
+    }
+    val results = selected.map { case (name, fn) =>
+      val warm = execOnce(name, fn, sfDir)
+      val runs = if (warm.sec < 0) Nil else List.fill(3)(execOnce(name, fn, sfDir))
       (name, warm, runs)
     }
+    // Dual-scale pass: one warm + one measured execution per query at
+    // a second (smaller) SF so per-query scaling exponents
+    // t(sf)/t(sf2) are recorded every round — a query whose ratio far
+    // exceeds the data ratio is super-linear and gets flagged before
+    // it matters at 100 TB. Two executions only (min of both): the
+    // small SF exists to expose the EXPONENT, not a precise time.
+    // Disable with SPARK_GRAFT_SF2_DIR="" for quick local iteration.
+    val sf2Dir = sys.env.getOrElse("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
+    val sf2Best: Map[String, Double] =
+      if (sf2Dir.nonEmpty && sf2Dir != sfDir && new java.io.File(sf2Dir).isDirectory)
+        selected.map { case (name, fn) =>
+          val a = execOnce(name, fn, sf2Dir)
+          val b = if (a.sec < 0) a else execOnce(name, fn, sf2Dir)
+          name -> (if (a.sec < 0 || b.sec < 0) -1.0 else math.min(a.sec, b.sec))
+        }.toMap
+      else Map.empty
     // best = min over warm + measured runs (the headline number);
     // median/spread are computed over the measured runs only; the
     // shuffle/spill bytes reported are the BEST run's (plan
@@ -138,6 +156,54 @@ object Bench {
       else BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
         .underlying.stripTrailingZeros.toPlainString
     val errs = s""""errors":[${failed.mkString(",")}]"""
+    // Spread-gated regression check against the recorded baseline
+    // (tools/bench_baseline.json — the previous round's per-query
+    // bests; update it each round). A query is flagged only when its
+    // new BEST exceeds the old best by BOTH its own measured spread
+    // (+150 ms floor) and 30% — the min-of-runs estimator plus the
+    // query's own noise band, so external contention (CLAUDE.md
+    // bench-harness note) doesn't page anyone. Fail-soft: a missing
+    // or unparseable baseline yields an empty list, never an error.
+    val regressions: Seq[(String, Double, Double)] = try {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "tools/bench_baseline.json")
+      val src = scala.io.Source.fromFile(path)
+      val txt = try src.mkString finally src.close()
+      import org.json4s._
+      val prev = (org.json4s.jackson.JsonMethods.parse(txt) \ "queries") match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JDecimal(v)) => k -> v.toDouble
+          case (k, JInt(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty[String, Double]
+      }
+      stats.flatMap { s =>
+        prev.get(s.name).collect {
+          case old if old >= 0 && s.best >= 0 &&
+            s.best > old + math.max(s.spread, 0.15) && s.best > old * 1.3 =>
+            (s.name, s.best, old)
+        }
+      }
+    } catch { case _: Throwable => Nil }
+    val regs = regressions.take(8)
+      .map { case (n, b, o) => s"""{"q":"$n","best":${fmt(b, 2)},"prev":${fmt(o, 2)}}""" }
+      .mkString("\"regressions\":[", ",", "]")
+    // dual-scale summary: second-SF total + the worst per-query
+    // scaling ratio (denominator floored at 50 ms — below that the
+    // ratio measures fixed overhead, not plan cost)
+    val scaling = if (sf2Best.isEmpty) "" else {
+      val valid = sf2Best.filter(_._2 >= 0)
+      val sf2Total = valid.values.sum
+      val ratios = stats.flatMap { s =>
+        sf2Best.get(s.name).collect {
+          case t2 if t2 >= 0.05 && s.best >= 0 => (s.name, s.best / t2)
+        }
+      }
+      val worst = ratios.sortBy(-_._2).headOption
+        .map { case (n, r) => s""","worst_scaling":{"q":"$n","ratio":${fmt(r, 1)}}""" }
+        .getOrElse("")
+      s""","sf2":"$sf2Dir","sf2_total":${fmt(sf2Total, 2)}$worst"""
+    }
     // suite-level plan-volume totals (best runs): the one-line scale
     // signature next to the one-line timing
     def mb(b: Long): Long = b / (1024 * 1024)
@@ -147,7 +213,7 @@ object Bench {
       val qs = stats.map { s => "\"" + s.name + "\":" + fmt(s.best, scale) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
-        s""""queries":$qs,$vols,$errs,"sf":"$sfDir"}"""
+        s""""queries":$qs,$vols,$errs,$regs$scaling,"sf":"$sfDir"}"""
     }
     // last resort (query set too big for even 1-decimal full maps):
     // keep the SLOWEST 20 queries in the line — the per-query numbers
@@ -159,7 +225,7 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
         s""""queries":$qs,"omitted":${stats.size - top.size},$vols,$errs,""" +
-        s""""sf":"$sfDir"}"""
+        s"""$regs$scaling,"sf":"$sfDir"}"""
     }
     val compact = {
       val l2 = line(2)
@@ -173,10 +239,11 @@ object Bench {
         "\"" + s.name + "\":{\"best\":" + s.best + ",\"median\":" + s.median +
           ",\"spread\":" + s.spread + ",\"warm\":" + s.warm +
           ",\"runs\":[" + s.runs.mkString(",") + "]" +
-          ",\"shuffle_mb\":" + mb(s.shuffleB) + ",\"spill_mb\":" + mb(s.spillB) + "}"
+          ",\"shuffle_mb\":" + mb(s.shuffleB) + ",\"spill_mb\":" + mb(s.spillB) +
+          sf2Best.get(s.name).map(t => ",\"sf2_best\":" + t).getOrElse("") + "}"
       }.mkString("{", ",", "}")
       val w = new java.io.PrintWriter("target/bench_detail.json")
-      try w.println(s"""{"total":$total,$vols,"queries":$detail,"sf":"$sfDir"}""")
+      try w.println(s"""{"total":$total,$vols,"queries":$detail,$regs$scaling,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => () }
     println(compact)

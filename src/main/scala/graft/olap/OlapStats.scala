@@ -308,7 +308,78 @@ object OlapStats {
        |FROM e JOIN d ON e.event_type = d.event_type
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------- q_winsorize: percentile clipping audit ----------
+
+  /** Winsorization (p05/p95 clipping) per market segment — the
+    * heavy-tail taming step a feature pipeline runs before feeding
+    * raw monetary amounts to a model, with the audit a curation run
+    * records: how many values each fence clipped and the mean
+    * before/after. Same three-stage shape as [[outliers]]: exact
+    * per-group percentile fences (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, bit-identical), broadcast back, one
+    * classify+clip aggregate. At 100 TB the fences swap to
+    * `approx_percentile` (t-digest), identical plan.
+    *
+    * Both means follow the CLAUDE.md exact-sum rule: sum round6(x)
+    * CAST AS DECIMAL (order-independent), divide once at the output
+    * edge — never a raw-double groupBy sum.
+    */
+  def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val round6 = (c: org.apache.spark.sql.Column) =>
+      floor(c * 1000000.0 + 0.5) / 1000000.0
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val priced = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_totalprice").as("price"))
+    val fences = priced.groupBy("segment")
+      .agg(percentile(col("price"), lit(0.05)).as("lo"),
+        percentile(col("price"), lit(0.95)).as("hi"))
+    priced.join(broadcast(fences), "segment")
+      .withColumn("clipped", least(greatest(col("price"), col("lo")), col("hi")))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_orders"),
+        count(when(col("price") < col("lo"), lit(1))).as("n_clipped_lo"),
+        count(when(col("price") > col("hi"), lit(1))).as("n_clipped_hi"),
+        sum(round6(col("price")).cast("decimal(28,6)")).as("sraw"),
+        sum(round6(col("clipped")).cast("decimal(28,6)")).as("sclip"),
+        round4(min(col("lo"))).as("lo_fence"),
+        round4(max(col("hi"))).as("hi_fence"))
+      .select(col("segment"), col("n_orders"), col("n_clipped_lo"),
+        col("n_clipped_hi"),
+        round4(col("sraw").cast("double") / col("n_orders").cast("double"))
+          .as("mean_raw"),
+        round4(col("sclip").cast("double") / col("n_orders").cast("double"))
+          .as("mean_winsorized"),
+        col("lo_fence"), col("hi_fence"))
+      .orderBy("segment")
+  }
+
+  private val sqlWinsorize = {
+    val round6 = (e: String) => s"(floor(($e) * 1000000.0 + 0.5) / 1000000.0)"
+    s"""WITH p AS (SELECT c_mktsegment AS segment, o_totalprice AS price
+       |           FROM orders JOIN customer ON o_custkey = c_custkey),
+       |     f AS (SELECT segment, quantile_cont(price, 0.05) AS lo,
+       |                  quantile_cont(price, 0.95) AS hi
+       |           FROM p GROUP BY 1),
+       |     cl AS (SELECT p.segment, price, lo, hi,
+       |                   least(greatest(price, lo), hi) AS clipped
+       |            FROM p JOIN f ON p.segment = f.segment)
+       |SELECT segment, count(*) AS n_orders,
+       |       count(CASE WHEN price < lo THEN 1 END) AS n_clipped_lo,
+       |       count(CASE WHEN price > hi THEN 1 END) AS n_clipped_hi,
+       |       ${duckRound4(
+                  s"CAST(sum(CAST(${round6("price")} AS DECIMAL(28,6))) AS DOUBLE)" +
+                    " / CAST(count(*) AS DOUBLE)")} AS mean_raw,
+       |       ${duckRound4(
+                  s"CAST(sum(CAST(${round6("clipped")} AS DECIMAL(28,6))) AS DOUBLE)" +
+                    " / CAST(count(*) AS DOUBLE)")} AS mean_winsorized,
+       |       ${duckRound4("min(lo)")} AS lo_fence,
+       |       ${duckRound4("max(hi)")} AS hi_fence
+       |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winsorize" -> (winsorize _),
     "q_mad_outliers" -> (madOutliers _),
     "q_corr_stats" -> (corrStats _),
     "q_mode_priority" -> (modePriority _),
@@ -317,6 +388,7 @@ object OlapStats {
     "q_outliers" -> (outliers _))
 
   val oracle: Map[String, String] = Map(
+    "q_winsorize" -> sqlWinsorize,
     "q_mad_outliers" -> sqlMadOutliers,
     "q_corr_stats" -> sqlCorrStats,
     "q_mode_priority" -> sqlModePriority,

@@ -799,7 +799,70 @@ object DocOps {
        |FROM bi JOIN uni a ON bi.w1 = a.w JOIN uni b ON bi.w2 = b.w CROSS JOIN tot
        |ORDER BY lift DESC, w1, w2 LIMIT $ColTopK""".stripMargin
 
+  // ---------- q_char_gini: rational character-diversity score ----------
+
+  /** Per-language character-diversity audit via Gini impurity
+    * (1 − Σ p_c²) of each document's character distribution — the
+    * repetitiveness screen that needs NO transcendental: entropy's ln
+    * has no cross-engine ulp guarantee (CLAUDE.md float rules), while
+    * Gini is a pure rational of exact integer counts (Σ cnt², len²)
+    * so both engines compute identical bits. Low-impurity documents
+    * are single-character floods / padding artifacts the quality gate
+    * ([[gopherRules]]) should drop; the per-lang aggregate is the
+    * corpus-health row a curation dashboard tracks.
+    *
+    * Shape: explode to (doc, code) grain — linear in total characters,
+    * the same width multiplier every tokenization pays — then two
+    * doc-keyed hash aggregates and a lang-cardinality output. The
+    * per-doc mean follows the round6-DECIMAL exact-sum rule.
+    */
+  def charGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val round6 = (c: Column) => floor(c * 1000000.0 + 0.5) / 1000000.0
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        explode_outer(TextFns.codes(col("text"))).as("code"))
+      .groupBy(col("doc_id"), col("lang"), col("code"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cnt")).as("len"), sum(col("cnt") * col("cnt")).as("ss"))
+      .withColumn("gini",
+        lit(1.0) - col("ss").cast("double")
+          / (col("len") * col("len")).cast("double"))
+    perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(round6(col("gini")).cast("decimal(18,6)")).as("sg"),
+        min(col("gini")).as("mn"), max(col("gini")).as("mx"))
+      .select(col("lang"), col("n_docs"),
+        TextFns.round4(col("sg").cast("double") / col("n_docs").cast("double"))
+          .as("avg_gini"),
+        TextFns.round4(col("mn")).as("min_gini"),
+        TextFns.round4(col("mx")).as("max_gini"))
+      .orderBy("lang")
+  }
+
+  private val sqlCharGini = {
+    val round6 = (e: String) => s"(floor(($e) * 1000000.0 + 0.5) / 1000000.0)"
+    s"""WITH c AS (SELECT doc_id, lang, unnest(${duckCodesOf("text")}) AS code
+       |           FROM documents),
+       |     k AS (SELECT doc_id, lang, code, count(*) AS cnt
+       |           FROM c GROUP BY 1, 2, 3),
+       |     d AS (SELECT doc_id, lang, sum(cnt) AS len,
+       |                  sum(cnt * cnt) AS ss
+       |           FROM k GROUP BY 1, 2),
+       |     g AS (SELECT doc_id, lang,
+       |                  1.0 - CAST(ss AS DOUBLE) / CAST(len * len AS DOUBLE) AS gini
+       |           FROM d)
+       |SELECT lang, count(*) AS n_docs,
+       |       ${TextFns.duckRound4(
+                  s"CAST(sum(CAST(${round6("gini")} AS DECIMAL(18,6))) AS DOUBLE)" +
+                    " / CAST(count(*) AS DOUBLE)")} AS avg_gini,
+       |       ${TextFns.duckRound4("min(gini)")} AS min_gini,
+       |       ${TextFns.duckRound4("max(gini)")} AS max_gini
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_char_gini" -> (charGini _),
     "q_collocations" -> (collocations _),
     "q_novelty" -> (novelty _),
     "q_delta_novelty" -> (deltaNovelty _),
@@ -812,6 +875,7 @@ object DocOps {
     "q_winnow_fp" -> (winnowFp _))
 
   val oracle: Map[String, String] = Map(
+    "q_char_gini" -> sqlCharGini,
     "q_collocations" -> sqlCollocations,
     "q_novelty" -> sqlNovelty,
     "q_delta_novelty" -> sqlDeltaNovelty,

@@ -769,6 +769,104 @@ object TextQueries {
        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------- 5b. q_lang_agreement: label-vs-prediction confusion audit ----------
+
+  /** Per-language precision / recall / F1 of the lexicon language-ID
+    * argmax against the stored `lang` label — the agreement audit a
+    * curation pipeline runs before trusting EITHER labeling (the
+    * inter-annotator-agreement shape: production pipelines diff a
+    * cheap classifier against provider metadata exactly this way).
+    * The synthetic corpus shares one vocabulary across languages, so
+    * low agreement is the EXPECTED verdict here — which is precisely
+    * what the audit exists to surface.
+    *
+    * Parity: the argmax ranks INTEGER hit counts with an alphabetical
+    * candidate tie-break (no floats anywhere in the election); all
+    * three metrics are pure rationals of exact counts — F1 written as
+    * its harmonic-mean identity 2·correct/(n_true + n_pred), one
+    * round4 each at the edge.
+    *
+    * Shape: tokenize once (staged — HOFs are interpreted), score the
+    * 5 lexicons per row, elect per doc via ONE struct-max aggregate
+    * (hits, then negated candidate rank — no join-back, so the
+    * lexicon scoring runs once), then two lang-cardinality aggregates
+    * full-outer-joined. Linear in tokens at any SF.
+    */
+  def langAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val langs = TextFns.langMarkers.keys.toSeq.sorted
+    val pred = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text"))) // staged: scored 5×
+      .select(col("doc_id"), col("lang"),
+        explode_outer(array(langs.zipWithIndex.map { case (l, i) =>
+          struct(
+            TextFns.lexiconHitsFromTokens(col("ts"), TextFns.langMarkers(l))
+              .cast("long").as("hits"),
+            lit(-i).as("nrank"))
+        }: _*)).as("s"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(max(col("s")).as("b"))
+      .select(col("lang"),
+        element_at(typedLit(langs), (-col("b.nrank")).cast("int") + 1).as("pred"))
+    val truth = pred.groupBy("lang")
+      .agg(count(lit(1)).as("n_true"),
+        count(when(col("pred") === col("lang"), lit(1))).as("n_correct"))
+    val predicted = pred.groupBy(col("pred").as("plang"))
+      .agg(count(lit(1)).as("n_pred"))
+    truth.join(predicted, col("lang") === col("plang"), "full_outer")
+      .select(coalesce(col("lang"), col("plang")).as("lang"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+      .withColumn("precision",
+        when(col("n_pred") === 0, lit(0.0)).otherwise(TextFns.round4(
+          col("n_correct").cast("double") / col("n_pred").cast("double"))))
+      .withColumn("recall",
+        when(col("n_true") === 0, lit(0.0)).otherwise(TextFns.round4(
+          col("n_correct").cast("double") / col("n_true").cast("double"))))
+      .withColumn("f1",
+        when(col("n_true") + col("n_pred") === 0, lit(0.0)).otherwise(TextFns.round4(
+          lit(2.0) * col("n_correct").cast("double")
+            / (col("n_true") + col("n_pred")).cast("double"))))
+      .orderBy("lang")
+  }
+
+  private val sqlLangAgreement = {
+    val langs = TextFns.langMarkers.keys.toSeq.sorted
+    val hitSel = langs.map { l =>
+      val lex = TextFns.langMarkers(l).map(s => s"'$s'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(ts, t -> list_contains($lex, t))) AS BIGINT) AS hits_$l"
+    }.mkString(", ")
+    val structs = langs.zipWithIndex
+      .map { case (l, i) => s"{'hits': hits_$l, 'nrank': ${-i}}" }
+      .mkString("[", ", ", "]")
+    val langList = langs.map(l => s"'$l'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, lang, $duckTokens AS ts FROM documents),
+       |     h AS (SELECT doc_id, lang, $hitSel FROM t),
+       |     u AS (SELECT doc_id, lang, unnest($structs) AS s FROM h),
+       |     b AS (SELECT doc_id, lang, max(s) AS bs FROM u GROUP BY 1, 2),
+       |     p AS (SELECT lang, ($langList)[CAST(-bs.nrank AS INT) + 1] AS pred FROM b),
+       |     tr AS (SELECT lang, count(*) AS n_true,
+       |                   count(CASE WHEN pred = lang THEN 1 END) AS n_correct
+       |            FROM p GROUP BY 1),
+       |     pr AS (SELECT pred AS plang, count(*) AS n_pred FROM p GROUP BY 1)
+       |SELECT coalesce(lang, plang) AS lang,
+       |       CAST(coalesce(n_true, 0) AS BIGINT) AS n_true,
+       |       CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
+       |       CAST(coalesce(n_correct, 0) AS BIGINT) AS n_correct,
+       |       CASE WHEN coalesce(n_pred, 0) = 0 THEN 0.0
+       |            ELSE ${TextFns.duckRound4(
+                      "CAST(coalesce(n_correct, 0) AS DOUBLE) / CAST(n_pred AS DOUBLE)")} END AS precision,
+       |       CASE WHEN coalesce(n_true, 0) = 0 THEN 0.0
+       |            ELSE ${TextFns.duckRound4(
+                      "CAST(coalesce(n_correct, 0) AS DOUBLE) / CAST(n_true AS DOUBLE)")} END AS recall,
+       |       CASE WHEN coalesce(n_true, 0) + coalesce(n_pred, 0) = 0 THEN 0.0
+       |            ELSE ${TextFns.duckRound4(
+                      "2.0 * CAST(coalesce(n_correct, 0) AS DOUBLE) " +
+                        "/ CAST(coalesce(n_true, 0) + coalesce(n_pred, 0) AS DOUBLE)")} END AS f1
+       |FROM tr FULL JOIN pr ON tr.lang = pr.plang
+       |ORDER BY lang""".stripMargin
+  }
+
   // ---------- 6. q_text_stats: per-lang corpus statistics ----------
 
   def textStats(spark: SparkSession, sfDir: String): DataFrame =
@@ -1205,6 +1303,7 @@ object TextQueries {
     "q_token_shards" -> (tokenShards _),
     "q_ngram_jaccard" -> (ngramJaccard _),
     "q_lang_id" -> (langId _),
+    "q_lang_agreement" -> (langAgreement _),
     "q_text_stats" -> (textStats _),
     "q_token_count" -> (tokenCount _),
     "q_quality_score" -> (qualityScoreQ _))
@@ -1229,6 +1328,7 @@ object TextQueries {
     "q_token_shards" -> sqlTokenShards,
     "q_ngram_jaccard" -> sqlNgramJaccard,
     "q_lang_id" -> sqlLangId,
+    "q_lang_agreement" -> sqlLangAgreement,
     "q_text_stats" -> sqlTextStats,
     "q_token_count" -> sqlTokenCount,
     "q_quality_score" -> sqlQualityScore)

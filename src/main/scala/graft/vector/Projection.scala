@@ -209,11 +209,77 @@ object Projection {
        |FROM la CROSS JOIN ga ORDER BY label""".stripMargin
   }
 
+  // ---------- q_dim_stats: per-dimension moments (whitening audit) ----------
+
+  /** Per-dimension mean/variance/min/max over the embedding corpus —
+    * the statistics a whitening or scalar-quantization step trains on
+    * ([[VectorQueries.sqError]]'s per-dim min/max generalized to full
+    * moments), and the drift table an embedding-pipeline monitor
+    * diffs between snapshots (a dimension whose variance collapses
+    * signals an encoder regression).
+    *
+    * Parity: mean and variance are order-dependent float reductions,
+    * so both moments aggregate round6(x) (and its EXACT decimal
+    * square — DECIMAL×DECIMAL, never a double product recast) as
+    * DECIMAL sums, converted to double once at the output edge;
+    * variance = E[x²] − mean² evaluates the identical IEEE expression
+    * on both engines. min/max commute with the edge round4.
+    *
+    * Shape: one posexplode to (dim, x) grain — vecs × 64 rows, linear,
+    * map-side combinable — and one hash aggregate to a 64-row output.
+    * At 100 TB identical; the explode never shuffles more than the
+    * input width multiplier.
+    */
+  def dimStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val r6 = (c: Column) => round6(c).cast("decimal(18,6)")
+    Tables.embeddings(spark, sfDir)
+      .select(posexplode(VectorFns.toDouble(col("embedding"))).as(Seq("dim", "x")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(r6(col("x"))).as("sx"),
+        sum((r6(col("x")) * r6(col("x"))).cast("decimal(38,12)")).as("sxx"),
+        min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .withColumn("mean", col("sx").cast("double") / col("n_vecs").cast("double"))
+      .select(col("dim"), col("n_vecs"),
+        graft.text.TextFns.round4(col("mean")).as("mean"),
+        graft.text.TextFns.round4(
+          col("sxx").cast("double") / col("n_vecs").cast("double")
+            - col("mean") * col("mean")).as("variance"),
+        graft.text.TextFns.round4(col("mn")).as("min_x"),
+        graft.text.TextFns.round4(col("mx")).as("max_x"))
+      .orderBy("dim")
+  }
+
+  private val sqlDimStats = {
+    val round6 = (e: String) => s"(floor(($e) * 1000000.0 + 0.5) / 1000000.0)"
+    val r6 = (e: String) => s"CAST(${round6(e)} AS DECIMAL(18,6))"
+    s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |     x AS (SELECT CAST(i - 1 AS BIGINT) AS dim, v[CAST(i AS INT)] AS x
+       |           FROM e CROSS JOIN range(1, ${Dim + 1}) t(i)),
+       |     a AS (SELECT dim, count(*) AS n_vecs,
+       |                  sum(${r6("x")}) AS sx,
+       |                  sum(CAST(${r6("x")} * ${r6("x")} AS DECIMAL(38,12))) AS sxx,
+       |                  min(x) AS mn, max(x) AS mx
+       |           FROM x GROUP BY 1),
+       |     m AS (SELECT dim, n_vecs, mn, mx, sxx,
+       |                  CAST(sx AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS mean
+       |           FROM a)
+       |SELECT dim, CAST(n_vecs AS BIGINT) AS n_vecs,
+       |       ${graft.text.TextFns.duckRound4("mean")} AS mean,
+       |       ${graft.text.TextFns.duckRound4(
+                  "CAST(sxx AS DOUBLE) / CAST(n_vecs AS DOUBLE) - mean * mean")} AS variance,
+       |       ${graft.text.TextFns.duckRound4("mn")} AS min_x,
+       |       ${graft.text.TextFns.duckRound4("mx")} AS max_x
+       |FROM m ORDER BY dim""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rand_proj" -> (randProj _),
-    "q_centroid_drift" -> (centroidDrift _))
+    "q_centroid_drift" -> (centroidDrift _),
+    "q_dim_stats" -> (dimStats _))
 
   val oracle: Map[String, String] = Map(
     "q_rand_proj" -> sqlRandProj,
-    "q_centroid_drift" -> sqlCentroidDrift)
+    "q_centroid_drift" -> sqlCentroidDrift,
+    "q_dim_stats" -> sqlDimStats)
 }

@@ -384,15 +384,17 @@ object VectorQueries {
 
   // ---------- 6b. q_ivf_nprobe: nprobe=2 IVF serving ----------
 
-  private val IvfNprobe = 2
+  private val IvfNprobe = 3
 
-  /** IVF search probing the TOP-2 cells by probe-to-centroid
-    * similarity — the recall/latency knob every IVF deployment turns
-    * ([[ivfSearch]]'s nprobe = 1 misses neighbors that landed just
-    * across a cell boundary; nprobe = 2 reads one more partition and
-    * repairs most of them — the learned-cell analogue of
-    * [[annMultiprobe]]'s Hamming-1 bucket expansion). Cell election
-    * reuses the SAME rounded ranking as the assignment step (rk ≤ 2
+  /** IVF search probing the TOP-[[IvfNprobe]] cells by
+    * probe-to-centroid similarity — the recall/latency knob every IVF
+    * deployment turns ([[ivfSearch]]'s nprobe = 1 misses neighbors
+    * that landed just across a cell boundary; probing the runner-up
+    * cells reads nprobe−1 more partitions and repairs most of them —
+    * the learned-cell analogue of [[annMultiprobe]]'s Hamming-1
+    * bucket expansion; `VectorRecallSpec` pins recall ≥ the
+    * single-cell path). Cell election reuses the SAME rounded ranking
+    * as the assignment step (rk ≤ nprobe
     * instead of rk = 1), so the served cells are exactly the
     * assignment argmin's runners-up — engine-independent by the same
     * round6 + c_label tie-break.
@@ -730,8 +732,10 @@ object VectorQueries {
     * side — cells are what the published recipe prunes with, and the
     * same blocked-join shape serves both. Representative election is
     * one-hop min (the [[graft.text.TextQueries.minhashCluster]]
-    * approximation); transitive closure is [[graft.graph
-    * .ConnectedComponents]]' job when chains matter.
+    * approximation); [[semanticDedupExact]] is the cluster-atomic
+    * variant that closes chains with [[graft.graph
+    * .ConnectedComponents]] (`RrfFusionSpec` pins containment: the
+    * closure keep-set is a subset of this one-hop keep-set).
     *
     * Scale: pair count is Σ_cell |cell|²/2, bounded by the coarse
     * quantizer's balance — at web scale cells are capped (split heavy
@@ -758,8 +762,12 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
-  private val sqlSemanticDedup =
-    s"""WITH $duckVecs,
+  /** Shared oracle prefix for the SemDeDup pair: codebook → rounded
+    * assignment → `cells(vec_id, v, nrm, cell)`. No `WITH` keyword so
+    * the closure twin can prepend `WITH RECURSIVE`.
+    */
+  private val duckSemCells =
+    s"""$duckVecs,
        |     x AS (SELECT label AS c_label, CAST(i - 1 AS INT) AS dim, v[CAST(i AS INT)] AS x
        |           FROM e0 CROSS JOIN range(1, 65) t(i)),
        |     cd AS (SELECT c_label, dim, avg(x) AS cx FROM x GROUP BY c_label, dim),
@@ -773,7 +781,10 @@ object VectorQueries {
        |                     row_number() OVER (PARTITION BY vec_id
        |                       ORDER BY ${duckRound6("sim")} DESC, c_label) AS rk
        |              FROM scored),
-       |     cells AS (SELECT vec_id, v, nrm, c_label AS cell FROM best WHERE rk = 1),
+       |     cells AS (SELECT vec_id, v, nrm, c_label AS cell FROM best WHERE rk = 1)""".stripMargin
+
+  private val sqlSemanticDedup =
+    s"""WITH $duckSemCells,
        |     prs AS (SELECT b2.vec_id AS vec_id, a.vec_id AS rep,
        |                    ${duckDot("a.v", "b2.v")} / (a.nrm * b2.nrm) AS sim
        |             FROM cells a JOIN cells b2
@@ -785,6 +796,68 @@ object VectorQueries {
        |       CAST(CASE WHEN coalesce(reps.sem_rep, cells.vec_id) = cells.vec_id
        |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
        |FROM cells LEFT JOIN reps ON cells.vec_id = reps.vec_id
+       |ORDER BY cells.vec_id""".stripMargin
+
+  // ---------- 11c. q_semdedup_cc: cluster-atomic SemDeDup closure ----------
+
+  /** [[semanticDedup]] with TRANSITIVE representative election: the
+    * within-cell ≥-threshold pairs become an edge list, [[graft.graph
+    * .ConnectedComponents]] labels each vector with its component's
+    * min id, and a vector is kept iff it IS that minimum — so a chain
+    * a~b~c collapses to one keeper even when a and c are not directly
+    * similar (the case the one-hop election keeps both of; see the
+    * spec's 5–9, 1–9 example shape). Same output contract as
+    * [[semanticDedup]]: one row per vector, never a pair list.
+    *
+    * Scale: the edge list is the identical cell-blocked join (bounded
+    * per-key fan-out); the fixpoint iterates on edges CONTRACTED to
+    * components — per-round cost is one join + one hash agg over the
+    * edge set, rounds = cluster diameter (near-dup chains are short;
+    * [[graft.graph.ConnectedComponents.runHalving]] is the long-chain
+    * fallback). The oracle replays the closure as a recursive CTE,
+    * exactly the `q_cc_clusters` pattern.
+    */
+  def semanticDedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.graph.ConnectedComponents
+    val cells = assignedCells(withVecs(spark, sfDir))
+    val edges = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", VectorFns.cosineStaged(
+        col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
+      .filter(col("sim") >= NearDupThreshold)
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+    val (comp, compIds) = ConnectedComponents.runTracked(edges)
+    val out = cells.select(col("vec_id"), col("cell"))
+      .join(comp.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("component"), col("vec_id")).as("sem_rep"))
+      .withColumn("kept",
+        when(col("sem_rep") === col("vec_id"), 1L).otherwise(0L))
+      .orderBy("vec_id")
+    // materialize the small labeling so the per-round checkpoint
+    // blocks can be freed now (the docComponents convention)
+    val (res, _) = ConnectedComponents.checkpointTracked(out)
+    ConnectedComponents.free(out, compIds)
+    res
+  }
+
+  private val sqlSemanticDedupCc =
+    s"""WITH RECURSIVE $duckSemCells,
+       |     prs AS (SELECT a.vec_id AS a, b2.vec_id AS b
+       |             FROM cells a JOIN cells b2
+       |               ON a.cell = b2.cell AND a.vec_id < b2.vec_id
+       |             WHERE ${duckDot("a.v", "b2.v")} / (a.nrm * b2.nrm) >= $NearDupThreshold),
+       |     edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+       |     reach AS (
+       |       SELECT DISTINCT a AS node, a AS lbl FROM edges
+       |       UNION
+       |       SELECT e.a AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.b),
+       |     comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+       |SELECT cells.vec_id, cells.cell,
+       |       coalesce(comp.component, cells.vec_id) AS sem_rep,
+       |       CAST(CASE WHEN coalesce(comp.component, cells.vec_id) = cells.vec_id
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM cells LEFT JOIN comp ON cells.vec_id = comp.node
        |ORDER BY cells.vec_id""".stripMargin
 
   // ---------- 12. q_rrf_fusion: hybrid lexical + vector retrieval ----------
@@ -869,10 +942,10 @@ object VectorQueries {
     * pairs, never all-pairs), oriented low-id → high-id, so each
     * triangle is counted exactly once by the two-hop join
     * e1(x,y) ⋈ e2(y,z) ⋈ e3(x,z). Edge orientation bounds the join:
-    * at scale the standard refinement orients by DEGREE (low-degree
-    * endpoint first, O(m^1.5) worst case — Suri & Vassilvitskii,
-    * WWW'11) instead of by id; the id form keeps the oracle twin
-    * exact here. All three join legs shuffle on edge endpoints —
+    * at scale swap in [[degreeOrient]] (low-degree endpoint first,
+    * O(m^1.5) worst case — Suri & Vassilvitskii, WWW'11; proven
+    * count-equivalent in `TriangleSpec`) — the id form keeps the
+    * oracle twin exact here. All three join legs shuffle on edge endpoints —
     * linear in edges, and the blocked edge list is itself bounded by
     * bucket sizes.
     */
@@ -899,6 +972,37 @@ object VectorQueries {
         col("n_tri").cast("double") * 2.0 /
           (col("degree") * (col("degree") - 1)).cast("double")))
       .select(col("node").as("vec_id"), col("degree"), col("n_tri"), col("local_cc"))
+  }
+
+  /** Re-orient an oriented edge list by DEGREE (lower-degree endpoint
+    * first, id as tie-break) — the Suri & Vassilvitskii (WWW'11)
+    * refinement that bounds the two-hop join's fan-out by O(m^1.5)
+    * on skewed graphs: a hub node of degree d contributes d² candidate
+    * wedges under id orientation but only its lower-degree neighbors'
+    * wedges under degree orientation. Any strict total order on
+    * vertices makes the oriented graph acyclic with exactly one
+    * x→y→z / x→z pattern per triangle, so [[localTriangleStats]] is
+    * orientation-invariant — `TriangleSpec` proves count-equivalence
+    * to the id-oriented form (which the oracle twin keeps for
+    * exactness).
+    *
+    * Scale: two broadcast-sized joins against the O(nodes) degree
+    * table at fixture scale; at fact scale the degree table shuffles
+    * on the endpoint key like any dim join — still linear in edges.
+    */
+  private[vector] def degreeOrient(edges: DataFrame): DataFrame = {
+    val deg = edges
+      .select(explode_outer(array(col("u"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    edges
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("w"), col("deg").as("dw")), "w")
+      .select(
+        when(col("du") < col("dw") ||
+            (col("du") === col("dw") && col("u") < col("w")),
+          struct(col("u").as("u"), col("w").as("w")))
+          .otherwise(struct(col("w").as("u"), col("u").as("w"))).as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"))
   }
 
   def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1118,6 +1222,7 @@ object VectorQueries {
     "q_triangle_count" -> (triangleCount _),
     "q_pq_codes" -> (pqCodes _),
     "q_semantic_dedup" -> (semanticDedup _),
+    "q_semdedup_cc" -> (semanticDedupExact _),
     "q_rrf_fusion" -> (rrfFusion _),
     "q_ann_recall" -> (annRecall _),
     "q_ann_multiprobe" -> (annMultiprobe _),
@@ -1137,6 +1242,7 @@ object VectorQueries {
     "q_triangle_count" -> sqlTriangleCount,
     "q_pq_codes" -> sqlPqCodes,
     "q_semantic_dedup" -> sqlSemanticDedup,
+    "q_semdedup_cc" -> sqlSemanticDedupCc,
     "q_rrf_fusion" -> sqlRrfFusion,
     "q_ann_recall" -> sqlAnnRecall,
     "q_ann_multiprobe" -> sqlAnnMultiprobe,

@@ -54,6 +54,40 @@ class RrfFusionSpec extends SparkSpec {
     assert(kept > 0 && kept < rows.length, s"degenerate keep set: $kept/500")
   }
 
+  test("closure keep-set is contained in the one-hop keep-set") {
+    // one-hop election keeps any vector with no DIRECT smaller
+    // neighbor; the closure keeps only each component's minimum — so
+    // closure-kept ⊆ one-hop-kept always (a component min has no
+    // smaller neighbor anywhere), and the difference counts exactly
+    // the chain-shaped clusters (edges 5–9 and 1–9: one-hop keeps
+    // {1, 5}, closure keeps {1})
+    def keepSet(rows: Array[org.apache.spark.sql.Row]): Set[Long] =
+      rows.filter(_.getLong(3) == 1L).map(_.getLong(0)).toSet
+    val oneHopRows = VectorQueries.semanticDedup(spark, sf).collect()
+    val closureRows = VectorQueries.semanticDedupExact(spark, sf).collect()
+    assert(closureRows.length == oneHopRows.length,
+      "both elections must cover every vector")
+    val oneHop = keepSet(oneHopRows)
+    val closure = keepSet(closureRows)
+    assert(closure.subsetOf(oneHop),
+      s"closure kept ${closure -- oneHop} that one-hop dropped")
+    assert(closure.nonEmpty && closure.size < closureRows.length,
+      s"degenerate closure keep set: ${closure.size}")
+    // closure reps must be globally consistent: a dropped vector's
+    // rep must itself be kept (one-hop famously violates this on
+    // chains — the rep of a dropped doc can be dropped too)
+    val repOf = closureRows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    closureRows.foreach { r =>
+      assert(closure.contains(repOf(r.getLong(0))),
+        s"closure rep ${repOf(r.getLong(0))} of ${r.getLong(0)} was dropped")
+    }
+    // record the fixture's measured disagreement so a drift in either
+    // election shows up here, not just in the oracle hash
+    val disagree = (oneHop -- closure).size
+    assert(disagree >= 0 && disagree <= oneHopRows.length / 2,
+      s"unexpected one-hop-vs-closure divergence: $disagree")
+  }
+
   test("a doc in both lists outranks a doc with the same single-list rank") {
     val rows = VectorQueries.rrfFusion(spark, sf).collect()
     val both = rows.filter(r => !r.isNullAt(2) && !r.isNullAt(3))

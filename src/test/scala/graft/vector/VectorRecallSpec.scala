@@ -68,4 +68,20 @@ class VectorRecallSpec extends SparkSpec {
     // make the recall trivial
     assert(nCandidates < 100, s"bucket pruned nothing: $nCandidates of 199")
   }
+
+  test("multi-cell IVF probing recovers at least the single-cell recall") {
+    // the nprobe knob's contract on the parquet fixture: probing the
+    // runner-up cells can only add candidates near the probe's cell
+    // boundary, so recall@k vs exact kNN must be ≥ the nprobe=1 path
+    def ids(df: DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(VectorQueries.knn(spark, sfTiny))
+    val oneCell = ids(VectorQueries.ivfSearch(spark, sfTiny))
+    val multiCell = ids(VectorQueries.ivfSearchNprobe(spark, sfTiny))
+    assert(exact.size == k && multiCell.nonEmpty, "vacuous fixture")
+    val recall1 = (exact & oneCell).size
+    val recallN = (exact & multiCell).size
+    assert(recallN >= recall1,
+      s"nprobe expansion lost recall: $recallN < $recall1")
+  }
 }
