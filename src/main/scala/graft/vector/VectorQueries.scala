@@ -922,6 +922,116 @@ object VectorQueries {
        |       doc_id, bm25_rk, knn_rk, rrf
        |FROM r ORDER BY rank""".stripMargin
 
+  // ---------- 12b. q_mmr_rerank: MMR diversified re-rank of the kNN pool ----------
+
+  private val MmrPool = 12
+  private val MmrK = 5
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998)
+    * of the exact-cosine top-[[MmrPool]] candidate pool: greedily pick
+    * [[MmrK]] results maximizing `λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s)`
+    * with λ = 1/2 — the diversity-aware serving step a retrieval
+    * pipeline runs AFTER [[rrfFusion]]'s fusion, so near-duplicate
+    * hits don't crowd the answer list.
+    *
+    * Cross-engine determinism: λ = 1/2 keeps every score op exact
+    * (multiply by 0.5 is a power-of-two scale); pairwise sims are
+    * round6-ed BEFORE the max, every argmax ranks round6(score) with
+    * a vec_id tie-break.
+    *
+    * Scale: the candidate pool is bounded ([[MmrPool]] rows post-
+    * limit, the TakeOrderedAndProject output of the exact/ANN scan) —
+    * the greedy loop's joins all run over pool² = 144 pair rows and
+    * never touch the corpus again. Pool and pair matrix are
+    * localCheckpoint'd once (iterative-kernel rule: each of the
+    * [[MmrK]] driver-paced rounds re-reads both); superseded selected-
+    * set checkpoints are freed as rounds advance. At 100 TB only the
+    * candidate-generation scan scales; this re-rank stays O(k·pool²)
+    * regardless of corpus size.
+    */
+  def mmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.graph.ConnectedComponents.{checkpointTracked, free}
+    val vecs = withVecs(spark, sfDir)
+    val probe = vecs.filter(col("vec_id") === 0)
+      .select(col("v").as("pv"), col("nrm").as("pnrm"))
+    val pool = vecs.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("rel",
+        VectorFns.cosineStaged(col("v"), col("pv"), col("nrm"), col("pnrm")))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(MmrPool)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("rel"))
+    val (cands, candIds) = checkpointTracked(pool)
+    val (pairs, pairIds) = checkpointTracked(
+      cands.as("a").join(cands.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("cid"), col("b.vec_id").as("sid"),
+          round6(VectorFns.cosineStaged(
+            col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))).as("ps")))
+    var (sel, selIds) = checkpointTracked(
+      cands
+        .orderBy(round6(col("rel") * 0.5).desc, col("vec_id"))
+        .limit(1)
+        .select(lit(1).as("pick"), col("vec_id"), col("label"),
+          (col("rel") * 0.5).as("score")))
+    (2 to MmrK).foreach { k =>
+      val pickK = cands
+        .join(sel.select("vec_id"), Seq("vec_id"), "left_anti")
+        .join(pairs, col("vec_id") === col("cid"))
+        .join(sel.select(col("vec_id").as("sid")), Seq("sid"))
+        .groupBy(col("vec_id"), col("label"), col("rel"))
+        .agg(max(col("ps")).as("ms"))
+        .withColumn("score", col("rel") * 0.5 - col("ms") * 0.5)
+        .orderBy(round6(col("score")).desc, col("vec_id"))
+        .limit(1)
+        .select(lit(k).as("pick"), col("vec_id"), col("label"), col("score"))
+      val (next, nextIds) = checkpointTracked(sel.unionByName(pickK))
+      free(sel, selIds)
+      sel = next
+      selIds = nextIds
+    }
+    free(cands, candIds)
+    free(pairs, pairIds)
+    sel.select(col("pick"), col("vec_id"), col("label"),
+        round4(col("score")).as("score"))
+      .orderBy("pick")
+  }
+
+  /** One oracle MMR round: from the not-yet-selected candidates,
+    * score `rel·0.5 − max(round6 pair sim to sel$prev)·0.5` and keep
+    * the round6-ranked argmax as `pk$k`; `sel$k` appends it.
+    */
+  private def duckMmrRound(k: Int): String = {
+    val prev = s"sel${k - 1}"
+    s"""mk$k AS (SELECT c.vec_id, c.label, c.rel, max(pr.ps) AS ms
+       |             FROM cand c
+       |             JOIN pr ON pr.cid = c.vec_id
+       |             JOIN $prev s ON pr.sid = s.vec_id
+       |             WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)
+       |             GROUP BY 1, 2, 3),
+       |     pk$k AS (SELECT $k AS pick, vec_id, label, rel * 0.5 - ms * 0.5 AS score
+       |             FROM mk$k
+       |             ORDER BY ${duckRound6("rel * 0.5 - ms * 0.5")} DESC, vec_id LIMIT 1),
+       |     sel$k AS (SELECT * FROM $prev UNION ALL SELECT * FROM pk$k)""".stripMargin
+  }
+
+  private val sqlMmrRerank =
+    s"""WITH $duckVecs,
+       |     p AS (SELECT v AS pv, nrm AS pnrm FROM e WHERE vec_id = 0),
+       |     cand AS (SELECT vec_id, label, v, nrm,
+       |                     ${duckDot("v", "pv")} / (nrm * pnrm) AS rel
+       |              FROM e, p WHERE vec_id <> 0
+       |              ORDER BY rel DESC, vec_id LIMIT $MmrPool),
+       |     pr AS (SELECT a.vec_id AS cid, b.vec_id AS sid,
+       |                   ${duckRound6(s"${duckDot("a.v", "b.v")} / (a.nrm * b.nrm)")} AS ps
+       |            FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |     sel1 AS (SELECT 1 AS pick, vec_id, label, rel * 0.5 AS score
+       |              FROM cand
+       |              ORDER BY ${duckRound6("rel * 0.5")} DESC, vec_id LIMIT 1),
+       |     ${(2 to MmrK).map(duckMmrRound).mkString(",\n     ")}
+       |SELECT CAST(pick AS INT) AS pick, vec_id, label,
+       |       ${duckRound4("score")} AS score
+       |FROM sel$MmrK ORDER BY pick""".stripMargin
+
   // ---------- 13. q_triangle_count: clustering structure of the near-dup graph ----------
 
   /** Edge threshold for the triangle audit — looser than
@@ -1224,6 +1334,7 @@ object VectorQueries {
     "q_semantic_dedup" -> (semanticDedup _),
     "q_semdedup_cc" -> (semanticDedupExact _),
     "q_rrf_fusion" -> (rrfFusion _),
+    "q_mmr_rerank" -> (mmrRerank _),
     "q_ann_recall" -> (annRecall _),
     "q_ann_multiprobe" -> (annMultiprobe _),
     "q_topk_refresh" -> (topkRefresh _),
@@ -1244,6 +1355,7 @@ object VectorQueries {
     "q_semantic_dedup" -> sqlSemanticDedup,
     "q_semdedup_cc" -> sqlSemanticDedupCc,
     "q_rrf_fusion" -> sqlRrfFusion,
+    "q_mmr_rerank" -> sqlMmrRerank,
     "q_ann_recall" -> sqlAnnRecall,
     "q_ann_multiprobe" -> sqlAnnMultiprobe,
     "q_topk_refresh" -> sqlTopkRefresh,
