@@ -155,6 +155,33 @@ object TextHashUtil {
     new GenericArrayData(out.toArray)
   }
 
+  /** Σ cnt² over the document's byte-code histogram — the numerator
+    * of the Gini impurity 1 − Σcnt²/len² (DocOps.charGini). Exactly
+    * `sum(cnt*cnt)` over `groupBy(code)` of `TextFns.codes(text)`:
+    * codes are bytes (ASCII contract above), and the empty string
+    * contributes the one zero-padded code that `codes`' sequence
+    * lower bound produces, so ss = 1. One 256-slot primitive
+    * histogram per row — replaces a char-grain explode plus two
+    * shuffled aggregates with zero per-doc shuffle.
+    */
+  def charSqSum(s: UTF8String): Long = {
+    val n = s.numBytes
+    if (n == 0) return 1L
+    val cnt = new Array[Long](256)
+    var i = 0
+    while (i < n) {
+      cnt(s.getByte(i) & 0xff) += 1
+      i += 1
+    }
+    var ss = 0L
+    i = 0
+    while (i < 256) {
+      ss += cnt(i) * cnt(i)
+      i += 1
+    }
+    ss
+  }
+
   /** SimHash over space-delimited lowercased token hashes: bit j set
     * iff tokens with bit j set outnumber those without.
     */
@@ -249,6 +276,19 @@ case class WinnowFpExpr(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** graft_char_sq(text): Σcnt² of the byte-code histogram (long). */
+case class CharSqSumExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_char_sq"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashUtil.charSqSum(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.charSqSum($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharSqSumExpr =
+    copy(child = newChild)
+}
+
 /** graft_simhash(text): token-vote SimHash (long). */
 case class SimHashExpr(child: Expression, bits: Int)
     extends UnaryExpression {
@@ -274,4 +314,6 @@ object TextHashes {
     ColumnBridge.column(ShingleSetExpr(ColumnBridge.expression(text), k))
   def winnowFp(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFpExpr(ColumnBridge.expression(text), k, w))
+  def charSqSum(text: Column): Column =
+    ColumnBridge.column(CharSqSumExpr(ColumnBridge.expression(text)))
 }

@@ -811,20 +811,20 @@ object DocOps {
     * ([[gopherRules]]) should drop; the per-lang aggregate is the
     * corpus-health row a curation dashboard tracks.
     *
-    * Shape: explode to (doc, code) grain — linear in total characters,
-    * the same width multiplier every tokenization pays — then two
-    * doc-keyed hash aggregates and a lang-cardinality output. The
-    * per-doc mean follows the round6-DECIMAL exact-sum rule.
+    * Shape: Σcnt² is the native codegen'd
+    * [[graft.functions.TextHashes.charSqSum]] kernel (one 256-slot
+    * primitive histogram per ROW — `TextHashSpec` pins its parity
+    * with the explode + two-hash-aggregate HOF form this replaced),
+    * so the per-doc stage is zero-shuffle and the only exchange is
+    * the lang-cardinality output aggregate. The per-doc mean follows
+    * the round6-DECIMAL exact-sum rule.
     */
   def charGini(spark: SparkSession, sfDir: String): DataFrame = {
     val round6 = (c: Column) => floor(c * 1000000.0 + 0.5) / 1000000.0
     val perDoc = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
-        explode_outer(TextFns.codes(col("text"))).as("code"))
-      .groupBy(col("doc_id"), col("lang"), col("code"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(col("cnt")).as("len"), sum(col("cnt") * col("cnt")).as("ss"))
+        greatest(length(col("text")), lit(1)).cast("long").as("len"),
+        graft.functions.TextHashes.charSqSum(col("text")).as("ss"))
       .withColumn("gini",
         lit(1.0) - col("ss").cast("double")
           / (col("len") * col("len")).cast("double"))

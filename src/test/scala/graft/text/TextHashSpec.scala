@@ -83,6 +83,21 @@ class TextHashSpec extends SparkSpec {
     assert(fps(d1).intersect(fps(d2)).nonEmpty)
   }
 
+  test("native charSqSum equals explode+groupBy sum(cnt*cnt) over codes") {
+    val withEmpty = texts :+ "" :+ "aaaa"
+    val hof = withEmpty.zipWithIndex.map(_.swap).toDF("id", "text")
+      .select(col("id"), explode_outer(TextFns.codes(col("text"))).as("code"))
+      .groupBy("id", "code").agg(count(lit(1)).as("cnt"))
+      .groupBy("id").agg(sum(col("cnt") * col("cnt")).as("ss"))
+    val native = withEmpty.zipWithIndex.map(_.swap).toDF("id", "text")
+      .select(col("id"), TextHashes.charSqSum(col("text")).as("ss"))
+    val h = hof.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = native.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(n == h)
+    assert(n(withEmpty.length - 1) == 16L) // "aaaa": one code, cnt=4, ss=16
+    assert(n(withEmpty.length - 2) == 1L)  // "": the zero-padded code
+  }
+
   test("native simHash equals HOF simhash pipeline") {
     val df = texts.toDF("text")
       .withColumn("ts", TextFns.tokens(col("text")))
