@@ -450,6 +450,132 @@ object VectorQueries {
        |SELECT vec_id, cell, ${duckRound4("sim0")} AS sim
        |FROM s2 ORDER BY sim0 DESC, vec_id LIMIT $TopK""".stripMargin
 
+  // ---------- 6c. q_ivf_recall_curve: recall@k vs nprobe ----------
+
+  /** The recall-vs-nprobe operating curve for the IVF index — the
+    * table a deployer reads to pick [[ivfSearchNprobe]]'s knob: for
+    * nprobe ∈ 1..[[IvfNprobe]], recall@[[TopK]] of the cell-pruned
+    * search against the exact flat scan, aggregated over the
+    * deterministic probe sample ([[annRecall]]'s every-
+    * [[RecallProbeStep]]th convention). One query emits the whole
+    * curve: each candidate (probe, vector) pair is scored ONCE and
+    * fanned out to the levels it serves (a vector in the probe's
+    * rank-r cell is a candidate at every nprobe ≥ r — candidate sets
+    * are nested by construction, which is also why the curve is
+    * monotone in practice; `VectorRecallSpec` pins it on the
+    * fixture).
+    *
+    * Scale: cell election + assignment reuse the broadcast-codebook
+    * pass; the exact side is the audit's cost (bounded probe set ×
+    * corpus, the [[annRecall]] shape — an audit, run sampled); the
+    * IVF side reads only the probes' top-[[IvfNprobe]] cells and the
+    * level fan-out multiplies candidates by ≤ nprobe, never the
+    * corpus.
+    */
+  def ivfRecallCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+    val cb = codebook(vecs)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(round6(col("sim")).desc, col("c_label"))
+    val ranked = vecs.join(broadcast(cb))
+      .withColumn("sim", VectorFns.cosineStaged(
+        col("v"), col("cv"), col("nrm"), col("cnrm")))
+      .withColumn("rk", row_number().over(w))
+    val assigned = ranked.filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_label").as("cell"))
+    val probeCells = ranked
+      .filter(pmod(col("vec_id"), lit(RecallProbeStep)) === 0
+        && col("rk") <= IvfNprobe)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("c_label").as("pcell"), col("rk").as("prank"))
+    val probes = vecs.filter(pmod(col("vec_id"), lit(RecallProbeStep)) === 0)
+      .select(col("vec_id").as("probe_id"),
+        col("v").as("pv"), col("nrm").as("pnrm"))
+    val byProbe = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val exact = vecs.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", VectorFns.cosineStaged(
+        col("v"), col("pv"), col("nrm"), col("pnrm")))
+      .withColumn("rk", row_number().over(byProbe))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("vec_id"))
+    val cands = assigned
+      .join(broadcast(probeCells), col("cell") === col("pcell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", VectorFns.cosineStaged(
+        col("v"), col("pv"), col("nrm"), col("pnrm")))
+      .select(col("probe_id"), col("vec_id"), col("sim"), col("prank"))
+      .withColumn("nprobe",
+        explode_outer(sequence(col("prank"), lit(IvfNprobe))))
+    val byLevel = Window.partitionBy("probe_id", "nprobe")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val ann = cands
+      .withColumn("rk", row_number().over(byLevel))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("vec_id"), col("nprobe"))
+    val nProbes = probes.agg(count(lit(1)).as("n_probes"))
+    val hits = ann.join(exact, Seq("probe_id", "vec_id"))
+      .groupBy("nprobe").agg(count(lit(1)).as("hits"))
+    cands.groupBy("nprobe").agg(count(lit(1)).as("n_cands"))
+      .join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(nProbes))
+      .select(col("nprobe"), col("n_probes"), col("n_cands"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round4(coalesce(col("hits"), lit(0L)).cast("double")
+          / (col("n_probes") * TopK).cast("double")).as("recall"))
+      .orderBy("nprobe")
+  }
+
+  private val sqlIvfRecallCurve =
+    s"""WITH $duckVecs,
+       |     x AS (SELECT label AS c_label, CAST(i - 1 AS INT) AS dim, v[CAST(i AS INT)] AS x
+       |           FROM e0 CROSS JOIN range(1, 65) t(i)),
+       |     cd AS (SELECT c_label, dim, avg(x) AS cx FROM x GROUP BY c_label, dim),
+       |     c0 AS (SELECT c_label, list_transform(list_sort(list({'dim': dim, 'cx': cx})), p -> p.cx) AS cv
+       |            FROM cd GROUP BY c_label),
+       |     c AS (SELECT c_label, cv, sqrt(${duckDot("cv", "cv")}) AS cnrm FROM c0),
+       |     scored AS (SELECT e.vec_id, e.c_label, e.sim,
+       |                       row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY ${duckRound6("e.sim")} DESC, e.c_label) AS rk
+       |                FROM (SELECT e.vec_id, c.c_label,
+       |                             ${duckDot("e.v", "c.cv")} / (e.nrm * c.cnrm) AS sim
+       |                      FROM e CROSS JOIN c) e),
+       |     a AS (SELECT e.vec_id, e.v, e.nrm, s.c_label AS cell
+       |           FROM e JOIN scored s ON e.vec_id = s.vec_id AND s.rk = 1),
+       |     p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm
+       |           FROM e WHERE vec_id % $RecallProbeStep = 0),
+       |     pc AS (SELECT vec_id AS probe_id, c_label AS pcell, rk AS prank
+       |            FROM scored WHERE vec_id % $RecallProbeStep = 0 AND rk <= $IvfNprobe),
+       |     ex AS (SELECT probe_id, vec_id,
+       |              row_number() OVER (PARTITION BY probe_id
+       |                ORDER BY ${duckDot("v", "pv")} / (nrm * pnrm) DESC, vec_id) AS rk
+       |            FROM e, p WHERE vec_id <> probe_id),
+       |     exact AS (SELECT probe_id, vec_id FROM ex WHERE rk <= $TopK),
+       |     cl AS (SELECT pc.probe_id, a.vec_id,
+       |                   ${duckDot("a.v", "p.pv")} / (a.nrm * p.pnrm) AS sim, pc.prank
+       |            FROM a JOIN pc ON a.cell = pc.pcell
+       |                   JOIN p ON p.probe_id = pc.probe_id
+       |            WHERE a.vec_id <> pc.probe_id),
+       |     lv AS (SELECT probe_id, vec_id, sim, CAST(n AS INT) AS nprobe
+       |            FROM cl CROSS JOIN range(1, ${IvfNprobe + 1}) t(n) WHERE n >= prank),
+       |     ac AS (SELECT probe_id, vec_id, nprobe,
+       |              row_number() OVER (PARTITION BY probe_id, nprobe
+       |                ORDER BY sim DESC, vec_id) AS rk
+       |            FROM lv),
+       |     ann AS (SELECT probe_id, vec_id, nprobe FROM ac WHERE rk <= $TopK),
+       |     np AS (SELECT count(*) AS n_probes FROM p),
+       |     h AS (SELECT nprobe, count(*) AS hits
+       |           FROM ann JOIN exact USING (probe_id, vec_id) GROUP BY 1),
+       |     nc AS (SELECT nprobe, count(*) AS n_cands FROM lv GROUP BY 1)
+       |SELECT nc.nprobe, CAST(n_probes AS BIGINT) AS n_probes,
+       |       CAST(n_cands AS BIGINT) AS n_cands,
+       |       CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+       |       ${duckRound4(
+                  s"CAST(coalesce(hits, 0) AS DOUBLE) / CAST(n_probes * $TopK AS DOUBLE)")} AS recall
+       |FROM nc LEFT JOIN h ON nc.nprobe = h.nprobe CROSS JOIN np
+       |ORDER BY nc.nprobe""".stripMargin
+
   // ---------- 7. q_sq_error: int8 scalar-quantization fidelity ----------
 
   private val SqLevels = 255L
@@ -1341,6 +1467,7 @@ object VectorQueries {
     "q_sq_error" -> (sqError _),
     "q_ivf_search" -> (ivfSearch _),
     "q_ivf_nprobe" -> (ivfSearchNprobe _),
+    "q_ivf_recall_curve" -> (ivfRecallCurve _),
     "q_knn" -> (knn _),
     "q_knn_batch" -> (knnBatch _),
     "q_ann_lsh" -> (annLsh _),
@@ -1362,6 +1489,7 @@ object VectorQueries {
     "q_sq_error" -> sqlSqError,
     "q_ivf_search" -> sqlIvfSearch,
     "q_ivf_nprobe" -> sqlIvfSearchNprobe,
+    "q_ivf_recall_curve" -> sqlIvfRecallCurve,
     "q_knn" -> sqlKnn,
     "q_knn_batch" -> sqlKnnBatch,
     "q_ann_lsh" -> sqlAnnLsh,

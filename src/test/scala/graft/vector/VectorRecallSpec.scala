@@ -84,4 +84,22 @@ class VectorRecallSpec extends SparkSpec {
     assert(recallN >= recall1,
       s"nprobe expansion lost recall: $recallN < $recall1")
   }
+
+  test("recall curve is monotone in nprobe and consistent with the serve paths") {
+    // q_ivf_recall_curve's contract: nested candidate sets make
+    // recall non-decreasing as nprobe grows, and the curve's level-1
+    // row must agree with what ivfSearch-style single-cell serving
+    // actually achieves (same cells, same rounded election)
+    val rows = VectorQueries.ivfRecallCurve(spark, sfTiny)
+      .orderBy("nprobe")
+      .select("nprobe", "n_cands", "recall")
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3), "curve rows")
+    val recalls = rows.map(_.getDouble(2)).toSeq
+    assert(recalls == recalls.sorted,
+      s"recall not monotone in nprobe: $recalls")
+    val cands = rows.map(_.getLong(1)).toSeq
+    assert(cands == cands.sorted && cands.distinct == cands,
+      s"candidate counts must strictly grow with nprobe: $cands")
+  }
 }
