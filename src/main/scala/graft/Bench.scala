@@ -7,6 +7,69 @@ import org.apache.spark.sql.SparkSession
   * and under-measure; noop forces full column materialization.
   */
 object Bench {
+  /** One query's numbers as the regression gate sees them. `isoSpread`
+    * is the spread of the post-suite isolated re-runs (present only
+    * when the in-suite spread exceeded the interference threshold and
+    * the query was re-timed); when present it REPLACES the suite
+    * spread in the gate — a 13 s contention spread must not buy a
+    * real 2.5× slip a pass (the round-8 q_leakage_split incident).
+    */
+  private[graft] final case class GateEntry(
+      name: String, best: Double, spread: Double,
+      isoSpread: Option[Double], sf2Best: Option[Double])
+
+  /** Pure regression decision, unit-testable without a SparkSession.
+    * Flags when the (isolation-corrected) best exceeds the baseline
+    * best by both the effective noise band (+150 ms floor) and 30%,
+    * OR when the dual-scale (sf0.01) best drifts >50% (+100 ms floor)
+    * — the sf2 pass is short enough to stay clean on a machine whose
+    * main-SF window was contended, so it catches what interference
+    * masks.
+    */
+  private[graft] def flagRegressions(
+      entries: Seq[GateEntry],
+      prevBest: Map[String, Double],
+      prevSf2: Map[String, Double]): Seq[(String, Double, Double)] =
+    entries.flatMap { e =>
+      val effSpread = e.isoSpread.getOrElse(e.spread)
+      val main = prevBest.get(e.name).collect {
+        case old if old >= 0 && e.best >= 0 &&
+          e.best > old + math.max(effSpread, 0.15) && e.best > old * 1.3 =>
+          (e.name, e.best, old)
+      }
+      val dual = for {
+        t2 <- e.sf2Best if t2 >= 0
+        o2 <- prevSf2.get(e.name) if o2 >= 0.05
+        if t2 > o2 + 0.1 && t2 > o2 * 1.5
+      } yield (e.name, e.best, prevBest.getOrElse(e.name, -1.0))
+      main.orElse(dual)
+    }
+
+  /** Reads per-query baseline bests (and, when present, sf2 bests)
+    * from the baseline JSON. Accepts both the canonical shape this
+    * repo writes ({"queries":{...},"sf2":{...}}) and the driver's raw
+    * round snapshot where the bench line sits under "parsed" — the
+    * round-8 gate silently compared against an EMPTY map because only
+    * the top-level key was tried. Fail-soft: unparseable → empty.
+    */
+  private[graft] def readBaseline(txt: String): (Map[String, Double], Map[String, Double]) = {
+    import org.json4s._
+    def numMap(v: JValue): Map[String, Double] = v match {
+      case JObject(fields) => fields.collect {
+        case (k, JDouble(x)) => k -> x
+        case (k, JDecimal(x)) => k -> x.toDouble
+        case (k, JInt(x)) => k -> x.toDouble
+      }.toMap
+      case _ => Map.empty
+    }
+    try {
+      val j = org.json4s.jackson.JsonMethods.parse(txt)
+      val top = numMap(j \ "queries")
+      val best = if (top.nonEmpty) top else numMap((j \ "parsed") \ "queries")
+      (best, numMap(j \ "sf2"))
+    } catch { case _: Throwable => (Map.empty, Map.empty) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default matches the environment contract (local[32], shuffle
@@ -127,8 +190,9 @@ object Bench {
     // volume is layout-deterministic; interference only adds spill)
     case class Stat(name: String, best: Double, median: Double,
                     spread: Double, warm: Double, runs: List[Double],
-                    shuffleB: Long, spillB: Long)
-    val stats = results.map { case (name, warm, runs) =>
+                    shuffleB: Long, spillB: Long,
+                    isoRuns: List[Double] = Nil)
+    val statsRaw = results.map { case (name, warm, runs) =>
       if (warm.sec < 0 || runs.exists(_.sec < 0))
         Stat(name, -1, -1, 0, warm.sec, runs.map(_.sec), 0, 0)
       else {
@@ -139,6 +203,23 @@ object Bench {
           runs.map(_.sec), best.shuffleB, best.spillB)
       }
     }
+    // Isolated re-time pass: a measured-run spread over 1 s means the
+    // suite window was contended (external load — rounds 6 and 8 both
+    // hit it), and a spread-gated regression check is blind exactly
+    // then. Re-run those queries three more times AFTER the whole
+    // suite (+ the sf2 pass below runs first, giving the interference
+    // time to decay); the min folds into best and the tight isolated
+    // spread replaces the contaminated one in the gate.
+    val qmap = selected.toMap
+    def retimeSuspects(in: Seq[Stat]): Seq[Stat] = in.map { s =>
+      if (s.best >= 0 && s.spread > 1.0) {
+        val extra = List.fill(3)(execOnce(s.name, qmap(s.name), sfDir).sec)
+        if (extra.forall(_ >= 0))
+          s.copy(best = math.min(s.best, extra.min), isoRuns = extra)
+        else s
+      } else s
+    }
+    val stats = retimeSuspects(statsRaw)
     val failed = stats.collect { case s if s.best < 0 => "\"" + s.name + "\"" }
     val total = stats.collect { case s if s.best >= 0 => s.best }.sum
     // The harness captures only the LAST 2000 chars of stdout and parses
@@ -157,33 +238,23 @@ object Bench {
         .underlying.stripTrailingZeros.toPlainString
     val errs = s""""errors":[${failed.mkString(",")}]"""
     // Spread-gated regression check against the recorded baseline
-    // (tools/bench_baseline.json — the previous round's per-query
-    // bests; update it each round). A query is flagged only when its
-    // new BEST exceeds the old best by BOTH its own measured spread
-    // (+150 ms floor) and 30% — the min-of-runs estimator plus the
-    // query's own noise band, so external contention (CLAUDE.md
-    // bench-harness note) doesn't page anyone. Fail-soft: a missing
+    // (tools/bench_baseline.json — refresh from each round's CLEAN
+    // bench via tools/refresh_baseline.py). Decision logic lives in
+    // flagRegressions (pure, spec-pinned by BenchGateSpec): the
+    // isolation-corrected spread gates the main-SF best, and the sf2
+    // pass gates drift interference can't mask. Fail-soft: a missing
     // or unparseable baseline yields an empty list, never an error.
     val regressions: Seq[(String, Double, Double)] = try {
       val path = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "tools/bench_baseline.json")
       val src = scala.io.Source.fromFile(path)
       val txt = try src.mkString finally src.close()
-      import org.json4s._
-      val prev = (org.json4s.jackson.JsonMethods.parse(txt) \ "queries") match {
-        case JObject(fields) => fields.collect {
-          case (k, JDouble(v)) => k -> v
-          case (k, JDecimal(v)) => k -> v.toDouble
-          case (k, JInt(v)) => k -> v.toDouble
-        }.toMap
-        case _ => Map.empty[String, Double]
+      val (prevBest, prevSf2) = readBaseline(txt)
+      val entries = stats.map { s =>
+        GateEntry(s.name, s.best, s.spread,
+          if (s.isoRuns.nonEmpty) Some(s.isoRuns.max - s.isoRuns.min) else None,
+          sf2Best.get(s.name))
       }
-      stats.flatMap { s =>
-        prev.get(s.name).collect {
-          case old if old >= 0 && s.best >= 0 &&
-            s.best > old + math.max(s.spread, 0.15) && s.best > old * 1.3 =>
-            (s.name, s.best, old)
-        }
-      }
+      flagRegressions(entries, prevBest, prevSf2)
     } catch { case _: Throwable => Nil }
     val regs = regressions.take(8)
       .map { case (n, b, o) => s"""{"q":"$n","best":${fmt(b, 2)},"prev":${fmt(o, 2)}}""" }
@@ -239,6 +310,7 @@ object Bench {
         "\"" + s.name + "\":{\"best\":" + s.best + ",\"median\":" + s.median +
           ",\"spread\":" + s.spread + ",\"warm\":" + s.warm +
           ",\"runs\":[" + s.runs.mkString(",") + "]" +
+          (if (s.isoRuns.nonEmpty) ",\"iso_runs\":[" + s.isoRuns.mkString(",") + "]" else "") +
           ",\"shuffle_mb\":" + mb(s.shuffleB) + ",\"spill_mb\":" + mb(s.spillB) +
           sf2Best.get(s.name).map(t => ",\"sf2_best\":" + t).getOrElse("") + "}"
       }.mkString("{", ",", "}")

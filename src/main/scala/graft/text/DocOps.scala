@@ -550,6 +550,18 @@ object DocOps {
 
   private val NovN = 3 // word n-gram width (the q_ngram_jaccard width)
 
+  /** Distinct [[NovN]]-gram stream per document: one (doc_id, source,
+    * gram) row per distinct gram per doc. The shared tokenization seam
+    * of [[novelty]], [[deltaNovelty]] and the streaming novelty ingest
+    * (`Streaming.noveltyIngestBatch`) — the three MUST agree on gram
+    * extraction or the persisted index screens the wrong keys.
+    */
+  private[graft] def docGrams(df: DataFrame): DataFrame = df
+    .withColumn("ts", TextFns.tokens(col("text")))
+    .withColumn("gs", array_distinct(TextFns.wordNgramsFromTokens(col("ts"), NovN)))
+    .select(col("doc_id"), col("source"), explode_outer(col("gs")).as("gram"))
+    .filter(col("gram").isNotNull)
+
   /** Data-valuation novelty scoring: attribute every distinct word
     * [[NovN]]-gram to the FIRST document containing it (min doc_id —
     * ingestion order), then score each source by the fraction of its
@@ -567,11 +579,7 @@ object DocOps {
     * division at the output edge, no float aggregation anywhere.
     */
   def novelty(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = Tables.documents(spark, sfDir)
-      .withColumn("ts", TextFns.tokens(col("text")))
-      .withColumn("gs", array_distinct(TextFns.wordNgramsFromTokens(col("ts"), NovN)))
-      .select(col("doc_id"), col("source"), explode_outer(col("gs")).as("gram"))
-      .filter(col("gram").isNotNull)
+    val grams = docGrams(Tables.documents(spark, sfDir))
     val firstDoc = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
     grams.join(firstDoc, "gram")
       .withColumn("novel", when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
@@ -616,19 +624,16 @@ object DocOps {
     * [[TextQueries.bandIndex]] pattern at gram grain), the left-anti
     * join is batch-grams × index on the gram key — work ∝ batch, the
     * archive is never re-tokenized. This self-contained demo
-    * recomputes the index from the even half each run; only the
-    * persisted-index deployment has the batch-proportional property.
+    * recomputes the index from the even half each run; the persisted-
+    * index deployment with the batch-proportional property is
+    * `Streaming.startNoveltyIngest` (StreamingSpec proves its batch-2
+    * report is row-identical to this oracle-gated query).
     */
   def deltaNovelty(spark: SparkSession, sfDir: String): DataFrame = {
-    def grams(df: DataFrame) = df
-      .withColumn("ts", TextFns.tokens(col("text")))
-      .withColumn("gs", array_distinct(TextFns.wordNgramsFromTokens(col("ts"), NovN)))
-      .select(col("doc_id"), col("source"), explode_outer(col("gs")).as("gram"))
-      .filter(col("gram").isNotNull)
     val docs = Tables.documents(spark, sfDir)
-    val index = grams(docs.filter(col("doc_id") % 2 === 0))
+    val index = docGrams(docs.filter(col("doc_id") % 2 === 0))
       .select("gram").distinct()
-    val batch = grams(docs.filter(col("doc_id") % 2 === 1))
+    val batch = docGrams(docs.filter(col("doc_id") % 2 === 1))
     val novel = batch.join(index, Seq("gram"), "left_anti")
       .groupBy("source").agg(count(lit(1)).as("n_novel"))
     batch.groupBy("source")
