@@ -25,7 +25,7 @@ object SparkEntry {
       stream.EventQueries.queries ++ text.TextQueries.queries ++
       text.TextAnalytics.queries ++ text.CorpusOps.queries ++
       text.DocOps.queries ++ vector.VectorQueries.queries ++
-      vector.Projection.queries
+      vector.Projection.queries ++ multimodal.MediaQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -37,5 +37,5 @@ object SparkEntry {
       stream.EventQueries.oracle ++ text.TextQueries.oracle ++
       text.TextAnalytics.oracle ++ text.CorpusOps.oracle ++
       text.DocOps.oracle ++ vector.VectorQueries.oracle ++
-      vector.Projection.oracle
+      vector.Projection.oracle ++ multimodal.MediaQueries.oracle
 }

@@ -1,0 +1,159 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.schema.Tables
+import graft.text.TextFns
+
+/** Driver-gated multimodal decode queries — the `q_scd2_history`
+  * pattern applied to the media kernels: render a DETERMINISTIC media
+  * corpus derived arithmetically from the documents table, push the
+  * bytes through the REAL JDK codecs ([[Multimodal.ImageIoCodec]],
+  * [[Multimodal.SoundCodec]] — the same path production media takes),
+  * and let the oracle construct the contractual post-state in pure
+  * SQL. The codecs themselves never appear in the oracle; what the
+  * hash-compare proves is that a real PNG/WAV encode→decode round
+  * trip through `javax.imageio` / `javax.sound.sampled` preserves
+  * exactly the dimensions, intensities, sample counts, and energies
+  * the contract promises. This ends the multimodal package's
+  * spec-only status (every other kernel stays pinned by
+  * `MultimodalSpec`).
+  *
+  * Determinism notes (why the oracle can be literal arithmetic):
+  *  - constant gray fill v: integer BT.601 luma = (299v+587v+114v)/1000
+  *    = v exactly, so mean intensity is v with zero float error;
+  *  - ±A square wave: Σx² = n·A² is an exact double for A ≤ 999,
+  *    n ≤ 128, the division by n is exact (result A² representable),
+  *    and IEEE sqrt of a perfect square returns A exactly — rms = A
+  *    bit-for-bit on any JVM and in DuckDB.
+  *
+  * Scale: the encode+decode stage is `mapPartitions` over the
+  * selected rows — per-row CPU, no shuffle, no driver collection;
+  * at 100 TB the same stage reads real bytes from a media column
+  * instead of rendering them, with identical plan shape.
+  */
+object MediaQueries {
+
+  // ---------- q_image_decode: PNG round-trip vs its contract ----------
+
+  /** One gray-fill PNG per selected document: width 8+(id%9), height
+    * 8+(id%7), fill v = id%256, encoded with the JDK PNG writer and
+    * decoded back through [[Multimodal.decodeImages]] (the production
+    * image stage). Output per image: decoded dims, pixel count
+    * re-derived by SUMMING the decode histogram (proves the histogram
+    * accounts for every pixel), mean intensity, and the argmax
+    * histogram bucket (= v/16 — a constant fill lands every pixel in
+    * one bucket).
+    */
+  def imageDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 8 + (id % 9).toInt
+        val h = 8 + (id % 7).toInt
+        val v = (id % 256).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (v << 16) | (v << 8) | v
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        Multimodal.MediaRow(id, "image", buf.toByteArray,
+          Multimodal.MediaMeta(Some(w), Some(h), None, None, Some("png")))
+      }
+    }
+    Multimodal.decodeImages(media.toDF()).toDF()
+      .select(
+        col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        expr("aggregate(histogram, CAST(0 AS BIGINT), (a, x) -> a + x)").as("n_px"),
+        TextFns.round4(col("mean_intensity")).as("mean_intensity"),
+        (expr("array_position(histogram, array_max(histogram))") - 1)
+          .cast("long").as("top_bucket"))
+      .orderBy("media_id")
+  }
+
+  private val sqlImageDecode =
+    s"""SELECT doc_id AS media_id,
+       |       8 + doc_id % 9 AS width,
+       |       8 + doc_id % 7 AS height,
+       |       (8 + doc_id % 9) * (8 + doc_id % 7) AS n_px,
+       |       ${TextFns.duckRound4("CAST(doc_id % 256 AS DOUBLE)")} AS mean_intensity,
+       |       (doc_id % 256) // 16 AS top_bucket
+       |FROM documents WHERE doc_id % 5 = 0
+       |ORDER BY media_id""".stripMargin
+
+  // ---------- q_audio_decode: WAV round-trip vs its contract ----------
+
+  /** One PCM16 mono 16 kHz WAV per selected document: n = 64+(id%64)
+    * samples of a ±A square wave, A = 1+(id%999), alternating from
+    * +A, encoded with the JDK WAV writer and decoded back through
+    * [[Multimodal.audioFeatures]] (the production audio stage).
+    * Contract: the decoder reports the header rate, every sample
+    * (n_samples), rms = A exactly, and n−1 zero crossings (each
+    * adjacent pair flips sign).
+    */
+  def audioDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 1)
+      .select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val n = 64 + (id % 64).toInt
+        val amp = 1 + (id % 999).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = if (i % 2 == 0) amp else -amp
+          pcm(2 * i) = (s & 0xff).toByte         // little-endian lo
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+        val ain = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ain, javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+        Multimodal.MediaRow(id, "audio", buf.toByteArray,
+          Multimodal.MediaMeta(None, None, Some(16000), None, Some("wav")))
+      }
+    }
+    Multimodal.audioFeatures(media.toDF()).toDF()
+      .select(
+        col("media_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_samples"),
+        TextFns.round4(col("rms")).as("rms"),
+        col("zero_crossings"))
+      .orderBy("media_id")
+  }
+
+  private val sqlAudioDecode =
+    s"""SELECT doc_id AS media_id,
+       |       CAST(16000 AS BIGINT) AS sample_rate,
+       |       64 + doc_id % 64 AS n_samples,
+       |       ${TextFns.duckRound4("CAST(1 + doc_id % 999 AS DOUBLE)")} AS rms,
+       |       63 + doc_id % 64 AS zero_crossings
+       |FROM documents WHERE doc_id % 5 = 1
+       |ORDER BY media_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_image_decode" -> (imageDecode _),
+    "q_audio_decode" -> (audioDecode _))
+
+  val oracle: Map[String, String] = Map(
+    "q_image_decode" -> sqlImageDecode,
+    "q_audio_decode" -> sqlAudioDecode)
+}

@@ -27,17 +27,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  /** `events.ts` is a nanosecond parquet timestamp (TESTDATA/FIXTURES),
-    * which Spark's vectorized reader rejects. Read nanos as long
-    * (documented legacy flag) and truncate to a micros timestamp with
-    * INTEGER division (`div`) — `/` would promote the ~1.7e18 epoch-nano
-    * long to double, whose 53-bit mantissa rounds off-by-1µs — matching
-    * DuckDB's truncating `CAST(ts AS TIMESTAMP)` on the oracle side.
+  /** `events.ts` normalization is SCHEMA-ADAPTIVE — the driver has
+    * shipped this column two ways across rounds:
+    *  - nanosecond parquet timestamp (rounds ≤8), which Spark's
+    *    vectorized reader rejects: read nanos as long (documented
+    *    legacy flag) and truncate to a micros timestamp with INTEGER
+    *    division (`div`) — `/` would promote the ~1.7e18 epoch-nano
+    *    long to double, whose 53-bit mantissa rounds off-by-1µs —
+    *    matching DuckDB's truncating `CAST(ts AS TIMESTAMP)`;
+    *  - plain `timestamp[us]` (round-9 regeneration), which arrives
+    *    as TIMESTAMP_NTZ: cast to session-TZ TimestampType (every
+    *    entry point pins UTC, so the instant is unchanged) to keep
+    *    the downstream column type identical across both vintages.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

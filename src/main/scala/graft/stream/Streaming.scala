@@ -510,6 +510,94 @@ object Streaming {
     ()
   }
 
+  /** Streaming novelty ingest — the persisted-index deployment of
+    * `q_delta_novelty`'s acquisition screen (`DocOps.deltaNovelty`,
+    * which self-contains the demo by rebuilding the index each run):
+    * each micro-batch of (doc_id, source, text) documents is
+    *
+    *  1. scored against the PERSISTED distinct-gram index: the
+    *     left-anti join charges work ∝ batch grams; the archive is
+    *     never re-tokenized,
+    *  2. its per-source novelty report (n_docs, n_grams, n_novel,
+    *     novelty) upserted into `$path/report` keyed on
+    *     (batch_id, source),
+    *  3. its grams distinct-unioned into `$path/index`.
+    *
+    * Crash safety under at-least-once replay: the REPORT commits
+    * before the INDEX, and the report merge is FIRST-WRITE-WINS on
+    * (batch_id, source) — not a plain upsert. A replay can land on
+    * either side of the index commit: before it, the recomputed
+    * report is identical (old index) and the insert-if-absent skips
+    * it; after it (crash between the index commit and the stream's
+    * checkpoint offset commit), the recomputed report would anti-join
+    * the batch's OWN grams and claim zero novelty — first-write-wins
+    * discards that recomputation and keeps the truthful committed
+    * rows. The gram union is distinct → idempotent at both points.
+    */
+  def startNoveltyIngest(docs: DataFrame, path: String, checkpoint: String,
+                         committerFor: (String, org.apache.hadoop.conf.Configuration)
+                           => SnapshotCommitter = new RenameCommitter(_, _)) =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        noveltyIngestBatch(batch, batchId, path, committerFor)
+      }
+      .start()
+
+  /** One micro-batch of the novelty ingest — factored out so the
+    * replay-convergence property is directly testable
+    * (`StreamingSpec`), the same seam as [[dedupIngestBatch]].
+    */
+  private[stream] def noveltyIngestBatch(batch: DataFrame, batchId: Long, path: String,
+                                         committerFor: (String, org.apache.hadoop.conf.Configuration)
+                                           => SnapshotCommitter): Unit = {
+    import graft.text.{DocOps, TextFns}
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reportC = committerFor(s"$path/report", conf)
+    val indexC = committerFor(s"$path/index", conf)
+    reportC.recover(); indexC.recover()
+    val grams = DocOps.docGrams(batch)
+    val novel = (indexC.current() match {
+      case Some(p) => grams.join(
+        spark.read.parquet(p.toString), Seq("gram"), "left_anti")
+      case None => grams
+    }).groupBy("source").agg(count(lit(1)).as("n_novel"))
+    val report = grams.groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_grams"))
+      .join(novel, Seq("source"), "left_outer")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .withColumn("novelty",
+        TextFns.round4(col("n_novel").cast("double") / col("n_grams").cast("double")))
+      .withColumn("batch_id", lit(batchId))
+      .select("batch_id", "source", "n_docs", "n_grams", "n_novel", "novelty")
+    // 2. report insert-if-absent (commit FIRST; first-write-wins —
+    // see scaladoc for why a replayed recomputation must never
+    // overwrite the committed rows)
+    val merged = reportC.current() match {
+      case Some(p) =>
+        val cur = spark.read.parquet(p.toString)
+        cur.unionByName(report.join(
+          cur.select("batch_id", "source"), Seq("batch_id", "source"), "left_anti"))
+      case None => report
+    }
+    val reportStage = reportC.stage()
+    merged.write.mode("overwrite").parquet(reportStage.toString)
+    reportC.commit(reportStage)
+    // 3. gram-index append (distinct union — replay-idempotent)
+    val batchGrams = grams.select("gram").distinct()
+    val index = indexC.current() match {
+      case Some(p) => spark.read.parquet(p.toString)
+        .unionByName(batchGrams).distinct()
+      case None => batchGrams
+    }
+    val indexStage = indexC.stage()
+    index.write.mode("overwrite").parquet(indexStage.toString)
+    indexC.commit(indexStage)
+    ()
+  }
+
   /** Canonical sink wiring for a streaming aggregate: append mode for
     * watermark-closed windows, checkpointed for exactly-once restart.
     */

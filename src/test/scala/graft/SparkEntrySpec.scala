@@ -14,7 +14,8 @@ class SparkEntrySpec extends SparkSpec {
       stream.EventQueries.queries, text.TextQueries.queries,
       text.TextAnalytics.queries, text.CorpusOps.queries,
       text.DocOps.queries,
-      vector.VectorQueries.queries, vector.Projection.queries)
+      vector.VectorQueries.queries, vector.Projection.queries,
+      multimodal.MediaQueries.queries)
     val total = packs.map(_.size).sum
     assert(SparkEntry.queries.size == total,
       s"aggregated ${SparkEntry.queries.size} of $total — duplicate query name across packs")

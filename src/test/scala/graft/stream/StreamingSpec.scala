@@ -224,6 +224,63 @@ class StreamingSpec extends SparkSpec {
     assert(state() == first, "replaying the identical batch changed state")
   }
 
+  test("startNoveltyIngest batch-2 report matches q_delta_novelty against the batch-1 index") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_novelty").toString
+    val all = graft.schema.Tables.documents(spark, sfTiny)
+      .select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "source", "text")
+    val q = Streaming.startNoveltyIngest(docs, s"$dir/nov", s"$dir/chk")
+    try {
+      // batch 1 = the even half (q_delta_novelty's "indexed corpus"),
+      // batch 2 = the odd half (its "incoming feed") — the streamed
+      // batch-2 report must be row-identical to the oracle-gated query,
+      // which rebuilds the same index from scratch each run.
+      input.addData(all.filter(_._1 % 2 == 0).toSeq)
+      q.processAllAvailable()
+      input.addData(all.filter(_._1 % 2 == 1).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$dir/nov/report")
+        .filter($"batch_id" === 1L)
+        .select("source", "n_docs", "n_grams", "n_novel", "novelty")
+        .orderBy("source").collect().toSeq
+      val oracle = graft.text.DocOps.deltaNovelty(spark, sfTiny).collect().toSeq
+      assert(streamed.nonEmpty, "batch-2 novelty report is vacuous")
+      assert(streamed == oracle,
+        s"streamed batch-2 report diverges from q_delta_novelty:\n$streamed\nvs\n$oracle")
+    } finally q.stop()
+  }
+
+  test("noveltyIngestBatch replay converges (at-least-once safety)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_novelty_rp").toString
+    val b1 = Seq((2L, "web", "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "source", "text")
+    val b2 = Seq(
+      (3L, "web", "alpha beta gamma delta epsilon zeta eta theta"), // all grams indexed
+      (5L, "books", "completely novel second document body text here"))
+      .toDF("doc_id", "source", "text")
+    def state() = (
+      spark.read.parquet(s"$dir/nov/report").orderBy("batch_id", "source").collect().toSeq,
+      spark.read.parquet(s"$dir/nov/index").orderBy("gram").collect().toSeq)
+    Streaming.noveltyIngestBatch(b1, 0L, s"$dir/nov", new RenameCommitter(_, _))
+    Streaming.noveltyIngestBatch(b2, 1L, s"$dir/nov", new RenameCommitter(_, _))
+    val first = state()
+    // doc 3 repeats doc 2's grams → 0 novel; doc 5 is all-novel
+    val byKey = first._1.map(r => (r.getLong(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(byKey((1L, "web")) == 0L, s"expected indexed grams non-novel: $first")
+    assert(byKey((1L, "books")) > 0L, s"expected fresh doc fully novel: $first")
+    // the WORST replay point: after the index commit (crash before
+    // the checkpoint offset commit). The recomputed report would see
+    // the batch's own grams indexed and claim zero novelty —
+    // first-write-wins must discard it. Distinct gram union keeps the
+    // index fixed. State must not change.
+    Streaming.noveltyIngestBatch(b2, 1L, s"$dir/nov", new RenameCommitter(_, _))
+    assert(state() == first, "replaying the identical batch changed state")
+  }
+
   test("startUpsertSink merges each micro-batch into the snapshot by key") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString

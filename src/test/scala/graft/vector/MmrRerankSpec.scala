@@ -24,17 +24,19 @@ class MmrRerankSpec extends SparkSpec {
   private def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
   private def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
 
-  private case class Cand(id: Long, label: String, rel: Double)
+  private case class Cand(id: Long, label: Int, rel: Double)
 
   /** Brute-force MMR greedy: λ=1/2, pairwise sims round6-ed before
     * the max, every argmax on (round6(score) desc, id asc) — the
     * documented contract of mmrRerank, computed with plain loops.
     */
-  private def bruteForce(dir: String): Seq[(Int, Long, String, Double)] = {
+  private def bruteForce(dir: String): Seq[(Int, Long, Int, Double)] = {
     val rows = spark.read.parquet(s"$dir/embeddings.parquet")
       .select("vec_id", "label", "embedding").collect()
       .map { r =>
-        (r.getLong(0), r.getString(1),
+        // label is int32 in the driver's embeddings table (read via
+        // Number — the RrfFusionSpec convention)
+        (r.getLong(0), r.getAs[Number](1).intValue,
           r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
       }.sortBy(_._1)
     val (probe, rest) = rows.partition(_._1 == 0L)
@@ -65,7 +67,7 @@ class MmrRerankSpec extends SparkSpec {
 
   test("mmrRerank equals the driver-side brute-force greedy") {
     val got = VectorQueries.mmrRerank(spark, sfTiny).collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .map(r => (r.getInt(0), r.getLong(1), r.getAs[Number](2).intValue, r.getDouble(3)))
       .toSeq
     val want = bruteForce(sfTiny)
     assert(got === want)
