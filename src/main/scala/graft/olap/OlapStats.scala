@@ -378,7 +378,58 @@ object OlapStats {
        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------- q_quantile_est: approx-percentile sketch accuracy audit ----------
+
+  /** Quantile-sketch accuracy audit — the percentile member of the
+    * sketch-audit family (`q_cms_est` for counts, `q_minhash_est` for
+    * Jaccard, `q_ann_recall` for kNN): per order priority, run the
+    * mergeable approx-percentile sketch (Spark's Greenwald-Khanna
+    * variant, accuracy 1000 → rank error ε ≤ n/1000) next to the
+    * exact median, then PROVE the sketch's contract by ranking the
+    * sketched value against the real data: its rank interval
+    * [count(<v)+1, count(≤v)] must overlap the target rank ± εn (+1
+    * interpolation slack). The oracle asserts the CONTRACTUAL
+    * post-state — exact median and `bound_ok = TRUE` — never the
+    * sketch internals (the q_scd2_history pattern; the sketch value
+    * itself is engine-specific and stays out of the output).
+    *
+    * Scale: one map-side-combinable aggregate computes n/exact/approx
+    * (at 100 TB the exact percentile swaps out and the sketch IS the
+    * answer — this audit is how you earn that swap), then one rank
+    * pass against the broadcast 5-row summary. The audit never costs
+    * more than the sketch.
+    */
+  def quantileEst(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val agg = orders.groupBy("o_orderpriority").agg(
+      count(lit(1)).as("n_rows"),
+      expr("percentile(o_totalprice, 0.5)").as("exact_median"),
+      expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_median"))
+    val ranks = orders
+      .join(broadcast(agg.select(col("o_orderpriority"), col("approx_median"))),
+        "o_orderpriority")
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("o_totalprice") < col("approx_median"), 1L).otherwise(0L)).as("r_lt"),
+        sum(when(col("o_totalprice") <= col("approx_median"), 1L).otherwise(0L)).as("r_le"))
+    val nD = col("n_rows").cast("double")
+    agg.join(broadcast(ranks), "o_orderpriority")
+      .withColumn("bound_ok",
+        (col("r_lt").cast("double") <= nD * 0.5 + nD / 1000.0 + 1.0) &&
+          (col("r_le").cast("double") >= nD * 0.5 - nD / 1000.0 - 1.0))
+      .select(col("o_orderpriority"), col("n_rows"),
+        round4(col("exact_median")).as("exact_median"), col("bound_ok"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val sqlQuantileEst =
+    s"""SELECT o_orderpriority, count(*) AS n_rows,
+       |       ${duckRound4("quantile_cont(o_totalprice, 0.5)")} AS exact_median,
+       |       TRUE AS bound_ok
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantile_est" -> (quantileEst _),
     "q_winsorize" -> (winsorize _),
     "q_mad_outliers" -> (madOutliers _),
     "q_corr_stats" -> (corrStats _),
@@ -388,6 +439,7 @@ object OlapStats {
     "q_outliers" -> (outliers _))
 
   val oracle: Map[String, String] = Map(
+    "q_quantile_est" -> sqlQuantileEst,
     "q_winsorize" -> sqlWinsorize,
     "q_mad_outliers" -> sqlMadOutliers,
     "q_corr_stats" -> sqlCorrStats,
