@@ -55,6 +55,35 @@ object VecUtil {
     acc
   }
 
+  /** One-pass SQ8 reconstruction error: returns [mean_err, max_err]
+    * with the identical IEEE op sequence as the HOF form it replaces
+    * (see [[SqErrExpr]]). Assumes NaN-free inputs (the embeddings
+    * fixture contract — NaN would also break the HOF `array_max`
+    * parity this kernel mirrors). Returns null for empty vectors.
+    */
+  def sqErr(v: ArrayData, mns: ArrayData, mxs: ArrayData): ArrayData = {
+    val n = v.numElements()
+    if (n == 0) return null
+    var sum = 0.0
+    var mx = 0.0 // every err is |·| ≥ 0, so 0-init equals array_max
+    var i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      val mn = mns.getDouble(i)
+      val mxi = mxs.getDouble(i)
+      val e =
+        if (mxi == mn) 0.0
+        else {
+          val range = mxi - mn
+          math.abs(x - (mn + math.floor((x - mn) / range * 255.0 + 0.5) / 255.0 * range))
+        }
+      sum += e
+      if (e > mx) mx = e
+      i += 1
+    }
+    new GenericArrayData(Array(sum / n, mx))
+  }
+
   /** Rademacher (±1 hash-sign) projection to k dims: out[j] =
     * Σ_i s(j,i)·v[i] accumulated in index order — IEEE-identical to
     * the left-associated literal sums the DuckDB oracle evaluates
@@ -160,6 +189,38 @@ case class RademacherExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** graft_sq_err(v, mns, mxs): one-pass SQ8 reconstruction-error
+  * kernel — returns array(mean_err, max_err). Replaces the
+  * interpreted HOF pipeline (a `transform` with three `element_at`s
+  * per element, then an `aggregate` fold AND an `array_max` — three
+  * traversals, two of them interpreted) with a single primitive loop.
+  * Every float op replicates the HOF form token-for-token so the
+  * DuckDB oracle parity is untouched: err_i = 0 for degenerate dims,
+  * else |x − (mn + floor((x−mn)/range·255 + 0.5)/255·range)|; the
+  * mean is the index-order left fold divided once by n; the max
+  * compares err_i in index order (strict >, first-wins like
+  * array_max over distinct values — equal values pick the same
+  * representative either way).
+  */
+case class SqErrExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.AbstractType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sq_err"
+  override protected def nullSafeEval(v: Any, mns: Any, mxs: Any): Any =
+    VecUtil.sqErr(v.asInstanceOf[ArrayData], mns.asInstanceOf[ArrayData],
+      mxs.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, mns, mxs) =>
+      s"${ev.value} = graft.functions.VecUtil.sqErr($v, $mns, $mxs);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SqErrExpr =
+    copy(first = f, second = s, third = t)
+}
+
 /** Column-level API for the native vector kernels. */
 object VectorNative {
   def dot(a: Column, b: Column): Column =
@@ -170,4 +231,7 @@ object VectorNative {
       SqDistExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def rademacher(v: Column, k: Int): Column =
     ColumnBridge.column(RademacherExpr(ColumnBridge.expression(v), k))
+  def sqErr(v: Column, mns: Column, mxs: Column): Column =
+    ColumnBridge.column(SqErrExpr(ColumnBridge.expression(v),
+      ColumnBridge.expression(mns), ColumnBridge.expression(mxs)))
 }

@@ -453,13 +453,15 @@ object CorpusOps {
     *
     * Shape: collapse to distinct (source, gram) FIRST (the CLAUDE.md
     * collapse-before-pairs rule — document multiplicity never reaches
-    * the join), then a gram-keyed self-join counts intersections.
-    * Per-gram fan-out is bounded by |sources|² and source is a
-    * bounded dim (20 here), so the pair stage is linear in distinct
-    * grams with a constant factor — never document-pair-quadratic.
-    * For UNBOUNDED pair domains (per-document) this exact form is
-    * wrong by construction; that path is MinHash ([[TextQueries]]'
-    * cluster queries, `q_minhash_est` for estimator fidelity).
+    * the pair stage), then ONE gram-keyed aggregate collects each
+    * gram's sorted source set and the ordered pairs are generated
+    * in-row (source is a bounded dim, so the set and its ≤|sources|²/2
+    * pairs are O(1) per gram). This replaces the earlier gram-keyed
+    * self-join: same output, but one aggregate instead of deriving
+    * the gram set twice and shuffling both join sides. For UNBOUNDED
+    * pair domains (per-document) this exact form is wrong by
+    * construction; that path is MinHash ([[TextQueries]]' cluster
+    * queries, `q_minhash_est` for estimator fidelity).
     */
   def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     val g = Tables.documents(spark, sfDir)
@@ -473,10 +475,19 @@ object CorpusOps {
       .select(col("source"), explode_outer(col("grams")).as("gram"))
       .distinct()
     val sizes = g.groupBy("source").agg(count(lit(1)).as("n"))
-    val pairs = g.as("a")
-      .join(g.as("b"),
-        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+    // sort_array(collect_set) → lexicographic source order, so the
+    // in-row nested transform emits exactly the src_a < src_b pairs
+    // the former self-join produced (same binary string comparison).
+    // explode_outer again: the pair array is HOF-built and provably
+    // non-empty after the size > 1 filter.
+    val pairs = g.groupBy("gram")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) > 1)
+      .select(explode_outer(expr(
+        """flatten(transform(ss, (a, i) ->
+          |  transform(slice(ss, i + 2, size(ss)),
+          |            b -> struct(a AS src_a, b AS src_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("n_inter"))
     pairs
       .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")

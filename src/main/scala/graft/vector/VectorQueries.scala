@@ -605,20 +605,16 @@ object VectorQueries {
         expr("transform(array_sort(collect_list(struct(dim, mn))), p -> p.mn)").as("mns"),
         expr("transform(array_sort(collect_list(struct(dim, mx))), p -> p.mx)").as("mxs"))
     // per element: |x - dequant(quant(x))|; degenerate dims (mx = mn)
-    // reconstruct exactly
-    val errs = expr(
-      s"""transform(v, (x, i) ->
-         |  CASE WHEN element_at(mxs, i + 1) = element_at(mns, i + 1) THEN 0.0D
-         |  ELSE abs(x - (element_at(mns, i + 1) +
-         |    floor((x - element_at(mns, i + 1)) /
-         |          (element_at(mxs, i + 1) - element_at(mns, i + 1)) * $SqLevels + 0.5D)
-         |    / $SqLevels *
-         |    (element_at(mxs, i + 1) - element_at(mns, i + 1)))) END)""".stripMargin)
+    // reconstruct exactly. One-pass native kernel ([[SqErrExpr]]) —
+    // the HOF form traversed the vector three times (interpreted
+    // transform with three element_ats per element, aggregate fold,
+    // array_max); the kernel is bit-identical by construction
+    // (VectorFnsSpec pins it against the HOF form).
     vecs.crossJoin(broadcast(stats))
-      .withColumn("errs", errs)
-      .withColumn("mean_err",
-        aggregate(col("errs"), lit(0.0), (a, e) => a + e) / size(col("v")))
-      .withColumn("max_err", array_max(col("errs")))
+      .withColumn("me",
+        graft.functions.VectorNative.sqErr(col("v"), col("mns"), col("mxs")))
+      .withColumn("mean_err", element_at(col("me"), 1))
+      .withColumn("max_err", element_at(col("me"), 2))
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
         round(avg(col("mean_err")), 4).as("avg_err"),

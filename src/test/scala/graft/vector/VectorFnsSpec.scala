@@ -43,6 +43,39 @@ class VectorFnsSpec extends SparkSpec {
     }
   }
 
+  test("native sqErr is bit-identical to the HOF transform+fold+max pipeline") {
+    // replicate q_sq_error's exact former HOF form (transform with
+    // floor-quantize, aggregate left fold / n, array_max) against the
+    // one-pass kernel on awkward values: negatives, degenerate dims
+    // (mn = mx), rounding-boundary points
+    val vecs = Seq(
+      Seq(0.15, -2.7, 5.0, 0.0),
+      Seq(0.1001, 3.3, 5.0, 1.0 / 3.0),
+      Seq(-0.5, 0.0, 5.0, 0.9999))
+    val mns = Seq(-0.5, -2.7, 5.0, 0.0)
+    val mxs = Seq(0.15, 3.3, 5.0, 1.0)
+    val df = vecs.map(v => (v, mns, mxs)).toDF("v", "mns", "mxs")
+      .withColumn("errs", expr(
+        """transform(v, (x, i) ->
+          |  CASE WHEN element_at(mxs, i + 1) = element_at(mns, i + 1) THEN 0.0D
+          |  ELSE abs(x - (element_at(mns, i + 1) +
+          |    floor((x - element_at(mns, i + 1)) /
+          |          (element_at(mxs, i + 1) - element_at(mns, i + 1)) * 255 + 0.5D)
+          |    / 255 *
+          |    (element_at(mxs, i + 1) - element_at(mns, i + 1)))) END)""".stripMargin))
+      .select(
+        graft.functions.VectorNative.sqErr(col("v"), col("mns"), col("mxs")).as("me"),
+        (aggregate(col("errs"), lit(0.0), (a, e) => a + e) / size(col("v"))).as("hof_mean"),
+        array_max(col("errs")).as("hof_max"))
+    df.collect().foreach { r =>
+      val me = r.getSeq[Double](r.fieldIndex("me"))
+      assert(java.lang.Double.doubleToRawLongBits(me(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getAs[Double]("hof_mean")))
+      assert(java.lang.Double.doubleToRawLongBits(me(1)) ==
+        java.lang.Double.doubleToRawLongBits(r.getAs[Double]("hof_max")))
+    }
+  }
+
   test("native dot returns null on length mismatch (zip_with parity)") {
     val got = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
       .select(VectorFns.dot(col("a"), col("b"))).collect().head
