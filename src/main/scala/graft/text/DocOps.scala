@@ -866,6 +866,168 @@ object DocOps {
        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------- q_decontaminate: eval-set n-gram overlap screen ----------
+
+  /** Decontamination gram width — long enough that a match means
+    * copied text, not chance collocation (the 8-13-gram window the
+    * published decontamination passes use).
+    */
+  private val DecontamN = 8
+
+  /** Held-out fraction: docs with polyHash(doc_id) ≡ 0 (mod 50), ~2%
+    * of the corpus, stand in for the benchmark/eval set. Content-hash
+    * membership (the `Sampling` rule) — deterministic on any layout,
+    * any engine; never `rand()`.
+    */
+  private val EvalMod = 50L
+
+  /** Benchmark-decontamination audit: flag every training document
+    * that shares at least one word-[[DecontamN]]-gram with the
+    * held-out eval set — the train/test-overlap screen (GPT-3
+    * appx. C / PaLM-style n-gram decontamination) that a curation
+    * pipeline runs before training, complementing `q_leakage_split`
+    * (which splits cluster-atomically but cannot catch contamination
+    * against an EXTERNALLY-fixed eval set).
+    *
+    * Shape: per-doc DISTINCT grams (array_distinct once per row — the
+    * collapse-before-join rule), hashed to 64-bit keys so the
+    * gram-keyed shuffle moves longs, never 8-word strings; the eval
+    * side collapses to a DISTINCT gram-hash set (≤2% of corpus
+    * grams); ONE left equi-join marks hits and ONE doc-grain
+    * aggregate + ONE source-grain aggregate roll up. Linear in corpus
+    * tokens, no pairwise join, no window. At 100 TB the eval side is
+    * a benchmark suite (MB-scale) and the same plan broadcasts it.
+    *
+    * Parity: hash collisions count as hits in BOTH engines (same
+    * polynomial mod-P hash — [[graft.functions.TextHashUtil]]);
+    * ratios are BIGINT-sum divisions rounded once at the edge.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .withColumn("is_eval",
+        pmod(graft.functions.TextHashes.polyHash(col("doc_id").cast("string")),
+          lit(EvalMod)) === 0L)
+      .select(col("doc_id"), col("source"), col("is_eval"),
+        array_distinct(TextFns.wordNgramsFromTokens(col("ts"), DecontamN)).as("grams"))
+    // explode_outer, not explode: the gram array is HOF-built and
+    // provably non-empty (greatest(..., 1) pads), and a non-outer
+    // Generate gets a size()>0 filter that inlines the tokenize
+    // pipeline (the q_dup_ngrams 10× regression shape).
+    val exploded = docs
+      .select(col("doc_id"), col("source"), col("is_eval"),
+        explode_outer(col("grams")).as("gram"))
+      .select(col("doc_id"), col("source"), col("is_eval"),
+        graft.functions.TextHashes.polyHash(col("gram")).as("h"))
+    val evalGrams = exploded.filter(col("is_eval"))
+      .select(col("h")).distinct().withColumn("hit", lit(1L))
+    val perDoc = exploded.filter(!col("is_eval"))
+      .join(evalGrams, Seq("h"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("n_contam"),
+        sum(col("n_hits")).as("hit_grams"))
+      .withColumn("contam_ratio",
+        TextFns.round4(col("n_contam").cast("double") / col("n_train").cast("double")))
+      .orderBy("source")
+  }
+
+  private val sqlDecontaminate = {
+    val gramsN = TextQueries.duckNgramsOf(DecontamN)
+    val gramHash =
+      "list_transform(gs, gr -> list_reduce([CAST(0 AS BIGINT)] || " +
+        "list_transform(range(1, greatest(length(gr), 1) + 1), " +
+        "i -> CAST(ascii(substring(gr, CAST(i AS INT), 1)) AS BIGINT)), " +
+        s"(acc, c) -> (acc * 31 + c) % ${TextFns.P}))"
+    s"""WITH t AS (SELECT doc_id, source, $duckTokens AS ts FROM documents),
+       |     im AS (SELECT doc_id, source, ts,
+       |              ${duckCodesOf("CAST(doc_id AS VARCHAR)")} AS cs
+       |            FROM t),
+       |     iv AS (SELECT doc_id, source, ts,
+       |              ($duckPolyHash) % $EvalMod = 0 AS is_eval
+       |            FROM im),
+       |     g AS (SELECT doc_id, source, is_eval,
+       |             list_distinct($gramsN) AS gs FROM iv),
+       |     gh AS (SELECT doc_id, source, is_eval, $gramHash AS hs FROM g),
+       |     ev AS (SELECT DISTINCT unnest(hs) AS h FROM gh WHERE is_eval),
+       |     tr AS (SELECT doc_id, source, unnest(hs) AS h FROM gh WHERE NOT is_eval),
+       |     pd AS (SELECT tr.doc_id, tr.source,
+       |              count(*) AS n_grams,
+       |              sum(CASE WHEN ev.h IS NULL THEN 0 ELSE 1 END) AS n_hits
+       |            FROM tr LEFT JOIN ev ON tr.h = ev.h GROUP BY 1, 2)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_train,
+       |       CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contam,
+       |       CAST(sum(n_hits) AS BIGINT) AS hit_grams,
+       |       ${TextFns.duckRound4(
+                  "CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS DOUBLE)" +
+                    " / CAST(count(*) AS DOUBLE)")} AS contam_ratio
+       |FROM pd GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------- q_soft_dedup: duplicate down-weighting (SoftDeDup) ----------
+
+  /** Soft deduplication report: instead of DROPPING exact duplicates,
+    * weight every copy 1/multiplicity so each distinct document
+    * contributes unit mass to the training mix (the
+    * down-weight-don't-delete alternative the data-mixing literature
+    * prefers when duplicates carry distribution signal). Per source:
+    * raw docs, docs that are part of a duplicate group, effective
+    * (weighted) doc count, and the effective/raw ratio — the number a
+    * mixing schedule multiplies into its per-source sampling rate.
+    *
+    * Shape: collapse to (content-hash, source) CELLS first (the
+    * collapse-before-join rule — multiplicity never reaches the
+    * join), aggregate cell counts to per-hash multiplicity, then ONE
+    * hash-keyed equi-join at distinct-document cardinality and one
+    * bounded source aggregate. Two key shuffles, both at
+    * distinct-content cardinality — never raw-doc-proportional join
+    * fan-out.
+    *
+    * Parity: weights are round6(1/mult) CAST TO DECIMAL and summed
+    * exactly (the order-independent float-sum rule); one cast +
+    * round4 at the output edge.
+    */
+  def softDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val round6 = (c: Column) => floor(c * 1000000.0 + 0.5) / 1000000.0
+    val cell = Tables.documents(spark, sfDir)
+      .select(col("source"), graft.functions.TextHashes.polyHash(col("text")).as("h"))
+      .groupBy("h", "source").agg(count(lit(1)).as("c"))
+    val mult = cell.groupBy("h").agg(sum(col("c")).as("mult"))
+    cell.join(mult, "h")
+      .withColumn("w",
+        col("c") * round6(lit(1.0) / col("mult").cast("double")).cast("decimal(18,6)"))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_docs"),
+        sum(when(col("mult") > 1, col("c")).otherwise(0L)).as("n_duped"),
+        sum(col("w")).as("wsum"))
+      .select(col("source"), col("n_docs"), col("n_duped"),
+        TextFns.round4(col("wsum").cast("double")).as("eff_docs"),
+        TextFns.round4(col("wsum").cast("double") / col("n_docs").cast("double"))
+          .as("eff_ratio"))
+      .orderBy("source")
+  }
+
+  private val sqlSoftDedup = {
+    val round6 = (e: String) => s"(floor(($e) * 1000000.0 + 0.5) / 1000000.0)"
+    s"""WITH c AS (SELECT source, ${duckCodesOf("text")} AS cs FROM documents),
+       |     h AS (SELECT source, $duckPolyHash AS h FROM c),
+       |     cell AS (SELECT h, source, count(*) AS c FROM h GROUP BY 1, 2),
+       |     m AS (SELECT h, CAST(sum(c) AS BIGINT) AS mult FROM cell GROUP BY 1),
+       |     j AS (SELECT cell.source, cell.c, m.mult,
+       |             cell.c * CAST(${round6("1.0 / CAST(mult AS DOUBLE)")}
+       |               AS DECIMAL(18,6)) AS w
+       |           FROM cell JOIN m ON cell.h = m.h)
+       |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN mult > 1 THEN c ELSE 0 END) AS BIGINT) AS n_duped,
+       |       ${TextFns.duckRound4("CAST(sum(w) AS DOUBLE)")} AS eff_docs,
+       |       ${TextFns.duckRound4(
+                  "CAST(sum(w) AS DOUBLE) / CAST(sum(c) AS DOUBLE)")} AS eff_ratio
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_char_gini" -> (charGini _),
     "q_collocations" -> (collocations _),
@@ -877,7 +1039,9 @@ object DocOps {
     "q_segment_dedup" -> (segmentDedup _),
     "q_gopher_rules" -> (gopherRules _),
     "q_bpe_pairs" -> (bpePairs _),
-    "q_winnow_fp" -> (winnowFp _))
+    "q_winnow_fp" -> (winnowFp _),
+    "q_decontaminate" -> (decontaminate _),
+    "q_soft_dedup" -> (softDedup _))
 
   val oracle: Map[String, String] = Map(
     "q_char_gini" -> sqlCharGini,
@@ -890,5 +1054,7 @@ object DocOps {
     "q_segment_dedup" -> sqlSegmentDedup,
     "q_gopher_rules" -> sqlGopherRules,
     "q_bpe_pairs" -> sqlBpePairs,
-    "q_winnow_fp" -> sqlWinnowFp)
+    "q_winnow_fp" -> sqlWinnowFp,
+    "q_decontaminate" -> sqlDecontaminate,
+    "q_soft_dedup" -> sqlSoftDedup)
 }
