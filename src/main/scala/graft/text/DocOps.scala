@@ -967,6 +967,90 @@ object DocOps {
        |FROM pd GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------- q_pack_audit: GPT-style sequence-packing audit ----------
+
+  /** Packed-sequence capacity (tokens per training sequence). Small
+    * relative to real 2k-8k contexts so the sf0.01 corpus still packs
+    * multiple bins per source.
+    */
+  private val PackCap = 512L
+
+  /** Docs per prefix-sum block — the hierarchical-scan fan-in. */
+  private val PackBlock = 1024L
+
+  /** Sequence-packing audit (concat-then-split, the GPT-style packing
+    * that concatenates each source's token stream in doc_id order and
+    * cuts every [[PackCap]] tokens): per source, total tokens, packed
+    * bin count, documents straddling a bin boundary, and the extra
+    * fragments splitting creates — the packing-efficiency /
+    * truncation-damage table a training-data loader reports.
+    *
+    * Shape — the scale story IS the point: a naive
+    * `Window.partitionBy(source).orderBy(doc_id)` running sum puts an
+    * entire source's doc stream in ONE partition (the forbidden
+    * fact-scale-window shape). Instead the prefix sum is hierarchical:
+    * (1) block partials — one hash aggregate at (source, doc_id DIV
+    * [[PackBlock]]) grain; (2) block offsets — an ordered window over
+    * the PARTIAL grain only (docs/[[PackBlock]] rows per source,
+    * 1000× reduction; recurse the same two phases if even that
+    * overflows a partition); (3) per-doc local sums — a window keyed
+    * by (source, block), ≤[[PackBlock]] rows per key,
+    * fact-proportional KEY cardinality so partitioning scales. The
+    * DuckDB oracle computes the same prefix sums with one flat window
+    * — identical integers, different schedule.
+    *
+    * Parity: every output is an exact integer (counts, DIV, ceil-DIV)
+    * — no float crosses the engine boundary anywhere.
+    */
+  def packAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        size(col("ts")).cast("long").as("n_tok"))
+      .withColumn("blk", expr(s"doc_id DIV $PackBlock"))
+    val partials = d.groupBy("source", "blk").agg(sum(col("n_tok")).as("bt"))
+    val wBlocks = Window.partitionBy("source").orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partials
+      .withColumn("off", coalesce(sum(col("bt")).over(wBlocks), lit(0L)))
+      .select(col("source"), col("blk"), col("off"))
+    val wLocal = Window.partitionBy("source", "blk").orderBy("doc_id")
+    val cum = d.join(offsets, Seq("source", "blk"))
+      .withColumn("cum", col("off") + sum(col("n_tok")).over(wLocal))
+      .withColumn("prev", col("cum") - col("n_tok"))
+      .withColumn("extra",
+        when(col("n_tok") === 0, lit(0L))
+          .otherwise(expr(s"(cum - 1) DIV $PackCap - prev DIV $PackCap")))
+    cum.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(when(col("extra") > 0, 1L).otherwise(0L)).as("n_straddle"),
+        sum(col("extra")).as("frag_extra"))
+      .withColumn("n_bins", expr(s"(total_tokens + ${PackCap - 1}) DIV $PackCap"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_bins"), col("n_straddle"), col("frag_extra"))
+      .orderBy("source")
+  }
+
+  private val sqlPackAudit =
+    s"""WITH t AS (SELECT doc_id, source,
+       |             CAST(len($duckTokens) AS BIGINT) AS n_tok
+       |           FROM documents),
+       |     c AS (SELECT doc_id, source, n_tok,
+       |             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+       |           FROM t),
+       |     e AS (SELECT source, n_tok, cum, cum - n_tok AS prev,
+       |             CASE WHEN n_tok = 0 THEN 0
+       |                  ELSE (cum - 1) // $PackCap - (cum - n_tok) // $PackCap
+       |             END AS extra
+       |           FROM c)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       |       CAST((sum(n_tok) + ${PackCap - 1}) // $PackCap AS BIGINT) AS n_bins,
+       |       CAST(sum(CASE WHEN extra > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle,
+       |       CAST(sum(extra) AS BIGINT) AS frag_extra
+       |FROM e GROUP BY source ORDER BY source""".stripMargin
+
   // ---------- q_soft_dedup: duplicate down-weighting (SoftDeDup) ----------
 
   /** Soft deduplication report: instead of DROPPING exact duplicates,
@@ -1041,7 +1125,8 @@ object DocOps {
     "q_bpe_pairs" -> (bpePairs _),
     "q_winnow_fp" -> (winnowFp _),
     "q_decontaminate" -> (decontaminate _),
-    "q_soft_dedup" -> (softDedup _))
+    "q_soft_dedup" -> (softDedup _),
+    "q_pack_audit" -> (packAudit _))
 
   val oracle: Map[String, String] = Map(
     "q_char_gini" -> sqlCharGini,
@@ -1056,5 +1141,6 @@ object DocOps {
     "q_bpe_pairs" -> sqlBpePairs,
     "q_winnow_fp" -> sqlWinnowFp,
     "q_decontaminate" -> sqlDecontaminate,
-    "q_soft_dedup" -> sqlSoftDedup)
+    "q_soft_dedup" -> sqlSoftDedup,
+    "q_pack_audit" -> sqlPackAudit)
 }
