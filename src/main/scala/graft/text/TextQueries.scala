@@ -1250,6 +1250,71 @@ object TextQueries {
        |SELECT doc_id, ${TextFns.duckRound4(duckQuality)} AS quality
        |FROM t ORDER BY doc_id""".stripMargin
 
+  // ---------- q_quality_survival: quality-quartile × dedup cross-tab ----------
+
+  /** Quality-vs-dedup survival matrix: cross-tab of quality-score
+    * quartile against whether exact dedup (first-wins on the
+    * [[normText]] hash) KEEPS the document — the bias audit a
+    * curation pipeline runs before trusting its dedup stage (if
+    * boilerplate clusters score high, dedup silently strips the
+    * "best" quartile and the surviving mix shifts down).
+    *
+    * Shape: one fact-keyed window (row_number by content hash — the
+    * D1-D3 first-wins rule), ONE exact-percentile aggregate for the
+    * three fences (1-row broadcast back; swap `approx_percentile`
+    * at 100 TB exactly as in winsorize/MAD), one bounded cross-tab.
+    * Parity: the quartile compare runs on the round4'd score (the
+    * round-before-compare rule) against `percentile` ≡
+    * `quantile_cont` fences (bit-identical, verified); kept_ratio is
+    * a division of exact BIGINTs rounded once.
+    */
+  def qualitySurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("doc_id"),
+        TextFns.round4(TextFns.qualityScore(col("text"), col("ts"))).as("quality"),
+        sha2(normText(col("text")), 256).as("nh"))
+    val wFirst = Window.partitionBy("nh").orderBy("doc_id")
+    val kept = docs.withColumn("kept", row_number().over(wFirst) === 1)
+    val fences = kept.agg(
+      expr("percentile(quality, array(0.25D, 0.5D, 0.75D))").as("f"))
+    kept.crossJoin(broadcast(fences))
+      .withColumn("quartile",
+        when(col("quality") <= element_at(col("f"), 1), 1)
+          .when(col("quality") <= element_at(col("f"), 2), 2)
+          .when(col("quality") <= element_at(col("f"), 3), 3)
+          .otherwise(4))
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_ratio",
+        TextFns.round4(col("n_kept").cast("double") / col("n_docs").cast("double")))
+      .orderBy("quartile")
+  }
+
+  private val sqlQualitySurvival =
+    s"""WITH t AS (SELECT doc_id, text, $duckTokens AS ts FROM documents),
+       |     q AS (SELECT doc_id, ${TextFns.duckRound4(duckQuality)} AS quality,
+       |             sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS nh
+       |           FROM t),
+       |     k AS (SELECT doc_id, quality,
+       |             row_number() OVER (PARTITION BY nh ORDER BY doc_id) = 1 AS kept
+       |           FROM q),
+       |     f AS (SELECT quantile_cont(quality, 0.25) AS f1,
+       |                  quantile_cont(quality, 0.5) AS f2,
+       |                  quantile_cont(quality, 0.75) AS f3 FROM k),
+       |     a AS (SELECT CASE WHEN quality <= f1 THEN 1
+       |                       WHEN quality <= f2 THEN 2
+       |                       WHEN quality <= f3 THEN 3 ELSE 4 END AS quartile,
+       |                  kept
+       |           FROM k CROSS JOIN f)
+       |SELECT quartile, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       ${TextFns.duckRound4(
+                  "CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)" +
+                    " / CAST(count(*) AS DOUBLE)")} AS kept_ratio
+       |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------- q_anti_join: unique-doc complement of exact dedup ----------
 
   /** The anti-join operator in its dedup-pipeline role: documents with
@@ -1306,7 +1371,8 @@ object TextQueries {
     "q_lang_agreement" -> (langAgreement _),
     "q_text_stats" -> (textStats _),
     "q_token_count" -> (tokenCount _),
-    "q_quality_score" -> (qualityScoreQ _))
+    "q_quality_score" -> (qualityScoreQ _),
+    "q_quality_survival" -> (qualitySurvival _))
 
   val oracle: Map[String, String] = Map(
     "q_anti_join" -> sqlAntiJoin,
@@ -1331,5 +1397,6 @@ object TextQueries {
     "q_lang_agreement" -> sqlLangAgreement,
     "q_text_stats" -> sqlTextStats,
     "q_token_count" -> sqlTokenCount,
-    "q_quality_score" -> sqlQualityScore)
+    "q_quality_score" -> sqlQualityScore,
+    "q_quality_survival" -> sqlQualitySurvival)
 }

@@ -192,6 +192,55 @@ object VectorQueries {
        |SELECT probe_id, rk, vec_id AS neighbor, ${duckRound4("sim0")} AS sim
        |FROM r WHERE rk <= $BatchTopK ORDER BY probe_id, rk""".stripMargin
 
+  // ---------- 2c. q_hard_negatives: contrastive hard-negative mining ----------
+
+  /** Hard-negative mining for contrastive/retrieval training: for
+    * each probe, the top-[[BatchTopK]] nearest vectors whose label
+    * DIFFERS from the probe's — the semantically-close-but-wrong
+    * candidates that make contrastive losses learn (random in-batch
+    * negatives are too easy; the standard DPR/ANCE-style hard-negative
+    * pass mines them from the index). Same bucket-pruned batch-join
+    * shape as [[knnBatch]] — the label inequality is a residual
+    * predicate on the bucket equi-join, so the candidate set stays
+    * bucket-bounded and the plan is the one-sided-exchange kNN join;
+    * only the rank window's input shrinks.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+      .withColumn("bucket", VectorFns.signBucket(col("v"), LshBits, LshStride))
+    val probes = vecs.filter(col("vec_id") % BatchProbeStep === 0)
+      .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
+        col("v").as("pv"), col("nrm").as("pnrm"), col("bucket").as("pbucket"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    vecs.join(probes,
+        col("bucket") === col("pbucket") && col("label") =!= col("plabel"))
+      .withColumn("sim",
+        VectorFns.cosineStaged(col("v"), col("pv"), col("nrm"), col("pnrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= BatchTopK)
+      .select(col("probe_id"), col("rk"), col("vec_id").as("negative"),
+        col("label").as("neg_label"), round4(col("sim")).as("sim"))
+      .orderBy("probe_id", "rk")
+  }
+
+  private val sqlHardNegatives =
+    s"""WITH $duckVecs,
+       |     b AS (SELECT vec_id, label, v, nrm, $duckBucket AS bucket FROM e),
+       |     p AS (SELECT vec_id AS probe_id, label AS plabel, v AS pv,
+       |                  nrm AS pnrm, bucket AS pbucket
+       |           FROM b WHERE vec_id % $BatchProbeStep = 0),
+       |     s AS (SELECT p.probe_id, b.vec_id, b.label,
+       |                  ${duckDot("b.v", "pv")} / (b.nrm * pnrm) AS sim0
+       |           FROM b JOIN p ON b.bucket = p.pbucket AND b.label <> p.plabel),
+       |     r AS (SELECT probe_id, vec_id, label, sim0,
+       |                  row_number() OVER (PARTITION BY probe_id
+       |                                     ORDER BY sim0 DESC, vec_id) AS rk
+       |           FROM s)
+       |SELECT probe_id, rk, vec_id AS negative, label AS neg_label,
+       |       ${duckRound4("sim0")} AS sim
+       |FROM r WHERE rk <= $BatchTopK ORDER BY probe_id, rk""".stripMargin
+
   // ---------- 3. q_embed_neardup: blocked cosine near-dup pairs ----------
 
   /** Embedding near-dup detection: candidate pairs meet only inside a
@@ -1466,6 +1515,7 @@ object VectorQueries {
     "q_ivf_recall_curve" -> (ivfRecallCurve _),
     "q_knn" -> (knn _),
     "q_knn_batch" -> (knnBatch _),
+    "q_hard_negatives" -> (hardNegatives _),
     "q_ann_lsh" -> (annLsh _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_centroids" -> (centroids _),
@@ -1488,6 +1538,7 @@ object VectorQueries {
     "q_ivf_recall_curve" -> sqlIvfRecallCurve,
     "q_knn" -> sqlKnn,
     "q_knn_batch" -> sqlKnnBatch,
+    "q_hard_negatives" -> sqlHardNegatives,
     "q_ann_lsh" -> sqlAnnLsh,
     "q_embed_neardup" -> sqlEmbedNearDup,
     "q_centroids" -> sqlCentroids,

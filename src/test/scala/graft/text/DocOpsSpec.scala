@@ -91,6 +91,32 @@ class DocOpsSpec extends SparkSpec {
       s"sum of per-source novel grams $total != global distinct grams $distinctGrams")
   }
 
+  test("pack_audit hierarchical prefix sum equals the flat-window packing") {
+    // the scale claim is that block partials + offset window + local
+    // windows compute the SAME cumulative sums as the naive
+    // single-partition running sum — recompute flat and compare
+    import org.apache.spark.sql.expressions.Window
+    val cap = 512L
+    val flat = graft.schema.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(
+        Window.partitionBy("source").orderBy("doc_id")))
+      .withColumn("extra",
+        when(col("n_tok") === 0, lit(0L))
+          .otherwise(expr(s"(cum - 1) DIV $cap - (cum - n_tok) DIV $cap")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
+        sum(when(col("extra") > 0, 1L).otherwise(0L)).as("n_straddle"),
+        sum(col("extra")).as("frag_extra"))
+      .withColumn("n_bins", expr(s"(total_tokens + ${cap - 1}) DIV $cap"))
+      .select("source", "n_docs", "total_tokens", "n_bins", "n_straddle", "frag_extra")
+      .orderBy("source").collect()
+    val hier = DocOps.packAudit(spark, sfTiny).collect()
+    assert(hier.nonEmpty && hier.sameElements(flat),
+      "hierarchical packing disagrees with the flat-window reference")
+  }
+
   test("winnow_fp pairs are oriented and meet the share threshold") {
     val rows = DocOps.winnowFp(spark, sfTiny).collect()
     assert(rows.nonEmpty)
