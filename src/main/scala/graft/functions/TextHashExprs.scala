@@ -84,6 +84,44 @@ object TextHashUtil {
     new GenericArrayData(mins)
   }
 
+  /** Word n-gram hashes from a STAGED token array: out[i] = polyHash
+    * of `TextFns.wordNgramsFromTokens(ts, n)[i]` — tokens joined with
+    * the 0x01 separator byte (concat_ws("\u0001", ...) parity: every
+    * gram has exactly n slots and n-1 separators; slots past the end
+    * of the array are the coalesce-'' pad, contributing only their
+    * separator). Token arrays shorter than n yield ONE gram
+    * (`greatest(T-n+1, 1)`). One primitive pass, no gram string is
+    * ever materialized. Pinned bit-identical to the HOF + polyHash
+    * form in `TextHashSpec`.
+    */
+  def ngramHashes(ts: ArrayData, n: Int): ArrayData = {
+    val t = ts.numElements()
+    val m = math.max(t - n + 1, 1)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var o = 0
+      while (o < n) {
+        if (o > 0) acc = (acc * B + 0x01L) % P // concat_ws separator
+        val idx = i + o
+        if (idx < t && !ts.isNullAt(idx)) {
+          val s = ts.getUTF8String(idx)
+          val nb = s.numBytes
+          var j = 0
+          while (j < nb) {
+            acc = (acc * B + (s.getByte(j) & 0xffL)) % P
+            j += 1
+          }
+        }
+        o += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct k-gram hashes in first-occurrence order —
     * `array_distinct(TextFns.shingleHashesFromCodes(...))` parity
     * (the exact-Jaccard input; set semantics, so only membership
@@ -261,6 +299,24 @@ case class ShingleSetExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** graft_ngram_hashes(ts, n): word n-gram hashes from a staged token
+  * array (array<long>) — the fused form of
+  * `transform(wordNgramsFromTokens(ts, n), g -> polyHash(g))`, which
+  * costs two interpreted HOFs and materializes every n-token gram
+  * string per element access.
+  */
+case class NgramHashExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ngram_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashUtil.ngramHashes(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.ngramHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): NgramHashExpr =
+    copy(child = newChild)
+}
+
 /** graft_winnow_fp(text): distinct winnowing window-min fingerprints
   * (array<long>).
   */
@@ -312,6 +368,8 @@ object TextHashes {
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(text), bits))
   def shingleSet(text: Column, k: Int): Column =
     ColumnBridge.column(ShingleSetExpr(ColumnBridge.expression(text), k))
+  def ngramHashes(ts: Column, n: Int): Column =
+    ColumnBridge.column(NgramHashExpr(ColumnBridge.expression(ts), n))
   def winnowFp(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFpExpr(ColumnBridge.expression(text), k, w))
   def charSqSum(text: Column): Column =

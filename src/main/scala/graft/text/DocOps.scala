@@ -550,15 +550,22 @@ object DocOps {
 
   private val NovN = 3 // word n-gram width (the q_ngram_jaccard width)
 
-  /** Distinct [[NovN]]-gram stream per document: one (doc_id, source,
-    * gram) row per distinct gram per doc. The shared tokenization seam
-    * of [[novelty]], [[deltaNovelty]] and the streaming novelty ingest
+  /** Distinct [[NovN]]-gram-HASH stream per document: one (doc_id,
+    * source, gram) row per distinct gram per doc, `gram` being the
+    * 64-bit [[graft.functions.TextHashUtil.ngramHashes]] key (fused
+    * native kernel — no gram string is ever materialized, and the
+    * gram-keyed shuffles move longs instead of 3-word strings; the
+    * oracles mirror the identical separator-byte hash via
+    * `TextQueries.duckNgramHashesOf`, so collisions merge the same
+    * pairs on both engines). The shared tokenization seam of
+    * [[novelty]], [[deltaNovelty]] and the streaming novelty ingest
     * (`Streaming.noveltyIngestBatch`) — the three MUST agree on gram
     * extraction or the persisted index screens the wrong keys.
     */
   private[graft] def docGrams(df: DataFrame): DataFrame = df
     .withColumn("ts", TextFns.tokens(col("text")))
-    .withColumn("gs", array_distinct(TextFns.wordNgramsFromTokens(col("ts"), NovN)))
+    .withColumn("gs", array_distinct(
+      graft.functions.TextHashes.ngramHashes(col("ts"), NovN)))
     .select(col("doc_id"), col("source"), explode_outer(col("gs")).as("gram"))
     .filter(col("gram").isNotNull)
 
@@ -596,7 +603,7 @@ object DocOps {
   private val sqlNovelty =
     s"""WITH t AS (SELECT doc_id, source, $duckTokens AS ts FROM documents),
        |     g0 AS (SELECT doc_id, source,
-       |             list_distinct(${TextQueries.duckNgramsOf(NovN)}) AS gs
+       |             list_distinct(${TextQueries.duckNgramHashesOf(NovN)}) AS gs
        |           FROM t),
        |     g AS (SELECT doc_id, source, unnest(gs) AS gram FROM g0),
        |     f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
@@ -649,7 +656,7 @@ object DocOps {
   private val sqlDeltaNovelty =
     s"""WITH t AS (SELECT doc_id, source, $duckTokens AS ts FROM documents),
        |     g0 AS (SELECT doc_id, source,
-       |             list_distinct(${TextQueries.duckNgramsOf(NovN)}) AS gs
+       |             list_distinct(${TextQueries.duckNgramHashesOf(NovN)}) AS gs
        |           FROM t),
        |     g AS (SELECT doc_id, source, unnest(gs) AS gram FROM g0),
        |     idx AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
@@ -908,17 +915,20 @@ object DocOps {
       .withColumn("is_eval",
         pmod(graft.functions.TextHashes.polyHash(col("doc_id").cast("string")),
           lit(EvalMod)) === 0L)
+      // native fused gram-hash kernel (NgramHashExpr): one primitive
+      // pass per row — no gram string is ever materialized; dedup is
+      // on the hash (the oracle mirrors the identical separator-byte
+      // hash, so collisions merge the same pairs on both engines)
       .select(col("doc_id"), col("source"), col("is_eval"),
-        array_distinct(TextFns.wordNgramsFromTokens(col("ts"), DecontamN)).as("grams"))
-    // explode_outer, not explode: the gram array is HOF-built and
+        array_distinct(
+          graft.functions.TextHashes.ngramHashes(col("ts"), DecontamN)).as("hs"))
+    // explode_outer, not explode: the array is kernel-built and
     // provably non-empty (greatest(..., 1) pads), and a non-outer
     // Generate gets a size()>0 filter that inlines the tokenize
     // pipeline (the q_dup_ngrams 10× regression shape).
     val exploded = docs
       .select(col("doc_id"), col("source"), col("is_eval"),
-        explode_outer(col("grams")).as("gram"))
-      .select(col("doc_id"), col("source"), col("is_eval"),
-        graft.functions.TextHashes.polyHash(col("gram")).as("h"))
+        explode_outer(col("hs")).as("h"))
     val evalGrams = exploded.filter(col("is_eval"))
       .select(col("h")).distinct().withColumn("hit", lit(1L))
     val perDoc = exploded.filter(!col("is_eval"))
@@ -936,12 +946,6 @@ object DocOps {
   }
 
   private val sqlDecontaminate = {
-    val gramsN = TextQueries.duckNgramsOf(DecontamN)
-    val gramHash =
-      "list_transform(gs, gr -> list_reduce([CAST(0 AS BIGINT)] || " +
-        "list_transform(range(1, greatest(length(gr), 1) + 1), " +
-        "i -> CAST(ascii(substring(gr, CAST(i AS INT), 1)) AS BIGINT)), " +
-        s"(acc, c) -> (acc * 31 + c) % ${TextFns.P}))"
     s"""WITH t AS (SELECT doc_id, source, $duckTokens AS ts FROM documents),
        |     im AS (SELECT doc_id, source, ts,
        |              ${duckCodesOf("CAST(doc_id AS VARCHAR)")} AS cs
@@ -949,9 +953,9 @@ object DocOps {
        |     iv AS (SELECT doc_id, source, ts,
        |              ($duckPolyHash) % $EvalMod = 0 AS is_eval
        |            FROM im),
-       |     g AS (SELECT doc_id, source, is_eval,
-       |             list_distinct($gramsN) AS gs FROM iv),
-       |     gh AS (SELECT doc_id, source, is_eval, $gramHash AS hs FROM g),
+       |     gh AS (SELECT doc_id, source, is_eval,
+       |             list_distinct(${TextQueries.duckNgramHashesOf(DecontamN)}) AS hs
+       |           FROM iv),
        |     ev AS (SELECT DISTINCT unnest(hs) AS h FROM gh WHERE is_eval),
        |     tr AS (SELECT doc_id, source, unnest(hs) AS h FROM gh WHERE NOT is_eval),
        |     pd AS (SELECT tr.doc_id, tr.source,

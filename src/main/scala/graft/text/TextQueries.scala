@@ -697,9 +697,13 @@ object TextQueries {
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .withColumn("ts", TextFns.tokens(col("text")))
+      // fused native gram-hash kernel: the pair-stage intersections
+      // compare longs, not 3-word strings (oracle mirrors the same
+      // separator-byte hash — collisions intersect identically)
       .select(col("doc_id"), col("lang"),
         substring(col("text"), 1, 20).as("blk"),
-        array_distinct(TextFns.wordNgramsFromTokens(col("ts"), NgramN)).as("grams"))
+        array_distinct(
+          graft.functions.TextHashes.ngramHashes(col("ts"), NgramN)).as("grams"))
       .withColumn("ng", size(col("grams")))
     val inter = size(array_intersect(col("a.grams"), col("b.grams"))).cast("double")
     val union = (col("a.ng") + col("b.ng")).cast("double") - inter
@@ -723,10 +727,28 @@ object TextQueries {
 
   private val duckNgrams = duckNgramsOf(NgramN)
 
+  /** Word n-gram HASH list over staged tokens `ts` — the oracle
+    * mirror of [[graft.functions.TextHashUtil.ngramHashes]]: the gram
+    * byte stream is the n token slots joined with the 0x01 separator
+    * (chr(1), `wordNgramsFromTokens`' concat_ws byte), so both
+    * engines hash IDENTICAL bytes and even hash collisions merge the
+    * same gram pairs on both sides.
+    */
+  private[text] def duckNgramHashesOf(n: Int): String = {
+    val gram = (0 until n).map(o => s"coalesce(ts[CAST(i + $o AS INT)], '')")
+      .mkString(" || chr(1) || ")
+    s"list_transform(range(1, greatest(len(ts) - ${n - 1}, 1) + 1), " +
+      s"i -> list_reduce([CAST(0 AS BIGINT)] || " +
+      s"list_transform(range(1, greatest(length($gram), 1) + 1), " +
+      s"j -> CAST(ascii(substring($gram, CAST(j AS INT), 1)) AS BIGINT)), " +
+      s"(acc, c) -> (acc * 31 + c) % ${TextFns.P}))"
+  }
+
   private val sqlNgramJaccard =
     s"""WITH t AS (SELECT doc_id, lang, substring(text, 1, 20) AS blk, $duckTokens AS ts
        |           FROM documents),
-       |     n AS (SELECT doc_id, lang, blk, list_distinct($duckNgrams) AS grams FROM t),
+       |     n AS (SELECT doc_id, lang, blk,
+       |             list_distinct(${duckNgramHashesOf(NgramN)}) AS grams FROM t),
        |     pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |                      CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE) AS inter,
        |                      CAST(len(a.grams) + len(b.grams) AS DOUBLE) AS tot
@@ -1115,7 +1137,8 @@ object TextQueries {
     val docs = Tables.documents(spark, sfDir)
       .withColumn("ts", TextFns.tokens(col("text")))
       .select(col("doc_id"), col("source"),
-        array_distinct(TextFns.wordNgramsFromTokens(col("ts"), DupN)).as("grams"))
+        array_distinct(
+          graft.functions.TextHashes.ngramHashes(col("ts"), DupN)).as("grams"))
     // explode_outer, NOT explode: InferFiltersFromGenerate puts a
     // size(grams) > 0 filter under a non-outer Generate, and projection
     // collapse inlines the whole tokenize+gram HOF pipeline into it —
@@ -1138,7 +1161,7 @@ object TextQueries {
   }
 
   private val sqlDupNgrams = {
-    val grams5 = duckNgramsOf(DupN)
+    val grams5 = duckNgramHashesOf(DupN)
     s"""WITH t AS (SELECT doc_id, source, $duckTokens AS ts FROM documents),
        |     g AS (SELECT doc_id, source, list_distinct($grams5) AS grams FROM t),
        |     x AS (SELECT doc_id, source, unnest(grams) AS gram FROM g),

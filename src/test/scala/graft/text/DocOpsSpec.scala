@@ -85,7 +85,8 @@ class DocOpsSpec extends SparkSpec {
       .agg(sum(col("n_novel"))).collect().head.getLong(0)
     val distinctGrams = graft.schema.Tables.documents(spark, sfTiny)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
-      .select(explode(array_distinct(TextFns.wordNgramsFromTokens(col("ts"), 3))).as("g"))
+      .select(explode(array_distinct(
+        graft.functions.TextHashes.ngramHashes(col("ts"), 3))).as("g"))
       .select(countDistinct(col("g"))).collect().head.getLong(0)
     assert(total == distinctGrams,
       s"sum of per-source novel grams $total != global distinct grams $distinctGrams")

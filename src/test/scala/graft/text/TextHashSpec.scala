@@ -54,6 +54,29 @@ class TextHashSpec extends SparkSpec {
     }
   }
 
+  test("native ngramHashes equals polyHash over the HOF word-ngram pipeline") {
+    // edge cases: empty token array (one hash of the bare-separator
+    // gram), fewer tokens than n (padded slots contribute only their
+    // 0x01 separators), exactly n, more than n, multi-space runs
+    // (empties dropped by tokens()). The compare explodes the HOF
+    // grams so the native hash is checked against the CONCRETE gram
+    // string — including its invisible 0x01 token separators,
+    // which a hand-rolled "no separator" kernel would miss.
+    for (n <- Seq(2, 3, 8)) {
+      val rows = (texts :+ "").toDF("text")
+        .withColumn("ts", TextFns.tokens(col("text")))
+        .withColumn("native", TextHashes.ngramHashes(col("ts"), n))
+        .withColumn("grams", TextFns.wordNgramsFromTokens(col("ts"), n))
+        .select(col("native"), posexplode(col("grams")).as(Seq("pos", "g")))
+        .select(
+          element_at(col("native"), col("pos") + 1).as("nh"),
+          TextHashes.polyHash(col("g")).as("hh"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"n=$n mismatch"))
+    }
+  }
+
   test("native winnowFp equals HOF window-min-of-shingles pipeline") {
     val w = 5
     val df = texts.toDF("text")
