@@ -466,8 +466,8 @@ object CorpusOps {
   def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     val g = Tables.documents(spark, sfDir)
       .withColumn("ts", TextFns.tokens(col("text")))
-      .withColumn("grams",
-        array_distinct(TextFns.wordNgramsFromTokens(col("ts"), OverlapN)))
+      .withColumn("grams", array_distinct(
+        graft.functions.TextHashes.ngramHashes(col("ts"), OverlapN)))
       // explode_outer (not explode): a plain Generate over the
       // HOF-built array infers size(grams)>0 and inlines the gram
       // pipeline into that filter (PlanAuditSpec dupNgrams rule);
@@ -503,7 +503,7 @@ object CorpusOps {
     val jac = TextFns.duckRound4(
       "CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)")
     s"""WITH t AS (SELECT source, $duckTokens AS ts FROM documents),
-       |     n AS (SELECT source, list_distinct(${TextQueries.duckNgramsOf(OverlapN)}) AS grams FROM t),
+       |     n AS (SELECT source, list_distinct(${TextQueries.duckNgramHashesOf(OverlapN)}) AS grams FROM t),
        |     g AS (SELECT DISTINCT source, unnest(grams) AS gram FROM n),
        |     s AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
        |     pr AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
