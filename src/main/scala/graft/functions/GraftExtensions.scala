@@ -52,6 +52,11 @@ object GraftExtensions {
         if (args.length > 1) intArg(args(1), "k") else 7,
         if (args.length > 2) intArg(args(2), "w") else 5)
     },
+    "graft_ngram_hashes" -> { args =>
+      NgramHashExpr(args.head,
+        if (args.length > 1) intArg(args(1), "n") else 3)
+    },
+    "graft_char_sq_sum" -> { args => CharSqSumExpr(args.head) },
     "graft_dot" -> { args =>
       require(args.length == 2,
         s"graft_dot takes exactly 2 array arguments, got ${args.length}")

@@ -147,13 +147,13 @@ object TextFns {
     }.reduce(_ + _)
   }
 
-  /** Word n-gram array (join tokens with '' so grams compare as
+  /** Word n-gram array (join tokens with the 0x01 byte so grams compare as
     * single strings).
     */
   def wordNgramsFromTokens(ts: Column, n: Int): Column =
     transform(
       sequence(lit(1), greatest(size(ts) - lit(n - 1), lit(1))),
-      i => concat_ws("", (0 until n).map(o =>
+      i => concat_ws("\u0001", (0 until n).map(o =>
         coalesce(try_element_at(ts, (i + lit(o)).cast("int")), lit(""))): _*))
 
   /** Exact Jaccard similarity of two string-array columns (set

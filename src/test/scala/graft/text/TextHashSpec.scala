@@ -184,12 +184,17 @@ class TextHashSpec extends SparkSpec {
         "size(graft_minhash('hello world', 5, 16)) AS m, " +
         "graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
         "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d, " +
-        "size(graft_shingle_set('aaaaaa', 5)) AS ss").collect().head
+        "size(graft_shingle_set('aaaaaa', 5)) AS ss, " +
+        "graft_ngram_hashes(array('the', 'quick'), 2) AS ng, " +
+        "graft_char_sq_sum('aaaa') AS cq").collect().head
     assert(r.getLong(0) == TextHashUtil.polyHash(UTF8String.fromString("abc")))
     assert(r.getLong(1) == TextHashUtil.simHash(UTF8String.fromString("a b c"), 32))
     assert(r.getInt(2) == 16)
     assert(r.getDouble(3) == 11.0)
     assert(r.getInt(4) == 1) // 'aaaaaa' has 2 positions, 1 distinct 5-gram
+    assert(r.getSeq[Long](5) ==
+      Seq(TextHashUtil.polyHash(UTF8String.fromString("the\u0001quick"))))
+    assert(r.getLong(6) == 16L)
   }
 
   test("lexiconHits counts only exact token matches") {
