@@ -909,12 +909,21 @@ object DocOps {
     * polynomial mod-P hash — [[graft.functions.TextHashUtil]]);
     * ratios are BIGINT-sum divisions rounded once at the edge.
     */
-  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+  /** The [[EvalMod]] held-out membership flag (content-hash rule). */
+  private[text] def isEvalDoc: Column =
+    pmod(graft.functions.TextHashes.polyHash(col("doc_id").cast("string")),
+      lit(EvalMod)) === 0L
+
+  /** Per-TRAIN-doc eval-overlap counts — the kernel behind
+    * [[decontaminate]] (which aggregates it per source) and
+    * `RunCurate`'s decontamination stage (which drops the flagged
+    * docs). Input needs (doc_id, source, text); output one row per
+    * non-eval doc: (doc_id, source, n_grams, n_hits).
+    */
+  private[graft] def contamHits(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
       .withColumn("ts", TextFns.tokens(col("text")))
-      .withColumn("is_eval",
-        pmod(graft.functions.TextHashes.polyHash(col("doc_id").cast("string")),
-          lit(EvalMod)) === 0L)
+      .withColumn("is_eval", isEvalDoc)
       // native fused gram-hash kernel (NgramHashExpr): one primitive
       // pass per row — no gram string is ever materialized; dedup is
       // on the hash (the oracle mirrors the identical separator-byte
@@ -931,12 +940,16 @@ object DocOps {
         explode_outer(col("hs")).as("h"))
     val evalGrams = exploded.filter(col("is_eval"))
       .select(col("h")).distinct().withColumn("hit", lit(1L))
-    val perDoc = exploded.filter(!col("is_eval"))
+    exploded.filter(!col("is_eval"))
       .join(evalGrams, Seq("h"), "left")
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-    perDoc.groupBy("source")
+  }
+
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    contamHits(Tables.documents(spark, sfDir).select("doc_id", "source", "text"))
+      .groupBy("source")
       .agg(count(lit(1)).as("n_train"),
         sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("n_contam"),
         sum(col("n_hits")).as("hit_grams"))

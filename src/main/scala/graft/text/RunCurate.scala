@@ -22,10 +22,14 @@ import org.apache.spark.sql.functions._
   *   4. neardup   — MinHash-LSH cluster assignment, keep each
   *                  cluster's canonical (min doc_id) member
   *                  (`q_minhash_cluster` shape)
-  *   5. balance   — per-source quota: each source keeps its best
+  *   5. decontam  — benchmark decontamination: the content-hash
+  *                  held-out eval slice leaves the corpus, along with
+  *                  every training doc sharing a word-8-gram with it
+  *                  (`q_decontaminate` kernel)
+  *   6. balance   — per-source quota: each source keeps its best
   *                  `quota` docs by quality (`q_source_quota` kernel),
   *                  capping any domain's share of the mix
-  *   6. corpus    — survivors packed into token-budgeted training
+  *   7. corpus    — survivors packed into token-budgeted training
   *                  shards (`q_token_shards` kernel); a by-language
   *                  serving layout is rewritten alongside
   *
@@ -104,14 +108,29 @@ object RunCurate {
         .select(col("doc_id")), Seq("doc_id"), "left_semi")
     }
 
-    val s5 = stage("balance") {
+    val s5 = stage("decontam") {
+      // benchmark decontamination (the q_decontaminate kernel): the
+      // content-hash-held-out eval slice IS the benchmark — its docs
+      // leave the training corpus entirely, and any training doc
+      // sharing a word-8-gram with it is dropped too (train/test
+      // contamination would otherwise survive every dedup gate above:
+      // a paraphrased benchmark answer is neither an exact nor a
+      // MinHash near-dup of the eval doc)
+      val docs = read("neardup")
+      val flagged = DocOps.contamHits(docs.select("doc_id", "source", "text"))
+        .filter(col("n_hits") > 0).select("doc_id")
+      docs.filter(!DocOps.isEvalDoc)
+        .join(flagged, Seq("doc_id"), "left_anti")
+    }
+
+    val s6 = stage("balance") {
       // per-source quota (the q_source_quota selection kernel): caps
       // any single domain's share of the final mix, keeping each
       // source's best `quota` docs by quality
-      TextAnalytics.quotaSelect(read("neardup"), quota, "quality")
+      TextAnalytics.quotaSelect(read("decontam"), quota, "quality")
     }
 
-    val s6 = stage("corpus") {
+    val s7 = stage("corpus") {
       // survivors packed into training shards of bounded token budget
       // (the distributed prefix scan — the same q_token_shards kernel)
       graft.etl.PrefixScan.packByCapacity(
@@ -136,7 +155,7 @@ object RunCurate {
       .join(corpus.select("doc_id", "shard", "lang_pred"), "doc_id")
       .write.mode("overwrite").parquet(s"$outDir/chunks")
 
-    Seq(s1, s2, s3, s4, s5, s6)
+    Seq(s1, s2, s3, s4, s5, s6, s7)
   }
 
   /** `runMain graft.text.RunCurate [sfDir] [outDir] [minQuality]` */

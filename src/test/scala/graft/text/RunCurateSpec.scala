@@ -16,7 +16,7 @@ class RunCurateSpec extends SparkSpec {
 
   test("stages run in funnel order with non-increasing survivors") {
     assert(stats.map(_.stage) ==
-      Seq("annotate", "quality", "exact", "neardup", "balance", "corpus"))
+      Seq("annotate", "quality", "exact", "neardup", "decontam", "balance", "corpus"))
     stats.foreach(s => assert(s.rows > 0, s"${s.stage} kept no rows"))
     stats.sliding(2).foreach { case Seq(a, b) =>
       assert(b.rows <= a.rows, s"${b.stage} grew from ${a.stage}")
@@ -41,6 +41,19 @@ class RunCurateSpec extends SparkSpec {
     val langs = corpus.select("lang_pred").distinct()
       .collect().map(_.getString(0)).toSet
     assert(langs.subsetOf(TextFns.langMarkers.keySet))
+    // decontamination gate: no held-out eval doc survives, and no
+    // surviving doc shares an 8-gram with the eval slice (recompute
+    // the kernel against the stage INPUT so the assert is independent
+    // of the stage's own join)
+    assert(corpus.filter(DocOps.isEvalDoc).count() == 0, "eval docs survived")
+    val neardup = spark.read.parquet(s"$outDir/neardup")
+    val contaminated = DocOps.contamHits(neardup.select("doc_id", "source", "text"))
+      .filter(col("n_hits") > 0).select("doc_id")
+    assert(corpus.join(contaminated, Seq("doc_id"), "left_semi").count() == 0,
+      "contaminated docs survived")
+    // non-vacuous: the gate must actually fire on this corpus
+    assert(spark.read.parquet(s"$outDir/neardup").filter(DocOps.isEvalDoc).count() > 0,
+      "no eval docs reached the gate — decontam stage is vacuous")
     corpus.unpersist()
   }
 
@@ -101,10 +114,11 @@ class RunCurateSpec extends SparkSpec {
     assert(bySource.nonEmpty && bySource.forall(_.getLong(1) <= 2),
       "a source exceeded its quota")
     assert(balance.count() <
-      spark.read.parquet(s"$dir/neardup").count(), "quota gated nothing")
+      spark.read.parquet(s"$dir/decontam").count(), "quota gated nothing")
     // kept set ≡ the single-window top-2 per source (two-phase rank
-    // must compose to the same selection)
-    val expect = spark.read.parquet(s"$dir/neardup")
+    // must compose to the same selection) over the balance INPUT —
+    // the decontam snapshot
+    val expect = spark.read.parquet(s"$dir/decontam")
       .withColumn("rk", row_number().over(Window.partitionBy("source")
         .orderBy(col("quality").desc, col("doc_id"))))
       .filter(col("rk") <= 2)

@@ -77,6 +77,31 @@ class TextHashSpec extends SparkSpec {
     }
   }
 
+  test("ngramHashes property: equals polyHash of separator-joined slots (200 random cases)") {
+    // deterministic-seed randomized sweep over token counts 0..11,
+    // token lengths 0..7 (empties included), n 1..9 — the kernel must
+    // equal polyHash of the n slots joined with the 0x01 separator,
+    // with out-of-range slots as ''
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val t = rnd.nextInt(12)
+      val toks = Seq.fill(t)(rnd.alphanumeric.take(rnd.nextInt(8)).mkString)
+      val n = 1 + rnd.nextInt(9)
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(UTF8String.fromString).toArray[Any])
+      val got = TextHashUtil.ngramHashes(arr, n)
+      val m = math.max(t - n + 1, 1)
+      assert(got.numElements() == m)
+      (0 until m).foreach { i =>
+        val gram = (0 until n)
+          .map(o => if (i + o < t) toks(i + o) else "").mkString("\u0001")
+        assert(got.getLong(i) ==
+          TextHashUtil.polyHash(UTF8String.fromString(gram)),
+          s"t=$t n=$n i=$i toks=$toks")
+      }
+    }
+  }
+
   test("native winnowFp equals HOF window-min-of-shingles pipeline") {
     val w = 5
     val df = texts.toDF("text")
