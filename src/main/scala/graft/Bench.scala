@@ -29,19 +29,22 @@ object Bench {
   private[graft] def flagRegressions(
       entries: Seq[GateEntry],
       prevBest: Map[String, Double],
-      prevSf2: Map[String, Double]): Seq[(String, Double, Double)] =
+      prevSf2: Map[String, Double]): Seq[(String, Double, Double, String)] =
     entries.flatMap { e =>
       val effSpread = e.isoSpread.getOrElse(e.spread)
       val main = prevBest.get(e.name).collect {
         case old if old >= 0 && e.best >= 0 &&
           e.best > old + math.max(effSpread, 0.15) && e.best > old * 1.3 =>
-          (e.name, e.best, old)
+          (e.name, e.best, old, "sf")
       }
+      // a dual-scale flag reports the SF2 numbers it fired on — the
+      // round-9 gate printed the (improved) main-SF best for an sf2
+      // drift, which read as a nonsense "regression 0.87 < prev 0.96"
       val dual = for {
         t2 <- e.sf2Best if t2 >= 0
         o2 <- prevSf2.get(e.name) if o2 >= 0.05
         if t2 > o2 + 0.1 && t2 > o2 * 1.5
-      } yield (e.name, e.best, prevBest.getOrElse(e.name, -1.0))
+      } yield (e.name, t2, o2, "sf2")
       main.orElse(dual)
     }
 
@@ -251,7 +254,7 @@ object Bench {
     // isolation-corrected spread gates the main-SF best, and the sf2
     // pass gates drift interference can't mask. Fail-soft: a missing
     // or unparseable baseline yields an empty list, never an error.
-    val regressions: Seq[(String, Double, Double)] = try {
+    val regressions: Seq[(String, Double, Double, String)] = try {
       val path = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "tools/bench_baseline.json")
       val src = scala.io.Source.fromFile(path)
       val txt = try src.mkString finally src.close()
@@ -264,7 +267,8 @@ object Bench {
       flagRegressions(entries, prevBest, prevSf2)
     } catch { case _: Throwable => Nil }
     val regs = regressions.take(8)
-      .map { case (n, b, o) => s"""{"q":"$n","best":${fmt(b, 2)},"prev":${fmt(o, 2)}}""" }
+      .map { case (n, b, o, sc) =>
+        s"""{"q":"$n","best":${fmt(b, 2)},"prev":${fmt(o, 2)},"scale":"$sc"}""" }
       .mkString("\"regressions\":[", ",", "]")
     // dual-scale summary: second-SF total + the worst per-query
     // scaling ratio (denominator floored at 50 ms — below that the

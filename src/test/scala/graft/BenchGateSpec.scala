@@ -19,7 +19,7 @@ class BenchGateSpec extends AnyFunSuite {
     val e = GateEntry("q_leakage_split", best = 4.01, spread = 13.0,
       isoSpread = Some(0.12), sf2Best = None)
     assert(flagRegressions(Seq(e), prev, Map.empty) ===
-      Seq(("q_leakage_split", 4.01, 1.57)))
+      Seq(("q_leakage_split", 4.01, 1.57, "sf")))
   }
 
   test("without isolation the same slip is (documentedly) blind") {
@@ -51,7 +51,8 @@ class BenchGateSpec extends AnyFunSuite {
     val e = GateEntry("q_leakage_split", best = 4.01, spread = 13.0,
       isoSpread = None, sf2Best = Some(0.9))
     val out = flagRegressions(Seq(e), prev, Map("q_leakage_split" -> 0.4))
-    assert(out === Seq(("q_leakage_split", 4.01, 1.57)))
+    // the sf2-fired flag reports the sf2 numbers, labeled as such
+    assert(out === Seq(("q_leakage_split", 0.9, 0.4, "sf2")))
   }
 
   test("sf2 drift floor: +0.1s and 1.5x both required") {
