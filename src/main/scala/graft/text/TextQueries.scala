@@ -302,6 +302,137 @@ object TextQueries {
        |       ${TextFns.duckRound4("abs(est - ex)")} AS abs_err
        |FROM e ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------- 3a¹ᵃ. q_lsh_curve: banding operating table ----------
+
+  /** True-pair threshold for the curve: a candidate pair counts as a
+    * real near-dup when its ROUNDED exact Jaccard clears this (the
+    * round-before-compare rule — both engines compare identical
+    * 4-decimal values).
+    */
+  private val LshCurveTau = 0.5
+
+  /** LSH banding operating table — the MinHash twin of
+    * `q_ivf_recall_curve`: for each banding of the SAME
+    * [[NumHashes]]-slot signature (r rows × b bands, r ∈ 2/4/8),
+    * how many candidate pairs the config produces and how many TRUE
+    * near-dups (exact Jaccard ≥ [[LshCurveTau]]) it catches. This is
+    * the table that picks r: small r = high recall + junk candidates,
+    * large r = precise + misses — the S-curve knob (Leskovec/
+    * Rajaraman/Ullman, Mining of Massive Datasets §3.4).
+    *
+    * Shape: the pair domain is the MOST permissive config's (r=2)
+    * rep-member collisions — coarser configs' collisions are nested
+    * inside it BY CONSTRUCTION (an aligned 4-row band match contains
+    * two matching 2-row halves), so one domain scores every level and
+    * the curve is monotone, like the recall-curve's nested candidate
+    * sets. Each pair is scored ONCE (one exact Jaccard + 16 slot
+    * compares); configs differ only in which slot-compare conjunction
+    * fires — zero extra joins per level. Collapse-before-pairs holds:
+    * rep-member edges, never member×member.
+    */
+  def lshCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = Tables.documents(spark, sfDir)
+      .withColumn("shs", graft.functions.TextHashes.shingleSet(col("text"), K))
+      .withColumn("sig",
+        graft.functions.TextHashes.minHashSig(col("text"), K, NumHashes))
+      .select(col("doc_id"), col("shs"), size(col("shs")).as("nsh"), col("sig"))
+    val bands2 = staged.select(col("doc_id"),
+      explode(TextFns.lshBandKeys(col("sig"), 2, NumHashes / 2)).as("band"))
+    val reps = bands2.groupBy("band").agg(min(col("doc_id")).as("rep"))
+    val pairs = bands2.join(reps, "band")
+      .filter(col("rep") < col("doc_id"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b")).distinct()
+    val a = staged.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"),
+      col("nsh").as("nsh_a"), col("sig").as("sig_a"))
+    val b = staged.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"),
+      col("nsh").as("nsh_b"), col("sig").as("sig_b"))
+    def collide(r: Int): Column =
+      (0 until NumHashes / r).map { i =>
+        (0 until r).map(j =>
+          element_at(col("sig_a"), i * r + j + 1) ===
+            element_at(col("sig_b"), i * r + j + 1)).reduce(_ && _)
+      }.reduce(_ || _)
+    val scored = pairs.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("double"))
+      .withColumn("uni", (col("nsh_a") + col("nsh_b")).cast("double") - col("inter"))
+      .withColumn("ex", when(col("uni") === 0, lit(1.0)).otherwise(col("inter") / col("uni")))
+      .withColumn("is_true", TextFns.round4(col("ex")) >= LshCurveTau)
+      .select(col("is_true"),
+        collide(2).as("c2"), collide(4).as("c4"), collide(8).as("c8"))
+    def caught(c: String) = sum(when(col("is_true") && col(c), 1L).otherwise(0L))
+    def cand(c: String) = sum(when(col(c), 1L).otherwise(0L))
+    scored.agg(
+        sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"),
+        cand("c2").as("cand_2"), caught("c2").as("caught_2"),
+        cand("c4").as("cand_4"), caught("c4").as("caught_4"),
+        cand("c8").as("cand_8"), caught("c8").as("caught_8"))
+      .select(col("n_true"), expr(
+        """stack(3, 2L, 8L, cand_2, caught_2,
+          |         4L, 4L, cand_4, caught_4,
+          |         8L, 2L, cand_8, caught_8) AS (r, b, n_candidates, n_caught)"""
+          .stripMargin))
+      .withColumn("catch_rate",
+        when(col("n_true") === 0, lit(null).cast("double"))
+          .otherwise(TextFns.round4(
+            col("n_caught").cast("double") / col("n_true").cast("double"))))
+      .select(col("r"), col("b"), col("n_candidates"), col("n_true"),
+        col("n_caught"), col("catch_rate"))
+      .orderBy("r")
+  }
+
+  private val sqlLshCurve = {
+    def collideSql(r: Int): String =
+      (0 until NumHashes / r).map { i =>
+        (0 until r).map(j =>
+          s"sa[${i * r + j + 1}] = sb[${i * r + j + 1}]").mkString("(", " AND ", ")")
+      }.mkString("(", " OR ", ")")
+    def bandKeys2: String =
+      (0 until NumHashes / 2).map { b =>
+        val parts = (0 until 2).map(j => s"sig[${b * 2 + j + 1}]")
+        s"'$b:' || " + parts.map(x => s"CAST($x AS VARCHAR)").mkString(" || ',' || ")
+      }.mkString("[", ", ", "]")
+    s"""WITH c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),
+       |     s AS (SELECT doc_id, $duckShingles AS shs FROM c),
+       |     g AS (SELECT doc_id, list_distinct(shs) AS dsh, $duckSignature AS sig FROM s),
+       |     bands AS (SELECT doc_id, unnest($bandKeys2) AS band FROM g),
+       |     reps AS (SELECT band, min(doc_id) AS rep FROM bands GROUP BY band),
+       |     pairs AS (SELECT DISTINCT reps.rep AS doc_a, bands.doc_id AS doc_b
+       |               FROM bands JOIN reps ON bands.band = reps.band
+       |               WHERE reps.rep < bands.doc_id),
+       |     m AS (SELECT ga.sig AS sa, gb.sig AS sb,
+       |             CAST(len(list_filter(ga.dsh, x -> list_contains(gb.dsh, x))) AS DOUBLE) AS inter,
+       |             CAST(len(ga.dsh) + len(gb.dsh) AS DOUBLE) AS tot
+       |           FROM pairs JOIN g ga ON pairs.doc_a = ga.doc_id
+       |                      JOIN g gb ON pairs.doc_b = gb.doc_id),
+       |     f AS (SELECT ${TextFns.duckRound4(
+                    "CASE WHEN tot - inter = 0 THEN 1.0 ELSE inter / (tot - inter) END")}
+       |               >= $LshCurveTau AS is_true,
+       |             ${collideSql(2)} AS c2, ${collideSql(4)} AS c4,
+       |             ${collideSql(8)} AS c8
+       |           FROM m),
+       |     agg AS (SELECT
+       |             CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       |             CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS cand_2,
+       |             CAST(sum(CASE WHEN is_true AND c2 THEN 1 ELSE 0 END) AS BIGINT) AS caught_2,
+       |             CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS cand_4,
+       |             CAST(sum(CASE WHEN is_true AND c4 THEN 1 ELSE 0 END) AS BIGINT) AS caught_4,
+       |             CAST(sum(CASE WHEN c8 THEN 1 ELSE 0 END) AS BIGINT) AS cand_8,
+       |             CAST(sum(CASE WHEN is_true AND c8 THEN 1 ELSE 0 END) AS BIGINT) AS caught_8
+       |           FROM f),
+       |     lv AS (SELECT CAST(2 AS BIGINT) AS r, CAST(8 AS BIGINT) AS b,
+       |                   cand_2 AS n_candidates, n_true, caught_2 AS n_caught FROM agg
+       |            UNION ALL
+       |            SELECT 4, 4, cand_4, n_true, caught_4 FROM agg
+       |            UNION ALL
+       |            SELECT 8, 2, cand_8, n_true, caught_8 FROM agg)
+       |SELECT r, b, n_candidates, n_true, n_caught,
+       |       CASE WHEN n_true = 0 THEN NULL
+       |            ELSE ${TextFns.duckRound4(
+                      "CAST(n_caught AS DOUBLE) / CAST(n_true AS DOUBLE)")}
+       |       END AS catch_rate
+       |FROM lv ORDER BY r""".stripMargin
+  }
+
   // ---------- 3a¹ᵇ. q_pagerank: centrality over the collision graph ----------
 
   private val PrScale = 1000000L
@@ -1377,6 +1508,7 @@ object TextQueries {
     "q_doc_fingerprint" -> (docFingerprint _),
     "q_minhash_cluster" -> (minhashCluster _),
     "q_minhash_est" -> (minhashEst _),
+    "q_lsh_curve" -> (lshCurve _),
     "q_pagerank" -> (pagerank _),
     "q_label_prop" -> (labelProp _),
     "q_delta_dedup" -> (deltaDedup _),
@@ -1403,6 +1535,7 @@ object TextQueries {
     "q_doc_fingerprint" -> sqlDocFingerprint,
     "q_minhash_cluster" -> sqlMinhashCluster,
     "q_minhash_est" -> sqlMinhashEst,
+    "q_lsh_curve" -> sqlLshCurve,
     "q_pagerank" -> sqlPagerank,
     "q_label_prop" -> sqlLabelProp,
     "q_delta_dedup" -> sqlDeltaDedup,
