@@ -395,6 +395,72 @@ object CorpusOps {
        |            AS BIGINT) AS alloc
        |FROM r ORDER BY source""".stripMargin
 
+  // ---------- q_epoch_plan: data-constrained epoch repeats ----------
+
+  /** Epoch cap: repeating data beyond ~4 epochs returns almost
+    * nothing (Muennighoff et al. 2023, "Scaling Data-Constrained
+    * Language Models" — the decay-coefficient fit puts the value of a
+    * 5th epoch near zero).
+    */
+  private val MaxEpochs = 4L
+
+  /** Budget multiplier: total training-token demand = 6× the corpus,
+    * so an equal per-source share (≈6× the mean source) CAPS
+    * below-mean sources at [[MaxEpochs]] epochs and leaves a deficit
+    * — the regime the epoch rule exists for.
+    */
+  private val EpochBudgetX = 6L
+
+  /** Data-constrained epoch schedule: apportion a training-token
+    * budget equally across sources; each source serves
+    * `min(MaxEpochs, share DIV tokens)` full epochs plus a partial
+    * pass, never more than [[MaxEpochs]] passes total — the
+    * repeat-vs-fresh-data plan ([[mixSchedule]] allocates WITHIN one
+    * epoch; this decides how many times each source may repeat before
+    * its marginal value dies). `deficit` is the share the cap leaves
+    * unfilled — the number that tells acquisition how many NEW tokens
+    * to buy.
+    *
+    * Shape: one token aggregate at source grain + two broadcast
+    * scalars; all outputs are exact integers (DIV/least/greatest —
+    * no float crosses the engine boundary). The 64-bit-width note
+    * from [[mixSchedule]] applies to `tokens * EpochBudgetX`.
+    */
+  def epochPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .withColumn("n_tok", size(TextFns.tokens(col("text"))).cast("long"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+    val tot = toks.agg(sum(col("tokens")).as("total"),
+      count(lit(1)).as("n_sources"))
+    toks.crossJoin(broadcast(tot))
+      .withColumn("share", expr(s"total * $EpochBudgetX DIV n_sources"))
+      .withColumn("full_epochs",
+        least(lit(MaxEpochs), expr("share DIV greatest(tokens, 1)")))
+      .withColumn("planned_tokens",
+        least(col("share"), lit(MaxEpochs) * col("tokens")))
+      .withColumn("deficit", col("share") - col("planned_tokens"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("share"),
+        col("full_epochs"), col("planned_tokens"), col("deficit"))
+      .orderBy("source")
+  }
+
+  private val sqlEpochPlan =
+    s"""WITH t AS (SELECT source, $duckTokens AS ts FROM documents),
+       |     c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |             CAST(sum(len(ts)) AS BIGINT) AS tokens FROM t GROUP BY 1),
+       |     tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total,
+       |               CAST(count(*) AS BIGINT) AS n_sources FROM c),
+       |     p AS (SELECT source, n_docs, tokens,
+       |             CAST(total * $EpochBudgetX // n_sources AS BIGINT) AS share
+       |           FROM c CROSS JOIN tot)
+       |SELECT source, n_docs, tokens, share,
+       |       CAST(least($MaxEpochs, share // greatest(tokens, 1)) AS BIGINT)
+       |         AS full_epochs,
+       |       CAST(least(share, $MaxEpochs * tokens) AS BIGINT) AS planned_tokens,
+       |       CAST(share - least(share, $MaxEpochs * tokens) AS BIGINT) AS deficit
+       |FROM p ORDER BY source""".stripMargin
+
   // ---------- q_src_checksum: order-independent snapshot checksum ----------
 
   /** Per-source integrity digest — the anti-entropy primitive for
@@ -639,6 +705,7 @@ object CorpusOps {
     "q_bm25" -> (bm25 _),
     "q_chunk_plan" -> (chunkPlan _),
     "q_mix_schedule" -> (mixSchedule _),
+    "q_epoch_plan" -> (epochPlan _),
     "q_src_checksum" -> (srcChecksum _),
     "q_source_overlap" -> (sourceOverlap _),
     "q_prefix_dup" -> (prefixDup _),
@@ -649,6 +716,7 @@ object CorpusOps {
     "q_bm25" -> sqlBm25,
     "q_chunk_plan" -> sqlChunkPlan,
     "q_mix_schedule" -> sqlMixSchedule,
+    "q_epoch_plan" -> sqlEpochPlan,
     "q_src_checksum" -> sqlSrcChecksum,
     "q_source_overlap" -> sqlSourceOverlap,
     "q_prefix_dup" -> sqlPrefixDup,
