@@ -75,6 +75,36 @@ class PlanAuditSpec extends SparkSpec {
       s"contamination generate lost outer=true (${gens.size} generates)")
   }
 
+  test("decontaminate plans outer generates and no inferred kernel filter") {
+    val plan = text.DocOps.decontaminate(spark, sfTiny).queryExecution.sparkPlan
+    val filters = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f.condition.toString
+    }
+    assert(!filters.exists(f => f.contains("graft_ngram_hashes") || f.contains("transform(")),
+      s"inferred filter re-evaluates the gram-hash kernel: $filters")
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.nonEmpty && gens.forall(_.outer),
+      s"decontaminate generate lost outer=true (${gens.size} generates)")
+  }
+
+  test("packAudit's prefix sum is hierarchical: no source-only fact-grain window") {
+    // the scale claim: per-doc cumulative sums come from a window
+    // keyed by (source, blk) — bounded rows per key — with only the
+    // block-GRAIN offset window keyed by source alone. A refactor to
+    // one flat Window.partitionBy(source) over doc rows would pass
+    // every value check and die at scale.
+    val wins = text.DocOps.packAudit(spark, sfTiny).queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.map(_.toString)
+    }
+    assert(wins.size == 2, s"expected exactly 2 windows, got ${wins.size}")
+    assert(wins.count(_.exists(_.contains("blk"))) == 1 &&
+      wins.count(_.size == 1) == 1,
+      s"window keying drifted from (source, blk) + block-grain (source): $wins")
+  }
+
   test("ntileQuartiles: no partition-less window over raw customer rows") {
     // customer scales with SF: the quartile assignment goes through
     // the lazy radix rank — the ONLY partition-less window allowed is
