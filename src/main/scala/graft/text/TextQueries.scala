@@ -302,6 +302,44 @@ object TextQueries {
        |       ${TextFns.duckRound4("abs(est - ex)")} AS abs_err
        |FROM e ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------- 3a⁰. q_cluster_sizes: duplication-depth profile ----------
+
+  /** Near-dup cluster-size distribution: for each cluster size s, how
+    * many LSH clusters have exactly s members and how many documents
+    * they hold — the duplication-depth histogram (the curve behind
+    * "dedup will remove X% of the corpus": Σ (s−1)·n_clusters docs
+    * drop under canonical election). Size-1 rows are the undeduped
+    * mass; a heavy tail means boilerplate/mirror content.
+    *
+    * Shape: two bounded hash aggregates over [[minhashAssignments]]'
+    * output (cluster grain, then size grain — ≤ max-cluster-size
+    * rows). All integers.
+    */
+  def clusterSizes(spark: SparkSession, sfDir: String): DataFrame =
+    minhashAssignments(Tables.documents(spark, sfDir))
+      .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy("sz")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("n_docs"),
+        ((col("sz") - 1L) * col("n_clusters")).as("docs_dropped_by_dedup"))
+      .orderBy("cluster_size")
+
+  private val sqlClusterSizes =
+    s"""WITH c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),
+       |     s AS (SELECT doc_id, $duckShingles AS shs FROM c),
+       |     g AS (SELECT doc_id, $duckSignature AS sig FROM s),
+       |     bands AS (SELECT doc_id, unnest($duckBandKeys) AS band FROM g),
+       |     reps AS (SELECT band, min(doc_id) AS rep FROM bands GROUP BY band),
+       |     clusters AS (SELECT bands.doc_id, min(reps.rep) AS cluster_id
+       |                  FROM bands JOIN reps ON bands.band = reps.band
+       |                  GROUP BY bands.doc_id),
+       |     sz AS (SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY 1)
+       |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       |       CAST(sz * count(*) AS BIGINT) AS n_docs,
+       |       CAST((sz - 1) * count(*) AS BIGINT) AS docs_dropped_by_dedup
+       |FROM sz GROUP BY sz ORDER BY cluster_size""".stripMargin
+
   // ---------- 3a¹ᵃ. q_lsh_curve: banding operating table ----------
 
   /** True-pair threshold for the curve: a candidate pair counts as a
@@ -1509,6 +1547,7 @@ object TextQueries {
     "q_minhash_cluster" -> (minhashCluster _),
     "q_minhash_est" -> (minhashEst _),
     "q_lsh_curve" -> (lshCurve _),
+    "q_cluster_sizes" -> (clusterSizes _),
     "q_pagerank" -> (pagerank _),
     "q_label_prop" -> (labelProp _),
     "q_delta_dedup" -> (deltaDedup _),
@@ -1536,6 +1575,7 @@ object TextQueries {
     "q_minhash_cluster" -> sqlMinhashCluster,
     "q_minhash_est" -> sqlMinhashEst,
     "q_lsh_curve" -> sqlLshCurve,
+    "q_cluster_sizes" -> sqlClusterSizes,
     "q_pagerank" -> sqlPagerank,
     "q_label_prop" -> sqlLabelProp,
     "q_delta_dedup" -> sqlDeltaDedup,
