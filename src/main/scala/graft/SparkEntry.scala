@@ -24,7 +24,8 @@ object SparkEntry {
       olap.OlapStats.queries ++
       stream.EventQueries.queries ++ text.TextQueries.queries ++
       text.TextAnalytics.queries ++ text.CorpusOps.queries ++
-      text.DocOps.queries ++ vector.VectorQueries.queries ++
+      text.DocOps.queries ++ text.GrowthOps.queries ++
+      vector.VectorQueries.queries ++
       vector.Projection.queries ++ multimodal.MediaQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,6 +37,7 @@ object SparkEntry {
       olap.OlapStats.oracle ++
       stream.EventQueries.oracle ++ text.TextQueries.oracle ++
       text.TextAnalytics.oracle ++ text.CorpusOps.oracle ++
-      text.DocOps.oracle ++ vector.VectorQueries.oracle ++
+      text.DocOps.oracle ++ text.GrowthOps.oracle ++
+      vector.VectorQueries.oracle ++
       vector.Projection.oracle ++ multimodal.MediaQueries.oracle
 }

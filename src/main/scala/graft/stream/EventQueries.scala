@@ -2,6 +2,7 @@ package graft.stream
 
 import graft.schema.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time analytics over the `events` table (SURVEY.md §2.7,
@@ -383,7 +384,89 @@ object EventQueries {
                     " AS DECIMAL(18,6))) AS DOUBLE)")} AS decayed_value
        |FROM w GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // ---------- q_burstiness: inter-arrival burstiness screen ----------
+
+  private val BurstMinGaps = 20
+
+  /** Per-user inter-arrival burstiness (Goh & Barabási, "Burstiness
+    * and memory in complex systems", 2008): B = (σ−μ)/(σ+μ) over the
+    * gaps between a user's consecutive events. B→−1 is a metronome,
+    * B≈0 is Poisson, B→1 is bursty — the screen that separates bot
+    * traffic (periodic) from humans (bursty) and flags scraping in
+    * ingestion telemetry. Only users with ≥ $BurstMinGaps gaps are
+    * scored; top 20 burstiest reported.
+    *
+    * Shape: ONE user-partitioned window (lag by ts — fact-scale
+    * partitioning, never a global sort), then a user-grain hash
+    * aggregate, then TakeOrderedAndProject (20 rows cross the wire).
+    * Parity: gaps are floored to whole SECONDS (integer µs DIV 1e6,
+    * ≡ DuckDB //) so Σgap and Σgap² are exact integers (Σgap² summed
+    * AS DECIMAL(38,0) — gap ≤ corpus span keeps gap² < 2^63, the sum
+    * exact at any cardinality); mean/variance then evaluate the SAME
+    * double expression tree on identical exact inputs on both
+    * engines, and σ is a bare sqrt (IEEE-correctly-rounded, the only
+    * cross-engine-safe transcendental). Output rounds once at the
+    * edge; the top-20 rank orders on the ROUNDED score with user_id
+    * as tiebreak (round-before-compare rule).
+    */
+  def burstiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val gaps = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("gap_s", expr("(us - prev_us) DIV 1000000"))
+      .where(col("gap_s").isNotNull)
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("sum_s"),
+        sum((col("gap_s") * col("gap_s")).cast("decimal(38,0)")).as("sq_dec"))
+      .where(col("n_gaps") >= BurstMinGaps)
+      .withColumn("mean", col("sum_s").cast("double") / col("n_gaps").cast("double"))
+      .withColumn("variance",
+        (col("sq_dec").cast("double") -
+          col("sum_s").cast("double") * col("sum_s").cast("double")
+            / col("n_gaps").cast("double"))
+          / (col("n_gaps").cast("double") - lit(1.0)))
+      .withColumn("std", sqrt(col("variance")))
+      .withColumn("burstiness", graft.text.TextFns.round4(
+        (col("std") - col("mean")) / (col("std") + col("mean"))))
+      .withColumn("cv", graft.text.TextFns.round4(col("std") / col("mean")))
+      .withColumn("mean_gap_s", graft.text.TextFns.round4(col("mean")))
+      .select("user_id", "n_gaps", "mean_gap_s", "cv", "burstiness")
+      .orderBy(col("burstiness").desc, col("user_id"))
+      .limit(20)
+  }
+
+  private val sqlBurstiness = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    s"""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+       |           FROM events),
+       |     g AS (SELECT user_id,
+       |             (us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id))
+       |               // 1000000 AS gap_s
+       |           FROM e),
+       |     a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+       |                  CAST(sum(gap_s) AS BIGINT) AS sum_s,
+       |                  sum(CAST(gap_s * gap_s AS DECIMAL(38,0))) AS sq_dec
+       |           FROM g WHERE gap_s IS NOT NULL GROUP BY user_id),
+       |     s AS (SELECT user_id, n_gaps,
+       |                  CAST(sum_s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean,
+       |                  (CAST(sq_dec AS DOUBLE) -
+       |                     CAST(sum_s AS DOUBLE) * CAST(sum_s AS DOUBLE)
+       |                       / CAST(n_gaps AS DOUBLE))
+       |                    / (CAST(n_gaps AS DOUBLE) - 1.0) AS variance
+       |           FROM a WHERE n_gaps >= $BurstMinGaps)
+       |SELECT user_id, n_gaps,
+       |       ${r4("mean")} AS mean_gap_s,
+       |       ${r4("sqrt(variance) / mean")} AS cv,
+       |       ${r4("(sqrt(variance) - mean) / (sqrt(variance) + mean)")} AS burstiness
+       |FROM s
+       |ORDER BY ${r4("(sqrt(variance) - mean) / (sqrt(variance) + mean)")} DESC, user_id
+       |LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_burstiness" -> (burstiness _),
     "q_time_decay" -> (timeDecay _),
     "q_ewma_trend" -> (ewmaTrend _),
     "q_transitions" -> (transitions _),
@@ -396,6 +479,7 @@ object EventQueries {
     "q_rolling_distinct" -> (rollingDistinct _))
 
   val oracle: Map[String, String] = Map(
+    "q_burstiness" -> sqlBurstiness,
     "q_time_decay" -> sqlTimeDecay,
     "q_ewma_trend" -> sqlEwmaTrend,
     "q_transitions" -> sqlTransitions,

@@ -1,0 +1,160 @@
+package graft.text
+
+import graft.schema.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-growth and batch-shape audits for the LLM-data-pipeline
+  * pack (no counterpart in the reference, whose string surface is
+  * trim/lower/title — `ETL/user_ETL.py:47-53`): the Heaps'-law
+  * vocabulary-growth curve a tokenizer-budgeting pass charts while a
+  * corpus is ingested (Heaps, 1978; the V(n) ~ K·n^β curve), and the
+  * padded-batch waste audit behind sequence-length bucketing
+  * (the bucketed-batching trick every training loader applies so a
+  * 4096-slot batch is not padded to its longest member).
+  *
+  * Shares [[TextFns.tokens]] / [[TextQueries.duckTokens]] and the
+  * round-before-output parity rules.
+  */
+object GrowthOps {
+
+  private val duckTokens = TextQueries.duckTokens
+
+  // ---------- q_vocab_growth: Heaps'-law vocabulary growth ----------
+
+  /** Cumulative vocabulary size at each doc-sequence decile — the
+    * Heaps'-law growth curve. A corpus whose vocabulary keeps growing
+    * linearly is still absorbing novel content; a flattening curve
+    * says additional ingestion is re-reading the same vocabulary
+    * (the signal used to budget tokenizer vocab size and to decide
+    * when web-crawl ingestion saturates).
+    *
+    * Shape — no fact-scale windows anywhere: each token's FIRST
+    * occurrence is `min(doc_id)` (one vocab-grain hash aggregate, the
+    * map-side-combining kind), the ten decile fences come from ONE
+    * exact-percentile aggregate row (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, the proven bit-identical pair; at 100 TB swap
+    * `approx_percentile`, same shape), and the cumulative counts are
+    * a ≤10-row broadcast inequality join against the vocab-grain /
+    * doc-grain sides — work is 10× vocab + 10× docs, never a sort.
+    * The naive alternative (row_number over ingestion order +
+    * running distinct) is a single-partition window over the fact
+    * table; this shape replaces it per the scale rules.
+    */
+  def vocabGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("doc_id"), col("ts"))
+    val toks = docs.select(col("doc_id"), explode_outer(col("ts")).as("token"))
+    val firstSeen = toks.groupBy("token").agg(min(col("doc_id")).as("first_doc"))
+    val pctCols =
+      (1 to 10).map(d => percentile(col("doc_id"), lit(d / 10.0)).as(s"q$d"))
+    val fences = docs.agg(pctCols.head, pctCols.tail: _*)
+      .select(posexplode(array((1 to 10).map(d => col(s"q$d")): _*)))
+      .select((col("pos") + 1).cast("int").as("decile"), col("col").as("fence"))
+    val vocabCum = firstSeen.join(broadcast(fences),
+        col("first_doc").cast("double") <= col("fence"))
+      .groupBy("decile").agg(count(lit(1)).as("vocab"))
+    val docCum = docs
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_toks"))
+      .join(broadcast(fences), col("doc_id").cast("double") <= col("fence"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    docCum.join(vocabCum, "decile")
+      .withColumn("ttr", TextFns.round4(
+        col("vocab").cast("double") / col("n_tokens").cast("double")))
+      .select("decile", "n_docs", "n_tokens", "vocab", "ttr")
+      .orderBy("decile")
+  }
+
+  private val sqlVocabGrowth =
+    s"""WITH d AS (SELECT doc_id, $duckTokens AS ts FROM documents),
+       |     tok AS (SELECT doc_id, unnest(ts) AS token FROM d),
+       |     fs AS (SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY token),
+       |     q AS (SELECT ${(1 to 10).map(x =>
+                s"quantile_cont(doc_id, ${x / 10.0}) AS q$x").mkString(", ")}
+       |           FROM d),
+       |     fe AS (SELECT CAST(i AS INT) AS decile,
+       |                   [${(1 to 10).map(x => s"q$x").mkString(",")}][CAST(i AS INT)] AS fence
+       |            FROM q, range(1, 11) t(i)),
+       |     vc AS (SELECT decile, CAST(count(*) AS BIGINT) AS vocab
+       |            FROM fs JOIN fe ON CAST(first_doc AS DOUBLE) <= fence
+       |            GROUP BY decile),
+       |     dc AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+       |                   CAST(sum(len(ts)) AS BIGINT) AS n_tokens
+       |            FROM d JOIN fe ON CAST(doc_id AS DOUBLE) <= fence
+       |            GROUP BY decile)
+       |SELECT dc.decile AS decile, n_docs, n_tokens, vocab,
+       |       ${TextFns.duckRound4(
+                 "CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE)")} AS ttr
+       |FROM dc JOIN vc ON dc.decile = vc.decile
+       |ORDER BY dc.decile""".stripMargin
+
+  // ---------- q_length_buckets: padded-batch waste audit ----------
+
+  /** Power-of-two sequence-length bucket edges. Docs longer than the
+    * last edge clamp into it (counted in `n_clamped` so the clamp is
+    * visible, never silent).
+    */
+  private val BucketEdges = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 4096L)
+
+  /** Padding-waste audit for sequence-length-bucketed batching:
+    * assign every document to the smallest power-of-two bucket that
+    * holds its token count and report, per bucket, how many pad slots
+    * a bucket-homogeneous batch wastes (`1 − sum_tokens/(n·bucket)`).
+    * This is the audit a training loader runs to choose bucket edges:
+    * the waste ratio IS the fraction of attention FLOPs burned on
+    * padding if batches are drawn bucket-pure.
+    *
+    * Shape: the bucket is a branch-free CASE chain (codegen'd, zero
+    * joins — the edge list is 8 constants, not a table), then one
+    * hash aggregate at bucket grain. Strictly linear, no shuffle
+    * beyond the ≤8-group aggregate. Parity: counts are exact
+    * integers; the single division is rounded once at the edge.
+    */
+  def lengthBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("n"))
+    val bucket = BucketEdges.init.reverse.foldLeft(
+      lit(BucketEdges.last): org.apache.spark.sql.Column) {
+      (acc, e) => when(col("n") <= e, lit(e)).otherwise(acc)
+    }
+    docs.withColumn("bucket", bucket)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("sum_tokens"),
+        count(when(col("n") > col("bucket"), lit(1))).as("n_clamped"))
+      .withColumn("padded_slots", col("bucket") * col("n_docs"))
+      .withColumn("waste", TextFns.round4(
+        lit(1.0) - col("sum_tokens").cast("double") / col("padded_slots").cast("double")))
+      .select("bucket", "n_docs", "sum_tokens", "padded_slots", "n_clamped", "waste")
+      .orderBy("bucket")
+  }
+
+  private val sqlLengthBuckets = {
+    val caseChain = BucketEdges.init
+      .map(e => s"WHEN n <= $e THEN CAST($e AS BIGINT)")
+      .mkString(" ")
+    s"""WITH d AS (SELECT doc_id, CAST(len($duckTokens) AS BIGINT) AS n FROM documents),
+       |     b AS (SELECT n, CASE $caseChain
+       |                     ELSE CAST(${BucketEdges.last} AS BIGINT) END AS bucket
+       |           FROM d),
+       |     g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |                  CAST(sum(n) AS BIGINT) AS sum_tokens,
+       |                  CAST(count(CASE WHEN n > bucket THEN 1 END) AS BIGINT) AS n_clamped
+       |           FROM b GROUP BY bucket)
+       |SELECT bucket, n_docs, sum_tokens,
+       |       bucket * n_docs AS padded_slots, n_clamped,
+       |       ${TextFns.duckRound4(
+                 "1.0 - CAST(sum_tokens AS DOUBLE) / CAST(bucket * n_docs AS DOUBLE)")} AS waste
+       |FROM g ORDER BY bucket""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_growth" -> (vocabGrowth _),
+    "q_length_buckets" -> (lengthBuckets _))
+
+  val oracle: Map[String, String] = Map(
+    "q_vocab_growth" -> sqlVocabGrowth,
+    "q_length_buckets" -> sqlLengthBuckets)
+}
