@@ -278,6 +278,79 @@ object OlapMore {
       |              JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY supp_nation""".stripMargin
 
+  // ---------- q_ratio_to_parent: hierarchical contribution shares ----------
+
+  /** Ratio-to-parent along the geography hierarchy (region → nation):
+    * each nation's revenue with its share of the parent region and of
+    * the grand total — the drill-down companion to [[OlapQueries
+    * .revenueRollup]] every BI layer renders as "% of parent".
+    *
+    * Shape: one nation-grain hash aggregate, then the region totals
+    * (5 rows) and the grand total (1 row) join back as BROADCASTS —
+    * no windows at all, so nothing here is single-partition even
+    * though the grain is bounded. Parity: prices collapse to exact
+    * integer cents (floor(x·100+0.5) — o_totalprice is a 2-decimal
+    * money value, so the cent grid is exact) and every share is a
+    * division of exact BIGINTs rounded once at the edge.
+    */
+  def ratioToParent(spark: SparkSession, sfDir: String): DataFrame = {
+    val byNation = orderNations(spark, sfDir)
+      .withColumn("cents", floor(col("price") * 100 + 0.5).cast("long"))
+      .groupBy("region", "nation")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+    val byRegion = byNation.groupBy("region")
+      .agg(sum(col("cents")).as("region_cents"))
+    val total = byNation.agg(sum(col("cents")).as("total_cents"))
+    byNation.join(broadcast(byRegion), "region")
+      .crossJoin(broadcast(total))
+      .select(col("region"), col("nation"), col("n_orders"),
+        graft.text.TextFns.round4(col("cents").cast("double") / 100.0).as("revenue"),
+        graft.text.TextFns.round4(
+          col("cents").cast("double") / col("region_cents").cast("double"))
+          .as("pct_of_region"),
+        graft.text.TextFns.round4(
+          col("cents").cast("double") / col("total_cents").cast("double"))
+          .as("pct_of_total"))
+      .orderBy("region", "nation")
+  }
+
+  /** Order-grain revenue with the region/nation rollup path joined in
+    * (broadcast dims over the big side) — [[ratioToParent]]'s input.
+    */
+  private def orderNations(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("r_name").as("region"), col("n_name").as("nation"),
+        col("o_totalprice").as("price"))
+  }
+
+  private val sqlRatioToParent = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    s"""WITH j AS (SELECT r_name AS region, n_name AS nation,
+       |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+       |           FROM orders
+       |             JOIN customer ON o_custkey = c_custkey
+       |             JOIN nation ON c_nationkey = n_nationkey
+       |             JOIN region ON n_regionkey = r_regionkey),
+       |     g AS (SELECT region, nation, CAST(count(*) AS BIGINT) AS n_orders,
+       |                  CAST(sum(cents) AS BIGINT) AS cents
+       |           FROM j GROUP BY region, nation),
+       |     rg AS (SELECT region, CAST(sum(cents) AS BIGINT) AS region_cents
+       |            FROM g GROUP BY region),
+       |     t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM g)
+       |SELECT g.region, nation, n_orders,
+       |       ${r4("CAST(cents AS DOUBLE) / 100.0")} AS revenue,
+       |       ${r4("CAST(cents AS DOUBLE) / CAST(region_cents AS DOUBLE)")} AS pct_of_region,
+       |       ${r4("CAST(cents AS DOUBLE) / CAST(total_cents AS DOUBLE)")} AS pct_of_total
+       |FROM g JOIN rg ON g.region = rg.region CROSS JOIN t
+       |ORDER BY g.region, nation""".stripMargin
+  }
+
   // ---------- q_mom_delta: lag/lead month-over-month movement ----------
 
   /** Month-over-month revenue deltas via lag(): the drill-across
@@ -560,6 +633,7 @@ object OlapMore {
     "q_above_avg" -> (aboveAvg _),
     "q_edit_distance" -> (editDistance _),
     "q_mom_delta" -> (momDelta _),
+    "q_ratio_to_parent" -> (ratioToParent _),
     "q_ntile" -> (ntileQuartiles _),
     "q_supplier_revenue" -> (supplierRevenue _),
     "q_pivot" -> (pivotRevenue _),
@@ -575,6 +649,7 @@ object OlapMore {
     "q_above_avg" -> sqlAboveAvg,
     "q_edit_distance" -> sqlEditDistance,
     "q_mom_delta" -> sqlMomDelta,
+    "q_ratio_to_parent" -> sqlRatioToParent,
     "q_ntile" -> sqlNtile,
     "q_supplier_revenue" -> sqlSupplierRevenue,
     "q_pivot" -> sqlPivot,

@@ -929,6 +929,92 @@ object TextQueries {
        |SELECT doc_a, doc_b, ${TextFns.duckRound4("jac")} AS jaccard
        |FROM j WHERE jac >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------- 4b. q_containment: asymmetric n-gram containment ----------
+
+  /** Document-frequency band for candidate-generating grams: a gram
+    * shared by 2..[[ContainDfMax]] docs votes a candidate pair. The
+    * lower bound drops unique grams (no pair to vote); the upper
+    * bound is the PPJoin-style frequency filter that keeps the
+    * inverted-index self-join linear in kept postings (a gram in df
+    * docs contributes df² pair votes — boilerplate grams shared by
+    * everything would otherwise go quadratic).
+    */
+  private val ContainDfMax = 8
+  private val ContainThreshold = 0.6
+
+  /** Asymmetric n-gram CONTAINMENT (Broder 1997's second resemblance
+    * measure): C = |A∩B| / min(|A|,|B|) over word-[[NgramN]]-gram
+    * sets — the quote/subset detector [[ngramJaccard]] misses by
+    * construction (a short doc fully quoted inside a long one has
+    * tiny Jaccard but containment 1.0). Top-20 containing pairs with
+    * C ≥ [[ContainThreshold]] on the ROUNDED score.
+    *
+    * Shape: candidate-then-verify. Distinct gram sets are staged per
+    * doc ONCE (the staged-gram-set rule); candidates come from an
+    * inverted-index self-join restricted to the [[ContainDfMax]] df
+    * band (bounded pair votes per gram), deduped at pair grain;
+    * verification joins the two gram arrays back and runs ONE
+    * array_intersect per surviving pair. Never an all-pairs stage;
+    * the blocked [[ngramJaccard]] prefix-join can't see cross-prefix
+    * containment, which is exactly what the gram index adds.
+    */
+  def containment(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("doc_id"),
+        array_distinct(
+          graft.functions.TextHashes.ngramHashes(col("ts"), NgramN)).as("grams"))
+      .withColumn("ng", size(col("grams")))
+    val postings = docs
+      .select(col("doc_id"), explode_outer(col("grams")).as("g"))
+    val banded = postings.groupBy("g")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= ContainDfMax)
+      .select("g")
+    val votes = postings.join(banded, "g")
+    val cands = votes.as("a").join(votes.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val verified = cands
+      .join(docs.select(col("doc_id").as("da"),
+        col("grams").as("ga"), col("ng").as("na")), "da")
+      .join(docs.select(col("doc_id").as("db"),
+        col("grams").as("gb"), col("ng").as("nb")), "db")
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("containment", TextFns.round4(
+        col("inter").cast("double") / least(col("na"), col("nb")).cast("double")))
+      .filter(col("containment") >= ContainThreshold)
+    verified
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("inter").as("n_shared"), col("containment"))
+      .orderBy(col("containment").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  private val sqlContainment =
+    s"""WITH t AS (SELECT doc_id, $duckTokens AS ts FROM documents),
+       |     n AS (SELECT doc_id, list_distinct(${duckNgramHashesOf(NgramN)}) AS grams
+       |           FROM t),
+       |     x AS (SELECT doc_id, unnest(grams) AS g FROM n),
+       |     keep AS (SELECT g FROM x GROUP BY g
+       |              HAVING count(*) >= 2 AND count(*) <= $ContainDfMax),
+       |     v AS (SELECT doc_id, g FROM x JOIN keep USING (g)),
+       |     cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |              FROM v a JOIN v b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |     ver AS (SELECT da, db,
+       |               CAST(len(list_filter(na.grams, y -> list_contains(nb.grams, y))) AS BIGINT) AS inter,
+       |               len(na.grams) AS la, len(nb.grams) AS lb
+       |             FROM cand JOIN n na ON na.doc_id = da
+       |                       JOIN n nb ON nb.doc_id = db),
+       |     s AS (SELECT da AS doc_a, db AS doc_b, inter AS n_shared,
+       |             ${TextFns.duckRound4(
+                       "CAST(inter AS DOUBLE) / CAST(least(la, lb) AS DOUBLE)")} AS containment
+       |           FROM ver)
+       |SELECT doc_a, doc_b, n_shared, containment FROM s
+       |WHERE containment >= $ContainThreshold
+       |ORDER BY containment DESC, doc_a, doc_b LIMIT 20""".stripMargin
+
   // ---------- 5. q_lang_id: lexicon-hit language scoring matrix ----------
 
   /** Per actual-lang totals of marker-lexicon hits for every candidate
@@ -1561,6 +1647,7 @@ object TextQueries {
     "q_vocab_coverage" -> (vocabCoverage _),
     "q_token_shards" -> (tokenShards _),
     "q_ngram_jaccard" -> (ngramJaccard _),
+    "q_containment" -> (containment _),
     "q_lang_id" -> (langId _),
     "q_lang_agreement" -> (langAgreement _),
     "q_text_stats" -> (textStats _),
@@ -1589,6 +1676,7 @@ object TextQueries {
     "q_vocab_coverage" -> sqlVocabCoverage,
     "q_token_shards" -> sqlTokenShards,
     "q_ngram_jaccard" -> sqlNgramJaccard,
+    "q_containment" -> sqlContainment,
     "q_lang_id" -> sqlLangId,
     "q_lang_agreement" -> sqlLangAgreement,
     "q_text_stats" -> sqlTextStats,

@@ -625,6 +625,92 @@ object VectorQueries {
        |FROM nc LEFT JOIN h ON nc.nprobe = h.nprobe CROSS JOIN np
        |ORDER BY nc.nprobe""".stripMargin
 
+  // ---------- 6d. q_mrl_curve: recall@k vs embedding-dim prefix ----------
+
+  /** Matryoshka truncation levels (dim prefixes). The last level is
+    * the full dimensionality, so its recall is 1.0 by construction —
+    * a built-in self-check the oracle also asserts.
+    */
+  private val MrlDims = Seq(8, 16, 32, 64)
+
+  /** Recall@[[TopK]] when serving from a DIMENSION PREFIX of the
+    * embedding (Matryoshka representation learning, Kusupati et al.
+    * 2022): the operating table a deployer reads to decide how many
+    * leading dimensions the serving index actually needs. For each
+    * prefix width, exact top-k on the truncated vectors is compared
+    * against full-width exact top-k over the deterministic probe
+    * sample ([[annRecall]]'s every-[[RecallProbeStep]]th convention).
+    *
+    * Scale: the level fan-out multiplies the corpus by |[[MrlDims]]|
+    * = 4 (each row sliced + one native dot), probes are bounded and
+    * broadcast, and the per-(level, probe) top-k is a window over
+    * probe-keyed partitions — the audit costs 4× [[annRecall]]'s
+    * exact side and is run sampled, exactly like every other recall
+    * audit here. Parity: `slice` ≡ `list_slice` (1-based, length-
+    * capped on both engines), staged prefix norms, identical raw-sim
+    * ranking DAG with vec_id tie-break.
+    */
+  def mrlCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val levels = MrlDims.toDF("dims")
+    val vl = withVecs(spark, sfDir)
+      .crossJoin(broadcast(levels))
+      .withColumn("vd", slice(col("v"), lit(1), col("dims")))
+      .withColumn("nd", VectorFns.norm(col("vd")))
+      .select(col("vec_id"), col("dims"), col("vd"), col("nd"))
+    val probes = vl.filter(pmod(col("vec_id"), lit(RecallProbeStep)) === 0)
+      .select(col("dims").as("pdims"), col("vec_id").as("probe_id"),
+        col("vd").as("pv"), col("nd").as("pn"))
+    val byLevel = Window.partitionBy("dims", "probe_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val top = vl.join(broadcast(probes), col("dims") === col("pdims"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("sim",
+        VectorFns.cosineStaged(col("vd"), col("pv"), col("nd"), col("pn")))
+      .withColumn("rk", row_number().over(byLevel))
+      .filter(col("rk") <= TopK)
+      .select(col("dims"), col("probe_id"), col("vec_id"))
+    val truth = top.filter(col("dims") === MrlDims.max)
+      .select(col("probe_id"), col("vec_id"))
+    val hits = top.join(truth, Seq("probe_id", "vec_id"))
+      .groupBy("dims").agg(count(lit(1)).as("hits"))
+    val nProbes = withVecs(spark, sfDir)
+      .filter(pmod(col("vec_id"), lit(RecallProbeStep)) === 0)
+      .agg(count(lit(1)).as("n_probes"))
+    levels.join(hits, Seq("dims"), "left")
+      .crossJoin(broadcast(nProbes))
+      .select(col("dims"), col("n_probes"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round4(coalesce(col("hits"), lit(0L)).cast("double")
+          / (col("n_probes") * TopK).cast("double")).as("recall"))
+      .orderBy("dims")
+  }
+
+  private val sqlMrlCurve =
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |     lv AS (SELECT CAST(unnest([${MrlDims.mkString(",")}]) AS INT) AS dims),
+       |     vl0 AS (SELECT vec_id, dims, list_slice(v, 1, dims) AS vd FROM e0, lv),
+       |     vl AS (SELECT vec_id, dims, vd, sqrt(${duckDot("vd", "vd")}) AS nd FROM vl0),
+       |     p AS (SELECT dims AS pdims, vec_id AS probe_id, vd AS pv, nd AS pn
+       |           FROM vl WHERE vec_id % $RecallProbeStep = 0),
+       |     sc AS (SELECT vl.dims, probe_id, vec_id,
+       |              row_number() OVER (PARTITION BY vl.dims, probe_id
+       |                ORDER BY ${duckDot("vd", "pv")} / (nd * pn) DESC, vec_id) AS rk
+       |            FROM vl JOIN p ON vl.dims = p.pdims
+       |            WHERE vec_id <> probe_id),
+       |     topd AS (SELECT dims, probe_id, vec_id FROM sc WHERE rk <= $TopK),
+       |     truth AS (SELECT probe_id, vec_id FROM topd WHERE dims = ${MrlDims.max}),
+       |     h AS (SELECT dims, CAST(count(*) AS BIGINT) AS hits
+       |           FROM topd JOIN truth USING (probe_id, vec_id) GROUP BY dims),
+       |     np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes
+       |            FROM e0 WHERE vec_id % $RecallProbeStep = 0)
+       |SELECT lv.dims, n_probes,
+       |       CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+       |       ${duckRound4(
+                  s"CAST(coalesce(hits, 0) AS DOUBLE) / CAST(n_probes * $TopK AS DOUBLE)")} AS recall
+       |FROM lv LEFT JOIN h ON lv.dims = h.dims CROSS JOIN np
+       |ORDER BY lv.dims""".stripMargin
+
   // ---------- 7. q_sq_error: int8 scalar-quantization fidelity ----------
 
   private val SqLevels = 255L
@@ -1513,6 +1599,7 @@ object VectorQueries {
     "q_ivf_search" -> (ivfSearch _),
     "q_ivf_nprobe" -> (ivfSearchNprobe _),
     "q_ivf_recall_curve" -> (ivfRecallCurve _),
+    "q_mrl_curve" -> (mrlCurve _),
     "q_knn" -> (knn _),
     "q_knn_batch" -> (knnBatch _),
     "q_hard_negatives" -> (hardNegatives _),
@@ -1536,6 +1623,7 @@ object VectorQueries {
     "q_ivf_search" -> sqlIvfSearch,
     "q_ivf_nprobe" -> sqlIvfSearchNprobe,
     "q_ivf_recall_curve" -> sqlIvfRecallCurve,
+    "q_mrl_curve" -> sqlMrlCurve,
     "q_knn" -> sqlKnn,
     "q_knn_batch" -> sqlKnnBatch,
     "q_hard_negatives" -> sqlHardNegatives,
