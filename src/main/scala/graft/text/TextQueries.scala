@@ -528,6 +528,221 @@ object TextQueries {
        |SELECT v AS doc_id, deg, r AS rank_ppm FROM r$PrIters ORDER BY doc_id""".stripMargin
   }
 
+  // ---------- 3a¹ᵈ. q_hits: hubs/authorities over the collision graph ----------
+
+  private val HitsScale = 1000000L
+  private val HitsRounds = 2
+
+  /** Shared oracle prefix for the collision-graph analytics: the
+    * distinct rep<member pair list every graph query iterates
+    * ([[pagerank]]'s `pairs` CTE, factored).
+    */
+  private def duckPairsPrefix =
+    s"""c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),
+       |     s AS (SELECT doc_id, $duckShingles AS shs FROM c),
+       |     g AS (SELECT doc_id, $duckSignature AS sig FROM s),
+       |     bands AS (SELECT doc_id, unnest($duckBandKeys) AS band FROM g),
+       |     reps AS (SELECT band, min(doc_id) AS rep FROM bands GROUP BY band),
+       |     pairs AS (SELECT DISTINCT reps.rep AS a, bands.doc_id AS b
+       |               FROM bands JOIN reps ON bands.band = reps.band
+       |               WHERE reps.rep < bands.doc_id)""".stripMargin
+
+  /** HITS over the DIRECTED rep→member collision graph
+    * ([[graft.graph.Hits]]): hubs are bucket representatives
+    * anchoring many duplicate neighborhoods, authorities are
+    * documents many representatives claim — the two dedup roles
+    * [[pagerank]]'s symmetric walk blends. Determinism + the
+    * per-half-step join/aggregate scale shape live in the kernel
+    * (scaled integers, L1 renormalization, checkpoint/free rounds);
+    * the oracle unrolls the same [[HitsRounds]] integer rounds as
+    * CTEs.
+    */
+  def hitsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = bandReps(Tables.documents(spark, sfDir))
+      .filter(col("rep") < col("doc_id"))
+      .select(col("rep").as("src"), col("doc_id").as("dst"))
+      .distinct()
+    graft.graph.Hits.integerHits(edges, HitsRounds, HitsScale)
+      .select(col("v").as("doc_id"), col("h").as("hub_ppm"), col("a").as("auth_ppm"))
+      .orderBy("doc_id")
+  }
+
+  private val sqlHits = {
+    def round(i: Int, prevHub: String): String =
+      s"""ar$i AS (SELECT p.b AS v, CAST(sum(ph.h) AS BIGINT) AS raw
+         |         FROM pairs p JOIN $prevHub ph ON ph.v = p.a GROUP BY 1),
+         |at$i AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM ar$i),
+         |aa$i AS (SELECT n.v, CAST((coalesce(raw, 0) * $HitsScale) // tot AS BIGINT) AS a
+         |         FROM nodes n LEFT JOIN ar$i ON n.v = ar$i.v CROSS JOIN at$i),
+         |hr$i AS (SELECT p.a AS v, CAST(sum(pa.a) AS BIGINT) AS raw
+         |         FROM pairs p JOIN aa$i pa ON pa.v = p.b GROUP BY 1),
+         |ht$i AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM hr$i),
+         |hh$i AS (SELECT n.v, CAST((coalesce(raw, 0) * $HitsScale) // tot AS BIGINT) AS h
+         |         FROM nodes n LEFT JOIN hr$i ON n.v = hr$i.v CROSS JOIN ht$i)""".stripMargin
+    s"""WITH $duckPairsPrefix,
+       |     nodes AS (SELECT a AS v FROM pairs UNION SELECT b FROM pairs),
+       |     hh0 AS (SELECT v, CAST($HitsScale AS BIGINT) AS h FROM nodes),
+       |     ${(1 to HitsRounds).map(i => round(i, s"hh${i - 1}")).mkString(",\n")}
+       |SELECT n.v AS doc_id, hh$HitsRounds.h AS hub_ppm, aa$HitsRounds.a AS auth_ppm
+       |FROM nodes n JOIN hh$HitsRounds ON n.v = hh$HitsRounds.v
+       |             JOIN aa$HitsRounds ON n.v = aa$HitsRounds.v
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------- 3a¹ᵉ. q_degree_mix: degree stats + assortativity ----------
+
+  /** One-row structural audit of the collision graph: node/edge
+    * counts, max/avg degree, and the degree assortativity (Pearson r
+    * of endpoint degrees over all ORDERED edges — Newman 2002's
+    * simplified degree-correlation form). Strongly negative r is the
+    * signature of star-shaped duplicate neighborhoods (hub reps
+    * linked to leaf members); r drifting toward 0 warns that near-dup
+    * clusters are becoming cliquish and rep-contraction savings are
+    * shrinking.
+    *
+    * Shape: degree is one hash aggregate over the symmetrized edges;
+    * endpoint degrees join back by key (fact-proportional equi-
+    * joins); all Pearson sums are exact integers (products summed AS
+    * DECIMAL(38,0)), converted to double ONCE and combined in the
+    * identical expression tree on both engines — sqrt-free via the
+    * symmetric form (Σx = Σy over ordered edges, so r =
+    * (m·Σxy − Σx²)/(m·Σx² − (Σx)²): no transcendental at all).
+    */
+  def degreeMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = bandReps(Tables.documents(spark, sfDir))
+      .filter(col("rep") < col("doc_id"))
+      .select(col("rep").as("a"), col("doc_id").as("b"))
+      .distinct()
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val joined = sym.join(deg, "src")
+      .withColumnRenamed("deg", "x")
+      .join(deg.select(col("src").as("dst"), col("deg").as("y")), "dst")
+    val sums = joined.agg(
+      count(lit(1)).as("m"),
+      sum(col("x")).as("sx"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"), max(col("deg")).as("max_deg"))
+    val edgeCount = pairs.agg(count(lit(1)).as("n_edges"))
+    sums.crossJoin(broadcast(degStats)).crossJoin(broadcast(edgeCount))
+      .withColumn("num",
+        col("m").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+      .withColumn("den",
+        col("m").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+      .select(col("n_nodes"), col("n_edges"), col("max_deg"),
+        TextFns.round4(lit(2.0) * col("n_edges").cast("double")
+          / col("n_nodes").cast("double")).as("avg_deg"),
+        TextFns.round4(when(col("den") === 0.0, lit(null))
+          .otherwise(col("num") / col("den"))).as("assortativity"))
+  }
+
+  private val sqlDegreeMix =
+    s"""WITH $duckPairsPrefix,
+       |     dir AS (SELECT a AS src, b AS dst FROM pairs
+       |             UNION ALL SELECT b, a FROM pairs),
+       |     deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
+       |             FROM dir GROUP BY 1),
+       |     j AS (SELECT da.deg AS x, db.deg AS y
+       |           FROM dir JOIN deg da ON dir.src = da.v
+       |                    JOIN deg db ON dir.dst = db.v),
+       |     su AS (SELECT CAST(count(*) AS BIGINT) AS m,
+       |                   CAST(sum(x) AS BIGINT) AS sx,
+       |                   sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+       |                   sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
+       |            FROM j),
+       |     ds AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |                   max(deg) AS max_deg FROM deg),
+       |     ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs),
+       |     z AS (SELECT *,
+       |             CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS num,
+       |             CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den
+       |           FROM su CROSS JOIN ds CROSS JOIN ec)
+       |SELECT n_nodes, n_edges, max_deg,
+       |       ${TextFns.duckRound4(
+                 "2.0 * CAST(n_edges AS DOUBLE) / CAST(n_nodes AS DOUBLE)")} AS avg_deg,
+       |       ${TextFns.duckRound4(
+                 "CASE WHEN den = 0.0 THEN NULL ELSE num / den END")} AS assortativity
+       |FROM z""".stripMargin
+
+  // ---------- 3a¹ᶠ. q_cc_refresh: incremental component maintenance ----------
+
+  /** "Newly ingested" batch selector: docs with doc_id ≡ 7 (mod 10)
+    * — the [[deltaDedup]] convention of carving a deterministic batch
+    * out of the testdata so the incremental path is exercised against
+    * a from-scratch oracle.
+    */
+  private val CcBatchResidue = 7
+
+  /** Incremental connected-components maintenance: given the persisted
+    * component labeling of the PRE-BATCH graph (edges touching no
+    * batch doc), fold in the batch's new edges by CONTRACTION — map
+    * each new edge's endpoints through the old labeling, run the
+    * fixpoint on that contracted delta graph (work ∝ new edges +
+    * affected components, the archive graph is never re-iterated),
+    * and compose: node → old label → delta label. Labels are
+    * preserved exactly (old labels are component minima; min over
+    * contracted ids = global min), so the refreshed clustering must
+    * EQUAL a from-scratch closure over all edges — which is what the
+    * oracle computes (the [[etl.AggMaintain]] / [[deltaDedup]]
+    * incremental-≡-batch contract, graph edition). Demo recomputes
+    * the base labeling; a deployment reads it from the snapshot store
+    * exactly like [[deltaDedup]]'s band index.
+    */
+  def ccRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.graph.ConnectedComponents
+    val (p, pIds) = ConnectedComponents.checkpointTracked(
+      bandReps(Tables.documents(spark, sfDir))
+        .filter(col("rep") < col("doc_id"))
+        .select(col("rep").as("a"), col("doc_id").as("b"))
+        .distinct())
+    def isNew(c: Column): Column = pmod(c, lit(10)) === CcBatchResidue
+    val oldE = p.filter(!isNew(col("a")) && !isNew(col("b")))
+    val newE = p.filter(isNew(col("a")) || isNew(col("b")))
+    val oldSym = oldE.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(oldE.select(col("b").as("src"), col("a").as("dst")))
+    val (base, baseIds) = ConnectedComponents.runTracked(oldSym)
+    val contracted = newE
+      .join(base.select(col("node").as("a"), col("component").as("compA")),
+        Seq("a"), "left")
+      .join(base.select(col("node").as("b"), col("component").as("compB")),
+        Seq("b"), "left")
+      .select(coalesce(col("compA"), col("a")).as("u"),
+        coalesce(col("compB"), col("b")).as("w"))
+      .filter(col("u") =!= col("w"))
+    val deltaSym = contracted.select(col("u").as("src"), col("w").as("dst"))
+      .unionByName(contracted.select(col("w").as("src"), col("u").as("dst")))
+      .distinct()
+    val (delta, deltaIds) = ConnectedComponents.runTracked(deltaSym)
+    val nodes = p.select(col("a").as("node"))
+      .unionByName(p.select(col("b").as("node"))).distinct()
+    val lbl = nodes.join(base, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("mid"))
+      .join(delta.select(col("node").as("mid"), col("component").as("fin")),
+        Seq("mid"), "left")
+      .select(col("node"), coalesce(col("fin"), col("mid")).as("component"))
+    val out = lbl.groupBy("component").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .orderBy("component")
+    // same block hygiene as docComponents: pin the tiny result, then
+    // free the collision set and both fixpoints' label blocks
+    val (res, _) = ConnectedComponents.checkpointTracked(out)
+    ConnectedComponents.free(p, pIds ++ baseIds ++ deltaIds)
+    res
+  }
+
+  /** From-scratch closure over ALL edges — incremental ≡ batch. */
+  private val sqlCcRefresh =
+    s"""$duckCcComp
+       |SELECT component, count(*) AS n_docs
+       |FROM comp GROUP BY component HAVING count(*) > 1
+       |ORDER BY component""".stripMargin
+
   // ---------- 3a¹ᶜ. q_label_prop: one label-propagation round ----------
 
   /** One synchronous label-propagation round (Raghavan et al., 2007)
@@ -731,7 +946,11 @@ object TextQueries {
     * `comp(node, component)` — every endpoint of the collision graph
     * labeled with its min reachable doc_id.
     */
-  private val duckCcComp =
+  // a DEF, not a val: referenced by sql* vals declared both before and
+  // after this point (q_cc_refresh / q_cc_clusters / q_leakage_split),
+  // and object vals initialize in declaration order — an earlier val
+  // reading a later val sees null (the RecallProbeStep lesson).
+  private def duckCcComp =
     s"""WITH RECURSIVE
        |     c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),
        |     s AS (SELECT doc_id, $duckShingles AS shs FROM c),
@@ -1635,6 +1854,9 @@ object TextQueries {
     "q_lsh_curve" -> (lshCurve _),
     "q_cluster_sizes" -> (clusterSizes _),
     "q_pagerank" -> (pagerank _),
+    "q_hits" -> (hitsQ _),
+    "q_degree_mix" -> (degreeMix _),
+    "q_cc_refresh" -> (ccRefresh _),
     "q_label_prop" -> (labelProp _),
     "q_delta_dedup" -> (deltaDedup _),
     "q_cc_clusters" -> (ccClusters _),
@@ -1664,6 +1886,9 @@ object TextQueries {
     "q_lsh_curve" -> sqlLshCurve,
     "q_cluster_sizes" -> sqlClusterSizes,
     "q_pagerank" -> sqlPagerank,
+    "q_hits" -> sqlHits,
+    "q_degree_mix" -> sqlDegreeMix,
+    "q_cc_refresh" -> sqlCcRefresh,
     "q_label_prop" -> sqlLabelProp,
     "q_delta_dedup" -> sqlDeltaDedup,
     "q_cc_clusters" -> sqlCcClusters,
