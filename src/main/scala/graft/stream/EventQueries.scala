@@ -384,6 +384,41 @@ object EventQueries {
                     " AS DECIMAL(18,6))) AS DOUBLE)")} AS decayed_value
        |FROM w GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // ---------- q_latency_bands: monthly percentile bands ----------
+
+  /** Daily P50/P95/P99 bands of event value per event type — the
+    * SLO-style percentile trend every operations dashboard charts
+    * over telemetry (day grain: the testdata spans one month, and
+    * the day axis is what a latency dashboard plots anyway). One
+    * hash aggregate at (day, type) grain; the
+    * percentiles are exact per group (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, the proven bit-identical pair — swap
+    * `approx_percentile` at 100 TB, same shape, the winsorize/MAD
+    * convention). Month formatting is the momDelta parity pair
+    * (date_format ≡ strftime).
+    */
+  def latencyBands(spark: SparkSession, sfDir: String): DataFrame = {
+    val r4 = graft.text.TextFns.round4 _
+    Tables.events(spark, sfDir)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        r4(percentile(col("value"), lit(0.5))).as("p50"),
+        r4(percentile(col("value"), lit(0.95))).as("p95"),
+        r4(percentile(col("value"), lit(0.99))).as("p99"))
+      .orderBy("day", "event_type")
+  }
+
+  private val sqlLatencyBands = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    s"""SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+       |       event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |       ${r4("quantile_cont(value, 0.5)")} AS p50,
+       |       ${r4("quantile_cont(value, 0.95)")} AS p95,
+       |       ${r4("quantile_cont(value, 0.99)")} AS p99
+       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+  }
+
   // ---------- q_burstiness: inter-arrival burstiness screen ----------
 
   private val BurstMinGaps = 20
@@ -467,6 +502,7 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_burstiness" -> (burstiness _),
+    "q_latency_bands" -> (latencyBands _),
     "q_time_decay" -> (timeDecay _),
     "q_ewma_trend" -> (ewmaTrend _),
     "q_transitions" -> (transitions _),
@@ -480,6 +516,7 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     "q_burstiness" -> sqlBurstiness,
+    "q_latency_bands" -> sqlLatencyBands,
     "q_time_decay" -> sqlTimeDecay,
     "q_ewma_trend" -> sqlEwmaTrend,
     "q_transitions" -> sqlTransitions,

@@ -743,6 +743,78 @@ object TextQueries {
        |FROM comp GROUP BY component HAVING count(*) > 1
        |ORDER BY component""".stripMargin
 
+  // ---------- 3a¹ᵍ. q_kcore: bounded k-core peeling rounds ----------
+
+  private val KcoreK = 3
+  private val KcoreRounds = 3
+
+  /** [[KcoreRounds]] rounds of k-core peeling (k = [[KcoreK]],
+    * Seidman 1983): repeatedly drop nodes with degree < k and report
+    * per-round attrition — the densest-substructure screen that
+    * separates genuinely cliquish duplicate families (which survive
+    * peeling) from the star-shaped rep-and-leaves neighborhoods
+    * (which evaporate in round 1, their hub's degree collapsing with
+    * its leaves). Round count is FIXED (the query contract, like
+    * [[pagerank]]'s iterations); convergence-to-fixpoint is the
+    * driver-paced deployment loop, same shape.
+    *
+    * Shape: each round is one degree aggregate + two key-partitioned
+    * semi-joins on the surviving node set, lineage truncated per
+    * round (checkpoint/free). The per-round scalars are 3 bounded
+    * driver collects (the BpeTrainer 1-row-collect convention); the
+    * oracle unrolls identical rounds as CTEs.
+    */
+  def kcore(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.graph.ConnectedComponents.{checkpointTracked, free}
+    val pairs = bandReps(Tables.documents(spark, sfDir))
+      .filter(col("rep") < col("doc_id"))
+      .select(col("rep").as("a"), col("doc_id").as("b"))
+      .distinct()
+    var (e, eIds) = checkpointTracked(
+      pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"))))
+    val rows = scala.collection.mutable.ListBuffer.empty[(Int, Long, Long, Long)]
+    for (r <- 1 to KcoreRounds) {
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      val (keep, kIds) = checkpointTracked(
+        deg.filter(col("deg") >= KcoreK).select(col("src").as("v")))
+      val nCur = deg.count()
+      val nKeep = keep.count()
+      val (e2, e2Ids) = checkpointTracked(
+        e.join(keep.select(col("v").as("src")), "src")
+          .join(keep.select(col("v").as("dst")), "dst")
+          .select(col("src"), col("dst")))
+      val nE = e2.count() / 2
+      free(e, eIds); free(keep, kIds)
+      e = e2; eIds = e2Ids
+      rows += ((r, nCur - nKeep, nKeep, nE))
+    }
+    free(e, eIds)
+    import spark.implicits._
+    rows.toSeq.toDF("round", "n_removed", "n_nodes", "n_edges")
+      .orderBy("round")
+  }
+
+  private val sqlKcore = {
+    def round(i: Int, prevE: String): String =
+      s"""d$i AS (SELECT src AS v, count(*) AS deg FROM $prevE GROUP BY 1),
+         |k$i AS (SELECT v FROM d$i WHERE deg >= $KcoreK),
+         |e$i AS (SELECT p.src, p.dst FROM $prevE p
+         |        JOIN k$i ka ON p.src = ka.v JOIN k$i kb ON p.dst = kb.v),
+         |r$i AS (SELECT $i AS round,
+         |          (SELECT count(*) FROM d$i) - (SELECT count(*) FROM k$i) AS n_removed,
+         |          (SELECT count(*) FROM k$i) AS n_nodes,
+         |          (SELECT count(*) FROM e$i) // 2 AS n_edges)""".stripMargin
+    s"""WITH $duckPairsPrefix,
+       |     e0 AS (SELECT a AS src, b AS dst FROM pairs
+       |            UNION ALL SELECT b, a FROM pairs),
+       |     ${(1 to KcoreRounds).map(i => round(i, s"e${i - 1}")).mkString(",\n")}
+       |SELECT CAST(round AS INT) AS round, CAST(n_removed AS BIGINT) AS n_removed,
+       |       CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges
+       |FROM (${(1 to KcoreRounds).map(i => s"SELECT * FROM r$i").mkString(" UNION ALL ")})
+       |ORDER BY round""".stripMargin
+  }
+
   // ---------- 3a¹ᶜ. q_label_prop: one label-propagation round ----------
 
   /** One synchronous label-propagation round (Raghavan et al., 2007)
@@ -1857,6 +1929,7 @@ object TextQueries {
     "q_hits" -> (hitsQ _),
     "q_degree_mix" -> (degreeMix _),
     "q_cc_refresh" -> (ccRefresh _),
+    "q_kcore" -> (kcore _),
     "q_label_prop" -> (labelProp _),
     "q_delta_dedup" -> (deltaDedup _),
     "q_cc_clusters" -> (ccClusters _),
@@ -1889,6 +1962,7 @@ object TextQueries {
     "q_hits" -> sqlHits,
     "q_degree_mix" -> sqlDegreeMix,
     "q_cc_refresh" -> sqlCcRefresh,
+    "q_kcore" -> sqlKcore,
     "q_label_prop" -> sqlLabelProp,
     "q_delta_dedup" -> sqlDeltaDedup,
     "q_cc_clusters" -> sqlCcClusters,

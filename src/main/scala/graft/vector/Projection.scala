@@ -273,13 +273,108 @@ object Projection {
        |FROM m ORDER BY dim""".stripMargin
   }
 
+  // ---------- q_dim_corr: top cross-dimension correlations ----------
+
+  private val DimCorrTopK = 10
+
+  /** Top-[[DimCorrTopK]] most-correlated embedding dimension PAIRS
+    * (|Pearson r|) — the cross-dimension companion to [[dimStats]]'
+    * marginal moments: strongly correlated dimensions are redundant
+    * capacity, the signal that picks PCA/whitening before product
+    * quantization (PQ subspaces assume near-independent dims) and
+    * explains a flat [[randProj]] distortion spectrum.
+    *
+    * Shape — zero joins, zero fact shuffles: the upper-triangle pair
+    * fan-out is a double `explode_outer` over literal `sequence`
+    * ranges (d²/2 = 2016 rows per vector, element_at on the staged
+    * array; indices are constructed in-range), then ONE hash
+    * aggregate at (dim_a, dim_b) grain — the only shuffle is the
+    * 2016-group partials, map-side combined. Work is N·d²/2, linear
+    * in N with d fixed. Parity: the per-cell sums are round6-DECIMAL
+    * exact (order-independent); the Pearson combination converts each
+    * exact sum to double ONCE and evaluates the identical tree with
+    * sqrt(a)·sqrt(b) (never sqrt(ab)); ranking is on the ROUNDED
+    * |r| with (dim_a, dim_b) tie-break.
+    */
+  def dimCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val r6 = (c: Column) => round6(c).cast("decimal(18,6)")
+    val pairs = Tables.embeddings(spark, sfDir)
+      .withColumn("v", VectorFns.toDouble(col("embedding")))
+      .withColumn("da", explode_outer(sequence(lit(0), lit(Dim - 2))))
+      .withColumn("db", explode_outer(sequence(col("da") + 1, lit(Dim - 1))))
+      .select(col("da"), col("db"),
+        element_at(col("v"), col("da") + 1).as("xa"),
+        element_at(col("v"), col("db") + 1).as("xb"))
+    val cells = pairs.groupBy(col("da").cast("long").as("dim_a"),
+        col("db").cast("long").as("dim_b"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(r6(col("xa"))).as("sa"),
+        sum(r6(col("xb"))).as("sb"),
+        sum((r6(col("xa")) * r6(col("xa"))).cast("decimal(38,12)")).as("saa"),
+        sum((r6(col("xb")) * r6(col("xb"))).cast("decimal(38,12)")).as("sbb"),
+        sum((r6(col("xa")) * r6(col("xb"))).cast("decimal(38,12)")).as("sab"))
+    val nd = col("n_vecs").cast("double")
+    val scored = cells
+      .withColumn("num", nd * col("sab").cast("double")
+        - col("sa").cast("double") * col("sb").cast("double"))
+      .withColumn("dena", nd * col("saa").cast("double")
+        - col("sa").cast("double") * col("sa").cast("double"))
+      .withColumn("denb", nd * col("sbb").cast("double")
+        - col("sb").cast("double") * col("sb").cast("double"))
+      .withColumn("corr", when(col("dena") === 0.0 || col("denb") === 0.0, lit(null))
+        .otherwise(col("num") / (sqrt(col("dena")) * sqrt(col("denb")))))
+      .withColumn("acorr", graft.text.TextFns.round4(abs(col("corr"))))
+    scored
+      .select(col("dim_a"), col("dim_b"), col("n_vecs"),
+        graft.text.TextFns.round4(col("corr")).as("corr"), col("acorr"))
+      .orderBy(col("acorr").desc, col("dim_a"), col("dim_b"))
+      .limit(DimCorrTopK)
+      .select("dim_a", "dim_b", "n_vecs", "corr")
+  }
+
+  private val sqlDimCorr = {
+    val round6 = (e: String) => s"(floor(($e) * 1000000.0 + 0.5) / 1000000.0)"
+    val r6 = (e: String) => s"CAST(${round6(e)} AS DECIMAL(18,6))"
+    val r4 = graft.text.TextFns.duckRound4 _
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |     p AS (SELECT CAST(i - 1 AS BIGINT) AS dim_a, CAST(j - 1 AS BIGINT) AS dim_b,
+       |                  v[CAST(i AS INT)] AS xa, v[CAST(j AS INT)] AS xb
+       |           FROM e CROSS JOIN range(1, ${Dim + 1}) t(i)
+       |                  CROSS JOIN range(1, ${Dim + 1}) u(j)
+       |           WHERE i < j),
+       |     c AS (SELECT dim_a, dim_b, CAST(count(*) AS BIGINT) AS n_vecs,
+       |                  sum(${r6("xa")}) AS sa, sum(${r6("xb")}) AS sb,
+       |                  sum(CAST(${r6("xa")} * ${r6("xa")} AS DECIMAL(38,12))) AS saa,
+       |                  sum(CAST(${r6("xb")} * ${r6("xb")} AS DECIMAL(38,12))) AS sbb,
+       |                  sum(CAST(${r6("xa")} * ${r6("xb")} AS DECIMAL(38,12))) AS sab
+       |           FROM p GROUP BY 1, 2),
+       |     z AS (SELECT dim_a, dim_b, n_vecs,
+       |             CAST(n_vecs AS DOUBLE) * CAST(sab AS DOUBLE)
+       |               - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) AS num,
+       |             CAST(n_vecs AS DOUBLE) * CAST(saa AS DOUBLE)
+       |               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) AS dena,
+       |             CAST(n_vecs AS DOUBLE) * CAST(sbb AS DOUBLE)
+       |               - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) AS denb
+       |           FROM c),
+       |     s AS (SELECT dim_a, dim_b, n_vecs,
+       |             CASE WHEN dena = 0.0 OR denb = 0.0 THEN NULL
+       |                  ELSE num / (sqrt(dena) * sqrt(denb)) END AS corr0
+       |           FROM z)
+       |SELECT dim_a, dim_b, n_vecs, ${r4("corr0")} AS corr
+       |FROM s
+       |ORDER BY ${r4("abs(corr0)")} DESC, dim_a, dim_b
+       |LIMIT $DimCorrTopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rand_proj" -> (randProj _),
     "q_centroid_drift" -> (centroidDrift _),
+    "q_dim_corr" -> (dimCorr _),
     "q_dim_stats" -> (dimStats _))
 
   val oracle: Map[String, String] = Map(
     "q_rand_proj" -> sqlRandProj,
     "q_centroid_drift" -> sqlCentroidDrift,
+    "q_dim_corr" -> sqlDimCorr,
     "q_dim_stats" -> sqlDimStats)
 }

@@ -13,7 +13,7 @@ class SparkEntrySpec extends SparkSpec {
       olap.OlapStats.queries,
       stream.EventQueries.queries, text.TextQueries.queries,
       text.TextAnalytics.queries, text.CorpusOps.queries,
-      text.DocOps.queries,
+      text.DocOps.queries, text.GrowthOps.queries,
       vector.VectorQueries.queries, vector.Projection.queries,
       multimodal.MediaQueries.queries)
     val total = packs.map(_.size).sum
