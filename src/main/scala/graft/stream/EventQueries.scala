@@ -384,6 +384,200 @@ object EventQueries {
                     " AS DECIMAL(18,6))) AS DOUBLE)")} AS decayed_value
        |FROM w GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // ---------- q_funnel_paths: top session trigram paths ----------
+
+  private val PathTopK = 10
+  private val SessionGapUs = 1800L * 1000000L // 30 min, eventsSession's gap
+
+  /** Top-[[PathTopK]] 3-step event-type paths inside user sessions —
+    * sequential-pattern mining at trigram width, the "what do users
+    * actually do" companion to [[transitions]]' bigram matrix and the
+    * funnel query's fixed hypothesis (this one DISCOVERS the funnels
+    * worth defining). Sessionization is the gaps-and-islands form of
+    * [[eventsSession]]'s 30-minute rule (lag + running flag-sum), so
+    * both engines carve identical sessions; paths then come from two
+    * leads inside each session.
+    *
+    * Shape: both windows are user- (then session-) partitioned —
+    * fact-scale PARTITIONING, never a global sort; the path count is
+    * one hash aggregate and the top-k is TakeOrderedAndProject on
+    * (count, path). Path strings are bounded (3 type names).
+    */
+  def funnelPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val wu = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val flagged = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev_us", lag(col("us"), 1).over(wu))
+      .withColumn("new_session",
+        when(col("prev_us").isNull
+          || col("us") - col("prev_us") >= SessionGapUs, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_session"))
+        .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy("user_id", "sid").orderBy(col("us"), col("event_id"))
+    flagged
+      .withColumn("t2", lead(col("event_type"), 1).over(ws))
+      .withColumn("t3", lead(col("event_type"), 2).over(ws))
+      .where(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(PathTopK)
+  }
+
+  private val sqlFunnelPaths =
+    s"""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+       |                  event_id, event_type FROM events),
+       |     f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+       |                            OR us - lag(us) OVER w >= $SessionGapUs
+       |                          THEN 1 ELSE 0 END AS new_session
+       |           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |     s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+       |                       ORDER BY us, event_id
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |           FROM f),
+       |     p AS (SELECT event_type || '>' || lead(event_type, 1) OVER w2
+       |                    || '>' || lead(event_type, 2) OVER w2 AS path,
+       |                  lead(event_type, 2) OVER w2 AS t3
+       |           FROM s WINDOW w2 AS (PARTITION BY user_id, sid
+       |                                ORDER BY us, event_id))
+       |SELECT path, CAST(count(*) AS BIGINT) AS n
+       |FROM p WHERE t3 IS NOT NULL
+       |GROUP BY path ORDER BY n DESC, path LIMIT $PathTopK""".stripMargin
+
+  // ---------- q_value_drift: weekly χ² distribution drift ----------
+
+  /** Week-over-week drift of the event-value distribution: χ² of each
+    * week's value-decile histogram against the all-time decile shares
+    * — the population-stability screen (the χ² form of PSI, ln-free
+    * per the parity rules) a telemetry pipeline runs before trusting
+    * week-trained thresholds on next week's feed. Fences are ONE
+    * global exact-percentile row broadcast back ([[graft.olap
+    * .OlapStats]]' convention, `approx_percentile` at 100 TB); the
+    * decile of a value is a branch-free sum of boolean exceedances
+    * (identical both engines); weeks are integer day-sevenths from
+    * the broadcast min day. Per-term χ² contributions are round6-
+    * DECIMAL summed (order-independent), rounded once at the edge.
+    */
+  def valueDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val r6 = (c: org.apache.spark.sql.Column) =>
+      (floor(c * 1000000.0 + 0.5) / 1000000.0).cast("decimal(18,6)")
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(date_trunc('day', ts))").as("day_us"), col("value"))
+    val pct = (1 to 9).map(d => percentile(col("value"), lit(d / 10.0)).as(s"q$d"))
+    val fences = ev.agg(pct.head, pct.tail: _*)
+    val minDay = ev.agg(min(col("day_us")).as("min_day"))
+    val cells = ev.crossJoin(broadcast(fences)).crossJoin(broadcast(minDay))
+      .withColumn("week",
+        expr("(day_us - min_day) DIV 604800000000").cast("int"))
+      .withColumn("decile",
+        (1 to 9).map(d => when(col("value") > col(s"q$d"), 1).otherwise(0))
+          .reduce(_ + _) + 1)
+      .groupBy("week", "decile").agg(count(lit(1)).as("obs"))
+    val weekTot = cells.groupBy("week").agg(sum(col("obs")).as("wn"))
+    val decTot = cells.groupBy("decile").agg(sum(col("obs")).as("dn"))
+    val total = cells.agg(sum(col("obs")).as("n"))
+    cells.join(broadcast(weekTot), "week")
+      .join(broadcast(decTot), "decile")
+      .crossJoin(broadcast(total))
+      .withColumn("exp",
+        col("wn").cast("double") * col("dn").cast("double") / col("n").cast("double"))
+      .withColumn("term",
+        (col("obs").cast("double") - col("exp")) * (col("obs").cast("double") - col("exp"))
+          / col("exp"))
+      .groupBy("week")
+      .agg(max(col("wn")).as("n_events"), sum(r6(col("term"))).as("chi2_dec"))
+      .select(col("week"), col("n_events"),
+        graft.text.TextFns.round4(col("chi2_dec").cast("double")).as("chi2"))
+      .orderBy("week")
+  }
+
+  private val sqlValueDrift = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    val decileExpr = (1 to 9)
+      .map(d => s"(CASE WHEN value > q$d THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH e AS (SELECT epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS day_us,
+       |                  value FROM events),
+       |     f AS (SELECT ${(1 to 9).map(d =>
+                s"quantile_cont(value, ${d / 10.0}) AS q$d").mkString(", ")} FROM e),
+       |     md AS (SELECT min(day_us) AS min_day FROM e),
+       |     c AS (SELECT CAST((day_us - min_day) // 604800000000 AS INT) AS week,
+       |                  1 + $decileExpr AS decile
+       |           FROM e CROSS JOIN f CROSS JOIN md),
+       |     cells AS (SELECT week, decile, CAST(count(*) AS BIGINT) AS obs
+       |               FROM c GROUP BY 1, 2),
+       |     wt AS (SELECT week, CAST(sum(obs) AS BIGINT) AS wn FROM cells GROUP BY 1),
+       |     dt AS (SELECT decile, CAST(sum(obs) AS BIGINT) AS dn FROM cells GROUP BY 1),
+       |     t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+       |     z AS (SELECT cells.week, obs, wn,
+       |             CAST(wn AS DOUBLE) * CAST(dn AS DOUBLE) / CAST(n AS DOUBLE) AS exp
+       |           FROM cells JOIN wt ON cells.week = wt.week
+       |                      JOIN dt ON cells.decile = dt.decile CROSS JOIN t),
+       |     term AS (SELECT week, wn,
+       |                (CAST(obs AS DOUBLE) - exp) * (CAST(obs AS DOUBLE) - exp) / exp
+       |                  AS term
+       |              FROM z)
+       |SELECT week, max(wn) AS n_events,
+       |       ${r4("CAST(sum(CAST((floor(term * 1000000.0 + 0.5) / 1000000.0)" +
+                " AS DECIMAL(18,6))) AS DOUBLE)")} AS chi2
+       |FROM term GROUP BY week ORDER BY week""".stripMargin
+  }
+
+  // ---------- q_peak_detect: hourly traffic-spike screen ----------
+
+  private val PeakTopK = 20
+
+  /** Hourly traffic-spike screen: the [[PeakTopK]] hours with the
+    * highest count-to-median ratio per event type, each flagged
+    * against a Poisson-aware fence (med + 3·√med — a RATIO fence is
+    * scale-sensitive: relative Poisson noise shrinks as volume grows,
+    * so a fixed 2× cut that fires at sf0.01 goes silent at sf0.1;
+    * the √-fence and the always-top-K output stay informative at
+    * every scale). Median, not mean: a single spike inflates the
+    * mean and hides its siblings — the [[OlapStats]] MAD lesson at
+    * hour grain.
+    *
+    * Shape: the hourly rollup is one (hour, type) hash aggregate —
+    * the only fact-scale pass; the median runs over that BOUNDED
+    * aggregate (hours × types rows) and broadcasts back. Ratio ranks
+    * on the rounded value with (type, hour) tie-break.
+    */
+  def peakDetect(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val med = hourly.groupBy("event_type")
+      .agg(percentile(col("n_events"), lit(0.5)).as("med"))
+    hourly.join(broadcast(med), "event_type")
+      .withColumn("ratio", graft.text.TextFns.round4(
+        col("n_events").cast("double") / col("med")))
+      .withColumn("flagged",
+        col("n_events").cast("double") > col("med") + lit(3.0) * sqrt(col("med")))
+      .select(col("event_type"), col("hour"), col("n_events"),
+        graft.text.TextFns.round4(col("med")).as("median_hourly"),
+        col("ratio"), col("flagged"))
+      .orderBy(col("ratio").desc, col("event_type"), col("hour"))
+      .limit(PeakTopK)
+  }
+
+  private val sqlPeakDetect = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    s"""WITH h AS (SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+       |                           '%Y-%m-%d %H:%M:%S') AS hour,
+       |                  event_type, CAST(count(*) AS BIGINT) AS n_events
+       |           FROM events GROUP BY 1, 2),
+       |     m AS (SELECT event_type, quantile_cont(n_events, 0.5) AS med
+       |           FROM h GROUP BY 1),
+       |     z AS (SELECT h.event_type, hour, n_events, med,
+       |             ${r4("CAST(n_events AS DOUBLE) / med")} AS ratio,
+       |             CAST(n_events AS DOUBLE) > med + 3.0 * sqrt(med) AS flagged
+       |           FROM h JOIN m ON h.event_type = m.event_type)
+       |SELECT event_type, hour, n_events, ${r4("med")} AS median_hourly,
+       |       ratio, flagged
+       |FROM z ORDER BY ratio DESC, event_type, hour LIMIT $PeakTopK""".stripMargin
+  }
+
   // ---------- q_latency_bands: monthly percentile bands ----------
 
   /** Daily P50/P95/P99 bands of event value per event type — the
@@ -502,6 +696,9 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_burstiness" -> (burstiness _),
+    "q_funnel_paths" -> (funnelPaths _),
+    "q_value_drift" -> (valueDrift _),
+    "q_peak_detect" -> (peakDetect _),
     "q_latency_bands" -> (latencyBands _),
     "q_time_decay" -> (timeDecay _),
     "q_ewma_trend" -> (ewmaTrend _),
@@ -516,6 +713,9 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     "q_burstiness" -> sqlBurstiness,
+    "q_funnel_paths" -> sqlFunnelPaths,
+    "q_value_drift" -> sqlValueDrift,
+    "q_peak_detect" -> sqlPeakDetect,
     "q_latency_bands" -> sqlLatencyBands,
     "q_time_decay" -> sqlTimeDecay,
     "q_ewma_trend" -> sqlEwmaTrend,
