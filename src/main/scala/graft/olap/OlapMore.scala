@@ -627,6 +627,73 @@ object OlapMore {
       |QUALIFY rank <= 3
       |ORDER BY event_type, rank""".stripMargin
 
+  // ---------- q_basket_pairs: market-basket co-occurrence lift ----------
+
+  /** Market-basket association mining at brand grain: which part
+    * brands co-occur in the same order more often than independence
+    * predicts (support + lift — Agrawal & Srikant 1994's frequent
+    * itemsets, truncated at pair size as retail dashboards do).
+    *
+    * Shape: collapse lineitem×part to DISTINCT (order, brand) FIRST —
+    * the per-order self-join then generates at most
+    * C(brands-per-order, 2) pairs, and brands-per-order is bounded by
+    * items-per-order (a data constant), so pair generation is linear
+    * in orders, never quadratic in anything that scales. The pair
+    * grain itself is bounded by the brand-domain square (25² here), so
+    * the final aggregate, the two brand-total broadcasts, and the
+    * 1-row basket count are all dim-sized. No rank is taken on the
+    * float columns — the output is the FULL pair table in (brand1,
+    * brand2) order, so the rank-on-rounded hazard never arises.
+    * Parity: counts exact; support and lift are fixed-shape double
+    * expressions over exact integers, rounded once at the edge.
+    */
+  def basketPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    val ob = li.join(p, li("l_partkey") === p("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+      .distinct()
+    val tot = ob.groupBy("brand").agg(count(lit(1)).as("cnt"))
+    val n = ob.select(col("ok")).distinct().agg(count(lit(1)).as("n_baskets"))
+    val a = ob.as("a"); val b = ob.as("b")
+    val pairs = a.join(b,
+        col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand1"), col("b.brand").as("brand2"))
+      .agg(count(lit(1)).as("pair_cnt"))
+    pairs
+      .join(broadcast(tot.select(col("brand").as("brand1"), col("cnt").as("cnt1"))), "brand1")
+      .join(broadcast(tot.select(col("brand").as("brand2"), col("cnt").as("cnt2"))), "brand2")
+      .crossJoin(broadcast(n))
+      .select(col("brand1"), col("brand2"), col("pair_cnt"),
+        graft.text.TextFns.round4(col("pair_cnt").cast("double")
+          / col("n_baskets").cast("double")).as("support"),
+        graft.text.TextFns.round4(col("pair_cnt").cast("double")
+          * col("n_baskets").cast("double")
+          / (col("cnt1").cast("double") * col("cnt2").cast("double"))).as("lift"))
+      .orderBy("brand1", "brand2")
+  }
+
+  private val sqlBasketPairs = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    s"""WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+       |            FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |     tot AS (SELECT brand, CAST(count(*) AS BIGINT) AS cnt FROM ob GROUP BY 1),
+       |     n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM ob),
+       |     pr AS (SELECT a.brand AS brand1, b.brand AS brand2,
+       |                   CAST(count(*) AS BIGINT) AS pair_cnt
+       |            FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+       |            GROUP BY 1, 2)
+       |SELECT brand1, brand2, pair_cnt,
+       |       ${r4("CAST(pair_cnt AS DOUBLE) / CAST(n_baskets AS DOUBLE)")} AS support,
+       |       ${r4("CAST(pair_cnt AS DOUBLE) * CAST(n_baskets AS DOUBLE) / " +
+                 "(CAST(t1.cnt AS DOUBLE) * CAST(t2.cnt AS DOUBLE))")} AS lift
+       |FROM pr
+       |JOIN tot t1 ON pr.brand1 = t1.brand
+       |JOIN tot t2 ON pr.brand2 = t2.brand
+       |CROSS JOIN n
+       |ORDER BY brand1, brand2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topk_agg" -> (topkAgg _),
     "q_division" -> (division _),
@@ -641,7 +708,8 @@ object OlapMore {
     "q_percentiles" -> (percentiles _),
     "q_pricing_summary" -> (pricingSummary _),
     "q_supplier_stats" -> (supplierStats _),
-    "q_revenue_cube" -> (revenueCubeQ _))
+    "q_revenue_cube" -> (revenueCubeQ _),
+    "q_basket_pairs" -> (basketPairs _))
 
   val oracle: Map[String, String] = Map(
     "q_topk_agg" -> sqlTopkAgg,
@@ -657,5 +725,6 @@ object OlapMore {
     "q_percentiles" -> sqlPercentiles,
     "q_pricing_summary" -> sqlPricingSummary,
     "q_supplier_stats" -> sqlSupplierStats,
-    "q_revenue_cube" -> sqlRevenueCube)
+    "q_revenue_cube" -> sqlRevenueCube,
+    "q_basket_pairs" -> sqlBasketPairs)
 }

@@ -1,6 +1,8 @@
 package graft.olap
 
-import org.apache.spark.sql.DataFrame
+import graft.functions.TextHashUtil
+import graft.schema.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for hot aggregation keys (SURVEY.md §4 / build
@@ -45,4 +47,157 @@ object Skew {
       .agg(sum(col("__psum")).as(s"sum_$valueCol"),
         sum(col("__pcnt")).as("n"))
   }
+
+  // ---------- q_key_skew: join-key distribution diagnostics ----------
+
+  private val SkewKeys = Seq("l_orderkey", "l_partkey", "l_suppkey")
+
+  /** Join-key skew diagnostics — the histogram a planner (or a human)
+    * reads before deciding whether a join needs salting / AQE skew
+    * splitting: per candidate key of `lineitem`, the key-count
+    * distribution (max, median, p99 per-key multiplicity), the
+    * max/avg skew ratio, and the share of ROWS sitting on keys above
+    * the p99 multiplicity (the "hot share" that would funnel into few
+    * reducers).
+    *
+    * Shape: per key one hash aggregate to key grain (map-side
+    * combinable), one 1-row stats aggregate over that grain, and a
+    * broadcast of the 1-row stats back onto the key grain for the
+    * conditional hot-share sum — no windows, no top-k, nothing
+    * fact-scale beyond the grouping itself, so the shape survives
+    * keys whose cardinality scales with the fact table. Parity: the
+    * exact `percentile` ≡ `quantile_cont` pair; avg and shares are
+    * single divisions of exact integers, rounded once at the edge.
+    */
+  def keySkew(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val perKey = SkewKeys.map { k =>
+      val counts = li.groupBy(col(k).as("key")).agg(count(lit(1)).as("cnt"))
+      val stats = counts.agg(
+        count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"),
+        percentile(col("cnt"), lit(0.5)).as("p50_cnt"),
+        percentile(col("cnt"), lit(0.99)).as("p99_cnt"))
+      counts.crossJoin(broadcast(stats))
+        .groupBy("n_keys", "n_rows", "max_cnt", "p50_cnt", "p99_cnt")
+        .agg(sum(when(col("cnt").cast("double") > col("p99_cnt"), col("cnt"))
+          .otherwise(lit(0L))).as("hot_rows"))
+        .select(lit(k).as("key_name"), col("n_rows"), col("n_keys"),
+          col("max_cnt"),
+          graft.text.TextFns.round4(col("p50_cnt")).as("p50_cnt"),
+          graft.text.TextFns.round4(col("p99_cnt")).as("p99_cnt"),
+          graft.text.TextFns.round4(col("max_cnt").cast("double")
+            * col("n_keys").cast("double") / col("n_rows").cast("double"))
+            .as("skew_ratio"),
+          graft.text.TextFns.round4(col("hot_rows").cast("double")
+            / col("n_rows").cast("double")).as("hot_share"))
+    }
+    perKey.reduce(_ unionByName _).orderBy("key_name")
+  }
+
+  private val sqlKeySkew = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    val blocks = SkewKeys.map { k =>
+      s"""SELECT '$k' AS key_name, n_rows, n_keys, max_cnt,
+         |       ${r4("p50_cnt")} AS p50_cnt, ${r4("p99_cnt")} AS p99_cnt,
+         |       ${r4("CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)")} AS skew_ratio,
+         |       ${r4("CAST(hot_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)")} AS hot_share
+         |FROM (
+         |  SELECT max(n_keys) AS n_keys, max(n_rows) AS n_rows,
+         |         max(max_cnt) AS max_cnt, max(p50_cnt) AS p50_cnt,
+         |         max(p99_cnt) AS p99_cnt,
+         |         CAST(sum(CASE WHEN CAST(cnt AS DOUBLE) > p99_cnt THEN cnt ELSE 0 END) AS BIGINT) AS hot_rows
+         |  FROM (SELECT $k AS key, count(*) AS cnt FROM lineitem GROUP BY 1) c
+         |  CROSS JOIN (
+         |    SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |           max(cnt) AS max_cnt,
+         |           quantile_cont(cnt, 0.5) AS p50_cnt, quantile_cont(cnt, 0.99) AS p99_cnt
+         |    FROM (SELECT $k AS key, count(*) AS cnt FROM lineitem GROUP BY 1) c2) s
+         |)""".stripMargin
+    }
+    blocks.mkString("", "\nUNION ALL\n", "\nORDER BY key_name")
+  }
+
+  // ---------- q_join_size_est: sketched join-cardinality estimate ----------
+
+  private val CmsD = 4
+  private val CmsW = 512
+
+  /** CMS cell of an integer key `h` for hash row j — the
+    * [[TextHashUtil]] permutations reduced mod [[CmsW]], identical
+    * literals on both engines (the `q_cms_est` construction).
+    */
+  private def cmsCol(h: org.apache.spark.sql.Column, j: Int) =
+    pmod(pmod(h * TextHashUtil.aj(j) + TextHashUtil.bj(j),
+      lit(TextHashUtil.P)), lit(CmsW.toLong))
+
+  private def duckCmsCol(h: String, j: Int): String =
+    s"((($h * ${TextHashUtil.aj(j)} + ${TextHashUtil.bj(j)}) % ${TextHashUtil.P}) % $CmsW)"
+
+  /** Join-cardinality estimation from count-min sketches (the
+    * AMS/CMS inner-product estimator, Cormode & Muthukrishnan 2005
+    * §4.2): |A ⋈_k B| = Σ_key cntA·cntB, estimated as min over hash
+    * rows of Σ_cell sketchA[j][c]·sketchB[j][c] — here the self-join
+    * of `lineitem` on `l_partkey`, the quantity a cost-based planner
+    * wants BEFORE running a join that might explode. The estimate is
+    * an upper bound by construction (hash collisions only ADD cross
+    * terms), so `est ≥ exact` is a contract, not a coincidence — the
+    * audit emits both plus the relative error a deployment would
+    * alarm on.
+    *
+    * Shape: one hash aggregate to key grain, a 4-way fan to (j, cell)
+    * grain (state d·w = 2048 counters — the mergeable-summary class),
+    * and 1-row reductions; exact side is Σ cnt² over key grain. All
+    * integers until the single rounded ratio.
+    */
+  def joinSizeEst(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey").as("key")).agg(count(lit(1)).as("cnt"))
+    val exact = counts.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt") * col("cnt")).as("exact_pairs"))
+    val h = pmod(col("key"), lit(TextHashUtil.P))
+    val est = counts
+      .select(col("cnt"), explode_outer(array((0 until CmsD).map(j =>
+        struct(lit(j).as("j"), cmsCol(h, j).as("c"))): _*)).as("jc"))
+      .groupBy(col("jc.j").as("j"), col("jc.c").as("c"))
+      .agg(sum(col("cnt")).as("cell"))
+      .groupBy("j").agg(sum(col("cell") * col("cell")).as("row_est"))
+      .agg(min(col("row_est")).as("est_pairs"))
+    exact.crossJoin(broadcast(est))
+      .select(col("n_rows"), col("n_keys"), col("exact_pairs"),
+        col("est_pairs"), (col("est_pairs") - col("exact_pairs")).as("overcount"),
+        graft.text.TextFns.round4(col("est_pairs").cast("double")
+          / col("exact_pairs").cast("double")).as("ratio"))
+  }
+
+  private val sqlJoinSizeEst = {
+    val fan = (0 until CmsD).map(j =>
+      s"SELECT cnt, $j AS j, ${duckCmsCol("(key % " + TextHashUtil.P + ")", j)} AS c FROM k")
+      .mkString("(", " UNION ALL ", ")")
+    s"""WITH k AS (SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS cnt
+       |           FROM lineitem GROUP BY 1),
+       |     ex AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+       |                   CAST(count(*) AS BIGINT) AS n_keys,
+       |                   CAST(sum(cnt * cnt) AS BIGINT) AS exact_pairs
+       |            FROM k),
+       |     cells AS (SELECT j, c, CAST(sum(cnt) AS BIGINT) AS cell
+       |               FROM $fan f GROUP BY j, c),
+       |     rowest AS (SELECT j, CAST(sum(cell * cell) AS BIGINT) AS row_est
+       |                FROM cells GROUP BY j),
+       |     es AS (SELECT min(row_est) AS est_pairs FROM rowest)
+       |SELECT n_rows, n_keys, exact_pairs, est_pairs,
+       |       est_pairs - exact_pairs AS overcount,
+       |       ${graft.text.TextFns.duckRound4(
+                 "CAST(est_pairs AS DOUBLE) / CAST(exact_pairs AS DOUBLE)")} AS ratio
+       |FROM ex CROSS JOIN es""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_key_skew" -> (keySkew _),
+    "q_join_size_est" -> (joinSizeEst _))
+
+  val oracle: Map[String, String] = Map(
+    "q_key_skew" -> sqlKeySkew,
+    "q_join_size_est" -> sqlJoinSizeEst)
 }
