@@ -2,6 +2,7 @@ package graft.olap
 
 import graft.schema.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral / time-series analytics over the star schema and the
@@ -436,9 +437,74 @@ object Analytics {
     "q_gap_fill" -> (gapFill _),
     "q_salted_agg" -> (saltedAgg _),
     "q_minmax_by" -> (minmaxBy _),
-    "q_percent_rank" -> (percentRank _))
+    "q_percent_rank" -> (percentRank _),
+    "q_cusum_drift" -> (cusumDrift _))
+
+  // ---------- q_cusum_drift: change-point detection on daily revenue ----------
+
+  /** One-sided CUSUM drift detector over the daily-revenue series
+    * (Page 1954): S_t = max(0, S_{t-1} + (x_t − μ − k)) with slack
+    * k = 5% of the global mean — the standard "has the level shifted
+    * up?" monitor a warehouse runs over its daily KPIs. The recursion
+    * is NOT expressed as a loop: max(0,·)-CUSUM has the closed form
+    * S_t = R_t − min(0, min_{j≤t} R_j) where R is the plain running
+    * sum of deviations — two window functions, no recursion, no
+    * driver pacing.
+    *
+    * Scale note: both windows order the DAY-grain aggregate (bounded
+    * by the calendar, not the fact table) — the fact-scale work is
+    * one map-side-combinable daily aggregate. At fact-scale grain the
+    * same closed form would partition by series key.
+    *
+    * Parity: revenue is summed as exact integer CENTS (floor(x·100 +
+    * 0.5) — o_totalprice carries 2 decimals, so cents are exact);
+    * deviations are scaled by 20n to clear both the mean division
+    * (·n) and the 5% slack (·1/20) — ALL window arithmetic is BIGINT,
+    * and the two output doubles are single divisions rounded at the
+    * edge. (At 100 TB the bigint headroom note: 20n·cents sums
+    * approach 2^63 around petadollar volumes — swap to DECIMAL(38,0)
+    * then.)
+    */
+  def cusumDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("xc"))
+    val tot = daily.agg(sum(col("xc")).as("tc"), count(lit(1)).as("nd"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("dev", lit(20L) * col("nd") * col("xc") - lit(21L) * col("tc"))
+      .withColumn("r", sum(col("dev")).over(w))
+      .withColumn("m", least(min(col("r")).over(w), lit(0L)))
+      .select(col("day"),
+        graft.text.TextFns.round4(col("xc").cast("double") / 100.0).as("daily_rev"),
+        graft.text.TextFns.round4((col("r") - col("m")).cast("double")
+          / (lit(2000.0) * col("nd").cast("double"))).as("cusum"))
+      .orderBy("day")
+  }
+
+  private val sqlCusumDrift = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    s"""WITH daily AS (SELECT o_orderdate AS day,
+       |                      CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS xc
+       |               FROM orders GROUP BY 1),
+       |     tot AS (SELECT CAST(sum(xc) AS BIGINT) AS tc,
+       |                    CAST(count(*) AS BIGINT) AS nd FROM daily),
+       |     dev AS (SELECT day, xc, nd,
+       |                    20 * nd * xc - 21 * tc AS dev
+       |             FROM daily CROSS JOIN tot),
+       |     win AS (SELECT day, xc, nd,
+       |                    CAST(sum(dev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r
+       |             FROM dev),
+       |     mm AS (SELECT day, xc, nd, r,
+       |                   least(min(r) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS m
+       |            FROM win)
+       |SELECT day, ${r4("CAST(xc AS DOUBLE) / 100.0")} AS daily_rev,
+       |       ${r4("CAST(r - m AS DOUBLE) / (2000.0 * CAST(nd AS DOUBLE))")} AS cusum
+       |FROM mm ORDER BY day""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
+    "q_cusum_drift" -> sqlCusumDrift,
     "q_window_frames" -> sqlWindowFrames,
     "q_full_outer" -> sqlFullOuter,
     "q_unpivot" -> sqlUnpivot,

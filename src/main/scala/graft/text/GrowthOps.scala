@@ -150,11 +150,63 @@ object GrowthOps {
        |FROM g ORDER BY bucket""".stripMargin
   }
 
+  // ---------- q_fertility: tokenizer fertility by language ----------
+
+  /** Tokenizer fertility audit per language: subword tokens per
+    * whitespace word (fertility) and characters per subword token
+    * (compression) — the per-language statistics a tokenizer review
+    * reads to spot languages the vocab under-serves (high fertility =
+    * more tokens per word = more compute per unit text; Rust/Ács
+    * multilingual-tokenizer analyses report exactly these columns).
+    * Uses the same BPE-ish regex token stream as `q_token_count` and
+    * the same whitespace word stream as the quality suite, so the
+    * ratio is consistent with both accountings.
+    *
+    * Shape: two per-row `size()` projections (no explode — counts
+    * only), one lang-grain hash aggregate. Strictly linear, output
+    * bounded by the language domain. Parity: integer sums; each ratio
+    * is one double division rounded at the edge.
+    */
+  def fertility(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("n_words", size(TextFns.tokens(col("text"))).cast("long"))
+      .withColumn("n_toks",
+        size(expr(s"regexp_extract_all(text, '${TextFns.bpeTokenRegex}', 0)")).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("words"),
+        sum(col("n_toks")).as("tokens"),
+        sum(col("n_chars").cast("long")).as("chars"))
+      .withColumn("fertility", TextFns.round4(
+        col("tokens").cast("double") / col("words").cast("double")))
+      .withColumn("chars_per_token", TextFns.round4(
+        col("chars").cast("double") / col("tokens").cast("double")))
+      .select("lang", "n_docs", "words", "tokens", "chars",
+        "fertility", "chars_per_token")
+      .orderBy("lang")
+
+  private val sqlFertility =
+    s"""WITH d AS (SELECT lang, n_chars,
+       |                  len($duckTokens) AS n_words,
+       |                  len(regexp_extract_all(text, '${TextFns.bpeTokenRegex}')) AS n_toks
+       |           FROM documents),
+       |     g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |                  CAST(sum(n_words) AS BIGINT) AS words,
+       |                  CAST(sum(n_toks) AS BIGINT) AS tokens,
+       |                  CAST(sum(n_chars) AS BIGINT) AS chars
+       |           FROM d GROUP BY lang)
+       |SELECT lang, n_docs, words, tokens, chars,
+       |       ${TextFns.duckRound4("CAST(tokens AS DOUBLE) / CAST(words AS DOUBLE)")} AS fertility,
+       |       ${TextFns.duckRound4("CAST(chars AS DOUBLE) / CAST(tokens AS DOUBLE)")} AS chars_per_token
+       |FROM g ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vocab_growth" -> (vocabGrowth _),
-    "q_length_buckets" -> (lengthBuckets _))
+    "q_length_buckets" -> (lengthBuckets _),
+    "q_fertility" -> (fertility _))
 
   val oracle: Map[String, String] = Map(
     "q_vocab_growth" -> sqlVocabGrowth,
-    "q_length_buckets" -> sqlLengthBuckets)
+    "q_length_buckets" -> sqlLengthBuckets,
+    "q_fertility" -> sqlFertility)
 }

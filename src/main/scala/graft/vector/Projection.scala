@@ -366,15 +366,89 @@ object Projection {
        |LIMIT $DimCorrTopK""".stripMargin
   }
 
+  // ---------- q_isotropy: mean pairwise cosine without pairs ----------
+
+  /** Embedding-space isotropy audit: the mean pairwise cosine
+    * similarity among each label's (normalized) vectors — the
+    * anisotropy statistic of Ethayarajh (2019): a healthy embedding
+    * space has mean cosine near 0; a collapsed ("cone") space where
+    * all vectors point the same way scores near 1, and ANN recall,
+    * SemDeDup thresholds, and cosine top-k all degrade there.
+    *
+    * The scale story IS the query: mean_{i≠j} uᵢ·uⱼ =
+    * (‖Σu‖² − Σ‖u‖²) / (n(n−1)) — a closed form over ONE aggregation
+    * pass, O(n·d), where the naive pairwise definition is O(n²·d).
+    * At 100 TB the (label, dim) partial aggregation map-side-combines
+    * to label×d grain; nothing pairwise ever materializes.
+    *
+    * Parity: normalization (÷ left-fold ‖v‖, sqrt correctly rounded)
+    * is row-local; the cross-row sums are round6-DECIMAL exact per
+    * the order-independent-float-sum rule; ‖S‖² is a left-fold dot
+    * over the dim-sorted sum vector (identical order both engines);
+    * both identity terms use the SAME rounded uᵈ so the algebra
+    * holds bit-for-bit.
+    */
+  def isotropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorNative
+    val r6d = (c: Column) => round6(c).cast("decimal(18,6)")
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("v", VectorFns.toDouble(col("embedding")))
+      .withColumn("nrm", sqrt(VectorNative.dot(col("v"), col("v"))))
+    val dims = e
+      .select(col("label"), col("nrm"), posexplode_outer(col("v")).as(Seq("dim", "x")))
+      .withColumn("u", col("x") / col("nrm"))
+    val grouped = dims
+      .groupBy("label", "dim")
+      .agg(sum(r6d(col("u"))).as("s"),
+        sum((r6d(col("u")) * r6d(col("u"))).cast("decimal(38,12)")).as("q"),
+        count(lit(1)).as("n"))
+    grouped
+      .groupBy("label")
+      .agg(max(col("n")).as("n_vecs"),
+        sum(col("q")).as("sq"),
+        transform(sort_array(collect_list(struct(col("dim"),
+          col("s").cast("double").as("s")))), p => p.getField("s")).as("sv"))
+      .withColumn("mean_cos", graft.text.TextFns.round4(
+        (VectorNative.dot(col("sv"), col("sv")) - col("sq").cast("double"))
+          / (col("n_vecs").cast("double") * (col("n_vecs") - 1).cast("double"))))
+      .select(col("label"), col("n_vecs"), col("mean_cos"))
+      .orderBy("label")
+  }
+
+  private val sqlIsotropy = {
+    val r6 = (e: String) => s"(floor(($e) * 1000000.0 + 0.5) / 1000000.0)"
+    val r6d = (e: String) => s"CAST(${r6(e)} AS DECIMAL(18,6))"
+    s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |     e AS (SELECT vec_id, label, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e0),
+       |     x AS (SELECT label, CAST(i - 1 AS INT) AS dim,
+       |                  v[CAST(i AS INT)] / nrm AS u
+       |           FROM e CROSS JOIN range(1, ${Dim + 1}) t(i)),
+       |     g AS (SELECT label, dim, sum(${r6d("u")}) AS s,
+       |                  sum(CAST(${r6d("u")} * ${r6d("u")} AS DECIMAL(38,12))) AS q,
+       |                  count(*) AS n
+       |           FROM x GROUP BY 1, 2),
+       |     l AS (SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+       |                  CAST(sum(q) AS DOUBLE) AS sq,
+       |                  list_transform(list_sort(list({'dim': dim, 's': CAST(s AS DOUBLE)})),
+       |                    p -> p.s) AS sv
+       |           FROM g GROUP BY label)
+       |SELECT label, n_vecs,
+       |       ${graft.text.TextFns.duckRound4(
+                 s"(${duckDot("sv", "sv")} - sq) / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE))")} AS mean_cos
+       |FROM l ORDER BY label""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rand_proj" -> (randProj _),
     "q_centroid_drift" -> (centroidDrift _),
     "q_dim_corr" -> (dimCorr _),
-    "q_dim_stats" -> (dimStats _))
+    "q_dim_stats" -> (dimStats _),
+    "q_isotropy" -> (isotropy _))
 
   val oracle: Map[String, String] = Map(
     "q_rand_proj" -> sqlRandProj,
     "q_centroid_drift" -> sqlCentroidDrift,
     "q_dim_corr" -> sqlDimCorr,
-    "q_dim_stats" -> sqlDimStats)
+    "q_dim_stats" -> sqlDimStats,
+    "q_isotropy" -> sqlIsotropy)
 }
