@@ -49,4 +49,45 @@ object AggMaintain {
       .groupBy(keys.map(col): _*)
       .agg(sums.head, sums.tail: _*)
   }
+
+  /** Combine a snapshot with an insert batch AND a retraction
+    * (delete) batch — the Flink-style upsert/retract stream model:
+    * deleted rows enter the combine with NEGATED measures, so the
+    * additive monoid subtracts them exactly; a group whose row count
+    * reaches zero is DROPPED (the retraction of its last row — the
+    * snapshot must not keep tombstone groups a full recompute would
+    * never produce). `countMeasure` names the measure carrying the
+    * per-group row count (a sum of 1s); it is what decides emptiness.
+    *
+    * Exactness: identical monoid argument to [[refreshAdditive]] —
+    * with integer/decimal measures, subtraction is associative-exact,
+    * so snapshot + inserts − deletes ≡ a full recompute of
+    * (base ∪ inserts) ∖ deletes, which `q_mv_retract` hash-gates
+    * against the oracle's direct aggregation. Requires deletes ⊆
+    * current contents (at-most-once per row), the upstream CDC
+    * contract. min/max stay out of scope exactly as in
+    * [[refreshAdditive]] — retraction can loosen them, which needs a
+    * per-group recompute.
+    *
+    * Scale: both batches pre-aggregate map-side to group grain before
+    * touching the snapshot; the combine is one union+agg of three
+    * group-cardinality inputs. The fact table is never rescanned.
+    */
+  def refreshWithRetractions(snapshot: DataFrame, inserts: DataFrame,
+                             deletes: DataFrame, keys: Seq[String],
+                             measures: Seq[String],
+                             countMeasure: String): DataFrame = {
+    require(measures.contains(countMeasure), s"$countMeasure must be a measure")
+    val sums = measures.map(m => sum(col(m)).as(m))
+    def agg(df: DataFrame) = df.groupBy(keys.map(col): _*)
+      .agg(sums.head, sums.tail: _*)
+    val negated = agg(deletes).select(
+      (keys.map(col) ++ measures.map(m => (-col(m)).as(m))): _*)
+    snapshot.select((keys ++ measures).map(col): _*)
+      .unionByName(agg(inserts).select((keys ++ measures).map(col): _*))
+      .unionByName(negated)
+      .groupBy(keys.map(col): _*)
+      .agg(sums.head, sums.tail: _*)
+      .filter(col(countMeasure) > 0)
+  }
 }

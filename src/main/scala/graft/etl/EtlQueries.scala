@@ -464,7 +464,174 @@ object EtlQueries {
       |  FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
       |) ORDER BY check_name""".stripMargin
 
+  // ---------- q_mv_retract: incremental refresh with retractions ----------
+
+  /** [[AggMaintain.refreshWithRetractions]] driver-gated (the
+    * `q_agg_refresh` pattern extended to DELETES): the snapshot is the
+    * aggregate of the orderkey%3 ∈ {0,1} slice, the batch inserts the
+    * %3=2 slice and RETRACTS the %3=1 slice; the oracle aggregates
+    * the %3≠1 slice directly. Hash-match proves the negated-measure
+    * combine is exact — the upsert/retract-stream maintenance model
+    * (Flink retract streams; DBSP/differential-dataflow Z-sets) on
+    * the additive monoid.
+    */
+  def mvRetract(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = Seq("l_returnflag", "l_linestatus", "grp")
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (col("l_suppkey") % 10).as("grp"), col("l_orderkey"),
+        col("l_quantity").cast("decimal(18,4)").as("qty"), lit(1L).as("cnt"))
+    def full(df: DataFrame) = df.groupBy(keys.map(col): _*)
+      .agg(sum("qty").as("qty"), sum("cnt").as("cnt"))
+    val snapshot = full(li.filter(col("l_orderkey") % 3 =!= 2))
+    AggMaintain.refreshWithRetractions(
+        snapshot,
+        inserts = li.filter(col("l_orderkey") % 3 === 2),
+        deletes = li.filter(col("l_orderkey") % 3 === 1),
+        keys, Seq("qty", "cnt"), countMeasure = "cnt")
+      .select(col("l_returnflag"), col("l_linestatus"), col("grp"),
+        round(col("qty").cast("double"), 4).as("sum_qty"),
+        col("cnt").cast("long").as("n_items"))
+      .orderBy("l_returnflag", "l_linestatus", "grp")
+  }
+
+  private val sqlMvRetract =
+    """SELECT l_returnflag, l_linestatus, l_suppkey % 10 AS grp,
+      |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+      |       count(*) AS n_items
+      |FROM lineitem WHERE l_orderkey % 3 <> 1
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------- q_zone_map: min/max zone-map pruning audit ----------
+
+  /** Zone-map (per-partition min/max) pruning audit over the natural
+    * monthly layout: for each ship-month partition, would a
+    * date-range predicate and an orderkey-range predicate skip it?
+    * The date predicate prunes almost everything (the partition key
+    * IS the predicate column); the orderkey predicate prunes nothing
+    * (orderkeys are uniform across months) — the measured gap is the
+    * case for Z-ordering ([[ZOrder]]) or sort-within-partition when
+    * queries filter on non-partition columns. `n_date_match` /
+    * `n_key_match` make false-positive scans visible: a partition
+    * that overlaps but matches 0 rows is pure wasted IO.
+    *
+    * Shape: one month-grain aggregate builds every zone map (min/max
+    * are map-side combinable); the two range bounds derive from a
+    * 1-row broadcast aggregate so the audit stays scale-relative.
+    * Integers and dates only.
+    */
+  def zoneMap(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(date_trunc("month", col("l_shipdate")).as("month"),
+        col("l_shipdate"), col("l_orderkey"))
+    val bounds = li.agg(
+      floor(max(col("l_orderkey")) * 0.4).cast("long").as("k_lo"),
+      floor(max(col("l_orderkey")) * 0.45).cast("long").as("k_hi"))
+    val dLo = to_date(lit("1995-06-01")); val dHi = to_date(lit("1995-08-15"))
+    li.crossJoin(broadcast(bounds))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_orderkey")).as("mn_key"), max(col("l_orderkey")).as("mx_key"),
+        min(col("l_shipdate")).as("mn_date"), max(col("l_shipdate")).as("mx_date"),
+        count(when(col("l_orderkey").between(col("k_lo"), col("k_hi")), lit(1)))
+          .as("n_key_match"),
+        count(when(col("l_shipdate").between(dLo, dHi), lit(1))).as("n_date_match"),
+        max(col("k_lo")).as("k_lo"), max(col("k_hi")).as("k_hi"))
+      .select(col("month"), col("n_rows"),
+        col("mn_key"), col("mx_key"),
+        (col("mn_key") <= col("k_hi") && col("mx_key") >= col("k_lo"))
+          .cast("int").as("key_overlap"),
+        col("n_key_match"),
+        (col("mn_date") <= dHi && col("mx_date") >= dLo)
+          .cast("int").as("date_overlap"),
+        col("n_date_match"))
+      .orderBy("month")
+  }
+
+  private val sqlZoneMap =
+    """WITH b AS (SELECT CAST(floor(max(l_orderkey) * 0.4) AS BIGINT) AS k_lo,
+      |                  CAST(floor(max(l_orderkey) * 0.45) AS BIGINT) AS k_hi
+      |           FROM lineitem),
+      |     g AS (SELECT date_trunc('month', CAST(l_shipdate AS TIMESTAMP)) AS month,
+      |                  count(*) AS n_rows,
+      |                  min(l_orderkey) AS mn_key, max(l_orderkey) AS mx_key,
+      |                  min(l_shipdate) AS mn_date, max(l_shipdate) AS mx_date,
+      |                  CAST(count(CASE WHEN l_orderkey BETWEEN k_lo AND k_hi THEN 1 END) AS BIGINT) AS n_key_match,
+      |                  CAST(count(CASE WHEN l_shipdate BETWEEN DATE '1995-06-01' AND DATE '1995-08-15' THEN 1 END) AS BIGINT) AS n_date_match,
+      |                  max(k_lo) AS k_lo, max(k_hi) AS k_hi
+      |           FROM lineitem CROSS JOIN b GROUP BY 1)
+      |SELECT month, n_rows, mn_key, mx_key,
+      |       CAST(mn_key <= k_hi AND mx_key >= k_lo AS INT) AS key_overlap,
+      |       n_key_match,
+      |       CAST(mn_date <= DATE '1995-08-15' AND mx_date >= DATE '1995-06-01' AS INT) AS date_overlap,
+      |       n_date_match
+      |FROM g ORDER BY month""".stripMargin
+
+  // ---------- q_snapshot_diff: CDC-style snapshot comparison ----------
+
+  /** Data-diff between two warehouse snapshots (the audit a CDC /
+    * backfill pipeline runs after a reload): full-outer join on the
+    * business key, classify every key as added / removed / changed /
+    * unchanged, roll up per order status. The two snapshots derive
+    * deterministically from `orders` (old = keys %10≠0, new = keys
+    * %7≠0 with a 10% price bump on %5=0 keys), so the classification
+    * exercises all four classes.
+    *
+    * Shape: one key-partitioned full-outer join (fact-to-fact — the
+    * one shuffle the operation fundamentally requires) + a bounded
+    * status-grain rollup. The changed-detection compares the SAME
+    * floor-arithmetic bump expression on both engines, so double
+    * equality is bit-deterministic.
+    */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val bumped = floor(col("o_totalprice") * 110.0 + 0.5) / 100.0
+    val old = o.filter(col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey").as("k1"), col("o_orderstatus").as("s1"),
+        col("o_totalprice").as("p1"))
+    val nw = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("k2"), col("o_orderstatus").as("s2"),
+        when(col("o_orderkey") % 5 === 0, bumped)
+          .otherwise(col("o_totalprice")).as("p2"))
+    old.join(nw, col("k1") === col("k2"), "full_outer")
+      .select(coalesce(col("s1"), col("s2")).as("status"),
+        when(col("k1").isNull, "added")
+          .when(col("k2").isNull, "removed")
+          .when(col("p1") =!= col("p2"), "changed")
+          .otherwise("unchanged").as("class"))
+      .groupBy("status")
+      .agg(count(when(col("class") === "added", lit(1))).as("n_added"),
+        count(when(col("class") === "removed", lit(1))).as("n_removed"),
+        count(when(col("class") === "changed", lit(1))).as("n_changed"),
+        count(when(col("class") === "unchanged", lit(1))).as("n_unchanged"))
+      .orderBy("status")
+  }
+
+  private val sqlSnapshotDiff =
+    """WITH old AS (SELECT o_orderkey AS k1, o_orderstatus AS s1, o_totalprice AS p1
+      |             FROM orders WHERE o_orderkey % 10 <> 0),
+      |     nw AS (SELECT o_orderkey AS k2, o_orderstatus AS s2,
+      |                   CASE WHEN o_orderkey % 5 = 0
+      |                        THEN floor(o_totalprice * 110.0 + 0.5) / 100.0
+      |                        ELSE o_totalprice END AS p2
+      |            FROM orders WHERE o_orderkey % 7 <> 0),
+      |     d AS (SELECT coalesce(s1, s2) AS status,
+      |                  CASE WHEN k1 IS NULL THEN 'added'
+      |                       WHEN k2 IS NULL THEN 'removed'
+      |                       WHEN p1 <> p2 THEN 'changed'
+      |                       ELSE 'unchanged' END AS class
+      |           FROM old FULL OUTER JOIN nw ON k1 = k2)
+      |SELECT status,
+      |       CAST(count(CASE WHEN class = 'added' THEN 1 END) AS BIGINT) AS n_added,
+      |       CAST(count(CASE WHEN class = 'removed' THEN 1 END) AS BIGINT) AS n_removed,
+      |       CAST(count(CASE WHEN class = 'changed' THEN 1 END) AS BIGINT) AS n_changed,
+      |       CAST(count(CASE WHEN class = 'unchanged' THEN 1 END) AS BIGINT) AS n_unchanged
+      |FROM d GROUP BY status ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mv_retract" -> (mvRetract _),
+    "q_zone_map" -> (zoneMap _),
+    "q_snapshot_diff" -> (snapshotDiff _),
     "q_constraint_audit" -> (constraintAudit _),
     "q_scd2_history" -> (scd2History _),
     "q_zorder_addr" -> (zorderAddr _),
@@ -481,6 +648,9 @@ object EtlQueries {
     "q_ri_filter" -> (riFilter _))
 
   val oracle: Map[String, String] = Map(
+    "q_mv_retract" -> sqlMvRetract,
+    "q_zone_map" -> sqlZoneMap,
+    "q_snapshot_diff" -> sqlSnapshotDiff,
     "q_constraint_audit" -> sqlConstraintAudit,
     "q_scd2_history" -> sqlScd2History,
     "q_zorder_addr" -> sqlZorderAddr,

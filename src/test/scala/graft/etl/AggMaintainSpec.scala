@@ -51,4 +51,30 @@ class AggMaintainSpec extends SparkSpec {
     val refreshed = AggMaintain.refreshAdditive(fullAgg(old), delta, keys, measures)
     assert(refreshed.count() == fullAgg(li).count())
   }
+
+  test("retraction refresh equals full recompute of base∪inserts∖deletes") {
+    val li = prepared
+    val snap = fullAgg(li.filter(col("l_orderkey") % 3 =!= 2))
+    val got = AggMaintain.refreshWithRetractions(snap,
+        inserts = li.filter(col("l_orderkey") % 3 === 2),
+        deletes = li.filter(col("l_orderkey") % 3 === 1),
+        keys, measures, countMeasure = "cnt")
+      .orderBy(keys.map(col): _*).collect().toSeq
+    val want = fullAgg(li.filter(col("l_orderkey") % 3 =!= 1))
+      .orderBy(keys.map(col): _*).collect().toSeq
+    assert(got == want)
+  }
+
+  test("retracting every row of a group drops the group, not a zero tombstone") {
+    val li = prepared
+    val rOnly = li.filter(col("l_returnflag") === "R")
+    val snap = fullAgg(li)
+    val refreshed = AggMaintain.refreshWithRetractions(snap,
+      inserts = li.limit(0), deletes = rOnly, keys, measures, countMeasure = "cnt")
+    assert(refreshed.filter(col("l_returnflag") === "R").count() == 0)
+    val got = refreshed.orderBy(keys.map(col): _*).collect().toSeq
+    val want = fullAgg(li.filter(col("l_returnflag") =!= "R"))
+      .orderBy(keys.map(col): _*).collect().toSeq
+    assert(got == want)
+  }
 }
