@@ -464,6 +464,83 @@ object EtlQueries {
       |  FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
       |) ORDER BY check_name""".stripMargin
 
+  // ---------- q_bloom_fpr: engine-independent Bloom FPR audit ----------
+
+  private val BloomM = 16384L // bits
+  private val BloomK = 4      // hash functions
+
+  /** Bloom-filter false-positive-rate audit with ENGINE-INDEPENDENT
+    * hashes ([[graft.functions.TextHashUtil]] permutations mod m) —
+    * the cross-engine-verifiable counterpart of [[BloomPrune]], whose
+    * Spark-native sketch bits no other engine can replay (the
+    * Sampling/xxhash64 limit in CLAUDE.md). Build the bit set from
+    * the even order keys, probe with the odd keys (disjoint by
+    * construction, so every probe hit is a FALSE positive), and report
+    * observed load factor and FPR — the audit that decides whether a
+    * deployed filter's m/k still fit the key volume.
+    *
+    * Shape: build = one fan to k bit positions + DISTINCT collapse to
+    * ≤m rows (the filter itself — broadcast-sized by construction);
+    * probe = fan + broadcast join + per-key all-bits-present check as
+    * two integer counts. Work ∝ n·k, state ≤ m. All integers; two
+    * rounded ratios.
+    */
+  def bloomFpr(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextHashUtil
+    val keys = Tables.orders(spark, sfDir).select(col("o_orderkey").as("key"))
+    def bitsOf(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = array((0 until BloomK).map(j =>
+      pmod(pmod(h * TextHashUtil.aj(j) + TextHashUtil.bj(j),
+        lit(TextHashUtil.P)), lit(BloomM))): _*)
+    val h = pmod(col("key"), lit(TextHashUtil.P))
+    val bits = keys.filter(col("key") % 2 === 0)
+      .select(explode_outer(bitsOf(h)).as("bit")).distinct()
+    val probes = keys.filter(col("key") % 2 === 1)
+      .select(col("key"), explode_outer(bitsOf(h)).as("bit"))
+    val perProbe = probes
+      .join(broadcast(bits.withColumn("present", lit(1L))), Seq("bit"), "left")
+      .groupBy("key")
+      .agg(count_distinct(col("bit")).as("n_pos"),
+        count_distinct(when(col("present").isNotNull, col("bit"))).as("n_hit"))
+    val nBits = bits.agg(count(lit(1)).as("bits_set"))
+    perProbe
+      .agg(count(lit(1)).as("n_probes"),
+        count(when(col("n_hit") === col("n_pos"), lit(1))).as("n_fp"))
+      .crossJoin(broadcast(nBits))
+      .select(col("bits_set"), graft.text.TextFns.round4(
+          col("bits_set").cast("double") / lit(BloomM.toDouble)).as("load"),
+        col("n_probes"), col("n_fp"),
+        graft.text.TextFns.round4(col("n_fp").cast("double")
+          / col("n_probes").cast("double")).as("fpr"))
+  }
+
+  private val sqlBloomFpr = {
+    import graft.functions.TextHashUtil
+    def bitJ(j: Int) =
+      s"(((key % ${TextHashUtil.P}) * ${TextHashUtil.aj(j)} + ${TextHashUtil.bj(j)}) % ${TextHashUtil.P}) % $BloomM"
+    val fan = (0 until BloomK).map(j => s"SELECT key, ${bitJ(j)} AS bit FROM p")
+      .mkString("(", " UNION ALL ", ")")
+    val buildFan = (0 until BloomK).map(j => s"SELECT ${bitJ(j)} AS bit FROM b")
+      .mkString("(", " UNION ALL ", ")")
+    s"""WITH b AS (SELECT o_orderkey AS key FROM orders WHERE o_orderkey % 2 = 0),
+       |     p AS (SELECT o_orderkey AS key FROM orders WHERE o_orderkey % 2 = 1),
+       |     bits AS (SELECT DISTINCT bit FROM $buildFan f),
+       |     pb AS (SELECT key, bit FROM $fan f),
+       |     pp AS (SELECT pb.key, count(DISTINCT pb.bit) AS n_pos,
+       |                   count(DISTINCT CASE WHEN bits.bit IS NOT NULL THEN pb.bit END) AS n_hit
+       |            FROM pb LEFT JOIN bits ON pb.bit = bits.bit
+       |            GROUP BY pb.key),
+       |     nb AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM bits)
+       |SELECT bits_set,
+       |       ${graft.text.TextFns.duckRound4(
+                 s"CAST(bits_set AS DOUBLE) / $BloomM.0")} AS load,
+       |       CAST(count(*) AS BIGINT) AS n_probes,
+       |       CAST(count(CASE WHEN n_hit = n_pos THEN 1 END) AS BIGINT) AS n_fp,
+       |       ${graft.text.TextFns.duckRound4(
+                 "CAST(count(CASE WHEN n_hit = n_pos THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS fpr
+       |FROM pp CROSS JOIN nb
+       |GROUP BY bits_set""".stripMargin
+  }
+
   // ---------- q_mv_retract: incremental refresh with retractions ----------
 
   /** [[AggMaintain.refreshWithRetractions]] driver-gated (the
@@ -629,6 +706,7 @@ object EtlQueries {
       |FROM d GROUP BY status ORDER BY status""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_fpr" -> (bloomFpr _),
     "q_mv_retract" -> (mvRetract _),
     "q_zone_map" -> (zoneMap _),
     "q_snapshot_diff" -> (snapshotDiff _),
@@ -648,6 +726,7 @@ object EtlQueries {
     "q_ri_filter" -> (riFilter _))
 
   val oracle: Map[String, String] = Map(
+    "q_bloom_fpr" -> sqlBloomFpr,
     "q_mv_retract" -> sqlMvRetract,
     "q_zone_map" -> sqlZoneMap,
     "q_snapshot_diff" -> sqlSnapshotDiff,

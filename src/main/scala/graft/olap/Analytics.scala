@@ -438,7 +438,53 @@ object Analytics {
     "q_salted_agg" -> (saltedAgg _),
     "q_minmax_by" -> (minmaxBy _),
     "q_percent_rank" -> (percentRank _),
-    "q_cusum_drift" -> (cusumDrift _))
+    "q_cusum_drift" -> (cusumDrift _),
+    "q_order_cycle_time" -> (orderCycleTime _))
+
+  // ---------- q_order_cycle_time: fulfillment-latency distribution ----------
+
+  /** Order-to-ship cycle-time distribution per order priority — the
+    * operational-latency staple (order placed → line shipped, in
+    * days) reported as the full percentile ladder, the shape every
+    * SLA dashboard wants. Also a free data-quality screen: negative
+    * cycle times (ship before order) surface as `n_negative`.
+    *
+    * Shape: one key-partitioned orders⋈lineitem equi-join (fact-to-
+    * fact on the natural key — the one required shuffle) + a
+    * priority-grain aggregate with exact percentiles (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`; swap `approx_percentile`
+    * at 100 TB, same shape). Day deltas are exact integers.
+    */
+  def orderCycleTime(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("days", datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("days") < 0, lit(1))).as("n_negative"),
+        min(col("days")).as("min_days"),
+        graft.text.TextFns.round4(percentile(col("days"), lit(0.5))).as("p50_days"),
+        graft.text.TextFns.round4(percentile(col("days"), lit(0.9))).as("p90_days"),
+        graft.text.TextFns.round4(percentile(col("days"), lit(0.99))).as("p99_days"),
+        max(col("days")).as("max_days"))
+      .orderBy("priority")
+  }
+
+  private val sqlOrderCycleTime = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    s"""SELECT o_orderpriority AS priority, count(*) AS n_lines,
+       |       CAST(count(CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 0 THEN 1 END) AS BIGINT) AS n_negative,
+       |       CAST(min(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS min_days,
+       |       ${r4("quantile_cont(date_diff('day', o_orderdate, l_shipdate), 0.5)")} AS p50_days,
+       |       ${r4("quantile_cont(date_diff('day', o_orderdate, l_shipdate), 0.9)")} AS p90_days,
+       |       ${r4("quantile_cont(date_diff('day', o_orderdate, l_shipdate), 0.99)")} AS p99_days,
+       |       CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS max_days
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   // ---------- q_cusum_drift: change-point detection on daily revenue ----------
 
@@ -505,6 +551,7 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "q_cusum_drift" -> sqlCusumDrift,
+    "q_order_cycle_time" -> sqlOrderCycleTime,
     "q_window_frames" -> sqlWindowFrames,
     "q_full_outer" -> sqlFullOuter,
     "q_unpivot" -> sqlUnpivot,

@@ -694,6 +694,72 @@ object OlapMore {
        |ORDER BY brand1, brand2""".stripMargin
   }
 
+  // ---------- q_abc_analysis: Pareto / ABC revenue classification ----------
+
+  /** ABC (Pareto) classification of parts by revenue: rank parts by
+    * revenue, take the running revenue share, and bucket into the
+    * classic A (first 70% of revenue), B (to 90%), C (tail) classes —
+    * the inventory-analytics staple behind "20% of SKUs drive 80% of
+    * revenue" dashboards.
+    *
+    * The cumulative share is a GLOBAL prefix sum over part grain —
+    * fact-proportional, so a single-partition window is off the table
+    * (scale rule). It runs through
+    * [[graft.etl.PrefixScan.exclusivePrefixSum]], the hierarchical
+    * two-phase scan (per-partition partials + broadcast offsets) that
+    * `q_pack_audit` already gates — O(n/p) per task, one bounded
+    * driver collect of p partials. Ordering is the unique integer
+    * key −(rev·10⁵)+partkey (descending revenue, partkey tie-break;
+    * the 10⁵ multiplier holds to ~10⁹-part catalogs — widen to
+    * DECIMAL beyond). Parity: revenue is exact integer cents
+    * (floor(x·100+0.5) of the identical double DAG); the share is
+    * one double division; class fences compare that single division's
+    * result on both engines.
+    */
+  def abcAnalysis(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      * 100.0 + 0.5).cast("long")
+    val partRev = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("partkey"), cents.as("cents"))
+      .groupBy("partkey").agg(sum(col("cents")).as("rev"))
+      .withColumn("ord", -(col("rev") * 100000L) + col("partkey"))
+    val tot = partRev.agg(sum(col("rev")).as("tot"))
+    val scanned = graft.etl.PrefixScan
+      .exclusivePrefixSum(partRev, "ord", "rev", "prefix")
+    scanned.crossJoin(broadcast(tot))
+      .withColumn("share_before", col("prefix").cast("double") / col("tot").cast("double"))
+      .withColumn("cls",
+        when(col("share_before") < 0.70, "A")
+          .when(col("share_before") < 0.90, "B").otherwise("C"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("rev_cents"),
+        max(col("tot")).as("tot"))
+      .withColumn("rev_share", graft.text.TextFns.round4(
+        col("rev_cents").cast("double") / col("tot").cast("double")))
+      .select("cls", "n_parts", "rev_cents", "rev_share")
+      .orderBy("cls")
+  }
+
+  private val sqlAbcAnalysis =
+    s"""WITH pr AS (SELECT l_partkey AS partkey,
+       |                   CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+       |            FROM lineitem GROUP BY 1),
+       |     t AS (SELECT CAST(sum(rev) AS BIGINT) AS tot FROM pr),
+       |     s AS (SELECT partkey, rev, tot,
+       |                  CAST(coalesce(sum(rev) OVER (ORDER BY rev DESC, partkey
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+       |           FROM pr CROSS JOIN t),
+       |     c AS (SELECT CASE WHEN CAST(prefix AS DOUBLE) / CAST(tot AS DOUBLE) < 0.70 THEN 'A'
+       |                       WHEN CAST(prefix AS DOUBLE) / CAST(tot AS DOUBLE) < 0.90 THEN 'B'
+       |                       ELSE 'C' END AS cls,
+       |                  rev, tot
+       |           FROM s)
+       |SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+       |       CAST(sum(rev) AS BIGINT) AS rev_cents,
+       |       ${graft.text.TextFns.duckRound4(
+                 "CAST(sum(rev) AS DOUBLE) / CAST(max(tot) AS DOUBLE)")} AS rev_share
+       |FROM c GROUP BY cls ORDER BY cls""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topk_agg" -> (topkAgg _),
     "q_division" -> (division _),
@@ -709,7 +775,8 @@ object OlapMore {
     "q_pricing_summary" -> (pricingSummary _),
     "q_supplier_stats" -> (supplierStats _),
     "q_revenue_cube" -> (revenueCubeQ _),
-    "q_basket_pairs" -> (basketPairs _))
+    "q_basket_pairs" -> (basketPairs _),
+    "q_abc_analysis" -> (abcAnalysis _))
 
   val oracle: Map[String, String] = Map(
     "q_topk_agg" -> sqlTopkAgg,
@@ -726,5 +793,6 @@ object OlapMore {
     "q_pricing_summary" -> sqlPricingSummary,
     "q_supplier_stats" -> sqlSupplierStats,
     "q_revenue_cube" -> sqlRevenueCube,
-    "q_basket_pairs" -> sqlBasketPairs)
+    "q_basket_pairs" -> sqlBasketPairs,
+    "q_abc_analysis" -> sqlAbcAnalysis)
 }

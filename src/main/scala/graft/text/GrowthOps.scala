@@ -200,13 +200,165 @@ object GrowthOps {
        |       ${TextFns.duckRound4("CAST(chars AS DOUBLE) / CAST(tokens AS DOUBLE)")} AS chars_per_token
        |FROM g ORDER BY lang""".stripMargin
 
+  // ---------- q_vocab_drift: snapshot-over-snapshot vocabulary drift ----------
+
+  /** Vocabulary drift between two ingestion snapshots, per source:
+    * Jaccard overlap of the token sets plus the count of tokens that
+    * appeared (born) and disappeared (died) — the lexical twin of
+    * [[graft.vector.Projection.centroidDrift]]'s embedding-space
+    * drift, and the alarm a continuously-crawled source trips when
+    * its content pipeline changes under you (template swap, spam
+    * influx, language shift). Snapshots derive deterministically from
+    * doc_id parity (in production: ingestion epochs).
+    *
+    * Shape: collapse to DISTINCT (source, token, epoch-membership)
+    * FIRST — one hash aggregate with two boolean maxes — so the
+    * set algebra runs at vocab×source grain, never doc grain. All
+    * integers; one rounded Jaccard.
+    */
+  def vocabDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("source"), (col("doc_id") % 2 === 0).as("old"),
+        explode_outer(col("ts")).as("token"))
+    docs
+      .groupBy("source", "token")
+      .agg(max(when(col("old"), 1L).otherwise(0L)).as("in_old"),
+        max(when(!col("old"), 1L).otherwise(0L)).as("in_new"))
+      .groupBy("source")
+      .agg(sum(col("in_old") * col("in_new")).as("n_both"),
+        sum(col("in_old") * (lit(1L) - col("in_new"))).as("n_died"),
+        sum((lit(1L) - col("in_old")) * col("in_new")).as("n_born"),
+        count(lit(1)).as("n_union"))
+      .withColumn("jaccard", TextFns.round4(
+        col("n_both").cast("double") / col("n_union").cast("double")))
+      .select("source", "n_both", "n_born", "n_died", "n_union", "jaccard")
+      .orderBy("source")
+  }
+
+  private val sqlVocabDrift =
+    s"""WITH d AS (SELECT source, doc_id % 2 = 0 AS old,
+       |                  unnest($duckTokens) AS token
+       |           FROM documents),
+       |     v AS (SELECT source, token,
+       |                  max(CASE WHEN old THEN 1 ELSE 0 END) AS in_old,
+       |                  max(CASE WHEN NOT old THEN 1 ELSE 0 END) AS in_new
+       |           FROM d GROUP BY 1, 2)
+       |SELECT source,
+       |       CAST(sum(in_old * in_new) AS BIGINT) AS n_both,
+       |       CAST(sum((1 - in_old) * in_new) AS BIGINT) AS n_born,
+       |       CAST(sum(in_old * (1 - in_new)) AS BIGINT) AS n_died,
+       |       CAST(count(*) AS BIGINT) AS n_union,
+       |       ${TextFns.duckRound4(
+                 "CAST(sum(in_old * in_new) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS jaccard
+       |FROM v GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------- q_zipf_fit: rank-frequency power-law fit ----------
+
+  private val ZipfTopN = 1000
+
+  /** Zipf's-law fit over the corpus rank-frequency curve: the OLS
+    * slope of ln(freq) on ln(rank) for the top-[[ZipfTopN]] terms —
+    * natural text sits near slope −1; corpora polluted by boilerplate
+    * or synthetic spam bend away from it, which makes the slope a
+    * one-number corpus-health check next to [[vocabGrowth]]'s curve.
+    *
+    * Shape: vocab collapse (one hash aggregate), a DETERMINISTIC
+    * top-N cut on the (freq DESC, word) total order, and ranks from a
+    * row_number over the N-row bounded input (scale note: N is a
+    * constant, so the window input never scales; the vocab-grain
+    * alternative for full-curve fits is the `q_dict_encode`
+    * radix-rank). Parity: ln is correctly-rounded on both engines in
+    * practice but NOT guaranteed (CLAUDE.md pow/exp/ln rule), so each
+    * ln lands in a round6-DECIMAL before ANY cross-row sum — a 1-ulp
+    * ln divergence would have to straddle a 1e-6 grid edge to matter;
+    * the five OLS sums are then decimal-exact and the slope /
+    * intercept / R² are fixed-shape double expressions at the edge.
+    */
+  def zipfFit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r6d = (c: org.apache.spark.sql.Column) =>
+      (floor(c * 1000000.0 + 0.5) / 1000000.0).cast("decimal(18,6)")
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode_outer(TextFns.tokens(col("text"))).as("word"))
+      .filter(col("word").isNotNull)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(ZipfTopN)
+    val ranked = vocab
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("word"))))
+      .withColumn("x", r6d(log(col("rank").cast("double"))))
+      .withColumn("y", r6d(log(col("freq").cast("double"))))
+    ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,12)")).as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,12)")).as("sxy"),
+        sum((col("y") * col("y")).cast("decimal(38,12)")).as("syy"))
+      .select(col("n").as("n_terms"),
+        TextFns.round4(
+          (col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))).as("slope"),
+        TextFns.round4(
+          (col("sy").cast("double") - col("sx").cast("double")
+            * ((col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+            / (col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))))
+          / col("n").cast("double")).as("intercept"),
+        TextFns.round4(
+          ((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            * (col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double")))
+          / ((col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            * (col("n").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double")))).as("r2"))
+  }
+
+  private val sqlZipfFit = {
+    val r6d = (e: String) =>
+      s"CAST((floor(($e) * 1000000.0 + 0.5) / 1000000.0) AS DECIMAL(18,6))"
+    val nD = "CAST(n AS DOUBLE)"
+    val sxD = "CAST(sx AS DOUBLE)"; val syD = "CAST(sy AS DOUBLE)"
+    val sxxD = "CAST(sxx AS DOUBLE)"; val sxyD = "CAST(sxy AS DOUBLE)"
+    val syyD = "CAST(syy AS DOUBLE)"
+    val num = s"($nD * $sxyD - $sxD * $syD)"
+    val den = s"($nD * $sxxD - $sxD * $sxD)"
+    s"""WITH e AS (SELECT unnest($duckTokens) AS word FROM documents),
+       |     v AS (SELECT word, count(*) AS freq FROM e GROUP BY 1
+       |           ORDER BY freq DESC, word LIMIT $ZipfTopN),
+       |     r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, word) AS rank FROM v),
+       |     p AS (SELECT ${r6d("ln(CAST(rank AS DOUBLE))")} AS x,
+       |                  ${r6d("ln(CAST(freq AS DOUBLE))")} AS y
+       |           FROM r),
+       |     a AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+       |                  sum(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+       |                  sum(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+       |                  sum(CAST(y * y AS DECIMAL(38,12))) AS syy
+       |           FROM p)
+       |SELECT n AS n_terms,
+       |       ${TextFns.duckRound4(s"$num / $den")} AS slope,
+       |       ${TextFns.duckRound4(s"($syD - $sxD * ($num / $den)) / $nD")} AS intercept,
+       |       ${TextFns.duckRound4(
+                 s"($num * $num) / ($den * ($nD * $syyD - $syD * $syD))")} AS r2
+       |FROM a""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vocab_growth" -> (vocabGrowth _),
     "q_length_buckets" -> (lengthBuckets _),
-    "q_fertility" -> (fertility _))
+    "q_fertility" -> (fertility _),
+    "q_vocab_drift" -> (vocabDrift _),
+    "q_zipf_fit" -> (zipfFit _))
 
   val oracle: Map[String, String] = Map(
     "q_vocab_growth" -> sqlVocabGrowth,
     "q_length_buckets" -> sqlLengthBuckets,
-    "q_fertility" -> sqlFertility)
+    "q_fertility" -> sqlFertility,
+    "q_vocab_drift" -> sqlVocabDrift,
+    "q_zipf_fit" -> sqlZipfFit)
 }

@@ -380,7 +380,59 @@ object TextAnalytics {
        |FROM alld JOIN kept ON alld.source = kept.source
        |ORDER BY alld.source""".stripMargin
 
+  // ---------- q_kanon: k-anonymity audit ----------
+
+  private val KThresholds = Seq(2L, 5L, 10L)
+
+  /** K-anonymity audit over a quasi-identifier tuple (Sweeney 2002) —
+    * [[piiRedact]]'s structural sibling: redaction removes DIRECT
+    * identifiers, but a row is still re-identifiable when its
+    * quasi-identifier combination (here nation × market segment ×
+    * coarse balance band) is shared by fewer than k records. The
+    * audit reports, for each candidate k, how many equivalence
+    * classes violate it and how many rows sit at risk — the numbers a
+    * release review reads before publishing "anonymized" data.
+    *
+    * Shape: ONE hash aggregate to QI-class grain (map-side
+    * combinable), then a 3-way literal fan over the k thresholds and
+    * a bounded rollup — the fact table is touched once regardless of
+    * how many k values are audited. Integer counts; one rounded share.
+    */
+  def kanon(spark: SparkSession, sfDir: String): DataFrame = {
+    val classes = Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).as("bal_band"))
+      .agg(count(lit(1)).as("sz"))
+    classes
+      .select(col("sz"), explode_outer(
+        array(KThresholds.map(lit): _*)).as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("sz")).as("n_rows"),
+        count(when(col("sz") < col("k"), lit(1))).as("n_violating"),
+        sum(when(col("sz") < col("k"), col("sz")).otherwise(lit(0L)))
+          .as("rows_at_risk"))
+      .withColumn("risk_share", TextFns.round4(
+        col("rows_at_risk").cast("double") / col("n_rows").cast("double")))
+      .select("k", "n_classes", "n_violating", "rows_at_risk", "risk_share")
+      .orderBy("k")
+  }
+
+  private val sqlKanon =
+    s"""WITH c AS (SELECT c_nationkey, c_mktsegment,
+       |                  floor(c_acctbal / 1000.0) AS bal_band,
+       |                  count(*) AS sz
+       |           FROM customer GROUP BY 1, 2, 3),
+       |     f AS (SELECT sz, unnest([${KThresholds.mkString(", ")}]) AS k FROM c)
+       |SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
+       |       CAST(count(CASE WHEN sz < k THEN 1 END) AS BIGINT) AS n_violating,
+       |       CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       |       ${TextFns.duckRound4(
+                 "CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS DOUBLE) / CAST(sum(sz) AS DOUBLE)")} AS risk_share
+       |FROM f GROUP BY k ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kanon" -> (kanon _),
     "q_cross_entropy" -> (crossEntropy _),
     "q_tfidf" -> (tfidf _),
     "q_strat_sample" -> (stratSample _),
@@ -390,6 +442,7 @@ object TextAnalytics {
     "q_source_quota" -> (sourceQuota _))
 
   val oracle: Map[String, String] = Map(
+    "q_kanon" -> sqlKanon,
     "q_cross_entropy" -> sqlCrossEntropy,
     "q_tfidf" -> sqlTfidf,
     "q_strat_sample" -> sqlStratSample,
