@@ -428,7 +428,60 @@ object OlapStats {
        |       TRUE AS bound_ok
        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------- q_equidepth_hist: optimizer-statistics histogram ----------
+
+  private val EqBuckets = 10
+
+  /** Equi-depth (equi-height) histogram over `l_extendedprice` — the
+    * column statistic cost-based optimizers keep (Spark's own ANALYZE
+    * ... FOR COLUMNS stores exactly this shape): bucket fences at the
+    * k/N quantiles so each bucket holds ~the same row count, making
+    * selectivity estimates robust to skew where equi-WIDTH buckets
+    * (see `q_histogram`) collapse. Emitted per bucket with actual
+    * depth and [min, max] so the near-equal depths are visible.
+    *
+    * Shape: ONE exact-percentile aggregate row produces every fence
+    * (broadcast; `approx_percentile` at 100 TB, same shape), bucket
+    * assignment is a branch-free sum of boolean exceedances (the
+    * `q_value_drift` trick — no join, no CASE chain), then one
+    * bucket-grain aggregate. Parity: fences are interpolated doubles
+    * from the proven percentile ≡ quantile_cont pair; comparisons and
+    * the edge rounding are fixed-shape.
+    */
+  def equidepthHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_extendedprice").cast("double").as("x"))
+    val fenceCols = (1 until EqBuckets).map(i =>
+      percentile(col("x"), lit(i.toDouble / EqBuckets)).as(s"f$i"))
+    val fences = li.agg(fenceCols.head, fenceCols.tail: _*)
+    val bucket = (1 until EqBuckets).map(i =>
+      when(col("x") > col(s"f$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    li.crossJoin(broadcast(fences))
+      .withColumn("bucket", bucket.cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.text.TextFns.round4(min(col("x"))).as("lo"),
+        graft.text.TextFns.round4(max(col("x"))).as("hi"))
+      .orderBy("bucket")
+  }
+
+  private val sqlEquidepthHist = {
+    val fences = (1 until EqBuckets).map(i =>
+      s"quantile_cont(x, ${i.toDouble / EqBuckets}) AS f$i").mkString(", ")
+    val bucket = (1 until EqBuckets).map(i =>
+      s"CASE WHEN x > f$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+       |     f AS (SELECT $fences FROM v),
+       |     b AS (SELECT x, CAST($bucket AS BIGINT) AS bucket FROM v CROSS JOIN f)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       |       ${graft.text.TextFns.duckRound4("min(x)")} AS lo,
+       |       ${graft.text.TextFns.duckRound4("max(x)")} AS hi
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_equidepth_hist" -> (equidepthHist _),
     "q_quantile_est" -> (quantileEst _),
     "q_winsorize" -> (winsorize _),
     "q_mad_outliers" -> (madOutliers _),
@@ -439,6 +492,7 @@ object OlapStats {
     "q_outliers" -> (outliers _))
 
   val oracle: Map[String, String] = Map(
+    "q_equidepth_hist" -> sqlEquidepthHist,
     "q_quantile_est" -> sqlQuantileEst,
     "q_winsorize" -> sqlWinsorize,
     "q_mad_outliers" -> sqlMadOutliers,

@@ -193,11 +193,67 @@ object Skew {
        |FROM ex CROSS JOIN es""".stripMargin
   }
 
+  // ---------- q_partition_balance: reducer-balance audit ----------
+
+  private val NumReducers = 32L
+
+  /** Reducer-balance audit: how evenly would `lineitem` rows spread
+    * over [[NumReducers]] shuffle partitions under (a) a proper hash
+    * partitioner vs (b) naive key-modulo — the diagnosis behind "my
+    * shuffle has 31 idle reducers and 1 hot one". Modulo partitioning
+    * of structured keys (here `l_partkey`, dense sequential ids)
+    * aliases any key-generation stride straight into reducer ids; the
+    * permuted hash breaks the structure. The imbalance factor
+    * (max/avg) is the wall-clock multiplier the stage suffers, since
+    * the slowest reducer gates the stage.
+    *
+    * Shape: two bucket-grain hash aggregates (≤2·[[NumReducers]]
+    * groups) + a 2-row rollup. The hash is the engine-independent
+    * [[TextHashUtil]] permutation, so DuckDB replays bucket ids
+    * bit-for-bit (Spark's own `hash()` would not cross engines).
+    */
+  def partitionBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_partkey").as("key"))
+    def stats(df: DataFrame, scheme: String) = df
+      .groupBy("bucket").agg(count(lit(1)).as("rows"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("rows")).as("n_rows"),
+        min(col("rows")).as("min_rows"), max(col("rows")).as("max_rows"))
+      .select(lit(scheme).as("scheme"), col("n_buckets"), col("n_rows"),
+        col("min_rows"), col("max_rows"),
+        graft.text.TextFns.round4(col("max_rows").cast("double")
+          * lit(NumReducers.toDouble) / col("n_rows").cast("double"))
+          .as("imbalance"))
+    val hashed = li.withColumn("bucket",
+      pmod(pmod(pmod(col("key"), lit(TextHashUtil.P)) * TextHashUtil.aj(0)
+        + TextHashUtil.bj(0), lit(TextHashUtil.P)), lit(NumReducers)))
+    val modulo = li.withColumn("bucket", pmod(col("key"), lit(NumReducers)))
+    stats(hashed, "hash").unionByName(stats(modulo, "mod")).orderBy("scheme")
+  }
+
+  private val sqlPartitionBalance = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    def block(bucket: String, scheme: String) =
+      s"""SELECT '$scheme' AS scheme, CAST(count(*) AS BIGINT) AS n_buckets,
+         |       CAST(sum(rows) AS BIGINT) AS n_rows,
+         |       min(rows) AS min_rows, max(rows) AS max_rows,
+         |       ${r4(s"CAST(max(rows) AS DOUBLE) * $NumReducers.0 / CAST(sum(rows) AS DOUBLE)")} AS imbalance
+         |FROM (SELECT $bucket AS bucket, CAST(count(*) AS BIGINT) AS rows
+         |      FROM lineitem GROUP BY 1)""".stripMargin
+    val hash = s"(((l_partkey % ${TextHashUtil.P}) * ${TextHashUtil.aj(0)} + ${TextHashUtil.bj(0)}) % ${TextHashUtil.P}) % $NumReducers"
+    val mod = s"l_partkey % $NumReducers"
+    s"""${block(hash, "hash")}
+       |UNION ALL
+       |${block(mod, "mod")}
+       |ORDER BY scheme""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_key_skew" -> (keySkew _),
-    "q_join_size_est" -> (joinSizeEst _))
+    "q_join_size_est" -> (joinSizeEst _),
+    "q_partition_balance" -> (partitionBalance _))
 
   val oracle: Map[String, String] = Map(
     "q_key_skew" -> sqlKeySkew,
-    "q_join_size_est" -> sqlJoinSizeEst)
+    "q_join_size_est" -> sqlJoinSizeEst,
+    "q_partition_balance" -> sqlPartitionBalance)
 }

@@ -694,7 +694,56 @@ object EventQueries {
        |LIMIT 20""".stripMargin
   }
 
+  // ---------- q_event_gaps: outage / silence-gap audit ----------
+
+  /** Silence-gap audit per event type: collapse the stream to ACTIVE
+    * MINUTES, then measure the gaps between consecutive active
+    * minutes — max, p99, and the count of gaps over 10 minutes (the
+    * candidate outages an on-call review walks through). The
+    * per-event sequence never sorts: activity is a minute-grain hash
+    * aggregate first, so the lag window runs over calendar-bounded
+    * input (minutes in the observation span — grows with TIME, not
+    * with event volume; the fact-scale work is one map-side-combining
+    * aggregate).
+    *
+    * Parity: minute indices are exact integer epoch-µs divisions;
+    * gaps are integer deltas; p99 through the percentile ≡
+    * quantile_cont pair, rounded at the edge.
+    */
+  def eventGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val active = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 60000000").as("midx"))
+      .distinct()
+    val w = Window.partitionBy("event_type").orderBy("midx")
+    active
+      .withColumn("gap", col("midx") - lag(col("midx"), 1).over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_active_minutes"),
+        max(col("gap")).as("max_gap_min"),
+        graft.text.TextFns.round4(percentile(col("gap"), lit(0.99)))
+          .as("p99_gap_min"),
+        count(when(col("gap") > 10, lit(1))).as("n_gaps_over_10"))
+      .orderBy("event_type")
+  }
+
+  private val sqlEventGaps = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    s"""WITH a AS (SELECT DISTINCT event_type,
+       |                  epoch_us(CAST(ts AS TIMESTAMP)) // 60000000 AS midx
+       |           FROM events),
+       |     g AS (SELECT event_type,
+       |                  midx - lag(midx) OVER (PARTITION BY event_type ORDER BY midx) AS gap
+       |           FROM a)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_active_minutes,
+       |       CAST(max(gap) AS BIGINT) AS max_gap_min,
+       |       ${r4("quantile_cont(gap, 0.99)")} AS p99_gap_min,
+       |       CAST(count(CASE WHEN gap > 10 THEN 1 END) AS BIGINT) AS n_gaps_over_10
+       |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_gaps" -> (eventGaps _),
     "q_burstiness" -> (burstiness _),
     "q_funnel_paths" -> (funnelPaths _),
     "q_value_drift" -> (valueDrift _),
@@ -712,6 +761,7 @@ object EventQueries {
     "q_rolling_distinct" -> (rollingDistinct _))
 
   val oracle: Map[String, String] = Map(
+    "q_event_gaps" -> sqlEventGaps,
     "q_burstiness" -> sqlBurstiness,
     "q_funnel_paths" -> sqlFunnelPaths,
     "q_value_drift" -> sqlValueDrift,

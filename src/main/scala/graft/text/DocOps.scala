@@ -740,6 +740,72 @@ object DocOps {
                     " AS DECIMAL(18,6))) AS DOUBLE)")} AS chi2
        |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------- q_cramers_v: source × lang association strength ----------
+
+  /** Cramér's V over the source × language contingency table — the
+    * normalized association statistic on top of [[sourceSkew]]'s raw
+    * per-source χ²: one number in [0, 1] answering "how strongly does
+    * source determine language in this corpus" (V near 1 = sources
+    * are language silos, the signal to stratify the mixture by
+    * (source, lang) jointly rather than independently).
+    *
+    * Shape: contingency cells, margins, and total are four bounded
+    * hash aggregates (cell grain = source × lang domain); the χ²
+    * terms are per-cell doubles collapsed into a round6-DECIMAL sum
+    * (the [[sourceSkew]] parity recipe) and V = sqrt(χ²/(n·min(r−1,
+    * c−1))) — sqrt being the one correctly-rounded transcendental the
+    * parity rules allow.
+    */
+  def cramersV(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val cell = docs.groupBy("source", "lang").agg(count(lit(1)).as("obs"))
+    val bySource = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
+    val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val dims = docs.agg(count(lit(1)).as("n_total"),
+      countDistinct(col("source")).as("r"), countDistinct(col("lang")).as("c"))
+    val round6 = (x: Column) => floor(x * 1000000.0 + 0.5) / 1000000.0
+    cell
+      .join(broadcast(byLang), "lang")
+      .join(broadcast(bySource), "source")
+      .crossJoin(broadcast(dims))
+      .withColumn("exp",
+        col("n_source").cast("double") * col("n_lang").cast("double")
+          / col("n_total").cast("double"))
+      .withColumn("term",
+        (col("obs").cast("double") - col("exp"))
+          * (col("obs").cast("double") - col("exp")) / col("exp"))
+      .groupBy("n_total", "r", "c")
+      .agg(sum(round6(col("term")).cast("decimal(18,6)")).as("chi2_dec"))
+      .select(col("n_total").as("n_docs"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        TextFns.round4(col("chi2_dec").cast("double")).as("chi2"),
+        TextFns.round4(sqrt(col("chi2_dec").cast("double")
+          / (col("n_total").cast("double")
+            * least(col("r") - 1, col("c") - 1).cast("double")))).as("cramers_v"))
+  }
+
+  private val sqlCramersV =
+    s"""WITH cell AS (SELECT source, lang, count(*) AS obs FROM documents GROUP BY 1, 2),
+       |     bs AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
+       |     bl AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+       |     d AS (SELECT count(*) AS n_total, count(DISTINCT source) AS r,
+       |                  count(DISTINCT lang) AS c
+       |           FROM documents),
+       |     t AS (SELECT n_total, r, c,
+       |             (CAST(obs AS DOUBLE) - CAST(n_source AS DOUBLE) * CAST(n_lang AS DOUBLE) / CAST(n_total AS DOUBLE))
+       |               * (CAST(obs AS DOUBLE) - CAST(n_source AS DOUBLE) * CAST(n_lang AS DOUBLE) / CAST(n_total AS DOUBLE))
+       |               / (CAST(n_source AS DOUBLE) * CAST(n_lang AS DOUBLE) / CAST(n_total AS DOUBLE)) AS term
+       |           FROM cell JOIN bl USING (lang) JOIN bs USING (source) CROSS JOIN d),
+       |     a AS (SELECT n_total, r, c,
+       |                  sum(CAST((floor(term * 1000000.0 + 0.5) / 1000000.0) AS DECIMAL(18,6))) AS chi2_dec
+       |           FROM t GROUP BY 1, 2, 3)
+       |SELECT CAST(n_total AS BIGINT) AS n_docs,
+       |       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       |       ${TextFns.duckRound4("CAST(chi2_dec AS DOUBLE)")} AS chi2,
+       |       ${TextFns.duckRound4(
+                 "sqrt(CAST(chi2_dec AS DOUBLE) / (CAST(n_total AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE)))")} AS cramers_v
+       |FROM a""".stripMargin
+
   // ---------- q_collocations: PMI-lift bigram phrase mining ----------
 
   private val ColMinCount = 5L
@@ -1135,6 +1201,7 @@ object DocOps {
     "q_novelty" -> (novelty _),
     "q_delta_novelty" -> (deltaNovelty _),
     "q_source_skew" -> (sourceSkew _),
+    "q_cramers_v" -> (cramersV _),
     "q_cms_est" -> (cmsEst _),
     "q_dict_encode" -> (dictEncode _),
     "q_segment_dedup" -> (segmentDedup _),
@@ -1151,6 +1218,7 @@ object DocOps {
     "q_novelty" -> sqlNovelty,
     "q_delta_novelty" -> sqlDeltaNovelty,
     "q_source_skew" -> sqlSourceSkew,
+    "q_cramers_v" -> sqlCramersV,
     "q_cms_est" -> sqlCmsEst,
     "q_dict_encode" -> sqlDictEncode,
     "q_segment_dedup" -> sqlSegmentDedup,

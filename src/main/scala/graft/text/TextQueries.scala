@@ -340,6 +340,50 @@ object TextQueries {
        |       CAST((sz - 1) * count(*) AS BIGINT) AS docs_dropped_by_dedup
        |FROM sz GROUP BY sz ORDER BY cluster_size""".stripMargin
 
+  // ---------- 3aᵈ. q_dup_rate: per-source duplication rate ----------
+
+  /** Near-dup rate per source — the per-SOURCE cut of the
+    * [[clusterSizes]] histogram: what fraction of each source's
+    * documents would the near-dup gate drop (doc is a duplicate iff
+    * it is not its cluster's canonical representative, the
+    * `cluster_id = min doc_id` convention every dedup query here
+    * shares). The ranking a crawl review reads to find which feeds
+    * are re-serving the same content.
+    *
+    * Shape: the shared [[minhashAssignments]] kernel (banded LSH,
+    * distinct-fingerprint collapse — all the scale discipline lives
+    * there) + one broadcast-joined source lookup + a source-grain
+    * rollup. Integer counts, one rounded rate.
+    */
+  def dupRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    minhashAssignments(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("doc_id") =!= col("cluster_id"), lit(1))).as("n_dupes"))
+      .withColumn("dup_rate", TextFns.round4(
+        col("n_dupes").cast("double") / col("n_docs").cast("double")))
+      .orderBy("source")
+  }
+
+  private val sqlDupRate =
+    s"""WITH c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),
+       |     s AS (SELECT doc_id, $duckShingles AS shs FROM c),
+       |     g AS (SELECT doc_id, $duckSignature AS sig FROM s),
+       |     bands AS (SELECT doc_id, unnest($duckBandKeys) AS band FROM g),
+       |     reps AS (SELECT band, min(doc_id) AS rep FROM bands GROUP BY band),
+       |     clusters AS (SELECT bands.doc_id, min(reps.rep) AS cluster_id
+       |                  FROM bands JOIN reps ON bands.band = reps.band
+       |                  GROUP BY bands.doc_id),
+       |     j AS (SELECT clusters.doc_id, cluster_id, source
+       |           FROM clusters JOIN documents ON clusters.doc_id = documents.doc_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(CASE WHEN doc_id <> cluster_id THEN 1 END) AS BIGINT) AS n_dupes,
+       |       ${TextFns.duckRound4(
+                 "CAST(count(CASE WHEN doc_id <> cluster_id THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS dup_rate
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   // ---------- 3a¹ᵃ. q_lsh_curve: banding operating table ----------
 
   /** True-pair threshold for the curve: a candidate pair counts as a
@@ -1925,6 +1969,7 @@ object TextQueries {
     "q_minhash_est" -> (minhashEst _),
     "q_lsh_curve" -> (lshCurve _),
     "q_cluster_sizes" -> (clusterSizes _),
+    "q_dup_rate" -> (dupRate _),
     "q_pagerank" -> (pagerank _),
     "q_hits" -> (hitsQ _),
     "q_degree_mix" -> (degreeMix _),
@@ -1958,6 +2003,7 @@ object TextQueries {
     "q_minhash_est" -> sqlMinhashEst,
     "q_lsh_curve" -> sqlLshCurve,
     "q_cluster_sizes" -> sqlClusterSizes,
+    "q_dup_rate" -> sqlDupRate,
     "q_pagerank" -> sqlPagerank,
     "q_hits" -> sqlHits,
     "q_degree_mix" -> sqlDegreeMix,

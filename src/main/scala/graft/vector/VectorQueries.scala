@@ -1584,6 +1584,101 @@ object VectorQueries {
                    " / CAST(count(*) AS DOUBLE)")} AS avg_sim
        |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin
 
+  // ---------- q_binary_quant: 1-bit sign quantization recall ----------
+
+  /** Binary (1-bit sign) quantization recall audit: quantize every
+    * 64-d embedding to a 64-bit sign signature (two 32-bit halves),
+    * rank candidates per probe by HAMMING distance, and score
+    * recall@10 against the exact cosine top-10 — the audit behind the
+    * 32×-compression "binary embeddings" serving mode modern vector
+    * stores ship (Hamming over packed bits is the SIMD-cheap full-scan
+    * path; [[annRecall]]'s LSH bucket is its indexed sibling —
+    * indeed the LSH bucket IS 6 of these 64 bits).
+    *
+    * Shape: signatures are 32 branch-free literal terms per half over
+    * the RAW float array (codegen'd, no HOF, no transform-inlining
+    * hazard), the probe set broadcasts, and the Hamming rank is pure
+    * integers — the one rank with zero float hazard by construction.
+    * The exact side reuses the staged-cosine kernel; its ranks are
+    * bit-identical across engines per the left-fold parity rule.
+    */
+  def binaryQuant(spark: SparkSession, sfDir: String): DataFrame = {
+    def mask(off: Int) = (0 until 32).map(j =>
+      when(element_at(col("embedding"), off + j + 1) > 0f, lit(1L << j))
+        .otherwise(lit(0L))).reduce(_ + _)
+    val sigs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), mask(0).as("lo"), mask(32).as("hi"))
+    val base = withVecs(spark, sfDir).join(sigs, "vec_id")
+    val probes = base.filter(pmod(col("vec_id"), lit(RecallProbeStep)) === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("lo").as("plo"), col("hi").as("phi"))
+    val joined = base.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+    val bySim = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val byHam = Window.partitionBy("probe_id").orderBy(col("ham"), col("vec_id"))
+    val exact = joined
+      .withColumn("sim",
+        VectorFns.cosineStaged(col("v"), col("pv"), col("nrm"), col("pnrm")))
+      .withColumn("rk", row_number().over(bySim))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("vec_id"))
+    val ham = joined
+      .withColumn("ham", expr(
+        "CAST(bit_count(lo ^ plo) + bit_count(hi ^ phi) AS BIGINT)"))
+      .withColumn("rk", row_number().over(byHam))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("vec_id"), col("ham"))
+    val hamStats = ham.groupBy("probe_id")
+      .agg(round4(avg(col("ham"))).as("avg_ham"))
+    val hits = exact.join(ham.select("probe_id", "vec_id"),
+        Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("hits"))
+    hamStats
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("avg_ham"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round4(coalesce(col("hits"), lit(0L)).cast("double") / TopK).as("recall"))
+      .orderBy("probe_id")
+  }
+
+  private val sqlBinaryQuant = {
+    def mask(off: Int) = (0 until 32).map(j =>
+      s"(CASE WHEN embedding[${off + j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    s"""WITH $duckVecs,
+       |     sg AS (SELECT vec_id, ${mask(0)} AS lo, ${mask(32)} AS hi FROM embeddings),
+       |     b AS (SELECT e.vec_id, v, nrm, lo, hi FROM e JOIN sg ON e.vec_id = sg.vec_id),
+       |     p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm,
+       |                  lo AS plo, hi AS phi
+       |           FROM b WHERE vec_id % $RecallProbeStep = 0),
+       |     j AS (SELECT * FROM b, p WHERE vec_id <> probe_id),
+       |     ex AS (SELECT probe_id, vec_id,
+       |              row_number() OVER (PARTITION BY probe_id
+       |                ORDER BY ${duckDot("v", "pv")} / (nrm * pnrm) DESC, vec_id) AS rk
+       |            FROM j),
+       |     exact AS (SELECT probe_id, vec_id FROM ex WHERE rk <= $TopK),
+       |     hm AS (SELECT probe_id, vec_id,
+       |                   CAST(bit_count(xor(lo, plo)) + bit_count(xor(hi, phi)) AS BIGINT) AS ham
+       |            FROM j),
+       |     hr AS (SELECT probe_id, vec_id, ham,
+       |              row_number() OVER (PARTITION BY probe_id
+       |                ORDER BY ham, vec_id) AS rk
+       |            FROM hm),
+       |     htop AS (SELECT probe_id, vec_id, ham FROM hr WHERE rk <= $TopK),
+       |     hs AS (SELECT probe_id, ${duckRound4("avg(ham)")} AS avg_ham FROM htop GROUP BY 1),
+       |     hits AS (SELECT exact.probe_id, count(*) AS hits
+       |              FROM exact JOIN htop ON exact.probe_id = htop.probe_id
+       |                                  AND exact.vec_id = htop.vec_id
+       |              GROUP BY 1)
+       |SELECT hs.probe_id, avg_ham,
+       |       CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+       |       ${duckRound4(s"CAST(coalesce(hits, 0) AS DOUBLE) / $TopK")} AS recall
+       |FROM hs LEFT JOIN hits ON hs.probe_id = hits.probe_id
+       |ORDER BY hs.probe_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans_refine" -> (kmeansRefine _),
     "q_triangle_count" -> (triangleCount _),
@@ -1593,6 +1688,7 @@ object VectorQueries {
     "q_rrf_fusion" -> (rrfFusion _),
     "q_mmr_rerank" -> (mmrRerank _),
     "q_ann_recall" -> (annRecall _),
+    "q_binary_quant" -> (binaryQuant _),
     "q_ann_multiprobe" -> (annMultiprobe _),
     "q_topk_refresh" -> (topkRefresh _),
     "q_sq_error" -> (sqError _),
@@ -1617,6 +1713,7 @@ object VectorQueries {
     "q_rrf_fusion" -> sqlRrfFusion,
     "q_mmr_rerank" -> sqlMmrRerank,
     "q_ann_recall" -> sqlAnnRecall,
+    "q_binary_quant" -> sqlBinaryQuant,
     "q_ann_multiprobe" -> sqlAnnMultiprobe,
     "q_topk_refresh" -> sqlTopkRefresh,
     "q_sq_error" -> sqlSqError,
