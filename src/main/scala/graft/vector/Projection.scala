@@ -297,30 +297,57 @@ object Projection {
     * |r| with (dim_a, dim_b) tie-break.
     */
   def dimCorr(spark: SparkSession, sfDir: String): DataFrame = {
-    val r6 = (c: Column) => round6(c).cast("decimal(18,6)")
-    val pairs = Tables.embeddings(spark, sfDir)
-      .withColumn("v", VectorFns.toDouble(col("embedding")))
+    // Integer micro-unit kernel (round-9 rewrite; same oracle, same
+    // bits): r6(x) ≡ m6(x)/10⁶ with m6 = floor(x·10⁶ + 0.5) a LONG, so
+    // every decimal the old shape summed is a scaled integer sum —
+    // Σ m6 (µ-units) and Σ m6·m6' (µ²-units) — that whole-stage
+    // codegen folds as plain long adds. Two structural wins on top:
+    // (1) element_at reads the RAW parquet float array (the old
+    //     transform-built `v` re-evaluated its HOF per element access
+    //     under the double explode — the documented inlining hazard);
+    // (2) the marginal sums (sa, saa) depend on ONE dim, so they come
+    //     from a d-group aggregate over N·d rows and broadcast to the
+    //     cells — only the genuinely pairwise Σ m6·m6' rides the
+    //     N·d²/2 fan-out, one long column instead of five decimals.
+    // Conversion back at cell grain: long < 2⁵³ ⇒ long→double exact,
+    // and /10⁶ (or /10¹²) is one correctly-rounded IEEE op — the same
+    // double the DECIMAL→double edge produced (both are the correctly
+    // rounded image of the identical rational). Headroom note: µ²-unit
+    // sums reach 2⁵³ around 9e15 ⇒ ~10¹⁰ unit-scale vectors per
+    // cell; past that, widen to DECIMAL in the same shape.
+    def m6(c: Column): Column =
+      floor(c.cast("double") * 1000000.0 + 0.5).cast("long")
+    val base = Tables.embeddings(spark, sfDir).select(col("embedding"))
+    val marg = base
+      .select(posexplode_outer(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("d").cast("long").as("d"))
+      .agg(count(lit(1)).as("n"), sum(m6(col("x"))).as("s6"),
+        sum(m6(col("x")) * m6(col("x"))).as("ss6"))
+    val cross = base
       .withColumn("da", explode_outer(sequence(lit(0), lit(Dim - 2))))
       .withColumn("db", explode_outer(sequence(col("da") + 1, lit(Dim - 1))))
       .select(col("da"), col("db"),
-        element_at(col("v"), col("da") + 1).as("xa"),
-        element_at(col("v"), col("db") + 1).as("xb"))
-    val cells = pairs.groupBy(col("da").cast("long").as("dim_a"),
+        (m6(element_at(col("embedding"), col("da") + 1))
+          * m6(element_at(col("embedding"), col("db") + 1))).as("ab6"))
+      .groupBy(col("da").cast("long").as("dim_a"),
         col("db").cast("long").as("dim_b"))
-      .agg(count(lit(1)).as("n_vecs"),
-        sum(r6(col("xa"))).as("sa"),
-        sum(r6(col("xb"))).as("sb"),
-        sum((r6(col("xa")) * r6(col("xa"))).cast("decimal(38,12)")).as("saa"),
-        sum((r6(col("xb")) * r6(col("xb"))).cast("decimal(38,12)")).as("sbb"),
-        sum((r6(col("xa")) * r6(col("xb"))).cast("decimal(38,12)")).as("sab"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("ab6")).as("sab6"))
+    val cells = cross
+      .join(broadcast(marg.select(col("d").as("dim_a"), col("s6").as("sa6"),
+        col("ss6").as("saa6"))), "dim_a")
+      .join(broadcast(marg.select(col("d").as("dim_b"), col("s6").as("sb6"),
+        col("ss6").as("sbb6"))), "dim_b")
+      .select(col("dim_a"), col("dim_b"), col("n_vecs"),
+        (col("sa6").cast("double") / 1000000.0).as("saD"),
+        (col("sb6").cast("double") / 1000000.0).as("sbD"),
+        (col("saa6").cast("double") / 1.0e12).as("saaD"),
+        (col("sbb6").cast("double") / 1.0e12).as("sbbD"),
+        (col("sab6").cast("double") / 1.0e12).as("sabD"))
     val nd = col("n_vecs").cast("double")
     val scored = cells
-      .withColumn("num", nd * col("sab").cast("double")
-        - col("sa").cast("double") * col("sb").cast("double"))
-      .withColumn("dena", nd * col("saa").cast("double")
-        - col("sa").cast("double") * col("sa").cast("double"))
-      .withColumn("denb", nd * col("sbb").cast("double")
-        - col("sb").cast("double") * col("sb").cast("double"))
+      .withColumn("num", nd * col("sabD") - col("saD") * col("sbD"))
+      .withColumn("dena", nd * col("saaD") - col("saD") * col("saD"))
+      .withColumn("denb", nd * col("sbbD") - col("sbD") * col("sbD"))
       .withColumn("corr", when(col("dena") === 0.0 || col("denb") === 0.0, lit(null))
         .otherwise(col("num") / (sqrt(col("dena")) * sqrt(col("denb")))))
       .withColumn("acorr", graft.text.TextFns.round4(abs(col("corr"))))
