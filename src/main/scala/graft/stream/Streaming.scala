@@ -147,6 +147,49 @@ object Streaming {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  /** Streaming CUSUM drift monitor — the keyed-state twin of
+    * [[graft.olap.Analytics.cusumDrift]]'s batch closed form. Per
+    * key, maintain the scaled-deviation running sum R and its prefix
+    * minimum; the current alarm statistic is S = (R − min(0, minR)) /
+    * 2000 dollars, EXACTLY the batch identity S_t = R_t − min
+    * prefix R. Deviations are integer cents scaled by 20 (so the 5%
+    * slack ·21/20 stays integer): dev = 20·cents − 21·targetCents —
+    * the caller supplies the target mean (in production: from the
+    * training window; the batch query derives it from the full
+    * series). All state arithmetic is exact integers, so replaying
+    * the same prefix always reproduces the same statistic —
+    * the property [[graft.stream.SnapshotCommitter]]-style recovery
+    * needs from a monitor.
+    *
+    * Ordering: R is order-independent (a sum) but the prefix MINIMUM
+    * is not, so each micro-batch's group is folded in (ts, value)
+    * order — correct whenever batch boundaries respect event order
+    * (an append log). State is two longs + a count per key.
+    */
+  def cusumMonitor(points: DataFrame, targetCents: Long): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .select(col("key").cast("long"), col("ts").cast("long"),
+        col("cents").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          val (n0, r0, m0) = state.getOption.getOrElse((0L, 0L, 0L))
+          val ordered = rows.toSeq.sortBy(p => (p._2, p._3))
+          val (n, r, m) = ordered.foldLeft((n0, r0, m0)) {
+            case ((nn, rr, mm), (_, _, cents)) =>
+              val r2 = rr + (20L * cents - 21L * targetCents)
+              (nn + 1, r2, math.min(mm, r2))
+          }
+          state.update((n, r, m))
+          (key, n, (r - math.min(m, 0L)).toDouble / 2000.0)
+      }
+      .toDF("key", "n_points", "cusum")
+  }
+
   /** CEP-style funnel detection over the event stream: a per-user
     * state machine advancing view → click → purchase (each stage's
     * event at-or-after the previous stage's), emitting one row per

@@ -558,4 +558,39 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("fc").filter("user_id = 9").count() == 1)
     } finally q.stop()
   }
+
+  test("cusumMonitor equals the batch closed form across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // daily cents series with a level shift at t=5 (the drift CUSUM
+    // must accumulate); target mean 100 cents, 5% slack per the
+    // Analytics.cusumDrift scaling
+    val series = Seq(100L, 90L, 110L, 95L, 105L, 160L, 170L, 150L)
+    val target = 100L
+    // driver-side oracle: the EXACT batch identity S = R − min(0, min
+    // prefix R), folded in order on scaled-integer deviations
+    val devs = series.map(c => 20L * c - 21L * target)
+    val rs = devs.scanLeft(0L)(_ + _).tail
+    val expected = (rs.last - math.min(rs.min, 0L)).toDouble / 2000.0
+    val input = MemoryStream[(Long, Long, Long)]
+    val points = input.toDF().toDF("key", "ts", "cents")
+    val q = Streaming.cusumMonitor(points, target)
+      .writeStream.format("memory").queryName("cm")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // split mid-series: state must carry R and minR over the boundary
+      input.addData(series.take(4).zipWithIndex.map {
+        case (c, i) => (1L, i.toLong, c) })
+      q.processAllAvailable()
+      input.addData(series.drop(4).zipWithIndex.map {
+        case (c, i) => (1L, (i + 4).toLong, c) })
+      q.processAllAvailable()
+      val last = spark.table("cm").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(_._1 == 1L).maxBy(_._2)
+      assert(last._2 == series.size)
+      assert(last._3 == expected)
+      // the shifted tail must have tripped the statistic upward
+      assert(last._3 > 0.0)
+    } finally q.stop()
+  }
 }
