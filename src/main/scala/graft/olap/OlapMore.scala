@@ -760,6 +760,111 @@ object OlapMore {
                  "CAST(sum(rev) AS DOUBLE) / CAST(max(tot) AS DOUBLE)")} AS rev_share
        |FROM c GROUP BY cls ORDER BY cls""".stripMargin
 
+  // ---------- q_price_volume: revenue-bridge decomposition ----------
+
+  private val PvYearA = 1996
+  private val PvYearB = 1997
+
+  /** Price/volume revenue bridge per brand ([[PvYearA]] →
+    * [[PvYearB]]): the Laspeyres decomposition every FP&A review
+    * walks — ΔR = Σ(q₂−q₁)·p₁ (volume effect) + Σq₂·(p₂−p₁) (price
+    * effect), at part grain, where p is the realized unit price
+    * rev/qty. Parts absent from a year enter with q = 0 and the other
+    * year's price (standard convention: a launched part is pure
+    * volume effect).
+    *
+    * Shape: two filtered part-year aggregates (exact integer cents /
+    * quantities) full-outer-joined on the part key, per-part effect
+    * terms as fixed-shape doubles collapsed into round6-DECIMAL sums
+    * at brand grain (order-independent — part grain scales with SF,
+    * so the double sum order must never matter), then a broadcast
+    * brand lookup. One rounded edge per output.
+    */
+  def priceVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .withColumn("yr", year(col("l_shipdate")))
+      .filter(col("yr").isin(PvYearA, PvYearB))
+      .select(col("l_partkey").as("partkey"), col("yr"),
+        col("l_quantity").cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("centsv"))
+    def yearAgg(y: Int) = li.filter(col("yr") === y)
+      .groupBy("partkey")
+      .agg(sum(col("qty")).as(s"q$y"), sum(col("centsv")).as(s"c$y"))
+    val j = yearAgg(PvYearA).join(yearAgg(PvYearB), Seq("partkey"), "full_outer")
+      .select(col("partkey"),
+        coalesce(col(s"q$PvYearA"), lit(0L)).as("q1"),
+        coalesce(col(s"c$PvYearA"), lit(0L)).as("c1"),
+        coalesce(col(s"q$PvYearB"), lit(0L)).as("q2"),
+        coalesce(col(s"c$PvYearB"), lit(0L)).as("c2"))
+      .withColumn("p1", when(col("q1") > 0,
+        col("c1").cast("double") / col("q1").cast("double") / 100.0)
+        .otherwise(col("c2").cast("double") / col("q2").cast("double") / 100.0))
+      .withColumn("p2", when(col("q2") > 0,
+        col("c2").cast("double") / col("q2").cast("double") / 100.0)
+        .otherwise(col("p1")))
+      .withColumn("vol_eff", (col("q2") - col("q1")).cast("double") * col("p1"))
+      .withColumn("price_eff", col("q2").cast("double") * (col("p2") - col("p1")))
+    val r6d = (c: Column) =>
+      (floor(c * 1000000.0 + 0.5) / 1000000.0).cast("decimal(28,6)")
+    val p = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand"))
+    j.join(p, col("partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("c1")).as("rev1c"), sum(col("c2")).as("rev2c"),
+        sum(r6d(col("vol_eff"))).as("vol_dec"),
+        sum(r6d(col("price_eff"))).as("price_dec"))
+      .select(col("brand"), col("n_parts"),
+        graft.text.TextFns.round4(col("rev1c").cast("double") / 100.0).as("rev_a"),
+        graft.text.TextFns.round4(col("rev2c").cast("double") / 100.0).as("rev_b"),
+        graft.text.TextFns.round4((col("rev2c") - col("rev1c")).cast("double") / 100.0)
+          .as("delta_rev"),
+        graft.text.TextFns.round4(col("vol_dec").cast("double")).as("volume_effect"),
+        graft.text.TextFns.round4(col("price_dec").cast("double")).as("price_effect"))
+      .orderBy("brand")
+  }
+
+  private val sqlPriceVolume = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    val r6d = (e: String) =>
+      s"CAST((floor(($e) * 1000000.0 + 0.5) / 1000000.0) AS DECIMAL(28,6))"
+    s"""WITH li AS (SELECT l_partkey AS partkey,
+       |                   date_part('year', l_shipdate) AS yr,
+       |                   CAST(l_quantity AS BIGINT) AS qty,
+       |                   CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS centsv
+       |            FROM lineitem
+       |            WHERE date_part('year', l_shipdate) IN ($PvYearA, $PvYearB)),
+       |     a AS (SELECT partkey, CAST(sum(qty) AS BIGINT) AS q1,
+       |                  CAST(sum(centsv) AS BIGINT) AS c1
+       |           FROM li WHERE yr = $PvYearA GROUP BY 1),
+       |     b AS (SELECT partkey, CAST(sum(qty) AS BIGINT) AS q2,
+       |                  CAST(sum(centsv) AS BIGINT) AS c2
+       |           FROM li WHERE yr = $PvYearB GROUP BY 1),
+       |     j0 AS (SELECT coalesce(a.partkey, b.partkey) AS partkey,
+       |                   coalesce(q1, 0) AS q1, coalesce(c1, 0) AS c1,
+       |                   coalesce(q2, 0) AS q2, coalesce(c2, 0) AS c2
+       |            FROM a FULL OUTER JOIN b ON a.partkey = b.partkey),
+       |     j1 AS (SELECT *,
+       |                   CASE WHEN q1 > 0 THEN CAST(c1 AS DOUBLE) / CAST(q1 AS DOUBLE) / 100.0
+       |                        ELSE CAST(c2 AS DOUBLE) / CAST(q2 AS DOUBLE) / 100.0 END AS p1
+       |            FROM j0),
+       |     j2 AS (SELECT *,
+       |                   CASE WHEN q2 > 0 THEN CAST(c2 AS DOUBLE) / CAST(q2 AS DOUBLE) / 100.0
+       |                        ELSE p1 END AS p2
+       |            FROM j1),
+       |     e AS (SELECT partkey, q1, c1, q2, c2,
+       |                  CAST(q2 - q1 AS DOUBLE) * p1 AS vol_eff,
+       |                  CAST(q2 AS DOUBLE) * (p2 - p1) AS price_eff
+       |           FROM j2)
+       |SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_parts,
+       |       ${r4("CAST(sum(c1) AS DOUBLE) / 100.0")} AS rev_a,
+       |       ${r4("CAST(sum(c2) AS DOUBLE) / 100.0")} AS rev_b,
+       |       ${r4("CAST(sum(c2) - sum(c1) AS DOUBLE) / 100.0")} AS delta_rev,
+       |       ${r4(s"CAST(sum(${r6d("vol_eff")}) AS DOUBLE)")} AS volume_effect,
+       |       ${r4(s"CAST(sum(${r6d("price_eff")}) AS DOUBLE)")} AS price_effect
+       |FROM e JOIN part ON partkey = p_partkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topk_agg" -> (topkAgg _),
     "q_division" -> (division _),
@@ -776,7 +881,8 @@ object OlapMore {
     "q_supplier_stats" -> (supplierStats _),
     "q_revenue_cube" -> (revenueCubeQ _),
     "q_basket_pairs" -> (basketPairs _),
-    "q_abc_analysis" -> (abcAnalysis _))
+    "q_abc_analysis" -> (abcAnalysis _),
+    "q_price_volume" -> (priceVolume _))
 
   val oracle: Map[String, String] = Map(
     "q_topk_agg" -> sqlTopkAgg,
@@ -794,5 +900,6 @@ object OlapMore {
     "q_supplier_stats" -> sqlSupplierStats,
     "q_revenue_cube" -> sqlRevenueCube,
     "q_basket_pairs" -> sqlBasketPairs,
-    "q_abc_analysis" -> sqlAbcAnalysis)
+    "q_abc_analysis" -> sqlAbcAnalysis,
+    "q_price_volume" -> sqlPriceVolume)
 }

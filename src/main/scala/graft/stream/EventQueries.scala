@@ -742,7 +742,70 @@ object EventQueries {
        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  // ---------- q_user_churn: month-over-month retention / churn ----------
+
+  /** Month-over-month user churn: for each consecutive month pair,
+    * how many of the prior month's active users returned (retained),
+    * left (churned), and how many are new — the MAU retention ladder
+    * every growth dashboard leads with.
+    *
+    * Shape: collapse the stream to DISTINCT (user, month-index) FIRST
+    * (one hash aggregate — the only fact-scale pass), then a
+    * key-partitioned self-join on (user, m+1) and month-grain
+    * rollups. Month indices are exact integers (y·12+m−1), so the
+    * consecutive-month join is an integer equi-join, and all outputs
+    * are integer counts + one rounded rate.
+    */
+  def userChurn(spark: SparkSession, sfDir: String): DataFrame = {
+    // week grain (epoch-µs // 7 days): the synthetic stream spans ~a
+    // month, so weeks give 3-4 consecutive boundaries at every SF
+    // where calendar months would leave the query vacuous
+    val um = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("w"))
+      .distinct()
+    val perWeek = um.groupBy("w").agg(count(lit(1)).as("n_active"))
+    val retained = um.as("a")
+      .join(um.as("b"), col("a.user_id") === col("b.user_id")
+        && col("b.w") === col("a.w") + 1)
+      .groupBy(col("a.w").as("w")).agg(count(lit(1)).as("n_retained"))
+    perWeek.as("prev")
+      .join(perWeek.as("cur").select((col("w") - 1).as("w"),
+        col("n_active").as("n_active_next")), Seq("w"))
+      .join(retained, Seq("w"), "left")
+      .select(col("w").as("week"),
+        col("n_active"), col("n_active_next"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        (col("n_active") - coalesce(col("n_retained"), lit(0L))).as("n_churned"),
+        (col("n_active_next") - coalesce(col("n_retained"), lit(0L))).as("n_new"),
+        graft.text.TextFns.round4(coalesce(col("n_retained"), lit(0L)).cast("double")
+          / col("n_active").cast("double")).as("retention"))
+      .orderBy("week")
+  }
+
+  private val sqlUserChurn = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    s"""WITH um AS (SELECT DISTINCT user_id,
+       |                   epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS w
+       |            FROM events),
+       |     pm AS (SELECT w, CAST(count(*) AS BIGINT) AS n_active FROM um GROUP BY w),
+       |     rt AS (SELECT a.w AS w, CAST(count(*) AS BIGINT) AS n_retained
+       |            FROM um a JOIN um b ON a.user_id = b.user_id AND b.w = a.w + 1
+       |            GROUP BY a.w)
+       |SELECT CAST(prev.w AS BIGINT) AS week,
+       |       prev.n_active AS n_active, cur.n_active AS n_active_next,
+       |       coalesce(n_retained, 0) AS n_retained,
+       |       prev.n_active - coalesce(n_retained, 0) AS n_churned,
+       |       cur.n_active - coalesce(n_retained, 0) AS n_new,
+       |       ${r4("CAST(coalesce(n_retained, 0) AS DOUBLE) / CAST(prev.n_active AS DOUBLE)")} AS retention
+       |FROM pm prev
+       |JOIN pm cur ON cur.w = prev.w + 1
+       |LEFT JOIN rt ON rt.w = prev.w
+       |ORDER BY week""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_user_churn" -> (userChurn _),
     "q_event_gaps" -> (eventGaps _),
     "q_burstiness" -> (burstiness _),
     "q_funnel_paths" -> (funnelPaths _),
@@ -761,6 +824,7 @@ object EventQueries {
     "q_rolling_distinct" -> (rollingDistinct _))
 
   val oracle: Map[String, String] = Map(
+    "q_user_churn" -> sqlUserChurn,
     "q_event_gaps" -> sqlEventGaps,
     "q_burstiness" -> sqlBurstiness,
     "q_funnel_paths" -> sqlFunnelPaths,
