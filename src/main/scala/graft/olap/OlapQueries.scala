@@ -260,7 +260,123 @@ object OlapQueries {
       |  SELECT 'union', count(*) FROM (SELECT * FROM urgent UNION SELECT * FROM low)
       |) ORDER BY op""".stripMargin
 
+  // ---------- q_discount_revenue: TPC-H Q6 semantics ----------
+
+  /** Forecast-revenue-change query (TPC-H Q6's shape on this star):
+    * how much revenue was given away to a discount band in one ship
+    * year — a pure scan-filter-aggregate whose plan should be a
+    * single whole-stage-codegen'd pass with every predicate pushed to
+    * the parquet scan (no join, no shuffle beyond one 1-row combine).
+    * Parity: the per-row giveaway ext·disc lands in a round6-DECIMAL
+    * before the cross-row sum (order-independent), one rounded edge.
+    */
+  def discountRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val r6d = (c: org.apache.spark.sql.Column) =>
+      (floor(c * 1000000.0 + 0.5) / 1000000.0).cast("decimal(28,6)")
+    Tables.lineitem(spark, sfDir)
+      .filter(year(col("l_shipdate")) === 1996
+        && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_items"),
+        sum(r6d(col("l_extendedprice") * col("l_discount"))).as("rev_dec"))
+      .select(col("n_items"),
+        round(col("rev_dec").cast("double"), 4).as("promo_revenue"))
+  }
+
+  private val sqlDiscountRevenue =
+    """SELECT count(*) AS n_items,
+      |       round(CAST(sum(CAST((floor(l_extendedprice * l_discount * 1000000.0 + 0.5) / 1000000.0) AS DECIMAL(28,6))) AS DOUBLE), 4) AS promo_revenue
+      |FROM lineitem
+      |WHERE date_part('year', l_shipdate) = 1996
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // ---------- q_local_supply: TPC-H Q5 semantics ----------
+
+  /** Local-supplier revenue per nation (TPC-H Q5's join shape): line
+    * items where the ordering customer and the supplier sit in the
+    * SAME nation, one ship year, revenue per nation. The classic
+    * star-join stress: fact ⋈ orders (key-partitioned, the one big
+    * shuffle) with customer/supplier/nation as broadcast-joined
+    * lookups; the same-nation predicate applies AFTER the lookups —
+    * at 100 TB only the fact⋈orders exchange moves data. (TPC-H
+    * customer/supplier scale with SF; at warehouse scale these become
+    * shuffle joins and the plan degrades gracefully under AQE — the
+    * nation table stays the only true broadcast.)
+    */
+  def localSupply(spark: SparkSession, sfDir: String): DataFrame = {
+    val r6d = (c: org.apache.spark.sql.Column) =>
+      (floor(c * 1000000.0 + 0.5) / 1000000.0).cast("decimal(28,6)")
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).filter(year(col("o_orderdate")) === 1996)
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(r6d(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("rev_dec"))
+      .select(col("nation"), col("n_items"),
+        round(col("rev_dec").cast("double"), 4).as("revenue"))
+      .orderBy("nation")
+  }
+
+  private val sqlLocalSupply =
+    """SELECT n_name AS nation, count(*) AS n_items,
+      |       round(CAST(sum(CAST((floor(l_extendedprice * (1.0 - l_discount) * 1000000.0 + 0.5) / 1000000.0) AS DECIMAL(28,6))) AS DOUBLE), 4) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE date_part('year', o_orderdate) = 1996
+      |  AND c_nationkey = s_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------- q_top_returners: TPC-H Q10 semantics ----------
+
+  /** Top-20 customers by returned-item revenue (TPC-H Q10's shape) —
+    * the "who is sending the most value back" review. Revenue
+    * accumulates as EXACT integer cents so the top-20 rank is an
+    * integer order (no float-rank hazard by construction), taken via
+    * orderBy+limit (TakeOrdered — per-partition top-k partials, never
+    * a global sort).
+    */
+  def topReturners(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100.0 + 0.5).cast("long")).as("cents"))
+      .orderBy(col("cents").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("n_items"),
+        round(col("cents").cast("double") / 100.0, 4).as("returned_revenue"))
+  }
+
+  private val sqlTopReturners =
+    """WITH g AS (SELECT c_custkey, c_name, count(*) AS n_items,
+      |                  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |           FROM lineitem
+      |           JOIN orders ON l_orderkey = o_orderkey
+      |           JOIN customer ON o_custkey = c_custkey
+      |           WHERE l_returnflag = 'R'
+      |           GROUP BY 1, 2)
+      |SELECT c_custkey, c_name, n_items,
+      |       round(CAST(cents AS DOUBLE) / 100.0, 4) AS returned_revenue
+      |FROM g ORDER BY cents DESC, c_custkey LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_discount_revenue" -> (discountRevenue _),
+    "q_local_supply" -> (localSupply _),
+    "q_top_returners" -> (topReturners _),
     "q_revenue_by_category" -> (revenueByCategory _),
     "q_revenue_rollup" -> (revenueRollup _),
     "q_monthly_trend" -> (monthlyTrend _),
@@ -271,6 +387,9 @@ object OlapQueries {
     "q_setops" -> (setOps _))
 
   val oracle: Map[String, String] = Map(
+    "q_discount_revenue" -> sqlDiscountRevenue,
+    "q_local_supply" -> sqlLocalSupply,
+    "q_top_returners" -> sqlTopReturners,
     "q_revenue_by_category" ->
       """SELECT p_type AS category,
         |       round(sum(ceil(l_quantity * p_retailprice * 100) / 100), 4) AS total_revenue,
