@@ -247,13 +247,64 @@ object Skew {
        |ORDER BY scheme""".stripMargin
   }
 
+  // ---------- q_gini_revenue: customer-concentration Gini ----------
+
+  /** Gini coefficient of customer revenue — the one-number
+    * concentration audit next to [[keySkew]]'s per-key histogram and
+    * `q_abc_analysis`'s Pareto classes: G = 2·Σ rank·x / (n·Σx) −
+    * (n+1)/n over ascending-revenue ranks. Ranks over customer grain
+    * are fact-proportional, so they come from
+    * [[graft.etl.PrefixScan.exclusivePrefixSum]] (hierarchical
+    * two-phase scan) counting ones — never a single-partition
+    * window. Revenue is exact integer cents; Σ rank·x stays in
+    * bigint to ~10⁶ customers × petacent revenues (the headroom
+    * note: widen to DECIMAL past that); one rounded edge.
+    */
+  def giniRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val cr = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("x"))
+      .withColumn("ord", col("x") * 100000L + col("custkey"))
+      .withColumn("one", lit(1L))
+    val ranked = graft.etl.PrefixScan
+      .exclusivePrefixSum(cr, "ord", "one", "rank0")
+    ranked
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum((col("rank0") + 1L) * col("x")).as("sxr"))
+      .select(col("n").as("n_customers"),
+        graft.text.TextFns.round4(col("sx").cast("double") / 100.0).as("total_rev"),
+        graft.text.TextFns.round4(
+          lit(2.0) * col("sxr").cast("double")
+            / (col("n").cast("double") * col("sx").cast("double"))
+            - (col("n") + 1).cast("double") / col("n").cast("double")).as("gini"))
+  }
+
+  private val sqlGiniRevenue = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    s"""WITH cr AS (SELECT o_custkey AS custkey,
+       |                   CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS x
+       |            FROM orders GROUP BY 1),
+       |     rk AS (SELECT x, CAST(row_number() OVER (ORDER BY x * 100000 + custkey) AS BIGINT) AS rank
+       |            FROM cr),
+       |     a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |                  CAST(sum(rank * x) AS BIGINT) AS sxr
+       |           FROM rk)
+       |SELECT n AS n_customers,
+       |       ${r4("CAST(sx AS DOUBLE) / 100.0")} AS total_rev,
+       |       ${r4("2.0 * CAST(sxr AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) " +
+                 "- CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)")} AS gini
+       |FROM a""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_key_skew" -> (keySkew _),
     "q_join_size_est" -> (joinSizeEst _),
-    "q_partition_balance" -> (partitionBalance _))
+    "q_partition_balance" -> (partitionBalance _),
+    "q_gini_revenue" -> (giniRevenue _))
 
   val oracle: Map[String, String] = Map(
     "q_key_skew" -> sqlKeySkew,
     "q_join_size_est" -> sqlJoinSizeEst,
-    "q_partition_balance" -> sqlPartitionBalance)
+    "q_partition_balance" -> sqlPartitionBalance,
+    "q_gini_revenue" -> sqlGiniRevenue)
 }

@@ -804,7 +804,89 @@ object EventQueries {
        |ORDER BY week""".stripMargin
   }
 
+  // ---------- q_ab_test: two-proportion conversion z-test ----------
+
+  /** Two-proportion z-test on conversion (the experimentation
+    * workhorse): users split into variants by id parity (in
+    * production: the assignment column), conversion = at least one
+    * `purchase` event; the pooled-variance z-score decides whether
+    * the lift is noise. sqrt is the only transcendental (the parity
+    * rules' one allowed), every input to it is a fixed-shape double
+    * expression over exact integer counts, and the significance flag
+    * compares the ROUNDED |z| (round-before-compare rule).
+    *
+    * Shape: one distinct (user, converted) collapse — conversion via
+    * max(bool), map-side combinable — then a 2-row variant rollup and
+    * a 1-row combine. Linear, no windows.
+    */
+  def abTest(spark: SparkSession, sfDir: String): DataFrame = {
+    // conversion = above-average purchase count, not any-purchase: on
+    // this dense synthetic stream EVERY user purchases, which makes
+    // the pooled variance 0 and the z-score division undefined at all
+    // SFs; the above-average cut stays near 50% at any density
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(when(col("event_type") === "purchase", lit(1))).as("np"))
+    val avg1 = perUser.agg(
+      (sum(col("np")).cast("double") / count(lit(1)).cast("double")).as("avg_np"))
+    val users = perUser.crossJoin(broadcast(avg1))
+      .select(col("user_id"),
+        when(col("np").cast("double") > col("avg_np"), 1L).otherwise(0L).as("conv"))
+      .withColumn("variant", pmod(col("user_id"), lit(2)))
+    val agg = users.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+    val wide = agg.agg(
+      max(when(col("variant") === 0, col("n"))).as("n_a"),
+      max(when(col("variant") === 0, col("k"))).as("k_a"),
+      max(when(col("variant") === 1, col("n"))).as("n_b"),
+      max(when(col("variant") === 1, col("k"))).as("k_b"))
+    val pa = col("k_a").cast("double") / col("n_a").cast("double")
+    val pb = col("k_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("k_a") + col("k_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val z = (pa - pb) / sqrt(pp * (lit(1.0) - pp)
+      * (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    wide.select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+        graft.text.TextFns.round4(pa).as("conv_a"),
+        graft.text.TextFns.round4(pb).as("conv_b"),
+        graft.text.TextFns.round4(z).as("z_score"))
+      .withColumn("significant",
+        (abs(col("z_score")) > 1.96).cast("int"))
+  }
+
+  private val sqlAbTest = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    val pa = "CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+    val pb = "CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+    val pp = "CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)"
+    val z = s"(($pa) - ($pb)) / sqrt(($pp) * (1.0 - ($pp)) * " +
+      "(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
+    s"""WITH pu AS (SELECT user_id,
+       |                   count(CASE WHEN event_type = 'purchase' THEN 1 END) AS np
+       |            FROM events GROUP BY user_id),
+       |     av AS (SELECT CAST(sum(np) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_np
+       |            FROM pu),
+       |     u AS (SELECT user_id,
+       |                  CASE WHEN CAST(np AS DOUBLE) > avg_np THEN 1 ELSE 0 END AS conv,
+       |                  user_id % 2 AS variant
+       |           FROM pu CROSS JOIN av),
+       |     a AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+       |                  CAST(sum(conv) AS BIGINT) AS k
+       |           FROM u GROUP BY variant),
+       |     w AS (SELECT max(CASE WHEN variant = 0 THEN n END) AS n_a,
+       |                  max(CASE WHEN variant = 0 THEN k END) AS k_a,
+       |                  max(CASE WHEN variant = 1 THEN n END) AS n_b,
+       |                  max(CASE WHEN variant = 1 THEN k END) AS k_b
+       |           FROM a)
+       |SELECT n_a, k_a, n_b, k_b,
+       |       ${r4(pa)} AS conv_a, ${r4(pb)} AS conv_b,
+       |       ${r4(z)} AS z_score,
+       |       CAST(abs(${r4(z)}) > 1.96 AS INT) AS significant
+       |FROM w""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_test" -> (abTest _),
     "q_user_churn" -> (userChurn _),
     "q_event_gaps" -> (eventGaps _),
     "q_burstiness" -> (burstiness _),
@@ -824,6 +906,7 @@ object EventQueries {
     "q_rolling_distinct" -> (rollingDistinct _))
 
   val oracle: Map[String, String] = Map(
+    "q_ab_test" -> sqlAbTest,
     "q_user_churn" -> sqlUserChurn,
     "q_event_gaps" -> sqlEventGaps,
     "q_burstiness" -> sqlBurstiness,
