@@ -650,15 +650,25 @@ object OlapMore {
   def basketPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val p = Tables.part(spark, sfDir)
-    val ob = li.join(p, li("l_partkey") === p("p_partkey"))
-      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
-      .distinct()
-    val tot = ob.groupBy("brand").agg(count(lit(1)).as("cnt"))
-    val n = ob.select(col("ok")).distinct().agg(count(lit(1)).as("n_baskets"))
-    val a = ob.as("a"); val b = ob.as("b")
-    val pairs = a.join(b,
-        col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
-      .groupBy(col("a.brand").as("brand1"), col("b.brand").as("brand2"))
+    // ONE fact traversal: collapse to order-grain brand SETS and
+    // materialize (localCheckpoint — the four consumers below would
+    // otherwise each replay the fact⋈part join; blocks are freed by
+    // the per-query unpersist hygiene in Verify/Bench). Pair fan-out
+    // explodes the per-order set against itself — bounded by
+    // brands-per-order², a data constant — so no row-level self-join
+    // ever shuffles.
+    val baskets = li.join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+      .localCheckpoint()
+    val tot = baskets.select(explode_outer(col("bs")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("cnt"))
+    val n = baskets.agg(count(lit(1)).as("n_baskets"))
+    val pairs = baskets
+      .select(explode_outer(col("bs")).as("brand1"), col("bs"))
+      .select(col("brand1"), explode_outer(col("bs")).as("brand2"))
+      .filter(col("brand1") < col("brand2"))
+      .groupBy("brand1", "brand2")
       .agg(count(lit(1)).as("pair_cnt"))
     pairs
       .join(broadcast(tot.select(col("brand").as("brand1"), col("cnt").as("cnt1"))), "brand1")
