@@ -465,17 +465,100 @@ object Projection {
        |FROM l ORDER BY label""".stripMargin
   }
 
+  // ---------- q_centroid_outliers: distance-to-centroid screen ----------
+
+  /** Mislabeled-sample screen: per label, count vectors whose squared
+    * distance to the label centroid exceeds mean + 2σ — the
+    * embedding-space outlier audit a curation pass runs before
+    * trusting labels for hard-negative mining or stratified splits
+    * (the same screen SemDeDup-style pipelines use to quarantine
+    * off-cluster points).
+    *
+    * Shape: three linear passes — (1) decimal-exact centroids at
+    * (label, dim) grain ([[centroidDrift]]'s parity recipe), (2)
+    * per-row native sqDist against the broadcast centroid + a
+    * label-grain round6-DECIMAL moment aggregate, (3) the flag pass
+    * re-joins the 10-row stats broadcast. No pairwise work anywhere.
+    * The threshold compare runs on ROUNDED distances (round-before-
+    * compare rule: mean+2σ crosses a decimal→double edge).
+    */
+  def centroidOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorNative
+    val r6d = (c: Column) => round6(c).cast("decimal(28,6)")
+    val dims = Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode_outer(VectorFns.toDouble(col("embedding")))
+        .as(Seq("dim", "x")))
+    val cents = dims
+      .groupBy("label", "dim")
+      .agg(sum(r6d(col("x"))).as("sx"), count(lit(1)).as("n"))
+      .withColumn("c", col("sx").cast("double") / col("n").cast("double"))
+      .groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    val dists = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        VectorFns.toDouble(col("embedding")).as("v"))
+      .join(broadcast(cents), "label")
+      .withColumn("d2", VectorNative.sqDist(col("v"), col("cv")))
+    val stats = dists.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(r6d(col("d2"))).as("sd"),
+        sum((r6d(col("d2")) * r6d(col("d2"))).cast("decimal(38,12)")).as("sdd"))
+      .withColumn("mean_d2", col("sd").cast("double") / col("n_vecs").cast("double"))
+      .withColumn("sigma", sqrt(col("sdd").cast("double") / col("n_vecs").cast("double")
+        - col("mean_d2") * col("mean_d2")))
+    dists.join(broadcast(stats.select(col("label"), col("n_vecs"),
+        col("mean_d2"), col("sigma"))), "label")
+      .groupBy("label")
+      .agg(max(col("n_vecs")).as("n_vecs"),
+        graft.text.TextFns.round4(max(col("mean_d2"))).as("mean_d2"),
+        count(when(round6(col("d2")) >
+          round6(col("mean_d2") + lit(2.0) * col("sigma")), lit(1))).as("n_outliers"))
+      .orderBy("label")
+  }
+
+  private val sqlCentroidOutliers = {
+    val r6 = (e: String) => s"(floor(($e) * 1000000.0 + 0.5) / 1000000.0)"
+    val r6d = (e: String) => s"CAST(${r6(e)} AS DECIMAL(28,6))"
+    val sqd = "list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, len(v) + 1), " +
+      "i -> (v[CAST(i AS INT)] - cv[CAST(i AS INT)]) * (v[CAST(i AS INT)] - cv[CAST(i AS INT)])), (acc, y) -> acc + y)"
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |     x AS (SELECT label, CAST(i - 1 AS INT) AS dim, v[CAST(i AS INT)] AS x
+       |           FROM e CROSS JOIN range(1, ${Dim + 1}) t(i)),
+       |     lc AS (SELECT label, dim,
+       |              CAST(sum(${r6d("x")}) AS DOUBLE) / count(*) AS c
+       |            FROM x GROUP BY 1, 2),
+       |     ce AS (SELECT label,
+       |              list_transform(list_sort(list({'dim': dim, 'c': c})), p -> p.c) AS cv
+       |            FROM lc GROUP BY label),
+       |     d AS (SELECT e.vec_id, e.label, $sqd AS d2
+       |           FROM e JOIN ce ON e.label = ce.label),
+       |     st AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |                   CAST(sum(${r6d("d2")}) AS DOUBLE) / count(*) AS mean_d2,
+       |                   sqrt(CAST(sum(CAST(${r6d("d2")} * ${r6d("d2")} AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+       |                     - (CAST(sum(${r6d("d2")}) AS DOUBLE) / count(*))
+       |                       * (CAST(sum(${r6d("d2")}) AS DOUBLE) / count(*))) AS sigma
+       |            FROM d GROUP BY label)
+       |SELECT d.label AS label, max(n_vecs) AS n_vecs,
+       |       ${graft.text.TextFns.duckRound4("max(mean_d2)")} AS mean_d2,
+       |       CAST(count(CASE WHEN ${r6("d2")} > ${r6("mean_d2 + 2.0 * sigma")} THEN 1 END) AS BIGINT) AS n_outliers
+       |FROM d JOIN st ON d.label = st.label
+       |GROUP BY d.label ORDER BY d.label""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rand_proj" -> (randProj _),
     "q_centroid_drift" -> (centroidDrift _),
     "q_dim_corr" -> (dimCorr _),
     "q_dim_stats" -> (dimStats _),
-    "q_isotropy" -> (isotropy _))
+    "q_isotropy" -> (isotropy _),
+    "q_centroid_outliers" -> (centroidOutliers _))
 
   val oracle: Map[String, String] = Map(
     "q_rand_proj" -> sqlRandProj,
     "q_centroid_drift" -> sqlCentroidDrift,
     "q_dim_corr" -> sqlDimCorr,
     "q_dim_stats" -> sqlDimStats,
-    "q_isotropy" -> sqlIsotropy)
+    "q_isotropy" -> sqlIsotropy,
+    "q_centroid_outliers" -> sqlCentroidOutliers)
 }

@@ -1679,6 +1679,81 @@ object VectorQueries {
        |ORDER BY hs.probe_id""".stripMargin
   }
 
+  // ---------- q_maxsim: late-interaction (ColBERT MaxSim) scoring ----------
+
+  private val MsSubDim = 16
+  private val MsSubs = 4
+
+  /** Late-interaction retrieval scoring (ColBERT's MaxSim, Khattab &
+    * Zaharia 2020): treat each vector as [[MsSubs]] × [[MsSubDim]]-d
+    * sub-embeddings ("token" vectors — here deterministic slices of
+    * the stored embedding), score a document against the probe as
+    * Σ_q maxᵈ cos(q_sub, d_sub), and rank top-10. The operator the
+    * multi-vector serving tier runs where single-vector cosine loses
+    * token-level signal.
+    *
+    * Shape: both sides fan to sub-vector grain (a 4-element literal
+    * array explode — row-local), the probe's 4 sub-vectors broadcast,
+    * and the per-(doc, q-slot) max + per-doc fixed-order 4-term sum
+    * are hash aggregates — work is docs × 16 native dots, linear in
+    * the corpus. Parity: sub-vector norms and dots are the staged
+    * left-fold kernels (bit-identical), the max is a comparison of
+    * identical bits, and the 4-term final sum is written in fixed
+    * slot order on both engines — no unordered float reduction
+    * anywhere.
+    */
+  def maxsim(spark: SparkSession, sfDir: String): DataFrame = {
+    def subs(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = array((0 until MsSubs).map(i =>
+      slice(v, i * MsSubDim + 1, MsSubDim)): _*)
+    val base = withVecs(spark, sfDir)
+      .withColumn("sv", subs(col("v")))
+      .select(col("vec_id"), col("label"),
+        posexplode_outer(col("sv")).as(Seq("si", "sub")))
+      .withColumn("snrm", sqrt(graft.functions.VectorNative.dot(col("sub"), col("sub"))))
+    val probe = base.filter(col("vec_id") === 0)
+      .select(col("si").as("qi"), col("sub").as("qsub"), col("snrm").as("qnrm"))
+    val perSlot = base.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("sim", graft.functions.VectorNative.dot(col("sub"), col("qsub"))
+        / (col("snrm") * col("qnrm")))
+      .groupBy("vec_id", "label", "qi")
+      .agg(max(col("sim")).as("m"))
+    val slotAggs = (0 until MsSubs).map(i =>
+      max(when(col("qi") === i, col("m"))).as(s"m$i"))
+    val scored = perSlot.groupBy("vec_id", "label")
+      .agg(slotAggs.head, slotAggs.tail: _*)
+      .withColumn("score",
+        col("m0") + col("m1") + col("m2") + col("m3"))
+    scored.orderBy(col("score").desc, col("vec_id"))
+      .limit(TopK)
+      .select(col("vec_id"), col("label"), round4(col("score")).as("maxsim"))
+  }
+
+  private val sqlMaxsim = {
+    def sub(v: String, i: Int) =
+      s"$v[${i * MsSubDim + 1}:${(i + 1) * MsSubDim}]"
+    s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |     sx AS (SELECT vec_id, label, i AS si,
+       |                   CASE ${(0 until MsSubs).map(i =>
+                      s"WHEN i = $i THEN ${sub("v", i)}").mkString(" ")} END AS sub
+       |            FROM e0 CROSS JOIN range(0, $MsSubs) t(i)),
+       |     sn AS (SELECT vec_id, label, si, sub,
+       |                   sqrt(${duckDot("sub", "sub")}) AS snrm
+       |            FROM sx),
+       |     p AS (SELECT si AS qi, sub AS qsub, snrm AS qnrm FROM sn WHERE vec_id = 0),
+       |     ps AS (SELECT vec_id, label, qi,
+       |                   max(${duckDot("sub", "qsub")} / (snrm * qnrm)) AS m
+       |            FROM sn, p WHERE vec_id <> 0
+       |            GROUP BY 1, 2, 3),
+       |     sc AS (SELECT vec_id, label,
+       |                   ${(0 until MsSubs).map(i =>
+                      s"max(CASE WHEN qi = $i THEN m END) AS m$i").mkString(", ")}
+       |            FROM ps GROUP BY 1, 2)
+       |SELECT vec_id, label,
+       |       ${duckRound4("(((m0 + m1) + m2) + m3)")} AS maxsim
+       |FROM sc ORDER BY (((m0 + m1) + m2) + m3) DESC, vec_id LIMIT $TopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans_refine" -> (kmeansRefine _),
     "q_triangle_count" -> (triangleCount _),
@@ -1689,6 +1764,7 @@ object VectorQueries {
     "q_mmr_rerank" -> (mmrRerank _),
     "q_ann_recall" -> (annRecall _),
     "q_binary_quant" -> (binaryQuant _),
+    "q_maxsim" -> (maxsim _),
     "q_ann_multiprobe" -> (annMultiprobe _),
     "q_topk_refresh" -> (topkRefresh _),
     "q_sq_error" -> (sqError _),
@@ -1714,6 +1790,7 @@ object VectorQueries {
     "q_mmr_rerank" -> sqlMmrRerank,
     "q_ann_recall" -> sqlAnnRecall,
     "q_binary_quant" -> sqlBinaryQuant,
+    "q_maxsim" -> sqlMaxsim,
     "q_ann_multiprobe" -> sqlAnnMultiprobe,
     "q_topk_refresh" -> sqlTopkRefresh,
     "q_sq_error" -> sqlSqError,
