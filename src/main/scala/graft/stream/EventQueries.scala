@@ -885,7 +885,43 @@ object EventQueries {
        |FROM w""".stripMargin
   }
 
+  // ---------- q_seasonal_dow: day-of-week seasonality profile ----------
+
+  /** Day-of-week traffic profile per event type — the seasonality
+    * baseline [[peakDetect]]'s spike fences and [[valueDrift]]'s PSI
+    * implicitly assume away: share of each type's events landing on
+    * each weekday, so capacity planning and anomaly fences can be
+    * conditioned on the weekly cycle. One bounded (dow × type) hash
+    * aggregate + a broadcast type-total; integers and one rounded
+    * share. Day-of-week parity: Spark's 1..7 Sunday-first `dayofweek`
+    * ≡ DuckDB's 0..6 `dayofweek` + 1.
+    */
+  def seasonalDow(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+    val cells = e.groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+    val tots = cells.groupBy("event_type").agg(sum(col("n")).as("t"))
+    cells.join(broadcast(tots), "event_type")
+      .select(col("event_type"), col("dow"), col("n"),
+        graft.text.TextFns.round4(col("n").cast("double") / col("t").cast("double"))
+          .as("share"))
+      .orderBy("event_type", "dow")
+  }
+
+  private val sqlSeasonalDow =
+    s"""WITH e AS (SELECT event_type,
+       |                  CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow
+       |           FROM events),
+       |     c AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n
+       |           FROM e GROUP BY 1, 2),
+       |     t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY 1)
+       |SELECT event_type, dow, n,
+       |       ${graft.text.TextFns.duckRound4("CAST(n AS DOUBLE) / CAST(t AS DOUBLE)")} AS share
+       |FROM c JOIN t USING (event_type)
+       |ORDER BY event_type, dow""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonal_dow" -> (seasonalDow _),
     "q_ab_test" -> (abTest _),
     "q_user_churn" -> (userChurn _),
     "q_event_gaps" -> (eventGaps _),
@@ -906,6 +942,7 @@ object EventQueries {
     "q_rolling_distinct" -> (rollingDistinct _))
 
   val oracle: Map[String, String] = Map(
+    "q_seasonal_dow" -> sqlSeasonalDow,
     "q_ab_test" -> sqlAbTest,
     "q_user_churn" -> sqlUserChurn,
     "q_event_gaps" -> sqlEventGaps,

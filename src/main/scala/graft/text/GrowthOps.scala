@@ -348,7 +348,74 @@ object GrowthOps {
        |FROM a""".stripMargin
   }
 
+  // ---------- q_distinctive_terms: per-source lexical fingerprint ----------
+
+  private val DtMinCorpusTf = 5L
+  private val DtTopK = 3
+
+  /** Top-[[DtTopK]] most DISTINCTIVE terms per source by lift —
+    * (term share within the source) ÷ (term share in the corpus) —
+    * the lexical fingerprint a crawl review reads to see what a feed
+    * is actually about (and the boilerplate detector's cousin: a
+    * navigation token with lift ≈ uniform across sources is
+    * template, one with lift ≫ 1 in a single source is content).
+    * Terms under [[DtMinCorpusTf]] corpus occurrences are dropped —
+    * singleton lift is noise.
+    *
+    * Shape: one (source, term) hash aggregate + two bounded margins
+    * broadcast back; the top-3 cut is a window over source-partitioned
+    * vocab-grain input (scale note: vocab grows sublinearly; the
+    * fact-scale alternative is the 3-fold mergeable struct-max of the
+    * `q_mode_priority` pattern). Rank on the ROUNDED lift with a term
+    * tie-break (rank-on-rounded rule); the lift itself is one
+    * fixed-shape division of exact-integer products.
+    */
+  def distinctiveTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("source"), explode_outer(col("ts")).as("term"))
+    val st = toks.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val ct = st.groupBy("term").agg(sum(col("tf")).as("ctf"))
+      .filter(col("ctf") >= DtMinCorpusTf)
+    val srcTot = st.groupBy("source").agg(sum(col("tf")).as("t_src"))
+    val tot = ct.agg(sum(col("ctf")).as("t_all"))
+    val scored = st.join(ct, "term")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift", TextFns.round4(
+        (col("tf").cast("double") * col("t_all").cast("double"))
+          / (col("t_src").cast("double") * col("ctf").cast("double"))))
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy("source")
+        .orderBy(col("lift").desc, col("term"))))
+      .filter(col("rk") <= DtTopK)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("term"), col("tf"), col("lift"))
+      .orderBy("source", "rk")
+  }
+
+  private val sqlDistinctiveTerms =
+    s"""WITH tok AS (SELECT source, unnest($duckTokens) AS term FROM documents),
+       |     st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+       |            FROM tok GROUP BY 1, 2),
+       |     ct AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM st GROUP BY 1
+       |            HAVING sum(tf) >= $DtMinCorpusTf),
+       |     stot AS (SELECT source, CAST(sum(tf) AS BIGINT) AS t_src FROM st GROUP BY 1),
+       |     tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS t_all FROM ct),
+       |     sc AS (SELECT source, term, tf,
+       |              ${TextFns.duckRound4(
+                  "(CAST(tf AS DOUBLE) * CAST(t_all AS DOUBLE)) / (CAST(t_src AS DOUBLE) * CAST(ctf AS DOUBLE))")} AS lift
+       |            FROM st JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN tot),
+       |     rk AS (SELECT source, term, tf, lift,
+       |              CAST(row_number() OVER (PARTITION BY source
+       |                ORDER BY lift DESC, term) AS BIGINT) AS rk
+       |            FROM sc)
+       |SELECT source, rk, term, tf, lift FROM rk WHERE rk <= $DtTopK
+       |ORDER BY source, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_distinctive_terms" -> (distinctiveTerms _),
     "q_vocab_growth" -> (vocabGrowth _),
     "q_length_buckets" -> (lengthBuckets _),
     "q_fertility" -> (fertility _),
@@ -356,6 +423,7 @@ object GrowthOps {
     "q_zipf_fit" -> (zipfFit _))
 
   val oracle: Map[String, String] = Map(
+    "q_distinctive_terms" -> sqlDistinctiveTerms,
     "q_vocab_growth" -> sqlVocabGrowth,
     "q_length_buckets" -> sqlLengthBuckets,
     "q_fertility" -> sqlFertility,
