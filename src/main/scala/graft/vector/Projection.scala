@@ -546,7 +546,126 @@ object Projection {
        |GROUP BY d.label ORDER BY d.label""".stripMargin
   }
 
+  // ---------- q_pca_power: leading principal component ----------
+
+  private val PcaIters = 3
+
+  /** Leading principal component of the embedding covariance by
+    * power iteration — the PCA/whitening front end the [[dimCorr]]
+    * redundancy audit motivates (a dominant component with broad
+    * loadings = rotate before PQ subspacing; also the classic
+    * all-but-the-top embedding post-process of Mu & Viswanath 2018).
+    *
+    * Division of labor at 100 TB: the DISTRIBUTED work is the exact
+    * second-moment matrix — the [[dimCorr]] integer micro-unit
+    * kernel (marginals at d grain, Σm6·m6′ at d²/2 grain, all long
+    * sums) — and the DRIVER work is [[PcaIters]] power iterations on
+    * the collected d×d matrix (4096 doubles — the bounded-collect
+    * class of PrefixScan's partials). That split is how production
+    * PCA at scale actually runs (covariance distributed, eigensolve
+    * local).
+    *
+    * Parity: covariance cells are one fixed-shape double expression
+    * over exact integer sums (int64→double is correctly rounded on
+    * both engines); every fold in the iteration — matrix·vector per
+    * row, the norm — is an ASCENDING-index left fold, mirrored by the
+    * oracle's list_reduce over ordered lists; sqrt is the one
+    * transcendental; the sign is pinned by the deterministic all-⅛
+    * start vector; outputs round once at the edge.
+    */
+  def pcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    def m6(c: Column): Column =
+      floor(c.cast("double") * 1000000.0 + 0.5).cast("long")
+    val base = Tables.embeddings(spark, sfDir).select(col("embedding"))
+    val marg = base
+      .select(posexplode_outer(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n"), sum(m6(col("x"))).as("s6"),
+        sum(m6(col("x")) * m6(col("x"))).as("ss6"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val dimN = marg.length
+    val n = marg.head._2
+    val s = marg.map(_._3)
+    val cross = base
+      .withColumn("da", explode_outer(sequence(lit(0), lit(Dim - 2))))
+      .withColumn("db", explode_outer(sequence(col("da") + 1, lit(Dim - 1))))
+      .select(col("da"), col("db"),
+        (m6(element_at(col("embedding"), col("da") + 1))
+          * m6(element_at(col("embedding"), col("db") + 1))).as("ab6"))
+      .groupBy("da", "db").agg(sum(col("ab6")).as("p6"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    def p(i: Int, j: Int): Long =
+      if (i == j) marg(i)._4 else cross((math.min(i, j), math.max(i, j)))
+    val nD = n.toDouble
+    // identical expression tree to the oracle's cmat CTE
+    val cm = Array.tabulate(dimN, dimN) { (i, j) =>
+      (nD * p(i, j).toDouble - s(i).toDouble * s(j).toDouble) /
+        ((nD * nD) * 1.0e12)
+    }
+    var v = Array.fill(dimN)(0.125)
+    var lambda = 0.0
+    (1 to PcaIters).foreach { _ =>
+      val w = Array.tabulate(dimN) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < dimN) { acc = acc + cm(i)(j) * v(j); j += 1 }
+        acc
+      }
+      var nrm2 = 0.0
+      var i = 0
+      while (i < dimN) { nrm2 = nrm2 + w(i) * w(i); i += 1 }
+      lambda = math.sqrt(nrm2)
+      v = w.map(_ / lambda)
+    }
+    def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    import spark.implicits._
+    v.zipWithIndex.map { case (l, i) => (i.toLong, r4(l), r4(lambda)) }
+      .toSeq.toDF("dim", "loading", "eigenvalue")
+      .orderBy("dim")
+  }
+
+  private val sqlPcaPower = {
+    val m6 = (e: String) => s"CAST(floor(($e) * 1000000.0 + 0.5) AS BIGINT)"
+    // one unrolled power iteration: (cl rows, v list) -> (w list, λ)
+    def iter(k: Int, vPrev: String): String =
+      s"""w$k AS (SELECT i, list_reduce([CAST(0.0 AS DOUBLE)] ||
+         |          list_transform(range(1, ${Dim + 1}),
+         |            j -> cl[CAST(j AS INT)] * v[CAST(j AS INT)]),
+         |          (acc, y) -> acc + y) AS wi
+         |        FROM crow CROSS JOIN $vPrev),
+         |     wl$k AS (SELECT list(wi ORDER BY i) AS w FROM w$k),
+         |     nm$k AS (SELECT w, sqrt(list_reduce([CAST(0.0 AS DOUBLE)] ||
+         |          list_transform(w, y -> y * y), (acc, y) -> acc + y)) AS lam
+         |        FROM wl$k),
+         |     v$k AS (SELECT list_transform(w, y -> y / lam) AS v, lam FROM nm$k)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |     x AS (SELECT vec_id, CAST(i - 1 AS INT) AS d, ${m6("v[CAST(i AS INT)]")} AS m
+       |           FROM e CROSS JOIN range(1, ${Dim + 1}) t(i)),
+       |     mg AS (SELECT d, CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS s6
+       |            FROM x GROUP BY d),
+       |     p AS (SELECT a.d AS i, b.d AS j, CAST(sum(a.m * b.m) AS BIGINT) AS p6
+       |           FROM x a JOIN x b ON a.vec_id = b.vec_id
+       |           GROUP BY 1, 2),
+       |     cmat AS (SELECT p.i, p.j,
+       |                (CAST(mi.n AS DOUBLE) * CAST(p6 AS DOUBLE)
+       |                  - CAST(mi.s6 AS DOUBLE) * CAST(mj.s6 AS DOUBLE))
+       |                / ((CAST(mi.n AS DOUBLE) * CAST(mi.n AS DOUBLE)) * 1.0e12) AS c
+       |              FROM p JOIN mg mi ON p.i = mi.d JOIN mg mj ON p.j = mj.d),
+       |     crow AS (SELECT i, list(c ORDER BY j) AS cl FROM cmat GROUP BY i),
+       |     v0 AS (SELECT list_transform(range(1, ${Dim + 1}), j -> CAST(0.125 AS DOUBLE)) AS v),
+       |     ${iter(1, "v0")},
+       |     ${iter(2, "v1")},
+       |     ${iter(3, "v2")}
+       |SELECT CAST(i - 1 AS BIGINT) AS dim,
+       |       ${graft.text.TextFns.duckRound4("v[CAST(i AS INT)]")} AS loading,
+       |       ${graft.text.TextFns.duckRound4("lam")} AS eigenvalue
+       |FROM v3 CROSS JOIN range(1, ${Dim + 1}) t(i)
+       |ORDER BY dim""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pca_power" -> (pcaPower _),
     "q_rand_proj" -> (randProj _),
     "q_centroid_drift" -> (centroidDrift _),
     "q_dim_corr" -> (dimCorr _),
@@ -560,5 +679,6 @@ object Projection {
     "q_dim_corr" -> sqlDimCorr,
     "q_dim_stats" -> sqlDimStats,
     "q_isotropy" -> sqlIsotropy,
-    "q_centroid_outliers" -> sqlCentroidOutliers)
+    "q_centroid_outliers" -> sqlCentroidOutliers,
+    "q_pca_power" -> sqlPcaPower)
 }
