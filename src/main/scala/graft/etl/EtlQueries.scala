@@ -380,6 +380,56 @@ object EtlQueries {
       |       CAST(sum(open_flag) AS BIGINT) AS n_open
       |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------- q_pit_join: point-in-time (temporal) fact⋈SCD2 join ----------
+
+  /** Point-in-time correct join: route every order to the dimension
+    * VERSION that was valid on its order date — the temporal-join
+    * semantics that separate an SCD2 warehouse from one that silently
+    * attributes old facts to current attributes (and the feature-
+    * store "as-of training join" in ML serving). History derives from
+    * [[Merge.scd2]] deterministically: customers with custkey%3=0
+    * moved segment on 1998-01-01, so pre-move orders must land on the
+    * OLD segment and post-move orders on MOVED; the oracle states the
+    * contractual routing directly (the `q_scd2_history` post-state
+    * pattern).
+    *
+    * Shape: equi-join on the business key with the validity interval
+    * as a post-join filter — the standard PIT plan (the key join
+    * bounds candidates to versions-per-key, a small constant; at
+    * 100 TB the history side is dim-versions-scale and AQE picks the
+    * join strategy). Revenue stays exact integer cents.
+    */
+  def pitJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment").as("segment"))
+    val existing = cust
+      .withColumn("valid_from", lit("1995-01-01").cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+    val updates = cust.withColumn("segment",
+      when(col("custkey") % 3 === 0, lit("MOVED")).otherwise(col("segment")))
+    val history = Merge.scd2(existing, updates, Seq("custkey"), Seq("segment"),
+      asOf = lit("1998-01-01").cast("timestamp"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("od"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    o.join(history, col("o_custkey") === col("custkey")
+        && col("od") >= col("valid_from")
+        && (col("valid_to").isNull || col("od") < col("valid_to")))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("cents")).cast("double") / 100.0, 4).as("revenue"))
+      .orderBy("segment")
+  }
+
+  private val sqlPitJoin =
+    """SELECT CASE WHEN c_custkey % 3 = 0 AND o_orderdate >= DATE '1998-01-01'
+      |            THEN 'MOVED' ELSE c_mktsegment END AS segment,
+      |       count(*) AS n_orders,
+      |       round(CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------- q_constraint_audit: declarative data-quality checks ----------
 
   /** Deequ-style declarative constraint audit over the warehouse
@@ -707,6 +757,7 @@ object EtlQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bloom_fpr" -> (bloomFpr _),
+    "q_pit_join" -> (pitJoin _),
     "q_mv_retract" -> (mvRetract _),
     "q_zone_map" -> (zoneMap _),
     "q_snapshot_diff" -> (snapshotDiff _),
@@ -727,6 +778,7 @@ object EtlQueries {
 
   val oracle: Map[String, String] = Map(
     "q_bloom_fpr" -> sqlBloomFpr,
+    "q_pit_join" -> sqlPitJoin,
     "q_mv_retract" -> sqlMvRetract,
     "q_zone_map" -> sqlZoneMap,
     "q_snapshot_diff" -> sqlSnapshotDiff,
