@@ -439,7 +439,8 @@ object Analytics {
     "q_minmax_by" -> (minmaxBy _),
     "q_percent_rank" -> (percentRank _),
     "q_cusum_drift" -> (cusumDrift _),
-    "q_order_cycle_time" -> (orderCycleTime _))
+    "q_order_cycle_time" -> (orderCycleTime _),
+    "q_rolling_median" -> (rollingMedian _))
 
   // ---------- q_order_cycle_time: fulfillment-latency distribution ----------
 
@@ -485,6 +486,51 @@ object Analytics {
        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  // ---------- q_rolling_median: robust rolling window statistic ----------
+
+  /** Rolling 7-day MEDIAN of daily revenue — the robust counterpart
+    * of `q_rolling_7d`'s rolling mean (one spiky day drags a mean for
+    * a week; the median shrugs it off). Spark has no percentile over
+    * window FRAMES, so the shape is the `rollingDistinct` replication
+    * trick: each day's value replicates to the ≤7 windows that
+    * contain it (a `sequence` explode — bounded fan, equi-join, no
+    * BNLJ), then one exact-percentile hash aggregate per window.
+    * Window input is the DAY-GRAIN aggregate (calendar-bounded), so
+    * the whole query is one fact pass + bounded-grain work.
+    * Parity: integer epoch-day indices, exact cents, percentile ≡
+    * quantile_cont, one rounded edge.
+    */
+  def rollingMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("xc"))
+      .withColumn("di", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val fan = daily
+      .select(col("di"), col("xc"),
+        explode_outer(sequence(col("di"), col("di") + 6)).as("wd"))
+    val windows = fan.groupBy("wd")
+      .agg(count(lit(1)).as("n_days"),
+        percentile(col("xc"), lit(0.5)).as("medc"))
+    windows.join(daily.select(col("di").as("wd"), col("day")), "wd")
+      .select(col("day"), col("n_days"),
+        graft.text.TextFns.round4(col("medc") / 100.0).as("median_rev"))
+      .orderBy("day")
+  }
+
+  private val sqlRollingMedian =
+    s"""WITH daily AS (SELECT o_orderdate AS day,
+       |                      CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS xc,
+       |                      CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS di
+       |               FROM orders GROUP BY 1),
+       |     fan AS (SELECT di, xc, unnest(range(di, di + 7)) AS wd FROM daily),
+       |     w AS (SELECT wd, CAST(count(*) AS BIGINT) AS n_days,
+       |                  quantile_cont(xc, 0.5) AS medc
+       |           FROM fan GROUP BY wd)
+       |SELECT day, n_days,
+       |       ${graft.text.TextFns.duckRound4("medc / 100.0")} AS median_rev
+       |FROM w JOIN daily ON w.wd = daily.di
+       |ORDER BY day""".stripMargin
 
   // ---------- q_cusum_drift: change-point detection on daily revenue ----------
 
@@ -552,6 +598,7 @@ object Analytics {
   val oracle: Map[String, String] = Map(
     "q_cusum_drift" -> sqlCusumDrift,
     "q_order_cycle_time" -> sqlOrderCycleTime,
+    "q_rolling_median" -> sqlRollingMedian,
     "q_window_frames" -> sqlWindowFrames,
     "q_full_outer" -> sqlFullOuter,
     "q_unpivot" -> sqlUnpivot,

@@ -451,9 +451,15 @@ object OlapStats {
   def equidepthHist(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_extendedprice").cast("double").as("x"))
-    val fenceCols = (1 until EqBuckets).map(i =>
-      percentile(col("x"), lit(i.toDouble / EqBuckets)).as(s"f$i"))
-    val fences = li.agg(fenceCols.head, fenceCols.tail: _*)
+    // ONE percentile call with the percentage ARRAY: nine separate
+    // percentile expressions each buffer the full column through the
+    // single-group aggregate (9× the sort and 45 MB of shuffle at
+    // sf0.1 — measured 14.5 s); the array form buffers once
+    val fences = li
+      .agg(percentile(col("x"), array((1 until EqBuckets).map(i =>
+        lit(i.toDouble / EqBuckets)): _*)).as("fs"))
+      .select((1 until EqBuckets).map(i =>
+        element_at(col("fs"), i).as(s"f$i")): _*)
     val bucket = (1 until EqBuckets).map(i =>
       when(col("x") > col(s"f$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -480,7 +486,71 @@ object OlapStats {
        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  // ---------- q_benford: first-digit law audit ----------
+
+  /** Benford's-law first-digit audit over order totals — the fraud /
+    * synthetic-data screen (Nigrini's forensic-accounting staple):
+    * naturally-occurring multi-scale amounts put ~30.1% of first
+    * digits at 1; fabricated or clamped distributions don't. Emitted
+    * per digit with observed vs expected share so the reviewer sees
+    * WHERE the distribution bends (this synthetic corpus bends it —
+    * that's the point of an audit).
+    *
+    * Parity: the first digit comes from integer-cents magnitude via a
+    * descending CASE power ladder (no log10 anywhere near the
+    * round-trip); the nine expected shares are literals rendered from
+    * the same Scala doubles into both plans; shares are single
+    * divisions rounded at the edge. One bounded 9-group aggregate.
+    */
+  private val BenfordPows: Seq[Long] =
+    (1 to 12).scanLeft(1L)((a, _) => a * 10L).reverse
+  private val BenfordExp: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+
+  def benford(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
+    // fold ASCENDING so the largest power lands outermost — CASE
+    // semantics check the outermost (= largest) threshold first,
+    // mirroring the oracle's descending WHEN ladder
+    val fd = BenfordPows.init.reverse.foldLeft(c) { (acc, p) =>
+      when(c >= p, (c / p).cast("long")).otherwise(acc)
+    }
+    val expCol = BenfordExp.foldLeft(lit(0.0)) { case (acc, (d, e)) =>
+      when(col("digit") === d, lit(e)).otherwise(acc)
+    }
+    val counts = Tables.orders(spark, sfDir)
+      .select(fd.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("t"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share", round4(col("n").cast("double") / col("t").cast("double")))
+      .withColumn("expected", round4(expCol))
+      .select(col("digit"), col("n"), col("share"), col("expected"),
+        round4(col("share") - col("expected")).as("excess"))
+      .orderBy("digit")
+  }
+
+  private val sqlBenford = {
+    val ladder = BenfordPows.init
+      .map(p => s"WHEN c >= $p THEN c // $p").mkString(" ")
+    val expCase = BenfordExp
+      .map { case (d, e) => s"WHEN digit = $d THEN $e" }.mkString(" ")
+    s"""WITH v AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+       |           FROM orders),
+       |     f AS (SELECT CAST(CASE $ladder ELSE c END AS BIGINT) AS digit FROM v),
+       |     g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY digit),
+       |     t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM g),
+       |     s AS (SELECT digit, n,
+       |                  ${duckRound4("CAST(n AS DOUBLE) / CAST(t AS DOUBLE)")} AS share,
+       |                  ${duckRound4(s"CASE $expCase ELSE 0.0 END")} AS expected
+       |           FROM g CROSS JOIN t)
+       |SELECT digit, n, share, expected,
+       |       ${duckRound4("share - expected")} AS excess
+       |FROM s ORDER BY digit""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford" -> (benford _),
     "q_equidepth_hist" -> (equidepthHist _),
     "q_quantile_est" -> (quantileEst _),
     "q_winsorize" -> (winsorize _),
@@ -492,6 +562,7 @@ object OlapStats {
     "q_outliers" -> (outliers _))
 
   val oracle: Map[String, String] = Map(
+    "q_benford" -> sqlBenford,
     "q_equidepth_hist" -> sqlEquidepthHist,
     "q_quantile_est" -> sqlQuantileEst,
     "q_winsorize" -> sqlWinsorize,

@@ -414,7 +414,52 @@ object GrowthOps {
        |SELECT source, rk, term, tf, lift FROM rk WHERE rk <= $DtTopK
        |ORDER BY source, rk""".stripMargin
 
+  // ---------- q_simpson_diversity: lexical concentration per source ----------
+
+  /** Simpson diversity index per source: D = Σ f(f−1) / (T(T−1)) —
+    * the probability two tokens drawn without replacement are the
+    * SAME type. The token-level concentration number completing the
+    * diversity ladder ([[vocabGrowth]]'s TTR = richness,
+    * `q_char_gini` = character grain, this = repetition mass): a
+    * source whose D spikes is re-serving the same few tokens
+    * (templates, spam), whatever its vocabulary size says.
+    *
+    * Parity: ENTIRELY integer until one division — Σ f(f−1) and
+    * T(T−1) are exact bigints (the rational-arithmetic rule: no ln,
+    * no float sums anywhere). Shape: one (source, term) hash
+    * aggregate + a source-grain rollup, both map-side combinable.
+    * (Headroom: Σ f(f−1) nears 2⁶³ around 3·10⁹ occurrences of one
+    * term in one source — widen to DECIMAL then.)
+    */
+  def simpsonDiversity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("source"), explode_outer(col("ts")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("f"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"), sum(col("f")).as("n_tokens"),
+        sum(col("f") * (col("f") - 1L)).as("rep_mass"))
+      .withColumn("simpson", TextFns.round4(
+        col("rep_mass").cast("double")
+          / (col("n_tokens").cast("double") * (col("n_tokens") - 1L).cast("double"))))
+      .select("source", "n_types", "n_tokens", "simpson")
+      .orderBy("source")
+
+  private val sqlSimpsonDiversity =
+    s"""WITH tok AS (SELECT source, unnest($duckTokens) AS term FROM documents),
+       |     tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS f
+       |            FROM tok GROUP BY 1, 2),
+       |     g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+       |                  CAST(sum(f) AS BIGINT) AS n_tokens,
+       |                  CAST(sum(f * (f - 1)) AS BIGINT) AS rep_mass
+       |           FROM tf GROUP BY source)
+       |SELECT source, n_types, n_tokens,
+       |       ${TextFns.duckRound4(
+                 "CAST(rep_mass AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))")} AS simpson
+       |FROM g ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_simpson_diversity" -> (simpsonDiversity _),
     "q_distinctive_terms" -> (distinctiveTerms _),
     "q_vocab_growth" -> (vocabGrowth _),
     "q_length_buckets" -> (lengthBuckets _),
@@ -423,6 +468,7 @@ object GrowthOps {
     "q_zipf_fit" -> (zipfFit _))
 
   val oracle: Map[String, String] = Map(
+    "q_simpson_diversity" -> sqlSimpsonDiversity,
     "q_distinctive_terms" -> sqlDistinctiveTerms,
     "q_vocab_growth" -> sqlVocabGrowth,
     "q_length_buckets" -> sqlLengthBuckets,
