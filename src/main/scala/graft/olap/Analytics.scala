@@ -467,10 +467,15 @@ object Analytics {
       .agg(count(lit(1)).as("n_lines"),
         count(when(col("days") < 0, lit(1))).as("n_negative"),
         min(col("days")).as("min_days"),
-        graft.text.TextFns.round4(percentile(col("days"), lit(0.5))).as("p50_days"),
-        graft.text.TextFns.round4(percentile(col("days"), lit(0.9))).as("p90_days"),
-        graft.text.TextFns.round4(percentile(col("days"), lit(0.99))).as("p99_days"),
+        percentile(col("days"),
+          array(lit(0.5), lit(0.9), lit(0.99))).as("ps"),
         max(col("days")).as("max_days"))
+      .select(col("priority"), col("n_lines"), col("n_negative"),
+        col("min_days"),
+        graft.text.TextFns.round4(element_at(col("ps"), 1)).as("p50_days"),
+        graft.text.TextFns.round4(element_at(col("ps"), 2)).as("p90_days"),
+        graft.text.TextFns.round4(element_at(col("ps"), 3)).as("p99_days"),
+        col("max_days"))
       .orderBy("priority")
   }
 

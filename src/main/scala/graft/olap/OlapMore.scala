@@ -106,11 +106,17 @@ object OlapMore {
     o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .select(col("c_mktsegment").as("segment"), col("o_totalprice").as("price"))
       .groupBy("segment")
-      .agg(
-        round(percentile(col("price"), lit(0.5)), 4).as("p50"),
-        round(percentile(col("price"), lit(0.9)), 4).as("p90"),
-        round(percentile(col("price"), lit(0.99)), 4).as("p99"),
+      // one ARRAY-percentile buffer per group, not three scalar ones
+      // (the q_equidepth_hist lesson — each scalar percentile expr
+      // buffers and sorts the group separately)
+      .agg(percentile(col("price"),
+          array(lit(0.5), lit(0.9), lit(0.99))).as("ps"),
         count(lit(1)).as("n_orders"))
+      .select(col("segment"),
+        round(element_at(col("ps"), 1), 4).as("p50"),
+        round(element_at(col("ps"), 2), 4).as("p90"),
+        round(element_at(col("ps"), 3), 4).as("p99"),
+        col("n_orders"))
       .orderBy("segment")
   }
 

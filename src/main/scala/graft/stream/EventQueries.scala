@@ -464,8 +464,11 @@ object EventQueries {
       (floor(c * 1000000.0 + 0.5) / 1000000.0).cast("decimal(18,6)")
     val ev = Tables.events(spark, sfDir)
       .select(expr("unix_micros(date_trunc('day', ts))").as("day_us"), col("value"))
-    val pct = (1 to 9).map(d => percentile(col("value"), lit(d / 10.0)).as(s"q$d"))
-    val fences = ev.agg(pct.head, pct.tail: _*)
+    // single array-percentile buffer (the q_equidepth_hist lesson)
+    val fences = ev
+      .agg(percentile(col("value"), array((1 to 9).map(d =>
+        lit(d / 10.0)): _*)).as("qs"))
+      .select((1 to 9).map(d => element_at(col("qs"), d).as(s"q$d")): _*)
     val minDay = ev.agg(min(col("day_us")).as("min_day"))
     val cells = ev.crossJoin(broadcast(fences)).crossJoin(broadcast(minDay))
       .withColumn("week",
@@ -597,9 +600,12 @@ object EventQueries {
       .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        r4(percentile(col("value"), lit(0.5))).as("p50"),
-        r4(percentile(col("value"), lit(0.95))).as("p95"),
-        r4(percentile(col("value"), lit(0.99))).as("p99"))
+        percentile(col("value"),
+          array(lit(0.5), lit(0.95), lit(0.99))).as("ps"))
+      .select(col("day"), col("event_type"), col("n_events"),
+        r4(element_at(col("ps"), 1)).as("p50"),
+        r4(element_at(col("ps"), 2)).as("p95"),
+        r4(element_at(col("ps"), 3)).as("p99"))
       .orderBy("day", "event_type")
   }
 
