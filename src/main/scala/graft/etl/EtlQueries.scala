@@ -380,6 +380,122 @@ object EtlQueries {
       |       CAST(sum(open_flag) AS BIGINT) AS n_open
       |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------- q_impute_median: group-median null imputation ----------
+
+  /** Median imputation audit: fill null event values with the
+    * per-type median and report the filled mean next to the
+    * imputation volume — the cleaning step after [[CleanFns]]'
+    * coercions (F8 turns junk into nulls; this decides what the
+    * nulls BECOME) with the audit columns a feature pipeline logs.
+    *
+    * Shape: ONE type-grain aggregate computes everything — the
+    * filled mean needs no second pass because it is algebraic in the
+    * aggregates: (Σv + n_null·med)/n. Parity: both engines skip
+    * nulls in sum/percentile identically; the sum is round6-DECIMAL
+    * (order-independent), the median joins it as a DECIMAL product
+    * with exact integer n_null, one division at the edge.
+    */
+  def imputeMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val r6d = (c: org.apache.spark.sql.Column) =>
+      (floor(c * 1000000.0 + 0.5) / 1000000.0).cast("decimal(18,6)")
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("value").isNull, lit(1))).as("n_imputed"),
+        sum(r6d(col("value"))).as("sv"),
+        percentile(col("value"), lit(0.5)).as("med"))
+      .select(col("event_type"), col("n_events"), col("n_imputed"),
+        graft.text.TextFns.round4(col("med")).as("median"),
+        graft.text.TextFns.round4(
+          (col("sv") + r6d(col("med")) * col("n_imputed")).cast("double")
+            / col("n_events").cast("double")).as("mean_filled"))
+      .orderBy("event_type")
+  }
+
+  private val sqlImputeMedian = {
+    val r6d = (e: String) =>
+      s"CAST((floor(($e) * 1000000.0 + 0.5) / 1000000.0) AS DECIMAL(18,6))"
+    s"""WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |                  CAST(count(CASE WHEN value IS NULL THEN 1 END) AS BIGINT) AS n_imputed,
+       |                  sum(${r6d("value")}) AS sv,
+       |                  quantile_cont(value, 0.5) AS med
+       |           FROM events GROUP BY event_type)
+       |SELECT event_type, n_events, n_imputed,
+       |       ${graft.text.TextFns.duckRound4("med")} AS median,
+       |       ${graft.text.TextFns.duckRound4(
+                 s"CAST(sv + ${r6d("med")} * n_imputed AS DOUBLE) / CAST(n_events AS DOUBLE)")} AS mean_filled
+       |FROM g ORDER BY event_type""".stripMargin
+  }
+
+  // ---------- q_profile_drift: snapshot-over-snapshot profile diff ----------
+
+  /** Column-profile drift between two ingestion halves — the
+    * schema-quality CI check on top of [[Profile]]: has a column's
+    * null rate moved between snapshot A (even event ids) and snapshot
+    * B (odd)? A jump says an upstream producer changed (a field went
+    * optional, a parser started failing) before any query breaks
+    * loudly. One row per audited column with both rates and the
+    * absolute drift.
+    *
+    * Shape: one pass over the fact computes every (column, half)
+    * counter as conditional aggregates (the Deequ batched-
+    * verification trick `q_constraint_audit` uses), then a literal
+    * unpivot — no per-column scans. Integers + two rounded rates.
+    */
+  def profileDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("half", pmod(col("event_id"), lit(2)))
+    val agg = ev.agg(
+      count(when(col("half") === 0, lit(1))).as("n_a"),
+      count(when(col("half") === 1, lit(1))).as("n_b"),
+      count(when(col("half") === 0 && col("user_id").isNull, lit(1))).as("nu_a"),
+      count(when(col("half") === 1 && col("user_id").isNull, lit(1))).as("nu_b"),
+      count(when(col("half") === 0 && col("value").isNull, lit(1))).as("nv_a"),
+      count(when(col("half") === 1 && col("value").isNull, lit(1))).as("nv_b"),
+      count(when(col("half") === 0 && col("props").isNull, lit(1))).as("np_a"),
+      count(when(col("half") === 1 && col("props").isNull, lit(1))).as("np_b"))
+    val cols = Seq(("user_id", "nu"), ("value", "nv"), ("props", "np"))
+    val rows = cols.map { case (name, p) =>
+      agg.select(lit(name).as("column_name"), col("n_a"), col("n_b"),
+        col(s"${p}_a").as("nulls_a"), col(s"${p}_b").as("nulls_b"))
+    }.reduce(_ unionByName _)
+    rows
+      .withColumn("null_rate_a", graft.text.TextFns.round4(
+        col("nulls_a").cast("double") / col("n_a").cast("double")))
+      .withColumn("null_rate_b", graft.text.TextFns.round4(
+        col("nulls_b").cast("double") / col("n_b").cast("double")))
+      .withColumn("drift", graft.text.TextFns.round4(
+        abs(col("null_rate_a") - col("null_rate_b"))))
+      .select("column_name", "n_a", "n_b", "nulls_a", "nulls_b",
+        "null_rate_a", "null_rate_b", "drift")
+      .orderBy("column_name")
+  }
+
+  private val sqlProfileDrift = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    val blocks = Seq(("user_id", "nu"), ("value", "nv"), ("props", "np")).map {
+      case (name, p) =>
+        s"SELECT '$name' AS column_name, n_a, n_b, ${p}_a AS nulls_a, ${p}_b AS nulls_b FROM a"
+    }.mkString("(", " UNION ALL ", ")")
+    s"""WITH a AS (SELECT
+       |    CAST(count(CASE WHEN event_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_a,
+       |    CAST(count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_b,
+       |    CAST(count(CASE WHEN event_id % 2 = 0 AND user_id IS NULL THEN 1 END) AS BIGINT) AS nu_a,
+       |    CAST(count(CASE WHEN event_id % 2 = 1 AND user_id IS NULL THEN 1 END) AS BIGINT) AS nu_b,
+       |    CAST(count(CASE WHEN event_id % 2 = 0 AND value IS NULL THEN 1 END) AS BIGINT) AS nv_a,
+       |    CAST(count(CASE WHEN event_id % 2 = 1 AND value IS NULL THEN 1 END) AS BIGINT) AS nv_b,
+       |    CAST(count(CASE WHEN event_id % 2 = 0 AND props IS NULL THEN 1 END) AS BIGINT) AS np_a,
+       |    CAST(count(CASE WHEN event_id % 2 = 1 AND props IS NULL THEN 1 END) AS BIGINT) AS np_b
+       |  FROM events),
+       |     u AS $blocks
+       |SELECT column_name, n_a, n_b, nulls_a, nulls_b,
+       |       ${r4("CAST(nulls_a AS DOUBLE) / CAST(n_a AS DOUBLE)")} AS null_rate_a,
+       |       ${r4("CAST(nulls_b AS DOUBLE) / CAST(n_b AS DOUBLE)")} AS null_rate_b,
+       |       ${r4(s"abs(${r4("CAST(nulls_a AS DOUBLE) / CAST(n_a AS DOUBLE)")} - " +
+                 s"${r4("CAST(nulls_b AS DOUBLE) / CAST(n_b AS DOUBLE)")})")} AS drift
+       |FROM u ORDER BY column_name""".stripMargin
+  }
+
   // ---------- q_pit_join: point-in-time (temporal) fact⋈SCD2 join ----------
 
   /** Point-in-time correct join: route every order to the dimension
@@ -758,6 +874,8 @@ object EtlQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bloom_fpr" -> (bloomFpr _),
     "q_pit_join" -> (pitJoin _),
+    "q_impute_median" -> (imputeMedian _),
+    "q_profile_drift" -> (profileDrift _),
     "q_mv_retract" -> (mvRetract _),
     "q_zone_map" -> (zoneMap _),
     "q_snapshot_diff" -> (snapshotDiff _),
@@ -779,6 +897,8 @@ object EtlQueries {
   val oracle: Map[String, String] = Map(
     "q_bloom_fpr" -> sqlBloomFpr,
     "q_pit_join" -> sqlPitJoin,
+    "q_impute_median" -> sqlImputeMedian,
+    "q_profile_drift" -> sqlProfileDrift,
     "q_mv_retract" -> sqlMvRetract,
     "q_zone_map" -> sqlZoneMap,
     "q_snapshot_diff" -> sqlSnapshotDiff,
