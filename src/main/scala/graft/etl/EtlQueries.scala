@@ -380,6 +380,51 @@ object EtlQueries {
       |       CAST(sum(open_flag) AS BIGINT) AS n_open
       |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------- q_vacuum_plan: small-file compaction planner ----------
+
+  private val VacuumCapacity = 25000L // rows per compacted file
+
+  /** Small-file compaction (VACUUM / OPTIMIZE bin-packing) planner:
+    * month partitions of the fact are mostly far below a healthy file
+    * size, so plan contiguous merges that fill ~[[VacuumCapacity]]
+    * rows per output file — the Delta/Iceberg `OPTIMIZE` planning
+    * step, expressed as a query so the plan is inspectable before
+    * any rewrite runs. Contiguity (pack in month order) preserves the
+    * partition pruning the monthly layout exists for.
+    *
+    * Shape: partition stats are one month-grain aggregate; the
+    * packing is [[PrefixScan.packByCapacity]] (hierarchical two-phase
+    * prefix sum — the `q_pack_audit` kernel, so its greedy spill
+    * semantics are already spec-pinned); the plan rollup is bounded
+    * by output-file count. All integers.
+    */
+  def vacuumPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables.lineitem(spark, sfDir)
+      .groupBy((year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+        .cast("long").as("midx"))
+      .agg(count(lit(1)).as("rows"))
+    PrefixScan.packByCapacity(parts, "midx", "rows", VacuumCapacity, "file_id")
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_partitions"), sum(col("rows")).as("n_rows"),
+        min(col("midx")).as("first_month"), max(col("midx")).as("last_month"))
+      .orderBy("file_id")
+  }
+
+  private val sqlVacuumPlan =
+    s"""WITH p AS (SELECT CAST(date_part('year', l_shipdate) * 12
+       |                    + date_part('month', l_shipdate) - 1 AS BIGINT) AS midx,
+       |                  CAST(count(*) AS BIGINT) AS rows
+       |           FROM lineitem GROUP BY 1),
+       |     s AS (SELECT midx, rows,
+       |                  CAST(coalesce(sum(rows) OVER (ORDER BY midx
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |                    // $VacuumCapacity AS BIGINT) AS file_id
+       |           FROM p)
+       |SELECT file_id, CAST(count(*) AS BIGINT) AS n_partitions,
+       |       CAST(sum(rows) AS BIGINT) AS n_rows,
+       |       min(midx) AS first_month, max(midx) AS last_month
+       |FROM s GROUP BY file_id ORDER BY file_id""".stripMargin
+
   // ---------- q_impute_median: group-median null imputation ----------
 
   /** Median imputation audit: fill null event values with the
@@ -875,6 +920,7 @@ object EtlQueries {
     "q_bloom_fpr" -> (bloomFpr _),
     "q_pit_join" -> (pitJoin _),
     "q_impute_median" -> (imputeMedian _),
+    "q_vacuum_plan" -> (vacuumPlan _),
     "q_profile_drift" -> (profileDrift _),
     "q_mv_retract" -> (mvRetract _),
     "q_zone_map" -> (zoneMap _),
@@ -898,6 +944,7 @@ object EtlQueries {
     "q_bloom_fpr" -> sqlBloomFpr,
     "q_pit_join" -> sqlPitJoin,
     "q_impute_median" -> sqlImputeMedian,
+    "q_vacuum_plan" -> sqlVacuumPlan,
     "q_profile_drift" -> sqlProfileDrift,
     "q_mv_retract" -> sqlMvRetract,
     "q_zone_map" -> sqlZoneMap,
