@@ -75,6 +75,22 @@ object RunAudit {
       },
       run("centroid_drift", df => maxCol("drift_cos")(df)) {
         graft.vector.Projection.centroidDrift(spark, sfDir)
+      },
+      // round-9 continuation additions — same kernel-reuse rule
+      run("kanon", sumCol("rows_at_risk")) {
+        TextAnalytics.kanon(spark, sfDir)
+      },
+      run("cramers_v", maxCol("cramers_v")) {
+        DocOps.cramersV(spark, sfDir)
+      },
+      run("vocab_drift", df => sumCol("n_born")(df) + sumCol("n_died")(df)) {
+        GrowthOps.vocabDrift(spark, sfDir)
+      },
+      run("dup_rate", sumCol("n_dupes")) {
+        TextQueries.dupRate(spark, sfDir)
+      },
+      run("centroid_outliers", sumCol("n_outliers")) {
+        graft.vector.Projection.centroidOutliers(spark, sfDir)
       })
 
     val spark2 = spark

@@ -15,7 +15,8 @@ class RunAuditSpec extends SparkSpec {
 
   test("report contains every audit plus the summary, all non-empty") {
     val expected = Set("constraints", "gopher_rules", "segment_dedup", "novelty",
-      "source_skew", "source_overlap", "label_prop", "centroid_drift")
+      "source_skew", "source_overlap", "label_prop", "centroid_drift",
+      "kanon", "cramers_v", "vocab_drift", "dup_rate", "centroid_outliers")
     assert(stats.map(_.audit).toSet == expected)
     stats.foreach { s =>
       assert(s.rows > 0, s"audit ${s.audit} wrote an empty report")
@@ -42,6 +43,11 @@ class RunAuditSpec extends SparkSpec {
     assert(byName("constraints").alert == viol.toDouble)
     assert(byName("centroid_drift").alert <= 1.0 + 1e-9,
       "cosine drift headline above 1 — not a cosine")
+    assert(byName("cramers_v").alert >= 0.0 && byName("cramers_v").alert <= 1.0 + 1e-9,
+      "Cramér's V headline out of [0, 1]")
+    val dupes = spark.read.parquet(s"$outDir/dup_rate")
+      .agg(sum(col("n_dupes"))).collect()(0).getLong(0)
+    assert(byName("dup_rate").alert == dupes.toDouble)
   }
 
   test("rerun converges: second run rewrites the same report") {
