@@ -810,6 +810,78 @@ object EventQueries {
        |ORDER BY week""".stripMargin
   }
 
+  // ---------- q_growth_accounting: new/retained/resurrected/churned ----------
+
+  /** Full growth accounting per week (the a16z/AARRR ledger
+    * [[userChurn]]'s two-week view cannot express): every active user
+    * is exactly one of NEW (first week ever), RETAINED (also active
+    * last week), or RESURRECTED (active before, skipped last week);
+    * churned counts last week's actives who left. The ledger
+    * identity actives(w) = new + retained + resurrected is the
+    * built-in self-check.
+    *
+    * Shape: one distinct (user, week) collapse, a user-grain
+    * first-week aggregate joined back on the key, and a consecutive-
+    * week integer self-join — all key-partitioned hash work; weeks
+    * are exact epoch-µs divisions.
+    */
+  def growthAccounting(spark: SparkSession, sfDir: String): DataFrame = {
+    val um = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("w"))
+      .distinct()
+    val first = um.groupBy("user_id").agg(min(col("w")).as("fw"))
+    val prev = um.select(col("user_id"), (col("w") + 1).as("w"),
+      lit(1L).as("was_prev"))
+    val classified = um.join(first, "user_id")
+      .join(prev, Seq("user_id", "w"), "left")
+      .select(col("w"),
+        when(col("fw") === col("w"), "new")
+          .when(col("was_prev").isNotNull, "retained")
+          .otherwise("resurrected").as("cls"))
+    val ledger = classified.groupBy("w")
+      .agg(count(lit(1)).as("n_active"),
+        count(when(col("cls") === "new", lit(1))).as("n_new"),
+        count(when(col("cls") === "retained", lit(1))).as("n_retained"),
+        count(when(col("cls") === "resurrected", lit(1))).as("n_resurrected"))
+    val churned = um.as("a")
+      .join(um.as("b").select(col("user_id"), (col("w") - 1).as("w"),
+        lit(1L).as("next")), Seq("user_id", "w"), "left")
+      .filter(col("next").isNull)
+      .groupBy((col("w") + 1).as("w"))
+      .agg(count(lit(1)).as("n_churned"))
+    ledger.join(churned, Seq("w"), "left")
+      .select(col("w").as("week"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned_in"))
+      .orderBy("week")
+  }
+
+  private val sqlGrowthAccounting =
+    s"""WITH um AS (SELECT DISTINCT user_id,
+       |                   epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS w
+       |            FROM events),
+       |     f AS (SELECT user_id, min(w) AS fw FROM um GROUP BY user_id),
+       |     cl AS (SELECT um.w,
+       |              CASE WHEN f.fw = um.w THEN 'new'
+       |                   WHEN p.user_id IS NOT NULL THEN 'retained'
+       |                   ELSE 'resurrected' END AS cls
+       |            FROM um JOIN f ON um.user_id = f.user_id
+       |            LEFT JOIN um p ON p.user_id = um.user_id AND p.w = um.w - 1),
+       |     led AS (SELECT w, CAST(count(*) AS BIGINT) AS n_active,
+       |               CAST(count(CASE WHEN cls = 'new' THEN 1 END) AS BIGINT) AS n_new,
+       |               CAST(count(CASE WHEN cls = 'retained' THEN 1 END) AS BIGINT) AS n_retained,
+       |               CAST(count(CASE WHEN cls = 'resurrected' THEN 1 END) AS BIGINT) AS n_resurrected
+       |             FROM cl GROUP BY w),
+       |     ch AS (SELECT a.w + 1 AS w, CAST(count(*) AS BIGINT) AS n_churned
+       |            FROM um a LEFT JOIN um n ON n.user_id = a.user_id AND n.w = a.w + 1
+       |            WHERE n.user_id IS NULL
+       |            GROUP BY a.w + 1)
+       |SELECT CAST(led.w AS BIGINT) AS week, n_active, n_new, n_retained, n_resurrected,
+       |       coalesce(n_churned, 0) AS n_churned_in
+       |FROM led LEFT JOIN ch ON led.w = ch.w
+       |ORDER BY week""".stripMargin
+
   // ---------- q_ab_test: two-proportion conversion z-test ----------
 
   /** Two-proportion z-test on conversion (the experimentation
@@ -928,6 +1000,7 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seasonal_dow" -> (seasonalDow _),
+    "q_growth_accounting" -> (growthAccounting _),
     "q_ab_test" -> (abTest _),
     "q_user_churn" -> (userChurn _),
     "q_event_gaps" -> (eventGaps _),
@@ -949,6 +1022,7 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     "q_seasonal_dow" -> sqlSeasonalDow,
+    "q_growth_accounting" -> sqlGrowthAccounting,
     "q_ab_test" -> sqlAbTest,
     "q_user_churn" -> sqlUserChurn,
     "q_event_gaps" -> sqlEventGaps,
