@@ -1754,6 +1754,91 @@ object VectorQueries {
        |FROM sc ORDER BY (((m0 + m1) + m2) + m3) DESC, vec_id LIMIT $TopK""".stripMargin
   }
 
+  // ---------- q_quant_mrr: true-NN rank under quantized ordering ----------
+
+  /** Mean reciprocal rank of the TRUE nearest neighbor inside the
+    * binary-quantized (Hamming) ranking — the retrieval-quality
+    * metric that complements [[binaryQuant]]'s recall@10: recall says
+    * how much of the top-10 survives quantization, MRR says how far
+    * the single best answer sinks (the number a rerank-depth decision
+    * reads: a true NN at Hamming rank ≤ r is recovered by reranking
+    * the top r with exact scores).
+    *
+    * Shape: the NN's rank is a COUNT of candidates ordered strictly
+    * before it ((ham, vec_id) lexicographic — exact integers, no
+    * window over the candidate set), per probe; the ≤n_probes NN rows
+    * broadcast back onto the candidate fan. The MRR mean is a
+    * round6-DECIMAL sum of 1/rank (order-independent).
+    */
+  def quantMrr(spark: SparkSession, sfDir: String): DataFrame = {
+    def mask(off: Int) = (0 until 32).map(j =>
+      when(element_at(col("embedding"), off + j + 1) > 0f, lit(1L << j))
+        .otherwise(lit(0L))).reduce(_ + _)
+    val sigs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), mask(0).as("lo"), mask(32).as("hi"))
+    val base = withVecs(spark, sfDir).join(sigs, "vec_id")
+    val probes = base.filter(pmod(col("vec_id"), lit(RecallProbeStep)) === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("lo").as("plo"), col("hi").as("phi"))
+    val joined = base.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("sim",
+        VectorFns.cosineStaged(col("v"), col("pv"), col("nrm"), col("pnrm")))
+      .withColumn("ham", expr(
+        "CAST(bit_count(lo ^ plo) + bit_count(hi ^ phi) AS BIGINT)"))
+    val nn = joined
+      .withColumn("rk", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rk") === 1)
+      .select(col("probe_id"), col("vec_id").as("nn_id"), col("ham").as("nn_ham"))
+    val ranks = joined.select(col("probe_id"), col("vec_id"), col("ham"))
+      .join(broadcast(nn), "probe_id")
+      .groupBy("probe_id")
+      .agg((sum(when(col("ham") < col("nn_ham")
+        || (col("ham") === col("nn_ham") && col("vec_id") < col("nn_id")),
+        1L).otherwise(0L)) + 1L).as("nn_rank"))
+    ranks.agg(count(lit(1)).as("n_probes"),
+        sum(round6(lit(1.0) / col("nn_rank").cast("double"))
+          .cast("decimal(18,6)")).as("rr_dec"),
+        max(col("nn_rank")).as("worst_rank"))
+      .select(col("n_probes"),
+        round4(col("rr_dec").cast("double") / col("n_probes").cast("double"))
+          .as("mrr"),
+        col("worst_rank"))
+  }
+
+  private val sqlQuantMrr = {
+    def mask(off: Int) = (0 until 32).map(j =>
+      s"(CASE WHEN embedding[${off + j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    s"""WITH $duckVecs,
+       |     sg AS (SELECT vec_id, ${mask(0)} AS lo, ${mask(32)} AS hi FROM embeddings),
+       |     b AS (SELECT e.vec_id, v, nrm, lo, hi FROM e JOIN sg ON e.vec_id = sg.vec_id),
+       |     p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm,
+       |                  lo AS plo, hi AS phi
+       |           FROM b WHERE vec_id % $RecallProbeStep = 0),
+       |     j AS (SELECT probe_id, vec_id,
+       |                  ${duckDot("v", "pv")} / (nrm * pnrm) AS sim,
+       |                  CAST(bit_count(xor(lo, plo)) + bit_count(xor(hi, phi)) AS BIGINT) AS ham
+       |           FROM b, p WHERE vec_id <> probe_id),
+       |     nn AS (SELECT probe_id, vec_id AS nn_id, ham AS nn_ham
+       |            FROM (SELECT probe_id, vec_id, ham,
+       |                    row_number() OVER (PARTITION BY probe_id
+       |                      ORDER BY sim DESC, vec_id) AS rk
+       |                  FROM j) WHERE rk = 1),
+       |     rk AS (SELECT j.probe_id,
+       |              CAST(sum(CASE WHEN j.ham < nn_ham
+       |                        OR (j.ham = nn_ham AND j.vec_id < nn_id)
+       |                       THEN 1 ELSE 0 END) + 1 AS BIGINT) AS nn_rank
+       |            FROM j JOIN nn ON j.probe_id = nn.probe_id
+       |            GROUP BY j.probe_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_probes,
+       |       ${duckRound4(
+                 s"CAST(sum(CAST(${duckRound6("1.0 / CAST(nn_rank AS DOUBLE)")} AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mrr,
+       |       max(nn_rank) AS worst_rank
+       |FROM rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans_refine" -> (kmeansRefine _),
     "q_triangle_count" -> (triangleCount _),
@@ -1765,6 +1850,7 @@ object VectorQueries {
     "q_ann_recall" -> (annRecall _),
     "q_binary_quant" -> (binaryQuant _),
     "q_maxsim" -> (maxsim _),
+    "q_quant_mrr" -> (quantMrr _),
     "q_ann_multiprobe" -> (annMultiprobe _),
     "q_topk_refresh" -> (topkRefresh _),
     "q_sq_error" -> (sqError _),
@@ -1791,6 +1877,7 @@ object VectorQueries {
     "q_ann_recall" -> sqlAnnRecall,
     "q_binary_quant" -> sqlBinaryQuant,
     "q_maxsim" -> sqlMaxsim,
+    "q_quant_mrr" -> sqlQuantMrr,
     "q_ann_multiprobe" -> sqlAnnMultiprobe,
     "q_topk_refresh" -> sqlTopkRefresh,
     "q_sq_error" -> sqlSqError,
