@@ -549,7 +549,83 @@ object OlapStats {
        |FROM s ORDER BY digit""".stripMargin
   }
 
+  // ---------- q_weighted_median: weighted quantile via prefix scan ----------
+
+  /** Quantity-weighted median price per return flag — the weighted
+    * quantile neither Spark nor most engines ship natively (an
+    * unweighted median over line items answers "the typical LINE";
+    * the quantity-weighted one answers "the typical UNIT sold").
+    * Definition: the smallest price whose cumulative weight reaches
+    * ⌈T/2⌉ (the lower weighted median — an exact-integer contract
+    * with no interpolation to drift cross-engine).
+    *
+    * Shape — the scale story IS the ranking machinery: cumulative
+    * weights in (flag, price) order come from ONE global
+    * [[graft.etl.PrefixScan.exclusivePrefixSum]] over a composite
+    * integer key (flag block · 10¹⁶ + cents · 10⁸ + row id) with
+    * per-flag offsets subtracted via a 3-row broadcast — never a
+    * fact-scale sort window. Duplicate composite keys can only carry
+    * the SAME price, so the selected value is deterministic even
+    * where the tie order is not. All integers end-to-end; the single
+    * division by 100 is the output edge.
+    */
+  def weightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val flags = Seq("A", "N", "R")
+    val flagIdx = flags.zipWithIndex
+      .foldLeft(lit(-1L)) { case (acc, (f, i)) =>
+        when(col("l_returnflag") === f, lit(i.toLong)).otherwise(acc) }
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(flagIdx.as("fi"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("w"),
+        (col("l_orderkey") * 10L + col("l_linenumber")).as("rid"))
+      .withColumn("ord",
+        col("fi") * 10000000000000000L + col("cents") * 100000000L
+          + pmod(col("rid"), lit(100000000L)))
+    val scanned = graft.etl.PrefixScan
+      .exclusivePrefixSum(rows, "ord", "w", "prefix")
+    val totals = scanned.groupBy("fi").agg(sum(col("w")).as("t"))
+    // 3-row bounded collect: per-flag totals → contiguous-block offsets
+    val totRows = totals.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offMap = totRows.map(_._1).zip(
+      totRows.map(_._2).scanLeft(0L)(_ + _).init).toMap
+    val offCol = offMap.foldLeft(lit(0L)) { case (acc, (fi, off)) =>
+      when(col("fi") === fi, lit(off)).otherwise(acc) }
+    val tCol = totRows.toMap.foldLeft(lit(0L)) { case (acc, (fi, t)) =>
+      when(col("fi") === fi, lit(t)).otherwise(acc) }
+    scanned
+      .withColumn("cum", col("prefix") - offCol + col("w"))
+      .withColumn("target", ((tCol + 1L) / 2L).cast("long"))
+      .groupBy("fi")
+      .agg(max(tCol).as("total_weight"),
+        min(when(col("cum") >= col("target"), col("cents"))).as("med_cents"))
+      .select(
+        flags.zipWithIndex.foldLeft(lit("?")) { case (acc, (f, i)) =>
+          when(col("fi") === i, lit(f)).otherwise(acc) }.as("l_returnflag"),
+        col("total_weight"),
+        round4(col("med_cents").cast("double") / 100.0).as("weighted_median_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private val sqlWeightedMedian =
+    s"""WITH r AS (SELECT l_returnflag AS f,
+       |                  CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+       |                  CAST(l_quantity AS BIGINT) AS w,
+       |                  l_orderkey * 10 + l_linenumber AS rid
+       |           FROM lineitem),
+       |     c AS (SELECT f, cents, w,
+       |                  CAST(sum(w) OVER (PARTITION BY f
+       |                    ORDER BY cents, rid % 100000000
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |                  CAST(sum(w) OVER (PARTITION BY f) AS BIGINT) AS t
+       |           FROM r)
+       |SELECT f AS l_returnflag, max(t) AS total_weight,
+       |       ${duckRound4(
+                 "CAST(min(CASE WHEN cum >= (t + 1) // 2 THEN cents END) AS DOUBLE) / 100.0")} AS weighted_median_price
+       |FROM c GROUP BY f ORDER BY f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weighted_median" -> (weightedMedian _),
     "q_benford" -> (benford _),
     "q_equidepth_hist" -> (equidepthHist _),
     "q_quantile_est" -> (quantileEst _),
@@ -562,6 +638,7 @@ object OlapStats {
     "q_outliers" -> (outliers _))
 
   val oracle: Map[String, String] = Map(
+    "q_weighted_median" -> sqlWeightedMedian,
     "q_benford" -> sqlBenford,
     "q_equidepth_hist" -> sqlEquidepthHist,
     "q_quantile_est" -> sqlQuantileEst,

@@ -810,6 +810,57 @@ object EventQueries {
        |ORDER BY week""".stripMargin
   }
 
+  // ---------- q_time_to_convert: funnel latency distribution ----------
+
+  /** Time-to-convert distribution: minutes from a user's FIRST view
+    * to their first purchase AT-OR-AFTER it — the latency behind
+    * `q_funnel`'s conversion counts (how many convert) and the
+    * number attribution windows are sized from (how long to wait).
+    *
+    * Shape: two user-grain min-aggregates (first view; first
+    * qualifying purchase via a conditional min after a broadcast-free
+    * key join) and one 1-row percentile summary. Deltas are exact
+    * integer minutes (epoch-µs div); percentile ≡ quantile_cont on
+    * integers; single-row output, array-percentile buffer.
+    */
+  def timeToConvert(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("v_us"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .filter(col("us") >= col("v_us"))
+      .groupBy("user_id").agg(min(col("us")).as("p_us"), max(col("v_us")).as("v_us"))
+      .select(expr("(p_us - v_us) div 60000000").as("mins"))
+    conv.agg(count(lit(1)).as("n_converters"),
+        percentile(col("mins"), array(lit(0.5), lit(0.9))).as("ps"),
+        max(col("mins")).as("max_mins"))
+      .select(col("n_converters"),
+        graft.text.TextFns.round4(element_at(col("ps"), 1)).as("p50_mins"),
+        graft.text.TextFns.round4(element_at(col("ps"), 2)).as("p90_mins"),
+        col("max_mins"))
+  }
+
+  private val sqlTimeToConvert = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    s"""WITH e AS (SELECT user_id, event_type,
+       |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |           FROM events),
+       |     fv AS (SELECT user_id, min(us) AS v_us FROM e
+       |            WHERE event_type = 'view' GROUP BY user_id),
+       |     c AS (SELECT (min(e.us) - max(v_us)) // 60000000 AS mins
+       |           FROM e JOIN fv ON e.user_id = fv.user_id
+       |           WHERE e.event_type = 'purchase' AND e.us >= v_us
+       |           GROUP BY e.user_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_converters,
+       |       ${r4("quantile_cont(mins, 0.5)")} AS p50_mins,
+       |       ${r4("quantile_cont(mins, 0.9)")} AS p90_mins,
+       |       CAST(max(mins) AS BIGINT) AS max_mins
+       |FROM c""".stripMargin
+  }
+
   // ---------- q_growth_accounting: new/retained/resurrected/churned ----------
 
   /** Full growth accounting per week (the a16z/AARRR ledger
@@ -1001,6 +1052,7 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seasonal_dow" -> (seasonalDow _),
     "q_growth_accounting" -> (growthAccounting _),
+    "q_time_to_convert" -> (timeToConvert _),
     "q_ab_test" -> (abTest _),
     "q_user_churn" -> (userChurn _),
     "q_event_gaps" -> (eventGaps _),
@@ -1023,6 +1075,7 @@ object EventQueries {
   val oracle: Map[String, String] = Map(
     "q_seasonal_dow" -> sqlSeasonalDow,
     "q_growth_accounting" -> sqlGrowthAccounting,
+    "q_time_to_convert" -> sqlTimeToConvert,
     "q_ab_test" -> sqlAbTest,
     "q_user_churn" -> sqlUserChurn,
     "q_event_gaps" -> sqlEventGaps,
