@@ -810,6 +810,63 @@ object EventQueries {
        |ORDER BY week""".stripMargin
   }
 
+  // ---------- q_repeat_purchase: purchase-cadence summary ----------
+
+  /** Repeat-purchase cadence: share of purchasers who buy again and
+    * the inter-purchase interval distribution — the LTV input next to
+    * [[timeToConvert]]'s acquisition latency. The mean interval per
+    * user is computed WITHOUT ordering anything: for n purchases in a
+    * span of (max − min) the mean gap is span/(n−1) exactly, so one
+    * user-grain (count, min, max) aggregate replaces a per-user sort
+    * (the closed-form trick; a per-gap distribution would use the
+    * [[eventGaps]] lag-over-bounded-grain shape).
+    *
+    * Parity: integer-minute spans, exact counts; the two percentile
+    * outputs ride the proven percentile ≡ quantile_cont pair over
+    * single-division doubles.
+    */
+  def repeatPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val pu = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        expr("(max(unix_micros(ts)) - min(unix_micros(ts))) div 60000000")
+          .as("span_min"))
+    val rep = pu.filter(col("n") >= 2)
+      .withColumn("mean_gap",
+        col("span_min").cast("double") / (col("n") - 1L).cast("double"))
+    pu.agg(count(lit(1)).as("n_buyers"),
+        count(when(col("n") >= 2, lit(1))).as("n_repeat"))
+      .crossJoin(broadcast(rep.agg(
+        percentile(col("mean_gap"), array(lit(0.5), lit(0.9))).as("ps"))))
+      .select(col("n_buyers"), col("n_repeat"),
+        graft.text.TextFns.round4(col("n_repeat").cast("double")
+          / col("n_buyers").cast("double")).as("repeat_rate"),
+        graft.text.TextFns.round4(element_at(col("ps"), 1)).as("p50_gap_min"),
+        graft.text.TextFns.round4(element_at(col("ps"), 2)).as("p90_gap_min"))
+  }
+
+  private val sqlRepeatPurchase = {
+    val r4 = graft.text.TextFns.round4 _
+    s"""WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       |                   (max(epoch_us(CAST(ts AS TIMESTAMP)))
+       |                     - min(epoch_us(CAST(ts AS TIMESTAMP)))) // 60000000 AS span_min
+       |            FROM events WHERE event_type = 'purchase'
+       |            GROUP BY user_id),
+       |     rep AS (SELECT CAST(span_min AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS mean_gap
+       |             FROM pu WHERE n >= 2),
+       |     a AS (SELECT CAST(count(*) AS BIGINT) AS n_buyers,
+       |                  CAST(count(CASE WHEN n >= 2 THEN 1 END) AS BIGINT) AS n_repeat
+       |           FROM pu),
+       |     g AS (SELECT quantile_cont(mean_gap, 0.5) AS p50,
+       |                  quantile_cont(mean_gap, 0.9) AS p90 FROM rep)
+       |SELECT n_buyers, n_repeat,
+       |       ${graft.text.TextFns.duckRound4("CAST(n_repeat AS DOUBLE) / CAST(n_buyers AS DOUBLE)")} AS repeat_rate,
+       |       ${graft.text.TextFns.duckRound4("p50")} AS p50_gap_min,
+       |       ${graft.text.TextFns.duckRound4("p90")} AS p90_gap_min
+       |FROM a CROSS JOIN g""".stripMargin
+  }
+
   // ---------- q_time_to_convert: funnel latency distribution ----------
 
   /** Time-to-convert distribution: minutes from a user's FIRST view
@@ -1053,6 +1110,7 @@ object EventQueries {
     "q_seasonal_dow" -> (seasonalDow _),
     "q_growth_accounting" -> (growthAccounting _),
     "q_time_to_convert" -> (timeToConvert _),
+    "q_repeat_purchase" -> (repeatPurchase _),
     "q_ab_test" -> (abTest _),
     "q_user_churn" -> (userChurn _),
     "q_event_gaps" -> (eventGaps _),
@@ -1076,6 +1134,7 @@ object EventQueries {
     "q_seasonal_dow" -> sqlSeasonalDow,
     "q_growth_accounting" -> sqlGrowthAccounting,
     "q_time_to_convert" -> sqlTimeToConvert,
+    "q_repeat_purchase" -> sqlRepeatPurchase,
     "q_ab_test" -> sqlAbTest,
     "q_user_churn" -> sqlUserChurn,
     "q_event_gaps" -> sqlEventGaps,

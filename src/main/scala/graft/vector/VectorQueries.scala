@@ -1839,6 +1839,93 @@ object VectorQueries {
        |FROM rk""".stripMargin
   }
 
+  // ---------- q_quant_ndcg: graded ranking quality under quantization ----------
+
+  /** NDCG@10 of the binary-quantized (Hamming) ranking against
+    * graded relevance from the exact cosine order (rel = 11 − exact
+    * rank) — the third leg of the quantization-quality tripod:
+    * recall@10 ([[binaryQuant]]) counts survivors, MRR
+    * ([[quantMrr]]) tracks the best answer, NDCG weighs HOW FAR each
+    * graded answer sank. IDCG is a literal (the perfect-order sum,
+    * rendered from the same Scala constant into both plans).
+    *
+    * Parity: ranks are integer lexicographic counts (no windows over
+    * candidates); log2(1+rank) is the one non-literal transcendental,
+    * so every DCG term lands in a round6-DECIMAL before the cross-row
+    * sum (the `q_zipf_fit` guard); one rounded division per probe.
+    */
+  def quantNdcg(spark: SparkSession, sfDir: String): DataFrame = {
+    val idcg = (1 to TopK).map(i => (11 - i) / (math.log(1.0 + i) / math.log(2.0))).sum
+    def mask(off: Int) = (0 until 32).map(j =>
+      when(element_at(col("embedding"), off + j + 1) > 0f, lit(1L << j))
+        .otherwise(lit(0L))).reduce(_ + _)
+    val sigs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), mask(0).as("lo"), mask(32).as("hi"))
+    val base = withVecs(spark, sfDir).join(sigs, "vec_id")
+    val probes = base.filter(pmod(col("vec_id"), lit(RecallProbeStep)) === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("lo").as("plo"), col("hi").as("phi"))
+    val joined = base.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("sim",
+        VectorFns.cosineStaged(col("v"), col("pv"), col("nrm"), col("pnrm")))
+      .withColumn("ham", expr(
+        "CAST(bit_count(lo ^ plo) + bit_count(hi ^ phi) AS BIGINT)"))
+    val graded = joined
+      .withColumn("rk", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("vec_id").as("g_id"),
+        (lit(11L) - col("rk")).as("rel"), col("ham").as("g_ham"))
+    val ranked = joined.select(col("probe_id"), col("vec_id"), col("ham"))
+      .join(graded, "probe_id")
+      .groupBy(col("probe_id"), col("g_id"), col("rel"))
+      .agg((sum(when(col("ham") < col("g_ham")
+        || (col("ham") === col("g_ham") && col("vec_id") < col("g_id")),
+        1L).otherwise(0L)) + 1L).as("qrank"))
+    val r6d = (c: org.apache.spark.sql.Column) => round6(c).cast("decimal(18,6)")
+    ranked.groupBy("probe_id")
+      .agg(sum(r6d(col("rel").cast("double")
+        / (log(col("qrank").cast("double") + 1.0) / math.log(2.0)))).as("dcg_dec"))
+      .select(col("probe_id"),
+        round4(col("dcg_dec").cast("double") / idcg).as("ndcg"))
+      .orderBy("probe_id")
+  }
+
+  private val sqlQuantNdcg = {
+    val idcg = (1 to TopK).map(i => (11 - i) / (math.log(1.0 + i) / math.log(2.0))).sum
+    val ln2 = math.log(2.0)
+    def mask(off: Int) = (0 until 32).map(j =>
+      s"(CASE WHEN embedding[${off + j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    s"""WITH $duckVecs,
+       |     sg AS (SELECT vec_id, ${mask(0)} AS lo, ${mask(32)} AS hi FROM embeddings),
+       |     b AS (SELECT e.vec_id, v, nrm, lo, hi FROM e JOIN sg ON e.vec_id = sg.vec_id),
+       |     p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm,
+       |                  lo AS plo, hi AS phi
+       |           FROM b WHERE vec_id % $RecallProbeStep = 0),
+       |     j AS (SELECT probe_id, vec_id,
+       |                  ${duckDot("v", "pv")} / (nrm * pnrm) AS sim,
+       |                  CAST(bit_count(xor(lo, plo)) + bit_count(xor(hi, phi)) AS BIGINT) AS ham
+       |           FROM b, p WHERE vec_id <> probe_id),
+       |     g AS (SELECT probe_id, vec_id AS g_id, 11 - rk AS rel, ham AS g_ham
+       |           FROM (SELECT probe_id, vec_id, ham,
+       |                   row_number() OVER (PARTITION BY probe_id
+       |                     ORDER BY sim DESC, vec_id) AS rk
+       |                 FROM j) WHERE rk <= $TopK),
+       |     q AS (SELECT j.probe_id, g_id, rel,
+       |             CAST(sum(CASE WHEN j.ham < g_ham
+       |                       OR (j.ham = g_ham AND j.vec_id < g_id)
+       |                      THEN 1 ELSE 0 END) + 1 AS BIGINT) AS qrank
+       |           FROM j JOIN g ON j.probe_id = g.probe_id
+       |           GROUP BY j.probe_id, g_id, rel)
+       |SELECT probe_id,
+       |       ${duckRound4(
+                 s"CAST(sum(CAST(${duckRound6(
+                   s"CAST(rel AS DOUBLE) / (ln(CAST(qrank AS DOUBLE) + 1.0) / $ln2)")} AS DECIMAL(18,6))) AS DOUBLE) / $idcg")} AS ndcg
+       |FROM q GROUP BY probe_id ORDER BY probe_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans_refine" -> (kmeansRefine _),
     "q_triangle_count" -> (triangleCount _),
@@ -1851,6 +1938,7 @@ object VectorQueries {
     "q_binary_quant" -> (binaryQuant _),
     "q_maxsim" -> (maxsim _),
     "q_quant_mrr" -> (quantMrr _),
+    "q_quant_ndcg" -> (quantNdcg _),
     "q_ann_multiprobe" -> (annMultiprobe _),
     "q_topk_refresh" -> (topkRefresh _),
     "q_sq_error" -> (sqError _),
@@ -1878,6 +1966,7 @@ object VectorQueries {
     "q_binary_quant" -> sqlBinaryQuant,
     "q_maxsim" -> sqlMaxsim,
     "q_quant_mrr" -> sqlQuantMrr,
+    "q_quant_ndcg" -> sqlQuantNdcg,
     "q_ann_multiprobe" -> sqlAnnMultiprobe,
     "q_topk_refresh" -> sqlTopkRefresh,
     "q_sq_error" -> sqlSqError,
