@@ -440,7 +440,8 @@ object Analytics {
     "q_percent_rank" -> (percentRank _),
     "q_cusum_drift" -> (cusumDrift _),
     "q_order_cycle_time" -> (orderCycleTime _),
-    "q_rolling_median" -> (rollingMedian _))
+    "q_rolling_median" -> (rollingMedian _),
+    "q_rfm" -> (rfm _))
 
   // ---------- q_order_cycle_time: fulfillment-latency distribution ----------
 
@@ -490,6 +491,77 @@ object Analytics {
        |       CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS max_days
        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---------- q_rfm: recency/frequency/monetary segmentation ----------
+
+  /** RFM segmentation — the marketing-analytics classic: score every
+    * customer 1-5 on Recency (days since last order, lower better),
+    * Frequency (order count), and Monetary (revenue), with quintile
+    * fences from the customer population itself, and report the
+    * segment-cell census the campaign targeting reads ("5-5-5 =
+    * champions", "1-x-x = lapsed").
+    *
+    * Shape: one customer-grain aggregate (the only fact pass), ONE
+    * fence row via three array-percentile buffers broadcast back,
+    * branch-free Σ-exceedance scores (the `q_value_drift` decile
+    * trick), and a ≤125-cell census. Parity: integer days/counts/
+    * cents; fences ride percentile ≡ quantile_cont; comparisons are
+    * double-vs-double with identical operands.
+    */
+  def rfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(max(col("o_orderdate")).as("last_d"),
+        count(lit(1)).as("freq"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("cents"))
+    val maxD = cust.agg(max(col("last_d")).as("gmax"))
+    val base = cust.crossJoin(broadcast(maxD))
+      .select(col("o_custkey"),
+        datediff(col("gmax"), col("last_d")).cast("long").as("rec_days"),
+        col("freq"), col("cents"))
+    val qs = array((1 to 4).map(i => lit(i * 0.2)): _*)
+    val fences = base.agg(
+      percentile(col("rec_days"), qs).as("rf"),
+      percentile(col("freq"), qs).as("ff"),
+      percentile(col("cents"), qs).as("mf"))
+    def score(c: org.apache.spark.sql.Column, f: String) = (1 to 4).map(i =>
+      when(c.cast("double") > element_at(col(f), i), 1L).otherwise(0L))
+      .reduce(_ + _) + 1L
+    base.crossJoin(broadcast(fences))
+      .select(
+        (lit(6L) - score(col("rec_days"), "rf")).as("r_score"),
+        score(col("freq"), "ff").as("f_score"),
+        score(col("cents"), "mf").as("m_score"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  private val sqlRfm = {
+    def fences(m: String, n: String) = (1 to 4)
+      .map(i => s"quantile_cont($m, ${i * 0.2}) AS ${n}$i").mkString(", ")
+    def score(c: String, n: String) = "(" + (1 to 4)
+      .map(i => s"(CASE WHEN CAST($c AS DOUBLE) > ${n}$i THEN 1 ELSE 0 END)")
+      .mkString(" + ") + " + 1)"
+    s"""WITH cust AS (SELECT o_custkey, max(o_orderdate) AS last_d,
+       |                     CAST(count(*) AS BIGINT) AS freq,
+       |                     CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+       |              FROM orders GROUP BY 1),
+       |     g AS (SELECT max(last_d) AS gmax FROM cust),
+       |     b AS (SELECT o_custkey,
+       |                  CAST(date_diff('day', CAST(last_d AS DATE), CAST(gmax AS DATE)) AS BIGINT) AS rec_days,
+       |                  freq, cents
+       |           FROM cust CROSS JOIN g),
+       |     f AS (SELECT ${fences("rec_days", "rf")}, ${fences("freq", "ff")},
+       |                  ${fences("cents", "mf")}
+       |           FROM b),
+       |     s AS (SELECT CAST(6 - ${score("rec_days", "rf")} AS BIGINT) AS r_score,
+       |                  CAST(${score("freq", "ff")} AS BIGINT) AS f_score,
+       |                  CAST(${score("cents", "mf")} AS BIGINT) AS m_score
+       |           FROM b CROSS JOIN f)
+       |SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_customers
+       |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }
 
   // ---------- q_rolling_median: robust rolling window statistic ----------
@@ -604,6 +676,7 @@ object Analytics {
     "q_cusum_drift" -> sqlCusumDrift,
     "q_order_cycle_time" -> sqlOrderCycleTime,
     "q_rolling_median" -> sqlRollingMedian,
+    "q_rfm" -> sqlRfm,
     "q_window_frames" -> sqlWindowFrames,
     "q_full_outer" -> sqlFullOuter,
     "q_unpivot" -> sqlUnpivot,
