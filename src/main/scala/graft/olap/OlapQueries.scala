@@ -373,7 +373,53 @@ object OlapQueries {
       |       round(CAST(cents AS DOUBLE) / 100.0, 4) AS returned_revenue
       |FROM g ORDER BY cents DESC, c_custkey LIMIT 20""".stripMargin
 
+  // ---------- q_return_rate: brand return-rate KPI ----------
+
+  /** Return rate per brand — items and revenue coming back as a share
+    * of what shipped, the quality KPI next to `q_top_returners`'
+    * customer cut (a brand whose revenue-weighted return rate runs
+    * ahead of its item rate is returning its EXPENSIVE items — the
+    * column pair exists to expose exactly that gap).
+    *
+    * Shape: one lineitem⋈part equi-join (AQE-planned; part scales
+    * with SF, so no forced broadcast) + a brand-grain conditional
+    * aggregate. Exact integer cents/counts; two rounded shares.
+    */
+  def returnRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_items"),
+        count(when(col("l_returnflag") === "R", lit(1))).as("n_returned"),
+        sum(cents).as("cents_all"),
+        sum(when(col("l_returnflag") === "R", cents).otherwise(lit(0L)))
+          .as("cents_returned"))
+      .select(col("brand"), col("n_items"), col("n_returned"),
+        round(col("n_returned").cast("double") / col("n_items").cast("double"), 4)
+          .as("item_return_rate"),
+        round(col("cents_returned").cast("double") / col("cents_all").cast("double"), 4)
+          .as("revenue_return_rate"))
+      .orderBy("brand")
+  }
+
+  private val sqlReturnRate =
+    """WITH g AS (SELECT p_brand AS brand, count(*) AS n_items,
+      |                  CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT) AS n_returned,
+      |                  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents_all,
+      |                  CAST(sum(CASE WHEN l_returnflag = 'R'
+      |                           THEN CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+      |                           ELSE 0 END) AS BIGINT) AS cents_returned
+      |           FROM lineitem JOIN part ON l_partkey = p_partkey
+      |           GROUP BY 1)
+      |SELECT brand, n_items, n_returned,
+      |       round(CAST(n_returned AS DOUBLE) / CAST(n_items AS DOUBLE), 4) AS item_return_rate,
+      |       round(CAST(cents_returned AS DOUBLE) / CAST(cents_all AS DOUBLE), 4) AS revenue_return_rate
+      |FROM g ORDER BY brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_return_rate" -> (returnRate _),
     "q_discount_revenue" -> (discountRevenue _),
     "q_local_supply" -> (localSupply _),
     "q_top_returners" -> (topReturners _),
@@ -387,6 +433,7 @@ object OlapQueries {
     "q_setops" -> (setOps _))
 
   val oracle: Map[String, String] = Map(
+    "q_return_rate" -> sqlReturnRate,
     "q_discount_revenue" -> sqlDiscountRevenue,
     "q_local_supply" -> sqlLocalSupply,
     "q_top_returners" -> sqlTopReturners,

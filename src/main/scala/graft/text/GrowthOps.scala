@@ -458,7 +458,57 @@ object GrowthOps {
                  "CAST(rep_mass AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))")} AS simpson
        |FROM g ORDER BY source""".stripMargin
 
+  // ---------- q_readability: Flesch reading-ease screen ----------
+
+  /** Flesch reading-ease per source: 206.835 − 1.015·(words/sentences)
+    * − 84.6·(syllables/words), with syllables approximated as vowel
+    * GROUPS (the standard cheap proxy) and sentences as terminal-
+    * punctuation runs — the readability screen next to the Gopher
+    * rules: a training-mix readability profile is how curation keeps
+    * "textbook-quality" quotas honest.
+    *
+    * Shape: three per-row `regexp_count`-class counters (codegen'd,
+    * zero joins) + one source-grain aggregate. Parity: counts are
+    * exact integers from the SAME regexes (basic classes — no engine-
+    * specific syntax); the Flesch formula is one fixed-shape double
+    * expression over aggregate integers, rounded once. max(1, ·)
+    * guards the no-punctuation document.
+    */
+  def readability(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("w"),
+        greatest(expr("CAST(regexp_count(text, '[.!?]+') AS BIGINT)"), lit(1L)).as("s"),
+        expr("CAST(regexp_count(text, '[aeiouAEIOU]+') AS BIGINT)").as("syl"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("words"),
+        sum(col("s")).as("sentences"), sum(col("syl")).as("syllables"))
+      .withColumn("flesch", TextFns.round4(
+        lit(206.835)
+          - lit(1.015) * (col("words").cast("double") / col("sentences").cast("double"))
+          - lit(84.6) * (col("syllables").cast("double") / col("words").cast("double"))))
+      .select("source", "n_docs", "words", "sentences", "syllables", "flesch")
+      .orderBy("source")
+
+  private val sqlReadability =
+    s"""WITH d AS (SELECT source,
+       |                  CAST(len($duckTokens) AS BIGINT) AS w,
+       |                  greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS s,
+       |                  CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS BIGINT) AS syl
+       |           FROM documents),
+       |     g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |                  CAST(sum(w) AS BIGINT) AS words,
+       |                  CAST(sum(s) AS BIGINT) AS sentences,
+       |                  CAST(sum(syl) AS BIGINT) AS syllables
+       |           FROM d GROUP BY source)
+       |SELECT source, n_docs, words, sentences, syllables,
+       |       ${TextFns.duckRound4(
+                 "206.835 - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE)) " +
+                   "- 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))")} AS flesch
+       |FROM g ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_readability" -> (readability _),
     "q_simpson_diversity" -> (simpsonDiversity _),
     "q_distinctive_terms" -> (distinctiveTerms _),
     "q_vocab_growth" -> (vocabGrowth _),
@@ -468,6 +518,7 @@ object GrowthOps {
     "q_zipf_fit" -> (zipfFit _))
 
   val oracle: Map[String, String] = Map(
+    "q_readability" -> sqlReadability,
     "q_simpson_diversity" -> sqlSimpsonDiversity,
     "q_distinctive_terms" -> sqlDistinctiveTerms,
     "q_vocab_growth" -> sqlVocabGrowth,
