@@ -384,6 +384,91 @@ object TextQueries {
                  "CAST(count(CASE WHEN doc_id <> cluster_id THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS dup_rate
        |FROM j GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------- 3aᵉ. q_dedup_savings: storage economics of dedup ----------
+
+  /** Bytes the near-dup gate saves, per source — the storage/compute
+    * economics view of [[dupRate]]'s ratios: dropped characters ARE
+    * the tokens never embedded, indexed, or trained on, so this is
+    * the number that justifies (or kills) running dedup at all for a
+    * given feed.
+    *
+    * Shape: the shared [[minhashAssignments]] kernel + one broadcast-
+    * free key join to (source, n_chars) + a source-grain conditional
+    * sum. Exact integers, one rounded share.
+    */
+  def dedupSavings(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    minhashAssignments(docs)
+      .join(docs.select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("nc")), "doc_id")
+      .groupBy("source")
+      .agg(sum(col("nc")).as("bytes_total"),
+        sum(when(col("doc_id") =!= col("cluster_id"), col("nc"))
+          .otherwise(lit(0L))).as("bytes_dropped"))
+      .withColumn("save_rate", TextFns.round4(
+        col("bytes_dropped").cast("double") / col("bytes_total").cast("double")))
+      .orderBy("source")
+  }
+
+  private val sqlDedupSavings =
+    s"""WITH c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),
+       |     s AS (SELECT doc_id, $duckShingles AS shs FROM c),
+       |     g AS (SELECT doc_id, $duckSignature AS sig FROM s),
+       |     bands AS (SELECT doc_id, unnest($duckBandKeys) AS band FROM g),
+       |     reps AS (SELECT band, min(doc_id) AS rep FROM bands GROUP BY band),
+       |     clusters AS (SELECT bands.doc_id, min(reps.rep) AS cluster_id
+       |                  FROM bands JOIN reps ON bands.band = reps.band
+       |                  GROUP BY bands.doc_id),
+       |     j AS (SELECT clusters.doc_id, cluster_id, source, CAST(n_chars AS BIGINT) AS nc
+       |           FROM clusters JOIN documents ON clusters.doc_id = documents.doc_id)
+       |SELECT source, CAST(sum(nc) AS BIGINT) AS bytes_total,
+       |       CAST(sum(CASE WHEN doc_id <> cluster_id THEN nc ELSE 0 END) AS BIGINT) AS bytes_dropped,
+       |       ${TextFns.duckRound4(
+                 "CAST(sum(CASE WHEN doc_id <> cluster_id THEN nc ELSE 0 END) AS DOUBLE) / CAST(sum(nc) AS DOUBLE)")} AS save_rate
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------- 3aᶠ. q_cluster_purity: cross-language duplicate screen ----------
+
+  /** Language purity of near-dup clusters: how many multi-document
+    * clusters span a single language vs several — a multi-language
+    * cluster is either boilerplate shared across translations (drop
+    * everywhere) or an LSH false positive (tighten banding), and
+    * either way it is the cluster a reviewer opens first.
+    *
+    * Shape: two bounded aggregates over the shared assignment kernel
+    * (cluster grain, then langs-per-cluster histogram grain). All
+    * integers.
+    */
+  def clusterPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    minhashAssignments(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("sz"), countDistinct(col("lang")).as("n_langs"))
+      .filter(col("sz") > 1)
+      .groupBy("n_langs")
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+      .orderBy("n_langs")
+  }
+
+  private val sqlClusterPurity =
+    s"""WITH c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),
+       |     s AS (SELECT doc_id, $duckShingles AS shs FROM c),
+       |     g AS (SELECT doc_id, $duckSignature AS sig FROM s),
+       |     bands AS (SELECT doc_id, unnest($duckBandKeys) AS band FROM g),
+       |     reps AS (SELECT band, min(doc_id) AS rep FROM bands GROUP BY band),
+       |     clusters AS (SELECT bands.doc_id, min(reps.rep) AS cluster_id
+       |                  FROM bands JOIN reps ON bands.band = reps.band
+       |                  GROUP BY bands.doc_id),
+       |     cl AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz,
+       |                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+       |            FROM clusters JOIN documents ON clusters.doc_id = documents.doc_id
+       |            GROUP BY cluster_id)
+       |SELECT n_langs, CAST(count(*) AS BIGINT) AS n_clusters,
+       |       CAST(sum(sz) AS BIGINT) AS n_docs
+       |FROM cl WHERE sz > 1
+       |GROUP BY n_langs ORDER BY n_langs""".stripMargin
+
   // ---------- 3a¹ᵃ. q_lsh_curve: banding operating table ----------
 
   /** True-pair threshold for the curve: a candidate pair counts as a
@@ -1970,6 +2055,8 @@ object TextQueries {
     "q_lsh_curve" -> (lshCurve _),
     "q_cluster_sizes" -> (clusterSizes _),
     "q_dup_rate" -> (dupRate _),
+    "q_dedup_savings" -> (dedupSavings _),
+    "q_cluster_purity" -> (clusterPurity _),
     "q_pagerank" -> (pagerank _),
     "q_hits" -> (hitsQ _),
     "q_degree_mix" -> (degreeMix _),
@@ -2004,6 +2091,8 @@ object TextQueries {
     "q_lsh_curve" -> sqlLshCurve,
     "q_cluster_sizes" -> sqlClusterSizes,
     "q_dup_rate" -> sqlDupRate,
+    "q_dedup_savings" -> sqlDedupSavings,
+    "q_cluster_purity" -> sqlClusterPurity,
     "q_pagerank" -> sqlPagerank,
     "q_hits" -> sqlHits,
     "q_degree_mix" -> sqlDegreeMix,
