@@ -16,11 +16,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), builder))
     }
+    // fuse N scalar percentile calls into one array-percentile buffer
+    // (measured 5-9x on multi-percentile aggregates; see the rule's
+    // scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.FusePercentiles)
+  }
 }
 
 object GraftExtensions {
