@@ -418,7 +418,101 @@ object OlapQueries {
       |       round(CAST(cents_returned AS DOUBLE) / CAST(cents_all AS DOUBLE), 4) AS revenue_return_rate
       |FROM g ORDER BY brand""".stripMargin
 
+  // ---------- q_discount_uplift: quantity response to discounting ----------
+
+  /** Quantity uplift per discount band — the first-order price-
+    * response read a pricing review starts from: average units per
+    * line at each discount level, with the lift over the
+    * zero-discount baseline. (Causality caveats apply — this is the
+    * descriptive table, not the elasticity model.)
+    *
+    * Parity: discount bands are exact integer basis points
+    * (floor(d·100+0.5) — the synthetic discounts carry 2 decimals);
+    * quantities are exact integer sums; averages and lift are
+    * fixed-shape divisions rounded at the edge. One bounded
+    * band-grain aggregate + a 1-row baseline broadcast.
+    */
+  def discountUplift(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = Tables.lineitem(spark, sfDir)
+      .select(floor(col("l_discount") * 100.0 + 0.5).cast("long").as("disc_pct"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy("disc_pct")
+      .agg(count(lit(1)).as("n_lines"), sum(col("qty")).as("units"))
+    val baseline = bands.filter(col("disc_pct") === 0)
+      .select((col("units").cast("double") / col("n_lines").cast("double"))
+        .as("base_avg"))
+    bands.crossJoin(broadcast(baseline))
+      .select(col("disc_pct"), col("n_lines"),
+        round(col("units").cast("double") / col("n_lines").cast("double"), 4)
+          .as("avg_qty"),
+        round((col("units").cast("double") / col("n_lines").cast("double"))
+          / col("base_avg"), 4).as("lift_vs_no_discount"))
+      .orderBy("disc_pct")
+  }
+
+  private val sqlDiscountUplift =
+    """WITH b AS (SELECT CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS disc_pct,
+      |                  count(*) AS n_lines,
+      |                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS units
+      |           FROM lineitem GROUP BY 1),
+      |     base AS (SELECT CAST(units AS DOUBLE) / CAST(n_lines AS DOUBLE) AS base_avg
+      |              FROM b WHERE disc_pct = 0)
+      |SELECT disc_pct, n_lines,
+      |       round(CAST(units AS DOUBLE) / CAST(n_lines AS DOUBLE), 4) AS avg_qty,
+      |       round((CAST(units AS DOUBLE) / CAST(n_lines AS DOUBLE)) / base_avg, 4) AS lift_vs_no_discount
+      |FROM b CROSS JOIN base
+      |ORDER BY disc_pct""".stripMargin
+
+  // ---------- q_hhi: supplier-concentration Herfindahl index ----------
+
+  /** Herfindahl-Hirschman concentration of supplier revenue per
+    * nation — the antitrust-grade concentration number beside
+    * `q_gini_revenue`'s customer inequality: HHI = Σ shareᵢ² (0 =
+    * atomized, 1 = monopoly supplier), computed as the RATIONAL
+    * Σcᵢ²/(Σcᵢ)² so everything is exact integers until one division.
+    *
+    * Shape: supplier-grain revenue aggregate (key-partitioned) →
+    * nation-grain Σc and Σc² + broadcast nation lookup. (Headroom:
+    * Σcᵢ² nears 2⁶³ around 3·10⁹-cent single-supplier nations —
+    * widen to DECIMAL past ~$30M per supplier; noted, not hit here.)
+    */
+  def hhi(spark: SparkSession, sfDir: String): DataFrame = {
+    val supRev = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")).as("c"))
+    val s = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+    supRev.join(s, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("c")).as("tot"),
+        // c² overflows int64 at real revenue magnitudes — exact DECIMAL
+        sum(col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .as("sumsq"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("n_suppliers"),
+        round(col("sumsq").cast("double")
+          / (col("tot").cast("double") * col("tot").cast("double")), 4).as("hhi"))
+      .orderBy("nation")
+  }
+
+  private val sqlHhi =
+    """WITH sr AS (SELECT l_suppkey,
+      |                   CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS c
+      |            FROM lineitem GROUP BY 1),
+      |     g AS (SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |                  CAST(sum(c) AS BIGINT) AS tot,
+      |                  sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sumsq
+      |           FROM sr JOIN supplier ON l_suppkey = s_suppkey
+      |           GROUP BY 1)
+      |SELECT n_name AS nation, n_suppliers,
+      |       round(CAST(sumsq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 4) AS hhi
+      |FROM g JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY nation""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_discount_uplift" -> (discountUplift _),
+    "q_hhi" -> (hhi _),
     "q_return_rate" -> (returnRate _),
     "q_discount_revenue" -> (discountRevenue _),
     "q_local_supply" -> (localSupply _),
@@ -433,6 +527,8 @@ object OlapQueries {
     "q_setops" -> (setOps _))
 
   val oracle: Map[String, String] = Map(
+    "q_discount_uplift" -> sqlDiscountUplift,
+    "q_hhi" -> sqlHhi,
     "q_return_rate" -> sqlReturnRate,
     "q_discount_revenue" -> sqlDiscountRevenue,
     "q_local_supply" -> sqlLocalSupply,
