@@ -1,7 +1,7 @@
 package graft.olap
 
 import graft.schema.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -427,7 +427,83 @@ object Analytics {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY segment, month""".stripMargin
 
+  // ---------- q_autocorr: lag-k autocorrelation of the daily series ----------
+
+  /** Lag-1..7 autocorrelation of daily order revenue — the
+    * periodicity detector behind every seasonality dashboard (a
+    * weekly cycle shows as a lag-7 peak). For each lag k, pairs
+    * (day d, day d+k) are formed by an equi-join on epoch seconds
+    * and the Pearson r of the paired revenues is computed from
+    * EXACT integer-cent moments, the [[OlapStats.corrStats]]
+    * discipline: daily revenue is summed as integer cents (order-
+    * independent), the five co-moments accumulate in DECIMAL(38,0)
+    * (a cents product can exceed 2⁶³ summed over days), and the one
+    * double formula at the end uses the explicit
+    * `sqrt(varX)*sqrt(varY)` association mirrored in the oracle.
+    *
+    * Scale: the fact scan collapses to day grain (bounded, ~2.4k
+    * rows for 7 years) in one map-side-combinable aggregate; the
+    * 7-lag spine is a broadcast cross over that bounded series, so
+    * everything after the first aggregate is dim-sized. At 100 TB
+    * the plan is unchanged — day grain does not scale with SF.
+    */
+  def autocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("xc"))
+      // orderdate arrives TIMESTAMP_NTZ; session TZ is pinned UTC, so
+      // NTZ→LTZ→long is the same epoch second DuckDB's epoch() sees
+      .select(col("d").cast("timestamp").cast("long").as("dl"), col("xc"))
+    val lags = spark.range(1L, 8L).select(col("id").as("lag"))
+    val a = daily.select(col("dl"), col("xc").as("x"))
+    val b = daily.select(col("dl").as("dl2"), col("xc").as("y"))
+    val pairs = a.crossJoin(broadcast(lags))
+      .withColumn("dlk", col("dl") + col("lag") * 86400L)
+      .join(b, col("dlk") === col("dl2"))
+    val xd = col("x").cast("decimal(19,0)")
+    val yd = col("y").cast("decimal(19,0)")
+    val m = pairs.groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum(xd).as("sx"), sum(yd).as("sy"),
+        sum((xd * yd).cast("decimal(38,0)")).as("sxy"),
+        sum((xd * xd).cast("decimal(38,0)")).as("sxx"),
+        sum((yd * yd).cast("decimal(38,0)")).as("syy"))
+    val nD = col("n").cast("double")
+    def dd(c: String): Column = col(c).cast("double")
+    val varX = (dd("sxx") - dd("sx") * dd("sx") / nD) / (nD - 1.0)
+    val varY = (dd("syy") - dd("sy") * dd("sy") / nD) / (nD - 1.0)
+    val cov = (dd("sxy") - dd("sx") * dd("sy") / nD) / (nD - 1.0)
+    m.select(col("lag"), col("n").as("n_pairs"),
+        graft.text.TextFns.round4(cov / (sqrt(varX) * sqrt(varY))).as("autocorr"))
+      .orderBy("lag")
+  }
+
+  private val sqlAutocorr = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    val varX = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)"
+    val varY = "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)"
+    val cov = "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)"
+    s"""WITH daily AS (SELECT CAST(epoch(o_orderdate) AS BIGINT) AS dl,
+       |                      CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS xc
+       |               FROM orders GROUP BY 1),
+       |     lags AS (SELECT CAST(UNNEST(range(1, 8)) AS BIGINT) AS lag),
+       |     pairs AS (SELECT l.lag, a.xc AS x, b.xc AS y
+       |               FROM daily a CROSS JOIN lags l
+       |               JOIN daily b ON b.dl = a.dl + l.lag * 86400),
+       |     m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+       |                  sum(CAST(x AS DECIMAL(19,0))) AS sx,
+       |                  sum(CAST(y AS DECIMAL(19,0))) AS sy,
+       |                  sum(CAST(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sxy,
+       |                  sum(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sxx,
+       |                  sum(CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS syy
+       |           FROM pairs GROUP BY 1)
+       |SELECT lag, n AS n_pairs,
+       |       ${r4(s"($cov) / (sqrt($varX) * sqrt($varY))")} AS autocorr
+       |FROM m ORDER BY lag""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_autocorr" -> (autocorr _),
     "q_window_frames" -> (windowFrames _),
     "q_full_outer" -> (fullOuter _),
     "q_unpivot" -> (unpivotQ _),
@@ -673,6 +749,7 @@ object Analytics {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_autocorr" -> sqlAutocorr,
     "q_cusum_drift" -> sqlCusumDrift,
     "q_order_cycle_time" -> sqlOrderCycleTime,
     "q_rolling_median" -> sqlRollingMedian,

@@ -1195,7 +1195,79 @@ object DocOps {
        |FROM j GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------- q_ks_test: two-sample Kolmogorov–Smirnov drift screen ----------
+
+  /** Per-source distributional drift of document length: the exact
+    * two-sample KS statistic of each source's `n_chars` distribution
+    * against the pooled rest of the corpus, D = max_v |F_s(v) −
+    * F_rest(v)|. Complements [[sourceSkew]] (χ² on a categorical
+    * mix) with the continuous-measure analogue every ingest monitor
+    * wants: a source whose length distribution silently shifts
+    * (truncation bug, boilerplate injection) spikes its D.
+    *
+    * Exactness: D is maximized over the INTEGER cross-term
+    * |c1·n2 − c2·n1| (c1,c2 cumulative counts; n1,n2 sample sizes) so
+    * the argmax never touches a float; the single division happens
+    * once at the output edge and is round4'd on both engines. The
+    * integer product needs n1·N < 2⁶³ — fine to ~3e9 docs; widen to
+    * DECIMAL beyond that.
+    *
+    * Scale: aggregates at (source × distinct-length) grain; windows
+    * partition by source over distinct-value rows, bounded by the
+    * length domain (for unbounded measures, pre-bin to equi-width
+    * buckets first — same plan). The sources×values spine is a
+    * broadcast cross of two bounded dims; no fact-scale shuffle
+    * beyond the two hash aggregates.
+    */
+  def ksDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir).select(col("source"), col("n_chars").as("v"))
+    val c = docs.groupBy("source", "v").agg(count(lit(1)).as("cnt"))
+    val tot = docs.groupBy("v").agg(count(lit(1)).as("tcnt"))
+    val n1 = docs.groupBy("source").agg(count(lit(1)).as("n1"))
+    val nAll = docs.agg(count(lit(1)).as("n_all"))
+    val spine = tot.crossJoin(broadcast(n1.select("source")))
+    val w = Window.partitionBy("source").orderBy("v")
+    val cum = spine
+      .join(c, Seq("source", "v"), "left")
+      .withColumn("c1", sum(coalesce(col("cnt"), lit(0L))).over(w))
+      .withColumn("call", sum(col("tcnt")).over(w))
+    cum
+      .join(broadcast(n1), Seq("source"))
+      .crossJoin(broadcast(nAll))
+      .withColumn("dint",
+        abs(col("c1") * (col("n_all") - col("n1")) - (col("call") - col("c1")) * col("n1")))
+      .groupBy(col("source"), col("n1"), col("n_all"))
+      .agg(max(col("dint")).as("d_scaled"))
+      .select(col("source"), col("n1").as("n_docs"), col("d_scaled"),
+        TextFns.round4(col("d_scaled").cast("double") /
+          (col("n1").cast("double") * (col("n_all") - col("n1")).cast("double"))).as("ks_d"))
+      .orderBy("source")
+  }
+
+  private val sqlKsDrift =
+    s"""WITH d AS (SELECT source, n_chars AS v FROM documents),
+       |     c AS (SELECT source, v, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2),
+       |     tot AS (SELECT v, CAST(count(*) AS BIGINT) AS tcnt FROM d GROUP BY 1),
+       |     n1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n1 FROM d GROUP BY 1),
+       |     nall AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM d),
+       |     spine AS (SELECT n1.source, tot.v, tot.tcnt FROM tot CROSS JOIN n1),
+       |     cum AS (SELECT spine.source, spine.v,
+       |                    CAST(sum(COALESCE(c.cnt, 0)) OVER
+       |                      (PARTITION BY spine.source ORDER BY spine.v) AS BIGINT) AS c1,
+       |                    CAST(sum(spine.tcnt) OVER
+       |                      (PARTITION BY spine.source ORDER BY spine.v) AS BIGINT) AS call
+       |             FROM spine LEFT JOIN c ON c.source = spine.source AND c.v = spine.v),
+       |     dm AS (SELECT cum.source, n1.n1, nall.n_all,
+       |                   abs(c1 * (n_all - n1) - (call - c1) * n1) AS dint
+       |            FROM cum JOIN n1 ON cum.source = n1.source CROSS JOIN nall)
+       |SELECT source, n1 AS n_docs, CAST(max(dint) AS BIGINT) AS d_scaled,
+       |       ${TextFns.duckRound4(
+                  "CAST(max(dint) AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n_all - n1 AS DOUBLE))")} AS ks_d
+       |FROM dm GROUP BY source, n1, n_all ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_test" -> (ksDrift _),
     "q_char_gini" -> (charGini _),
     "q_collocations" -> (collocations _),
     "q_novelty" -> (novelty _),
@@ -1213,6 +1285,7 @@ object DocOps {
     "q_pack_audit" -> (packAudit _))
 
   val oracle: Map[String, String] = Map(
+    "q_ks_test" -> sqlKsDrift,
     "q_char_gini" -> sqlCharGini,
     "q_collocations" -> sqlCollocations,
     "q_novelty" -> sqlNovelty,
