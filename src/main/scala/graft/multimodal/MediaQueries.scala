@@ -149,11 +149,94 @@ object MediaQueries {
        |FROM documents WHERE doc_id % 5 = 1
        |ORDER BY media_id""".stripMargin
 
+  // ---------- q_image_phash: perceptual-hash near-dup clusters ----------
+
+  /** Cross-resolution image dedup through the REAL codec path: each
+    * selected document renders a pattern image whose CONTENT is
+    * determined solely by its class c = id%17 — an 8×8 grid of gray
+    * cells v(i,j) = (7c+13i+29j)%256 — but whose RESOLUTION varies
+    * per image (each cell drawn as an s×s block, s = 1+id%3, so the
+    * same class ships as 8×8, 16×16, and 24×24 PNGs whose bytes and
+    * exact-dup hashes all differ). [[Multimodal.imagePhash]] decodes
+    * the PNG and average-pools back to 8×8; because pooling is
+    * scale-exact here, every resolution of a class lands on the SAME
+    * 64-bit aHash — the query groups by that hash and reports cluster
+    * size and how many distinct resolutions were unified, which is
+    * precisely what byte-level dedup cannot do.
+    *
+    * The oracle rebuilds each class's contractual hash in pure SQL
+    * (64·v(i,j) > Σv strict compare, string-aggregated bits) and
+    * groups the same (class, size) rows — the compare proves the
+    * PNG encode → `javax.imageio` decode → pool pipeline preserves
+    * the pattern bit-for-bit. Hash collisions across classes, if the
+    * constants ever produced one, would merge identically on both
+    * sides (the group-by key is the hash, not the class).
+    */
+  def imagePhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 2)
+      .select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val c = (id % 17).toInt
+        val s = 1 + (id % 3).toInt
+        val wh = 8 * s
+        val img = new java.awt.image.BufferedImage(
+          wh, wh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < 8) {
+          var j = 0
+          while (j < 8) {
+            val v = (c * 7 + i * 13 + j * 29) % 256
+            val rgb = (v << 16) | (v << 8) | v
+            var dy = 0
+            while (dy < s) {
+              var dx = 0
+              while (dx < s) { img.setRGB(j * s + dx, i * s + dy, rgb); dx += 1 }
+              dy += 1
+            }
+            j += 1
+          }
+          i += 1
+        }
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        Multimodal.MediaRow(id, "image", buf.toByteArray,
+          Multimodal.MediaMeta(Some(wh), Some(wh), None, None, Some("png")))
+      }
+    }
+    Multimodal.imagePhash(media.toDF()).toDF()
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_images"),
+        countDistinct(col("width")).as("n_sizes"))
+      .orderBy("phash")
+  }
+
+  private val sqlImagePhash =
+    s"""WITH sel AS (SELECT doc_id, doc_id % 17 AS c, 1 + doc_id % 3 AS s
+       |             FROM documents WHERE doc_id % 5 = 2),
+       |     cls AS (SELECT DISTINCT c FROM sel),
+       |     cell AS (SELECT cls.c, k.k,
+       |                     (cls.c * 7 + (k.k // 8) * 13 + (k.k % 8) * 29) % 256 AS v
+       |              FROM cls CROSS JOIN (SELECT UNNEST(range(64)) AS k) k),
+       |     tot AS (SELECT c, CAST(sum(v) AS BIGINT) AS tv FROM cell GROUP BY 1),
+       |     hash AS (SELECT cell.c,
+       |                     string_agg(CASE WHEN 64 * cell.v > tot.tv
+       |                                     THEN '1' ELSE '0' END, '' ORDER BY cell.k) AS phash
+       |              FROM cell JOIN tot ON cell.c = tot.c GROUP BY cell.c)
+       |SELECT hash.phash, CAST(count(*) AS BIGINT) AS n_images,
+       |       CAST(count(DISTINCT sel.s) AS BIGINT) AS n_sizes
+       |FROM sel JOIN hash ON sel.c = hash.c
+       |GROUP BY hash.phash ORDER BY hash.phash""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_image_decode" -> (imageDecode _),
-    "q_audio_decode" -> (audioDecode _))
+    "q_audio_decode" -> (audioDecode _),
+    "q_image_phash" -> (imagePhash _))
 
   val oracle: Map[String, String] = Map(
     "q_image_decode" -> sqlImageDecode,
-    "q_audio_decode" -> sqlAudioDecode)
+    "q_audio_decode" -> sqlAudioDecode,
+    "q_image_phash" -> sqlImagePhash)
 }

@@ -54,6 +54,7 @@ object Multimodal {
                           mean_intensity: Double, histogram: Seq[Long])
   case class AudioFeatures(media_id: Long, sample_rate: Int, n_samples: Long,
                            rms: Double, zero_crossings: Long)
+  case class ImagePhash(media_id: Long, width: Int, height: Int, phash: String)
 
   /** Real image decode via the JDK's own `javax.imageio` (PNG / JPEG /
     * BMP / GIF — no external jars, headless-safe). Pixels are reduced
@@ -254,6 +255,60 @@ object Multimodal {
           px.foreach { p => hist(p / 16) += 1; s += p }
           DecodedImage(r.media_id, w, h,
             if (px.isEmpty) 0.0 else s.toDouble / px.length, hist.toSeq)
+        }
+      }
+  }
+
+  /** Perceptual average-hash (aHash) over decoded luma — the
+    * resolution-invariant near-dup key for image dedup: decode
+    * through [[ImageIoCodec]], average-pool to an 8×8 grid with
+    * integer block edges (`j*w/8`), and emit one bit per cell —
+    * `1` iff the cell is brighter than the image mean — as a 64-char
+    * bit string. Both comparisons are exact integer cross-products
+    * (`cellSum·w·h > total·cellCnt`), so the hash is deterministic
+    * across JVMs; the Long products stay in range up to ~10⁸-pixel
+    * images (255·(wh)² < 2⁶³), plenty past any thumbnail stage —
+    * downscale first for gigapixel inputs.
+    *
+    * Scale: `mapPartitions` per-row CPU, no shuffle; the dedup
+    * group-by on the emitted 64-bit key is a linear hash aggregate.
+    * Same-content images at different resolutions collide by
+    * construction (pooling is scale-exact when dims are multiples
+    * of 8 and content is cell-constant; near-exact otherwise).
+    */
+  def imagePhash(media: DataFrame): Dataset[ImagePhash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          ImageIoCodec.decode(r.content).map { case (w, h, px) =>
+            val sums = new Array[Long](64)
+            val cnts = new Array[Long](64)
+            var total = 0L
+            var y = 0
+            while (y < h) {
+              val i = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val j = x * 8 / w
+                val v = px(y * w + x).toLong
+                sums(i * 8 + j) += v
+                cnts(i * 8 + j) += 1
+                total += v
+                x += 1
+              }
+              y += 1
+            }
+            val wh = w.toLong * h
+            val bits = new StringBuilder(64)
+            var k = 0
+            while (k < 64) {
+              bits.append(if (sums(k) * wh > total * cnts(k)) '1' else '0')
+              k += 1
+            }
+            ImagePhash(r.media_id, w, h, bits.toString)
+          }
         }
       }
   }

@@ -215,4 +215,51 @@ class MultimodalSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("content"))
   }
+
+  private def pngRow(id: Long, w: Int, h: Int)(luma: (Int, Int) => Int) = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = luma(x, y)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    Multimodal.MediaRow(id, "image", bos.toByteArray,
+      Multimodal.MediaMeta(Some(w), Some(h), None, None, Some("png")))
+  }
+
+  test("imagePhash: bits follow the brighter-than-mean contract on ragged dims") {
+    import spark.implicits._
+    // 10×6 image (NOT multiples of 8): left half dark 10, right half
+    // bright 200. Cells whose pixel block lies wholly in the right
+    // half must be 1, wholly in the left 0 — recompute the expected
+    // string with the same integer block-edge rule brute-force.
+    val w = 10; val h = 6
+    val row = pngRow(7L, w, h)((x, _) => if (x < w / 2) 10 else 200)
+    val got = Multimodal.imagePhash(Seq(row).toDS().toDF()).collect().head
+    assert(got.width == w && got.height == h)
+    val sums = Array.fill(64)(0L); val cnts = Array.fill(64)(0L); var tot = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = if (x < w / 2) 10L else 200L
+      val k = (y * 8 / h) * 8 + (x * 8 / w)
+      sums(k) += v; cnts(k) += 1; tot += v
+    }
+    val want = (0 until 64).map { k =>
+      if (sums(k) * w * h > tot * cnts(k)) '1' else '0'
+    }.mkString
+    assert(got.phash == want)
+    assert(got.phash.length == 64 && got.phash.contains('1') && got.phash.contains('0'))
+  }
+
+  test("imagePhash is resolution-invariant for cell-constant content") {
+    import spark.implicits._
+    def cell(i: Int, j: Int): Int = (i * 13 + j * 29 + 5) % 256
+    val rows = Seq(1, 3, 5).zipWithIndex.map { case (s, idx) =>
+      pngRow(idx.toLong, 8 * s, 8 * s)((x, y) => cell(y / s, x / s))
+    }
+    val hashes = Multimodal.imagePhash(rows.toDS().toDF())
+      .collect().map(_.phash).toSeq
+    assert(hashes.distinct.size == 1, s"expected one cluster, got $hashes")
+  }
 }
