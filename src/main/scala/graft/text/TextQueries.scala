@@ -427,6 +427,79 @@ object TextQueries {
                  "CAST(sum(CASE WHEN doc_id <> cluster_id THEN nc ELSE 0 END) AS DOUBLE) / CAST(sum(nc) AS DOUBLE)")} AS save_rate
        |FROM j GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------- 3aᵍ. q_dedup_chain: staged dedup attrition funnel ----------
+
+  /** The curation funnel every corpus report leads with: per source,
+    * how many documents survive each dedup stage in sequence — raw →
+    * exact (first-wins on the normalized-text hash, the [[docDedup]]
+    * key) → near-dup (MinHash-LSH canonical per cluster, the
+    * [[minhashAssignments]] kernel run ON THE EXACT-STAGE SURVIVORS,
+    * not the raw corpus — staging order changes cluster structure, so
+    * the funnel is pinned as a composition, not two independent
+    * counts). `retention` = n_near/n_raw is the number a data-mix
+    * owner quotes.
+    *
+    * Scale: stage 1 is one hash aggregate + self-equi-join at
+    * hash-grain; stage 2 inherits the banded LSH linearity (bucket
+    * reps, never pairs). Survivor sets pass between stages as
+    * dataframes — at 100 TB each stage is one materialized
+    * checkpoint of a curation DAG, identical shape. Sources that
+    * lose every document stay visible via left joins + zero fills.
+    */
+  def dedupChain(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val keyed = docs.withColumn("h", sha2(normText(col("text")), 256))
+    val r1 = keyed.groupBy("h").agg(min(col("doc_id")).as("keep1"))
+    val s1 = keyed.join(r1, Seq("h"))
+      .filter(col("doc_id") === col("keep1"))
+      .select(col("doc_id"), col("source"), col("text"))
+    val r2 = minhashAssignments(s1)
+      .groupBy("cluster_id").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val raw = docs.groupBy("source").agg(count(lit(1)).as("n_raw"))
+    val ex = s1.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    val nn = s1.join(r2, Seq("doc_id"))
+      .groupBy("source").agg(count(lit(1)).as("n_near"))
+    raw.join(ex, Seq("source"), "left").join(nn, Seq("source"), "left")
+      .select(col("source"), col("n_raw"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        TextFns.round4(coalesce(col("n_near"), lit(0L)).cast("double") /
+          col("n_raw").cast("double")).as("retention"))
+      .orderBy("source")
+  }
+
+  private val sqlDedupChain =
+    s"""WITH k AS (SELECT doc_id, source, text,
+       |                  sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
+       |           FROM documents),
+       |     r1 AS (SELECT h, min(doc_id) AS keep1 FROM k GROUP BY h),
+       |     s1 AS (SELECT k.doc_id, k.source, k.text
+       |            FROM k JOIN r1 ON k.h = r1.h AND k.doc_id = r1.keep1),
+       |     c AS (SELECT doc_id, text, $duckCodes AS cs FROM s1),
+       |     s AS (SELECT doc_id, $duckShingles AS shs FROM c),
+       |     g AS (SELECT doc_id, $duckSignature AS sig FROM s),
+       |     bands AS (SELECT doc_id, unnest($duckBandKeys) AS band FROM g),
+       |     reps AS (SELECT band, min(doc_id) AS rep FROM bands GROUP BY band),
+       |     cl AS (SELECT bands.doc_id, min(reps.rep) AS cluster_id
+       |            FROM bands JOIN reps ON bands.band = reps.band
+       |            GROUP BY bands.doc_id),
+       |     r2 AS (SELECT min(doc_id) AS doc_id FROM cl GROUP BY cluster_id),
+       |     raw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw
+       |             FROM documents GROUP BY 1),
+       |     e AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM s1 GROUP BY 1),
+       |     nn AS (SELECT s1.source, CAST(count(*) AS BIGINT) AS n_near
+       |            FROM s1 JOIN r2 ON s1.doc_id = r2.doc_id GROUP BY 1)
+       |SELECT raw.source, raw.n_raw,
+       |       COALESCE(e.n_exact, 0) AS n_exact,
+       |       COALESCE(nn.n_near, 0) AS n_near,
+       |       ${TextFns.duckRound4(
+                 "CAST(COALESCE(nn.n_near, 0) AS DOUBLE) / CAST(raw.n_raw AS DOUBLE)")} AS retention
+       |FROM raw LEFT JOIN e ON raw.source = e.source
+       |         LEFT JOIN nn ON raw.source = nn.source
+       |ORDER BY raw.source""".stripMargin
+
   // ---------- 3aᶠ. q_cluster_purity: cross-language duplicate screen ----------
 
   /** Language purity of near-dup clusters: how many multi-document
@@ -2056,6 +2129,7 @@ object TextQueries {
     "q_cluster_sizes" -> (clusterSizes _),
     "q_dup_rate" -> (dupRate _),
     "q_dedup_savings" -> (dedupSavings _),
+    "q_dedup_chain" -> (dedupChain _),
     "q_cluster_purity" -> (clusterPurity _),
     "q_pagerank" -> (pagerank _),
     "q_hits" -> (hitsQ _),
@@ -2092,6 +2166,7 @@ object TextQueries {
     "q_cluster_sizes" -> sqlClusterSizes,
     "q_dup_rate" -> sqlDupRate,
     "q_dedup_savings" -> sqlDedupSavings,
+    "q_dedup_chain" -> sqlDedupChain,
     "q_cluster_purity" -> sqlClusterPurity,
     "q_pagerank" -> sqlPagerank,
     "q_hits" -> sqlHits,
