@@ -230,13 +230,103 @@ object MediaQueries {
        |FROM sel JOIN hash ON sel.c = hash.c
        |GROUP BY hash.phash ORDER BY hash.phash""".stripMargin
 
+  // ---------- q_video_sample: AVI container walk + frame sampling ----------
+
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def riffChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val pad: Array[Byte] =
+      if (data.length % 2 == 1) Array(0.toByte) else Array.empty
+    id.getBytes("ISO-8859-1") ++ le32(data.length.toLong) ++ data ++ pad
+  }
+
+  private def riffList(typ: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", typ.getBytes("ISO-8859-1") ++ body)
+
+  /** Frame-sampling over a real RIFF/AVI container walk: each selected
+    * document builds an AVI with nf = 3+(id%5) frames at 25 fps
+    * (usPerFrame 40000 in the `avih` header), each frame a 16×12 gray
+    * fill v(i) = (7·id+31·i)%256. [[Multimodal.decodeVideoFrames]]
+    * parses the container ([[Multimodal.AviMjpegCodec]] — the same
+    * chunk walk production MJPEG takes), samples every 40 ms, and
+    * random-accesses exactly the sampled frames. The contract the
+    * oracle rebuilds arithmetically: n_frames sampled = nf (the
+    * schedule covers each frame once), the index sum nf(nf−1)/2
+    * (proves the ts→index mapping), the header dims, and the exact
+    * mean shade.
+    *
+    * Frame payloads are PNG, not JPEG, so the intensity contract is
+    * EXACT (a JPEG round trip is deterministic but only ±2-close for
+    * solid fills — `MultimodalSpec` pins that path); the container
+    * walk, sampling schedule, and random-access byte ranges — the
+    * parts this query gates — are identical for either payload.
+    */
+  def videoSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 3)
+      .select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val nf = 3 + (id % 5).toInt
+        val frames = (0 until nf).map { i =>
+          val v = ((id * 7 + i * 31) % 256).toInt
+          val img = new java.awt.image.BufferedImage(
+            16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (v << 16) | (v << 8) | v
+          for (y <- 0 until 12; x <- 0 until 16) img.setRGB(x, y, rgb)
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", buf)
+          buf.toByteArray
+        }
+        val avih = java.nio.ByteBuffer.allocate(56)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        avih.putInt(0, 40000)
+        avih.putInt(16, nf)
+        avih.putInt(24, 1)
+        avih.putInt(32, 16)
+        avih.putInt(36, 12)
+        val hdrl = riffList("hdrl", riffChunk("avih", avih.array()))
+        val movi = riffList("movi",
+          frames.flatMap(f => riffChunk("00dc", f)).toArray)
+        val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+        val avi = "RIFF".getBytes("ISO-8859-1") ++ le32(body.length.toLong) ++ body
+        Multimodal.MediaRow(id, "video", avi,
+          Multimodal.MediaMeta(Some(16), Some(12), None, Some(nf * 40L), Some("avi")))
+      }
+    }
+    Multimodal.decodeVideoFrames(media.toDF(), everyMs = 40L).toDF()
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        max(col("width")).cast("long").as("width"),
+        max(col("height")).cast("long").as("height"),
+        sum(col("frame_index").cast("long")).as("sum_idx"),
+        TextFns.round4(avg(col("mean_intensity"))).as("mean_shade"))
+      .orderBy("media_id")
+  }
+
+  private val sqlVideoSample =
+    s"""WITH sel AS (SELECT doc_id, 3 + doc_id % 5 AS nf
+       |             FROM documents WHERE doc_id % 5 = 3),
+       |     fr AS (SELECT doc_id, nf, UNNEST(range(nf)) AS i FROM sel),
+       |     sh AS (SELECT doc_id, nf, i, (doc_id * 7 + i * 31) % 256 AS v FROM fr)
+       |SELECT doc_id AS media_id, CAST(nf AS BIGINT) AS n_frames,
+       |       CAST(16 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+       |       CAST(nf * (nf - 1) // 2 AS BIGINT) AS sum_idx,
+       |       ${TextFns.duckRound4("CAST(sum(v) AS DOUBLE) / CAST(nf AS DOUBLE)")} AS mean_shade
+       |FROM sh GROUP BY doc_id, nf ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_image_decode" -> (imageDecode _),
     "q_audio_decode" -> (audioDecode _),
-    "q_image_phash" -> (imagePhash _))
+    "q_image_phash" -> (imagePhash _),
+    "q_video_sample" -> (videoSample _))
 
   val oracle: Map[String, String] = Map(
     "q_image_decode" -> sqlImageDecode,
     "q_audio_decode" -> sqlAudioDecode,
-    "q_image_phash" -> sqlImagePhash)
+    "q_image_phash" -> sqlImagePhash,
+    "q_video_sample" -> sqlVideoSample)
 }
