@@ -500,6 +500,93 @@ object TextQueries {
        |         LEFT JOIN nn ON raw.source = nn.source
        |ORDER BY raw.source""".stripMargin
 
+  // ---------- 3aʰ. q_modularity: one-hop clustering quality audit ----------
+
+  /** Newman modularity of the ONE-HOP LSH clustering measured on the
+    * band-collision graph itself — the audit that says how much
+    * linkage [[minhashAssignments]]'s cheap single pass leaves on the
+    * table versus the transitive closure: `cut_edges` counts
+    * collision edges whose endpoints land in different one-hop
+    * clusters (exactly the links [[ccClusters]] would merge), and
+    * Q = intra/m − Σ_c(d_c/2m)² scores the partition against the
+    * degree-preserving random graph (Newman 2004). A Q near its
+    * maximum with few cut edges says one-hop is good enough — skip
+    * the closure's extra rounds; a large cut says run the fixpoint.
+    *
+    * Exactness: everything is integer until the single output
+    * division — the numerator 4m·intra − Σd_c² and denominator 4m²
+    * accumulate in DECIMAL(38,0) (long² overflows past ~10⁹ edges),
+    * each converted to double once, same association in the oracle.
+    *
+    * Scale: edge list and degrees are linear aggregates of the
+    * banded collision structure (never within-bucket pairs); the
+    * three scalar aggregates broadcast-join at the end. Same plan at
+    * any SF.
+    */
+  def modularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val e0 = bandReps(docs)
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("doc_id").as("b"))
+      .distinct()
+    val assign = minhashAssignments(docs)
+    val lab = e0
+      .join(assign.select(col("doc_id").as("a"), col("cluster_id").as("ca")), Seq("a"))
+      .join(assign.select(col("doc_id").as("b"), col("cluster_id").as("cb")), Seq("b"))
+    val mRow = lab.agg(count(lit(1)).as("m"),
+      sum(when(col("ca") === col("cb"), lit(1L)).otherwise(lit(0L))).as("intra"))
+    val deg = e0.select(col("a").as("node"))
+      .unionAll(e0.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val dc2 = deg
+      .join(assign.withColumnRenamed("doc_id", "node"), Seq("node"))
+      .groupBy("cluster_id").agg(sum(col("deg")).as("dc"))
+      .agg(sum(col("dc").cast("decimal(19,0)") * col("dc").cast("decimal(19,0)"))
+        .as("sum_dc2"))
+    val mD = col("m").cast("decimal(19,0)")
+    val iD = col("intra").cast("decimal(19,0)")
+    mRow.crossJoin(broadcast(nNodes)).crossJoin(broadcast(dc2))
+      .select(col("n_nodes"), col("m").as("n_edges"),
+        col("intra").as("intra_edges"), (col("m") - col("intra")).as("cut_edges"),
+        TextFns.round4(
+          ((lit(4).cast("decimal(19,0)") * iD * mD).cast("double") -
+            col("sum_dc2").cast("double")) /
+          (lit(4).cast("decimal(19,0)") * mD * mD).cast("double")).as("modularity"))
+  }
+
+  private val sqlModularity =
+    s"""WITH c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),
+       |     s AS (SELECT doc_id, $duckShingles AS shs FROM c),
+       |     g AS (SELECT doc_id, $duckSignature AS sig FROM s),
+       |     bands AS (SELECT doc_id, unnest($duckBandKeys) AS band FROM g),
+       |     reps AS (SELECT band, min(doc_id) AS rep FROM bands GROUP BY band),
+       |     e0 AS (SELECT DISTINCT reps.rep AS a, bands.doc_id AS b
+       |            FROM bands JOIN reps ON bands.band = reps.band
+       |            WHERE bands.doc_id <> reps.rep),
+       |     cl AS (SELECT bands.doc_id, min(reps.rep) AS cluster_id
+       |            FROM bands JOIN reps ON bands.band = reps.band
+       |            GROUP BY bands.doc_id),
+       |     lab AS (SELECT ca.cluster_id AS ca, cb.cluster_id AS cb
+       |             FROM e0 JOIN cl ca ON e0.a = ca.doc_id
+       |                     JOIN cl cb ON e0.b = cb.doc_id),
+       |     mrow AS (SELECT CAST(count(*) AS BIGINT) AS m,
+       |                     CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT) AS intra
+       |              FROM lab),
+       |     deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+       |             FROM (SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0)
+       |             GROUP BY 1),
+       |     nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+       |     dc AS (SELECT cl.cluster_id, CAST(sum(deg.deg) AS BIGINT) AS dc
+       |            FROM deg JOIN cl ON deg.node = cl.doc_id GROUP BY 1),
+       |     dc2 AS (SELECT sum(CAST(dc AS DECIMAL(19,0)) * CAST(dc AS DECIMAL(19,0))) AS sum_dc2
+       |             FROM dc)
+       |SELECT nn.n_nodes, mrow.m AS n_edges, mrow.intra AS intra_edges,
+       |       mrow.m - mrow.intra AS cut_edges,
+       |       ${TextFns.duckRound4(
+                  "(CAST(CAST(4 AS DECIMAL(19,0)) * CAST(mrow.intra AS DECIMAL(19,0)) * CAST(mrow.m AS DECIMAL(19,0)) AS DOUBLE) - CAST(dc2.sum_dc2 AS DOUBLE)) / CAST(CAST(4 AS DECIMAL(19,0)) * CAST(mrow.m AS DECIMAL(19,0)) * CAST(mrow.m AS DECIMAL(19,0)) AS DOUBLE)")} AS modularity
+       |FROM mrow CROSS JOIN nn CROSS JOIN dc2""".stripMargin
+
   // ---------- 3aᶠ. q_cluster_purity: cross-language duplicate screen ----------
 
   /** Language purity of near-dup clusters: how many multi-document
@@ -2130,6 +2217,7 @@ object TextQueries {
     "q_dup_rate" -> (dupRate _),
     "q_dedup_savings" -> (dedupSavings _),
     "q_dedup_chain" -> (dedupChain _),
+    "q_modularity" -> (modularity _),
     "q_cluster_purity" -> (clusterPurity _),
     "q_pagerank" -> (pagerank _),
     "q_hits" -> (hitsQ _),
@@ -2167,6 +2255,7 @@ object TextQueries {
     "q_dup_rate" -> sqlDupRate,
     "q_dedup_savings" -> sqlDedupSavings,
     "q_dedup_chain" -> sqlDedupChain,
+    "q_modularity" -> sqlModularity,
     "q_cluster_purity" -> sqlClusterPurity,
     "q_pagerank" -> sqlPagerank,
     "q_hits" -> sqlHits,
