@@ -2108,6 +2108,79 @@ object TextQueries {
        |SELECT doc_id, ${TextFns.duckRound4(duckQuality)} AS quality
        |FROM t ORDER BY doc_id""".stripMargin
 
+  // ---------- q_dataset_card: per-source datasheet row ----------
+
+  /** The datasheet table every corpus release ships (Gebru et al.'s
+    * "Datasheets for Datasets" reduced to its per-source quantitative
+    * row): volume (docs, chars), language mix (distinct langs +
+    * deterministic top language), exact-duplicate count, median
+    * length, and mean quality score — one row per source, every
+    * number produced by machinery individually oracle-verified
+    * elsewhere ([[docDedup]]'s hash, [[TextFns.qualityScore]],
+    * exact percentile ≡ quantile_cont).
+    *
+    * Parity: mean quality goes through integer micro-units
+    * (floor(q·10⁶+0.5) summed as DECIMAL — order-independent), one
+    * double division chain at the edge; top language breaks count
+    * ties on the smaller lang string via a per-source window over
+    * lang-grain rows (bounded partitions). Scale: one fact pass +
+    * two bounded aggregates; the percentile swaps to
+    * `approx_percentile` at 100 TB with the same plan.
+    */
+  def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .withColumn("qm",
+        floor(TextFns.qualityScore(col("text"), col("ts")) * 1000000.0 + 0.5)
+          .cast("decimal(18,0)"))
+      .withColumn("h", sha2(normText(col("text")), 256))
+    val agg = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars").cast("long")).as("total_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      (count(lit(1)) - countDistinct(col("h"))).as("n_dups"),
+      percentile(col("n_chars").cast("double"), lit(0.5)).as("p50"),
+      sum(col("qm")).as("qsum"))
+    val w = Window.partitionBy("source").orderBy(col("c").desc, col("lang"))
+    val topLang = docs.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    agg.join(topLang, Seq("source"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("n_langs"), col("top_lang"), col("n_dups"),
+        TextFns.round4(col("p50")).as("p50_chars"),
+        TextFns.round4(col("qsum").cast("double") / 1000000.0 /
+          col("n_docs").cast("double")).as("mean_quality"))
+      .orderBy("source")
+  }
+
+  private val sqlDatasetCard =
+    s"""WITH t AS (SELECT doc_id, source, lang, n_chars, text, $duckTokens AS ts
+       |           FROM documents),
+       |     q AS (SELECT source, lang, n_chars,
+       |                  CAST(floor(($duckQuality) * 1000000.0 + 0.5) AS DECIMAL(18,0)) AS qm,
+       |                  sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
+       |           FROM t),
+       |     a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |                  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |                  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |                  CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dups,
+       |                  quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50,
+       |                  sum(qm) AS qsum
+       |           FROM q GROUP BY 1),
+       |     lc AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+       |     tl AS (SELECT source, lang AS top_lang FROM lc
+       |            QUALIFY row_number() OVER (PARTITION BY source
+       |                                       ORDER BY c DESC, lang) = 1)
+       |SELECT a.source, a.n_docs, a.total_chars, a.n_langs, tl.top_lang, a.n_dups,
+       |       ${TextFns.duckRound4("p50")} AS p50_chars,
+       |       ${TextFns.duckRound4(
+                  "CAST(qsum AS DOUBLE) / 1000000.0 / CAST(n_docs AS DOUBLE)")} AS mean_quality
+       |FROM a JOIN tl ON a.source = tl.source ORDER BY a.source""".stripMargin
+
   // ---------- q_quality_survival: quality-quartile × dedup cross-tab ----------
 
   /** Quality-vs-dedup survival matrix: cross-tab of quality-score
@@ -2218,6 +2291,7 @@ object TextQueries {
     "q_dedup_savings" -> (dedupSavings _),
     "q_dedup_chain" -> (dedupChain _),
     "q_modularity" -> (modularity _),
+    "q_dataset_card" -> (datasetCard _),
     "q_cluster_purity" -> (clusterPurity _),
     "q_pagerank" -> (pagerank _),
     "q_hits" -> (hitsQ _),
@@ -2256,6 +2330,7 @@ object TextQueries {
     "q_dedup_savings" -> sqlDedupSavings,
     "q_dedup_chain" -> sqlDedupChain,
     "q_modularity" -> sqlModularity,
+    "q_dataset_card" -> sqlDatasetCard,
     "q_cluster_purity" -> sqlClusterPurity,
     "q_pagerank" -> sqlPagerank,
     "q_hits" -> sqlHits,
