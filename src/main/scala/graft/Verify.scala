@@ -7,12 +7,17 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_NO_EXT=1 skips the GraftExtensions injection — an
+    // A/B debugging aid for isolating injected-rule overhead; the
+    // driver never sets it (plans are value-identical either way).
+    val spark = (if (sys.env.contains("SPARK_GRAFT_NO_EXT")) builder
+                 else builder.config("spark.sql.extensions",
+                   "graft.functions.GraftExtensions"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1926,7 +1926,100 @@ object VectorQueries {
        |FROM q GROUP BY probe_id ORDER BY probe_id""".stripMargin
   }
 
+  // ---------- q_kpp_init: deterministic k-means++ seeding audit ----------
+
+  /** Farthest-point (deterministic k-means++) seeding over the
+    * embedding corpus: seed 1 is the smallest vec_id (the
+    * deterministic stand-in for the random first pick), and each
+    * subsequent seed r = 2..4 is the vector maximizing its distance
+    * to the nearest already-chosen seed — the spread-maximizing
+    * initialization that makes [[kmeansRefine]]'s Lloyd rounds
+    * converge in few iterations (Arthur & Vassilvitskii 2007's
+    * D² idea with argmax instead of D² sampling, the standard
+    * derandomization). Output: one row per seed with its selection
+    * distance — the audit a clustering deployment reads to see
+    * whether its seeds actually spread (collapsing dmax ⇒ intrinsic
+    * cluster count reached).
+    *
+    * Parity: distances are the native left-fold [[VectorNative
+    * .sqDist]] ≡ the oracle's list_reduce (bit-identical, the
+    * centroid-outliers precedent); the argmax ranks on ROUND6ed
+    * distance with a vec_id tie-break (round-before-rank rule), and
+    * the min-over-seeds is `least` of ≤3 identical doubles.
+    *
+    * Scale: k passes over the corpus, each a TakeOrdered(1) — no
+    * global sort, no driver set beyond k vectors. The k seed vectors
+    * travel as broadcast literals exactly like [[pqCodes]]'
+    * codebook.
+    */
+  def kppInit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val vecs = withVecs(spark, sfDir).select(col("vec_id"), col("v"))
+    val first = vecs.orderBy("vec_id").limit(1)
+      .collect().head
+    var chosen = List((first.getLong(0), first.getSeq[Double](1)))
+    val picks = scala.collection.mutable.ArrayBuffer((1L, first.getLong(0), 0.0))
+    (2 to 4).foreach { r =>
+      val dmin = chosen.map { case (_, c) =>
+        graft.functions.VectorNative.sqDist(col("v"), typedLit(c))
+      }.reduce(least(_, _))
+      val next = vecs.withColumn("dmin", dmin)
+        .orderBy(round6(col("dmin")).desc, col("vec_id"))
+        .limit(1).select(col("vec_id"), col("v"), col("dmin"))
+        .collect().head
+      chosen ::= ((next.getLong(0), next.getSeq[Double](1)))
+      picks += ((r.toLong, next.getLong(0), next.getDouble(2)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("round",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("dist",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          picks.toSeq.map { case (r, id, d) => Row(r, id, d) }, 1),
+        schema)
+      .select(col("round"), col("vec_id"),
+        round4(col("dist")).as("dist"))
+      .orderBy("round")
+  }
+
+  private val sqlKppInit = {
+    def sqd(a: String, b: String): String =
+      s"list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, len($a) + 1), " +
+        s"i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * " +
+        s"($a[CAST(i AS INT)] - $b[CAST(i AS INT)])), (acc, y) -> acc + y)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |     c1 AS (SELECT vec_id AS id1, v AS v1 FROM e ORDER BY vec_id LIMIT 1),
+       |     d2 AS (SELECT e.vec_id, e.v, ${sqd("e.v", "v1")} AS dmin FROM e, c1),
+       |     c2 AS (SELECT vec_id AS id2, v AS v2, dmin AS dm2 FROM d2
+       |            ORDER BY ${duckRound6("dmin")} DESC, vec_id LIMIT 1),
+       |     d3 AS (SELECT e.vec_id, e.v,
+       |                   least(${sqd("e.v", "v1")}, ${sqd("e.v", "v2")}) AS dmin
+       |            FROM e, c1, c2),
+       |     c3 AS (SELECT vec_id AS id3, v AS v3, dmin AS dm3 FROM d3
+       |            ORDER BY ${duckRound6("dmin")} DESC, vec_id LIMIT 1),
+       |     d4 AS (SELECT e.vec_id, e.v,
+       |                   least(${sqd("e.v", "v1")}, ${sqd("e.v", "v2")},
+       |                         ${sqd("e.v", "v3")}) AS dmin
+       |            FROM e, c1, c2, c3),
+       |     c4 AS (SELECT vec_id AS id4, dmin AS dm4 FROM d4
+       |            ORDER BY ${duckRound6("dmin")} DESC, vec_id LIMIT 1)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS round, id1 AS vec_id, 0.0 AS dist FROM c1
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), id2, ${duckRound4("dm2")} FROM c2
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT), id3, ${duckRound4("dm3")} FROM c3
+       |  UNION ALL
+       |  SELECT CAST(4 AS BIGINT), id4, ${duckRound4("dm4")} FROM c4)
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kpp_init" -> (kppInit _),
     "q_kmeans_refine" -> (kmeansRefine _),
     "q_triangle_count" -> (triangleCount _),
     "q_pq_codes" -> (pqCodes _),
@@ -1955,6 +2048,7 @@ object VectorQueries {
     "q_ivf_assign" -> (ivfAssign _))
 
   val oracle: Map[String, String] = Map(
+    "q_kpp_init" -> sqlKppInit,
     "q_kmeans_refine" -> sqlKmeansRefine,
     "q_triangle_count" -> sqlTriangleCount,
     "q_pq_codes" -> sqlPqCodes,
