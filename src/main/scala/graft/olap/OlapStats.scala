@@ -624,7 +624,64 @@ object OlapStats {
                  "CAST(min(CASE WHEN cum >= (t + 1) // 2 THEN cents END) AS DOUBLE) / 100.0")} AS weighted_median_price
        |FROM c GROUP BY f ORDER BY f""".stripMargin
 
+  // ---------- q_tv_drift: total-variation mix-drift audit ----------
+
+  /** Total-variation distance contribution per customer nation
+    * between the early (pre-1998) and late order halves — the
+    * categorical-mix drift screen that completes the drift triad:
+    * χ² ([[graft.text.DocOps.sourceSkew]]) scores deviation from a
+    * global expectation, KS ([[graft.text.DocOps.ksDrift]]) a
+    * continuous measure, TV the plain share-shift ½Σ|p₁−p₂| every
+    * monitoring page quotes as "X points of mix moved".
+    *
+    * Exactness: each contribution is |c₁·T₂ − c₂·T₁| / (2·T₁·T₂) —
+    * integer cross-products (long holds it to ~3·10⁹ orders per
+    * half; widen to DECIMAL past that), one round4 division at the
+    * edge. Scale: one orders⋈customer key shuffle (the required
+    * one), nation broadcast, then nation-grain arithmetic.
+    */
+  def tvDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        when(col("o_orderdate") < lit("1998-01-01").cast("timestamp"), lit(0))
+          .otherwise(lit(1)).as("half"))
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+    val cnt = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(when(col("half") === 0, lit(1L)).otherwise(lit(0L))).as("n_early"),
+        sum(when(col("half") === 1, lit(1L)).otherwise(lit(0L))).as("n_late"))
+    val tot = cnt.agg(sum(col("n_early")).as("t1"), sum(col("n_late")).as("t2"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("n_name"), col("n_early"), col("n_late"),
+        round4(
+          abs(col("n_early") * col("t2") - col("n_late") * col("t1")).cast("double") /
+            (lit(2.0) * col("t1").cast("double") * col("t2").cast("double")))
+          .as("tv_contrib"))
+      .orderBy("n_name")
+  }
+
+  private val sqlTvDrift =
+    s"""WITH o AS (SELECT o_custkey,
+       |                  CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+       |                       THEN 0 ELSE 1 END AS half
+       |           FROM orders),
+       |     cnt AS (SELECT n_name,
+       |                    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+       |                    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+       |             FROM o JOIN customer ON o_custkey = c_custkey
+       |                    JOIN nation ON c_nationkey = n_nationkey
+       |             GROUP BY 1),
+       |     tot AS (SELECT CAST(sum(n_early) AS BIGINT) AS t1,
+       |                    CAST(sum(n_late) AS BIGINT) AS t2 FROM cnt)
+       |SELECT n_name, n_early, n_late,
+       |       ${duckRound4(
+                  "CAST(abs(n_early * t2 - n_late * t1) AS DOUBLE) / (2.0 * CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE))")} AS tv_contrib
+       |FROM cnt CROSS JOIN tot ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tv_drift" -> (tvDrift _),
     "q_weighted_median" -> (weightedMedian _),
     "q_benford" -> (benford _),
     "q_equidepth_hist" -> (equidepthHist _),
@@ -638,6 +695,7 @@ object OlapStats {
     "q_outliers" -> (outliers _))
 
   val oracle: Map[String, String] = Map(
+    "q_tv_drift" -> sqlTvDrift,
     "q_weighted_median" -> sqlWeightedMedian,
     "q_benford" -> sqlBenford,
     "q_equidepth_hist" -> sqlEquidepthHist,
