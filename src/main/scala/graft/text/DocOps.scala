@@ -673,6 +673,128 @@ object DocOps {
        |FROM tot LEFT JOIN nv ON tot.source = nv.source
        |ORDER BY tot.source""".stripMargin
 
+  // ---------- q_bpe_encode: train-and-apply BPE rounds ----------
+
+  /** End-to-end tokenizer loop, oracle-gated: four BPE merge rounds,
+    * each TRAINING (argmax adjacent-pair count over the weighted
+    * vocab, count-desc / pair-asc tie-break) then APPLYING the merge
+    * to the whole vocabulary — the [[bpePairs]] round-1 statistics
+    * extended into the actual encode that [[BpeTrainer]] spec-gates
+    * driver-paced. Output per round: the merged pair, its weighted
+    * adjacency count at selection time, and the corpus token total
+    * AFTER applying it — the compression trajectory a tokenizer
+    * build reports.
+    *
+    * The cross-engine trick making the ENCODE oracle-expressible:
+    * token sequences travel as trailing-space strings (`h e l l o `)
+    * and a merge (a,b)→ab is `replace(s, "a b ", "ab ")` — plain
+    * left-to-right non-overlapping substring replacement, which both
+    * Spark's `replace` and DuckDB's `replace` implement with
+    * identical semantics, and which equals the sequential BPE merge
+    * walk (the consumed trailing space blocks overlap re-use,
+    * `aaa` → `aa a`). Words are [[TextFns.tokens]] output
+    * (alphanumeric), so token text never collides with the space
+    * separator.
+    *
+    * Scale: everything runs at VOCAB grain (distinct words ×
+    * freq — bounded by Heaps' law, not corpus size) exactly like
+    * [[BpeTrainer]]; per round one pair-grain hash aggregate, a
+    * 1-row TakeOrdered collect, and a vocab-grain map. The fact
+    * table is touched once to build the vocab.
+    */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val vocab = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(explode_outer(col("ts")).as("word"))
+      .filter(col("word").isNotNull && length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("s", regexp_replace(col("word"), "(.)", "$1 "))
+      .select(col("freq"), col("s"))
+      .cache()
+    def pairStats(df: DataFrame): DataFrame = df
+      .withColumn("toks", filter(split(col("s"), " "), x => x =!= ""))
+      .withColumn("prs", transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("a"),
+          element_at(col("toks"), i + lit(1)).as("b"))))
+      .select(col("freq"), explode_outer(col("prs")).as("pr"))
+      .filter(col("pr").isNotNull)
+      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+    var cur = vocab
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    (1 to 4).foreach { r =>
+      val top = pairStats(cur)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect().head
+      val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      cur = cur.withColumn("s",
+        regexp_replace(col("s"), lit(java.util.regex.Pattern.quote(s"$a $b ")),
+          lit(s"$a$b ")))
+      val after = cur
+        .withColumn("toks", filter(split(col("s"), " "), x => x =!= ""))
+        .agg(sum(col("freq") * size(col("toks"))).as("t")).collect().head.getLong(0)
+      rows += Row(r.toLong, a, b, cnt, after)
+    }
+    vocab.unpersist()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("round",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("pair_a",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("pair_b",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_pair",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_tokens_after",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+      .orderBy("round")
+  }
+
+  private val sqlBpeEncode = {
+    def pairCte(w: String, p: String): String =
+      s"""$p AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |   SELECT freq, t.pr['a'] AS a, t.pr['b'] AS b
+         |   FROM (SELECT freq,
+         |           list_filter(string_split(s, ' '), x -> x <> '') AS toks
+         |         FROM $w) w0,
+         |        unnest(list_transform(range(1, len(w0.toks)),
+         |          i -> {'a': w0.toks[CAST(i AS INT)],
+         |                'b': w0.toks[CAST(i + 1 AS INT)]})) t(pr))
+         | GROUP BY a, b)""".stripMargin
+    def topCte(p: String, m: String): String =
+      s"$m AS (SELECT a, b, cnt FROM $p ORDER BY cnt DESC, a, b LIMIT 1)"
+    def applyCte(w: String, m: String, w2: String): String =
+      s"""$w2 AS (SELECT freq,
+         |   replace(s, $m.a || ' ' || $m.b || ' ', $m.a || $m.b || ' ') AS s
+         | FROM $w CROSS JOIN $m)""".stripMargin
+    def afterCte(w: String, t: String): String =
+      s"""$t AS (SELECT CAST(sum(freq * len(list_filter(string_split(s, ' '),
+         |   x -> x <> ''))) AS BIGINT) AS t FROM $w)""".stripMargin
+    s"""WITH t0 AS (SELECT $duckTokens AS ts FROM documents),
+       |     e AS (SELECT unnest(ts) AS word FROM t0),
+       |     w1 AS (SELECT word, count(*) AS freq FROM e
+       |            GROUP BY 1 HAVING length(word) >= 2),
+       |     w AS (SELECT freq, regexp_replace(word, '(.)', '\\1 ', 'g') AS s FROM w1),
+       |     ${pairCte("w", "p1")}, ${topCte("p1", "m1")},
+       |     ${applyCte("w", "m1", "wa")}, ${afterCte("wa", "t1")},
+       |     ${pairCte("wa", "p2")}, ${topCte("p2", "m2")},
+       |     ${applyCte("wa", "m2", "wb")}, ${afterCte("wb", "t2")},
+       |     ${pairCte("wb", "p3")}, ${topCte("p3", "m3")},
+       |     ${applyCte("wb", "m3", "wc")}, ${afterCte("wc", "t3")},
+       |     ${pairCte("wc", "p4")}, ${topCte("p4", "m4")},
+       |     ${applyCte("wc", "m4", "wd")}, ${afterCte("wd", "t4")}
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS round, m1.a AS pair_a, m1.b AS pair_b,
+       |         m1.cnt AS n_pair, t1.t AS n_tokens_after FROM m1, t1
+       |  UNION ALL SELECT CAST(2 AS BIGINT), m2.a, m2.b, m2.cnt, t2.t FROM m2, t2
+       |  UNION ALL SELECT CAST(3 AS BIGINT), m3.a, m3.b, m3.cnt, t3.t FROM m3, t3
+       |  UNION ALL SELECT CAST(4 AS BIGINT), m4.a, m4.b, m4.cnt, t4.t FROM m4, t4)
+       |ORDER BY round""".stripMargin
+  }
+
   // ---------- q_source_skew: chi-square language-mix skew audit ----------
 
   /** Per-source χ² statistic of the source's language distribution
@@ -1279,6 +1401,7 @@ object DocOps {
     "q_segment_dedup" -> (segmentDedup _),
     "q_gopher_rules" -> (gopherRules _),
     "q_bpe_pairs" -> (bpePairs _),
+    "q_bpe_encode" -> (bpeEncode _),
     "q_winnow_fp" -> (winnowFp _),
     "q_decontaminate" -> (decontaminate _),
     "q_soft_dedup" -> (softDedup _),
@@ -1297,6 +1420,7 @@ object DocOps {
     "q_segment_dedup" -> sqlSegmentDedup,
     "q_gopher_rules" -> sqlGopherRules,
     "q_bpe_pairs" -> sqlBpePairs,
+    "q_bpe_encode" -> sqlBpeEncode,
     "q_winnow_fp" -> sqlWinnowFp,
     "q_decontaminate" -> sqlDecontaminate,
     "q_soft_dedup" -> sqlSoftDedup,
