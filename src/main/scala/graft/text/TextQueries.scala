@@ -2181,6 +2181,72 @@ object TextQueries {
                   "CAST(qsum AS DOUBLE) / 1000000.0 / CAST(n_docs AS DOUBLE)")} AS mean_quality
        |FROM a JOIN tl ON a.source = tl.source ORDER BY a.source""".stripMargin
 
+  // ---------- q_spearman: rank correlation (is quality just length?) ----------
+
+  /** Spearman rank correlation between document length and quality
+    * score per source — the redundancy audit on the quality signal:
+    * ρ near 1 says the "quality" model is mostly re-ranking by
+    * length (its length factor dominating), low ρ says the
+    * punctuation/stopword/word-length factors actually contribute.
+    * Complements [[graft.olap.OlapStats.corrStats]] (Pearson on
+    * values) with the ranks-only statistic robust to any monotone
+    * rescaling.
+    *
+    * Exactness: ranks are row_number over (ROUNDED quality, doc_id)
+    * and (n_chars, doc_id) — the round-before-rank rule with integer
+    * tie-breaks, so both engines assign identical ranks; Σd² and
+    * n(n²−1) accumulate in DECIMAL (n³ overflows long past ~2M docs
+    * per source), one double division in ρ = 1 − 6Σd²/(n(n²−1)).
+    *
+    * Scale: the two rank windows partition by source at doc grain —
+    * fine to ~10⁷ docs/source; past that assign ranks with the
+    * hierarchical [[graft.etl.PrefixScan]] (the weighted-median
+    * pattern) instead of a window, same output contract.
+    */
+  def spearman(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .withColumn("q", TextFns.round4(TextFns.qualityScore(col("text"), col("ts"))))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("q"))
+    val wq = Window.partitionBy("source").orderBy(col("q"), col("doc_id"))
+    val wl = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    val ranked = docs
+      .withColumn("rq", row_number().over(wq).cast("long"))
+      .withColumn("rl", row_number().over(wl).cast("long"))
+      .withColumn("d", col("rq") - col("rl"))
+    ranked.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("d") * col("d")).cast("decimal(28,0)")).as("sd2"))
+      .filter(col("n_docs") > 1)
+      .withColumn("nd", col("n_docs").cast("decimal(19,0)"))
+      .select(col("source"), col("n_docs"),
+        TextFns.round4(lit(1.0) -
+          (lit(6.0) * col("sd2").cast("double")) /
+            (col("nd") * (col("nd") * col("nd") - lit(1).cast("decimal(19,0)")))
+              .cast("double")).as("rho"))
+      .orderBy("source")
+  }
+
+  private val sqlSpearman =
+    s"""WITH t AS (SELECT doc_id, source, n_chars, text, $duckTokens AS ts
+       |           FROM documents),
+       |     q AS (SELECT doc_id, source, n_chars,
+       |                  ${TextFns.duckRound4(duckQuality)} AS q FROM t),
+       |     r AS (SELECT source,
+       |                  CAST(row_number() OVER (PARTITION BY source
+       |                         ORDER BY q, doc_id) AS BIGINT) AS rq,
+       |                  CAST(row_number() OVER (PARTITION BY source
+       |                         ORDER BY n_chars, doc_id) AS BIGINT) AS rl
+       |           FROM q),
+       |     a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |                  sum(CAST((rq - rl) * (rq - rl) AS DECIMAL(28,0))) AS sd2
+       |           FROM r GROUP BY 1 HAVING count(*) > 1)
+       |SELECT source, n_docs,
+       |       ${TextFns.duckRound4(
+                  "1.0 - (6.0 * CAST(sd2 AS DOUBLE)) / CAST(CAST(n_docs AS DECIMAL(19,0)) * (CAST(n_docs AS DECIMAL(19,0)) * CAST(n_docs AS DECIMAL(19,0)) - CAST(1 AS DECIMAL(19,0))) AS DOUBLE)")} AS rho
+       |FROM a ORDER BY source""".stripMargin
+
   // ---------- q_quality_survival: quality-quartile × dedup cross-tab ----------
 
   /** Quality-vs-dedup survival matrix: cross-tab of quality-score
@@ -2292,6 +2358,7 @@ object TextQueries {
     "q_dedup_chain" -> (dedupChain _),
     "q_modularity" -> (modularity _),
     "q_dataset_card" -> (datasetCard _),
+    "q_spearman" -> (spearman _),
     "q_cluster_purity" -> (clusterPurity _),
     "q_pagerank" -> (pagerank _),
     "q_hits" -> (hitsQ _),
@@ -2331,6 +2398,7 @@ object TextQueries {
     "q_dedup_chain" -> sqlDedupChain,
     "q_modularity" -> sqlModularity,
     "q_dataset_card" -> sqlDatasetCard,
+    "q_spearman" -> sqlSpearman,
     "q_cluster_purity" -> sqlClusterPurity,
     "q_pagerank" -> sqlPagerank,
     "q_hits" -> sqlHits,
