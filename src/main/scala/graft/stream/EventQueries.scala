@@ -1106,7 +1106,77 @@ object EventQueries {
        |FROM c JOIN t USING (event_type)
        |ORDER BY event_type, dow""".stripMargin
 
+  // ---------- q_attribution: last-touch conversion attribution ----------
+
+  /** Last-touch attribution: for every converting user (first
+    * `purchase` by (ts, event_id) order), which event type was the
+    * LAST thing they did strictly before converting — the channel
+    * credit table marketing reconciles spend against, and the
+    * complement of [[timeToConvert]]'s latency view. Users whose
+    * purchase has no prior event attribute to `none` (direct).
+    *
+    * Shape: NO per-user windows — first-purchase and last-touch are
+    * mergeable struct-min/struct-max aggregates over the unique
+    * (ts, event_id) order (O(1) state per user, map-side combine),
+    * then one bounded type-grain rollup. The oracle replays the
+    * same picks with row_number windows — method differs, contract
+    * (unique order) guarantees identical rows.
+    */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+      .select(col("user_id"), col("f.ts").as("fts"), col("f.event_id").as("fid"))
+    val lt = ev.filter(col("event_type") =!= "purchase")
+      .join(fp, Seq("user_id"))
+      .filter(col("ts") < col("fts") ||
+        (col("ts") === col("fts") && col("event_id") < col("fid")))
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("l"))
+      .select(col("user_id"), col("l.event_type").as("touch_type"))
+    val a = fp.join(lt, Seq("user_id"), "left")
+      .groupBy(coalesce(col("touch_type"), lit("none")).as("touch_type"))
+      .agg(count(lit(1)).as("n_users"))
+    val tot = a.agg(sum(col("n_users")).as("t"))
+    a.crossJoin(broadcast(tot))
+      .select(col("touch_type"), col("n_users"),
+        graft.text.TextFns.round4(
+          col("n_users").cast("double") / col("t").cast("double")).as("share"))
+      .orderBy("touch_type")
+  }
+
+  private val sqlAttribution =
+    s"""WITH fp AS (SELECT user_id, ts AS fts, event_id AS fid
+       |            FROM (SELECT user_id, ts, event_id,
+       |                    row_number() OVER (PARTITION BY user_id
+       |                      ORDER BY ts, event_id) AS rn
+       |                  FROM events WHERE event_type = 'purchase')
+       |            WHERE rn = 1),
+       |     touch AS (SELECT e.user_id, e.event_type, e.ts, e.event_id
+       |               FROM events e JOIN fp ON e.user_id = fp.user_id
+       |               WHERE e.event_type <> 'purchase'
+       |                 AND (e.ts < fp.fts
+       |                      OR (e.ts = fp.fts AND e.event_id < fp.fid))),
+       |     lt AS (SELECT user_id, event_type AS touch_type
+       |            FROM (SELECT user_id, event_type,
+       |                    row_number() OVER (PARTITION BY user_id
+       |                      ORDER BY ts DESC, event_id DESC) AS rn
+       |                  FROM touch)
+       |            WHERE rn = 1),
+       |     a AS (SELECT COALESCE(lt.touch_type, 'none') AS touch_type,
+       |                  CAST(count(*) AS BIGINT) AS n_users
+       |           FROM fp LEFT JOIN lt ON fp.user_id = lt.user_id
+       |           GROUP BY 1),
+       |     tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS t FROM a)
+       |SELECT touch_type, n_users,
+       |       ${graft.text.TextFns.duckRound4(
+                  "CAST(n_users AS DOUBLE) / CAST(t AS DOUBLE)")} AS share
+       |FROM a CROSS JOIN tot ORDER BY touch_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> (attribution _),
     "q_seasonal_dow" -> (seasonalDow _),
     "q_growth_accounting" -> (growthAccounting _),
     "q_time_to_convert" -> (timeToConvert _),
@@ -1131,6 +1201,7 @@ object EventQueries {
     "q_rolling_distinct" -> (rollingDistinct _))
 
   val oracle: Map[String, String] = Map(
+    "q_attribution" -> sqlAttribution,
     "q_seasonal_dow" -> sqlSeasonalDow,
     "q_growth_accounting" -> sqlGrowthAccounting,
     "q_time_to_convert" -> sqlTimeToConvert,

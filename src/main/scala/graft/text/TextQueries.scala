@@ -500,6 +500,68 @@ object TextQueries {
        |         LEFT JOIN nn ON raw.source = nn.source
        |ORDER BY raw.source""".stripMargin
 
+  // ---------- 3aⁱ. q_dedup_bias: does dedup shift the language mix? ----------
+
+  /** Demographic-shift audit on the near-dup gate: language-mix
+    * shares BEFORE vs AFTER keeping only [[minhashAssignments]]
+    * canonicals (doc_id = cluster_id), with each language's
+    * total-variation contribution — boilerplate concentrates inside
+    * languages, so a dedup pass can silently shrink one language's
+    * share while the per-source funnel ([[dedupChain]]) still looks
+    * flat. The number a responsible-curation review asks for before
+    * shipping the deduped corpus.
+    *
+    * Exactness: shares and the TV term |b·T_a − a·T_b|/(2·T_b·T_a)
+    * are integer cross-products with one round4 division each
+    * (long-safe to ~3·10⁹ docs; DECIMAL past that). Scale: the LSH
+    * kernel's linear banded shape + two lang-grain aggregates.
+    */
+  def dedupBias(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val lab = minhashAssignments(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val cnt = lab.groupBy("lang")
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("doc_id") === col("cluster_id"), lit(1L)).otherwise(lit(0L)))
+          .as("n_after"))
+    val tot = cnt.agg(sum(col("n_before")).as("tb"), sum(col("n_after")).as("ta"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_before"), col("n_after"),
+        TextFns.round4(col("n_before").cast("double") / col("tb").cast("double"))
+          .as("share_before"),
+        TextFns.round4(col("n_after").cast("double") / col("ta").cast("double"))
+          .as("share_after"),
+        TextFns.round4(
+          abs(col("n_before") * col("ta") - col("n_after") * col("tb")).cast("double") /
+            (lit(2.0) * col("tb").cast("double") * col("ta").cast("double")))
+          .as("tv_contrib"))
+      .orderBy("lang")
+  }
+
+  private val sqlDedupBias =
+    s"""WITH c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),
+       |     s AS (SELECT doc_id, $duckShingles AS shs FROM c),
+       |     g AS (SELECT doc_id, $duckSignature AS sig FROM s),
+       |     bands AS (SELECT doc_id, unnest($duckBandKeys) AS band FROM g),
+       |     reps AS (SELECT band, min(doc_id) AS rep FROM bands GROUP BY band),
+       |     cl AS (SELECT bands.doc_id, min(reps.rep) AS cluster_id
+       |            FROM bands JOIN reps ON bands.band = reps.band
+       |            GROUP BY bands.doc_id),
+       |     lab AS (SELECT cl.doc_id, cl.cluster_id, d.lang
+       |             FROM cl JOIN documents d ON cl.doc_id = d.doc_id),
+       |     cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_before,
+       |                    CAST(sum(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END)
+       |                      AS BIGINT) AS n_after
+       |             FROM lab GROUP BY 1),
+       |     tot AS (SELECT CAST(sum(n_before) AS BIGINT) AS tb,
+       |                    CAST(sum(n_after) AS BIGINT) AS ta FROM cnt)
+       |SELECT lang, n_before, n_after,
+       |       ${TextFns.duckRound4("CAST(n_before AS DOUBLE) / CAST(tb AS DOUBLE)")} AS share_before,
+       |       ${TextFns.duckRound4("CAST(n_after AS DOUBLE) / CAST(ta AS DOUBLE)")} AS share_after,
+       |       ${TextFns.duckRound4(
+                  "CAST(abs(n_before * ta - n_after * tb) AS DOUBLE) / (2.0 * CAST(tb AS DOUBLE) * CAST(ta AS DOUBLE))")} AS tv_contrib
+       |FROM cnt CROSS JOIN tot ORDER BY lang""".stripMargin
+
   // ---------- 3aʰ. q_modularity: one-hop clustering quality audit ----------
 
   /** Newman modularity of the ONE-HOP LSH clustering measured on the
@@ -2359,6 +2421,7 @@ object TextQueries {
     "q_modularity" -> (modularity _),
     "q_dataset_card" -> (datasetCard _),
     "q_spearman" -> (spearman _),
+    "q_dedup_bias" -> (dedupBias _),
     "q_cluster_purity" -> (clusterPurity _),
     "q_pagerank" -> (pagerank _),
     "q_hits" -> (hitsQ _),
@@ -2399,6 +2462,7 @@ object TextQueries {
     "q_modularity" -> sqlModularity,
     "q_dataset_card" -> sqlDatasetCard,
     "q_spearman" -> sqlSpearman,
+    "q_dedup_bias" -> sqlDedupBias,
     "q_cluster_purity" -> sqlClusterPurity,
     "q_pagerank" -> sqlPagerank,
     "q_hits" -> sqlHits,
