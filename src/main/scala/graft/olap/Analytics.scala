@@ -502,7 +502,116 @@ object Analytics {
        |FROM m ORDER BY lag""".stripMargin
   }
 
+  // ---------- q_seasonal_naive: forecast backtest (seasonal-naive) ----------
+
+  /** Seasonal-naive backtest: forecast month m's order revenue as
+    * month m−12's actual, evaluated on every month with a lag-12
+    * predecessor — the baseline every forecasting effort must beat,
+    * and the backtest harness shape (join actuals to lagged
+    * forecasts, score per period) that any fancier model plugs into.
+    * APE is reported per month; the lag-7 [[autocorr]] peak says
+    * WHETHER seasonality exists, this says how far the purely
+    * seasonal model gets.
+    *
+    * Exactness: month revenues are integer cents (one hash
+    * aggregate), the month key is y·12+m integer arithmetic, APE's
+    * single division is round4'd. Scale: everything after the fact
+    * scan is month-grain.
+    */
+  def seasonalNaive(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = Tables.orders(spark, sfDir)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("mkey"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("cents"))
+    val f = monthly.select((col("mkey") + 12L).as("mkey"), col("cents").as("fcents"))
+    monthly.join(f, Seq("mkey"))
+      .select(((col("mkey") - 1) / 12).cast("long").as("year"),
+        (pmod(col("mkey") - 1, lit(12)) + 1).cast("long").as("month_no"),
+        col("cents").as("actual_cents"), col("fcents").as("forecast_cents"),
+        graft.text.TextFns.round4(
+          abs(col("cents") - col("fcents")).cast("double") /
+            col("cents").cast("double")).as("ape"))
+      .orderBy("year", "month_no")
+  }
+
+  private val sqlSeasonalNaive =
+    s"""WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mkey,
+       |                  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+       |           FROM orders GROUP BY 1)
+       |SELECT (a.mkey - 1) // 12 AS year,
+       |       (a.mkey - 1) % 12 + 1 AS month_no,
+       |       a.cents AS actual_cents, f.cents AS forecast_cents,
+       |       ${graft.text.TextFns.duckRound4(
+                  "CAST(abs(a.cents - f.cents) AS DOUBLE) / CAST(a.cents AS DOUBLE)")} AS ape
+       |FROM m a JOIN m f ON a.mkey = f.mkey + 12
+       |ORDER BY year, month_no""".stripMargin
+
+  // ---------- q_ltv_curve: cohort lifetime-value accumulation ----------
+
+  /** Average cumulative revenue per customer by cohort age — the LTV
+    * curve finance reads the payback period off: customers cohorted
+    * by first-order month (1995 cohorts), revenue accumulated over
+    * the first 12 months of life, divided by cohort size.
+    * [[cohortRetention]] counts who comes back; this weighs what
+    * they spend.
+    *
+    * Exactness: integer cents summed at (cohort, age) grain, the
+    * running total a window over ≤12 ages per cohort (bounded
+    * partitions), one round4 division per row. Scale: one
+    * customer-grain first-order aggregate + one fact equi-join on
+    * custkey (the required shuffle); everything after is
+    * cohort×age grain.
+    */
+  def ltvCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val mk = (c: Column) => (year(c) * 12 + month(c)).cast("long")
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), mk(col("o_orderdate")).as("mkey"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    val cohort = orders.groupBy("o_custkey").agg(min(col("mkey")).as("ckey"))
+      .filter(((col("ckey") - 1) / 12).cast("long") === 1995L)
+    val sizes = cohort.groupBy("ckey").agg(count(lit(1)).as("n_customers"))
+    val cells = orders.join(cohort, Seq("o_custkey"))
+      .withColumn("age", col("mkey") - col("ckey"))
+      .filter(col("age") < 12)
+      .groupBy("ckey", "age").agg(sum(col("cents")).as("cents"))
+    val w = Window.partitionBy("ckey").orderBy("age")
+    cells
+      .withColumn("cum_cents", sum(col("cents")).over(w))
+      .join(broadcast(sizes), Seq("ckey"))
+      .select((pmod(col("ckey") - 1, lit(12)) + 1).cast("long").as("cohort_month"),
+        col("age"), col("n_customers"),
+        graft.text.TextFns.round4(col("cum_cents").cast("double") / 100.0 /
+          col("n_customers").cast("double")).as("ltv_per_user"))
+      .orderBy("cohort_month", "age")
+  }
+
+  private val sqlLtvCurve =
+    s"""WITH o AS (SELECT o_custkey,
+       |                  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mkey,
+       |                  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+       |           FROM orders),
+       |     c AS (SELECT o_custkey, min(mkey) AS ckey FROM o GROUP BY 1),
+       |     c95 AS (SELECT * FROM c WHERE (ckey - 1) // 12 = 1995),
+       |     sz AS (SELECT ckey, CAST(count(*) AS BIGINT) AS n_customers
+       |            FROM c95 GROUP BY 1),
+       |     cells AS (SELECT c95.ckey, o.mkey - c95.ckey AS age,
+       |                      CAST(sum(o.cents) AS BIGINT) AS cents
+       |               FROM o JOIN c95 ON o.o_custkey = c95.o_custkey
+       |               WHERE o.mkey - c95.ckey < 12
+       |               GROUP BY 1, 2),
+       |     cum AS (SELECT ckey, age,
+       |                    CAST(sum(cents) OVER (PARTITION BY ckey ORDER BY age)
+       |                      AS BIGINT) AS cum_cents
+       |             FROM cells)
+       |SELECT (cum.ckey - 1) % 12 + 1 AS cohort_month, cum.age, sz.n_customers,
+       |       ${graft.text.TextFns.duckRound4(
+                  "CAST(cum_cents AS DOUBLE) / 100.0 / CAST(n_customers AS DOUBLE)")} AS ltv_per_user
+       |FROM cum JOIN sz ON cum.ckey = sz.ckey
+       |ORDER BY cohort_month, age""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonal_naive" -> (seasonalNaive _),
+    "q_ltv_curve" -> (ltvCurve _),
     "q_autocorr" -> (autocorr _),
     "q_window_frames" -> (windowFrames _),
     "q_full_outer" -> (fullOuter _),
@@ -750,6 +859,8 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "q_autocorr" -> sqlAutocorr,
+    "q_seasonal_naive" -> sqlSeasonalNaive,
+    "q_ltv_curve" -> sqlLtvCurve,
     "q_cusum_drift" -> sqlCusumDrift,
     "q_order_cycle_time" -> sqlOrderCycleTime,
     "q_rolling_median" -> sqlRollingMedian,
