@@ -500,6 +500,87 @@ object TextQueries {
        |         LEFT JOIN nn ON raw.source = nn.source
        |ORDER BY raw.source""".stripMargin
 
+  // ---------- 3aʲ. q_method_agreement: LSH vs SimHash triangulation ----------
+
+  /** Do the two near-dup detectors agree on WHICH documents are
+    * duplicates? Per document, "flagged" means non-canonical under
+    * the method's one-hop clustering (doc_id ≠ cluster_id); the 2×2
+    * contingency of MinHash-LSH vs SimHash flags plus the agreement
+    * rate is the triangulation a dedup rollout reads before trusting
+    * either method alone — the `lsh_only`/`sim_only` cells are the
+    * review queues (Jaccard-near but bitwise-far, and vice versa).
+    *
+    * Scale: both assignment kernels are the linear banded shapes
+    * ([[minhashAssignments]], [[simhashAssignments]]); the audit
+    * joins them doc-keyed and collapses to four counters — document-
+    * pair enumeration never happens.
+    */
+  def methodAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val lsh = minhashAssignments(docs)
+      .select(col("doc_id"), (col("doc_id") =!= col("cluster_id")).as("lsh_dup"))
+    val sim = simhashAssignments(docs)
+      .select(col("doc_id"), (col("doc_id") =!= col("cluster_id")).as("sim_dup"))
+    lsh.join(sim, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lsh_dup") && col("sim_dup"), lit(1L)).otherwise(lit(0L)))
+          .as("n_both"),
+        sum(when(col("lsh_dup") && !col("sim_dup"), lit(1L)).otherwise(lit(0L)))
+          .as("n_lsh_only"),
+        sum(when(!col("lsh_dup") && col("sim_dup"), lit(1L)).otherwise(lit(0L)))
+          .as("n_sim_only"),
+        sum(when(!col("lsh_dup") && !col("sim_dup"), lit(1L)).otherwise(lit(0L)))
+          .as("n_neither"))
+      .select(col("n_docs"), col("n_both"), col("n_lsh_only"),
+        col("n_sim_only"), col("n_neither"),
+        TextFns.round4((col("n_both") + col("n_neither")).cast("double") /
+          col("n_docs").cast("double")).as("agreement"))
+  }
+
+  // a DEF, not a val: reads SimBands/MaxHamming, which are declared
+  // after this point in the object (the RecallProbeStep lesson — an
+  // earlier val reading a later val sees 0 and emits empty band lists)
+  private def sqlMethodAgreement = {
+    val bandList = (0 until SimBands).map { b =>
+      s"'$b:' || CAST((sh // ${1L << (b * 8)}) % 256 AS VARCHAR)"
+    }.mkString("[", ", ", "]")
+    s"""WITH c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),
+       |     s0 AS (SELECT doc_id, $duckShingles AS shs FROM c),
+       |     g AS (SELECT doc_id, $duckSignature AS sig FROM s0),
+       |     mbands AS (SELECT doc_id, unnest($duckBandKeys) AS band FROM g),
+       |     mreps AS (SELECT band, min(doc_id) AS rep FROM mbands GROUP BY band),
+       |     mcl AS (SELECT mbands.doc_id, min(mreps.rep) AS cluster_id
+       |             FROM mbands JOIN mreps ON mbands.band = mreps.band
+       |             GROUP BY mbands.doc_id),
+       |     t AS (SELECT doc_id, text, $duckTokens AS ts FROM c),
+       |     h AS (SELECT doc_id, $duckTokenHashes AS hs FROM t),
+       |     sh0 AS (SELECT doc_id, $duckSimHash AS sh FROM h),
+       |     fps AS (SELECT sh, min(doc_id) AS rep FROM sh0 GROUP BY sh),
+       |     sbands AS (SELECT sh, rep, unnest($bandList) AS band FROM fps),
+       |     spairs AS (SELECT a.sh AS sh, b.rep AS nbr
+       |                FROM sbands a JOIN sbands b
+       |                  ON a.band = b.band AND a.rep > b.rep
+       |                WHERE bit_count(xor(a.sh, b.sh)) <= $MaxHamming),
+       |     smn AS (SELECT sh, min(nbr) AS mn FROM spairs GROUP BY sh),
+       |     sfpc AS (SELECT fps.sh,
+       |                     least(fps.rep, coalesce(smn.mn, fps.rep)) AS cluster_id
+       |              FROM fps LEFT JOIN smn ON fps.sh = smn.sh),
+       |     scl AS (SELECT sh0.doc_id, sfpc.cluster_id
+       |             FROM sh0 JOIN sfpc ON sh0.sh = sfpc.sh),
+       |     j AS (SELECT mcl.doc_id,
+       |                  mcl.doc_id <> mcl.cluster_id AS lsh_dup,
+       |                  scl.doc_id <> scl.cluster_id AS sim_dup
+       |           FROM mcl JOIN scl ON mcl.doc_id = scl.doc_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN lsh_dup AND sim_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       |       CAST(sum(CASE WHEN lsh_dup AND NOT sim_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh_only,
+       |       CAST(sum(CASE WHEN NOT lsh_dup AND sim_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_sim_only,
+       |       CAST(sum(CASE WHEN NOT lsh_dup AND NOT sim_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_neither,
+       |       ${TextFns.duckRound4(
+                  "CAST(sum(CASE WHEN lsh_dup = sim_dup THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS agreement
+       |FROM j""".stripMargin
+  }
+
   // ---------- 3aⁱ. q_dedup_bias: does dedup shift the language mix? ----------
 
   /** Demographic-shift audit on the near-dup gate: language-mix
@@ -1844,8 +1925,19 @@ object TextQueries {
     * for Hamming ≤5); bucket sizes are set by fingerprint entropy,
     * not corpus size, and every step is a key-partitioned join/agg.
     */
-  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    simhashAssignments(Tables.documents(spark, sfDir))
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .orderBy("cluster_id")
+
+  /** Per-document SimHash near-dup cluster assignment (doc_id →
+    * cluster_id) — the SimHash twin of [[minhashAssignments]],
+    * factored out so the method-agreement audit and the cluster
+    * report can never disagree about the banding decisions.
+    */
+  private[text] def simhashAssignments(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
       .select(col("doc_id"),
         graft.functions.TextHashes.simHash(col("text"), SimBits).as("sh"))
     // Collapse to DISTINCT fingerprints before any pairwise work: a
@@ -1872,9 +1964,7 @@ object TextQueries {
     val fpCluster = fps.join(mn, Seq("sh"), "left")
       .select(col("sh"), least(col("rep"), coalesce(col("mn"), col("rep"))).as("cluster_id"))
     docs.join(fpCluster, Seq("sh"))
-      .groupBy("cluster_id").agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") > 1)
-      .orderBy("cluster_id")
+      .select(col("doc_id"), col("cluster_id"))
   }
 
   private val sqlSimhashNearDup = {
@@ -2422,6 +2512,7 @@ object TextQueries {
     "q_dataset_card" -> (datasetCard _),
     "q_spearman" -> (spearman _),
     "q_dedup_bias" -> (dedupBias _),
+    "q_method_agreement" -> (methodAgreement _),
     "q_cluster_purity" -> (clusterPurity _),
     "q_pagerank" -> (pagerank _),
     "q_hits" -> (hitsQ _),
@@ -2463,6 +2554,7 @@ object TextQueries {
     "q_dataset_card" -> sqlDatasetCard,
     "q_spearman" -> sqlSpearman,
     "q_dedup_bias" -> sqlDedupBias,
+    "q_method_agreement" -> sqlMethodAgreement,
     "q_cluster_purity" -> sqlClusterPurity,
     "q_pagerank" -> sqlPagerank,
     "q_hits" -> sqlHits,
