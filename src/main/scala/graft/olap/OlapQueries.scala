@@ -510,7 +510,49 @@ object OlapQueries {
       |FROM g JOIN nation ON s_nationkey = n_nationkey
       |ORDER BY nation""".stripMargin
 
+  // ---------- q_big_orders: TPC-H Q18 shape (large-volume orders) ----------
+
+  /** Large-volume customers (TPC-H Q18's shape on this schema):
+    * orders whose total line quantity exceeds a threshold, with the
+    * customer attached — the HAVING-then-join-back pattern (aggregate
+    * a fact to its parent grain, filter on the aggregate, enrich the
+    * survivors) that generalizes to every "find the whales" report.
+    *
+    * Shape: one lineitem→orderkey hash aggregate with the HAVING
+    * filter applied BEFORE the joins (survivors only — at any SF the
+    * join input is the handful of whales, not the fact table), then
+    * orders⋈customer enrichment and an integer-ordered top-20
+    * (TakeOrderedAndProject; quantity sums are exact integers via
+    * cents-free casts).
+    */
+  def bigOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val qty = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 150L)
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"))
+    qty.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  private val sqlBigOrders =
+    """WITH q AS (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |           FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 150)
+      |SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |       total_qty
+      |FROM q JOIN orders ON l_orderkey = o_orderkey
+      |       JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_big_orders" -> (bigOrders _),
     "q_discount_uplift" -> (discountUplift _),
     "q_hhi" -> (hhi _),
     "q_return_rate" -> (returnRate _),
@@ -527,6 +569,7 @@ object OlapQueries {
     "q_setops" -> (setOps _))
 
   val oracle: Map[String, String] = Map(
+    "q_big_orders" -> sqlBigOrders,
     "q_discount_uplift" -> sqlDiscountUplift,
     "q_hhi" -> sqlHhi,
     "q_return_rate" -> sqlReturnRate,

@@ -2018,7 +2018,66 @@ object VectorQueries {
        |ORDER BY round""".stripMargin
   }
 
+  // ---------- q_semdedup_sweep: threshold-tuning curve ----------
+
+  /** How many documents would SemDeDup drop at each candidate cosine
+    * threshold — the tuning curve read before committing to one
+    * (the [[graft.text.TextQueries.lshCurve]] idea applied to the
+    * embedding gate): within-cell pairs are computed ONCE, each
+    * vector keeps only the max similarity to a smaller neighbor, and
+    * the three thresholds are conditional counts over that staged
+    * max — sweeping costs one extra aggregate, not three dedup runs.
+    *
+    * Scale: inherits [[semanticDedup]]'s k-means cell blocking
+    * (pairs bounded per cell, never all-pairs); the sweep itself is
+    * a 1-row aggregate + 3-row stack.
+    */
+  def semdedupSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = assignedCells(withVecs(spark, sfDir))
+    val msim = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", VectorFns.cosineStaged(
+        col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(max(col("sim")).as("msim"))
+    val tot = cells.agg(count(lit(1)).as("n_vecs"))
+    val agg = msim.agg(
+      coalesce(sum(when(col("msim") >= 0.15, lit(1L)).otherwise(lit(0L))), lit(0L)).as("d15"),
+      coalesce(sum(when(col("msim") >= 0.25, lit(1L)).otherwise(lit(0L))), lit(0L)).as("d25"),
+      coalesce(sum(when(col("msim") >= 0.35, lit(1L)).otherwise(lit(0L))), lit(0L)).as("d35"))
+    tot.crossJoin(agg)
+      .select(col("n_vecs"),
+        expr("stack(3, 0.15D, d15, 0.25D, d25, 0.35D, d35)")
+          .as(Seq("threshold", "n_dropped")))
+      .select(col("threshold"), col("n_dropped"),
+        (col("n_vecs") - col("n_dropped")).as("n_kept"),
+        round4(col("n_dropped").cast("double") / col("n_vecs").cast("double"))
+          .as("drop_rate"))
+      .orderBy("threshold")
+  }
+
+  private val sqlSemdedupSweep =
+    s"""WITH $duckSemCells,
+       |     prs AS (SELECT b2.vec_id AS vec_id,
+       |                    ${duckDot("a.v", "b2.v")} / (a.nrm * b2.nrm) AS sim
+       |             FROM cells a JOIN cells b2
+       |               ON a.cell = b2.cell AND a.vec_id < b2.vec_id),
+       |     ms AS (SELECT vec_id, max(sim) AS msim FROM prs GROUP BY 1),
+       |     tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM cells),
+       |     a AS (SELECT
+       |             CAST(coalesce(sum(CASE WHEN msim >= 0.15 THEN 1 END), 0) AS BIGINT) AS d15,
+       |             CAST(coalesce(sum(CASE WHEN msim >= 0.25 THEN 1 END), 0) AS BIGINT) AS d25,
+       |             CAST(coalesce(sum(CASE WHEN msim >= 0.35 THEN 1 END), 0) AS BIGINT) AS d35
+       |           FROM ms)
+       |SELECT th.threshold, th.n_dropped, tot.n_vecs - th.n_dropped AS n_kept,
+       |       ${duckRound4("CAST(th.n_dropped AS DOUBLE) / CAST(tot.n_vecs AS DOUBLE)")} AS drop_rate
+       |FROM (SELECT CAST(0.15 AS DOUBLE) AS threshold, d15 AS n_dropped FROM a
+       |      UNION ALL SELECT CAST(0.25 AS DOUBLE), d25 FROM a
+       |      UNION ALL SELECT CAST(0.35 AS DOUBLE), d35 FROM a) th CROSS JOIN tot
+       |ORDER BY th.threshold""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_semdedup_sweep" -> (semdedupSweep _),
     "q_kpp_init" -> (kppInit _),
     "q_kmeans_refine" -> (kmeansRefine _),
     "q_triangle_count" -> (triangleCount _),
@@ -2048,6 +2107,7 @@ object VectorQueries {
     "q_ivf_assign" -> (ivfAssign _))
 
   val oracle: Map[String, String] = Map(
+    "q_semdedup_sweep" -> sqlSemdedupSweep,
     "q_kpp_init" -> sqlKppInit,
     "q_kmeans_refine" -> sqlKmeansRefine,
     "q_triangle_count" -> sqlTriangleCount,
