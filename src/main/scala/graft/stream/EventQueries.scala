@@ -1175,8 +1175,58 @@ object EventQueries {
                   "CAST(n_users AS DOUBLE) / CAST(t AS DOUBLE)")} AS share
        |FROM a CROSS JOIN tot ORDER BY touch_type""".stripMargin
 
+  // ---------- q_forget_plan: right-to-erasure impact report ----------
+
+  /** Deletion-impact plan for a right-to-erasure request batch (the
+    * GDPR/CCPA workflow): for the requested users (here the
+    * deterministic stand-in `user_id % 97 = 0`), what each
+    * maintained aggregate loses — rows, exact value mass, and the
+    * share of each event type affected. These are precisely the
+    * RETRACTION deltas [[graft.etl.AggMaintain]] would apply
+    * downstream ([[q_mv_retract]]'s semantics driven by a user set
+    * instead of a CDC batch), reported before anyone deletes
+    * anything.
+    *
+    * Exactness: value mass goes through round6 micro-units summed as
+    * DECIMAL (order-independent), shares are integer/integer round4.
+    * Scale: one semi-joinable predicate on the fact scan (pushable
+    * bloom/IN at 100 TB) + a bounded type-grain aggregate.
+    */
+  def forgetPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"),
+        floor(col("value") * 1000000.0 + 0.5).cast("decimal(28,0)").as("vm"))
+      .withColumn("hit", col("user_id") % 97 === 0)
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("hit"), lit(1L)).otherwise(lit(0L))).as("n_deleted"),
+        sum(when(col("hit"), col("vm")).otherwise(lit(0).cast("decimal(28,0)")))
+          .as("vm_del"))
+      .select(col("event_type"), col("n_total"), col("n_deleted"),
+        graft.text.TextFns.round4(
+          col("n_deleted").cast("double") / col("n_total").cast("double"))
+          .as("pct_rows"),
+        graft.text.TextFns.round4(col("vm_del").cast("double") / 1000000.0)
+          .as("value_removed"))
+      .orderBy("event_type")
+  }
+
+  private val sqlForgetPlan =
+    s"""WITH e AS (SELECT event_type, user_id,
+       |                  CAST(floor(value * 1000000.0 + 0.5) AS DECIMAL(28,0)) AS vm,
+       |                  user_id % 97 = 0 AS hit
+       |           FROM events)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+       |       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       |       ${graft.text.TextFns.duckRound4(
+                  "CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS pct_rows,
+       |       ${graft.text.TextFns.duckRound4(
+                  "CAST(sum(CASE WHEN hit THEN vm ELSE CAST(0 AS DECIMAL(28,0)) END) AS DOUBLE) / 1000000.0")} AS value_removed
+       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_attribution" -> (attribution _),
+    "q_forget_plan" -> (forgetPlan _),
     "q_seasonal_dow" -> (seasonalDow _),
     "q_growth_accounting" -> (growthAccounting _),
     "q_time_to_convert" -> (timeToConvert _),
@@ -1202,6 +1252,7 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     "q_attribution" -> sqlAttribution,
+    "q_forget_plan" -> sqlForgetPlan,
     "q_seasonal_dow" -> sqlSeasonalDow,
     "q_growth_accounting" -> sqlGrowthAccounting,
     "q_time_to_convert" -> sqlTimeToConvert,
