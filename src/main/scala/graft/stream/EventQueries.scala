@@ -1175,6 +1175,72 @@ object EventQueries {
                   "CAST(n_users AS DOUBLE) / CAST(t AS DOUBLE)")} AS share
        |FROM a CROSS JOIN tot ORDER BY touch_type""".stripMargin
 
+  // ---------- q_stream_tumbling: REAL streaming run, oracle-gated ----------
+
+  /** The streaming path itself under the correctness gate: a genuine
+    * Structured Streaming job (`readStream` over the events parquet →
+    * Complete-mode 6-hour tumbling aggregation → `foreachBatch`
+    * overwrite sink → `Trigger.AvailableNow`) whose FINAL sink state
+    * the oracle reproduces with plain batch SQL. Complete mode makes
+    * the result independent of how the file source splits batches
+    * (each batch re-emits the full aggregate and overwrites the
+    * sink), so the contract holds whether the runner sees one batch
+    * or fifty — the deterministic-streaming property every replayed
+    * pipeline relies on, now hash-checked instead of spec-asserted.
+    *
+    * Scale: the aggregation state is (windows × types) — bounded by
+    * wall-clock span, not event volume; at 100 TB the same job runs
+    * with a watermark + update sink and the per-batch work is the
+    * batch's own windows (see [[Streaming]] for the incremental
+    * sinks). Value sums use the round-before-sum DECIMAL rule.
+    */
+  def streamTumbling(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = s"$sfDir/events.parquet"
+    val batchSchema = spark.read.parquet(path).schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_q").toString
+    val out = s"$dir/out"
+    // the streaming file source requires a DIRECTORY path; the
+    // testdata table is a single file, so stream the directory with a
+    // glob filter selecting just the events file
+    val src = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    // same vintage dispatch as Tables.events (ns-long legacy vs µs NTZ)
+    val evs = batchSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => src.withColumn("ts", col("ts").cast("timestamp"))
+    }
+    val agg = evs
+      .withColumn("vm", floor(col("value") * 1000000.0 + 0.5).cast("decimal(28,0)"))
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vm")).as("vm_sum"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/cp")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("event_type"), col("n_events"),
+            graft.text.TextFns.round4(col("vm_sum").cast("double") / 1000000.0)
+              .as("sum_value"))
+          .coalesce(1).write.mode("overwrite").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out).orderBy("window_start", "event_type")
+  }
+
+  private val sqlStreamTumbling =
+    s"""SELECT strftime(make_timestamp((CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) // 21600)
+       |                * 21600 * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+       |       event_type, count(*) AS n_events,
+       |       ${graft.text.TextFns.duckRound4(
+                  "CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS DECIMAL(28,0))) AS DOUBLE) / 1000000.0")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------- q_forget_plan: right-to-erasure impact report ----------
 
   /** Deletion-impact plan for a right-to-erasure request batch (the
@@ -1227,6 +1293,7 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_attribution" -> (attribution _),
     "q_forget_plan" -> (forgetPlan _),
+    "q_stream_tumbling" -> (streamTumbling _),
     "q_seasonal_dow" -> (seasonalDow _),
     "q_growth_accounting" -> (growthAccounting _),
     "q_time_to_convert" -> (timeToConvert _),
@@ -1253,6 +1320,7 @@ object EventQueries {
   val oracle: Map[String, String] = Map(
     "q_attribution" -> sqlAttribution,
     "q_forget_plan" -> sqlForgetPlan,
+    "q_stream_tumbling" -> sqlStreamTumbling,
     "q_seasonal_dow" -> sqlSeasonalDow,
     "q_growth_accounting" -> sqlGrowthAccounting,
     "q_time_to_convert" -> sqlTimeToConvert,
