@@ -1241,6 +1241,54 @@ object EventQueries {
                   "CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS DECIMAL(28,0))) AS DOUBLE) / 1000000.0")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------- q_stream_dedup: stateful streaming dedup, oracle-gated ----------
+
+  /** Streaming exactly-once ingest dedup under the correctness gate:
+    * the events file is streamed TWICE (two file sources unioned, so
+    * every event arrives duplicated, possibly in different
+    * micro-batches), `dropDuplicates(event_id)` holds the seen-key
+    * state across batches, and the append-mode `foreachBatch` sink
+    * accumulates each batch's genuinely-new rows — the final sink
+    * must contain every event exactly once, which the oracle states
+    * as the plain batch counts. This is the at-least-once-source →
+    * exactly-once-sink contract ([[Streaming.startDedupIngest]]'s
+    * law) proven by hash-compare on a REAL streaming run, robust to
+    * any batch split by construction.
+    *
+    * The bounded AvailableNow run needs no watermark; the production
+    * deployment bounds the key state with
+    * `dropDuplicatesWithinWatermark` (spec-gated in
+    * `StreamingSpec`) — same plan shape.
+    */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def src = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .select(col("event_id"), col("event_type"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dd").toString
+    val out = s"$dir/out"
+    val q = src.unionByName(src)
+      .dropDuplicates("event_id")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.coalesce(1).write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  private val sqlStreamDedup =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------- q_forget_plan: right-to-erasure impact report ----------
 
   /** Deletion-impact plan for a right-to-erasure request batch (the
@@ -1294,6 +1342,7 @@ object EventQueries {
     "q_attribution" -> (attribution _),
     "q_forget_plan" -> (forgetPlan _),
     "q_stream_tumbling" -> (streamTumbling _),
+    "q_stream_dedup" -> (streamDedup _),
     "q_seasonal_dow" -> (seasonalDow _),
     "q_growth_accounting" -> (growthAccounting _),
     "q_time_to_convert" -> (timeToConvert _),
@@ -1321,6 +1370,7 @@ object EventQueries {
     "q_attribution" -> sqlAttribution,
     "q_forget_plan" -> sqlForgetPlan,
     "q_stream_tumbling" -> sqlStreamTumbling,
+    "q_stream_dedup" -> sqlStreamDedup,
     "q_seasonal_dow" -> sqlSeasonalDow,
     "q_growth_accounting" -> sqlGrowthAccounting,
     "q_time_to_convert" -> sqlTimeToConvert,
