@@ -170,6 +170,14 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val warm = execOnce(name, fn, sfDir)
       val runs = if (warm.sec < 0) Nil else List.fill(3)(execOnce(name, fn, sfDir))
+      // One full GC per QUERY (outside every timed window): without
+      // it, old-gen garbage from earlier queries accumulates and
+      // inflates every later run — the neighbor effect CLAUDE.md
+      // documents (q_window_frames 3.0 s in-suite vs 0.97 s
+      // isolated). min-of-4 cannot filter it because the pressure is
+      // resident, not a pause; ~100 ms × n_queries of untimed wall
+      // buys timings that estimate plan cost, not heap history.
+      System.gc()
       (name, warm, runs)
     }
     // Dual-scale pass: one warm + one measured execution per query at
@@ -185,6 +193,7 @@ object Bench {
         selected.map { case (name, fn) =>
           val a = execOnce(name, fn, sf2Dir)
           val b = if (a.sec < 0) a else execOnce(name, fn, sf2Dir)
+          System.gc() // same neighbor-garbage discipline as the main pass
           name -> (if (a.sec < 0 || b.sec < 0) -1.0 else math.min(a.sec, b.sec))
         }.toMap
       else Map.empty
