@@ -55,13 +55,17 @@ class BenchGateSpec extends AnyFunSuite {
     assert(out === Seq(("q_leakage_split", 0.9, 0.4, "sf2")))
   }
 
-  test("sf2 drift floor: +0.1s and 1.5x both required") {
+  test("sf2 drift floor: +0.25s and 1.5x both required") {
     val e = GateEntry("q", best = 1.0, spread = 0.1, isoSpread = None,
       sf2Best = Some(0.44))
     // 0.44 > 0.3*1.5=0.45 is false → no flag
     assert(flagRegressions(Seq(e), Map.empty, Map("q" -> 0.3)).isEmpty)
+    // 0.5 clears 1.5x but NOT the 250 ms floor (0.5 < 0.3+0.25):
+    // the 0.1-0.4 s sf2 band is fixed-overhead noise, not plan cost
     val e2 = e.copy(sf2Best = Some(0.5))
-    assert(flagRegressions(Seq(e2), Map.empty, Map("q" -> 0.3)).nonEmpty)
+    assert(flagRegressions(Seq(e2), Map.empty, Map("q" -> 0.3)).isEmpty)
+    val e3 = e.copy(sf2Best = Some(0.6))
+    assert(flagRegressions(Seq(e3), Map.empty, Map("q" -> 0.3)).nonEmpty)
   }
 
   test("failed queries (best = -1) never flag") {
