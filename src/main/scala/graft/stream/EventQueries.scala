@@ -1241,6 +1241,50 @@ object EventQueries {
                   "CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS DECIMAL(28,0))) AS DOUBLE) / 1000000.0")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------- q_stream_session: streaming session merging, oracle-gated ----------
+
+  /** Streaming SESSION WINDOWS under the correctness gate: the same
+    * 30-minute-gap sessionization as [[eventsSession]], but executed
+    * by Structured Streaming's session-merging state store (Complete
+    * mode — no watermark needed on a bounded AvailableNow run, and
+    * every batch re-emits the fully-merged sessions, so the final
+    * overwrite sink is batch-split-independent). The oracle is the
+    * IDENTICAL gaps-and-islands SQL that gates the batch twin —
+    * one contract, two execution engines, both hash-checked.
+    */
+  def streamSession(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val src = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val evs = batchSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => src.withColumn("ts", col("ts").cast("timestamp"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ss").toString
+    val out = s"$dir/out"
+    val q = evs
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/cp")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(
+            col("user_id"),
+            date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("session_start"),
+            col("n_events"), col("sum_value"))
+          .coalesce(1).write.mode("overwrite").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out).orderBy("user_id", "session_start")
+  }
+
   // ---------- q_stream_dedup: stateful streaming dedup, oracle-gated ----------
 
   /** Streaming exactly-once ingest dedup under the correctness gate:
@@ -1343,6 +1387,7 @@ object EventQueries {
     "q_forget_plan" -> (forgetPlan _),
     "q_stream_tumbling" -> (streamTumbling _),
     "q_stream_dedup" -> (streamDedup _),
+    "q_stream_session" -> (streamSession _),
     "q_seasonal_dow" -> (seasonalDow _),
     "q_growth_accounting" -> (growthAccounting _),
     "q_time_to_convert" -> (timeToConvert _),
@@ -1371,6 +1416,7 @@ object EventQueries {
     "q_forget_plan" -> sqlForgetPlan,
     "q_stream_tumbling" -> sqlStreamTumbling,
     "q_stream_dedup" -> sqlStreamDedup,
+    "q_stream_session" -> sqlEventsSession,
     "q_seasonal_dow" -> sqlSeasonalDow,
     "q_growth_accounting" -> sqlGrowthAccounting,
     "q_time_to_convert" -> sqlTimeToConvert,
