@@ -510,6 +510,45 @@ object OlapQueries {
       |FROM g JOIN nation ON s_nationkey = n_nationkey
       |ORDER BY nation""".stripMargin
 
+  // ---------- q_sql_surface: one ANSI string, two engines ----------
+
+  /** The SQL-user entry path under the correctness gate: a single
+    * ANSI query string — regional quarterly revenue with each
+    * quarter's share of its region-year via a window — executed
+    * VERBATIM by `spark.sql` over registered temp views AND by the
+    * DuckDB oracle. Proves a reference user who only writes SQL can
+    * drive this engine with the exact text they run today: shared
+    * dialect surface (year/quarter, integer-cent aggregation, window
+    * SUM, the floor-based round4) with zero per-engine edits.
+    *
+    * Scale: star join with broadcastable dims (AQE plans the
+    * customer join), month-grain output, region×year windows over
+    * quarter rows (bounded).
+    */
+  private val sharedSql =
+    """WITH rev AS (
+      |  SELECT r_name AS region,
+      |         CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |         CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+      |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |       JOIN nation ON c_nationkey = n_nationkey
+      |       JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2, 3)
+      |SELECT region, yr, qtr, cents,
+      |       floor(CAST(cents AS DOUBLE)
+      |             / CAST(sum(cents) OVER (PARTITION BY region, yr) AS DOUBLE)
+      |             * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |         / CAST(10000.0 AS DOUBLE) AS qtr_share
+      |FROM rev ORDER BY region, yr, qtr""".stripMargin
+
+  def sqlSurface(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("orders", "customer", "nation", "region").foreach { t =>
+      Tables(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(sharedSql)
+  }
+
   // ---------- q_big_orders: TPC-H Q18 shape (large-volume orders) ----------
 
   /** Large-volume customers (TPC-H Q18's shape on this schema):
@@ -553,6 +592,7 @@ object OlapQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_big_orders" -> (bigOrders _),
+    "q_sql_surface" -> (sqlSurface _),
     "q_discount_uplift" -> (discountUplift _),
     "q_hhi" -> (hhi _),
     "q_return_rate" -> (returnRate _),
@@ -570,6 +610,7 @@ object OlapQueries {
 
   val oracle: Map[String, String] = Map(
     "q_big_orders" -> sqlBigOrders,
+    "q_sql_surface" -> sharedSql,
     "q_discount_uplift" -> sqlDiscountUplift,
     "q_hhi" -> sqlHhi,
     "q_return_rate" -> sqlReturnRate,
