@@ -84,6 +84,44 @@ object TextHashUtil {
     new GenericArrayData(mins)
   }
 
+  /** Content-defined chunk hashes (Rabin/gear-style CDC): a chunk
+    * boundary falls after byte i+k−1 whenever the k-gram hash
+    * starting at byte i is ≡ 0 mod `div` (expected chunk length ≈
+    * div bytes), the final chunk always closes at the text end, and
+    * each chunk's value is the [[polyHash]] fold of its own bytes.
+    * Content-defined boundaries re-synchronize after insertions —
+    * the dedup-friendly chunking exact fixed-width blocks can't do.
+    * Empty text yields the single empty-fold chunk [0] (oracle
+    * parity). O(n·k) grams + O(n) chunk folds, one primitive pass.
+    */
+  def cdcChunks(s: UTF8String, k: Int, div: Int): ArrayData = {
+    val n = s.numBytes
+    if (n == 0) return new GenericArrayData(Array(0L))
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i + k <= n) {
+      var h = 0L
+      var o = 0
+      while (o < k) { h = (h * B + (s.getByte(i + o) & 0xffL)) % P; o += 1 }
+      if (h % div == 0) ends += (i + k - 1)
+      i += 1
+    }
+    if (ends.isEmpty || ends.last != n - 1) ends += (n - 1)
+    val out = new Array[Long](ends.length)
+    var start = 0
+    var j = 0
+    while (j < ends.length) {
+      val e = ends(j)
+      var acc = 0L
+      var b = start
+      while (b <= e) { acc = (acc * B + (s.getByte(b) & 0xffL)) % P; b += 1 }
+      out(j) = acc
+      start = e + 1
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Word n-gram hashes from a STAGED token array: out[i] = polyHash
     * of `TextFns.wordNgramsFromTokens(ts, n)[i]` — tokens joined with
     * the 0x01 separator byte (concat_ws("\u0001", ...) parity: every
@@ -299,6 +337,19 @@ case class ShingleSetExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** graft_cdc_chunks(text): content-defined chunk hashes (array<long>). */
+case class CdcChunksExpr(child: Expression, k: Int, div: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_cdc_chunks"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashUtil.cdcChunks(input.asInstanceOf[UTF8String], k, div)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.cdcChunks($c, $k, $div)")
+  override protected def withNewChildInternal(newChild: Expression): CdcChunksExpr =
+    copy(child = newChild)
+}
+
 /** graft_ngram_hashes(ts, n): word n-gram hashes from a staged token
   * array (array<long>) — the fused form of
   * `transform(wordNgramsFromTokens(ts, n), g -> polyHash(g))`, which
@@ -374,4 +425,6 @@ object TextHashes {
     ColumnBridge.column(WinnowFpExpr(ColumnBridge.expression(text), k, w))
   def charSqSum(text: Column): Column =
     ColumnBridge.column(CharSqSumExpr(ColumnBridge.expression(text)))
+  def cdcChunks(text: Column, k: Int, div: Int): Column =
+    ColumnBridge.column(CdcChunksExpr(ColumnBridge.expression(text), k, div))
 }

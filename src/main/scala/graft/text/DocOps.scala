@@ -673,6 +673,91 @@ object DocOps {
        |FROM tot LEFT JOIN nv ON tot.source = nv.source
        |ORDER BY tot.source""".stripMargin
 
+  // ---------- q_cdc_chunks: content-defined chunking dedup audit ----------
+
+  /** CDC parameters: 5-byte rolling window (the corpus gram width),
+    * divisor 64 ⇒ expected chunk ≈ 64 bytes — storage-dedup scale.
+    */
+  private val CdcK = 5
+  private val CdcDiv = 64
+
+  /** Content-defined-chunking dedup audit (the LBFS/restic/borg
+    * chunking idea applied to corpus text): split every document at
+    * content-derived boundaries (rolling 5-gram hash ≡ 0 mod 64 —
+    * boundaries re-synchronize after edits, so shared passages land
+    * in identical chunks even at different offsets, which fixed-width
+    * blocks structurally cannot do), hash each chunk, and report per
+    * source how much of the corpus is chunk-level duplicate — the
+    * sub-document dedup-savings estimate that complements
+    * [[segmentDedup]] (line grain) and [[graft.text.TextQueries
+    * .dupNgrams]] (gram grain) with the storage-dedup grain.
+    *
+    * The chunker is the native codegen'd [[graft.functions
+    * .TextHashes.cdcChunks]] kernel (one primitive pass per row); the
+    * oracle rebuilds boundaries and chunk folds from the staged code
+    * list with list_slice — bit-identical integer recurrences.
+    * Scale: per-row kernel + one chunk-grain hash aggregate; chunk
+    * count ≈ bytes/64, linear.
+    */
+  def cdcChunksQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("hs",
+        graft.functions.TextHashes.cdcChunks(col("text"), CdcK, CdcDiv))
+      .select(col("source"), col("n_chars").cast("long").as("nc"), col("hs"))
+    val tb = docs.groupBy("source").agg(sum(col("nc")).as("total_bytes"))
+    val ag = docs
+      .select(col("source"), explode_outer(col("hs")).as("h"))
+      .groupBy("source")
+      .agg(count(col("h")).as("n_chunks"), countDistinct(col("h")).as("n_distinct"))
+    ag.join(tb, Seq("source"))
+      .select(col("source"), col("n_chunks"), col("n_distinct"),
+        TextFns.round4(lit(1.0) -
+          col("n_distinct").cast("double") / col("n_chunks").cast("double"))
+          .as("dup_rate"),
+        TextFns.round4(col("total_bytes").cast("double") /
+          col("n_chunks").cast("double")).as("avg_chunk_bytes"))
+      .orderBy("source")
+  }
+
+  private val sqlCdcChunks = {
+    val gramHash = (0 until CdcK).foldLeft("CAST(0 AS BIGINT)") { (acc, off) =>
+      s"(($acc * 31 + coalesce(cs[CAST(i + $off AS INT)], 0)) % ${TextFns.P})"
+    }
+    s"""WITH c AS (SELECT doc_id, source, length(text) AS L,
+       |                  ${duckCodesOf("text")} AS cs
+       |           FROM documents),
+       |     g AS (SELECT doc_id, source, L, cs,
+       |             list_filter(list_transform(range(1, greatest(L - ${CdcK - 2}, 1)),
+       |               i -> CASE WHEN ($gramHash) % $CdcDiv = 0
+       |                         THEN i + ${CdcK - 1} END),
+       |               x -> x IS NOT NULL) AS b
+       |           FROM c),
+       |     e AS (SELECT doc_id, source, cs,
+       |             CASE WHEN len(b) > 0 AND b[CAST(len(b) AS INT)] = L THEN b
+       |                  ELSE list_append(b, L) END AS ends
+       |           FROM g),
+       |     ch AS (SELECT source,
+       |              unnest(list_transform(range(1, len(ends) + 1),
+       |                j -> list_reduce([CAST(0 AS BIGINT)] ||
+       |                       list_slice(cs,
+       |                         CASE WHEN j = 1 THEN 1
+       |                              ELSE CAST(ends[CAST(j AS INT) - 1] + 1 AS INT) END,
+       |                         CAST(ends[CAST(j AS INT)] AS INT)),
+       |                     (a, c2) -> (a * 31 + c2) % ${TextFns.P}))) AS h
+       |           FROM e),
+       |     tb AS (SELECT source, CAST(sum(L) AS BIGINT) AS total_bytes
+       |            FROM c GROUP BY 1),
+       |     ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+       |                   CAST(count(DISTINCT h) AS BIGINT) AS n_distinct
+       |            FROM ch GROUP BY 1)
+       |SELECT ag.source, ag.n_chunks, ag.n_distinct,
+       |       ${TextFns.duckRound4(
+                  "1.0 - CAST(ag.n_distinct AS DOUBLE) / CAST(ag.n_chunks AS DOUBLE)")} AS dup_rate,
+       |       ${TextFns.duckRound4(
+                  "CAST(tb.total_bytes AS DOUBLE) / CAST(ag.n_chunks AS DOUBLE)")} AS avg_chunk_bytes
+       |FROM ag JOIN tb ON ag.source = tb.source ORDER BY ag.source""".stripMargin
+  }
+
   // ---------- q_bpe_encode: train-and-apply BPE rounds ----------
 
   /** End-to-end tokenizer loop, oracle-gated: four BPE merge rounds,
@@ -1402,6 +1487,7 @@ object DocOps {
     "q_gopher_rules" -> (gopherRules _),
     "q_bpe_pairs" -> (bpePairs _),
     "q_bpe_encode" -> (bpeEncode _),
+    "q_cdc_chunks" -> (cdcChunksQ _),
     "q_winnow_fp" -> (winnowFp _),
     "q_decontaminate" -> (decontaminate _),
     "q_soft_dedup" -> (softDedup _),
@@ -1421,6 +1507,7 @@ object DocOps {
     "q_gopher_rules" -> sqlGopherRules,
     "q_bpe_pairs" -> sqlBpePairs,
     "q_bpe_encode" -> sqlBpeEncode,
+    "q_cdc_chunks" -> sqlCdcChunks,
     "q_winnow_fp" -> sqlWinnowFp,
     "q_decontaminate" -> sqlDecontaminate,
     "q_soft_dedup" -> sqlSoftDedup,

@@ -222,6 +222,34 @@ class TextHashSpec extends SparkSpec {
     assert(r.getLong(6) == 16L)
   }
 
+  test("cdcChunks: boundaries re-synchronize after a prefix edit") {
+    def chunks(s: String): Seq[Long] =
+      TextHashUtil.cdcChunks(UTF8String.fromString(s), 5, 64)
+        .toLongArray().toSeq
+    val base = ("the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight ") * 6
+    val edited = "COMPLETELY NEW PREFIX INSERTED HERE " + base
+    val cb = chunks(base)
+    val ce = chunks(edited)
+    assert(cb.length > 3, s"fixture too short to have chunks: ${cb.length}")
+    // content-defined boundaries realign: every base chunk except at
+    // most the first (absorbed into the edited prefix chunk) reappears
+    val shared = cb.toSet.intersect(ce.toSet)
+    assert(shared.size >= cb.toSet.size - 1,
+      s"resync failed: ${shared.size} of ${cb.toSet.size} chunks survived the edit")
+    // a fixed-width blocker under the same edit shifts EVERY block:
+    // offset 36 is not a multiple of 64, so no aligned block survives
+    def fixed(s: String): Seq[Long] = s.getBytes("UTF-8").grouped(64).map { g =>
+      g.foldLeft(0L)((a, b) => (a * 31 + (b & 0xffL)) % TextHashUtil.P)
+    }.toSeq
+    assert(fixed(base).toSet.intersect(fixed(edited).toSet).isEmpty)
+    // empty-text contract shared with the oracle: one empty-fold chunk
+    assert(chunks("") == Seq(0L))
+    // chunks partition the text: refolding the concatenation is polyHash
+    val whole = TextHashUtil.polyHash(UTF8String.fromString("tiny"))
+    assert(chunks("tiny") == Seq(whole))
+  }
+
   test("lexiconHits counts only exact token matches") {
     val got = Seq("the cat and the hat in a box").toDF("text")
       .select(TextFns.lexiconHits(col("text"), Seq("the", "a", "and", "of", "is")))
