@@ -1926,6 +1926,70 @@ object VectorQueries {
        |FROM q GROUP BY probe_id ORDER BY probe_id""".stripMargin
   }
 
+  // ---------- q_cluster_ari: adjusted Rand of cells vs labels ----------
+
+  /** Adjusted Rand Index between the k-means cell assignment and the
+    * ground-truth labels (Hubert & Arabie 1985) — the rigorous
+    * partition-agreement score behind "did clustering recover the
+    * classes": chance-corrected, so random assignment scores ~0 and
+    * perfect recovery 1. Everything is exact integer pair-counting
+    * at the bounded cells×labels grid — Σ C(n_ij,2), row/column
+    * sums — with the one chance-correction formula evaluated in
+    * double at the edge (identical association in the oracle).
+    * C(·,2) products reach n², accumulated in DECIMAL (long² is fine
+    * to ~3·10⁹ rows; the expected-index product Sa·Sb needs the
+    * wider type first).
+    *
+    * Scale: one assignment pass ([[assignedCells]] — broadcast
+    * codebook argmin), one grid aggregate, three scalar reductions.
+    */
+  def clusterAri(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = assignedCells(withVecs(spark, sfDir))
+      .select(col("vec_id"), col("label"), col("cell"))
+    def c2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (c.cast("decimal(19,0)") * (c - 1).cast("decimal(19,0)") / 2)
+        .cast("decimal(38,0)")
+    val grid = cells.groupBy("cell", "label").agg(count(lit(1)).as("nij"))
+    val sij = grid.agg(sum(c2(col("nij"))).as("sij"))
+    val sa = grid.groupBy("cell").agg(sum(col("nij")).as("ai"))
+      .agg(sum(c2(col("ai"))).as("sa"), count(lit(1)).as("n_cells"))
+    val sb = grid.groupBy("label").agg(sum(col("nij")).as("bj"))
+      .agg(sum(c2(col("bj"))).as("sb"))
+    val n = cells.agg(count(lit(1)).as("n_vecs"))
+    val joined = n.crossJoin(broadcast(sij)).crossJoin(broadcast(sa))
+      .crossJoin(broadcast(sb))
+    val nD = col("n_vecs").cast("double")
+    val cn2 = nD * (nD - 1.0) / 2.0
+    val exp = col("sa").cast("double") * col("sb").cast("double") / cn2
+    joined.select(col("n_vecs"), col("n_cells"),
+      round4((col("sij").cast("double") - exp) /
+        ((col("sa").cast("double") + col("sb").cast("double")) / 2.0 - exp))
+        .as("ari"))
+  }
+
+  private val sqlClusterAri = {
+    def c2(e: String): String =
+      s"CAST(CAST($e AS DECIMAL(19,0)) * CAST($e - 1 AS DECIMAL(19,0)) / 2 AS DECIMAL(38,0))"
+    val exp = "CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * (CAST(n_vecs AS DOUBLE) - 1.0) / 2.0)"
+    s"""WITH $duckSemCells,
+       |     grid AS (SELECT cells.cell, embeddings.label,
+       |                     CAST(count(*) AS BIGINT) AS nij
+       |              FROM cells JOIN embeddings ON cells.vec_id = embeddings.vec_id
+       |              GROUP BY 1, 2),
+       |     sij AS (SELECT sum(${c2("nij")}) AS sij FROM grid),
+       |     sa AS (SELECT sum(${c2("ai")}) AS sa, CAST(count(*) AS BIGINT) AS n_cells
+       |            FROM (SELECT cell, CAST(sum(nij) AS BIGINT) AS ai
+       |                  FROM grid GROUP BY 1)),
+       |     sb AS (SELECT sum(${c2("bj")}) AS sb
+       |            FROM (SELECT label, CAST(sum(nij) AS BIGINT) AS bj
+       |                  FROM grid GROUP BY 1)),
+       |     n AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM cells)
+       |SELECT n.n_vecs, sa.n_cells,
+       |       ${duckRound4(
+                  s"(CAST(sij AS DOUBLE) - $exp) / ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0 - $exp)")} AS ari
+       |FROM n CROSS JOIN sij CROSS JOIN sa CROSS JOIN sb""".stripMargin
+  }
+
   // ---------- q_kpp_init: deterministic k-means++ seeding audit ----------
 
   /** Farthest-point (deterministic k-means++) seeding over the
@@ -2079,6 +2143,7 @@ object VectorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_semdedup_sweep" -> (semdedupSweep _),
     "q_kpp_init" -> (kppInit _),
+    "q_cluster_ari" -> (clusterAri _),
     "q_kmeans_refine" -> (kmeansRefine _),
     "q_triangle_count" -> (triangleCount _),
     "q_pq_codes" -> (pqCodes _),
@@ -2109,6 +2174,7 @@ object VectorQueries {
   val oracle: Map[String, String] = Map(
     "q_semdedup_sweep" -> sqlSemdedupSweep,
     "q_kpp_init" -> sqlKppInit,
+    "q_cluster_ari" -> sqlClusterAri,
     "q_kmeans_refine" -> sqlKmeansRefine,
     "q_triangle_count" -> sqlTriangleCount,
     "q_pq_codes" -> sqlPqCodes,
