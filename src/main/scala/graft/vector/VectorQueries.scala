@@ -593,7 +593,7 @@ object VectorQueries {
        |     a AS (SELECT e.vec_id, e.v, e.nrm, s.c_label AS cell
        |           FROM e JOIN scored s ON e.vec_id = s.vec_id AND s.rk = 1),
        |     p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm
-       |           FROM e WHERE vec_id % $RecallProbeStep = 0),
+       |           FROM e WHERE vec_id % 20 = 0),
        |     pc AS (SELECT vec_id AS probe_id, c_label AS pcell, rk AS prank
        |            FROM scored WHERE vec_id % $RecallProbeStep = 0 AND rk <= $IvfNprobe),
        |     ex AS (SELECT probe_id, vec_id,
@@ -868,7 +868,7 @@ object VectorQueries {
   private val sqlTopkRefresh =
     s"""WITH $duckVecs,
        |     p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm
-       |           FROM e WHERE vec_id % $RecallProbeStep = 0),
+       |           FROM e WHERE vec_id % 20 = 0),
        |     s AS (SELECT probe_id, vec_id,
        |             ${duckDot("v", "pv")} / (nrm * pnrm) AS sim0,
        |             row_number() OVER (PARTITION BY probe_id
@@ -1926,6 +1926,62 @@ object VectorQueries {
        |FROM q GROUP BY probe_id ORDER BY probe_id""".stripMargin
   }
 
+  // ---------- q_knn_label_acc: 1-NN classification accuracy ----------
+
+  /** Leave-one-out 1-NN label accuracy on a deterministic probe
+    * sample — the classic embedding-quality eval (does the metric
+    * space place same-label points nearest?): for every 20th
+    * vector, find its exact nearest OTHER vector by cosine and score
+    * whether the labels agree, reported per label. [[clusterAri]]
+    * judges the PARTITION k-means produces; this judges the metric
+    * space itself, no clustering in the loop.
+    *
+    * Shape: probe rows broadcast against the full corpus (probe
+    * count ∝ N/100 — at real scale sample a fixed probe budget),
+    * argmax on ROUND6ed similarity with vec_id tie-break (the
+    * ulp-rank rule), struct-max aggregate per probe (no per-probe
+    * window over the corpus-sized candidate stream).
+    */
+  def knnLabelAcc(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+    val probes = vecs.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("p_id"), col("label").as("p_label"),
+        col("v").as("pv"), col("nrm").as("pnrm"))
+    val nn = vecs.join(broadcast(probes), col("vec_id") =!= col("p_id"))
+      .withColumn("sim",
+        VectorFns.cosineStaged(col("v"), col("pv"), col("nrm"), col("pnrm")))
+      .groupBy("p_id", "p_label")
+      // maximize (round6(sim), -vec_id): highest sim, smallest id on ties
+      .agg(max(struct(round6(col("sim")).as("s"), (-col("vec_id")).as("ni"),
+        col("label").as("l"))).as("best"))
+      .select(col("p_id"), col("p_label"), col("best.l").as("nn_label"))
+    nn.groupBy(col("p_label").as("label"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("p_label") === col("nn_label"), lit(1L)).otherwise(lit(0L)))
+          .as("n_correct"))
+      .withColumn("acc", round4(
+        col("n_correct").cast("double") / col("n_probes").cast("double")))
+      .orderBy("label")
+  }
+
+  private val sqlKnnLabelAcc =
+    s"""WITH $duckVecs,
+       |     p AS (SELECT vec_id AS p_id, label AS p_label, v AS pv, nrm AS pnrm
+       |           FROM e WHERE vec_id % 20 = 0),
+       |     s AS (SELECT p.p_id, p.p_label, e.vec_id, e.label,
+       |                  ${duckRound6(s"${duckDot("e.v", "p.pv")} / (e.nrm * p.pnrm)")} AS s6
+       |           FROM e, p WHERE e.vec_id <> p.p_id),
+       |     nn AS (SELECT p_id, p_label, label AS nn_label
+       |            FROM (SELECT p_id, p_label, label,
+       |                    row_number() OVER (PARTITION BY p_id
+       |                      ORDER BY s6 DESC, vec_id) AS rk
+       |                  FROM s) WHERE rk = 1)
+       |SELECT p_label AS label, CAST(count(*) AS BIGINT) AS n_probes,
+       |       CAST(sum(CASE WHEN p_label = nn_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |       ${duckRound4(
+                  "CAST(sum(CASE WHEN p_label = nn_label THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS acc
+       |FROM nn GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------- q_cluster_ari: adjusted Rand of cells vs labels ----------
 
   /** Adjusted Rand Index between the k-means cell assignment and the
@@ -2144,6 +2200,7 @@ object VectorQueries {
     "q_semdedup_sweep" -> (semdedupSweep _),
     "q_kpp_init" -> (kppInit _),
     "q_cluster_ari" -> (clusterAri _),
+    "q_knn_label_acc" -> (knnLabelAcc _),
     "q_kmeans_refine" -> (kmeansRefine _),
     "q_triangle_count" -> (triangleCount _),
     "q_pq_codes" -> (pqCodes _),
@@ -2175,6 +2232,7 @@ object VectorQueries {
     "q_semdedup_sweep" -> sqlSemdedupSweep,
     "q_kpp_init" -> sqlKppInit,
     "q_cluster_ari" -> sqlClusterAri,
+    "q_knn_label_acc" -> sqlKnnLabelAcc,
     "q_kmeans_refine" -> sqlKmeansRefine,
     "q_triangle_count" -> sqlTriangleCount,
     "q_pq_codes" -> sqlPqCodes,
