@@ -1926,6 +1926,76 @@ object VectorQueries {
        |FROM q GROUP BY probe_id ORDER BY probe_id""".stripMargin
   }
 
+  // ---------- q_dbscan_core: density core/border/noise census ----------
+
+  /** DBSCAN's point taxonomy over the embedding corpus (Ester et al.
+    * 1996): core = ≥3 cosine-neighbors at sim ≥ 0.25, border =
+    * non-core with a core neighbor, noise = neither — the density
+    * census a clustering deployment reads to pick eps/minPts before
+    * running the full algorithm (lots of noise ⇒ eps too tight;
+    * everything core ⇒ too loose). Neighborhoods are k-means
+    * CELL-BLOCKED like [[semanticDedup]] (per-cell pairs, never
+    * all-pairs) — the standard grid-accelerated DBSCAN bound, which
+    * undercounts only cross-cell neighbors (documented
+    * approximation, same on both engines by construction).
+    *
+    * Shape: one within-cell pair pass → symmetric neighbor edge
+    * list → per-vec degree (core flag) → one edge join for the
+    * border flag → bounded label census. Compare on round6 sims.
+    */
+  def dbscanCore(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = assignedCells(withVecs(spark, sfDir))
+    val prs = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("s6", round6(VectorFns.cosineStaged(
+        col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))))
+      .filter(col("s6") >= NearDupThreshold)
+      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"))
+    val edges = prs.unionAll(prs.select(col("y").as("x"), col("x").as("y")))
+    val deg = edges.groupBy("x").agg(count(lit(1)).as("nn"))
+    val flags = cells.select(col("vec_id"), col("label"))
+      .join(deg.withColumnRenamed("x", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("is_core", coalesce(col("nn"), lit(0L)) >= 3)
+    val coreNbr = edges
+      .join(flags.select(col("vec_id").as("y"), col("is_core").as("y_core")), Seq("y"))
+      .filter(col("y_core"))
+      .select(col("x").as("vec_id")).distinct()
+      .withColumn("has_core_nbr", lit(true))
+    flags.join(coreNbr, Seq("vec_id"), "left")
+      .groupBy("label")
+      .agg(
+        sum(when(col("is_core"), lit(1L)).otherwise(lit(0L))).as("n_core"),
+        sum(when(!col("is_core") && coalesce(col("has_core_nbr"), lit(false)),
+          lit(1L)).otherwise(lit(0L))).as("n_border"),
+        sum(when(!col("is_core") && !coalesce(col("has_core_nbr"), lit(false)),
+          lit(1L)).otherwise(lit(0L))).as("n_noise"))
+      .orderBy("label")
+  }
+
+  private val sqlDbscanCore =
+    s"""WITH $duckSemCells,
+       |     prs AS (SELECT a.vec_id AS x, b2.vec_id AS y
+       |             FROM cells a JOIN cells b2
+       |               ON a.cell = b2.cell AND a.vec_id < b2.vec_id
+       |             WHERE ${duckRound6(
+                       s"${duckDot("a.v", "b2.v")} / (a.nrm * b2.nrm)")} >= $NearDupThreshold),
+       |     edges AS (SELECT x, y FROM prs UNION ALL SELECT y, x FROM prs),
+       |     deg AS (SELECT x, CAST(count(*) AS BIGINT) AS nn FROM edges GROUP BY 1),
+       |     fl AS (SELECT cells.vec_id, emb.label,
+       |                   COALESCE(deg.nn, 0) >= 3 AS is_core
+       |            FROM cells JOIN embeddings emb ON cells.vec_id = emb.vec_id
+       |                 LEFT JOIN deg ON cells.vec_id = deg.x),
+       |     cn AS (SELECT DISTINCT e2.x AS vec_id
+       |            FROM edges e2 JOIN fl ON e2.y = fl.vec_id WHERE fl.is_core)
+       |SELECT fl.label,
+       |       CAST(sum(CASE WHEN fl.is_core THEN 1 ELSE 0 END) AS BIGINT) AS n_core,
+       |       CAST(sum(CASE WHEN NOT fl.is_core AND cn.vec_id IS NOT NULL
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_border,
+       |       CAST(sum(CASE WHEN NOT fl.is_core AND cn.vec_id IS NULL
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_noise
+       |FROM fl LEFT JOIN cn ON fl.vec_id = cn.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------- q_knn_label_acc: 1-NN classification accuracy ----------
 
   /** Leave-one-out 1-NN label accuracy on a deterministic probe
@@ -2201,6 +2271,7 @@ object VectorQueries {
     "q_kpp_init" -> (kppInit _),
     "q_cluster_ari" -> (clusterAri _),
     "q_knn_label_acc" -> (knnLabelAcc _),
+    "q_dbscan_core" -> (dbscanCore _),
     "q_kmeans_refine" -> (kmeansRefine _),
     "q_triangle_count" -> (triangleCount _),
     "q_pq_codes" -> (pqCodes _),
@@ -2233,6 +2304,7 @@ object VectorQueries {
     "q_kpp_init" -> sqlKppInit,
     "q_cluster_ari" -> sqlClusterAri,
     "q_knn_label_acc" -> sqlKnnLabelAcc,
+    "q_dbscan_core" -> sqlDbscanCore,
     "q_kmeans_refine" -> sqlKmeansRefine,
     "q_triangle_count" -> sqlTriangleCount,
     "q_pq_codes" -> sqlPqCodes,
