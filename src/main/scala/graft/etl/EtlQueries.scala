@@ -916,7 +916,58 @@ object EtlQueries {
       |       CAST(count(CASE WHEN class = 'unchanged' THEN 1 END) AS BIGINT) AS n_unchanged
       |FROM d GROUP BY status ORDER BY status""".stripMargin
 
+  // ---------- q_late_dims: late-arriving-dimension triage ----------
+
+  /** The Kimball late-arriving-dimension workflow: facts whose
+    * dimension row hasn't landed yet must not be dropped — they take
+    * an INFERRED MEMBER (placeholder surrogate keyed by the natural
+    * key, updated when the real row arrives). This query runs the
+    * triage under a deterministic availability model (customers with
+    * c_custkey % 50 = 0 are "not yet loaded" — the driver corpus has
+    * full RI, so lateness is simulated, the operator is real):
+    * per order month, how many facts joined a present dimension row
+    * vs were routed to inferred members, and how many DISTINCT
+    * placeholders the month would mint — the dim-load backlog
+    * metric.
+    *
+    * Shape: one orders⋈customer LEFT join on the filtered dim (the
+    * required key shuffle; broadcast at real dim sizes), month-grain
+    * rollup. The anti-join side is exactly [[graft.etl.StarSchema]]'s
+    * RI-filter complement — same machinery, kept instead of dropped.
+    */
+  def lateDims(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+    val present = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 50 =!= 0)
+      .select(col("c_custkey"))
+    o.join(present, col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_facts"),
+        sum(when(col("c_custkey").isNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_inferred"),
+        countDistinct(when(col("c_custkey").isNull, col("o_custkey")))
+          .as("n_placeholders"))
+      .withColumn("inferred_rate", graft.text.TextFns.round4(
+        col("n_inferred").cast("double") / col("n_facts").cast("double")))
+      .orderBy("month")
+  }
+
+  private val sqlLateDims =
+    s"""WITH p AS (SELECT c_custkey FROM customer WHERE c_custkey % 50 <> 0)
+       |SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       |       CAST(count(*) AS BIGINT) AS n_facts,
+       |       CAST(sum(CASE WHEN p.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_inferred,
+       |       CAST(count(DISTINCT CASE WHEN p.c_custkey IS NULL
+       |                                THEN o_custkey END) AS BIGINT) AS n_placeholders,
+       |       ${graft.text.TextFns.duckRound4(
+                  "CAST(sum(CASE WHEN p.c_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS inferred_rate
+       |FROM orders LEFT JOIN p ON o_custkey = p.c_custkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_late_dims" -> (lateDims _),
     "q_bloom_fpr" -> (bloomFpr _),
     "q_pit_join" -> (pitJoin _),
     "q_impute_median" -> (imputeMedian _),
@@ -941,6 +992,7 @@ object EtlQueries {
     "q_ri_filter" -> (riFilter _))
 
   val oracle: Map[String, String] = Map(
+    "q_late_dims" -> sqlLateDims,
     "q_bloom_fpr" -> sqlBloomFpr,
     "q_pit_join" -> sqlPitJoin,
     "q_impute_median" -> sqlImputeMedian,
