@@ -593,7 +593,7 @@ object VectorQueries {
        |     a AS (SELECT e.vec_id, e.v, e.nrm, s.c_label AS cell
        |           FROM e JOIN scored s ON e.vec_id = s.vec_id AND s.rk = 1),
        |     p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm
-       |           FROM e WHERE vec_id % 20 = 0),
+       |           FROM e WHERE vec_id % $RecallProbeStep = 0),
        |     pc AS (SELECT vec_id AS probe_id, c_label AS pcell, rk AS prank
        |            FROM scored WHERE vec_id % $RecallProbeStep = 0 AND rk <= $IvfNprobe),
        |     ex AS (SELECT probe_id, vec_id,
@@ -868,7 +868,7 @@ object VectorQueries {
   private val sqlTopkRefresh =
     s"""WITH $duckVecs,
        |     p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm
-       |           FROM e WHERE vec_id % 20 = 0),
+       |           FROM e WHERE vec_id % $RecallProbeStep = 0),
        |     s AS (SELECT probe_id, vec_id,
        |             ${duckDot("v", "pv")} / (nrm * pnrm) AS sim0,
        |             row_number() OVER (PARTITION BY probe_id
