@@ -20,7 +20,7 @@ object Bench {
 
   /** Pure regression decision, unit-testable without a SparkSession.
     * Flags when the (isolation-corrected) best exceeds the baseline
-    * best by both the effective noise band (+150 ms floor) and 30%,
+    * best by both the effective noise band (+250 ms floor) and 30%,
     * OR when the dual-scale (sf0.01) best drifts >50% (+250 ms floor)
     * — the sf2 pass is short enough to stay clean on a machine whose
     * main-SF window was contended, so it catches what interference
@@ -32,9 +32,14 @@ object Bench {
       prevSf2: Map[String, Double]): Seq[(String, Double, Double, String)] =
     entries.flatMap { e =>
       val effSpread = e.isoSpread.getOrElse(e.spread)
+      // floor 250 ms (was 150): on the round-9 machine boot every
+      // clean back-to-back 241-query run flagged a DIFFERENT set of
+      // sub-1 s queries at 0.15-0.25 s deltas — scheduler noise, not
+      // plan cost. A real slip (the 1.57→4.01 s q_leakage_split case)
+      // clears 250 ms and 30% together by an order of magnitude.
       val main = prevBest.get(e.name).collect {
         case old if old >= 0 && e.best >= 0 &&
-          e.best > old + math.max(effSpread, 0.15) && e.best > old * 1.3 =>
+          e.best > old + math.max(effSpread, 0.25) && e.best > old * 1.3 =>
           (e.name, e.best, old, "sf")
       }
       // a dual-scale flag reports the SF2 numbers it fired on — the

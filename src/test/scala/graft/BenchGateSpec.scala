@@ -39,10 +39,15 @@ class BenchGateSpec extends AnyFunSuite {
   }
 
   test("under 30% growth is not flagged even beyond the spread floor") {
-    val e = GateEntry("q_minhash_est", best = 0.99, spread = 0.01,
+    val e = GateEntry("q_minhash_est", best = 1.05, spread = 0.01,
       isoSpread = None, sf2Best = None)
-    // 0.99 > 0.78 + 0.15 but 0.99 < 0.78 * 1.3 = 1.014
-    assert(flagRegressions(Seq(e), prev, Map.empty).isEmpty)
+    // 1.05 > 0.78 + 0.25 but 1.05 > 0.78 * 1.3 = 1.014 — flagged;
+    // and a +0.2 s delta stays under the 250 ms floor regardless of %
+    assert(flagRegressions(Seq(e), prev, Map.empty).nonEmpty)
+    val noise = GateEntry("q_minhash_est", best = 0.98, spread = 0.01,
+      isoSpread = None, sf2Best = None)
+    // 0.98 < 0.78 + 0.25: sub-floor scheduler noise never flags
+    assert(flagRegressions(Seq(noise), prev, Map.empty).isEmpty)
   }
 
   test("sf2 drift catches what main-SF interference masks") {
