@@ -1285,6 +1285,49 @@ object EventQueries {
     spark.read.parquet(out).orderBy("user_id", "session_start")
   }
 
+  // ---------- q_stream_sliding: streaming sliding windows, oracle-gated ----------
+
+  /** Streaming SLIDING windows under the correctness gate — with
+    * [[streamTumbling]] (tumbling), [[streamSession]] (session), and
+    * [[streamDedup]] (stateful dedup), every event-time window family
+    * now has its streaming execution hash-checked, not just its batch
+    * twin: 1-hour windows sliding by 30 minutes (each event lands in
+    * two windows — the state-duplication path tumbling never
+    * exercises), Complete mode + overwrite sink for batch-split
+    * independence, sharing [[eventsSliding]]'s window arithmetic
+    * oracle verbatim.
+    */
+  def streamSliding(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val src = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val evs = batchSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => src.withColumn("ts", col("ts").cast("timestamp"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sl").toString
+    val out = s"$dir/out"
+    val q = evs
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/cp")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+            col("event_type"), col("n_events"), col("sum_value"))
+          .coalesce(1).write.mode("overwrite").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out).orderBy("win_start", "event_type")
+  }
+
   // ---------- q_stream_dedup: stateful streaming dedup, oracle-gated ----------
 
   /** Streaming exactly-once ingest dedup under the correctness gate:
@@ -1388,6 +1431,7 @@ object EventQueries {
     "q_stream_tumbling" -> (streamTumbling _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_session" -> (streamSession _),
+    "q_stream_sliding" -> (streamSliding _),
     "q_seasonal_dow" -> (seasonalDow _),
     "q_growth_accounting" -> (growthAccounting _),
     "q_time_to_convert" -> (timeToConvert _),
@@ -1417,6 +1461,7 @@ object EventQueries {
     "q_stream_tumbling" -> sqlStreamTumbling,
     "q_stream_dedup" -> sqlStreamDedup,
     "q_stream_session" -> sqlEventsSession,
+    "q_stream_sliding" -> sqlEventsSliding,
     "q_seasonal_dow" -> sqlSeasonalDow,
     "q_growth_accounting" -> sqlGrowthAccounting,
     "q_time_to_convert" -> sqlTimeToConvert,
