@@ -1376,6 +1376,65 @@ object EventQueries {
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------- q_burn_rate: multiwindow SLO burn-rate alerts ----------
+
+  /** The SRE multiwindow burn-rate alert (Google SRE workbook) over
+    * the event stream: per 1-hour window, the error-event share and
+    * the share of its containing 6-hour window, with the alert
+    * firing only when BOTH exceed the threshold — the long window
+    * suppresses blips, the short one keeps detection fast. The page
+    * an on-call actually receives, expressed as two bounded
+    * window-grain aggregates and one epoch-bucket equi-join.
+    *
+    * Parity: rates are integer/integer divisions round4'd BEFORE the
+    * alert compare (round-before-compare rule), window keys are
+    * exact epoch arithmetic. Threshold 0.21 sits just above this
+    * stream's ~20% baseline error share so both alert states occur.
+    */
+  def burnRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("ts").cast("timestamp").cast("long").as("es"),
+        (col("event_type") === "error").as("is_err"))
+    val h1 = ev.groupBy((col("es") / 3600L).cast("long").as("h1"))
+      .agg(count(lit(1)).as("n1"),
+        sum(when(col("is_err"), lit(1L)).otherwise(lit(0L))).as("e1"))
+    val h6 = ev.groupBy((col("es") / 21600L).cast("long").as("h6"))
+      .agg(count(lit(1)).as("n6"),
+        sum(when(col("is_err"), lit(1L)).otherwise(lit(0L))).as("e6"))
+    h1.withColumn("h6", (col("h1") / 6L).cast("long"))
+      .join(h6, Seq("h6"))
+      .withColumn("rate_1h",
+        graft.text.TextFns.round4(col("e1").cast("double") / col("n1").cast("double")))
+      .withColumn("rate_6h",
+        graft.text.TextFns.round4(col("e6").cast("double") / col("n6").cast("double")))
+      .select(
+        date_format(to_timestamp(col("h1") * 3600L), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n1").as("n_events"), col("rate_1h"), col("rate_6h"),
+        (col("rate_1h") > 0.21 && col("rate_6h") > 0.21).cast("long").as("alert"))
+      .orderBy("hour")
+  }
+
+  private val sqlBurnRate =
+    s"""WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS eu,
+       |                  event_type = 'error' AS is_err FROM events),
+       |     h1 AS (SELECT eu // 3600000000 AS h1, CAST(count(*) AS BIGINT) AS n1,
+       |                   CAST(sum(CASE WHEN is_err THEN 1 ELSE 0 END) AS BIGINT) AS e1
+       |            FROM e GROUP BY 1),
+       |     h6 AS (SELECT eu // 21600000000 AS h6, CAST(count(*) AS BIGINT) AS n6,
+       |                   CAST(sum(CASE WHEN is_err THEN 1 ELSE 0 END) AS BIGINT) AS e6
+       |            FROM e GROUP BY 1),
+       |     j AS (SELECT h1.h1, h1.n1,
+       |                  ${graft.text.TextFns.duckRound4(
+                            "CAST(e1 AS DOUBLE) / CAST(n1 AS DOUBLE)")} AS rate_1h,
+       |                  ${graft.text.TextFns.duckRound4(
+                            "CAST(e6 AS DOUBLE) / CAST(n6 AS DOUBLE)")} AS rate_6h
+       |           FROM h1 JOIN h6 ON h1.h1 // 6 = h6.h6)
+       |SELECT strftime(make_timestamp(h1 * 3600 * 1000000), '%Y-%m-%d %H:%M:%S') AS hour,
+       |       n1 AS n_events, rate_1h, rate_6h,
+       |       CAST(CASE WHEN rate_1h > 0.21 AND rate_6h > 0.21
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS alert
+       |FROM j ORDER BY hour""".stripMargin
+
   // ---------- q_forget_plan: right-to-erasure impact report ----------
 
   /** Deletion-impact plan for a right-to-erasure request batch (the
@@ -1428,6 +1487,7 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_attribution" -> (attribution _),
     "q_forget_plan" -> (forgetPlan _),
+    "q_burn_rate" -> (burnRate _),
     "q_stream_tumbling" -> (streamTumbling _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_session" -> (streamSession _),
@@ -1458,6 +1518,7 @@ object EventQueries {
   val oracle: Map[String, String] = Map(
     "q_attribution" -> sqlAttribution,
     "q_forget_plan" -> sqlForgetPlan,
+    "q_burn_rate" -> sqlBurnRate,
     "q_stream_tumbling" -> sqlStreamTumbling,
     "q_stream_dedup" -> sqlStreamDedup,
     "q_stream_session" -> sqlEventsSession,
