@@ -431,7 +431,67 @@ object TextAnalytics {
                  "CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS DOUBLE) / CAST(sum(sz) AS DOUBLE)")} AS risk_share
        |FROM f GROUP BY k ORDER BY k""".stripMargin
 
+  // ---------- q_neyman_alloc: optimal stratified-sample allocation ----------
+
+  /** Neyman allocation (Neyman 1934) of a 1000-document audit sample
+    * across sources: n_h ∝ N_h·σ_h — strata that are large OR
+    * internally variable get more of the budget, the design that
+    * minimizes the estimator variance at fixed cost. The per-stratum
+    * σ of document length comes from exact integer moments (n, Σx,
+    * Σx² — the corrStats discipline), the weights collapse through
+    * round6 micro-units summed as DECIMAL (a 20-row double sum is
+    * still partition-order-dependent), and the final seat counts
+    * floor(share·1000+0.5) come from the ROUNDED share so both
+    * engines mint identical allocations.
+    *
+    * Scale: one fact-grain moment aggregate, then everything at
+    * source grain. This is the query a labeling-budget owner runs
+    * before commissioning human review.
+    */
+  def neymanAlloc(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = col("n_chars").cast("decimal(19,0)")
+    val m = Tables.documents(spark, sfDir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"),
+        sum((x * x).cast("decimal(38,0)")).as("sxx"))
+    val nD = col("n").cast("double")
+    val varX = (col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / nD) / (nD - 1.0)
+    val w6 = floor(nD * sqrt(varX) * 1000000.0 + 0.5).cast("decimal(28,0)")
+    val weighted = m.withColumn("w6", w6)
+    val tot = weighted.agg(sum(col("w6")).as("tw"))
+    weighted.crossJoin(broadcast(tot))
+      .withColumn("share", TextFns.round4(
+        col("w6").cast("double") / col("tw").cast("double")))
+      .select(col("source"), col("n").as("n_docs"),
+        TextFns.round4(sqrt(varX)).as("sigma_chars"),
+        col("share"),
+        floor(col("share") * 1000.0 + 0.5).cast("long").as("n_alloc"))
+      .orderBy("source")
+  }
+
+  private val sqlNeymanAlloc = {
+    val varX = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)"
+    s"""WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |                  sum(CAST(n_chars AS DECIMAL(19,0))) AS sx,
+       |                  sum(CAST(CAST(n_chars AS DECIMAL(19,0)) *
+       |                           CAST(n_chars AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sxx
+       |           FROM documents GROUP BY 1),
+       |     w AS (SELECT source, n, sx, sxx,
+       |                  CAST(floor(CAST(n AS DOUBLE) * sqrt($varX) * 1000000.0 + 0.5)
+       |                    AS DECIMAL(28,0)) AS w6
+       |           FROM m),
+       |     tot AS (SELECT sum(w6) AS tw FROM w)
+       |SELECT source, n AS n_docs,
+       |       ${TextFns.duckRound4(s"sqrt($varX)")} AS sigma_chars,
+       |       ${TextFns.duckRound4("CAST(w6 AS DOUBLE) / CAST(tw AS DOUBLE)")} AS share,
+       |       CAST(floor(${TextFns.duckRound4(
+                  "CAST(w6 AS DOUBLE) / CAST(tw AS DOUBLE)")} * 1000.0 + 0.5) AS BIGINT) AS n_alloc
+       |FROM w CROSS JOIN tot ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_neyman_alloc" -> (neymanAlloc _),
     "q_kanon" -> (kanon _),
     "q_cross_entropy" -> (crossEntropy _),
     "q_tfidf" -> (tfidf _),
@@ -442,6 +502,7 @@ object TextAnalytics {
     "q_source_quota" -> (sourceQuota _))
 
   val oracle: Map[String, String] = Map(
+    "q_neyman_alloc" -> sqlNeymanAlloc,
     "q_kanon" -> sqlKanon,
     "q_cross_entropy" -> sqlCrossEntropy,
     "q_tfidf" -> sqlTfidf,
