@@ -93,6 +93,17 @@ object TextHashUtil {
     * the dedup-friendly chunking exact fixed-width blocks can't do.
     * Empty text yields the single empty-fold chunk [0] (oracle
     * parity). O(n·k) grams + O(n) chunk folds, one primitive pass.
+    *
+    * ASCII-PARITY-ONLY caveat: this kernel walks UTF-8 BYTES
+    * (`numBytes`/`getByte`) while the q_cdc_chunks oracle walks
+    * CHARACTERS (`length(text)` + `ascii(substring(...))`). On the
+    * pure-ASCII test corpus the two walks are identical; on
+    * multi-byte text they would diverge — and unlike [[polyHash]]
+    * (where a divergence only changes hash VALUES symmetrically),
+    * here it moves chunk BOUNDARIES, so chunk counts themselves
+    * would differ between engines. A non-ASCII corpus needs either a
+    * code-point walk here or a byte-level oracle (DuckDB
+    * `encode()`), not a rediscovery via hash mismatch.
     */
   def cdcChunks(s: UTF8String, k: Int, div: Int): ArrayData = {
     val n = s.numBytes

@@ -797,11 +797,18 @@ object DocOps {
       .withColumn("s", regexp_replace(col("word"), "(.)", "$1 "))
       .select(col("freq"), col("s"))
       .cache()
+    // Pairs via zip_with over two shifted slices, NOT
+    // transform(sequence(1, size-1)): when merges collapse a whole
+    // word to ONE token, size-1 = 0 and Spark's sequence(1, 0) counts
+    // DOWN to [1, 0] — the lambda then hits element_at index 0 /
+    // out-of-bounds, both ANSI throws. slice(_, _, 0) is just empty,
+    // matching the oracle's empty range(1, 1).
     def pairStats(df: DataFrame): DataFrame = df
       .withColumn("toks", filter(split(col("s"), " "), x => x =!= ""))
-      .withColumn("prs", transform(sequence(lit(1), size(col("toks")) - 1),
-        i => struct(element_at(col("toks"), i).as("a"),
-          element_at(col("toks"), i + lit(1)).as("b"))))
+      .withColumn("prs", zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b"))))
       .select(col("freq"), explode_outer(col("prs")).as("pr"))
       .filter(col("pr").isNotNull)
       .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
