@@ -1249,8 +1249,13 @@ object EventQueries {
     * mode — no watermark needed on a bounded AvailableNow run, and
     * every batch re-emits the fully-merged sessions, so the final
     * overwrite sink is batch-split-independent). The oracle is the
-    * IDENTICAL gaps-and-islands SQL that gates the batch twin —
-    * one contract, two execution engines, both hash-checked.
+    * batch twin's gaps-and-islands SQL with one deliberate change:
+    * value sums go through the round-before-sum micro-unit DECIMAL
+    * discipline ([[streamTumbling]]'s rule). Counts are batch-split-
+    * independent for free; float sums are NOT — if the file source
+    * ever splits into multiple micro-batches, streaming state-merge
+    * changes the addition order, so only an order-independent exact
+    * sum keeps the contract honest beyond the single-batch case.
     */
   def streamSession(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
@@ -1265,8 +1270,9 @@ object EventQueries {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_ss").toString
     val out = s"$dir/out"
     val q = evs
+      .withColumn("vm", floor(col("value") * 1000000.0 + 0.5).cast("decimal(28,0)"))
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vm")).as("vm_sum"))
       .writeStream
       .outputMode("complete")
       .option("checkpointLocation", s"$dir/cp")
@@ -1275,7 +1281,9 @@ object EventQueries {
             col("user_id"),
             date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
               .as("session_start"),
-            col("n_events"), col("sum_value"))
+            col("n_events"),
+            graft.text.TextFns.round4(col("vm_sum").cast("double") / 1000000.0)
+              .as("sum_value"))
           .coalesce(1).write.mode("overwrite").parquet(out)
         ()
       }
@@ -1284,6 +1292,29 @@ object EventQueries {
     q.awaitTermination()
     spark.read.parquet(out).orderBy("user_id", "session_start")
   }
+
+  /** [[sqlEventsSession]] with the micro-unit DECIMAL sum — the
+    * batch twin keeps its raw-double oracle (single-engine plan, no
+    * state merge), the STREAMING run must be order-independent.
+    */
+  private val sqlStreamSession =
+    s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |                  CAST(floor(value * 1000000.0 + 0.5) AS DECIMAL(28,0)) AS vm
+      |           FROM events),
+      |     flagged AS (
+      |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |                 THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |     sessions AS (
+      |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |       count(*) AS n_events,
+      |       ${graft.text.TextFns.duckRound4(
+                 "CAST(sum(vm) AS DOUBLE) / 1000000.0")} AS sum_value
+      |FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
   // ---------- q_stream_sliding: streaming sliding windows, oracle-gated ----------
 
@@ -1294,8 +1325,11 @@ object EventQueries {
     * twin: 1-hour windows sliding by 30 minutes (each event lands in
     * two windows — the state-duplication path tumbling never
     * exercises), Complete mode + overwrite sink for batch-split
-    * independence, sharing [[eventsSliding]]'s window arithmetic
-    * oracle verbatim.
+    * independence, with [[eventsSliding]]'s window arithmetic in the
+    * oracle. Value sums use the round-before-sum micro-unit DECIMAL
+    * rule ([[streamTumbling]]): streaming state-merge reorders float
+    * addition across micro-batches, so only an order-independent
+    * exact sum is honestly batch-split-independent.
     */
   def streamSliding(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
@@ -1310,15 +1344,18 @@ object EventQueries {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_sl").toString
     val out = s"$dir/out"
     val q = evs
+      .withColumn("vm", floor(col("value") * 1000000.0 + 0.5).cast("decimal(28,0)"))
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vm")).as("vm_sum"))
       .writeStream
       .outputMode("complete")
       .option("checkpointLocation", s"$dir/cp")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.select(
             date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
-            col("event_type"), col("n_events"), col("sum_value"))
+            col("event_type"), col("n_events"),
+            graft.text.TextFns.round4(col("vm_sum").cast("double") / 1000000.0)
+              .as("sum_value"))
           .coalesce(1).write.mode("overwrite").parquet(out)
         ()
       }
@@ -1327,6 +1364,23 @@ object EventQueries {
     q.awaitTermination()
     spark.read.parquet(out).orderBy("win_start", "event_type")
   }
+
+  /** [[sqlEventsSliding]] with the micro-unit DECIMAL sum (see
+    * [[sqlStreamSession]] for why the streaming twin diverges from
+    * the batch oracle here).
+    */
+  private val sqlStreamSliding =
+    s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |                  CAST(floor(value * 1000000.0 + 0.5) AS DECIMAL(28,0)) AS vm
+      |           FROM events),
+      |     x AS (SELECT make_timestamp((epoch_us(ts) // 1800000000 - off) * 1800000000) AS ws,
+      |                  event_type, vm
+      |           FROM e CROSS JOIN (SELECT unnest([0, 1]) AS off))
+      |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+      |       event_type, count(*) AS n_events,
+      |       ${graft.text.TextFns.duckRound4(
+                 "CAST(sum(vm) AS DOUBLE) / 1000000.0")} AS sum_value
+      |FROM x GROUP BY ws, event_type ORDER BY win_start, event_type""".stripMargin
 
   // ---------- q_stream_dedup: stateful streaming dedup, oracle-gated ----------
 
@@ -1375,6 +1429,100 @@ object EventQueries {
   private val sqlStreamDedup =
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------- q_stream_append: watermark-evicted APPEND mode, oracle-gated ----------
+
+  /** The production streaming path under the correctness gate: APPEND
+    * output mode with real watermark eviction — the mode you actually
+    * run at 100×, where each window is emitted EXACTLY ONCE when the
+    * watermark passes its end and state is freed, unlike the
+    * Complete-mode gates ([[streamTumbling]] etc.) that re-emit all
+    * state every batch and can never scale. The gate needs the run to
+    * be finite AND every window to provably close, so the source is
+    * staged as THREE files processed as three micro-batches
+    * (`maxFilesPerTrigger=1`, modification-time ordered): the real
+    * events, then two sentinel rows time-stamped 1 and 2 days past
+    * the max event time. Sentinels flow through the watermark node
+    * AND the aggregation — a pre-agg filter does NOT work, Catalyst
+    * pushes it below the EventTimeWatermark node so the sentinel
+    * never reaches the watermark accumulator and the watermark never
+    * advances (observed: final windows stuck in state forever).
+    * Instead their own windows simply never close (each sentinel
+    * sits ≥ 18 h past the final watermark), so they die in state,
+    * and the sink filters the one that a trailing no-data micro-batch
+    * could still evict. The second sentinel batch flushes the windows
+    * the first one closed (watermark advances at END of a batch,
+    * eviction happens in the NEXT one). The append sink accumulates each
+    * batch's evicted windows; the accumulated union must equal the
+    * batch aggregate — [[sqlStreamTumbling]]'s oracle verbatim, one
+    * contract for both the Complete and the eviction path. Value
+    * sums use the round-before-sum micro-unit DECIMAL rule (state
+    * merge reorders float addition).
+    */
+  def streamAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val path = s"$sfDir/events.parquet"
+    val batch = spark.read.parquet(path)
+    val batchSchema = batch.schema
+    val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
+    val dir = Files.createTempDirectory("graft_stream_ap")
+    val inDir = dir.resolve("in"); Files.createDirectories(inDir)
+    val out = dir.resolve("out").toString
+    Files.copy(Paths.get(path), inDir.resolve("a_events.parquet"))
+    (1 to 2).foreach { k =>
+      val sent = batch.orderBy(col("ts").desc).limit(1)
+        .withColumn("ts",
+          if (isNs) col("ts") + lit(k.toLong * 86400L * 1000000000L)
+          else expr(s"ts + INTERVAL '${k * 24}' HOUR"))
+        .withColumn("event_type", lit("__wm_sentinel"))
+      val tmpK = dir.resolve(s"sent$k")
+      sent.coalesce(1).write.parquet(tmpK.toString)
+      val part = Files.list(tmpK).filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }.findFirst.get
+      Files.move(part, inDir.resolve(s"z_sentinel$k.parquet"))
+    }
+    // the file source orders pending files by modification time; stamp
+    // strictly increasing mtimes so events → sentinel1 → sentinel2 is
+    // the guaranteed batch order (a sentinel processed FIRST would
+    // advance the watermark before the real events arrive and drop
+    // them all as late)
+    Seq("a_events.parquet", "z_sentinel1.parquet", "z_sentinel2.parquet")
+      .zipWithIndex.foreach { case (f, i) =>
+        Files.setLastModifiedTime(inDir.resolve(f),
+          FileTime.fromMillis(1600000000000L + i * 60000L))
+      }
+    val src = spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val evs =
+      if (isNs) src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else src.withColumn("ts", col("ts").cast("timestamp"))
+    val agg = evs
+      .withWatermark("ts", "0 seconds")
+      .withColumn("vm", floor(col("value") * 1000000.0 + 0.5).cast("decimal(28,0)"))
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vm")).as("vm_sum"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", dir.resolve("cp").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.filter(col("event_type") =!= "__wm_sentinel")
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("event_type"), col("n_events"),
+            graft.text.TextFns.round4(col("vm_sum").cast("double") / 1000000.0)
+              .as("sum_value"))
+          .coalesce(1).write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out).orderBy("window_start", "event_type")
+  }
 
   // ---------- q_burn_rate: multiwindow SLO burn-rate alerts ----------
 
@@ -1490,6 +1638,7 @@ object EventQueries {
     "q_burn_rate" -> (burnRate _),
     "q_stream_tumbling" -> (streamTumbling _),
     "q_stream_dedup" -> (streamDedup _),
+    "q_stream_append" -> (streamAppend _),
     "q_stream_session" -> (streamSession _),
     "q_stream_sliding" -> (streamSliding _),
     "q_seasonal_dow" -> (seasonalDow _),
@@ -1521,8 +1670,9 @@ object EventQueries {
     "q_burn_rate" -> sqlBurnRate,
     "q_stream_tumbling" -> sqlStreamTumbling,
     "q_stream_dedup" -> sqlStreamDedup,
-    "q_stream_session" -> sqlEventsSession,
-    "q_stream_sliding" -> sqlEventsSliding,
+    "q_stream_append" -> sqlStreamTumbling,
+    "q_stream_session" -> sqlStreamSession,
+    "q_stream_sliding" -> sqlStreamSliding,
     "q_seasonal_dow" -> sqlSeasonalDow,
     "q_growth_accounting" -> sqlGrowthAccounting,
     "q_time_to_convert" -> sqlTimeToConvert,
