@@ -207,6 +207,43 @@ object Bench {
           name -> (if (a.sec < 0 || b.sec < 0) -1.0 else math.min(a.sec, b.sec))
         }.toMap
       else Map.empty
+    // UPWARD scaling pass: sf0.1 → sf1 ratios. The sf2 pass above
+    // compares DOWNWARD, where fixed per-query overhead swamps plan
+    // cost and super-linear plans hide (judged from the 0.01→0.1
+    // ratio, q_edit_distance's SF² join read as "7.4× per 10×"). This
+    // pass derives a 10× fixture from the main SF ([[Upscale]]:
+    // key-shifted copies, RI-exact, single-file layout parity) and
+    // times ONE execution per query on it — at 10× the data a real
+    // super-linear plan is >15× slower, far beyond single-run noise.
+    // Time-budgeted (default 900 s) so a pathological query can't eat
+    // the round; budget-skipped queries are COUNTED in the output,
+    // never silently dropped (CLAUDE.md no-silent-caps rule).
+    // SPARK_GRAFT_SFUP="" disables; SPARK_GRAFT_SFUP_DIR overrides
+    // the cached fixture location.
+    val upFactor = sys.env.getOrElse("SPARK_GRAFT_SFUP_FACTOR", "10").toInt
+    val upDir = sys.env.getOrElse("SPARK_GRAFT_SFUP_DIR",
+      s"${System.getProperty("java.io.tmpdir")}/graft_sfup_${upFactor}x")
+    val upBudget = sys.env.getOrElse("SPARK_GRAFT_SFUP_BUDGET_SEC", "900").toDouble
+    val upBest: Map[String, Double] =
+      if (sys.env.getOrElse("SPARK_GRAFT_SFUP", "1").isEmpty || upFactor <= 1) Map.empty
+      else {
+        try Upscale.ensure(spark, sfDir, upDir, upFactor)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] upscale generation failed: ${e.getMessage}") }
+        if (!java.nio.file.Files.exists(Upscale.marker(upDir))) Map.empty
+        else {
+          var spent = 0.0
+          selected.map { case (name, fn) =>
+            if (spent > upBudget) name -> -2.0 // budget-skipped, reported below
+            else {
+              val r = execOnce(name, fn, upDir)
+              System.gc()
+              if (r.sec >= 0) spent += r.sec
+              name -> r.sec
+            }
+          }.toMap
+        }
+      }
     // best = min over warm + measured runs (the headline number);
     // median/spread are computed over the measured runs only; the
     // shuffle/spill bytes reported are the BEST run's (plan
@@ -306,6 +343,24 @@ object Bench {
         .getOrElse("")
       s""","sf2":"$sf2Dir","sf2_total":${fmt(sf2Total, 2)}$worst"""
     }
+    // upward-scaling summary: per-query sfDir→sfup ratio, flagging
+    // anything over 15× per 10× data as machine-detected super-linear
+    // (denominator floored at 50 ms — below that the ratio measures
+    // fixed overhead, not plan cost)
+    val upline = if (upBest.isEmpty) "" else {
+      val done = upBest.filter(_._2 >= 0)
+      val skippedN = upBest.count(_._2 == -2.0)
+      val ratios = stats.flatMap { s =>
+        upBest.get(s.name).collect {
+          case t if t >= 0 && s.best >= 0.05 => (s.name, t / s.best)
+        }
+      }
+      val flagged = ratios.filter(_._2 > 15.0).sortBy(-_._2)
+      val fl = flagged.take(8).map { case (n, r) =>
+        s"""{"q":"$n","ratio":${fmt(r, 1)}}""" }.mkString("[", ",", "]")
+      s""","sfup_factor":$upFactor,"sfup_total":${fmt(done.values.sum, 2)},""" +
+        s""""sfup_skipped":$skippedN,"superlinear":$fl"""
+    }
     // suite-level plan-volume totals (best runs): the one-line scale
     // signature next to the one-line timing
     def mb(b: Long): Long = b / (1024 * 1024)
@@ -315,7 +370,7 @@ object Bench {
       val qs = stats.map { s => "\"" + s.name + "\":" + fmt(s.best, scale) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
-        s""""queries":$qs,$vols,$errs,$regs$scaling,"sf":"$sfDir"}"""
+        s""""queries":$qs,$vols,$errs,$regs$scaling$upline,"sf":"$sfDir"}"""
     }
     // last resort (query set too big for even 1-decimal full maps):
     // keep the SLOWEST 20 queries in the line — the per-query numbers
@@ -327,7 +382,7 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
         s""""queries":$qs,"omitted":${stats.size - top.size},$vols,$errs,""" +
-        s"""$regs$scaling,"sf":"$sfDir"}"""
+        s"""$regs$scaling$upline,"sf":"$sfDir"}"""
     }
     val compact = {
       val l2 = line(2)
@@ -343,10 +398,11 @@ object Bench {
           ",\"runs\":[" + s.runs.mkString(",") + "]" +
           (if (s.isoRuns.nonEmpty) ",\"iso_runs\":[" + s.isoRuns.mkString(",") + "]" else "") +
           ",\"shuffle_mb\":" + mb(s.shuffleB) + ",\"spill_mb\":" + mb(s.spillB) +
-          sf2Best.get(s.name).map(t => ",\"sf2_best\":" + t).getOrElse("") + "}"
+          sf2Best.get(s.name).map(t => ",\"sf2_best\":" + t).getOrElse("") +
+          upBest.get(s.name).map(t => ",\"sfup_best\":" + t).getOrElse("") + "}"
       }.mkString("{", ",", "}")
       val w = new java.io.PrintWriter("target/bench_detail.json")
-      try w.println(s"""{"total":$total,$vols,"queries":$detail,$regs$scaling,"sf":"$sfDir"}""")
+      try w.println(s"""{"total":$total,$vols,"queries":$detail,$regs$scaling$upline,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => () }
     println(compact)
