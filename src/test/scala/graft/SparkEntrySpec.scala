@@ -10,7 +10,7 @@ class SparkEntrySpec extends SparkSpec {
     val packs = Seq(
       etl.EtlQueries.queries, olap.OlapQueries.queries,
       olap.OlapMore.queries, olap.Analytics.queries,
-      olap.OlapStats.queries, olap.Skew.queries,
+      olap.OlapStats.queries, olap.Skew.queries, olap.SqlSurface.queries,
       stream.EventQueries.queries, text.TextQueries.queries,
       text.TextAnalytics.queries, text.CorpusOps.queries,
       text.DocOps.queries, text.GrowthOps.queries,
