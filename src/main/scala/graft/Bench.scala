@@ -88,12 +88,17 @@ object Bench {
     // default matches the environment contract (local[32], shuffle
     // partitions = cores); the driver overrides via SPARK_GRAFT_CPUS
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_NO_EXT=1 skips the GraftExtensions injection — the
+    // same A/B aid Verify has, for isolating injected-rule overhead
+    // when adjudicating a flagged regression; the driver never sets it
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = (if (sys.env.contains("SPARK_GRAFT_NO_EXT")) builder
+                 else builder.config("spark.sql.extensions",
+                   "graft.functions.GraftExtensions"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Task-metric accounting: per-query shuffle/spill volume is
