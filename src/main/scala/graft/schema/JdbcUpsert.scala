@@ -25,7 +25,19 @@ import org.apache.spark.sql.{DataFrame, Row}
   *
   * Integration-proven against embedded Derby (`AnsiMerge` dialect) in
   * JdbcUpsertSpec; Postgres/MySQL dialects are SQL-generation-proven
-  * (no server in this environment).
+  * (golden statements + the bind-layout/placeholder-count law every
+  * dialect must satisfy for the shared executor, JdbcUpsertSpec).
+  *
+  * ENVIRONMENT BLOCKER (investigated round 10): executing the
+  * Postgres/MySQL strings against a live-compatible engine needs H2
+  * in PostgreSQL/MySQL compatibility mode or an embedded server —
+  * the offline dependency cache ships ONLY Derby (inside the Spark
+  * distribution, for the Hive metastore); H2/HSQLDB/SQLite are not
+  * resolvable and the sandbox has zero egress. Derby parses neither
+  * `ON CONFLICT` nor `ON DUPLICATE KEY`. First thing to do on a
+  * machine with a real engine: point JdbcUpsertSpec's round-trip
+  * test at it with `Postgres`/`MySql` — the executor path is
+  * dialect-agnostic, only `sql`/`bindColumns` swap.
   */
 object JdbcUpsert {
 

@@ -40,6 +40,35 @@ class JdbcUpsertSpec extends SparkSpec {
     }
   }
 
+  test("every dialect's placeholder count equals its bind layout (executor law)") {
+    // the shared executor binds exactly dialect.bindColumns(cols, keys)
+    // values per row, in order, against the '?' markers the dialect
+    // rendered — a dialect whose SQL and bind layout disagree corrupts
+    // silently on a live engine (values land in the wrong columns).
+    // Pin the law across dialects and column/key shapes, since only
+    // the AnsiMerge path can integration-test here (see the
+    // ENVIRONMENT BLOCKER note in JdbcUpsert's scaladoc).
+    val types = Map("k1" -> "VARCHAR(32)", "k2" -> "VARCHAR(32)",
+      "a" -> "INT", "b" -> "DOUBLE", "c" -> "VARCHAR(64)")
+    val shapes = Seq(
+      (Seq("k1", "a"), Seq("k1")),
+      (Seq("k1", "a", "b", "c"), Seq("k1")),
+      (Seq("k1", "k2", "a", "b"), Seq("k1", "k2")),
+      (Seq("k1"), Seq("k1"))) // key-only → DO NOTHING / no-op update
+    val dialects = Seq[(String, JdbcUpsert.Dialect)](
+      ("postgres", JdbcUpsert.Postgres), ("mysql", JdbcUpsert.MySql),
+      ("ansi-merge", JdbcUpsert.AnsiMerge()))
+    for ((dn, d) <- dialects; (cols, keys) <- shapes) {
+      val sql = d.sql("t", cols, keys, types)
+      val placeholders = sql.count(_ == '?')
+      val binds = d.bindColumns(cols, keys)
+      assert(placeholders == binds.size,
+        s"$dn $cols/$keys: $placeholders markers vs ${binds.size} binds in: $sql")
+      assert(binds.forall(cols.contains),
+        s"$dn binds a column not in the row: $binds")
+    }
+  }
+
   test("upsert converges against embedded Derby (insert then update)") {
     // directory-backed DB in a fresh temp dir: unique per run AND
     // robust to an embedded-engine reboot mid-test (an in-memory
