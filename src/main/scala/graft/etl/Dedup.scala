@@ -32,4 +32,27 @@ object Dedup {
     */
   def anyWins(df: DataFrame, keys: Seq[String]): DataFrame =
     df.dropDuplicates(keys)
+
+  /** Last-writer-wins: one row per key, the one GREATEST in the
+    * arrival order — the reference's cross-chunk upsert semantics
+    * (`ETL/user_ETL.py:106-114`: later chunks' `ON CONFLICT DO
+    * UPDATE` overwrite earlier ones), where [[firstWins]] is its
+    * `drop_duplicates` ingest-side complement. Implemented as a
+    * mergeable struct-MAX hash aggregate (ord columns lead the
+    * struct, payload follows; partial maxes combine associatively on
+    * the map side), NOT a per-key window: the window sort
+    * materializes each key's rows on one task, the aggregate never
+    * does — the mega-key-safe plan ([[graft.text.TextQueries]]
+    * canonical-election precedent). `ord` must be a total order
+    * (include a unique id last) or the winner is undefined.
+    */
+  def lastWins(df: DataFrame, keys: Seq[String], ord: Seq[Column],
+               payload: Seq[String]): DataFrame = {
+    val s = struct(
+      ord.zipWithIndex.map { case (c, i) => c.as(s"__o$i") } ++
+        payload.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max(s).as("__w"))
+      .select(keys.map(col) ++ payload.map(p => col(s"__w.$p").as(p)): _*)
+  }
 }

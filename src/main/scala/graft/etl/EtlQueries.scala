@@ -966,7 +966,121 @@ object EtlQueries {
        |FROM orders LEFT JOIN p ON o_custkey = p.c_custkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------- q_py_title: pandas .title() exact-parity audit ----------
+
+  /** Closes the documented F3 divergence (SURVEY §2.3: pandas
+    * `.str.title()` vs Spark `initcap`, `ETL/user_ETL.py:48-49`):
+    * [[graft.functions.TextHashes.pyTitle]] is a native codegen
+    * expression with Python's EXACT titlecasing rule — any non-letter
+    * (apostrophe, digit) ends a cased run, so `"men's" → "Men'S"`
+    * where `initcap`'s whitespace-word rule gives `"Men's"`. The
+    * query audits both casings over a possessive string built from
+    * part data (the corpus itself has no apostrophes — the divergence
+    * class the reference's real inputs DO hit) and counts per type
+    * where the two rules disagree; the oracle reproduces BOTH rules
+    * as character-walk SQL, so the kernel's semantics — not just its
+    * row counts — are hash-pinned cross-engine.
+    *
+    * Scale: one pushed-down scan, per-row codegen'd string kernel,
+    * bounded type-grain aggregate. ASCII-parity-only byte walk
+    * (kernel scaladoc), matching the corpus contract.
+    */
+  def pyTitleAudit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .withColumn("s", concat(col("p_name"), lit("'s "), col("p_type")))
+      .withColumn("t", graft.functions.TextHashes.pyTitle(col("s")))
+      .withColumn("ic", initcap(col("s")))
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when(col("t") =!= col("ic"), lit(1L)).otherwise(lit(0L)))
+          .as("n_diverge"),
+        min(col("t")).as("sample_title"))
+      .orderBy("p_type")
+
+  private val sqlPyTitle = {
+    def walk(body: String): String =
+      s"""list_aggregate(list_transform(range(1, length(s) + 1), i ->
+         |  $body), 'string_agg', '')""".stripMargin
+    def ch(off: String): String = s"substring(s, CAST($off AS INT), 1)"
+    def alpha(off: String): String =
+      s"(ascii(${ch(off)}) BETWEEN 65 AND 90 OR ascii(${ch(off)}) BETWEEN 97 AND 122)"
+    val pt = walk(
+      s"""CASE WHEN ${alpha("i")}
+         |     THEN CASE WHEN i > 1 AND ${alpha("i-1")}
+         |               THEN lower(${ch("i")}) ELSE upper(${ch("i")}) END
+         |     ELSE ${ch("i")} END""".stripMargin)
+    val ic = walk(
+      s"""CASE WHEN i = 1 OR ${ch("i-1")} = ' '
+         |     THEN upper(${ch("i")}) ELSE lower(${ch("i")}) END""".stripMargin)
+    s"""WITH base AS (SELECT p_type, p_name || '''s ' || p_type AS s FROM part),
+       |     cased AS (SELECT p_type, $pt AS t, $ic AS ic FROM base)
+       |SELECT p_type, CAST(count(*) AS BIGINT) AS n_parts,
+       |       CAST(sum(CASE WHEN t <> ic THEN 1 ELSE 0 END) AS BIGINT) AS n_diverge,
+       |       min(t) AS sample_title
+       |FROM cased GROUP BY p_type ORDER BY p_type""".stripMargin
+  }
+
+  // ---------- q_lww_upsert: cross-chunk last-writer-wins replay ----------
+
+  /** The reference's cross-chunk upsert semantics as a queryable
+    * operator (`ETL/user_ETL.py:106-114`: chunks arrive in order and
+    * each `ON CONFLICT DO UPDATE` overwrites the previous writer —
+    * the divergence SURVEY §2.4 documents against the snapshot
+    * engine's first-wins dedup, now closed by [[Dedup.lastWins]]):
+    * replay the event stream as arrival-ordered upserts keyed on
+    * (user, event_type) and report the FINAL table state per type —
+    * surviving keys, superseded row count, the winners' exact value
+    * mass, and a winner-id checksum that any wrong-winner choice
+    * breaks.
+    *
+    * Shape: one struct-max hash aggregate at key grain (mergeable —
+    * see [[Dedup.lastWins]]; never a per-key window) plus a bounded
+    * type-grain rollup and a broadcastable type-grain join for the
+    * superseded counts. Value mass through micro-unit DECIMAL
+    * (order-independent exact sum).
+    */
+  def lwwUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("ord_us"), col("event_id"),
+        floor(col("value") * 1000000.0 + 0.5).cast("decimal(28,0)").as("vm"))
+    val last = Dedup.lastWins(ev, Seq("user_id", "event_type"),
+      Seq(col("ord_us"), col("event_id")), Seq("event_id", "vm"))
+    val tot = ev.groupBy("event_type").agg(count(lit(1)).as("n_rows"))
+    last.groupBy("event_type")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("vm")).as("vms"),
+        sum(col("event_id")).as("winner_id_sum"))
+      .join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("n_keys"),
+        (col("n_rows") - col("n_keys")).as("n_superseded"),
+        graft.text.TextFns.round4(col("vms").cast("double") / 1000000.0)
+          .as("last_value_sum"),
+        col("winner_id_sum"))
+      .orderBy("event_type")
+  }
+
+  private val sqlLwwUpsert =
+    s"""WITH e AS (SELECT user_id, event_type,
+       |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ord_us, event_id,
+       |                  CAST(floor(value * 1000000.0 + 0.5) AS DECIMAL(28,0)) AS vm
+       |           FROM events),
+       |     w AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+       |                      ORDER BY ord_us DESC, event_id DESC) AS rn FROM e),
+       |     l AS (SELECT * FROM w WHERE rn = 1),
+       |     t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+       |           FROM e GROUP BY 1)
+       |SELECT l.event_type, CAST(count(*) AS BIGINT) AS n_keys,
+       |       CAST(t.n_rows - count(*) AS BIGINT) AS n_superseded,
+       |       ${graft.text.TextFns.duckRound4(
+                  "CAST(sum(l.vm) AS DOUBLE) / 1000000.0")} AS last_value_sum,
+       |       CAST(sum(l.event_id) AS BIGINT) AS winner_id_sum
+       |FROM l JOIN t ON l.event_type = t.event_type
+       |GROUP BY l.event_type, t.n_rows ORDER BY l.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_py_title" -> (pyTitleAudit _),
+    "q_lww_upsert" -> (lwwUpsert _),
     "q_late_dims" -> (lateDims _),
     "q_bloom_fpr" -> (bloomFpr _),
     "q_pit_join" -> (pitJoin _),
@@ -992,6 +1106,8 @@ object EtlQueries {
     "q_ri_filter" -> (riFilter _))
 
   val oracle: Map[String, String] = Map(
+    "q_py_title" -> sqlPyTitle,
+    "q_lww_upsert" -> sqlLwwUpsert,
     "q_late_dims" -> sqlLateDims,
     "q_bloom_fpr" -> sqlBloomFpr,
     "q_pit_join" -> sqlPitJoin,

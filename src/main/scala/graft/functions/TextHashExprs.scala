@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the text-hash kernels
@@ -269,6 +269,36 @@ object TextHashUtil {
     ss
   }
 
+
+  /** Python `str.title()` parity for ASCII text (the reference's
+    * pandas `.str.title()`, `ETL/user_ETL.py:48-49`): the first
+    * CASED character of every alphabetic run is uppercased and the
+    * rest lowercased, with ANY non-letter (apostrophe, digit,
+    * hyphen) ending a run — so `"men's" → "Men'S"` and
+    * `"bin2go" → "Bin2Go"`, where Spark's `initcap` (whitespace
+    * words) gives `"Men's"` / `"Bin2go"`. Byte walk: non-ASCII
+    * bytes are treated as non-letters (ASCII-parity-only, like
+    * [[cdcChunks]] — Python's unicode titlecasing needs a
+    * code-point walk).
+    */
+  def pyTitle(s: UTF8String): UTF8String = {
+    val b = s.getBytes.clone()
+    var prevAlpha = false
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      val lower = c >= 'a' && c <= 'z'
+      val upper = c >= 'A' && c <= 'Z'
+      if (lower || upper) {
+        if (!prevAlpha && lower) b(i) = (c - 32).toByte
+        else if (prevAlpha && upper) b(i) = (c + 32).toByte
+        prevAlpha = true
+      } else prevAlpha = false
+      i += 1
+    }
+    UTF8String.fromBytes(b)
+  }
+
   /** SimHash over space-delimited lowercased token hashes: bit j set
     * iff tokens with bit j set outnumber those without.
     */
@@ -407,6 +437,20 @@ case class CharSqSumExpr(child: Expression)
     copy(child = newChild)
 }
 
+
+/** graft_py_title(text): Python str.title() parity (string). */
+case class PyTitleExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_py_title"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashUtil.pyTitle(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.pyTitle($c)")
+  override protected def withNewChildInternal(newChild: Expression): PyTitleExpr =
+    copy(child = newChild)
+}
+
 /** graft_simhash(text): token-vote SimHash (long). */
 case class SimHashExpr(child: Expression, bits: Int)
     extends UnaryExpression {
@@ -438,4 +482,6 @@ object TextHashes {
     ColumnBridge.column(CharSqSumExpr(ColumnBridge.expression(text)))
   def cdcChunks(text: Column, k: Int, div: Int): Column =
     ColumnBridge.column(CdcChunksExpr(ColumnBridge.expression(text), k, div))
+  def pyTitle(text: Column): Column =
+    ColumnBridge.column(PyTitleExpr(ColumnBridge.expression(text)))
 }

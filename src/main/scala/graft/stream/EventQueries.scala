@@ -1524,6 +1524,207 @@ object EventQueries {
     spark.read.parquet(out).orderBy("window_start", "event_type")
   }
 
+  // ---------- q_stream_fmgws: custom state API, oracle-gated ----------
+
+  private[stream] case class SessEv(
+      user_id: Long, ts_us: Long, event_id: Long, vm: Long, sentinel: Boolean)
+  private[stream] case class SessState(start: Long, last: Long, n: Long, vm: Long)
+  private[stream] case class SessOut(
+      user_id: Long, start_us: Long, n_events: Long, vm: Long)
+
+  /** `flatMapGroupsWithState` — the CUSTOM-STATE streaming API —
+    * under the correctness gate: the same 30-minute-gap
+    * sessionization [[streamSession]] gates through the built-in
+    * `session_window` state store, re-implemented as hand-rolled
+    * per-user state (open-session struct), so the arbitrary-state
+    * API itself is hash-checked against [[sqlStreamSession]]'s
+    * gaps-and-islands oracle rather than only spec-asserted. A
+    * session is emitted when a ≥30 min gap closes it; per-user
+    * sentinel rows a day past max event time arrive as a second
+    * micro-batch (`maxFilesPerTrigger=1`, mtime-ordered) and close
+    * every still-open session — sentinels never open sessions, so
+    * state dies empty and the accumulated append sink is exactly the
+    * full session set. NoTimeout by design: a bounded AvailableNow
+    * run never fires processing-time timeouts, the sentinel IS the
+    * close signal (the timeout path is spec-gated in StreamingSpec's
+    * closedSessions).
+    *
+    * Per-group batch rows are sorted by event time inside the state
+    * function (arrival order within a micro-batch is not event
+    * order); that sort is bounded by one user's events per batch —
+    * the production shape bounds it further with watermarked
+    * repartitioning. Value mass in exact Long micro-units (≡ the
+    * oracle's DECIMAL sum).
+    */
+  def streamFmgws(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    import spark.implicits._
+    val path = s"$sfDir/events.parquet"
+    val batch = spark.read.parquet(path)
+    val batchSchema = batch.schema
+    val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
+    val dir = Files.createTempDirectory("graft_stream_fm")
+    val inDir = dir.resolve("in"); Files.createDirectories(inDir)
+    val out = dir.resolve("out").toString
+    Files.copy(java.nio.file.Paths.get(path), inDir.resolve("a_events.parquet"))
+    // one sentinel per user, a day past global max event time
+    val mxTs = batch.agg(max(col("ts")).as("mts"))
+      .withColumn("ts",
+        if (isNs) col("mts") + lit(86400000000000L)
+        else expr("mts + INTERVAL '24' HOUR"))
+      .select("ts")
+    val sent = batch.select(col("user_id")).distinct()
+      .crossJoin(mxTs)
+      .withColumn("event_id", lit(-1L))
+      .withColumn("event_type", lit("__sentinel"))
+      .withColumn("value", lit(0.0))
+      .withColumn("props", lit(null).cast("string"))
+      .select(batchSchema.fieldNames.map(col).toSeq: _*)
+    val tmpS = dir.resolve("sent")
+    sent.coalesce(1).write.parquet(tmpS.toString)
+    val part = Files.list(tmpS).filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("part-") && n.endsWith(".parquet")
+    }.findFirst.get
+    Files.move(part, inDir.resolve("z_sentinel.parquet"))
+    Seq("a_events.parquet", "z_sentinel.parquet").zipWithIndex.foreach {
+      case (f, i) => Files.setLastModifiedTime(inDir.resolve(f),
+        FileTime.fromMillis(1600000000000L + i * 60000L))
+    }
+    val src = spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val evs =
+      (if (isNs) src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+       else src.withColumn("ts", col("ts").cast("timestamp")))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          floor(col("value") * 1000000.0 + 0.5).cast("long").as("vm"),
+          (col("event_type") === "__sentinel").as("sentinel"))
+        .as[SessEv]
+    val GapUs = 30L * 60L * 1000000L
+    val sessions = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+        val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+        val outBuf = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          if (e.sentinel) {
+            cur.foreach(s => outBuf += SessOut(uid, s.start, s.n, s.vm))
+            cur = None
+          } else cur match {
+            case Some(s) if e.ts_us - s.last >= GapUs =>
+              outBuf += SessOut(uid, s.start, s.n, s.vm)
+              cur = Some(SessState(e.ts_us, e.ts_us, 1L, e.vm))
+            case Some(s) =>
+              cur = Some(s.copy(last = e.ts_us, n = s.n + 1, vm = s.vm + e.vm))
+            case None =>
+              cur = Some(SessState(e.ts_us, e.ts_us, 1L, e.vm))
+          }
+        }
+        cur match {
+          case Some(s) => state.update(s)
+          case None => state.remove()
+        }
+        outBuf.iterator
+      }
+    val q = sessions.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", dir.resolve("cp").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[SessOut], _: Long) =>
+        b.toDF().coalesce(1).write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("start_us")),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        col("n_events"),
+        graft.text.TextFns.round4(col("vm").cast("double") / 1000000.0)
+          .as("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  // ---------- q_stream_update: UPDATE output mode, oracle-gated ----------
+
+  /** UPDATE output mode under the correctness gate — with
+    * [[streamTumbling]] (Complete) and [[streamAppend]] (Append +
+    * watermark eviction) this closes the output-mode trio: each batch
+    * emits only the groups that CHANGED, and a changed group's later
+    * emission supersedes its earlier one. The gate forces genuinely
+    * incremental behavior by splitting the events file into three
+    * slices (event_id mod 3) processed as three micro-batches
+    * (`maxFilesPerTrigger=1`, mtime-ordered) — events are spread
+    * across the whole time span, so every batch updates windows
+    * earlier batches already emitted. The sink appends every emission
+    * stamped with its batch id; the final state is the LAST WRITER
+    * per (window, type) — [[graft.etl.Dedup.lastWins]], the same
+    * mergeable struct-max used for upsert replay — and must equal
+    * the batch aggregate ([[sqlStreamTumbling]]'s oracle verbatim).
+    * This is exactly how an idempotent-upsert sink (the production
+    * shape for update mode) converges. Micro-unit DECIMAL sums as in
+    * every gated streaming value aggregate.
+    */
+  def streamUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    val path = s"$sfDir/events.parquet"
+    val batch = spark.read.parquet(path)
+    val batchSchema = batch.schema
+    val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
+    val dir = Files.createTempDirectory("graft_stream_up")
+    val inDir = dir.resolve("in"); Files.createDirectories(inDir)
+    val out = dir.resolve("out").toString
+    (0 until 3).foreach { k =>
+      val tmpK = dir.resolve(s"slice$k")
+      batch.filter(col("event_id") % 3 === k)
+        .coalesce(1).write.parquet(tmpK.toString)
+      val part = Files.list(tmpK).filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }.findFirst.get
+      Files.move(part, inDir.resolve(s"slice$k.parquet"))
+      Files.setLastModifiedTime(inDir.resolve(s"slice$k.parquet"),
+        FileTime.fromMillis(1600000000000L + k * 60000L))
+    }
+    val src = spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val evs =
+      if (isNs) src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else src.withColumn("ts", col("ts").cast("timestamp"))
+    val q = evs
+      .withColumn("vm", floor(col("value") * 1000000.0 + 0.5).cast("decimal(28,0)"))
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vm")).as("vm_sum"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", dir.resolve("cp").toString)
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        b.select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("event_type"), col("n_events"), col("vm_sum"),
+            lit(bid).as("bid"))
+          .coalesce(1).write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.etl.Dedup.lastWins(spark.read.parquet(out),
+        Seq("window_start", "event_type"), Seq(col("bid")),
+        Seq("n_events", "vm_sum"))
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        graft.text.TextFns.round4(col("vm_sum").cast("double") / 1000000.0)
+          .as("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
   // ---------- q_burn_rate: multiwindow SLO burn-rate alerts ----------
 
   /** The SRE multiwindow burn-rate alert (Google SRE workbook) over
@@ -1639,6 +1840,8 @@ object EventQueries {
     "q_stream_tumbling" -> (streamTumbling _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_append" -> (streamAppend _),
+    "q_stream_update" -> (streamUpdate _),
+    "q_stream_fmgws" -> (streamFmgws _),
     "q_stream_session" -> (streamSession _),
     "q_stream_sliding" -> (streamSliding _),
     "q_seasonal_dow" -> (seasonalDow _),
@@ -1671,6 +1874,8 @@ object EventQueries {
     "q_stream_tumbling" -> sqlStreamTumbling,
     "q_stream_dedup" -> sqlStreamDedup,
     "q_stream_append" -> sqlStreamTumbling,
+    "q_stream_update" -> sqlStreamTumbling,
+    "q_stream_fmgws" -> sqlStreamSession,
     "q_stream_session" -> sqlStreamSession,
     "q_stream_sliding" -> sqlStreamSliding,
     "q_seasonal_dow" -> sqlSeasonalDow,

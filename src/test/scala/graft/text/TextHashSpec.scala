@@ -250,6 +250,28 @@ class TextHashSpec extends SparkSpec {
     assert(chunks("tiny") == Seq(whole))
   }
 
+  test("pyTitle matches Python str.title() semantics; agrees with initcap on plain words") {
+    def title(s: String): String =
+      TextHashUtil.pyTitle(UTF8String.fromString(s)).toString
+    // the cases Python documents (and initcap gets differently):
+    // any non-letter ends a cased run
+    assert(title("men's") == "Men'S")
+    assert(title("bin2go tx") == "Bin2Go Tx")
+    assert(title("HELLO world") == "Hello World")
+    assert(title("it's a o'clock-ish THING") == "It'S A O'Clock-Ish Thing")
+    assert(title("") == "")
+    assert(title("  x") == "  X")
+    // on whitespace-separated pure-letter words the two rules agree —
+    // pin it against Spark's own initcap across a corpus-shaped sample
+    val rows = graft.schema.Tables.part(spark, sfTiny)
+      .select(col("p_name"))
+      .withColumn("t", graft.functions.TextHashes.pyTitle(col("p_name")))
+      .withColumn("ic", initcap(col("p_name")))
+      .filter(col("t") =!= col("ic"))
+      .count()
+    assert(rows == 0L, s"pyTitle and initcap diverged on $rows apostrophe-free names")
+  }
+
   test("lexiconHits counts only exact token matches") {
     val got = Seq("the cat and the hat in a box").toDF("text")
       .select(TextFns.lexiconHits(col("text"), Seq("the", "a", "and", "of", "is")))
