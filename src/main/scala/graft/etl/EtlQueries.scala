@@ -966,6 +966,100 @@ object EtlQueries {
        |FROM orders LEFT JOIN p ON o_custkey = p.c_custkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------- q_csv_roundtrip / q_jsonl_roundtrip: format fidelity ----------
+
+  /** Interchange-format fidelity under the ORACLE gate (FormatsSpec
+    * proves per-type round-trips; this proves the whole pipeline on
+    * real data): events are written through [[graft.schema.Formats]]
+    * CSV and read back with schema-on-read, then aggregated — the
+    * result must hash-match the oracle computed from the ORIGINAL
+    * parquet, so any timestamp-format, null-token, double-precision,
+    * or quoting loss in the text round-trip breaks the gate. The
+    * aggregate is chosen to be sensitive to each fidelity axis:
+    * exact micro-unit value sums (doubles), distinct epoch hours
+    * (timestamps to the second), id min/max (longs).
+    *
+    * CSV carries the typed columns (`props` JSON strings can embed
+    * newlines, which CSV needs multiLine quoting for — that axis is
+    * FormatsSpec's; the JSONL twin below round-trips props too).
+    */
+  def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+    graft.schema.Formats.writeCsv(ev, s"$dir/events_csv")
+    val back = graft.schema.Formats.readCsv(spark, s"$dir/events_csv", ev.schema)
+    roundtripAgg(back)
+  }
+
+  /** JSONL edition of [[csvRoundtrip]], `props` included — the JSON
+    * payload string survives inside the JSON line (escaped), and the
+    * parsed-key sum proves it byte-faithful, not just non-null. */
+  def jsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_rt").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_type"), col("value"), col("props"))
+    graft.schema.Formats.writeJsonl(ev, s"$dir/events_jsonl")
+    val back = graft.schema.Formats.readJsonl(spark, s"$dir/events_jsonl", ev.schema)
+    val k = try_element_at(
+      from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")),
+      lit("k")).try_cast("double")
+    back
+      .withColumn("km",
+        when(k.isNotNull, floor(k * 1000000.0 + 0.5).cast("decimal(28,0)"))
+          .otherwise(lit(0).cast("decimal(28,0)")))
+      .withColumn("vm", floor(col("value") * 1000000.0 + 0.5).cast("decimal(28,0)"))
+      .withColumn("hr", expr("unix_micros(ts) div 3600000000"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("hr")).as("n_hours"),
+        sum(col("vm")).as("vms"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+        sum(col("km")).as("kms"))
+      .select(col("event_type"), col("n_events"), col("n_hours"),
+        graft.text.TextFns.round4(col("vms").cast("double") / 1000000.0)
+          .as("sum_value"),
+        col("min_id"), col("max_id"),
+        graft.text.TextFns.round4(col("kms").cast("double") / 1000000.0)
+          .as("k_sum"))
+      .orderBy("event_type")
+  }
+
+  private def roundtripAgg(df: DataFrame): DataFrame =
+    df.withColumn("vm", floor(col("value") * 1000000.0 + 0.5).cast("decimal(28,0)"))
+      .withColumn("hr", expr("unix_micros(ts) div 3600000000"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("hr")).as("n_hours"),
+        sum(col("vm")).as("vms"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .select(col("event_type"), col("n_events"), col("n_hours"),
+        graft.text.TextFns.round4(col("vms").cast("double") / 1000000.0)
+          .as("sum_value"),
+        col("min_id"), col("max_id"))
+      .orderBy("event_type")
+
+  private val sqlRoundtripBase =
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(count(DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) AS BIGINT) AS n_hours,
+       |       ${graft.text.TextFns.duckRound4(
+                  "CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS DECIMAL(28,0))) AS DOUBLE) / 1000000.0")} AS sum_value,
+       |       CAST(min(event_id) AS BIGINT) AS min_id,
+       |       CAST(max(event_id) AS BIGINT) AS max_id
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val sqlJsonlRoundtrip =
+    s"""WITH a AS ($sqlRoundtripBase),
+       |     k AS (SELECT event_type,
+       |             ${graft.text.TextFns.duckRound4(
+                       "CAST(sum(CASE WHEN try_cast(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL THEN CAST(floor(try_cast(json_extract_string(props, '$.k') AS DOUBLE) * 1000000.0 + 0.5) AS DECIMAL(28,0)) ELSE CAST(0 AS DECIMAL(28,0)) END) AS DOUBLE) / 1000000.0")} AS k_sum
+       |           FROM events GROUP BY 1)
+       |SELECT a.*, k.k_sum FROM a JOIN k ON a.event_type = k.event_type
+       |ORDER BY a.event_type""".stripMargin
+
   // ---------- q_py_title: pandas .title() exact-parity audit ----------
 
   /** Closes the documented F3 divergence (SURVEY §2.3: pandas
@@ -1079,6 +1173,8 @@ object EtlQueries {
        |GROUP BY l.event_type, t.n_rows ORDER BY l.event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_csv_roundtrip" -> (csvRoundtrip _),
+    "q_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "q_py_title" -> (pyTitleAudit _),
     "q_lww_upsert" -> (lwwUpsert _),
     "q_late_dims" -> (lateDims _),
@@ -1106,6 +1202,8 @@ object EtlQueries {
     "q_ri_filter" -> (riFilter _))
 
   val oracle: Map[String, String] = Map(
+    "q_csv_roundtrip" -> sqlRoundtripBase,
+    "q_jsonl_roundtrip" -> sqlJsonlRoundtrip,
     "q_py_title" -> sqlPyTitle,
     "q_lww_upsert" -> sqlLwwUpsert,
     "q_late_dims" -> sqlLateDims,
