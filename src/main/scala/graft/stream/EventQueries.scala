@@ -1524,6 +1524,97 @@ object EventQueries {
     spark.read.parquet(out).orderBy("window_start", "event_type")
   }
 
+  // ---------- q_stream_late: watermark late-data DROP, oracle-gated ----------
+
+  /** Late-data handling under the correctness gate — the semantics
+    * [[Streaming]] spec-asserts, now hash-checked: the event file is
+    * followed by a REPLAY batch (the chronologically earliest ~10% of
+    * events re-sent) and then a sentinel. After batch 1 the watermark
+    * sits at max event time minus zero delay, so every replayed row
+    * arrives strictly behind it and MUST be dropped whole — if the
+    * state store wrongly accepted any, the early windows would
+    * double-count and the hash would break. The accumulated append
+    * sink therefore equals the plain batch aggregate over the
+    * ORIGINAL events ([[sqlStreamTumbling]]'s oracle), proving both
+    * the drop path and the eviction path in one run. Same sentinel /
+    * mtime-ordering / DECIMAL-sum machinery as [[streamAppend]].
+    */
+  def streamLate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val path = s"$sfDir/events.parquet"
+    val batch = spark.read.parquet(path)
+    val batchSchema = batch.schema
+    val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
+    val dir = Files.createTempDirectory("graft_stream_lt")
+    val inDir = dir.resolve("in"); Files.createDirectories(inDir)
+    val out = dir.resolve("out").toString
+    Files.copy(Paths.get(path), inDir.resolve("a_events.parquet"))
+    def writeFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = dir.resolve(s"w_$name")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp).filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }.findFirst.get
+      Files.move(part, inDir.resolve(name))
+    }
+    // the replay: earliest ~10% by event time, re-sent verbatim. It
+    // must arrive TWO batches after the events: Spark filters late
+    // rows against the PREVIOUS batch's eviction watermark (the
+    // two-watermark semantics that avoid dropping rows racing a wm
+    // advance), so a replay in batch N is judged by the wm batch N-1
+    // evicted with — one sentinel batch in between publishes the
+    // post-events watermark before the replay is judged (observed:
+    // replay directly after events is accepted wholesale, doubling
+    // early windows).
+    val cut = batch.selectExpr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.1)")
+      .head.getDouble(0).toLong
+    writeFile(batch.filter(
+      unix_micros(col("ts").cast("timestamp")) <= lit(cut)), "c_late_replay.parquet")
+    (1 to 2).foreach { k =>
+      writeFile(batch.orderBy(col("ts").desc).limit(1)
+        .withColumn("ts",
+          if (isNs) col("ts") + lit(k.toLong * 86400L * 1000000000L)
+          else expr(s"ts + INTERVAL '${k * 24}' HOUR"))
+        .withColumn("event_type", lit("__wm_sentinel")), s"${if (k == 1) "b" else "z"}_sentinel$k.parquet")
+    }
+    Seq("a_events.parquet", "b_sentinel1.parquet",
+        "c_late_replay.parquet", "z_sentinel2.parquet")
+      .zipWithIndex.foreach { case (f, i) =>
+        Files.setLastModifiedTime(inDir.resolve(f),
+          FileTime.fromMillis(1600000000000L + i * 60000L))
+      }
+    val src = spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val evs =
+      if (isNs) src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else src.withColumn("ts", col("ts").cast("timestamp"))
+    val q = evs
+      .withWatermark("ts", "0 seconds")
+      .withColumn("vm", floor(col("value") * 1000000.0 + 0.5).cast("decimal(28,0)"))
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vm")).as("vm_sum"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", dir.resolve("cp").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.filter(col("event_type") =!= "__wm_sentinel")
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("event_type"), col("n_events"),
+            graft.text.TextFns.round4(col("vm_sum").cast("double") / 1000000.0)
+              .as("sum_value"))
+          .coalesce(1).write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out).orderBy("window_start", "event_type")
+  }
+
   // ---------- q_stream_fmgws: custom state API, oracle-gated ----------
 
   private[stream] case class SessEv(
@@ -1842,6 +1933,7 @@ object EventQueries {
     "q_stream_append" -> (streamAppend _),
     "q_stream_update" -> (streamUpdate _),
     "q_stream_fmgws" -> (streamFmgws _),
+    "q_stream_late" -> (streamLate _),
     "q_stream_session" -> (streamSession _),
     "q_stream_sliding" -> (streamSliding _),
     "q_seasonal_dow" -> (seasonalDow _),
@@ -1876,6 +1968,7 @@ object EventQueries {
     "q_stream_append" -> sqlStreamTumbling,
     "q_stream_update" -> sqlStreamTumbling,
     "q_stream_fmgws" -> sqlStreamSession,
+    "q_stream_late" -> sqlStreamTumbling,
     "q_stream_session" -> sqlStreamSession,
     "q_stream_sliding" -> sqlStreamSliding,
     "q_seasonal_dow" -> sqlSeasonalDow,
