@@ -966,6 +966,65 @@ object EtlQueries {
        |FROM orders LEFT JOIN p ON o_custkey = p.c_custkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------- q_time_travel: versioned snapshots under the oracle ----------
+
+  /** Time travel under the ORACLE gate (the
+    * [[graft.stream.SnapshotCommitter]] protocol was spec-gated
+    * only): three snapshot versions are PUBLISHED through the real
+    * `ManifestCommitter` protocol — recover → stage → write →
+    * atomic manifest flip — with retention 3, then every retained
+    * version is read back via `snapshotAt` and aggregated. The
+    * version slices are deterministic event_id residue classes, so
+    * the oracle states each version's expected aggregate directly
+    * from the base table: a committer that mixed up versions, leaked
+    * staging data, or swept a retained version breaks the hash.
+    * (Driver-gated-kernel pattern: the oracle is the CONTRACTUAL
+    * post-state, never the kernel — CLAUDE.md.)
+    *
+    * Scale: the gate harness rewrites snapshots whole; the
+    * production writer is the incremental merge sink
+    * ([[graft.stream.Streaming]] startUpsertSink) over the same
+    * committer — version publish cost is one manifest PUT either way.
+    */
+  def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt").toString
+    val c = new graft.stream.ManifestCommitter(
+      dir, spark.sparkContext.hadoopConfiguration, retain = 3)
+    val ev = Tables.events(spark, sfDir)
+    def publish(df: DataFrame): Unit = {
+      c.recover()
+      val st = c.stage()
+      df.write.mode("overwrite").parquet(st.toString)
+      c.commit(st)
+    }
+    publish(ev.filter(col("event_id") % 3 === 0))
+    publish(ev.filter(col("event_id") % 3 <= 1))
+    publish(ev)
+    c.versions().sorted.map { v =>
+      spark.read.parquet(c.snapshotAt(v).get.toString)
+        .withColumn("vm", floor(col("value") * 1000000.0 + 0.5).cast("decimal(28,0)"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          sum(col("vm")).as("vms"))
+        .select(lit(v).as("version"), col("n_events"), col("n_types"),
+          graft.text.TextFns.round4(col("vms").cast("double") / 1000000.0)
+            .as("sum_value"))
+    }.reduce(_ unionByName _).orderBy("version")
+  }
+
+  private val sqlTimeTravel = {
+    def ver(n: Int, where: String): String =
+      s"""SELECT CAST($n AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+         |       ${graft.text.TextFns.duckRound4(
+                    "CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS DECIMAL(28,0))) AS DOUBLE) / 1000000.0")} AS sum_value
+         |FROM events $where""".stripMargin
+    s"""${ver(1, "WHERE event_id % 3 = 0")}
+       |UNION ALL ${ver(2, "WHERE event_id % 3 <= 1")}
+       |UNION ALL ${ver(3, "")}
+       |ORDER BY version""".stripMargin
+  }
+
   // ---------- q_csv_roundtrip / q_jsonl_roundtrip: format fidelity ----------
 
   /** Interchange-format fidelity under the ORACLE gate (FormatsSpec
@@ -1173,6 +1232,7 @@ object EtlQueries {
        |GROUP BY l.event_type, t.n_rows ORDER BY l.event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_travel" -> (timeTravel _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "q_py_title" -> (pyTitleAudit _),
@@ -1202,6 +1262,7 @@ object EtlQueries {
     "q_ri_filter" -> (riFilter _))
 
   val oracle: Map[String, String] = Map(
+    "q_time_travel" -> sqlTimeTravel,
     "q_csv_roundtrip" -> sqlRoundtripBase,
     "q_jsonl_roundtrip" -> sqlJsonlRoundtrip,
     "q_py_title" -> sqlPyTitle,
