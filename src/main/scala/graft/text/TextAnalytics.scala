@@ -490,7 +490,85 @@ object TextAnalytics {
        |FROM w CROSS JOIN tot ORDER BY source""".stripMargin
   }
 
+  // ---------- q_bow_classify: trained bag-of-words classifier ----------
+
+  /** A TRAINED text classifier with a leakage-safe train/apply split,
+    * entirely in exact integer arithmetic (the fasttext-shaped
+    * quality/language-classifier stage of a curation pipeline,
+    * minus the float softmax no cross-engine gate could pin): the
+    * even-doc_id half trains a token→language table (per token, the
+    * language it appears under most — count-desc, language-desc
+    * tie-break), the odd half is classified by majority token vote
+    * through that table (vote-count-desc, language-desc), and the
+    * report is per-true-language accuracy. [[TextQueries]] already
+    * audits the UNTRAINED n-gram heuristic (q_lang_agreement); this
+    * one gates the train→model→apply→eval loop itself.
+    *
+    * Shape: token explode (linear) → (token, lang) counts → per-token
+    * argmax as a mergeable struct-MAX aggregate (never a vocab
+    * window); apply is one hash join at (doc, token) grain against
+    * the vocab-sized model (broadcastable at any corpus size by
+    * Heaps' law) and two more count/argmax aggregates at doc grain.
+    * Unseen tokens fall out of the inner join — abstentions land in
+    * n_docs via the labeled left join, counted as wrong (the honest
+    * eval).
+    */
+  def bowClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        explode_outer(TextFns.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull)
+    val model = toks.filter(col("doc_id") % 2 === 0)
+      .groupBy("tok", "lang").agg(count(lit(1)).as("cnt"))
+      .groupBy("tok")
+      .agg(max(struct(col("cnt"), col("lang"))).as("w"))
+      .select(col("tok"), col("w.lang").as("pred_lang"))
+    val votes = toks.filter(col("doc_id") % 2 === 1)
+      .join(model, Seq("tok"))
+      .groupBy(col("doc_id"), col("pred_lang"))
+      .agg(count(lit(1)).as("v"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("v"), col("pred_lang"))).as("w"))
+      .select(col("doc_id"), col("w.pred_lang").as("pred"))
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"))
+      .join(votes, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === col("lang"), lit(1L)).otherwise(lit(0L)))
+          .as("n_correct"))
+      .withColumn("acc", TextFns.round4(
+        col("n_correct").cast("double") / col("n_docs").cast("double")))
+      .orderBy("lang")
+  }
+
+  private val sqlBowClassify =
+    s"""WITH t AS (SELECT doc_id, lang, ${TextQueries.duckTokens} AS ts FROM documents),
+       |     e AS (SELECT doc_id, lang, unnest(ts) AS tok FROM t),
+       |     tc AS (SELECT tok, lang, count(*) AS cnt FROM e
+       |            WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+       |     model AS (SELECT tok, lang AS pred_lang FROM (
+       |                 SELECT tok, lang, row_number() OVER (PARTITION BY tok
+       |                          ORDER BY cnt DESC, lang DESC) AS rn FROM tc) r
+       |               WHERE rn = 1),
+       |     v AS (SELECT e.doc_id, m.pred_lang, count(*) AS v FROM e
+       |           JOIN model m ON e.tok = m.tok
+       |           WHERE e.doc_id % 2 = 1 GROUP BY 1, 2),
+       |     p AS (SELECT doc_id, pred_lang AS pred FROM (
+       |             SELECT doc_id, pred_lang, row_number() OVER (PARTITION BY doc_id
+       |                      ORDER BY v DESC, pred_lang DESC) AS rn FROM v) r
+       |           WHERE rn = 1),
+       |     d AS (SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1)
+       |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN p.pred = d.lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |       ${TextFns.duckRound4(
+                  "CAST(sum(CASE WHEN p.pred = d.lang THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS acc
+       |FROM d LEFT JOIN p ON d.doc_id = p.doc_id
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bow_classify" -> (bowClassify _),
     "q_neyman_alloc" -> (neymanAlloc _),
     "q_kanon" -> (kanon _),
     "q_cross_entropy" -> (crossEntropy _),
@@ -502,6 +580,7 @@ object TextAnalytics {
     "q_source_quota" -> (sourceQuota _))
 
   val oracle: Map[String, String] = Map(
+    "q_bow_classify" -> sqlBowClassify,
     "q_neyman_alloc" -> sqlNeymanAlloc,
     "q_kanon" -> sqlKanon,
     "q_cross_entropy" -> sqlCrossEntropy,
