@@ -1524,6 +1524,76 @@ object EventQueries {
     spark.read.parquet(out).orderBy("window_start", "event_type")
   }
 
+  // ---------- q_stream_join: stream-stream interval join, oracle-gated ----------
+
+  /** Stream-STREAM join under the correctness gate — the last major
+    * streaming operator family ([[AsOfJoin]] covers the batch as-of
+    * shape; this is the live two-stream path): purchases and clicks
+    * arrive as two independent file streams, inner-joined per user
+    * with the interval condition `purchase-1h ≤ click ≤ purchase`,
+    * both sides watermarked (the state-retention bound the interval
+    * condition lets Spark derive). Inner join emits each matched
+    * pair exactly once as both sides arrive; the raw pairs land in
+    * an append sink and the final read aggregates them per purchase,
+    * which must hash-match the batch interval join. Join-buffer
+    * state at 100 TB is bounded by the watermark delay × interval
+    * width per user — the production contract this gate pins.
+    */
+  def streamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
+    def side(tpe: String, idAs: String, tsAs: String) = {
+      val src = spark.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      val typed =
+        if (isNs) src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else src.withColumn("ts", col("ts").cast("timestamp"))
+      typed.filter(col("event_type") === tpe)
+        .select(col("event_id").as(idAs), col("user_id"), col("ts").as(tsAs))
+        .withWatermark(tsAs, "0 seconds")
+    }
+    val p = side("purchase", "p_id", "p_ts")
+    val c = side("click", "c_id", "c_ts").withColumnRenamed("user_id", "c_user")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_j").toString
+    val out = s"$dir/out"
+    val q = p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_id"), col("c_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.coalesce(1).write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy(col("p_id").as("event_id"))
+      .agg(count(lit(1)).as("n_clicks"), min(col("lag_us")).as("min_lag_us"),
+        max(col("c_id")).as("last_click_id"))
+      .orderBy("event_id")
+  }
+
+  private val sqlStreamJoin =
+    """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events),
+      |     p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM e
+      |           WHERE event_type = 'purchase'),
+      |     c AS (SELECT event_id AS c_id, user_id, ts AS c_ts FROM e
+      |           WHERE event_type = 'click')
+      |SELECT p.p_id AS event_id, CAST(count(*) AS BIGINT) AS n_clicks,
+      |       CAST(min(epoch_us(p.p_ts) - epoch_us(c.c_ts)) AS BIGINT) AS min_lag_us,
+      |       CAST(max(c.c_id) AS BIGINT) AS last_click_id
+      |FROM p JOIN c ON p.user_id = c.user_id
+      |             AND c.c_ts <= p.p_ts
+      |             AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------- q_stream_late: watermark late-data DROP, oracle-gated ----------
 
   /** Late-data handling under the correctness gate — the semantics
@@ -1934,6 +2004,7 @@ object EventQueries {
     "q_stream_update" -> (streamUpdate _),
     "q_stream_fmgws" -> (streamFmgws _),
     "q_stream_late" -> (streamLate _),
+    "q_stream_join" -> (streamJoin _),
     "q_stream_session" -> (streamSession _),
     "q_stream_sliding" -> (streamSliding _),
     "q_seasonal_dow" -> (seasonalDow _),
@@ -1969,6 +2040,7 @@ object EventQueries {
     "q_stream_update" -> sqlStreamTumbling,
     "q_stream_fmgws" -> sqlStreamSession,
     "q_stream_late" -> sqlStreamTumbling,
+    "q_stream_join" -> sqlStreamJoin,
     "q_stream_session" -> sqlStreamSession,
     "q_stream_sliding" -> sqlStreamSliding,
     "q_seasonal_dow" -> sqlSeasonalDow,
