@@ -33,6 +33,25 @@ class DedupSurrogateSpec extends SparkSpec {
     assert(got == Seq(("a", 1L), ("b", 2L), ("c", 3L)))
   }
 
+  test("lastWins is firstWins on the reversed order, via a windowless aggregate") {
+    // the law that makes the struct-max implementation trustworthy:
+    // lastWins(ord asc) must pick exactly the row firstWins picks
+    // under the descending tiebreak — and stay deterministic under
+    // repartitioning (mergeable aggregate, no window)
+    val df = Seq(
+      ("k1", 1L, "a"), ("k1", 3L, "b"), ("k1", 2L, "c"),
+      ("k2", 5L, "d"), ("k2", 5L, "e"),  // ord tie -> payload breaks it
+      ("k3", 9L, "f")).toDF("k", "ord", "v")
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.select("k", "v").orderBy("k").collect().toSeq
+    val last = norm(Dedup.lastWins(df.repartition(7),
+      Seq("k"), Seq(col("ord"), col("v")), Seq("v")))
+    val firstOnRev = norm(Dedup.firstWins(df,
+      Seq("k"), Seq(col("ord").desc, col("v").desc)).select("k", "v"))
+    assert(last == firstOnRev)
+    assert(last.map(_.get(1)) == Seq("b", "e", "f"))
+  }
+
   test("scalable surrogates equal dense surrogates on the same order") {
     val df = (1 to 1000).map(i => (s"key_${1000 - i}", i)).toDF("k", "v")
     val dense = SurrogateKeys.dense(df, Seq(col("k")), "sk")
