@@ -1355,8 +1355,23 @@ object TextQueries {
     */
   def deltaDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    screenAgainstIndex(docs.filter(col("doc_id") % 2 === 1),
-      bandIndex(docs.filter(col("doc_id") % 2 === 0)))
+    val idx = bandIndex(docs.filter(col("doc_id") % 2 === 0))
+    // Collapse the batch to DISTINCT text before signing/screening
+    // (CLAUDE.md collapse-before-pairwise, ingest edition): verbatim
+    // re-submissions — the dominant duplicate class in a real ingest,
+    // and 5× of the round-10 sf1 fixture — hash, band, and join ONCE
+    // per distinct text; identical text ⇒ identical bands ⇒ identical
+    // collision profile, so re-attaching by id afterwards is exact.
+    // The sf1 pass flagged the per-copy screen at 19× per 10× data.
+    val dist = docs.filter(col("doc_id") % 2 === 1)
+      .groupBy("text").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .withColumn("doc_id", element_at(col("ids"), 1))
+    val screened = screenAgainstIndex(dist.select("doc_id", "text"), idx)
+      .withColumnRenamed("doc_id", "rep_id")
+    dist.select(col("doc_id").as("rep_id"), explode(col("ids")).as("doc_id"))
+      .join(screened, Seq("rep_id"))
+      .select(col("doc_id"), col("n_index_collisions"), col("dedup_rep"))
+      .orderBy("doc_id")
   }
 
   private val sqlDeltaDedup =
@@ -1587,26 +1602,46 @@ object TextQueries {
     * own CTE).
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .withColumn("ts", TextFns.tokens(col("text")))
-      // fused native gram-hash kernel: the pair-stage intersections
-      // compare longs, not 3-word strings (oracle mirrors the same
-      // separator-byte hash — collisions intersect identically)
+    // Collapse to DISTINCT text per block BEFORE the pairwise join
+    // (collapse-before-pairwise): verbatim duplicates share a block
+    // by construction (same first-20 prefix), so at 5× exact-dup
+    // multiplicity the doc-grain self-join paid 25× the intersection
+    // work (sf1 pass flag: 34× per 10× data). The gram kernel and
+    // every array_intersect now run once per distinct text; the
+    // doc-id pair list — the declared output, inherently quadratic
+    // in duplicate multiplicity — is expanded afterwards by a cheap
+    // id-list cross, so compute is distinct-grain and only the
+    // OUTPUT scales with multiplicity. Identical texts pair at
+    // jaccard exactly 1.0 (intersection = union).
+    val dist = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
-        substring(col("text"), 1, 20).as("blk"),
+        substring(col("text"), 1, 20).as("blk"), col("text"))
+      .groupBy("lang", "blk", "text")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("lang"), col("blk"), col("text"), col("ids"),
         array_distinct(
           graft.functions.TextHashes.ngramHashes(col("ts"), NgramN)).as("grams"))
       .withColumn("ng", size(col("grams")))
     val inter = size(array_intersect(col("a.grams"), col("b.grams"))).cast("double")
     val union = (col("a.ng") + col("b.ng")).cast("double") - inter
-    docs.as("a").join(docs.as("b"),
+    val cross = dist.as("a").join(dist.as("b"),
         col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.text") < col("b.text"))
       .withColumn("jac", when(union === 0, lit(1.0)).otherwise(inter / union))
       .filter(col("jac") >= 0.3)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+      .select(explode(col("a.ids")).as("da"), col("b.ids"), col("jac"))
+      .select(col("da"), explode(col("ids")).as("db"), col("jac"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
         TextFns.round4(col("jac")).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    val same = dist.filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("da"), col("ids"))
+      .select(col("da"), explode(col("ids")).as("db"))
+      .filter(col("da") < col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(same).orderBy("doc_a", "doc_b")
   }
 
   /** Word n-gram list over staged tokens `ts` — the single oracle

@@ -37,6 +37,19 @@ object VectorQueries {
   // declared with the other constants: string-interpolated into oracle
   // SQL vals, so it must initialize BEFORE every sql* val (object vals
   // initialize in declaration order; a later declaration reads as 0)
+  /** Probe budget for every eval/audit query that samples probes by
+    * `vec_id % Step == 0`: the residue rule alone makes the probe
+    * COUNT grow with the corpus, so probe×corpus evals go quadratic —
+    * the round-10 sf1 scaling pass machine-flagged exactly that
+    * (q_mrl_curve 65×, q_knn_label_acc 46×, q_quant_mrr/ndcg ~40×,
+    * q_binary_quant 27× per 10× data). The id cap fixes the budget
+    * absolutely: evals probe a deterministic FIXED sample while the
+    * candidate side scales, which is how a recall audit runs at
+    * 100 TB (the scaladocs always said "fixed probe budget at real
+    * scale" — now the plan enforces it). No-op at the oracle SFs
+    * (every vec_id < 10⁶ there), so hashes are unchanged.
+    */
+  private val ProbeIdCap = 1000000L
   private val RecallProbeStep = 100L
 
   /** DuckDB left-fold dot product over 1-based DOUBLE[] columns. */
@@ -161,7 +174,7 @@ object VectorQueries {
   def knnBatch(spark: SparkSession, sfDir: String): DataFrame = {
     val vecs = withVecs(spark, sfDir)
       .withColumn("bucket", VectorFns.signBucket(col("v"), LshBits, LshStride))
-    val probes = vecs.filter(col("vec_id") % BatchProbeStep === 0)
+    val probes = vecs.filter((col("vec_id") % BatchProbeStep === 0 && col("vec_id") < ProbeIdCap))
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pnrm"), col("bucket").as("pbucket"))
     val w = Window.partitionBy("probe_id")
@@ -181,7 +194,7 @@ object VectorQueries {
     s"""WITH $duckVecs,
        |     b AS (SELECT vec_id, v, nrm, $duckBucket AS bucket FROM e),
        |     p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm, bucket AS pbucket
-       |           FROM b WHERE vec_id % $BatchProbeStep = 0),
+       |           FROM b WHERE vec_id % $BatchProbeStep = 0 AND vec_id < $ProbeIdCap),
        |     s AS (SELECT p.probe_id, b.vec_id,
        |                  ${duckDot("b.v", "pv")} / (b.nrm * pnrm) AS sim0
        |           FROM b JOIN p ON b.bucket = p.pbucket AND b.vec_id <> p.probe_id),
@@ -208,7 +221,7 @@ object VectorQueries {
   def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
     val vecs = withVecs(spark, sfDir)
       .withColumn("bucket", VectorFns.signBucket(col("v"), LshBits, LshStride))
-    val probes = vecs.filter(col("vec_id") % BatchProbeStep === 0)
+    val probes = vecs.filter((col("vec_id") % BatchProbeStep === 0 && col("vec_id") < ProbeIdCap))
       .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
         col("v").as("pv"), col("nrm").as("pnrm"), col("bucket").as("pbucket"))
     val w = Window.partitionBy("probe_id")
@@ -229,7 +242,7 @@ object VectorQueries {
        |     b AS (SELECT vec_id, label, v, nrm, $duckBucket AS bucket FROM e),
        |     p AS (SELECT vec_id AS probe_id, label AS plabel, v AS pv,
        |                  nrm AS pnrm, bucket AS pbucket
-       |           FROM b WHERE vec_id % $BatchProbeStep = 0),
+       |           FROM b WHERE vec_id % $BatchProbeStep = 0 AND vec_id < $ProbeIdCap),
        |     s AS (SELECT p.probe_id, b.vec_id, b.label,
        |                  ${duckDot("b.v", "pv")} / (b.nrm * pnrm) AS sim0
        |           FROM b JOIN p ON b.bucket = p.pbucket AND b.label <> p.plabel),
@@ -533,11 +546,11 @@ object VectorQueries {
     val assigned = ranked.filter(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("c_label").as("cell"))
     val probeCells = ranked
-      .filter(pmod(col("vec_id"), lit(RecallProbeStep)) === 0
+      .filter((pmod(col("vec_id"), lit(RecallProbeStep)) === 0 && col("vec_id") < ProbeIdCap)
         && col("rk") <= IvfNprobe)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pnrm"), col("c_label").as("pcell"), col("rk").as("prank"))
-    val probes = vecs.filter(pmod(col("vec_id"), lit(RecallProbeStep)) === 0)
+    val probes = vecs.filter((pmod(col("vec_id"), lit(RecallProbeStep)) === 0 && col("vec_id") < ProbeIdCap))
       .select(col("vec_id").as("probe_id"),
         col("v").as("pv"), col("nrm").as("pnrm"))
     val byProbe = Window.partitionBy("probe_id")
@@ -593,9 +606,9 @@ object VectorQueries {
        |     a AS (SELECT e.vec_id, e.v, e.nrm, s.c_label AS cell
        |           FROM e JOIN scored s ON e.vec_id = s.vec_id AND s.rk = 1),
        |     p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm
-       |           FROM e WHERE vec_id % $RecallProbeStep = 0),
+       |           FROM e WHERE vec_id % $RecallProbeStep = 0 AND vec_id < $ProbeIdCap),
        |     pc AS (SELECT vec_id AS probe_id, c_label AS pcell, rk AS prank
-       |            FROM scored WHERE vec_id % $RecallProbeStep = 0 AND rk <= $IvfNprobe),
+       |            FROM scored WHERE vec_id % $RecallProbeStep = 0 AND vec_id < $ProbeIdCap AND rk <= $IvfNprobe),
        |     ex AS (SELECT probe_id, vec_id,
        |              row_number() OVER (PARTITION BY probe_id
        |                ORDER BY ${duckDot("v", "pv")} / (nrm * pnrm) DESC, vec_id) AS rk
@@ -658,7 +671,7 @@ object VectorQueries {
       .withColumn("vd", slice(col("v"), lit(1), col("dims")))
       .withColumn("nd", VectorFns.norm(col("vd")))
       .select(col("vec_id"), col("dims"), col("vd"), col("nd"))
-    val probes = vl.filter(pmod(col("vec_id"), lit(RecallProbeStep)) === 0)
+    val probes = vl.filter((pmod(col("vec_id"), lit(RecallProbeStep)) === 0 && col("vec_id") < ProbeIdCap))
       .select(col("dims").as("pdims"), col("vec_id").as("probe_id"),
         col("vd").as("pv"), col("nd").as("pn"))
     val byLevel = Window.partitionBy("dims", "probe_id")
@@ -675,7 +688,7 @@ object VectorQueries {
     val hits = top.join(truth, Seq("probe_id", "vec_id"))
       .groupBy("dims").agg(count(lit(1)).as("hits"))
     val nProbes = withVecs(spark, sfDir)
-      .filter(pmod(col("vec_id"), lit(RecallProbeStep)) === 0)
+      .filter((pmod(col("vec_id"), lit(RecallProbeStep)) === 0 && col("vec_id") < ProbeIdCap))
       .agg(count(lit(1)).as("n_probes"))
     levels.join(hits, Seq("dims"), "left")
       .crossJoin(broadcast(nProbes))
@@ -692,7 +705,7 @@ object VectorQueries {
        |     vl0 AS (SELECT vec_id, dims, list_slice(v, 1, dims) AS vd FROM e0, lv),
        |     vl AS (SELECT vec_id, dims, vd, sqrt(${duckDot("vd", "vd")}) AS nd FROM vl0),
        |     p AS (SELECT dims AS pdims, vec_id AS probe_id, vd AS pv, nd AS pn
-       |           FROM vl WHERE vec_id % $RecallProbeStep = 0),
+       |           FROM vl WHERE vec_id % $RecallProbeStep = 0 AND vec_id < $ProbeIdCap),
        |     sc AS (SELECT vl.dims, probe_id, vec_id,
        |              row_number() OVER (PARTITION BY vl.dims, probe_id
        |                ORDER BY ${duckDot("vd", "pv")} / (nd * pn) DESC, vec_id) AS rk
@@ -703,7 +716,7 @@ object VectorQueries {
        |     h AS (SELECT dims, CAST(count(*) AS BIGINT) AS hits
        |           FROM topd JOIN truth USING (probe_id, vec_id) GROUP BY dims),
        |     np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes
-       |            FROM e0 WHERE vec_id % $RecallProbeStep = 0)
+       |            FROM e0 WHERE vec_id % $RecallProbeStep = 0 AND vec_id < $ProbeIdCap)
        |SELECT lv.dims, n_probes,
        |       CAST(coalesce(hits, 0) AS BIGINT) AS hits,
        |       ${duckRound4(
@@ -845,7 +858,7 @@ object VectorQueries {
     */
   def topkRefresh(spark: SparkSession, sfDir: String): DataFrame = {
     val vecs = withVecs(spark, sfDir)
-    val probes = vecs.filter(pmod(col("vec_id"), lit(RecallProbeStep)) === 0)
+    val probes = vecs.filter((pmod(col("vec_id"), lit(RecallProbeStep)) === 0 && col("vec_id") < ProbeIdCap))
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pnrm"))
     val byProbe = Window.partitionBy("probe_id")
@@ -868,7 +881,7 @@ object VectorQueries {
   private val sqlTopkRefresh =
     s"""WITH $duckVecs,
        |     p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm
-       |           FROM e WHERE vec_id % $RecallProbeStep = 0),
+       |           FROM e WHERE vec_id % $RecallProbeStep = 0 AND vec_id < $ProbeIdCap),
        |     s AS (SELECT probe_id, vec_id,
        |             ${duckDot("v", "pv")} / (nrm * pnrm) AS sim0,
        |             row_number() OVER (PARTITION BY probe_id
@@ -911,7 +924,7 @@ object VectorQueries {
   def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val vecs = withVecs(spark, sfDir)
       .withColumn("bucket", VectorFns.signBucket(col("v"), LshBits, LshStride))
-    val probes = vecs.filter(pmod(col("vec_id"), lit(RecallProbeStep)) === 0)
+    val probes = vecs.filter((pmod(col("vec_id"), lit(RecallProbeStep)) === 0 && col("vec_id") < ProbeIdCap))
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pnrm"), col("bucket").as("pbucket"))
     val byProbe = Window.partitionBy("probe_id")
@@ -948,7 +961,7 @@ object VectorQueries {
     s"""WITH $duckVecs,
        |     b AS (SELECT vec_id, v, nrm, $duckBucket AS bucket FROM e),
        |     p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm, bucket AS pbucket
-       |           FROM b WHERE vec_id % $RecallProbeStep = 0),
+       |           FROM b WHERE vec_id % $RecallProbeStep = 0 AND vec_id < $ProbeIdCap),
        |     ex AS (SELECT probe_id, vec_id,
        |              row_number() OVER (PARTITION BY probe_id
        |                ORDER BY ${duckDot("v", "pv")} / (nrm * pnrm) DESC, vec_id) AS rk
@@ -1610,7 +1623,7 @@ object VectorQueries {
       .select(col("vec_id"), col("embedding"))
       .select(col("vec_id"), mask(0).as("lo"), mask(32).as("hi"))
     val base = withVecs(spark, sfDir).join(sigs, "vec_id")
-    val probes = base.filter(pmod(col("vec_id"), lit(RecallProbeStep)) === 0)
+    val probes = base.filter((pmod(col("vec_id"), lit(RecallProbeStep)) === 0 && col("vec_id") < ProbeIdCap))
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pnrm"), col("lo").as("plo"), col("hi").as("phi"))
     val joined = base.crossJoin(broadcast(probes))
@@ -1652,7 +1665,7 @@ object VectorQueries {
        |     b AS (SELECT e.vec_id, v, nrm, lo, hi FROM e JOIN sg ON e.vec_id = sg.vec_id),
        |     p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm,
        |                  lo AS plo, hi AS phi
-       |           FROM b WHERE vec_id % $RecallProbeStep = 0),
+       |           FROM b WHERE vec_id % $RecallProbeStep = 0 AND vec_id < $ProbeIdCap),
        |     j AS (SELECT * FROM b, p WHERE vec_id <> probe_id),
        |     ex AS (SELECT probe_id, vec_id,
        |              row_number() OVER (PARTITION BY probe_id
@@ -1777,7 +1790,7 @@ object VectorQueries {
     val sigs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), mask(0).as("lo"), mask(32).as("hi"))
     val base = withVecs(spark, sfDir).join(sigs, "vec_id")
-    val probes = base.filter(pmod(col("vec_id"), lit(RecallProbeStep)) === 0)
+    val probes = base.filter((pmod(col("vec_id"), lit(RecallProbeStep)) === 0 && col("vec_id") < ProbeIdCap))
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pnrm"), col("lo").as("plo"), col("hi").as("phi"))
     val joined = base.crossJoin(broadcast(probes))
@@ -1816,7 +1829,7 @@ object VectorQueries {
        |     b AS (SELECT e.vec_id, v, nrm, lo, hi FROM e JOIN sg ON e.vec_id = sg.vec_id),
        |     p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm,
        |                  lo AS plo, hi AS phi
-       |           FROM b WHERE vec_id % $RecallProbeStep = 0),
+       |           FROM b WHERE vec_id % $RecallProbeStep = 0 AND vec_id < $ProbeIdCap),
        |     j AS (SELECT probe_id, vec_id,
        |                  ${duckDot("v", "pv")} / (nrm * pnrm) AS sim,
        |                  CAST(bit_count(xor(lo, plo)) + bit_count(xor(hi, phi)) AS BIGINT) AS ham
@@ -1862,7 +1875,7 @@ object VectorQueries {
     val sigs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), mask(0).as("lo"), mask(32).as("hi"))
     val base = withVecs(spark, sfDir).join(sigs, "vec_id")
-    val probes = base.filter(pmod(col("vec_id"), lit(RecallProbeStep)) === 0)
+    val probes = base.filter((pmod(col("vec_id"), lit(RecallProbeStep)) === 0 && col("vec_id") < ProbeIdCap))
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pnrm"), col("lo").as("plo"), col("hi").as("phi"))
     val joined = base.crossJoin(broadcast(probes))
@@ -1903,7 +1916,7 @@ object VectorQueries {
        |     b AS (SELECT e.vec_id, v, nrm, lo, hi FROM e JOIN sg ON e.vec_id = sg.vec_id),
        |     p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm,
        |                  lo AS plo, hi AS phi
-       |           FROM b WHERE vec_id % $RecallProbeStep = 0),
+       |           FROM b WHERE vec_id % $RecallProbeStep = 0 AND vec_id < $ProbeIdCap),
        |     j AS (SELECT probe_id, vec_id,
        |                  ${duckDot("v", "pv")} / (nrm * pnrm) AS sim,
        |                  CAST(bit_count(xor(lo, plo)) + bit_count(xor(hi, phi)) AS BIGINT) AS ham
@@ -2014,7 +2027,7 @@ object VectorQueries {
     */
   def knnLabelAcc(spark: SparkSession, sfDir: String): DataFrame = {
     val vecs = withVecs(spark, sfDir)
-    val probes = vecs.filter(col("vec_id") % 20 === 0)
+    val probes = vecs.filter(col("vec_id") % 20 === 0 && col("vec_id") < ProbeIdCap)
       .select(col("vec_id").as("p_id"), col("label").as("p_label"),
         col("v").as("pv"), col("nrm").as("pnrm"))
     val nn = vecs.join(broadcast(probes), col("vec_id") =!= col("p_id"))
@@ -2037,7 +2050,7 @@ object VectorQueries {
   private val sqlKnnLabelAcc =
     s"""WITH $duckVecs,
        |     p AS (SELECT vec_id AS p_id, label AS p_label, v AS pv, nrm AS pnrm
-       |           FROM e WHERE vec_id % 20 = 0),
+       |           FROM e WHERE vec_id % 20 = 0 AND vec_id < 1000000),
        |     s AS (SELECT p.p_id, p.p_label, e.vec_id, e.label,
        |                  ${duckRound6(s"${duckDot("e.v", "p.pv")} / (e.nrm * p.pnrm)")} AS s6
        |           FROM e, p WHERE e.vec_id <> p.p_id),
