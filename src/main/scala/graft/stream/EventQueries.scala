@@ -1175,6 +1175,28 @@ object EventQueries {
                   "CAST(n_users AS DOUBLE) / CAST(t AS DOUBLE)")} AS share
        |FROM a CROSS JOIN tot ORDER BY touch_type""".stripMargin
 
+  /** Runs `body` with `spark.sql.shuffle.partitions` temporarily set
+    * to `n` — STATE sizing for the gated streaming runs. A stateful
+    * query instantiates one state store per shuffle partition per
+    * stateful operator (four stores per partition for a stream-stream
+    * join), and every micro-batch commits a checkpoint delta per
+    * store; at the gate's state cardinality (≤ tens of thousands of
+    * keys) the session default of 32 partitions makes the commit path
+    * pure fixed overhead — q_stream_join measured 14.2 s at sf0.1 but
+    * 19.1 s at sf0.01, i.e. all engine, no data. Eight partitions is
+    * the plan a production job would size for this state volume; at
+    * 100 TB partitions scale with STATE size (keys retained inside
+    * the watermark), not input size, so the knob — not the query —
+    * is what changes. Restored in a finally so a failed run cannot
+    * leak the setting into the next bench query.
+    */
+  private def withStatePartitions[A](spark: SparkSession, n: Int = 8)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   // ---------- q_stream_tumbling: REAL streaming run, oracle-gated ----------
 
   /** The streaming path itself under the correctness gate: a genuine
@@ -1194,7 +1216,7 @@ object EventQueries {
     * batch's own windows (see [[Streaming]] for the incremental
     * sinks). Value sums use the round-before-sum DECIMAL rule.
     */
-  def streamTumbling(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamTumbling(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
     import org.apache.spark.sql.streaming.Trigger
     val path = s"$sfDir/events.parquet"
     val batchSchema = spark.read.parquet(path).schema
@@ -1257,7 +1279,7 @@ object EventQueries {
     * changes the addition order, so only an order-independent exact
     * sum keeps the contract honest beyond the single-batch case.
     */
-  def streamSession(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamSession(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
     import org.apache.spark.sql.streaming.Trigger
     val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val src = spark.readStream.schema(batchSchema)
@@ -1331,7 +1353,7 @@ object EventQueries {
     * addition across micro-batches, so only an order-independent
     * exact sum is honestly batch-split-independent.
     */
-  def streamSliding(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamSliding(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
     import org.apache.spark.sql.streaming.Trigger
     val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val src = spark.readStream.schema(batchSchema)
@@ -1401,7 +1423,7 @@ object EventQueries {
     * `dropDuplicatesWithinWatermark` (spec-gated in
     * `StreamingSpec`) — same plan shape.
     */
-  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
     import org.apache.spark.sql.streaming.Trigger
     val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     def src = spark.readStream.schema(batchSchema)
@@ -1459,7 +1481,7 @@ object EventQueries {
     * sums use the round-before-sum micro-unit DECIMAL rule (state
     * merge reorders float addition).
     */
-  def streamAppend(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamAppend(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
     import org.apache.spark.sql.streaming.Trigger
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
@@ -1539,7 +1561,7 @@ object EventQueries {
     * state at 100 TB is bounded by the watermark delay × interval
     * width per user — the production contract this gate pins.
     */
-  def streamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamJoin(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
     import org.apache.spark.sql.streaming.Trigger
     val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
@@ -1609,7 +1631,7 @@ object EventQueries {
     * the drop path and the eviction path in one run. Same sentinel /
     * mtime-ordering / DECIMAL-sum machinery as [[streamAppend]].
     */
-  def streamLate(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamLate(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
     import org.apache.spark.sql.streaming.Trigger
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
@@ -1717,7 +1739,7 @@ object EventQueries {
     * repartitioning. Value mass in exact Long micro-units (≡ the
     * oracle's DECIMAL sum).
     */
-  def streamFmgws(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamFmgws(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
     import java.nio.file.Files
     import java.nio.file.attribute.FileTime
@@ -1831,7 +1853,7 @@ object EventQueries {
     * shape for update mode) converges. Micro-unit DECIMAL sums as in
     * every gated streaming value aggregate.
     */
-  def streamUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamUpdate(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
     import org.apache.spark.sql.streaming.Trigger
     import java.nio.file.Files
     import java.nio.file.attribute.FileTime
