@@ -22,6 +22,7 @@ object SparkEntry {
     etl.EtlQueries.queries ++ olap.OlapQueries.queries ++
       olap.OlapMore.queries ++ olap.Analytics.queries ++
       olap.OlapStats.queries ++ olap.Skew.queries ++ olap.SqlSurface.queries ++
+      olap.Subqueries.queries ++
       stream.EventQueries.queries ++ text.TextQueries.queries ++
       text.TextAnalytics.queries ++ text.CorpusOps.queries ++
       text.DocOps.queries ++ text.GrowthOps.queries ++
@@ -35,6 +36,7 @@ object SparkEntry {
     etl.EtlQueries.oracle ++ olap.OlapQueries.oracle ++
       olap.OlapMore.oracle ++ olap.Analytics.oracle ++
       olap.OlapStats.oracle ++ olap.Skew.oracle ++ olap.SqlSurface.oracle ++
+      olap.Subqueries.oracle ++
       stream.EventQueries.oracle ++ text.TextQueries.oracle ++
       text.TextAnalytics.oracle ++ text.CorpusOps.oracle ++
       text.DocOps.oracle ++ text.GrowthOps.oracle ++
