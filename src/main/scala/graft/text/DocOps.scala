@@ -1480,7 +1480,92 @@ object DocOps {
                   "CAST(max(dint) AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n_all - n1 AS DOUBLE))")} AS ks_d
        |FROM dm GROUP BY source, n1, n_all ORDER BY source""".stripMargin
 
+  // ---------- q_dsir_weights: hashed-feature importance resampling ----------
+
+  /** DSIR bucket count (hashed unigram features; the paper hashes
+    * n-grams into 10⁴ buckets — scaled to this corpus's vocabulary).
+    */
+  private val DsirBuckets = 256L
+
+  /** Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169) — the curation operator that up-weights raw
+    * documents whose hashed-feature distribution resembles a target
+    * domain: per document, the mean log-likelihood ratio
+    * `ln p_target(b) − ln p_raw(b)` over its token instances, where
+    * both distributions are add-one-smoothed bucket frequencies of
+    * [[TextFns.tokenHashesFromTokens]] token hashes modulo
+    * [[DsirBuckets]]. The target here is the English subcorpus
+    * (`lang = 'en'`); positive weight ⇒ resembles the target,
+    * negative ⇒ out-of-domain. Sampling ∝ exp(weight) is the paper's
+    * next step; emitting the log-weight keeps the gate exact.
+    *
+    * Shape: (doc, bucket) term frequencies (one hash aggregate),
+    * bucket-grain raw/target count tables (vocab-bounded), totals as
+    * broadcast 1-row aggregates, one join back to (doc, bucket)
+    * grain — the [[graft.text.TextAnalytics]] cross-entropy shape
+    * with a second (conditional) count table; linear at 100 TB, no
+    * pairwise work. Parity: the ln-ratio is written with IDENTICAL
+    * division-then-ln structure on both engines and the per-doc mean
+    * is rounded once at the edge (the `-ln(c/tot)` cross-entropy
+    * precedent); token hashes come from [[graft.functions.TextHashUtil]]'s
+    * constants on both sides.
+    */
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .withColumn("hs", TextFns.tokenHashesFromTokens(col("toks")))
+    // explode_outer: tokens is provably non-empty (text is non-empty)
+    // and a plain explode would get an InferFiltersFromGenerate
+    // size(arr)>0 filter that re-inlines the HOF pipeline (CLAUDE.md)
+    val tb = docs.select(col("doc_id"), col("lang"),
+        explode_outer(col("hs")).as("h"))
+      .withColumn("b", pmod(col("h"), lit(DsirBuckets)))
+    val tf = tb.groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    val rawCnt = tf.groupBy("b").agg(sum(col("tf")).as("rc"))
+    val tgtCnt = tf.filter(col("lang") === "en")
+      .groupBy("b").agg(sum(col("tf")).as("tc"))
+    val tots = rawCnt.agg(sum(col("rc")).as("rt"))
+      .crossJoin(tgtCnt.agg(sum(col("tc")).as("tt")))
+    val lnRatio =
+      log((coalesce(col("tc"), lit(0L)) + 1L).cast("double") /
+          (col("tt") + DsirBuckets).cast("double")) -
+        log((col("rc") + 1L).cast("double") /
+            (col("rt") + DsirBuckets).cast("double"))
+    tf.join(rawCnt, "b")
+      .join(tgtCnt, Seq("b"), "left")
+      .crossJoin(broadcast(tots))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        TextFns.round4(
+          sum(col("tf").cast("double") * lnRatio) /
+            sum(col("tf")).cast("double")).as("dsir_w"))
+      .orderBy("doc_id")
+  }
+
+  private val sqlDsirWeights = {
+    val hashTerm = s"list_reduce([CAST(0 AS BIGINT)] || ${duckCodesOf("term")}, " +
+      s"(acc, c) -> (acc * 31 + c) % ${TextFns.P})"
+    val w = TextFns.duckRound4(
+      "sum(CAST(tf AS DOUBLE) * (ln(CAST(COALESCE(tc, 0) + 1 AS DOUBLE) " +
+        s"/ CAST(tt + $DsirBuckets AS DOUBLE)) " +
+        "- ln(CAST(rc + 1 AS DOUBLE) " +
+        s"/ CAST(rt + $DsirBuckets AS DOUBLE)))) / CAST(sum(tf) AS DOUBLE)")
+    s"""WITH t AS (SELECT doc_id, lang, $duckTokens AS ts FROM documents),
+       |     tok AS (SELECT doc_id, lang, unnest(ts) AS term FROM t),
+       |     hb AS (SELECT doc_id, lang, ($hashTerm) % $DsirBuckets AS b FROM tok),
+       |     tf AS (SELECT doc_id, lang, b, count(*) AS tf FROM hb GROUP BY 1, 2, 3),
+       |     rc AS (SELECT b, sum(tf) AS rc FROM tf GROUP BY 1),
+       |     tc AS (SELECT b, sum(tf) AS tc FROM tf WHERE lang = 'en' GROUP BY 1),
+       |     tots AS (SELECT (SELECT sum(rc) FROM rc) AS rt,
+       |                     (SELECT sum(tc) FROM tc) AS tt)
+       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, $w AS dsir_w
+       |FROM tf JOIN rc USING (b) LEFT JOIN tc USING (b) CROSS JOIN tots
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_weights" -> (dsirWeights _),
     "q_ks_test" -> (ksDrift _),
     "q_char_gini" -> (charGini _),
     "q_collocations" -> (collocations _),
@@ -1501,6 +1586,7 @@ object DocOps {
     "q_pack_audit" -> (packAudit _))
 
   val oracle: Map[String, String] = Map(
+    "q_dsir_weights" -> sqlDsirWeights,
     "q_ks_test" -> sqlKsDrift,
     "q_char_gini" -> sqlCharGini,
     "q_collocations" -> sqlCollocations,
