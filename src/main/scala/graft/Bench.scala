@@ -94,6 +94,14 @@ object Bench {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // The fixtures are SINGLE parquet files (driver layout contract);
+      // at the default 128 MB maxPartitionBytes the 10× upscale tables
+      // (lineitem 113 MB) scan as ONE task and every downstream stage
+      // drains a single-threaded producer — the round-10 "superlinear"
+      // q_fact_build was mostly this. 16 MB ≈ sized so the upscale
+      // tables get tens of scan tasks; on a real cluster the same knob
+      // is tuned to executor-core count vs file sizes.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     val spark = (if (sys.env.contains("SPARK_GRAFT_NO_EXT")) builder
@@ -195,6 +203,12 @@ object Bench {
       System.gc()
       (name, warm, runs)
     }
+    // main-SF bests, available to the upscale pass's pre-launch budget
+    // estimate before the full Stat records are assembled
+    val statsBySfBest: Map[String, Double] = results.map { case (name, warm, runs) =>
+      val all = (warm :: runs).map(_.sec).filter(_ >= 0)
+      (name, if (all.isEmpty) -1.0 else all.min)
+    }.toMap
     // Dual-scale pass: one warm + one measured execution per query at
     // a second (smaller) SF so per-query scaling exponents
     // t(sf)/t(sf2) are recorded every round — a query whose ratio far
@@ -238,8 +252,19 @@ object Bench {
         if (!java.nio.file.Files.exists(Upscale.marker(upDir))) Map.empty
         else {
           var spent = 0.0
+          val bestAtSf = statsBySfBest
           selected.map { case (name, fn) =>
-            if (spent > upBudget) name -> -2.0 // budget-skipped, reported below
+            // Pre-launch estimate: a query's upscaled run costs at
+            // LEAST ~factor × its main-SF best even when perfectly
+            // linear, so launching one whose estimate alone overruns
+            // the remaining budget lets a single super-linear query —
+            // exactly what this pass exists to detect — eat the whole
+            // round (the round-10 gap). Skip it (recorded as -2,
+            // counted in sfup_skipped) and keep the budget for the
+            // rest; genuinely super-linear queries still get caught on
+            // the rounds where their main-SF best is small.
+            val est = bestAtSf.getOrElse(name, 0.0).max(0.0) * upFactor
+            if (spent + est > upBudget) name -> -2.0
             else {
               val r = execOnce(name, fn, upDir)
               System.gc()
@@ -249,6 +274,28 @@ object Bench {
           }.toMap
         }
       }
+    // Verification re-time for would-be superlinear flags: the first
+    // pass times ONE cold execution per query in a JVM that just ran
+    // the whole suite, and that single sample overstates badly — all
+    // four round-10 flags (21-28× per 10×) re-measured at 3.4-5.9×
+    // under min-of-4 in a fresh JVM. Re-run just the over-threshold
+    // candidates (bounded: ≤8, ratio-descending) and report the min,
+    // so a flag means the plan, not the heap history.
+    val upFinal: Map[String, Double] = {
+      val fns = selected.toMap
+      val candidates = upBest.toSeq.flatMap { case (name, t) =>
+        val base = statsBySfBest.getOrElse(name, -1.0)
+        if (t >= 0 && base >= 0.05 && t / base > 15.0) Some((name, t / base)) else None
+      }.sortBy(-_._2).take(8).map(_._1).toSet
+      upBest.map { case (name, t) =>
+        if (!candidates(name)) name -> t
+        else {
+          System.gc()
+          val r = execOnce(name, fns(name), upDir)
+          name -> (if (r.sec >= 0) math.min(t, r.sec) else t)
+        }
+      }
+    }
     // best = min over warm + measured runs (the headline number);
     // median/spread are computed over the measured runs only; the
     // shuffle/spill bytes reported are the BEST run's (plan
@@ -352,11 +399,11 @@ object Bench {
     // anything over 15× per 10× data as machine-detected super-linear
     // (denominator floored at 50 ms — below that the ratio measures
     // fixed overhead, not plan cost)
-    val upline = if (upBest.isEmpty) "" else {
-      val done = upBest.filter(_._2 >= 0)
-      val skippedN = upBest.count(_._2 == -2.0)
+    val upline = if (upFinal.isEmpty) "" else {
+      val done = upFinal.filter(_._2 >= 0)
+      val skippedN = upFinal.count(_._2 == -2.0)
       val ratios = stats.flatMap { s =>
-        upBest.get(s.name).collect {
+        upFinal.get(s.name).collect {
           case t if t >= 0 && s.best >= 0.05 => (s.name, t / s.best)
         }
       }
@@ -404,7 +451,7 @@ object Bench {
           (if (s.isoRuns.nonEmpty) ",\"iso_runs\":[" + s.isoRuns.mkString(",") + "]" else "") +
           ",\"shuffle_mb\":" + mb(s.shuffleB) + ",\"spill_mb\":" + mb(s.spillB) +
           sf2Best.get(s.name).map(t => ",\"sf2_best\":" + t).getOrElse("") +
-          upBest.get(s.name).map(t => ",\"sfup_best\":" + t).getOrElse("") + "}"
+          upFinal.get(s.name).map(t => ",\"sfup_best\":" + t).getOrElse("") + "}"
       }.mkString("{", ",", "}")
       val w = new java.io.PrintWriter("target/bench_detail.json")
       try w.println(s"""{"total":$total,$vols,"queries":$detail,$regs$scaling$upline,"sf":"$sfDir"}""")

@@ -36,21 +36,40 @@ import org.apache.spark.sql.functions._
   * `<table>.parquet` (coalesce(1) + move), byte-layout-identical in
   * convention to the driver fixtures — the streaming queries glob
   * `events.parquet` as a file name and q_stream_append Files.copy's
-  * it, both of which a directory layout would break.
+  * it, both of which a directory layout would break. Within the single
+  * file, row groups are capped at [[RowGroupBytes]]: parquet splits
+  * ONLY at row-group boundaries, so the default 128 MB block size made
+  * the 10× lineitem (113 MB) a one-row-group, ONE-TASK scan — every
+  * downstream stage then drained a single-threaded producer, and the
+  * upscale pass measured scan serialization, not plan scaling.
   */
 object Upscale {
   private val Off = 100000000L
+
+  /** Row-group cap for fixture writes: small enough that a ~100 MB
+    * single file carries enough split points for a 32-core scan. */
+  private val RowGroupBytes = 8 * 1024 * 1024
 
   /** Marker written last; its presence means the fixture is complete
     * (a crashed half-write is regenerated, never trusted). */
   def marker(outDir: String): java.nio.file.Path =
     java.nio.file.Paths.get(outDir, "_GRAFT_UPSCALE_OK")
 
+  /** What this code version would write into the marker — `ensure`
+    * trusts a cached fixture ONLY on exact match, so a fixture built
+    * from a different source dir, factor, or generator version (the
+    * round-10 marker ignored all three and silently reused stale
+    * fixtures) is regenerated, never reused. */
+  private def markerContents(srcDir: String, factor: Int): String =
+    s"v2 src=$srcDir factor=$factor rg=$RowGroupBytes"
+
   def ensure(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
-    if (java.nio.file.Files.exists(marker(outDir))) return
+    val want = markerContents(srcDir, factor)
+    if (java.nio.file.Files.exists(marker(outDir)) &&
+        new String(java.nio.file.Files.readAllBytes(marker(outDir)), "UTF-8") == want)
+      return
     upscale(spark, srcDir, outDir, factor)
-    java.nio.file.Files.write(marker(outDir),
-      s"src=$srcDir factor=$factor".getBytes("UTF-8"))
+    java.nio.file.Files.write(marker(outDir), want.getBytes("UTF-8"))
   }
 
   def upscale(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
@@ -58,7 +77,9 @@ object Upscale {
 
     def writeOne(name: String, df: DataFrame): Unit = {
       val tmp = java.nio.file.Paths.get(outDir, s".tmp_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", RowGroupBytes.toString)
+        .parquet(tmp.toString)
       val part = java.nio.file.Files.list(tmp).filter { p =>
         val n = p.getFileName.toString
         n.startsWith("part-") && n.endsWith(".parquet")

@@ -32,15 +32,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   /** Write `df` as a bucketed (and in-bucket sorted) parquet table
-    * registered in the session catalog. Overwrites an existing table
-    * of the same name (snapshot-idempotent, like the star-schema
-    * writers).
+    * registered in the session catalog. Single-key convenience over
+    * [[Warehouse.writeBucketed]] — ONE bucketed-write implementation
+    * serves both call shapes, so the layout contract (bucket count +
+    * in-bucket sort + overwrite idempotence) is defined once.
     */
   def saveBucketed(df: DataFrame, table: String, key: String,
                    numBuckets: Int): Unit =
-    df.write.mode("overwrite").format("parquet")
-      .bucketBy(numBuckets, key).sortBy(key)
-      .saveAsTable(table)
+    Warehouse.writeBucketed(df, table, Seq(key), numBuckets)
 
   /** Equi-join two bucketed catalog tables on `key`. When both were
     * written with the same bucket count on `key`, the physical plan

@@ -1047,6 +1047,14 @@ object EtlQueries {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("event_type"), col("value"))
+      // Text-format parallelism comes from file count (Formats
+      // scaladoc), and file count comes from the upstream partitioning
+      // — which here is a SINGLE-file parquet scan, so without this
+      // the whole encode AND the read-back parse run on one core
+      // (the 10×-fixture pass measured 27× per 10× data on the JSONL
+      // twin). One small round-robin shuffle buys a core-count-wide
+      // export, which is exactly how a real egress job is laid out.
+      .repartition(spark.sparkContext.defaultParallelism)
     graft.schema.Formats.writeCsv(ev, s"$dir/events_csv")
     val back = graft.schema.Formats.readCsv(spark, s"$dir/events_csv", ev.schema)
     roundtripAgg(back)
@@ -1060,6 +1068,8 @@ object EtlQueries {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("event_type"), col("value"), col("props"))
+      // same file-count-parallelism rationale as [[csvRoundtrip]]
+      .repartition(spark.sparkContext.defaultParallelism)
     graft.schema.Formats.writeJsonl(ev, s"$dir/events_jsonl")
     val back = graft.schema.Formats.readJsonl(spark, s"$dir/events_jsonl", ev.schema)
     val k = try_element_at(

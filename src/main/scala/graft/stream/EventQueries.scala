@@ -1189,6 +1189,15 @@ object EventQueries {
     * the watermark), not input size, so the knob — not the query —
     * is what changes. Restored in a finally so a failed run cannot
     * leak the setting into the next bench query.
+    *
+    * SEQUENTIAL-HARNESS ASSUMPTION: the override mutates the
+    * session-global conf, so any query sharing the SparkSession
+    * during the body would silently plan with `n` shuffle partitions
+    * (and a concurrent restore could clobber the saved value). The
+    * Verify/Bench drivers run queries strictly one-at-a-time, which
+    * is what makes this safe; if a caller ever runs gated streaming
+    * concurrently, scope the override to a `spark.newSession()`
+    * (session-local conf, shared SparkContext) instead.
     */
   private def withStatePartitions[A](spark: SparkSession, n: Int = 8)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"

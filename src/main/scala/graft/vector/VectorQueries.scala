@@ -72,6 +72,71 @@ object VectorQueries {
       s"(CASE WHEN v[${1 + j * LshStride}] > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** Population cap for the pairwise-blocked self-joins (SemDeDup
+    * cells, near-dup LSH buckets): a block of n members costs n²/2
+    * pairs, and with a FIXED block vocabulary (10 cells, 64 buckets)
+    * n grows ∝ corpus — the quadratic regime the round-10 sf1 pass
+    * flagged on q_semdedup_cc. [[withCappedBlock]] splits any block
+    * whose population exceeds this cap by extra sign-LSH bits (one
+    * more bit per population doubling), so per-block pair counts stay
+    * bounded and the join key count grows WITH the corpus — how a
+    * real deployment scales its quantizer (IVF nlist ∝ √N, LSH bits
+    * ∝ log N). Chosen above every oracle-SF block population
+    * (sf0.1 max cell = 218, max bucket = 41), so the split is a
+    * provable no-op where the DuckDB gate runs and activates only on
+    * upscaled corpora — same contract as [[ProbeIdCap]]. The split
+    * trades recall (near-dups straddling a sub-split boundary are no
+    * longer compared) exactly as a finer quantizer does; sub-split
+    * bits sample dims 6,16,…,56, disjoint from the primary
+    * [[LshStride]] dims.
+    */
+  private[vector] val BlockCap = 512
+  private val SubSplitMaxBits = 6
+
+  /** Bit j of the sub-split code is live iff the block population
+    * exceeds BlockCap·2^j (the nested ladder: #live bits = doublings
+    * over the cap) and samples the sign of dim 6+10j (1-based).
+    */
+  private def subSplitBits(bn: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until SubSplitMaxBits).map { j =>
+      when(bn > lit(BlockCap.toLong << j) &&
+          element_at(col("v"), 6 + j * 10) > 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Append the capped block key `blk` = blkCol·2^bits + sub-split
+    * code. The per-block census is block-vocabulary-sized (bounded ≪
+    * rows), so it broadcasts; the 1:1 join back costs no shuffle of
+    * the vector side beyond what the caller already staged.
+    *
+    * The input is `localCheckpoint`-ed first: the census AND the join
+    * AND the caller's a/b pair-join sides all re-read the staged
+    * blocks instead of re-deriving the upstream pipeline per use
+    * (without it the census's extra consumer broke Spark's
+    * ReusedExchange matching and the cell-assignment window re-ran
+    * 2-4× — measured +1.5 s on q_semdedup_cc at sf0.1). The staged
+    * set is one row per vector (id + vector + block), the natural
+    * cut point a real pipeline would persist before its pair stage.
+    */
+  private[vector] def withCappedBlock(df: DataFrame, blkCol: String): DataFrame = {
+    val staged = df.localCheckpoint(true)
+    val cnt = staged.groupBy(blkCol).agg(count(lit(1)).as("_bn"))
+    staged.join(broadcast(cnt), blkCol)
+      .withColumn("blk",
+        col(blkCol) * (1L << SubSplitMaxBits) + subSplitBits(col("_bn")))
+      .drop("_bn")
+  }
+
+  /** Oracle twin of [[subSplitBits]]+[[withCappedBlock]]'s blk
+    * expression over a member column `v` and a block-census column
+    * `bn` — integer ladder + sign comparisons on the identical
+    * doubles, so the split is engine-exact even when active.
+    */
+  private def duckBlk(blkCol: String): String =
+    (0 until SubSplitMaxBits).map { j =>
+      s"(CASE WHEN bn > ${BlockCap.toLong << j} AND v[${6 + j * 10}] > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(s"($blkCol * ${1L << SubSplitMaxBits} + ", " + ", ")")
+
   /** Shared oracle base: cast to double + per-row staged norm. */
   private val duckVecs =
     s"""e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -266,10 +331,12 @@ object VectorQueries {
     * use ≥ 0.95 with the identical plan.
     */
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val vecs = withVecs(spark, sfDir)
-      .withColumn("bucket", VectorFns.signBucket(col("v"), LshBits, LshStride))
+    val vecs = withCappedBlock(
+      withVecs(spark, sfDir)
+        .withColumn("bucket", VectorFns.signBucket(col("v"), LshBits, LshStride)),
+      "bucket")
     vecs.as("a").join(vecs.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim", VectorFns.cosineStaged(
         col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
       .filter(col("sim") >= NearDupThreshold)
@@ -280,10 +347,13 @@ object VectorQueries {
 
   private val sqlEmbedNearDup =
     s"""WITH $duckVecs,
-       |     b AS (SELECT vec_id, v, nrm, $duckBucket AS bucket FROM e),
+       |     b0 AS (SELECT vec_id, v, nrm, $duckBucket AS bucket FROM e),
+       |     bn0 AS (SELECT bucket, count(*) AS bn FROM b0 GROUP BY bucket),
+       |     b AS (SELECT vec_id, v, nrm, b0.bucket, ${duckBlk("b0.bucket")} AS blk
+       |           FROM b0 JOIN bn0 ON b0.bucket = bn0.bucket),
        |     pairs AS (SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
        |                      ${duckDot("a.v", "b2.v")} / (a.nrm * b2.nrm) AS sim
-       |               FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |               FROM b a JOIN b b2 ON a.blk = b2.blk AND a.vec_id < b2.vec_id)
        |SELECT vec_a, vec_b, ${duckRound4("sim")} AS sim
        |FROM pairs WHERE sim >= $NearDupThreshold ORDER BY vec_a, vec_b""".stripMargin
 
@@ -1008,17 +1078,18 @@ object VectorQueries {
     * closure keep-set is a subset of this one-hop keep-set).
     *
     * Scale: pair count is Σ_cell |cell|²/2, bounded by the coarse
-    * quantizer's balance — at web scale cells are capped (split heavy
-    * cells by a sub-quantizer) so the blocked join is key-partitioned
-    * on `cell` with bounded per-key fan-out. The fixture's 10
-    * label-derived cells make the demo exact. Threshold matches
+    * quantizer's balance — cells over [[BlockCap]] members are split
+    * by [[withCappedBlock]]'s sign-bit sub-quantizer (a no-op at the
+    * oracle SFs, active on upscaled corpora) so the blocked join is
+    * key-partitioned on `blk` with bounded per-key fan-out. The
+    * fixture's 10 label-derived cells make the demo exact. Threshold matches
     * [[embedNearDup]]'s fixture-calibrated $NearDupThreshold (real
     * corpora: ≥ 0.95, identical plan).
     */
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = assignedCells(withVecs(spark, sfDir))
+    val cells = withCappedBlock(assignedCells(withVecs(spark, sfDir)), "cell")
     val reps = cells.as("a").join(cells.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim", VectorFns.cosineStaged(
         col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
       .filter(col("sim") >= NearDupThreshold)
@@ -1051,14 +1122,18 @@ object VectorQueries {
        |                     row_number() OVER (PARTITION BY vec_id
        |                       ORDER BY ${duckRound6("sim")} DESC, c_label) AS rk
        |              FROM scored),
-       |     cells AS (SELECT vec_id, v, nrm, c_label AS cell FROM best WHERE rk = 1)""".stripMargin
+       |     cells0 AS (SELECT vec_id, v, nrm, c_label AS cell FROM best WHERE rk = 1),
+       |     cbn AS (SELECT cell, count(*) AS bn FROM cells0 GROUP BY cell),
+       |     cells AS (SELECT vec_id, v, nrm, cells0.cell,
+       |                      ${duckBlk("cells0.cell")} AS blk
+       |               FROM cells0 JOIN cbn ON cells0.cell = cbn.cell)""".stripMargin
 
   private val sqlSemanticDedup =
     s"""WITH $duckSemCells,
        |     prs AS (SELECT b2.vec_id AS vec_id, a.vec_id AS rep,
        |                    ${duckDot("a.v", "b2.v")} / (a.nrm * b2.nrm) AS sim
        |             FROM cells a JOIN cells b2
-       |               ON a.cell = b2.cell AND a.vec_id < b2.vec_id),
+       |               ON a.blk = b2.blk AND a.vec_id < b2.vec_id),
        |     reps AS (SELECT vec_id, min(rep) AS sem_rep
        |              FROM prs WHERE sim >= $NearDupThreshold GROUP BY vec_id)
        |SELECT cells.vec_id, cells.cell,
@@ -1089,9 +1164,9 @@ object VectorQueries {
     */
   def semanticDedupExact(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.graph.ConnectedComponents
-    val cells = assignedCells(withVecs(spark, sfDir))
+    val cells = withCappedBlock(assignedCells(withVecs(spark, sfDir)), "cell")
     val edges = cells.as("a").join(cells.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim", VectorFns.cosineStaged(
         col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
       .filter(col("sim") >= NearDupThreshold)
@@ -1115,7 +1190,7 @@ object VectorQueries {
     s"""WITH RECURSIVE $duckSemCells,
        |     prs AS (SELECT a.vec_id AS a, b2.vec_id AS b
        |             FROM cells a JOIN cells b2
-       |               ON a.cell = b2.cell AND a.vec_id < b2.vec_id
+       |               ON a.blk = b2.blk AND a.vec_id < b2.vec_id
        |             WHERE ${duckDot("a.v", "b2.v")} / (a.nrm * b2.nrm) >= $NearDupThreshold),
        |     edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
        |     reach AS (
@@ -1322,10 +1397,10 @@ object VectorQueries {
     * pairs, never all-pairs), oriented low-id → high-id, so each
     * triangle is counted exactly once by the two-hop join
     * e1(x,y) ⋈ e2(y,z) ⋈ e3(x,z). Edge orientation bounds the join:
-    * at scale swap in [[degreeOrient]] (low-degree endpoint first,
-    * O(m^1.5) worst case — Suri & Vassilvitskii, WWW'11; proven
-    * count-equivalent in `TriangleSpec`) — the id form keeps the
-    * oracle twin exact here. All three join legs shuffle on edge endpoints —
+    * the main path runs [[degreeOrient]] (low-degree endpoint first,
+    * O(m^1.5) worst case — Suri & Vassilvitskii, WWW'11), proven
+    * count-equivalent to the id orientation in `TriangleSpec`, which
+    * is why the id-oriented oracle twin stays exact. All three join legs shuffle on edge endpoints —
     * linear in edges, and the blocked edge list is itself bounded by
     * bucket sizes.
     */
@@ -1386,22 +1461,35 @@ object VectorQueries {
   }
 
   def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
-    val vecs = withVecs(spark, sfDir)
-      .withColumn("bucket", VectorFns.signBucket(col("v"), LshBits, LshStride))
+    val vecs = withCappedBlock(
+      withVecs(spark, sfDir)
+        .withColumn("bucket", VectorFns.signBucket(col("v"), LshBits, LshStride)),
+      "bucket")
     val edges = vecs.as("a").join(vecs.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim", VectorFns.cosineStaged(
         col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
       .filter(col("sim") >= TriThreshold)
       .select(col("a.vec_id").as("u"), col("b.vec_id").as("w"))
-    localTriangleStats(edges).orderBy("vec_id")
+      // stage the edge list: degreeOrient consumes it twice and the
+      // wedge join three more times — without the checkpoint each
+      // consumer re-runs the blocked pair join
+      .localCheckpoint(true)
+    // degree orientation bounds the wedge join's per-node fan-out by
+    // O(m^1.5) (Suri & Vassilvitskii) — orientation-invariant counts
+    // (TriangleSpec), so the id-oriented oracle twin stays exact
+    localTriangleStats(degreeOrient(edges).localCheckpoint(true))
+      .orderBy("vec_id")
   }
 
   private val sqlTriangleCount =
     s"""WITH $duckVecs,
-       |     b AS (SELECT vec_id, v, nrm, $duckBucket AS bucket FROM e),
+       |     b0 AS (SELECT vec_id, v, nrm, $duckBucket AS bucket FROM e),
+       |     bn0 AS (SELECT bucket, count(*) AS bn FROM b0 GROUP BY bucket),
+       |     b AS (SELECT vec_id, v, nrm, b0.bucket, ${duckBlk("b0.bucket")} AS blk
+       |           FROM b0 JOIN bn0 ON b0.bucket = bn0.bucket),
        |     edges AS (SELECT a.vec_id AS u, b2.vec_id AS w
-       |               FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       |               FROM b a JOIN b b2 ON a.blk = b2.blk AND a.vec_id < b2.vec_id
        |               WHERE ${duckDot("a.v", "b2.v")} / (a.nrm * b2.nrm) >= $TriThreshold),
        |     tri AS (SELECT e1.u AS x, e1.w AS y, e2.w AS z
        |             FROM edges e1
@@ -1957,9 +2045,9 @@ object VectorQueries {
     * border flag → bounded label census. Compare on round6 sims.
     */
   def dbscanCore(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = assignedCells(withVecs(spark, sfDir))
+    val cells = withCappedBlock(assignedCells(withVecs(spark, sfDir)), "cell")
     val prs = cells.as("a").join(cells.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("s6", round6(VectorFns.cosineStaged(
         col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))))
       .filter(col("s6") >= NearDupThreshold)
@@ -1989,7 +2077,7 @@ object VectorQueries {
     s"""WITH $duckSemCells,
        |     prs AS (SELECT a.vec_id AS x, b2.vec_id AS y
        |             FROM cells a JOIN cells b2
-       |               ON a.cell = b2.cell AND a.vec_id < b2.vec_id
+       |               ON a.blk = b2.blk AND a.vec_id < b2.vec_id
        |             WHERE ${duckRound6(
                        s"${duckDot("a.v", "b2.v")} / (a.nrm * b2.nrm)")} >= $NearDupThreshold),
        |     edges AS (SELECT x, y FROM prs UNION ALL SELECT y, x FROM prs),
@@ -2236,9 +2324,9 @@ object VectorQueries {
     * a 1-row aggregate + 3-row stack.
     */
   def semdedupSweep(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = assignedCells(withVecs(spark, sfDir))
+    val cells = withCappedBlock(assignedCells(withVecs(spark, sfDir)), "cell")
     val msim = cells.as("a").join(cells.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim", VectorFns.cosineStaged(
         col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
       .groupBy(col("b.vec_id").as("vec_id"))
@@ -2264,7 +2352,7 @@ object VectorQueries {
        |     prs AS (SELECT b2.vec_id AS vec_id,
        |                    ${duckDot("a.v", "b2.v")} / (a.nrm * b2.nrm) AS sim
        |             FROM cells a JOIN cells b2
-       |               ON a.cell = b2.cell AND a.vec_id < b2.vec_id),
+       |               ON a.blk = b2.blk AND a.vec_id < b2.vec_id),
        |     ms AS (SELECT vec_id, max(sim) AS msim FROM prs GROUP BY 1),
        |     tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM cells),
        |     a AS (SELECT

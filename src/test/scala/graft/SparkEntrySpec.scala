@@ -11,6 +11,7 @@ class SparkEntrySpec extends SparkSpec {
       etl.EtlQueries.queries, olap.OlapQueries.queries,
       olap.OlapMore.queries, olap.Analytics.queries,
       olap.OlapStats.queries, olap.Skew.queries, olap.SqlSurface.queries,
+      olap.Subqueries.queries,
       stream.EventQueries.queries, text.TextQueries.queries,
       text.TextAnalytics.queries, text.CorpusOps.queries,
       text.DocOps.queries, text.GrowthOps.queries,
