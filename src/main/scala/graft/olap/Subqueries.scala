@@ -5,13 +5,15 @@ import graft.text.TextFns
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Classic warehouse SUBQUERY shapes (TPC-H Q7/Q8/Q11/Q13/Q15/Q17/
-  * Q19/Q21/Q22 analogs, adapted to the columns this dataset carries —
-  * no partsupp/commitdate/shipmode, so each query keeps the SHAPE
-  * that makes the original a planner benchmark and re-targets the
-  * predicate columns): correlated scalar subqueries, uncorrelated
-  * scalar subqueries against an aggregate, EXISTS/NOT-EXISTS
-  * nesting, left-join count distributions, and disjunctive join
+/** Classic warehouse SUBQUERY shapes (TPC-H Q2/Q3/Q4/Q7/Q8/Q9/Q11/
+  * Q12/Q13/Q14/Q15/Q16/Q17/Q19/Q20/Q21/Q22 analogs, adapted to the
+  * columns this dataset carries — no partsupp/commitdate/shipmode, so
+  * each query keeps the SHAPE that makes the original a planner
+  * benchmark and re-targets the predicate columns): correlated scalar
+  * subqueries (min/avg), uncorrelated scalar subqueries against an
+  * aggregate, EXISTS/NOT-EXISTS/NOT-IN nesting, non-equi correlated
+  * EXISTS, left-join count distributions, conditional dual
+  * aggregates, limit-ranked aggregates, and disjunctive join
   * predicates. The reference's query surface is plain ANSI SQL
   * (`/root/reference/OLAP/olapapp.py` renders star-schema SQL), so
   * these pin the subquery surface a migrating SQL user hits next.
@@ -411,7 +413,332 @@ object Subqueries {
        |WHERE rev_dec * np * 2 > tot_dec * 3
        |ORDER BY partkey""".stripMargin
 
+  // ---------- q_ship_priority: unshipped-order ranking (TPC-H Q3) ----------
+
+  /** Shipping-priority ranking — Q3: revenue still in flight per order
+    * (ordered before the cutoff, shipped after it) for one market
+    * segment, top 10 by revenue. The LIMIT is the planner test: the
+    * exact-DECIMAL revenue sum makes the top-10 cut deterministic
+    * cross-engine (a float sum could reorder near-ties), with
+    * o_orderkey as the total tie-break.
+    *
+    * Scale: both date filters push to the scans; the li⋈o join
+    * shuffles on orderkey, o⋈c on custkey; the final top-10 is
+    * TakeOrderedAndProject over the aggregate — never a global sort.
+    */
+  def shipPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    val li = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > cutoff)
+    val o = Tables.orders(spark, sfDir).filter(col("o_orderdate") < cutoff)
+    val c = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"))
+      .agg(sum(r6d(expr(rev))).as("rev_dec"))
+      .orderBy(col("rev_dec").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("order_date"), col("o_orderpriority"),
+        TextFns.round4(col("rev_dec").cast("double")).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+  }
+
+  private val sqlShipPriority =
+    s"""WITH a AS (SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       |                  o_orderpriority, sum(${duckR6d(rev)}) AS rev_dec
+       |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |           JOIN customer ON o_custkey = c_custkey
+       |           WHERE c_mktsegment = 'BUILDING'
+       |             AND o_orderdate < TIMESTAMP '1998-06-01'
+       |             AND l_shipdate > TIMESTAMP '1998-06-01'
+       |           GROUP BY 1, 2, 3
+       |           ORDER BY rev_dec DESC, o_orderkey LIMIT 10)
+       |SELECT o_orderkey, order_date, o_orderpriority,
+       |       ${TextFns.duckRound4("CAST(rev_dec AS DOUBLE)")} AS revenue
+       |FROM a ORDER BY revenue DESC, o_orderkey""".stripMargin
+
+  // ---------- q_priority_exists: correlated EXISTS (TPC-H Q4) ----------
+
+  /** Order-priority audit — Q4's correlated EXISTS with a NON-EQUI
+    * correlation: count one quarter's orders having at least one line
+    * shipped more than 60 days after the order date. The EXISTS
+    * becomes a left-semi join whose condition carries both the
+    * orderkey equality AND the inequality — Spark plans the equi part
+    * as the join key and the inequality as a join-side residual, so
+    * the semi join still shuffles on orderkey (never a nested loop).
+    */
+  def priorityExists(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-04-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, sfDir)
+    o.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val sqlPriorityExists =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------- q_nation_profit: multi-join profit rollup (TPC-H Q9) ----------
+
+  /** Product-line profit by supplier nation and year — Q9's shape
+    * (li⋈part⋈supplier⋈nation⋈orders, name-substring part filter,
+    * (nation, year) rollup). No partsupp table in this corpus, so
+    * supply cost is the 0.6·retail-price convention; the per-row
+    * profit expression is written in ONE literal operation order on
+    * both engines and accumulated in micro-unit DECIMAL (negative
+    * rows floor identically).
+    *
+    * Scale: the part name filter prunes before the join; supplier/
+    * nation are broadcast; the fact-side joins shuffle on their keys;
+    * output is (nation × year) grain.
+    */
+  def nationProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir).filter(col("p_name").contains("red"))
+    val profit = expr(s"$rev - 0.6 * p_retailprice * l_quantity")
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n_items"), sum(r6d(profit)).as("profit_dec"))
+      .select(col("nation"), col("yr"), col("n_items"),
+        TextFns.round4(col("profit_dec").cast("double")).as("profit"))
+      .orderBy("nation", "yr")
+  }
+
+  private val sqlNationProfit =
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
+       |       CAST(count(*) AS BIGINT) AS n_items,
+       |       ${TextFns.duckRound4(s"CAST(sum(${duckR6d(s"$rev - 0.6 * p_retailprice * l_quantity")}) AS DOUBLE)")} AS profit
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |WHERE p_name LIKE '%red%'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------- q_late_split: conditional dual-count (TPC-H Q12) ----------
+
+  /** Late-shipment priority split — Q12's signature CASE-based dual
+    * aggregate: among lines shipped more than 30 days after their
+    * order date, count critical (URGENT/HIGH) vs other priority
+    * orders per return flag. Pure integer arithmetic after one
+    * fact-fact join shuffled on orderkey.
+    */
+  def lateSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(hi, lit(1L)).otherwise(lit(0L))).as("high_n"),
+        sum(when(!hi, lit(1L)).otherwise(lit(0L))).as("low_n"))
+      .orderBy("l_returnflag")
+  }
+
+  private val sqlLateSplit =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_n,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------- q_promo_share: conditional revenue share (TPC-H Q14) ----------
+
+  /** Promo revenue share per month — Q14: the percentage of revenue
+    * from PROMO-type parts, by ship month. Numerator and denominator
+    * are separate micro-unit DECIMAL sums; ONE double division + one
+    * rounding at the output edge (never per row).
+    */
+  def promoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(year(col("l_shipdate")) === 1998)
+    li.join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("long").as("ym"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", r6d(expr(rev)))
+          .otherwise(lit(0).cast("decimal(28,6)"))).as("promo_dec"),
+        sum(r6d(expr(rev))).as("tot_dec"))
+      .select(col("ym"),
+        TextFns.round4(col("promo_dec").cast("double") * 100.0 /
+          col("tot_dec").cast("double")).as("promo_share"))
+      .orderBy("ym")
+  }
+
+  private val sqlPromoShare =
+    s"""WITH m AS (SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+       |                  sum(CASE WHEN p_type = 'PROMO' THEN ${duckR6d(rev)}
+       |                           ELSE CAST(0 AS DECIMAL(28,6)) END) AS promo_dec,
+       |                  sum(${duckR6d(rev)}) AS tot_dec
+       |           FROM lineitem JOIN part ON l_partkey = p_partkey
+       |           WHERE year(l_shipdate) = 1998 GROUP BY 1)
+       |SELECT ym, ${TextFns.duckRound4(
+                 "CAST(promo_dec AS DOUBLE) * 100.0 / CAST(tot_dec AS DOUBLE)")} AS promo_share
+       |FROM m ORDER BY ym""".stripMargin
+
+  // ---------- q_part_supp_cnt: NOT-IN + count distinct (TPC-H Q16) ----------
+
+  /** Supplier diversity per part class — Q16's shape: distinct
+    * supplier count per (brand, type, size) over the observed
+    * part-supplier pairs, excluding blacklisted suppliers (negative
+    * balance stands in for the complaints subquery) via NOT IN →
+    * left-anti join. The (partkey, suppkey) pair set is collapsed
+    * DISTINCT before any dimension join — the pair table is the
+    * fact-scaled side and dedup first keeps the joins minimal.
+    */
+  def partSuppCnt(spark: SparkSession, sfDir: String): DataFrame = {
+    val excl = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  private val sqlPartSuppCnt =
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |     ok AS (SELECT * FROM ps
+      |            WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                                    WHERE s_acctbal < 0))
+      |SELECT p_brand, p_type, p_size,
+      |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM ok JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      |GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, 1, 2, 3""".stripMargin
+
+  // ---------- q_volume_supplier: nested-IN share filter (TPC-H Q20) ----------
+
+  /** Dominant-volume suppliers — Q20's nested-IN chain re-expressed
+    * as grain aggregates: suppliers who shipped more than 10% of the
+    * total volume of some 'small'-named part, with their qualifying
+    * part count. Quantities are integral, so the share compare
+    * `ps·10 > p_total` is exact in double space — no float boundary.
+    *
+    * Scale: two map-side-combinable aggregates on (part, supp) and
+    * (part) grain, one co-located join between them (both shuffled on
+    * partkey), then a supplier-grain rollup.
+    */
+  def volumeSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val sp = Tables.part(spark, sfDir)
+      .filter(col("p_name").startsWith("small")).select(col("p_partkey"))
+    val perPS = Tables.lineitem(spark, sfDir)
+      .join(sp, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("ps_qty"))
+    val perP = perPS.groupBy(col("l_partkey"))
+      .agg(sum(col("ps_qty")).as("p_qty"))
+    perPS.join(perP, Seq("l_partkey"))
+      .filter(col("ps_qty") * 10 > col("p_qty"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("s_name"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy("s_name")
+  }
+
+  private val sqlVolumeSupplier =
+    """WITH sp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+      |     pq AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS ps_qty
+      |            FROM lineitem JOIN sp ON l_partkey = p_partkey GROUP BY 1, 2),
+      |     pt AS (SELECT l_partkey, sum(ps_qty) AS p_qty FROM pq GROUP BY 1)
+      |SELECT s_name, n_name AS nation, CAST(count(*) AS BIGINT) AS n_parts
+      |FROM pq JOIN pt USING (l_partkey)
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE ps_qty * 10 > p_qty
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  // ---------- q_min_cost_supplier: correlated argmin (TPC-H Q2) ----------
+
+  /** Cheapest in-region supplier per part — Q2's correlated MIN
+    * subquery: per (part, supplier) the minimum observed unit price
+    * (extendedprice/quantity, round6-collapsed BEFORE any compare —
+    * the ulp rule for derived measures), then per part the
+    * lexicographic-min (cost, suppkey) among EUROPE suppliers for
+    * small parts. The argmin is a mergeable struct-min aggregate —
+    * the mega-cluster-safe election, never a per-part window; the
+    * oracle replays it as a row_number window (value-identical,
+    * oracle-side only).
+    */
+  def minCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val unit = floor(col("l_extendedprice") / col("l_quantity") * 1000000.0
+      + 0.5) / 1000000.0
+    val cost = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(unit).as("c"))
+    val eur = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val p = Tables.part(spark, sfDir).filter(col("p_size") <= 5)
+      .select(col("p_partkey"), col("p_name"))
+    cost.join(eur, col("l_suppkey") === col("s_suppkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey").as("part_key"), col("p_name"))
+      .agg(min(struct(col("c"), col("s_suppkey"), col("s_name"),
+        col("n_name"))).as("w"))
+      .select(col("part_key"), col("p_name"),
+        col("w.s_name").as("s_name"), col("w.n_name").as("nation"),
+        TextFns.round4(col("w.c")).as("cost"))
+      .orderBy("part_key")
+  }
+
+  private val sqlMinCostSupplier =
+    """WITH cost AS (SELECT l_partkey, l_suppkey,
+      |                     min(floor(l_extendedprice / l_quantity * 1000000.0 + 0.5)
+      |                         / 1000000.0) AS c
+      |              FROM lineitem GROUP BY 1, 2),
+      |     eur AS (SELECT s_suppkey, s_name, n_name
+      |             FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |             JOIN region ON n_regionkey = r_regionkey
+      |             WHERE r_name = 'EUROPE'),
+      |     j AS (SELECT l_partkey, p_name, c, s_suppkey, s_name, n_name
+      |           FROM cost JOIN eur ON l_suppkey = s_suppkey
+      |           JOIN part ON l_partkey = p_partkey WHERE p_size <= 5),
+      |     w AS (SELECT *, row_number() OVER (PARTITION BY l_partkey
+      |                       ORDER BY c, s_suppkey) AS rk FROM j)
+      |SELECT l_partkey AS part_key, p_name, s_name, n_name AS nation,
+      |       (floor(c * 10000.0 + 0.5) / 10000.0) AS cost
+      |FROM w WHERE rk = 1 ORDER BY part_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ship_priority" -> (shipPriority _),
+    "q_priority_exists" -> (priorityExists _),
+    "q_nation_profit" -> (nationProfit _),
+    "q_late_split" -> (lateSplit _),
+    "q_promo_share" -> (promoShare _),
+    "q_part_supp_cnt" -> (partSuppCnt _),
+    "q_volume_supplier" -> (volumeSupplier _),
+    "q_min_cost_supplier" -> (minCostSupplier _),
     "q_small_qty_revenue" -> (smallQtyRevenue _),
     "q_lapsed_above_avg" -> (lapsedAboveAvg _),
     "q_order_count_dist" -> (orderCountDist _),
@@ -423,6 +750,14 @@ object Subqueries {
     "q_having_share" -> (havingShare _))
 
   val oracle: Map[String, String] = Map(
+    "q_ship_priority" -> sqlShipPriority,
+    "q_priority_exists" -> sqlPriorityExists,
+    "q_nation_profit" -> sqlNationProfit,
+    "q_late_split" -> sqlLateSplit,
+    "q_promo_share" -> sqlPromoShare,
+    "q_part_supp_cnt" -> sqlPartSuppCnt,
+    "q_volume_supplier" -> sqlVolumeSupplier,
+    "q_min_cost_supplier" -> sqlMinCostSupplier,
     "q_small_qty_revenue" -> sqlSmallQtyRevenue,
     "q_lapsed_above_avg" -> sqlLapsedAboveAvg,
     "q_order_count_dist" -> sqlOrderCountDist,
