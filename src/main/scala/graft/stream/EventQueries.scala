@@ -1625,6 +1625,182 @@ object EventQueries {
       |             AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------- q_stream_enrich: stream-static enrichment join, oracle-gated ----------
+
+  /** STREAM-STATIC join under the correctness gate: the event stream
+    * is enriched against the static customer dimension (a plain
+    * batch DataFrame on the right — Structured Streaming re-plans it
+    * per micro-batch as a broadcast hash join, the standard
+    * dimension-enrichment shape), then aggregated to (segment, type)
+    * grain in Complete mode. The final sink state must hash-match
+    * the batch join+aggregate — proving the static side is joined
+    * consistently across micro-batches.
+    *
+    * Scale: the static dim broadcasts once per batch (at 100 TB the
+    * same join runs against a snapshotted dim table, refreshed by
+    * restarting the query or via a Delta-style lookup); stream state
+    * is (segments × types) — bounded, tiny.
+    */
+  def streamEnrich(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = s"$sfDir/events.parquet"
+    val batchSchema = spark.read.parquet(path).schema
+    val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
+    val cust = graft.schema.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_en").toString
+    val out = s"$dir/out"
+    val src = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val evs =
+      if (isNs) src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else src.withColumn("ts", col("ts").cast("timestamp"))
+    val agg = evs
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .withColumn("vm", floor(col("value") * 1000000.0 + 0.5).cast("decimal(28,0)"))
+      .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vm")).as("vm_sum"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/cp")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(col("segment"), col("event_type"), col("n_events"),
+            graft.text.TextFns.round4(col("vm_sum").cast("double") / 1000000.0)
+              .as("sum_value"))
+          .coalesce(1).write.mode("overwrite").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out).orderBy("segment", "event_type")
+  }
+
+  private val sqlStreamEnrich =
+    s"""SELECT c_mktsegment AS segment, event_type,
+       |       CAST(count(*) AS BIGINT) AS n_events,
+       |       ${graft.text.TextFns.duckRound4(
+                  "CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS DECIMAL(28,0))) AS DOUBLE) / 1000000.0")} AS sum_value
+       |FROM events JOIN customer ON user_id = c_custkey
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------- q_stream_outer: stream-stream LEFT OUTER join, oracle-gated ----------
+
+  /** Stream-stream LEFT OUTER interval join under the correctness
+    * gate — the eviction-EMISSION path [[streamJoin]]'s inner join
+    * never exercises: a purchase with no click in its preceding hour
+    * can only be emitted (click columns null) once the click-side
+    * WATERMARK has passed its whole interval, because until then a
+    * matching click could still arrive. The run streams the events
+    * file, then two far-future watermark sentinels (two, because
+    * outer-join state is evicted against the PREVIOUS batch's
+    * watermark — the same two-phase lag [[streamLate]] encodes);
+    * both sides take their watermark BEFORE the type filter so the
+    * sentinels advance it without joining. The accumulated append
+    * sink, aggregated to purchase grain, must hash-match the batch
+    * LEFT JOIN — unmatched purchases included, which is precisely
+    * the part only correct eviction can produce.
+    *
+    * Scale: join state is bounded by the interval (1 h of both
+    * sides) × watermark lag, independent of stream length; the
+    * aggregate after the sink is purchase-grain.
+    */
+  def streamOuterJoin(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val path = s"$sfDir/events.parquet"
+    val batch = spark.read.parquet(path)
+    val batchSchema = batch.schema
+    val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
+    val dir = Files.createTempDirectory("graft_stream_oj")
+    val inDir = dir.resolve("in"); Files.createDirectories(inDir)
+    val out = dir.resolve("out").toString
+    Files.copy(Paths.get(path), inDir.resolve("a_events.parquet"))
+    // Sentinels must be REAL 'purchase'/'click' rows (user_id = -1 so
+    // they join nothing, event_id = -1 so the sink read drops them):
+    // a foreign-typed sentinel never advances the watermark, because
+    // Catalyst pushes the deterministic type filter BELOW the
+    // EventTimeWatermark node and the sentinel dies at the scan —
+    // observed as batches 2-3 emitting zero rows while the last
+    // hour's unmatched purchase sat in state forever. THREE sentinel
+    // batches: eviction runs against the previous batch's watermark
+    // (the streamLate two-phase lag) and the left eviction bound is
+    // offset by the 1 h interval.
+    (1 to 3).foreach { k =>
+      val tmp = dir.resolve(s"w_$k")
+      val mx = batch.orderBy(col("ts").desc).limit(1)
+        .withColumn("ts",
+          if (isNs) col("ts") + lit(k.toLong * 86400L * 1000000000L)
+          else expr(s"ts + INTERVAL '${k * 24}' HOUR"))
+        .withColumn("event_id", lit(-1L))
+        .withColumn("user_id", lit(-1L).cast(batchSchema("user_id").dataType))
+      mx.withColumn("event_type", lit("purchase"))
+        .unionByName(mx.withColumn("event_type", lit("click")))
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp).filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }.findFirst.get
+      Files.move(part, inDir.resolve(s"s${k}_sentinel.parquet"))
+    }
+    Seq("a_events.parquet", "s1_sentinel.parquet", "s2_sentinel.parquet",
+        "s3_sentinel.parquet")
+      .zipWithIndex.foreach { case (f, i) =>
+        Files.setLastModifiedTime(inDir.resolve(f),
+          FileTime.fromMillis(1600000000000L + i * 60000L))
+      }
+    def side(tpe: String, idAs: String, tsAs: String) = {
+      val src = spark.readStream.schema(batchSchema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val typed =
+        if (isNs) src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else src.withColumn("ts", col("ts").cast("timestamp"))
+      // watermark BEFORE the type filter: the sentinel rows advance
+      // it, then drop out of the joined stream
+      typed.withColumnRenamed("ts", tsAs).withWatermark(tsAs, "0 seconds")
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(idAs), col("user_id"), col(tsAs))
+    }
+    val p = side("purchase", "p_id", "p_ts")
+    val c = side("click", "c_id", "c_ts").withColumnRenamed("user_id", "c_user")
+    val q = p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"), "left_outer")
+      .select(col("p_id"), col("c_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.coalesce(1).write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .filter(col("p_id") >= 0) // drop watermark-sentinel purchases
+      .groupBy(col("p_id").as("event_id"))
+      .agg(count(col("c_id")).as("n_clicks"),
+        min(col("lag_us")).as("min_lag_us"))
+      .orderBy("event_id")
+  }
+
+  private val sqlStreamOuter =
+    """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events),
+      |     p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM e
+      |           WHERE event_type = 'purchase'),
+      |     c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts FROM e
+      |           WHERE event_type = 'click')
+      |SELECT p.p_id AS event_id, CAST(count(c.c_id) AS BIGINT) AS n_clicks,
+      |       CAST(min(epoch_us(p.p_ts) - epoch_us(c.c_ts)) AS BIGINT) AS min_lag_us
+      |FROM p LEFT JOIN c ON p.user_id = c.c_user
+      |                   AND c.c_ts <= p.p_ts
+      |                   AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------- q_stream_late: watermark late-data DROP, oracle-gated ----------
 
   /** Late-data handling under the correctness gate — the semantics
@@ -2036,6 +2212,8 @@ object EventQueries {
     "q_stream_fmgws" -> (streamFmgws _),
     "q_stream_late" -> (streamLate _),
     "q_stream_join" -> (streamJoin _),
+    "q_stream_enrich" -> (streamEnrich _),
+    "q_stream_outer" -> (streamOuterJoin _),
     "q_stream_session" -> (streamSession _),
     "q_stream_sliding" -> (streamSliding _),
     "q_seasonal_dow" -> (seasonalDow _),
@@ -2072,6 +2250,8 @@ object EventQueries {
     "q_stream_fmgws" -> sqlStreamSession,
     "q_stream_late" -> sqlStreamTumbling,
     "q_stream_join" -> sqlStreamJoin,
+    "q_stream_enrich" -> sqlStreamEnrich,
+    "q_stream_outer" -> sqlStreamOuter,
     "q_stream_session" -> sqlStreamSession,
     "q_stream_sliding" -> sqlStreamSliding,
     "q_seasonal_dow" -> sqlSeasonalDow,

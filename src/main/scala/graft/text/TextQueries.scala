@@ -1687,6 +1687,100 @@ object TextQueries {
        |SELECT doc_a, doc_b, ${TextFns.duckRound4("jac")} AS jaccard
        |FROM j WHERE jac >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------- 4a2. q_ppjoin: EXACT set-similarity join (prefix filter) ----------
+
+  /** Jaccard threshold for the exact join, kept RATIONAL (1/3) so
+    * every filter is integer arithmetic: `jac ≥ 1/3` ⟺
+    * `4·|x∩y| ≥ |x|+|y|`, prefix length `|x| − ⌈|x|/3⌉ + 1` with
+    * `⌈n/3⌉ = (n+2) div 3` — no float boundary anywhere, on either
+    * engine.
+    */
+  private val PpDen = 3
+
+  /** EXACT set-similarity self-join via prefix filtering (SSJoin /
+    * PPJoin family — Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07,
+    * Xiao et al. WWW'08): every distinct-text pair with word-3-gram
+    * Jaccard ≥ 1/[[PpDen]], with NO blocking loss — unlike
+    * [[ngramJaccard]] (same-20-char-prefix blocks, misses cross-block
+    * pairs) and [[containment]] (df-capped postings), the prefix
+    * filter is COMPLETE at the threshold: order every gram set by
+    * ascending global document frequency (rarest first, gram hash as
+    * the total tie-break) and index only each set's first
+    * `ng − ⌈ng·t⌉ + 1` grams — any pair meeting the threshold must
+    * share an indexed gram (else the ≥⌈t·ng⌉ shared grams would all
+    * hide in a suffix shorter than that), so joining prefixes
+    * generates a candidate superset and the exact integer verify
+    * keeps precision at 1. The DuckDB oracle is the BRUTE-FORCE
+    * all-pairs join — the gate literally proves the pruning lost
+    * nothing.
+    *
+    * Scale: compute is distinct-text grain (collapse-before-pairwise);
+    * the df table is gram-vocabulary grain (one map-combinable
+    * aggregate); candidate volume is Σ_gram |prefix-postings|² where
+    * rare-first ordering keeps prefix postings short — boilerplate
+    * grams shared by everything sort LAST and never enter a prefix,
+    * which is exactly the quadratic blowup the ordering exists to
+    * kill; verification touches candidates only. Everything shuffles
+    * on gram or set id — no all-pairs stage at any scale.
+    */
+  def ppjoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dist = Tables.documents(spark, sfDir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("sid"), count(lit(1)).as("n_docs"))
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("sid"), col("n_docs"),
+        array_distinct(
+          graft.functions.TextHashes.ngramHashes(col("ts"), NgramN)).as("grams"))
+      .withColumn("ng", size(col("grams")))
+      // staged once: the gram explode, the prefix join side, and the
+      // two verify joins all re-read this (the capped-block rule)
+      .localCheckpoint(true)
+    val posting = dist.select(col("sid"), explode_outer(col("grams")).as("g"))
+    val gdf = posting.groupBy("g").agg(count(lit(1)).as("df"))
+    val prefix = posting.join(gdf, "g")
+      .groupBy("sid")
+      .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("ord"))
+      .join(dist.select(col("sid"), col("ng")), "sid")
+      .select(col("sid"), col("ng"),
+        explode_outer(slice(expr("transform(ord, p -> p.g)"), lit(1),
+          (col("ng") - expr(s"(ng + ${PpDen - 1}) div $PpDen") + lit(1))
+            .cast("int"))).as("g"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.sid") < col("b.sid") &&
+          least(col("a.ng"), col("b.ng")) * PpDen >=
+            greatest(col("a.ng"), col("b.ng")))
+      .select(col("a.sid").as("sa"), col("b.sid").as("sb")).distinct()
+    cand
+      .join(dist.select(col("sid").as("sa"), col("grams").as("ga"),
+        col("ng").as("na"), col("n_docs").as("n_docs_a")), "sa")
+      .join(dist.select(col("sid").as("sb"), col("grams").as("gb"),
+        col("ng").as("nb"), col("n_docs").as("n_docs_b")), "sb")
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .filter(col("inter") * (PpDen + 1) >= col("na") + col("nb"))
+      .select(col("sa").as("set_a"), col("sb").as("set_b"),
+        col("n_docs_a"), col("n_docs_b"),
+        TextFns.round4(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+      .orderBy("set_a", "set_b")
+  }
+
+  private val sqlPpjoin =
+    s"""WITH d AS (SELECT text, min(doc_id) AS sid, CAST(count(*) AS BIGINT) AS n_docs
+       |           FROM documents GROUP BY 1),
+       |     t AS (SELECT sid, n_docs, $duckTokens AS ts FROM d),
+       |     s AS (SELECT sid, n_docs,
+       |             list_distinct(${duckNgramHashesOf(NgramN)}) AS grams FROM t),
+       |     n AS (SELECT sid, n_docs, grams, len(grams) AS ng FROM s),
+       |     prs AS (SELECT a.sid AS set_a, b.sid AS set_b,
+       |                    a.n_docs AS n_docs_a, b.n_docs AS n_docs_b,
+       |                    CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS BIGINT) AS inter,
+       |                    a.ng + b.ng AS tot
+       |             FROM n a JOIN n b ON a.sid < b.sid)
+       |SELECT set_a, set_b, n_docs_a, n_docs_b,
+       |       ${TextFns.duckRound4("CAST(inter AS DOUBLE) / CAST(tot - inter AS DOUBLE)")} AS jaccard
+       |FROM prs WHERE inter * ${PpDen + 1} >= tot
+       |ORDER BY set_a, set_b""".stripMargin
+
   // ---------- 4b. q_containment: asymmetric n-gram containment ----------
 
   /** Document-frequency band for candidate-generating grams: a gram
@@ -2566,6 +2660,7 @@ object TextQueries {
     "q_vocab_coverage" -> (vocabCoverage _),
     "q_token_shards" -> (tokenShards _),
     "q_ngram_jaccard" -> (ngramJaccard _),
+    "q_ppjoin" -> (ppjoin _),
     "q_containment" -> (containment _),
     "q_lang_id" -> (langId _),
     "q_lang_agreement" -> (langAgreement _),
@@ -2608,6 +2703,7 @@ object TextQueries {
     "q_vocab_coverage" -> sqlVocabCoverage,
     "q_token_shards" -> sqlTokenShards,
     "q_ngram_jaccard" -> sqlNgramJaccard,
+    "q_ppjoin" -> sqlPpjoin,
     "q_containment" -> sqlContainment,
     "q_lang_id" -> sqlLangId,
     "q_lang_agreement" -> sqlLangAgreement,
