@@ -1528,30 +1528,44 @@ object VectorQueries {
     * pivoted columns, never a float groupBy-sum whose partition order
     * could differ between engines.
     */
-  def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
-    val vecs = withVecs(spark, sfDir)
-    // (vec_id, label, s, sv): one row per subspace; static slices so
-    // the split stays inside codegen. explode_outer per the repo rule
-    // (the array is 4 literal structs — provably non-empty).
-    def subRows(df: DataFrame) = df.select(col("vec_id"), col("label"),
+  /** One row per (vector, subspace): static slices so the split stays
+    * inside codegen. explode_outer per the repo rule (the array is
+    * [[PqM]] literal structs — provably non-empty).
+    */
+  private def pqSubRows(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("label"),
       explode_outer(array((0 until PqM).map(s =>
         struct(lit(s).as("s"), slice(col("v"), s * PqSubDim + 1, PqSubDim).as("sv"))): _*)).as("sub"))
       .select(col("vec_id"), col("label"), col("sub.s").as("s"), col("sub.sv").as("sv"))
-    val subs = subRows(vecs)
-    // per-(subspace, label) mean subvector — the trained codebook
-    val cb = subs
+
+  /** Per-(subspace, label) mean subvector — the trained PQ codebook,
+    * keyed (cs, code, cv). */
+  private def pqCodebook(subs: DataFrame): DataFrame =
+    subs
       .select(col("s"), col("label").as("code"), posexplode(col("sv")).as(Seq("dim", "x")))
       .groupBy("s", "code", "dim").agg(avg(col("x")).as("cx"))
       .groupBy("s", "code")
       .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
       .select(col("s").as("cs"), col("code"), expr("transform(pairs, p -> p.cx)").as("cv"))
+
+  /** Nearest code per (vector, subspace) by L2 against a BROADCAST
+    * codebook — rank on round6 distance with code tie-break
+    * (avg-built codebook, the ulp rule). Keeps (vec_id, s, code, d2).
+    */
+  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"), col("s"))
       .orderBy(round6(col("d2")).asc, col("code"))
-    val assigned = subs.join(broadcast(cb), col("s") === col("cs"))
+    subs.join(broadcast(cb), col("s") === col("cs"))
       .withColumn("diff", zip_with(col("sv"), col("cv"), (x, y) => x - y))
       .withColumn("d2", VectorFns.dot(col("diff"), col("diff")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
+  }
+
+  def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+    val subs = pqSubRows(vecs)
+    val assigned = pqAssign(subs, pqCodebook(subs))
     assigned.groupBy("vec_id")
       .agg(
         max(when(col("s") === 0, col("code"))).as("code0"),
@@ -1600,6 +1614,108 @@ object VectorQueries {
        |SELECT vec_id, code0, code1, code2, code3,
        |       ${duckRound4("d0 + d1 + d2s + d3")} AS err
        |FROM piv ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------- 14b. q_ivfpq_adc: IVF-PQ asymmetric-distance serving ----------
+
+  /** The COMPOSED ANN serving path (Jégou et al. 2011 — the FAISS
+    * IVFPQ shape, assembled from this file's own building blocks):
+    * coarse-quantize the corpus into cells ([[assignedCells]]),
+    * restrict the probe's search to its own cell (nprobe = 1, the
+    * [[ivfSearch]] convention), and score every candidate WITHOUT
+    * touching its raw vector — asymmetric distance computation:
+    * d²(q, x) ≈ Σ_s ‖q_s − cv[s, code_s(x)]‖², [[PqM]] lookups into
+    * a (subspace × code) table built ONCE from the probe. This is
+    * the memory shape that serves billion-vector corpora: the index
+    * stores [[PqM]] small codes per vector, not 64 floats.
+    *
+    * Float parity: the per-subspace lookup values are pivoted to
+    * fixed columns and summed in LITERAL subspace order (a groupBy
+    * sum would add in partition order — the [[pqCodes]] err
+    * convention); rank on round6 with vec_id tie-break (avg-built
+    * codebooks, the ulp rule).
+    *
+    * Scale: codebook + lookup table broadcast (constant-size); the
+    * candidate set is one cell (capped by the coarse quantizer — at
+    * scale, [[withCappedBlock]]'s regime); per candidate the scoring
+    * cost is [[PqM]] hash-join probes, no vector arithmetic — the
+    * whole point of ADC.
+    */
+  def ivfpqAdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+    val cells = assignedCells(vecs)
+    val pcell = cells.filter(col("vec_id") === 0).select(col("cell").as("pcell"))
+    val cands = cells.join(broadcast(pcell), col("cell") === col("pcell"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"))
+    val subs = pqSubRows(vecs)
+    val cb = pqCodebook(subs)
+    val codes = pqAssign(subs, cb).select(col("vec_id"), col("s"), col("code"))
+    val lut = pqSubRows(vecs.filter(col("vec_id") === 0))
+      .join(broadcast(cb), col("s") === col("cs"))
+      .withColumn("qdiff", zip_with(col("sv"), col("cv"), (x, y) => x - y))
+      .select(col("s"), col("code"),
+        VectorFns.dot(col("qdiff"), col("qdiff")).as("ld"))
+    val scored = cands.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("s", "code"))
+      .groupBy("vec_id")
+      .agg(
+        max(when(col("s") === 0, col("ld"))).as("l0"),
+        max(when(col("s") === 1, col("ld"))).as("l1"),
+        max(when(col("s") === 2, col("ld"))).as("l2"),
+        max(when(col("s") === 3, col("ld"))).as("l3"))
+      .withColumn("adc", col("l0") + col("l1") + col("l2") + col("l3"))
+    scored.orderBy(round6(col("adc")).asc, col("vec_id")).limit(TopK)
+      // rank over the ≤ TopK post-limit rows — bounded window
+      .withColumn("rank", row_number().over(
+        Window.orderBy(round6(col("adc")).asc, col("vec_id"))))
+      .select(col("rank"), col("vec_id"), round4(col("adc")).as("adc_d2"))
+      .orderBy("rank")
+  }
+
+  private val sqlIvfpqAdc = {
+    val ldd = s"list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, $PqSubDim + 1), " +
+      "i -> (qsv[CAST(i AS INT)] - cv[CAST(i AS INT)]) * (qsv[CAST(i AS INT)] - cv[CAST(i AS INT)])), " +
+      "(acc, v) -> acc + v)"
+    val sdd = s"list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, $PqSubDim + 1), " +
+      "i -> (sv[CAST(i AS INT)] - cv[CAST(i AS INT)]) * (sv[CAST(i AS INT)] - cv[CAST(i AS INT)])), " +
+      "(acc, v) -> acc + v)"
+    s"""WITH $duckSemCells,
+       |     pc AS (SELECT cell AS pcell FROM cells WHERE vec_id = 0),
+       |     cand AS (SELECT vec_id FROM cells JOIN pc ON cells.cell = pc.pcell
+       |              WHERE vec_id <> 0),
+       |     subs AS (SELECT vec_id, label, CAST(s AS INT) AS s,
+       |                     v[CAST(s * $PqSubDim + 1 AS INT):CAST((s + 1) * $PqSubDim AS INT)] AS sv
+       |              FROM e0 CROSS JOIN range(0, $PqM) t(s)),
+       |     sx AS (SELECT s, label AS code, CAST(i - 1 AS INT) AS dim, sv[CAST(i AS INT)] AS x
+       |            FROM subs CROSS JOIN range(1, $PqSubDim + 1) t2(i)),
+       |     scd AS (SELECT s, code, dim, avg(x) AS cx FROM sx GROUP BY 1, 2, 3),
+       |     scb AS (SELECT s, code, list_transform(list_sort(list({'dim': dim, 'cx': cx})), p -> p.cx) AS cv
+       |             FROM scd GROUP BY s, code),
+       |     sscored AS (SELECT subs.vec_id, subs.s, scb.code, $sdd AS d2
+       |                 FROM subs JOIN scb ON subs.s = scb.s),
+       |     sbest AS (SELECT vec_id, s, code,
+       |                      row_number() OVER (PARTITION BY vec_id, s
+       |                        ORDER BY ${duckRound6("d2")} ASC, code) AS rk
+       |               FROM sscored),
+       |     codes AS (SELECT vec_id, s, code FROM sbest WHERE rk = 1),
+       |     qs AS (SELECT s, sv AS qsv FROM subs WHERE vec_id = 0),
+       |     lut AS (SELECT qs.s, scb.code, $ldd AS ld
+       |             FROM qs JOIN scb ON qs.s = scb.s),
+       |     sc AS (SELECT cand.vec_id,
+       |              max(CASE WHEN codes.s = 0 THEN ld END) AS l0,
+       |              max(CASE WHEN codes.s = 1 THEN ld END) AS l1,
+       |              max(CASE WHEN codes.s = 2 THEN ld END) AS l2,
+       |              max(CASE WHEN codes.s = 3 THEN ld END) AS l3
+       |            FROM cand JOIN codes ON cand.vec_id = codes.vec_id
+       |            JOIN lut ON codes.s = lut.s AND codes.code = lut.code
+       |            GROUP BY 1),
+       |     f AS (SELECT vec_id, l0 + l1 + l2 + l3 AS adc FROM sc),
+       |     r AS (SELECT vec_id, adc,
+       |             row_number() OVER (ORDER BY ${duckRound6("adc")} ASC, vec_id) AS rank
+       |           FROM f)
+       |SELECT rank, vec_id, ${duckRound4("adc")} AS adc_d2
+       |FROM r WHERE rank <= $TopK ORDER BY rank""".stripMargin
   }
 
   // ---------- 15. q_kmeans_refine: Lloyd refinement rounds ----------
@@ -2376,6 +2492,7 @@ object VectorQueries {
     "q_kmeans_refine" -> (kmeansRefine _),
     "q_triangle_count" -> (triangleCount _),
     "q_pq_codes" -> (pqCodes _),
+    "q_ivfpq_adc" -> (ivfpqAdc _),
     "q_semantic_dedup" -> (semanticDedup _),
     "q_semdedup_cc" -> (semanticDedupExact _),
     "q_rrf_fusion" -> (rrfFusion _),
@@ -2409,6 +2526,7 @@ object VectorQueries {
     "q_kmeans_refine" -> sqlKmeansRefine,
     "q_triangle_count" -> sqlTriangleCount,
     "q_pq_codes" -> sqlPqCodes,
+    "q_ivfpq_adc" -> sqlIvfpqAdc,
     "q_semantic_dedup" -> sqlSemanticDedup,
     "q_semdedup_cc" -> sqlSemanticDedupCc,
     "q_rrf_fusion" -> sqlRrfFusion,
