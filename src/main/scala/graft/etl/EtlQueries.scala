@@ -1097,6 +1097,25 @@ object EtlQueries {
       .orderBy("event_type")
   }
 
+  /** ORC edition of [[csvRoundtrip]] — the binary columnar
+    * interchange leg (ORC carries types natively, so this pins
+    * timestamp micro-precision and double bit-fidelity through the
+    * ORC writer/reader pair rather than through text encode/parse).
+    * Same sensitive aggregate, same oracle as the CSV leg: the
+    * contract is that NO format leg changes the answer.
+    */
+  def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_rt").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+      // same file-count-parallelism rationale as [[csvRoundtrip]]
+      .repartition(spark.sparkContext.defaultParallelism)
+    graft.schema.Formats.writeOrc(ev, s"$dir/events_orc")
+    val back = graft.schema.Formats.readOrc(spark, s"$dir/events_orc", ev.schema)
+    roundtripAgg(back)
+  }
+
   private def roundtripAgg(df: DataFrame): DataFrame =
     df.withColumn("vm", floor(col("value") * 1000000.0 + 0.5).cast("decimal(28,0)"))
       .withColumn("hr", expr("unix_micros(ts) div 3600000000"))
@@ -1244,6 +1263,7 @@ object EtlQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_travel" -> (timeTravel _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
+    "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "q_py_title" -> (pyTitleAudit _),
     "q_lww_upsert" -> (lwwUpsert _),
@@ -1274,6 +1294,7 @@ object EtlQueries {
   val oracle: Map[String, String] = Map(
     "q_time_travel" -> sqlTimeTravel,
     "q_csv_roundtrip" -> sqlRoundtripBase,
+    "q_orc_roundtrip" -> sqlRoundtripBase,
     "q_jsonl_roundtrip" -> sqlJsonlRoundtrip,
     "q_py_title" -> sqlPyTitle,
     "q_lww_upsert" -> sqlLwwUpsert,

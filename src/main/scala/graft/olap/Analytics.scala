@@ -609,7 +609,187 @@ object Analytics {
        |FROM cum JOIN sz ON cum.ckey = sz.ckey
        |ORDER BY cohort_month, age""".stripMargin
 
+  // ---------- q_window_nav: navigation functions (first/last/nth, IGNORE NULLS) ----------
+
+  /** The window NAVIGATION function family over each customer's order
+    * history, ordered by the (date, orderkey) total order: first and
+    * second order, most recent order, and the most recent FINISHED
+    * order's price via `last_value(... IGNORE NULLS)` — the
+    * null-skipping navigation that reporting queries lean on (latest
+    * non-null reading per entity). One row per customer (the rn = 1
+    * filter), so the output is entity grain, not order grain.
+    *
+    * Parity: every navigated value is selected, never computed — no
+    * float arithmetic; the (date, orderkey) composite makes all four
+    * navigations deterministic; the IGNORE-NULLS column is a CASE
+    * over o_orderstatus, identical on both engines.
+    *
+    * Scale: one window partitioned by custkey (fact-proportional key,
+    * shuffles once); all four navigations share the partition.
+    */
+  def windowNav(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = graft.schema.Tables.orders(spark, sfDir)
+      .withColumn("f_price",
+        when(col("o_orderstatus") === "F", col("o_totalprice")))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o.withColumn("rn", row_number().over(w))
+      .withColumn("first_key", first(col("o_orderkey")).over(full))
+      .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(full))
+      .withColumn("last_key", last(col("o_orderkey")).over(full))
+      .withColumn("last_f_price",
+        last(col("f_price"), ignoreNulls = true).over(full))
+      .withColumn("n_orders", count(lit(1)).over(full))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey").as("custkey"), col("n_orders"),
+        col("first_key"), col("second_key"), col("last_key"),
+        col("last_f_price"))
+      .orderBy("custkey")
+  }
+
+  private val sqlWindowNav =
+    """WITH o AS (SELECT *, CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS f_price
+      |           FROM orders),
+      |     w AS (SELECT o_custkey,
+      |             row_number() OVER win AS rn,
+      |             CAST(count(*) OVER wfull AS BIGINT) AS n_orders,
+      |             first_value(o_orderkey) OVER wfull AS first_key,
+      |             nth_value(o_orderkey, 2) OVER wfull AS second_key,
+      |             last_value(o_orderkey) OVER wfull AS last_key,
+      |             last_value(f_price IGNORE NULLS) OVER wfull AS last_f_price
+      |           FROM o
+      |           WINDOW win AS (PARTITION BY o_custkey
+      |                          ORDER BY o_orderdate, o_orderkey),
+      |                  wfull AS (PARTITION BY o_custkey
+      |                            ORDER BY o_orderdate, o_orderkey
+      |                            ROWS BETWEEN UNBOUNDED PRECEDING
+      |                                     AND UNBOUNDED FOLLOWING))
+      |SELECT o_custkey AS custkey, n_orders, first_key, second_key,
+      |       last_key, last_f_price
+      |FROM w WHERE rn = 1 ORDER BY custkey""".stripMargin
+
+  // ---------- q_ols_trend: exact least-squares revenue trend ----------
+
+  /** Per-brand ordinary-least-squares revenue trend: slope and
+    * intercept of monthly revenue regressed on the month index — the
+    * is-this-line-going-up primitive under every KPI dashboard,
+    * computed EXACTLY. All five sufficient statistics (n, Σx, Σy,
+    * Σxy, Σx²) are integer/DECIMAL aggregates over integer cents and
+    * month indices, so the closed-form numerators/denominators
+    * (n·Σxy − Σx·Σy etc.) are exact on both engines; the only float
+    * work is one division + one /100 per output, in one literal
+    * order. This is also why `regr_slope` (both engines have it) is
+    * NOT used: its running-sum implementation is partition-order-
+    * dependent float arithmetic — the mergeable-exact-sums shape is
+    * the one that survives a distributed hash gate.
+    *
+    * Scale: lineitem⋈part equi-join (AQE-planned), collapse to the
+    * (brand, month) grain — 25×84 rows — before the per-brand stats;
+    * everything after the first aggregate is dim-cardinality.
+    */
+  def olsTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .withColumn("cents",
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100.0 + 0.5).cast("long"))
+      .withColumn("m",
+        ((year(col("l_shipdate")) - 1992) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long"))
+    val bm = li.join(Tables.part(spark, sfDir),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"), col("m"))
+      .agg(sum(col("cents")).as("y"))
+    val stats = bm.groupBy("brand").agg(
+      count(lit(1)).as("n"),
+      sum(col("m").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("m") * col("y")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("m") * col("m")).cast("decimal(38,0)")).as("sxx"))
+    stats.filter(col("n") >= 2)
+      .withColumn("den", (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .select(col("brand"), col("n").as("n_months"),
+        graft.text.TextFns.round4((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") / col("den") / 100.0).as("slope"),
+        graft.text.TextFns.round4((col("sy") * col("sxx") - col("sx") * col("sxy"))
+          .cast("double") / col("den") / 100.0).as("intercept"))
+      .orderBy("brand")
+  }
+
+  private val sqlOlsTrend =
+    s"""WITH li AS (SELECT l_partkey,
+       |              CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT) AS cents,
+       |              CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1 AS BIGINT) AS m
+       |            FROM lineitem),
+       |     bm AS (SELECT p_brand AS brand, m, sum(cents) AS y
+       |            FROM li JOIN part ON l_partkey = p_partkey
+       |            GROUP BY 1, 2),
+       |     st AS (SELECT brand, count(*) AS n, sum(m) AS sx, sum(y) AS sy,
+       |              sum(m * y) AS sxy, sum(m * m) AS sxx
+       |            FROM bm GROUP BY 1),
+       |     d AS (SELECT *, CAST(n * sxx - sx * sx AS DOUBLE) AS den
+       |           FROM st WHERE n >= 2)
+       |SELECT brand, CAST(n AS BIGINT) AS n_months,
+       |       ${graft.text.TextFns.duckRound4("CAST(n * sxy - sx * sy AS DOUBLE) / den / 100.0")} AS slope,
+       |       ${graft.text.TextFns.duckRound4("CAST(sy * sxx - sx * sxy AS DOUBLE) / den / 100.0")} AS intercept
+       |FROM d ORDER BY brand""".stripMargin
+
+  // ---------- q_theilsen: robust Theil–Sen trend over monthly revenue ----------
+
+  /** Theil–Sen estimator over the company-wide monthly revenue
+    * series: the median (and quartile band) of all pairwise slopes
+    * (y_j − y_i)/(x_j − x_i), i < j — the robust alternative to
+    * [[olsTrend]] that one crazy month cannot move (breakdown point
+    * ≈ 29%). Each pairwise slope is ONE double division of exact
+    * integer cents over exact month deltas, so every slope is
+    * engine-identical; the median is Spark exact `percentile` ≡
+    * DuckDB `quantile_cont` (bit-identical, the verified pairing)
+    * over identical doubles, rounded once at the edge.
+    *
+    * Scale: the pairwise self-join is over the MONTH-grain aggregate
+    * — cardinality (months choose 2) is bounded by the calendar span
+    * (84 months → 3.5k pairs), never by fact volume; the fact table
+    * is collapsed to month grain in one hash aggregate first.
+    */
+  def theilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    val my = Tables.orders(spark, sfDir)
+      .withColumn("m",
+        ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long"))
+      .withColumn("cents", floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+      .groupBy("m").agg(sum(col("cents")).as("y"))
+    val a = my.select(col("m").as("m1"), col("y").as("y1"))
+    val b = my.select(col("m").as("m2"), col("y").as("y2"))
+    val slopes = a.join(b, col("m2") > col("m1"))
+      .select(((col("y2") - col("y1")).cast("double") /
+        (col("m2") - col("m1")).cast("double")).as("s"))
+    slopes.agg(
+        count(lit(1)).as("n_pairs"),
+        percentile(col("s"), lit(0.25)).as("p25"),
+        percentile(col("s"), lit(0.5)).as("med"),
+        percentile(col("s"), lit(0.75)).as("p75"))
+      .select(col("n_pairs"),
+        graft.text.TextFns.round4(col("p25") / 100.0).as("slope_p25"),
+        graft.text.TextFns.round4(col("med") / 100.0).as("slope_med"),
+        graft.text.TextFns.round4(col("p75") / 100.0).as("slope_p75"))
+  }
+
+  private val sqlTheilSen =
+    s"""WITH my AS (SELECT CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m,
+       |              CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS y
+       |            FROM orders GROUP BY 1),
+       |     sl AS (SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.m - a.m AS DOUBLE) AS s
+       |            FROM my a JOIN my b ON b.m > a.m)
+       |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |       ${graft.text.TextFns.duckRound4("quantile_cont(s, 0.25) / 100.0")} AS slope_p25,
+       |       ${graft.text.TextFns.duckRound4("quantile_cont(s, 0.5) / 100.0")} AS slope_med,
+       |       ${graft.text.TextFns.duckRound4("quantile_cont(s, 0.75) / 100.0")} AS slope_p75
+       |FROM sl""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_nav" -> (windowNav _),
+    "q_ols_trend" -> (olsTrend _),
+    "q_theilsen" -> (theilSen _),
     "q_seasonal_naive" -> (seasonalNaive _),
     "q_ltv_curve" -> (ltvCurve _),
     "q_autocorr" -> (autocorr _),
@@ -858,6 +1038,9 @@ object Analytics {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_window_nav" -> sqlWindowNav,
+    "q_ols_trend" -> sqlOlsTrend,
+    "q_theilsen" -> sqlTheilSen,
     "q_autocorr" -> sqlAutocorr,
     "q_seasonal_naive" -> sqlSeasonalNaive,
     "q_ltv_curve" -> sqlLtvCurve,

@@ -903,7 +903,45 @@ object OlapMore {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------- q_listagg: deterministic ordered string aggregation ----------
+
+  /** Ordered string aggregation (LISTAGG / string_agg — the report
+    * column every BI export wants): per nation, its customers'
+    * distinct market segments as one comma-joined, alphabetically
+    * ordered string. Determinism is the whole point: an unordered
+    * string_agg is partition-order-dependent and can never pass a
+    * hash gate — the contract here is DISTINCT collapse first, then
+    * an explicitly ordered join (Spark: sort_array + array_join over
+    * collect_list of the distinct grain; DuckDB: string_agg with
+    * ORDER BY), so both engines render the identical string.
+    *
+    * Scale: the distinct (nation, segment) grain is dim × segment
+    * cardinality — bounded; collect_list state per group is the
+    * segment vocabulary, never fact-scaled. For a fact-scaled list
+    * payload the answer is "don't" (cap + TopKAgg), not a bigger
+    * buffer.
+    */
+  def listAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("c_mktsegment").as("seg"))
+      .distinct()
+    pairs.groupBy("nation")
+      .agg(count(lit(1)).as("n_segments"),
+        array_join(sort_array(collect_list(col("seg"))), ",").as("segments"))
+      .orderBy("nation")
+  }
+
+  private val sqlListAgg =
+    """WITH p AS (SELECT DISTINCT n_name AS nation, c_mktsegment AS seg
+      |           FROM customer JOIN nation ON c_nationkey = n_nationkey)
+      |SELECT nation, CAST(count(*) AS BIGINT) AS n_segments,
+      |       string_agg(seg, ',' ORDER BY seg) AS segments
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_listagg" -> (listAgg _),
     "q_topk_agg" -> (topkAgg _),
     "q_division" -> (division _),
     "q_above_avg" -> (aboveAvg _),
@@ -928,6 +966,7 @@ object OlapMore {
     "q_above_avg" -> sqlAboveAvg,
     "q_edit_distance" -> sqlEditDistance,
     "q_mom_delta" -> sqlMomDelta,
+    "q_listagg" -> sqlListAgg,
     "q_ratio_to_parent" -> sqlRatioToParent,
     "q_ntile" -> sqlNtile,
     "q_supplier_revenue" -> sqlSupplierRevenue,

@@ -12,7 +12,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * hand-aligned renditions. [[OlapQueries.sqlSurface]] (q_sql_surface)
   * pioneered the pattern; these widen it across the core relational
   * surface: exact distinct, ranking windows, frame windows, set ops,
-  * HAVING, conditional aggregation, IN-subqueries, and ROLLUP.
+  * HAVING, conditional aggregation, IN-subqueries, ROLLUP,
+  * correlated EXISTS/NOT EXISTS, lag/lead navigation, and the
+  * BETWEEN/LIKE/IN predicate surface.
   *
   * Dialect-safety rules that make one string work on both engines
   * (everything else in `SqlSurfaceSpec` stays same-engine-only, with
@@ -140,7 +142,59 @@ object SqlSurface {
       |GROUP BY ROLLUP(r_name, o_orderpriority)
       |ORDER BY gid, region, priority""".stripMargin
 
+  /** Correlated EXISTS / NOT EXISTS in WHERE position (the spot both
+    * engines support and decorrelate to semi/anti joins). */
+  private val sqlExists =
+    """SELECT 'has_urgent' AS cls, c_mktsegment,
+      |       CAST(count(*) AS BIGINT) AS n_customers
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey
+      |                AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT 'never_ordered' AS cls, c_mktsegment,
+      |       CAST(count(*) AS BIGINT) AS n_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |ORDER BY cls, c_mktsegment""".stripMargin
+
+  /** lag/lead with explicit defaults over the month spine — the
+    * navigation-window shape, integer cents end to end. */
+  private val sqlLag =
+    """WITH m AS (
+      |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+      |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY year(o_orderdate) * 100 + month(o_orderdate))
+      |SELECT ym, cents,
+      |       CAST(lag(cents, 1, 0) OVER (ORDER BY ym) AS BIGINT) AS prev_cents,
+      |       CAST(lead(cents, 1, 0) OVER (ORDER BY ym) AS BIGINT) AS next_cents,
+      |       CAST(cents - lag(cents, 1, 0) OVER (ORDER BY ym) AS BIGINT) AS delta_cents
+      |FROM m ORDER BY ym""".stripMargin
+
+  /** The predicate surface in one string: BETWEEN on dates, LIKE,
+    * IN-list, IS NULL-producing left join — conditional counts so
+    * every filter's cardinality is pinned. */
+  private val sqlFilters =
+    """SELECT o_orderstatus,
+      |       CAST(sum(CASE WHEN o_orderdate BETWEEN DATE '1995-01-01'
+      |                                          AND DATE '1995-12-31'
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_1995,
+      |       CAST(sum(CASE WHEN o_orderpriority LIKE '%URGENT' THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_urgent_like,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hipri,
+      |       CAST(count(*) AS BIGINT) AS n_orders
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_exists" -> ((s: SparkSession, d: String) =>
+      run(s, d, Seq("customer", "orders"), sqlExists)),
+    "q_sql_lag" -> ((s: SparkSession, d: String) =>
+      run(s, d, Seq("orders"), sqlLag)),
+    "q_sql_filters" -> ((s: SparkSession, d: String) =>
+      run(s, d, Seq("orders"), sqlFilters)),
     "q_sql_distinct" -> ((s: SparkSession, d: String) =>
       run(s, d, Seq("orders", "customer", "nation"), sqlDistinct)),
     "q_sql_rank" -> ((s: SparkSession, d: String) =>
@@ -159,6 +213,9 @@ object SqlSurface {
       run(s, d, Seq("orders", "customer", "nation", "region"), sqlRollup)))
 
   val oracle: Map[String, String] = Map(
+    "q_sql_exists" -> sqlExists,
+    "q_sql_lag" -> sqlLag,
+    "q_sql_filters" -> sqlFilters,
     "q_sql_distinct" -> sqlDistinct,
     "q_sql_rank" -> sqlRank,
     "q_sql_monthly" -> sqlMonthly,

@@ -1175,6 +1175,84 @@ object EventQueries {
                   "CAST(n_users AS DOUBLE) / CAST(t AS DOUBLE)")} AS share
        |FROM a CROSS JOIN tot ORDER BY touch_type""".stripMargin
 
+  // ---------- q_multi_touch: position-based (U-shaped) attribution ----------
+
+  /** Position-based multi-touch attribution over the same
+    * first-purchase touch sets as [[attribution]]: one touch takes
+    * full credit, two touches split 50/50, three or more give 40% to
+    * the first, 40% to the last, and divide the remaining 20% evenly
+    * among the middles — the standard U-shaped model that values
+    * discovery and closing over mid-funnel noise. Credit is
+    * aggregated per touch type.
+    *
+    * Parity: the per-touch weight is round6-collapsed and summed as
+    * DECIMAL (float credit sums would add in partition order); the
+    * single 0.2/(n−2) division is the same IEEE op on both engines.
+    * The (ts, event_id) composite totally orders each user's touch
+    * sequence, so positions are deterministic.
+    *
+    * Scale: per-user windows (user-keyed shuffle, per-user touch
+    * counts bounded by session behavior, not corpus size), one
+    * type-grain aggregate.
+    */
+  def multiTouch(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+      .select(col("user_id"), col("f.ts").as("fts"), col("f.event_id").as("fid"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .join(fp, Seq("user_id"))
+      .filter(col("ts") < col("fts") ||
+        (col("ts") === col("fts") && col("event_id") < col("fid")))
+    val byPos = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val byUser = Window.partitionBy("user_id")
+    val weighted = touches
+      .withColumn("rn", row_number().over(byPos))
+      .withColumn("n", count(lit(1)).over(byUser))
+      .withColumn("w",
+        when(col("n") === 1, lit(1.0))
+          .when(col("n") === 2, lit(0.5))
+          .when(col("rn") === 1 || col("rn") === col("n"), lit(0.4))
+          .otherwise(lit(0.2) / (col("n") - 2).cast("double")))
+      .withColumn("wd",
+        (floor(col("w") * 1000000.0 + 0.5) / 1000000.0).cast("decimal(18,6)"))
+    weighted.groupBy(col("event_type").as("touch_type"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("wd")).as("credit_dec"))
+      .select(col("touch_type"), col("n_touches"),
+        graft.text.TextFns.round4(col("credit_dec").cast("double")).as("credit"))
+      .orderBy("touch_type")
+  }
+
+  private val sqlMultiTouch =
+    s"""WITH fp AS (SELECT user_id, ts AS fts, event_id AS fid
+       |            FROM (SELECT user_id, ts, event_id,
+       |                    row_number() OVER (PARTITION BY user_id
+       |                      ORDER BY ts, event_id) AS rn
+       |                  FROM events WHERE event_type = 'purchase')
+       |            WHERE rn = 1),
+       |     touch AS (SELECT e.user_id, e.event_type, e.ts, e.event_id
+       |               FROM events e JOIN fp ON e.user_id = fp.user_id
+       |               WHERE e.event_type <> 'purchase'
+       |                 AND (e.ts < fp.fts
+       |                      OR (e.ts = fp.fts AND e.event_id < fp.fid))),
+       |     pos AS (SELECT user_id, event_type,
+       |               row_number() OVER (PARTITION BY user_id
+       |                 ORDER BY ts, event_id) AS rn,
+       |               count(*) OVER (PARTITION BY user_id) AS n
+       |             FROM touch),
+       |     wt AS (SELECT event_type,
+       |              CAST(floor((CASE WHEN n = 1 THEN 1.0
+       |                               WHEN n = 2 THEN 0.5
+       |                               WHEN rn = 1 OR rn = n THEN 0.4
+       |                               ELSE 0.2 / CAST(n - 2 AS DOUBLE) END)
+       |                          * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS wd
+       |            FROM pos)
+       |SELECT event_type AS touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+       |       ${graft.text.TextFns.duckRound4("CAST(sum(wd) AS DOUBLE)")} AS credit
+       |FROM wt GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Runs `body` with `spark.sql.shuffle.partitions` temporarily set
     * to `n` — STATE sizing for the gated streaming runs. A stateful
     * query instantiates one state store per shuffle partition per
@@ -1201,9 +1279,24 @@ object EventQueries {
     */
   private def withStatePartitions[A](spark: SparkSession, n: Int = 8)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
+    // 4.1's ChecksumCheckpointFileManager spawns a background checksum
+    // write per checkpoint file — pure fixed overhead for these
+    // ephemeral temp-dir checkpoints (and a documented deadlock risk
+    // on tiny local pools, see SparkSpec); scoped off for the gated
+    // run, restored after, same sequential-harness assumption as the
+    // partition override.
+    val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
     val prev = spark.conf.get(key)
+    val prevCk = spark.conf.getOption(ckKey)
     spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
+    spark.conf.set(ckKey, "false")
+    try body finally {
+      spark.conf.set(key, prev)
+      prevCk match {
+        case Some(v) => spark.conf.set(ckKey, v)
+        case None => spark.conf.unset(ckKey)
+      }
+    }
   }
 
   // ---------- q_stream_tumbling: REAL streaming run, oracle-gated ----------
@@ -2213,6 +2306,7 @@ object EventQueries {
     "q_stream_late" -> (streamLate _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_enrich" -> (streamEnrich _),
+    "q_multi_touch" -> (multiTouch _),
     "q_stream_outer" -> (streamOuterJoin _),
     "q_stream_session" -> (streamSession _),
     "q_stream_sliding" -> (streamSliding _),
@@ -2251,6 +2345,7 @@ object EventQueries {
     "q_stream_late" -> sqlStreamTumbling,
     "q_stream_join" -> sqlStreamJoin,
     "q_stream_enrich" -> sqlStreamEnrich,
+    "q_multi_touch" -> sqlMultiTouch,
     "q_stream_outer" -> sqlStreamOuter,
     "q_stream_session" -> sqlStreamSession,
     "q_stream_sliding" -> sqlStreamSliding,

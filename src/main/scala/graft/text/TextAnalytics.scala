@@ -205,7 +205,12 @@ object TextAnalytics {
     * `-ln(count/total)` per term and round the per-doc mean once at
     * the end (round4 convention).
     */
-  def crossEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-document (doc_id, n_tokens, UNROUNDED xent) under the
+    * corpus unigram LM — the shared kernel of [[crossEntropy]] (which
+    * rounds at its output edge) and [[ccnetBuckets]] (which rounds
+    * before bucketing), so the two can never disagree on a score.
+    */
+  private def docXent(spark: SparkSession, sfDir: String): DataFrame = {
     val terms = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -215,12 +220,16 @@ object TextAnalytics {
       .crossJoin(broadcast(tot))
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_tokens"),
-        TextFns.round4(
-          sum(col("tf").cast("double") *
-            -log(col("c").cast("double") / col("tot").cast("double"))) /
-            sum(col("tf")).cast("double")).as("xent"))
-      .orderBy("doc_id")
+        (sum(col("tf").cast("double") *
+          -log(col("c").cast("double") / col("tot").cast("double"))) /
+          sum(col("tf")).cast("double")).as("xent_raw"))
   }
+
+  def crossEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    docXent(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"),
+        TextFns.round4(col("xent_raw")).as("xent"))
+      .orderBy("doc_id")
 
   private val sqlCrossEntropy = {
     val xent = TextFns.duckRound4(
@@ -567,7 +576,139 @@ object TextAnalytics {
        |FROM d LEFT JOIN p ON d.doc_id = p.doc_id
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  // ---------- q_ccnet_buckets: head/middle/tail LM-quality buckets ----------
+
+  /** CCNet-style quality bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): per language, split documents into
+    * head/middle/tail THIRDS by their LM score — here the
+    * [[docXent]] unigram cross-entropy standing in for the paper's
+    * KenLM perplexity (lower = closer to the corpus distribution =
+    * head, exactly the paper's orientation). The bucket label is the
+    * curation signal half the open-source corpora shipped with.
+    *
+    * Parity: documents are bucketed on the ROUNDED score (the same
+    * round4 value [[crossEntropy]] emits), the per-lang tercile cuts
+    * are Spark exact `percentile` ≡ DuckDB `quantile_cont` over
+    * those identical doubles (bit-identical, verified pairing), and
+    * `1.0/3.0` is the same IEEE division on both engines; bucket
+    * means use the round6-DECIMAL exact-sum rule.
+    *
+    * Scale: per-doc scoring is the linear [[docXent]] shape; the cut
+    * table is lang-cardinality (broadcast); one comparison per doc.
+    */
+  def ccnetBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val dx = docXent(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
+        "doc_id")
+      .withColumn("xq", TextFns.round4(col("xent_raw")))
+    val cuts = dx.groupBy("lang")
+      .agg(percentile(col("xq"), lit(1.0 / 3.0)).as("t1"),
+        percentile(col("xq"), lit(2.0 / 3.0)).as("t2"))
+    dx.join(broadcast(cuts), "lang")
+      .withColumn("bucket",
+        when(col("xq") <= col("t1"), lit("head"))
+          .when(col("xq") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .withColumn("wd", floor(col("xq") * 1000000.0 + 0.5).cast("decimal(28,0)"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        TextFns.round4(sum(col("wd")).cast("double") / 1000000.0 /
+          count(lit(1)).cast("double")).as("mean_xent"))
+      .orderBy("lang", "bucket")
+  }
+
+  private val sqlCcnetBuckets =
+    s"""WITH t AS (SELECT doc_id, ${TextQueries.duckTokens} AS ts FROM documents),
+       |     terms AS (SELECT doc_id, unnest(ts) AS term FROM t),
+       |     tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |     cnt AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1),
+       |     tot AS (SELECT sum(c) AS tot FROM cnt),
+       |     dx0 AS (SELECT doc_id,
+       |               sum(CAST(tf AS DOUBLE) * -ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)))
+       |                 / CAST(sum(tf) AS DOUBLE) AS xent_raw
+       |             FROM tf JOIN cnt USING (term) CROSS JOIN tot
+       |             GROUP BY doc_id),
+       |     dx AS (SELECT d.lang, ${TextFns.duckRound4("xent_raw")} AS xq
+       |            FROM dx0 JOIN documents d USING (doc_id)),
+       |     cuts AS (SELECT lang, quantile_cont(xq, 1.0 / 3.0) AS t1,
+       |                quantile_cont(xq, 2.0 / 3.0) AS t2
+       |              FROM dx GROUP BY 1),
+       |     b AS (SELECT dx.lang,
+       |             CASE WHEN xq <= t1 THEN 'head'
+       |                  WHEN xq <= t2 THEN 'middle'
+       |                  ELSE 'tail' END AS bucket,
+       |             CAST(floor(xq * 1000000.0 + 0.5) AS DECIMAL(28,0)) AS wd
+       |           FROM dx JOIN cuts ON dx.lang = cuts.lang)
+       |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |       ${TextFns.duckRound4(
+                  "CAST(sum(wd) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE)")} AS mean_xent
+       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------- q_hash_sample: deterministic content-hash Bernoulli sample ----------
+
+  /** Sampling rate in percent — 10% is the conventional holdout. */
+  private val HashSamplePct = 10L
+
+  /** Deterministic content-keyed Bernoulli sampling: a document is
+    * sampled iff `polyHash(text) % 100 < 10` — membership depends on
+    * CONTENT alone, so the sample is reproducible across runs,
+    * partition layouts, engines, and re-ingestions (the property
+    * `rand()`-based sampling lacks, and the reason every holdout /
+    * decile-experiment split should be hash-keyed). Emitted per
+    * source with a mean-length bias audit: a fair hash must not
+    * correlate with document length, and the sampled-vs-all mean
+    * gap is the check reviewers actually run on a sampler.
+    *
+    * Unlike [[graft.etl.Sampling]] (xxhash64 — engine-specific, so
+    * property-tested, per the CLAUDE.md limit), this uses the
+    * [[graft.functions.TextHashUtil]] rolling hash that the oracle
+    * replays character by character — the one hash family that
+    * crosses engines.
+    *
+    * Scale: one per-row native hash + one hash aggregate; linear,
+    * no shuffle beyond the source-grain group-by.
+    */
+  def hashSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("sampled",
+        graft.functions.TextHashes.polyHash(col("text")) % 100 < HashSamplePct)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(col("n_chars")).as("chars_all"),
+        sum(when(col("sampled"), col("n_chars")).otherwise(0L)).as("chars_s"))
+      .select(col("source"), col("n_docs"), col("n_sampled"),
+        TextFns.round4(col("n_sampled").cast("double") /
+          col("n_docs").cast("double")).as("rate"),
+        TextFns.round4(col("chars_all").cast("double") /
+          col("n_docs").cast("double")).as("mean_chars_all"),
+        when(col("n_sampled") > 0,
+          TextFns.round4(col("chars_s").cast("double") /
+            col("n_sampled").cast("double"))).as("mean_chars_sampled"))
+      .orderBy("source")
+
+  private val sqlHashSample =
+    s"""WITH c AS (SELECT source, n_chars, ${TextQueries.duckCodes} AS cs FROM documents),
+       |     h AS (SELECT source, n_chars,
+       |             (${TextQueries.duckPolyHash} % 100 < $HashSamplePct) AS sampled
+       |           FROM c),
+       |     g AS (SELECT source, count(*) AS n_docs,
+       |             sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS n_sampled,
+       |             sum(n_chars) AS chars_all,
+       |             sum(CASE WHEN sampled THEN n_chars ELSE 0 END) AS chars_s
+       |           FROM h GROUP BY 1)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST(n_sampled AS BIGINT) AS n_sampled,
+       |       ${TextFns.duckRound4("CAST(n_sampled AS DOUBLE) / CAST(n_docs AS DOUBLE)")} AS rate,
+       |       ${TextFns.duckRound4("CAST(chars_all AS DOUBLE) / CAST(n_docs AS DOUBLE)")} AS mean_chars_all,
+       |       CASE WHEN n_sampled > 0 THEN
+       |         ${TextFns.duckRound4("CAST(chars_s AS DOUBLE) / CAST(n_sampled AS DOUBLE)")}
+       |       END AS mean_chars_sampled
+       |FROM g ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ccnet_buckets" -> (ccnetBuckets _),
+    "q_hash_sample" -> (hashSample _),
     "q_bow_classify" -> (bowClassify _),
     "q_neyman_alloc" -> (neymanAlloc _),
     "q_kanon" -> (kanon _),
@@ -580,6 +721,8 @@ object TextAnalytics {
     "q_source_quota" -> (sourceQuota _))
 
   val oracle: Map[String, String] = Map(
+    "q_ccnet_buckets" -> sqlCcnetBuckets,
+    "q_hash_sample" -> sqlHashSample,
     "q_bow_classify" -> sqlBowClassify,
     "q_neyman_alloc" -> sqlNeymanAlloc,
     "q_kanon" -> sqlKanon,

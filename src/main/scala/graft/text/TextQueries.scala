@@ -35,8 +35,11 @@ object TextQueries {
   // ---------- shared DuckDB oracle fragments (built from the same
   // constants as the Spark side) ----------
 
-  /** codes CTE body: 1-based code-point list of `text`. */
-  private val duckCodes =
+  /** codes CTE body: 1-based code-point list of `text` (shared with
+    * [[TextAnalytics]]'s hash-sample oracle, same single-source rule
+    * as [[duckTokens]]).
+    */
+  private[text] val duckCodes =
     "list_transform(range(1, greatest(length(text), 1) + 1), " +
       "i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT))"
 
@@ -52,7 +55,7 @@ object TextQueries {
     s"list_transform(range(1, greatest(length(text) - ${K - 1}, 1) + 1), i -> $duckShingleHash)"
 
   /** Whole-document rolling hash — mirrors [[TextFns.polyHash]]. */
-  private val duckPolyHash =
+  private[text] val duckPolyHash =
     s"list_reduce([CAST(0 AS BIGINT)] || cs, (acc, c) -> (acc * 31 + c) % $p)"
 
   /** Shared with [[TextAnalytics]] (single source of truth for the

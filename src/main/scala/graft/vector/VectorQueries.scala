@@ -1718,6 +1718,202 @@ object VectorQueries {
        |FROM r WHERE rank <= $TopK ORDER BY rank""".stripMargin
   }
 
+  // ---------- 14c. q_sq8_recall: int8 scalar-quantization recall ----------
+
+  /** Scalar (per-dimension int8) quantization recall audit — the
+    * third point on the compression-recall curve next to 1-bit
+    * ([[binaryQuant]]) and PQ ([[pqCodes]]): each dimension maps to
+    * 0..255 over its corpus [min, max] range, candidates are scored
+    * ASYMMETRICALLY (full-precision probe against reconstructed
+    * candidates — the SQ-ADC convention), and per probe the top-k
+    * overlap with exact search is reported. 8× compression with
+    * near-exact recall is the usual production middle ground.
+    *
+    * Parity: min/max are exact aggregates; quantize
+    * `floor((x−mn)/(mx−mn)·255 + 0.5)` and reconstruct
+    * `mn + q·((mx−mn)/255)` are written in ONE literal operation
+    * order on both engines (every op IEEE-deterministic, so even the
+    * unrounded rank is engine-identical — the [[binaryQuant]] exact-
+    * rank precedent); constant dimensions reconstruct to mn exactly.
+    *
+    * Scale: the (dim, min, max) table is 64 rows (broadcast); the
+    * probe fan-out is capped by [[ProbeIdCap]]; reconstruction is a
+    * per-row map. In a real serving path the reconstruction feeds
+    * the same cell/bucket-pruned candidate sets as [[ivfpqAdc]].
+    */
+  def sq8Recall(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+    val mm = vecs.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("dim"), col("mn"), col("mx")))).as("ps"))
+      .select(expr("transform(ps, p -> p.mn)").as("mns"),
+        expr("transform(ps, p -> p.mx)").as("mxs"))
+    val recon = vecs.crossJoin(broadcast(mm))
+      .withColumn("r", expr(
+        """transform(v, (x, i) ->
+          |  CASE WHEN mxs[i] - mns[i] = 0D THEN mns[i]
+          |       ELSE mns[i] + floor((x - mns[i]) / (mxs[i] - mns[i]) * 255.0 + 0.5)
+          |            * ((mxs[i] - mns[i]) / 255.0) END)""".stripMargin))
+      .withColumn("rnrm", VectorFns.norm(col("r")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("r"), col("rnrm"))
+    val probes = recon
+      .filter(pmod(col("vec_id"), lit(RecallProbeStep)) === 0 &&
+        col("vec_id") < ProbeIdCap)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+    val joined = recon.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+    val bySim = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val exact = joined
+      .withColumn("sim",
+        VectorFns.cosineStaged(col("v"), col("pv"), col("nrm"), col("pnrm")))
+      .withColumn("rk", row_number().over(bySim))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("vec_id"))
+    val sq = joined
+      .withColumn("sim",
+        VectorFns.cosineStaged(col("r"), col("pv"), col("rnrm"), col("pnrm")))
+      .withColumn("rk", row_number().over(bySim))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("vec_id"))
+    val hits = exact.join(sq, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("hits"))
+    probes.select(col("probe_id"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round4(coalesce(col("hits"), lit(0L)).cast("double") / TopK).as("recall"))
+      .orderBy("probe_id")
+  }
+
+  private val sqlSq8Recall = {
+    val rExpr =
+      "list_transform(range(1, len(v) + 1), i -> " +
+        "CASE WHEN mxs[CAST(i AS INT)] - mns[CAST(i AS INT)] = 0 THEN mns[CAST(i AS INT)] " +
+        "ELSE mns[CAST(i AS INT)] + floor((v[CAST(i AS INT)] - mns[CAST(i AS INT)]) / " +
+        "(mxs[CAST(i AS INT)] - mns[CAST(i AS INT)]) * 255.0 + 0.5) " +
+        "* ((mxs[CAST(i AS INT)] - mns[CAST(i AS INT)]) / 255.0) END)"
+    s"""WITH $duckVecs,
+       |     dx AS (SELECT CAST(i - 1 AS INT) AS dim, v[CAST(i AS INT)] AS x
+       |            FROM e CROSS JOIN range(1, 65) t(i)),
+       |     dm AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM dx GROUP BY 1),
+       |     mm AS (SELECT list_transform(list_sort(list({'dim': dim, 'mn': mn, 'mx': mx})),
+       |                     p -> p.mn) AS mns,
+       |                   list_transform(list_sort(list({'dim': dim, 'mn': mn, 'mx': mx})),
+       |                     p -> p.mx) AS mxs
+       |            FROM dm),
+       |     rc0 AS (SELECT vec_id, v, nrm, $rExpr AS r FROM e CROSS JOIN mm),
+       |     rc AS (SELECT vec_id, v, nrm, r, sqrt(${duckDot("r", "r")}) AS rnrm FROM rc0),
+       |     p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm FROM rc
+       |           WHERE vec_id % $RecallProbeStep = 0 AND vec_id < $ProbeIdCap),
+       |     j AS (SELECT * FROM rc, p WHERE vec_id <> probe_id),
+       |     ex AS (SELECT probe_id, vec_id,
+       |              row_number() OVER (PARTITION BY probe_id
+       |                ORDER BY ${duckDot("v", "pv")} / (nrm * pnrm) DESC, vec_id) AS rk
+       |            FROM j),
+       |     exact AS (SELECT probe_id, vec_id FROM ex WHERE rk <= $TopK),
+       |     sr AS (SELECT probe_id, vec_id,
+       |              row_number() OVER (PARTITION BY probe_id
+       |                ORDER BY ${duckDot("r", "pv")} / (rnrm * pnrm) DESC, vec_id) AS rk
+       |            FROM j),
+       |     sq AS (SELECT probe_id, vec_id FROM sr WHERE rk <= $TopK),
+       |     h AS (SELECT exact.probe_id, count(*) AS hits
+       |           FROM exact JOIN sq ON exact.probe_id = sq.probe_id
+       |                             AND exact.vec_id = sq.vec_id
+       |           GROUP BY 1)
+       |SELECT p.probe_id, CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+       |       ${duckRound4(s"CAST(coalesce(hits, 0) AS DOUBLE) / $TopK")} AS recall
+       |FROM p LEFT JOIN h ON p.probe_id = h.probe_id
+       |ORDER BY p.probe_id""".stripMargin
+  }
+
+  // ---------- 14d. q_filtered_knn: attribute-filtered vector search ----------
+
+  /** Filtered vector search audit — PRE-filter vs POST-filter, the
+    * serving decision every metadata-constrained ANN deployment
+    * faces: restrict to an attribute shard (here the even-label half
+    * of the corpus) either by filtering candidates BEFORE ranking
+    * (correct, but the index must support predicates) or by taking
+    * the unfiltered top-k and filtering AFTER (cheap, but survivors
+    * < k and recall is lost). Per probe: the post-filter survivor
+    * count and its recall against the pre-filter truth — the exact
+    * table (recall ≈ selectivity, here ~½) that motivates
+    * filter-aware indexes.
+    *
+    * Parity: both rankings order on the UNROUNDED staged cosine with
+    * a vec_id tie-break — exact-rank convention ([[binaryQuant]]
+    * precedent: identical IEEE op order makes even unrounded sims
+    * engine-identical); the label predicate is integer modulo.
+    *
+    * Scale: probe fan-out capped by [[ProbeIdCap]]; in a real
+    * serving path both arms run over the same cell/bucket-pruned
+    * candidate sets as [[ivfSearch]] — the pre/post contrast, not
+    * the scan, is what this query pins.
+    */
+  def filteredKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+    val probes = vecs
+      .filter(pmod(col("vec_id"), lit(RecallProbeStep)) === 0 &&
+        col("vec_id") < ProbeIdCap)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+    val scored = vecs.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("sim",
+        VectorFns.cosineStaged(col("v"), col("pv"), col("nrm"), col("pnrm")))
+    val bySim = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val pre = scored.filter(col("label") % 2 === 0)
+      .withColumn("rk", row_number().over(bySim))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("vec_id"))
+    val post = scored
+      .withColumn("rk", row_number().over(bySim))
+      .filter(col("rk") <= TopK && col("label") % 2 === 0)
+      .select(col("probe_id"), col("vec_id"))
+    val nPost = post.groupBy("probe_id").agg(count(lit(1)).as("n_post"))
+    val hits = pre.join(post, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("hits"))
+    probes.select(col("probe_id"))
+      .join(nPost, Seq("probe_id"), "left")
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_post"), lit(0L)).as("n_post"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round4(coalesce(col("hits"), lit(0L)).cast("double") / TopK).as("recall"))
+      .orderBy("probe_id")
+  }
+
+  private val sqlFilteredKnn =
+    s"""WITH $duckVecs,
+       |     p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm FROM e
+       |           WHERE vec_id % $RecallProbeStep = 0 AND vec_id < $ProbeIdCap),
+       |     j AS (SELECT vec_id, label, probe_id,
+       |             ${duckDot("v", "pv")} / (nrm * pnrm) AS sim
+       |           FROM e, p WHERE vec_id <> probe_id),
+       |     pre AS (SELECT probe_id, vec_id FROM (
+       |               SELECT probe_id, vec_id,
+       |                 row_number() OVER (PARTITION BY probe_id
+       |                   ORDER BY sim DESC, vec_id) AS rk
+       |               FROM j WHERE label % 2 = 0) r
+       |             WHERE rk <= $TopK),
+       |     post AS (SELECT probe_id, vec_id FROM (
+       |                SELECT probe_id, vec_id, label,
+       |                  row_number() OVER (PARTITION BY probe_id
+       |                    ORDER BY sim DESC, vec_id) AS rk
+       |                FROM j) r
+       |              WHERE rk <= $TopK AND label % 2 = 0),
+       |     np AS (SELECT probe_id, count(*) AS n_post FROM post GROUP BY 1),
+       |     h AS (SELECT pre.probe_id, count(*) AS hits
+       |           FROM pre JOIN post ON pre.probe_id = post.probe_id
+       |                             AND pre.vec_id = post.vec_id
+       |           GROUP BY 1)
+       |SELECT p.probe_id, CAST(coalesce(n_post, 0) AS BIGINT) AS n_post,
+       |       CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+       |       ${duckRound4(s"CAST(coalesce(hits, 0) AS DOUBLE) / $TopK")} AS recall
+       |FROM p LEFT JOIN np ON p.probe_id = np.probe_id
+       |       LEFT JOIN h ON p.probe_id = h.probe_id
+       |ORDER BY p.probe_id""".stripMargin
+
   // ---------- 15. q_kmeans_refine: Lloyd refinement rounds ----------
 
   private val KmRounds = 2
@@ -2493,6 +2689,8 @@ object VectorQueries {
     "q_triangle_count" -> (triangleCount _),
     "q_pq_codes" -> (pqCodes _),
     "q_ivfpq_adc" -> (ivfpqAdc _),
+    "q_sq8_recall" -> (sq8Recall _),
+    "q_filtered_knn" -> (filteredKnn _),
     "q_semantic_dedup" -> (semanticDedup _),
     "q_semdedup_cc" -> (semanticDedupExact _),
     "q_rrf_fusion" -> (rrfFusion _),
@@ -2527,6 +2725,8 @@ object VectorQueries {
     "q_triangle_count" -> sqlTriangleCount,
     "q_pq_codes" -> sqlPqCodes,
     "q_ivfpq_adc" -> sqlIvfpqAdc,
+    "q_sq8_recall" -> sqlSq8Recall,
+    "q_filtered_knn" -> sqlFilteredKnn,
     "q_semantic_dedup" -> sqlSemanticDedup,
     "q_semdedup_cc" -> sqlSemanticDedupCc,
     "q_rrf_fusion" -> sqlRrfFusion,
