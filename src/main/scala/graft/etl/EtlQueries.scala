@@ -1116,6 +1116,66 @@ object EtlQueries {
     roundtripAgg(back)
   }
 
+  // ---------- q_schema_merge: schema-evolution (mergeSchema) seam ----------
+
+  /** Schema-evolution fidelity under the oracle gate: an "old"
+    * snapshot written WITHOUT a column and a "new" snapshot written
+    * WITH it (the additive-column migration every long-lived table
+    * goes through) are read back together via parquet `mergeSchema`,
+    * and the merged frame must aggregate exactly as the contract
+    * says: old rows surface the added column as NULL, new rows carry
+    * their values, and no row or measure is lost crossing the schema
+    * boundary. The oracle replays the contract from the ORIGINAL
+    * table (pre-1995 orders = the old snapshot, the rest = new), so
+    * any silent row drop, column misalignment, or null-default
+    * divergence in the merged read breaks the hash.
+    *
+    * Scale: mergeSchema's footer-union planning cost is per-FILE,
+    * not per-row — at 100 TB you pin the merged schema in the
+    * catalog instead (the scaladoc'd production path); the read
+    * itself stays a plain pruned columnar scan.
+    */
+  def schemaMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_schema_mrg").toString
+    val o = Tables.orders(spark, sfDir)
+    val cut = lit("1995-01-01").cast("date")
+    // old snapshot: pre-cut rows, no channel column yet
+    o.filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/snap/v1")
+    // new snapshot: post-cut rows with the added column
+    o.filter(col("o_orderdate") >= cut)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority").as("channel"))
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/snap/v2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(s"$dir/snap")
+    merged
+      .withColumn("ch", coalesce(col("channel"), lit("_pre_migration")))
+      .withColumn("cents", floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+      .groupBy("ch")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents").cast("decimal(38,0)")).as("cs"),
+        min(col("o_orderkey")).as("min_key"))
+      .select(col("ch").as("channel"), col("n_orders"),
+        graft.text.TextFns.round4(col("cs").cast("double") / 100.0).as("revenue"),
+        col("min_key"))
+      .orderBy("channel")
+  }
+
+  private val sqlSchemaMerge =
+    s"""WITH m AS (SELECT o_orderkey,
+       |             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+       |             CASE WHEN o_orderdate < DATE '1995-01-01' THEN '_pre_migration'
+       |                  ELSE o_orderpriority END AS ch
+       |           FROM orders)
+       |SELECT ch AS channel, CAST(count(*) AS BIGINT) AS n_orders,
+       |       ${graft.text.TextFns.duckRound4("CAST(sum(cents) AS DOUBLE) / 100.0")} AS revenue,
+       |       CAST(min(o_orderkey) AS BIGINT) AS min_key
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def roundtripAgg(df: DataFrame): DataFrame =
     df.withColumn("vm", floor(col("value") * 1000000.0 + 0.5).cast("decimal(28,0)"))
       .withColumn("hr", expr("unix_micros(ts) div 3600000000"))
@@ -1264,6 +1324,7 @@ object EtlQueries {
     "q_time_travel" -> (timeTravel _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
+    "q_schema_merge" -> (schemaMerge _),
     "q_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "q_py_title" -> (pyTitleAudit _),
     "q_lww_upsert" -> (lwwUpsert _),
@@ -1295,6 +1356,7 @@ object EtlQueries {
     "q_time_travel" -> sqlTimeTravel,
     "q_csv_roundtrip" -> sqlRoundtripBase,
     "q_orc_roundtrip" -> sqlRoundtripBase,
+    "q_schema_merge" -> sqlSchemaMerge,
     "q_jsonl_roundtrip" -> sqlJsonlRoundtrip,
     "q_py_title" -> sqlPyTitle,
     "q_lww_upsert" -> sqlLwwUpsert,

@@ -786,10 +786,63 @@ object Analytics {
        |       ${graft.text.TextFns.duckRound4("quantile_cont(s, 0.75) / 100.0")} AS slope_p75
        |FROM sl""".stripMargin
 
+  // ---------- q_seasonal_index: classic calendar-month seasonal index ----------
+
+  /** Calendar-month seasonal index — the ratio-to-overall-average
+    * seasonality profile (index > 1 ⇒ that calendar month runs hot):
+    * for each of the 12 calendar months, the mean monthly revenue of
+    * that month across years divided by the overall mean monthly
+    * revenue. The deseasonalization companion to [[seasonalNaive]]
+    * (which backtests lag-12; this measures the seasonal shape
+    * itself).
+    *
+    * Parity: all sums are exact integer cents at (year, month) grain
+    * (DECIMAL on the Spark side, HUGEINT in DuckDB); each output is
+    * a fixed sequence of three IEEE divisions
+    * (month-mean, overall-mean, their ratio), rounded once.
+    *
+    * Scale: fact collapses to the (year, month) grain in one hash
+    * aggregate; everything after is ≤ span-months rows.
+    */
+  def seasonalIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val ym = Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("decimal(38,0)").as("cents"))
+    val tot = ym.agg(sum(col("cents")).as("tot_cents"),
+      count(lit(1)).as("tot_months"))
+    ym.groupBy("m")
+      .agg(count(lit(1)).as("n_months"), sum(col("cents")).as("m_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("m").cast("long").as("cal_month"), col("n_months"),
+        graft.text.TextFns.round4(col("m_cents").cast("double") /
+          col("n_months").cast("double") / 100.0).as("avg_revenue"),
+        graft.text.TextFns.round4(
+          (col("m_cents").cast("double") / col("n_months").cast("double")) /
+            (col("tot_cents").cast("double") / col("tot_months").cast("double")))
+          .as("seasonal_index"))
+      .orderBy("cal_month")
+  }
+
+  private val sqlSeasonalIndex =
+    s"""WITH ym AS (SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+       |              CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+       |            FROM orders GROUP BY 1, 2),
+       |     tot AS (SELECT sum(cents) AS tot_cents, count(*) AS tot_months FROM ym)
+       |SELECT CAST(m AS BIGINT) AS cal_month, CAST(count(*) AS BIGINT) AS n_months,
+       |       ${graft.text.TextFns.duckRound4(
+                  "CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0")} AS avg_revenue,
+       |       ${graft.text.TextFns.duckRound4(
+                  "(CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / " +
+                  "(CAST(tot_cents AS DOUBLE) / CAST(tot_months AS DOUBLE))")} AS seasonal_index
+       |FROM ym CROSS JOIN tot
+       |GROUP BY m, tot_cents, tot_months ORDER BY cal_month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_nav" -> (windowNav _),
     "q_ols_trend" -> (olsTrend _),
     "q_theilsen" -> (theilSen _),
+    "q_seasonal_index" -> (seasonalIndex _),
     "q_seasonal_naive" -> (seasonalNaive _),
     "q_ltv_curve" -> (ltvCurve _),
     "q_autocorr" -> (autocorr _),
@@ -1041,6 +1094,7 @@ object Analytics {
     "q_window_nav" -> sqlWindowNav,
     "q_ols_trend" -> sqlOlsTrend,
     "q_theilsen" -> sqlTheilSen,
+    "q_seasonal_index" -> sqlSeasonalIndex,
     "q_autocorr" -> sqlAutocorr,
     "q_seasonal_naive" -> sqlSeasonalNaive,
     "q_ltv_curve" -> sqlLtvCurve,

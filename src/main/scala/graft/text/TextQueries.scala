@@ -1250,6 +1250,89 @@ object TextQueries {
        |ORDER BY round""".stripMargin
   }
 
+  // ---------- 3a¹ᵇ'. q_bfs_khop: k-hop BFS reach profile ----------
+
+  private val BfsSeeds = 3
+  private val BfsDepth = 3
+
+  /** Per-seed breadth-first reach profile over the undirected LSH
+    * collision graph: from each of the [[BfsSeeds]] smallest graph
+    * nodes, how many documents sit at shortest-path distance 1, 2,
+    * and 3 — the duplicate-neighborhood-radius question ("if I drop
+    * this doc, how far does its near-dup influence extend?") and the
+    * standard k-hop primitive under graph feature extraction.
+    *
+    * Shape: driver-paced frontier expansion, one equi-join + anti-
+    * join per depth (work ∝ frontier-adjacent edges, never the whole
+    * graph); every round's frontier and the accumulated visited set
+    * are `checkpointTracked` with superseded blocks freed, per the
+    * iterative-kernel rule. Seed selection is a TakeOrdered over the
+    * distinct node set (bounded output, no global sort
+    * materialization). The oracle unrolls the same [[BfsDepth]]
+    * levels as CTEs with EXCEPT-based visited masking.
+    *
+    * All-integer outputs; no float parity surface at all.
+    */
+  def bfsKhop(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.graph.ConnectedComponents.{checkpointTracked, free}
+    val pairs = bandReps(Tables.documents(spark, sfDir))
+      .filter(col("rep") < col("doc_id"))
+      .select(col("rep").as("a"), col("doc_id").as("b"))
+      .distinct()
+    val (edges, eIds) = checkpointTracked(
+      pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"))))
+    val seeds = edges.select(col("src").as("v")).distinct()
+      .orderBy("v").limit(BfsSeeds)
+    var (visited, visIds) = checkpointTracked(
+      seeds.select(col("v").as("seed"), col("v"), lit(0).as("dist")))
+    var frontier = visited
+    var frontIds = Set.empty[Int]
+    for (d <- 1 to BfsDepth) {
+      val (next, nIds) = checkpointTracked(
+        frontier.join(edges, frontier("v") === edges("src"))
+          .select(col("seed"), col("dst").as("v")).distinct()
+          .join(visited.select(col("seed"), col("v")), Seq("seed", "v"), "left_anti")
+          .withColumn("dist", lit(d)))
+      val (vis2, v2Ids) = checkpointTracked(visited.unionByName(next))
+      free(visited, visIds)
+      if (frontIds.nonEmpty) free(frontier, frontIds)
+      visited = vis2; visIds = v2Ids
+      frontier = next; frontIds = nIds
+    }
+    val out = visited.groupBy("seed", "dist")
+      .agg(count(lit(1)).as("n_nodes"))
+      .filter(col("dist") > 0)
+      .orderBy("seed", "dist")
+      .localCheckpoint(true)
+    free(visited, visIds)
+    if (frontIds.nonEmpty) free(frontier, frontIds)
+    free(edges, eIds)
+    out
+  }
+
+  private val sqlBfsKhop = {
+    def level(i: Int): String =
+      s"""f$i AS (SELECT DISTINCT f.seed, e.dst AS v
+         |        FROM f${i - 1} f JOIN e0 e ON f.v = e.src
+         |        WHERE NOT EXISTS (SELECT 1 FROM vis${i - 1} x
+         |                          WHERE x.seed = f.seed AND x.v = e.dst)),
+         |vis$i AS (SELECT seed, v FROM vis${i - 1}
+         |          UNION ALL SELECT seed, v FROM f$i)""".stripMargin
+    s"""WITH $duckPairsPrefix,
+       |     e0 AS (SELECT a AS src, b AS dst FROM pairs
+       |            UNION ALL SELECT b, a FROM pairs),
+       |     sd AS (SELECT DISTINCT src AS v FROM e0 ORDER BY v LIMIT $BfsSeeds),
+       |     f0 AS (SELECT v AS seed, v FROM sd),
+       |     vis0 AS (SELECT seed, v FROM f0),
+       |     ${(1 to BfsDepth).map(level).mkString(",\n")}
+       |SELECT seed, dist, CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM (${(1 to BfsDepth)
+                .map(i => s"SELECT seed, $i AS dist, v FROM f$i")
+                .mkString(" UNION ALL ")}) lv
+       |GROUP BY seed, dist ORDER BY seed, dist""".stripMargin
+  }
+
   // ---------- 3a¹ᶜ. q_label_prop: one label-propagation round ----------
 
   /** One synchronous label-propagation round (Raghavan et al., 2007)
@@ -2651,6 +2734,7 @@ object TextQueries {
     "q_degree_mix" -> (degreeMix _),
     "q_cc_refresh" -> (ccRefresh _),
     "q_kcore" -> (kcore _),
+    "q_bfs_khop" -> (bfsKhop _),
     "q_label_prop" -> (labelProp _),
     "q_delta_dedup" -> (deltaDedup _),
     "q_cc_clusters" -> (ccClusters _),
@@ -2694,6 +2778,7 @@ object TextQueries {
     "q_degree_mix" -> sqlDegreeMix,
     "q_cc_refresh" -> sqlCcRefresh,
     "q_kcore" -> sqlKcore,
+    "q_bfs_khop" -> sqlBfsKhop,
     "q_label_prop" -> sqlLabelProp,
     "q_delta_dedup" -> sqlDeltaDedup,
     "q_cc_clusters" -> sqlCcClusters,
