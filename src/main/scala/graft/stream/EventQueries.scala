@@ -1261,12 +1261,18 @@ object EventQueries {
     * store; at the gate's state cardinality (≤ tens of thousands of
     * keys) the session default of 32 partitions makes the commit path
     * pure fixed overhead — q_stream_join measured 14.2 s at sf0.1 but
-    * 19.1 s at sf0.01, i.e. all engine, no data. Eight partitions is
-    * the plan a production job would size for this state volume; at
-    * 100 TB partitions scale with STATE size (keys retained inside
-    * the watermark), not input size, so the knob — not the query —
-    * is what changes. Restored in a finally so a failed run cannot
-    * leak the setting into the next bench query.
+    * 19.1 s at sf0.01, i.e. all engine, no data. Two partitions is
+    * the plan a production job would size for this state volume
+    * (measured: the 11-query gated pack fell 36.3 → 26.3 s at sf0.1
+    * going 8 → 2, with the 4-store outer join alone 10.2 → 5.6 s and
+    * NO query slower — per-store commit count, not parallelism, is
+    * the binding cost at this state size); at 100 TB partitions
+    * scale with STATE size (keys retained inside the watermark), not
+    * input size, so the knob — not the query — is what changes.
+    * Result-stable by construction: every gated value sum is
+    * round-before-sum DECIMAL (order-independent), so the partition
+    * count cannot move a hash. Restored in a finally so a failed run
+    * cannot leak the setting into the next bench query.
     *
     * SEQUENTIAL-HARNESS ASSUMPTION: the override mutates the
     * session-global conf, so any query sharing the SparkSession
@@ -1277,7 +1283,7 @@ object EventQueries {
     * concurrently, scope the override to a `spark.newSession()`
     * (session-local conf, shared SparkContext) instead.
     */
-  private def withStatePartitions[A](spark: SparkSession, n: Int = 8)(body: => A): A = {
+  private def withStatePartitions[A](spark: SparkSession, n: Int = 2)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     // 4.1's ChecksumCheckpointFileManager spawns a background checksum
     // write per checkpoint file — pure fixed overhead for these
