@@ -1914,6 +1914,66 @@ object VectorQueries {
        |       LEFT JOIN h ON p.probe_id = h.probe_id
        |ORDER BY p.probe_id""".stripMargin
 
+  // ---------- 14e. q_xlingual_mine: cross-lingual best-match mining ----------
+
+  /** Cross-lingual nearest-neighbor mining audit — the bitext-mining
+    * primitive (CCMatrix / LASER margin mining, Schwenk et al. 2021):
+    * for each probe document and each OTHER language, the best
+    * cosine match in that language, rolled up per (src_lang,
+    * tgt_lang) as probe count and mean best-similarity. On a clean
+    * multilingual corpus the table IS the answer to "is any content
+    * translated/duplicated across languages?" — here the means sit
+    * far below the same-language dedup threshold, which is itself
+    * the audit result (no cross-lingual leakage in the corpus).
+    *
+    * Parity: per-probe best = max over unrounded engine-identical
+    * sims (exact-rank convention); the per-cell mean uses the
+    * round6-DECIMAL exact-sum rule.
+    *
+    * Scale: probes capped by the [[RecallProbeStep]]/[[ProbeIdCap]]
+    * convention; the per-probe scan is the brute baseline the
+    * bucketed index ([[RunIndex]]) replaces at scale — mining then
+    * probes each language's cell-pruned candidates instead.
+    */
+  def xlingualMine(spark: SparkSession, sfDir: String): DataFrame = {
+    val langs = graft.schema.Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val vecs = withVecs(spark, sfDir).join(langs, "vec_id")
+    val probes = vecs
+      .filter(pmod(col("vec_id"), lit(RecallProbeStep)) === 0 &&
+        col("vec_id") < ProbeIdCap)
+      .select(col("vec_id").as("probe_id"), col("lang").as("src_lang"),
+        col("v").as("pv"), col("nrm").as("pnrm"))
+    val best = vecs.crossJoin(broadcast(probes))
+      .filter(col("lang") =!= col("src_lang"))
+      .withColumn("sim",
+        VectorFns.cosineStaged(col("v"), col("pv"), col("nrm"), col("pnrm")))
+      .groupBy(col("probe_id"), col("src_lang"), col("lang").as("tgt_lang"))
+      .agg(max(col("sim")).as("b"))
+      .withColumn("wd", floor(col("b") * 1000000.0 + 0.5).cast("decimal(28,0)"))
+    best.groupBy("src_lang", "tgt_lang")
+      .agg(count(lit(1)).as("n_probes"),
+        round4(sum(col("wd")).cast("double") / 1000000.0 /
+          count(lit(1)).cast("double")).as("mean_best"))
+      .orderBy("src_lang", "tgt_lang")
+  }
+
+  private val sqlXlingualMine =
+    s"""WITH $duckVecs,
+       |     ev AS (SELECT e.vec_id, d.lang, e.v, e.nrm
+       |            FROM e JOIN documents d ON e.vec_id = d.doc_id),
+       |     p AS (SELECT vec_id AS probe_id, lang AS src_lang, v AS pv, nrm AS pnrm
+       |           FROM ev WHERE vec_id % $RecallProbeStep = 0 AND vec_id < $ProbeIdCap),
+       |     b AS (SELECT probe_id, src_lang, ev.lang AS tgt_lang,
+       |             CAST(floor(max(${duckDot("ev.v", "pv")} / (ev.nrm * pnrm))
+       |                        * 1000000.0 + 0.5) AS DECIMAL(28,0)) AS wd
+       |           FROM ev, p WHERE ev.lang <> src_lang
+       |           GROUP BY 1, 2, 3)
+       |SELECT src_lang, tgt_lang, CAST(count(*) AS BIGINT) AS n_probes,
+       |       ${duckRound4(
+                  "CAST(sum(wd) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE)")} AS mean_best
+       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------- 15. q_kmeans_refine: Lloyd refinement rounds ----------
 
   private val KmRounds = 2
@@ -2691,6 +2751,7 @@ object VectorQueries {
     "q_ivfpq_adc" -> (ivfpqAdc _),
     "q_sq8_recall" -> (sq8Recall _),
     "q_filtered_knn" -> (filteredKnn _),
+    "q_xlingual_mine" -> (xlingualMine _),
     "q_semantic_dedup" -> (semanticDedup _),
     "q_semdedup_cc" -> (semanticDedupExact _),
     "q_rrf_fusion" -> (rrfFusion _),
@@ -2727,6 +2788,7 @@ object VectorQueries {
     "q_ivfpq_adc" -> sqlIvfpqAdc,
     "q_sq8_recall" -> sqlSq8Recall,
     "q_filtered_knn" -> sqlFilteredKnn,
+    "q_xlingual_mine" -> sqlXlingualMine,
     "q_semantic_dedup" -> sqlSemanticDedup,
     "q_semdedup_cc" -> sqlSemanticDedupCc,
     "q_rrf_fusion" -> sqlRrfFusion,
