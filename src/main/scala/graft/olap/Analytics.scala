@@ -838,11 +838,114 @@ object Analytics {
        |FROM ym CROSS JOIN tot
        |GROUP BY m, tot_cents, tot_months ORDER BY cal_month""".stripMargin
 
+  // ---------- q_interpolate: LOCF + linear interpolation over gaps ----------
+
+  /** Gap REPAIR over the hourly purchase series — the two standard
+    * fills [[gapFill]]'s zero-fill deliberately is not: last-
+    * observation-carried-forward (LOCF, what metric dashboards show
+    * during outages) and linear interpolation between the
+    * surrounding observations (what feature pipelines feed models).
+    * Missing hours (47 of 720 on this corpus) get both; edge gaps
+    * with no anchor on one side stay NULL, explicitly.
+    *
+    * Parity: hourly sums are exact micro-unit integers
+    * (round-before-sum DECIMAL); LOCF selects (never computes); the
+    * interpolation is prev + (next − prev) · (pos − ppos) /
+    * (npos − ppos) over exact integers in one literal order — two
+    * IEEE ops, engine-identical — rounded once. `IGNORE NULLS`
+    * navigation windows on both engines.
+    *
+    * Scale: the fact collapses to hour grain first; the windows run
+    * over the HOUR SPINE — bounded by wall-clock span, not volume
+    * (single-partition-window rule: bounded input, noted). At a
+    * multi-year span you'd partition the spine by series key, which
+    * a per-metric fill naturally has.
+    */
+  def interpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(date_trunc("hour", col("ts")).as("hr"), col("value"))
+    val hourly = purchases.groupBy("hr")
+      .agg(sum(floor(col("value") * 1000000.0 + 0.5).cast("decimal(28,0)"))
+        .cast("long").as("vm"))
+    val spine = purchases
+      .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+      .select(explode(expr("sequence(mn, mx, interval 1 hour)")).as("hr"))
+    val base = spine.join(hourly, Seq("hr"), "left")
+      .withColumn("pos", expr("unix_micros(hr) div 3600000000"))
+      .withColumn("vpos", when(col("vm").isNotNull, col("pos")))
+    val all = Window.orderBy("pos")
+    val before = all.rowsBetween(Window.unboundedPreceding, -1)
+    val after = all.rowsBetween(1, Window.unboundedFollowing)
+    val filled = base
+      .withColumn("locf_m", last(col("vm"), ignoreNulls = true)
+        .over(all.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("pv", last(col("vm"), ignoreNulls = true).over(before))
+      .withColumn("pp", last(col("vpos"), ignoreNulls = true).over(before))
+      .withColumn("nv", first(col("vm"), ignoreNulls = true).over(after))
+      .withColumn("np", first(col("vpos"), ignoreNulls = true).over(after))
+      .withColumn("interp_m",
+        when(col("vm").isNotNull, col("vm").cast("double"))
+          .otherwise(col("pv").cast("double") +
+            (col("nv") - col("pv")).cast("double") *
+              (col("pos") - col("pp")).cast("double") /
+              (col("np") - col("pp")).cast("double")))
+    filled.select(
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        graft.text.TextFns.round4(col("vm").cast("double") / 1000000.0)
+          .as("observed"),
+        graft.text.TextFns.round4(col("locf_m").cast("double") / 1000000.0)
+          .as("locf"),
+        graft.text.TextFns.round4(col("interp_m") / 1000000.0).as("interp"))
+      .orderBy("hour")
+  }
+
+  private val sqlInterpolate = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    s"""WITH p AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, value
+       |           FROM events WHERE event_type = 'purchase'),
+       |     hourly AS (SELECT hr,
+       |                  CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS DECIMAL(28,0))) AS BIGINT) AS vm
+       |                FROM p GROUP BY 1),
+       |     bnd AS (SELECT min(hr) AS mn, max(hr) AS mx FROM p),
+       |     spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr FROM bnd),
+       |     base AS (SELECT spine.hr, vm,
+       |                epoch_us(spine.hr) // 3600000000 AS pos,
+       |                CASE WHEN vm IS NOT NULL
+       |                     THEN epoch_us(spine.hr) // 3600000000 END AS vpos
+       |              FROM spine LEFT JOIN hourly ON spine.hr = hourly.hr),
+       |     f AS (SELECT hr, vm, pos,
+       |             last_value(vm IGNORE NULLS) OVER (ORDER BY pos
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_m,
+       |             last_value(vm IGNORE NULLS) OVER (ORDER BY pos
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+       |             last_value(vpos IGNORE NULLS) OVER (ORDER BY pos
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pp,
+       |             first_value(vm IGNORE NULLS) OVER (ORDER BY pos
+       |               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+       |             first_value(vpos IGNORE NULLS) OVER (ORDER BY pos
+       |               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+       |           FROM base),
+       |     g AS (SELECT hr, vm, locf_m,
+       |             CASE WHEN vm IS NOT NULL THEN CAST(vm AS DOUBLE)
+       |                  ELSE CAST(pv AS DOUBLE) +
+       |                       CAST(nv - pv AS DOUBLE) *
+       |                       CAST(pos - pp AS DOUBLE) /
+       |                       CAST(np - pp AS DOUBLE) END AS interp_m
+       |           FROM f)
+       |SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+       |       ${r4("CAST(vm AS DOUBLE) / 1000000.0")} AS observed,
+       |       ${r4("CAST(locf_m AS DOUBLE) / 1000000.0")} AS locf,
+       |       ${r4("interp_m / 1000000.0")} AS interp
+       |FROM g ORDER BY hour""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_nav" -> (windowNav _),
     "q_ols_trend" -> (olsTrend _),
     "q_theilsen" -> (theilSen _),
     "q_seasonal_index" -> (seasonalIndex _),
+    "q_interpolate" -> (interpolate _),
     "q_seasonal_naive" -> (seasonalNaive _),
     "q_ltv_curve" -> (ltvCurve _),
     "q_autocorr" -> (autocorr _),
@@ -1095,6 +1198,7 @@ object Analytics {
     "q_ols_trend" -> sqlOlsTrend,
     "q_theilsen" -> sqlTheilSen,
     "q_seasonal_index" -> sqlSeasonalIndex,
+    "q_interpolate" -> sqlInterpolate,
     "q_autocorr" -> sqlAutocorr,
     "q_seasonal_naive" -> sqlSeasonalNaive,
     "q_ltv_curve" -> sqlLtvCurve,
