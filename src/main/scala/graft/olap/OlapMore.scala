@@ -732,6 +732,91 @@ object OlapMore {
        |ORDER BY brand1, brand2""".stripMargin
   }
 
+  // ---------- q_itemset_triples: frequent 3-itemsets (A-priori level 3) ----------
+
+  /** Support floor for the triple pass. Chosen inside the sf0.01
+    * support distribution (max 87, p90 = 63 over the full 25³ triple
+    * domain) so the gate result is non-vacuous yet filtered; support
+    * scales linearly with SF so larger fixtures only pass more.
+    */
+  private val TripleMinSup = 70L
+
+  /** Frequent brand TRIPLES — the level-3 A-priori pass over the same
+    * order-grain brand baskets as `q_basket_pairs` (Agrawal & Srikant
+    * 1994, one level deeper than the pair dashboards): triples whose
+    * support clears [[TripleMinSup]], with lift against full
+    * independence n²·c₁₂₃/(c₁·c₂·c₃) so a reviewer separates "three
+    * popular brands" from genuine co-purchase structure.
+    *
+    * Shape: the SAME collapsed basket sets (distinct brands per
+    * order, bounded by items-per-order — a data constant), exploded
+    * against themselves twice WITHIN the row (b1 < b2 < b3), so
+    * triple generation is linear in orders with a C(b,3) per-row
+    * constant, never a row-level self-join. The triple grain is
+    * bounded by the brand-domain cube (25³), so the aggregate, the
+    * three singleton broadcasts, and the 1-row basket count are all
+    * dim-sized. Counts exact; support/lift are fixed-shape double
+    * expressions rounded once at the edge; no rank on floats.
+    */
+  def itemsetTriples(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    val baskets = li.join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+      .localCheckpoint()
+    val tot = baskets.select(explode_outer(col("bs")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("cnt"))
+    val n = baskets.agg(count(lit(1)).as("n_baskets"))
+    val triples = baskets
+      .select(explode_outer(col("bs")).as("b1"), col("bs"))
+      .select(col("b1"), explode_outer(col("bs")).as("b2"), col("bs"))
+      .filter(col("b1") < col("b2"))
+      .select(col("b1"), col("b2"), explode_outer(col("bs")).as("b3"))
+      .filter(col("b2") < col("b3"))
+      .groupBy("b1", "b2", "b3")
+      .agg(count(lit(1)).as("cnt3"))
+      .filter(col("cnt3") >= TripleMinSup)
+    triples
+      .join(broadcast(tot.select(col("brand").as("b1"), col("cnt").as("c1"))), "b1")
+      .join(broadcast(tot.select(col("brand").as("b2"), col("cnt").as("c2"))), "b2")
+      .join(broadcast(tot.select(col("brand").as("b3"), col("cnt").as("c3"))), "b3")
+      .crossJoin(broadcast(n))
+      .select(col("b1"), col("b2"), col("b3"), col("cnt3"),
+        graft.text.TextFns.round4(col("cnt3").cast("double")
+          / col("n_baskets").cast("double")).as("support"),
+        graft.text.TextFns.round4(col("cnt3").cast("double")
+          * col("n_baskets").cast("double") * col("n_baskets").cast("double")
+          / (col("c1").cast("double") * col("c2").cast("double")
+            * col("c3").cast("double"))).as("lift"))
+      .orderBy("b1", "b2", "b3")
+  }
+
+  private val sqlItemsetTriples = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    s"""WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+       |            FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |     tot AS (SELECT brand, CAST(count(*) AS BIGINT) AS cnt FROM ob GROUP BY 1),
+       |     n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM ob),
+       |     tr AS (SELECT a.brand AS b1, b.brand AS b2, c.brand AS b3,
+       |                   CAST(count(*) AS BIGINT) AS cnt3
+       |            FROM ob a
+       |            JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+       |            JOIN ob c ON a.ok = c.ok AND b.brand < c.brand
+       |            GROUP BY 1, 2, 3
+       |            HAVING count(*) >= $TripleMinSup)
+       |SELECT b1, b2, b3, cnt3,
+       |       ${r4("CAST(cnt3 AS DOUBLE) / CAST(n_baskets AS DOUBLE)")} AS support,
+       |       ${r4("CAST(cnt3 AS DOUBLE) * CAST(n_baskets AS DOUBLE) * CAST(n_baskets AS DOUBLE) / " +
+                 "(CAST(t1.cnt AS DOUBLE) * CAST(t2.cnt AS DOUBLE) * CAST(t3.cnt AS DOUBLE))")} AS lift
+       |FROM tr
+       |JOIN tot t1 ON tr.b1 = t1.brand
+       |JOIN tot t2 ON tr.b2 = t2.brand
+       |JOIN tot t3 ON tr.b3 = t3.brand
+       |CROSS JOIN n
+       |ORDER BY b1, b2, b3""".stripMargin
+  }
+
   // ---------- q_abc_analysis: Pareto / ABC revenue classification ----------
 
   /** ABC (Pareto) classification of parts by revenue: rank parts by
@@ -957,6 +1042,7 @@ object OlapMore {
     "q_supplier_stats" -> (supplierStats _),
     "q_revenue_cube" -> (revenueCubeQ _),
     "q_basket_pairs" -> (basketPairs _),
+    "q_itemset_triples" -> (itemsetTriples _),
     "q_abc_analysis" -> (abcAnalysis _),
     "q_price_volume" -> (priceVolume _))
 
@@ -977,6 +1063,7 @@ object OlapMore {
     "q_supplier_stats" -> sqlSupplierStats,
     "q_revenue_cube" -> sqlRevenueCube,
     "q_basket_pairs" -> sqlBasketPairs,
+    "q_itemset_triples" -> sqlItemsetTriples,
     "q_abc_analysis" -> sqlAbcAnalysis,
     "q_price_volume" -> sqlPriceVolume)
 }

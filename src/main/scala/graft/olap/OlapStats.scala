@@ -680,7 +680,46 @@ object OlapStats {
                   "CAST(abs(n_early * t2 - n_late * t1) AS DOUBLE) / (2.0 * CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE))")} AS tv_contrib
        |FROM cnt CROSS JOIN tot ORDER BY n_name""".stripMargin
 
+  // ---------- q_percentile_disc: discrete (element-exact) quantiles ----------
+
+  /** Discrete percentile ladder over order totals per priority —
+    * `percentile_disc` (the inverse-distribution form that returns an
+    * ACTUAL element: smallest value whose cumulative distribution
+    * ≥ p) next to the interpolated `percentile_cont` median, the pair
+    * every warehouse exposes side by side. Disc quantiles matter
+    * operationally because the answer is a real observed order (an
+    * SLA breach you can look up), not an interpolated phantom.
+    *
+    * Parity: both engines define the discrete quantile as the
+    * smallest element with cume ≥ p (probed: n=10 p∈{.25,.5,.75} and
+    * n=8 p=.75 select identical elements), and selection involves no
+    * arithmetic, so the disc columns are exact; the cont median is
+    * the proven percentile ≡ quantile_cont pair, rounded at the edge.
+    * Shape: one map-side-combinable aggregate at priority grain
+    * (5 groups); swap approx sketches at 100 TB (same plan,
+    * `q_quantile_est` is the audit that earns the swap).
+    */
+  def percentileDisc(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)").as("p25_disc"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50_disc"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)").as("p75_disc"),
+        round4(expr("percentile(o_totalprice, 0.5)")).as("p50_cont"))
+      .orderBy("priority")
+
+  private val sqlPercentileDisc =
+    s"""SELECT o_orderpriority AS priority, count(*) AS n_rows,
+       |       quantile_disc(o_totalprice, 0.25) AS p25_disc,
+       |       quantile_disc(o_totalprice, 0.5) AS p50_disc,
+       |       quantile_disc(o_totalprice, 0.75) AS p75_disc,
+       |       ${duckRound4("quantile_cont(o_totalprice, 0.5)")} AS p50_cont
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percentile_disc" -> (percentileDisc _),
     "q_tv_drift" -> (tvDrift _),
     "q_weighted_median" -> (weightedMedian _),
     "q_benford" -> (benford _),
@@ -695,6 +734,7 @@ object OlapStats {
     "q_outliers" -> (outliers _))
 
   val oracle: Map[String, String] = Map(
+    "q_percentile_disc" -> sqlPercentileDisc,
     "q_tv_drift" -> sqlTvDrift,
     "q_weighted_median" -> sqlWeightedMedian,
     "q_benford" -> sqlBenford,
