@@ -1460,21 +1460,29 @@ object VectorQueries {
       .select(col("e.u").as("u"), col("e.w").as("w"))
   }
 
-  def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The blocked similarity graph's oriented edge list (`u` <
+    * `w`, cosine ≥ [[TriThreshold]] within capped sign-LSH blocks) —
+    * the shared input of [[triangleCount]] and [[trussSupport]].
+    * Staged with a localCheckpoint: every consumer runs multiple
+    * self-joins over it, and without the stage each join leg would
+    * re-run the blocked pair join.
+    */
+  private def collisionEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val vecs = withCappedBlock(
       withVecs(spark, sfDir)
         .withColumn("bucket", VectorFns.signBucket(col("v"), LshBits, LshStride)),
       "bucket")
-    val edges = vecs.as("a").join(vecs.as("b"),
+    vecs.as("a").join(vecs.as("b"),
         col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim", VectorFns.cosineStaged(
         col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
       .filter(col("sim") >= TriThreshold)
       .select(col("a.vec_id").as("u"), col("b.vec_id").as("w"))
-      // stage the edge list: degreeOrient consumes it twice and the
-      // wedge join three more times — without the checkpoint each
-      // consumer re-runs the blocked pair join
       .localCheckpoint(true)
+  }
+
+  def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = collisionEdges(spark, sfDir)
     // degree orientation bounds the wedge join's per-node fan-out by
     // O(m^1.5) (Suri & Vassilvitskii) — orientation-invariant counts
     // (TriangleSpec), so the id-oriented oracle twin stays exact
@@ -1503,6 +1511,121 @@ object VectorQueries {
        |       ${duckRound4("CAST(n_tri AS DOUBLE) * 2.0 / CAST(degree * (degree - 1) AS DOUBLE)")} AS local_cc
        |FROM tn JOIN dg ON tn.node = dg.node
        |ORDER BY vec_id""".stripMargin
+
+  // ---------- 13b. q_truss_support: k-truss support census + peel kernel ----------
+
+  /** Per-edge triangle support of an id-oriented edge list (`u` < `w`)
+    * — the quantity k-truss decomposition peels on (Cohen 2008): an
+    * edge of support s can belong to at most the (s+2)-truss. Support
+    * comes from one wedge-join triangle enumeration (each triangle
+    * counted once) exploded back onto its three edges; zero-support
+    * edges are kept via the left join (they are exactly the edges a
+    * 3-truss peel removes first). Orientation-invariant by the same
+    * argument as [[localTriangleStats]].
+    */
+  private[vector] def edgeSupport(edges: DataFrame): DataFrame = {
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.w") === col("e2.u"))
+      .join(edges.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.w") === col("e2.w"))
+      .select(col("e1.u").as("x"), col("e1.w").as("y"), col("e2.w").as("z"))
+    val contrib = tri
+      .select(explode_outer(array(
+        struct(col("x").as("u"), col("y").as("w")),
+        struct(col("y").as("u"), col("z").as("w")),
+        struct(col("x").as("u"), col("z").as("w")))).as("e"))
+      .groupBy(col("e.u").as("u"), col("e.w").as("w"))
+      .agg(count(lit(1)).as("support"))
+    edges.join(contrib, Seq("u", "w"), "left")
+      .na.fill(0L, Seq("support"))
+  }
+
+  /** Iterative k-truss peel: repeatedly delete edges whose support
+    * falls below k−2 until the surviving set is stable — the actual
+    * truss decomposition, which no single SQL pass can express
+    * (each deletion can cascade). Driver-paced like
+    * [[graft.graph.ConnectedComponents]]: each round's survivor set is
+    * checkpointTracked and superseded blocks are freed, so round n
+    * never re-derives round n−1's joins. Converges in ≤ maxIter
+    * rounds or returns the current survivors (peeling only deletes, so
+    * every round strictly shrinks or terminates). Spec-gated
+    * (`TrussSpec` pins it against brute-force peeling); the
+    * oracle-gated face is [[trussSupport]]'s round-0 census.
+    */
+  private[vector] def trussPeel(edges: DataFrame, k: Int, maxIter: Int = 20): DataFrame = {
+    import graft.graph.ConnectedComponents.{checkpointTracked, free}
+    var (cur, curIds) = checkpointTracked(edges.select(col("u"), col("w")))
+    var n = cur.count()
+    var iter = 0
+    var stable = false
+    while (!stable && iter < maxIter) {
+      val (next, nextIds) = checkpointTracked(
+        edgeSupport(cur).filter(col("support") >= k - 2).select(col("u"), col("w")))
+      val m = next.count()
+      if (m == n) { stable = true; free(next, nextIds) }
+      else { free(cur, curIds); cur = next; curIds = nextIds; n = m }
+      iter += 1
+    }
+    cur
+  }
+
+  /** Truss-support census of the blocked similarity graph: for each
+    * support level, how many edges carry it and how many carry AT
+    * LEAST it — the cumulative column reads directly as the
+    * (support+2)-truss candidate-membership upper bound, the summary a
+    * dedup pipeline checks before trusting transitive closures (a
+    * heavy 0-support tail means the near-dup graph is mostly
+    * bridge-like and single-link clustering will over-merge).
+    *
+    * Shape: [[collisionEdges]] (blocked, never all-pairs) → one wedge
+    * join + explode for support → a support-grain census. The census
+    * is bounded by the max support (≪ edges), so the cumulative
+    * window runs over census grain, not edge grain — at fact scale the
+    * same census is a few hundred rows regardless of corpus size (the
+    * single-partition window is over that bounded aggregate; a
+    * fact-scale cumulative would go through PrefixScan instead).
+    */
+  def trussSupport(spark: SparkSession, sfDir: String): DataFrame = {
+    val census = edgeSupport(collisionEdges(spark, sfDir))
+      .groupBy("support").agg(count(lit(1)).as("n_edges"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("support").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    census
+      .withColumn("cum_edges", sum(col("n_edges")).over(w))
+      .select(col("support"), col("n_edges"), col("cum_edges"))
+      .orderBy("support")
+  }
+
+  private val sqlTrussSupport =
+    s"""WITH $duckVecs,
+       |     b0 AS (SELECT vec_id, v, nrm, $duckBucket AS bucket FROM e),
+       |     bn0 AS (SELECT bucket, count(*) AS bn FROM b0 GROUP BY bucket),
+       |     b AS (SELECT vec_id, v, nrm, b0.bucket, ${duckBlk("b0.bucket")} AS blk
+       |           FROM b0 JOIN bn0 ON b0.bucket = bn0.bucket),
+       |     edges AS (SELECT a.vec_id AS u, b2.vec_id AS w
+       |               FROM b a JOIN b b2 ON a.blk = b2.blk AND a.vec_id < b2.vec_id
+       |               WHERE ${duckDot("a.v", "b2.v")} / (a.nrm * b2.nrm) >= $TriThreshold),
+       |     tri AS (SELECT e1.u AS x, e1.w AS y, e2.w AS z
+       |             FROM edges e1
+       |             JOIN edges e2 ON e1.w = e2.u
+       |             JOIN edges e3 ON e3.u = e1.u AND e3.w = e2.w),
+       |     contrib AS (
+       |       SELECT u, w, count(*) AS support FROM (
+       |         SELECT x AS u, y AS w FROM tri
+       |         UNION ALL SELECT y AS u, z AS w FROM tri
+       |         UNION ALL SELECT x AS u, z AS w FROM tri)
+       |       GROUP BY 1, 2),
+       |     sup AS (SELECT edges.u, edges.w,
+       |                    coalesce(contrib.support, 0) AS support
+       |             FROM edges LEFT JOIN contrib
+       |               ON edges.u = contrib.u AND edges.w = contrib.w),
+       |     census AS (SELECT support, CAST(count(*) AS BIGINT) AS n_edges
+       |                FROM sup GROUP BY 1)
+       |SELECT support, n_edges,
+       |       CAST(sum(n_edges) OVER (ORDER BY support DESC
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_edges
+       |FROM census ORDER BY support""".stripMargin
 
   // ---------- 14. q_pq_codes: product-quantization encoding ----------
 
@@ -2747,6 +2870,7 @@ object VectorQueries {
     "q_dbscan_core" -> (dbscanCore _),
     "q_kmeans_refine" -> (kmeansRefine _),
     "q_triangle_count" -> (triangleCount _),
+    "q_truss_support" -> (trussSupport _),
     "q_pq_codes" -> (pqCodes _),
     "q_ivfpq_adc" -> (ivfpqAdc _),
     "q_sq8_recall" -> (sq8Recall _),
@@ -2784,6 +2908,7 @@ object VectorQueries {
     "q_dbscan_core" -> sqlDbscanCore,
     "q_kmeans_refine" -> sqlKmeansRefine,
     "q_triangle_count" -> sqlTriangleCount,
+    "q_truss_support" -> sqlTrussSupport,
     "q_pq_codes" -> sqlPqCodes,
     "q_ivfpq_adc" -> sqlIvfpqAdc,
     "q_sq8_recall" -> sqlSq8Recall,
