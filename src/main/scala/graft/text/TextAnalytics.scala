@@ -706,7 +706,144 @@ object TextAnalytics {
        |       END AS mean_chars_sampled
        |FROM g ORDER BY source""".stripMargin
 
+  // ---------- q_bigram_xent: bigram-LM quality scoring ----------
+
+  /** Per-document cross-entropy under a corpus-trained BIGRAM LM with
+    * add-½ smoothing — the sequence-aware step up from
+    * [[crossEntropy]]'s unigram scorer (CCNet's actual filter is an
+    * n-gram LM: order matters, so shuffled boilerplate that fools the
+    * unigram model scores high here). p(w₂|w₁) = (c₁₂ + ½)/(c₁ + ½V)
+    * with V the successor vocabulary; xent = −mean ln p over the
+    * document's bigram stream.
+    *
+    * Shape: one staged tokenize, one posexplode to bigram instances
+    * (pairs of columns, never separator-concatenated strings — no
+    * collision question to argue), then two map-side-combinable count
+    * aggregates (bigram, prefix), both joined back at bigram grain;
+    * V is a 1-row broadcast. All key-partitioned, no pairwise work.
+    * Parity: counts exact; per-doc ln sums are the proven
+    * `q_cross_entropy` regime (error ≪ round4 tolerance).
+    * posexplode_outer (not posexplode) because `ts` is HOF-built and
+    * provably non-empty after the ≥2-token filter — the inferred
+    * `size > 0` filter would re-evaluate the tokenize per element
+    * (CLAUDE.md explode-over-HOF rule).
+    */
+  def bigramXent(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .filter(size(col("ts")) >= 2)
+    val bg = t
+      .select(col("doc_id"), col("ts"), posexplode_outer(col("ts")).as(Seq("i", "w1")))
+      .filter(col("i") < size(col("ts")) - 1)
+      .select(col("doc_id"), col("w1"),
+        try_element_at(col("ts"), col("i") + 2).as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = bg.agg(countDistinct(col("w2")).as("v"))
+    bg.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        TextFns.round4(
+          sum(-log((col("c12").cast("double") + 0.5) /
+            (col("c1").cast("double") + lit(0.5) * col("v").cast("double")))) /
+            count(lit(1)).cast("double")).as("xent2"))
+      .orderBy("doc_id")
+  }
+
+  private val sqlBigramXent = {
+    val p = "(CAST(c12 AS DOUBLE) + 0.5) / (CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))"
+    s"""WITH t AS (SELECT doc_id, ${TextQueries.duckTokens} AS ts FROM documents),
+       |     t2 AS (SELECT doc_id, ts FROM t WHERE len(ts) >= 2),
+       |     bi AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM t2),
+       |     bg AS (SELECT doc_id, ts[CAST(i AS INT)] AS w1,
+       |                   ts[CAST(i + 1 AS INT)] AS w2 FROM bi),
+       |     c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+       |     c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+       |     vv AS (SELECT count(DISTINCT w2) AS v FROM bg)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |       ${TextFns.duckRound4(s"sum(-ln($p)) / CAST(count(*) AS DOUBLE)")} AS xent2
+       |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------- q_js_divergence: Jensen-Shannon drift between languages ----------
+
+  /** Pairwise Jensen–Shannon divergence between the unigram
+    * distributions of every language pair — the symmetric, bounded
+    * ([0, ln 2]) drift measure used to compare corpus slices before
+    * mixing them (KL is infinite on disjoint support; JSD is not,
+    * which is exactly why it's the corpus-comparison standard).
+    *
+    * Decomposition that keeps the join INNER-only: terms outside the
+    * shared support contribute p·ln 2 to their side's sum, and the
+    * shared-support mass Σp is known, so
+    * JSD = Σ_shared ½(p·ln(p/m) + q·ln(q/m)) + ½ln2·(2 − Σp − Σq)
+    * — no outer join, no null branches, and the identity is pure
+    * algebra (m = (p+q)/2).
+    *
+    * Shape: (lang, term) counts are one hash aggregate; per-lang
+    * totals broadcast; the pair join is term-keyed between
+    * lang-bounded sides (≤ L² pair rows per term, L = 5); output is
+    * C(L,2) rows. Per-pair double sums over the shared vocab are the
+    * proven cross-entropy regime (error ≪ round4).
+    */
+  def jsDivergence(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("lang"), explode_outer(col("ts")).as("term"))
+      .filter(col("term").isNotNull)
+    val c = terms.groupBy("lang", "term").agg(count(lit(1)).as("c"))
+    val tot = c.groupBy("lang").agg(sum(col("c")).as("tot"))
+    val p = c.join(broadcast(tot), "lang")
+      .select(col("lang"), col("term"),
+        (col("c").cast("double") / col("tot").cast("double")).as("p"))
+    val ln2 = math.log(2.0)
+    p.as("a").join(p.as("b"),
+        col("a.term") === col("b.term") && col("a.lang") < col("b.lang"))
+      .select(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"),
+        col("a.p").as("pa"), col("b.p").as("pb"))
+      .withColumn("m", (col("pa") + col("pb")) / 2.0)
+      .groupBy("lang_a", "lang_b")
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("pa") * log(col("pa") / col("m")) * 0.5 +
+          col("pb") * log(col("pb") / col("m")) * 0.5).as("core"),
+        sum(col("pa")).as("sp"), sum(col("pb")).as("sq"))
+      .select(col("lang_a"), col("lang_b"), col("n_shared"),
+        TextFns.round4(col("core") +
+          lit(0.5 * ln2) * (lit(2.0) - col("sp") - col("sq"))).as("jsd"),
+        TextFns.round4(col("sp")).as("shared_mass_a"),
+        TextFns.round4(col("sq")).as("shared_mass_b"))
+      .orderBy("lang_a", "lang_b")
+  }
+
+  private val sqlJsDivergence = {
+    val halfLn2 = 0.5 * math.log(2.0)
+    s"""WITH t AS (SELECT lang, ${TextQueries.duckTokens} AS ts FROM documents),
+       |     terms AS (SELECT lang, unnest(ts) AS term FROM t),
+       |     c AS (SELECT lang, term, count(*) AS c FROM terms GROUP BY 1, 2),
+       |     tot AS (SELECT lang, sum(c) AS tot FROM c GROUP BY 1),
+       |     p AS (SELECT c.lang, term,
+       |                  CAST(c AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+       |           FROM c JOIN tot ON c.lang = tot.lang),
+       |     pr AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+       |                   a.p AS pa, b.p AS pb, (a.p + b.p) / 2.0 AS m
+       |            FROM p a JOIN p b ON a.term = b.term AND a.lang < b.lang),
+       |     g AS (SELECT lang_a, lang_b, CAST(count(*) AS BIGINT) AS n_shared,
+       |                  sum(pa * ln(pa / m) * 0.5 + pb * ln(pb / m) * 0.5) AS core,
+       |                  sum(pa) AS sp, sum(pb) AS sq
+       |           FROM pr GROUP BY 1, 2)
+       |SELECT lang_a, lang_b, n_shared,
+       |       ${TextFns.duckRound4(s"core + $halfLn2 * (2.0 - sp - sq)")} AS jsd,
+       |       ${TextFns.duckRound4("sp")} AS shared_mass_a,
+       |       ${TextFns.duckRound4("sq")} AS shared_mass_b
+       |FROM g ORDER BY lang_a, lang_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bigram_xent" -> (bigramXent _),
+    "q_js_divergence" -> (jsDivergence _),
     "q_ccnet_buckets" -> (ccnetBuckets _),
     "q_hash_sample" -> (hashSample _),
     "q_bow_classify" -> (bowClassify _),
@@ -721,6 +858,8 @@ object TextAnalytics {
     "q_source_quota" -> (sourceQuota _))
 
   val oracle: Map[String, String] = Map(
+    "q_bigram_xent" -> sqlBigramXent,
+    "q_js_divergence" -> sqlJsDivergence,
     "q_ccnet_buckets" -> sqlCcnetBuckets,
     "q_hash_sample" -> sqlHashSample,
     "q_bow_classify" -> sqlBowClassify,
