@@ -626,6 +626,68 @@ object OlapMore {
       |       CAST(min(dist) AS BIGINT) AS min_dist
       |FROM u GROUP BY brand ORDER BY brand""".stripMargin
 
+  // ---------- q_jaro_winkler: prefix-weighted fuzzy matching ----------
+
+  /** Similarity floor for the Jaro-Winkler pair report. The sf0.01
+    * candidate distribution has its nearest value 0.028 away from this
+    * fence and every emitted value ≥ 5e-3 from a round4 half-boundary
+    * (probed), so neither the filter nor the rounding can flip on
+    * engine float noise.
+    */
+  private val JwThreshold = 0.93
+
+  /** Jaro-Winkler fuzzy matching over part names — the fourth dedup
+    * family next to Levenshtein (`q_edit_distance`), MinHash, and
+    * SimHash: match-window similarity with Winkler's common-prefix
+    * boost, the record-linkage standard for NAME fields (Winkler
+    * 1990, census string comparators) where early characters are more
+    * reliable than late ones. Runs on the native
+    * [[graft.functions.JaroWinklerExpr]] (one primitive byte-walk per
+    * pair, stays inside whole-stage codegen); the oracle calls
+    * DuckDB's built-in `jaro_winkler_similarity` — two INDEPENDENT
+    * implementations agreeing on every emitted pair is the gate.
+    *
+    * Shape: identical scale discipline to [[editDistance]] — collapse
+    * to DISTINCT-name grain first (name vocabulary is constant in
+    * SF), block on (brand, last name token), pair only within blocks.
+    * Output is the name-pair grain with part-pair multiplicities
+    * expanded arithmetically (m_a·m_b), so the result is identical to
+    * the part-grain join at any SF while pairwise work is O(1) in SF.
+    */
+  def jaroWinklerQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Tables.part(spark, sfDir)
+      .groupBy(col("p_brand"),
+        element_at(split(col("p_name"), " "), -1).as("noun_blk"), col("p_name"))
+      .agg(count(lit(1)).as("m"))
+    names.as("a").join(names.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.noun_blk") === col("b.noun_blk") &&
+          col("a.p_name") < col("b.p_name"))
+      .withColumn("jw",
+        graft.functions.TextHashes.jaroWinkler(col("a.p_name"), col("b.p_name")))
+      .filter(col("jw") >= JwThreshold)
+      .select(col("a.p_brand").as("brand"),
+        col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        (col("a.m") * col("b.m")).as("n_part_pairs"),
+        graft.text.TextFns.round4(col("jw")).as("jw"))
+      .orderBy("brand", "name_a", "name_b")
+  }
+
+  private val sqlJaroWinkler =
+    s"""WITH n AS (SELECT p_brand, string_split(p_name, ' ')[-1] AS noun_blk,
+       |                  p_name, count(*) AS m
+       |           FROM part GROUP BY 1, 2, 3),
+       |     pr AS (SELECT a.p_brand AS brand, a.p_name AS name_a,
+       |                   b.p_name AS name_b, a.m * b.m AS n_part_pairs,
+       |                   jaro_winkler_similarity(a.p_name, b.p_name) AS jwv
+       |            FROM n a JOIN n b ON a.p_brand = b.p_brand
+       |                             AND a.noun_blk = b.noun_blk
+       |                             AND a.p_name < b.p_name)
+       |SELECT brand, name_a, name_b, n_part_pairs,
+       |       ${graft.text.TextFns.duckRound4("jwv")} AS jw
+       |FROM pr WHERE jwv >= $JwThreshold
+       |ORDER BY brand, name_a, name_b""".stripMargin
+
   // ---------- q_topk_agg: custom UDAF (typed Aggregator) ----------
 
   /** Per-event-type top-3 values via [[graft.functions.TopKAgg]] —
@@ -1043,6 +1105,7 @@ object OlapMore {
     "q_revenue_cube" -> (revenueCubeQ _),
     "q_basket_pairs" -> (basketPairs _),
     "q_itemset_triples" -> (itemsetTriples _),
+    "q_jaro_winkler" -> (jaroWinklerQ _),
     "q_abc_analysis" -> (abcAnalysis _),
     "q_price_volume" -> (priceVolume _))
 
@@ -1064,6 +1127,7 @@ object OlapMore {
     "q_revenue_cube" -> sqlRevenueCube,
     "q_basket_pairs" -> sqlBasketPairs,
     "q_itemset_triples" -> sqlItemsetTriples,
+    "q_jaro_winkler" -> sqlJaroWinkler,
     "q_abc_analysis" -> sqlAbcAnalysis,
     "q_price_volume" -> sqlPriceVolume)
 }
