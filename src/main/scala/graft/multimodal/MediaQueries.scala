@@ -318,13 +318,80 @@ object MediaQueries {
        |       ${TextFns.duckRound4("CAST(sum(v) AS DOUBLE) / CAST(nf AS DOUBLE)")} AS mean_shade
        |FROM sh GROUP BY doc_id, nf ORDER BY media_id""".stripMargin
 
+  // ---------- q_audio_rms: frame-level energy / VAD segmentation ----------
+
+  private val RmsFrameLen = 32
+  private val RmsVoiceThreshold = 0.5
+
+  /** Frame-level RMS energy + voice-activity flags through the REAL
+    * WAV path: per selected document, F = 3 + id%3 frames of
+    * [[RmsFrameLen]] PCM16 samples, frame f a ±A_f square wave with
+    * A_f = (id + 37·f) % 800 — some frames land on A_f = 0, giving
+    * genuine silence for the VAD flag to catch. Encoded with the JDK
+    * WAV writer, decoded and windowed by [[Multimodal.frameEnergy]]
+    * (the production VAD stage).
+    *
+    * Contract (why the oracle is literal arithmetic): Σx² over a
+    * ±A square frame = frameLen·A², the division by frameLen is
+    * exact, and IEEE sqrt of the perfect square A² returns A
+    * bit-for-bit — so frame RMS = A_f exactly on any JVM and in
+    * DuckDB, and `voiced` ⇔ A_f ≥ 1.
+    */
+  def audioRms(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val nFrames = 3 + (id % 3).toInt
+        val n = nFrames * RmsFrameLen
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val amp = ((id + 37L * (i / RmsFrameLen)) % 800L).toInt
+          val s = if (i % 2 == 0) amp else -amp
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+        val ain = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ain, javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+        Multimodal.MediaRow(id, "audio", buf.toByteArray,
+          Multimodal.MediaMeta(None, None, Some(16000), None, Some("wav")))
+      }
+    }
+    Multimodal.frameEnergy(media.toDF(), RmsFrameLen, RmsVoiceThreshold).toDF()
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("n_samples").cast("long").as("n_samples"),
+        TextFns.round4(col("rms")).as("rms"), col("voiced"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  private val sqlAudioRms =
+    s"""WITH sel AS (SELECT doc_id, 3 + doc_id % 3 AS nf
+       |             FROM documents WHERE doc_id % 5 = 4),
+       |     fr AS (SELECT doc_id, UNNEST(range(nf)) AS f FROM sel),
+       |     a AS (SELECT doc_id, f, (doc_id + 37 * f) % 800 AS amp FROM fr)
+       |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+       |       CAST($RmsFrameLen AS BIGINT) AS n_samples,
+       |       ${TextFns.duckRound4("CAST(amp AS DOUBLE)")} AS rms,
+       |       (CAST(amp AS DOUBLE) > $RmsVoiceThreshold) AS voiced
+       |FROM a ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_audio_rms" -> (audioRms _),
     "q_image_decode" -> (imageDecode _),
     "q_audio_decode" -> (audioDecode _),
     "q_image_phash" -> (imagePhash _),
     "q_video_sample" -> (videoSample _))
 
   val oracle: Map[String, String] = Map(
+    "q_audio_rms" -> sqlAudioRms,
     "q_image_decode" -> sqlImageDecode,
     "q_audio_decode" -> sqlAudioDecode,
     "q_image_phash" -> sqlImagePhash,

@@ -340,6 +340,44 @@ object Multimodal {
       }
   }
 
+  case class FrameEnergy(media_id: Long, frame_idx: Int, n_samples: Int,
+                         rms: Double, voiced: Boolean)
+
+  /** Frame-level RMS energy + voice-activity flag — the windowed form
+    * of [[audioFeatures]]'s whole-clip RMS, the kernel behind
+    * silence-gating / VAD segmentation in an audio-training pipeline
+    * (only voiced frames reach the expensive transcription stage).
+    * Full `frameLen`-sample frames only (the ragged tail carries no
+    * decision weight and a partial-frame RMS has a different variance
+    * — standard VAD practice); `voiced` is a plain threshold on the
+    * frame RMS.
+    *
+    * Scale: mapPartitions over the audio rows — per-row CPU, output
+    * fan-out = samples/frameLen rows per clip, no shuffle; at 100 TB
+    * this reads a binary column instead of rendering bytes, same plan.
+    */
+  def frameEnergy(media: DataFrame, frameLen: Int,
+                  threshold: Double): Dataset[FrameEnergy] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val xs = SoundCodec.decode(r.content).map(_._2).getOrElse(
+            FakeCodec.audioSamples(r.content))
+          val nFrames = xs.length / frameLen
+          (0 until nFrames).iterator.map { f =>
+            var sq = 0.0
+            var i = f * frameLen
+            val end = i + frameLen
+            while (i < end) { sq += xs(i).toDouble * xs(i); i += 1 }
+            val rms = math.sqrt(sq / frameLen)
+            FrameEnergy(r.media_id, f, frameLen, rms, rms > threshold)
+          }
+        }
+      }
+  }
+
   /** Resize planning: pure column arithmetic on decoded dims —
     * aspect-preserving fit into a bounding box. Runs codegen'd; no
     * pixel work here (that belongs to the decode stage contract).

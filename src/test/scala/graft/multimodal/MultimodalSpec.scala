@@ -79,6 +79,34 @@ class MultimodalSpec extends SparkSpec {
     assert(f.zero_crossings == 9)
   }
 
+  test("frameEnergy windows a real WAV: per-frame RMS, VAD flag, truncated tail") {
+    import spark.implicits._
+    // 70 samples at frame length 32: frames [0,32) amp 100, [32,64)
+    // amp 0 (silence), tail [64,70) DROPPED (partial frame)
+    val samples = (0 until 70).map { i =>
+      val amp = if (i < 32) 100 else 0
+      if (i % 2 == 0) amp else -amp
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      raw(2 * i) = (s & 0xff).toByte
+      raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = Multimodal.mediaFixture(spark, sfTiny)
+      .filter(col("kind") === "audio").limit(1)
+      .withColumn("content", typedLit(bos.toByteArray))
+    val frames = Multimodal.frameEnergy(wav, 32, 0.5)
+      .orderBy("frame_idx").collect().toSeq
+    assert(frames.map(f => (f.frame_idx, f.n_samples, f.rms, f.voiced)) ==
+      Seq((0, 32, 100.0, true), (1, 32, 0.0, false)))
+  }
+
   test("decode survives repartitioning (partition-iterator shape)") {
     val one = Multimodal.decodeImages(media).orderBy("media_id").collect().toSeq
     val many = Multimodal.decodeImages(media.repartition(7)).orderBy("media_id").collect().toSeq
