@@ -688,6 +688,67 @@ object OlapMore {
        |FROM pr WHERE jwv >= $JwThreshold
        |ORDER BY brand, name_a, name_b""".stripMargin
 
+  // ---------- q_blocking_quality: ER blocking audit (RR + completeness) ----------
+
+  /** Blocking-quality audit for the entity-resolution family — the
+    * two standard metrics (Christen 2012) for ANY blocking scheme,
+    * here the (brand, last-name-token) key `q_edit_distance` and
+    * `q_jaro_winkler` both pair within: REDUCTION RATIO (fraction of
+    * the all-pairs cross product the blocking avoids) and PAIRS
+    * COMPLETENESS (fraction of true-match pairs that land in the same
+    * block). Ground truth = part pairs sharing an identical p_name;
+    * names repeat ACROSS brands, and the brand half of the key splits
+    * those pairs — so completeness is a real number < 1, which is the
+    * whole point of the audit (recall you silently gave up for the
+    * candidate-set reduction).
+    *
+    * Shape: everything runs at name/block GRAIN with pair counts
+    * expanded arithmetically (C(m,2), never materialized pairs) — the
+    * audit costs two hash aggregates regardless of SF. Counts exact;
+    * the two ratios are single divisions rounded at the edge.
+    */
+  def blockingQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_brand"),
+        element_at(split(col("p_name"), " "), -1).as("noun_blk"), col("p_name"))
+    def c2(name: String) = expr(s"($name * ($name - 1)) div 2")
+    val n = parts.agg(count(lit(1)).as("n_parts"))
+    val cand = parts.groupBy("p_brand", "noun_blk")
+      .agg(count(lit(1)).as("sz"))
+      .agg(sum(c2("sz")).as("n_cand_pairs"))
+    val byName = parts.groupBy("p_name")
+      .agg(count(lit(1)).as("m"))
+      .agg(sum(c2("m")).as("n_true_pairs"))
+    val captured = parts.groupBy("p_name", "p_brand")
+      .agg(count(lit(1)).as("mb"))
+      .agg(sum(c2("mb")).as("n_captured"))
+    n.crossJoin(broadcast(cand)).crossJoin(broadcast(byName))
+      .crossJoin(broadcast(captured))
+      .select(col("n_parts"), col("n_cand_pairs"), col("n_true_pairs"),
+        col("n_captured"),
+        graft.text.TextFns.round4(col("n_captured").cast("double") /
+          col("n_true_pairs").cast("double")).as("completeness"),
+        graft.text.TextFns.round4(lit(1.0) - col("n_cand_pairs").cast("double") /
+          c2("n_parts").cast("double")).as("reduction_ratio"))
+  }
+
+  private val sqlBlockingQuality = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    s"""WITH p AS (SELECT p_brand, string_split(p_name, ' ')[-1] AS noun_blk, p_name
+       |           FROM part),
+       |     n AS (SELECT CAST(count(*) AS BIGINT) AS n_parts FROM p),
+       |     cand AS (SELECT CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS n_cand_pairs
+       |              FROM (SELECT count(*) AS sz FROM p GROUP BY p_brand, noun_blk)),
+       |     tru AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS n_true_pairs
+       |             FROM (SELECT count(*) AS m FROM p GROUP BY p_name)),
+       |     cap AS (SELECT CAST(sum(mb * (mb - 1) // 2) AS BIGINT) AS n_captured
+       |             FROM (SELECT count(*) AS mb FROM p GROUP BY p_name, p_brand))
+       |SELECT n_parts, n_cand_pairs, n_true_pairs, n_captured,
+       |       ${r4("CAST(n_captured AS DOUBLE) / CAST(n_true_pairs AS DOUBLE)")} AS completeness,
+       |       ${r4("1.0 - CAST(n_cand_pairs AS DOUBLE) / CAST(n_parts * (n_parts - 1) // 2 AS DOUBLE)")} AS reduction_ratio
+       |FROM n CROSS JOIN cand CROSS JOIN tru CROSS JOIN cap""".stripMargin
+  }
+
   // ---------- q_topk_agg: custom UDAF (typed Aggregator) ----------
 
   /** Per-event-type top-3 values via [[graft.functions.TopKAgg]] —
@@ -1106,6 +1167,7 @@ object OlapMore {
     "q_basket_pairs" -> (basketPairs _),
     "q_itemset_triples" -> (itemsetTriples _),
     "q_jaro_winkler" -> (jaroWinklerQ _),
+    "q_blocking_quality" -> (blockingQuality _),
     "q_abc_analysis" -> (abcAnalysis _),
     "q_price_volume" -> (priceVolume _))
 
@@ -1128,6 +1190,7 @@ object OlapMore {
     "q_basket_pairs" -> sqlBasketPairs,
     "q_itemset_triples" -> sqlItemsetTriples,
     "q_jaro_winkler" -> sqlJaroWinkler,
+    "q_blocking_quality" -> sqlBlockingQuality,
     "q_abc_analysis" -> sqlAbcAnalysis,
     "q_price_volume" -> sqlPriceVolume)
 }

@@ -1627,6 +1627,66 @@ object VectorQueries {
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_edges
        |FROM census ORDER BY support""".stripMargin
 
+  // ---------- 13c. q_link_pred: common-neighbor link prediction ----------
+
+  /** Common-neighbor link prediction over the blocked similarity
+    * graph (Liben-Nowell & Kleinberg 2003): for every NON-edge pair
+    * at two hops, the Jaccard overlap of the endpoint neighborhoods
+    * |N(x)∩N(z)| / (|N(x)|+|N(z)|−|N(x)∩N(z)|) — the "these two docs
+    * are probably near-dups the blocking missed" recall signal a
+    * dedup pipeline mines before widening its LSH bands.
+    *
+    * Shape: wedges come from one self-join of the SYMMETRIZED edge
+    * list on the center node (work = Σ deg(y)² — the same fan-out the
+    * triangle kernel bounds via degree orientation; here the wedge
+    * set IS the output candidate space, so it is the irreducible
+    * cost). Existing edges leave via one anti-join; degrees are a
+    * node-grain aggregate joined on each endpoint. Counts exact, one
+    * division rounded at the edge, total ORDER BY (x, z).
+    */
+  def linkPred(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = collisionEdges(spark, sfDir)
+    val und = edges.union(edges.select(col("w").as("u"), col("u").as("w")))
+    val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val wedges = und.as("e1").join(und.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
+      .select(col("e1.w").as("x"), col("e2.w").as("z"))
+      .groupBy("x", "z").agg(count(lit(1)).as("cn"))
+    val cand = wedges.join(edges,
+        wedges("x") === edges("u") && wedges("z") === edges("w"), "left_anti")
+    cand
+      .join(deg.select(col("node").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("node").as("z"), col("deg").as("dz")), "z")
+      .select(col("x"), col("z"), col("cn"), col("dx"), col("dz"),
+        round4(col("cn").cast("double") /
+          (col("dx") + col("dz") - col("cn")).cast("double")).as("jaccard"))
+      .orderBy("x", "z")
+  }
+
+  private val sqlLinkPred =
+    s"""WITH $duckVecs,
+       |     b0 AS (SELECT vec_id, v, nrm, $duckBucket AS bucket FROM e),
+       |     bn0 AS (SELECT bucket, count(*) AS bn FROM b0 GROUP BY bucket),
+       |     b AS (SELECT vec_id, v, nrm, b0.bucket, ${duckBlk("b0.bucket")} AS blk
+       |           FROM b0 JOIN bn0 ON b0.bucket = bn0.bucket),
+       |     edges AS (SELECT a.vec_id AS u, b2.vec_id AS w
+       |               FROM b a JOIN b b2 ON a.blk = b2.blk AND a.vec_id < b2.vec_id
+       |               WHERE ${duckDot("a.v", "b2.v")} / (a.nrm * b2.nrm) >= $TriThreshold),
+       |     und AS (SELECT u, w FROM edges UNION ALL SELECT w AS u, u AS w FROM edges),
+       |     deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+       |     wedges AS (SELECT e1.w AS x, e2.w AS z, CAST(count(*) AS BIGINT) AS cn
+       |                FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.w < e2.w
+       |                GROUP BY 1, 2),
+       |     cand AS (SELECT x, z, cn FROM wedges
+       |              WHERE NOT EXISTS (SELECT 1 FROM edges
+       |                                WHERE edges.u = wedges.x AND edges.w = wedges.z))
+       |SELECT x, z, cn, d1.deg AS dx, d2.deg AS dz,
+       |       ${duckRound4("CAST(cn AS DOUBLE) / CAST(d1.deg + d2.deg - cn AS DOUBLE)")} AS jaccard
+       |FROM cand
+       |JOIN deg d1 ON cand.x = d1.node
+       |JOIN deg d2 ON cand.z = d2.node
+       |ORDER BY x, z""".stripMargin
+
   // ---------- 14. q_pq_codes: product-quantization encoding ----------
 
   private val PqM = 4          // subspaces
@@ -2871,6 +2931,7 @@ object VectorQueries {
     "q_kmeans_refine" -> (kmeansRefine _),
     "q_triangle_count" -> (triangleCount _),
     "q_truss_support" -> (trussSupport _),
+    "q_link_pred" -> (linkPred _),
     "q_pq_codes" -> (pqCodes _),
     "q_ivfpq_adc" -> (ivfpqAdc _),
     "q_sq8_recall" -> (sq8Recall _),
@@ -2909,6 +2970,7 @@ object VectorQueries {
     "q_kmeans_refine" -> sqlKmeansRefine,
     "q_triangle_count" -> sqlTriangleCount,
     "q_truss_support" -> sqlTrussSupport,
+    "q_link_pred" -> sqlLinkPred,
     "q_pq_codes" -> sqlPqCodes,
     "q_ivfpq_adc" -> sqlIvfpqAdc,
     "q_sq8_recall" -> sqlSq8Recall,
