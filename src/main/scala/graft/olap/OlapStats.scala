@@ -680,6 +680,68 @@ object OlapStats {
                   "CAST(abs(n_early * t2 - n_late * t1) AS DOUBLE) / (2.0 * CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE))")} AS tv_contrib
        |FROM cnt CROSS JOIN tot ORDER BY n_name""".stripMargin
 
+  // ---------- q_hill_tail: heavy-tail index (Hill estimator) ----------
+
+  /** Top-order-statistic count for the Hill estimator (k = 50 tail
+    * points + the anchoring (k+1)-th value). Every priority holds ≥ 51
+    * orders from sf0.001 up.
+    */
+  private val HillK = 50
+
+  /** Hill estimator of the right-tail index of order totals per
+    * priority — THE standard tail-heaviness measure (Hill 1975):
+    * α̂ = k / Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the k largest values.
+    * α ≤ 2 means infinite variance (means unstable, percentile SLOs
+    * meaningless) — the statistic that tells an analyst whether
+    * `q_outliers`-style fences even apply to this distribution.
+    *
+    * Shape: the top-(k+1) per group comes from the mergeable
+    * [[graft.functions.TopKAgg]] UDAF (O(k) state per group,
+    * map-side combinable) — NOT a per-priority window over the fact
+    * table, which the scale rules ban (5 priority partitions scale
+    * with SF). The k+1 values then explode at bounded grain
+    * (groups × 51 rows). Parity: values are exact integer cents as
+    * doubles; the anchor x₍ₖ₊₁₎ = array min (pure selection); per-row
+    * ln of identical doubles; the ≤51-term sum is far inside round4
+    * tolerance; ln(x₍ₖ₊₁₎/x₍ₖ₊₁₎) = 0 contributes nothing, so the sum
+    * runs over all 51 rows unconditionally.
+    */
+  def hillTail(spark: SparkSession, sfDir: String): DataFrame = {
+    val topK1 = udaf(new graft.functions.TopKAgg(HillK + 1))
+    val cents = floor(col("o_totalprice") * 100.0 + 0.5).cast("long").cast("double")
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(topK1(cents).as("vals"))
+      .select(col("priority"), array_min(col("vals")).as("xk"),
+        explode_outer(col("vals")).as("x"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_top"),
+        max(col("xk")).cast("long").as("xk_cents"),
+        sum(log(col("x") / col("xk"))).as("s"))
+      .select(col("priority"), col("n_top"), col("xk_cents"),
+        round4(lit(HillK.toDouble) / col("s")).as("hill_alpha"),
+        round4(col("s") / lit(HillK.toDouble)).as("mean_log_excess"))
+      .orderBy("priority")
+  }
+
+  private val sqlHillTail =
+    s"""WITH c AS (SELECT o_orderpriority AS priority,
+       |                  CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS DOUBLE) AS x
+       |           FROM orders),
+       |     r AS (SELECT priority, x,
+       |                  row_number() OVER (PARTITION BY priority ORDER BY x DESC) AS rn
+       |           FROM c),
+       |     t AS (SELECT priority, x FROM r WHERE rn <= ${HillK + 1}),
+       |     a AS (SELECT priority, min(x) AS xk FROM t GROUP BY 1),
+       |     g AS (SELECT t.priority, count(*) AS n_top, min(t.x) AS xk,
+       |                  sum(ln(t.x / a.xk)) AS s
+       |           FROM t JOIN a ON t.priority = a.priority GROUP BY 1)
+       |SELECT priority, CAST(n_top AS BIGINT) AS n_top,
+       |       CAST(xk AS BIGINT) AS xk_cents,
+       |       ${duckRound4(s"${HillK.toDouble} / s")} AS hill_alpha,
+       |       ${duckRound4(s"s / ${HillK.toDouble}")} AS mean_log_excess
+       |FROM g ORDER BY priority""".stripMargin
+
   // ---------- q_percentile_disc: discrete (element-exact) quantiles ----------
 
   /** Discrete percentile ladder over order totals per priority —
@@ -720,6 +782,7 @@ object OlapStats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_percentile_disc" -> (percentileDisc _),
+    "q_hill_tail" -> (hillTail _),
     "q_tv_drift" -> (tvDrift _),
     "q_weighted_median" -> (weightedMedian _),
     "q_benford" -> (benford _),
@@ -735,6 +798,7 @@ object OlapStats {
 
   val oracle: Map[String, String] = Map(
     "q_percentile_disc" -> sqlPercentileDisc,
+    "q_hill_tail" -> sqlHillTail,
     "q_tv_drift" -> sqlTvDrift,
     "q_weighted_median" -> sqlWeightedMedian,
     "q_benford" -> sqlBenford,

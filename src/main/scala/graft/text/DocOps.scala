@@ -1020,6 +1020,88 @@ object DocOps {
                  "sqrt(CAST(chi2_dec AS DOUBLE) / (CAST(n_total AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE)))")} AS cramers_v
        |FROM a""".stripMargin
 
+  // ---------- q_mutual_info: lang × source information audit ----------
+
+  /** Mutual information between language and source — the
+    * information-theoretic twin of [[cramersV]]'s χ²-based
+    * association: I(lang; source) in nats plus both marginal
+    * entropies and the normalized NMI = I/√(H_l·H_s) (Strehl &
+    * Ghosh's geometric normalization). χ² weights large cells by
+    * squared deviation; MI weights them by log-likelihood ratio —
+    * reading both tells a curator whether the dependence is broad or
+    * driven by a few silo cells.
+    *
+    * Shape: identical to cramersV — bounded contingency cells, margin
+    * broadcasts, per-cell double terms collapsed in round6-DECIMAL
+    * (order-independent), one output row. √(H_l·H_s) is written
+    * sqrt·sqrt per the float rules.
+    */
+  def mutualInfo(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val cell = docs.groupBy("source", "lang").agg(count(lit(1)).as("obs"))
+    val bySource = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
+    val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    val round6 = (x: Column) => floor(x * 1000000.0 + 0.5) / 1000000.0
+    def dec(x: Column) = round6(x).cast("decimal(18,6)")
+    val nD = col("n_total").cast("double")
+    val mi = cell
+      .join(broadcast(byLang), "lang")
+      .join(broadcast(bySource), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        (col("obs").cast("double") / nD) *
+          log(col("obs").cast("double") * nD /
+            (col("n_source").cast("double") * col("n_lang").cast("double"))))
+      .groupBy("n_total").agg(sum(dec(col("term"))).as("mi_dec"))
+    val hl = byLang.crossJoin(broadcast(tot))
+      .withColumn("term",
+        -(col("n_lang").cast("double") / nD) * log(col("n_lang").cast("double") / nD))
+      .groupBy("n_total").agg(sum(dec(col("term"))).as("hl_dec"))
+    val hs = bySource.crossJoin(broadcast(tot))
+      .withColumn("term",
+        -(col("n_source").cast("double") / nD) * log(col("n_source").cast("double") / nD))
+      .groupBy("n_total").agg(sum(dec(col("term"))).as("hs_dec"))
+    mi.join(hl, "n_total").join(hs, "n_total")
+      .select(col("n_total").as("n_docs"),
+        TextFns.round4(col("mi_dec").cast("double")).as("mi"),
+        TextFns.round4(col("hl_dec").cast("double")).as("h_lang"),
+        TextFns.round4(col("hs_dec").cast("double")).as("h_source"),
+        TextFns.round4(col("mi_dec").cast("double") /
+          (sqrt(col("hl_dec").cast("double")) * sqrt(col("hs_dec").cast("double"))))
+          .as("nmi"))
+  }
+
+  private val sqlMutualInfo = {
+    def dec(x: String) =
+      s"sum(CAST((floor(($x) * 1000000.0 + 0.5) / 1000000.0) AS DECIMAL(18,6)))"
+    s"""WITH cell AS (SELECT source, lang, count(*) AS obs FROM documents GROUP BY 1, 2),
+       |     bs AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
+       |     bl AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+       |     d AS (SELECT count(*) AS n_total FROM documents),
+       |     mi AS (SELECT n_total, ${dec(
+                  "(CAST(obs AS DOUBLE) / CAST(n_total AS DOUBLE)) * " +
+                    "ln(CAST(obs AS DOUBLE) * CAST(n_total AS DOUBLE) / " +
+                    "(CAST(n_source AS DOUBLE) * CAST(n_lang AS DOUBLE)))")} AS mi_dec
+       |            FROM cell JOIN bl USING (lang) JOIN bs USING (source) CROSS JOIN d
+       |            GROUP BY 1),
+       |     hl AS (SELECT n_total, ${dec(
+                  "-(CAST(n_lang AS DOUBLE) / CAST(n_total AS DOUBLE)) * " +
+                    "ln(CAST(n_lang AS DOUBLE) / CAST(n_total AS DOUBLE))")} AS hl_dec
+       |            FROM bl CROSS JOIN d GROUP BY 1),
+       |     hs AS (SELECT n_total, ${dec(
+                  "-(CAST(n_source AS DOUBLE) / CAST(n_total AS DOUBLE)) * " +
+                    "ln(CAST(n_source AS DOUBLE) / CAST(n_total AS DOUBLE))")} AS hs_dec
+       |            FROM bs CROSS JOIN d GROUP BY 1)
+       |SELECT CAST(n_total AS BIGINT) AS n_docs,
+       |       ${TextFns.duckRound4("CAST(mi_dec AS DOUBLE)")} AS mi,
+       |       ${TextFns.duckRound4("CAST(hl_dec AS DOUBLE)")} AS h_lang,
+       |       ${TextFns.duckRound4("CAST(hs_dec AS DOUBLE)")} AS h_source,
+       |       ${TextFns.duckRound4(
+                 "CAST(mi_dec AS DOUBLE) / (sqrt(CAST(hl_dec AS DOUBLE)) * sqrt(CAST(hs_dec AS DOUBLE)))")} AS nmi
+       |FROM mi JOIN hl USING (n_total) JOIN hs USING (n_total)""".stripMargin
+  }
+
   // ---------- q_collocations: PMI-lift bigram phrase mining ----------
 
   private val ColMinCount = 5L
@@ -1573,6 +1655,7 @@ object DocOps {
     "q_delta_novelty" -> (deltaNovelty _),
     "q_source_skew" -> (sourceSkew _),
     "q_cramers_v" -> (cramersV _),
+    "q_mutual_info" -> (mutualInfo _),
     "q_cms_est" -> (cmsEst _),
     "q_dict_encode" -> (dictEncode _),
     "q_segment_dedup" -> (segmentDedup _),
@@ -1594,6 +1677,7 @@ object DocOps {
     "q_delta_novelty" -> sqlDeltaNovelty,
     "q_source_skew" -> sqlSourceSkew,
     "q_cramers_v" -> sqlCramersV,
+    "q_mutual_info" -> sqlMutualInfo,
     "q_cms_est" -> sqlCmsEst,
     "q_dict_encode" -> sqlDictEncode,
     "q_segment_dedup" -> sqlSegmentDedup,

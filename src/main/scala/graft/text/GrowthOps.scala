@@ -507,7 +507,62 @@ object GrowthOps {
                    "- 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))")} AS flesch
        |FROM g ORDER BY source""".stripMargin
 
+  // ---------- q_chao1: nonparametric vocabulary-richness estimate ----------
+
+  /** Chao1 species-richness estimate of each language's vocabulary —
+    * the capture-recapture answer to "how many word types does this
+    * corpus slice REALLY have, counting the ones we haven't seen
+    * yet": the bias-corrected V̂ = V + f₁(f₁−1)/(2(f₂+1)) from the
+    * frequency-of-frequencies (Chao 1984; the corrected form is also
+    * defined when f₂ = 0, which real slices hit), plus the Good-Turing unseen-mass estimate f₁/N —
+    * the pair a curation pipeline reads to decide whether a slice is
+    * vocabulary-saturated or still growing (the estimator complement
+    * to `q_vocab_growth`'s observed Heaps curve).
+    *
+    * Shape: (lang, term) counts (one hash aggregate) → a lang-grain
+    * frequency-of-frequency aggregate — all map-side combinable,
+    * output bounded by languages. Counts exact; the two estimates are
+    * fixed-shape divisions over exact integers, rounded at the edge.
+    */
+  def chao1(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("lang"), explode_outer(col("ts")).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy("lang", "term").agg(count(lit(1)).as("c"))
+    tf.groupBy("lang")
+      .agg(count(lit(1)).as("v_obs"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("lang"), col("n_tokens"), col("v_obs"), col("f1"), col("f2"),
+        TextFns.round4(col("v_obs").cast("double") +
+          col("f1").cast("double") * (col("f1").cast("double") - lit(1.0)) /
+            (lit(2.0) * (col("f2").cast("double") + lit(1.0)))).as("chao1"),
+        TextFns.round4(col("f1").cast("double") /
+          col("n_tokens").cast("double")).as("gt_unseen_mass"))
+      .orderBy("lang")
+  }
+
+  private val sqlChao1 =
+    s"""WITH t AS (SELECT lang, $duckTokens AS ts FROM documents),
+       |     terms AS (SELECT lang, unnest(ts) AS term FROM t),
+       |     tf AS (SELECT lang, term, count(*) AS c FROM terms GROUP BY 1, 2),
+       |     g AS (SELECT lang, CAST(count(*) AS BIGINT) AS v_obs,
+       |                  CAST(sum(c) AS BIGINT) AS n_tokens,
+       |                  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       |                  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+       |           FROM tf GROUP BY 1)
+       |SELECT lang, n_tokens, v_obs, f1, f2,
+       |       ${TextFns.duckRound4(
+                 "CAST(v_obs AS DOUBLE) + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0) " +
+                   "/ (2.0 * (CAST(f2 AS DOUBLE) + 1.0))")} AS chao1,
+       |       ${TextFns.duckRound4(
+                 "CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)")} AS gt_unseen_mass
+       |FROM g ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chao1" -> (chao1 _),
     "q_readability" -> (readability _),
     "q_simpson_diversity" -> (simpsonDiversity _),
     "q_distinctive_terms" -> (distinctiveTerms _),
@@ -519,6 +574,7 @@ object GrowthOps {
 
   val oracle: Map[String, String] = Map(
     "q_readability" -> sqlReadability,
+    "q_chao1" -> sqlChao1,
     "q_simpson_diversity" -> sqlSimpsonDiversity,
     "q_distinctive_terms" -> sqlDistinctiveTerms,
     "q_vocab_growth" -> sqlVocabGrowth,
