@@ -581,6 +581,51 @@ object EventQueries {
        |FROM z ORDER BY ratio DESC, event_type, hour LIMIT $PeakTopK""".stripMargin
   }
 
+  // ---------- q_apdex: SLO satisfaction score ----------
+
+  /** Satisfied-latency threshold T (tolerating ≤ 4T, the standard
+    * Apdex multiplier). 50 sits just above the corpus median so both
+    * classes are populated at every SF.
+    */
+  private val ApdexT = 50.0
+
+  /** Apdex score per event type — the industry-standard SLO rollup
+    * (Apdex Alliance spec): (satisfied + tolerating/2) / n with
+    * satisfied = latency ≤ T, tolerating = T < latency ≤ 4T. The
+    * one-number companion to [[latencyBands]]' percentile trend —
+    * dashboards show both because percentiles hide the mix shift
+    * Apdex is built to expose.
+    *
+    * Shape: one map-side-combinable conditional-count aggregate at
+    * type grain. Counts exact (comparisons run on the same stored
+    * doubles in both engines); the score is one fixed-shape division
+    * rounded at the edge.
+    */
+  def apdex(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value") <= ApdexT, 1L).otherwise(0L)).as("n_satisfied"),
+        sum(when(col("value") > ApdexT && col("value") <= 4 * ApdexT, 1L)
+          .otherwise(0L)).as("n_tolerating"))
+      .withColumn("apdex", graft.text.TextFns.round4(
+        (col("n_satisfied").cast("double") +
+          col("n_tolerating").cast("double") / 2.0) /
+          col("n_events").cast("double")))
+      .orderBy("event_type")
+
+  private val sqlApdex =
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(sum(CASE WHEN value <= $ApdexT THEN 1 ELSE 0 END) AS BIGINT) AS n_satisfied,
+       |       CAST(sum(CASE WHEN value > $ApdexT AND value <= ${4 * ApdexT} THEN 1 ELSE 0 END) AS BIGINT) AS n_tolerating,
+       |       ${graft.text.TextFns.duckRound4(
+                 s"(CAST(sum(CASE WHEN value <= $ApdexT THEN 1 ELSE 0 END) AS DOUBLE) " +
+                   s"+ CAST(sum(CASE WHEN value > $ApdexT AND value <= ${4 * ApdexT} THEN 1 ELSE 0 END) AS DOUBLE) / 2.0) " +
+                   "/ CAST(count(*) AS DOUBLE)")} AS apdex
+       |FROM events WHERE value IS NOT NULL
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------- q_latency_bands: monthly percentile bands ----------
 
   /** Daily P50/P95/P99 bands of event value per event type — the
@@ -2328,6 +2373,7 @@ object EventQueries {
     "q_value_drift" -> (valueDrift _),
     "q_peak_detect" -> (peakDetect _),
     "q_latency_bands" -> (latencyBands _),
+    "q_apdex" -> (apdex _),
     "q_time_decay" -> (timeDecay _),
     "q_ewma_trend" -> (ewmaTrend _),
     "q_transitions" -> (transitions _),
@@ -2367,6 +2413,7 @@ object EventQueries {
     "q_value_drift" -> sqlValueDrift,
     "q_peak_detect" -> sqlPeakDetect,
     "q_latency_bands" -> sqlLatencyBands,
+    "q_apdex" -> sqlApdex,
     "q_time_decay" -> sqlTimeDecay,
     "q_ewma_trend" -> sqlEwmaTrend,
     "q_transitions" -> sqlTransitions,

@@ -2708,6 +2708,102 @@ object VectorQueries {
                   "CAST(sum(CASE WHEN p_label = nn_label THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS acc
        |FROM nn GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------- q_calibration: k-NN vote reliability (ECE bins) ----------
+
+  private val CalProbeStep = 4
+  private val CalK = 5
+
+  /** Reliability diagram for the [[CalK]]-NN label-vote classifier:
+    * per confidence bin, predicted confidence (winning-label vote
+    * share) vs realized accuracy — the Expected Calibration Error
+    * decomposition (Guo et al. 2017) an auto-labeling pipeline checks
+    * before using vote share as an acceptance threshold. (A
+    * token-level calibration over `q_bow_classify` is degenerate on
+    * this corpus — its 31-token vocabulary is fully shared across
+    * languages, so every token argmaxes to the majority class at
+    * confidence 1.0; the embedding space carries the real signal.)
+    *
+    * Parity/shape: neighbors are the `q_knn_batch` kernel (bucket-
+    * blocked candidates, probe-partitioned top-k on ROUND6ed
+    * similarity with vec_id tie-break — the ulp-rank rule); the vote
+    * winner is a struct-max over exact counts with label tie-break;
+    * the bin is INTEGER arithmetic (10·v_max) div v_tot so no float
+    * touches a bucket boundary; per-bin mean confidence collapses in
+    * round6-DECIMAL. Probes are step-sampled and capped
+    * ([[ProbeIdCap]]) — a fixed probe budget at any SF.
+    */
+  def calibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+      .withColumn("bucket", VectorFns.signBucket(col("v"), LshBits, LshStride))
+    val probes = vecs
+      .filter(col("vec_id") % CalProbeStep === 0 && col("vec_id") < ProbeIdCap)
+      .select(col("vec_id").as("p_id"), col("label").as("p_label"),
+        col("v").as("pv"), col("nrm").as("pnrm"), col("bucket").as("pbucket"))
+    val w = Window.partitionBy("p_id").orderBy(col("s6").desc, col("vec_id"))
+    val nbrs = vecs.join(probes,
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("p_id"))
+      .withColumn("s6", round6(VectorFns.cosineStaged(
+        col("v"), col("pv"), col("nrm"), col("pnrm"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= CalK)
+    val voted = nbrs.groupBy("p_id", "p_label", "label")
+      .agg(count(lit(1)).as("v"))
+      .groupBy("p_id", "p_label")
+      .agg(max(struct(col("v"), col("label"))).as("win"),
+        sum(col("v")).as("v_tot"))
+      .select(col("p_id"), col("p_label"),
+        col("win.label").as("pred"), col("win.v").as("v_max"), col("v_tot"))
+    val round6d = (x: org.apache.spark.sql.Column) =>
+      floor(x * 1000000.0 + 0.5) / 1000000.0
+    voted
+      .withColumn("bin", expr("(10 * v_max) div v_tot"))
+      .withColumn("conf", col("v_max").cast("double") / col("v_tot").cast("double"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("pred") === col("p_label"), 1L).otherwise(0L)).as("n_correct"),
+        sum(round6d(col("conf")).cast("decimal(18,6)")).as("conf_dec"))
+      .select(col("bin"), col("n_probes"), col("n_correct"),
+        round4(col("conf_dec").cast("double") /
+          col("n_probes").cast("double")).as("mean_conf"),
+        round4(col("n_correct").cast("double") /
+          col("n_probes").cast("double")).as("accuracy"))
+      .orderBy("bin")
+  }
+
+  private val sqlCalibration =
+    s"""WITH $duckVecs,
+       |     b AS (SELECT vec_id, label, v, nrm, $duckBucket AS bucket FROM e),
+       |     p AS (SELECT vec_id AS p_id, label AS p_label, v AS pv, nrm AS pnrm,
+       |                  bucket AS pbucket
+       |           FROM b WHERE vec_id % $CalProbeStep = 0 AND vec_id < $ProbeIdCap),
+       |     s AS (SELECT p.p_id, p.p_label, b.vec_id, b.label,
+       |                  ${duckRound6(s"${duckDot("b.v", "p.pv")} / (b.nrm * p.pnrm)")} AS s6
+       |           FROM b JOIN p ON b.bucket = p.pbucket AND b.vec_id <> p.p_id),
+       |     nb AS (SELECT p_id, p_label, label FROM (
+       |              SELECT p_id, p_label, label,
+       |                     row_number() OVER (PARTITION BY p_id
+       |                       ORDER BY s6 DESC, vec_id) AS rk FROM s)
+       |            WHERE rk <= $CalK),
+       |     vv AS (SELECT p_id, p_label, label, count(*) AS v
+       |            FROM nb GROUP BY 1, 2, 3),
+       |     wn AS (SELECT p_id, p_label, label AS pred, v AS v_max, v_tot
+       |            FROM (SELECT *, sum(v) OVER (PARTITION BY p_id) AS v_tot,
+       |                    row_number() OVER (PARTITION BY p_id
+       |                      ORDER BY v DESC, label DESC) AS rn FROM vv) r
+       |            WHERE rn = 1),
+       |     j AS (SELECT p_id, p_label, pred,
+       |                  (10 * v_max) // v_tot AS bin,
+       |                  CAST(v_max AS DOUBLE) / CAST(v_tot AS DOUBLE) AS conf
+       |           FROM wn),
+       |     g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_probes,
+       |                  CAST(sum(CASE WHEN pred = p_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |                  sum(CAST((floor(conf * 1000000.0 + 0.5) / 1000000.0) AS DECIMAL(18,6))) AS conf_dec
+       |           FROM j GROUP BY 1)
+       |SELECT bin, n_probes, n_correct,
+       |       ${duckRound4("CAST(conf_dec AS DOUBLE) / CAST(n_probes AS DOUBLE)")} AS mean_conf,
+       |       ${duckRound4("CAST(n_correct AS DOUBLE) / CAST(n_probes AS DOUBLE)")} AS accuracy
+       |FROM g ORDER BY bin""".stripMargin
+
   // ---------- q_cluster_ari: adjusted Rand of cells vs labels ----------
 
   /** Adjusted Rand Index between the k-means cell assignment and the
@@ -2932,6 +3028,7 @@ object VectorQueries {
     "q_triangle_count" -> (triangleCount _),
     "q_truss_support" -> (trussSupport _),
     "q_link_pred" -> (linkPred _),
+    "q_calibration" -> (calibration _),
     "q_pq_codes" -> (pqCodes _),
     "q_ivfpq_adc" -> (ivfpqAdc _),
     "q_sq8_recall" -> (sq8Recall _),
@@ -2971,6 +3068,7 @@ object VectorQueries {
     "q_triangle_count" -> sqlTriangleCount,
     "q_truss_support" -> sqlTrussSupport,
     "q_link_pred" -> sqlLinkPred,
+    "q_calibration" -> sqlCalibration,
     "q_pq_codes" -> sqlPqCodes,
     "q_ivfpq_adc" -> sqlIvfpqAdc,
     "q_sq8_recall" -> sqlSq8Recall,
