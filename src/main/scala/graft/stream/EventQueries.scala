@@ -581,6 +581,122 @@ object EventQueries {
        |FROM z ORDER BY ratio DESC, event_type, hour LIMIT $PeakTopK""".stripMargin
   }
 
+  // ---------- q_kaplan_meier: right-censored survival curve ----------
+
+  /** High-value conversion threshold: value > 200 converts ~20% of
+    * signed-up users at sf0.01, leaving the rest right-censored —
+    * real censoring is the point (at 100% conversion KM degenerates
+    * to 1−ECDF and the last factor hits 0).
+    */
+  private val KmValueFloor = 200.0
+
+  /** Kaplan-Meier survival curve for time-to-high-value-purchase
+    * (Kaplan & Meier 1958) — the right answer to "how long until
+    * users convert" when most users HAVEN'T yet: non-converters are
+    * right-censored at their last observed event instead of being
+    * dropped (which biases fast) or counted as never (which biases
+    * slow). Ŝ(t) = Π_{u≤t} (1 − d_u/n_u) over conversion days, with
+    * the at-risk set shrinking by both conversions and censorings.
+    *
+    * Shape: three user-grain aggregates (signup, first qualifying
+    * purchase, last observation) → one subject row per user → a
+    * day-grain census. The cumulative product runs over the BOUNDED
+    * day domain (conversion days ≤ observation window), not user
+    * grain, so the single-partition window is aggregate-sized (scale
+    * note: a fact-scale horizon would go through PrefixScan).
+    * Parity: d/n are exact integers; the product is exp(Σ ln f) with
+    * the frame-ordered window sum over ≤31 identical doubles (round4
+    * absorbs exp/ln ulp); a d=n day would make f=0, so ln reads
+    * ln(CASE f>0 THEN f ELSE 1) with a cumulative zero flag forcing
+    * Ŝ=0 from that day on — Spark's ln(0)=NULL vs DuckDB's -inf
+    * never evaluates. Day deltas are integer `div` over unix_micros ≡
+    * epoch_us (the q_time_to_convert pair).
+    */
+  def kaplanMeier(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("unix_micros(ts)").as("us"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("us")).as("s_us"))
+    val pu = ev.filter(col("event_type") === "purchase" && col("value") > KmValueFloor)
+      .join(su, "user_id").filter(col("us") >= col("s_us"))
+      .groupBy("user_id").agg(min(col("us")).as("p_us"))
+    val le = ev.groupBy("user_id").agg(max(col("us")).as("l_us"))
+    val subj = su.join(pu, Seq("user_id"), "left").join(le, "user_id")
+      .select(col("user_id"),
+        when(col("p_us").isNotNull, expr("(p_us - s_us) div 86400000000"))
+          .otherwise(expr("(l_us - s_us) div 86400000000")).as("t"),
+        col("p_us").isNotNull.as("converted"))
+    val census = subj.groupBy("t")
+      .agg(sum(when(col("converted"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("leaving"))
+    val nTotal = subj.agg(count(lit(1)).as("n_subjects"))
+    // at-risk at t = subjects with time >= t = total - those leaving earlier
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wKm = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    census.crossJoin(broadcast(nTotal))
+      .withColumn("n_risk",
+        col("n_subjects") - coalesce(sum(col("leaving")).over(wCum), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("f",
+        lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"))
+      .withColumn("km",
+        when(min(col("f")).over(wKm) === 0.0, lit(0.0))
+          .otherwise(exp(sum(log(when(col("f") > 0.0, col("f")).otherwise(lit(1.0))))
+            .over(wKm))))
+      .select(col("t").as("day"), col("n_risk"), col("d").as("n_events"),
+        graft.text.TextFns.round4(col("km")).as("survival"))
+      .orderBy("day")
+  }
+
+  private val sqlKaplanMeier = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    s"""WITH e AS (SELECT user_id, event_type, value,
+       |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |           FROM events),
+       |     su AS (SELECT user_id, min(us) AS s_us FROM e
+       |            WHERE event_type = 'signup' GROUP BY 1),
+       |     pu AS (SELECT e.user_id, min(e.us) AS p_us
+       |            FROM e JOIN su ON e.user_id = su.user_id
+       |            WHERE e.event_type = 'purchase' AND e.value > $KmValueFloor
+       |              AND e.us >= su.s_us
+       |            GROUP BY 1),
+       |     le AS (SELECT user_id, max(us) AS l_us FROM e GROUP BY 1),
+       |     subj AS (SELECT su.user_id,
+       |                     CASE WHEN pu.p_us IS NOT NULL
+       |                          THEN (pu.p_us - su.s_us) // 86400000000
+       |                          ELSE (le.l_us - su.s_us) // 86400000000 END AS t,
+       |                     pu.p_us IS NOT NULL AS converted
+       |              FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+       |                      JOIN le ON su.user_id = le.user_id),
+       |     census AS (SELECT t,
+       |                       CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |                       CAST(count(*) AS BIGINT) AS leaving
+       |                FROM subj GROUP BY 1),
+       |     nt AS (SELECT CAST(count(*) AS BIGINT) AS n_subjects FROM subj),
+       |     rk AS (SELECT t, d,
+       |                   n_subjects - coalesce(sum(leaving) OVER (ORDER BY t
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+       |            FROM census CROSS JOIN nt),
+       |     f AS (SELECT t, d, n_risk,
+       |                  1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f
+       |           FROM rk WHERE d > 0),
+       |     k AS (SELECT t, d, n_risk,
+       |                  CASE WHEN min(f) OVER (ORDER BY t
+       |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0.0
+       |                       THEN 0.0
+       |                       ELSE exp(sum(ln(CASE WHEN f > 0.0 THEN f ELSE 1.0 END))
+       |                              OVER (ORDER BY t
+       |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |                  END AS km
+       |           FROM f)
+       |SELECT t AS day, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+       |       ${r4("km")} AS survival
+       |FROM k ORDER BY day""".stripMargin
+  }
+
   // ---------- q_apdex: SLO satisfaction score ----------
 
   /** Satisfied-latency threshold T (tolerating ≤ 4T, the standard
@@ -2374,6 +2490,7 @@ object EventQueries {
     "q_peak_detect" -> (peakDetect _),
     "q_latency_bands" -> (latencyBands _),
     "q_apdex" -> (apdex _),
+    "q_kaplan_meier" -> (kaplanMeier _),
     "q_time_decay" -> (timeDecay _),
     "q_ewma_trend" -> (ewmaTrend _),
     "q_transitions" -> (transitions _),
@@ -2414,6 +2531,7 @@ object EventQueries {
     "q_peak_detect" -> sqlPeakDetect,
     "q_latency_bands" -> sqlLatencyBands,
     "q_apdex" -> sqlApdex,
+    "q_kaplan_meier" -> sqlKaplanMeier,
     "q_time_decay" -> sqlTimeDecay,
     "q_ewma_trend" -> sqlEwmaTrend,
     "q_transitions" -> sqlTransitions,

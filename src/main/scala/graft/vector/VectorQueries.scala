@@ -2652,6 +2652,101 @@ object VectorQueries {
        |FROM fl LEFT JOIN cn ON fl.vec_id = cn.vec_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------- q_dbscan_clusters: full density clustering ----------
+
+  /** Full DBSCAN cluster assignment (Ester et al. 1996) — the
+    * completion of [[dbscanCore]]'s taxonomy: clusters are the
+    * connected components of the CORE-CORE neighbor graph (core =
+    * ≥3 neighbors at the same cell-blocked round6-cosine threshold),
+    * border points attach to the MINIMUM cluster id among their core
+    * neighbors (the deterministic tie-break for the boundary
+    * ambiguity the original paper leaves order-dependent), noise
+    * stays out (censused by `q_dbscan_core`). Output is the bounded
+    * per-cluster census (core/border/total).
+    *
+    * Shape: the same within-cell pair pass (never all-pairs), the
+    * driver-paced min-label closure over the core-core edges only
+    * ([[graft.graph.ConnectedComponents]], checkpointTracked rounds),
+    * one edge join for border attachment. The oracle replays the
+    * closure as a recursive CTE (the `q_cc_clusters` pattern) —
+    * exponential-path-free because the recursive UNION deduplicates
+    * states.
+    */
+  def dbscanClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.graph.ConnectedComponents
+    val cells = withCappedBlock(assignedCells(withVecs(spark, sfDir)), "cell")
+    val prs = cells.as("a").join(cells.as("b"),
+        col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("s6", round6(VectorFns.cosineStaged(
+        col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))))
+      .filter(col("s6") >= NearDupThreshold)
+      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"))
+      // staged: consumed by the symmetric edge list (twice), the
+      // core-core projection, and the border join
+      .localCheckpoint(true)
+    val edges = prs.unionAll(prs.select(col("y").as("x"), col("x").as("y")))
+    val core = edges.groupBy("x").agg(count(lit(1)).as("nn"))
+      .filter(col("nn") >= 3).select(col("x").as("vec_id"))
+    val coreE = prs
+      .join(core.select(col("vec_id").as("x")), "x")
+      .join(core.select(col("vec_id").as("y")), "y")
+      .select(col("x").as("src"), col("y").as("dst"))
+    val (comp, compIds) = ConnectedComponents.runTracked(coreE)
+    val coreComp = core
+      .join(comp.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster"))
+    val borders = edges
+      .join(core.select(col("vec_id").as("x")), Seq("x"), "left_anti")
+      .join(coreComp.select(col("vec_id").as("y"), col("cluster")), "y")
+      .groupBy(col("x").as("vec_id"))
+      .agg(min(col("cluster")).as("cluster"))
+    val out = coreComp.withColumn("is_core", lit(true))
+      .unionByName(borders.withColumn("is_core", lit(false)))
+      .groupBy("cluster")
+      .agg(sum(when(col("is_core"), 1L).otherwise(0L)).as("n_core"),
+        sum(when(!col("is_core"), 1L).otherwise(0L)).as("n_border"),
+        count(lit(1)).as("n_total"))
+      .orderBy("cluster")
+    val (res, _) = ConnectedComponents.checkpointTracked(out)
+    ConnectedComponents.free(out, compIds)
+    res
+  }
+
+  private val sqlDbscanClusters =
+    s"""WITH RECURSIVE $duckSemCells,
+       |     prs AS (SELECT a.vec_id AS x, b2.vec_id AS y
+       |             FROM cells a JOIN cells b2
+       |               ON a.blk = b2.blk AND a.vec_id < b2.vec_id
+       |             WHERE ${duckRound6(
+                       s"${duckDot("a.v", "b2.v")} / (a.nrm * b2.nrm)")} >= $NearDupThreshold),
+       |     ed AS (SELECT x, y FROM prs UNION ALL SELECT y, x FROM prs),
+       |     core AS (SELECT x AS vec_id FROM ed GROUP BY x HAVING count(*) >= 3),
+       |     ce0 AS (SELECT prs.x AS a, prs.y AS b FROM prs
+       |             JOIN core c1 ON prs.x = c1.vec_id
+       |             JOIN core c2 ON prs.y = c2.vec_id),
+       |     ce AS (SELECT a, b FROM ce0 UNION SELECT b, a FROM ce0),
+       |     reach AS (
+       |       SELECT DISTINCT a AS node, a AS lbl FROM ce
+       |       UNION
+       |       SELECT e.a AS node, r.lbl FROM ce e JOIN reach r ON r.node = e.b),
+       |     comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+       |     cc AS (SELECT core.vec_id,
+       |                   coalesce(comp.component, core.vec_id) AS cluster
+       |            FROM core LEFT JOIN comp ON core.vec_id = comp.node),
+       |     bd AS (SELECT ed.x AS vec_id, min(cc.cluster) AS cluster
+       |            FROM ed JOIN cc ON ed.y = cc.vec_id
+       |            WHERE ed.x NOT IN (SELECT vec_id FROM core)
+       |            GROUP BY ed.x),
+       |     allp AS (SELECT vec_id, cluster, TRUE AS is_core FROM cc
+       |              UNION ALL
+       |              SELECT vec_id, cluster, FALSE AS is_core FROM bd)
+       |SELECT cluster,
+       |       CAST(sum(CASE WHEN is_core THEN 1 ELSE 0 END) AS BIGINT) AS n_core,
+       |       CAST(sum(CASE WHEN NOT is_core THEN 1 ELSE 0 END) AS BIGINT) AS n_border,
+       |       CAST(count(*) AS BIGINT) AS n_total
+       |FROM allp GROUP BY cluster ORDER BY cluster""".stripMargin
+
   // ---------- q_knn_label_acc: 1-NN classification accuracy ----------
 
   /** Leave-one-out 1-NN label accuracy on a deterministic probe
@@ -3024,6 +3119,7 @@ object VectorQueries {
     "q_cluster_ari" -> (clusterAri _),
     "q_knn_label_acc" -> (knnLabelAcc _),
     "q_dbscan_core" -> (dbscanCore _),
+    "q_dbscan_clusters" -> (dbscanClusters _),
     "q_kmeans_refine" -> (kmeansRefine _),
     "q_triangle_count" -> (triangleCount _),
     "q_truss_support" -> (trussSupport _),
@@ -3064,6 +3160,7 @@ object VectorQueries {
     "q_cluster_ari" -> sqlClusterAri,
     "q_knn_label_acc" -> sqlKnnLabelAcc,
     "q_dbscan_core" -> sqlDbscanCore,
+    "q_dbscan_clusters" -> sqlDbscanClusters,
     "q_kmeans_refine" -> sqlKmeansRefine,
     "q_triangle_count" -> sqlTriangleCount,
     "q_truss_support" -> sqlTrussSupport,
