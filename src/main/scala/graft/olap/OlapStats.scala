@@ -680,6 +680,80 @@ object OlapStats {
                   "CAST(abs(n_early * t2 - n_late * t1) AS DOUBLE) / (2.0 * CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE))")} AS tv_contrib
        |FROM cnt CROSS JOIN tot ORDER BY n_name""".stripMargin
 
+  // ---------- q_welch_ttest: unequal-variance mean comparison ----------
+
+  /** Welch's t-test between every pair of market segments on order
+    * totals (Welch 1947) — the two-sample companion to `q_ab_test`'s
+    * proportion z-test: does segment A spend more per order than B,
+    * WITHOUT assuming equal variances (the assumption classic
+    * Student's t silently makes and real revenue data violates)?
+    * Emits t and the Welch-Satterthwaite degrees of freedom per pair.
+    *
+    * Shape: one 5-group aggregate of EXACT decimal moments (the
+    * `q_corr_stats` recipe — n, Σx, Σx² in DECIMAL so partition
+    * order cannot perturb them), then a bounded 5×5 pair join of the
+    * aggregate rows. Both closed forms are fixed-shape doubles
+    * mirrored token-for-token; one rounding at the edge.
+    */
+  def welchTtest(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val m = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        col("o_totalprice").cast("decimal(18,4)").as("x"),
+        col("o_totalprice").cast("decimal(18,4)")
+          .multiply(col("o_totalprice").cast("decimal(20,4)")).as("xx"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("xx")).as("sxx"))
+    def nD(p: String) = col(s"${p}n").cast("double")
+    def mean(p: String) = col(s"${p}sx").cast("double") / nD(p)
+    def vOverN(p: String) =
+      ((col(s"${p}sxx").cast("double") -
+        col(s"${p}sx").cast("double") * col(s"${p}sx").cast("double") / nD(p)) /
+        (nD(p) - 1.0)) / nD(p)
+    val a = m.select(col("seg").as("seg_a"), col("n").as("an"),
+      col("sx").as("asx"), col("sxx").as("asxx"))
+    val b = m.select(col("seg").as("seg_b"), col("n").as("bn"),
+      col("sx").as("bsx"), col("sxx").as("bsxx"))
+    a.join(b, col("seg_a") < col("seg_b"))
+      .withColumn("va", vOverN("a"))
+      .withColumn("vb", vOverN("b"))
+      .select(col("seg_a"), col("seg_b"),
+        col("an").as("n_a"), col("bn").as("n_b"),
+        round4(mean("a") - mean("b")).as("mean_diff"),
+        round4((mean("a") - mean("b")) / (sqrt(col("va") + col("vb"))))
+          .as("t_stat"),
+        round4((col("va") + col("vb")) * (col("va") + col("vb")) /
+          (col("va") * col("va") / (nD("a") - 1.0) +
+            col("vb") * col("vb") / (nD("b") - 1.0))).as("df"))
+      .orderBy("seg_a", "seg_b")
+  }
+
+  private val sqlWelchTtest = {
+    def mean(p: String) = s"(CAST(${p}sx AS DOUBLE) / CAST(${p}n AS DOUBLE))"
+    def vOverN(p: String) =
+      s"(((CAST(${p}sxx AS DOUBLE) - CAST(${p}sx AS DOUBLE) * CAST(${p}sx AS DOUBLE) / CAST(${p}n AS DOUBLE)) " +
+        s"/ (CAST(${p}n AS DOUBLE) - 1.0)) / CAST(${p}n AS DOUBLE))"
+    val (va, vb) = (vOverN("a"), vOverN("b"))
+    s"""WITH t AS (SELECT c_mktsegment AS seg,
+       |                  CAST(o_totalprice AS DECIMAL(18,4)) AS x,
+       |                  CAST(o_totalprice AS DECIMAL(18,4)) * CAST(o_totalprice AS DECIMAL(20,4)) AS xx
+       |           FROM orders JOIN customer ON o_custkey = c_custkey),
+       |     m AS (SELECT seg, count(*) AS n, sum(x) AS sx, sum(xx) AS sxx
+       |           FROM t GROUP BY 1),
+       |     pr AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
+       |                   a.n AS an, a.sx AS asx, a.sxx AS asxx,
+       |                   b.n AS bn, b.sx AS bsx, b.sxx AS bsxx
+       |            FROM m a JOIN m b ON a.seg < b.seg)
+       |SELECT seg_a, seg_b,
+       |       CAST(an AS BIGINT) AS n_a, CAST(bn AS BIGINT) AS n_b,
+       |       ${duckRound4(s"${mean("a")} - ${mean("b")}")} AS mean_diff,
+       |       ${duckRound4(s"(${mean("a")} - ${mean("b")}) / (sqrt($va + $vb))")} AS t_stat,
+       |       ${duckRound4(s"($va + $vb) * ($va + $vb) / " +
+                 s"($va * $va / (CAST(an AS DOUBLE) - 1.0) + $vb * $vb / (CAST(bn AS DOUBLE) - 1.0))")} AS df
+       |FROM pr ORDER BY seg_a, seg_b""".stripMargin
+  }
+
   // ---------- q_hill_tail: heavy-tail index (Hill estimator) ----------
 
   /** Top-order-statistic count for the Hill estimator (k = 50 tail
@@ -783,6 +857,7 @@ object OlapStats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_percentile_disc" -> (percentileDisc _),
     "q_hill_tail" -> (hillTail _),
+    "q_welch_ttest" -> (welchTtest _),
     "q_tv_drift" -> (tvDrift _),
     "q_weighted_median" -> (weightedMedian _),
     "q_benford" -> (benford _),
@@ -799,6 +874,7 @@ object OlapStats {
   val oracle: Map[String, String] = Map(
     "q_percentile_disc" -> sqlPercentileDisc,
     "q_hill_tail" -> sqlHillTail,
+    "q_welch_ttest" -> sqlWelchTtest,
     "q_tv_drift" -> sqlTvDrift,
     "q_weighted_median" -> sqlWeightedMedian,
     "q_benford" -> sqlBenford,

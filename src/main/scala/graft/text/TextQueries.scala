@@ -2007,9 +2007,13 @@ object TextQueries {
     * lexicon scoring runs once), then two lang-cardinality aggregates
     * full-outer-joined. Linear in tokens at any SF.
     */
-  def langAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-document (lang, pred) under the lexicon classifier — the
+    * shared kernel of [[langAgreement]] (precision/recall/F1) and
+    * [[cohensKappa]] (chance-corrected agreement).
+    */
+  private def langPreds(spark: SparkSession, sfDir: String): DataFrame = {
     val langs = TextFns.langMarkers.keys.toSeq.sorted
-    val pred = Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .withColumn("ts", TextFns.tokens(col("text"))) // staged: scored 5×
       .select(col("doc_id"), col("lang"),
         explode_outer(array(langs.zipWithIndex.map { case (l, i) =>
@@ -2022,6 +2026,10 @@ object TextQueries {
       .agg(max(col("s")).as("b"))
       .select(col("lang"),
         element_at(typedLit(langs), (-col("b.nrank")).cast("int") + 1).as("pred"))
+  }
+
+  def langAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val pred = langPreds(spark, sfDir)
     val truth = pred.groupBy("lang")
       .agg(count(lit(1)).as("n_true"),
         count(when(col("pred") === col("lang"), lit(1))).as("n_correct"))
@@ -2080,6 +2088,71 @@ object TextQueries {
                         "/ CAST(coalesce(n_true, 0) + coalesce(n_pred, 0) AS DOUBLE)")} END AS f1
        |FROM tr FULL JOIN pr ON tr.lang = pr.plang
        |ORDER BY lang""".stripMargin
+  }
+
+  // ---------- 5c. q_cohens_kappa: chance-corrected agreement ----------
+
+  /** Cohen's κ between the lexicon classifier and the labeled
+    * language (Cohen 1960) — the chance-corrected summary
+    * [[langAgreement]]'s per-class precision/recall doesn't give: on
+    * a skewed label mix, raw accuracy flatters a majority-class
+    * guesser; κ subtracts exactly that. κ = (n·Σdiag − Σᵢnᵗᵢ·nᵖᵢ) /
+    * (n² − Σᵢnᵗᵢ·nᵖᵢ) — every term an exact integer (cell counts and
+    * margin products), ONE division at the edge, so the oracle
+    * compare has no float pipeline at all.
+    *
+    * Shape: the shared [[langPreds]] kernel → one bounded 25-cell
+    * contingency aggregate → margin products. All dim-sized.
+    */
+  def cohensKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    val cell = langPreds(spark, sfDir)
+      .groupBy("lang", "pred").agg(count(lit(1)).as("c"))
+    val tot = cell.agg(sum(col("c")).as("n"),
+      sum(when(col("lang") === col("pred"), col("c")).otherwise(lit(0L)))
+        .as("n_agree"))
+    val nt = cell.groupBy("lang").agg(sum(col("c")).as("nt"))
+    val np = cell.groupBy("pred").agg(sum(col("c")).as("np"))
+    val pe = nt.join(np, col("lang") === col("pred"))
+      .agg(sum(col("nt") * col("np")).as("pe_num"))
+    tot.crossJoin(broadcast(pe))
+      .select(col("n").as("n_docs"), col("n_agree"),
+        TextFns.round4(col("n_agree").cast("double") /
+          col("n").cast("double")).as("p_observed"),
+        TextFns.round4(col("pe_num").cast("double") /
+          (col("n") * col("n")).cast("double")).as("p_expected"),
+        TextFns.round4((col("n_agree") * col("n") - col("pe_num")).cast("double") /
+          (col("n") * col("n") - col("pe_num")).cast("double")).as("kappa"))
+  }
+
+  private val sqlCohensKappa = {
+    val langs = TextFns.langMarkers.keys.toSeq.sorted
+    val hitSel = langs.map { l =>
+      val lex = TextFns.langMarkers(l).map(s => s"'$s'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(ts, t -> list_contains($lex, t))) AS BIGINT) AS hits_$l"
+    }.mkString(", ")
+    val structs = langs.zipWithIndex
+      .map { case (l, i) => s"{'hits': hits_$l, 'nrank': ${-i}}" }
+      .mkString("[", ", ", "]")
+    val langList = langs.map(l => s"'$l'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, lang, $duckTokens AS ts FROM documents),
+       |     h AS (SELECT doc_id, lang, $hitSel FROM t),
+       |     u AS (SELECT doc_id, lang, unnest($structs) AS s FROM h),
+       |     b AS (SELECT doc_id, lang, max(s) AS bs FROM u GROUP BY 1, 2),
+       |     p AS (SELECT lang, ($langList)[CAST(-bs.nrank AS INT) + 1] AS pred FROM b),
+       |     cell AS (SELECT lang, pred, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1, 2),
+       |     tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+       |                    CAST(sum(CASE WHEN lang = pred THEN c ELSE 0 END) AS BIGINT) AS n_agree
+       |             FROM cell),
+       |     nt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS nt FROM cell GROUP BY 1),
+       |     np AS (SELECT pred, CAST(sum(c) AS BIGINT) AS np FROM cell GROUP BY 1),
+       |     pe AS (SELECT CAST(sum(nt * np) AS BIGINT) AS pe_num
+       |            FROM nt JOIN np ON nt.lang = np.pred)
+       |SELECT n AS n_docs, n_agree,
+       |       ${TextFns.duckRound4("CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)")} AS p_observed,
+       |       ${TextFns.duckRound4("CAST(pe_num AS DOUBLE) / CAST(n * n AS DOUBLE)")} AS p_expected,
+       |       ${TextFns.duckRound4(
+                 "CAST(n_agree * n - pe_num AS DOUBLE) / CAST(n * n - pe_num AS DOUBLE)")} AS kappa
+       |FROM tot CROSS JOIN pe""".stripMargin
   }
 
   // ---------- 6. q_text_stats: per-lang corpus statistics ----------
@@ -2751,6 +2824,7 @@ object TextQueries {
     "q_containment" -> (containment _),
     "q_lang_id" -> (langId _),
     "q_lang_agreement" -> (langAgreement _),
+    "q_cohens_kappa" -> (cohensKappa _),
     "q_text_stats" -> (textStats _),
     "q_token_count" -> (tokenCount _),
     "q_quality_score" -> (qualityScoreQ _),
@@ -2795,6 +2869,7 @@ object TextQueries {
     "q_containment" -> sqlContainment,
     "q_lang_id" -> sqlLangId,
     "q_lang_agreement" -> sqlLangAgreement,
+    "q_cohens_kappa" -> sqlCohensKappa,
     "q_text_stats" -> sqlTextStats,
     "q_token_count" -> sqlTokenCount,
     "q_quality_score" -> sqlQualityScore,

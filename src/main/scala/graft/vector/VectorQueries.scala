@@ -2827,7 +2827,12 @@ object VectorQueries {
     * round6-DECIMAL. Probes are step-sampled and capped
     * ([[ProbeIdCap]]) — a fixed probe budget at any SF.
     */
-  def calibration(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-probe [[CalK]]-NN vote outcome — (p_id, p_label, pred,
+    * v_max, v_tot) — the shared kernel of [[calibration]] (bins) and
+    * [[voteAuc]] (ranking), so the two evals can never disagree on a
+    * vote.
+    */
+  private def knnVotes(spark: SparkSession, sfDir: String): DataFrame = {
     val vecs = withVecs(spark, sfDir)
       .withColumn("bucket", VectorFns.signBucket(col("v"), LshBits, LshStride))
     val probes = vecs
@@ -2841,13 +2846,17 @@ object VectorQueries {
         col("v"), col("pv"), col("nrm"), col("pnrm"))))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= CalK)
-    val voted = nbrs.groupBy("p_id", "p_label", "label")
+    nbrs.groupBy("p_id", "p_label", "label")
       .agg(count(lit(1)).as("v"))
       .groupBy("p_id", "p_label")
       .agg(max(struct(col("v"), col("label"))).as("win"),
         sum(col("v")).as("v_tot"))
       .select(col("p_id"), col("p_label"),
         col("win.label").as("pred"), col("win.v").as("v_max"), col("v_tot"))
+  }
+
+  def calibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val voted = knnVotes(spark, sfDir)
     val round6d = (x: org.apache.spark.sql.Column) =>
       floor(x * 1000000.0 + 0.5) / 1000000.0
     voted
@@ -2865,8 +2874,12 @@ object VectorQueries {
       .orderBy("bin")
   }
 
-  private val sqlCalibration =
-    s"""WITH $duckVecs,
+  /** Oracle twin of [[knnVotes]] — CTE chain ending in
+    * `wn(p_id, p_label, pred, v_max, v_tot)`. A def (declaration-order
+    * rule: referenced by sql* vals on both sides of this point).
+    */
+  private def duckKnnVotes =
+    s"""$duckVecs,
        |     b AS (SELECT vec_id, label, v, nrm, $duckBucket AS bucket FROM e),
        |     p AS (SELECT vec_id AS p_id, label AS p_label, v AS pv, nrm AS pnrm,
        |                  bucket AS pbucket
@@ -2885,7 +2898,10 @@ object VectorQueries {
        |            FROM (SELECT *, sum(v) OVER (PARTITION BY p_id) AS v_tot,
        |                    row_number() OVER (PARTITION BY p_id
        |                      ORDER BY v DESC, label DESC) AS rn FROM vv) r
-       |            WHERE rn = 1),
+       |            WHERE rn = 1)""".stripMargin
+
+  private val sqlCalibration =
+    s"""WITH $duckKnnVotes,
        |     j AS (SELECT p_id, p_label, pred,
        |                  (10 * v_max) // v_tot AS bin,
        |                  CAST(v_max AS DOUBLE) / CAST(v_tot AS DOUBLE) AS conf
@@ -2898,6 +2914,65 @@ object VectorQueries {
        |       ${duckRound4("CAST(conf_dec AS DOUBLE) / CAST(n_probes AS DOUBLE)")} AS mean_conf,
        |       ${duckRound4("CAST(n_correct AS DOUBLE) / CAST(n_probes AS DOUBLE)")} AS accuracy
        |FROM g ORDER BY bin""".stripMargin
+
+  // ---------- q_vote_auc: exact AUC of the vote-share ranking ----------
+
+  /** AUC-ROC of the k-NN vote share as a correctness ranker — the
+    * threshold-free companion to [[calibration]]'s binned diagram:
+    * P(conf_correct > conf_incorrect) + ½·P(tie) over all
+    * (correct, incorrect) probe pairs, the Mann-Whitney form of AUC.
+    * This is the number an auto-labeling pipeline quotes when asked
+    * "if I accept above some confidence cutoff, how separable are
+    * right and wrong?" without committing to the cutoff.
+    *
+    * Parity: confidences are the rationals v_max/v_tot, compared by
+    * integer CROSS-MULTIPLICATION (v_max_a·v_tot_b vs v_max_b·v_tot_a)
+    * — no float ever enters a comparison, so ties are exact; the AUC
+    * is one division at the edge. Shape: the pair join is bounded by
+    * the capped probe budget squared (both sides broadcast-sized at
+    * any SF — the budget, not the corpus, scales).
+    */
+  def voteAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    val voted = knnVotes(spark, sfDir)
+      .withColumn("correct", col("pred") === col("p_label"))
+    val pos = voted.filter(col("correct"))
+      .select(col("v_max").as("vp"), col("v_tot").as("tp"))
+    val neg = voted.filter(!col("correct"))
+      .select(col("v_max").as("vn"), col("v_tot").as("tn"))
+    val pairs = pos.crossJoin(broadcast(neg))
+      .agg(
+        sum(when(col("vp") * col("tn") > col("vn") * col("tp"), 1L)
+          .otherwise(0L)).as("n_gt"),
+        sum(when(col("vp") * col("tn") === col("vn") * col("tp"), 1L)
+          .otherwise(0L)).as("n_eq"),
+        count(lit(1)).as("n_pairs"))
+    val counts = voted.agg(
+      sum(when(col("correct"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(!col("correct"), 1L).otherwise(0L)).as("n_neg"))
+    counts.crossJoin(broadcast(pairs))
+      .select(col("n_pos"), col("n_neg"),
+        round4((col("n_gt").cast("double") +
+          col("n_eq").cast("double") / 2.0) /
+          col("n_pairs").cast("double")).as("auc"))
+  }
+
+  private val sqlVoteAuc =
+    s"""WITH $duckKnnVotes,
+       |     sc AS (SELECT v_max, v_tot, pred = p_label AS correct FROM wn),
+       |     pos AS (SELECT v_max AS vp, v_tot AS tp FROM sc WHERE correct),
+       |     neg AS (SELECT v_max AS vn, v_tot AS tn FROM sc WHERE NOT correct),
+       |     pr AS (SELECT
+       |              CAST(sum(CASE WHEN vp * tn > vn * tp THEN 1 ELSE 0 END) AS BIGINT) AS n_gt,
+       |              CAST(sum(CASE WHEN vp * tn = vn * tp THEN 1 ELSE 0 END) AS BIGINT) AS n_eq,
+       |              CAST(count(*) AS BIGINT) AS n_pairs
+       |            FROM pos CROSS JOIN neg),
+       |     ct AS (SELECT CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |                   CAST(sum(CASE WHEN NOT correct THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+       |            FROM sc)
+       |SELECT n_pos, n_neg,
+       |       ${duckRound4(
+                 "(CAST(n_gt AS DOUBLE) + CAST(n_eq AS DOUBLE) / 2.0) / CAST(n_pairs AS DOUBLE)")} AS auc
+       |FROM ct CROSS JOIN pr""".stripMargin
 
   // ---------- q_cluster_ari: adjusted Rand of cells vs labels ----------
 
@@ -3125,6 +3200,7 @@ object VectorQueries {
     "q_truss_support" -> (trussSupport _),
     "q_link_pred" -> (linkPred _),
     "q_calibration" -> (calibration _),
+    "q_vote_auc" -> (voteAuc _),
     "q_pq_codes" -> (pqCodes _),
     "q_ivfpq_adc" -> (ivfpqAdc _),
     "q_sq8_recall" -> (sq8Recall _),
@@ -3166,6 +3242,7 @@ object VectorQueries {
     "q_truss_support" -> sqlTrussSupport,
     "q_link_pred" -> sqlLinkPred,
     "q_calibration" -> sqlCalibration,
+    "q_vote_auc" -> sqlVoteAuc,
     "q_pq_codes" -> sqlPqCodes,
     "q_ivfpq_adc" -> sqlIvfpqAdc,
     "q_sq8_recall" -> sqlSq8Recall,
