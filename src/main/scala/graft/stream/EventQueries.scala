@@ -272,6 +272,167 @@ object EventQueries {
       |FROM nx WHERE to_type IS NOT NULL
       |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
 
+  // ---------- q_sax: symbolic aggregate approximation words ----------
+
+  /** SAX breakpoints for a 4-symbol alphabet: the standard N(0,1)
+    * quartile cuts (Lin et al. 2003), compared against the ROUNDED
+    * z-score per the round-before-compare rule.
+    */
+  private val SaxCuts = Seq(-0.6745, 0.0, 0.6745)
+
+  /** SAX words over the daily purchase-volume profile: each day's
+    * 24-hour series is PAA-compressed to six 4-hour segments,
+    * z-normalized against the global segment distribution, and
+    * mapped to a 4-letter alphabet — the symbolic time-series
+    * representation behind motif discovery, series indexing, and
+    * cheap anomaly grep (days whose word differs from the modal word
+    * are shape anomalies, not just volume ones).
+    *
+    * Shape: one (day, segment) hash aggregate over exact integer
+    * cents → global moments via the DECIMAL recipe (one broadcast
+    * row) → per-segment symbol via a CASE ladder on round4(z) →
+    * per-day ordered word assembly (sort_array over the ≤6 segment
+    * structs — bounded in-row work, no window). Everything after the
+    * first aggregate is day-grain.
+    */
+  def sax(spark: SparkSession, sfDir: String): DataFrame = {
+    val seg = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        (hour(col("ts")) / 4).cast("int").as("seg"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy("day", "seg")
+      .agg((sum(col("cents")).cast("double") / 100.0).as("x"))
+    val m = seg.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(18,2)")).as("sx"),
+      sum(col("x").cast("decimal(18,2)") * col("x").cast("decimal(20,2)")).as("sxx"))
+    val nD = col("n").cast("double")
+    val mean = col("sx").cast("double") / nD
+    val sd = sqrt((col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / nD) / (nD - 1.0))
+    val z = graft.text.TextFns.round4((col("x") - col("mu")) / col("sigma"))
+    val sym = when(z < SaxCuts(0), "a")
+      .when(z < SaxCuts(1), "b")
+      .when(z < SaxCuts(2), "c").otherwise("d")
+    seg.crossJoin(broadcast(m.select(mean.as("mu"), sd.as("sigma"))))
+      .withColumn("sym", sym)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_segments"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("seg"), col("sym").as("s")))),
+          p => p.getField("s")), "").as("sax_word"))
+      .orderBy("day")
+  }
+
+  private val sqlSax = {
+    val mean = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    val sd = "sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))"
+    val z = graft.text.TextFns.duckRound4(s"(x - mu) / sigma")
+    s"""WITH p AS (SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+       |                  CAST(hour(CAST(ts AS TIMESTAMP)) // 4 AS INT) AS seg,
+       |                  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+       |           FROM events
+       |           WHERE event_type = 'purchase' AND value IS NOT NULL),
+       |     sg AS (SELECT day, seg, CAST(sum(cents) AS DOUBLE) / 100.0 AS x
+       |            FROM p GROUP BY 1, 2),
+       |     m AS (SELECT count(*) AS n,
+       |                  sum(CAST(x AS DECIMAL(18,2))) AS sx,
+       |                  sum(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(20,2))) AS sxx
+       |           FROM sg),
+       |     mm AS (SELECT $mean AS mu, $sd AS sigma FROM m),
+       |     sym AS (SELECT day, seg,
+       |                    CASE WHEN $z < ${SaxCuts(0)} THEN 'a'
+       |                         WHEN $z < ${SaxCuts(1)} THEN 'b'
+       |                         WHEN $z < ${SaxCuts(2)} THEN 'c'
+       |                         ELSE 'd' END AS s
+       |             FROM sg CROSS JOIN mm)
+       |SELECT day, CAST(count(*) AS BIGINT) AS n_segments,
+       |       string_agg(s, '' ORDER BY seg) AS sax_word
+       |FROM sym GROUP BY day ORDER BY day""".stripMargin
+  }
+
+  // ---------- q_entropy_rate: sequence predictability audit ----------
+
+  /** Entropy rate of the per-user event-type process — the
+    * information-theoretic answer to "how predictable is the next
+    * event": H(next | current) = Σᵢ pᵢ·H(rowᵢ) over the first-order
+    * transition matrix (the [[transitions]] kernel), reported next to
+    * the marginal entropy H(next) so the gap — the mutual information
+    * the current state carries — is visible. Near-zero gap says a
+    * Markov recommender adds nothing; a large gap justifies one.
+    *
+    * Shape: the same per-user lead window as [[transitions]]
+    * (user-cardinality partitions), one bounded 25-cell aggregate,
+    * then cell-grain arithmetic. Parity: counts exact; ln terms sum
+    * in round6-DECIMAL (the cramersV recipe); one rounding per
+    * output column.
+    */
+  def entropyRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val cell = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTot = cell.groupBy("from_type").agg(sum(col("n")).as("nf"))
+    val toTot = cell.groupBy("to_type").agg(sum(col("n")).as("nt"))
+    val tot = cell.agg(sum(col("n")).as("ntot"))
+    val round6 = (x: org.apache.spark.sql.Column) =>
+      floor(x * 1000000.0 + 0.5) / 1000000.0
+    def dec(x: org.apache.spark.sql.Column) = round6(x).cast("decimal(18,6)")
+    val totD = col("ntot").cast("double")
+    // H(next|current) = -Σ_ij (n_ij/N) ln(n_ij/n_i)
+    val hCond = cell.join(broadcast(fromTot), "from_type")
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        -(col("n").cast("double") / totD) *
+          log(col("n").cast("double") / col("nf").cast("double")))
+      .groupBy("ntot").agg(sum(dec(col("term"))).as("hcond_dec"))
+    // H(next) = -Σ_j (n_j/N) ln(n_j/N)
+    val hMarg = toTot.crossJoin(broadcast(tot))
+      .withColumn("term",
+        -(col("nt").cast("double") / totD) * log(col("nt").cast("double") / totD))
+      .groupBy("ntot").agg(sum(dec(col("term"))).as("hmarg_dec"))
+    hCond.join(hMarg, "ntot")
+      .select(col("ntot").as("n_transitions"),
+        graft.text.TextFns.round4(col("hcond_dec").cast("double")).as("h_cond"),
+        graft.text.TextFns.round4(col("hmarg_dec").cast("double")).as("h_marginal"),
+        graft.text.TextFns.round4(col("hmarg_dec").cast("double") -
+          col("hcond_dec").cast("double")).as("mi_state"))
+  }
+
+  private val sqlEntropyRate = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    def dec(x: String) =
+      s"sum(CAST((floor(($x) * 1000000.0 + 0.5) / 1000000.0) AS DECIMAL(18,6)))"
+    s"""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+       |           FROM events),
+       |     nx AS (SELECT event_type AS from_type,
+       |                   lead(event_type) OVER (PARTITION BY user_id
+       |                                          ORDER BY ts, event_id) AS to_type
+       |            FROM e),
+       |     cell AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       |              FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |     ft AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS nf FROM cell GROUP BY 1),
+       |     tt AS (SELECT to_type, CAST(sum(n) AS BIGINT) AS nt FROM cell GROUP BY 1),
+       |     tot AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM cell),
+       |     hc AS (SELECT ntot, ${dec(
+                  "-(CAST(n AS DOUBLE) / CAST(ntot AS DOUBLE)) * " +
+                    "ln(CAST(n AS DOUBLE) / CAST(nf AS DOUBLE))")} AS hcond_dec
+       |            FROM cell JOIN ft USING (from_type) CROSS JOIN tot GROUP BY 1),
+       |     hm AS (SELECT ntot, ${dec(
+                  "-(CAST(nt AS DOUBLE) / CAST(ntot AS DOUBLE)) * " +
+                    "ln(CAST(nt AS DOUBLE) / CAST(ntot AS DOUBLE))")} AS hmarg_dec
+       |            FROM tt CROSS JOIN tot GROUP BY 1)
+       |SELECT ntot AS n_transitions,
+       |       ${r4("CAST(hcond_dec AS DOUBLE)")} AS h_cond,
+       |       ${r4("CAST(hmarg_dec AS DOUBLE)")} AS h_marginal,
+       |       ${r4("CAST(hmarg_dec AS DOUBLE) - CAST(hcond_dec AS DOUBLE)")} AS mi_state
+       |FROM hc JOIN hm USING (ntot)""".stripMargin
+  }
+
   // ---------- q_ewma_trend: EWMA-smoothed daily event volume ----------
 
   /** Exponentially-weighted moving average over each event type's
@@ -2491,6 +2652,8 @@ object EventQueries {
     "q_latency_bands" -> (latencyBands _),
     "q_apdex" -> (apdex _),
     "q_kaplan_meier" -> (kaplanMeier _),
+    "q_entropy_rate" -> (entropyRate _),
+    "q_sax" -> (sax _),
     "q_time_decay" -> (timeDecay _),
     "q_ewma_trend" -> (ewmaTrend _),
     "q_transitions" -> (transitions _),
@@ -2532,6 +2695,8 @@ object EventQueries {
     "q_latency_bands" -> sqlLatencyBands,
     "q_apdex" -> sqlApdex,
     "q_kaplan_meier" -> sqlKaplanMeier,
+    "q_entropy_rate" -> sqlEntropyRate,
+    "q_sax" -> sqlSax,
     "q_time_decay" -> sqlTimeDecay,
     "q_ewma_trend" -> sqlEwmaTrend,
     "q_transitions" -> sqlTransitions,
