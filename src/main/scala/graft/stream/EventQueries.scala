@@ -472,6 +472,75 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  // ---------- q_holt: double-exponential (level+trend) smoothing ----------
+
+  /** Holt's linear-trend smoothing over each event type's daily
+    * volume (Holt 1957): the two coupled recursions lₜ = αxₜ +
+    * (1−α)(lₜ₋₁+tₜ₋₁), tₜ = β(lₜ−lₜ₋₁) + (1−β)tₜ₋₁ — what
+    * [[ewmaTrend]]'s single smoother cannot express (EWMA lags any
+    * trending series by design; Holt tracks the slope and emits the
+    * 1-step-ahead forecast l+t an alerting pipeline thresholds on).
+    * α = β = ½ (dyadic, exactly representable).
+    *
+    * Mechanism: a LEFT FOLD with 2-component state — the
+    * [level, trend] pair rides through `aggregate` as an
+    * array<double> accumulator (the scalar-fold EWMA mechanism,
+    * state-widened); the oracle mirrors it with `list_reduce` over
+    * singleton-list elements with the [l₀, 0] init prepended (DuckDB
+    * requires acc type = element type, so xₜ travels as [xₜ]).
+    * Identical IEEE op order per step on both engines; the fold is
+    * in-row over the bounded daily series (≤31 steps), one rounding
+    * per output.
+    */
+  def holt(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("series"))
+      .withColumn("cs", transform(col("series"), s => s.getField("cnt").cast("double")))
+      .withColumn("lt",
+        aggregate(slice(col("cs"), 2, 1000000),
+          array(element_at(col("cs"), 1), lit(0.0)),
+          (acc, x) => {
+            val l = element_at(acc, 1)
+            val t = element_at(acc, 2)
+            val nl = lit(0.5) * x + lit(0.5) * (l + t)
+            array(nl, lit(0.5) * (nl - l) + lit(0.5) * t)
+          }))
+      .select(col("event_type"),
+        size(col("cs")).cast("long").as("n_days"),
+        graft.text.TextFns.round4(element_at(col("lt"), 1)).as("level"),
+        graft.text.TextFns.round4(element_at(col("lt"), 2)).as("trend"),
+        graft.text.TextFns.round4(
+          element_at(col("lt"), 1) + element_at(col("lt"), 2)).as("forecast_next"))
+      .orderBy("event_type")
+  }
+
+  private val sqlHolt = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    val nl = "0.5 * e[1] + 0.5 * (acc[1] + acc[2])"
+    s"""WITH d AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       |                  count(*) AS cnt
+       |           FROM events GROUP BY 1, 2),
+       |     s AS (SELECT event_type,
+       |                  list_transform(list_sort(list({'day': day, 'cnt': cnt})),
+       |                                 p -> CAST(p.cnt AS DOUBLE)) AS cs
+       |           FROM d GROUP BY 1),
+       |     f AS (SELECT event_type, cs,
+       |                  list_reduce(
+       |                    list_prepend([cs[1], 0.0],
+       |                      list_transform(cs[2:], x -> [x])),
+       |                    (acc, e) -> [$nl,
+       |                                 0.5 * (($nl) - acc[1]) + 0.5 * acc[2]]) AS lt
+       |           FROM s)
+       |SELECT event_type, CAST(len(cs) AS BIGINT) AS n_days,
+       |       ${r4("lt[1]")} AS level,
+       |       ${r4("lt[2]")} AS trend,
+       |       ${r4("lt[1] + lt[2]")} AS forecast_next
+       |FROM f ORDER BY event_type""".stripMargin
+  }
+
   private val sqlEwmaTrend =
     s"""WITH d AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
        |                  count(*) AS cnt
@@ -2654,6 +2723,7 @@ object EventQueries {
     "q_kaplan_meier" -> (kaplanMeier _),
     "q_entropy_rate" -> (entropyRate _),
     "q_sax" -> (sax _),
+    "q_holt" -> (holt _),
     "q_time_decay" -> (timeDecay _),
     "q_ewma_trend" -> (ewmaTrend _),
     "q_transitions" -> (transitions _),
@@ -2697,6 +2767,7 @@ object EventQueries {
     "q_kaplan_meier" -> sqlKaplanMeier,
     "q_entropy_rate" -> sqlEntropyRate,
     "q_sax" -> sqlSax,
+    "q_holt" -> sqlHolt,
     "q_time_decay" -> sqlTimeDecay,
     "q_ewma_trend" -> sqlEwmaTrend,
     "q_transitions" -> sqlTransitions,
