@@ -715,7 +715,11 @@ object OlapStats {
       col("sx").as("asx"), col("sxx").as("asxx"))
     val b = m.select(col("seg").as("seg_b"), col("n").as("bn"),
       col("sx").as("bsx"), col("sxx").as("bsxx"))
-    a.join(b, col("seg_a") < col("seg_b"))
+    // broadcast the 5-row side: the inequality-only pair join would
+    // otherwise plan as a CartesianProduct (PlanAuditSpec bans those
+    // outright; BroadcastNestedLoopJoin over a dim-sized build side is
+    // the sanctioned shape for bounded pair grids)
+    a.join(broadcast(b), col("seg_a") < col("seg_b"))
       .withColumn("va", vOverN("a"))
       .withColumn("vb", vOverN("b"))
       .select(col("seg_a"), col("seg_b"),
