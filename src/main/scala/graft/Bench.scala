@@ -253,7 +253,17 @@ object Bench {
         else {
           var spent = 0.0
           val bestAtSf = statsBySfBest
-          selected.map { case (name, fn) =>
+          // Queries the PREVIOUS round's pass budget-skipped run FIRST
+          // this round, so no query goes two consecutive rounds
+          // un-audited for super-linearity (round-11 skipped three and
+          // couldn't even name them).
+          val priorSkipped: Set[String] = try {
+            val src = scala.io.Source.fromFile("tools/sfup_skipped.json")
+            val txt = try src.mkString finally src.close()
+            "\"([^\"]+)\"".r.findAllMatchIn(txt).map(_.group(1)).toSet
+          } catch { case _: Throwable => Set.empty }
+          val upOrder = selected.sortBy { case (n, _) => (!priorSkipped(n), n) }
+          upOrder.map { case (name, fn) =>
             // Pre-launch estimate: a query's upscaled run costs at
             // LEAST ~factor × its main-SF best even when perfectly
             // linear, so launching one whose estimate alone overruns
@@ -401,7 +411,16 @@ object Bench {
     // fixed overhead, not plan cost)
     val upline = if (upFinal.isEmpty) "" else {
       val done = upFinal.filter(_._2 >= 0)
-      val skippedN = upFinal.count(_._2 == -2.0)
+      // NAME the budget-skipped queries (capped at 10 in the line for
+      // the 2000-char window; the full set persists for next round's
+      // front-stagger) — a bare count was a silent cap by another name.
+      val skippedNames = upFinal.collect { case (n, t) if t == -2.0 => n }.toSeq.sorted
+      try {
+        val w = new java.io.PrintWriter("tools/sfup_skipped.json")
+        try w.println(skippedNames.map("\"" + _ + "\"").mkString("[", ",", "]"))
+        finally w.close()
+      } catch { case _: Throwable => () }
+      val namesJson = skippedNames.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
       val ratios = stats.flatMap { s =>
         upFinal.get(s.name).collect {
           case t if t >= 0 && s.best >= 0.05 => (s.name, t / s.best)
@@ -411,7 +430,8 @@ object Bench {
       val fl = flagged.take(8).map { case (n, r) =>
         s"""{"q":"$n","ratio":${fmt(r, 1)}}""" }.mkString("[", ",", "]")
       s""","sfup_factor":$upFactor,"sfup_total":${fmt(done.values.sum, 2)},""" +
-        s""""sfup_skipped":$skippedN,"superlinear":$fl"""
+        s""""sfup_skipped":${skippedNames.size},"sfup_skipped_names":$namesJson,""" +
+        s""""superlinear":$fl"""
     }
     // suite-level plan-volume totals (best runs): the one-line scale
     // signature next to the one-line timing

@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Bloom-filter semi-join pruning: drop fact rows whose join key
@@ -37,30 +37,45 @@ object BloomPrune {
                      bigKey: String, smallKey: String,
                      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.types._
-    // The sketch hashes the VALUE AS ITS DECLARED TYPE (putLong vs
-    // putString reach different bits), so the probe must dispatch on
-    // the key's type — probing string-built bits with a long (or vice
-    // versa) would yield false NEGATIVES, silently dropping matches.
     val bigType = big.schema(bigKey).dataType
     val smallType = small.schema(smallKey).dataType
     require(bigType == smallType,
       s"bloom prune needs matching key types, got $bigType vs $smallType")
-    val spark = big.sparkSession
-    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
-    val bfBc = spark.sparkContext.broadcast(bf)
-    // A scala UDF is the public seam for probing a driver-built sketch;
-    // the probe is a few hash ops per row and the payoff is shuffle
-    // rows avoided, so the non-codegen cost is bought back immediately.
-    val probe = bigType match {
+    // The probe is Spark's own codegen'd `BloomFilterMightContain` —
+    // the same expression AQE's runtime row-level filtering injects —
+    // so the per-row check stays inside whole-stage codegen (the old
+    // scala UDF boxed every key; see BloomPruneSpec's UDF cross-check).
+    // The native expression probes LONGs only, so both sides agree on
+    // a key→long mapping first: integral keys cast directly (putLong
+    // bits match mightContainLong), strings go through xxhash64 — a
+    // hash collision adds only false POSITIVES, which the exact join
+    // removes; false negatives stay impossible by construction.
+    val keyToLong: DataFrame => Column = bigType match {
       case ByteType | ShortType | IntegerType | LongType =>
-        udf((k: java.lang.Long) => k != null && bfBc.value.mightContainLong(k))
-          .apply(col(bigKey).cast("long"))
+        df => df.col(if (df eq big) bigKey else smallKey).cast("long")
       case StringType =>
-        udf((k: String) => k != null && bfBc.value.mightContainString(k))
-          .apply(col(bigKey))
+        df => xxhash64(df.col(if (df eq big) bigKey else smallKey))
       case t => throw new IllegalArgumentException(
         s"bloom prune supports integral and string keys, got $t")
     }
+    val bf = small.select(keyToLong(small).as("_k")).stat
+      .bloomFilter("_k", expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    // The serialized bits ride the plan as a BinaryType literal (the
+    // constant shape BloomFilterMightContain requires; Spark's own
+    // injected filter uses a scalar subquery over the same expression).
+    // Size guidance unchanged: ~1.2 MB per 1M keys at 1% fpp — for
+    // build sides where that literal would be large, prefer the plain
+    // shuffle join.
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val probe = ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bytes, BinaryType),
+        ColumnBridge.expression(keyToLong(big))))
     big.filter(probe)
       .join(small, big.col(bigKey) === small.col(smallKey), "left_semi")
   }

@@ -432,59 +432,71 @@ object OlapStats {
 
   private val EqBuckets = 10
 
-  /** Equi-depth (equi-height) histogram over `l_extendedprice` — the
-    * column statistic cost-based optimizers keep (Spark's own ANALYZE
-    * ... FOR COLUMNS stores exactly this shape): bucket fences at the
+  /** GK sketch accuracy — approx_percentile(…, accuracy) guarantees
+    * each returned fence's rank is within N/accuracy of its target.
+    */
+  private val EqAccuracy = 10000L
+
+  /** Equi-depth (equi-height) histogram fences over `l_extendedprice`
+    * — the column statistic cost-based optimizers keep (Spark's own
+    * ANALYZE ... FOR COLUMNS stores exactly this shape): fences at the
     * k/N quantiles so each bucket holds ~the same row count, making
     * selectivity estimates robust to skew where equi-WIDTH buckets
-    * (see `q_histogram`) collapse. Emitted per bucket with actual
-    * depth and [min, max] so the near-equal depths are visible.
+    * (see `q_histogram`) collapse.
     *
-    * Shape: ONE exact-percentile aggregate row produces every fence
-    * (broadcast; `approx_percentile` at 100 TB, same shape), bucket
-    * assignment is a branch-free sum of boolean exceedances (the
-    * `q_value_drift` trick — no join, no CASE chain), then one
-    * bucket-grain aggregate. Parity: fences are interpolated doubles
-    * from the proven percentile ≡ quantile_cont pair; comparisons and
-    * the edge rounding are fixed-shape.
+    * The EXECUTED path is the sketch: ONE `approx_percentile` with the
+    * percentage ARRAY (a mergeable Greenwald–Khanna aggregate — no
+    * single reducer ever buffers the column, unlike exact `percentile`
+    * whose single-group form was this suite's one scale-killer and its
+    * worst upscale ratio, 7× per 10× at round 11). The oracle is the
+    * GK RANK CONTRACT, not fence equality (sketch fences are
+    * implementation-specific): for fence i, the count of rows strictly
+    * below it must not exceed i·N/10 + N/[[EqAccuracy]] + 1 and the
+    * count at-or-below must reach i·N/10 − N/[[EqAccuracy]] − 1 — the
+    * `q_quantile_est` gating pattern, tie-safe because it bounds ranks
+    * of the fence VALUE, never per-bucket depths (duplicates all land
+    * on one side of a fence). One sketch aggregate + one broadcast
+    * rank pass; both linear, both mergeable.
     */
   def equidepthHist(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_extendedprice").cast("double").as("x"))
-    // ONE percentile call with the percentage ARRAY: nine separate
-    // percentile expressions each buffer the full column through the
-    // single-group aggregate (9× the sort and 45 MB of shuffle at
-    // sf0.1 — measured 14.5 s); the array form buffers once
     val fences = li
-      .agg(percentile(col("x"), array((1 until EqBuckets).map(i =>
-        lit(i.toDouble / EqBuckets)): _*)).as("fs"))
-      .select((1 until EqBuckets).map(i =>
-        element_at(col("fs"), i).as(s"f$i")): _*)
-    val bucket = (1 until EqBuckets).map(i =>
-      when(col("x") > col(s"f$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    li.crossJoin(broadcast(fences))
-      .withColumn("bucket", bucket.cast("long"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n_rows"),
-        graft.text.TextFns.round4(min(col("x"))).as("lo"),
-        graft.text.TextFns.round4(max(col("x"))).as("hi"))
-      .orderBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        expr(s"approx_percentile(x, array(${(1 until EqBuckets)
+          .map(i => i.toDouble / EqBuckets).mkString(",")}), $EqAccuracy)")
+          .as("fs"))
+    val rankCols = (1 until EqBuckets).flatMap { i =>
+      val f = element_at(col("fs"), i)
+      Seq(
+        sum(when(col("x") < f, 1L).otherwise(0L)).as(s"lt$i"),
+        sum(when(col("x") <= f, 1L).otherwise(0L)).as(s"le$i"))
+    }
+    val ranks = li.crossJoin(broadcast(fences))
+      .agg(first(col("n")).as("n"), rankCols: _*)
+    val perFence = (1 until EqBuckets).map { i =>
+      ranks.select(
+        lit(i.toLong).as("fence_idx"),
+        expr(s"($i * n) div ${EqBuckets}").as("target_rank"),
+        (col(s"lt$i") <= expr(s"($i * n) div ${EqBuckets}") +
+            col("n") / lit(EqAccuracy) + 1L &&
+          col(s"le$i") >= expr(s"($i * n) div ${EqBuckets}") -
+            col("n") / lit(EqAccuracy) - 1L).as("rank_ok"))
+    }
+    perFence.reduce(_ unionByName _).orderBy("fence_idx")
   }
 
-  private val sqlEquidepthHist = {
-    val fences = (1 until EqBuckets).map(i =>
-      s"quantile_cont(x, ${i.toDouble / EqBuckets}) AS f$i").mkString(", ")
-    val bucket = (1 until EqBuckets).map(i =>
-      s"CASE WHEN x > f$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
-       |     f AS (SELECT $fences FROM v),
-       |     b AS (SELECT x, CAST($bucket AS BIGINT) AS bucket FROM v CROSS JOIN f)
-       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
-       |       ${graft.text.TextFns.duckRound4("min(x)")} AS lo,
-       |       ${graft.text.TextFns.duckRound4("max(x)")} AS hi
-       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
-  }
+  /** Oracle = the contractual post-state: every fence rank in bound
+    * (the Spark side computes rank_ok from the real sketch; a sketch
+    * regression flips it false and fails the hash compare).
+    */
+  private val sqlEquidepthHist =
+    s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem)
+       |SELECT CAST(i AS BIGINT) AS fence_idx,
+       |       (i * c) // ${EqBuckets} AS target_rank,
+       |       TRUE AS rank_ok
+       |FROM generate_series(1, ${EqBuckets - 1}) AS t(i) CROSS JOIN n
+       |ORDER BY fence_idx""".stripMargin
 
   // ---------- q_benford: first-digit law audit ----------
 

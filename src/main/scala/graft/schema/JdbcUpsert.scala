@@ -23,21 +23,22 @@ import org.apache.spark.sql.{DataFrame, Row}
   * a second `Jdbc.read` of (id, bizkey), which the database serves
   * from the primary-key index.
   *
-  * Integration-proven against embedded Derby (`AnsiMerge` dialect) in
-  * JdbcUpsertSpec; Postgres/MySQL dialects are SQL-generation-proven
-  * (golden statements + the bind-layout/placeholder-count law every
-  * dialect must satisfy for the shared executor, JdbcUpsertSpec).
-  *
-  * ENVIRONMENT BLOCKER (investigated round 10): executing the
-  * Postgres/MySQL strings against a live-compatible engine needs H2
-  * in PostgreSQL/MySQL compatibility mode or an embedded server —
-  * the offline dependency cache ships ONLY Derby (inside the Spark
-  * distribution, for the Hive metastore); H2/HSQLDB/SQLite are not
-  * resolvable and the sandbox has zero egress. Derby parses neither
-  * `ON CONFLICT` nor `ON DUPLICATE KEY`. First thing to do on a
-  * machine with a real engine: point JdbcUpsertSpec's round-trip
-  * test at it with `Postgres`/`MySql` — the executor path is
-  * dialect-agnostic, only `sql`/`bindColumns` swap.
+  * Execution proof per dialect:
+  *  - `AnsiMerge`: integration-proven against embedded Derby (real
+  *    JDBC round-trip, JdbcUpsertSpec).
+  *  - `Postgres`: the RENDERED string (via [[DumpUpsertSql]], never a
+  *    copy) is executed against DuckDB — which parses PG's
+  *    `ON CONFLICT … DO UPDATE SET c = EXCLUDED.c` and `RETURNING`
+  *    natively — by `tools/dialect_exec.py`: fresh insert,
+  *    conflict-update, RETURNING on both arms, idempotent replay.
+  *  - `MySql`: SQL-generation-proven only (golden statement + the
+  *    bind-layout/placeholder-count law, JdbcUpsertSpec). No engine
+  *    in the offline sandbox parses `ON DUPLICATE KEY` (the cache
+  *    ships only Derby; H2/HSQLDB/SQLite don't resolve, zero egress
+  *    — investigated round 10). First thing on a machine with a real
+  *    MySQL: point JdbcUpsertSpec's round-trip test at it with
+  *    `MySql` — the executor path is dialect-agnostic, only
+  *    `sql`/`bindColumns` swap.
   */
 object JdbcUpsert {
 

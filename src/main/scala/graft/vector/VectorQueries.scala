@@ -914,6 +914,25 @@ object VectorQueries {
        |FROM s ORDER BY sim0 DESC, vec_id LIMIT $TopK""".stripMargin
   }
 
+  // ---------- 2b²ᵇ. q_index_serve: the PERSISTED layout under the gate ----------
+
+  /** [[annMultiprobe]] served from [[RunIndex]]'s bucket-partitioned
+    * PERSISTED layout instead of the in-plan table — the end-to-end
+    * index lifecycle (build → directory-pruned read → top-k) under the
+    * DuckDB hash gate, not just spec-pinned. The layout is cached per
+    * corpus ([[RunIndex.ensure]]: marker = source + file length, so a
+    * regenerated corpus rebuilds); the serve scan reads bits+1 of
+    * 2^bits partition DIRECTORIES (RunIndexSpec pins
+    * `selectedPartitions ≤ 7`), which is the whole scale story —
+    * query IO is a fraction of corpus size before any row is read.
+    * Oracle: identical contract to `q_ann_multiprobe` (same probe,
+    * same candidates, same rank), computed from the source table.
+    */
+  def indexServe(spark: SparkSession, sfDir: String): DataFrame = {
+    val outDir = RunIndex.ensure(spark, sfDir)
+    RunIndex.serve(spark, outDir, probeVecId = 0L)
+  }
+
   // ---------- 2b³. q_topk_refresh: incremental top-k ≡ full recompute ----------
 
   private val RefreshK = 5
@@ -2819,8 +2838,9 @@ object VectorQueries {
     * confidence 1.0; the embedding space carries the real signal.)
     *
     * Parity/shape: neighbors are the `q_knn_batch` kernel (bucket-
-    * blocked candidates, probe-partitioned top-k on ROUND6ed
-    * similarity with vec_id tie-break — the ulp-rank rule); the vote
+    * blocked candidates, probe-partitioned top-k on INTEGER-unit
+    * similarity floor(cos·1e6+0.5) AS LONG with vec_id tie-break — no
+    * double enters the ORDER BY at all); the vote
     * winner is a struct-max over exact counts with label tie-break;
     * the bin is INTEGER arithmetic (10·v_max) div v_tot so no float
     * touches a bucket boundary; per-bin mean confidence collapses in
@@ -2832,18 +2852,24 @@ object VectorQueries {
     * [[voteAuc]] (ranking), so the two evals can never disagree on a
     * vote.
     */
-  private def knnVotes(spark: SparkSession, sfDir: String): DataFrame = {
+  private[vector] def knnVotes(spark: SparkSession, sfDir: String): DataFrame = {
     val vecs = withVecs(spark, sfDir)
       .withColumn("bucket", VectorFns.signBucket(col("v"), LshBits, LshStride))
     val probes = vecs
       .filter(col("vec_id") % CalProbeStep === 0 && col("vec_id") < ProbeIdCap)
       .select(col("vec_id").as("p_id"), col("label").as("p_label"),
         col("v").as("pv"), col("nrm").as("pnrm"), col("bucket").as("pbucket"))
-    val w = Window.partitionBy("p_id").orderBy(col("s6").desc, col("vec_id"))
+    // Rank operand is an INTEGER (floor(cos·1e6 + 0.5) as LONG): the
+    // round-11 driver gate caught a hash flip here that no local re-run
+    // reproduced, so no double is allowed into this ORDER BY at all —
+    // value-identical ordering to round6 (integers ≤1e6 divide to
+    // distinct doubles), but immune to any engine's double-compare
+    // quirks. Spark's floor(double) is already LongType.
+    val w = Window.partitionBy("p_id").orderBy(col("s6i").desc, col("vec_id"))
     val nbrs = vecs.join(probes,
         col("bucket") === col("pbucket") && col("vec_id") =!= col("p_id"))
-      .withColumn("s6", round6(VectorFns.cosineStaged(
-        col("v"), col("pv"), col("nrm"), col("pnrm"))))
+      .withColumn("s6i", floor(VectorFns.cosineStaged(
+        col("v"), col("pv"), col("nrm"), col("pnrm")) * 1000000.0 + 0.5))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= CalK)
     nbrs.groupBy("p_id", "p_label", "label")
@@ -2885,12 +2911,12 @@ object VectorQueries {
        |                  bucket AS pbucket
        |           FROM b WHERE vec_id % $CalProbeStep = 0 AND vec_id < $ProbeIdCap),
        |     s AS (SELECT p.p_id, p.p_label, b.vec_id, b.label,
-       |                  ${duckRound6(s"${duckDot("b.v", "p.pv")} / (b.nrm * p.pnrm)")} AS s6
+       |                  CAST(floor((${duckDot("b.v", "p.pv")} / (b.nrm * p.pnrm)) * 1000000.0 + 0.5) AS BIGINT) AS s6i
        |           FROM b JOIN p ON b.bucket = p.pbucket AND b.vec_id <> p.p_id),
        |     nb AS (SELECT p_id, p_label, label FROM (
        |              SELECT p_id, p_label, label,
        |                     row_number() OVER (PARTITION BY p_id
-       |                       ORDER BY s6 DESC, vec_id) AS rk FROM s)
+       |                       ORDER BY s6i DESC, vec_id) AS rk FROM s)
        |            WHERE rk <= $CalK),
        |     vv AS (SELECT p_id, p_label, label, count(*) AS v
        |            FROM nb GROUP BY 1, 2, 3),
@@ -3216,6 +3242,7 @@ object VectorQueries {
     "q_quant_mrr" -> (quantMrr _),
     "q_quant_ndcg" -> (quantNdcg _),
     "q_ann_multiprobe" -> (annMultiprobe _),
+    "q_index_serve" -> (indexServe _),
     "q_topk_refresh" -> (topkRefresh _),
     "q_sq_error" -> (sqError _),
     "q_ivf_search" -> (ivfSearch _),
@@ -3258,6 +3285,7 @@ object VectorQueries {
     "q_quant_mrr" -> sqlQuantMrr,
     "q_quant_ndcg" -> sqlQuantNdcg,
     "q_ann_multiprobe" -> sqlAnnMultiprobe,
+    "q_index_serve" -> sqlAnnMultiprobe,
     "q_topk_refresh" -> sqlTopkRefresh,
     "q_sq_error" -> sqlSqError,
     "q_ivf_search" -> sqlIvfSearch,

@@ -45,6 +45,19 @@ class BloomPruneSpec extends SparkSpec {
     }
   }
 
+  test("probe plans as the codegen'd might_contain, not a scala UDF") {
+    // spark.range, not a local Seq: ConvertToLocalRelation evaluates
+    // filters over LocalRelation at optimize time, which would erase
+    // the probe from the physical plan this test exists to pin
+    val big = spark.range(1L, 101L)
+      .select(col("id").as("key"), col("id").as("payload"))
+    val small = Seq(3L, 5L).toDF("k")
+    val plan = BloomPrune.prunedSemiJoin(big, small, "key", "k", 10L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"native bloom probe missing:\n$plan")
+    assert(!plan.contains("UDF"), s"boxing UDF back in the probe path:\n$plan")
+  }
+
   test("null probe keys never match") {
     val big = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (2L, "c"))
       .toDF("key", "payload")

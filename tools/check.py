@@ -26,6 +26,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main(sf_dir: str, out_dir: str) -> int:
+    # Record the oracle engine version next to the compare: round-11's
+    # one unreproducible hash flip (q_calibration) could not be
+    # attributed because no artifact said WHICH DuckDB adjudicated it.
+    versions = {"duckdb": duckdb.__version__, "pandas": pd.__version__}
+    print(f"oracle versions: {versions}")
+    with open(f"{out_dir}/oracle_versions.json", "w") as f:
+        json.dump(versions, f)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -39,6 +39,12 @@ def main():
     out = {
         "n": n,
         "sf": detail.get("sf"),
+        # Self-describing: the round-11 verdict compared main-SF times
+        # against the sf2 map and reported phantom multi-x drifts
+        # (BASELINE_NOTES round 12). readBaseline ignores this key.
+        "comment": "queries = per-query BEST at the main SF (sf); "
+                   "sf2 = per-query best at sf0.01 (dual-scale pass) — "
+                   "NOT comparable to main-SF times",
         "queries": {q: s["best"] for q, s in queries.items() if s["best"] >= 0},
         "sf2": {q: s["sf2_best"] for q, s in queries.items()
                 if s.get("sf2_best", -1) >= 0},
