@@ -1951,6 +1951,71 @@ object EventQueries {
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------- q_stream_dedup_wm: WATERMARK-BOUNDED dedup, oracle-gated ----------
+
+  /** The PRODUCTION dedup operator under the correctness gate:
+    * `dropDuplicatesWithinWatermark` — the API whose key state is
+    * EVICTED once the watermark passes (unlike [[streamDedup]]'s
+    * plain `dropDuplicates`, which retains every key forever and
+    * cannot run at 100 TB). The events file is replayed as a SECOND
+    * micro-batch (two staged copies, `maxFilesPerTrigger=1`,
+    * mtime-ordered — [[streamAppend]]'s staging), so the replay
+    * arrives after the watermark advanced to max(ts) − δ.
+    *
+    * The exactly-once contract is ROBUST BY CONSTRUCTION for an exact
+    * replay, independent of eviction timing and boundary semantics: a
+    * replayed row either (a) sits below the watermark → dropped as
+    * late input, or (b) sits at/above it → its key's state is
+    * necessarily still live (expiry needs ts + δ < wm, which implies
+    * ts < wm — case (a)), so it dedups. Re-emission would require
+    * expired-but-not-late, impossible for δ > 0. The final sink
+    * therefore equals the plain batch counts — hash-checked — while
+    * the state store provably holds only keys inside the δ horizon,
+    * the bounded-state property that makes this the 100 TB shape.
+    */
+  def streamDedupWm(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val path = s"$sfDir/events.parquet"
+    val batchSchema = spark.read.parquet(path).schema
+    val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
+    val dir = Files.createTempDirectory("graft_stream_dw")
+    val inDir = dir.resolve("in"); Files.createDirectories(inDir)
+    val out = dir.resolve("out").toString
+    Files.copy(Paths.get(path), inDir.resolve("a_events.parquet"))
+    Files.copy(Paths.get(path), inDir.resolve("b_replay.parquet"))
+    Seq("a_events.parquet", "b_replay.parquet").zipWithIndex.foreach {
+      case (f, i) => Files.setLastModifiedTime(inDir.resolve(f),
+        FileTime.fromMillis(1600000000000L + i * 60000L))
+    }
+    val src = spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val evs =
+      if (isNs) src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else src.withColumn("ts", col("ts").cast("timestamp"))
+    val q = evs.select(col("event_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", dir.resolve("cp").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.coalesce(1).write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  private val sqlStreamDedupWm =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------- q_stream_append: watermark-evicted APPEND mode, oracle-gated ----------
 
   /** The production streaming path under the correctness gate: APPEND
@@ -2697,6 +2762,7 @@ object EventQueries {
     "q_burn_rate" -> (burnRate _),
     "q_stream_tumbling" -> (streamTumbling _),
     "q_stream_dedup" -> (streamDedup _),
+    "q_stream_dedup_wm" -> (streamDedupWm _),
     "q_stream_append" -> (streamAppend _),
     "q_stream_update" -> (streamUpdate _),
     "q_stream_fmgws" -> (streamFmgws _),
@@ -2741,6 +2807,7 @@ object EventQueries {
     "q_burn_rate" -> sqlBurnRate,
     "q_stream_tumbling" -> sqlStreamTumbling,
     "q_stream_dedup" -> sqlStreamDedup,
+    "q_stream_dedup_wm" -> sqlStreamDedupWm,
     "q_stream_append" -> sqlStreamTumbling,
     "q_stream_update" -> sqlStreamTumbling,
     "q_stream_fmgws" -> sqlStreamSession,

@@ -700,7 +700,69 @@ object CorpusOps {
        |            AS BIGINT) AS alloc
        |FROM r ORDER BY lang""".stripMargin
 
+  // ---------- q_loo_source: leave-one-source-out quality valuation ----------
+
+  /** Shapley-lite data valuation at source grain: for each source,
+    * the corpus mean quality score WITHOUT it — the marginal effect a
+    * mix owner reads before cutting or up-weighting a feed (the
+    * leave-one-out special case of data Shapley, Ghorbani & Zou 2019;
+    * exact for the mean metric, no retraining). `delta_q > 0` means
+    * dropping the source would RAISE corpus quality — a negative
+    * contributor despite whatever its volume says.
+    *
+    * Parity/scale: per-doc quality ([[TextFns.qualityScore]], the
+    * oracle-shared kernel) goes to integer micro-units summed as
+    * DECIMAL (order-independent); LOO means are pure arithmetic on
+    * ONE source-grain aggregate + one broadcast total row — the whole
+    * audit is a single fact pass regardless of source count, which is
+    * why LOO (unlike sampled Shapley) is free at 100 TB.
+    */
+  def looSource(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("source"),
+        floor(TextFns.qualityScore(col("text"), col("ts")) * 1000000.0 + 0.5)
+          .cast("decimal(28,0)").as("qm"))
+    val per = scored.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("qm")).as("s_qm"))
+    val tot = per.agg(sum(col("n_docs")).as("n_all"), sum(col("s_qm")).as("s_all"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        TextFns.round4(col("s_qm").cast("double") / 1000000.0 /
+          col("n_docs").cast("double")).as("mean_q"),
+        TextFns.round4((col("s_all") - col("s_qm")).cast("double") / 1000000.0 /
+          (col("n_all") - col("n_docs")).cast("double")).as("loo_mean"),
+        TextFns.round4(
+          (col("s_all") - col("s_qm")).cast("double") / 1000000.0 /
+            (col("n_all") - col("n_docs")).cast("double") -
+          col("s_all").cast("double") / 1000000.0 /
+            col("n_all").cast("double")).as("delta_q"))
+      .orderBy("source")
+  }
+
+  private val sqlLooSource = {
+    val q = TextQueries.duckQuality
+    s"""WITH t AS (SELECT source, text, $duckTokens AS ts FROM documents),
+       |     d AS (SELECT source,
+       |             CAST(floor(($q) * 1000000.0 + 0.5) AS DECIMAL(28,0)) AS qm
+       |           FROM t),
+       |     per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |                    sum(qm) AS s_qm
+       |             FROM d GROUP BY 1),
+       |     tot AS (SELECT sum(n_docs) AS n_all, sum(s_qm) AS s_all FROM per)
+       |SELECT source, n_docs,
+       |       ${TextFns.duckRound4(
+                 "CAST(s_qm AS DOUBLE) / 1000000.0 / CAST(n_docs AS DOUBLE)")} AS mean_q,
+       |       ${TextFns.duckRound4(
+                 "CAST(s_all - s_qm AS DOUBLE) / 1000000.0 / CAST(n_all - n_docs AS DOUBLE)")} AS loo_mean,
+       |       ${TextFns.duckRound4(
+                 "CAST(s_all - s_qm AS DOUBLE) / 1000000.0 / CAST(n_all - n_docs AS DOUBLE) " +
+                 "- CAST(s_all AS DOUBLE) / 1000000.0 / CAST(n_all AS DOUBLE)")} AS delta_q
+       |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_loo_source" -> (looSource _),
     "q_heavy_hitters" -> (heavyHitters _),
     "q_bm25" -> (bm25 _),
     "q_chunk_plan" -> (chunkPlan _),
@@ -712,6 +774,7 @@ object CorpusOps {
     "q_temperature_mix" -> (temperatureMix _))
 
   val oracle: Map[String, String] = Map(
+    "q_loo_source" -> sqlLooSource,
     "q_heavy_hitters" -> sqlHeavyHitters,
     "q_bm25" -> sqlBm25,
     "q_chunk_plan" -> sqlChunkPlan,

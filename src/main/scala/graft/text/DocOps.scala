@@ -1646,7 +1646,108 @@ object DocOps {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---------- q_substring_dup: cross-doc repeated-substring coverage ----------
+
+  private val SubK = 40
+
+  /** Per-source coverage of CROSS-document repeated [[SubK]]-char
+    * substrings — the signal behind exact substring deduplication
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", which dedups 50-token repeated spans): how many
+    * of each source's characters sit inside a window that also occurs
+    * verbatim in another document. Whole-doc/near-dup gates miss these
+    * shared passages (boilerplate, quotes, licenses); this is the
+    * audit that says how much training signal substring-grain dedup
+    * would reclaim.
+    *
+    * Shape — the scalable alternative to Lee et al.'s suffix array:
+    * per-position gram HASHES (8-byte polynomial, cross-engine by the
+    * [[TextFns.shingleHashAt]] contract) shuffle at gram grain, a hash
+    * aggregate finds grams in ≥2 distinct docs, and per-doc covered
+    * chars come from a doc-partitioned window over duplicated
+    * positions (equal-length intervals ⇒ union = Σ min(K, next−pos)
+    * with K for the last) — linear end-to-end, no pair stage, no
+    * suffix sort. Docs shorter than K are excluded on both sides (a
+    * sub-K doc has no K-window).
+    */
+  def substringDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        col("text"), length(col("text")).cast("long").as("len"))
+      .filter(col("len") >= SubK)
+    val staged = docs
+      .withColumn("cs", TextFns.codes(col("text")))
+      .withColumn("hs",
+        TextFns.shingleHashesFromCodes(col("cs"), length(col("text")), SubK))
+      .select("doc_id", "source", "len", "hs")
+    // posexplode_outer: hs is provably non-empty (len ≥ K ⇒ ≥1 gram),
+    // and the outer generate dodges InferFiltersFromGenerate's
+    // size(hs)>0 filter inlining the whole hash pipeline (CLAUDE.md)
+    val pos = staged.select(col("doc_id"), col("source"),
+      posexplode_outer(col("hs")).as(Seq("p0", "h")))
+    val dupGrams = pos.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2).select("h")
+    val byDoc = Window.partitionBy("doc_id").orderBy("p0")
+    val covered = pos.join(dupGrams, "h")
+      .withColumn("nxt", lead(col("p0"), 1).over(byDoc))
+      .withColumn("cov",
+        when(col("nxt").isNull, lit(SubK.toLong))
+          .otherwise(least(lit(SubK.toLong), (col("nxt") - col("p0")).cast("long"))))
+      .groupBy("doc_id", "source")
+      .agg(sum(col("cov")).as("doc_dup_chars"))
+    val perSource = covered.groupBy("source")
+      .agg(count(lit(1)).as("docs_hit"),
+        sum(col("doc_dup_chars")).as("dup_chars"))
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_chars"))
+      .join(perSource, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("docs_hit"), lit(0L)).as("docs_hit"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        col("total_chars"),
+        TextFns.round4(coalesce(col("dup_chars"), lit(0L)).cast("double") /
+          col("total_chars").cast("double")).as("dup_cover"))
+      .orderBy("source")
+  }
+
+  private val sqlSubstringDup = {
+    val gramHash = (0 until SubK).foldLeft("CAST(0 AS BIGINT)") { (acc, off) =>
+      s"(($acc * 31 + coalesce(cs[CAST(i + $off AS INT)], 0)) % ${TextFns.P})"
+    }
+    s"""WITH d0 AS (SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS len
+       |            FROM documents WHERE length(text) >= $SubK),
+       |     c AS (SELECT doc_id, source, len, ${duckCodesOf("text")} AS cs FROM d0),
+       |     g AS (SELECT doc_id, source, cs,
+       |             unnest(range(1, len - ${SubK - 1} + 1)) AS i
+       |           FROM c),
+       |     px AS (SELECT doc_id, source, i AS p0, $gramHash AS h FROM g),
+       |     dg AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS ndocs
+       |                           FROM px GROUP BY 1) WHERE ndocs >= 2),
+       |     cov AS (SELECT doc_id, source,
+       |               sum(CASE WHEN nxt IS NULL THEN CAST($SubK AS BIGINT)
+       |                        ELSE least(CAST($SubK AS BIGINT), nxt - p0) END) AS doc_dup_chars
+       |             FROM (SELECT px.*, lead(p0) OVER (PARTITION BY doc_id ORDER BY p0) AS nxt
+       |                   FROM px JOIN dg USING (h))
+       |             GROUP BY 1, 2),
+       |     ps AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_hit,
+       |                   CAST(sum(doc_dup_chars) AS BIGINT) AS dup_chars
+       |            FROM cov GROUP BY 1),
+       |     tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |                    CAST(sum(len) AS BIGINT) AS total_chars
+       |             FROM d0 GROUP BY 1)
+       |SELECT source, n_docs,
+       |       coalesce(docs_hit, 0) AS docs_hit,
+       |       coalesce(dup_chars, 0) AS dup_chars,
+       |       total_chars,
+       |       ${TextFns.duckRound4(
+                 "CAST(coalesce(dup_chars, 0) AS DOUBLE) / CAST(total_chars AS DOUBLE)")} AS dup_cover
+       |FROM tot LEFT JOIN ps USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_substring_dup" -> (substringDup _),
     "q_dsir_weights" -> (dsirWeights _),
     "q_ks_test" -> (ksDrift _),
     "q_char_gini" -> (charGini _),
@@ -1669,6 +1770,7 @@ object DocOps {
     "q_pack_audit" -> (packAudit _))
 
   val oracle: Map[String, String] = Map(
+    "q_substring_dup" -> sqlSubstringDup,
     "q_dsir_weights" -> sqlDsirWeights,
     "q_ks_test" -> sqlKsDrift,
     "q_char_gini" -> sqlCharGini,

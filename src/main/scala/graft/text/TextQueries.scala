@@ -305,6 +305,103 @@ object TextQueries {
        |       ${TextFns.duckRound4("abs(est - ex)")} AS abs_err
        |FROM e ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------- 3a⁻¹. q_bbit_minhash: b-bit minwise hashing audit ----------
+
+  private val BbitB = 2
+
+  /** b-bit minwise hashing (Li & König 2010): store only the lowest
+    * [[BbitB]] bits of each MinHash slot — 32× less signature storage
+    * at b=2 vs 64-bit slots — and recover Jaccard from the collision
+    * rate with the bias correction Ĵ = (C − r)/(1 − r), r = 2^−b
+    * (random low-bit collisions happen at rate r even for disjoint
+    * sets; the correction de-biases them). This audit scores the
+    * compressed estimator against BOTH the full-width estimate and
+    * exact Jaccard on the same LSH candidate pairs as `q_minhash_est`
+    * — the measurement that licenses shipping b-bit signatures at
+    * 100 TB, where signature storage is the index's dominant cost.
+    *
+    * Shape: identical to [[minhashEst]] (bounded rep-member pair list,
+    * per-pair array ops); the b-bit compare is `x mod 2^b` on the
+    * already-verified signature slots, so no new hash machinery enters
+    * the parity surface.
+    */
+  def bbitMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val mask = 1L << BbitB
+    val r = 1.0 / mask
+    val staged = docs
+      .withColumn("shs", graft.functions.TextHashes.shingleSet(col("text"), K))
+      .withColumn("sig",
+        graft.functions.TextHashes.minHashSig(col("text"), K, NumHashes))
+      .select(col("doc_id"), col("shs"), size(col("shs")).as("nsh"), col("sig"))
+    val pairs = bandReps(docs)
+      .filter(col("rep") < col("doc_id"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+    val a = staged.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"),
+      col("nsh").as("nsh_a"), col("sig").as("sig_a"))
+    val b = staged.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"),
+      col("nsh").as("nsh_b"), col("sig").as("sig_b"))
+    pairs.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("m_full", aggregate(
+        zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
+        lit(0L), _ + _))
+      .withColumn("m_bbit", aggregate(
+        zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x % mask === y % mask, lit(1L)).otherwise(lit(0L))),
+        lit(0L), _ + _))
+      .withColumn("est_full", col("m_full").cast("double") / NumHashes)
+      .withColumn("c_bbit", col("m_bbit").cast("double") / NumHashes)
+      .withColumn("est_bbit", (col("c_bbit") - lit(r)) / lit(1.0 - r))
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("double"))
+      .withColumn("uni", (col("nsh_a") + col("nsh_b")).cast("double") - col("inter"))
+      .withColumn("ex", when(col("uni") === 0, lit(1.0)).otherwise(col("inter") / col("uni")))
+      .select(col("doc_a"), col("doc_b"),
+        TextFns.round4(col("ex")).as("exact_sim"),
+        TextFns.round4(col("est_full")).as("est_full"),
+        TextFns.round4(col("est_bbit")).as("est_bbit"),
+        TextFns.round4(abs(col("est_full") - col("ex"))).as("err_full"),
+        TextFns.round4(abs(col("est_bbit") - col("ex"))).as("err_bbit"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val sqlBbitMinhash = {
+    val mask = 1L << BbitB
+    val r = s"(1.0 / $mask)"
+    s"""WITH c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),
+       |     s AS (SELECT doc_id, $duckShingles AS shs FROM c),
+       |     g AS (SELECT doc_id, list_distinct(shs) AS dsh, $duckSignature AS sig FROM s),
+       |     bands AS (SELECT doc_id, unnest($duckBandKeys) AS band FROM g),
+       |     reps AS (SELECT band, min(doc_id) AS rep FROM bands GROUP BY band),
+       |     pairs AS (SELECT DISTINCT reps.rep AS doc_a, bands.doc_id AS doc_b
+       |               FROM bands JOIN reps ON bands.band = reps.band
+       |               WHERE reps.rep < bands.doc_id),
+       |     m AS (SELECT doc_a, doc_b,
+       |             CAST(list_sum(list_transform(range(1, $NumHashes + 1),
+       |               i -> CASE WHEN ga.sig[CAST(i AS INT)] = gb.sig[CAST(i AS INT)]
+       |                         THEN 1 ELSE 0 END)) AS DOUBLE) / $NumHashes AS est_full,
+       |             CAST(list_sum(list_transform(range(1, $NumHashes + 1),
+       |               i -> CASE WHEN ga.sig[CAST(i AS INT)] % $mask = gb.sig[CAST(i AS INT)] % $mask
+       |                         THEN 1 ELSE 0 END)) AS DOUBLE) / $NumHashes AS c_bbit,
+       |             CAST(len(list_filter(ga.dsh, x -> list_contains(gb.dsh, x))) AS DOUBLE) AS inter,
+       |             CAST(len(ga.dsh) + len(gb.dsh) AS DOUBLE) AS tot
+       |           FROM pairs JOIN g ga ON pairs.doc_a = ga.doc_id
+       |                      JOIN g gb ON pairs.doc_b = gb.doc_id),
+       |     e AS (SELECT doc_a, doc_b, est_full,
+       |             (c_bbit - $r) / (1.0 - $r) AS est_bbit,
+       |             CASE WHEN tot - inter = 0 THEN 1.0
+       |                  ELSE inter / (tot - inter) END AS ex
+       |           FROM m)
+       |SELECT doc_a, doc_b,
+       |       ${TextFns.duckRound4("ex")} AS exact_sim,
+       |       ${TextFns.duckRound4("est_full")} AS est_full,
+       |       ${TextFns.duckRound4("est_bbit")} AS est_bbit,
+       |       ${TextFns.duckRound4("abs(est_full - ex)")} AS err_full,
+       |       ${TextFns.duckRound4("abs(est_bbit - ex)")} AS err_bbit
+       |FROM e ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---------- 3a⁰. q_cluster_sizes: duplication-depth profile ----------
 
   /** Near-dup cluster-size distribution: for each cluster size s, how
@@ -2791,6 +2888,7 @@ object TextQueries {
     "q_doc_fingerprint" -> (docFingerprint _),
     "q_minhash_cluster" -> (minhashCluster _),
     "q_minhash_est" -> (minhashEst _),
+    "q_bbit_minhash" -> (bbitMinhash _),
     "q_lsh_curve" -> (lshCurve _),
     "q_cluster_sizes" -> (clusterSizes _),
     "q_dup_rate" -> (dupRate _),
@@ -2836,6 +2934,7 @@ object TextQueries {
     "q_doc_fingerprint" -> sqlDocFingerprint,
     "q_minhash_cluster" -> sqlMinhashCluster,
     "q_minhash_est" -> sqlMinhashEst,
+    "q_bbit_minhash" -> sqlBbitMinhash,
     "q_lsh_curve" -> sqlLshCurve,
     "q_cluster_sizes" -> sqlClusterSizes,
     "q_dup_rate" -> sqlDupRate,

@@ -1818,6 +1818,123 @@ object VectorQueries {
        |FROM piv ORDER BY vec_id""".stripMargin
   }
 
+  // ---------- 14a². q_rq_codes: residual quantization (two-level) ----------
+
+  private val RqBits = 4    // level-2 codes = 2^4 sign-buckets of the residual
+  private val RqStride = 16 // residual sign dims 1, 17, 33, 49 (1-based)
+
+  /** Two-level RESIDUAL quantization (Chen et al. 2010; the RQ/
+    * additive-quantization family FAISS ships beside PQ): level 1
+    * coarse-quantizes each vector to its nearest per-label mean
+    * centroid by L2, level 2 quantizes the RESIDUAL v − C1[c1] against
+    * a second codebook built from the residuals themselves, and the
+    * reconstruction C1[c1] + C2[c2] must beat level 1 alone — the
+    * additive-refinement property that is RQ's whole claim, visible
+    * per vector as err2 ≤ err1 + rounding. Where [[pqCodes]] splits
+    * DIMENSIONS (independent subspaces), RQ stacks LEVELS on the full
+    * vector; the two compose (IVF-RQ) exactly like IVF-PQ.
+    *
+    * Determinism/parity: level-2 codes are the residual's OWN sign
+    * buckets ([[VectorFns.signBucket]] over [[RqBits]] dims of stride
+    * [[RqStride]]) — a deterministic self-quantizer, so no iterative
+    * k-means enters the gate; residuals are ROUND6ed per dim before
+    * anything reads them (avg-built centroids differ in the last ulp
+    * across engines — rounding makes the level-2 INPUT identical, the
+    * round-before-compare rule applied to a vector); both argmins
+    * rank on round6 distance with the code as tie-break; err sums are
+    * fixed-order left folds.
+    *
+    * Scale: both codebooks are bounded (10 labels, 2^[[RqBits]]
+    * buckets) and broadcast; everything else is per-row — two argmin
+    * fan-outs of codebook size, no shuffle beyond the codebook
+    * aggregates. The memory story: 2 small codes per vector replace
+    * 64 floats, at reconstruction error the audit quantifies.
+    */
+  def rqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+    val cb1 = withVecs(spark, sfDir)
+      .select(col("label").as("c_label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("c_label", "dim").agg(avg(col("x")).as("cx"))
+      .groupBy("c_label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("ps"))
+      .select(col("c_label"), expr("transform(ps, p -> p.cx)").as("cv"))
+    val w1 = Window.partitionBy("vec_id")
+      .orderBy(round6(col("d2")).asc, col("c_label"))
+    val a1 = vecs.join(broadcast(cb1))
+      .withColumn("diff", zip_with(col("v"), col("cv"), (x, y) => x - y))
+      .withColumn("d2", VectorFns.dot(col("diff"), col("diff")))
+      .withColumn("rk", row_number().over(w1))
+      .filter(col("rk") === 1)
+      .withColumn("r", transform(col("diff"),
+        d => floor(d * 1000000.0 + 0.5) / 1000000.0))
+      .select(col("vec_id"), col("c_label").as("c1"), col("r"))
+    val withB = a1.withColumn("b2",
+      VectorFns.signBucket(col("r"), RqBits, RqStride))
+    val cb2 = withB
+      .select(col("b2").as("c_b"), posexplode(col("r")).as(Seq("dim", "x")))
+      .groupBy("c_b", "dim").agg(avg(col("x")).as("cx"))
+      .groupBy("c_b")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("ps"))
+      .select(col("c_b"), expr("transform(ps, p -> p.cx)").as("cv2"))
+    val w2 = Window.partitionBy("vec_id")
+      .orderBy(round6(col("e2")).asc, col("c_b"))
+    withB.join(broadcast(cb2))
+      .withColumn("diff2", zip_with(col("r"), col("cv2"), (x, y) => x - y))
+      .withColumn("e2", VectorFns.dot(col("diff2"), col("diff2")))
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") === 1)
+      .withColumn("err1", VectorFns.dot(col("r"), col("r")))
+      .select(col("vec_id"), col("c1"), col("c_b").as("c2"),
+        round4(col("err1")).as("err1"), round4(col("e2")).as("err2"))
+      .orderBy("vec_id")
+  }
+
+  private val sqlRqCodes = {
+    val d2 = s"list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, 65), " +
+      "i -> (v[CAST(i AS INT)] - cv[CAST(i AS INT)]) * (v[CAST(i AS INT)] - cv[CAST(i AS INT)])), " +
+      "(acc, x) -> acc + x)"
+    val e2 = s"list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, 65), " +
+      "i -> (r[CAST(i AS INT)] - cv2[CAST(i AS INT)]) * (r[CAST(i AS INT)] - cv2[CAST(i AS INT)])), " +
+      "(acc, x) -> acc + x)"
+    val rr = s"list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, 65), " +
+      "i -> r[CAST(i AS INT)] * r[CAST(i AS INT)]), (acc, x) -> acc + x)"
+    val bucket = (0 until RqBits).map { j =>
+      s"(CASE WHEN r[${1 + j * RqStride}] > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    s"""WITH $duckVecs,
+       |     cx AS (SELECT label AS c_label, CAST(i - 1 AS INT) AS dim, v[CAST(i AS INT)] AS x
+       |            FROM e0 CROSS JOIN range(1, 65) t(i)),
+       |     cd AS (SELECT c_label, dim, avg(x) AS cx FROM cx GROUP BY 1, 2),
+       |     cb1 AS (SELECT c_label, list_transform(list_sort(list({'dim': dim, 'cx': cx})), p -> p.cx) AS cv
+       |             FROM cd GROUP BY c_label),
+       |     s1 AS (SELECT e.vec_id, cb1.c_label, e.v, cb1.cv, $d2 AS d2
+       |            FROM e CROSS JOIN cb1),
+       |     b1 AS (SELECT vec_id, c_label, v, cv,
+       |                   row_number() OVER (PARTITION BY vec_id
+       |                     ORDER BY ${duckRound6("d2")} ASC, c_label) AS rk
+       |            FROM s1),
+       |     a1 AS (SELECT vec_id, c_label AS c1,
+       |                   list_transform(range(1, 65),
+       |                     i -> floor((v[CAST(i AS INT)] - cv[CAST(i AS INT)]) * 1000000.0 + 0.5) / 1000000.0) AS r
+       |            FROM b1 WHERE rk = 1),
+       |     wb AS (SELECT vec_id, c1, r, $bucket AS b2 FROM a1),
+       |     rx AS (SELECT b2 AS c_b, CAST(i - 1 AS INT) AS dim, r[CAST(i AS INT)] AS x
+       |            FROM wb CROSS JOIN range(1, 65) t(i)),
+       |     rd AS (SELECT c_b, dim, avg(x) AS cx FROM rx GROUP BY 1, 2),
+       |     cb2 AS (SELECT c_b, list_transform(list_sort(list({'dim': dim, 'cx': cx})), p -> p.cx) AS cv2
+       |             FROM rd GROUP BY c_b),
+       |     s2 AS (SELECT wb.vec_id, wb.c1, wb.r, cb2.c_b, $e2 AS e2
+       |            FROM wb CROSS JOIN cb2),
+       |     b2r AS (SELECT vec_id, c1, r, c_b, e2,
+       |                    row_number() OVER (PARTITION BY vec_id
+       |                      ORDER BY ${duckRound6("e2")} ASC, c_b) AS rk
+       |             FROM s2)
+       |SELECT vec_id, c1, c_b AS c2,
+       |       ${duckRound4(rr)} AS err1,
+       |       ${duckRound4("e2")} AS err2
+       |FROM b2r WHERE rk = 1 ORDER BY vec_id""".stripMargin
+  }
+
   // ---------- 14b. q_ivfpq_adc: IVF-PQ asymmetric-distance serving ----------
 
   /** The COMPOSED ANN serving path (Jégou et al. 2011 — the FAISS
@@ -3243,6 +3360,7 @@ object VectorQueries {
     "q_quant_ndcg" -> (quantNdcg _),
     "q_ann_multiprobe" -> (annMultiprobe _),
     "q_index_serve" -> (indexServe _),
+    "q_rq_codes" -> (rqCodes _),
     "q_topk_refresh" -> (topkRefresh _),
     "q_sq_error" -> (sqError _),
     "q_ivf_search" -> (ivfSearch _),
@@ -3286,6 +3404,7 @@ object VectorQueries {
     "q_quant_ndcg" -> sqlQuantNdcg,
     "q_ann_multiprobe" -> sqlAnnMultiprobe,
     "q_index_serve" -> sqlAnnMultiprobe,
+    "q_rq_codes" -> sqlRqCodes,
     "q_topk_refresh" -> sqlTopkRefresh,
     "q_sq_error" -> sqlSqError,
     "q_ivf_search" -> sqlIvfSearch,
