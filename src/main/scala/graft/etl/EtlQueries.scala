@@ -425,6 +425,81 @@ object EtlQueries {
        |       min(midx) AS first_month, max(midx) AS last_month
        |FROM s GROUP BY file_id ORDER BY file_id""".stripMargin
 
+  // ---------- q_compact_exec: EXECUTE the compaction plan ----------
+
+  /** [[vacuumPlan]] executed, not just planned: the fact rows are
+    * physically rewritten into the plan's bin-packed files (one
+    * parquet file per planned file_id — `repartition(file_id)` routes
+    * every planned file's rows to exactly one task, the dynamic-
+    * partition-write discipline CLAUDE.md mandates) and the POST-STATE
+    * is read back from the filesystem: per planned file, the observed
+    * file count must be 1 and the observed row count must equal the
+    * plan. The oracle states the contractual post-state (the plan's
+    * own numbers + n_files = 1 + rows_match) — the `q_scd2_history`
+    * driver-gating pattern applied to OPTIMIZE: a compactor that
+    * splits a bin, drops rows, or leaks a second file per bin breaks
+    * the hash. Scale: one shuffle on file_id (the rewrite IS the
+    * point); month-contiguous bins preserve date-range pruning.
+    */
+  def compactExec(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .withColumn("midx", (year(col("l_shipdate")) * 12 +
+        month(col("l_shipdate")) - 1).cast("long"))
+    val parts = li.groupBy("midx").agg(count(lit(1)).as("rows"))
+    val assign = PrefixScan
+      .packByCapacity(parts, "midx", "rows", VacuumCapacity, "file_id")
+      .select(col("midx"), col("file_id"))
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString
+    li.join(broadcast(assign), "midx")
+      .repartition(col("file_id"))
+      .write.partitionBy("file_id").mode("overwrite").parquet(outDir)
+    // observed post-state: rows per bin from the data, file count per
+    // bin from the filesystem (bounded by plan size — a driver walk)
+    val obs = spark.read.parquet(outDir)
+      .groupBy(col("file_id").cast("long").as("file_id"))
+      .agg(count(lit(1)).as("obs_rows"))
+    val fileCounts = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(outDir)).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("file_id="))
+        .map { p =>
+          val id = p.getFileName.toString.stripPrefix("file_id=").toLong
+          val n = java.nio.file.Files.list(p).iterator().asScala
+            .count(_.getFileName.toString.endsWith(".parquet"))
+          (id, n.toLong)
+        }.toSeq
+    }
+    import spark.implicits._
+    val fc = fileCounts.toDF("file_id", "n_files")
+    val plan = PrefixScan
+      .packByCapacity(parts, "midx", "rows", VacuumCapacity, "file_id")
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_partitions"), sum(col("rows")).as("n_rows"),
+        min(col("midx")).as("first_month"), max(col("midx")).as("last_month"))
+    plan.join(obs, "file_id").join(broadcast(fc), "file_id")
+      .select(col("file_id"), col("n_partitions"), col("n_rows"),
+        col("first_month"), col("last_month"), col("n_files"),
+        (col("obs_rows") === col("n_rows")).as("rows_match"))
+      .orderBy("file_id")
+  }
+
+  private val sqlCompactExec =
+    s"""WITH p AS (SELECT CAST(date_part('year', l_shipdate) * 12
+       |                    + date_part('month', l_shipdate) - 1 AS BIGINT) AS midx,
+       |                  CAST(count(*) AS BIGINT) AS rows
+       |           FROM lineitem GROUP BY 1),
+       |     s AS (SELECT midx, rows,
+       |                  CAST(coalesce(sum(rows) OVER (ORDER BY midx
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |                    // $VacuumCapacity AS BIGINT) AS file_id
+       |           FROM p)
+       |SELECT file_id, CAST(count(*) AS BIGINT) AS n_partitions,
+       |       CAST(sum(rows) AS BIGINT) AS n_rows,
+       |       min(midx) AS first_month, max(midx) AS last_month,
+       |       CAST(1 AS BIGINT) AS n_files, TRUE AS rows_match
+       |FROM s GROUP BY file_id ORDER BY file_id""".stripMargin
+
   // ---------- q_impute_median: group-median null imputation ----------
 
   /** Median imputation audit: fill null event values with the
@@ -1384,6 +1459,7 @@ object EtlQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_catalog_stats" -> (catalogStats _),
+    "q_compact_exec" -> (compactExec _),
     "q_time_travel" -> (timeTravel _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
@@ -1417,6 +1493,7 @@ object EtlQueries {
 
   val oracle: Map[String, String] = Map(
     "q_catalog_stats" -> sqlCatalogStats,
+    "q_compact_exec" -> sqlCompactExec,
     "q_time_travel" -> sqlTimeTravel,
     "q_csv_roundtrip" -> sqlRoundtripBase,
     "q_orc_roundtrip" -> sqlRoundtripBase,

@@ -147,6 +147,59 @@ object EventQueries {
       |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau AS dau, win.users_7d AS users_7d
       |FROM dau JOIN win ON dau.d = win.day ORDER BY day""".stripMargin
 
+  // ---------- q_rolling_hll: the MERGEABLE-SKETCH rolling distinct ----------
+
+  /** [[rollingDistinct]]'s documented 100 TB path, EXECUTED: per-day
+    * HLL sketches (`hll_sketch_agg`, the Apache DataSketches HLL
+    * Spark 3.5+ ships) merged per 7-day window with `hll_union_agg` —
+    * window state is 7 fixed-size sketches per day instead of the
+    * window's raw user-day pairs, which is what makes rolling reach
+    * computable when a day holds 10⁹ distinct users. Deterministic by
+    * construction (register-max updates commute, so partition order
+    * cannot move an estimate), hence gateable: the oracle recomputes
+    * the EXACT 7-day distincts and the contract asserts the estimate
+    * lands inside the sketch's error envelope (lgConfigK=14 → rsd
+    * ≈ 0.8%; the gate allows 5% + 4 absolute) — the `q_quantile_est`
+    * sketch-gating pattern applied to HLL. The exact twin column
+    * stays in the output, so both paths are hash-checked at once.
+    */
+  def rollingHll(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.events(spark, sfDir)
+      .select(date_trunc("day", col("ts")).as("d"), col("user_id"))
+    val daily = pairs.groupBy("d")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val est = daily
+      .withColumn("serve",
+        sequence(col("d"), col("d") + expr("INTERVAL 6 DAYS"), expr("INTERVAL 1 DAY")))
+      .select(explode_outer(col("serve")).as("day"), col("sk"))
+      .groupBy("day")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est_7d"))
+    val exact = pairs.distinct()
+      .withColumn("serve",
+        sequence(col("d"), col("d") + expr("INTERVAL 6 DAYS"), expr("INTERVAL 1 DAY")))
+      .select(explode_outer(col("serve")).as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as("users_7d"))
+    val days = pairs.select(col("d").as("day")).distinct()
+    days.join(exact, "day").join(est, "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("users_7d"),
+        (abs(col("est_7d").cast("double") - col("users_7d").cast("double")) <=
+          greatest(lit(4.0), col("users_7d").cast("double") * 0.05)).as("bound_ok"))
+      .orderBy("day")
+  }
+
+  private val sqlRollingHll =
+    """WITH p AS (SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, user_id
+      |           FROM events),
+      |     spine AS (SELECT DISTINCT d AS day FROM p),
+      |     win AS (SELECT s.day, count(DISTINCT p.user_id) AS users_7d
+      |             FROM p JOIN spine s
+      |               ON p.d >= s.day - INTERVAL 6 DAY AND p.d <= s.day
+      |             GROUP BY 1)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, users_7d, TRUE AS bound_ok
+      |FROM win ORDER BY day""".stripMargin
+
   /** Sliding windows: 1-hour windows every 30 minutes — each event
     * contributes to exactly 2 overlapping windows (len/slide copies;
     * Spark expands them at the scan, the aggregation stays a single
@@ -2799,7 +2852,8 @@ object EventQueries {
     "q_json_props" -> (jsonProps _),
     "q_asof_clicks" -> (asofClicks _),
     "q_events_sliding" -> (eventsSliding _),
-    "q_rolling_distinct" -> (rollingDistinct _))
+    "q_rolling_distinct" -> (rollingDistinct _),
+    "q_rolling_hll" -> (rollingHll _))
 
   val oracle: Map[String, String] = Map(
     "q_attribution" -> sqlAttribution,
@@ -2844,5 +2898,6 @@ object EventQueries {
     "q_json_props" -> sqlJsonProps,
     "q_asof_clicks" -> sqlAsofClicks,
     "q_events_sliding" -> sqlEventsSliding,
-    "q_rolling_distinct" -> sqlRollingDistinct)
+    "q_rolling_distinct" -> sqlRollingDistinct,
+    "q_rolling_hll" -> sqlRollingHll)
 }

@@ -761,8 +761,92 @@ object CorpusOps {
        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
   }
 
+  // ---------- q_jackknife_se: delete-one-group jackknife error bar ----------
+
+  /** The error bar on the corpus quality mean via the delete-one-GROUP
+    * jackknife (Efron 1981; groups = sources, the natural dependence
+    * unit — docs within a source are correlated, so a doc-level SE
+    * would be falsely tight): SE² = (g−1)/g · Σ(loo_i − mean(loo))²
+    * over the g leave-one-source-out means [[looSource]] already
+    * computes. Resampling without randomness — bootstrap needs RNG
+    * (banned by the determinism contract), the jackknife is exact and
+    * closed-form, so it gates.
+    *
+    * Parity: loo means derive from micro-unit DECIMAL sums; each is
+    * re-rounded (round6) before the deviation, the per-source squared
+    * deviations collapse in round6-DECIMAL (order-independent), and
+    * the final sqrt is the one correctly-rounded transcendental. Scale
+    * = [[looSource]]'s: one source-grain aggregate + broadcast totals.
+    */
+  def jackknifeSe(spark: SparkSession, sfDir: String): DataFrame = {
+    val r6 = (c: org.apache.spark.sql.Column) =>
+      floor(c * 1000000.0 + 0.5) / 1000000.0
+    val r6d = (c: org.apache.spark.sql.Column) =>
+      r6(c).cast("decimal(28,6)")
+    val scored = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("source"),
+        floor(TextFns.qualityScore(col("text"), col("ts")) * 1000000.0 + 0.5)
+          .cast("decimal(28,0)").as("qm"))
+    val per = scored.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("qm")).as("s_qm"))
+    val tot = per.agg(sum(col("n_docs")).as("n_all"), sum(col("s_qm")).as("s_all"),
+      count(lit(1)).as("g"))
+    val loo = per.crossJoin(broadcast(tot))
+      .withColumn("loo6", r6((col("s_all") - col("s_qm")).cast("double") /
+        1000000.0 / (col("n_all") - col("n_docs")).cast("double")))
+    val bar = loo.agg(first(col("g")).as("g"), first(col("n_all")).as("n_all"),
+        first(col("s_all")).as("s_all"),
+        sum(col("loo6").cast("decimal(28,6)")).as("loo_sum"))
+      .withColumn("loo_bar", col("loo_sum").cast("double") / col("g").cast("double"))
+    loo.select(col("loo6"))
+      .crossJoin(broadcast(bar))
+      .withColumn("dev2", r6d((col("loo6") - col("loo_bar")) *
+        (col("loo6") - col("loo_bar"))))
+      .groupBy("g", "n_all", "s_all")
+      .agg(sum(col("dev2")).as("ss"))
+      .select(col("g").as("n_sources"),
+        TextFns.round4(col("s_all").cast("double") / 1000000.0 /
+          col("n_all").cast("double")).as("mean_q"),
+        TextFns.round4(sqrt(
+          (col("g") - 1).cast("double") / col("g").cast("double") *
+            col("ss").cast("double"))).as("jk_se"))
+  }
+
+  private val sqlJackknifeSe = {
+    val q = TextQueries.duckQuality
+    s"""WITH t AS (SELECT source, text, $duckTokens AS ts FROM documents),
+       |     d AS (SELECT source,
+       |             CAST(floor(($q) * 1000000.0 + 0.5) AS DECIMAL(28,0)) AS qm
+       |           FROM t),
+       |     per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |                    sum(qm) AS s_qm
+       |             FROM d GROUP BY 1),
+       |     tot AS (SELECT sum(n_docs) AS n_all, sum(s_qm) AS s_all,
+       |                    CAST(count(*) AS BIGINT) AS g FROM per),
+       |     loo AS (SELECT CAST(floor(CAST(s_all - s_qm AS DOUBLE) / 1000000.0
+       |                      / CAST(n_all - n_docs AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+       |                      / 1000000.0 AS loo6
+       |             FROM per CROSS JOIN tot),
+       |     bar AS (SELECT g, n_all, s_all,
+       |                    CAST(sum(CAST(loo6 AS DECIMAL(28,6))) AS DOUBLE)
+       |                      / CAST(g AS DOUBLE) AS loo_bar
+       |             FROM loo CROSS JOIN tot GROUP BY g, n_all, s_all),
+       |     dv AS (SELECT g, n_all, s_all,
+       |              sum(CAST(floor((loo6 - loo_bar) * (loo6 - loo_bar) * 1000000.0 + 0.5)
+       |                    / 1000000.0 AS DECIMAL(28,6))) AS ss
+       |            FROM loo CROSS JOIN bar GROUP BY g, n_all, s_all)
+       |SELECT g AS n_sources,
+       |       ${TextFns.duckRound4(
+                 "CAST(s_all AS DOUBLE) / 1000000.0 / CAST(n_all AS DOUBLE)")} AS mean_q,
+       |       ${TextFns.duckRound4(
+                 "sqrt(CAST(g - 1 AS DOUBLE) / CAST(g AS DOUBLE) * CAST(ss AS DOUBLE))")} AS jk_se
+       |FROM dv""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_loo_source" -> (looSource _),
+    "q_jackknife_se" -> (jackknifeSe _),
     "q_heavy_hitters" -> (heavyHitters _),
     "q_bm25" -> (bm25 _),
     "q_chunk_plan" -> (chunkPlan _),
@@ -775,6 +859,7 @@ object CorpusOps {
 
   val oracle: Map[String, String] = Map(
     "q_loo_source" -> sqlLooSource,
+    "q_jackknife_se" -> sqlJackknifeSe,
     "q_heavy_hitters" -> sqlHeavyHitters,
     "q_bm25" -> sqlBm25,
     "q_chunk_plan" -> sqlChunkPlan,

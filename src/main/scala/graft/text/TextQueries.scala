@@ -1275,6 +1275,91 @@ object TextQueries {
        |FROM comp GROUP BY component HAVING count(*) > 1
        |ORDER BY component""".stripMargin
 
+  // ---------- 3a¹ᶠ². q_cc_forget: DECREMENTAL component maintenance ----------
+
+  /** Erasure set for the decremental demo: doc_id ≡ 4 (mod 11) — the
+    * deterministic right-to-erasure batch (the `q_forget_plan`
+    * governance event applied to the dedup GRAPH).
+    */
+  private val ForgetResidue = 4
+
+  /** Decremental connected-components maintenance — [[ccRefresh]]'s
+    * missing direction: a right-to-erasure deletion REMOVES nodes from
+    * the near-dup graph, and deletions (unlike insertions) can SPLIT
+    * components, so contraction doesn't apply. The scalable shape:
+    * from the persisted base labeling, find the components that
+    * CONTAIN an erased doc (the touched set — bounded by the erasure,
+    * not the corpus), keep every untouched component's labels verbatim
+    * (deleting a node can only affect its own component — edges never
+    * cross components), and re-run the fixpoint ONLY on the touched
+    * components' surviving edges. Work ∝ touched subgraph; the archive
+    * graph is never re-iterated. Labels are component-min ids on both
+    * paths, so the refreshed clustering must EQUAL a from-scratch
+    * closure over the reduced graph — which is what the oracle
+    * computes (the incremental-≡-batch contract, deletion edition).
+    * Demo recomputes the base labeling; a deployment reads it from
+    * the snapshot store.
+    */
+  def ccForget(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.graph.ConnectedComponents
+    val (p, pIds) = ConnectedComponents.checkpointTracked(
+      bandReps(Tables.documents(spark, sfDir))
+        .filter(col("rep") < col("doc_id"))
+        .select(col("rep").as("a"), col("doc_id").as("b"))
+        .distinct())
+    def erased(c: Column): Column = pmod(c, lit(11)) === ForgetResidue
+    val sym = p.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
+    val (base, baseIds) = ConnectedComponents.runTracked(sym)
+    val touched = base.filter(erased(col("node")))
+      .select(col("component").as("tc")).distinct()
+    val kept = p.filter(!erased(col("a")) && !erased(col("b")))
+      .join(base.select(col("node").as("a"), col("component").as("cA")), Seq("a"))
+    val affected = kept.join(broadcast(touched), col("cA") === col("tc"))
+      .select("a", "b")
+    val untouched = kept.join(broadcast(touched), col("cA") === col("tc"),
+        "left_anti")
+    val affSym = affected.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(affected.select(col("b").as("src"), col("a").as("dst")))
+    val (aff, affIds) = ConnectedComponents.runTracked(affSym)
+    val untouchedLbl = untouched.select(col("a").as("node"))
+      .unionByName(untouched.select(col("b").as("node"))).distinct()
+      .join(base, Seq("node"))
+      .select(col("node"), col("component"))
+    val out = untouchedLbl.unionByName(aff)
+      .groupBy("component").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .orderBy("component")
+    val (res, _) = ConnectedComponents.checkpointTracked(out)
+    ConnectedComponents.free(p, pIds ++ baseIds ++ affIds)
+    res
+  }
+
+  /** From-scratch closure over the REDUCED (post-erasure) graph —
+    * decremental ≡ batch.
+    */
+  private val sqlCcForget =
+    s"""WITH RECURSIVE
+       |     c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),
+       |     s AS (SELECT doc_id, $duckShingles AS shs FROM c),
+       |     g AS (SELECT doc_id, $duckSignature AS sig FROM s),
+       |     bands AS (SELECT doc_id, unnest($duckBandKeys) AS band FROM g),
+       |     reps AS (SELECT band, min(doc_id) AS rep FROM bands GROUP BY band),
+       |     e0 AS (SELECT DISTINCT reps.rep AS a, bands.doc_id AS b
+       |            FROM bands JOIN reps ON bands.band = reps.band
+       |            WHERE bands.doc_id <> reps.rep
+       |              AND reps.rep % 11 <> $ForgetResidue
+       |              AND bands.doc_id % 11 <> $ForgetResidue),
+       |     edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+       |     reach AS (
+       |       SELECT DISTINCT a AS node, a AS lbl FROM edges
+       |       UNION
+       |       SELECT e.a AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.b),
+       |     comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+       |SELECT component, count(*) AS n_docs
+       |FROM comp GROUP BY component HAVING count(*) > 1
+       |ORDER BY component""".stripMargin
+
   // ---------- 3a¹ᵍ. q_kcore: bounded k-core peeling rounds ----------
 
   private val KcoreK = 3
@@ -2904,6 +2989,7 @@ object TextQueries {
     "q_hits" -> (hitsQ _),
     "q_degree_mix" -> (degreeMix _),
     "q_cc_refresh" -> (ccRefresh _),
+    "q_cc_forget" -> (ccForget _),
     "q_kcore" -> (kcore _),
     "q_bfs_khop" -> (bfsKhop _),
     "q_label_prop" -> (labelProp _),
@@ -2950,6 +3036,7 @@ object TextQueries {
     "q_hits" -> sqlHits,
     "q_degree_mix" -> sqlDegreeMix,
     "q_cc_refresh" -> sqlCcRefresh,
+    "q_cc_forget" -> sqlCcForget,
     "q_kcore" -> sqlKcore,
     "q_bfs_khop" -> sqlBfsKhop,
     "q_label_prop" -> sqlLabelProp,
