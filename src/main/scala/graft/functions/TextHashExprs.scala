@@ -249,6 +249,42 @@ object TextHashUtil {
     new GenericArrayData(out.toArray)
   }
 
+  /** ALL k-gram hashes in POSITIONAL order (not distinct) —
+    * `TextFns.shingleHashesFromCodes(...)` parity, the input to
+    * position-sensitive consumers (substring-dup interval coverage).
+    * Rabin–Karp ROLLING update: the first window pays O(k), every
+    * next position pays O(1) (subtract c_out·B^(k−1), shift, add
+    * c_in — all mod P with intermediates < 2^62), vs the HOF form's
+    * O(len·k) interpreted element accesses. Texts shorter than k
+    * yield the one zero-padded shingle, as [[minHashSig]].
+    */
+  def shingleHashes(s: UTF8String, k: Int): ArrayData = {
+    val n = s.numBytes
+    val nSh = math.max(n - k + 1, 1)
+    val out = new Array[Long](nSh)
+    // B^(k-1) mod P for the rolling subtract
+    var bk = 1L
+    var j = 1
+    while (j < k) { bk = bk * B % P; j += 1 }
+    var h = 0L
+    var off = 0
+    while (off < k) {
+      val c = if (off < n) s.getByte(off) & 0xffL else 0L
+      h = (h * B + c) % P
+      off += 1
+    }
+    out(0) = h
+    var i = 1
+    while (i < nSh) {
+      val cOut = s.getByte(i - 1) & 0xffL
+      val cIn = if (i + k - 1 < n) s.getByte(i + k - 1) & 0xffL else 0L
+      h = ((h + P - cOut * bk % P) % P * B + cIn) % P
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
     * SIGMOD'03): hash every k-gram (same zero-padded recurrence as
     * [[minHashSig]]/[[shingleSet]]), slide a w-wide window over the
@@ -443,6 +479,19 @@ case class MinHashSigExpr(child: Expression, k: Int, numHashes: Int)
 }
 
 /** graft_shingle_set(text): distinct k-gram hash set (array<long>). */
+/** graft_shingle_hashes(text): all positional k-gram hashes (array<long>). */
+case class ShingleHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashUtil.shingleHashes(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.shingleHashes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
 case class ShingleSetExpr(child: Expression, k: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -551,6 +600,8 @@ object TextHashes {
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(text), bits))
   def shingleSet(text: Column, k: Int): Column =
     ColumnBridge.column(ShingleSetExpr(ColumnBridge.expression(text), k))
+  def shingleHashes(text: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(text), k))
   def ngramHashes(ts: Column, n: Int): Column =
     ColumnBridge.column(NgramHashExpr(ColumnBridge.expression(ts), n))
   def winnowFp(text: Column, k: Int, w: Int): Column =

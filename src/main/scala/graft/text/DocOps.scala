@@ -1675,16 +1675,20 @@ object DocOps {
       .select(col("doc_id"), col("source"),
         col("text"), length(col("text")).cast("long").as("len"))
       .filter(col("len") >= SubK)
+    // native rolling kernel (graft_shingle_hashes: O(len) per row vs
+    // the interpreted HOF form's O(len·k) — 17.6 s → sub-second at
+    // sf0.1), HOF-parity pinned in TextHashSpec. localCheckpoint: the
+    // gram frame feeds BOTH the ≥2-doc hash census and the coverage
+    // join — without it the whole hash pipeline evaluates twice.
     val staged = docs
-      .withColumn("cs", TextFns.codes(col("text")))
-      .withColumn("hs",
-        TextFns.shingleHashesFromCodes(col("cs"), length(col("text")), SubK))
+      .withColumn("hs", graft.functions.TextHashes.shingleHashes(col("text"), SubK))
       .select("doc_id", "source", "len", "hs")
     // posexplode_outer: hs is provably non-empty (len ≥ K ⇒ ≥1 gram),
     // and the outer generate dodges InferFiltersFromGenerate's
     // size(hs)>0 filter inlining the whole hash pipeline (CLAUDE.md)
     val pos = staged.select(col("doc_id"), col("source"),
       posexplode_outer(col("hs")).as(Seq("p0", "h")))
+      .localCheckpoint(true)
     val dupGrams = pos.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") >= 2).select("h")

@@ -54,6 +54,23 @@ class TextHashSpec extends SparkSpec {
     }
   }
 
+  test("native shingleHashes (rolling) equals the HOF positional shingle pipeline") {
+    // the rolling O(1)-per-position update must agree with the direct
+    // O(k) recurrence at every position, including the zero-padded
+    // short-text case and k spanning the whole text
+    for (k <- Seq(3, 5, 40)) {
+      val df = texts.toDF("text")
+        .withColumn("cs", TextFns.codes(col("text")))
+        .withColumn("sh", TextFns.shingleHashesFromCodes(col("cs"), length(col("text")), k))
+        .select(
+          TextHashes.shingleHashes(col("text"), k).as("native"),
+          col("sh").as("hof"))
+      df.collect().foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"k=$k")
+      }
+    }
+  }
+
   test("native ngramHashes equals polyHash over the HOF word-ngram pipeline") {
     // edge cases: empty token array (one hash of the bare-separator
     // gram), fewer tokens than n (padded slots contribute only their
