@@ -1191,6 +1191,40 @@ object EtlQueries {
     roundtripAgg(back)
   }
 
+  /** Avro edition of [[csvRoundtrip]] — the row-oriented binary
+    * interchange leg (the Kafka-ecosystem wire format): timestamps
+    * through the timestamp-micros logical type, doubles through IEEE
+    * bits. Same sensitive aggregate, same oracle — no format leg may
+    * change the answer.
+    */
+  def avroRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_rt").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+      // same file-count-parallelism rationale as [[csvRoundtrip]]
+      .repartition(spark.sparkContext.defaultParallelism)
+    graft.schema.Formats.writeAvro(ev, s"$dir/events_avro")
+    val back = graft.schema.Formats.readAvro(spark, s"$dir/events_avro", ev.schema)
+    roundtripAgg(back)
+  }
+
+  /** XML edition of [[csvRoundtrip]] — the WORST-case text leg (every
+    * value flattens to an element string); pinned timestamp format +
+    * explicit schema keep micro-precision and double parsing exact,
+    * proven by the same hash-gated aggregate.
+    */
+  def xmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml_rt").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    graft.schema.Formats.writeXml(ev, s"$dir/events_xml")
+    val back = graft.schema.Formats.readXml(spark, s"$dir/events_xml", ev.schema)
+    roundtripAgg(back)
+  }
+
   // ---------- q_schema_merge: schema-evolution (mergeSchema) seam ----------
 
   /** Schema-evolution fidelity under the oracle gate: an "old"
@@ -1463,6 +1497,8 @@ object EtlQueries {
     "q_time_travel" -> (timeTravel _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
+    "q_avro_roundtrip" -> (avroRoundtrip _),
+    "q_xml_roundtrip" -> (xmlRoundtrip _),
     "q_schema_merge" -> (schemaMerge _),
     "q_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "q_py_title" -> (pyTitleAudit _),
@@ -1497,6 +1533,8 @@ object EtlQueries {
     "q_time_travel" -> sqlTimeTravel,
     "q_csv_roundtrip" -> sqlRoundtripBase,
     "q_orc_roundtrip" -> sqlRoundtripBase,
+    "q_avro_roundtrip" -> sqlRoundtripBase,
+    "q_xml_roundtrip" -> sqlRoundtripBase,
     "q_schema_merge" -> sqlSchemaMerge,
     "q_jsonl_roundtrip" -> sqlJsonlRoundtrip,
     "q_py_title" -> sqlPyTitle,

@@ -64,4 +64,38 @@ object Formats {
 
   def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
+
+  /** Avro leg — the row-oriented binary interchange (Kafka/ingest
+    * ecosystems): timestamps ride the timestamp-micros logical type,
+    * doubles ride IEEE bits, so fidelity is the writer/reader pair's
+    * to lose, and the roundtrip gate proves it doesn't. This Spark
+    * build ships `AvroFileFormat` inside spark-sql but without the
+    * short-name service registration, so the format is addressed by
+    * class name (the documented lookup fallback).
+    */
+  private val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def writeAvro(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").format(AvroFormat).save(path)
+
+  def readAvro(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).format(AvroFormat).load(path)
+
+  /** XML leg (Spark 4's built-in XML source) — the worst-case TEXT
+    * interchange: every value flattens to an element string, so the
+    * pinned timestamp format and explicit schema are what keep the
+    * round-trip exact. `rowTag` is mandatory on both sides.
+    */
+  def writeXml(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("rowTag", "row")
+      .option("timestampFormat", TsFmt)
+      .format("xml").save(path)
+
+  def readXml(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("rowTag", "row")
+      .option("timestampFormat", TsFmt)
+      .schema(schema)
+      .format("xml").load(path)
 }

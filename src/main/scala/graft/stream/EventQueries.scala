@@ -71,6 +71,72 @@ object EventQueries {
       |       count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
+  // ---------- q_session_cap: max-duration session sub-splitting ----------
+
+  // 20 minutes — sized to this corpus's compressed timescale (max
+  // 30-min-gap session spans ~57 min, p99 ~24 min at sf0.01), so the
+  // split branch provably FIRES at the oracle SFs; a web deployment
+  // sets hours here, the closed form is scale-free
+  private val SessionCapUs = 1200000000L
+
+  /** Production sessionization rule #2: gap-based sessions ALSO split
+    * at a maximum duration (the GA4/Adobe long-session integrity rule
+    * — a dangling tab that pings every 25 minutes would otherwise
+    * produce a week-long "session"). Sessions form by the 30-minute
+    * gap rule (the `q_events_session` kernel), then each splits at
+    * fixed [[SessionCapUs]] offsets FROM ITS OWN START — sub-session
+    * = (session, floor((ts − session_start)/cap)), a deterministic
+    * closed form, not a sequential walk, so it gates. Output is the
+    * per-user audit: raw sessions, sessions the cap actually split,
+    * and the resulting sub-session count.
+    *
+    * Shape: user-partitioned lag/sum windows (bounded per-user
+    * partitions) + integer-µs arithmetic end-to-end — no float
+    * touches a boundary.
+    */
+  def sessionCap(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tus")
+    val run = Window.partitionBy("user_id").orderBy("tus")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bySess = Window.partitionBy("user_id", "sid")
+    val flagged = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tus") - col("prev") >= 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(run))
+      .withColumn("s_start", min(col("tus")).over(bySess))
+      .withColumn("sub", expr(s"(tus - s_start) div $SessionCapUs"))
+    flagged.groupBy("user_id", "sid")
+      .agg(max(col("sub")).as("msub"), countDistinct(col("sub")).as("nsub"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("msub") > 0, 1L).otherwise(0L)).as("n_capped"),
+        sum(col("nsub")).as("n_subsessions"))
+      .orderBy("user_id")
+  }
+
+  private val sqlSessionCap =
+    s"""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+       |     f AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+       |                            OR tus - lag(tus) OVER w >= 1800000000
+       |                          THEN 1 ELSE 0 END AS new_s
+       |           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+       |     s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |           FROM f),
+       |     x AS (SELECT *, (tus - min(tus) OVER (PARTITION BY user_id, sid))
+       |                       // $SessionCapUs AS sub
+       |           FROM s),
+       |     g AS (SELECT user_id, sid, max(sub) AS msub,
+       |                  count(DISTINCT sub) AS nsub
+       |           FROM x GROUP BY 1, 2)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       |       CAST(sum(CASE WHEN msub > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+       |       CAST(sum(nsub) AS BIGINT) AS n_subsessions
+       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** 19. JSON props extraction via `from_json` into a map column
     * (SURVEY.md §1.4: props → MapType), bucketed histogram of the
     * numeric payload. Exercises the semi-structured path: parse once,
@@ -2853,7 +2919,8 @@ object EventQueries {
     "q_asof_clicks" -> (asofClicks _),
     "q_events_sliding" -> (eventsSliding _),
     "q_rolling_distinct" -> (rollingDistinct _),
-    "q_rolling_hll" -> (rollingHll _))
+    "q_rolling_hll" -> (rollingHll _),
+    "q_session_cap" -> (sessionCap _))
 
   val oracle: Map[String, String] = Map(
     "q_attribution" -> sqlAttribution,
@@ -2899,5 +2966,6 @@ object EventQueries {
     "q_asof_clicks" -> sqlAsofClicks,
     "q_events_sliding" -> sqlEventsSliding,
     "q_rolling_distinct" -> sqlRollingDistinct,
-    "q_rolling_hll" -> sqlRollingHll)
+    "q_rolling_hll" -> sqlRollingHll,
+    "q_session_cap" -> sqlSessionCap)
 }

@@ -1646,6 +1646,65 @@ object DocOps {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---------- q_byte_entropy: order-0 compressibility estimate ----------
+
+  /** Per-source order-0 character entropy (bits/char) — Shannon's
+    * lower bound on what any entropy coder can achieve from symbol
+    * frequencies alone, i.e. the storage-planning number behind "how
+    * much will this feed compress": h0/8 is the best order-0 ratio vs
+    * raw bytes, and the gap to the observed zstd ratio measures how
+    * much structure (order-k context) the codec exploits. Companion
+    * to `q_dict_encode` (token-level) at character grain.
+    *
+    * Parity: each −p·log₂p term is ROUND6ed into a DECIMAL before the
+    * cross-row sum (the `q_zipf_fit` ln discipline — ln carries no
+    * cross-engine ulp guarantee, so a term lands in the sum only
+    * after rounding); identical literal operation order both engines.
+    * Shape: one (source, char) hash aggregate over the exploded code
+    * stream + one source-grain collapse — linear, mergeable.
+    */
+  def byteEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .withColumn("cs", TextFns.codes(col("text")))
+      .select(col("source"), explode_outer(col("cs")).as("code"))
+      .groupBy("source", "code").agg(count(lit(1)).as("nc"))
+    val tot = counts.groupBy("source")
+      .agg(sum(col("nc")).as("n_chars"), count(lit(1)).as("n_symbols"))
+    val term = (col("nc").cast("double") / col("n_chars").cast("double")) *
+      ((log(col("n_chars").cast("double")) - log(col("nc").cast("double"))) /
+        log(lit(2.0)))
+    counts.join(tot, "source")
+      .withColumn("t6", (floor(term * 1000000.0 + 0.5) / 1000000.0)
+        .cast("decimal(28,6)"))
+      .groupBy("source", "n_chars", "n_symbols")
+      .agg(sum(col("t6")).as("h0"))
+      .select(col("source"), col("n_chars"), col("n_symbols"),
+        TextFns.round4(col("h0").cast("double")).as("h0_bits"),
+        TextFns.round4(col("h0").cast("double") / 8.0).as("best_ratio"))
+      .orderBy("source")
+  }
+
+  private val sqlByteEntropy = {
+    val term = "(CAST(nc AS DOUBLE) / CAST(n_chars AS DOUBLE)) * " +
+      "((ln(CAST(n_chars AS DOUBLE)) - ln(CAST(nc AS DOUBLE))) / ln(2.0))"
+    s"""WITH c AS (SELECT source, ${duckCodesOf("text")} AS cs FROM documents),
+       |     x AS (SELECT source, unnest(cs) AS code FROM c),
+       |     k AS (SELECT source, code, CAST(count(*) AS BIGINT) AS nc
+       |           FROM x GROUP BY 1, 2),
+       |     t AS (SELECT source, CAST(sum(nc) AS BIGINT) AS n_chars,
+       |                  CAST(count(*) AS BIGINT) AS n_symbols
+       |           FROM k GROUP BY 1),
+       |     s AS (SELECT k.source, n_chars, n_symbols,
+       |                  sum(CAST(floor(($term) * 1000000.0 + 0.5) / 1000000.0
+       |                        AS DECIMAL(28,6))) AS h0
+       |           FROM k JOIN t ON k.source = t.source
+       |           GROUP BY 1, 2, 3)
+       |SELECT source, n_chars, n_symbols,
+       |       ${TextFns.duckRound4("CAST(h0 AS DOUBLE)")} AS h0_bits,
+       |       ${TextFns.duckRound4("CAST(h0 AS DOUBLE) / 8.0")} AS best_ratio
+       |FROM s ORDER BY source""".stripMargin
+  }
+
   // ---------- q_substring_dup: cross-doc repeated-substring coverage ----------
 
   private val SubK = 40
@@ -1752,6 +1811,7 @@ object DocOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_substring_dup" -> (substringDup _),
+    "q_byte_entropy" -> (byteEntropy _),
     "q_dsir_weights" -> (dsirWeights _),
     "q_ks_test" -> (ksDrift _),
     "q_char_gini" -> (charGini _),
@@ -1775,6 +1835,7 @@ object DocOps {
 
   val oracle: Map[String, String] = Map(
     "q_substring_dup" -> sqlSubstringDup,
+    "q_byte_entropy" -> sqlByteEntropy,
     "q_dsir_weights" -> sqlDsirWeights,
     "q_ks_test" -> sqlKsDrift,
     "q_char_gini" -> sqlCharGini,
