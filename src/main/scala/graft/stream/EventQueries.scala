@@ -71,6 +71,64 @@ object EventQueries {
       |       count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
+  // ---------- q_hll_overlap: sketched audience intersection ----------
+
+  /** Audience OVERLAP between event types from HLL sketches by
+    * inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), where
+    * the union estimate is one `hll_union` of the two per-type
+    * sketches — the cross-segment overlap matrix at sketch cost
+    * (each segment's users sketched ONCE, every pairwise overlap from
+    * constant-size merges; the exact path re-shuffles user ids per
+    * pair). Deterministic (register-max commutes), so gateable: the
+    * oracle recomputes exact overlaps and the contract asserts the
+    * estimate inside an inclusion–exclusion-widened envelope (three
+    * estimates stack error: 3 × 5% of the union + 6 absolute). The
+    * exact column stays in the output — both paths hash-checked.
+    */
+  def hllOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val sk = ev.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+        countDistinct(col("user_id")).as("n_exact"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"),
+      col("n_exact").as("n_a"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"),
+      col("n_exact").as("n_b"))
+    val pairs = a.join(b, col("type_a") < col("type_b"))
+      .withColumn("est_union",
+        expr("hll_sketch_estimate(hll_union(sk_a, sk_b, true))"))
+      .withColumn("est_overlap",
+        expr("hll_sketch_estimate(sk_a) + hll_sketch_estimate(sk_b) - est_union"))
+    val exact = ev.select(col("event_type").as("type_a"), col("user_id"))
+      .distinct()
+      .join(ev.select(col("event_type").as("type_b"), col("user_id")).distinct(),
+        "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_overlap"))
+    pairs.join(exact, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_overlap"),
+        (abs(col("est_overlap") - col("n_overlap").cast("double")) <=
+          col("est_union") * 0.15 + 6.0).as("bound_ok"))
+      .orderBy("type_a", "type_b")
+  }
+
+  private val sqlHllOverlap =
+    """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+      |     n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_u
+      |           FROM d GROUP BY 1),
+      |     o AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |                  CAST(count(*) AS BIGINT) AS n_overlap
+      |           FROM d a JOIN d b ON a.user_id = b.user_id
+      |                  AND a.event_type < b.event_type
+      |           GROUP BY 1, 2)
+      |SELECT type_a, type_b, na.n_u AS n_a, nb.n_u AS n_b, n_overlap,
+      |       TRUE AS bound_ok
+      |FROM o JOIN n na ON o.type_a = na.event_type
+      |       JOIN n nb ON o.type_b = nb.event_type
+      |ORDER BY type_a, type_b""".stripMargin
+
   // ---------- q_session_cap: max-duration session sub-splitting ----------
 
   // 20 minutes — sized to this corpus's compressed timescale (max
@@ -2920,7 +2978,8 @@ object EventQueries {
     "q_events_sliding" -> (eventsSliding _),
     "q_rolling_distinct" -> (rollingDistinct _),
     "q_rolling_hll" -> (rollingHll _),
-    "q_session_cap" -> (sessionCap _))
+    "q_session_cap" -> (sessionCap _),
+    "q_hll_overlap" -> (hllOverlap _))
 
   val oracle: Map[String, String] = Map(
     "q_attribution" -> sqlAttribution,
@@ -2967,5 +3026,6 @@ object EventQueries {
     "q_events_sliding" -> sqlEventsSliding,
     "q_rolling_distinct" -> sqlRollingDistinct,
     "q_rolling_hll" -> sqlRollingHll,
-    "q_session_cap" -> sqlSessionCap)
+    "q_session_cap" -> sqlSessionCap,
+    "q_hll_overlap" -> sqlHllOverlap)
 }

@@ -761,6 +761,86 @@ object CorpusOps {
        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
   }
 
+  // ---------- q_waterfill_mix: max-entropy budget allocation ----------
+
+  /** Water-filling allocation: spend a token budget B across sources
+    * as UNIFORMLY as supply allows — the max-entropy mixture under
+    * per-source supply caps (the convex-optimization waterfill,
+    * solved exactly in closed form): every source below the water
+    * level λ is taken whole, everyone else gets λ (±1 from the
+    * integer remainder, assigned by source-name rank). This is the
+    * third mixture policy next to proportional ([[mixSchedule]]) and
+    * temperature-flattened (`q_temperature_mix`) — the one that
+    * maximally de-concentrates dominant sources.
+    *
+    * All-integer: λ = (B − Σ_{taken} s) div (g − j) after sorting
+    * supplies ascending and choosing the largest prefix j whose next
+    * supply exceeds its own level — windows over SOURCE-grain rows
+    * (bounded ≪ corpus), one fact pass to count tokens. Contract
+    * baked into the output: Σalloc = B, alloc ≤ supply, uncapped
+    * allocs within 1 of each other.
+    */
+  def waterfillMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .withColumn("n_tok", size(TextFns.tokens(col("text"))).cast("long"))
+      .groupBy("source").agg(sum(col("n_tok")).as("supply"))
+    val tot = toks.agg(sum(col("supply")).as("total"), count(lit(1)).as("g"))
+    val byS = Window.orderBy(col("supply").asc, col("source"))
+    val run = byS.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = toks.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("total * 6 div 10"))
+      .withColumn("rk", row_number().over(byS))
+      .withColumn("pfx", sum(col("supply")).over(run))
+      // source rk is fully absorbed iff taking it whole still leaves
+      // the remaining g−rk sources a level ≥ its own supply
+      .withColumn("absorbed",
+        col("supply") * (col("g") - col("rk")) + col("pfx") <= col("budget"))
+    val cut = ranked.agg(
+      sum(when(col("absorbed"), 1L).otherwise(0L)).as("j"),
+      sum(when(col("absorbed"), col("supply")).otherwise(0L)).as("taken"))
+    val byName = Window.orderBy(col("source"))
+    ranked.crossJoin(broadcast(cut))
+      .withColumn("lvl", expr("(budget - taken) div (g - j)"))
+      .withColumn("rem", expr("(budget - taken) % (g - j)"))
+      .withColumn("nrk", row_number().over(byName))
+      // remainder +1 goes to the first `rem` UNcapped sources by name
+      .withColumn("urk", sum(when(!col("absorbed"), 1L).otherwise(0L))
+        .over(byName.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("alloc",
+        when(col("absorbed"), col("supply"))
+          .otherwise(col("lvl") + when(col("urk") <= col("rem"), 1L).otherwise(0L)))
+      .select(col("source"), col("supply"), col("alloc"),
+        col("absorbed").as("taken_whole"))
+      .orderBy("source")
+  }
+
+  private val sqlWaterfillMix =
+    s"""WITH t0 AS (SELECT source, CAST(len($duckTokens) AS BIGINT) AS n_tok
+       |            FROM documents),
+       |     s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS supply FROM t0 GROUP BY 1),
+       |     tt AS (SELECT CAST(sum(supply) AS BIGINT) AS total,
+       |                   CAST(count(*) AS BIGINT) AS g FROM s),
+       |     r AS (SELECT *, total * 6 // 10 AS budget,
+       |                  row_number() OVER (ORDER BY supply, source) AS rk,
+       |                  sum(supply) OVER (ORDER BY supply, source
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx
+       |           FROM s CROSS JOIN tt),
+       |     a AS (SELECT *, supply * (g - rk) + pfx <= budget AS absorbed FROM r),
+       |     c AS (SELECT CAST(sum(CASE WHEN absorbed THEN 1 ELSE 0 END) AS BIGINT) AS j,
+       |                  CAST(sum(CASE WHEN absorbed THEN supply ELSE 0 END) AS BIGINT) AS taken
+       |           FROM a),
+       |     f AS (SELECT a.*, (budget - taken) // (g - j) AS lvl,
+       |                  (budget - taken) % (g - j) AS rem,
+       |                  sum(CASE WHEN NOT absorbed THEN 1 ELSE 0 END)
+       |                    OVER (ORDER BY source
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS urk
+       |           FROM a CROSS JOIN c)
+       |SELECT source, supply,
+       |       CAST(CASE WHEN absorbed THEN supply
+       |                 ELSE lvl + (CASE WHEN urk <= rem THEN 1 ELSE 0 END) END AS BIGINT) AS alloc,
+       |       absorbed AS taken_whole
+       |FROM f ORDER BY source""".stripMargin
+
   // ---------- q_jackknife_se: delete-one-group jackknife error bar ----------
 
   /** The error bar on the corpus quality mean via the delete-one-GROUP
@@ -846,6 +926,7 @@ object CorpusOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_loo_source" -> (looSource _),
+    "q_waterfill_mix" -> (waterfillMix _),
     "q_jackknife_se" -> (jackknifeSe _),
     "q_heavy_hitters" -> (heavyHitters _),
     "q_bm25" -> (bm25 _),
@@ -859,6 +940,7 @@ object CorpusOps {
 
   val oracle: Map[String, String] = Map(
     "q_loo_source" -> sqlLooSource,
+    "q_waterfill_mix" -> sqlWaterfillMix,
     "q_jackknife_se" -> sqlJackknifeSe,
     "q_heavy_hitters" -> sqlHeavyHitters,
     "q_bm25" -> sqlBm25,
