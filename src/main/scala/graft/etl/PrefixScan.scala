@@ -58,6 +58,44 @@ object PrefixScan {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Append `outName` = max of `valueCol` over all rows strictly
+    * before this one in `orderCol` order (exclusive prefix max, the
+    * running-high-watermark scan) — same two-pass shape as
+    * [[exclusivePrefixSum]]: per-partition maxes collect (one long per
+    * partition), broadcast exclusive scan-max seeds each partition.
+    * Rows before any data see `init` (callers pick an identity below
+    * their value domain; 0 for epoch-µs timestamps).
+    */
+  def exclusivePrefixMax(df: DataFrame, orderCol: String, valueCol: String,
+                         outName: String, init: Long,
+                         partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    require(df.schema(valueCol).dataType == LongType,
+      s"$valueCol must be LongType, is ${df.schema(valueCol).dataType}")
+    val n = if (partitions > 0) partitions
+            else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, col(orderCol))
+      .sortWithinPartitions(orderCol)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    def valOf(r: Row): Long = if (r.isNullAt(vIdx)) init else r.getLong(vIdx)
+    val rdd = sorted.rdd
+    val partMaxes = rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator((i, it.foldLeft(init)((a, r) => math.max(a, valOf(r)))))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(partMaxes.scanLeft(init)(math.max))
+    val schema = StructType(sorted.schema.fields :+
+      StructField(outName, LongType, nullable = false))
+    val rows = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets.value(i)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ acc)
+        acc = math.max(acc, valOf(r))
+        out
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Shard packing: assign each row the shard index it lands in when
     * shards are filled to `capacity` units of `valueCol` in `orderCol`
     * order — `floor(exclusive_prefix / capacity)`. A row larger than

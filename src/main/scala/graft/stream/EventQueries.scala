@@ -71,6 +71,64 @@ object EventQueries {
       |       count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
+  // ---------- q_ooo_depth: out-of-orderness / watermark-delay sizing ----------
+
+  /** How late does this stream actually run? Per event, the
+    * out-of-orderness depth = running-max(event time over ARRIVAL
+    * order) − its own event time — the distribution that SIZES a
+    * watermark delay: `withWatermark(δ)` silently drops exactly the
+    * rows whose depth exceeds δ, so you pick δ from this table, not
+    * from folklore. Arrival order models an 8-way partitioned
+    * transport (the fixture's event_ids are perfectly time-ordered,
+    * which no real ingest is): records go to partition `id % 8`
+    * round-robin and the consumer drains partition-major within each
+    * 64-record fetch window — i.e. arrival position is the 8×8
+    * TRANSPOSE of the id order inside every 64-block, per-partition
+    * order preserved (Kafka's actual guarantee), cross-partition
+    * interleaving scrambled (Kafka's actual non-guarantee). Output:
+    * inversion counts above candidate delays (1 min / 10 min / 1 h)
+    * + the max depth — every number a mergeable integer aggregate.
+    *
+    * Shape: the running high-watermark is
+    * [[graft.etl.PrefixScan.exclusivePrefixMax]] — the hierarchical
+    * two-pass scan (per-partition maxes → broadcast exclusive
+    * scan-max), NEVER a single-partition global window over the fact
+    * table; depth thresholds replace a fact-wide percentile (whose
+    * single-group buffer is the scale-killer shape q_equidepth_hist
+    * just retired).
+    */
+  def oooDepth(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"))
+      // arrival = block*64 + transposed in-block position (see doc)
+      .withColumn("arrival",
+        expr("(event_id div 64) * 64 + (event_id % 8) * 8 + (event_id div 8) % 8"))
+    graft.etl.PrefixScan.exclusivePrefixMax(e, "arrival", "tus", "hwm", 0L)
+      .withColumn("depth_us", greatest(lit(0L), col("hwm") - col("tus")))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("depth_us") > 0L, 1L).otherwise(0L)).as("n_inverted"),
+        sum(when(col("depth_us") >= 60000000L, 1L).otherwise(0L)).as("late_ge_1m"),
+        sum(when(col("depth_us") >= 600000000L, 1L).otherwise(0L)).as("late_ge_10m"),
+        sum(when(col("depth_us") >= 3600000000L, 1L).otherwise(0L)).as("late_ge_1h"),
+        (max(col("depth_us")) / lit(1000000L)).cast("long").as("max_depth_s"))
+  }
+
+  private val sqlOooDepth =
+    """WITH e AS (SELECT (event_id // 64) * 64 + (event_id % 8) * 8
+      |                    + (event_id // 8) % 8 AS arrival,
+      |                  epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+      |     x AS (SELECT tus,
+      |             greatest(0, coalesce(max(tus) OVER (ORDER BY arrival
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) - tus) AS depth_us
+      |           FROM e)
+      |SELECT CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CASE WHEN depth_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inverted,
+      |       CAST(sum(CASE WHEN depth_us >= 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS late_ge_1m,
+      |       CAST(sum(CASE WHEN depth_us >= 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS late_ge_10m,
+      |       CAST(sum(CASE WHEN depth_us >= 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS late_ge_1h,
+      |       CAST(max(depth_us) // 1000000 AS BIGINT) AS max_depth_s
+      |FROM x""".stripMargin
+
   // ---------- q_hll_overlap: sketched audience intersection ----------
 
   /** Audience OVERLAP between event types from HLL sketches by
@@ -2979,7 +3037,8 @@ object EventQueries {
     "q_rolling_distinct" -> (rollingDistinct _),
     "q_rolling_hll" -> (rollingHll _),
     "q_session_cap" -> (sessionCap _),
-    "q_hll_overlap" -> (hllOverlap _))
+    "q_hll_overlap" -> (hllOverlap _),
+    "q_ooo_depth" -> (oooDepth _))
 
   val oracle: Map[String, String] = Map(
     "q_attribution" -> sqlAttribution,
@@ -3027,5 +3086,6 @@ object EventQueries {
     "q_rolling_distinct" -> sqlRollingDistinct,
     "q_rolling_hll" -> sqlRollingHll,
     "q_session_cap" -> sqlSessionCap,
-    "q_hll_overlap" -> sqlHllOverlap)
+    "q_hll_overlap" -> sqlHllOverlap,
+    "q_ooo_depth" -> sqlOooDepth)
 }

@@ -28,6 +28,19 @@ class PrefixScanSpec extends SparkSpec {
     }
   }
 
+  test("exclusivePrefixMax matches the window scan across partitions") {
+    val df = rows.toDF("id", "v")
+    val windowed = df.withColumn("p",
+        coalesce(max(col("v")).over(
+          Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val got = PrefixScan.exclusivePrefixMax(df, "id", "v", "p", 0L, parts)
+        .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+      assert(got == windowed, s"mismatch at $parts partitions")
+    }
+  }
+
   test("packByCapacity fills shards in order without overflow gaps") {
     val df = rows.toDF("id", "v")
     val packed = PrefixScan.packByCapacity(df, "id", "v", capacity = 100)
