@@ -242,7 +242,11 @@ object Bench {
     val upFactor = sys.env.getOrElse("SPARK_GRAFT_SFUP_FACTOR", "10").toInt
     val upDir = sys.env.getOrElse("SPARK_GRAFT_SFUP_DIR",
       s"${System.getProperty("java.io.tmpdir")}/graft_sfup_${upFactor}x")
-    val upBudget = sys.env.getOrElse("SPARK_GRAFT_SFUP_BUDGET_SEC", "900").toDouble
+    // 1800 (was 900): the 343-query suite's linear upscale cost alone is
+    // ~10x its 240 s main-SF total; 900 s budget-skipped 85 queries in
+    // the round-12 clean run — a budget that skips a quarter of the
+    // suite audits nothing
+    val upBudget = sys.env.getOrElse("SPARK_GRAFT_SFUP_BUDGET_SEC", "1800").toDouble
     val upBest: Map[String, Double] =
       if (sys.env.getOrElse("SPARK_GRAFT_SFUP", "1").isEmpty || upFactor <= 1) Map.empty
       else {

@@ -1851,64 +1851,70 @@ object VectorQueries {
     * 64 floats, at reconstruction error the audit quantifies.
     */
   def rqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    // Distances are ALGEBRAIC — d² = ‖v‖² + ‖c‖² − 2⟨v,c⟩, three
+    // native codegen'd dots — never a per-candidate difference array:
+    // the first version's zip_with allocated a 64-double array for
+    // every (vector × code) pair and the 10× upscale pass flagged it
+    // superlinear (15.2× per 10× — pure GC pressure). Norms are
+    // staged as dot(x,x) directly, NOT nrm², so both engines evaluate
+    // the identical expression tree.
     val vecs = withVecs(spark, sfDir)
+      .withColumn("nrm2", VectorFns.dot(col("v"), col("v")))
     val cb1 = withVecs(spark, sfDir)
       .select(col("label").as("c_label"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("c_label", "dim").agg(avg(col("x")).as("cx"))
       .groupBy("c_label")
       .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("ps"))
       .select(col("c_label"), expr("transform(ps, p -> p.cx)").as("cv"))
+      .withColumn("cnrm2", VectorFns.dot(col("cv"), col("cv")))
     val w1 = Window.partitionBy("vec_id")
       .orderBy(round6(col("d2")).asc, col("c_label"))
     val a1 = vecs.join(broadcast(cb1))
-      .withColumn("diff", zip_with(col("v"), col("cv"), (x, y) => x - y))
-      .withColumn("d2", VectorFns.dot(col("diff"), col("diff")))
+      .withColumn("d2", col("nrm2") + col("cnrm2") -
+        lit(2.0) * VectorFns.dot(col("v"), col("cv")))
       .withColumn("rk", row_number().over(w1))
       .filter(col("rk") === 1)
-      .withColumn("r", transform(col("diff"),
-        d => floor(d * 1000000.0 + 0.5) / 1000000.0))
+      // ONE residual array per winning row (corpus-sized, not ×codes)
+      .withColumn("r", zip_with(col("v"), col("cv"),
+        (x, y) => floor((x - y) * 1000000.0 + 0.5) / 1000000.0))
       .select(col("vec_id"), col("c_label").as("c1"), col("r"))
-    val withB = a1.withColumn("b2",
-      VectorFns.signBucket(col("r"), RqBits, RqStride))
+    val withB = a1
+      .withColumn("b2", VectorFns.signBucket(col("r"), RqBits, RqStride))
+      .withColumn("rr", VectorFns.dot(col("r"), col("r")))
     val cb2 = withB
       .select(col("b2").as("c_b"), posexplode(col("r")).as(Seq("dim", "x")))
       .groupBy("c_b", "dim").agg(avg(col("x")).as("cx"))
       .groupBy("c_b")
       .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("ps"))
       .select(col("c_b"), expr("transform(ps, p -> p.cx)").as("cv2"))
+      .withColumn("c2n2", VectorFns.dot(col("cv2"), col("cv2")))
     val w2 = Window.partitionBy("vec_id")
       .orderBy(round6(col("e2")).asc, col("c_b"))
     withB.join(broadcast(cb2))
-      .withColumn("diff2", zip_with(col("r"), col("cv2"), (x, y) => x - y))
-      .withColumn("e2", VectorFns.dot(col("diff2"), col("diff2")))
+      .withColumn("e2", col("rr") + col("c2n2") -
+        lit(2.0) * VectorFns.dot(col("r"), col("cv2")))
       .withColumn("rk", row_number().over(w2))
       .filter(col("rk") === 1)
-      .withColumn("err1", VectorFns.dot(col("r"), col("r")))
       .select(col("vec_id"), col("c1"), col("c_b").as("c2"),
-        round4(col("err1")).as("err1"), round4(col("e2")).as("err2"))
+        round4(col("rr")).as("err1"), round4(col("e2")).as("err2"))
       .orderBy("vec_id")
   }
 
   private val sqlRqCodes = {
-    val d2 = s"list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, 65), " +
-      "i -> (v[CAST(i AS INT)] - cv[CAST(i AS INT)]) * (v[CAST(i AS INT)] - cv[CAST(i AS INT)])), " +
-      "(acc, x) -> acc + x)"
-    val e2 = s"list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, 65), " +
-      "i -> (r[CAST(i AS INT)] - cv2[CAST(i AS INT)]) * (r[CAST(i AS INT)] - cv2[CAST(i AS INT)])), " +
-      "(acc, x) -> acc + x)"
-    val rr = s"list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, 65), " +
-      "i -> r[CAST(i AS INT)] * r[CAST(i AS INT)]), (acc, x) -> acc + x)"
     val bucket = (0 until RqBits).map { j =>
       s"(CASE WHEN r[${1 + j * RqStride}] > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
     s"""WITH $duckVecs,
+       |     ev AS (SELECT vec_id, v, ${duckDot("v", "v")} AS nrm2 FROM e0),
        |     cx AS (SELECT label AS c_label, CAST(i - 1 AS INT) AS dim, v[CAST(i AS INT)] AS x
        |            FROM e0 CROSS JOIN range(1, 65) t(i)),
        |     cd AS (SELECT c_label, dim, avg(x) AS cx FROM cx GROUP BY 1, 2),
-       |     cb1 AS (SELECT c_label, list_transform(list_sort(list({'dim': dim, 'cx': cx})), p -> p.cx) AS cv
+       |     cb0 AS (SELECT c_label, list_transform(list_sort(list({'dim': dim, 'cx': cx})), p -> p.cx) AS cv
        |             FROM cd GROUP BY c_label),
-       |     s1 AS (SELECT e.vec_id, cb1.c_label, e.v, cb1.cv, $d2 AS d2
-       |            FROM e CROSS JOIN cb1),
+       |     cb1 AS (SELECT c_label, cv, ${duckDot("cv", "cv")} AS cnrm2 FROM cb0),
+       |     s1 AS (SELECT ev.vec_id, cb1.c_label, ev.v, cb1.cv,
+       |                   ev.nrm2 + cb1.cnrm2 - 2.0 * ${duckDot("ev.v", "cb1.cv")} AS d2
+       |            FROM ev CROSS JOIN cb1),
        |     b1 AS (SELECT vec_id, c_label, v, cv,
        |                   row_number() OVER (PARTITION BY vec_id
        |                     ORDER BY ${duckRound6("d2")} ASC, c_label) AS rk
@@ -1917,20 +1923,24 @@ object VectorQueries {
        |                   list_transform(range(1, 65),
        |                     i -> floor((v[CAST(i AS INT)] - cv[CAST(i AS INT)]) * 1000000.0 + 0.5) / 1000000.0) AS r
        |            FROM b1 WHERE rk = 1),
-       |     wb AS (SELECT vec_id, c1, r, $bucket AS b2 FROM a1),
+       |     wb AS (SELECT vec_id, c1, r, $bucket AS b2,
+       |                   ${duckDot("r", "r")} AS rr
+       |            FROM a1),
        |     rx AS (SELECT b2 AS c_b, CAST(i - 1 AS INT) AS dim, r[CAST(i AS INT)] AS x
        |            FROM wb CROSS JOIN range(1, 65) t(i)),
        |     rd AS (SELECT c_b, dim, avg(x) AS cx FROM rx GROUP BY 1, 2),
-       |     cb2 AS (SELECT c_b, list_transform(list_sort(list({'dim': dim, 'cx': cx})), p -> p.cx) AS cv2
-       |             FROM rd GROUP BY c_b),
-       |     s2 AS (SELECT wb.vec_id, wb.c1, wb.r, cb2.c_b, $e2 AS e2
+       |     cb2a AS (SELECT c_b, list_transform(list_sort(list({'dim': dim, 'cx': cx})), p -> p.cx) AS cv2
+       |              FROM rd GROUP BY c_b),
+       |     cb2 AS (SELECT c_b, cv2, ${duckDot("cv2", "cv2")} AS c2n2 FROM cb2a),
+       |     s2 AS (SELECT wb.vec_id, wb.c1, wb.rr, cb2.c_b,
+       |                   wb.rr + cb2.c2n2 - 2.0 * ${duckDot("wb.r", "cb2.cv2")} AS e2
        |            FROM wb CROSS JOIN cb2),
-       |     b2r AS (SELECT vec_id, c1, r, c_b, e2,
+       |     b2r AS (SELECT vec_id, c1, rr, c_b, e2,
        |                    row_number() OVER (PARTITION BY vec_id
        |                      ORDER BY ${duckRound6("e2")} ASC, c_b) AS rk
        |             FROM s2)
        |SELECT vec_id, c1, c_b AS c2,
-       |       ${duckRound4(rr)} AS err1,
+       |       ${duckRound4("rr")} AS err1,
        |       ${duckRound4("e2")} AS err2
        |FROM b2r WHERE rk = 1 ORDER BY vec_id""".stripMargin
   }
