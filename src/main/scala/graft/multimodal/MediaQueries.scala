@@ -93,6 +93,69 @@ object MediaQueries {
        |FROM documents WHERE doc_id % 5 = 0
        |ORDER BY media_id""".stripMargin
 
+  // ---------- q_image_stats: aspect/resolution census ----------
+
+  /** The vision-training BATCH-SHAPE table: decoded images bucketed by
+    * aspect class (wide / tall / square by integer cross-multiplied
+    * 3:2 cuts — no float ratio near a boundary) and pixel-count class
+    * — the census a multimodal pipeline builds before choosing
+    * resize targets and packing buckets (the image twin of
+    * `q_length_buckets`). Dimensions come from the REAL decode
+    * ([[Multimodal.decodeImages]] over JDK-encoded PNGs with varied
+    * planted sizes), so a codec that mangles dims breaks the hash;
+    * the oracle replays the planted arithmetic.
+    */
+  def imageStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 2)
+      .select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 16 + (id % 33).toInt
+        val h = 16 + (id % 17).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        // fill value irrelevant to the census; one setRGB is enough
+        img.setRGB(0, 0, 0x808080)
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        Multimodal.MediaRow(id, "image", buf.toByteArray,
+          Multimodal.MediaMeta(Some(w), Some(h), None, None, Some("png")))
+      }
+    }
+    Multimodal.decodeImages(media.toDF()).toDF()
+      .select(col("media_id"), col("width").cast("long").as("w"),
+        col("height").cast("long").as("h"))
+      .withColumn("aspect",
+        when(col("w") * 2 >= col("h") * 3, lit("wide"))
+          .when(col("h") * 2 >= col("w") * 3, lit("tall"))
+          .otherwise(lit("squarish")))
+      .withColumn("res",
+        when(col("w") * col("h") < 512, lit("s"))
+          .when(col("w") * col("h") < 1024, lit("m"))
+          .otherwise(lit("l")))
+      .groupBy("aspect", "res")
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("w") * col("h")).as("total_px"))
+      .orderBy("aspect", "res")
+  }
+
+  private val sqlImageStats =
+    """WITH d AS (SELECT 16 + doc_id % 33 AS w, 16 + doc_id % 17 AS h
+      |           FROM documents WHERE doc_id % 5 = 2),
+      |     b AS (SELECT w, h,
+      |             CASE WHEN w * 2 >= h * 3 THEN 'wide'
+      |                  WHEN h * 2 >= w * 3 THEN 'tall'
+      |                  ELSE 'squarish' END AS aspect,
+      |             CASE WHEN w * h < 512 THEN 's'
+      |                  WHEN w * h < 1024 THEN 'm'
+      |                  ELSE 'l' END AS res
+      |           FROM d)
+      |SELECT aspect, res, CAST(count(*) AS BIGINT) AS n_images,
+      |       CAST(sum(w * h) AS BIGINT) AS total_px
+      |FROM b GROUP BY 1, 2 ORDER BY aspect, res""".stripMargin
+
   // ---------- q_audio_decode: WAV round-trip vs its contract ----------
 
   /** One PCM16 mono 16 kHz WAV per selected document: n = 64+(id%64)
@@ -386,6 +449,7 @@ object MediaQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_audio_rms" -> (audioRms _),
     "q_image_decode" -> (imageDecode _),
+    "q_image_stats" -> (imageStats _),
     "q_audio_decode" -> (audioDecode _),
     "q_image_phash" -> (imagePhash _),
     "q_video_sample" -> (videoSample _))
@@ -393,6 +457,7 @@ object MediaQueries {
   val oracle: Map[String, String] = Map(
     "q_audio_rms" -> sqlAudioRms,
     "q_image_decode" -> sqlImageDecode,
+    "q_image_stats" -> sqlImageStats,
     "q_audio_decode" -> sqlAudioDecode,
     "q_image_phash" -> sqlImagePhash,
     "q_video_sample" -> sqlVideoSample)

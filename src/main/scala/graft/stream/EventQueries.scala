@@ -2251,6 +2251,88 @@ object EventQueries {
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------- q_stream_topk: incremental top-k maintenance, oracle-gated ----------
+
+  private val StreamTopK = 10
+
+  /** Streaming TOP-K maintenance under the correctness gate — the
+    * mergeable-summary law ([[graft.vector.TopKMaintain]]'s contract)
+    * exercised by the streaming engine: the events file is staged as
+    * THREE id-sliced files processed as three micro-batches
+    * (`maxFilesPerTrigger=1`), and `foreachBatch` folds each batch's
+    * per-type top-[[StreamTopK]] into a bounded driver-held summary
+    * (merge = union + re-rank + truncate; state is types×k rows
+    * REGARDLESS of stream length — the shape a 100 TB leaderboard
+    * actually runs, vs holding every value in state). Because top-k
+    * under the total order (value desc, event_id) is mergeable, the
+    * final summary must equal the batch top-k EXACTLY, whatever the
+    * batch split — which is what the oracle states. Ranking compares
+    * STORED doubles only (no arithmetic touches a boundary); the
+    * driver-side merge applies the identical ordering.
+    */
+  def streamTopk(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val batchSchema = batch.schema
+    val dir = Files.createTempDirectory("graft_stream_tk")
+    val inDir = dir.resolve("in"); Files.createDirectories(inDir)
+    (0 until 3).foreach { k =>
+      val slice = batch.filter(pmod(col("event_id"), lit(3)) === k)
+      val tmpK = dir.resolve(s"slice$k")
+      slice.coalesce(1).write.parquet(tmpK.toString)
+      val part = Files.list(tmpK).filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }.findFirst.get
+      Files.move(part, inDir.resolve(s"s$k.parquet"))
+      Files.setLastModifiedTime(inDir.resolve(s"s$k.parquet"),
+        FileTime.fromMillis(1600000000000L + k * 60000L))
+    }
+    // bounded driver-held summary: (type, event_id, value), ≤ types×k
+    var state = Vector.empty[(String, Long, Double)]
+    def mergeTrunc(rows: Vector[(String, Long, Double)]): Vector[(String, Long, Double)] =
+      rows.groupBy(_._1).toVector.flatMap { case (_, g) =>
+        g.sortBy(r => (-r._3, r._2)).take(StreamTopK)
+      }
+    val byType = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id"))
+    val q = spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", dir.resolve("cp").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val btop = b.select(col("event_type"), col("event_id"), col("value"))
+          .withColumn("rk", row_number().over(byType))
+          .filter(col("rk") <= StreamTopK)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        state = mergeTrunc(state ++ btop)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import spark.implicits._
+    state.toDF("event_type", "event_id", "value")
+      .withColumn("rank", row_number().over(byType))
+      .select(col("event_type"), col("rank"), col("event_id"),
+        graft.text.TextFns.round4(col("value")).as("value"))
+      .orderBy("event_type", "rank")
+  }
+
+  private val sqlStreamTopk =
+    s"""WITH r AS (SELECT event_type, event_id, value,
+       |             row_number() OVER (PARTITION BY event_type
+       |               ORDER BY value DESC, event_id) AS rk
+       |           FROM events)
+       |SELECT event_type, CAST(rk AS INT) AS rank, event_id,
+       |       ${graft.text.TextFns.duckRound4("value")} AS value
+       |FROM r WHERE rk <= $StreamTopK
+       |ORDER BY event_type, rank""".stripMargin
+
   // ---------- q_stream_append: watermark-evicted APPEND mode, oracle-gated ----------
 
   /** The production streaming path under the correctness gate: APPEND
@@ -2998,6 +3080,7 @@ object EventQueries {
     "q_stream_tumbling" -> (streamTumbling _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_dedup_wm" -> (streamDedupWm _),
+    "q_stream_topk" -> (streamTopk _),
     "q_stream_append" -> (streamAppend _),
     "q_stream_update" -> (streamUpdate _),
     "q_stream_fmgws" -> (streamFmgws _),
@@ -3047,6 +3130,7 @@ object EventQueries {
     "q_stream_tumbling" -> sqlStreamTumbling,
     "q_stream_dedup" -> sqlStreamDedup,
     "q_stream_dedup_wm" -> sqlStreamDedupWm,
+    "q_stream_topk" -> sqlStreamTopk,
     "q_stream_append" -> sqlStreamTumbling,
     "q_stream_update" -> sqlStreamTumbling,
     "q_stream_fmgws" -> sqlStreamSession,
