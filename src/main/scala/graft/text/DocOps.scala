@@ -1734,37 +1734,52 @@ object DocOps {
       .select(col("doc_id"), col("source"),
         col("text"), length(col("text")).cast("long").as("len"))
       .filter(col("len") >= SubK)
-    // native rolling kernel (graft_shingle_hashes: O(len) per row vs
-    // the interpreted HOF form's O(len·k) — 17.6 s → sub-second at
-    // sf0.1), HOF-parity pinned in TextHashSpec. localCheckpoint: the
-    // gram frame feeds BOTH the ≥2-doc hash census and the coverage
-    // join — without it the whole hash pipeline evaluates twice.
-    val staged = docs
+    // Collapse EXACT-DUPLICATE TEXTS before any gram work (the
+    // distinct-fingerprints-before-pairing rule): a text duplicated
+    // m ≥ 2 times shares EVERY gram cross-doc, so its coverage is its
+    // whole length by definition — no hashing needed; the gram
+    // pipeline runs on DISTINCT texts only. On the 10× upscale fixture
+    // (heavily exact-duplicated by construction) the un-collapsed form
+    // measured 21.6× per 10× — pure duplicate multiplication; real
+    // web corpora duplicate even harder. dup(h) at group grain:
+    // h in ≥2 distinct texts OR in any text with multiplicity ≥2.
+    val groups = docs.groupBy("text")
+      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("m"),
+        min(col("len")).as("glen"))
+    val staged = groups
       .withColumn("hs", graft.functions.TextHashes.shingleHashes(col("text"), SubK))
-      .select("doc_id", "source", "len", "hs")
+      .select("gid", "m", "hs")
     // posexplode_outer: hs is provably non-empty (len ≥ K ⇒ ≥1 gram),
     // and the outer generate dodges InferFiltersFromGenerate's
-    // size(hs)>0 filter inlining the whole hash pipeline (CLAUDE.md)
-    val pos = staged.select(col("doc_id"), col("source"),
+    // size(hs)>0 filter inlining the whole hash pipeline (CLAUDE.md).
+    // localCheckpoint: the gram frame feeds BOTH the census and the
+    // coverage join — without it the hash pipeline evaluates twice.
+    val pos = staged.select(col("gid"), col("m"),
       posexplode_outer(col("hs")).as(Seq("p0", "h")))
       .localCheckpoint(true)
     val dupGrams = pos.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
-      .filter(col("ndocs") >= 2).select("h")
-    val byDoc = Window.partitionBy("doc_id").orderBy("p0")
-    val covered = pos.join(dupGrams, "h")
-      .withColumn("nxt", lead(col("p0"), 1).over(byDoc))
+      .agg(countDistinct(col("gid")).as("ng"), max(col("m")).as("mm"))
+      .filter(col("ng") >= 2 || col("mm") >= 2).select("h")
+    val byGroup = Window.partitionBy("gid").orderBy("p0")
+    val uniqCov = pos.filter(col("m") === 1)
+      .join(dupGrams, "h")
+      .withColumn("nxt", lead(col("p0"), 1).over(byGroup))
       .withColumn("cov",
         when(col("nxt").isNull, lit(SubK.toLong))
           .otherwise(least(lit(SubK.toLong), (col("nxt") - col("p0")).cast("long"))))
-      .groupBy("doc_id", "source")
-      .agg(sum(col("cov")).as("doc_dup_chars"))
-    val perSource = covered.groupBy("source")
-      .agg(count(lit(1)).as("docs_hit"),
-        sum(col("doc_dup_chars")).as("dup_chars"))
+      .groupBy("gid").agg(sum(col("cov")).as("gcov"))
+    val gcov = groups.filter(col("m") >= 2)
+      .select(col("gid"), col("glen").as("gcov"))
+      .unionByName(uniqCov)
+    val covered = docs
+      .join(groups.select(col("text"), col("gid")), Seq("text"))
+      .join(gcov, Seq("gid"), "left")
+      .filter(col("gcov").isNotNull)
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_hit"), sum(col("gcov")).as("dup_chars"))
     docs.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_chars"))
-      .join(perSource, Seq("source"), "left")
+      .join(covered, Seq("source"), "left")
       .select(col("source"), col("n_docs"),
         coalesce(col("docs_hit"), lit(0L)).as("docs_hit"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
@@ -1780,22 +1795,28 @@ object DocOps {
     }
     s"""WITH d0 AS (SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS len
        |            FROM documents WHERE length(text) >= $SubK),
-       |     c AS (SELECT doc_id, source, len, ${duckCodesOf("text")} AS cs FROM d0),
-       |     g AS (SELECT doc_id, source, cs,
-       |             unnest(range(1, len - ${SubK - 1} + 1)) AS i
+       |     g0 AS (SELECT text, min(doc_id) AS gid, CAST(count(*) AS BIGINT) AS m,
+       |                   min(len) AS glen
+       |            FROM d0 GROUP BY text),
+       |     c AS (SELECT gid, m, glen, ${duckCodesOf("text")} AS cs FROM g0),
+       |     g AS (SELECT gid, m, cs,
+       |             unnest(range(1, glen - ${SubK - 1} + 1)) AS i
        |           FROM c),
-       |     px AS (SELECT doc_id, source, i AS p0, $gramHash AS h FROM g),
-       |     dg AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS ndocs
-       |                           FROM px GROUP BY 1) WHERE ndocs >= 2),
-       |     cov AS (SELECT doc_id, source,
+       |     px AS (SELECT gid, m, i AS p0, $gramHash AS h FROM g),
+       |     dg AS (SELECT h FROM (SELECT h, count(DISTINCT gid) AS ng, max(m) AS mm
+       |                           FROM px GROUP BY 1) WHERE ng >= 2 OR mm >= 2),
+       |     ucov AS (SELECT gid,
        |               sum(CASE WHEN nxt IS NULL THEN CAST($SubK AS BIGINT)
-       |                        ELSE least(CAST($SubK AS BIGINT), nxt - p0) END) AS doc_dup_chars
-       |             FROM (SELECT px.*, lead(p0) OVER (PARTITION BY doc_id ORDER BY p0) AS nxt
-       |                   FROM px JOIN dg USING (h))
-       |             GROUP BY 1, 2),
+       |                        ELSE least(CAST($SubK AS BIGINT), nxt - p0) END) AS gcov
+       |              FROM (SELECT px.*, lead(p0) OVER (PARTITION BY gid ORDER BY p0) AS nxt
+       |                    FROM px JOIN dg USING (h) WHERE m = 1)
+       |              GROUP BY 1),
+       |     gcov AS (SELECT gid, glen AS gcov FROM g0 WHERE m >= 2
+       |              UNION ALL SELECT gid, gcov FROM ucov),
        |     ps AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_hit,
-       |                   CAST(sum(doc_dup_chars) AS BIGINT) AS dup_chars
-       |            FROM cov GROUP BY 1),
+       |                   CAST(sum(gcov) AS BIGINT) AS dup_chars
+       |            FROM d0 JOIN g0 USING (text) JOIN gcov USING (gid)
+       |            GROUP BY 1),
        |     tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        |                    CAST(sum(len) AS BIGINT) AS total_chars
        |             FROM d0 GROUP BY 1)
