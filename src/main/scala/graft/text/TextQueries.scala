@@ -1797,6 +1797,62 @@ object TextQueries {
        |       -(min({'a': -n_chars, 'b': doc_id})).a AS canonical_chars
        |FROM m GROUP BY component ORDER BY component""".stripMargin
 
+  // ---------- 3c². q_dedup_provenance: loser→winner lineage export ----------
+
+  /** The dedup LINEAGE artifact governance actually persists: for
+    * every document the near-dup gate drops, WHICH canonical document
+    * replaced it — the record that answers takedowns ("was my page's
+    * content used via a mirror?"), right-to-erasure scope checks
+    * (`q_forget_plan`'s graph twin is `q_cc_forget`; this is the
+    * row-level attribution), and train-data audits. The mapping is
+    * linear (one edge per dropped doc, never a pair list); the query
+    * rolls it to source grain with an INTEGER checksum — the sum of
+    * winner doc_ids over each source's losers — so a wrong
+    * attribution anywhere breaks the hash without shipping the full
+    * edge list through the gate. `cross_src` counts losers whose
+    * winner lives in a DIFFERENT source — the cross-feed mirroring
+    * measure `q_source_overlap` estimates at gram grain, here exact
+    * at doc grain.
+    */
+  def dedupProvenance(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val labeled = docComponents(docs)
+      .join(docs.select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
+    val winners = labeled.groupBy("component")
+      .agg(min(struct((-col("n_chars")).as("a"), col("doc_id").as("b"))).as("pick"),
+        count(lit(1)).as("csize"))
+      .filter(col("csize") > 1)
+      .select(col("component"), col("pick.b").as("winner_id"))
+    val losers = labeled.join(winners, "component")
+      .filter(col("doc_id") =!= col("winner_id"))
+    val wsrc = docs.select(col("doc_id").as("winner_id"),
+      col("source").as("winner_src"))
+    losers.join(broadcast(wsrc), "winner_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_losers"),
+        sum(col("winner_id")).as("winner_id_sum"),
+        sum(when(col("winner_src") =!= col("source"), 1L).otherwise(0L))
+          .as("cross_src"))
+      .orderBy("source")
+  }
+
+  private val sqlDedupProvenance =
+    s"""$duckCcComp,
+       |     m AS (SELECT comp.component, d.doc_id, d.source, d.n_chars
+       |           FROM comp JOIN documents d ON comp.node = d.doc_id),
+       |     w AS (SELECT component,
+       |                  (min({'a': -n_chars, 'b': doc_id})).b AS winner_id
+       |           FROM m GROUP BY component HAVING count(*) > 1),
+       |     l AS (SELECT m.source, w.winner_id
+       |           FROM m JOIN w USING (component)
+       |           WHERE m.doc_id <> w.winner_id),
+       |     ws AS (SELECT doc_id AS winner_id, source AS winner_src FROM documents)
+       |SELECT l.source, CAST(count(*) AS BIGINT) AS n_losers,
+       |       CAST(sum(l.winner_id) AS BIGINT) AS winner_id_sum,
+       |       CAST(sum(CASE WHEN ws.winner_src <> l.source THEN 1 ELSE 0 END) AS BIGINT) AS cross_src
+       |FROM l JOIN ws USING (winner_id)
+       |GROUP BY l.source ORDER BY l.source""".stripMargin
+
   // ---------- 3d. q_leakage_split: cluster-atomic train/val/test split ----------
 
   /** Leakage-safe train/val/test split: the unit of assignment is the
@@ -2990,6 +3046,7 @@ object TextQueries {
     "q_degree_mix" -> (degreeMix _),
     "q_cc_refresh" -> (ccRefresh _),
     "q_cc_forget" -> (ccForget _),
+    "q_dedup_provenance" -> (dedupProvenance _),
     "q_kcore" -> (kcore _),
     "q_bfs_khop" -> (bfsKhop _),
     "q_label_prop" -> (labelProp _),
@@ -3037,6 +3094,7 @@ object TextQueries {
     "q_degree_mix" -> sqlDegreeMix,
     "q_cc_refresh" -> sqlCcRefresh,
     "q_cc_forget" -> sqlCcForget,
+    "q_dedup_provenance" -> sqlDedupProvenance,
     "q_kcore" -> sqlKcore,
     "q_bfs_khop" -> sqlBfsKhop,
     "q_label_prop" -> sqlLabelProp,
