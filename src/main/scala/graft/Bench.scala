@@ -83,7 +83,21 @@ object Bench {
     } catch { case _: Throwable => (Map.empty, Map.empty) }
   }
 
+  /** tools/sfup_skipped.json carries the budget-skip rotation between
+    * rounds. Resolve it against the repo root rather than bare CWD and
+    * never fail silently (round-12 advice): a write that lands in the
+    * wrong directory quietly defeats the next round's front-stagger.
+    */
+  private[graft] def sfupSkippedPath(): java.nio.file.Path =
+    sys.env.get("SPARK_GRAFT_REPO_ROOT")
+      .orElse(if (new java.io.File("tools").isDirectory) Some(".") else None)
+      .map(r => java.nio.file.Paths.get(r, "tools", "sfup_skipped.json"))
+      .getOrElse(java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_sfup_skipped.json"))
+
   def main(args: Array[String]): Unit = {
+    val benchT0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default matches the environment contract (local[32], shuffle
     // partitions = cores); the driver overrides via SPARK_GRAFT_CPUS
@@ -203,12 +217,175 @@ object Bench {
       System.gc()
       (name, warm, runs)
     }
+    // best = min over warm + measured runs (the headline number);
+    // median/spread are computed over the measured runs only; the
+    // shuffle/spill bytes reported are the BEST run's (plan
+    // volume is layout-deterministic; interference only adds spill)
+    case class Stat(name: String, best: Double, median: Double,
+                    spread: Double, warm: Double, runs: List[Double],
+                    shuffleB: Long, spillB: Long,
+                    isoRuns: List[Double] = Nil)
+    val statsRaw = results.map { case (name, warm, runs) =>
+      if (warm.sec < 0 || runs.exists(_.sec < 0))
+        Stat(name, -1, -1, 0, warm.sec, runs.map(_.sec), 0, 0)
+      else {
+        val all = warm :: runs
+        val best = all.minBy(_.sec)
+        val s = runs.map(_.sec).sorted
+        Stat(name, best.sec, s(s.size / 2), s.last - s.head, warm.sec,
+          runs.map(_.sec), best.shuffleB, best.spillB)
+      }
+    }
+    // ---------- emission (called after EVERY pass — fail-soft) ----------
+    // The harness captures only the LAST 2000 chars of stdout and parses
+    // the JSON line out of that window; sbt appends its own ~75-char
+    // "[success] Total time" trailer after us. Full-precision doubles for
+    // ~80 queries overflow the window and the line arrives truncated
+    // (unparseable — observed rounds 1-4). Emit compact per-query medians
+    // (2 decimals, trailing zeros trimmed); if the line exceeds the
+    // budget fall back to 1 decimal, and as a last resort (query set
+    // ~100+) drop the per-query map entirely — the detail file always
+    // has everything. "errors" is ALWAYS present (consumers index it
+    // unconditionally; an omitted-when-empty key broke that contract).
+    // Round-12 postmortem: the single end-of-run println meant a bench
+    // killed mid-upscale shipped NOTHING (rc 124, parsed:null). emit()
+    // now runs after the main pass, after the sf2 pass, and at the end:
+    // the driver parses the LAST line, so a killed run still leaves the
+    // most-enriched line that completed, and bench_detail.json is
+    // re-flushed at each checkpoint.
+    def fmt(v: Double, scale: Int): String =
+      if (v < 0) "-1"
+      else BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.stripTrailingZeros.toPlainString
+    def mb(b: Long): Long = b / (1024 * 1024)
+    def emit(stats: Seq[Stat], sf2Best: Map[String, Double],
+             upFinal: Map[String, Double], upFactor: Int,
+             sf2Dir: String): Unit = {
+      val failed = stats.collect { case s if s.best < 0 => "\"" + s.name + "\"" }
+      val total = stats.collect { case s if s.best >= 0 => s.best }.sum
+      val errs = s""""errors":[${failed.mkString(",")}]"""
+      // Spread-gated regression check against the recorded baseline
+      // (tools/bench_baseline.json — refresh from each round's CLEAN
+      // bench via tools/refresh_baseline.py). Decision logic lives in
+      // flagRegressions (pure, spec-pinned by BenchGateSpec): the
+      // isolation-corrected spread gates the main-SF best, and the sf2
+      // pass gates drift interference can't mask. Fail-soft: a missing
+      // or unparseable baseline yields an empty list, never an error.
+      val regressions: Seq[(String, Double, Double, String)] = try {
+        val path = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "tools/bench_baseline.json")
+        val src = scala.io.Source.fromFile(path)
+        val txt = try src.mkString finally src.close()
+        val (prevBest, prevSf2) = readBaseline(txt)
+        val entries = stats.map { s =>
+          GateEntry(s.name, s.best, s.spread,
+            if (s.isoRuns.nonEmpty) Some(s.isoRuns.max - s.isoRuns.min) else None,
+            sf2Best.get(s.name))
+        }
+        flagRegressions(entries, prevBest, prevSf2)
+      } catch { case _: Throwable => Nil }
+      val regs = regressions.take(8)
+        .map { case (n, b, o, sc) =>
+          s"""{"q":"$n","best":${fmt(b, 2)},"prev":${fmt(o, 2)},"scale":"$sc"}""" }
+        .mkString("\"regressions\":[", ",", "]")
+      // dual-scale summary: second-SF total + the worst per-query
+      // scaling ratio (denominator floored at 50 ms — below that the
+      // ratio measures fixed overhead, not plan cost)
+      val scaling = if (sf2Best.isEmpty) "" else {
+        val valid = sf2Best.filter(_._2 >= 0)
+        val sf2Total = valid.values.sum
+        val ratios = stats.flatMap { s =>
+          sf2Best.get(s.name).collect {
+            case t2 if t2 >= 0.05 && s.best >= 0 => (s.name, s.best / t2)
+          }
+        }
+        val worst = ratios.sortBy(-_._2).headOption
+          .map { case (n, r) => s""","worst_scaling":{"q":"$n","ratio":${fmt(r, 1)}}""" }
+          .getOrElse("")
+        s""","sf2":"$sf2Dir","sf2_total":${fmt(sf2Total, 2)}$worst"""
+      }
+      // upward-scaling summary: per-query sfDir→sfup ratio, flagging
+      // anything over 15× per 10× data as machine-detected super-linear
+      // (denominator floored at 50 ms — below that the ratio measures
+      // fixed overhead, not plan cost)
+      val upline = if (upFinal.isEmpty) "" else {
+        val done = upFinal.filter(_._2 >= 0)
+        // NAME the budget-skipped queries (capped at 10 in the line for
+        // the 2000-char window; the full set persists for next round's
+        // front-stagger) — a bare count was a silent cap by another name.
+        val skippedNames = upFinal.collect { case (n, t) if t == -2.0 => n }.toSeq.sorted
+        try {
+          val p = sfupSkippedPath()
+          java.nio.file.Files.writeString(p,
+            skippedNames.map("\"" + _ + "\"").mkString("[", ",", "]") + "\n")
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] sfup_skipped.json write failed: ${e.getMessage}") }
+        val namesJson = skippedNames.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
+        val ratios = stats.flatMap { s =>
+          upFinal.get(s.name).collect {
+            case t if t >= 0 && s.best >= 0.05 => (s.name, t / s.best)
+          }
+        }
+        val flagged = ratios.filter(_._2 > 15.0).sortBy(-_._2)
+        val fl = flagged.take(8).map { case (n, r) =>
+          s"""{"q":"$n","ratio":${fmt(r, 1)}}""" }.mkString("[", ",", "]")
+        s""","sfup_factor":$upFactor,"sfup_total":${fmt(done.values.sum, 2)},""" +
+          s""""sfup_skipped":${skippedNames.size},"sfup_skipped_names":$namesJson,""" +
+          s""""superlinear":$fl"""
+      }
+      // suite-level plan-volume totals (best runs): the one-line scale
+      // signature next to the one-line timing
+      val vols = s""""shuffle_mb":${mb(stats.map(_.shuffleB).sum)},""" +
+        s""""spill_mb":${mb(stats.map(_.spillB).sum)}"""
+      def line(scale: Int): String = {
+        val qs = stats.map { s => "\"" + s.name + "\":" + fmt(s.best, scale) }
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
+          s""""queries":$qs,$vols,$errs,$regs$scaling$upline,"sf":"$sfDir"}"""
+      }
+      // last resort (query set too big for even 1-decimal full maps):
+      // keep the SLOWEST 20 queries in the line — the per-query numbers
+      // a regression judgment actually needs — and say how many were
+      // omitted; the full distribution is always in bench_detail.json
+      def lineTop(k: Int): String = {
+        val top = stats.filter(_.best >= 0).sortBy(-_.best).take(k)
+        val qs = top.map(s => "\"" + s.name + "\":" + fmt(s.best, 2))
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
+          s""""queries":$qs,"omitted":${stats.size - top.size},$vols,$errs,""" +
+          s"""$regs$scaling$upline,"sf":"$sfDir"}"""
+      }
+      val compact = {
+        val l2 = line(2)
+        if (l2.length <= 1850) l2
+        else { val l1 = line(1)
+               if (l1.length <= 1850) l1
+               else lineTop(20) }
+      }
+      try {
+        val detail = stats.map { s =>
+          "\"" + s.name + "\":{\"best\":" + s.best + ",\"median\":" + s.median +
+            ",\"spread\":" + s.spread + ",\"warm\":" + s.warm +
+            ",\"runs\":[" + s.runs.mkString(",") + "]" +
+            (if (s.isoRuns.nonEmpty) ",\"iso_runs\":[" + s.isoRuns.mkString(",") + "]" else "") +
+            ",\"shuffle_mb\":" + mb(s.shuffleB) + ",\"spill_mb\":" + mb(s.spillB) +
+            sf2Best.get(s.name).map(t => ",\"sf2_best\":" + t).getOrElse("") +
+            upFinal.get(s.name).map(t => ",\"sfup_best\":" + t).getOrElse("") + "}"
+        }.mkString("{", ",", "}")
+        val w = new java.io.PrintWriter("target/bench_detail.json")
+        try w.println(s"""{"total":$total,$vols,"queries":$detail,$regs$scaling$upline,"sf":"$sfDir"}""")
+        finally w.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] bench_detail.json write failed: ${e.getMessage}") }
+      println(compact)
+      System.out.flush()
+    }
     // main-SF bests, available to the upscale pass's pre-launch budget
     // estimate before the full Stat records are assembled
-    val statsBySfBest: Map[String, Double] = results.map { case (name, warm, runs) =>
-      val all = (warm :: runs).map(_.sec).filter(_ >= 0)
-      (name, if (all.isEmpty) -1.0 else all.min)
-    }.toMap
+    val statsBySfBest: Map[String, Double] = statsRaw.map(s => s.name -> s.best).toMap
+    // ---------- fail-soft checkpoint 1: main pass only ----------
+    val sf2DirPre = sys.env.getOrElse("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
+    val upFactorPre = sys.env.getOrElse("SPARK_GRAFT_SFUP_FACTOR", "10").toInt
+    emit(statsRaw, Map.empty, Map.empty, upFactorPre, sf2DirPre)
     // Dual-scale pass: one warm + one measured execution per query at
     // a second (smaller) SF so per-query scaling exponents
     // t(sf)/t(sf2) are recorded every round — a query whose ratio far
@@ -226,6 +403,8 @@ object Bench {
           name -> (if (a.sec < 0 || b.sec < 0) -1.0 else math.min(a.sec, b.sec))
         }.toMap
       else Map.empty
+    // ---------- fail-soft checkpoint 2: main + sf2 ----------
+    emit(statsRaw, sf2Best, Map.empty, upFactorPre, sf2Dir)
     // UPWARD scaling pass: sf0.1 → sf1 ratios. The sf2 pass above
     // compares DOWNWARD, where fixed per-query overhead swamps plan
     // cost and super-linear plans hide (judged from the 0.01→0.1
@@ -242,14 +421,31 @@ object Bench {
     val upFactor = sys.env.getOrElse("SPARK_GRAFT_SFUP_FACTOR", "10").toInt
     val upDir = sys.env.getOrElse("SPARK_GRAFT_SFUP_DIR",
       s"${System.getProperty("java.io.tmpdir")}/graft_sfup_${upFactor}x")
-    // 1800 (was 900): the 343-query suite's linear upscale cost alone is
-    // ~10x its 240 s main-SF total; 900 s budget-skipped 85 queries in
-    // the round-12 clean run — a budget that skips a quarter of the
-    // suite audits nothing
-    val upBudget = sys.env.getOrElse("SPARK_GRAFT_SFUP_BUDGET_SEC", "1800").toDouble
+    // ADAPTIVE budget (round-13): the fixed 1800 s budget of round 12
+    // blew the driver's total-bench wall-clock cap — BENCH_r12.json was
+    // rc:124/parsed:null, the worst possible outcome. The upscale pass
+    // now spends whatever remains of a TOTAL deadline
+    // (SPARK_GRAFT_BENCH_DEADLINE_SEC, default 2700 s ≈ round-11's
+    // passing envelope minus margin) after the main + sf2 passes,
+    // reserving 240 s for the retime passes and final emission. Full
+    // 10× coverage is achieved ACROSS rounds via the skip rotation
+    // below, never by one over-long run. SPARK_GRAFT_SFUP_BUDGET_SEC
+    // remains as an explicit override for local finalization runs.
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "2700").toDouble
+    val upBudget = sys.env.get("SPARK_GRAFT_SFUP_BUDGET_SEC").map(_.toDouble)
+      .getOrElse(math.max(0.0, deadlineSec - elapsedSec - 240.0))
+    System.err.println(f"[bench] upscale budget ${upBudget}%.0f s " +
+      f"(deadline $deadlineSec%.0f, elapsed $elapsedSec%.0f)")
     val upBest: Map[String, Double] =
       if (sys.env.getOrElse("SPARK_GRAFT_SFUP", "1").isEmpty || upFactor <= 1) Map.empty
-      else {
+      else if (upBudget < 60 && !java.nio.file.Files.exists(Upscale.marker(upDir))) {
+        // deadline already (nearly) spent and the 10× fixture would
+        // have to be generated first — generation itself is unbudgeted
+        // work; skip the whole pass honestly rather than overrun
+        System.err.println("[bench] upscale pass skipped: budget " +
+          f"$upBudget%.0f s too small to generate the fixture")
+        Map.empty
+      } else {
         try Upscale.ensure(spark, sfDir, upDir, upFactor)
         catch { case e: Throwable =>
           System.err.println(s"[bench] upscale generation failed: ${e.getMessage}") }
@@ -262,10 +458,15 @@ object Bench {
           // un-audited for super-linearity (round-11 skipped three and
           // couldn't even name them).
           val priorSkipped: Set[String] = try {
-            val src = scala.io.Source.fromFile("tools/sfup_skipped.json")
-            val txt = try src.mkString finally src.close()
-            "\"([^\"]+)\"".r.findAllMatchIn(txt).map(_.group(1)).toSet
-          } catch { case _: Throwable => Set.empty }
+            val p = sfupSkippedPath()
+            if (!java.nio.file.Files.exists(p)) Set.empty
+            else {
+              val txt = java.nio.file.Files.readString(p)
+              "\"([^\"]+)\"".r.findAllMatchIn(txt).map(_.group(1)).toSet
+            }
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] sfup_skipped.json read failed: ${e.getMessage}")
+            Set.empty }
           val upOrder = selected.sortBy { case (n, _) => (!priorSkipped(n), n) }
           upOrder.map { case (name, fn) =>
             // Pre-launch estimate: a query's upscaled run costs at
@@ -310,25 +511,6 @@ object Bench {
         }
       }
     }
-    // best = min over warm + measured runs (the headline number);
-    // median/spread are computed over the measured runs only; the
-    // shuffle/spill bytes reported are the BEST run's (plan
-    // volume is layout-deterministic; interference only adds spill)
-    case class Stat(name: String, best: Double, median: Double,
-                    spread: Double, warm: Double, runs: List[Double],
-                    shuffleB: Long, spillB: Long,
-                    isoRuns: List[Double] = Nil)
-    val statsRaw = results.map { case (name, warm, runs) =>
-      if (warm.sec < 0 || runs.exists(_.sec < 0))
-        Stat(name, -1, -1, 0, warm.sec, runs.map(_.sec), 0, 0)
-      else {
-        val all = warm :: runs
-        val best = all.minBy(_.sec)
-        val s = runs.map(_.sec).sorted
-        Stat(name, best.sec, s(s.size / 2), s.last - s.head, warm.sec,
-          runs.map(_.sec), best.shuffleB, best.spillB)
-      }
-    }
     // Isolated re-time pass: a measured-run spread over 1 s means the
     // suite window was contended (external load — rounds 6 and 8 both
     // hit it), and a spread-gated regression check is blind exactly
@@ -353,135 +535,9 @@ object Bench {
       } else s
     }
     val stats = retimeSuspects(statsRaw)
-    val failed = stats.collect { case s if s.best < 0 => "\"" + s.name + "\"" }
-    val total = stats.collect { case s if s.best >= 0 => s.best }.sum
-    // The harness captures only the LAST 2000 chars of stdout and parses
-    // the JSON line out of that window; sbt appends its own ~75-char
-    // "[success] Total time" trailer after us. Full-precision doubles for
-    // ~80 queries overflow the window and the line arrives truncated
-    // (unparseable — observed rounds 1-4). Emit compact per-query medians
-    // (2 decimals, trailing zeros trimmed); if the line exceeds the
-    // budget fall back to 1 decimal, and as a last resort (query set
-    // ~100+) drop the per-query map entirely — the detail file always
-    // has everything. "errors" is ALWAYS present (consumers index it
-    // unconditionally; an omitted-when-empty key broke that contract).
-    def fmt(v: Double, scale: Int): String =
-      if (v < 0) "-1"
-      else BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
-        .underlying.stripTrailingZeros.toPlainString
-    val errs = s""""errors":[${failed.mkString(",")}]"""
-    // Spread-gated regression check against the recorded baseline
-    // (tools/bench_baseline.json — refresh from each round's CLEAN
-    // bench via tools/refresh_baseline.py). Decision logic lives in
-    // flagRegressions (pure, spec-pinned by BenchGateSpec): the
-    // isolation-corrected spread gates the main-SF best, and the sf2
-    // pass gates drift interference can't mask. Fail-soft: a missing
-    // or unparseable baseline yields an empty list, never an error.
-    val regressions: Seq[(String, Double, Double, String)] = try {
-      val path = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "tools/bench_baseline.json")
-      val src = scala.io.Source.fromFile(path)
-      val txt = try src.mkString finally src.close()
-      val (prevBest, prevSf2) = readBaseline(txt)
-      val entries = stats.map { s =>
-        GateEntry(s.name, s.best, s.spread,
-          if (s.isoRuns.nonEmpty) Some(s.isoRuns.max - s.isoRuns.min) else None,
-          sf2Best.get(s.name))
-      }
-      flagRegressions(entries, prevBest, prevSf2)
-    } catch { case _: Throwable => Nil }
-    val regs = regressions.take(8)
-      .map { case (n, b, o, sc) =>
-        s"""{"q":"$n","best":${fmt(b, 2)},"prev":${fmt(o, 2)},"scale":"$sc"}""" }
-      .mkString("\"regressions\":[", ",", "]")
-    // dual-scale summary: second-SF total + the worst per-query
-    // scaling ratio (denominator floored at 50 ms — below that the
-    // ratio measures fixed overhead, not plan cost)
-    val scaling = if (sf2Best.isEmpty) "" else {
-      val valid = sf2Best.filter(_._2 >= 0)
-      val sf2Total = valid.values.sum
-      val ratios = stats.flatMap { s =>
-        sf2Best.get(s.name).collect {
-          case t2 if t2 >= 0.05 && s.best >= 0 => (s.name, s.best / t2)
-        }
-      }
-      val worst = ratios.sortBy(-_._2).headOption
-        .map { case (n, r) => s""","worst_scaling":{"q":"$n","ratio":${fmt(r, 1)}}""" }
-        .getOrElse("")
-      s""","sf2":"$sf2Dir","sf2_total":${fmt(sf2Total, 2)}$worst"""
-    }
-    // upward-scaling summary: per-query sfDir→sfup ratio, flagging
-    // anything over 15× per 10× data as machine-detected super-linear
-    // (denominator floored at 50 ms — below that the ratio measures
-    // fixed overhead, not plan cost)
-    val upline = if (upFinal.isEmpty) "" else {
-      val done = upFinal.filter(_._2 >= 0)
-      // NAME the budget-skipped queries (capped at 10 in the line for
-      // the 2000-char window; the full set persists for next round's
-      // front-stagger) — a bare count was a silent cap by another name.
-      val skippedNames = upFinal.collect { case (n, t) if t == -2.0 => n }.toSeq.sorted
-      try {
-        val w = new java.io.PrintWriter("tools/sfup_skipped.json")
-        try w.println(skippedNames.map("\"" + _ + "\"").mkString("[", ",", "]"))
-        finally w.close()
-      } catch { case _: Throwable => () }
-      val namesJson = skippedNames.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
-      val ratios = stats.flatMap { s =>
-        upFinal.get(s.name).collect {
-          case t if t >= 0 && s.best >= 0.05 => (s.name, t / s.best)
-        }
-      }
-      val flagged = ratios.filter(_._2 > 15.0).sortBy(-_._2)
-      val fl = flagged.take(8).map { case (n, r) =>
-        s"""{"q":"$n","ratio":${fmt(r, 1)}}""" }.mkString("[", ",", "]")
-      s""","sfup_factor":$upFactor,"sfup_total":${fmt(done.values.sum, 2)},""" +
-        s""""sfup_skipped":${skippedNames.size},"sfup_skipped_names":$namesJson,""" +
-        s""""superlinear":$fl"""
-    }
-    // suite-level plan-volume totals (best runs): the one-line scale
-    // signature next to the one-line timing
-    def mb(b: Long): Long = b / (1024 * 1024)
-    val vols = s""""shuffle_mb":${mb(stats.map(_.shuffleB).sum)},""" +
-      s""""spill_mb":${mb(stats.map(_.spillB).sum)}"""
-    def line(scale: Int): String = {
-      val qs = stats.map { s => "\"" + s.name + "\":" + fmt(s.best, scale) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
-        s""""queries":$qs,$vols,$errs,$regs$scaling$upline,"sf":"$sfDir"}"""
-    }
-    // last resort (query set too big for even 1-decimal full maps):
-    // keep the SLOWEST 20 queries in the line — the per-query numbers
-    // a regression judgment actually needs — and say how many were
-    // omitted; the full distribution is always in bench_detail.json
-    def lineTop(k: Int): String = {
-      val top = stats.filter(_.best >= 0).sortBy(-_.best).take(k)
-      val qs = top.map(s => "\"" + s.name + "\":" + fmt(s.best, 2))
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
-        s""""queries":$qs,"omitted":${stats.size - top.size},$vols,$errs,""" +
-        s"""$regs$scaling$upline,"sf":"$sfDir"}"""
-    }
-    val compact = {
-      val l2 = line(2)
-      if (l2.length <= 1850) l2
-      else { val l1 = line(1)
-             if (l1.length <= 1850) l1
-             else lineTop(20) }
-    }
-    try {
-      val detail = stats.map { s =>
-        "\"" + s.name + "\":{\"best\":" + s.best + ",\"median\":" + s.median +
-          ",\"spread\":" + s.spread + ",\"warm\":" + s.warm +
-          ",\"runs\":[" + s.runs.mkString(",") + "]" +
-          (if (s.isoRuns.nonEmpty) ",\"iso_runs\":[" + s.isoRuns.mkString(",") + "]" else "") +
-          ",\"shuffle_mb\":" + mb(s.shuffleB) + ",\"spill_mb\":" + mb(s.spillB) +
-          sf2Best.get(s.name).map(t => ",\"sf2_best\":" + t).getOrElse("") +
-          upFinal.get(s.name).map(t => ",\"sfup_best\":" + t).getOrElse("") + "}"
-      }.mkString("{", ",", "}")
-      val w = new java.io.PrintWriter("target/bench_detail.json")
-      try w.println(s"""{"total":$total,$vols,"queries":$detail,$regs$scaling$upline,"sf":"$sfDir"}""")
-      finally w.close()
-    } catch { case _: Throwable => () }
-    println(compact)
+    // ---------- final (most-enriched) line: the one the driver parses
+    // when the run completes within the envelope ----------
+    emit(stats, sf2Best, upFinal, upFactor, sf2Dir)
     spark.stop()
   }
 }

@@ -54,6 +54,19 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(o => selected(o._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Environment attribution (round-12 verdict #7): the r11/r12
+    // q_calibration flips were environment-only (a fresh DuckDB 1.0.0
+    // re-check matched value-for-value while the driver's compare
+    // disagreed), and nothing in the shipped artifact said which
+    // oracle engine version the SQL was authored against. Record the
+    // contract in a SEPARATE file so the driver's oracle_sql.json
+    // parse (key = query, value = SQL) is untouched.
+    Files.writeString(Paths.get(s"$outDir/oracle_env.json"),
+      s"""{"oracle_requires":"duckdb>=1.0.0",
+         |"authored_against":"duckdb 1.0.0 (tools/check.py records the adjudicating versions in oracle_versions.json)",
+         |"spark":"${spark.version}",
+         |"note":"hash compare sorts columns by name; doubles are round4/round6 per CLAUDE.md parity rules"}"""
+        .stripMargin.replace("\n", " "))
     spark.stop()
   }
 }

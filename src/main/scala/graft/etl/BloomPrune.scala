@@ -50,15 +50,20 @@ object BloomPrune {
     // bits match mightContainLong), strings go through xxhash64 — a
     // hash collision adds only false POSITIVES, which the exact join
     // removes; false negatives stay impossible by construction.
-    val keyToLong: DataFrame => Column = bigType match {
+    // The key name is passed EXPLICITLY (round-12 advice): dispatching
+    // on reference equality (`df eq big`) silently built the bloom
+    // over the wrong column when a caller passed the same DataFrame
+    // instance as both sides (self semi-join) — the false-NEGATIVE
+    // silent-row-drop failure this operator must never have.
+    val keyToLong: (DataFrame, String) => Column = bigType match {
       case ByteType | ShortType | IntegerType | LongType =>
-        df => df.col(if (df eq big) bigKey else smallKey).cast("long")
+        (df, k) => df.col(k).cast("long")
       case StringType =>
-        df => xxhash64(df.col(if (df eq big) bigKey else smallKey))
+        (df, k) => xxhash64(df.col(k))
       case t => throw new IllegalArgumentException(
         s"bloom prune supports integral and string keys, got $t")
     }
-    val bf = small.select(keyToLong(small).as("_k")).stat
+    val bf = small.select(keyToLong(small, smallKey).as("_k")).stat
       .bloomFilter("_k", expectedItems, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
@@ -75,7 +80,7 @@ object BloomPrune {
     val probe = ColumnBridge.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         org.apache.spark.sql.catalyst.expressions.Literal(bytes, BinaryType),
-        ColumnBridge.expression(keyToLong(big))))
+        ColumnBridge.expression(keyToLong(big, bigKey))))
     big.filter(probe)
       .join(small, big.col(bigKey) === small.col(smallKey), "left_semi")
   }

@@ -1818,16 +1818,22 @@ object TextQueries {
     val docs = Tables.documents(spark, sfDir)
     val labeled = docComponents(docs)
       .join(docs.select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
+    // winner_src rides the argmin struct (doc_id already makes the
+    // (a,b) prefix unique, so the extra field can't change the pick):
+    // resolving it at component grain removes the round-12 version's
+    // broadcast of a fact-proportional (doc_id, source) map — the
+    // loser rows get their winner's source on the component join they
+    // already pay for, no second join at all.
     val winners = labeled.groupBy("component")
-      .agg(min(struct((-col("n_chars")).as("a"), col("doc_id").as("b"))).as("pick"),
+      .agg(min(struct((-col("n_chars")).as("a"), col("doc_id").as("b"),
+        col("source").as("s"))).as("pick"),
         count(lit(1)).as("csize"))
       .filter(col("csize") > 1)
-      .select(col("component"), col("pick.b").as("winner_id"))
+      .select(col("component"), col("pick.b").as("winner_id"),
+        col("pick.s").as("winner_src"))
     val losers = labeled.join(winners, "component")
       .filter(col("doc_id") =!= col("winner_id"))
-    val wsrc = docs.select(col("doc_id").as("winner_id"),
-      col("source").as("winner_src"))
-    losers.join(broadcast(wsrc), "winner_id")
+    losers
       .groupBy("source")
       .agg(count(lit(1)).as("n_losers"),
         sum(col("winner_id")).as("winner_id_sum"),
@@ -1841,17 +1847,16 @@ object TextQueries {
        |     m AS (SELECT comp.component, d.doc_id, d.source, d.n_chars
        |           FROM comp JOIN documents d ON comp.node = d.doc_id),
        |     w AS (SELECT component,
-       |                  (min({'a': -n_chars, 'b': doc_id})).b AS winner_id
+       |                  (min({'a': -n_chars, 'b': doc_id, 's': source})).b AS winner_id,
+       |                  (min({'a': -n_chars, 'b': doc_id, 's': source})).s AS winner_src
        |           FROM m GROUP BY component HAVING count(*) > 1),
-       |     l AS (SELECT m.source, w.winner_id
+       |     l AS (SELECT m.source, w.winner_id, w.winner_src
        |           FROM m JOIN w USING (component)
-       |           WHERE m.doc_id <> w.winner_id),
-       |     ws AS (SELECT doc_id AS winner_id, source AS winner_src FROM documents)
-       |SELECT l.source, CAST(count(*) AS BIGINT) AS n_losers,
-       |       CAST(sum(l.winner_id) AS BIGINT) AS winner_id_sum,
-       |       CAST(sum(CASE WHEN ws.winner_src <> l.source THEN 1 ELSE 0 END) AS BIGINT) AS cross_src
-       |FROM l JOIN ws USING (winner_id)
-       |GROUP BY l.source ORDER BY l.source""".stripMargin
+       |           WHERE m.doc_id <> w.winner_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_losers,
+       |       CAST(sum(winner_id) AS BIGINT) AS winner_id_sum,
+       |       CAST(sum(CASE WHEN winner_src <> source THEN 1 ELSE 0 END) AS BIGINT) AS cross_src
+       |FROM l GROUP BY source ORDER BY source""".stripMargin
 
   // ---------- 3d. q_leakage_split: cluster-atomic train/val/test split ----------
 

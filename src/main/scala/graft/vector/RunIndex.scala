@@ -39,9 +39,16 @@ object RunIndex {
     */
   private def marker(outDir: String) = java.nio.file.Paths.get(outDir, "_built_from")
 
+  /** Bumped whenever the persisted layout's schema or builder code
+    * changes shape — the marker must invalidate on CODE changes, not
+    * only corpus changes (round-12 advice: a config-blind marker
+    * silently serves a stale /tmp layout across sessions).
+    */
+  private val LayoutVersion = 2
+
   private def markerContent(sfDir: String): String = {
     val f = new java.io.File(s"$sfDir/embeddings.parquet")
-    s"$sfDir:${f.length()}"
+    s"v$LayoutVersion:bits=$LshBits:stride=$LshStride:$sfDir:${f.length()}"
   }
 
   /** Idempotently materialize the LSH layout for `sfDir` under a
