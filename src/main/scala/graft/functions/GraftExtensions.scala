@@ -62,6 +62,7 @@ object GraftExtensions {
         if (args.length > 1) intArg(args(1), "n") else 3)
     },
     "graft_char_sq_sum" -> { args => CharSqSumExpr(args.head) },
+    "graft_char_hist" -> { args => CharHistExpr(args.head) },
     "graft_py_title" -> { args => PyTitleExpr(args.head) },
     "graft_dot" -> { args =>
       require(args.length == 2,

@@ -357,6 +357,39 @@ object TextHashUtil {
   }
 
 
+  /** Per-document byte-code histogram, packed as code·2^40 + cnt
+    * (code < 256, per-doc cnt < 2^40) sorted by code — the census
+    * form of [[charSqSum]]: one 256-slot primitive histogram per row
+    * replaces a CHAR-grain explode, so the downstream (source, code)
+    * aggregate shuffles one row per distinct code per doc (≤ alphabet
+    * size) instead of one per character (DocOps.byteEntropy's round-12
+    * shape was char-grain — an order of magnitude more shuffle rows).
+    * Empty string contributes the single zero code that
+    * `TextFns.codes`' sequence lower bound produces (cnt 1), keeping
+    * value parity with the explode form and the DuckDB oracle.
+    */
+  def charHist(s: UTF8String): ArrayData = {
+    val n = s.numBytes
+    if (n == 0) return new GenericArrayData(Array(1L)) // code 0, cnt 1
+    val cnt = new Array[Long](256)
+    var i = 0
+    while (i < n) {
+      cnt(s.getByte(i) & 0xff) += 1
+      i += 1
+    }
+    var distinct = 0
+    i = 0
+    while (i < 256) { if (cnt(i) > 0) distinct += 1; i += 1 }
+    val out = new Array[Long](distinct)
+    var j = 0
+    i = 0
+    while (i < 256) {
+      if (cnt(i) > 0) { out(j) = (i.toLong << 40) | cnt(i); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Python `str.title()` parity for ASCII text (the reference's
     * pandas `.str.title()`, `ETL/user_ETL.py:48-49`): the first
     * CASED character of every alphabetic run is uppercased and the
@@ -564,6 +597,21 @@ case class CharSqSumExpr(child: Expression)
 }
 
 
+/** graft_char_hist(text): byte-code histogram packed as
+  * code·2^40 + cnt, sorted by code (array<long>).
+  */
+case class CharHistExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_char_hist"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashUtil.charHist(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.charHist($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharHistExpr =
+    copy(child = newChild)
+}
+
 /** graft_py_title(text): Python str.title() parity (string). */
 case class PyTitleExpr(child: Expression)
     extends UnaryExpression {
@@ -608,6 +656,8 @@ object TextHashes {
     ColumnBridge.column(WinnowFpExpr(ColumnBridge.expression(text), k, w))
   def charSqSum(text: Column): Column =
     ColumnBridge.column(CharSqSumExpr(ColumnBridge.expression(text)))
+  def charHist(text: Column): Column =
+    ColumnBridge.column(CharHistExpr(ColumnBridge.expression(text)))
   def cdcChunks(text: Column, k: Int, div: Int): Column =
     ColumnBridge.column(CdcChunksExpr(ColumnBridge.expression(text), k, div))
   def pyTitle(text: Column): Column =

@@ -1660,14 +1660,21 @@ object DocOps {
     * cross-row sum (the `q_zipf_fit` ln discipline — ln carries no
     * cross-engine ulp guarantee, so a term lands in the sum only
     * after rounding); identical literal operation order both engines.
-    * Shape: one (source, char) hash aggregate over the exploded code
-    * stream + one source-grain collapse — linear, mergeable.
+    * Shape: one native per-row char census
+    * ([[graft.functions.TextHashes.charHist]] — zero per-char rows)
+    * exploded at (doc × distinct-code) grain (≤ alphabet size per
+    * doc), then one (source, char) aggregate + one source-grain
+    * collapse — the round-12 version exploded the raw code STREAM and
+    * shuffled one row per character; the census form shuffles ~an
+    * order of magnitude less at identical values.
     */
   def byteEntropy(spark: SparkSession, sfDir: String): DataFrame = {
     val counts = Tables.documents(spark, sfDir)
-      .withColumn("cs", TextFns.codes(col("text")))
-      .select(col("source"), explode_outer(col("cs")).as("code"))
-      .groupBy("source", "code").agg(count(lit(1)).as("nc"))
+      .withColumn("h", graft.functions.TextHashes.charHist(col("text")))
+      .select(col("source"), explode_outer(col("h")).as("e"))
+      .select(col("source"), shiftright(col("e"), 40).as("code"),
+        col("e").bitwiseAND(lit((1L << 40) - 1)).as("cn"))
+      .groupBy("source", "code").agg(sum(col("cn")).as("nc"))
     val tot = counts.groupBy("source")
       .agg(sum(col("nc")).as("n_chars"), count(lit(1)).as("n_symbols"))
     val term = (col("nc").cast("double") / col("n_chars").cast("double")) *
