@@ -924,7 +924,74 @@ object CorpusOps {
        |FROM dv""".stripMargin
   }
 
+  // ---------- q_prf_expand: pseudo-relevance-feedback expansion ----------
+
+  private val PrfF = 3 // feedback depth (top BM25 docs)
+  private val PrfE = 5 // expansion terms returned
+
+  /** Rocchio pseudo-relevance-feedback query expansion (Rocchio 1971;
+    * the RM/PRF family every retrieval stack ships beside BM25): take
+    * the [[bm25]] top-[[PrfF]] documents as presumed-relevant
+    * feedback, score every term they contain (minus the original
+    * query terms) by Σ_feedback tf · idf, and return the
+    * top-[[PrfE]] expansion terms — the second-pass query a RAG
+    * retriever issues when first-pass recall is thin.
+    *
+    * Parity: idf is the BM25 form ln(1 + (N−df+0.5)/(df+0.5)) — ln
+    * carries no cross-engine ulp guarantee, so the weight is ROUNDED
+    * (round4) before the rank and the rank carries the term
+    * tie-break, the exact `q_bm25` discipline.
+    *
+    * Shape: feedback tf is bounded (PrfF docs); df is one vocab-grain
+    * aggregate; the final rank is an unpartitioned window over
+    * candidate terms — vocab-grain, bounded by the corpus vocabulary,
+    * never by doc count (WindowAuditSpec-sanctioned).
+    */
+  def prfExpand(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+    val fb = bm25(spark, sfDir).filter(col("rk") <= PrfF).select(col("doc_id"))
+    val terms = docs.select(col("doc_id"), explode_outer(col("ts")).as("term"))
+      .filter(col("term").isNotNull)
+    val dfreq = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val nn = docs.agg(count(lit(1)).as("n_docs"))
+    val fbTf = terms.join(broadcast(fb), "doc_id")
+      .filter(!col("term").isInCollection(QueryTerms))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("tf_sum"))
+    fbTf.join(dfreq, "term").crossJoin(broadcast(nn))
+      .withColumn("weight", TextFns.round4(col("tf_sum") *
+        log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double")
+          + 0.5) / (col("df").cast("double") + 0.5))))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("weight").desc, col("term"))))
+      .filter(col("rk") <= PrfE)
+      .select(col("rk"), col("term"), col("df"), col("weight"))
+      .orderBy("rk")
+  }
+
+  private val sqlPrfExpand = {
+    val exList = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH fb AS (SELECT doc_id FROM ($sqlBm25) WHERE rk <= $PrfF),
+       |     t AS (SELECT doc_id, $duckTokens AS ts FROM documents),
+       |     e AS (SELECT doc_id, unnest(ts) AS term FROM t),
+       |     dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |               FROM e GROUP BY 1),
+       |     nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |     fbtf AS (SELECT term, CAST(count(*) AS DOUBLE) AS tf_sum
+       |              FROM e JOIN fb USING (doc_id)
+       |              WHERE term NOT IN ($exList) GROUP BY 1),
+       |     w AS (SELECT term, df,
+       |             ${TextFns.duckRound4(
+                       "tf_sum * ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) " +
+                         "/ (CAST(df AS DOUBLE) + 0.5))")} AS weight
+       |           FROM fbtf JOIN dfreq USING (term) CROSS JOIN nn),
+       |     r AS (SELECT row_number() OVER (ORDER BY weight DESC, term) AS rk,
+       |                  term, df, weight FROM w)
+       |SELECT rk, term, df, weight FROM r WHERE rk <= $PrfE ORDER BY rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_prf_expand" -> (prfExpand _),
     "q_loo_source" -> (looSource _),
     "q_waterfill_mix" -> (waterfillMix _),
     "q_jackknife_se" -> (jackknifeSe _),
@@ -939,6 +1006,7 @@ object CorpusOps {
     "q_temperature_mix" -> (temperatureMix _))
 
   val oracle: Map[String, String] = Map(
+    "q_prf_expand" -> sqlPrfExpand,
     "q_loo_source" -> sqlLooSource,
     "q_waterfill_mix" -> sqlWaterfillMix,
     "q_jackknife_se" -> sqlJackknifeSe,

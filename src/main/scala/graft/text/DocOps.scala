@@ -1837,6 +1837,134 @@ object DocOps {
        |ORDER BY source""".stripMargin
   }
 
+  // ---------- q_wilson_ci: binomial confidence bands on gate pass rates ----------
+
+  /** Wilson 95% score intervals on the per-source Gopher pass rate —
+    * the uncertainty band a data-quality DASHBOARD needs before
+    * alerting on a pass-rate dip: at small per-source n, a raw rate
+    * swing is often inside the binomial noise band, and the Wilson
+    * interval (unlike the Wald ±z√(p̂q̂/n)) stays inside [0,1] and
+    * behaves at p̂→0/1 (Wilson 1927; Brown-Cai-DasGupta 2001
+    * recommend it exactly for this monitoring use).
+    *
+    * Parity: every input to the interval is a ratio of exact integers
+    * (k passes / n docs, from the [[gopherRules]] aggregate) and the
+    * only non-arithmetic op is one IEEE-correct sqrt — both engines
+    * evaluate the identical literal expression tree (z constants
+    * pre-squared: 3.8416, 1.9208, 0.9604), so the doubles are
+    * bit-identical before the round4 edge.
+    *
+    * Shape: [[gopherRules]]' linear aggregate + one source-grain map.
+    */
+  def wilsonCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gopherRules(spark, sfDir)
+      .select(col("source"), col("n_docs"), col("n_pass"))
+    val nD = col("n_docs").cast("double")
+    val phat = col("n_pass").cast("double") / nD
+    val denom = lit(1.0) + lit(3.8416) / nD
+    val center = (phat + lit(1.9208) / nD) / denom
+    val half = (lit(1.96) * sqrt(phat * (lit(1.0) - phat) / nD +
+      lit(0.9604) / (nD * nD))) / denom
+    g.select(col("source"), col("n_docs"), col("n_pass"),
+        TextFns.round4(phat).as("pass_rate"),
+        TextFns.round4(center - half).as("wilson_lo"),
+        TextFns.round4(center + half).as("wilson_hi"))
+      .orderBy("source")
+  }
+
+  private val sqlWilsonCi = {
+    val nD = "CAST(n_docs AS DOUBLE)"
+    val phat = s"(CAST(n_pass AS DOUBLE) / $nD)"
+    val denom = s"(1.0 + 3.8416 / $nD)"
+    val center = s"(($phat + 1.9208 / $nD) / $denom)"
+    val half = s"((1.96 * sqrt($phat * (1.0 - $phat) / $nD + " +
+      s"0.9604 / ($nD * $nD))) / $denom)"
+    s"""WITH base AS ($sqlGopherRules)
+       |SELECT source, n_docs, n_pass,
+       |       ${TextFns.duckRound4(phat)} AS pass_rate,
+       |       ${TextFns.duckRound4(s"$center - $half")} AS wilson_lo,
+       |       ${TextFns.duckRound4(s"$center + $half")} AS wilson_hi
+       |FROM base ORDER BY source""".stripMargin
+  }
+
+  // ---------- q_span_corrupt: T5 span-corruption planning ----------
+
+  /** Deterministic span-corruption PLAN (Raffel et al. 2020, the T5
+    * denoising objective): per document, the number of length-3 mask
+    * spans at ~15% noise density — n_spans = round(n_tokens/20) — and
+    * the positions they cover, with span starts drawn from the
+    * content-derived hash stream polyHash(doc_id:k) mod (n−2) (the
+    * Sampling membership-hash rule: any engine, any layout, any rerun
+    * reproduces the identical mask plan — a `rand()` plan would be
+    * unauditable). Overlapping spans collapse (count DISTINCT covered
+    * positions), so the realized mask ratio lands slightly under the
+    * nominal density — exactly what the pipeline needs to know before
+    * fixing a sentinel-token budget.
+    *
+    * Shape: one token-count pass, span fan-out bounded by
+    * n_tokens/20 × 3 positions (linear in corpus tokens), one
+    * doc-grain distinct + one source-grain rollup.
+    */
+  def spanCorrupt(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("doc_id"), col("source"), size(col("ts")).cast("long").as("n"))
+    val spans = docs
+      .withColumn("n_spans", expr("(n + 10) div 20"))
+      .filter(col("n") >= 3 && col("n_spans") > 0)
+      .withColumn("k", explode_outer(sequence(lit(1L), col("n_spans"))))
+      .withColumn("h", graft.functions.TextHashes.polyHash(
+        concat(col("doc_id").cast("string"), lit(":"), col("k").cast("string"))))
+      .withColumn("start", pmod(col("h"), col("n") - 2))
+      .withColumn("p", explode_outer(sequence(col("start"), col("start") + 2)))
+      .groupBy("doc_id", "source")
+      .agg(countDistinct(col("p")).as("masked"), max(col("n_spans")).as("nsp"))
+    docs.join(spans.select(col("doc_id"), col("masked"), col("nsp")),
+        Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(coalesce(col("nsp"), lit(0L))).as("total_spans"),
+        sum(coalesce(col("masked"), lit(0L))).as("masked_tokens"))
+      .withColumn("mask_ratio",
+        when(col("total_tokens") === 0, lit(0.0)).otherwise(TextFns.round4(
+          col("masked_tokens").cast("double") / col("total_tokens").cast("double"))))
+      .orderBy("source")
+  }
+
+  private val sqlSpanCorrupt = {
+    val hashOf = "list_reduce([CAST(0 AS BIGINT)] || list_transform(" +
+      "range(1, greatest(length(kstr), 1) + 1), " +
+      "i -> CAST(ascii(substring(kstr, CAST(i AS INT), 1)) AS BIGINT)), " +
+      s"(acc, c) -> (acc * 31 + c) % ${TextFns.P})"
+    s"""WITH t AS (SELECT doc_id, source, CAST(len($duckTokens) AS BIGINT) AS n
+       |           FROM documents),
+       |     s AS (SELECT doc_id, source, n, (n + 10) // 20 AS n_spans FROM t),
+       |     ks AS (SELECT doc_id, source, n, n_spans,
+       |                   unnest(range(1, n_spans + 1)) AS k
+       |            FROM s WHERE n >= 3 AND n_spans > 0),
+       |     hs AS (SELECT doc_id, source, n, n_spans, k,
+       |                   CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR) AS kstr
+       |            FROM ks),
+       |     st AS (SELECT doc_id, source, n_spans, ($hashOf) % (n - 2) AS strt
+       |            FROM hs),
+       |     pos AS (SELECT doc_id, source, n_spans, strt + i.range AS p
+       |             FROM st CROSS JOIN range(0, 3) i),
+       |     m AS (SELECT doc_id, source, max(n_spans) AS nsp,
+       |                  count(DISTINCT p) AS masked
+       |           FROM pos GROUP BY 1, 2)
+       |SELECT t.source, count(*) AS n_docs,
+       |       CAST(sum(t.n) AS BIGINT) AS total_tokens,
+       |       CAST(sum(coalesce(m.nsp, 0)) AS BIGINT) AS total_spans,
+       |       CAST(sum(coalesce(m.masked, 0)) AS BIGINT) AS masked_tokens,
+       |       CASE WHEN sum(t.n) = 0 THEN 0.0
+       |            ELSE ${TextFns.duckRound4(
+                      "CAST(sum(coalesce(m.masked, 0)) AS DOUBLE) / CAST(sum(t.n) AS DOUBLE)")}
+       |       END AS mask_ratio
+       |FROM t LEFT JOIN m ON t.doc_id = m.doc_id
+       |GROUP BY t.source ORDER BY t.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_substring_dup" -> (substringDup _),
     "q_byte_entropy" -> (byteEntropy _),
@@ -1853,6 +1981,8 @@ object DocOps {
     "q_dict_encode" -> (dictEncode _),
     "q_segment_dedup" -> (segmentDedup _),
     "q_gopher_rules" -> (gopherRules _),
+    "q_wilson_ci" -> (wilsonCi _),
+    "q_span_corrupt" -> (spanCorrupt _),
     "q_bpe_pairs" -> (bpePairs _),
     "q_bpe_encode" -> (bpeEncode _),
     "q_cdc_chunks" -> (cdcChunksQ _),
@@ -1877,6 +2007,8 @@ object DocOps {
     "q_dict_encode" -> sqlDictEncode,
     "q_segment_dedup" -> sqlSegmentDedup,
     "q_gopher_rules" -> sqlGopherRules,
+    "q_wilson_ci" -> sqlWilsonCi,
+    "q_span_corrupt" -> sqlSpanCorrupt,
     "q_bpe_pairs" -> sqlBpePairs,
     "q_bpe_encode" -> sqlBpeEncode,
     "q_cdc_chunks" -> sqlCdcChunks,

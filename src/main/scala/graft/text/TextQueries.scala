@@ -3028,6 +3028,278 @@ object TextQueries {
        |FROM hs WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.h = hs.h)
        |GROUP BY 1 ORDER BY lang""".stripMargin
 
+  // ---------- 5d. q_mcnemar: paired classifier comparison ----------
+
+  /** McNemar's test statistic comparing the lexicon language-ID
+    * against the majority-class baseline on PAIRED documents — the
+    * standard "does my classifier beat always-guess-the-mode,
+    * discordant-pairs-significant?" gate (McNemar 1947; the paired
+    * sibling of [[cohensKappa]]'s chance correction). Only the
+    * discordant cells carry signal: χ² = (b−c)²/(b+c) over
+    * b = classifier-only-correct, c = baseline-only-correct.
+    *
+    * Determinism: the baseline's majority language is elected by an
+    * exact count with alphabetical tie-break (struct-min over
+    * (−count, lang) ≡ ORDER BY count DESC, lang LIMIT 1); every cell
+    * is an exact integer; the statistic is ONE ratio of integers,
+    * round4 at the edge.
+    *
+    * Shape: the shared [[langPreds]] kernel (one pass over tokens),
+    * a lang-cardinality mode election broadcast back, one bounded
+    * 4-cell aggregate. Linear in tokens at any SF.
+    */
+  def mcnemar(spark: SparkSession, sfDir: String): DataFrame = {
+    val preds = langPreds(spark, sfDir)
+    val maj = preds.groupBy("lang").agg(count(lit(1)).as("c"))
+      .agg(min(struct((-col("c")).as("nc"), col("lang").as("l"))).as("m"))
+      .select(col("m.l").as("maj_lang"))
+    preds.crossJoin(broadcast(maj))
+      .select((col("pred") === col("lang")).as("a_ok"),
+        (col("lang") === col("maj_lang")).as("b_ok"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("a_ok") && col("b_ok"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("a_ok") && !col("b_ok"), 1L).otherwise(0L)).as("n_a_only"),
+        sum(when(!col("a_ok") && col("b_ok"), 1L).otherwise(0L)).as("n_b_only"),
+        sum(when(!col("a_ok") && !col("b_ok"), 1L).otherwise(0L)).as("n_neither"))
+      .withColumn("mcnemar_chi2",
+        when(col("n_a_only") + col("n_b_only") === 0, lit(0.0))
+          .otherwise(TextFns.round4(
+            ((col("n_a_only") - col("n_b_only")) *
+              (col("n_a_only") - col("n_b_only"))).cast("double") /
+              (col("n_a_only") + col("n_b_only")).cast("double"))))
+  }
+
+  private val sqlMcnemar = {
+    val langs = TextFns.langMarkers.keys.toSeq.sorted
+    val hitSel = langs.map { l =>
+      val lex = TextFns.langMarkers(l).map(s => s"'$s'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(ts, t -> list_contains($lex, t))) AS BIGINT) AS hits_$l"
+    }.mkString(", ")
+    val structs = langs.zipWithIndex
+      .map { case (l, i) => s"{'hits': hits_$l, 'nrank': ${-i}}" }
+      .mkString("[", ", ", "]")
+    val langList = langs.map(l => s"'$l'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, lang, $duckTokens AS ts FROM documents),
+       |     h AS (SELECT doc_id, lang, $hitSel FROM t),
+       |     u AS (SELECT doc_id, lang, unnest($structs) AS s FROM h),
+       |     b AS (SELECT doc_id, lang, max(s) AS bs FROM u GROUP BY 1, 2),
+       |     p AS (SELECT lang, ($langList)[CAST(-bs.nrank AS INT) + 1] AS pred FROM b),
+       |     maj AS (SELECT lang AS maj_lang FROM (
+       |               SELECT lang, count(*) AS c FROM p GROUP BY 1
+       |               ORDER BY c DESC, lang LIMIT 1)),
+       |     j AS (SELECT (pred = lang) AS a_ok,
+       |                  (lang = (SELECT maj_lang FROM maj)) AS b_ok FROM p),
+       |     g AS (SELECT count(*) AS n_docs,
+       |                  sum(CASE WHEN a_ok AND b_ok THEN 1 ELSE 0 END) AS n_both,
+       |                  sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END) AS n_a_only,
+       |                  sum(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END) AS n_b_only,
+       |                  sum(CASE WHEN NOT a_ok AND NOT b_ok THEN 1 ELSE 0 END) AS n_neither
+       |           FROM j)
+       |SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n_both AS BIGINT) AS n_both,
+       |       CAST(n_a_only AS BIGINT) AS n_a_only,
+       |       CAST(n_b_only AS BIGINT) AS n_b_only,
+       |       CAST(n_neither AS BIGINT) AS n_neither,
+       |       CASE WHEN n_a_only + n_b_only = 0 THEN 0.0
+       |            ELSE ${TextFns.duckRound4(
+                      "CAST((n_a_only - n_b_only) * (n_a_only - n_b_only) AS DOUBLE) " +
+                        "/ CAST(n_a_only + n_b_only AS DOUBLE)")} END AS mcnemar_chi2
+       |FROM g""".stripMargin
+  }
+
+  // ---------- 5e. q_fleiss_kappa: multi-gate agreement ----------
+
+  /** Fleiss' κ across the corpus' THREE dedup raters — exact
+    * (normalized-hash), MinHash-LSH, SimHash — each voting dup/keep
+    * per document (Fleiss 1971). [[methodAgreement]] reports the raw
+    * 2-method contingency; Fleiss is the chance-corrected m-rater
+    * summary a curation pipeline quotes when deciding whether gates
+    * are redundant (κ→1) or complementary (κ→0). The dup convention
+    * matches methodAgreement: a doc is "dup" under a method iff it is
+    * not its own cluster representative (exact: not the min doc_id of
+    * its normalized-hash group).
+    *
+    * Determinism/parity: with m=3 raters and 2 categories, κ
+    * collapses to ONE ratio of exact integers:
+    * κ = (3N(S2−3N) − 2(D²+(3N−D)²)) / (18N² − 2(D²+(3N−D)²)) where
+    * D = Σ dup votes and S2 = Σ(nd²+(3−nd)²) — no float anywhere
+    * before the final round4. (Integer headroom: 27N² < 2⁶³ up to
+    * N ≈ 5.8×10⁸ docs per partition-of-compute; beyond that widen to
+    * DECIMAL.)
+    *
+    * Shape: the three assignment kernels are each linear
+    * (hash-aggregate / banded, never all-pairs); the vote join is
+    * doc-keyed; the κ computation is one global 3-integer aggregate.
+    */
+  def fleissKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val exact = docs
+      .withColumn("h", sha2(normText(col("text")), 256))
+      .withColumn("minid", min(col("doc_id")).over(Window.partitionBy("h")))
+      .select(col("doc_id"), (col("doc_id") =!= col("minid")).as("ex_dup"))
+    val lsh = minhashAssignments(docs)
+      .select(col("doc_id"), (col("doc_id") =!= col("cluster_id")).as("lsh_dup"))
+    val sim = simhashAssignments(docs)
+      .select(col("doc_id"), (col("doc_id") =!= col("cluster_id")).as("sim_dup"))
+    val votes = exact.join(lsh, "doc_id").join(sim, "doc_id")
+      .select((col("ex_dup").cast("long") + col("lsh_dup").cast("long") +
+        col("sim_dup").cast("long")).as("nd"))
+    votes.agg(count(lit(1)).as("n"), sum(col("nd")).as("d"),
+        sum(col("nd") * col("nd") + (lit(3L) - col("nd")) * (lit(3L) - col("nd")))
+          .as("s2"))
+      .select(col("n").as("n_docs"), col("d").as("n_dup_votes"),
+        TextFns.round4((col("s2") - lit(3L) * col("n")).cast("double") /
+          (lit(6L) * col("n")).cast("double")).as("p_bar"),
+        TextFns.round4((col("d") * col("d") +
+          (lit(3L) * col("n") - col("d")) * (lit(3L) * col("n") - col("d")))
+          .cast("double") / (lit(9L) * col("n") * col("n")).cast("double"))
+          .as("p_expected"),
+        TextFns.round4(
+          (lit(3L) * col("n") * (col("s2") - lit(3L) * col("n")) -
+            lit(2L) * (col("d") * col("d") +
+              (lit(3L) * col("n") - col("d")) * (lit(3L) * col("n") - col("d"))))
+            .cast("double") /
+          (lit(18L) * col("n") * col("n") -
+            lit(2L) * (col("d") * col("d") +
+              (lit(3L) * col("n") - col("d")) * (lit(3L) * col("n") - col("d"))))
+            .cast("double")).as("kappa"))
+  }
+
+  private def sqlFleissKappa = {
+    val simBandList = (0 until SimBands).map { b =>
+      s"'$b:' || CAST((sh // ${1L << (b * 8)}) % 256 AS VARCHAR)"
+    }.mkString("[", ", ", "]")
+    s"""WITH c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),
+       |     ex AS (SELECT doc_id,
+       |              (doc_id <> min(doc_id) OVER (PARTITION BY
+       |                sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))) AS ex_dup
+       |            FROM documents),
+       |     s0 AS (SELECT doc_id, $duckShingles AS shs FROM c),
+       |     g AS (SELECT doc_id, $duckSignature AS sig FROM s0),
+       |     mbands AS (SELECT doc_id, unnest($duckBandKeys) AS band FROM g),
+       |     mreps AS (SELECT band, min(doc_id) AS rep FROM mbands GROUP BY band),
+       |     mcl AS (SELECT mbands.doc_id, min(mreps.rep) AS cluster_id
+       |             FROM mbands JOIN mreps ON mbands.band = mreps.band
+       |             GROUP BY mbands.doc_id),
+       |     lsh AS (SELECT doc_id, (doc_id <> cluster_id) AS lsh_dup FROM mcl),
+       |     t AS (SELECT doc_id, text, $duckTokens AS ts FROM c),
+       |     h AS (SELECT doc_id, $duckTokenHashes AS hs FROM t),
+       |     sh0 AS (SELECT doc_id, $duckSimHash AS sh FROM h),
+       |     fps AS (SELECT sh, min(doc_id) AS rep FROM sh0 GROUP BY sh),
+       |     sbands AS (SELECT sh, rep, unnest($simBandList) AS band FROM fps),
+       |     spairs AS (SELECT a.sh AS sh, b.rep AS nbr
+       |                FROM sbands a JOIN sbands b
+       |                  ON a.band = b.band AND a.rep > b.rep
+       |                WHERE bit_count(xor(a.sh, b.sh)) <= $MaxHamming),
+       |     smn AS (SELECT sh, min(nbr) AS mn FROM spairs GROUP BY sh),
+       |     fcl AS (SELECT fps.sh, least(fps.rep, coalesce(smn.mn, fps.rep)) AS cluster_id
+       |             FROM fps LEFT JOIN smn ON fps.sh = smn.sh),
+       |     simv AS (SELECT sh0.doc_id, (sh0.doc_id <> fcl.cluster_id) AS sim_dup
+       |              FROM sh0 JOIN fcl ON sh0.sh = fcl.sh),
+       |     votes AS (SELECT (CASE WHEN ex.ex_dup THEN 1 ELSE 0 END +
+       |                       CASE WHEN lsh.lsh_dup THEN 1 ELSE 0 END +
+       |                       CASE WHEN simv.sim_dup THEN 1 ELSE 0 END) AS nd
+       |               FROM ex JOIN lsh USING (doc_id) JOIN simv USING (doc_id)),
+       |     agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |                    CAST(sum(nd) AS BIGINT) AS d,
+       |                    CAST(sum(nd * nd + (3 - nd) * (3 - nd)) AS BIGINT) AS s2
+       |             FROM votes)
+       |SELECT n AS n_docs, d AS n_dup_votes,
+       |       ${TextFns.duckRound4(
+                 "CAST(s2 - 3 * n AS DOUBLE) / CAST(6 * n AS DOUBLE)")} AS p_bar,
+       |       ${TextFns.duckRound4(
+                 "CAST(d * d + (3 * n - d) * (3 * n - d) AS DOUBLE) " +
+                   "/ CAST(9 * n * n AS DOUBLE)")} AS p_expected,
+       |       ${TextFns.duckRound4(
+                 "CAST(3 * n * (s2 - 3 * n) - 2 * (d * d + (3 * n - d) * (3 * n - d)) AS DOUBLE) " +
+                   "/ CAST(18 * n * n - 2 * (d * d + (3 * n - d) * (3 * n - d)) AS DOUBLE)")} AS kappa
+       |FROM agg""".stripMargin
+  }
+
+  // ---------- 3d². q_split_leakage: cross-split near-dup edge audit ----------
+
+  /** The audit that justifies [[leakageSplit]]'s cluster-atomic
+    * design: count near-dup COLLISION EDGES whose endpoints land in
+    * different train/val/test splits under (a) the cluster-atomic
+    * hash split (leak = 0 by construction — both endpoints share a
+    * component, components split atomically) and (b) the naive
+    * per-document hash split every pipeline starts with (leak > 0 —
+    * eval documents with training-set near-duplicates, the
+    * memorization-contamination failure). Shipping both rows turns
+    * "trust me, split by cluster" into a measured delta.
+    *
+    * Shape: the edge list is the banded collision set (linear — at
+    * most NumBands edges per doc, never pairs-in-bucket); splits are
+    * content-derived hashes ([[graft.functions.TextHashes.polyHash]],
+    * the Sampling membership rule); two doc-keyed joins + one global
+    * aggregate. The closure ([[docComponents]]) is the same fixpoint
+    * the dedup pipeline already pays for.
+    */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val edges = bandReps(docs)
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("doc_id").as("b"))
+      .distinct()
+    val comp = docComponents(docs)
+    def split10(c: Column): Column =
+      pmod(graft.functions.TextHashes.polyHash(c.cast("string")), lit(10L))
+    def splitLab(b: Column): Column =
+      when(b < 8, "train").when(b === 8, "val").otherwise("test")
+    val sp = comp.select(col("doc_id"),
+      splitLab(split10(col("component"))).as("s_cluster"),
+      splitLab(split10(col("doc_id"))).as("s_naive"))
+    val e2 = edges
+      .join(sp.select(col("doc_id").as("a"), col("s_cluster").as("ca"),
+        col("s_naive").as("na")), "a")
+      .join(sp.select(col("doc_id").as("b"), col("s_cluster").as("cb"),
+        col("s_naive").as("nb")), "b")
+    e2.agg(count(lit(1)).as("n_edges"),
+        sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L)).as("x_cluster"),
+        sum(when(col("na") =!= col("nb"), 1L).otherwise(0L)).as("x_naive"))
+      .select(explode(array(
+        struct(lit("cluster_atomic").as("method"), col("n_edges"),
+          col("x_cluster").as("n_cross")),
+        struct(lit("doc_hash").as("method"), col("n_edges"),
+          col("x_naive").as("n_cross")))).as("r"))
+      .select(col("r.method").as("method"), col("r.n_edges").as("n_edges"),
+        col("r.n_cross").as("n_cross"))
+      .withColumn("leak_pct",
+        when(col("n_edges") === 0, lit(0.0)).otherwise(TextFns.round4(
+          col("n_cross").cast("double") / col("n_edges").cast("double"))))
+      .orderBy("method")
+  }
+
+  private def sqlSplitLeakage = {
+    def h10(e: String) =
+      s"(list_reduce([CAST(0 AS BIGINT)] || list_transform(" +
+        s"range(1, greatest(length(CAST($e AS VARCHAR)), 1) + 1), " +
+        s"i -> CAST(ascii(substring(CAST($e AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT)), " +
+        s"(acc, c) -> (acc * 31 + c) % $p) % 10)"
+    def lab(e: String) =
+      s"(CASE WHEN ${h10(e)} < 8 THEN 'train' WHEN ${h10(e)} = 8 THEN 'val' ELSE 'test' END)"
+    s"""$duckCcComp,
+       |     sp AS (SELECT node AS doc_id,
+       |                   ${lab("component")} AS s_cluster,
+       |                   ${lab("node")} AS s_naive
+       |            FROM comp),
+       |     j AS (SELECT ha.s_cluster AS ca, hb.s_cluster AS cb,
+       |                  ha.s_naive AS na, hb.s_naive AS nb
+       |           FROM e0 JOIN sp ha ON e0.a = ha.doc_id
+       |                   JOIN sp hb ON e0.b = hb.doc_id),
+       |     t AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       |                  CAST(sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END) AS BIGINT) AS x_cluster,
+       |                  CAST(sum(CASE WHEN na <> nb THEN 1 ELSE 0 END) AS BIGINT) AS x_naive
+       |           FROM j)
+       |SELECT method, n_edges, n_cross,
+       |       CASE WHEN n_edges = 0 THEN 0.0
+       |            ELSE ${TextFns.duckRound4(
+                      "CAST(n_cross AS DOUBLE) / CAST(n_edges AS DOUBLE)")} END AS leak_pct
+       |FROM (SELECT 'cluster_atomic' AS method, n_edges, x_cluster AS n_cross FROM t
+       |      UNION ALL
+       |      SELECT 'doc_hash' AS method, n_edges, x_naive AS n_cross FROM t)
+       |ORDER BY method""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_anti_join" -> (uniqueDocs _),
     "q_doc_dedup" -> (docDedup _),
@@ -3071,6 +3343,9 @@ object TextQueries {
     "q_lang_id" -> (langId _),
     "q_lang_agreement" -> (langAgreement _),
     "q_cohens_kappa" -> (cohensKappa _),
+    "q_mcnemar" -> (mcnemar _),
+    "q_fleiss_kappa" -> (fleissKappa _),
+    "q_split_leakage" -> (splitLeakage _),
     "q_text_stats" -> (textStats _),
     "q_token_count" -> (tokenCount _),
     "q_quality_score" -> (qualityScoreQ _),
@@ -3118,6 +3393,9 @@ object TextQueries {
     "q_containment" -> sqlContainment,
     "q_lang_id" -> sqlLangId,
     "q_lang_agreement" -> sqlLangAgreement,
+    "q_mcnemar" -> sqlMcnemar,
+    "q_fleiss_kappa" -> sqlFleissKappa,
+    "q_split_leakage" -> sqlSplitLeakage,
     "q_cohens_kappa" -> sqlCohensKappa,
     "q_text_stats" -> sqlTextStats,
     "q_token_count" -> sqlTokenCount,

@@ -664,7 +664,121 @@ object Projection {
        |ORDER BY dim""".stripMargin
   }
 
+  // ---------- q_stump_split: histogram decision-stump split finder ----------
+
+  private val StumpDims = 4
+  private val StumpBuckets = 32
+
+  /** Histogram-based best-split search for a decision stump over the
+    * first [[StumpDims]] embedding dimensions vs the stored label —
+    * the per-feature inner loop of every gradient-boosting / tree
+    * learner (XGBoost/LightGBM's `hist` method): bucketize the
+    * feature into [[StumpBuckets]] equi-width bins, build per-bin
+    * label histograms, and evaluate Gini gain at every bin boundary
+    * from CUMULATIVE counts — never a sort, never per-row threshold
+    * scans. The output per dimension is the best boundary, the child
+    * sizes, and the gain — the feature-audit a labeling pipeline runs
+    * to ask "does any single dimension already separate the classes?"
+    *
+    * Determinism/parity: features enter as exact µ-unit integers
+    * (floor(x·10⁶+0.5) of the identical float→double value); bin
+    * edges are integer arithmetic on (mn, mx); every histogram and
+    * cumulative count is an exact BIGINT; the gain is three divisions
+    * of those integers evaluated in the identical literal order on
+    * both engines (bit-identical — FLOAT_AUDIT.md doctrine), with the
+    * bin index as the struct-max tie-break and one round4 at the
+    * output edge.
+    *
+    * Scale: state is bounded by dims × bins × labels (constants),
+    * the per-row work is one bucket assignment, and the
+    * threshold × histogram expansion is constants-sized — the same
+    * shape that lets `hist` learners train on billions of rows.
+    */
+  def stumpSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val vals = Tables.embeddings(spark, sfDir)
+      .select(col("label"),
+        posexplode(slice(col("embedding"), 1, StumpDims)).as(Seq("dim", "xf")))
+      .select(col("dim").cast("long").as("dim"), col("label"),
+        floor(col("xf").cast("double") * 1000000.0 + 0.5).as("x6"))
+    val rng = vals.groupBy("dim").agg(min("x6").as("mn"), max("x6").as("mx"))
+    val cnt = vals.join(broadcast(rng), "dim")
+      .withColumn("bucket",
+        expr(s"((x6 - mn) * $StumpBuckets) div (mx - mn + 1)"))
+      .groupBy("dim", "bucket", "label").agg(count(lit(1)).as("c"))
+    val thrs = sequence(lit(0L), lit((StumpBuckets - 2).toLong))
+    val cum = cnt.withColumn("b", explode(thrs))
+      .filter(col("bucket") <= col("b"))
+      .groupBy("dim", "b", "label").agg(sum("c").as("cum"))
+    val tot = cnt.groupBy("dim", "label").agg(sum("c").as("totc"))
+    val grid = tot.withColumn("b", explode(thrs))
+      .join(cum, Seq("dim", "b", "label"), "left")
+      .withColumn("cum0", coalesce(col("cum"), lit(0L)))
+    val perThr = grid.groupBy("dim", "b")
+      .agg(sum("cum0").as("nl"),
+        sum(col("cum0") * col("cum0")).as("sl"),
+        sum((col("totc") - col("cum0")) * (col("totc") - col("cum0"))).as("sr"),
+        sum("totc").as("n"),
+        sum(col("totc") * col("totc")).as("s_all"))
+    val gain =
+      when(col("nl") === 0, lit(0.0)).otherwise(col("sl").cast("double") /
+        (col("nl").cast("double") * col("n").cast("double"))) +
+      when(col("n") - col("nl") === 0, lit(0.0)).otherwise(col("sr").cast("double") /
+        ((col("n") - col("nl")).cast("double") * col("n").cast("double"))) -
+      col("s_all").cast("double") / (col("n").cast("double") * col("n").cast("double"))
+    perThr.withColumn("g", gain)
+      .groupBy("dim")
+      .agg(max(struct(col("g"), (-col("b")).as("nb"),
+        col("nl").as("l"), (col("n") - col("nl")).as("r"))).as("best"))
+      .select(col("dim"), (-col("best.nb")).as("thr_bucket"),
+        col("best.l").as("n_left"), col("best.r").as("n_right"),
+        graft.text.TextFns.round4(col("best.g")).as("gain"))
+      .orderBy("dim")
+  }
+
+  private val sqlStumpSplit = {
+    val gainSql =
+      "(CASE WHEN nl = 0 THEN 0.0 ELSE CAST(sl AS DOUBLE) / " +
+        "(CAST(nl AS DOUBLE) * CAST(n AS DOUBLE)) END " +
+        "+ CASE WHEN n - nl = 0 THEN 0.0 ELSE CAST(sr AS DOUBLE) / " +
+        "(CAST(n - nl AS DOUBLE) * CAST(n AS DOUBLE)) END " +
+        "- CAST(s_all AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+    s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |     vals AS (SELECT CAST(d.range AS BIGINT) AS dim, label,
+       |                     CAST(floor(v[CAST(d.range + 1 AS INT)] * 1000000.0 + 0.5) AS BIGINT) AS x6
+       |              FROM e CROSS JOIN range(0, $StumpDims) d),
+       |     rng AS (SELECT dim, min(x6) AS mn, max(x6) AS mx FROM vals GROUP BY 1),
+       |     bkt AS (SELECT vals.dim, label,
+       |                    ((x6 - mn) * $StumpBuckets) // (mx - mn + 1) AS bucket
+       |             FROM vals JOIN rng ON vals.dim = rng.dim),
+       |     cnt AS (SELECT dim, bucket, label, CAST(count(*) AS BIGINT) AS c
+       |             FROM bkt GROUP BY 1, 2, 3),
+       |     cum AS (SELECT dim, t.range AS b, label, CAST(sum(c) AS BIGINT) AS cum
+       |             FROM cnt CROSS JOIN range(0, ${StumpBuckets - 1}) t
+       |             WHERE bucket <= t.range GROUP BY 1, 2, 3),
+       |     tot AS (SELECT dim, label, CAST(sum(c) AS BIGINT) AS totc
+       |             FROM cnt GROUP BY 1, 2),
+       |     grid AS (SELECT tot.dim, t.range AS b, tot.label, tot.totc,
+       |                     coalesce(cum.cum, 0) AS cum0
+       |              FROM tot CROSS JOIN range(0, ${StumpBuckets - 1}) t
+       |              LEFT JOIN cum ON cum.dim = tot.dim AND cum.b = t.range
+       |                           AND cum.label = tot.label),
+       |     pt AS (SELECT dim, b, CAST(sum(cum0) AS BIGINT) AS nl,
+       |                   CAST(sum(cum0 * cum0) AS BIGINT) AS sl,
+       |                   CAST(sum((totc - cum0) * (totc - cum0)) AS BIGINT) AS sr,
+       |                   CAST(sum(totc) AS BIGINT) AS n,
+       |                   CAST(sum(totc * totc) AS BIGINT) AS s_all
+       |            FROM grid GROUP BY 1, 2),
+       |     gn AS (SELECT dim, b, nl, n - nl AS nr, $gainSql AS g FROM pt),
+       |     best AS (SELECT dim, max({'g': g, 'nb': -b, 'l': nl, 'r': nr}) AS bs
+       |              FROM gn GROUP BY dim)
+       |SELECT dim, CAST(-(bs.nb) AS BIGINT) AS thr_bucket,
+       |       CAST(bs.l AS BIGINT) AS n_left, CAST(bs.r AS BIGINT) AS n_right,
+       |       ${graft.text.TextFns.duckRound4("bs.g")} AS gain
+       |FROM best ORDER BY dim""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stump_split" -> (stumpSplit _),
     "q_pca_power" -> (pcaPower _),
     "q_rand_proj" -> (randProj _),
     "q_centroid_drift" -> (centroidDrift _),
@@ -674,6 +788,7 @@ object Projection {
     "q_centroid_outliers" -> (centroidOutliers _))
 
   val oracle: Map[String, String] = Map(
+    "q_stump_split" -> sqlStumpSplit,
     "q_rand_proj" -> sqlRandProj,
     "q_centroid_drift" -> sqlCentroidDrift,
     "q_dim_corr" -> sqlDimCorr,
