@@ -446,7 +446,144 @@ object MediaQueries {
        |       (CAST(amp AS DOUBLE) > $RmsVoiceThreshold) AS voiced
        |FROM a ORDER BY media_id, frame_idx""".stripMargin
 
+  // ---------- q_phash_neardup: banded-Hamming image near-dup clusters ----------
+
+  private val PhashMaxHamming = 7
+
+  /** Image NEAR-dup clustering over perceptual hashes — the
+    * multimodal twin of `q_simhash_neardup`: where [[imagePhash]]
+    * proves cross-RESOLUTION collisions (same content, same hash),
+    * this query handles images whose content is slightly PERTURBED
+    * (re-encodes, watermark pixels, small edits) so their aHashes
+    * differ in a few bits. Each selected document renders its class
+    * pattern (c = id%11) with a variant perturbation (t = id%3;
+    * t>0 flips one deterministic cell by +128 mod 256), decodes
+    * through the real PNG codec, and near-dups cluster by the exact
+    * SimHash discipline: distinct fingerprints first (never pairs at
+    * duplicate multiplicity), 8×8-bit bands, Hamming ≤
+    * [[PhashMaxHamming]] (pigeonhole: ≤7 flipped bits leave ≥1 of 8
+    * bands intact), one-hop min-rep election.
+    *
+    * The oracle rebuilds every (class, variant) hash arithmetically
+    * (64·v > Σv cross-product per cell — the [[imagePhash]] contract)
+    * as both the 64-char band string and two integer halves, then
+    * replays the identical banding. Whatever merges the arithmetic
+    * implies (including any cross-class band luck) merges identically
+    * on both sides.
+    *
+    * Scale: per-image CPU decode (mapPartitions, no shuffle), then
+    * fingerprint-grain banding — bucket sizes set by hash entropy,
+    * not corpus size; cluster output, never a pair list.
+    */
+  def phashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 3)
+      .select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val c = (id % 11).toInt
+        val t = (id % 3).toInt
+        val pert = (c * 5 + t * 17) % 64
+        val s = 2
+        val wh = 8 * s
+        val img = new java.awt.image.BufferedImage(
+          wh, wh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < 8) {
+          var j = 0
+          while (j < 8) {
+            val base = (c * 7 + i * 13 + j * 29) % 256
+            val v = if (t > 0 && i * 8 + j == pert) (base + 128) % 256 else base
+            val rgb = (v << 16) | (v << 8) | v
+            var dy = 0
+            while (dy < s) {
+              var dx = 0
+              while (dx < s) { img.setRGB(j * s + dx, i * s + dy, rgb); dx += 1 }
+              dy += 1
+            }
+            j += 1
+          }
+          i += 1
+        }
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        Multimodal.MediaRow(id, "image", buf.toByteArray,
+          Multimodal.MediaMeta(Some(wh), Some(wh), None, None, Some("png")))
+      }
+    }
+    val ph = Multimodal.imagePhash(media.toDF()).toDF()
+      .select(col("media_id"), col("phash"))
+      .withColumn("hi", conv(substring(col("phash"), 1, 32), 2, 10).cast("long"))
+      .withColumn("lo", conv(substring(col("phash"), 33, 32), 2, 10).cast("long"))
+    // distinct fingerprints BEFORE any pairwise work (CLAUDE.md rule)
+    val fps = ph.groupBy("phash", "hi", "lo")
+      .agg(min(col("media_id")).as("rep"), count(lit(1)).as("sz"))
+    val bandKeys = array((0 until 8).map { b =>
+      concat(lit(s"$b:"), substring(col("phash"), b * 8 + 1, 8))
+    }: _*)
+    val bands = fps.select(col("phash"), col("hi"), col("lo"), col("rep"),
+      explode(bandKeys).as("band"))
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.rep") > col("b.rep"))
+      .filter((bit_count(col("a.hi").bitwiseXOR(col("b.hi"))) +
+        bit_count(col("a.lo").bitwiseXOR(col("b.lo")))) <= PhashMaxHamming)
+      .select(col("a.phash").as("phash"), col("b.rep").as("nbr"))
+    val mn = pairs.groupBy("phash").agg(min(col("nbr")).as("mnr"))
+    fps.join(mn, Seq("phash"), "left")
+      .select(col("sz"),
+        least(col("rep"), coalesce(col("mnr"), col("rep"))).as("cluster_id"))
+      .groupBy("cluster_id")
+      .agg(sum(col("sz")).as("n_images"), count(lit(1)).as("n_hashes"))
+      .orderBy("cluster_id")
+  }
+
+  private val sqlPhashNearDup = {
+    val bandList = (0 until 8).map { b =>
+      s"'$b:' || substring(phash, ${b * 8 + 1}, 8)"
+    }.mkString("[", ", ", "]")
+    s"""WITH sel AS (SELECT doc_id, doc_id % 11 AS c, doc_id % 3 AS t
+       |             FROM documents WHERE doc_id % 5 = 3),
+       |     var AS (SELECT DISTINCT c, t FROM sel),
+       |     cell AS (SELECT c, t, k.k,
+       |                CASE WHEN t > 0 AND k.k = (c * 5 + t * 17) % 64
+       |                     THEN ((c * 7 + (k.k // 8) * 13 + (k.k % 8) * 29) % 256 + 128) % 256
+       |                     ELSE (c * 7 + (k.k // 8) * 13 + (k.k % 8) * 29) % 256 END AS v
+       |              FROM var CROSS JOIN (SELECT unnest(range(64)) AS k) k),
+       |     tot AS (SELECT c, t, CAST(sum(v) AS BIGINT) AS tv FROM cell GROUP BY 1, 2),
+       |     bits AS (SELECT cell.c, cell.t, cell.k,
+       |                     CASE WHEN 64 * cell.v > tot.tv THEN 1 ELSE 0 END AS b
+       |              FROM cell JOIN tot ON cell.c = tot.c AND cell.t = tot.t),
+       |     hash AS (SELECT c, t,
+       |                string_agg(CASE WHEN b = 1 THEN '1' ELSE '0' END, '' ORDER BY k) AS phash,
+       |                CAST(sum(CASE WHEN k < 32
+       |                          THEN b * (CAST(1 AS BIGINT) << (31 - CAST(k AS INT)))
+       |                          ELSE 0 END) AS BIGINT) AS hi,
+       |                CAST(sum(CASE WHEN k >= 32
+       |                          THEN b * (CAST(1 AS BIGINT) << (63 - CAST(k AS INT)))
+       |                          ELSE 0 END) AS BIGINT) AS lo
+       |              FROM bits GROUP BY 1, 2),
+       |     imgs AS (SELECT sel.doc_id AS media_id, hash.phash, hash.hi, hash.lo
+       |              FROM sel JOIN hash ON sel.c = hash.c AND sel.t = hash.t),
+       |     fps AS (SELECT phash, hi, lo, min(media_id) AS rep, count(*) AS sz
+       |             FROM imgs GROUP BY 1, 2, 3),
+       |     bands AS (SELECT phash, hi, lo, rep, unnest($bandList) AS band FROM fps),
+       |     pairs AS (SELECT a.phash AS phash, b.rep AS nbr
+       |               FROM bands a JOIN bands b
+       |                 ON a.band = b.band AND a.rep > b.rep
+       |               WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+       |                     <= $PhashMaxHamming),
+       |     mn AS (SELECT phash, min(nbr) AS mnr FROM pairs GROUP BY 1),
+       |     cl AS (SELECT fps.sz,
+       |                   least(fps.rep, coalesce(mn.mnr, fps.rep)) AS cluster_id
+       |            FROM fps LEFT JOIN mn ON fps.phash = mn.phash)
+       |SELECT cluster_id, CAST(sum(sz) AS BIGINT) AS n_images,
+       |       CAST(count(*) AS BIGINT) AS n_hashes
+       |FROM cl GROUP BY 1 ORDER BY cluster_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_phash_neardup" -> (phashNearDup _),
     "q_audio_rms" -> (audioRms _),
     "q_image_decode" -> (imageDecode _),
     "q_image_stats" -> (imageStats _),
@@ -455,6 +592,7 @@ object MediaQueries {
     "q_video_sample" -> (videoSample _))
 
   val oracle: Map[String, String] = Map(
+    "q_phash_neardup" -> sqlPhashNearDup,
     "q_audio_rms" -> sqlAudioRms,
     "q_image_decode" -> sqlImageDecode,
     "q_image_stats" -> sqlImageStats,
