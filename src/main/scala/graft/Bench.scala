@@ -260,7 +260,7 @@ object Bench {
     def mb(b: Long): Long = b / (1024 * 1024)
     def emit(stats: Seq[Stat], sf2Best: Map[String, Double],
              upFinal: Map[String, Double], upFactor: Int,
-             sf2Dir: String): Unit = {
+             sf2Dir: String, up30: Map[String, Double] = Map.empty): Unit = {
       val failed = stats.collect { case s if s.best < 0 => "\"" + s.name + "\"" }
       val total = stats.collect { case s if s.best >= 0 => s.best }.sum
       val errs = s""""errors":[${failed.mkString(",")}]"""
@@ -332,6 +332,20 @@ object Bench {
           s""""sfup_skipped":${skippedNames.size},"sfup_skipped_names":$namesJson,""" +
           s""""superlinear":$fl"""
       }
+      // 30× spot summary: count + total + any query whose 30× ratio
+      // exceeds 45 (the 15×-per-10× superlinear bar scaled to 30×)
+      val up30line = if (up30.isEmpty) "" else {
+        val done30 = up30.filter(_._2 >= 0)
+        val flagged30 = stats.flatMap { s =>
+          up30.get(s.name).collect {
+            case t if t >= 0 && s.best >= 0.05 && t / s.best > 45.0 =>
+              s"""{"q":"${s.name}","ratio":${fmt(t / s.best, 1)}}"""
+          }
+        }
+        s""","sfup30_n":${done30.size},"sfup30_total":${fmt(done30.values.sum, 2)},""" +
+          s""""sfup30_skipped":${up30.count(_._2 == -2.0)},""" +
+          s""""superlinear30":${flagged30.mkString("[", ",", "]")}"""
+      }
       // suite-level plan-volume totals (best runs): the one-line scale
       // signature next to the one-line timing
       val vols = s""""shuffle_mb":${mb(stats.map(_.shuffleB).sum)},""" +
@@ -340,7 +354,7 @@ object Bench {
         val qs = stats.map { s => "\"" + s.name + "\":" + fmt(s.best, scale) }
           .mkString("{", ",", "}")
         s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
-          s""""queries":$qs,$vols,$errs,$regs$scaling$upline,"sf":"$sfDir"}"""
+          s""""queries":$qs,$vols,$errs,$regs$scaling$upline$up30line,"sf":"$sfDir"}"""
       }
       // last resort (query set too big for even 1-decimal full maps):
       // keep the SLOWEST 20 queries in the line — the per-query numbers
@@ -352,7 +366,7 @@ object Bench {
           .mkString("{", ",", "}")
         s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
           s""""queries":$qs,"omitted":${stats.size - top.size},$vols,$errs,""" +
-          s"""$regs$scaling$upline,"sf":"$sfDir"}"""
+          s"""$regs$scaling$upline$up30line,"sf":"$sfDir"}"""
       }
       val compact = {
         val l2 = line(2)
@@ -369,10 +383,11 @@ object Bench {
             (if (s.isoRuns.nonEmpty) ",\"iso_runs\":[" + s.isoRuns.mkString(",") + "]" else "") +
             ",\"shuffle_mb\":" + mb(s.shuffleB) + ",\"spill_mb\":" + mb(s.spillB) +
             sf2Best.get(s.name).map(t => ",\"sf2_best\":" + t).getOrElse("") +
-            upFinal.get(s.name).map(t => ",\"sfup_best\":" + t).getOrElse("") + "}"
+            upFinal.get(s.name).map(t => ",\"sfup_best\":" + t).getOrElse("") +
+            up30.get(s.name).map(t => ",\"sfup30_best\":" + t).getOrElse("") + "}"
         }.mkString("{", ",", "}")
         val w = new java.io.PrintWriter("target/bench_detail.json")
-        try w.println(s"""{"total":$total,$vols,"queries":$detail,$regs$scaling$upline,"sf":"$sfDir"}""")
+        try w.println(s"""{"total":$total,$vols,"queries":$detail,$regs$scaling$upline$up30line,"sf":"$sfDir"}""")
         finally w.close()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] bench_detail.json write failed: ${e.getMessage}") }
@@ -535,9 +550,59 @@ object Bench {
       } else s
     }
     val stats = retimeSuspects(statsRaw)
+    // 30× SPOT pass (round-13 verdict stretch #9): a second upward
+    // scaling point so the scale grade rests on two ratios, not one.
+    // Spot set = top-10 most expensive main-SF queries + any query
+    // whose 10× ratio exceeded 3× (capped at 16). Deadline-aware like
+    // the 10× pass — in driver-shape runs the 10× pass usually eats
+    // the leftover and this pass skips honestly (logged); the local
+    // finalization run supplies the artifact via
+    // SPARK_GRAFT_SFUP30_BUDGET_SEC, and its bench_detail is archived
+    // under tools/ per round.
+    val up30Factor = 30
+    val up30Budget = sys.env.get("SPARK_GRAFT_SFUP30_BUDGET_SEC").map(_.toDouble)
+      .getOrElse(math.max(0.0, deadlineSec - elapsedSec - 240.0))
+    val up30: Map[String, Double] =
+      if (sys.env.getOrElse("SPARK_GRAFT_SFUP", "1").isEmpty || upFinal.isEmpty)
+        Map.empty
+      else {
+        val dir30 = sys.env.getOrElse("SPARK_GRAFT_SFUP30_DIR",
+          s"${System.getProperty("java.io.tmpdir")}/graft_sfup_${up30Factor}x")
+        val haveFixture = java.nio.file.Files.exists(Upscale.marker(dir30))
+        // fixture generation at 30× is minutes of unbudgeted work —
+        // require real slack before paying it
+        if (up30Budget < (if (haveFixture) 120 else 600)) {
+          System.err.println(
+            f"[bench] sfup30 spot pass skipped: budget $up30Budget%.0f s")
+          Map.empty
+        } else {
+          val topTen = stats.filter(_.best >= 0).sortBy(-_.best).take(10).map(_.name)
+          val hot = upFinal.collect { case (n, t)
+              if t >= 0 && statsBySfBest.getOrElse(n, -1.0) >= 0.05 &&
+                t / statsBySfBest(n) > 3.0 => n }.toSeq.sorted
+          val spot = (topTen ++ hot).distinct.take(16)
+          try Upscale.ensure(spark, sfDir, dir30, up30Factor)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] sfup30 generation failed: ${e.getMessage}") }
+          if (!java.nio.file.Files.exists(Upscale.marker(dir30))) Map.empty
+          else {
+            var spent = 0.0
+            spot.flatMap { name =>
+              val est = statsBySfBest.getOrElse(name, 0.0).max(0.0) * up30Factor
+              if (spent + est > up30Budget) Some(name -> -2.0)
+              else qmap.get(name).map { fn =>
+                val r = execOnce(name, fn, dir30)
+                System.gc()
+                if (r.sec >= 0) spent += r.sec
+                name -> r.sec
+              }
+            }.toMap
+          }
+        }
+      }
     // ---------- final (most-enriched) line: the one the driver parses
     // when the run completes within the envelope ----------
-    emit(stats, sf2Best, upFinal, upFactor, sf2Dir)
+    emit(stats, sf2Best, upFinal, upFactor, sf2Dir, up30)
     spark.stop()
   }
 }
