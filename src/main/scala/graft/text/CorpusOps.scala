@@ -990,8 +990,105 @@ object CorpusOps {
        |SELECT rk, term, df, weight FROM r WHERE rk <= $PrfE ORDER BY rk""".stripMargin
   }
 
+  // ---------- q_ranker_overlap: BM25-vs-TFIDF ranking agreement ----------
+
+  private val OverlapK = 10
+
+  /** Top-[[OverlapK]] agreement between two rankers answering the
+    * SAME query — [[bm25]] and a classic tf·idf scorer — the audit an
+    * IR team runs before swapping scoring functions: overlap@k and
+    * Jaccard of the two top-k result sets say how much of the serving
+    * surface actually changes (a high-agreement swap is a safe
+    * rollout; a low one needs a relevance eval first). Both rankers
+    * run over the identical tokenized corpus and the identical query
+    * terms, so the delta isolates the scoring function.
+    *
+    * Parity: both scores pass ln through the round4 gate BEFORE their
+    * ranks (the q_bm25 discipline), both ranks break ties on doc_id,
+    * and the agreement numbers are exact integers with one round4
+    * ratio each at the edge.
+    *
+    * Scale: two vocab-bounded scoring passes + two top-k
+    * (TakeOrdered-shaped) selections + one k-sized intersection.
+    */
+  def rankerOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = bm25(spark, sfDir).filter(col("rk") <= OverlapK)
+      .select(col("doc_id").as("a_id"))
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+    val terms = docs
+      .select(col("doc_id"), explode_outer(col("ts")).as("term"))
+      .filter(col("term").isInCollection(QueryTerms))
+    val tf = terms.groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nn = docs.agg(count(lit(1)).as("n_docs"))
+    val perTerm = QueryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("w"))).as(s"w$i")
+    }
+    val b = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(nn))
+      .withColumn("w", col("tf") * log((col("n_docs").cast("double") + 1.0) /
+        (col("df").cast("double") + 1.0)))
+      .groupBy("doc_id").agg(perTerm.head, perTerm.tail: _*)
+      .withColumn("score", TextFns.round4(
+        QueryTerms.indices.map(i => coalesce(col(s"w$i"), lit(0.0)))
+          .reduceLeft(_ + _)))
+      // two-phase top-k (the q_bm25 discipline): per-hash-partition
+      // top-k first so the global window only ever sees 8·k rows —
+      // never a fact-scale single-partition sort
+      .withColumn("rk1", row_number().over(Window
+        .partitionBy(pmod(col("doc_id"), lit(8L)))
+        .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rk1") <= OverlapK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rk") <= OverlapK)
+      .select(col("doc_id").as("b_id"))
+    a.join(b, col("a_id") === col("b_id"), "full_outer")
+      .agg(count(when(col("a_id").isNotNull && col("b_id").isNotNull, 1)).as("n_common"),
+        count(when(col("a_id").isNotNull || col("b_id").isNotNull, 1)).as("n_union"))
+      .select(lit(OverlapK.toLong).as("k"), col("n_common"),
+        TextFns.round4(col("n_common").cast("double") / lit(OverlapK.toDouble))
+          .as("overlap_at_k"),
+        TextFns.round4(col("n_common").cast("double") /
+          col("n_union").cast("double")).as("jaccard"))
+  }
+
+  private val sqlRankerOverlap = {
+    val inList = QueryTerms.map(t => s"'$t'").mkString(", ")
+    val sumTerms = QueryTerms.map { t =>
+      s"coalesce(sum(CASE WHEN term = '$t' THEN w END), 0.0)"
+    }.mkString(" + ")
+    s"""WITH a AS (SELECT doc_id AS a_id FROM ($sqlBm25) WHERE rk <= $OverlapK),
+       |     t AS (SELECT doc_id, $duckTokens AS ts FROM documents),
+       |     e AS (SELECT doc_id, unnest(ts) AS term FROM t),
+       |     tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       |            FROM e WHERE term IN ($inList) GROUP BY 1, 2),
+       |     dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |     nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |     wt AS (SELECT doc_id, term,
+       |              tf * ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS w
+       |            FROM tf JOIN dfreq USING (term) CROSS JOIN nn),
+       |     sc AS (SELECT doc_id, ${TextFns.duckRound4(sumTerms)} AS score
+       |            FROM wt GROUP BY doc_id),
+       |     b AS (SELECT doc_id AS b_id FROM (
+       |             SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+       |             FROM sc) WHERE rk <= $OverlapK),
+       |     j AS (SELECT a_id, b_id FROM a FULL JOIN b ON a.a_id = b.b_id)
+       |SELECT CAST($OverlapK AS BIGINT) AS k,
+       |       CAST(count(CASE WHEN a_id IS NOT NULL AND b_id IS NOT NULL THEN 1 END) AS BIGINT) AS n_common,
+       |       ${TextFns.duckRound4(
+                 "CAST(count(CASE WHEN a_id IS NOT NULL AND b_id IS NOT NULL THEN 1 END) AS DOUBLE) " +
+                   s"/ $OverlapK.0")} AS overlap_at_k,
+       |       ${TextFns.duckRound4(
+                 "CAST(count(CASE WHEN a_id IS NOT NULL AND b_id IS NOT NULL THEN 1 END) AS DOUBLE) " +
+                   "/ CAST(count(CASE WHEN a_id IS NOT NULL OR b_id IS NOT NULL THEN 1 END) AS DOUBLE)")} AS jaccard
+       |FROM j""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_prf_expand" -> (prfExpand _),
+    "q_ranker_overlap" -> (rankerOverlap _),
     "q_loo_source" -> (looSource _),
     "q_waterfill_mix" -> (waterfillMix _),
     "q_jackknife_se" -> (jackknifeSe _),
@@ -1007,6 +1104,7 @@ object CorpusOps {
 
   val oracle: Map[String, String] = Map(
     "q_prf_expand" -> sqlPrfExpand,
+    "q_ranker_overlap" -> sqlRankerOverlap,
     "q_loo_source" -> sqlLooSource,
     "q_waterfill_mix" -> sqlWaterfillMix,
     "q_jackknife_se" -> sqlJackknifeSe,

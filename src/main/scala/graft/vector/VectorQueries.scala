@@ -468,6 +468,68 @@ object VectorQueries {
        |FROM best WHERE rk = 1 GROUP BY label, c_label
        |ORDER BY label, assigned""".stripMargin
 
+  // ---------- q_ivf_balance: cell-imbalance audit + rebalance plan ----------
+
+  /** IVF cell-BALANCE audit with a split/merge maintenance plan — the
+    * index-health check an ANN serving team runs before nprobe tuning
+    * (FAISS's "imbalance factor"): a cell 2× over the mean dominates
+    * every probe that lands in it (probe latency is cell size), and a
+    * cell under half the mean wastes a centroid. Output per cell: its
+    * population, integer basis-point share, the plan verdict
+    * (split / ok / merge), and for splits the target sub-cell count
+    * ceil(n/mean). All comparisons are INTEGER cross-products
+    * (n·C vs 2·N etc.) — no float enters a verdict.
+    *
+    * Scale: one linear assignment pass ([[assignedCells]], broadcast
+    * codebook) + a cell-grain aggregate; the plan math is
+    * constant-size arithmetic against broadcast totals.
+    */
+  def ivfBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val sizes = assignedCells(withVecs(spark, sfDir))
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val tots = sizes.agg(sum(col("n_vecs")).as("nn"),
+      count(lit(1)).as("cc"))
+    sizes.crossJoin(broadcast(tots))
+      .select(col("cell"), col("n_vecs"),
+        expr("(n_vecs * 10000) div nn").as("share_bp"),
+        when(col("n_vecs") * col("cc") > lit(2L) * col("nn"), "split")
+          .when(lit(2L) * col("n_vecs") * col("cc") < col("nn"), "merge")
+          .otherwise("ok").as("plan"),
+        when(col("n_vecs") * col("cc") > lit(2L) * col("nn"),
+          expr("(n_vecs * cc + nn - 1) div nn")).otherwise(lit(1L))
+          .as("split_into"))
+      .orderBy("cell")
+  }
+
+  private val sqlIvfBalance =
+    s"""WITH $duckVecs,
+       |     x AS (SELECT label AS c_label, CAST(i - 1 AS INT) AS dim, v[CAST(i AS INT)] AS x
+       |           FROM e0 CROSS JOIN range(1, 65) t(i)),
+       |     cd AS (SELECT c_label, dim, avg(x) AS cx FROM x GROUP BY c_label, dim),
+       |     c0 AS (SELECT c_label, list_transform(list_sort(list({'dim': dim, 'cx': cx})), p -> p.cx) AS cv
+       |            FROM cd GROUP BY c_label),
+       |     c AS (SELECT c_label, cv, sqrt(${duckDot("cv", "cv")}) AS cnrm FROM c0),
+       |     scored AS (SELECT e.vec_id, c.c_label,
+       |                       ${duckDot("e.v", "c.cv")} / (e.nrm * c.cnrm) AS sim
+       |                FROM e CROSS JOIN c),
+       |     best AS (SELECT vec_id, c_label,
+       |                     row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY ${duckRound6("sim")} DESC, c_label) AS rk
+       |              FROM scored),
+       |     sizes AS (SELECT c_label AS cell, CAST(count(*) AS BIGINT) AS n_vecs
+       |               FROM best WHERE rk = 1 GROUP BY 1),
+       |     tots AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS nn,
+       |                     CAST(count(*) AS BIGINT) AS cc FROM sizes)
+       |SELECT cell, n_vecs,
+       |       CAST((n_vecs * 10000) // nn AS BIGINT) AS share_bp,
+       |       CASE WHEN n_vecs * cc > 2 * nn THEN 'split'
+       |            WHEN 2 * n_vecs * cc < nn THEN 'merge'
+       |            ELSE 'ok' END AS plan,
+       |       CASE WHEN n_vecs * cc > 2 * nn
+       |            THEN CAST((n_vecs * cc + nn - 1) // nn AS BIGINT)
+       |            ELSE CAST(1 AS BIGINT) END AS split_into
+       |FROM sizes CROSS JOIN tots ORDER BY cell""".stripMargin
+
   // ---------- 6. q_ivf_search: IVF-pruned approximate kNN ----------
 
   /** The IVF QUERY path completing [[ivfAssign]]'s index build: the
@@ -3397,7 +3459,8 @@ object VectorQueries {
     "q_ann_lsh" -> (annLsh _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_centroids" -> (centroids _),
-    "q_ivf_assign" -> (ivfAssign _))
+    "q_ivf_assign" -> (ivfAssign _),
+    "q_ivf_balance" -> (ivfBalance _))
 
   val oracle: Map[String, String] = Map(
     "q_semdedup_sweep" -> sqlSemdedupSweep,
@@ -3441,5 +3504,6 @@ object VectorQueries {
     "q_ann_lsh" -> sqlAnnLsh,
     "q_embed_neardup" -> sqlEmbedNearDup,
     "q_centroids" -> sqlCentroids,
-    "q_ivf_assign" -> sqlIvfAssign)
+    "q_ivf_assign" -> sqlIvfAssign,
+    "q_ivf_balance" -> sqlIvfBalance)
 }

@@ -38,6 +38,7 @@ class WindowAuditSpec extends SparkSpec {
     "q_ntile",           // dim-cardinality segmentation (scale note at site)
     "q_percent_rank",    // nation-grain relative standing
     "q_prf_expand",      // vocab-grain expansion-term rank (round-13)
+    "q_ranker_overlap",  // two-phase top-k: global rank sees <= 8k rows (round-13)
     "q_rrf_fusion",      // per-probe fused rank over capped candidates
     "q_running_total",   // month-grain running total (calendar)
     "q_sql_lag",         // month-grain SQL-surface lag
