@@ -1678,7 +1678,15 @@ object TextQueries {
     * whose buckets contain no other doc stay singletons (left join +
     * coalesce to their own rep).
     */
-  private[text] def docComponents(docs: DataFrame): DataFrame = {
+  /** [[docComponents]] plus the CHECKPOINTED collision set it was
+    * built from — for consumers that need both the labeling and the
+    * collision edges ([[splitLeakage]]) without paying the minhash
+    * signature scan twice. The returned `br` stays resident (its ids
+    * are returned, NOT freed); callers that don't consume it use
+    * [[docComponents]], which frees it immediately.
+    */
+  private[text] def docComponentsTracked(
+      docs: DataFrame): (DataFrame, DataFrame, Set[Int]) = {
     import graft.graph.ConnectedComponents
     // materialize the collision stage once: it feeds THREE consumers
     // (docMin, repEdges, and the final attach join), and without the
@@ -1698,14 +1706,20 @@ object TextQueries {
       .select(col("doc_id"),
         coalesce(col("component"), col("rep0")).as("component"))
     // materialize the tiny (doc_id, component) labeling eagerly so the
-    // collision set and per-round label blocks can be freed NOW —
-    // localCheckpoint blocks are unreachable by Dataset.unpersist, and
-    // without this every invocation (Bench runs each closure query
-    // twice per session) parks a persisted RDD until ContextCleaner GC.
-    // Only the final labeling's own checkpoint stays resident, one
-    // O(docs)-pair set the caller reads lazily (reclaimed on GC).
+    // per-round label blocks can be freed NOW — localCheckpoint blocks
+    // are unreachable by Dataset.unpersist, and without this every
+    // invocation (Bench runs each closure query twice per session)
+    // parks a persisted RDD until ContextCleaner GC.
     val (res, _) = ConnectedComponents.checkpointTracked(out)
-    ConnectedComponents.free(docs, brIds ++ repIds)
+    ConnectedComponents.free(docs, repIds)
+    (res, br, brIds)
+  }
+
+  private[text] def docComponents(docs: DataFrame): DataFrame = {
+    import graft.graph.ConnectedComponents
+    val (res, _, brIds) = docComponentsTracked(docs)
+    // collision set not consumed here — free it NOW (see tracked doc)
+    ConnectedComponents.free(docs, brIds)
     res
   }
 
@@ -3236,11 +3250,13 @@ object TextQueries {
     */
   def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val edges = bandReps(docs)
+    // one signature scan for BOTH the labeling and the edge list: the
+    // closure's checkpointed collision set IS the edge set (already
+    // distinct (doc_id, rep) pairs)
+    val (comp, br, _) = docComponentsTracked(docs)
+    val edges = br
       .filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("a"), col("doc_id").as("b"))
-      .distinct()
-    val comp = docComponents(docs)
     def split10(c: Column): Column =
       pmod(graft.functions.TextHashes.polyHash(c.cast("string")), lit(10L))
     def splitLab(b: Column): Column =
