@@ -507,6 +507,57 @@ object EventQueries {
       |FROM nx WHERE to_type IS NOT NULL
       |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
 
+  // ---------- q_reciprocity: directed-transition reciprocity ----------
+
+  /** Reciprocity of the session transition graph — for the directed
+    * event-type edges [[transitions]] mines, how often does the
+    * reverse edge also occur (edge reciprocity), and how much of the
+    * transition VOLUME is matched by reverse volume (weighted
+    * reciprocity, Σ min(n_ab, n_ba)/Σ n_ab — Garlaschelli & Loffredo
+    * 2004)? High reciprocity says the funnel has back-edges (users
+    * bounce between states); near-zero says the flow is a DAG — the
+    * structural read that decides whether funnel analyses may assume
+    * forward progress.
+    *
+    * Shape: the shared oracle-verified [[transitions]] kernel (one
+    * lead window at user grain, type-pair aggregate), then a
+    * self-join at TYPE-PAIR grain (bounded by |types|²) and one
+    * global integer aggregate; two round4 ratios at the edge.
+    */
+  def reciprocity(spark: SparkSession, sfDir: String): DataFrame = {
+    val tr = transitions(spark, sfDir)
+      .filter(col("from_type") =!= col("to_type"))
+    val rev = tr.select(col("from_type").as("to_type"),
+      col("to_type").as("from_type"), col("n").as("n_rev"))
+    tr.join(rev, Seq("from_type", "to_type"), "left")
+      .agg(count(lit(1)).as("n_edges"),
+        count(col("n_rev")).as("n_reciprocated"),
+        sum(col("n")).as("n_transitions"),
+        sum(least(col("n"), coalesce(col("n_rev"), lit(0L)))).as("n_matched"))
+      .select(col("n_edges"), col("n_reciprocated"),
+        col("n_transitions"), col("n_matched"),
+        graft.text.TextFns.round4(col("n_reciprocated").cast("double") /
+          col("n_edges").cast("double")).as("edge_reciprocity"),
+        graft.text.TextFns.round4(col("n_matched").cast("double") /
+          col("n_transitions").cast("double")).as("weight_reciprocity"))
+  }
+
+  private def sqlReciprocity =
+    s"""WITH t0 AS ($sqlTransitions),
+       |     t AS (SELECT from_type, to_type, n FROM t0 WHERE from_type <> to_type),
+       |     j AS (SELECT a.n AS n, b.n AS n_rev
+       |           FROM t a LEFT JOIN t b
+       |             ON a.from_type = b.to_type AND a.to_type = b.from_type)
+       |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       |       CAST(count(n_rev) AS BIGINT) AS n_reciprocated,
+       |       CAST(sum(n) AS BIGINT) AS n_transitions,
+       |       CAST(sum(least(n, coalesce(n_rev, 0))) AS BIGINT) AS n_matched,
+       |       ${graft.text.TextFns.duckRound4(
+                 "CAST(count(n_rev) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS edge_reciprocity,
+       |       ${graft.text.TextFns.duckRound4(
+                 "CAST(sum(least(n, coalesce(n_rev, 0))) AS DOUBLE) / CAST(sum(n) AS DOUBLE)")} AS weight_reciprocity
+       |FROM j""".stripMargin
+
   // ---------- q_sax: symbolic aggregate approximation words ----------
 
   /** SAX breakpoints for a 4-symbol alphabet: the standard N(0,1)
@@ -3111,6 +3162,7 @@ object EventQueries {
     "q_time_decay" -> (timeDecay _),
     "q_ewma_trend" -> (ewmaTrend _),
     "q_transitions" -> (transitions _),
+    "q_reciprocity" -> (reciprocity _),
     "q_range_join" -> (rangeJoinSpans _),
     "q_events_tumbling" -> (eventsTumbling _),
     "q_events_session" -> (eventsSession _),
@@ -3161,6 +3213,7 @@ object EventQueries {
     "q_time_decay" -> sqlTimeDecay,
     "q_ewma_trend" -> sqlEwmaTrend,
     "q_transitions" -> sqlTransitions,
+    "q_reciprocity" -> sqlReciprocity,
     "q_range_join" -> sqlRangeJoinSpans,
     "q_events_tumbling" -> sqlEventsTumbling,
     "q_events_session" -> sqlEventsSession,

@@ -440,6 +440,57 @@ object TextAnalytics {
                  "CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS DOUBLE) / CAST(sum(sz) AS DOUBLE)")} AS risk_share
        |FROM f GROUP BY k ORDER BY k""".stripMargin
 
+  // ---------- q_l_diversity: sensitive-attribute diversity audit ----------
+
+  private val LThresholds = Seq(2L, 3L, 5L)
+
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the attack
+    * k-anonymity misses: an equivalence class can hold k rows and
+    * still leak the sensitive attribute when all k share one value
+    * (homogeneity attack). Quasi-identifiers are [[kanon]]'s
+    * (nationkey, balance band) MINUS the market segment, which
+    * becomes the SENSITIVE attribute; l(class) = distinct segments in
+    * the class. Per policy threshold: violating classes, rows at
+    * risk, risk share — the release-gate table a privacy review reads
+    * next to the k-anonymity one.
+    *
+    * Shape: one class-grain aggregate (count + count distinct), a
+    * constant threshold fan-out, integer counts, one round4 share.
+    */
+  def lDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val classes = Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).as("bal_band"))
+      .agg(count(lit(1)).as("sz"),
+        countDistinct(col("c_mktsegment")).as("l"))
+    classes
+      .select(col("sz"), col("l"),
+        explode_outer(array(LThresholds.map(lit): _*)).as("lmin"))
+      .groupBy("lmin")
+      .agg(count(lit(1)).as("n_classes"),
+        count(when(col("l") < col("lmin"), lit(1))).as("n_violating"),
+        sum(when(col("l") < col("lmin"), col("sz")).otherwise(lit(0L)))
+          .as("rows_at_risk"),
+        sum(col("sz")).as("nr"))
+      .withColumn("risk_share", TextFns.round4(
+        col("rows_at_risk").cast("double") / col("nr").cast("double")))
+      .select("lmin", "n_classes", "n_violating", "rows_at_risk", "risk_share")
+      .orderBy("lmin")
+  }
+
+  private val sqlLDiversity =
+    s"""WITH c AS (SELECT c_nationkey, floor(c_acctbal / 1000.0) AS bal_band,
+       |                  count(*) AS sz,
+       |                  count(DISTINCT c_mktsegment) AS l
+       |           FROM customer GROUP BY 1, 2),
+       |     f AS (SELECT sz, l, unnest([${LThresholds.mkString(", ")}]) AS lmin FROM c)
+       |SELECT lmin, CAST(count(*) AS BIGINT) AS n_classes,
+       |       CAST(count(CASE WHEN l < lmin THEN 1 END) AS BIGINT) AS n_violating,
+       |       CAST(sum(CASE WHEN l < lmin THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       |       ${TextFns.duckRound4(
+                 "CAST(sum(CASE WHEN l < lmin THEN sz ELSE 0 END) AS DOUBLE) / CAST(sum(sz) AS DOUBLE)")} AS risk_share
+       |FROM f GROUP BY lmin ORDER BY lmin""".stripMargin
+
   // ---------- q_neyman_alloc: optimal stratified-sample allocation ----------
 
   /** Neyman allocation (Neyman 1934) of a 1000-document audit sample
@@ -849,6 +900,7 @@ object TextAnalytics {
     "q_bow_classify" -> (bowClassify _),
     "q_neyman_alloc" -> (neymanAlloc _),
     "q_kanon" -> (kanon _),
+    "q_l_diversity" -> (lDiversity _),
     "q_cross_entropy" -> (crossEntropy _),
     "q_tfidf" -> (tfidf _),
     "q_strat_sample" -> (stratSample _),
@@ -865,6 +917,7 @@ object TextAnalytics {
     "q_bow_classify" -> sqlBowClassify,
     "q_neyman_alloc" -> sqlNeymanAlloc,
     "q_kanon" -> sqlKanon,
+    "q_l_diversity" -> sqlLDiversity,
     "q_cross_entropy" -> sqlCrossEntropy,
     "q_tfidf" -> sqlTfidf,
     "q_strat_sample" -> sqlStratSample,

@@ -2125,6 +2125,149 @@ object VectorQueries {
        |FROM r WHERE rank <= $TopK ORDER BY rank""".stripMargin
   }
 
+  // ---------- q_ivfpq_recall: end-to-end IVF-PQ serving recall ----------
+
+  /** Recall@[[TopK]] of the COMPOSED IVF-PQ serving path against
+    * exact search — the end-to-end number an index owner quotes
+    * ([[ivfpqAdc]] demonstrates the ADC mechanics for one probe; this
+    * audits the whole pipeline over the standard step-sampled probe
+    * set): coarse-quantize ([[assignedCells]], nprobe = 1), encode
+    * candidates as PQ codes, score by per-probe ADC lookup tables,
+    * and intersect each probe's ADC top-k with its exact cosine
+    * top-k. Losses decompose into cell misses (candidate not in the
+    * probe's cell) plus quantization misranks — the two knobs
+    * (nprobe, PQ bits) a serving team tunes.
+    *
+    * Parity: ADC ranks on round6 with vec_id tie-break (avg-built
+    * codebooks, the ulp rule); the exact side ranks the identical
+    * raw-cosine expression both engines ([[ivfRecallCurve]]'s exact
+    * convention); recall is one integer / constant ratio.
+    *
+    * Scale: LUTs are (probes × [[PqM]] × codes) — constant-size,
+    * broadcast; candidates are one cell per probe; the exact side's
+    * full scan is the audit's own cost, probe-capped ([[ProbeIdCap]]).
+    */
+  def ivfpqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+    val cells = assignedCells(vecs)
+    val probeSel = pmod(col("vec_id"), lit(RecallProbeStep)) === 0 &&
+      col("vec_id") < ProbeIdCap
+    val pcells = cells.filter(probeSel)
+      .select(col("vec_id").as("probe_id"), col("cell").as("pcell"))
+    val cands = cells.join(broadcast(pcells), col("cell") === col("pcell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+    val subs = pqSubRows(vecs)
+    val cb = pqCodebook(subs)
+    val codes = pqAssign(subs, cb).select(col("vec_id"), col("s"), col("code"))
+    val lut = pqSubRows(vecs.filter(probeSel))
+      .select(col("vec_id").as("probe_id"), col("s"), col("sv"))
+      .join(broadcast(cb), col("s") === col("cs"))
+      .withColumn("qdiff", zip_with(col("sv"), col("cv"), (x, y) => x - y))
+      .select(col("probe_id"), col("s"), col("code"),
+        VectorFns.dot(col("qdiff"), col("qdiff")).as("ld"))
+    val adc = cands.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("probe_id", "s", "code"))
+      .groupBy("probe_id", "vec_id")
+      .agg(max(when(col("s") === 0, col("ld"))).as("l0"),
+        max(when(col("s") === 1, col("ld"))).as("l1"),
+        max(when(col("s") === 2, col("ld"))).as("l2"),
+        max(when(col("s") === 3, col("ld"))).as("l3"))
+      .withColumn("adc", col("l0") + col("l1") + col("l2") + col("l3"))
+    val byAdc = Window.partitionBy("probe_id")
+      .orderBy(round6(col("adc")).asc, col("vec_id"))
+    val ann = adc.withColumn("rk", row_number().over(byAdc))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("vec_id"))
+    val probes = vecs.filter(probeSel)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"))
+    val byProbe = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val exact = vecs.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", VectorFns.cosineStaged(
+        col("v"), col("pv"), col("nrm"), col("pnrm")))
+      .withColumn("rk", row_number().over(byProbe))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("vec_id"))
+    val hits = ann.join(exact, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("hits"))
+    cands.groupBy("probe_id").agg(count(lit(1)).as("n_cands"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_cands"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round4(coalesce(col("hits"), lit(0L)).cast("double") /
+          lit(TopK.toDouble)).as("recall_at_k"))
+      .orderBy("probe_id")
+  }
+
+  private val sqlIvfpqRecall = {
+    val ldd = s"list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, $PqSubDim + 1), " +
+      "i -> (qsv[CAST(i AS INT)] - cv[CAST(i AS INT)]) * (qsv[CAST(i AS INT)] - cv[CAST(i AS INT)])), " +
+      "(acc, v) -> acc + v)"
+    val sdd = s"list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, $PqSubDim + 1), " +
+      "i -> (sv[CAST(i AS INT)] - cv[CAST(i AS INT)]) * (sv[CAST(i AS INT)] - cv[CAST(i AS INT)])), " +
+      "(acc, v) -> acc + v)"
+    s"""WITH $duckSemCells,
+       |     pr AS (SELECT vec_id AS probe_id, cell AS pcell FROM cells
+       |            WHERE vec_id % $RecallProbeStep = 0 AND vec_id < $ProbeIdCap),
+       |     cand AS (SELECT pr.probe_id, cells.vec_id
+       |              FROM cells JOIN pr ON cells.cell = pr.pcell
+       |              WHERE cells.vec_id <> pr.probe_id),
+       |     subs AS (SELECT vec_id, label, CAST(s AS INT) AS s,
+       |                     v[CAST(s * $PqSubDim + 1 AS INT):CAST((s + 1) * $PqSubDim AS INT)] AS sv
+       |              FROM e0 CROSS JOIN range(0, $PqM) t(s)),
+       |     sx AS (SELECT s, label AS code, CAST(i - 1 AS INT) AS dim, sv[CAST(i AS INT)] AS x
+       |            FROM subs CROSS JOIN range(1, $PqSubDim + 1) t2(i)),
+       |     scd AS (SELECT s, code, dim, avg(x) AS cx FROM sx GROUP BY 1, 2, 3),
+       |     scb AS (SELECT s, code, list_transform(list_sort(list({'dim': dim, 'cx': cx})), p -> p.cx) AS cv
+       |             FROM scd GROUP BY s, code),
+       |     sscored AS (SELECT subs.vec_id, subs.s, scb.code, $sdd AS d2
+       |                 FROM subs JOIN scb ON subs.s = scb.s),
+       |     sbest AS (SELECT vec_id, s, code,
+       |                      row_number() OVER (PARTITION BY vec_id, s
+       |                        ORDER BY ${duckRound6("d2")} ASC, code) AS rk
+       |               FROM sscored),
+       |     codes AS (SELECT vec_id, s, code FROM sbest WHERE rk = 1),
+       |     qs AS (SELECT vec_id AS probe_id, s, sv AS qsv FROM subs
+       |            WHERE vec_id % $RecallProbeStep = 0 AND vec_id < $ProbeIdCap),
+       |     lut AS (SELECT qs.probe_id, qs.s, scb.code, $ldd AS ld
+       |             FROM qs JOIN scb ON qs.s = scb.s),
+       |     sc AS (SELECT cand.probe_id, cand.vec_id,
+       |              max(CASE WHEN codes.s = 0 THEN ld END) AS l0,
+       |              max(CASE WHEN codes.s = 1 THEN ld END) AS l1,
+       |              max(CASE WHEN codes.s = 2 THEN ld END) AS l2,
+       |              max(CASE WHEN codes.s = 3 THEN ld END) AS l3
+       |            FROM cand JOIN codes ON cand.vec_id = codes.vec_id
+       |            JOIN lut ON lut.probe_id = cand.probe_id
+       |                    AND codes.s = lut.s AND codes.code = lut.code
+       |            GROUP BY 1, 2),
+       |     f AS (SELECT probe_id, vec_id, l0 + l1 + l2 + l3 AS adc FROM sc),
+       |     ann AS (SELECT probe_id, vec_id FROM (
+       |               SELECT probe_id, vec_id,
+       |                      row_number() OVER (PARTITION BY probe_id
+       |                        ORDER BY ${duckRound6("adc")} ASC, vec_id) AS rk
+       |               FROM f) WHERE rk <= $TopK),
+       |     p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm
+       |           FROM e WHERE vec_id % $RecallProbeStep = 0 AND vec_id < $ProbeIdCap),
+       |     ex AS (SELECT probe_id, vec_id FROM (
+       |              SELECT probe_id, vec_id,
+       |                     row_number() OVER (PARTITION BY probe_id
+       |                       ORDER BY ${duckDot("v", "pv")} / (nrm * pnrm) DESC, vec_id) AS rk
+       |              FROM e, p WHERE vec_id <> probe_id) WHERE rk <= $TopK),
+       |     h AS (SELECT probe_id, count(*) AS hits
+       |           FROM ann JOIN ex USING (probe_id, vec_id) GROUP BY 1),
+       |     nc AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_cands
+       |            FROM cand GROUP BY 1)
+       |SELECT nc.probe_id AS probe_id, nc.n_cands,
+       |       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |       ${duckRound4(
+                 s"CAST(coalesce(h.hits, 0) AS DOUBLE) / $TopK.0")} AS recall_at_k
+       |FROM nc LEFT JOIN h ON nc.probe_id = h.probe_id
+       |ORDER BY nc.probe_id""".stripMargin
+  }
+
   // ---------- 14c. q_sq8_recall: int8 scalar-quantization recall ----------
 
   /** Scalar (per-dimension int8) quantization recall audit — the
@@ -3460,7 +3603,8 @@ object VectorQueries {
     "q_embed_neardup" -> (embedNearDup _),
     "q_centroids" -> (centroids _),
     "q_ivf_assign" -> (ivfAssign _),
-    "q_ivf_balance" -> (ivfBalance _))
+    "q_ivf_balance" -> (ivfBalance _),
+    "q_ivfpq_recall" -> (ivfpqRecall _))
 
   val oracle: Map[String, String] = Map(
     "q_semdedup_sweep" -> sqlSemdedupSweep,
@@ -3505,5 +3649,6 @@ object VectorQueries {
     "q_embed_neardup" -> sqlEmbedNearDup,
     "q_centroids" -> sqlCentroids,
     "q_ivf_assign" -> sqlIvfAssign,
-    "q_ivf_balance" -> sqlIvfBalance)
+    "q_ivf_balance" -> sqlIvfBalance,
+    "q_ivfpq_recall" -> sqlIvfpqRecall)
 }
