@@ -452,18 +452,22 @@ object Bench {
     // killed round 12, and the fail-soft checkpoint lines cover the
     // overrun case anyway.
     val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "2520").toDouble
-    val upBudget = sys.env.get("SPARK_GRAFT_SFUP_BUDGET_SEC").map(_.toDouble)
+    // a DEF, re-read after fixture generation: Upscale.ensure on a
+    // fresh machine costs minutes of wall the per-query budget must
+    // see, or the deadline overshoots by exactly the generation time
+    val upBudgetEnv = sys.env.get("SPARK_GRAFT_SFUP_BUDGET_SEC").map(_.toDouble)
+    def upBudgetNow: Double = upBudgetEnv
       .getOrElse(math.max(0.0, deadlineSec - elapsedSec - 240.0))
-    System.err.println(f"[bench] upscale budget ${upBudget}%.0f s " +
+    System.err.println(f"[bench] upscale budget ${upBudgetNow}%.0f s " +
       f"(deadline $deadlineSec%.0f, elapsed $elapsedSec%.0f)")
     val upBest: Map[String, Double] =
       if (sys.env.getOrElse("SPARK_GRAFT_SFUP", "1").isEmpty || upFactor <= 1) Map.empty
-      else if (upBudget < 60 && !java.nio.file.Files.exists(Upscale.marker(upDir))) {
+      else if (upBudgetNow < 60 && !java.nio.file.Files.exists(Upscale.marker(upDir))) {
         // deadline already (nearly) spent and the 10× fixture would
         // have to be generated first — generation itself is unbudgeted
         // work; skip the whole pass honestly rather than overrun
         System.err.println("[bench] upscale pass skipped: budget " +
-          f"$upBudget%.0f s too small to generate the fixture")
+          f"$upBudgetNow%.0f s too small to generate the fixture")
         Map.empty
       } else {
         try Upscale.ensure(spark, sfDir, upDir, upFactor)
@@ -471,6 +475,8 @@ object Bench {
           System.err.println(s"[bench] upscale generation failed: ${e.getMessage}") }
         if (!java.nio.file.Files.exists(Upscale.marker(upDir))) Map.empty
         else {
+          // budget captured AFTER generation so its wall-time counts
+          val upBudget = upBudgetNow
           var spent = 0.0
           val bestAtSf = statsBySfBest
           // Queries the PREVIOUS round's pass budget-skipped run FIRST
@@ -565,7 +571,9 @@ object Bench {
     // SPARK_GRAFT_SFUP30_BUDGET_SEC, and its bench_detail is archived
     // under tools/ per round.
     val up30Factor = 30
-    val up30Budget = sys.env.get("SPARK_GRAFT_SFUP30_BUDGET_SEC").map(_.toDouble)
+    val up30BudgetEnv = sys.env.get("SPARK_GRAFT_SFUP30_BUDGET_SEC").map(_.toDouble)
+    // same budget-after-generation rule as the 10× pass
+    def up30BudgetNow: Double = up30BudgetEnv
       .getOrElse(math.max(0.0, deadlineSec - elapsedSec - 240.0))
     val up30: Map[String, Double] =
       if (sys.env.getOrElse("SPARK_GRAFT_SFUP", "1").isEmpty || upFinal.isEmpty)
@@ -576,9 +584,9 @@ object Bench {
         val haveFixture = java.nio.file.Files.exists(Upscale.marker(dir30))
         // fixture generation at 30× is minutes of unbudgeted work —
         // require real slack before paying it
-        if (up30Budget < (if (haveFixture) 120 else 600)) {
+        if (up30BudgetNow < (if (haveFixture) 120 else 600)) {
           System.err.println(
-            f"[bench] sfup30 spot pass skipped: budget $up30Budget%.0f s")
+            f"[bench] sfup30 spot pass skipped: budget $up30BudgetNow%.0f s")
           Map.empty
         } else {
           val topTen = stats.filter(_.best >= 0).sortBy(-_.best).take(10).map(_.name)
@@ -591,6 +599,7 @@ object Bench {
             System.err.println(s"[bench] sfup30 generation failed: ${e.getMessage}") }
           if (!java.nio.file.Files.exists(Upscale.marker(dir30))) Map.empty
           else {
+            val up30Budget = up30BudgetNow
             var spent = 0.0
             spot.flatMap { name =>
               val est = statsBySfBest.getOrElse(name, 0.0).max(0.0) * up30Factor

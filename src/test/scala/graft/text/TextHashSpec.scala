@@ -163,6 +163,23 @@ class TextHashSpec extends SparkSpec {
     assert(n(withEmpty.length - 2) == 1L)  // "": the zero-padded code
   }
 
+  test("native charHist census equals explode+groupBy over codes") {
+    val withEmpty = texts :+ "" :+ "aaaa"
+    val hof = withEmpty.zipWithIndex.map(_.swap).toDF("id", "text")
+      .select(col("id"), explode_outer(TextFns.codes(col("text"))).as("code"))
+      .groupBy("id", "code").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val native = withEmpty.zipWithIndex.map(_.swap).toDF("id", "text")
+      .select(col("id"), explode_outer(TextHashes.charHist(col("text"))).as("e"))
+      .select(col("id"), shiftright(col("e"), 40).as("code"),
+        col("e").bitwiseAND(lit((1L << 40) - 1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(native == hof)
+    // "" contributes the one zero-padded code (parity with codes())
+    assert(native((withEmpty.length - 2, 0L)) == 1L)
+    assert(native((withEmpty.length - 1, 'a'.toLong)) == 4L)
+  }
+
   test("native simHash equals HOF simhash pipeline") {
     val df = texts.toDF("text")
       .withColumn("ts", TextFns.tokens(col("text")))
