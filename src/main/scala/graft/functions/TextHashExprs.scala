@@ -367,6 +367,15 @@ object TextHashUtil {
     * Empty string contributes the single zero code that
     * `TextFns.codes`' sequence lower bound produces (cnt 1), keeping
     * value parity with the explode form and the DuckDB oracle.
+    *
+    * ASCII-PARITY-ONLY caveat (the [[cdcChunks]] class, NOT the
+    * [[polyHash]] class): this kernel walks UTF-8 BYTES while the
+    * q_byte_entropy oracle (`duckCodesOf`) walks CHARACTERS. On the
+    * pure-ASCII test corpus the walks are identical; on multi-byte
+    * text the (source, code) GROUP KEYS and n_chars themselves would
+    * diverge between engines — a boundary/key-moving divergence, not
+    * a symmetric hash-value shift. A non-ASCII corpus needs a
+    * byte-level oracle walk (DuckDB `encode()`), not a hash re-debug.
     */
   def charHist(s: UTF8String): ArrayData = {
     val n = s.numBytes

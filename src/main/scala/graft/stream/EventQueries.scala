@@ -2384,6 +2384,87 @@ object EventQueries {
        |FROM r WHERE rk <= $StreamTopK
        |ORDER BY event_type, rank""".stripMargin
 
+  // ---------- q_stream_cms / q_stream_hh: streaming sketch sinks, oracle-gated ----------
+
+  /** Stage the documents table as three doc_id-sliced parquet files in
+    * modification-time order — [[streamTopk]]'s micro-batch fixture,
+    * shared by the two sketch-sink gates (`maxFilesPerTrigger=1` turns
+    * each slice into its own micro-batch).
+    */
+  private def stageDocSlices(spark: SparkSession, sfDir: String,
+      dir: java.nio.file.Path): org.apache.spark.sql.types.StructType = {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+    val inDir = dir.resolve("in"); Files.createDirectories(inDir)
+    (0 until 3).foreach { k =>
+      val slice = batch.filter(pmod(col("doc_id"), lit(3)) === k)
+      val tmpK = dir.resolve(s"slice$k")
+      slice.coalesce(1).write.parquet(tmpK.toString)
+      val part = Files.list(tmpK).filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }.findFirst.get
+      Files.move(part, inDir.resolve(s"s$k.parquet"))
+      Files.setLastModifiedTime(inDir.resolve(s"s$k.parquet"),
+        FileTime.fromMillis(1600000000000L + k * 60000L))
+    }
+    batch.schema
+  }
+
+  /** Streaming count-min sketch maintenance under the correctness
+    * gate: the PRODUCTION sink ([[Streaming.startCmsSink]] — per-batch
+    * counter tables folded into a committed snapshot through the
+    * [[SnapshotCommitter]] swap protocol) run over three staged
+    * micro-batches, with the final committed snapshot hash-compared
+    * against the one-shot batch counter table the oracle rebuilds
+    * arithmetically. This is the counter-wise mergeability law
+    * (cells(A ⊎ B) = cells(A) + cells(B)) that lets a 100 TB stream
+    * keep a 2048-row sketch instead of a vocabulary-sized state —
+    * previously spec-only (`StreamingSpec`), now driver-gated exactly
+    * like the other nine streaming execution modes.
+    */
+  def streamCms(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_cms")
+    val schema = stageDocSlices(spark, sfDir, dir)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.resolve("in").toString)
+    val snap = dir.resolve("snap").toString
+    val q = Streaming.startCmsSink(src, snap, dir.resolve("cp").toString)
+    q.processAllAvailable(); q.stop()
+    spark.read.parquet(snap).orderBy("j", "c")
+  }
+
+  /** Streaming Misra-Gries heavy-hitter maintenance under the
+    * correctness gate: the PRODUCTION sink
+    * ([[Streaming.startHeavyHitterSink]], default capacity m=256 —
+    * per-batch summaries merged via Agarwal et al.'s mergeable-summary
+    * rule, `_n_total` side-file carrying the running token count) run
+    * over three staged micro-batches of exploded document tokens.
+    * Gate contract: this corpus's vocabulary (31 terms) is far below
+    * the summary capacity, so Misra-Gries is in its LOSSLESS regime —
+    * no decrement ever fires (per-partition maps never fill, merges
+    * never exceed capacity) and the final snapshot must equal the
+    * exact per-term counts with n_total = the exact token total,
+    * deterministically, whatever the batch/partition split. The
+    * eviction path (where counts become residuals) stays spec-gated
+    * (`StreamingSpec`'s m=8 and m=2 tests) — its result depends on
+    * within-partition row order and is not cross-engine replayable.
+    */
+  def streamHh(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_hh")
+    val schema = stageDocSlices(spark, sfDir, dir)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.resolve("in").toString)
+    val terms = src
+      .select(explode_outer(graft.text.TextFns.tokens(col("text"))).as("term"))
+      .filter(col("term").isNotNull)
+    val snap = dir.resolve("snap").toString
+    val q = Streaming.startHeavyHitterSink(terms, snap, dir.resolve("cp").toString)
+    q.processAllAvailable(); q.stop()
+    spark.read.parquet(snap).select("term", "cnt", "n_total").orderBy("term")
+  }
+
   // ---------- q_stream_append: watermark-evicted APPEND mode, oracle-gated ----------
 
   /** The production streaming path under the correctness gate: APPEND
@@ -3132,6 +3213,8 @@ object EventQueries {
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_dedup_wm" -> (streamDedupWm _),
     "q_stream_topk" -> (streamTopk _),
+    "q_stream_cms" -> (streamCms _),
+    "q_stream_hh" -> (streamHh _),
     "q_stream_append" -> (streamAppend _),
     "q_stream_update" -> (streamUpdate _),
     "q_stream_fmgws" -> (streamFmgws _),
@@ -3183,6 +3266,8 @@ object EventQueries {
     "q_stream_dedup" -> sqlStreamDedup,
     "q_stream_dedup_wm" -> sqlStreamDedupWm,
     "q_stream_topk" -> sqlStreamTopk,
+    "q_stream_cms" -> graft.text.DocOps.sqlStreamCms,
+    "q_stream_hh" -> graft.text.DocOps.sqlStreamHh,
     "q_stream_append" -> sqlStreamTumbling,
     "q_stream_update" -> sqlStreamTumbling,
     "q_stream_fmgws" -> sqlStreamSession,

@@ -461,17 +461,44 @@ object DocOps {
       .orderBy(col("n_exact").desc, col("token"))
   }
 
-  private val sqlCmsEst = {
+  /** Shared WITH-clause prefix rebuilding the CMS counter table from
+    * the documents relation arithmetically — consumed by [[sqlCmsEst]]
+    * and by the streaming CMS sink's gate oracle (q_stream_cms in
+    * [[graft.stream.EventQueries]]: the persisted snapshot must equal
+    * this batch counter table by the mergeability law).
+    */
+  private[graft] val duckCmsCellsCte: String = {
     val fan = (0 until CmsD).map(j =>
       s"SELECT word, freq, $j AS j, ${duckCmsCol("h", j)} AS c FROM h")
       .mkString("(", " UNION ALL ", ")")
-    s"""WITH t AS (SELECT $duckTokens AS ts FROM documents),
+    s"""t AS (SELECT $duckTokens AS ts FROM documents),
        |     e AS (SELECT unnest(ts) AS word FROM t),
        |     v AS (SELECT word, count(*) AS freq FROM e GROUP BY 1),
        |     vc AS (SELECT word, freq, ${duckCodesOf("word")} AS cs FROM v),
        |     h AS (SELECT word, freq, $duckPolyHash AS h FROM vc),
        |     f AS (SELECT * FROM $fan),
-       |     cells AS (SELECT j, c, CAST(sum(freq) AS BIGINT) AS cnt FROM f GROUP BY 1, 2),
+       |     cells AS (SELECT j, c, CAST(sum(freq) AS BIGINT) AS cnt FROM f GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** q_stream_cms oracle: the batch counter table, (j, c)-ordered. */
+  private[graft] val sqlStreamCms: String =
+    s"""WITH $duckCmsCellsCte
+       |SELECT CAST(j AS INT) AS j, CAST(c AS BIGINT) AS c, cnt
+       |FROM cells ORDER BY j, c""".stripMargin
+
+  /** q_stream_hh oracle: exact per-term counts + running total — what
+    * the Misra-Gries snapshot must equal in the lossless regime
+    * (capacity ≥ vocabulary; see streamHh's scaladoc).
+    */
+  private[graft] val sqlStreamHh: String =
+    s"""WITH t AS (SELECT $duckTokens AS ts FROM documents),
+       |     e AS (SELECT unnest(ts) AS word FROM t),
+       |     v AS (SELECT word AS term, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1)
+       |SELECT term, cnt, CAST((SELECT sum(cnt) FROM v) AS BIGINT) AS n_total
+       |FROM v ORDER BY term""".stripMargin
+
+  private val sqlCmsEst = {
+    s"""WITH $duckCmsCellsCte,
        |     top AS (SELECT word, freq FROM v ORDER BY freq DESC, word LIMIT $CmsTopQ),
        |     q AS (SELECT f.word, f.freq, f.j, f.c FROM f JOIN top
        |             ON f.word = top.word AND f.freq = top.freq)
@@ -1667,6 +1694,10 @@ object DocOps {
     * collapse — the round-12 version exploded the raw code STREAM and
     * shuffled one row per character; the census form shuffles ~an
     * order of magnitude less at identical values.
+    *
+    * ASCII-PARITY-ONLY: the kernel walks UTF-8 bytes, the oracle
+    * walks characters — identical on this corpus, key-divergent on
+    * multi-byte text (see [[graft.functions.TextHashUtil.charHist]]).
     */
   def byteEntropy(spark: SparkSession, sfDir: String): DataFrame = {
     val counts = Tables.documents(spark, sfDir)

@@ -1315,9 +1315,13 @@ object TextQueries {
       .select(col("component").as("tc")).distinct()
     val kept = p.filter(!erased(col("a")) && !erased(col("b")))
       .join(base.select(col("node").as("a"), col("component").as("cA")), Seq("a"))
-    val affected = kept.join(broadcast(touched), col("cA") === col("tc"))
+    // no broadcast hint: `touched` scales with the erasure volume
+    // (fixture erases 1/11 of the corpus), so it is fact-proportional
+    // in the worst case — semi/anti joins on the component key let AQE
+    // broadcast only when the runtime size genuinely fits
+    val affected = kept.join(touched, col("cA") === col("tc"), "left_semi")
       .select("a", "b")
-    val untouched = kept.join(broadcast(touched), col("cA") === col("tc"),
+    val untouched = kept.join(touched, col("cA") === col("tc"),
         "left_anti")
     val affSym = affected.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(affected.select(col("b").as("src"), col("a").as("dst")))
@@ -3253,7 +3257,7 @@ object TextQueries {
     // one signature scan for BOTH the labeling and the edge list: the
     // closure's checkpointed collision set IS the edge set (already
     // distinct (doc_id, rep) pairs)
-    val (comp, br, _) = docComponentsTracked(docs)
+    val (comp, br, brIds) = docComponentsTracked(docs)
     val edges = br
       .filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("a"), col("doc_id").as("b"))
@@ -3269,7 +3273,7 @@ object TextQueries {
         col("s_naive").as("na")), "a")
       .join(sp.select(col("doc_id").as("b"), col("s_cluster").as("cb"),
         col("s_naive").as("nb")), "b")
-    e2.agg(count(lit(1)).as("n_edges"),
+    val out = e2.agg(count(lit(1)).as("n_edges"),
         sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L)).as("x_cluster"),
         sum(when(col("na") =!= col("nb"), 1L).otherwise(0L)).as("x_naive"))
       .select(explode(array(
@@ -3283,6 +3287,13 @@ object TextQueries {
         when(col("n_edges") === 0, lit(0.0)).otherwise(TextFns.round4(
           col("n_cross").cast("double") / col("n_edges").cast("double"))))
       .orderBy("method")
+    // materialize the 2-row result, then free the checkpointed
+    // collision set NOW — Bench runs each query 4+ times per session
+    // and un-freed blocks accumulate until ContextCleaner GC
+    import graft.graph.ConnectedComponents
+    val (res, _) = ConnectedComponents.checkpointTracked(out)
+    ConnectedComponents.free(docs, brIds)
+    res
   }
 
   private def sqlSplitLeakage = {

