@@ -48,4 +48,28 @@ object Bucketing {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
                    key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Count shuffle exchanges in a frame's physical plan (descending
+    * through AQE wrappers and subqueries) — the machine-checkable form
+    * of "this join is co-located". Consumed by `q_bucket_join`, which
+    * embeds the count in its hashed output so the layout contract is
+    * driver-gated, not just spec-asserted.
+    */
+  def shuffleCount(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def walk(p: SparkPlan): Int = {
+      val self = p match {
+        case _: ShuffleExchangeExec => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case other => other.children ++ other.subqueries
+      }
+      self + kids.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
 }

@@ -1491,7 +1491,132 @@ object EtlQueries {
        |ORDER BY col_name""".stripMargin
   }
 
+  // ---------- q_bucket_join: co-located bucketed join, driver-gated ----------
+
+  /** Bucketed co-located join under the correctness gate (previously
+    * spec-only, `BucketJoinSpec`): orders and lineitem are written as
+    * catalog tables bucketed 4-ways on the order key
+    * ([[Bucketing.saveBucketed]] — ONE bucketed-write implementation
+    * for spec and gate), joined through [[Bucketing.bucketedJoin]]
+    * with auto-broadcast disabled, and the physical plan's shuffle-
+    * exchange count over the bare join is EMBEDDED in the hashed
+    * output (`join_shuffles`, oracle pins it to 0): a layout change
+    * that re-introduces the exchange breaks the hash, not just a
+    * test. Values: revenue per order priority through the
+    * round-before-sum DECIMAL discipline (`q_local_supply`'s rule).
+    *
+    * Scale: this is THE 100 TB shape for repeated fact⋈fact joins —
+    * pay the bucketed layout once at write, elide the dominant
+    * shuffle on every later join; bucket count sized so one bucket of
+    * the larger side fits an executor core (thousands at 100 TB, 4
+    * here). The result is materialized (5 rows) before the catalog
+    * tables are dropped.
+    */
+  def bucketJoinExec(spark: SparkSession, sfDir: String): DataFrame = {
+    val r6d = (c: org.apache.spark.sql.Column) =>
+      (floor(c * 1000000.0 + 0.5) / 1000000.0).cast("decimal(28,6)")
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o_orderkey"),
+        col("l_extendedprice"), col("l_discount"))
+    Bucketing.saveBucketed(orders, "graft_bj_orders", "o_orderkey", 4)
+    Bucketing.saveBucketed(li, "graft_bj_lineitem", "o_orderkey", 4)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.bucketedJoin(
+        spark, "graft_bj_orders", "graft_bj_lineitem", "o_orderkey")
+      val nShuffles = Bucketing.shuffleCount(joined)
+      joined
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(r6d(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("rev_dec"))
+        .select(col("o_orderpriority"), col("n_items"),
+          round(col("rev_dec").cast("double"), 4).as("revenue"),
+          lit(nShuffles.toLong).as("join_shuffles"))
+        .orderBy("o_orderpriority")
+        // materialize NOW: the frame reads catalog tables the finally
+        // block drops, and the plan must be the forced-SMJ one
+        .localCheckpoint(true)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS graft_bj_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bj_lineitem")
+    }
+  }
+
+  private val sqlBucketJoin =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |       round(CAST(sum(CAST((floor(l_extendedprice * (1.0 - l_discount) * 1000000.0 + 0.5) / 1000000.0) AS DECIMAL(28,6))) AS DOUBLE), 4) AS revenue,
+      |       CAST(0 AS BIGINT) AS join_shuffles
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------- q_snapshot_partition: dynamic partition overwrite, driver-gated ----------
+
+  /** Partitioned snapshots + dynamic partition overwrite under the
+    * correctness gate (previously spec-only): a month-partitioned
+    * orders snapshot is written in full (`batch = 'v1'`), then ONLY
+    * the 1996 months are rewritten (`batch = 'v2'`) through the same
+    * [[Warehouse.writePartitioned]] production path, and the
+    * POST-STATE is read back from the filesystem: per month, the
+    * surviving batch marker, row count, and physical file count. The
+    * oracle states the contractual post-state — 1996 months carry v2,
+    * every other month still carries its ORIGINAL v1 rows (a static
+    * overwrite would have deleted them and broken the hash), and each
+    * directory holds exactly one file (the pre-write repartition on
+    * the partition column, CLAUDE.md's dynamic-write discipline).
+    * This is the partition-level upsert a 100 TB warehouse runs
+    * nightly: work ∝ the replaced partitions, never the table.
+    */
+  def snapshotPartition(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_snap_part").toString
+    Warehouse.writePartitioned(
+      o.withColumn("batch", lit("v1")), dir, Seq("order_month"))
+    Warehouse.writePartitioned(
+      o.filter(year(col("o_orderdate")) === 1996)
+        .withColumn("batch", lit("v2")), dir, Seq("order_month"))
+    val counts = spark.read.parquet(dir)
+      .groupBy(col("order_month").cast("string").as("order_month"),
+        col("batch"))
+      .agg(count(lit(1)).as("n_rows"))
+    // physical files per partition directory: a driver walk bounded
+    // by month count (years × 12, independent of rows)
+    val fileCounts = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("order_month="))
+        .map { p =>
+          val m = p.getFileName.toString.stripPrefix("order_month=")
+          val n = java.nio.file.Files.list(p).iterator().asScala
+            .count(_.getFileName.toString.endsWith(".parquet"))
+          (m, n.toLong)
+        }.toSeq
+    }
+    import spark.implicits._
+    counts
+      .join(broadcast(fileCounts.toDF("order_month", "n_files")), "order_month")
+      .select(col("order_month"), col("batch"), col("n_rows"), col("n_files"))
+      .orderBy("order_month", "batch")
+  }
+
+  private val sqlSnapshotPartition =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+      |       CASE WHEN date_part('year', o_orderdate) = 1996
+      |            THEN 'v2' ELSE 'v1' END AS batch,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(1 AS BIGINT) AS n_files
+      |FROM orders
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucket_join" -> (bucketJoinExec _),
+    "q_snapshot_partition" -> (snapshotPartition _),
     "q_catalog_stats" -> (catalogStats _),
     "q_compact_exec" -> (compactExec _),
     "q_time_travel" -> (timeTravel _),
@@ -1528,6 +1653,8 @@ object EtlQueries {
     "q_ri_filter" -> (riFilter _))
 
   val oracle: Map[String, String] = Map(
+    "q_bucket_join" -> sqlBucketJoin,
+    "q_snapshot_partition" -> sqlSnapshotPartition,
     "q_catalog_stats" -> sqlCatalogStats,
     "q_compact_exec" -> sqlCompactExec,
     "q_time_travel" -> sqlTimeTravel,

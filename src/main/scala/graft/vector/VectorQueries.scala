@@ -1612,8 +1612,17 @@ object VectorQueries {
     * (`least`/`greatest`) before the support group, so the left join
     * against the id-oriented input and the census stay byte-identical.
     */
-  private[vector] def edgeSupport(edges: DataFrame): DataFrame = {
-    val oriented = degreeOrient(edges)
+  private[vector] def edgeSupport(edges: DataFrame): DataFrame =
+    edgeSupportOriented(edges, degreeOrient(edges))
+
+  /** [[edgeSupport]] with the degree-oriented list supplied by the
+    * caller — the wedge join references it in THREE legs, so callers
+    * on the hot path stage it with one tracked checkpoint instead of
+    * re-deriving the orientation (a degree aggregate + two joins)
+    * per leg ([[trussSupport]], [[trussPeel]]).
+    */
+  private[vector] def edgeSupportOriented(
+      edges: DataFrame, oriented: DataFrame): DataFrame = {
     val tri = oriented.as("e1")
       .join(oriented.as("e2"), col("e1.w") === col("e2.u"))
       .join(oriented.as("e3"),
@@ -1649,8 +1658,13 @@ object VectorQueries {
     var iter = 0
     var stable = false
     while (!stable && iter < maxIter) {
+      // stage the round's degree orientation once (three join legs);
+      // freed as soon as `next` is materialized (eager checkpoint)
+      val (ori, oriIds) = checkpointTracked(degreeOrient(cur))
       val (next, nextIds) = checkpointTracked(
-        edgeSupport(cur).filter(col("support") >= k - 2).select(col("u"), col("w")))
+        edgeSupportOriented(cur, ori)
+          .filter(col("support") >= k - 2).select(col("u"), col("w")))
+      free(cur, oriIds)
       val m = next.count()
       if (m == n) { stable = true; free(next, nextIds) }
       else { free(cur, curIds); cur = next; curIds = nextIds; n = m }
@@ -1676,15 +1690,22 @@ object VectorQueries {
     * fact-scale cumulative would go through PrefixScan instead).
     */
   def trussSupport(spark: SparkSession, sfDir: String): DataFrame = {
-    val census = edgeSupport(collisionEdges(spark, sfDir))
+    import graft.graph.ConnectedComponents.{checkpointTracked, free}
+    val edges = collisionEdges(spark, sfDir)
+    val (ori, oriIds) = checkpointTracked(degreeOrient(edges))
+    val census = edgeSupportOriented(edges, ori)
       .groupBy("support").agg(count(lit(1)).as("n_edges"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("support").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    census
+    // materialize the bounded census (≤ max-support rows), then free
+    // the staged orientation now rather than on ContextCleaner GC
+    val (res, _) = checkpointTracked(census
       .withColumn("cum_edges", sum(col("n_edges")).over(w))
       .select(col("support"), col("n_edges"), col("cum_edges"))
-      .orderBy("support")
+      .orderBy("support"))
+    free(edges, oriIds)
+    res
   }
 
   private val sqlTrussSupport =
