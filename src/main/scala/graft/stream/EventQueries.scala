@@ -2355,12 +2355,33 @@ object EventQueries {
       .outputMode("append")
       .option("checkpointLocation", dir.resolve("cp").toString)
       .foreachBatch { (b: DataFrame, _: Long) =>
+        // per-PARTITION bounded top-k partials (O(types×k) state each,
+        // zero shuffle — the r13 shape shuffled the whole micro-batch
+        // into a per-type row_number window, measured 1.3× over
+        // baseline), merged on the driver by the same total order.
+        // Mergeable because top-k under a total order is: the round-13
+        // verdict's prescribed pre-reduction.
+        import b.sparkSession.implicits._
         val btop = b.select(col("event_type"), col("event_id"), col("value"))
-          .withColumn("rk", row_number().over(byType))
-          .filter(col("rk") <= StreamTopK)
+          .as[(String, Long, Double)]
+          .mapPartitions { it =>
+            // dequeues the WORST under (value desc, event_id asc)
+            val worstFirst = Ordering.fromLessThan[(Long, Double)] {
+              (a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+            }
+            val qs = scala.collection.mutable.HashMap
+              .empty[String, scala.collection.mutable.PriorityQueue[(Long, Double)]]
+            it.foreach { case (t, id, v) =>
+              val pq = qs.getOrElseUpdate(t,
+                scala.collection.mutable.PriorityQueue.empty(worstFirst))
+              pq.enqueue((id, v))
+              if (pq.size > StreamTopK) pq.dequeue()
+            }
+            qs.iterator.flatMap { case (t, pq) =>
+              pq.iterator.map { case (id, v) => (t, id, v) } }
+          }
           .collect()
-          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-        state = mergeTrunc(state ++ btop)
+        state = mergeTrunc(state ++ btop.toVector)
         ()
       }
       .trigger(Trigger.AvailableNow())
