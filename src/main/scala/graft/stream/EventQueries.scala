@@ -827,6 +827,82 @@ object EventQueries {
        |FROM f ORDER BY event_type""".stripMargin
   }
 
+  // ---------- q_holt_winters: additive triple-exponential smoothing ----------
+
+  /** Additive Holt-Winters (level + trend + 7-day seasonal) over the
+    * per-type daily counts — [[holt]] plus the seasonal component, the
+    * smoother that stops a weekly traffic dip from reading as trend
+    * loss. All three smoothing constants are the DYADIC 1/2 (the
+    * [[timeDecay]]/[[holt]] rule: halving and adding doubles are
+    * correctly-rounded IEEE ops, so the identical left fold is
+    * bit-exact on both engines — no per-step rounding needed, where
+    * a conventional α=0.3 would drift in the last ulp). Seasonal
+    * state is a 7-slot rotating queue inside the fold accumulator
+    * ([L, T, S₁..S₇]; slot 3 is the current day's, re-enqueued
+    * smoothed at the back), zero-initialized — a definition both
+    * engines replay verbatim, like [[holt]]'s L₀=x₁ T₀=0.
+    *
+    * Scale: the fold runs over day-grain series per type — bounded by
+    * calendar span, never event volume (the [[ewmaTrend]] grain note).
+    */
+  def holtWinters(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("series"))
+      .withColumn("cs", transform(col("series"), s => s.getField("cnt").cast("double")))
+      .withColumn("hw",
+        aggregate(slice(col("cs"), 2, 1000000),
+          concat(array(element_at(col("cs"), 1), lit(0.0)),
+            array_repeat(lit(0.0), 7)),
+          (acc, x) => {
+            val l = element_at(acc, 1)
+            val t = element_at(acc, 2)
+            val s = element_at(acc, 3)
+            val nl = lit(0.5) * (x - s) + lit(0.5) * (l + t)
+            val nt = lit(0.5) * (nl - l) + lit(0.5) * t
+            val ns = lit(0.5) * (x - nl) + lit(0.5) * s
+            concat(array(nl, nt), slice(acc, 4, 6), array(ns))
+          }))
+      .select(col("event_type"),
+        size(col("cs")).cast("long").as("n_days"),
+        graft.text.TextFns.round4(element_at(col("hw"), 1)).as("level"),
+        graft.text.TextFns.round4(element_at(col("hw"), 2)).as("trend"),
+        graft.text.TextFns.round4(element_at(col("hw"), 3)).as("seasonal_next"),
+        graft.text.TextFns.round4(element_at(col("hw"), 1) +
+          element_at(col("hw"), 2) + element_at(col("hw"), 3)).as("forecast_next"))
+      .orderBy("event_type")
+  }
+
+  private val sqlHoltWinters = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    val nl = "0.5 * (e[1] - acc[3]) + 0.5 * (acc[1] + acc[2])"
+    val nt = s"0.5 * (($nl) - acc[1]) + 0.5 * acc[2]"
+    val ns = s"0.5 * (e[1] - ($nl)) + 0.5 * acc[3]"
+    s"""WITH d AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       |                  count(*) AS cnt
+       |           FROM events GROUP BY 1, 2),
+       |     s AS (SELECT event_type,
+       |                  list_transform(list_sort(list({'day': day, 'cnt': cnt})),
+       |                                 p -> CAST(p.cnt AS DOUBLE)) AS cs
+       |           FROM d GROUP BY 1),
+       |     f AS (SELECT event_type, cs,
+       |                  list_reduce(
+       |                    list_prepend([cs[1], 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+       |                      list_transform(cs[2:], x -> [x])),
+       |                    (acc, e) -> [$nl, $nt,
+       |                                 acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
+       |                                 $ns]) AS hw
+       |           FROM s)
+       |SELECT event_type, CAST(len(cs) AS BIGINT) AS n_days,
+       |       ${r4("hw[1]")} AS level,
+       |       ${r4("hw[2]")} AS trend,
+       |       ${r4("hw[3]")} AS seasonal_next,
+       |       ${r4("hw[1] + hw[2] + hw[3]")} AS forecast_next
+       |FROM f ORDER BY event_type""".stripMargin
+  }
+
   private val sqlEwmaTrend =
     s"""WITH d AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
        |                  count(*) AS cnt
@@ -1485,6 +1561,58 @@ object EventQueries {
        |JOIN pm cur ON cur.w = prev.w + 1
        |LEFT JOIN rt ON rt.w = prev.w
        |ORDER BY week""".stripMargin
+  }
+
+  // ---------- q_cohort_retention: signup-cohort retention triangle ----------
+
+  /** Classic cohort retention triangle: users cohorted by FIRST-seen
+    * week, then for each (cohort, offset k) the count of cohort
+    * members active in week cohort+k and the retention fraction —
+    * the product-analytics table [[userChurn]]'s adjacent-week view
+    * cannot give (churn is memoryless week-to-week; the triangle
+    * shows whether month-3 retention of January's cohort differs
+    * from March's, i.e. cohort QUALITY drift).
+    *
+    * Shape: distinct (user, week) collapse (the churn query's
+    * collapse), one user-grain min() for the cohort, one join back on
+    * user, one (cohort, offset) aggregate — linear, all key-partitioned.
+    * Parity: integer epoch-microsecond week indices (`div` both
+    * engines), retention = exact-integer division round4'd.
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val uw = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("w"))
+      .distinct()
+    val cohort = uw.groupBy("user_id").agg(min(col("w")).as("cohort_w"))
+    val sizes = cohort.groupBy("cohort_w").agg(count(lit(1)).as("n_cohort"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cohort_w"), (col("w") - col("cohort_w")).as("offset_w"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_w")
+      .select(col("cohort_w"), col("offset_w"), col("n_cohort"), col("n_active"),
+        graft.text.TextFns.round4(col("n_active").cast("double") /
+          col("n_cohort").cast("double")).as("retention"))
+      .orderBy("cohort_w", "offset_w")
+  }
+
+  private val sqlCohortRetention = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    s"""WITH uw AS (SELECT DISTINCT user_id,
+       |                   epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS w
+       |            FROM events),
+       |     ch AS (SELECT user_id, min(w) AS cohort_w FROM uw GROUP BY 1),
+       |     sz AS (SELECT cohort_w, CAST(count(*) AS BIGINT) AS n_cohort
+       |            FROM ch GROUP BY 1),
+       |     act AS (SELECT ch.cohort_w, uw.w - ch.cohort_w AS offset_w,
+       |                    CAST(count(*) AS BIGINT) AS n_active
+       |             FROM uw JOIN ch ON uw.user_id = ch.user_id
+       |             GROUP BY 1, 2)
+       |SELECT CAST(act.cohort_w AS BIGINT) AS cohort_w,
+       |       CAST(offset_w AS BIGINT) AS offset_w, n_cohort, n_active,
+       |       ${r4("CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE)")} AS retention
+       |FROM act JOIN sz ON act.cohort_w = sz.cohort_w
+       |ORDER BY cohort_w, offset_w""".stripMargin
   }
 
   // ---------- q_repeat_purchase: purchase-cadence summary ----------
@@ -3263,6 +3391,8 @@ object EventQueries {
     "q_entropy_rate" -> (entropyRate _),
     "q_sax" -> (sax _),
     "q_holt" -> (holt _),
+    "q_holt_winters" -> (holtWinters _),
+    "q_cohort_retention" -> (cohortRetention _),
     "q_time_decay" -> (timeDecay _),
     "q_ewma_trend" -> (ewmaTrend _),
     "q_transitions" -> (transitions _),
@@ -3316,6 +3446,8 @@ object EventQueries {
     "q_entropy_rate" -> sqlEntropyRate,
     "q_sax" -> sqlSax,
     "q_holt" -> sqlHolt,
+    "q_holt_winters" -> sqlHoltWinters,
+    "q_cohort_retention" -> sqlCohortRetention,
     "q_time_decay" -> sqlTimeDecay,
     "q_ewma_trend" -> sqlEwmaTrend,
     "q_transitions" -> sqlTransitions,

@@ -491,6 +491,91 @@ object TextAnalytics {
                  "CAST(sum(CASE WHEN l < lmin THEN sz ELSE 0 END) AS DOUBLE) / CAST(sum(sz) AS DOUBLE)")} AS risk_share
        |FROM f GROUP BY lmin ORDER BY lmin""".stripMargin
 
+  // ---------- q_t_closeness: sensitive-distribution distance audit ----------
+
+  /** t-closeness thresholds, in PERCENT so every violation test is an
+    * exact integer cross-product compare (t > θ ⟺ 100·num > θ·2·S·T).
+    */
+  private val TThresholdsPct = Seq(20L, 35L, 50L)
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    * attack [[lDiversity]] misses: a class can hold l distinct
+    * sensitive values and still leak when its DISTRIBUTION differs
+    * sharply from the table's (skewness attack: "90% of this class is
+    * AUTOMOBILE" is a disclosure even with l=5). t(class) = the
+    * variational distance (the nominal-attribute EMD) between the
+    * class's segment distribution and the global one:
+    * t = Σ_s |c_cs·T − g_s·S_c| / (2·S_c·T) — one rational of exact
+    * integer cross-products per class (the [[graft.olap.OlapStats]]
+    * tvDrift identity applied per equivalence class), so the
+    * per-threshold violation test never touches a float. Completes
+    * the k-anonymity / l-diversity / t-closeness release-gate trio.
+    *
+    * Shape: one class-grain and one (class, segment)-grain aggregate;
+    * the segment fan-out is classes × |segments| (bounded, broadcast);
+    * threshold fan bounded. Integer everywhere, round4 shares at the
+    * edge.
+    */
+  def tCloseness(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).as("bal_band"), col("c_mktsegment"))
+    val cls = cust.groupBy("c_nationkey", "bal_band").agg(count(lit(1)).as("sz"))
+    val cs = cust.groupBy("c_nationkey", "bal_band", "c_mktsegment")
+      .agg(count(lit(1)).as("c_cs"))
+    val g = cust.groupBy("c_mktsegment").agg(count(lit(1)).as("g_s"))
+    val tot = cust.agg(count(lit(1)).as("t"))
+    val num = cls.crossJoin(broadcast(g)).crossJoin(broadcast(tot))
+      .join(cs, Seq("c_nationkey", "bal_band", "c_mktsegment"), "left")
+      .na.fill(0L, Seq("c_cs"))
+      .groupBy(col("c_nationkey"), col("bal_band"), col("sz"), col("t"))
+      .agg(sum(abs(col("c_cs") * col("t") - col("g_s") * col("sz"))).as("num"))
+    num
+      .select(col("sz"), col("t"), col("num"),
+        explode_outer(array(TThresholdsPct.map(lit): _*)).as("t_pct"))
+      .groupBy("t_pct")
+      .agg(count(lit(1)).as("n_classes"),
+        count(when(col("num") * 100L > col("t_pct") * 2L * col("sz") * col("t"),
+          lit(1))).as("n_violating"),
+        sum(when(col("num") * 100L > col("t_pct") * 2L * col("sz") * col("t"),
+          col("sz")).otherwise(lit(0L))).as("rows_at_risk"),
+        sum(col("sz")).as("nr"))
+      .withColumn("risk_share", TextFns.round4(
+        col("rows_at_risk").cast("double") / col("nr").cast("double")))
+      .select("t_pct", "n_classes", "n_violating", "rows_at_risk", "risk_share")
+      .orderBy("t_pct")
+  }
+
+  private val sqlTCloseness =
+    s"""WITH cu AS (SELECT c_nationkey, floor(c_acctbal / 1000.0) AS bal_band,
+       |                   c_mktsegment
+       |            FROM customer),
+       |     cls AS (SELECT c_nationkey, bal_band, CAST(count(*) AS BIGINT) AS sz
+       |             FROM cu GROUP BY 1, 2),
+       |     cs AS (SELECT c_nationkey, bal_band, c_mktsegment,
+       |                   CAST(count(*) AS BIGINT) AS c_cs
+       |            FROM cu GROUP BY 1, 2, 3),
+       |     g AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS g_s
+       |           FROM cu GROUP BY 1),
+       |     tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM cu),
+       |     num AS (SELECT cls.c_nationkey, cls.bal_band, cls.sz, tt.t,
+       |                    CAST(sum(abs(coalesce(cs.c_cs, 0) * tt.t - g.g_s * cls.sz))
+       |                      AS BIGINT) AS num
+       |             FROM cls CROSS JOIN g CROSS JOIN tt
+       |             LEFT JOIN cs ON cs.c_nationkey = cls.c_nationkey
+       |               AND cs.bal_band = cls.bal_band
+       |               AND cs.c_mktsegment = g.c_mktsegment
+       |             GROUP BY 1, 2, 3, 4),
+       |     f AS (SELECT sz, t, num,
+       |                  unnest([${TThresholdsPct.mkString(", ")}]) AS t_pct
+       |           FROM num)
+       |SELECT t_pct, CAST(count(*) AS BIGINT) AS n_classes,
+       |       CAST(count(CASE WHEN num * 100 > t_pct * 2 * sz * t THEN 1 END) AS BIGINT) AS n_violating,
+       |       CAST(sum(CASE WHEN num * 100 > t_pct * 2 * sz * t THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       |       ${TextFns.duckRound4(
+                 "CAST(sum(CASE WHEN num * 100 > t_pct * 2 * sz * t THEN sz ELSE 0 END) AS DOUBLE) / CAST(sum(sz) AS DOUBLE)")} AS risk_share
+       |FROM f GROUP BY t_pct ORDER BY t_pct""".stripMargin
+
   // ---------- q_neyman_alloc: optimal stratified-sample allocation ----------
 
   /** Neyman allocation (Neyman 1934) of a 1000-document audit sample
@@ -819,6 +904,77 @@ object TextAnalytics {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---------- q_kn_xent: Kneser-Ney bigram-LM scoring ----------
+
+  /** Per-document cross-entropy under an interpolated Kneser-Ney
+    * bigram LM (Kneser & Ney 1995; Chen & Goodman 1999's benchmark
+    * smoother — what real LM-based quality filters like CCNet's
+    * actually train, where [[bigramXent]]'s add-½ is the didactic
+    * baseline): p(w₂|w₁) = max(c₁₂−D, 0)/c₁ + D·N₁₊(w₁·)/c₁ ·
+    * N₁₊(·w₂)/B, with D = ¾ (a DYADIC discount — c₁₂−D is exact),
+    * N₁₊(w₁·)/N₁₊(·w₂) the distinct-successor/-predecessor counts
+    * and B the distinct-bigram-type total. The continuation
+    * probability is KN's actual insight: "york" is frequent but
+    * follows only "new", so its unigram backoff weight should be tiny
+    * — a filter scoring scraped text must capture that or
+    * boilerplate with frequent-but-fixed collocations sneaks through.
+    *
+    * Shape: [[bigramXent]]'s exactly — bigram-instance fan-out, four
+    * map-side-combinable count aggregates (c₁₂, c₁, N₁₊ both
+    * directions; B broadcast 1-row), all joined back at bigram grain.
+    * Parity: counts exact, D dyadic, per-doc ln sums the proven
+    * cross-entropy regime.
+    */
+  def knXent(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .filter(size(col("ts")) >= 2)
+    val bg = t
+      .select(col("doc_id"), col("ts"), posexplode_outer(col("ts")).as(Seq("i", "w1")))
+      .filter(col("i") < size(col("ts")) - 1)
+      .select(col("doc_id"), col("w1"),
+        try_element_at(col("ts"), col("i") + 2).as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val n1f = c12.groupBy("w1").agg(count(lit(1)).as("n1f"))
+    val n1r = c12.groupBy("w2").agg(count(lit(1)).as("n1r"))
+    val b = c12.agg(count(lit(1)).as("b"))
+    val p = greatest(col("c12").cast("double") - 0.75, lit(0.0)) /
+      col("c1").cast("double") +
+      (lit(0.75) * col("n1f").cast("double") / col("c1").cast("double")) *
+        (col("n1r").cast("double") / col("b").cast("double"))
+    bg.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(broadcast(n1f), Seq("w1"))
+      .join(broadcast(n1r), Seq("w2"))
+      .crossJoin(broadcast(b))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        TextFns.round4(sum(-log(p)) / count(lit(1)).cast("double")).as("xent_kn"))
+      .orderBy("doc_id")
+  }
+
+  private val sqlKnXent = {
+    val p = "greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE) + " +
+      "(0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)) * " +
+      "(CAST(n1r AS DOUBLE) / CAST(b AS DOUBLE))"
+    s"""WITH t AS (SELECT doc_id, ${TextQueries.duckTokens} AS ts FROM documents),
+       |     t2 AS (SELECT doc_id, ts FROM t WHERE len(ts) >= 2),
+       |     bi AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM t2),
+       |     bg AS (SELECT doc_id, ts[CAST(i AS INT)] AS w1,
+       |                   ts[CAST(i + 1 AS INT)] AS w2 FROM bi),
+       |     c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+       |     c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+       |     n1f AS (SELECT w1, count(*) AS n1f FROM c12 GROUP BY 1),
+       |     n1r AS (SELECT w2, count(*) AS n1r FROM c12 GROUP BY 1),
+       |     bb AS (SELECT count(*) AS b FROM c12)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |       ${TextFns.duckRound4(s"sum(-ln($p)) / CAST(count(*) AS DOUBLE)")} AS xent_kn
+       |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+       |        JOIN n1f USING (w1) JOIN n1r USING (w2) CROSS JOIN bb
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ---------- q_js_divergence: Jensen-Shannon drift between languages ----------
 
   /** Pairwise Jensen–Shannon divergence between the unigram
@@ -894,6 +1050,8 @@ object TextAnalytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bigram_xent" -> (bigramXent _),
+    "q_kn_xent" -> (knXent _),
+    "q_t_closeness" -> (tCloseness _),
     "q_js_divergence" -> (jsDivergence _),
     "q_ccnet_buckets" -> (ccnetBuckets _),
     "q_hash_sample" -> (hashSample _),
@@ -911,6 +1069,8 @@ object TextAnalytics {
 
   val oracle: Map[String, String] = Map(
     "q_bigram_xent" -> sqlBigramXent,
+    "q_kn_xent" -> sqlKnXent,
+    "q_t_closeness" -> sqlTCloseness,
     "q_js_divergence" -> sqlJsDivergence,
     "q_ccnet_buckets" -> sqlCcnetBuckets,
     "q_hash_sample" -> sqlHashSample,

@@ -3202,11 +3202,15 @@ object TextQueries {
             .cast("double")).as("kappa"))
   }
 
-  private def sqlFleissKappa = {
+  /** Shared oracle WITH-prefix rebuilding the three dedup raters'
+    * per-doc dup-vote counts (`votes(nd)`) — consumed by
+    * [[sqlFleissKappa]] and [[sqlKrippendorff]].
+    */
+  private def duckDupVotes = {
     val simBandList = (0 until SimBands).map { b =>
       s"'$b:' || CAST((sh // ${1L << (b * 8)}) % 256 AS VARCHAR)"
     }.mkString("[", ", ", "]")
-    s"""WITH c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),
+    s"""c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),
        |     ex AS (SELECT doc_id,
        |              (doc_id <> min(doc_id) OVER (PARTITION BY
        |                sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))) AS ex_dup
@@ -3236,7 +3240,11 @@ object TextQueries {
        |     votes AS (SELECT (CASE WHEN ex.ex_dup THEN 1 ELSE 0 END +
        |                       CASE WHEN lsh.lsh_dup THEN 1 ELSE 0 END +
        |                       CASE WHEN simv.sim_dup THEN 1 ELSE 0 END) AS nd
-       |               FROM ex JOIN lsh USING (doc_id) JOIN simv USING (doc_id)),
+       |               FROM ex JOIN lsh USING (doc_id) JOIN simv USING (doc_id))""".stripMargin
+  }
+
+  private def sqlFleissKappa =
+    s"""WITH $duckDupVotes,
        |     agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
        |                    CAST(sum(nd) AS BIGINT) AS d,
        |                    CAST(sum(nd * nd + (3 - nd) * (3 - nd)) AS BIGINT) AS s2
@@ -3251,6 +3259,152 @@ object TextQueries {
                  "CAST(3 * n * (s2 - 3 * n) - 2 * (d * d + (3 * n - d) * (3 * n - d)) AS DOUBLE) " +
                    "/ CAST(18 * n * n - 2 * (d * d + (3 * n - d) * (3 * n - d)) AS DOUBLE)")} AS kappa
        |FROM agg""".stripMargin
+
+  // ---------- 5e¹. q_krippendorff: Krippendorff's alpha (nominal) ----------
+
+  /** Krippendorff's α (1970, nominal data) over the SAME three dedup
+    * raters as [[fleissKappa]] — the agreement coefficient that
+    * generalizes to missing ratings and many raters, quoted alongside
+    * Fleiss when annotation pipelines are audited. With m=3 complete
+    * binary ratings it reduces to exact integer arithmetic:
+    * per-unit observed disagreement is nd·(3−nd) disagreeing pairs of
+    * 3, so Do = P/(3N) with P = Σ nd(3−nd); expected disagreement
+    * uses the JOINT value distribution over all 3N ratings
+    * (Krippendorff's (n(n−1)) pairing — the α-vs-κ difference):
+    * De = 2D(3N−D)/(3N(3N−1)); α = 1 − P(3N−1)/(2D(3N−D)) — one
+    * rational of longs, round4 at the edge (headroom: N·N terms,
+    * widen to DECIMAL past ~10⁹ docs).
+    *
+    * Shape: identical to [[fleissKappa]] — three linear assignment
+    * kernels, one doc-keyed vote join, one 3-integer global aggregate.
+    */
+  def krippendorffAlpha(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val exact = docs
+      .withColumn("h", sha2(normText(col("text")), 256))
+      .withColumn("minid", min(col("doc_id")).over(Window.partitionBy("h")))
+      .select(col("doc_id"), (col("doc_id") =!= col("minid")).as("ex_dup"))
+    val lsh = minhashAssignments(docs)
+      .select(col("doc_id"), (col("doc_id") =!= col("cluster_id")).as("lsh_dup"))
+    val sim = simhashAssignments(docs)
+      .select(col("doc_id"), (col("doc_id") =!= col("cluster_id")).as("sim_dup"))
+    val votes = exact.join(lsh, "doc_id").join(sim, "doc_id")
+      .select((col("ex_dup").cast("long") + col("lsh_dup").cast("long") +
+        col("sim_dup").cast("long")).as("nd"))
+    votes.agg(count(lit(1)).as("n"), sum(col("nd")).as("d"),
+        sum(col("nd") * (lit(3L) - col("nd"))).as("p"))
+      .select(col("n").as("n_docs"), col("d").as("n_dup_votes"),
+        TextFns.round4(col("p").cast("double") /
+          (lit(3L) * col("n")).cast("double")).as("d_observed"),
+        TextFns.round4((lit(2L) * col("d") * (lit(3L) * col("n") - col("d")))
+          .cast("double") /
+          (lit(3L) * col("n") * (lit(3L) * col("n") - lit(1L))).cast("double"))
+          .as("d_expected"),
+        TextFns.round4(lit(1.0) -
+          (col("p") * (lit(3L) * col("n") - lit(1L))).cast("double") /
+          (lit(2L) * col("d") * (lit(3L) * col("n") - col("d"))).cast("double"))
+          .as("alpha"))
+  }
+
+  private def sqlKrippendorff =
+    s"""WITH $duckDupVotes,
+       |     agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |                    CAST(sum(nd) AS BIGINT) AS d,
+       |                    CAST(sum(nd * (3 - nd)) AS BIGINT) AS p
+       |             FROM votes)
+       |SELECT n AS n_docs, d AS n_dup_votes,
+       |       ${TextFns.duckRound4("CAST(p AS DOUBLE) / CAST(3 * n AS DOUBLE)")} AS d_observed,
+       |       ${TextFns.duckRound4(
+                 "CAST(2 * d * (3 * n - d) AS DOUBLE) / CAST(3 * n * (3 * n - 1) AS DOUBLE)")} AS d_expected,
+       |       ${TextFns.duckRound4(
+                 "1.0 - CAST(p * (3 * n - 1) AS DOUBLE) / CAST(2 * d * (3 * n - d) AS DOUBLE)")} AS alpha
+       |FROM agg""".stripMargin
+
+  // ---------- 5e². q_self_bleu: corpus-diversity self-BLEU screen ----------
+
+  /** Set-semantics self-BLEU diversity screen per source (Zhu et al.
+    * 2018's Texygen metric, the standard "is this generated/scraped
+    * corpus collapsing onto itself" number): for each document, the
+    * fraction of its DISTINCT unigrams / bigrams that also occur in
+    * ANOTHER document of the same source (source-df ≥ 2 — set
+    * semantics replace BLEU's clipped counts, keeping every ratio a
+    * rational of exact integers), combined as the 2-gram geometric
+    * mean √p₁·√p₂ (two correctly-rounded sqrts multiplied — the
+    * cross-engine-safe form; never sqrt(p₁·p₂)). High mean self-BLEU
+    * = low diversity = the source is boilerplate-heavy even where
+    * whole-document dedup finds nothing.
+    *
+    * Shape: distinct-gram fan-out (array_distinct before explode, so
+    * the gram shuffle is set-grain), one (source, gram) df aggregate
+    * per width, one doc-grain hit count each, one source-grain mean —
+    * linear, no pair stage. Parity: per-doc scores are exact-integer
+    * ratios through sqrt; the source mean is a round6-DECIMAL sum
+    * divided once at the edge.
+    */
+  def selfBleu(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        array_distinct(col("ts")).as("g1arr"),
+        array_distinct(
+          graft.functions.TextHashes.ngramHashes(col("ts"), 2)).as("g2arr"))
+      .localCheckpoint(true)
+    def hits(gcol: String): DataFrame = {
+      val u = d.select(col("doc_id"), col("source"),
+          explode_outer(col(gcol)).as("g"))
+        .filter(col("g").isNotNull)
+      val df = u.groupBy("source", "g").agg(count(lit(1)).as("df"))
+      u.join(df, Seq("source", "g"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("df") >= 2, 1L).otherwise(0L)).as("h"),
+          count(lit(1)).as("ng"))
+    }
+    val h1 = hits("g1arr").withColumnRenamed("h", "h1").withColumnRenamed("ng", "ng1")
+    val h2 = hits("g2arr").withColumnRenamed("h", "h2").withColumnRenamed("ng", "ng2")
+    val per = d.select(col("doc_id"), col("source"))
+      .join(h1, "doc_id").join(h2, "doc_id")
+      .withColumn("score",
+        sqrt(col("h1").cast("double") / col("ng1").cast("double")) *
+          sqrt(col("h2").cast("double") / col("ng2").cast("double")))
+      .withColumn("s6", (floor(col("score") * 1000000.0 + 0.5) / 1000000.0)
+        .cast("decimal(28,6)"))
+    per.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") === 1.0, 1L).otherwise(0L)).as("n_saturated"),
+        sum(col("s6")).as("ssum"))
+      .select(col("source"), col("n_docs"), col("n_saturated"),
+        TextFns.round4(col("ssum").cast("double") /
+          col("n_docs").cast("double")).as("mean_self_bleu"))
+      .orderBy("source")
+  }
+
+  private def sqlSelfBleu = {
+    val r4 = TextFns.duckRound4 _
+    s"""WITH t AS (SELECT doc_id, source, $duckTokens AS ts FROM documents),
+       |     d AS (SELECT doc_id, source, list_distinct(ts) AS g1arr,
+       |                  list_distinct(${duckNgramHashesOf(2)}) AS g2arr
+       |           FROM t),
+       |     u1 AS (SELECT doc_id, source, unnest(g1arr) AS g FROM d),
+       |     f1 AS (SELECT source, g, count(*) AS df FROM u1 GROUP BY 1, 2),
+       |     h1 AS (SELECT doc_id,
+       |                   sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS h1,
+       |                   count(*) AS ng1
+       |            FROM u1 JOIN f1 USING (source, g) GROUP BY 1),
+       |     u2 AS (SELECT doc_id, source, unnest(g2arr) AS g FROM d),
+       |     f2 AS (SELECT source, g, count(*) AS df FROM u2 GROUP BY 1, 2),
+       |     h2 AS (SELECT doc_id,
+       |                   sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS h2,
+       |                   count(*) AS ng2
+       |            FROM u2 JOIN f2 USING (source, g) GROUP BY 1),
+       |     per AS (SELECT d.doc_id, d.source,
+       |                    sqrt(CAST(h1 AS DOUBLE) / CAST(ng1 AS DOUBLE)) *
+       |                      sqrt(CAST(h2 AS DOUBLE) / CAST(ng2 AS DOUBLE)) AS score
+       |             FROM d JOIN h1 ON d.doc_id = h1.doc_id
+       |                    JOIN h2 ON d.doc_id = h2.doc_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN score = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated,
+       |       ${r4("CAST(sum(CAST(floor(score * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mean_self_bleu
+       |FROM per GROUP BY source ORDER BY source""".stripMargin
   }
 
   // ---------- 3d². q_split_leakage: cross-split near-dup edge audit ----------
@@ -3386,6 +3540,8 @@ object TextQueries {
     "q_token_shards" -> (tokenShards _),
     "q_ngram_jaccard" -> (ngramJaccard _),
     "q_ppjoin" -> (ppjoin _),
+    "q_krippendorff" -> (krippendorffAlpha _),
+    "q_self_bleu" -> (selfBleu _),
     "q_containment" -> (containment _),
     "q_lang_id" -> (langId _),
     "q_lang_agreement" -> (langAgreement _),
@@ -3437,6 +3593,8 @@ object TextQueries {
     "q_token_shards" -> sqlTokenShards,
     "q_ngram_jaccard" -> sqlNgramJaccard,
     "q_ppjoin" -> sqlPpjoin,
+    "q_krippendorff" -> sqlKrippendorff,
+    "q_self_bleu" -> sqlSelfBleu,
     "q_containment" -> sqlContainment,
     "q_lang_id" -> sqlLangId,
     "q_lang_agreement" -> sqlLangAgreement,
