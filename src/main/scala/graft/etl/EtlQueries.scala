@@ -1491,6 +1491,67 @@ object EtlQueries {
        |ORDER BY col_name""".stripMargin
   }
 
+  // ---------- q_mor_read: merge-on-read scan (base + delta log) ----------
+
+  /** Merge-on-read under the correctness gate: the table-format read
+    * path where a BASE snapshot and an unmerged DELTA LOG (updates +
+    * delete tombstones, sequence-numbered) are reconciled AT SCAN
+    * TIME — Hudi MOR / Iceberg v2 positional-delete semantics,
+    * complementing `q_lww_upsert` (which gates the WRITE-side
+    * compaction of the same rule). Base customers are written to
+    * parquet; a delta log carries +100.00 balance updates (seq 1,
+    * custkey ≡ 0 mod 7) and delete tombstones (seq 2, custkey ≡ 0 mod
+    * 13); the scan unions base (seq 0) with the log, keeps the
+    * max-seq row per key (`row_number` over the key — partitioned by
+    * key, fact-scale safe), and drops tombstoned keys. The oracle
+    * states the contractual merged table arithmetically from the raw
+    * source — a reader that loses a tombstone, double-applies an
+    * update, or misorders sequences breaks the hash.
+    *
+    * Scale: the merge is one key-partitioned window over base ∪ log —
+    * work ∝ base + delta, the read amplification MOR trades for
+    * cheap writes; balances ride as exact integer cents.
+    */
+  def morRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mor").toString
+    val base = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") * 100.0 + 0.5).cast("long").as("cents"))
+    base.write.mode("overwrite").parquet(s"$dir/base")
+    val updates = base.filter(pmod(col("c_custkey"), lit(7L)) === 0L)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (col("cents") + 10000L).as("cents"),
+        lit("U").as("op"), lit(1L).as("seq"))
+    val deletes = base.filter(pmod(col("c_custkey"), lit(13L)) === 0L)
+      .select(col("c_custkey"), col("c_mktsegment"), col("cents"),
+        lit("D").as("op"), lit(2L).as("seq"))
+    updates.unionByName(deletes).write.mode("overwrite").parquet(s"$dir/delta")
+    // ---- the read path under test: base ∪ log, last-sequence-wins ----
+    val scanned = spark.read.parquet(s"$dir/base")
+      .select(col("c_custkey"), col("c_mktsegment"), col("cents"),
+        lit("I").as("op"), lit(0L).as("seq"))
+      .unionByName(spark.read.parquet(s"$dir/delta"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_custkey").orderBy(col("seq").desc)
+    scanned.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("c"))
+      .select(col("c_mktsegment"), col("n_rows"),
+        round(col("c").cast("double") / 100.0, 4).as("total_balance"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val sqlMorRead =
+    """WITH m AS (SELECT c_custkey, c_mktsegment,
+      |                  CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+      |                    + CASE WHEN c_custkey % 7 = 0 THEN 10000 ELSE 0 END AS cents
+      |           FROM customer
+      |           WHERE c_custkey % 13 <> 0)
+      |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+      |       round(CAST(sum(cents) AS DOUBLE) / 100.0, 4) AS total_balance
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------- q_bucket_join: co-located bucketed join, driver-gated ----------
 
   /** Bucketed co-located join under the correctness gate (previously
@@ -1616,6 +1677,7 @@ object EtlQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bucket_join" -> (bucketJoinExec _),
+    "q_mor_read" -> (morRead _),
     "q_snapshot_partition" -> (snapshotPartition _),
     "q_catalog_stats" -> (catalogStats _),
     "q_compact_exec" -> (compactExec _),
@@ -1654,6 +1716,7 @@ object EtlQueries {
 
   val oracle: Map[String, String] = Map(
     "q_bucket_join" -> sqlBucketJoin,
+    "q_mor_read" -> sqlMorRead,
     "q_snapshot_partition" -> sqlSnapshotPartition,
     "q_catalog_stats" -> sqlCatalogStats,
     "q_compact_exec" -> sqlCompactExec,

@@ -770,6 +770,76 @@ object OlapStats {
        |FROM pr ORDER BY seg_a, seg_b""".stripMargin
   }
 
+  // ---------- q_mann_whitney: rank-sum two-sample test ----------
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) between click and purchase
+    * event values — the NONPARAMETRIC companion to [[welchTtest]]:
+    * no normality assumption, rank-based, the test a metrics review
+    * reaches for when the value distribution is skewed or censored.
+    * U, its tie-averaged form, and the normal approximation with the
+    * standard tie correction are all EXACT-INTEGER derived:
+    * 2U = Σ_v n_a(v)·(2·cum_b(<v) + n_b(v)) over the distinct-value
+    * grain, so no float rank is ever assigned (the FLOAT_AUDIT
+    * doctrine: ranks from exact integers or not at all).
+    *
+    * Shape — the fact-scale rank test: values collapse to distinct-
+    * value grain (one hash aggregate), the below-v cumulative is
+    * [[graft.etl.PrefixScan.exclusivePrefixSum]] (range-partition +
+    * two-pass scan), NEVER a single-partition window over a
+    * fact-proportional input (the CLAUDE.md window rule — the oracle,
+    * single-engine, uses the plain window form). One global integer
+    * aggregate, doubles only in the final z. Headroom: u2 and
+    * n_a·n_b are < 2⁶³ to ~3·10⁹ rows per side; tsum = Σ(t³−t) is
+    * bounded by tie-group cubes (widen to DECIMAL on corpora where a
+    * single value carries ≥ ~2·10⁶ rows).
+    */
+  def mannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("value")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("na"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("nb"))
+    val cum = graft.etl.PrefixScan.exclusivePrefixSum(g, "value", "nb", "cumb")
+    val t = col("na") + col("nb")
+    val agg = cum.agg(
+      sum(col("na")).as("nat"), sum(col("nb")).as("nbt"),
+      sum(col("na") * (lit(2L) * col("cumb") + col("nb"))).as("u2"),
+      sum(when(t >= 2L, t * t * t - t).otherwise(0L)).as("tsum"),
+      sum(when(t >= 2L, 1L).otherwise(0L)).as("n_tie_groups"))
+    val nD = (col("nat") + col("nbt")).cast("double")
+    val va = (col("nat") * col("nbt")).cast("double") / 12.0 *
+      ((nD + 1.0) - col("tsum").cast("double") / (nD * (nD - 1.0)))
+    agg.select(col("nat").as("n_a"), col("nbt").as("n_b"),
+      col("u2"), col("n_tie_groups"),
+      round4(((col("u2") - col("nat") * col("nbt")).cast("double") / 2.0) /
+        sqrt(va)).as("z_stat"))
+  }
+
+  private val sqlMannWhitney = {
+    val va = "CAST(nat * nbt AS DOUBLE) / 12.0 * " +
+      "((CAST(nat + nbt AS DOUBLE) + 1.0) - CAST(tsum AS DOUBLE) / " +
+      "(CAST(nat + nbt AS DOUBLE) * (CAST(nat + nbt AS DOUBLE) - 1.0)))"
+    s"""WITH g AS (SELECT value,
+       |                  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+       |           FROM events WHERE event_type IN ('click', 'purchase')
+       |           GROUP BY 1),
+       |     c AS (SELECT *, CAST(coalesce(sum(nb) OVER (ORDER BY value
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+       |           FROM g),
+       |     a AS (SELECT CAST(sum(na) AS BIGINT) AS nat,
+       |                  CAST(sum(nb) AS BIGINT) AS nbt,
+       |                  CAST(sum(na * (2 * cumb + nb)) AS BIGINT) AS u2,
+       |                  CAST(sum(CASE WHEN na + nb >= 2
+       |                    THEN (na + nb) * (na + nb) * (na + nb) - (na + nb)
+       |                    ELSE 0 END) AS BIGINT) AS tsum,
+       |                  CAST(sum(CASE WHEN na + nb >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_tie_groups
+       |           FROM c)
+       |SELECT nat AS n_a, nbt AS n_b, u2, n_tie_groups,
+       |       ${duckRound4(s"(CAST(u2 - nat * nbt AS DOUBLE) / 2.0) / sqrt($va)")} AS z_stat
+       |FROM a""".stripMargin
+  }
+
   // ---------- q_hill_tail: heavy-tail index (Hill estimator) ----------
 
   /** Top-order-statistic count for the Hill estimator (k = 50 tail
@@ -874,6 +944,7 @@ object OlapStats {
     "q_percentile_disc" -> (percentileDisc _),
     "q_hill_tail" -> (hillTail _),
     "q_welch_ttest" -> (welchTtest _),
+    "q_mann_whitney" -> (mannWhitney _),
     "q_tv_drift" -> (tvDrift _),
     "q_weighted_median" -> (weightedMedian _),
     "q_benford" -> (benford _),
@@ -891,6 +962,7 @@ object OlapStats {
     "q_percentile_disc" -> sqlPercentileDisc,
     "q_hill_tail" -> sqlHillTail,
     "q_welch_ttest" -> sqlWelchTtest,
+    "q_mann_whitney" -> sqlMannWhitney,
     "q_tv_drift" -> sqlTvDrift,
     "q_weighted_median" -> sqlWeightedMedian,
     "q_benford" -> sqlBenford,

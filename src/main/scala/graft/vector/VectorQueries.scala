@@ -319,6 +319,201 @@ object VectorQueries {
        |       ${duckRound4("sim0")} AS sim
        |FROM r WHERE rk <= $BatchTopK ORDER BY probe_id, rk""".stripMargin
 
+  // ---------- 2d. q_metric_agreement: cosine-vs-dot serving audit ----------
+
+  /** Metric-choice audit: over the SAME bucket-bounded candidate pool
+    * as [[knnBatch]], the per-probe top-[[BatchTopK]] under COSINE vs
+    * under raw INNER PRODUCT, and their overlap — the number a
+    * serving team reads before flipping an index's metric (IP favors
+    * long vectors; if the corpus norms vary, the two rankings diverge
+    * and recall measured under one metric lies about the other —
+    * the Matryoshka/embedding-truncation literature's norm-bias
+    * caveat made measurable).
+    *
+    * Shape: one bucket equi-join, two rank windows over the identical
+    * candidate set, one probe-grain count — adds nothing beyond
+    * [[knnBatch]]'s plan but a second window. Parity: both ranks
+    * compare identically-computed doubles (staged-norm cosine; native
+    * left-fold dot), vec_id tie-break; the overlap count is integer.
+    */
+  def metricAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+      .withColumn("bucket", VectorFns.signBucket(col("v"), LshBits, LshStride))
+    val probes = vecs.filter((col("vec_id") % BatchProbeStep === 0 && col("vec_id") < ProbeIdCap))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("bucket").as("pbucket"))
+    val wc = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+    val wd = Window.partitionBy("probe_id").orderBy(col("dp").desc, col("vec_id"))
+    vecs.join(probes,
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
+      .withColumn("dp", VectorFns.dot(col("v"), col("pv")))
+      .withColumn("sim", col("dp") / (col("nrm") * col("pnrm")))
+      .withColumn("rkc", row_number().over(wc))
+      .withColumn("rkd", row_number().over(wd))
+      .filter(col("rkc") <= BatchTopK || col("rkd") <= BatchTopK)
+      .groupBy("probe_id")
+      .agg(sum(when(col("rkc") <= BatchTopK && col("rkd") <= BatchTopK, 1L)
+        .otherwise(0L)).as("n_overlap"))
+      .select(col("probe_id"), col("n_overlap"),
+        round4(col("n_overlap").cast("double") / BatchTopK.toDouble)
+          .as("agree_rate"))
+      .orderBy("probe_id")
+  }
+
+  private val sqlMetricAgreement =
+    s"""WITH $duckVecs,
+       |     b AS (SELECT vec_id, v, nrm, $duckBucket AS bucket FROM e),
+       |     p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm, bucket AS pbucket
+       |           FROM b WHERE vec_id % $BatchProbeStep = 0 AND vec_id < $ProbeIdCap),
+       |     s AS (SELECT p.probe_id, b.vec_id,
+       |                  ${duckDot("b.v", "pv")} AS dp,
+       |                  ${duckDot("b.v", "pv")} / (b.nrm * pnrm) AS sim0
+       |           FROM b JOIN p ON b.bucket = p.pbucket AND b.vec_id <> p.probe_id),
+       |     r AS (SELECT probe_id, vec_id,
+       |                  row_number() OVER (PARTITION BY probe_id
+       |                                     ORDER BY sim0 DESC, vec_id) AS rkc,
+       |                  row_number() OVER (PARTITION BY probe_id
+       |                                     ORDER BY dp DESC, vec_id) AS rkd
+       |           FROM s)
+       |SELECT probe_id,
+       |       CAST(sum(CASE WHEN rkc <= $BatchTopK AND rkd <= $BatchTopK
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       |       ${duckRound4(
+                 s"CAST(sum(CASE WHEN rkc <= $BatchTopK AND rkd <= $BatchTopK THEN 1 ELSE 0 END) AS DOUBLE) / $BatchTopK.0")} AS agree_rate
+       |FROM r WHERE rkc <= $BatchTopK OR rkd <= $BatchTopK
+       |GROUP BY probe_id ORDER BY probe_id""".stripMargin
+
+  // ---------- 2e. q_hubness: ANN-graph in-degree (hubness) audit ----------
+
+  /** Hubness audit of the served kNN graph (Radovanović et al., JMLR
+    * 2010): the in-degree (k-occurrence) distribution of
+    * [[knnBatch]]'s neighbor lists — in high dimensions a few
+    * "hub" points appear in a disproportionate share of kNN lists
+    * while antihubs appear in none, silently skewing dedup votes,
+    * retrieval diversity, and kNN label audits. The census (how many
+    * corpus vectors are retrieved once, twice, …) is the screen a
+    * vector platform runs after every index build; a heavy right tail
+    * says to re-normalize or re-rank before trusting the graph.
+    *
+    * Shape: exactly [[knnBatch]]'s plan plus one neighbor-grain count
+    * and one bounded census aggregate (in-degree ≤ probe count).
+    */
+  def hubness(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+      .withColumn("bucket", VectorFns.signBucket(col("v"), LshBits, LshStride))
+    val probes = vecs.filter((col("vec_id") % BatchProbeStep === 0 && col("vec_id") < ProbeIdCap))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("bucket").as("pbucket"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    vecs.join(probes,
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
+      .withColumn("sim",
+        VectorFns.cosineStaged(col("v"), col("pv"), col("nrm"), col("pnrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= BatchTopK)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("in_degree"))
+      .groupBy("in_degree")
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("in_degree")
+  }
+
+  private val sqlHubness =
+    s"""WITH $duckVecs,
+       |     b AS (SELECT vec_id, v, nrm, $duckBucket AS bucket FROM e),
+       |     p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm, bucket AS pbucket
+       |           FROM b WHERE vec_id % $BatchProbeStep = 0 AND vec_id < $ProbeIdCap),
+       |     s AS (SELECT p.probe_id, b.vec_id,
+       |                  ${duckDot("b.v", "pv")} / (b.nrm * pnrm) AS sim0
+       |           FROM b JOIN p ON b.bucket = p.pbucket AND b.vec_id <> p.probe_id),
+       |     r AS (SELECT probe_id, vec_id,
+       |                  row_number() OVER (PARTITION BY probe_id
+       |                                     ORDER BY sim0 DESC, vec_id) AS rk
+       |           FROM s),
+       |     deg AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS in_degree
+       |             FROM r WHERE rk <= $BatchTopK GROUP BY 1)
+       |SELECT in_degree, CAST(count(*) AS BIGINT) AS n_vectors
+       |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------- 2f. q_kcenter: Gonzalez farthest-first coreset seeds ----------
+
+  private val KCenterSeeds = 5
+
+  /** Farthest-first (Gonzalez 1985) k-center seeding over cosine
+    * distance — the 2-approximation coreset/pruning seed selector
+    * (sensitivity-sampling and DEDUP-pruning pipelines pick their
+    * representative subset this way; it is also k-means++'s
+    * deterministic cousin, with max instead of a draw). Starting from
+    * vec_id 0, each round adds the point FARTHEST from the current
+    * seed set; its selection distance is exactly the previous set's
+    * coverage radius, so the output doubles as the radius-vs-k curve
+    * a pruning-budget owner reads.
+    *
+    * Shape: driver-paced [[KCenterSeeds]] rounds (the
+    * ConnectedComponents discipline — per-round min-distance state is
+    * checkpointTracked and superseded blocks freed); each round is one
+    * broadcast-seed map + one 1-row TakeOrdered collect — linear per
+    * round, never pairwise. Parity: distances are 1 − the staged-norm
+    * cosine (identical fold, identical division, exact subtraction);
+    * argmax ties break on vec_id over identical bits.
+    */
+  def kcenter(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.graph.ConnectedComponents.{checkpointTracked, free}
+    val vecs = withVecs(spark, sfDir).localCheckpoint(true)
+    def seedOf(id: Long) = broadcast(vecs.filter(col("vec_id") === id)
+      .select(col("v").as("sv"), col("nrm").as("snrm")))
+    var (dists, ids) = checkpointTracked(
+      vecs.filter(col("vec_id") =!= 0L).crossJoin(seedOf(0L))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          (lit(1.0) - VectorFns.dot(col("v"), col("sv")) /
+            (col("nrm") * col("snrm"))).as("d")))
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    (1 to KCenterSeeds).foreach { rank =>
+      val top = dists.orderBy(col("d").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("d")).collect()(0)
+      val (sid, sel) = (top.getLong(0), top.getDouble(1))
+      picked += ((rank, sid, sel))
+      if (rank < KCenterSeeds) {
+        val (next, nextIds) = checkpointTracked(
+          dists.crossJoin(seedOf(sid))
+            .select(col("vec_id"), col("v"), col("nrm"),
+              least(col("d"), lit(1.0) - VectorFns.dot(col("v"), col("sv")) /
+                (col("nrm") * col("snrm"))).as("d")))
+        free(dists, ids)
+        dists = next; ids = nextIds
+      } else free(dists, ids)
+    }
+    import org.apache.spark.sql.SparkSession
+    val s = spark
+    import s.implicits._
+    picked.toSeq.toDF("rank", "seed_id", "sel0")
+      .select(col("rank"), col("seed_id"), round4(col("sel0")).as("sel_dist"))
+      .orderBy("rank")
+  }
+
+  private val sqlKcenter = {
+    def dist(side: String) = s"1.0 - ${duckDot(s"$side.v", "sv")} / ($side.nrm * snrm)"
+    val sb = new StringBuilder
+    sb.append(s"WITH $duckVecs,\n")
+    sb.append(s"     sd0 AS (SELECT v AS sv, nrm AS snrm FROM e WHERE vec_id = 0),\n")
+    sb.append("     d0 AS (SELECT x.vec_id, x.v, x.nrm, " + dist("x") +
+      " AS d FROM e x CROSS JOIN sd0 WHERE x.vec_id <> 0),\n")
+    (1 to KCenterSeeds).foreach { i =>
+      sb.append(s"     s$i AS (SELECT vec_id, d FROM d${i - 1} ORDER BY d DESC, vec_id LIMIT 1)")
+      if (i < KCenterSeeds) {
+        sb.append(",\n")
+        sb.append(s"     sd$i AS (SELECT e.v AS sv, e.nrm AS snrm FROM e JOIN s$i ON e.vec_id = s$i.vec_id),\n")
+        sb.append(s"     d$i AS (SELECT x.vec_id, x.v, x.nrm, least(x.d, " + dist("x") +
+          s") AS d FROM d${i - 1} x CROSS JOIN sd$i),\n")
+      } else sb.append("\n")
+    }
+    val rows = (1 to KCenterSeeds).map { i =>
+      s"SELECT $i AS rank, vec_id AS seed_id, ${duckRound4("d")} AS sel_dist FROM s$i"
+    }.mkString("", "\nUNION ALL ", "")
+    sb.append(rows + "\nORDER BY rank").toString
+  }
+
   // ---------- 3. q_embed_neardup: blocked cosine near-dup pairs ----------
 
   /** Embedding near-dup detection: candidate pairs meet only inside a
@@ -3628,6 +3823,9 @@ object VectorQueries {
     "q_mrl_curve" -> (mrlCurve _),
     "q_knn" -> (knn _),
     "q_knn_batch" -> (knnBatch _),
+    "q_metric_agreement" -> (metricAgreement _),
+    "q_hubness" -> (hubness _),
+    "q_kcenter" -> (kcenter _),
     "q_hard_negatives" -> (hardNegatives _),
     "q_ann_lsh" -> (annLsh _),
     "q_embed_neardup" -> (embedNearDup _),
@@ -3674,6 +3872,9 @@ object VectorQueries {
     "q_mrl_curve" -> sqlMrlCurve,
     "q_knn" -> sqlKnn,
     "q_knn_batch" -> sqlKnnBatch,
+    "q_metric_agreement" -> sqlMetricAgreement,
+    "q_hubness" -> sqlHubness,
+    "q_kcenter" -> sqlKcenter,
     "q_hard_negatives" -> sqlHardNegatives,
     "q_ann_lsh" -> sqlAnnLsh,
     "q_embed_neardup" -> sqlEmbedNearDup,
