@@ -1563,56 +1563,174 @@ object EventQueries {
        |ORDER BY week""".stripMargin
   }
 
-  // ---------- q_cohort_retention: signup-cohort retention triangle ----------
+  // ---------- q_cuped: CUPED variance-reduction audit ----------
 
-  /** Classic cohort retention triangle: users cohorted by FIRST-seen
-    * week, then for each (cohort, offset k) the count of cohort
-    * members active in week cohort+k and the retention fraction —
-    * the product-analytics table [[userChurn]]'s adjacent-week view
-    * cannot give (churn is memoryless week-to-week; the triangle
-    * shows whether month-3 retention of January's cohort differs
-    * from March's, i.e. cohort QUALITY drift).
+  /** CUPED (Deng, Xu, Kohavi & Walker, WSDM 2013) — the pre-experiment
+    * covariate adjustment every large A/B platform applies before
+    * reading a metric: with x = a user's PRE-period value and y the
+    * POST-period value, the adjusted metric y − θ·x (θ = cov/var(x))
+    * keeps the same mean but sheds ρ² of the variance. This query
+    * computes θ and the variance-reduction factor ρ² from the event
+    * stream, split at the calendar midpoint week — the number that
+    * says how much smaller every future experiment on this metric can
+    * be.
     *
-    * Shape: distinct (user, week) collapse (the churn query's
-    * collapse), one user-grain min() for the cohort, one join back on
-    * user, one (cohort, offset) aggregate — linear, all key-partitioned.
-    * Parity: integer epoch-microsecond week indices (`div` both
-    * engines), retention = exact-integer division round4'd.
+    * Parity/scale: per-user period sums are exact integer micro-units
+    * (order-independent); the five co-moments are DECIMAL sums (the
+    * `q_corr_stats` recipe); θ and ρ² are fixed-shape double formulas
+    * over n·cov / n·var numerators (the 1/(n−1) factors cancel).
+    * One user-grain aggregate + one 1-row moment aggregate — linear.
     */
-  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
-    val uw = Tables.events(spark, sfDir)
+  def cuped(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
       .select(col("user_id"),
-        expr("unix_micros(ts) div 604800000000").as("w"))
-      .distinct()
-    val cohort = uw.groupBy("user_id").agg(min(col("w")).as("cohort_w"))
-    val sizes = cohort.groupBy("cohort_w").agg(count(lit(1)).as("n_cohort"))
-    uw.join(cohort, "user_id")
-      .groupBy(col("cohort_w"), (col("w") - col("cohort_w")).as("offset_w"))
-      .agg(count(lit(1)).as("n_active"))
-      .join(broadcast(sizes), "cohort_w")
-      .select(col("cohort_w"), col("offset_w"), col("n_cohort"), col("n_active"),
-        graft.text.TextFns.round4(col("n_active").cast("double") /
-          col("n_cohort").cast("double")).as("retention"))
-      .orderBy("cohort_w", "offset_w")
+        expr("unix_micros(ts) div 604800000000").as("w"),
+        floor(col("value") * 1000000.0 + 0.5).cast("long").as("vm"))
+    val bounds = ev.agg(min(col("w")).as("wmin"), max(col("w")).as("wmax"))
+    val u = ev.crossJoin(broadcast(bounds))
+      .withColumn("pre", col("w") < expr("(wmin + wmax + 1) div 2"))
+      .groupBy("user_id")
+      .agg(sum(when(col("pre"), col("vm")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("vm")).otherwise(0L)).as("y"))
+    val m = u.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(18,0)")).as("sx"),
+      sum(col("y").cast("decimal(18,0)")).as("sy"),
+      sum(col("x").cast("decimal(18,0)") * col("y").cast("decimal(20,0)")).as("sxy"),
+      sum(col("x").cast("decimal(18,0)") * col("x").cast("decimal(20,0)")).as("sxx"),
+      sum(col("y").cast("decimal(18,0)") * col("y").cast("decimal(20,0)")).as("syy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val covN = d("sxy") - d("sx") * d("sy") / nD
+    val varxN = d("sxx") - d("sx") * d("sx") / nD
+    val varyN = d("syy") - d("sy") * d("sy") / nD
+    m.select(col("n").as("n_users"),
+      graft.text.TextFns.round4(covN / varxN).as("theta"),
+      graft.text.TextFns.round4(covN * covN / (varxN * varyN))
+        .as("var_reduction"))
   }
 
-  private val sqlCohortRetention = {
-    val r4 = graft.text.TextFns.duckRound4 _
-    s"""WITH uw AS (SELECT DISTINCT user_id,
-       |                   epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS w
+  private val sqlCuped = {
+    val covN = "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    val varxN = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    val varyN = "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    s"""WITH ev AS (SELECT user_id,
+       |                   epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS w,
+       |                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
        |            FROM events),
-       |     ch AS (SELECT user_id, min(w) AS cohort_w FROM uw GROUP BY 1),
-       |     sz AS (SELECT cohort_w, CAST(count(*) AS BIGINT) AS n_cohort
-       |            FROM ch GROUP BY 1),
-       |     act AS (SELECT ch.cohort_w, uw.w - ch.cohort_w AS offset_w,
-       |                    CAST(count(*) AS BIGINT) AS n_active
-       |             FROM uw JOIN ch ON uw.user_id = ch.user_id
-       |             GROUP BY 1, 2)
-       |SELECT CAST(act.cohort_w AS BIGINT) AS cohort_w,
-       |       CAST(offset_w AS BIGINT) AS offset_w, n_cohort, n_active,
-       |       ${r4("CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE)")} AS retention
-       |FROM act JOIN sz ON act.cohort_w = sz.cohort_w
-       |ORDER BY cohort_w, offset_w""".stripMargin
+       |     b AS (SELECT min(w) AS wmin, max(w) AS wmax FROM ev),
+       |     u AS (SELECT user_id,
+       |                  CAST(sum(CASE WHEN w < (wmin + wmax + 1) // 2 THEN vm ELSE 0 END) AS BIGINT) AS x,
+       |                  CAST(sum(CASE WHEN w >= (wmin + wmax + 1) // 2 THEN vm ELSE 0 END) AS BIGINT) AS y
+       |           FROM ev CROSS JOIN b GROUP BY 1),
+       |     m AS (SELECT count(*) AS n,
+       |                  sum(CAST(x AS DECIMAL(18,0))) AS sx,
+       |                  sum(CAST(y AS DECIMAL(18,0))) AS sy,
+       |                  sum(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(20,0))) AS sxy,
+       |                  sum(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(20,0))) AS sxx,
+       |                  sum(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(20,0))) AS syy
+       |           FROM u)
+       |SELECT CAST(n AS BIGINT) AS n_users,
+       |       ${graft.text.TextFns.duckRound4(s"$covN / $varxN")} AS theta,
+       |       ${graft.text.TextFns.duckRound4(
+                 s"$covN * $covN / ($varxN * $varyN)")} AS var_reduction
+       |FROM m""".stripMargin
+  }
+
+  // ---------- q_stl_strength: seasonal/trend strength decomposition ----------
+
+  /** Trend and seasonal STRENGTH of the per-type daily count series
+    * (Hyndman & Athanasopoulos, FPP3 §4.5 — the STL-based feature
+    * that decides "does this series even HAVE a weekly cycle" before
+    * anyone fits a seasonal model; companion to [[seasonalDow]]'s raw
+    * profile and [[holtWinters]]'s smoother): trend = centered 7-day
+    * moving average (full windows only), seasonal = day-of-week mean
+    * of the detrended series, remainder = what's left;
+    * F_s = max(0, 1 − Var(R)/Var(S+R)), F_t = max(0, 1 −
+    * Var(R)/Var(T+R)).
+    *
+    * Parity: the MA is Σ7/7.0 over exact integer counts (identical
+    * division); day-of-week is integer epoch-day mod 7; every
+    * variance comes from round6-DECIMAL Σv/Σv² sums (order-
+    * independent) through one fixed double formula. The per-type
+    * window runs over DAY grain — bounded by calendar span, the
+    * sanctioned window class.
+    */
+  def stlStrength(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000").as("dnum"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("dnum")
+      .rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("nw", count(lit(1)).over(w))
+      .withColumn("trend", sum(col("cnt")).over(w).cast("double") / 7.0)
+      .filter(col("nw") === 7)
+      .withColumn("dow", pmod(col("dnum"), lit(7L)))
+      .withColumn("detr", col("cnt").cast("double") - col("trend"))
+    val r6d = (c: org.apache.spark.sql.Column) =>
+      (floor(c * 1000000.0 + 0.5) / 1000000.0).cast("decimal(28,6)")
+    val seas = det.groupBy("event_type", "dow")
+      .agg((sum(r6d(col("detr"))).cast("double") /
+        count(lit(1)).cast("double")).as("s"))
+    val rr = det.join(seas, Seq("event_type", "dow"))
+      .withColumn("r", col("detr") - col("s"))
+      .withColumn("tr", col("cnt").cast("double") - col("s"))
+    val m = rr.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(r6d(col("r"))).as("sr"), sum(r6d(col("r") * col("r"))).as("srr"),
+      sum(r6d(col("detr"))).as("sd"), sum(r6d(col("detr") * col("detr")))
+        .as("sdd"),
+      sum(r6d(col("tr"))).as("st"), sum(r6d(col("tr") * col("tr")))
+        .as("stt"))
+    val nD = col("n").cast("double")
+    def varOf(s: String, ss: String) =
+      (col(ss).cast("double") - col(s).cast("double") * col(s).cast("double") / nD) / nD
+    m.select(col("event_type"), col("n").as("n_days"),
+        graft.text.TextFns.round4(greatest(lit(0.0),
+          lit(1.0) - varOf("sr", "srr") / varOf("sd", "sdd")))
+          .as("seasonal_strength"),
+        graft.text.TextFns.round4(greatest(lit(0.0),
+          lit(1.0) - varOf("sr", "srr") / varOf("st", "stt")))
+          .as("trend_strength"))
+      .orderBy("event_type")
+  }
+
+  private val sqlStlStrength = {
+    def r6d(e: String) =
+      s"CAST(floor(($e) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))"
+    def varOf(s: String, ss: String) =
+      s"((CAST($ss AS DOUBLE) - CAST($s AS DOUBLE) * CAST($s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))"
+    s"""WITH d AS (SELECT event_type,
+       |                  epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) // 86400000000 AS dnum,
+       |                  count(*) AS cnt
+       |           FROM events GROUP BY 1, 2),
+       |     ma AS (SELECT event_type, dnum, cnt,
+       |                   count(*) OVER wi AS nw,
+       |                   CAST(sum(cnt) OVER wi AS DOUBLE) / 7.0 AS trend
+       |            FROM d WINDOW wi AS (PARTITION BY event_type ORDER BY dnum
+       |                                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |     det AS (SELECT event_type, dnum % 7 AS dow, cnt,
+       |                    CAST(cnt AS DOUBLE) - trend AS detr
+       |             FROM ma WHERE nw = 7),
+       |     seas AS (SELECT event_type, dow,
+       |                     CAST(sum(${r6d("detr")}) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS s
+       |              FROM det GROUP BY 1, 2),
+       |     rr AS (SELECT det.event_type, detr, detr - s AS r,
+       |                   CAST(cnt AS DOUBLE) - s AS tr
+       |            FROM det JOIN seas ON det.event_type = seas.event_type
+       |                               AND det.dow = seas.dow),
+       |     m AS (SELECT event_type, count(*) AS n,
+       |                  sum(${r6d("r")}) AS sr, sum(${r6d("r * r")}) AS srr,
+       |                  sum(${r6d("detr")}) AS sd, sum(${r6d("detr * detr")}) AS sdd,
+       |                  sum(${r6d("tr")}) AS st, sum(${r6d("tr * tr")}) AS stt
+       |           FROM rr GROUP BY 1)
+       |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       |       ${graft.text.TextFns.duckRound4(
+                 s"greatest(0.0, 1.0 - ${varOf("sr", "srr")} / ${varOf("sd", "sdd")})")} AS seasonal_strength,
+       |       ${graft.text.TextFns.duckRound4(
+                 s"greatest(0.0, 1.0 - ${varOf("sr", "srr")} / ${varOf("st", "stt")})")} AS trend_strength
+       |FROM m ORDER BY event_type""".stripMargin
   }
 
   // ---------- q_repeat_purchase: purchase-cadence summary ----------
@@ -3392,7 +3510,8 @@ object EventQueries {
     "q_sax" -> (sax _),
     "q_holt" -> (holt _),
     "q_holt_winters" -> (holtWinters _),
-    "q_cohort_retention" -> (cohortRetention _),
+    "q_cuped" -> (cuped _),
+    "q_stl_strength" -> (stlStrength _),
     "q_time_decay" -> (timeDecay _),
     "q_ewma_trend" -> (ewmaTrend _),
     "q_transitions" -> (transitions _),
@@ -3447,7 +3566,8 @@ object EventQueries {
     "q_sax" -> sqlSax,
     "q_holt" -> sqlHolt,
     "q_holt_winters" -> sqlHoltWinters,
-    "q_cohort_retention" -> sqlCohortRetention,
+    "q_cuped" -> sqlCuped,
+    "q_stl_strength" -> sqlStlStrength,
     "q_time_decay" -> sqlTimeDecay,
     "q_ewma_trend" -> sqlEwmaTrend,
     "q_transitions" -> sqlTransitions,

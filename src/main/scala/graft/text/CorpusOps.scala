@@ -1011,9 +1011,12 @@ object CorpusOps {
     * Scale: two vocab-bounded scoring passes + two top-k
     * (TakeOrdered-shaped) selections + one k-sized intersection.
     */
-  def rankerOverlap(spark: SparkSession, sfDir: String): DataFrame = {
-    val a = bm25(spark, sfDir).filter(col("rk") <= OverlapK)
-      .select(col("doc_id").as("a_id"))
+  /** The TF-IDF ranker's top-[[OverlapK]] (doc_id, rk) — shared by
+    * [[rankerOverlap]] (set agreement) and [[rboAgreement]]
+    * (rank-weighted agreement), so the two audits can never rank from
+    * different lists.
+    */
+  private def tfidfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .withColumn("ts", TextFns.tokens(col("text")))
     val terms = docs
@@ -1026,7 +1029,7 @@ object CorpusOps {
     val perTerm = QueryTerms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, col("w"))).as(s"w$i")
     }
-    val b = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(nn))
+    tf.join(broadcast(dfreq), "term").crossJoin(broadcast(nn))
       .withColumn("w", col("tf") * log((col("n_docs").cast("double") + 1.0) /
         (col("df").cast("double") + 1.0)))
       .groupBy("doc_id").agg(perTerm.head, perTerm.tail: _*)
@@ -1043,7 +1046,13 @@ object CorpusOps {
       .withColumn("rk", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))))
       .filter(col("rk") <= OverlapK)
-      .select(col("doc_id").as("b_id"))
+      .select(col("doc_id"), col("rk"))
+  }
+
+  def rankerOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = bm25(spark, sfDir).filter(col("rk") <= OverlapK)
+      .select(col("doc_id").as("a_id"))
+    val b = tfidfTopK(spark, sfDir).select(col("doc_id").as("b_id"))
     a.join(b, col("a_id") === col("b_id"), "full_outer")
       .agg(count(when(col("a_id").isNotNull && col("b_id").isNotNull, 1)).as("n_common"),
         count(when(col("a_id").isNotNull || col("b_id").isNotNull, 1)).as("n_union"))
@@ -1054,13 +1063,16 @@ object CorpusOps {
           col("n_union").cast("double")).as("jaccard"))
   }
 
-  private val sqlRankerOverlap = {
+  /** Oracle CTE chain ending in `btop(doc_id, rk)` — the TF-IDF
+    * ranker's top list, shared by [[sqlRankerOverlap]] and [[sqlRbo]]
+    * (the twin of [[tfidfTopK]]).
+    */
+  private val sqlRankerOverlapB = {
     val inList = QueryTerms.map(t => s"'$t'").mkString(", ")
     val sumTerms = QueryTerms.map { t =>
       s"coalesce(sum(CASE WHEN term = '$t' THEN w END), 0.0)"
     }.mkString(" + ")
-    s"""WITH a AS (SELECT doc_id AS a_id FROM ($sqlBm25) WHERE rk <= $OverlapK),
-       |     t AS (SELECT doc_id, $duckTokens AS ts FROM documents),
+    s"""t AS (SELECT doc_id, $duckTokens AS ts FROM documents),
        |     e AS (SELECT doc_id, unnest(ts) AS term FROM t),
        |     tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
        |            FROM e WHERE term IN ($inList) GROUP BY 1, 2),
@@ -1071,9 +1083,15 @@ object CorpusOps {
        |            FROM tf JOIN dfreq USING (term) CROSS JOIN nn),
        |     sc AS (SELECT doc_id, ${TextFns.duckRound4(sumTerms)} AS score
        |            FROM wt GROUP BY doc_id),
-       |     b AS (SELECT doc_id AS b_id FROM (
+       |     btop AS (SELECT doc_id, rk FROM (
        |             SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
-       |             FROM sc) WHERE rk <= $OverlapK),
+       |             FROM sc) WHERE rk <= $OverlapK)""".stripMargin
+  }
+
+  private val sqlRankerOverlap = {
+    s"""WITH a AS (SELECT doc_id AS a_id FROM ($sqlBm25) WHERE rk <= $OverlapK),
+       |     $sqlRankerOverlapB,
+       |     b AS (SELECT doc_id AS b_id FROM btop),
        |     j AS (SELECT a_id, b_id FROM a FULL JOIN b ON a.a_id = b.b_id)
        |SELECT CAST($OverlapK AS BIGINT) AS k,
        |       CAST(count(CASE WHEN a_id IS NOT NULL AND b_id IS NOT NULL THEN 1 END) AS BIGINT) AS n_common,
@@ -1086,8 +1104,64 @@ object CorpusOps {
        |FROM j""".stripMargin
   }
 
+  // ---------- q_rbo: rank-biased overlap between the two rankers ----------
+
+  /** Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) between
+    * the BM25 and TF-IDF top-[[OverlapK]] lists — [[rankerOverlap]]'s
+    * overlap@k treats rank 1 and rank 10 alike; RBO is the
+    * top-weighted agreement the IR-evaluation literature prescribes
+    * for comparing indefinite rankings. Persistence p = 1/2 is chosen
+    * DYADIC: each (doc, depth) term is 1/(2^(d−1)·d) — one correctly-
+    * rounded division of 1.0 by an exact integer (a pow(p, d) form
+    * carries no cross-engine ulp guarantee, the temperature-mix α
+    * rule again). A common doc first covered at depth max(ra, rb)
+    * contributes every deeper term, so the truncated
+    * RBO = (1−p)·Σ_d p^(d−1)·|A_d∩B_d|/d unrolls to one bounded
+    * explode (≤ k rows per common doc) + a round6-DECIMAL sum.
+    */
+  def rboAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = bm25(spark, sfDir).filter(col("rk") <= OverlapK)
+      .select(col("doc_id"), col("rk").cast("long").as("ra"))
+    val b = tfidfTopK(spark, sfDir)
+      .select(col("doc_id"), col("rk").cast("long").as("rb"))
+    val common = a.join(b, "doc_id")
+      .withColumn("d0", greatest(col("ra"), col("rb")))
+    val terms = common
+      .select(explode_outer(sequence(col("d0"), lit(OverlapK.toLong))).as("d"))
+      .withColumn("t6",
+        (floor(lit(1.0) /
+          (expr("shiftleft(cast(1 as bigint), cast(d - 1 as int))") * col("d"))
+            .cast("double") * 1000000.0 + 0.5) / 1000000.0)
+          .cast("decimal(28,6)"))
+    common.agg(count(lit(1)).as("n_common"))
+      .crossJoin(terms.agg(
+        coalesce(sum(col("t6")), lit(0).cast("decimal(28,6)")).as("ssum")))
+      .select(lit(OverlapK.toLong).as("k"), col("n_common"),
+        TextFns.round4(lit(0.5) * col("ssum").cast("double")).as("rbo"))
+  }
+
+  private val sqlRbo = {
+    val b = sqlRankerOverlapB
+    s"""WITH a AS (SELECT doc_id, CAST(rk AS BIGINT) AS ra FROM ($sqlBm25)
+       |           WHERE rk <= $OverlapK),
+       |     $b,
+       |     bb AS (SELECT doc_id, CAST(rk AS BIGINT) AS rb FROM btop),
+       |     common AS (SELECT a.doc_id, greatest(ra, rb) AS d0
+       |                FROM a JOIN bb ON a.doc_id = bb.doc_id),
+       |     dpt AS (SELECT unnest(range(d0, $OverlapK + 1)) AS d FROM common),
+       |     trm AS (SELECT CAST(floor(1.0 / CAST((CAST(1 AS BIGINT) << CAST(d - 1 AS INT)) * d AS DOUBLE)
+       |                    * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS t6
+       |           FROM dpt)
+       |SELECT CAST($OverlapK AS BIGINT) AS k,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM common) AS n_common,
+       |       ${TextFns.duckRound4(
+                 "0.5 * CAST(coalesce(sum(t6), 0) AS DOUBLE)")} AS rbo
+       |FROM trm""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_prf_expand" -> (prfExpand _),
+    "q_rbo" -> (rboAgreement _),
     "q_ranker_overlap" -> (rankerOverlap _),
     "q_loo_source" -> (looSource _),
     "q_waterfill_mix" -> (waterfillMix _),
@@ -1104,6 +1178,7 @@ object CorpusOps {
 
   val oracle: Map[String, String] = Map(
     "q_prf_expand" -> sqlPrfExpand,
+    "q_rbo" -> sqlRbo,
     "q_ranker_overlap" -> sqlRankerOverlap,
     "q_loo_source" -> sqlLooSource,
     "q_waterfill_mix" -> sqlWaterfillMix,

@@ -1993,6 +1993,68 @@ object VectorQueries {
        |JOIN deg d2 ON cand.z = d2.node
        |ORDER BY x, z""".stripMargin
 
+  // ---------- 13e. q_ra_linkpred: resource-allocation link prediction ----------
+
+  /** Resource-allocation link prediction (Zhou, Lü & Zhang, EPJ B
+    * 2009) over the blocked similarity graph — the common-neighbor
+    * score that DISCOUNTS hub intermediaries: RA(x,z) = Σ_u 1/deg(u)
+    * over common neighbors u, consistently the strongest local index
+    * in the link-prediction literature (Adamic-Adar's 1/ln(deg) has
+    * no cross-engine ulp guarantee; RA's plain reciprocal does —
+    * the correctly-rounded-ops-only rule choosing the BETTER metric).
+    * Same "which near-dups did blocking miss" recall signal as
+    * `q_link_pred`, re-weighted so boilerplate hubs stop voting.
+    *
+    * Shape: [[linkPred]]'s wedge frame with the degree joined BEFORE
+    * the wedge grouping; per-wedge 1/deg terms are round6'd into
+    * DECIMAL before the (x,z) sum (order-independent — a raw double
+    * groupBy-sum feeds the output and could differ by partition
+    * order). Linear in wedges, degree-bounded by the same blocked
+    * edge list.
+    */
+  def raLinkPred(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = collisionEdges(spark, sfDir)
+    val und = edges.union(edges.select(col("w").as("u"), col("u").as("w")))
+    val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val undD = und.join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+    val wedges = undD.as("e1").join(und.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
+      .select(col("e1.w").as("x"), col("e2.w").as("z"),
+        (floor(lit(1.0) / col("e1.du").cast("double") * 1000000.0 + 0.5)
+          / 1000000.0).cast("decimal(28,6)").as("ra6"))
+      .groupBy("x", "z")
+      .agg(count(lit(1)).as("cn"), sum(col("ra6")).as("ra"))
+    wedges.join(edges,
+        wedges("x") === edges("u") && wedges("z") === edges("w"), "left_anti")
+      .select(col("x"), col("z"), col("cn"),
+        round4(col("ra").cast("double")).as("ra_score"))
+      .orderBy("x", "z")
+  }
+
+  private val sqlRaLinkPred =
+    s"""WITH $duckVecs,
+       |     b0 AS (SELECT vec_id, v, nrm, $duckBucket AS bucket FROM e),
+       |     bn0 AS (SELECT bucket, count(*) AS bn FROM b0 GROUP BY bucket),
+       |     b AS (SELECT vec_id, v, nrm, b0.bucket, ${duckBlk("b0.bucket")} AS blk
+       |           FROM b0 JOIN bn0 ON b0.bucket = bn0.bucket),
+       |     edges AS (SELECT a.vec_id AS u, b2.vec_id AS w
+       |               FROM b a JOIN b b2 ON a.blk = b2.blk AND a.vec_id < b2.vec_id
+       |               WHERE ${duckDot("a.v", "b2.v")} / (a.nrm * b2.nrm) >= $TriThreshold),
+       |     und AS (SELECT u, w FROM edges UNION ALL SELECT w AS u, u AS w FROM edges),
+       |     deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+       |     undd AS (SELECT und.u, und.w, deg.deg AS du
+       |              FROM und JOIN deg ON und.u = deg.node),
+       |     wedges AS (SELECT e1.w AS x, e2.w AS z, CAST(count(*) AS BIGINT) AS cn,
+       |                       sum(CAST(floor(1.0 / CAST(e1.du AS DOUBLE) * 1000000.0 + 0.5)
+       |                         / 1000000.0 AS DECIMAL(28,6))) AS ra
+       |                FROM undd e1 JOIN und e2 ON e1.u = e2.u AND e1.w < e2.w
+       |                GROUP BY 1, 2),
+       |     cand AS (SELECT x, z, cn, ra FROM wedges
+       |              WHERE NOT EXISTS (SELECT 1 FROM edges
+       |                                WHERE edges.u = wedges.x AND edges.w = wedges.z))
+       |SELECT x, z, cn, ${duckRound4("CAST(ra AS DOUBLE)")} AS ra_score
+       |FROM cand ORDER BY x, z""".stripMargin
+
   // ---------- 14. q_pq_codes: product-quantization encoding ----------
 
   private val PqM = 4          // subspaces
@@ -3826,6 +3888,7 @@ object VectorQueries {
     "q_metric_agreement" -> (metricAgreement _),
     "q_hubness" -> (hubness _),
     "q_kcenter" -> (kcenter _),
+    "q_ra_linkpred" -> (raLinkPred _),
     "q_hard_negatives" -> (hardNegatives _),
     "q_ann_lsh" -> (annLsh _),
     "q_embed_neardup" -> (embedNearDup _),
@@ -3875,6 +3938,7 @@ object VectorQueries {
     "q_metric_agreement" -> sqlMetricAgreement,
     "q_hubness" -> sqlHubness,
     "q_kcenter" -> sqlKcenter,
+    "q_ra_linkpred" -> sqlRaLinkPred,
     "q_hard_negatives" -> sqlHardNegatives,
     "q_ann_lsh" -> sqlAnnLsh,
     "q_embed_neardup" -> sqlEmbedNearDup,

@@ -39,12 +39,16 @@ class WindowAuditSpec extends SparkSpec {
     "q_percent_rank",    // nation-grain relative standing
     "q_prf_expand",      // vocab-grain expansion-term rank (round-13)
     "q_ranker_overlap",  // two-phase top-k: global rank sees <= 8k rows (round-13)
+    "q_rbo",             // same two-phase top-k lists as q_ranker_overlap (round-14)
     "q_rrf_fusion",      // per-probe fused rank over capped candidates
     "q_running_total",   // month-grain running total (calendar)
     "q_sql_lag",         // month-grain SQL-surface lag
     "q_sql_monthly",     // month-grain SQL-surface trend
     "q_temperature_mix", // language-grain mixture (bounded alphabet)
-    "q_truss_support",   // support-ranked edge audit over component-grain edges
+    // q_truss_support left the set in round 14: its census window still
+    // runs (support-grain, bounded) but behind an eager checkpoint, so
+    // the returned frame's plan is a LogicalRDD the audit can't see —
+    // the scale note lives at the implementation site
     "q_vocab_coverage",  // vocab-grain Zipf head
     "q_waterfill_mix",   // source-grain water-filling
     "q_zipf_fit"         // vocab-head grain (top-k terms)
