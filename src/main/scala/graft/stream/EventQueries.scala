@@ -2651,6 +2651,87 @@ object EventQueries {
        |FROM r WHERE rk <= $StreamTopK
        |ORDER BY event_type, rank""".stripMargin
 
+  // ---------- q_stream_restart: checkpoint recovery, oracle-gated ----------
+
+  /** CHECKPOINT RECOVERY under the correctness gate — the streaming
+    * property none of the other nine gates exercises: a Complete-mode
+    * windowed aggregation processes ONE staged file and is STOPPED;
+    * two more files arrive while the engine is down; a NEW query
+    * started on the SAME checkpoint must restore both the state store
+    * and the file-source progress log, process only the unseen files,
+    * and re-emit the aggregate of EVERYTHING — which the oracle states
+    * as the plain batch aggregate ([[sqlStreamTumbling]], the same
+    * contract as the uninterrupted run). A recovery that loses state
+    * under-counts the first file's windows; one that replays it
+    * double-counts them; either breaks the hash. This is the
+    * crash/upgrade path every production stream depends on, proven by
+    * value, not by spec assertion. Value sums ride the
+    * round-before-sum DECIMAL rule (state merge reorders floats).
+    */
+  def streamRestart(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val batchSchema = batch.schema
+    val dir = Files.createTempDirectory("graft_stream_rs")
+    val stage = dir.resolve("stage"); Files.createDirectories(stage)
+    val inDir = dir.resolve("in"); Files.createDirectories(inDir)
+    (0 until 3).foreach { k =>
+      val tmpK = dir.resolve(s"slice$k")
+      batch.filter(pmod(col("event_id"), lit(3)) === k)
+        .coalesce(1).write.parquet(tmpK.toString)
+      val part = Files.list(tmpK).filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }.findFirst.get
+      Files.move(part, stage.resolve(s"s$k.parquet"))
+    }
+    val out = dir.resolve("out").toString
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(batchSchema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val evs = batchSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => src.withColumn("ts", col("ts").cast("timestamp"))
+      }
+      val q = evs
+        .withColumn("vm", floor(col("value") * 1000000.0 + 0.5).cast("decimal(28,0)"))
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("vm")).as("vm_sum"))
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", dir.resolve("cp").toString)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select(
+              date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+              col("event_type"), col("n_events"),
+              graft.text.TextFns.round4(col("vm_sum").cast("double") / 1000000.0)
+                .as("sum_value"))
+            .coalesce(1).write.mode("overwrite").parquet(out)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def arrive(name: String, order: Int): Unit = {
+      Files.copy(stage.resolve(name), inDir.resolve(name))
+      Files.setLastModifiedTime(inDir.resolve(name),
+        FileTime.fromMillis(1600000000000L + order * 60000L))
+    }
+    // run 1 sees ONLY slice 0, then the engine is STOPPED
+    arrive("s0.parquet", 0)
+    runOnce()
+    // slices 1-2 arrive while the engine is down; the restarted query
+    // must resume from the checkpoint, not from scratch
+    arrive("s1.parquet", 1)
+    arrive("s2.parquet", 2)
+    runOnce()
+    spark.read.parquet(out).orderBy("window_start", "event_type")
+  }
+
   // ---------- q_stream_cms / q_stream_hh: streaming sketch sinks, oracle-gated ----------
 
   /** Stage the documents table as three doc_id-sliced parquet files in
@@ -3481,6 +3562,7 @@ object EventQueries {
     "q_stream_dedup_wm" -> (streamDedupWm _),
     "q_stream_topk" -> (streamTopk _),
     "q_stream_cms" -> (streamCms _),
+    "q_stream_restart" -> (streamRestart _),
     "q_stream_hh" -> (streamHh _),
     "q_stream_append" -> (streamAppend _),
     "q_stream_update" -> (streamUpdate _),
@@ -3537,6 +3619,7 @@ object EventQueries {
     "q_stream_dedup_wm" -> sqlStreamDedupWm,
     "q_stream_topk" -> sqlStreamTopk,
     "q_stream_cms" -> graft.text.DocOps.sqlStreamCms,
+    "q_stream_restart" -> sqlStreamTumbling,
     "q_stream_hh" -> graft.text.DocOps.sqlStreamHh,
     "q_stream_append" -> sqlStreamTumbling,
     "q_stream_update" -> sqlStreamTumbling,

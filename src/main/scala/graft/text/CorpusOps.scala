@@ -1104,6 +1104,71 @@ object CorpusOps {
        |FROM j""".stripMargin
   }
 
+  // ---------- q_neg_sample: word2vec negative-sampling table ----------
+
+  private val NegSlots = 10000L
+
+  /** Unigram^(3/4) negative-sampling table (Mikolov et al., NIPS 2013
+    * — the smoothing every SGNS/word2vec implementation hard-codes:
+    * raw frequency over-samples stopwords, uniform under-trains them;
+    * f^(3/4) is the empirical sweet spot). The exponent is computed
+    * as √f·√√f — a COMPOSITION OF CORRECTLY-ROUNDED OPS (two sqrts,
+    * one multiply), where pow(f, 0.75) carries no cross-engine ulp
+    * guarantee (the α=1/2 temperature-mix rule, extended to 3/4).
+    * Weights collapse to integer micro-units, the [[NegSlots]]-slot
+    * table minted by the same all-integer Hamilton apportionment as
+    * [[temperatureMix]] — both engines emit identical slot counts,
+    * and Σ slots = [[NegSlots]] exactly.
+    *
+    * Shape: one vocab collapse, two scalar broadcasts, one bounded
+    * vocab-grain remainder rank (allowlisted — vocabulary grain, the
+    * dictEncode class; radix-rank swap at web-scale vocab).
+    */
+  def negSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(explode_outer(col("ts")).as("word"))
+      .filter(col("word").isNotNull)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val w = counts.withColumn("w6",
+      floor(sqrt(col("freq").cast("double")) *
+        sqrt(sqrt(col("freq").cast("double"))) * 1000000.0 + 0.5).cast("long"))
+    val sumW = w.agg(sum(col("w6")).as("sum_w"))
+    val base = w.crossJoin(broadcast(sumW))
+      .withColumn("alloc_floor", expr(s"CAST($NegSlots * w6 DIV sum_w AS BIGINT)"))
+      .withColumn("rem", expr(s"($NegSlots * w6) % sum_w"))
+    val sumFloor = base.agg(sum(col("alloc_floor")).as("sum_floor"))
+    val byRem = Window.orderBy(col("rem").desc, col("word"))
+    base.crossJoin(broadcast(sumFloor))
+      .withColumn("rk", row_number().over(byRem))
+      .withColumn("n_slots",
+        col("alloc_floor") +
+          when(col("rk") <= lit(NegSlots) - col("sum_floor"), 1L).otherwise(0L))
+      .select(col("word"), col("freq"), col("n_slots"))
+      .orderBy("word")
+  }
+
+  private val sqlNegSample =
+    s"""WITH t AS (SELECT $duckTokens AS ts FROM documents),
+       |     e AS (SELECT unnest(ts) AS word FROM t),
+       |     c AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM e GROUP BY 1),
+       |     w AS (SELECT word, freq,
+       |             CAST(floor(sqrt(CAST(freq AS DOUBLE)) * sqrt(sqrt(CAST(freq AS DOUBLE)))
+       |                        * 1000000.0 + 0.5) AS BIGINT) AS w6
+       |           FROM c),
+       |     sw AS (SELECT CAST(sum(w6) AS BIGINT) AS sum_w FROM w),
+       |     b AS (SELECT word, freq, w6,
+       |             CAST($NegSlots * w6 // sum_w AS BIGINT) AS alloc_floor,
+       |             CAST(($NegSlots * w6) % sum_w AS BIGINT) AS rem
+       |           FROM w CROSS JOIN sw),
+       |     sf AS (SELECT CAST(sum(alloc_floor) AS BIGINT) AS sum_floor FROM b),
+       |     r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, word) AS rk
+       |           FROM b CROSS JOIN sf)
+       |SELECT word, freq,
+       |       CAST(alloc_floor + CASE WHEN rk <= $NegSlots - sum_floor THEN 1 ELSE 0 END
+       |            AS BIGINT) AS n_slots
+       |FROM r ORDER BY word""".stripMargin
+
   // ---------- q_rbo: rank-biased overlap between the two rankers ----------
 
   /** Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) between
@@ -1162,6 +1227,7 @@ object CorpusOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_prf_expand" -> (prfExpand _),
     "q_rbo" -> (rboAgreement _),
+    "q_neg_sample" -> (negSample _),
     "q_ranker_overlap" -> (rankerOverlap _),
     "q_loo_source" -> (looSource _),
     "q_waterfill_mix" -> (waterfillMix _),
@@ -1179,6 +1245,7 @@ object CorpusOps {
   val oracle: Map[String, String] = Map(
     "q_prf_expand" -> sqlPrfExpand,
     "q_rbo" -> sqlRbo,
+    "q_neg_sample" -> sqlNegSample,
     "q_ranker_overlap" -> sqlRankerOverlap,
     "q_loo_source" -> sqlLooSource,
     "q_waterfill_mix" -> sqlWaterfillMix,

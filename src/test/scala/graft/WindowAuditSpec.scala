@@ -35,6 +35,7 @@ class WindowAuditSpec extends SparkSpec {
     "q_kaplan_meier",    // distinct-duration grain (bounded risk table)
     "q_mix_schedule",    // source-grain apportionment (dim cardinality)
     "q_mom_delta",       // month-grain lag (calendar; scale note at site)
+    "q_neg_sample",      // vocab-grain Hamilton remainder rank (round-14)
     "q_ntile",           // dim-cardinality segmentation (scale note at site)
     "q_percent_rank",    // nation-grain relative standing
     "q_prf_expand",      // vocab-grain expansion-term rank (round-13)
