@@ -546,6 +546,69 @@ object Analytics {
        |FROM m a JOIN m f ON a.mkey = f.mkey + 12
        |ORDER BY year, month_no""".stripMargin
 
+  // ---------- q_mase: scaled forecast-accuracy scores ----------
+
+  /** MASE + sMAPE of the seasonal-naive backtest (Hyndman & Koehler
+    * 2006) — the scores that make [[seasonalNaive]]'s per-month APEs
+    * comparable across series: MASE scales the forecast MAE by the
+    * in-sample naive-1 MAE (so < 1 means "beats last-month-carried-
+    * forward"), sMAPE bounds the percentage view at [0,2]. These are
+    * the two numbers a forecast-model bakeoff table actually prints.
+    *
+    * Exactness: MASE is a ratio of two INTEGER-cent error sums —
+    * fully exact until one edge division; each sMAPE term 2|f−a|/(f+a)
+    * is an exact rational collapsed to round6 DECIMAL before the sum.
+    * Shape: one month-grain aggregate (the only fact pass), two
+    * self-joins at lag 12 / lag 1 over the bounded calendar spine,
+    * one-row output.
+    */
+  def maseScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = Tables.orders(spark, sfDir)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("mkey"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("cents"))
+      .localCheckpoint(true) // staged: three self-join legs below
+    val f12 = monthly.select((col("mkey") + 12L).as("mkey"), col("cents").as("fcents"))
+    val f1 = monthly.select((col("mkey") + 1L).as("mkey"), col("cents").as("pcents"))
+    val d6 = (c: Column) => floor(c * 1000000.0 + 0.5).cast("decimal(28,0)")
+    val sEr = monthly.join(f12, Seq("mkey"))
+      .agg(count(lit(1)).as("n_forecasts"),
+        sum(abs(col("cents") - col("fcents"))).as("sae"),
+        sum(d6(lit(2.0) * abs(col("cents") - col("fcents")).cast("double") /
+          (col("cents") + col("fcents")).cast("double"))).as("sm6"))
+    val nEr = monthly.join(f1, Seq("mkey"))
+      .agg(count(lit(1)).as("n_naive"),
+        sum(abs(col("cents") - col("pcents"))).as("nae"))
+    sEr.crossJoin(broadcast(nEr))
+      .select(col("n_forecasts"),
+        graft.text.TextFns.round4(
+          (col("sae").cast("double") / col("n_forecasts").cast("double")) /
+            (col("nae").cast("double") / col("n_naive").cast("double"))).as("mase"),
+        graft.text.TextFns.round4(col("sm6").cast("double") / 1000000.0 /
+          col("n_forecasts").cast("double")).as("smape"))
+  }
+
+  private val sqlMaseScores = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    s"""WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mkey,
+       |                  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+       |           FROM orders GROUP BY 1),
+       |     se AS (SELECT CAST(count(*) AS BIGINT) AS n_forecasts,
+       |                   CAST(sum(abs(a.cents - f.cents)) AS BIGINT) AS sae,
+       |                   sum(CAST(floor(2.0 * CAST(abs(a.cents - f.cents) AS DOUBLE)
+       |                     / CAST(a.cents + f.cents AS DOUBLE) * 1000000.0 + 0.5)
+       |                     AS DECIMAL(28,0))) AS sm6
+       |            FROM m a JOIN m f ON a.mkey = f.mkey + 12),
+       |     ne AS (SELECT CAST(count(*) AS BIGINT) AS n_naive,
+       |                   CAST(sum(abs(a.cents - p.cents)) AS BIGINT) AS nae
+       |            FROM m a JOIN m p ON a.mkey = p.mkey + 1)
+       |SELECT n_forecasts,
+       |       ${r4("(CAST(sae AS DOUBLE) / CAST(n_forecasts AS DOUBLE)) / " +
+                 "(CAST(nae AS DOUBLE) / CAST(n_naive AS DOUBLE))")} AS mase,
+       |       ${r4("CAST(sm6 AS DOUBLE) / 1000000.0 / CAST(n_forecasts AS DOUBLE)")} AS smape
+       |FROM se CROSS JOIN ne""".stripMargin
+  }
+
   // ---------- q_ltv_curve: cohort lifetime-value accumulation ----------
 
   /** Average cumulative revenue per customer by cohort age — the LTV
@@ -947,6 +1010,7 @@ object Analytics {
     "q_seasonal_index" -> (seasonalIndex _),
     "q_interpolate" -> (interpolate _),
     "q_seasonal_naive" -> (seasonalNaive _),
+    "q_mase" -> (maseScores _),
     "q_ltv_curve" -> (ltvCurve _),
     "q_autocorr" -> (autocorr _),
     "q_window_frames" -> (windowFrames _),
@@ -1201,6 +1265,7 @@ object Analytics {
     "q_interpolate" -> sqlInterpolate,
     "q_autocorr" -> sqlAutocorr,
     "q_seasonal_naive" -> sqlSeasonalNaive,
+    "q_mase" -> sqlMaseScores,
     "q_ltv_curve" -> sqlLtvCurve,
     "q_cusum_drift" -> sqlCusumDrift,
     "q_order_cycle_time" -> sqlOrderCycleTime,

@@ -770,6 +770,144 @@ object OlapStats {
        |FROM pr ORDER BY seg_a, seg_b""".stripMargin
   }
 
+  // ---------- q_cohens_d: standardized effect size per segment pair ----------
+
+  /** Cohen's d between market segments' order values (Cohen 1988) —
+    * the EFFECT-SIZE companion [[welchTtest]]'s t needs: at fact-scale
+    * n every trivial difference is "significant", and d = (m₁−m₂)/s_p
+    * is the unit-free magnitude a decision actually turns on (0.2
+    * small / 0.5 medium / 0.8 large). Pooled s_p uses the classic
+    * ((n₁−1)s₁² + (n₂−1)s₂²)/(n₁+n₂−2) form.
+    *
+    * Shape: the same exact-DECIMAL moment aggregate as Welch (n, Σx,
+    * Σx² per segment — one fact pass), then the bounded broadcast
+    * segment-pair grid. Parity: both closed forms are fixed-shape
+    * double trees over identical DECIMAL casts, mirrored
+    * token-for-token; one rounding at the edge.
+    */
+  def cohensD(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val m = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        col("o_totalprice").cast("decimal(18,4)").as("x"),
+        col("o_totalprice").cast("decimal(18,4)")
+          .multiply(col("o_totalprice").cast("decimal(20,4)")).as("xx"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("xx")).as("sxx"))
+    def nD(p: String) = col(s"${p}n").cast("double")
+    def mean(p: String) = col(s"${p}sx").cast("double") / nD(p)
+    def ss(p: String) = // (n−1)·s² = Σx² − (Σx)²/n, the exact corrected sum of squares
+      col(s"${p}sxx").cast("double") -
+        col(s"${p}sx").cast("double") * col(s"${p}sx").cast("double") / nD(p)
+    val a = m.select(col("seg").as("seg_a"), col("n").as("an"),
+      col("sx").as("asx"), col("sxx").as("asxx"))
+    val b = m.select(col("seg").as("seg_b"), col("n").as("bn"),
+      col("sx").as("bsx"), col("sxx").as("bsxx"))
+    a.join(broadcast(b), col("seg_a") < col("seg_b"))
+      .select(col("seg_a"), col("seg_b"),
+        col("an").as("n_a"), col("bn").as("n_b"),
+        round4(mean("a") - mean("b")).as("mean_diff"),
+        round4((mean("a") - mean("b")) /
+          sqrt((ss("a") + ss("b")) / (nD("a") + nD("b") - 2.0))).as("cohens_d"))
+      .orderBy("seg_a", "seg_b")
+  }
+
+  private val sqlCohensD = {
+    def mean(p: String) = s"(CAST(${p}sx AS DOUBLE) / CAST(${p}n AS DOUBLE))"
+    def ss(p: String) =
+      s"(CAST(${p}sxx AS DOUBLE) - CAST(${p}sx AS DOUBLE) * CAST(${p}sx AS DOUBLE) / CAST(${p}n AS DOUBLE))"
+    s"""WITH t AS (SELECT c_mktsegment AS seg,
+       |                  CAST(o_totalprice AS DECIMAL(18,4)) AS x,
+       |                  CAST(o_totalprice AS DECIMAL(18,4)) * CAST(o_totalprice AS DECIMAL(20,4)) AS xx
+       |           FROM orders JOIN customer ON o_custkey = c_custkey),
+       |     m AS (SELECT seg, count(*) AS n, sum(x) AS sx, sum(xx) AS sxx
+       |           FROM t GROUP BY 1),
+       |     pr AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
+       |                   a.n AS an, a.sx AS asx, a.sxx AS asxx,
+       |                   b.n AS bn, b.sx AS bsx, b.sxx AS bsxx
+       |            FROM m a JOIN m b ON a.seg < b.seg)
+       |SELECT seg_a, seg_b,
+       |       CAST(an AS BIGINT) AS n_a, CAST(bn AS BIGINT) AS n_b,
+       |       ${duckRound4(s"${mean("a")} - ${mean("b")}")} AS mean_diff,
+       |       ${duckRound4(s"(${mean("a")} - ${mean("b")}) / " +
+                 s"sqrt((${ss("a")} + ${ss("b")}) / (CAST(an AS DOUBLE) + CAST(bn AS DOUBLE) - 2.0))")} AS cohens_d
+       |FROM pr ORDER BY seg_a, seg_b""".stripMargin
+  }
+
+  // ---------- q_kendall_tau: ordinal association of nation KPIs ----------
+
+  /** Kendall's τ-b between two per-nation KPIs — order-book revenue
+    * vs customer count (Kendall 1938; the tie-corrected τ-b form of
+    * Agresti, Analysis of Ordinal Categorical Data §2.4): does the
+    * revenue ORDER track the market-size order? Spearman
+    * (`q_spearman`) correlates rank VALUES; τ counts pairwise order
+    * agreements, which is the statistic that stays interpretable
+    * under heavy ties and tiny n — the reason ordinal-KPI dashboards
+    * report τ-b next to ρ.
+    *
+    * Shape — rank-free by construction: both KPIs aggregate to the
+    * BOUNDED nation grain (revenue as exact DECIMAL cents, counts as
+    * integers), then one broadcast pair join over the ≤25-row
+    * aggregate counts concordant/discordant/tied pairs as pure
+    * integers — no window, no float rank, no fact-scale pair join
+    * (the [[welchTtest]] bounded-pair-grid shape). τ-b =
+    * (C−D)/(√(n₀−t_x)·√(n₀−t_y)) with each factor under its own
+    * sqrt (the parity rule), one rounding at the edge.
+    */
+  def kendallTau(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val byNat = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"),
+        countDistinct(col("o_custkey")).as("y"))
+    val a = byNat.select(col("n_name").as("na"), col("x").as("xa"), col("y").as("ya"))
+    val b = byNat.select(col("n_name").as("nb"), col("x").as("xb"), col("y").as("yb"))
+    val pairs = a.join(broadcast(b), col("na") < col("nb"))
+      .agg(
+        sum(when((col("xa") > col("xb") && col("ya") > col("yb"))
+          || (col("xa") < col("xb") && col("ya") < col("yb")), 1L)
+          .otherwise(0L)).as("concordant"),
+        sum(when((col("xa") > col("xb") && col("ya") < col("yb"))
+          || (col("xa") < col("xb") && col("ya") > col("yb")), 1L)
+          .otherwise(0L)).as("discordant"),
+        sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("tx"),
+        sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("ty"),
+        count(lit(1)).as("n0"))
+    pairs.select(col("n0").as("n_pairs"), col("concordant"), col("discordant"),
+      round4((col("concordant") - col("discordant")).cast("double") /
+        (sqrt((col("n0") - col("tx")).cast("double")) *
+          sqrt((col("n0") - col("ty")).cast("double")))).as("tau_b"))
+  }
+
+  private val sqlKendallTau =
+    s"""WITH byn AS (SELECT n_name,
+       |                    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x,
+       |                    CAST(count(DISTINCT o_custkey) AS BIGINT) AS y
+       |             FROM orders
+       |             JOIN customer ON o_custkey = c_custkey
+       |             JOIN nation ON c_nationkey = n_nationkey
+       |             GROUP BY n_name),
+       |     pr AS (SELECT
+       |              CAST(sum(CASE WHEN (a.x > b.x AND a.y > b.y)
+       |                             OR (a.x < b.x AND a.y < b.y)
+       |                        THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+       |              CAST(sum(CASE WHEN (a.x > b.x AND a.y < b.y)
+       |                             OR (a.x < b.x AND a.y > b.y)
+       |                        THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+       |              CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+       |              CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+       |              CAST(count(*) AS BIGINT) AS n0
+       |            FROM byn a JOIN byn b ON a.n_name < b.n_name)
+       |SELECT n0 AS n_pairs, concordant, discordant,
+       |       ${duckRound4(
+                 "CAST(concordant - discordant AS DOUBLE) / " +
+                   "(sqrt(CAST(n0 - tx AS DOUBLE)) * sqrt(CAST(n0 - ty AS DOUBLE)))")} AS tau_b
+       |FROM pr""".stripMargin
+
   // ---------- q_mann_whitney: rank-sum two-sample test ----------
 
   /** Mann-Whitney U (Wilcoxon rank-sum) between click and purchase
@@ -944,6 +1082,8 @@ object OlapStats {
     "q_percentile_disc" -> (percentileDisc _),
     "q_hill_tail" -> (hillTail _),
     "q_welch_ttest" -> (welchTtest _),
+    "q_kendall_tau" -> (kendallTau _),
+    "q_cohens_d" -> (cohensD _),
     "q_mann_whitney" -> (mannWhitney _),
     "q_tv_drift" -> (tvDrift _),
     "q_weighted_median" -> (weightedMedian _),
@@ -962,6 +1102,8 @@ object OlapStats {
     "q_percentile_disc" -> sqlPercentileDisc,
     "q_hill_tail" -> sqlHillTail,
     "q_welch_ttest" -> sqlWelchTtest,
+    "q_kendall_tau" -> sqlKendallTau,
+    "q_cohens_d" -> sqlCohensD,
     "q_mann_whitney" -> sqlMannWhitney,
     "q_tv_drift" -> sqlTvDrift,
     "q_weighted_median" -> sqlWeightedMedian,

@@ -296,15 +296,75 @@ object Skew {
        |FROM a""".stripMargin
   }
 
+  // ---------- q_hoover: Robin Hood index of revenue concentration ----------
+
+  /** Hoover (Robin Hood) index of customer-revenue concentration —
+    * the share of total revenue that would have to move between
+    * customers to equalize them: H = ½·Σ|sᵢ − 1/n| = Σ|xᵢ·n − T| /
+    * (2·T·n). [[giniRevenue]] integrates the whole Lorenz curve; the
+    * Hoover index is its max-vertical-gap sibling, and unlike Gini it
+    * needs NO rank at all — the concentration number that stays
+    * embarrassingly parallel at any scale.
+    *
+    * Shape: one fact-grain cents aggregate to customer grain, one
+    * 2-row broadcast of (n, T), one order-independent integer-DECIMAL
+    * aggregate of |xᵢ·n − T| — no window, no sort, no PrefixScan (the
+    * explicit contrast to Gini's rank requirement). Exactness: cents
+    * are integers, xᵢ·n − T is exact DECIMAL(38,0) (headroom: 10¹⁰
+    * customers × 10¹² cents still fits), one double division at the
+    * edge.
+    */
+  def hooverIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val cr = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("x"))
+      // staged: consumed by the (n, T) totals AND the deviation pass —
+      // without it the fact scan + customer aggregate runs twice
+      .localCheckpoint(true)
+    val tot = cr.agg(count(lit(1)).as("n"), sum(col("x")).as("t"))
+    cr.crossJoin(broadcast(tot))
+      .select(col("n"), col("t"),
+        abs(col("x").cast("decimal(19,0)") * col("n").cast("decimal(19,0)")
+          - col("t").cast("decimal(19,0)")).cast("decimal(38,0)").as("dev"))
+      .groupBy(col("n"), col("t"))
+      .agg(sum(col("dev")).as("sdev"))
+      .select(col("n").as("n_customers"),
+        graft.text.TextFns.round4(col("t").cast("double") / 100.0).as("total_rev"),
+        graft.text.TextFns.round4(
+          col("sdev").cast("double") /
+            (lit(2.0) * col("t").cast("double") * col("n").cast("double")))
+          .as("hoover"))
+  }
+
+  private val sqlHoover = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    s"""WITH cr AS (SELECT o_custkey AS custkey,
+       |                   CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS x
+       |            FROM orders GROUP BY 1),
+       |     tt AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS t
+       |            FROM cr),
+       |     d AS (SELECT n, t,
+       |                  CAST(abs(CAST(x AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+       |                    - CAST(t AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS dev
+       |           FROM cr CROSS JOIN tt),
+       |     a AS (SELECT n, t, sum(dev) AS sdev FROM d GROUP BY 1, 2)
+       |SELECT n AS n_customers,
+       |       ${r4("CAST(t AS DOUBLE) / 100.0")} AS total_rev,
+       |       ${r4("CAST(sdev AS DOUBLE) / (2.0 * CAST(t AS DOUBLE) * CAST(n AS DOUBLE))")} AS hoover
+       |FROM a""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_key_skew" -> (keySkew _),
     "q_join_size_est" -> (joinSizeEst _),
     "q_partition_balance" -> (partitionBalance _),
-    "q_gini_revenue" -> (giniRevenue _))
+    "q_gini_revenue" -> (giniRevenue _),
+    "q_hoover" -> (hooverIndex _))
 
   val oracle: Map[String, String] = Map(
     "q_key_skew" -> sqlKeySkew,
     "q_join_size_est" -> sqlJoinSizeEst,
     "q_partition_balance" -> sqlPartitionBalance,
-    "q_gini_revenue" -> sqlGiniRevenue)
+    "q_gini_revenue" -> sqlGiniRevenue,
+    "q_hoover" -> sqlHoover)
 }

@@ -188,7 +188,65 @@ object SqlSurface {
       |       CAST(count(*) AS BIGINT) AS n_orders
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE, SPARK-24497) generating
+    * the dense month spine between the data's own bounds, left-joined
+    * against monthly revenue to census calendar gaps — the classic
+    * series-generation job recursion exists for in ANSI SQL, shared
+    * verbatim (DuckDB recursion semantics match: the recursive leg
+    * sees only the previous iteration's rows). Scale: recursion depth
+    * = calendar months (bounded); the one fact pass is the month
+    * aggregate. The year derives via `CAST(floor(x / 12.0) AS
+    * BIGINT)` — floor first, because CAST(double AS BIGINT) TRUNCATES
+    * in Spark but ROUNDS in DuckDB (divergent on any non-integral
+    * quotient; caught by the gate on first contact).
+    */
+  private val sqlRecursive =
+    """WITH RECURSIVE bounds AS (
+      |  SELECT CAST(min(year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT) AS lo,
+      |         CAST(max(year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT) AS hi
+      |  FROM orders),
+      |spine(mkey) AS (
+      |  SELECT lo FROM bounds
+      |  UNION ALL
+      |  SELECT mkey + 1 FROM spine, bounds WHERE mkey < hi),
+      |m AS (
+      |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mkey,
+      |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1)
+      |SELECT spine.mkey AS mkey,
+      |       CAST(floor((spine.mkey - 1) / 12.0) AS BIGINT) AS year,
+      |       COALESCE(m.cents, 0) AS cents,
+      |       CASE WHEN m.mkey IS NULL THEN 1 ELSE 0 END AS is_gap
+      |FROM spine LEFT JOIN m ON spine.mkey = m.mkey
+      |ORDER BY mkey""".stripMargin
+
+  /** Correlated LATERAL top-n-per-group — the ANSI alternative to the
+    * rank-window idiom ([[sqlRank]]): per region, the top-2 nations by
+    * distinct buyers, with the ORDER BY + LIMIT INSIDE the lateral
+    * subquery (Spark plans it as a LateralJoin; DuckDB as a lateral
+    * dependent join). Deterministic tie-break inside the limit.
+    * Scale: the lateral correlates on a DIM key (5 regions), so the
+    * inner aggregate runs per region over pruned nation branches —
+    * the shape stays dim-bounded however large the fact side grows.
+    */
+  private val sqlLateral =
+    """SELECT r.r_name AS region, l.nation, l.n_buyers
+      |FROM region r,
+      |LATERAL (
+      |  SELECT n_name AS nation, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_buyers
+      |  FROM nation JOIN customer ON c_nationkey = n_nationkey
+      |              JOIN orders ON o_custkey = c_custkey
+      |  WHERE n_regionkey = r.r_regionkey
+      |  GROUP BY n_name
+      |  ORDER BY n_buyers DESC, nation
+      |  LIMIT 2) AS l
+      |ORDER BY region, n_buyers DESC, nation""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_recursive" -> ((s: SparkSession, d: String) =>
+      run(s, d, Seq("orders"), sqlRecursive)),
+    "q_sql_lateral" -> ((s: SparkSession, d: String) =>
+      run(s, d, Seq("orders", "customer", "nation", "region"), sqlLateral)),
     "q_sql_exists" -> ((s: SparkSession, d: String) =>
       run(s, d, Seq("customer", "orders"), sqlExists)),
     "q_sql_lag" -> ((s: SparkSession, d: String) =>
@@ -213,6 +271,8 @@ object SqlSurface {
       run(s, d, Seq("orders", "customer", "nation", "region"), sqlRollup)))
 
   val oracle: Map[String, String] = Map(
+    "q_sql_recursive" -> sqlRecursive,
+    "q_sql_lateral" -> sqlLateral,
     "q_sql_exists" -> sqlExists,
     "q_sql_lag" -> sqlLag,
     "q_sql_filters" -> sqlFilters,

@@ -276,6 +276,43 @@ object EventQueries {
       |       round(sum(try_cast(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS sum_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** 19b. Semi-structured shredding through Spark 4's VARIANT type
+    * (the open-encoding successor to per-query from_json): props parse
+    * ONCE to a variant column ([[jsonProps]] re-parses to a typed map
+    * per query shape), typed paths come out via `try_variant_get`
+    * (null on missing path / type mismatch — the ANSI-safe form), and
+    * the engine keeps the binary-shredded value columnar. The
+    * aggregate (per event type: extracted-key coverage, distinct
+    * payloads, exact integer sum) is the audit a pipeline runs after
+    * pointing a VARIANT reader at a new telemetry feed. Oracle:
+    * DuckDB's native JSON extraction over the same paths — the gate
+    * proves the VARIANT path preserves values exactly, not just
+    * parses.
+    *
+    * Scale: parse + extract are per-row codegen'd expressions (no
+    * shuffle), the census is one (type)-grain hash aggregate; at
+    * 100 TB the VARIANT encoding is WHY this works — shredded access
+    * reads only the touched paths, where a string-JSON scan re-parses
+    * every byte.
+    */
+  def variantShred(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("vr", expr("parse_json(props)"))
+      .withColumn("k", expr("try_variant_get(vr, '$.k', 'bigint')"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_extracted"),
+        countDistinct(col("k")).as("n_distinct_k"),
+        sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+
+  private val sqlVariantShred =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(count(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_extracted,
+      |       CAST(count(DISTINCT try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k,
+      |       CAST(sum(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Sliding 7-day distinct users per day (rolling reach). Exact
     * distinct is NOT frame-decomposable — a `count(distinct)` window
     * frame would re-scan every frame — so the distributed shape is:
@@ -1287,6 +1324,210 @@ object EventQueries {
        |SELECT t AS day, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
        |       ${r4("km")} AS survival
        |FROM k ORDER BY day""".stripMargin
+  }
+
+  // ---------- q_nelson_aalen: cumulative-hazard curve ----------
+
+  /** Per-user survival subject rows for time-to-high-value-purchase —
+    * the [[kaplanMeier]] derivation factored for its siblings
+    * ([[nelsonAalen]], [[logRank]]): one row per signed-up user with
+    * duration `t` (days to first qualifying purchase, else to last
+    * observation) and the `converted` flag.
+    */
+  private def kmSubjects(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("unix_micros(ts)").as("us"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("us")).as("s_us"))
+    val pu = ev.filter(col("event_type") === "purchase" && col("value") > KmValueFloor)
+      .join(su, "user_id").filter(col("us") >= col("s_us"))
+      .groupBy("user_id").agg(min(col("us")).as("p_us"))
+    val le = ev.groupBy("user_id").agg(max(col("us")).as("l_us"))
+    su.join(pu, Seq("user_id"), "left").join(le, "user_id")
+      .select(col("user_id"),
+        when(col("p_us").isNotNull, expr("(p_us - s_us) div 86400000000"))
+          .otherwise(expr("(l_us - s_us) div 86400000000")).as("t"),
+        col("p_us").isNotNull.as("converted"))
+  }
+
+  /** Shared oracle CTE chain ending in `subj` = (user_id, t,
+    * converted) — the SQL twin of [[kmSubjects]].
+    */
+  private val duckKmSubjects =
+    s"""e AS (SELECT user_id, event_type, value,
+       |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |           FROM events),
+       |     su AS (SELECT user_id, min(us) AS s_us FROM e
+       |            WHERE event_type = 'signup' GROUP BY 1),
+       |     pu AS (SELECT e.user_id, min(e.us) AS p_us
+       |            FROM e JOIN su ON e.user_id = su.user_id
+       |            WHERE e.event_type = 'purchase' AND e.value > $KmValueFloor
+       |              AND e.us >= su.s_us
+       |            GROUP BY 1),
+       |     le AS (SELECT user_id, max(us) AS l_us FROM e GROUP BY 1),
+       |     subj AS (SELECT su.user_id,
+       |                     CASE WHEN pu.p_us IS NOT NULL
+       |                          THEN (pu.p_us - su.s_us) // 86400000000
+       |                          ELSE (le.l_us - su.s_us) // 86400000000 END AS t,
+       |                     pu.p_us IS NOT NULL AS converted
+       |              FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+       |                      JOIN le ON su.user_id = le.user_id)""".stripMargin
+
+  /** Nelson-Aalen cumulative-hazard curve Ĥ(t) = Σ_{u≤t} d_u/n_u over
+    * the same right-censored subjects as [[kaplanMeier]] (Nelson
+    * 1972, Aalen 1978) — the estimator survival reviews read next to
+    * KM because hazard SLOPE localizes when conversion risk changes
+    * (KM's product form smears it), and because Ĥ needs no
+    * transcendentals: each d/n is an exact rational collapsed to
+    * round6 DECIMAL before the cumulative sum, so the curve is
+    * engine-exact where KM's exp(Σln) needed a rounding guard.
+    *
+    * Shape: identical to KM — user-grain aggregates, then a BOUNDED
+    * day-grain risk table; the cumulative windows run over that
+    * aggregate grain (scale note: a fact-scale horizon would go
+    * through PrefixScan), which is why the WindowAuditSpec allowlists
+    * this query.
+    */
+  def nelsonAalen(spark: SparkSession, sfDir: String): DataFrame = {
+    val subj = kmSubjects(spark, sfDir)
+    val census = subj.groupBy("t")
+      .agg(sum(when(col("converted"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("leaving"))
+    val nTotal = subj.agg(count(lit(1)).as("n_subjects"))
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNa = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    census.crossJoin(broadcast(nTotal))
+      .withColumn("n_risk",
+        col("n_subjects") - coalesce(sum(col("leaving")).over(wCum), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("h6",
+        floor(col("d").cast("double") / col("n_risk").cast("double")
+          * 1000000.0 + 0.5).cast("decimal(28,0)"))
+      .withColumn("cum_hazard", graft.text.TextFns.round4(
+        sum(col("h6")).over(wNa).cast("double") / 1000000.0))
+      .select(col("t").as("day"), col("n_risk"), col("d").as("n_events"),
+        col("cum_hazard"))
+      .orderBy("day")
+  }
+
+  private val sqlNelsonAalen = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    s"""WITH $duckKmSubjects,
+       |     census AS (SELECT t,
+       |                       CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |                       CAST(count(*) AS BIGINT) AS leaving
+       |                FROM subj GROUP BY 1),
+       |     nt AS (SELECT CAST(count(*) AS BIGINT) AS n_subjects FROM subj),
+       |     rk AS (SELECT t, d,
+       |                   n_subjects - coalesce(sum(leaving) OVER (ORDER BY t
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+       |            FROM census CROSS JOIN nt),
+       |     h AS (SELECT t, d, n_risk,
+       |                  CAST(floor(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+       |                    * 1000000.0 + 0.5) AS DECIMAL(28,0)) AS h6
+       |           FROM rk WHERE d > 0)
+       |SELECT t AS day, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+       |       ${r4(
+                 "CAST(sum(h6) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING " +
+                   "AND CURRENT ROW) AS DOUBLE) / 1000000.0")} AS cum_hazard
+       |FROM h ORDER BY day""".stripMargin
+  }
+
+  // ---------- q_logrank: two-cohort survival comparison ----------
+
+  /** Log-rank (Mantel-Cox) test between two deterministic user
+    * cohorts (even vs odd user_id — the A/B split a conversion
+    * experiment would randomize): at every conversion time the
+    * observed group-A conversions are compared against the
+    * hypergeometric expectation d·n_A/n, with the standard variance
+    * d·(n_A/n)·(n_B/n)·(n−d)/(n−1); χ² = (O−E)²/V (Mantel 1966).
+    * This is the test that uses the WHOLE curve — comparing KM
+    * medians throws away the censored tail.
+    *
+    * Parity: O is an exact integer; every E and V term is a fixed
+    * rational expression of exact counts, collapsed to round6
+    * DECIMAL before the cross-day sums (the CLAUDE.md float-sum
+    * rule); χ² composes the two decimal-derived doubles once at the
+    * edge. Shape: user-grain aggregates → BOUNDED (day × 2)-grain
+    * risk table; cumulative windows over that aggregate grain only
+    * (WindowAuditSpec allowlisted; fact-scale horizon → PrefixScan).
+    */
+  def logRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val subj = kmSubjects(spark, sfDir)
+      .withColumn("ga", pmod(col("user_id"), lit(2)) === 0)
+    val census = subj.groupBy("t")
+      .agg(sum(when(col("converted") && col("ga"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("converted") && !col("ga"), 1L).otherwise(0L)).as("d2"),
+        sum(when(col("ga"), 1L).otherwise(0L)).as("l1"),
+        sum(when(!col("ga"), 1L).otherwise(0L)).as("l2"))
+    val nTotal = subj.agg(
+      sum(when(col("ga"), 1L).otherwise(0L)).as("na0"),
+      sum(when(!col("ga"), 1L).otherwise(0L)).as("nb0"))
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val d6 = (c: org.apache.spark.sql.Column) => floor(c * 1000000.0 + 0.5).cast("decimal(28,0)")
+    val rows = census.crossJoin(broadcast(nTotal))
+      .withColumn("n1", col("na0") - coalesce(sum(col("l1")).over(wCum), lit(0L)))
+      .withColumn("n2", col("nb0") - coalesce(sum(col("l2")).over(wCum), lit(0L)))
+      .withColumn("d", col("d1") + col("d2"))
+      .withColumn("n", col("n1") + col("n2"))
+      .filter(col("d") > 0 && col("n") > 1)
+    val nD = col("n").cast("double")
+    val agg = rows.agg(
+      sum(col("d1")).as("o1"),
+      sum(d6(col("d").cast("double") * col("n1").cast("double") / nD)).as("e6"),
+      sum(d6(col("d").cast("double") * (col("n1").cast("double") / nD)
+        * (col("n2").cast("double") / nD)
+        * ((col("n") - col("d")).cast("double") / (nD - 1.0)))).as("v6"))
+    val e = col("e6").cast("double") / 1000000.0
+    val v = col("v6").cast("double") / 1000000.0
+    agg.select(col("o1").as("observed_a"),
+      graft.text.TextFns.round4(e).as("expected_a"),
+      graft.text.TextFns.round4(v).as("variance"),
+      graft.text.TextFns.round4(
+        (col("o1").cast("double") - e) * (col("o1").cast("double") - e) / v)
+        .as("chi2"))
+  }
+
+  private val sqlLogRank = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    def d6(x: String) = s"CAST(floor(($x) * 1000000.0 + 0.5) AS DECIMAL(28,0))"
+    val e = "CAST(e6 AS DOUBLE) / 1000000.0"
+    val v = "CAST(v6 AS DOUBLE) / 1000000.0"
+    s"""WITH $duckKmSubjects,
+       |     sg AS (SELECT t, converted, user_id % 2 = 0 AS ga FROM subj),
+       |     census AS (SELECT t,
+       |                  CAST(sum(CASE WHEN converted AND ga THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+       |                  CAST(sum(CASE WHEN converted AND NOT ga THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+       |                  CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS l1,
+       |                  CAST(sum(CASE WHEN NOT ga THEN 1 ELSE 0 END) AS BIGINT) AS l2
+       |                FROM sg GROUP BY 1),
+       |     nt AS (SELECT CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS na0,
+       |                   CAST(sum(CASE WHEN NOT ga THEN 1 ELSE 0 END) AS BIGINT) AS nb0
+       |            FROM sg),
+       |     rk AS (SELECT t, d1, d2,
+       |                   na0 - coalesce(sum(l1) OVER (ORDER BY t
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+       |                   nb0 - coalesce(sum(l2) OVER (ORDER BY t
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2
+       |            FROM census CROSS JOIN nt),
+       |     rows0 AS (SELECT d1, d1 + d2 AS d, n1, n2, n1 + n2 AS n
+       |               FROM rk WHERE d1 + d2 > 0 AND n1 + n2 > 1),
+       |     ag AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+       |              sum(${d6("CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)")}) AS e6,
+       |              sum(${d6(
+                       "CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) " +
+                         "* (CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE)) " +
+                         "* (CAST(n - d AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0))")}) AS v6
+       |            FROM rows0)
+       |SELECT o1 AS observed_a,
+       |       ${r4(e)} AS expected_a,
+       |       ${r4(v)} AS variance,
+       |       ${r4(s"(CAST(o1 AS DOUBLE) - ($e)) * (CAST(o1 AS DOUBLE) - ($e)) / ($v)")} AS chi2
+       |FROM ag""".stripMargin
   }
 
   // ---------- q_apdex: SLO satisfaction score ----------
@@ -3370,6 +3611,124 @@ object EventQueries {
       .orderBy("user_id", "session_start")
   }
 
+  // ---------- q_stream_tws: transformWithState (Spark 4 API), oracle-gated ----------
+
+  private[stream] case class TwsEv(event_type: String, event_id: Long, vm: Long)
+  private[stream] case class TwsOut(
+      event_type: String, n_events: Long, vm_sum: Long, max_event_id: Long)
+
+  /** The [[twsTypeStats]] processor: one ValueState[TwsOut] per
+    * event-type key, folded with each batch's rows, re-emitting the
+    * running totals — the canonical "running aggregate in arbitrary
+    * state" the new API exists for. Serializable (shipped to tasks).
+    */
+  private[stream] class TwsTypeStats
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, TwsEv, TwsOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var st: ValueState[TwsOut] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TwsOut]("agg",
+        org.apache.spark.sql.Encoders.product[TwsOut], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[TwsEv],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TwsOut] = {
+      var acc = if (st.exists()) st.get() else TwsOut(key, 0L, 0L, Long.MinValue)
+      rows.foreach { e =>
+        acc = TwsOut(key, acc.n_events + 1L, acc.vm_sum + e.vm,
+          math.max(acc.max_event_id, e.event_id))
+      }
+      st.update(acc)
+      Iterator.single(acc)
+    }
+  }
+
+  /** Spark 4's `transformWithState` — the successor arbitrary-state
+    * API (SPARK-46815, state-v2: typed state variables, timers, TTL,
+    * RocksDB-backed) — under the same hash gate as the other ten
+    * streaming modes: per event type, a ValueState running aggregate
+    * (count, integer-micro value sum, max event id) folded across
+    * three staged micro-batches in Update mode; the batch-stamped
+    * append sink reconstructs final state last-writer-wins
+    * ([[streamUpdate]]'s idempotent-upsert contract) and must equal
+    * the plain batch aggregate. flatMapGroupsWithState
+    * ([[streamFmgws]]) gates the LEGACY state API; this gates its
+    * replacement, including the RocksDB state-store provider the new
+    * API requires (scoped to this query, restored after).
+    *
+    * Scale: state is one tiny row per event type; each micro-batch
+    * shuffles only its own rows to the keyed state partitions —
+    * bounded state, linear flow, the exact shape a 100 TB stream's
+    * per-key telemetry rollup runs with.
+    */
+  def streamTws(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val path = s"$sfDir/events.parquet"
+      val batch = spark.read.parquet(path)
+      val batchSchema = batch.schema
+      val dir = Files.createTempDirectory("graft_stream_tws")
+      val inDir = dir.resolve("in"); Files.createDirectories(inDir)
+      val out = dir.resolve("out").toString
+      (0 until 3).foreach { k =>
+        val tmpK = dir.resolve(s"slice$k")
+        batch.filter(col("event_id") % 3 === k)
+          .coalesce(1).write.parquet(tmpK.toString)
+        val part = Files.list(tmpK).filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }.findFirst.get
+        Files.move(part, inDir.resolve(s"slice$k.parquet"))
+        Files.setLastModifiedTime(inDir.resolve(s"slice$k.parquet"),
+          FileTime.fromMillis(1600000000000L + k * 60000L))
+      }
+      val src = spark.readStream.schema(batchSchema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val evs = src
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 1000000.0 + 0.5).cast("long").as("vm"))
+        .as[TwsEv]
+      val stats = evs.groupByKey(_.event_type)
+        .transformWithState(new TwsTypeStats, TimeMode.None(), OutputMode.Update())
+      val q = stats.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", dir.resolve("cp").toString)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[TwsOut], bid: Long) =>
+          b.toDF().withColumn("bid", lit(bid))
+            .coalesce(1).write.mode("append").parquet(out)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.etl.Dedup.lastWins(spark.read.parquet(out),
+          Seq("event_type"), Seq(col("bid")),
+          Seq("n_events", "vm_sum", "max_event_id"))
+        .select(col("event_type"), col("n_events"),
+          graft.text.TextFns.round4(col("vm_sum").cast("double") / 1000000.0)
+            .as("sum_value"),
+          col("max_event_id"))
+        .orderBy("event_type")
+    } finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
+  private val sqlStreamTws =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |       (floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      |          / 1000000.0 * 10000.0 + 0.5) / 10000.0) AS sum_value,
+      |       CAST(max(event_id) AS BIGINT) AS max_event_id
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------- q_stream_update: UPDATE output mode, oracle-gated ----------
 
   /** UPDATE output mode under the correctness gate — with
@@ -3566,6 +3925,7 @@ object EventQueries {
     "q_stream_hh" -> (streamHh _),
     "q_stream_append" -> (streamAppend _),
     "q_stream_update" -> (streamUpdate _),
+    "q_stream_tws" -> (streamTws _),
     "q_stream_fmgws" -> (streamFmgws _),
     "q_stream_late" -> (streamLate _),
     "q_stream_join" -> (streamJoin _),
@@ -3588,6 +3948,8 @@ object EventQueries {
     "q_latency_bands" -> (latencyBands _),
     "q_apdex" -> (apdex _),
     "q_kaplan_meier" -> (kaplanMeier _),
+    "q_nelson_aalen" -> (nelsonAalen _),
+    "q_logrank" -> (logRank _),
     "q_entropy_rate" -> (entropyRate _),
     "q_sax" -> (sax _),
     "q_holt" -> (holt _),
@@ -3602,6 +3964,7 @@ object EventQueries {
     "q_events_tumbling" -> (eventsTumbling _),
     "q_events_session" -> (eventsSession _),
     "q_json_props" -> (jsonProps _),
+    "q_variant_shred" -> (variantShred _),
     "q_asof_clicks" -> (asofClicks _),
     "q_events_sliding" -> (eventsSliding _),
     "q_rolling_distinct" -> (rollingDistinct _),
@@ -3623,6 +3986,7 @@ object EventQueries {
     "q_stream_hh" -> graft.text.DocOps.sqlStreamHh,
     "q_stream_append" -> sqlStreamTumbling,
     "q_stream_update" -> sqlStreamTumbling,
+    "q_stream_tws" -> sqlStreamTws,
     "q_stream_fmgws" -> sqlStreamSession,
     "q_stream_late" -> sqlStreamTumbling,
     "q_stream_join" -> sqlStreamJoin,
@@ -3645,6 +4009,8 @@ object EventQueries {
     "q_latency_bands" -> sqlLatencyBands,
     "q_apdex" -> sqlApdex,
     "q_kaplan_meier" -> sqlKaplanMeier,
+    "q_nelson_aalen" -> sqlNelsonAalen,
+    "q_logrank" -> sqlLogRank,
     "q_entropy_rate" -> sqlEntropyRate,
     "q_sax" -> sqlSax,
     "q_holt" -> sqlHolt,
@@ -3659,6 +4025,7 @@ object EventQueries {
     "q_events_tumbling" -> sqlEventsTumbling,
     "q_events_session" -> sqlEventsSession,
     "q_json_props" -> sqlJsonProps,
+    "q_variant_shred" -> sqlVariantShred,
     "q_asof_clicks" -> sqlAsofClicks,
     "q_events_sliding" -> sqlEventsSliding,
     "q_rolling_distinct" -> sqlRollingDistinct,

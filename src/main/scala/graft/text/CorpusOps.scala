@@ -858,6 +858,105 @@ object CorpusOps {
     * the final sqrt is the one correctly-rounded transcendental. Scale
     * = [[looSource]]'s: one source-grain aggregate + broadcast totals.
     */
+  // ---------- q_poisson_boot: deterministic multiplier bootstrap ----------
+
+  private val BootReps = 20
+
+  /** Poisson-multiplier bootstrap standard error of the corpus mean
+    * quality (Kleiner et al.'s streaming-bootstrap form: resample by
+    * giving each row an independent Poisson(1) multiplicity instead
+    * of materializing B resamples — the only bootstrap that runs in
+    * one pass over 100 TB) — made DETERMINISTIC so it can gate: the
+    * multiplier for (doc, replicate) comes from an integer LCG mix
+    * (`((doc_id mod 1000003)·2654435761 + b·40503) div 2¹⁶ mod 1000`,
+    * all exact BIGINT ops, headroom ≤ 2.7·10¹⁵ so ANSI never
+    * overflows) thresholded at the Poisson(1) cdf cut-points
+    * (368/736/920/981 per mille → counts 0..4). [[jackknifeSe]] is
+    * the delete-one-GROUP error bar; this is its row-level resampling
+    * sibling, B = [[BootReps]] replicates in one scan.
+    *
+    * Parity: weights are integers, each replicate mean is one double
+    * division of DECIMAL sums collapsed to round6 before the moment
+    * aggregate; SE = sqrt of an exact-DECIMAL deviation sum. Shape:
+    * doc-grain scan × B in-row replicate fan-out, two bounded
+    * aggregates — no RNG, no per-replicate pass.
+    */
+  def poissonBoot(spark: SparkSession, sfDir: String): DataFrame = {
+    val r6 = (c: org.apache.spark.sql.Column) =>
+      floor(c * 1000000.0 + 0.5) / 1000000.0
+    val scored = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("doc_id"),
+        floor(TextFns.qualityScore(col("text"), col("ts")) * 1000000.0 + 0.5)
+          .cast("decimal(28,0)").as("qm"))
+      .localCheckpoint(true) // staged: replicate fan-out + the overall-mean pass
+    val w = when(col("u") < 368, 0L).when(col("u") < 736, 1L)
+      .when(col("u") < 920, 2L).when(col("u") < 981, 3L).otherwise(4L)
+    val reps = scored
+      .select(col("doc_id"), col("qm"),
+        explode_outer(sequence(lit(1L), lit(BootReps.toLong))).as("b"))
+      .withColumn("u0", pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L)
+        + col("b") * lit(40503L))
+      .withColumn("u", pmod(expr("u0 div 65536"), lit(1000L)))
+      .withColumn("w", w)
+      .groupBy("b")
+      .agg(sum(col("qm") * col("w").cast("decimal(10,0)")).as("swq"),
+        sum(col("w")).as("sw"))
+      .withColumn("m6", r6(col("swq").cast("double") / 1000000.0 /
+        col("sw").cast("double")))
+    val bar = reps.agg(count(lit(1)).as("nb"),
+        sum(col("m6").cast("decimal(28,6)")).as("ms"))
+      .withColumn("m_bar", col("ms").cast("double") / col("nb").cast("double"))
+    val se = reps.select(col("m6")).crossJoin(broadcast(bar))
+      .withColumn("dev2", floor((col("m6") - col("m_bar")) * (col("m6") - col("m_bar"))
+        * 1000000.0 + 0.5).cast("decimal(28,0)"))
+      .groupBy("nb").agg(sum(col("dev2")).as("ss"))
+      .select(col("nb"), TextFns.round4(sqrt(
+        col("ss").cast("double") / 1000000.0 / (col("nb") - 1).cast("double"))).as("boot_se"))
+    val tot = scored.agg(count(lit(1)).as("n_docs"), sum(col("qm")).as("sq"))
+    tot.crossJoin(broadcast(se))
+      .select(col("n_docs"), col("nb").as("n_replicates"),
+        TextFns.round4(col("sq").cast("double") / 1000000.0 /
+          col("n_docs").cast("double")).as("mean_q"),
+        col("boot_se"))
+  }
+
+  private val sqlPoissonBoot = {
+    val q = TextQueries.duckQuality
+    s"""WITH t AS (SELECT doc_id, source, text, $duckTokens AS ts FROM documents),
+       |     d AS (SELECT doc_id,
+       |             CAST(floor(($q) * 1000000.0 + 0.5) AS DECIMAL(28,0)) AS qm
+       |           FROM t),
+       |     reps AS (SELECT doc_id, qm, unnest(range(1, ${BootReps + 1})) AS b FROM d),
+       |     wt AS (SELECT b, qm,
+       |              (((doc_id % 1000003) * 2654435761 + b * 40503) // 65536) % 1000 AS u
+       |            FROM reps),
+       |     ww AS (SELECT b, qm,
+       |              CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1
+       |                   WHEN u < 920 THEN 2 WHEN u < 981 THEN 3 ELSE 4 END AS w
+       |            FROM wt),
+       |     rm AS (SELECT b,
+       |              CAST(floor(CAST(sum(qm * CAST(w AS DECIMAL(10,0))) AS DOUBLE)
+       |                / 1000000.0 / CAST(sum(w) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+       |                / 1000000.0 AS m6
+       |            FROM ww GROUP BY b),
+       |     bar AS (SELECT CAST(count(*) AS BIGINT) AS nb,
+       |                    CAST(sum(CAST(m6 AS DECIMAL(28,6))) AS DOUBLE)
+       |                      / CAST(count(*) AS DOUBLE) AS m_bar
+       |             FROM rm),
+       |     se AS (SELECT nb,
+       |              sum(CAST(floor((m6 - m_bar) * (m6 - m_bar) * 1000000.0 + 0.5)
+       |                    AS DECIMAL(28,0))) AS ss
+       |            FROM rm CROSS JOIN bar GROUP BY nb),
+       |     tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, sum(qm) AS sq FROM d)
+       |SELECT n_docs, nb AS n_replicates,
+       |       ${TextFns.duckRound4(
+                 "CAST(sq AS DOUBLE) / 1000000.0 / CAST(n_docs AS DOUBLE)")} AS mean_q,
+       |       ${TextFns.duckRound4(
+                 "sqrt(CAST(ss AS DOUBLE) / 1000000.0 / (CAST(nb AS DOUBLE) - 1.0))")} AS boot_se
+       |FROM tot CROSS JOIN se""".stripMargin
+  }
+
   def jackknifeSe(spark: SparkSession, sfDir: String): DataFrame = {
     val r6 = (c: org.apache.spark.sql.Column) =>
       floor(c * 1000000.0 + 0.5) / 1000000.0
@@ -1232,6 +1331,7 @@ object CorpusOps {
     "q_loo_source" -> (looSource _),
     "q_waterfill_mix" -> (waterfillMix _),
     "q_jackknife_se" -> (jackknifeSe _),
+    "q_poisson_boot" -> (poissonBoot _),
     "q_heavy_hitters" -> (heavyHitters _),
     "q_bm25" -> (bm25 _),
     "q_chunk_plan" -> (chunkPlan _),
@@ -1250,6 +1350,7 @@ object CorpusOps {
     "q_loo_source" -> sqlLooSource,
     "q_waterfill_mix" -> sqlWaterfillMix,
     "q_jackknife_se" -> sqlJackknifeSe,
+    "q_poisson_boot" -> sqlPoissonBoot,
     "q_heavy_hitters" -> sqlHeavyHitters,
     "q_bm25" -> sqlBm25,
     "q_chunk_plan" -> sqlChunkPlan,

@@ -872,6 +872,89 @@ object TextQueries {
        |FROM cl WHERE sz > 1
        |GROUP BY n_langs ORDER BY n_langs""".stripMargin
 
+  // ---------- 3aᵍ. q_bcubed: B³ extrinsic clustering quality ----------
+
+  /** B-cubed precision/recall/F1 of the MinHash-LSH clustering
+    * against the exact-duplicate gold standard (Bagga & Baldwin 1998;
+    * the metric Amigó et al. 2009 showed uniquely satisfies all four
+    * clustering-eval constraints, which is why entity-resolution
+    * evals report it over pair-F1): gold classes are the
+    * normalized-text sha groups ([[docDedup]]'s key), system clusters
+    * the [[minhashAssignments]] kernel. B³ precision for a doc = the
+    * fraction of its system cluster sharing its gold class; recall
+    * swaps the roles; both average over docs. Low B³ precision =
+    * LSH over-merges (false near-dups); low recall = banding misses
+    * true duplicates.
+    *
+    * Shape: everything reduces through the (cluster, gold) CONTINGENCY
+    * table — Σ n_cg²/|c| and Σ n_cg²/|g| — so the cost is three
+    * hash aggregates and two dim-grain joins, never a doc×doc pair
+    * join (contingency grain ≤ min(clusters, golds)² but in practice
+    * ≈ #docs). Each rational term collapses to round6 DECIMAL before
+    * the cross-row sum; F1 composes the two unrounded quotients in
+    * one literal order (identical IEEE ops both engines), rounded at
+    * the edge.
+    */
+  def bcubed(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val joined = minhashAssignments(docs)
+      .join(docs.select(col("doc_id"),
+        sha2(normText(col("text")), 256).as("h")), "doc_id")
+    val cs = joined.groupBy("cluster_id").agg(count(lit(1)).as("csz"))
+    val gs = joined.groupBy("h").agg(count(lit(1)).as("gsz"))
+    val cont = joined.groupBy("cluster_id", "h").agg(count(lit(1)).as("n"))
+    val d6 = (c: Column) => floor(c * 1000000.0 + 0.5).cast("decimal(28,0)")
+    val terms = cont.join(cs, "cluster_id").join(gs, "h")
+      .select(col("n"),
+        d6((col("n") * col("n")).cast("double") / col("csz").cast("double")).as("p6"),
+        d6((col("n") * col("n")).cast("double") / col("gsz").cast("double")).as("r6"))
+    val agg = terms.agg(sum(col("n")).as("n_docs"),
+      sum(col("p6")).as("pd"), sum(col("r6")).as("rd"))
+    val nCl = cs.agg(count(lit(1)).as("n_clusters"))
+    val nGo = gs.agg(count(lit(1)).as("n_gold"))
+    val p = col("pd").cast("double") / 1000000.0 / col("n_docs").cast("double")
+    val r = col("rd").cast("double") / 1000000.0 / col("n_docs").cast("double")
+    agg.crossJoin(broadcast(nCl)).crossJoin(broadcast(nGo))
+      .select(col("n_docs"), col("n_clusters"), col("n_gold"),
+        TextFns.round4(p).as("b3_precision"),
+        TextFns.round4(r).as("b3_recall"),
+        TextFns.round4(lit(2.0) * p * r / (p + r)).as("b3_f1"))
+  }
+
+  private val sqlBcubed = {
+    val p = "CAST(pd AS DOUBLE) / 1000000.0 / CAST(n_docs AS DOUBLE)"
+    val r = "CAST(rd AS DOUBLE) / 1000000.0 / CAST(n_docs AS DOUBLE)"
+    def d6(e: String) = s"CAST(floor(($e) * 1000000.0 + 0.5) AS DECIMAL(28,0))"
+    s"""WITH c AS (SELECT doc_id, text, $duckCodes AS cs FROM documents),
+       |     s AS (SELECT doc_id, $duckShingles AS shs FROM c),
+       |     g AS (SELECT doc_id, $duckSignature AS sig FROM s),
+       |     bands AS (SELECT doc_id, unnest($duckBandKeys) AS band FROM g),
+       |     reps AS (SELECT band, min(doc_id) AS rep FROM bands GROUP BY band),
+       |     clusters AS (SELECT bands.doc_id, min(reps.rep) AS cluster_id
+       |                  FROM bands JOIN reps ON bands.band = reps.band
+       |                  GROUP BY bands.doc_id),
+       |     jn AS (SELECT clusters.doc_id, cluster_id,
+       |                   sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
+       |            FROM clusters JOIN documents ON clusters.doc_id = documents.doc_id),
+       |     csz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csz FROM jn GROUP BY 1),
+       |     gsz AS (SELECT h, CAST(count(*) AS BIGINT) AS gsz FROM jn GROUP BY 1),
+       |     cont AS (SELECT cluster_id, h, CAST(count(*) AS BIGINT) AS n
+       |              FROM jn GROUP BY 1, 2),
+       |     terms AS (SELECT n,
+       |                 ${d6("CAST(n * n AS DOUBLE) / CAST(csz.csz AS DOUBLE)")} AS p6,
+       |                 ${d6("CAST(n * n AS DOUBLE) / CAST(gsz.gsz AS DOUBLE)")} AS r6
+       |               FROM cont JOIN csz USING (cluster_id) JOIN gsz USING (h)),
+       |     ag AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs, sum(p6) AS pd, sum(r6) AS rd
+       |            FROM terms),
+       |     nc AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters FROM csz),
+       |     ng AS (SELECT CAST(count(*) AS BIGINT) AS n_gold FROM gsz)
+       |SELECT n_docs, n_clusters, n_gold,
+       |       ${TextFns.duckRound4(p)} AS b3_precision,
+       |       ${TextFns.duckRound4(r)} AS b3_recall,
+       |       ${TextFns.duckRound4(s"2.0 * ($p) * ($r) / (($p) + ($r))")} AS b3_f1
+       |FROM ag CROSS JOIN nc CROSS JOIN ng""".stripMargin
+  }
+
   // ---------- 3a¹ᵃ. q_lsh_curve: banding operating table ----------
 
   /** True-pair threshold for the curve: a candidate pair counts as a
@@ -2309,6 +2392,156 @@ object TextQueries {
         element_at(typedLit(langs), (-col("b.nrank")).cast("int") + 1).as("pred"))
   }
 
+  // ---------- 5b¹. q_mcc: Matthews correlation of the en-gate ----------
+
+  /** Matthews correlation coefficient of the binary "is English"
+    * gate the lexicon classifier implies (Matthews 1975) — the single
+    * balanced number a curation team reads when the positive class
+    * dominates (en is ~44% of this corpus, so raw accuracy and even
+    * F1 flatter; MCC uses all four confusion cells). Same per-doc
+    * predictions as [[langAgreement]] (shared [[langPreds]] kernel),
+    * collapsed to en-vs-rest. Confusion cells are exact integers;
+    * MCC = (tp·tn − fp·fn) / (√(tp+fp)·√(tp+fn)·√(tn+fp)·√(tn+fn))
+    * with each factor under its OWN sqrt — four correctly-rounded
+    * roots multiplied in one literal order on both engines (the
+    * sqrt(a)·sqrt(b) parity rule; a single sqrt of the product would
+    * overflow BIGINT at corpus scale anyway).
+    */
+  def mccGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = langPreds(spark, sfDir)
+      .withColumn("pp", col("pred") === "en")
+      .withColumn("tt", col("lang") === "en")
+    val cells = scored.agg(
+      sum(when(col("pp") && col("tt"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("pp") && !col("tt"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("pp") && col("tt"), 1L).otherwise(0L)).as("fn"),
+      sum(when(!col("pp") && !col("tt"), 1L).otherwise(0L)).as("tn"))
+    cells.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      TextFns.round4(
+        (col("tp") * col("tn") - col("fp") * col("fn")).cast("double") /
+          (sqrt((col("tp") + col("fp")).cast("double")) *
+            sqrt((col("tp") + col("fn")).cast("double")) *
+            sqrt((col("tn") + col("fp")).cast("double")) *
+            sqrt((col("tn") + col("fn")).cast("double")))).as("mcc"))
+  }
+
+  private val sqlMccGate = {
+    val langs = TextFns.langMarkers.keys.toSeq.sorted
+    val hitSel = langs.map { l =>
+      val lex = TextFns.langMarkers(l).map(s => s"'$s'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(ts, t -> list_contains($lex, t))) AS BIGINT) AS hits_$l"
+    }.mkString(", ")
+    val structs = langs.zipWithIndex
+      .map { case (l, i) => s"{'hits': hits_$l, 'nrank': ${-i}}" }
+      .mkString("[", ", ", "]")
+    val langList = langs.map(l => s"'$l'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, lang, $duckTokens AS ts FROM documents),
+       |     h AS (SELECT doc_id, lang, $hitSel FROM t),
+       |     u AS (SELECT doc_id, lang, unnest($structs) AS s FROM h),
+       |     b AS (SELECT doc_id, lang, max(s) AS bs FROM u GROUP BY 1, 2),
+       |     p AS (SELECT lang, ($langList)[CAST(-bs.nrank AS INT) + 1] AS pred FROM b),
+       |     f AS (SELECT pred = 'en' AS pp, lang = 'en' AS tt FROM p),
+       |     cc AS (SELECT
+       |              CAST(sum(CASE WHEN pp AND tt THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |              CAST(sum(CASE WHEN pp AND NOT tt THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |              CAST(sum(CASE WHEN NOT pp AND tt THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |              CAST(sum(CASE WHEN NOT pp AND NOT tt THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |            FROM f)
+       |SELECT tp, fp, fn, tn,
+       |       ${TextFns.duckRound4(
+                 "CAST(tp * tn - fp * fn AS DOUBLE) / " +
+                   "(sqrt(CAST(tp + fp AS DOUBLE)) * sqrt(CAST(tp + fn AS DOUBLE)) * " +
+                   "sqrt(CAST(tn + fp AS DOUBLE)) * sqrt(CAST(tn + fn AS DOUBLE)))")} AS mcc
+       |FROM cc""".stripMargin
+  }
+
+  // ---------- 5b². q_brier: confidence quality of the lexicon classifier ----------
+
+  /** Brier score of the lexicon classifier's confidence (Brier 1950,
+    * the proper scoring rule whose bins `q_calibration` approximates):
+    * confidence = winning lexicon's hit share of all lexicon hits (an
+    * exact rational), scored (confidence − correct)² per doc and
+    * averaged per true language next to the mean confidence — so
+    * over/under-confidence reads directly (mean_conf ≫ accuracy with
+    * high brier = overconfident). Docs with ZERO lexicon hits carry
+    * no evidence and are censused in `n_abstain`, not silently scored.
+    *
+    * Parity: confidence is one exact rational division, the squared
+    * error an exact IEEE composition of it; both collapse to round6
+    * DECIMAL before the cross-row sum, one division per group at the
+    * edge. Shape: the [[langPreds]] struct-max election extended with
+    * the hit total (same staged-tokens scan), then one lang-grain
+    * aggregate — linear in tokens at any SF.
+    */
+  def brierScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val langs = TextFns.langMarkers.keys.toSeq.sorted
+    val scored = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text"))) // staged: scored 5×
+      .select(col("doc_id"), col("lang"),
+        explode_outer(array(langs.zipWithIndex.map { case (l, i) =>
+          struct(
+            TextFns.lexiconHitsFromTokens(col("ts"), TextFns.langMarkers(l))
+              .cast("long").as("hits"),
+            lit(-i).as("nrank"))
+        }: _*)).as("s"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(max(col("s")).as("b"), sum(col("s.hits")).as("th"))
+      .select(col("lang"),
+        element_at(typedLit(langs), (-col("b.nrank")).cast("int") + 1).as("pred"),
+        col("b.hits").as("hb"), col("th"))
+    val conf = col("hb").cast("double") / col("th").cast("double")
+    val y = when(col("pred") === col("lang"), lit(1.0)).otherwise(lit(0.0))
+    val err = (conf - y) * (conf - y)
+    val d6 = (c: Column) => floor(c * 1000000.0 + 0.5).cast("decimal(28,0)")
+    scored
+      .groupBy("lang")
+      .agg(sum(when(col("th") > 0, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("th") === 0, 1L).otherwise(0L)).as("n_abstain"),
+        sum(when(col("th") > 0, d6(conf))).as("c_dec"),
+        sum(when(col("th") > 0, d6(err))).as("e_dec"))
+      .select(col("lang"), col("n_scored"), col("n_abstain"),
+        TextFns.round4(col("c_dec").cast("double") / 1000000.0 /
+          col("n_scored").cast("double")).as("mean_conf"),
+        TextFns.round4(col("e_dec").cast("double") / 1000000.0 /
+          col("n_scored").cast("double")).as("brier"))
+      .orderBy("lang")
+  }
+
+  private val sqlBrierScore = {
+    val langs = TextFns.langMarkers.keys.toSeq.sorted
+    val hitSel = langs.map { l =>
+      val lex = TextFns.langMarkers(l).map(s => s"'$s'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(ts, t -> list_contains($lex, t))) AS BIGINT) AS hits_$l"
+    }.mkString(", ")
+    val structs = langs.zipWithIndex
+      .map { case (l, i) => s"{'hits': hits_$l, 'nrank': ${-i}}" }
+      .mkString("[", ", ", "]")
+    val langList = langs.map(l => s"'$l'").mkString("[", ", ", "]")
+    val conf = "CAST(hb AS DOUBLE) / CAST(th AS DOUBLE)"
+    val y = "(CASE WHEN pred = lang THEN 1.0 ELSE 0.0 END)"
+    val err = s"(($conf) - $y) * (($conf) - $y)"
+    def d6(e: String) = s"CAST(floor(($e) * 1000000.0 + 0.5) AS DECIMAL(28,0))"
+    s"""WITH t AS (SELECT doc_id, lang, $duckTokens AS ts FROM documents),
+       |     h AS (SELECT doc_id, lang, $hitSel FROM t),
+       |     u AS (SELECT doc_id, lang, unnest($structs) AS s FROM h),
+       |     b AS (SELECT doc_id, lang, max(s) AS bs,
+       |                  CAST(sum(s.hits) AS BIGINT) AS th
+       |           FROM u GROUP BY 1, 2),
+       |     p AS (SELECT lang, ($langList)[CAST(-bs.nrank AS INT) + 1] AS pred,
+       |                  bs.hits AS hb, th
+       |           FROM b)
+       |SELECT lang,
+       |       CAST(sum(CASE WHEN th > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+       |       CAST(sum(CASE WHEN th = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_abstain,
+       |       ${TextFns.duckRound4(
+                 s"CAST(sum(CASE WHEN th > 0 THEN ${d6(conf)} END) AS DOUBLE)" +
+                   " / 1000000.0 / CAST(sum(CASE WHEN th > 0 THEN 1 ELSE 0 END) AS DOUBLE)")} AS mean_conf,
+       |       ${TextFns.duckRound4(
+                 s"CAST(sum(CASE WHEN th > 0 THEN ${d6(err)} END) AS DOUBLE)" +
+                   " / 1000000.0 / CAST(sum(CASE WHEN th > 0 THEN 1 ELSE 0 END) AS DOUBLE)")} AS brier
+       |FROM p GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   def langAgreement(spark: SparkSession, sfDir: String): DataFrame = {
     val pred = langPreds(spark, sfDir)
     val truth = pred.groupBy("lang")
@@ -3519,6 +3752,9 @@ object TextQueries {
     "q_dedup_bias" -> (dedupBias _),
     "q_method_agreement" -> (methodAgreement _),
     "q_cluster_purity" -> (clusterPurity _),
+    "q_bcubed" -> (bcubed _),
+    "q_mcc" -> (mccGate _),
+    "q_brier" -> (brierScore _),
     "q_pagerank" -> (pagerank _),
     "q_hits" -> (hitsQ _),
     "q_degree_mix" -> (degreeMix _),
@@ -3572,6 +3808,9 @@ object TextQueries {
     "q_dedup_bias" -> sqlDedupBias,
     "q_method_agreement" -> sqlMethodAgreement,
     "q_cluster_purity" -> sqlClusterPurity,
+    "q_bcubed" -> sqlBcubed,
+    "q_mcc" -> sqlMccGate,
+    "q_brier" -> sqlBrierScore,
     "q_pagerank" -> sqlPagerank,
     "q_hits" -> sqlHits,
     "q_degree_mix" -> sqlDegreeMix,

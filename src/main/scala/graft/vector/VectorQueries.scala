@@ -3236,6 +3236,200 @@ object VectorQueries {
        |FROM q GROUP BY probe_id ORDER BY probe_id""".stripMargin
   }
 
+  // ---------- q_map_eval: mean average precision under quantization ----------
+
+  /** MAP@[[TopK]] of the binary-quantized (Hamming) ranking against
+    * exact-cosine top-[[TopK]] relevance — the fourth leg of the
+    * quantization-quality audit: recall@10 ([[binaryQuant]]) counts
+    * survivors, MRR ([[quantMrr]]) tracks the single best answer,
+    * NDCG ([[quantNdcg]]) weighs graded sink depth, and AP integrates
+    * precision over EVERY hit's rank (the metric ad-hoc retrieval
+    * evals report — Manning et al., IR book ch. 8). AP per probe =
+    * Σ_j (j / r_j) / K over its hits at quantized ranks r_1 < … <
+    * r_m ≤ K.
+    *
+    * Shape: relevance = the exact top-k window (probe-keyed, bounded
+    * K rows out); each relevant candidate's quantized rank is the
+    * integer lexicographic (ham, vec_id) count — no window ever runs
+    * over the candidate fan (the [[quantNdcg]] discipline); the hit
+    * index j is a window over ≤ K hit rows per probe (bounded). Every
+    * j/r term is an exact rational division collapsed to round6
+    * DECIMAL before the cross-row sum; one rounded division per
+    * probe. Probes whose hits all sink below K score 0 via the
+    * probe-spine left join, so the audit can't go vacuous silently.
+    */
+  def mapEval(spark: SparkSession, sfDir: String): DataFrame = {
+    def mask(off: Int) = (0 until 32).map(j =>
+      when(element_at(col("embedding"), off + j + 1) > 0f, lit(1L << j))
+        .otherwise(lit(0L))).reduce(_ + _)
+    val sigs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), mask(0).as("lo"), mask(32).as("hi"))
+    val base = withVecs(spark, sfDir).join(sigs, "vec_id")
+    val probes = base.filter((pmod(col("vec_id"), lit(RecallProbeStep)) === 0 && col("vec_id") < ProbeIdCap))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("lo").as("plo"), col("hi").as("phi"))
+    val joined = base.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("sim",
+        VectorFns.cosineStaged(col("v"), col("pv"), col("nrm"), col("pnrm")))
+      .withColumn("ham", expr(
+        "CAST(bit_count(lo ^ plo) + bit_count(hi ^ phi) AS BIGINT)"))
+    val rel = joined
+      .withColumn("rk", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("vec_id").as("g_id"), col("ham").as("g_ham"))
+    val qranks = joined.select(col("probe_id"), col("vec_id"), col("ham"))
+      .join(rel, "probe_id")
+      .groupBy(col("probe_id"), col("g_id"))
+      .agg((sum(when(col("ham") < col("g_ham")
+        || (col("ham") === col("g_ham") && col("vec_id") < col("g_id")),
+        1L).otherwise(0L)) + 1L).as("qrank"))
+      .filter(col("qrank") <= TopK)
+    val terms = qranks
+      // hit index j over ≤ TopK hit rows per probe (bounded window)
+      .withColumn("j", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("qrank"))))
+      .withColumn("t6", round6(col("j").cast("double") / col("qrank").cast("double"))
+        .cast("decimal(18,6)"))
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_hits"), sum(col("t6")).as("ap_dec"))
+    probes.select("probe_id")
+      .join(terms, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round4(coalesce(col("ap_dec").cast("double"), lit(0.0)) / TopK).as("ap"))
+      .orderBy("probe_id")
+  }
+
+  private val sqlMapEval = {
+    def mask(off: Int) = (0 until 32).map(j =>
+      s"(CASE WHEN embedding[${off + j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    s"""WITH $duckVecs,
+       |     sg AS (SELECT vec_id, ${mask(0)} AS lo, ${mask(32)} AS hi FROM embeddings),
+       |     b AS (SELECT e.vec_id, v, nrm, lo, hi FROM e JOIN sg ON e.vec_id = sg.vec_id),
+       |     p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm,
+       |                  lo AS plo, hi AS phi
+       |           FROM b WHERE vec_id % $RecallProbeStep = 0 AND vec_id < $ProbeIdCap),
+       |     j AS (SELECT probe_id, vec_id,
+       |                  ${duckDot("v", "pv")} / (nrm * pnrm) AS sim,
+       |                  CAST(bit_count(xor(lo, plo)) + bit_count(xor(hi, phi)) AS BIGINT) AS ham
+       |           FROM b, p WHERE vec_id <> probe_id),
+       |     g AS (SELECT probe_id, vec_id AS g_id, ham AS g_ham
+       |           FROM (SELECT probe_id, vec_id, ham,
+       |                   row_number() OVER (PARTITION BY probe_id
+       |                     ORDER BY sim DESC, vec_id) AS rk
+       |                 FROM j) WHERE rk <= $TopK),
+       |     q AS (SELECT j.probe_id, g_id,
+       |             CAST(sum(CASE WHEN j.ham < g_ham
+       |                       OR (j.ham = g_ham AND j.vec_id < g_id)
+       |                      THEN 1 ELSE 0 END) + 1 AS BIGINT) AS qrank
+       |           FROM j JOIN g ON j.probe_id = g.probe_id
+       |           GROUP BY j.probe_id, g_id),
+       |     h AS (SELECT probe_id, qrank,
+       |             row_number() OVER (PARTITION BY probe_id ORDER BY qrank) AS jx
+       |           FROM q WHERE qrank <= $TopK),
+       |     t AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_hits,
+       |             sum(CAST(${duckRound6(
+                       "CAST(jx AS DOUBLE) / CAST(qrank AS DOUBLE)")} AS DECIMAL(18,6))) AS ap_dec
+       |           FROM h GROUP BY probe_id)
+       |SELECT p.probe_id, coalesce(n_hits, 0) AS n_hits,
+       |       ${duckRound4(
+                 s"coalesce(CAST(ap_dec AS DOUBLE), 0.0) / $TopK")} AS ap
+       |FROM p LEFT JOIN t ON p.probe_id = t.probe_id
+       |ORDER BY p.probe_id""".stripMargin
+  }
+
+  // ---------- q_exposure_share: ranking-fairness exposure audit ----------
+
+  /** Group-exposure audit of the quantized serving ranking (Singh &
+    * Joachims, KDD'18): each top-[[TopK]] slot carries position-bias
+    * weight 1/log₂(1+rank), and the audit compares every label's
+    * share of TOTAL exposure against its corpus share — the fairness
+    * number a retrieval deployment tracks, because equal relevance
+    * does not imply equal exposure once position bias compounds
+    * (ratio < 1 = the ranking under-exposes the group relative to
+    * its base rate).
+    *
+    * Shape: the same probe-broadcast Hamming top-k as
+    * [[binaryQuant]] (fixed probe budget), exposure terms round6-
+    * DECIMAL-staged before the label-grain sums (the NDCG log
+    * discipline), corpus shares one label-grain count; ratio composes
+    * the two unrounded quotients once at the edge.
+    */
+  def exposureShare(spark: SparkSession, sfDir: String): DataFrame = {
+    def mask(off: Int) = (0 until 32).map(j =>
+      when(element_at(col("embedding"), off + j + 1) > 0f, lit(1L << j))
+        .otherwise(lit(0L))).reduce(_ + _)
+    val sigs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), mask(0).as("lo"), mask(32).as("hi"))
+    val base = withVecs(spark, sfDir).join(sigs, "vec_id")
+    val probes = base.filter((pmod(col("vec_id"), lit(RecallProbeStep)) === 0 && col("vec_id") < ProbeIdCap))
+      .select(col("vec_id").as("probe_id"),
+        col("lo").as("plo"), col("hi").as("phi"))
+    val byHam = Window.partitionBy("probe_id").orderBy(col("ham"), col("vec_id"))
+    val slots = base.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("ham", expr(
+        "CAST(bit_count(lo ^ plo) + bit_count(hi ^ phi) AS BIGINT)"))
+      .withColumn("rk", row_number().over(byHam))
+      .filter(col("rk") <= TopK)
+      .withColumn("w6", floor(lit(1.0) /
+        (log(col("rk").cast("double") + 1.0) / math.log(2.0))
+        * 1000000.0 + 0.5).cast("decimal(28,0)"))
+    val expo = slots.groupBy("label")
+      .agg(count(lit(1)).as("n_slots"), sum(col("w6")).as("e_dec"))
+    val eTot = expo.agg(sum(col("e_dec")).as("et"))
+    val corpus = base.groupBy("label").agg(count(lit(1)).as("n_corpus"))
+    val cTot = corpus.agg(sum(col("n_corpus")).as("ct"))
+    val eShare = col("e_dec").cast("double") / col("et").cast("double")
+    val cShare = col("n_corpus").cast("double") / col("ct").cast("double")
+    expo.join(corpus, "label")
+      .crossJoin(broadcast(eTot)).crossJoin(broadcast(cTot))
+      .select(col("label"), col("n_slots"), col("n_corpus"),
+        round4(eShare).as("exposure_share"),
+        round4(cShare).as("corpus_share"),
+        round4(eShare / cShare).as("exposure_ratio"))
+      .orderBy("label")
+  }
+
+  private val sqlExposureShare = {
+    val ln2 = math.log(2.0)
+    def mask(off: Int) = (0 until 32).map(j =>
+      s"(CASE WHEN embedding[${off + j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    val eShare = "CAST(e_dec AS DOUBLE) / CAST(et AS DOUBLE)"
+    val cShare = "CAST(n_corpus AS DOUBLE) / CAST(ct AS DOUBLE)"
+    s"""WITH $duckVecs,
+       |     sg AS (SELECT vec_id, ${mask(0)} AS lo, ${mask(32)} AS hi FROM embeddings),
+       |     b AS (SELECT e.vec_id, e.label, lo, hi FROM e JOIN sg ON e.vec_id = sg.vec_id),
+       |     p AS (SELECT vec_id AS probe_id, lo AS plo, hi AS phi
+       |           FROM b WHERE vec_id % $RecallProbeStep = 0 AND vec_id < $ProbeIdCap),
+       |     j AS (SELECT probe_id, vec_id, label,
+       |                  CAST(bit_count(xor(lo, plo)) + bit_count(xor(hi, phi)) AS BIGINT) AS ham
+       |           FROM b, p WHERE vec_id <> probe_id),
+       |     sl AS (SELECT label,
+       |              CAST(floor(1.0 / (ln(CAST(rk AS DOUBLE) + 1.0) / $ln2)
+       |                * 1000000.0 + 0.5) AS DECIMAL(28,0)) AS w6
+       |            FROM (SELECT label, row_number() OVER (PARTITION BY probe_id
+       |                    ORDER BY ham, vec_id) AS rk
+       |                  FROM j) WHERE rk <= $TopK),
+       |     ex AS (SELECT label, CAST(count(*) AS BIGINT) AS n_slots,
+       |                   sum(w6) AS e_dec
+       |            FROM sl GROUP BY 1),
+       |     et AS (SELECT sum(e_dec) AS et FROM ex),
+       |     co AS (SELECT label, CAST(count(*) AS BIGINT) AS n_corpus FROM b GROUP BY 1),
+       |     ct AS (SELECT sum(n_corpus) AS ct FROM co)
+       |SELECT ex.label, n_slots, n_corpus,
+       |       ${duckRound4(eShare)} AS exposure_share,
+       |       ${duckRound4(cShare)} AS corpus_share,
+       |       ${duckRound4(s"($eShare) / ($cShare)")} AS exposure_ratio
+       |FROM ex JOIN co ON ex.label = co.label
+       |CROSS JOIN et CROSS JOIN ct
+       |ORDER BY ex.label""".stripMargin
+  }
+
   // ---------- q_dbscan_core: density core/border/noise census ----------
 
   /** DBSCAN's point taxonomy over the embedding corpus (Ester et al.
@@ -3874,6 +4068,8 @@ object VectorQueries {
     "q_maxsim" -> (maxsim _),
     "q_quant_mrr" -> (quantMrr _),
     "q_quant_ndcg" -> (quantNdcg _),
+    "q_map_eval" -> (mapEval _),
+    "q_exposure_share" -> (exposureShare _),
     "q_ann_multiprobe" -> (annMultiprobe _),
     "q_index_serve" -> (indexServe _),
     "q_rq_codes" -> (rqCodes _),
@@ -3924,6 +4120,8 @@ object VectorQueries {
     "q_maxsim" -> sqlMaxsim,
     "q_quant_mrr" -> sqlQuantMrr,
     "q_quant_ndcg" -> sqlQuantNdcg,
+    "q_map_eval" -> sqlMapEval,
+    "q_exposure_share" -> sqlExposureShare,
     "q_ann_multiprobe" -> sqlAnnMultiprobe,
     "q_index_serve" -> sqlAnnMultiprobe,
     "q_rq_codes" -> sqlRqCodes,
