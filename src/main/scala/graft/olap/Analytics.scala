@@ -546,6 +546,73 @@ object Analytics {
        |FROM m a JOIN m f ON a.mkey = f.mkey + 12
        |ORDER BY year, month_no""".stripMargin
 
+  // ---------- q_mann_kendall: nonparametric monotone-trend test ----------
+
+  /** Mann-Kendall trend test on the monthly revenue series (Mann
+    * 1945, Kendall 1975) — the nonparametric "is there a monotone
+    * trend at all" gate run BEFORE fitting [[olsTrend]]'s slope or
+    * [[theilSen]]'s robust line: S = Σ_{i<j} sign(xⱼ − xᵢ) over time
+    * order, variance with the standard tie correction, z with the
+    * ±1 continuity correction. Rank-free and outlier-immune — the
+    * hydrology-standard trend screen, here the revenue reading.
+    *
+    * Exactness: the series is exact integer cents at BOUNDED month
+    * grain, so the pair join is calendar², sign counts are pure
+    * integers, and the single sqrt division happens once at the edge
+    * (its operands are identical integer-derived doubles on both
+    * engines). No window, no rank.
+    */
+  def mannKendall(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = Tables.orders(spark, sfDir)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("mkey"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("cents"))
+      .localCheckpoint(true) // staged: pair join (two legs) + tie census
+    val a = monthly.select(col("mkey").as("mi"), col("cents").as("xi"))
+    val b = monthly.select(col("mkey").as("mj"), col("cents").as("xj"))
+    val s = a.join(broadcast(b), col("mi") < col("mj"))
+      .agg(sum(when(col("xj") > col("xi"), 1L)
+        .when(col("xj") < col("xi"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = monthly.groupBy("cents").agg(count(lit(1)).as("t"))
+      .agg(sum(when(col("t") >= 2, col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5L))
+        .otherwise(0L)).as("tsum"),
+        sum(col("t")).as("n"))
+    val nD = col("n").cast("double")
+    val varS = (nD * (nD - 1.0) * (nD * 2.0 + 5.0) - col("tsum").cast("double")) / 18.0
+    val sD = col("s_stat").cast("double")
+    s.crossJoin(broadcast(ties))
+      .select(col("n").as("n_months"), col("s_stat"),
+        graft.text.TextFns.round4(varS).as("var_s"),
+        graft.text.TextFns.round4(
+          when(col("s_stat") > 0, (sD - 1.0) / sqrt(varS))
+            .when(col("s_stat") < 0, (sD + 1.0) / sqrt(varS))
+            .otherwise(lit(0.0))).as("z_stat"))
+  }
+
+  private val sqlMannKendall = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    val varS = "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * " +
+      "(2.0 * CAST(n AS DOUBLE) + 5.0) - CAST(tsum AS DOUBLE)) / 18.0"
+    s"""WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mkey,
+       |                  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+       |           FROM orders GROUP BY 1),
+       |     s AS (SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+       |                               WHEN b.cents < a.cents THEN -1
+       |                               ELSE 0 END) AS BIGINT) AS s_stat
+       |           FROM m a JOIN m b ON a.mkey < b.mkey),
+       |     tg AS (SELECT cents, CAST(count(*) AS BIGINT) AS t FROM m GROUP BY 1),
+       |     ts AS (SELECT CAST(sum(CASE WHEN t >= 2
+       |                      THEN t * (t - 1) * (2 * t + 5) ELSE 0 END) AS BIGINT) AS tsum,
+       |                   CAST(sum(t) AS BIGINT) AS n
+       |            FROM tg)
+       |SELECT n AS n_months, s_stat,
+       |       ${r4(varS)} AS var_s,
+       |       ${r4(s"CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt($varS)" +
+                 s" WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt($varS)" +
+                 " ELSE 0.0 END")} AS z_stat
+       |FROM s CROSS JOIN ts""".stripMargin
+  }
+
   // ---------- q_mase: scaled forecast-accuracy scores ----------
 
   /** MASE + sMAPE of the seasonal-naive backtest (Hyndman & Koehler
@@ -1011,6 +1078,7 @@ object Analytics {
     "q_interpolate" -> (interpolate _),
     "q_seasonal_naive" -> (seasonalNaive _),
     "q_mase" -> (maseScores _),
+    "q_mann_kendall" -> (mannKendall _),
     "q_ltv_curve" -> (ltvCurve _),
     "q_autocorr" -> (autocorr _),
     "q_window_frames" -> (windowFrames _),
@@ -1266,6 +1334,7 @@ object Analytics {
     "q_autocorr" -> sqlAutocorr,
     "q_seasonal_naive" -> sqlSeasonalNaive,
     "q_mase" -> sqlMaseScores,
+    "q_mann_kendall" -> sqlMannKendall,
     "q_ltv_curve" -> sqlLtvCurve,
     "q_cusum_drift" -> sqlCusumDrift,
     "q_order_cycle_time" -> sqlOrderCycleTime,

@@ -978,6 +978,78 @@ object OlapStats {
        |FROM a""".stripMargin
   }
 
+  // ---------- q_cliff_delta: ordinal dominance effect size ----------
+
+  /** Cliff's delta between click and purchase event values (Cliff
+    * 1993) — the EFFECT-SIZE companion to [[mannWhitney]]'s p-value,
+    * exactly as [[cohensD]] companions [[welchTtest]] but with zero
+    * distributional assumptions: δ = (#(x>y) − #(x<y)) / (n₁·n₂),
+    * read against Romano et al.'s conventional fences (0.147 / 0.33 /
+    * 0.474 → negligible/small/medium/large). Reported next to z, the
+    * magnitude is what a metrics review acts on at fact-scale n.
+    *
+    * Shape — identical to Mann-Whitney's fact-scale rank-free recipe:
+    * collapse to distinct-value grain, one
+    * [[graft.etl.PrefixScan.exclusivePrefixSum]] cumulative (never a
+    * single-partition window over fact-proportional input), then
+    * #(x>y) = Σ_v n_a(v)·cum_b(<v) and #(x<y) by the complement —
+    * all exact integers, one rounded division, the magnitude CASE on
+    * the ROUNDED value so both engines label identically.
+    */
+  def cliffDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("value")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("na"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("nb"))
+    val cum = graft.etl.PrefixScan.exclusivePrefixSum(g, "value", "nb", "cumb")
+    // one aggregate carries everything: gt = #(x>y), tie_pairs =
+    // Σ na(v)·nb(v), so lt falls out as n_a·n_b − gt − ties and
+    // δ = (gt − lt)/(n_a·n_b) = (2·gt + ties − n_a·n_b)/(n_a·n_b)
+    val agg = cum.agg(
+      sum(col("na")).as("nat"), sum(col("nb")).as("nbt"),
+      sum(col("na") * col("cumb")).as("gt"),
+      sum(col("na") * col("nb")).as("tie_pairs"))
+    val d = (lit(2.0) * col("gt").cast("double")
+      + col("tie_pairs").cast("double")
+      - (col("nat") * col("nbt")).cast("double")) /
+      (col("nat") * col("nbt")).cast("double")
+    agg
+      .select(col("nat").as("n_a"), col("nbt").as("n_b"),
+        col("gt").as("gt_pairs"), col("tie_pairs"),
+        round4(d).as("cliffs_delta"),
+        when(abs(round4(d)) < 0.147, lit("negligible"))
+          .when(abs(round4(d)) < 0.33, lit("small"))
+          .when(abs(round4(d)) < 0.474, lit("medium"))
+          .otherwise(lit("large")).as("magnitude"))
+  }
+
+  private val sqlCliffDelta = {
+    val d = "(2.0 * CAST(gt AS DOUBLE) + CAST(tie_pairs AS DOUBLE) " +
+      "- CAST(nat * nbt AS DOUBLE)) / CAST(nat * nbt AS DOUBLE)"
+    val rd = duckRound4(d)
+    s"""WITH g AS (SELECT value,
+       |                  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+       |           FROM events WHERE event_type IN ('click', 'purchase')
+       |           GROUP BY 1),
+       |     c AS (SELECT *, CAST(coalesce(sum(nb) OVER (ORDER BY value
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+       |           FROM g),
+       |     a AS (SELECT CAST(sum(na) AS BIGINT) AS nat,
+       |                  CAST(sum(nb) AS BIGINT) AS nbt,
+       |                  CAST(sum(na * cumb) AS BIGINT) AS gt,
+       |                  CAST(sum(na * nb) AS BIGINT) AS tie_pairs
+       |           FROM c)
+       |SELECT nat AS n_a, nbt AS n_b, gt AS gt_pairs, tie_pairs,
+       |       $rd AS cliffs_delta,
+       |       CASE WHEN abs($rd) < 0.147 THEN 'negligible'
+       |            WHEN abs($rd) < 0.33 THEN 'small'
+       |            WHEN abs($rd) < 0.474 THEN 'medium'
+       |            ELSE 'large' END AS magnitude
+       |FROM a""".stripMargin
+  }
+
   // ---------- q_hill_tail: heavy-tail index (Hill estimator) ----------
 
   /** Top-order-statistic count for the Hill estimator (k = 50 tail
@@ -1085,6 +1157,7 @@ object OlapStats {
     "q_kendall_tau" -> (kendallTau _),
     "q_cohens_d" -> (cohensD _),
     "q_mann_whitney" -> (mannWhitney _),
+    "q_cliff_delta" -> (cliffDelta _),
     "q_tv_drift" -> (tvDrift _),
     "q_weighted_median" -> (weightedMedian _),
     "q_benford" -> (benford _),
@@ -1105,6 +1178,7 @@ object OlapStats {
     "q_kendall_tau" -> sqlKendallTau,
     "q_cohens_d" -> sqlCohensD,
     "q_mann_whitney" -> sqlMannWhitney,
+    "q_cliff_delta" -> sqlCliffDelta,
     "q_tv_drift" -> sqlTvDrift,
     "q_weighted_median" -> sqlWeightedMedian,
     "q_benford" -> sqlBenford,

@@ -2009,15 +2009,29 @@ object VectorQueries {
     * the wedge grouping; per-wedge 1/deg terms are round6'd into
     * DECIMAL before the (x,z) sum (order-independent — a raw double
     * groupBy-sum feeds the output and could differ by partition
-    * order). Linear in wedges, degree-bounded by the same blocked
-    * edge list.
+    * order).
+    *
+    * Scale: wedge fan-out through a center u is deg(u)², unbounded on
+    * a densifying graph (measured 36× per 10× on the upscale audit) —
+    * so centers with deg > [[RaCenterDegCap]] are EXCLUDED from the
+    * enumeration. For RA specifically this is the principled prune:
+    * a hub center contributes ≤ 1/deg ≤ 1/cap per wedge — the very
+    * quantity RA exists to discount — while costing deg² wedges; with
+    * the cap, work is Σ_{deg≤cap} deg² ≤ 2·cap·|edges|, linear.
+    * The cap sits far above every oracle-SF degree (max 5 at sf0.01,
+    * 13 at sf0.1), so where the DuckDB gate runs the prune is a
+    * provable no-op — the [[BlockCap]]/[[ProbeIdCap]] contract:
+    * activates only on upscaled graphs, mirrored in the oracle SQL.
     */
+  private val RaCenterDegCap = 64
+
   def raLinkPred(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = collisionEdges(spark, sfDir)
     val und = edges.union(edges.select(col("w").as("u"), col("u").as("w")))
     val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
     val undD = und.join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
-    val wedges = undD.as("e1").join(und.as("e2"),
+      .filter(col("du") <= RaCenterDegCap)
+    val wedges = undD.as("e1").join(undD.select(col("u"), col("w")).as("e2"),
         col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
       .select(col("e1.w").as("x"), col("e2.w").as("z"),
         (floor(lit(1.0) / col("e1.du").cast("double") * 1000000.0 + 0.5)
@@ -2043,11 +2057,12 @@ object VectorQueries {
        |     und AS (SELECT u, w FROM edges UNION ALL SELECT w AS u, u AS w FROM edges),
        |     deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
        |     undd AS (SELECT und.u, und.w, deg.deg AS du
-       |              FROM und JOIN deg ON und.u = deg.node),
+       |              FROM und JOIN deg ON und.u = deg.node
+       |              WHERE deg.deg <= 64),
        |     wedges AS (SELECT e1.w AS x, e2.w AS z, CAST(count(*) AS BIGINT) AS cn,
        |                       sum(CAST(floor(1.0 / CAST(e1.du AS DOUBLE) * 1000000.0 + 0.5)
        |                         / 1000000.0 AS DECIMAL(28,6))) AS ra
-       |                FROM undd e1 JOIN und e2 ON e1.u = e2.u AND e1.w < e2.w
+       |                FROM undd e1 JOIN undd e2 ON e1.u = e2.u AND e1.w < e2.w
        |                GROUP BY 1, 2),
        |     cand AS (SELECT x, z, cn, ra FROM wedges
        |              WHERE NOT EXISTS (SELECT 1 FROM edges
