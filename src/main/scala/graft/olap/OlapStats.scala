@@ -978,6 +978,88 @@ object OlapStats {
        |FROM a""".stripMargin
   }
 
+  // ---------- q_simpson_slopes: aggregation-reversal (Simpson) screen ----------
+
+  /** Simpson's-paradox screen on the discount→quantity relationship:
+    * the OLS slope per market segment vs the pooled slope, with a
+    * reversal flag per segment — the audit a metrics review runs
+    * before trusting ANY pooled trend, because aggregation can flip
+    * the sign of every segment-level relationship (Simpson 1951; the
+    * classic Berkeley-admissions failure mode). A reversal row means
+    * "report this relationship segmented, never pooled".
+    *
+    * Exactness: slopes come from exact DECIMAL sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx² with x = integer discount-percent, y =
+    * integer quantity — the [[corrStats]]/OLS discipline), composed in
+    * one literal double tree per row; the reversal compare runs on
+    * ROUNDED slopes so both engines flag identically. Shape: ONE
+    * fact-grain aggregate to segment grain (the lineitem⋈orders⋈
+    * customer join is the only fact pass), the pooled row is the
+    * integer SUM of the segment stats — no second scan.
+    */
+  def simpsonSlopes(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"),
+        floor(col("l_discount") * 100.0 + 0.5).cast("long").as("x"),
+        col("l_quantity").cast("long").as("y"))
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_mktsegment"))
+    val seg = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(18,0)")).as("sx"),
+        sum(col("y").cast("decimal(18,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(28,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(28,0)")).as("sxx"))
+      .localCheckpoint(true) // staged: per-segment rows + the pooled sum read it
+    val pooled = seg.groupBy()
+      .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"), sum(col("sy")).as("sy"),
+        sum(col("sxy")).as("sxy"), sum(col("sxx")).as("sxx"))
+      .withColumn("segment", lit("ALL"))
+    def slope = {
+      val nD = col("n").cast("double")
+      (col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / nD) /
+        (col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / nD)
+    }
+    val withSlope = seg.select(col("segment"), col("n"), round4(slope).as("slope"))
+      .unionByName(pooled.select(col("segment"), col("n").cast("long").as("n"),
+        round4(slope).as("slope")))
+    val pr = withSlope.filter(col("segment") === "ALL")
+      .select(col("slope").as("pooled_slope"))
+    withSlope.crossJoin(broadcast(pr))
+      .select(col("segment"), col("n").as("n_rows"), col("slope"),
+        (col("slope") * col("pooled_slope") < 0.0).as("reverses_pooled"))
+      .orderBy("segment")
+  }
+
+  private val sqlSimpsonSlopes = {
+    val slope = "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+      "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    s"""WITH f AS (SELECT c_mktsegment AS segment,
+       |                  CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS x,
+       |                  CAST(l_quantity AS BIGINT) AS y
+       |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |                JOIN customer ON o_custkey = c_custkey),
+       |     m AS (SELECT segment, CAST(count(*) AS BIGINT) AS n,
+       |                  sum(CAST(x AS DECIMAL(18,0))) AS sx,
+       |                  sum(CAST(y AS DECIMAL(18,0))) AS sy,
+       |                  sum(CAST(x * y AS DECIMAL(28,0))) AS sxy,
+       |                  sum(CAST(x * x AS DECIMAL(28,0))) AS sxx
+       |           FROM f GROUP BY 1),
+       |     p AS (SELECT 'ALL' AS segment, CAST(sum(n) AS BIGINT) AS n,
+       |                  sum(sx) AS sx, sum(sy) AS sy, sum(sxy) AS sxy, sum(sxx) AS sxx
+       |           FROM m),
+       |     a AS (SELECT segment, n, ${duckRound4(slope)} AS slope FROM m
+       |           UNION ALL
+       |           SELECT segment, n, ${duckRound4(slope)} AS slope FROM p),
+       |     pr AS (SELECT slope AS pooled_slope FROM a WHERE segment = 'ALL')
+       |SELECT segment, n AS n_rows, slope,
+       |       slope * pooled_slope < 0.0 AS reverses_pooled
+       |FROM a CROSS JOIN pr
+       |ORDER BY segment""".stripMargin
+  }
+
   // ---------- q_cliff_delta: ordinal dominance effect size ----------
 
   /** Cliff's delta between click and purchase event values (Cliff
@@ -1158,6 +1240,7 @@ object OlapStats {
     "q_cohens_d" -> (cohensD _),
     "q_mann_whitney" -> (mannWhitney _),
     "q_cliff_delta" -> (cliffDelta _),
+    "q_simpson_slopes" -> (simpsonSlopes _),
     "q_tv_drift" -> (tvDrift _),
     "q_weighted_median" -> (weightedMedian _),
     "q_benford" -> (benford _),
@@ -1179,6 +1262,7 @@ object OlapStats {
     "q_cohens_d" -> sqlCohensD,
     "q_mann_whitney" -> sqlMannWhitney,
     "q_cliff_delta" -> sqlCliffDelta,
+    "q_simpson_slopes" -> sqlSimpsonSlopes,
     "q_tv_drift" -> sqlTvDrift,
     "q_weighted_median" -> sqlWeightedMedian,
     "q_benford" -> sqlBenford,

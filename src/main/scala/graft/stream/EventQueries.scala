@@ -1822,6 +1822,81 @@ object EventQueries {
     * over n·cov / n·var numerators (the 1/(n−1) factors cancel).
     * One user-grain aggregate + one 1-row moment aggregate — linear.
     */
+  // ---------- q_did: difference-in-differences estimate ----------
+
+  /** Difference-in-differences over the event stream (Card & Krueger
+    * 1994's workhorse design): cohorts = even/odd user_id (the
+    * deterministic A/B split the experiment queries share), periods =
+    * the same calendar-midpoint pre/post split [[cuped]] uses, outcome
+    * = mean event value. DiD = (Ā_post − Ā_pre) − (B̄_post − B̄_pre) —
+    * the causal-readout that differences away both the cohort's fixed
+    * offset and the period's common shock, reported beside the four
+    * cell means so parallel-trends eyeballing is possible.
+    *
+    * Exactness: one fact pass to 4 cells of (n, Σ value-micros as
+    * DECIMAL); every mean is one double division of exact sums; DiD
+    * composes the four quotients in one literal order (identical IEEE
+    * ops both engines), rounded at the edge.
+    */
+  def did(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("w"),
+        floor(col("value") * 1000000.0 + 0.5).cast("long").as("vm"))
+    val bounds = ev.agg(min(col("w")).as("wmin"), max(col("w")).as("wmax"))
+    val cells = ev.crossJoin(broadcast(bounds))
+      .withColumn("post", col("w") >= expr("(wmin + wmax + 1) div 2"))
+      .withColumn("treated", pmod(col("user_id"), lit(2)) === 0)
+      .groupBy()
+      .agg(
+        sum(when(col("treated") && !col("post"), 1L).otherwise(0L)).as("n_a_pre"),
+        sum(when(col("treated") && !col("post"), col("vm").cast("decimal(28,0)"))).as("s_a_pre"),
+        sum(when(col("treated") && col("post"), 1L).otherwise(0L)).as("n_a_post"),
+        sum(when(col("treated") && col("post"), col("vm").cast("decimal(28,0)"))).as("s_a_post"),
+        sum(when(!col("treated") && !col("post"), 1L).otherwise(0L)).as("n_b_pre"),
+        sum(when(!col("treated") && !col("post"), col("vm").cast("decimal(28,0)"))).as("s_b_pre"),
+        sum(when(!col("treated") && col("post"), 1L).otherwise(0L)).as("n_b_post"),
+        sum(when(!col("treated") && col("post"), col("vm").cast("decimal(28,0)"))).as("s_b_post"))
+    def mean(p: String) =
+      col(s"s_$p").cast("double") / 1000000.0 / col(s"n_$p").cast("double")
+    val r4 = graft.text.TextFns.round4 _
+    cells.select(
+      col("n_a_pre"), r4(mean("a_pre")).as("mean_a_pre"),
+      col("n_a_post"), r4(mean("a_post")).as("mean_a_post"),
+      col("n_b_pre"), r4(mean("b_pre")).as("mean_b_pre"),
+      col("n_b_post"), r4(mean("b_post")).as("mean_b_post"),
+      r4((mean("a_post") - mean("a_pre")) - (mean("b_post") - mean("b_pre")))
+        .as("did"))
+  }
+
+  private val sqlDid = {
+    def mean(p: String) =
+      s"(CAST(s_$p AS DOUBLE) / 1000000.0 / CAST(n_$p AS DOUBLE))"
+    val r4 = graft.text.TextFns.duckRound4 _
+    def cell(name: String, cond: String) =
+      s"CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS n_$name,\n" +
+        s"       |              sum(CASE WHEN $cond THEN CAST(vm AS DECIMAL(28,0)) END) AS s_$name"
+    s"""WITH ev AS (SELECT user_id,
+       |                   epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS w,
+       |                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+       |            FROM events),
+       |     b AS (SELECT min(w) AS wmin, max(w) AS wmax FROM ev),
+       |     f AS (SELECT vm, w >= (wmin + wmax + 1) // 2 AS post,
+       |                  user_id % 2 = 0 AS treated
+       |           FROM ev CROSS JOIN b),
+       |     c AS (SELECT ${cell("a_pre", "treated AND NOT post")},
+       |              ${cell("a_post", "treated AND post")},
+       |              ${cell("b_pre", "NOT treated AND NOT post")},
+       |              ${cell("b_post", "NOT treated AND post")}
+       |           FROM f)
+       |SELECT n_a_pre, ${r4(mean("a_pre"))} AS mean_a_pre,
+       |       n_a_post, ${r4(mean("a_post"))} AS mean_a_post,
+       |       n_b_pre, ${r4(mean("b_pre"))} AS mean_b_pre,
+       |       n_b_post, ${r4(mean("b_post"))} AS mean_b_post,
+       |       ${r4(s"(${mean("a_post")} - ${mean("a_pre")}) - (${mean("b_post")} - ${mean("b_pre")})")} AS did
+       |FROM c""".stripMargin
+  }
+
   def cuped(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"),
@@ -3729,6 +3804,140 @@ object EventQueries {
       |       CAST(max(event_id) AS BIGINT) AS max_event_id
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------- q_stream_last3: ListState recent-history, oracle-gated ----------
+
+  private[stream] case class L3Ev(
+      user_id: Long, event_id: Long, ts_us: Long)
+  private[stream] case class L3Pair(ts_us: Long, event_id: Long)
+  private[stream] case class L3Out(user_id: Long, n_events: Long, last3: String)
+
+  /** The [[streamLast3]] processor: per user, a bounded ListState of
+    * the 3 most-recent (ts, event_id) pairs plus a ValueState total —
+    * the "recent activity" state shape a personalization service keeps
+    * per key, exercising state-v2's LIST variable (append/put/get)
+    * alongside the value variable [[TwsTypeStats]] gated.
+    */
+  private[stream] class L3Recent
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, L3Ev, L3Out] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var top: ListState[L3Pair] = _
+    @transient private var cnt: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      top = getHandle.getListState[L3Pair]("top",
+        org.apache.spark.sql.Encoders.product[L3Pair], TTLConfig.NONE)
+      cnt = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[L3Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[L3Out] = {
+      val incoming = rows.toSeq
+      val prev = if (top.exists()) top.get().toSeq else Seq.empty
+      val merged = (prev ++ incoming.map(e => L3Pair(e.ts_us, e.event_id)))
+        .sortBy(p => (-p.ts_us, -p.event_id)).take(3)
+      top.put(merged.toArray)
+      val n = (if (cnt.exists()) cnt.get() else 0L) + incoming.size
+      cnt.update(n)
+      Iterator.single(L3Out(key, n,
+        merged.map(_.event_id).mkString(",")))
+    }
+  }
+
+  /** state-v2 LIST state under the hash gate: per user, the 3
+    * most-recent event ids (bounded recent-history list — the
+    * session-recommendation state shape) plus the lifetime event
+    * count, maintained by [[L3Recent]] across three staged
+    * micro-batches that arrive OUT of event-time order (the
+    * event_id % 3 split interleaves timestamps), so the list merge
+    * must re-rank prior state against each batch — exactly what a
+    * late-arriving production stream does to a recent-items list.
+    * Update-mode batch-stamped sink reconstructed last-writer-wins;
+    * final state must equal the plain batch top-3-per-user aggregate.
+    * [[streamTws]] gates ValueState; this adds ListState (append/
+    * put/get) + a second state variable on one processor.
+    *
+    * Scale: state is ≤3 pairs + 1 counter per user; each batch
+    * shuffles only its own rows to the keyed partitions.
+    */
+  def streamLast3(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val path = s"$sfDir/events.parquet"
+      val batch = spark.read.parquet(path)
+      val batchSchema = batch.schema
+      val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
+      val dir = Files.createTempDirectory("graft_stream_l3")
+      val inDir = dir.resolve("in"); Files.createDirectories(inDir)
+      val out = dir.resolve("out").toString
+      (0 until 3).foreach { k =>
+        val tmpK = dir.resolve(s"slice$k")
+        batch.filter(col("event_id") % 3 === k)
+          .coalesce(1).write.parquet(tmpK.toString)
+        val part = Files.list(tmpK).filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }.findFirst.get
+        Files.move(part, inDir.resolve(s"slice$k.parquet"))
+        Files.setLastModifiedTime(inDir.resolve(s"slice$k.parquet"),
+          FileTime.fromMillis(1600000000000L + k * 60000L))
+      }
+      val src = spark.readStream.schema(batchSchema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val evs =
+        (if (isNs) src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+         else src.withColumn("ts", col("ts").cast("timestamp")))
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"))
+          .as[L3Ev]
+      val stats = evs.groupByKey(_.user_id)
+        .transformWithState(new L3Recent, TimeMode.None(), OutputMode.Update())
+      val q = stats.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", dir.resolve("cp").toString)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[L3Out], bid: Long) =>
+          b.toDF().withColumn("bid", lit(bid))
+            .coalesce(1).write.mode("append").parquet(out)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.etl.Dedup.lastWins(spark.read.parquet(out),
+          Seq("user_id"), Seq(col("bid")),
+          Seq("n_events", "last3"))
+        .select(col("user_id"), col("n_events"), col("last3"))
+        .orderBy("user_id")
+    } finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
+  private val sqlStreamLast3 =
+    """WITH e AS (SELECT user_id, event_id,
+      |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |           FROM events),
+      |     r AS (SELECT user_id, event_id,
+      |             row_number() OVER (PARTITION BY user_id
+      |               ORDER BY ts_us DESC, event_id DESC) AS rk
+      |           FROM e),
+      |     t AS (SELECT user_id,
+      |             string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rk) AS last3
+      |           FROM r WHERE rk <= 3 GROUP BY user_id),
+      |     n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      |           FROM e GROUP BY user_id)
+      |SELECT n.user_id, n.n_events, t.last3
+      |FROM n JOIN t ON n.user_id = t.user_id
+      |ORDER BY n.user_id""".stripMargin
+
   // ---------- q_stream_update: UPDATE output mode, oracle-gated ----------
 
   /** UPDATE output mode under the correctness gate — with
@@ -3926,6 +4135,7 @@ object EventQueries {
     "q_stream_append" -> (streamAppend _),
     "q_stream_update" -> (streamUpdate _),
     "q_stream_tws" -> (streamTws _),
+    "q_stream_last3" -> (streamLast3 _),
     "q_stream_fmgws" -> (streamFmgws _),
     "q_stream_late" -> (streamLate _),
     "q_stream_join" -> (streamJoin _),
@@ -3955,6 +4165,7 @@ object EventQueries {
     "q_holt" -> (holt _),
     "q_holt_winters" -> (holtWinters _),
     "q_cuped" -> (cuped _),
+    "q_did" -> (did _),
     "q_stl_strength" -> (stlStrength _),
     "q_time_decay" -> (timeDecay _),
     "q_ewma_trend" -> (ewmaTrend _),
@@ -3987,6 +4198,7 @@ object EventQueries {
     "q_stream_append" -> sqlStreamTumbling,
     "q_stream_update" -> sqlStreamTumbling,
     "q_stream_tws" -> sqlStreamTws,
+    "q_stream_last3" -> sqlStreamLast3,
     "q_stream_fmgws" -> sqlStreamSession,
     "q_stream_late" -> sqlStreamTumbling,
     "q_stream_join" -> sqlStreamJoin,
@@ -4016,6 +4228,7 @@ object EventQueries {
     "q_holt" -> sqlHolt,
     "q_holt_winters" -> sqlHoltWinters,
     "q_cuped" -> sqlCuped,
+    "q_did" -> sqlDid,
     "q_stl_strength" -> sqlStlStrength,
     "q_time_decay" -> sqlTimeDecay,
     "q_ewma_trend" -> sqlEwmaTrend,

@@ -955,6 +955,66 @@ object TextQueries {
        |FROM ag CROSS JOIN nc CROSS JOIN ng""".stripMargin
   }
 
+  // ---------- 3aʰ. q_gram_curve: dedup sensitivity vs gram size ----------
+
+  private val GramCurveNs = Seq(1, 2, 3, 5)
+
+  /** Exact-dedup sensitivity curve over the word-gram size: for each
+    * n ∈ {1,2,3,5}, how many documents share their DISTINCT n-gram
+    * hash SET with another document (set-identity dedup). This is the
+    * parameter-selection table for gram-based dedup — n=1 collapses
+    * any reordering of the same vocabulary (aggressive), large n
+    * approaches [[docDedup]]'s normalized-exact key (conservative) —
+    * read next to [[lshCurve]]'s banding table when tuning the
+    * pipeline: lshCurve picks the SKETCH config, this picks the GRAIN.
+    *
+    * Shape: tokenize once (staged — four gram branches re-read it),
+    * per n one native [[graft.functions.TextHashes.ngramHashes]] pass
+    * (codegen'd, byte-identical to the oracle's character walk on this
+    * ASCII corpus), group by the sorted-distinct hash array —
+    * doc-linear per level, group keys exact BIGINT arrays on both
+    * engines. At 100 TB the group key would be one more hash of the
+    * canonical array (the docDedup sha shape) instead of the array
+    * itself; the census is unchanged.
+    */
+  def gramCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("doc_id"), col("ts"))
+      .localCheckpoint(true)
+    val branches = GramCurveNs.map { n =>
+      staged
+        .withColumn("sig", sort_array(array_distinct(
+          graft.functions.TextHashes.ngramHashes(col("ts"), n))))
+        .groupBy("sig").agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_docs"),
+          sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("n_dup_docs"),
+          sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_groups"))
+        .select(lit(n.toLong).as("gram_n"), col("n_docs"), col("n_dup_docs"),
+          col("n_dup_groups"),
+          TextFns.round4(col("n_dup_docs").cast("double") /
+            col("n_docs").cast("double")).as("dup_rate"))
+    }
+    branches.reduce(_ unionByName _).orderBy("gram_n")
+  }
+
+  private val sqlGramCurve = {
+    val blocks = GramCurveNs.map { n =>
+      s"""SELECT CAST($n AS BIGINT) AS gram_n,
+         |       CAST(sum(cnt) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |       CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+         |       ${TextFns.duckRound4(
+                   "CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)")} AS dup_rate
+         |FROM (SELECT sig, count(*) AS cnt FROM (
+         |        SELECT doc_id, list_sort(list_distinct(${duckNgramHashesOf(n)})) AS sig
+         |        FROM t) s
+         |      GROUP BY sig) g""".stripMargin
+    }
+    s"""WITH t AS (SELECT doc_id, $duckTokens AS ts FROM documents)
+       |${blocks.mkString("", "\nUNION ALL\n", "\nORDER BY gram_n")}""".stripMargin
+  }
+
   // ---------- 3a¹ᵃ. q_lsh_curve: banding operating table ----------
 
   /** True-pair threshold for the curve: a candidate pair counts as a
@@ -3753,6 +3813,7 @@ object TextQueries {
     "q_method_agreement" -> (methodAgreement _),
     "q_cluster_purity" -> (clusterPurity _),
     "q_bcubed" -> (bcubed _),
+    "q_gram_curve" -> (gramCurve _),
     "q_mcc" -> (mccGate _),
     "q_brier" -> (brierScore _),
     "q_pagerank" -> (pagerank _),
@@ -3809,6 +3870,7 @@ object TextQueries {
     "q_method_agreement" -> sqlMethodAgreement,
     "q_cluster_purity" -> sqlClusterPurity,
     "q_bcubed" -> sqlBcubed,
+    "q_gram_curve" -> sqlGramCurve,
     "q_mcc" -> sqlMccGate,
     "q_brier" -> sqlBrierScore,
     "q_pagerank" -> sqlPagerank,
