@@ -354,17 +354,86 @@ object Skew {
        |FROM a""".stripMargin
   }
 
+  // ---------- q_lorenz: decile Lorenz curve of revenue concentration ----------
+
+  /** Decile Lorenz curve of customer revenue — the distribution
+    * behind the single numbers [[giniRevenue]] (area) and
+    * [[hooverIndex]] (max gap) report: for each poorest-d/10 slice of
+    * customers, its share of total revenue, cumulative. This is the
+    * chart finance actually reads ("the bottom half of customers
+    * carries x% of revenue").
+    *
+    * Scale — the fact-scale-safe rank path: customers are ranked by
+    * (cents, custkey) through ONE
+    * [[graft.etl.PrefixScan.exclusivePrefixSum]] pass (range-partition
+    * + two-pass scan — never a single-partition window over the
+    * customer grain, which SCALES with SF); the prefix sum is a
+    * function of the global order, so partition boundaries cannot
+    * perturb it. Deciles then collapse to a 10-row table whose
+    * cumulative runs over that bounded grain. Exact integer cents and
+    * counts until the two rounded share divisions.
+    */
+  def lorenzCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val cr = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("x"))
+      .withColumn("ord", col("x") * 100000L + col("custkey"))
+      .withColumn("one", lit(1L))
+    val ranked = graft.etl.PrefixScan
+      .exclusivePrefixSum(cr, "ord", "one", "rank0")
+      .localCheckpoint(true) // staged: totals + the decile aggregate read it
+    val tot = ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("t"))
+    val dec = ranked.crossJoin(broadcast(tot))
+      .withColumn("decile", expr("rank0 * 10 div n") + 1L)
+      .groupBy(col("decile"), col("n"), col("t"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("x").cast("decimal(28,0)")).as("rev"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // bounded 10-row cumulative (decile grain, never customer grain)
+    dec
+      .withColumn("cum_rev", sum(col("rev")).over(w))
+      .select(col("decile"), col("n_customers"),
+        graft.text.TextFns.round4(
+          col("rev").cast("double") / col("t").cast("double")).as("rev_share"),
+        graft.text.TextFns.round4(
+          col("cum_rev").cast("double") / col("t").cast("double")).as("cum_rev_share"))
+      .orderBy("decile")
+  }
+
+  private val sqlLorenz = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    s"""WITH cr AS (SELECT o_custkey AS custkey,
+       |                   CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS x
+       |            FROM orders GROUP BY 1),
+       |     rk AS (SELECT x, CAST(row_number() OVER (ORDER BY x * 100000 + custkey) AS BIGINT) - 1 AS rank0
+       |            FROM cr),
+       |     tt AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS t
+       |            FROM cr),
+       |     d AS (SELECT (rank0 * 10) // n + 1 AS decile, n, t,
+       |                  CAST(count(*) AS BIGINT) AS n_customers,
+       |                  sum(CAST(x AS DECIMAL(28,0))) AS rev
+       |           FROM rk CROSS JOIN tt GROUP BY 1, 2, 3)
+       |SELECT decile, n_customers,
+       |       ${r4("CAST(rev AS DOUBLE) / CAST(t AS DOUBLE)")} AS rev_share,
+       |       ${r4("CAST(sum(rev) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED " +
+                 "PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(t AS DOUBLE)")} AS cum_rev_share
+       |FROM d ORDER BY decile""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_key_skew" -> (keySkew _),
     "q_join_size_est" -> (joinSizeEst _),
     "q_partition_balance" -> (partitionBalance _),
     "q_gini_revenue" -> (giniRevenue _),
-    "q_hoover" -> (hooverIndex _))
+    "q_hoover" -> (hooverIndex _),
+    "q_lorenz" -> (lorenzCurve _))
 
   val oracle: Map[String, String] = Map(
     "q_key_skew" -> sqlKeySkew,
     "q_join_size_est" -> sqlJoinSizeEst,
     "q_partition_balance" -> sqlPartitionBalance,
     "q_gini_revenue" -> sqlGiniRevenue,
-    "q_hoover" -> sqlHoover)
+    "q_hoover" -> sqlHoover,
+    "q_lorenz" -> sqlLorenz)
 }

@@ -3938,6 +3938,134 @@ object EventQueries {
       |FROM n JOIN t ON n.user_id = t.user_id
       |ORDER BY n.user_id""".stripMargin
 
+  // ---------- q_stream_mapstate: MapState hourly histogram, oracle-gated ----------
+
+  private[stream] case class MsEv(event_type: String, hour: Long, vm: Long)
+  private[stream] case class MsOut(
+      event_type: String, n_hours: Long, n_events: Long, histogram: String)
+
+  /** The [[streamMapstate]] processor: per event-type key, a
+    * MapState[hour → (count, value-micros)] hourly histogram — the
+    * per-key sub-keyed telemetry rollup MapState exists for (a
+    * ValueState would re-serialize the whole histogram per update; the
+    * map variable updates one cell). Completes the state-v2 variable
+    * trio under the gate: ValueState ([[TwsTypeStats]]), ListState
+    * ([[L3Recent]]), MapState (this).
+    */
+  private[stream] class MsHourly
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, MsEv, MsOut] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TTLConfig}
+    @transient private var hist: MapState[Long, (Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hist = getHandle.getMapState[Long, (Long, Long)]("hist",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[MsEv],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[MsOut] = {
+      rows.foreach { e =>
+        val (c, v) =
+          if (hist.containsKey(e.hour)) hist.getValue(e.hour) else (0L, 0L)
+        hist.updateValue(e.hour, (c + 1L, v + e.vm))
+      }
+      val cells = hist.iterator().toSeq.sortBy(_._1)
+      Iterator.single(MsOut(key, cells.size,
+        cells.map(_._2._1).sum,
+        cells.map { case (h, (c, _)) => s"$h:$c" }.mkString(",")))
+    }
+  }
+
+  /** state-v2 MAP state under the hash gate: per event type, an
+    * hour-of-day histogram (count per UTC hour) maintained cell-wise
+    * in a MapState across three staged micro-batches — the sub-keyed
+    * state shape whose point is that each arriving row touches ONE
+    * map cell instead of rewriting a whole serialized histogram.
+    * Update-mode batch-stamped sink reconstructed last-writer-wins;
+    * final state must equal the plain batch (type × hour) histogram,
+    * rendered as an hour-ordered "h:count" string.
+    *
+    * Scale: state is ≤ 24 cells per event type; the gate's value is
+    * proving cell-wise merge across batch boundaries equals the batch
+    * group-by — the invariant a 100 TB per-key rollup rests on.
+    */
+  def streamMapstate(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val path = s"$sfDir/events.parquet"
+      val batch = spark.read.parquet(path)
+      val batchSchema = batch.schema
+      val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
+      val dir = Files.createTempDirectory("graft_stream_ms")
+      val inDir = dir.resolve("in"); Files.createDirectories(inDir)
+      val out = dir.resolve("out").toString
+      (0 until 3).foreach { k =>
+        val tmpK = dir.resolve(s"slice$k")
+        batch.filter(col("event_id") % 3 === k)
+          .coalesce(1).write.parquet(tmpK.toString)
+        val part = Files.list(tmpK).filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }.findFirst.get
+        Files.move(part, inDir.resolve(s"slice$k.parquet"))
+        Files.setLastModifiedTime(inDir.resolve(s"slice$k.parquet"),
+          FileTime.fromMillis(1600000000000L + k * 60000L))
+      }
+      val src = spark.readStream.schema(batchSchema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val evs =
+        (if (isNs) src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+         else src.withColumn("ts", col("ts").cast("timestamp")))
+          .select(col("event_type"), hour(col("ts")).cast("long").as("hour"),
+            floor(col("value") * 1000000.0 + 0.5).cast("long").as("vm"))
+          .as[MsEv]
+      val stats = evs.groupByKey(_.event_type)
+        .transformWithState(new MsHourly, TimeMode.None(), OutputMode.Update())
+      val q = stats.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", dir.resolve("cp").toString)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[MsOut], bid: Long) =>
+          b.toDF().withColumn("bid", lit(bid))
+            .coalesce(1).write.mode("append").parquet(out)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.etl.Dedup.lastWins(spark.read.parquet(out),
+          Seq("event_type"), Seq(col("bid")),
+          Seq("n_hours", "n_events", "histogram"))
+        .select(col("event_type"), col("n_hours"), col("n_events"), col("histogram"))
+        .orderBy("event_type")
+    } finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
+  private val sqlStreamMapstate =
+    """WITH e AS (SELECT event_type,
+      |                  CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS h
+      |           FROM events),
+      |     c AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS cnt
+      |           FROM e GROUP BY 1, 2)
+      |SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n_hours,
+      |       CAST(sum(cnt) AS BIGINT) AS n_events,
+      |       string_agg(CAST(h AS VARCHAR) || ':' || CAST(cnt AS VARCHAR),
+      |                  ',' ORDER BY h) AS histogram
+      |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------- q_stream_update: UPDATE output mode, oracle-gated ----------
 
   /** UPDATE output mode under the correctness gate — with
@@ -4136,6 +4264,7 @@ object EventQueries {
     "q_stream_update" -> (streamUpdate _),
     "q_stream_tws" -> (streamTws _),
     "q_stream_last3" -> (streamLast3 _),
+    "q_stream_mapstate" -> (streamMapstate _),
     "q_stream_fmgws" -> (streamFmgws _),
     "q_stream_late" -> (streamLate _),
     "q_stream_join" -> (streamJoin _),
@@ -4199,6 +4328,7 @@ object EventQueries {
     "q_stream_update" -> sqlStreamTumbling,
     "q_stream_tws" -> sqlStreamTws,
     "q_stream_last3" -> sqlStreamLast3,
+    "q_stream_mapstate" -> sqlStreamMapstate,
     "q_stream_fmgws" -> sqlStreamSession,
     "q_stream_late" -> sqlStreamTumbling,
     "q_stream_join" -> sqlStreamJoin,

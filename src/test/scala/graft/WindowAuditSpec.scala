@@ -34,6 +34,7 @@ class WindowAuditSpec extends SparkSpec {
     "q_ivfpq_adc",       // single-probe candidate rank (cell-capped)
     "q_kaplan_meier",    // distinct-duration grain (bounded risk table)
     "q_logrank",         // same bounded day-grain risk table, two cohorts (round-14)
+    "q_lorenz",          // decile-grain cumulative (10 rows; customer rank via PrefixScan)
     "q_nelson_aalen",    // same bounded day-grain risk table as q_kaplan_meier (round-14)
     "q_mix_schedule",    // source-grain apportionment (dim cardinality)
     "q_mom_delta",       // month-grain lag (calendar; scale note at site)
