@@ -242,7 +242,27 @@ object SqlSurface {
       |  LIMIT 2) AS l
       |ORDER BY region, n_buyers DESC, nation""".stripMargin
 
+  /** Explicit GROUPING SETS with per-column grouping flags — the
+    * generalized form [[sqlRollup]]'s ROLLUP special-cases: an
+    * asymmetric set list ((region, priority), (region), (priority))
+    * that ROLLUP cannot express (no grand total, but both one-column
+    * marginals). Integer-cent money; same grouping() discipline.
+    */
+  private val sqlGroupingSets =
+    """SELECT coalesce(r_name, 'ALL') AS region,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       CAST(grouping(r_name) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |     JOIN nation ON c_nationkey = n_nationkey
+      |     JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY GROUPING SETS ((r_name, o_orderpriority), (r_name), (o_orderpriority))
+      |ORDER BY gid, region, priority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_groupingsets" -> ((s: SparkSession, d: String) =>
+      run(s, d, Seq("orders", "customer", "nation", "region"), sqlGroupingSets)),
     "q_sql_recursive" -> ((s: SparkSession, d: String) =>
       run(s, d, Seq("orders"), sqlRecursive)),
     "q_sql_lateral" -> ((s: SparkSession, d: String) =>
@@ -271,6 +291,7 @@ object SqlSurface {
       run(s, d, Seq("orders", "customer", "nation", "region"), sqlRollup)))
 
   val oracle: Map[String, String] = Map(
+    "q_sql_groupingsets" -> sqlGroupingSets,
     "q_sql_recursive" -> sqlRecursive,
     "q_sql_lateral" -> sqlLateral,
     "q_sql_exists" -> sqlExists,

@@ -3804,6 +3804,130 @@ object EventQueries {
       |       CAST(max(event_id) AS BIGINT) AS max_event_id
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------- q_stream_init: warm-start initial state, oracle-gated ----------
+
+  /** [[TwsTypeStats]] extended with `handleInitialState`: the
+    * batch-computed per-type aggregate seeds the ValueState BEFORE the
+    * first micro-batch — Spark 4's StatefulProcessorWithInitialState,
+    * the API leg that makes batch→streaming MIGRATION a first-class
+    * operation instead of a replay.
+    */
+  private[stream] class TwsInit
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        String, TwsEv, TwsOut, TwsOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var st: ValueState[TwsOut] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TwsOut]("agg",
+        org.apache.spark.sql.Encoders.product[TwsOut], TTLConfig.NONE)
+    override def handleInitialState(key: String, initialState: TwsOut,
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Unit =
+      st.update(initialState)
+    override def handleInputRows(key: String, rows: Iterator[TwsEv],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TwsOut] = {
+      var acc = if (st.exists()) st.get() else TwsOut(key, 0L, 0L, Long.MinValue)
+      rows.foreach { e =>
+        acc = TwsOut(key, acc.n_events + 1L, acc.vm_sum + e.vm,
+          math.max(acc.max_event_id, e.event_id))
+      }
+      st.update(acc)
+      Iterator.single(acc)
+    }
+  }
+
+  /** Warm-start migration under the hash gate: the per-type running
+    * aggregate is BOOTSTRAPPED from a batch computation over the
+    * historical third of the data (`handleInitialState` — Spark 4's
+    * StatefulProcessorWithInitialState), then only the two remaining
+    * thirds stream through as micro-batches; the final LWW state must
+    * equal the plain batch aggregate over EVERYTHING (the same oracle
+    * as [[streamTws]]). This is the production cutover path — stand up
+    * the stream from a warehouse snapshot instead of replaying
+    * history — proven by value: a lost or double-applied initial state
+    * breaks the hash. Limitation (documented, not hit here): a key
+    * with NO streamed rows never re-emits (handleInitialState writes
+    * state but produces no output) — a production cutover pairs the
+    * seed with one warehouse-side snapshot emission; on this fixture
+    * every type streams, and the hash gate would catch an absent row.
+    *
+    * Scale: the bootstrap is one batch aggregate (warehouse-side),
+    * the stream shuffles only new rows — state bounded at one row per
+    * type, the exact cutover shape a 100 TB pipeline needs (replaying
+    * history through the stream would cost the full corpus again).
+    */
+  def streamInit(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val path = s"$sfDir/events.parquet"
+      val batch = spark.read.parquet(path)
+      val batchSchema = batch.schema
+      val dir = Files.createTempDirectory("graft_stream_ini")
+      val inDir = dir.resolve("in"); Files.createDirectories(inDir)
+      val out = dir.resolve("out").toString
+      // slices 1-2 stream; slice 0 is "history" served to initial state
+      (1 until 3).foreach { k =>
+        val tmpK = dir.resolve(s"slice$k")
+        batch.filter(col("event_id") % 3 === k)
+          .coalesce(1).write.parquet(tmpK.toString)
+        val part = Files.list(tmpK).filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }.findFirst.get
+        Files.move(part, inDir.resolve(s"slice$k.parquet"))
+        Files.setLastModifiedTime(inDir.resolve(s"slice$k.parquet"),
+          FileTime.fromMillis(1600000000000L + k * 60000L))
+      }
+      val initState = batch.filter(col("event_id") % 3 === 0)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 1000000.0 + 0.5).cast("long").as("vm"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum(col("vm")).as("vm_sum"),
+          max(col("event_id")).as("max_event_id"))
+        .as[TwsOut]
+        .groupByKey(_.event_type)
+      val src = spark.readStream.schema(batchSchema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val evs = src
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 1000000.0 + 0.5).cast("long").as("vm"))
+        .as[TwsEv]
+      val stats = evs.groupByKey(_.event_type)
+        .transformWithState(new TwsInit, TimeMode.None(), OutputMode.Update(),
+          initState)
+      val q = stats.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", dir.resolve("cp").toString)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[TwsOut], bid: Long) =>
+          b.toDF().withColumn("bid", lit(bid))
+            .coalesce(1).write.mode("append").parquet(out)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.etl.Dedup.lastWins(spark.read.parquet(out),
+          Seq("event_type"), Seq(col("bid")),
+          Seq("n_events", "vm_sum", "max_event_id"))
+        .select(col("event_type"), col("n_events"),
+          graft.text.TextFns.round4(col("vm_sum").cast("double") / 1000000.0)
+            .as("sum_value"),
+          col("max_event_id"))
+        .orderBy("event_type")
+    } finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   // ---------- q_stream_last3: ListState recent-history, oracle-gated ----------
 
   private[stream] case class L3Ev(
@@ -4263,6 +4387,7 @@ object EventQueries {
     "q_stream_append" -> (streamAppend _),
     "q_stream_update" -> (streamUpdate _),
     "q_stream_tws" -> (streamTws _),
+    "q_stream_init" -> (streamInit _),
     "q_stream_last3" -> (streamLast3 _),
     "q_stream_mapstate" -> (streamMapstate _),
     "q_stream_fmgws" -> (streamFmgws _),
@@ -4327,6 +4452,7 @@ object EventQueries {
     "q_stream_append" -> sqlStreamTumbling,
     "q_stream_update" -> sqlStreamTumbling,
     "q_stream_tws" -> sqlStreamTws,
+    "q_stream_init" -> sqlStreamTws,
     "q_stream_last3" -> sqlStreamLast3,
     "q_stream_mapstate" -> sqlStreamMapstate,
     "q_stream_fmgws" -> sqlStreamSession,
