@@ -199,16 +199,30 @@ object SqlSurface {
     * BIGINT)` — floor first, because CAST(double AS BIGINT) TRUNCATES
     * in Spark but ROUNDS in DuckDB (divergent on any non-integral
     * quotient; caught by the gate on first contact).
+    *
+    * Recursion DEPTH is the Spark resource to minimize, not row
+    * count: each iteration is its own job (~150 ms driver overhead),
+    * so a month-at-a-time spine cost a scale-INDEPENDENT 12.5 s at
+    * 80 months. The spine therefore recurses over YEARS (7 steps)
+    * and cross-products a 12-row inline VALUES table into months —
+    * same domain, same census, 12.5 → ~1.3 s. The general rule: make
+    * the recursion generate the COARSE grain and densify with a
+    * bounded literal table.
     */
   private val sqlRecursive =
     """WITH RECURSIVE bounds AS (
       |  SELECT CAST(min(year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT) AS lo,
       |         CAST(max(year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT) AS hi
       |  FROM orders),
-      |spine(mkey) AS (
-      |  SELECT lo FROM bounds
+      |years(y) AS (
+      |  SELECT CAST(floor((lo - 1) / 12.0) AS BIGINT) FROM bounds
       |  UNION ALL
-      |  SELECT mkey + 1 FROM spine, bounds WHERE mkey < hi),
+      |  SELECT y + 1 FROM years, bounds WHERE y < CAST(floor((hi - 1) / 12.0) AS BIGINT)),
+      |spine AS (
+      |  SELECT y * 12 + mn AS mkey
+      |  FROM years CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12)) AS mm(mn)
+      |  CROSS JOIN bounds
+      |  WHERE y * 12 + mn BETWEEN lo AND hi),
       |m AS (
       |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mkey,
       |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
