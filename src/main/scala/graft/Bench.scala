@@ -88,12 +88,15 @@ object Bench {
     * never fail silently (round-12 advice): a write that lands in the
     * wrong directory quietly defeats the next round's front-stagger.
     */
-  private[graft] def sfupSkippedPath(): java.nio.file.Path =
+  private[graft] def toolsPath(file: String): java.nio.file.Path =
     sys.env.get("SPARK_GRAFT_REPO_ROOT")
       .orElse(if (new java.io.File("tools").isDirectory) Some(".") else None)
-      .map(r => java.nio.file.Paths.get(r, "tools", "sfup_skipped.json"))
+      .map(r => java.nio.file.Paths.get(r, "tools", file))
       .getOrElse(java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_sfup_skipped.json"))
+        System.getProperty("java.io.tmpdir"), "graft_" + file))
+
+  private[graft] def sfupSkippedPath(): java.nio.file.Path =
+    toolsPath("sfup_skipped.json")
 
   def main(args: Array[String]): Unit = {
     val benchT0 = System.nanoTime()
@@ -204,9 +207,18 @@ object Bench {
           .foreach(_.unpersist(false))
       }
     }
+    // Streaming queries (q_stream_*) run 1 warm + 1 measured instead
+    // of 1 + 3: their wall-clock is Structured-Streaming machinery
+    // (temp-dir staging, forced micro-batches, checkpoint dirs) —
+    // stable and plan-independent — and at 405 queries the extra two
+    // runs (~90 s of pure machinery) were exactly what starved the
+    // upscale budget to zero in the round-14 driver artifact. The
+    // regression gate still sees them via the 250 ms + 30% floor.
+    def isStreaming(name: String): Boolean = name.startsWith("q_stream_")
     val results = selected.map { case (name, fn) =>
       val warm = execOnce(name, fn, sfDir)
-      val runs = if (warm.sec < 0) Nil else List.fill(3)(execOnce(name, fn, sfDir))
+      val nRuns = if (isStreaming(name)) 1 else 3
+      val runs = if (warm.sec < 0) Nil else List.fill(nRuns)(execOnce(name, fn, sfDir))
       // One full GC per QUERY (outside every timed window): without
       // it, old-gen garbage from earlier queries accumulates and
       // inflates every later run — the neighbor effect CLAUDE.md
@@ -293,6 +305,9 @@ object Bench {
       val scaling = if (sf2Best.isEmpty) "" else {
         val valid = sf2Best.filter(_._2 >= 0)
         val sf2Total = valid.values.sum
+        // skipped = streaming exclusions + budget skips (-2.0 marker),
+        // counted, never silently dropped (CLAUDE.md no-silent-caps)
+        val sf2Skipped = sf2Best.count(_._2 == -2.0)
         val ratios = stats.flatMap { s =>
           sf2Best.get(s.name).collect {
             case t2 if t2 >= 0.05 && s.best >= 0 => (s.name, s.best / t2)
@@ -301,7 +316,7 @@ object Bench {
         val worst = ratios.sortBy(-_._2).headOption
           .map { case (n, r) => s""","worst_scaling":{"q":"$n","ratio":${fmt(r, 1)}}""" }
           .getOrElse("")
-        s""","sf2":"$sf2Dir","sf2_total":${fmt(sf2Total, 2)}$worst"""
+        s""","sf2":"$sf2Dir","sf2_total":${fmt(sf2Total, 2)},"sf2_skipped":$sf2Skipped$worst"""
       }
       // upward-scaling summary: per-query sfDir→sfup ratio, flagging
       // anything over 15× per 10× data as machine-detected super-linear
@@ -386,38 +401,47 @@ object Bench {
             upFinal.get(s.name).map(t => ",\"sfup_best\":" + t).getOrElse("") +
             up30.get(s.name).map(t => ",\"sfup30_best\":" + t).getOrElse("") + "}"
         }.mkString("{", ",", "}")
+        val detailLine =
+          s"""{"total":$total,$vols,"queries":$detail,$regs$scaling$upline$up30line,"sf":"$sfDir"}"""
         val w = new java.io.PrintWriter("target/bench_detail.json")
-        try w.println(s"""{"total":$total,$vols,"queries":$detail,$regs$scaling$upline$up30line,"sf":"$sfDir"}""")
+        try w.println(detailLine)
         finally w.close()
+        // Auto-archive (round-14 clobber postmortem): EVERY Bench
+        // invocation — including SPARK_GRAFT_ONLY targeted runs —
+        // overwrites target/bench_detail.json, and the round-14 full
+        // 10× detail was lost to exactly that minutes after it was
+        // produced. The harness now archives the detail itself on
+        // every FULL-coverage run (no SPARK_GRAFT_ONLY filter), at
+        // every checkpoint, so a targeted run can never clobber the
+        // last full pass and a killed run still leaves its most-
+        // enriched full-coverage detail in tools/.
+        if (only.isEmpty) {
+          try java.nio.file.Files.writeString(
+            toolsPath("bench_detail_last_full.json"), detailLine + "\n")
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] archive write failed: ${e.getMessage}") }
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] bench_detail.json write failed: ${e.getMessage}") }
       println(compact)
       System.out.flush()
     }
     // ---------- fail-soft checkpoint 1: main pass only ----------
-    val sf2DirPre = sys.env.getOrElse("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
-    val upFactorPre = sys.env.getOrElse("SPARK_GRAFT_SFUP_FACTOR", "10").toInt
-    emit(statsRaw, Map.empty, Map.empty, upFactorPre, sf2DirPre)
-    // Dual-scale pass: one warm + one measured execution per query at
-    // a second (smaller) SF so per-query scaling exponents
-    // t(sf)/t(sf2) are recorded every round — a query whose ratio far
-    // exceeds the data ratio is super-linear and gets flagged before
-    // it matters at 100 TB. Two executions only (min of both): the
-    // small SF exists to expose the EXPONENT, not a precise time.
-    // Disable with SPARK_GRAFT_SF2_DIR="" for quick local iteration.
     val sf2Dir = sys.env.getOrElse("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
-    val sf2Best: Map[String, Double] =
-      if (sf2Dir.nonEmpty && sf2Dir != sfDir && new java.io.File(sf2Dir).isDirectory)
-        selected.map { case (name, fn) =>
-          val a = execOnce(name, fn, sf2Dir)
-          val b = if (a.sec < 0) a else execOnce(name, fn, sf2Dir)
-          System.gc() // same neighbor-garbage discipline as the main pass
-          name -> (if (a.sec < 0 || b.sec < 0) -1.0 else math.min(a.sec, b.sec))
-        }.toMap
-      else Map.empty
-    // ---------- fail-soft checkpoint 2: main + sf2 ----------
-    emit(statsRaw, sf2Best, Map.empty, upFactorPre, sf2Dir)
-    // UPWARD scaling pass: sf0.1 → sf1 ratios. The sf2 pass above
+    val upFactorPre = sys.env.getOrElse("SPARK_GRAFT_SFUP_FACTOR", "10").toInt
+    emit(statsRaw, Map.empty, Map.empty, upFactorPre, sf2Dir)
+    // PASS ORDER (round-15 re-architecture — the round-14 weak item):
+    // main → retime → 10× upscale → sf2 → 30× spot. Round 14 ran the
+    // sf2 pass second and at 405 queries main + sf2 + retime consumed
+    // the whole deadline: the driver artifact shipped sfup_skipped=405
+    // and a budget-0 30× skip — ZERO scale evidence, the one thing
+    // the envelope exists to carry. The 10× pass (the scale signal:
+    // super-linear plans are >15× slower at 10× data, far beyond
+    // noise) now runs FIRST after retime, with floors reserved for
+    // the sf2 and 30× passes; the sf2 pass (the LEAST informative —
+    // downward to sf0.01, where fixed per-query overhead swamps plan
+    // cost) runs after it, budget-aware, skips counted honestly.
+    // UPWARD scaling pass: sf0.1 → sf1 ratios. The sf2 pass below
     // compares DOWNWARD, where fixed per-query overhead swamps plan
     // cost and super-linear plans hide (judged from the 0.01→0.1
     // ratio, q_edit_distance's SF² join read as "7.4× per 10×"). This
@@ -437,8 +461,9 @@ object Bench {
     // blew the driver's total-bench wall-clock cap — BENCH_r12.json was
     // rc:124/parsed:null, the worst possible outcome. The upscale pass
     // now spends whatever remains of a TOTAL deadline
-    // (SPARK_GRAFT_BENCH_DEADLINE_SEC) after the main + sf2 passes,
-    // reserving 240 s for the retime passes and final emission. Full
+    // (SPARK_GRAFT_BENCH_DEADLINE_SEC) after the main pass,
+    // reserving 240 s for final emission plus floors for the sf2 and
+    // 30× passes that now run AFTER it (round-15 reorder). Full
     // 10× coverage is achieved ACROSS rounds via the skip rotation
     // below, never by one over-long run. SPARK_GRAFT_SFUP_BUDGET_SEC
     // remains as an explicit override for local finalization runs.
@@ -462,16 +487,24 @@ object Bench {
     // a DEF, re-read after fixture generation: Upscale.ensure on a
     // fresh machine costs minutes of wall the per-query budget must
     // see, or the deadline overshoots by exactly the generation time
+    // sf2 reserved floor: the downward pass now runs AFTER the 10×
+    // pass (round-15 reorder), so its expected cost — ~385 non-
+    // streaming queries × 2 runs at sf0.01 + per-query GC ≈ 280 s —
+    // must be withheld from the 10× budget or the reorder just moves
+    // the starvation from one pass to the other.
+    val sf2FloorSec = sys.env.get("SPARK_GRAFT_SF2_FLOOR_SEC").map(_.toDouble)
+      .getOrElse(if (sf2Dir.nonEmpty && sf2Dir != sfDir) 300.0 else 0.0)
     val upBudgetEnv = sys.env.get("SPARK_GRAFT_SFUP_BUDGET_SEC").map(_.toDouble)
     def upBudgetNow: Double = upBudgetEnv
-      .getOrElse(math.max(0.0, deadlineSec - elapsedSec - 240.0 - up30FloorSec))
+      .getOrElse(math.max(0.0,
+        deadlineSec - elapsedSec - 240.0 - up30FloorSec - sf2FloorSec))
     System.err.println(f"[bench] upscale budget ${upBudgetNow}%.0f s " +
       f"(deadline $deadlineSec%.0f, elapsed $elapsedSec%.0f, " +
-      f"sfup30 floor $up30FloorSec%.0f)")
+      f"sfup30 floor $up30FloorSec%.0f, sf2 floor $sf2FloorSec%.0f)")
     // Isolated re-time pass: a measured-run spread over 1 s means the
     // suite window was contended (external load — rounds 6 and 8 both
     // hit it), and a spread-gated regression check is blind exactly
-    // then. Re-run those queries AFTER the whole suite + sf2 pass
+    // then. Re-run those queries AFTER the whole suite
     // (giving the interference time to decay); the min folds into best
     // and the tight isolated spread replaces the contaminated one in
     // the gate. Runs BEFORE the upscale passes (round-13 advice) so
@@ -572,12 +605,42 @@ object Bench {
         }
       }
     }
-    // ---------- fail-soft checkpoint 3: main + sf2 + retime + 10× ----------
+    // ---------- fail-soft checkpoint 2: main + retime + 10× ----------
     // (round-13 advice, medium): without this line a run killed during
-    // the 30× fixture generation — minutes of unbudgeted work — lost
-    // the completed 10× results from the parsed line AND never wrote
-    // tools/sfup_skipped.json, silently defeating the next round's
-    // skip-rotation front-stagger (the exact round-12 failure mode).
+    // a later pass lost the completed 10× results from the parsed
+    // line AND never wrote tools/sfup_skipped.json, silently defeating
+    // the next round's skip-rotation front-stagger (the exact
+    // round-12 failure mode).
+    emit(stats, Map.empty, upFinal, upFactor, sf2Dir)
+    // Dual-scale (downward) pass: one warm + one measured execution
+    // per query at a second (smaller) SF so per-query t(sf)/t(sf2)
+    // ratios are recorded — the regression gate's interference-immune
+    // second opinion (a real sf2 regression clears 250 ms AND 50%
+    // where the contended main window can't be trusted). Runs AFTER
+    // the 10× pass (round-15 reorder — it is the least informative
+    // scale pass), budget-aware with skips counted, and EXCLUDES
+    // q_stream_* (their sf2 time is pure streaming machinery — the
+    // ratio would measure temp-dir staging, not the plan).
+    // Disable with SPARK_GRAFT_SF2_DIR="" for quick local iteration.
+    val sf2Best: Map[String, Double] =
+      if (sf2Dir.nonEmpty && sf2Dir != sfDir && new java.io.File(sf2Dir).isDirectory) {
+        val sf2Budget = sys.env.get("SPARK_GRAFT_SF2_BUDGET_SEC").map(_.toDouble)
+          .getOrElse(math.max(0.0, deadlineSec - elapsedSec - 240.0 - up30FloorSec))
+        System.err.println(f"[bench] sf2 budget $sf2Budget%.0f s")
+        var spent = 0.0
+        selected.map { case (name, fn) =>
+          if (isStreaming(name) || spent > sf2Budget) name -> -2.0
+          else {
+            val t0 = elapsedSec
+            val a = execOnce(name, fn, sf2Dir)
+            val b = if (a.sec < 0) a else execOnce(name, fn, sf2Dir)
+            System.gc() // same neighbor-garbage discipline as the main pass
+            spent += elapsedSec - t0
+            name -> (if (a.sec < 0 || b.sec < 0) -1.0 else math.min(a.sec, b.sec))
+          }
+        }.toMap
+      } else Map.empty
+    // ---------- fail-soft checkpoint 3: main + retime + 10× + sf2 ----------
     emit(stats, sf2Best, upFinal, upFactor, sf2Dir)
     // 30× SPOT pass (round-13 verdict stretch #9): a second upward
     // scaling point so the scale grade rests on two ratios, not one.

@@ -264,7 +264,13 @@ object Skew {
     val cr = Tables.orders(spark, sfDir)
       .groupBy(col("o_custkey").as("custkey"))
       .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("x"))
-      .withColumn("ord", col("x") * 100000L + col("custkey"))
+      // ord packs (cents, custkey) into one long for the prefix-scan
+      // rank: collision-free while custkey < 1e8 (TPC-H custkey =
+      // 150000·SF → SF < ~667) and x·1e8 stays in Long (per-customer
+      // cents are SF-invariant ≤ ~2.3e9 → 2.3e17 ≪ 2^63). Past that
+      // SF, switch ord to DECIMAL(38,0) x·1e20 + custkey — PrefixScan
+      // only needs an orderable column.
+      .withColumn("ord", col("x") * 100000000L + col("custkey"))
       .withColumn("one", lit(1L))
     val ranked = graft.etl.PrefixScan
       .exclusivePrefixSum(cr, "ord", "one", "rank0")
@@ -284,7 +290,7 @@ object Skew {
     s"""WITH cr AS (SELECT o_custkey AS custkey,
        |                   CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS x
        |            FROM orders GROUP BY 1),
-       |     rk AS (SELECT x, CAST(row_number() OVER (ORDER BY x * 100000 + custkey) AS BIGINT) AS rank
+       |     rk AS (SELECT x, CAST(row_number() OVER (ORDER BY x * 100000000 + custkey) AS BIGINT) AS rank
        |            FROM cr),
        |     a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
        |                  CAST(sum(rank * x) AS BIGINT) AS sxr
@@ -377,7 +383,9 @@ object Skew {
     val cr = Tables.orders(spark, sfDir)
       .groupBy(col("o_custkey").as("custkey"))
       .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("x"))
-      .withColumn("ord", col("x") * 100000L + col("custkey"))
+      // same collision-free packing bound as [[giniRevenue]] (custkey
+      // < 1e8, i.e. SF < ~667; DECIMAL ord past that)
+      .withColumn("ord", col("x") * 100000000L + col("custkey"))
       .withColumn("one", lit(1L))
     val ranked = graft.etl.PrefixScan
       .exclusivePrefixSum(cr, "ord", "one", "rank0")
@@ -406,7 +414,7 @@ object Skew {
     s"""WITH cr AS (SELECT o_custkey AS custkey,
        |                   CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS x
        |            FROM orders GROUP BY 1),
-       |     rk AS (SELECT x, CAST(row_number() OVER (ORDER BY x * 100000 + custkey) AS BIGINT) - 1 AS rank0
+       |     rk AS (SELECT x, CAST(row_number() OVER (ORDER BY x * 100000000 + custkey) AS BIGINT) - 1 AS rank0
        |            FROM cr),
        |     tt AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS t
        |            FROM cr),

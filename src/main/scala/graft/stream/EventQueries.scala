@@ -297,7 +297,10 @@ object EventQueries {
     */
   def variantShred(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
-      .withColumn("vr", expr("parse_json(props)"))
+      // try_parse_json, not parse_json: under ANSI mode a malformed
+      // props value would THROW where the oracle's try_cast/
+      // json_extract path nulls — the CLAUDE.md try_* divergence class
+      .withColumn("vr", expr("try_parse_json(props)"))
       .withColumn("k", expr("try_variant_get(vr, '$.k', 'bigint')"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -3884,14 +3887,24 @@ object EventQueries {
         Files.setLastModifiedTime(inDir.resolve(s"slice$k.parquet"),
           FileTime.fromMillis(1600000000000L + k * 60000L))
       }
-      val initState = batch.filter(col("event_id") % 3 === 0)
+      val initAgg = batch.filter(col("event_id") % 3 === 0)
         .select(col("event_type"), col("event_id"),
           floor(col("value") * 1000000.0 + 0.5).cast("long").as("vm"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"), sum(col("vm")).as("vm_sum"),
           max(col("event_id")).as("max_event_id"))
         .as[TwsOut]
-        .groupByKey(_.event_type)
+      // Seed emission (bid = -1): handleInitialState writes state but
+      // produces NO output, so a type present only in the history
+      // slice would otherwise be absent vs the full-batch oracle.
+      // Union the batch seed under the LWW dedup — any streamed row
+      // for the same key (bid >= 0) wins, seed-only keys survive.
+      // This removes the fixture-composition dependence the round-14
+      // ADVICE flagged, and is the production shape anyway: a cutover
+      // pairs the state seed with one warehouse-side snapshot emission.
+      initAgg.toDF().withColumn("bid", lit(-1L))
+        .coalesce(1).write.mode("append").parquet(out)
+      val initState = initAgg.groupByKey(_.event_type)
       val src = spark.readStream.schema(batchSchema)
         .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
       val evs = src
@@ -3913,6 +3926,158 @@ object EventQueries {
         .start()
       q.awaitTermination()
       graft.etl.Dedup.lastWins(spark.read.parquet(out),
+          Seq("event_type"), Seq(col("bid")),
+          Seq("n_events", "vm_sum", "max_event_id"))
+        .select(col("event_type"), col("n_events"),
+          graft.text.TextFns.round4(col("vm_sum").cast("double") / 1000000.0)
+            .as("sum_value"),
+          col("max_event_id"))
+        .orderBy("event_type")
+    } finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
+  // ---------- q_stream_timer: event-time timer emission, oracle-gated ----------
+
+  private[stream] case class TmrEv(
+      event_type: String, event_id: Long, vm: Long, ts: java.sql.Timestamp)
+
+  /** The [[streamTimer]] processor — the last state-v2 surface
+    * (round-14 verdict #1): `registerTimer`-driven emission.
+    * Accumulates per-key running totals in a ValueState but emits
+    * NOTHING from `handleInputRows`; every batch it disarms any live
+    * timer (`listTimers` + `deleteTimer` — the re-arm discipline a
+    * session-TTL processor runs per event) and re-arms one event-time
+    * timer at the fixed flush instant. Output exists ONLY via
+    * `handleExpiredTimer` once the watermark crosses that instant —
+    * a lost registration, a double fire, or an expiry that misses its
+    * state shows up as a missing/duplicated key under the hash gate.
+    * The flush instant is constant across keys (checkpoint-flush
+    * shape) rather than per-key last-event + gap: a per-key gap timer
+    * can expire BETWEEN two input batches of the same key (watermark
+    * is global), splitting the aggregate nondeterministically vs the
+    * batch oracle — constant-instant arming keeps the gate exact
+    * while exercising the identical API surface.
+    */
+  private[stream] class TwsTimer(flushAtMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, TmrEv, TwsOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var st: ValueState[TwsOut] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TwsOut]("agg",
+        org.apache.spark.sql.Encoders.product[TwsOut], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[TmrEv],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TwsOut] = {
+      var acc = if (st.exists()) st.get() else TwsOut(key, 0L, 0L, Long.MinValue)
+      rows.foreach { e =>
+        acc = TwsOut(key, acc.n_events + 1L, acc.vm_sum + e.vm,
+          math.max(acc.max_event_id, e.event_id))
+      }
+      st.update(acc)
+      // single live timer per key: disarm, then re-arm at the flush
+      // instant (idempotent under re-registration, but the disarm loop
+      // is the real-session shape and exercises listTimers/deleteTimer)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(flushAtMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: String,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[TwsOut] = {
+      val out: Iterator[TwsOut] =
+        if (st.exists()) Iterator.single(st.get()) else Iterator.empty
+      st.clear()
+      out
+    }
+  }
+
+  /** Event-time timers under the hash gate — the one
+    * `transformWithState` leg the round-14 suite left ungated: real
+    * events stream as two micro-batches (no chronological guarantee —
+    * the fold is order-free), then two far-future watermark sentinels
+    * ([[streamAppend]]'s established two-step: the watermark advances
+    * at the END of sentinel-1's batch, timers FIRE in sentinel-2's
+    * batch). Every key's timer expires exactly once, emitting its
+    * final aggregate from `handleExpiredTimer`; the accumulated
+    * append output (sentinel key dropped at the sink) must equal the
+    * plain batch aggregate — [[sqlStreamTws]]'s oracle verbatim.
+    *
+    * Scale: timers are the 100 TB session/TTL mechanism — state per
+    * key stays one row plus one timer registration, eviction is
+    * watermark-driven (no full-state sweep), and each micro-batch
+    * shuffles only its own rows. This is the shape a production
+    * session-close / periodic-flush pipeline ships with on this API.
+    */
+  def streamTimer(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val path = s"$sfDir/events.parquet"
+      val rawSchema = spark.read.parquet(path).schema
+      val isNs = rawSchema("ts").dataType == org.apache.spark.sql.types.LongType
+      val batch0 = spark.read.parquet(path)
+      val batch =
+        if (isNs) batch0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else batch0.withColumn("ts", col("ts").cast("timestamp"))
+      val dir = Files.createTempDirectory("graft_stream_tmr")
+      val inDir = dir.resolve("in"); Files.createDirectories(inDir)
+      val out = dir.resolve("out").toString
+      val maxTsMs = batch.agg(max(col("ts"))).head().getTimestamp(0).getTime
+      val flushAtMs = maxTsMs + 12L * 3600 * 1000 // +12 h: past all data,
+      // below sentinel-1's +24 h watermark — fires in sentinel-2's batch
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = dir.resolve(s"tmp_$name")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val part = Files.list(tmp).filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }.findFirst.get
+        Files.move(part, inDir.resolve(name))
+        Files.setLastModifiedTime(inDir.resolve(name), FileTime.fromMillis(mtime))
+      }
+      val slim = batch.select(col("event_type"), col("event_id"),
+        floor(col("value") * 1000000.0 + 0.5).cast("long").as("vm"), col("ts"))
+      (0 until 2).foreach { k =>
+        stage(slim.filter(col("event_id") % 2 === k), s"a_slice$k.parquet",
+          1600000000000L + k * 60000L)
+      }
+      (1 to 2).foreach { k =>
+        stage(slim.orderBy(col("ts").desc).limit(1)
+            .withColumn("ts", expr(s"ts + INTERVAL '${k * 24}' HOUR"))
+            .withColumn("event_type", lit("__wm_sentinel")),
+          s"z_sentinel$k.parquet", 1600000000000L + (2 + k) * 60000L)
+      }
+      val src = spark.readStream.schema(slim.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val evs = src
+        .withWatermark("ts", "0 seconds")
+        .as[TmrEv]
+      val stats = evs.groupByKey(_.event_type)
+        .transformWithState(new TwsTimer(flushAtMs),
+          TimeMode.EventTime(), OutputMode.Update())
+      val q = stats.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", dir.resolve("cp").toString)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[TwsOut], bid: Long) =>
+          b.toDF().withColumn("bid", lit(bid))
+            .coalesce(1).write.mode("append").parquet(out)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.etl.Dedup.lastWins(
+          spark.read.parquet(out).filter(col("event_type") =!= "__wm_sentinel"),
           Seq("event_type"), Seq(col("bid")),
           Seq("n_events", "vm_sum", "max_event_id"))
         .select(col("event_type"), col("n_events"),
@@ -4388,6 +4553,7 @@ object EventQueries {
     "q_stream_update" -> (streamUpdate _),
     "q_stream_tws" -> (streamTws _),
     "q_stream_init" -> (streamInit _),
+    "q_stream_timer" -> (streamTimer _),
     "q_stream_last3" -> (streamLast3 _),
     "q_stream_mapstate" -> (streamMapstate _),
     "q_stream_fmgws" -> (streamFmgws _),
@@ -4453,6 +4619,7 @@ object EventQueries {
     "q_stream_update" -> sqlStreamTumbling,
     "q_stream_tws" -> sqlStreamTws,
     "q_stream_init" -> sqlStreamTws,
+    "q_stream_timer" -> sqlStreamTws,
     "q_stream_last3" -> sqlStreamLast3,
     "q_stream_mapstate" -> sqlStreamMapstate,
     "q_stream_fmgws" -> sqlStreamSession,
