@@ -1695,9 +1695,11 @@ object DocOps {
     * shuffled one row per character; the census form shuffles ~an
     * order of magnitude less at identical values.
     *
-    * ASCII-PARITY-ONLY: the kernel walks UTF-8 bytes, the oracle
-    * walks characters — identical on this corpus, key-divergent on
-    * multi-byte text (see [[graft.functions.TextHashUtil.charHist]]).
+    * Parity is BYTE-level on both engines: the kernel walks UTF-8
+    * bytes ([[graft.functions.TextHashUtil.charHist]]) and the oracle
+    * walks the same bytes via `hex(encode(text))` (two hex digits per
+    * byte) — true cross-engine parity on multi-byte text, not just
+    * the pure-ASCII corpus (the round-14 caveat this removes).
     */
   def byteEntropy(spark: SparkSession, sfDir: String): DataFrame = {
     val counts = Tables.documents(spark, sfDir)
@@ -1725,8 +1727,14 @@ object DocOps {
   private val sqlByteEntropy = {
     val term = "(CAST(nc AS DOUBLE) / CAST(n_chars AS DOUBLE)) * " +
       "((ln(CAST(n_chars AS DOUBLE)) - ln(CAST(nc AS DOUBLE))) / ln(2.0))"
-    s"""WITH c AS (SELECT source, ${duckCodesOf("text")} AS cs FROM documents),
-       |     x AS (SELECT source, unnest(cs) AS code FROM c),
+    s"""WITH c AS (SELECT source, hex(encode(text)) AS hx,
+       |                  CAST(octet_length(encode(text)) AS BIGINT) AS nb
+       |           FROM documents),
+       |     ix AS (SELECT source, hx, unnest(range(1, nb + 1)) AS i FROM c),
+       |     x AS (SELECT source,
+       |                  16 * (strpos('0123456789ABCDEF', substring(hx, CAST(2*i-1 AS INT), 1)) - 1)
+       |                     + (strpos('0123456789ABCDEF', substring(hx, CAST(2*i AS INT), 1)) - 1) AS code
+       |           FROM ix),
        |     k AS (SELECT source, code, CAST(count(*) AS BIGINT) AS nc
        |           FROM x GROUP BY 1, 2),
        |     t AS (SELECT source, CAST(sum(nc) AS BIGINT) AS n_chars,
