@@ -1092,9 +1092,163 @@ object Analytics {
     "q_minmax_by" -> (minmaxBy _),
     "q_percent_rank" -> (percentRank _),
     "q_cusum_drift" -> (cusumDrift _),
+    "q_changepoint" -> (changepoint _),
+    "q_runs_test" -> (runsTest _),
     "q_order_cycle_time" -> (orderCycleTime _),
     "q_rolling_median" -> (rollingMedian _),
     "q_rfm" -> (rfm _))
+
+  // ---------- q_changepoint: binary-segmentation split on daily revenue ----------
+
+  /** Single change-point LOCATION on the daily-revenue series (binary
+    * segmentation, the first step of Scott & Knott / PELT-style
+    * detectors): the split day t* maximizing the between-segment
+    * sum-of-squares gain R(t) = S_t²/t + (S_n−S_t)²/(n−t) − S_n²/n —
+    * [[cusumDrift]] MONITORS for a level shift; this LOCATES it and
+    * sizes the two regimes. Emits the argmax split, both segment
+    * means, and the explained-variance fraction R/SST.
+    *
+    * Scale note: the two windows (running count + running cents sum)
+    * order the DAY-grain aggregate — bounded by the calendar, not the
+    * fact table (the [[cusumDrift]] contract); the argmax is a
+    * mergeable struct-min, not a rank window. Parity: cents and their
+    * cumulative sums are exact BIGINT, daily cents² stage in
+    * DECIMAL(38,0); R and SST are fixed-shape doubles over those
+    * exact integers, and the ARGMAX compares the integer-scaled
+    * floor(R/SST·1e8) with the epoch-day tie-break — never a raw
+    * double (rank-on-rounded rule).
+    */
+  def changepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("xc"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("xc")).as("tc"),
+      sum(col("xc").cast("decimal(19,0)") * col("xc").cast("decimal(19,0)")).as("sxx"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def d(c: Column): Column = c.cast("double")
+    val cum = daily
+      .withColumn("t", count(lit(1)).over(w))
+      .withColumn("s", sum(col("xc")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("t") < col("n"))
+    val gain = d(col("s")) * d(col("s")) / d(col("t")) +
+      (d(col("tc")) - d(col("s"))) * (d(col("tc")) - d(col("s"))) /
+        (d(col("n")) - d(col("t"))) -
+      d(col("tc")) * d(col("tc")) / d(col("n"))
+    val sst = d(col("sxx")) - d(col("tc")) * d(col("tc")) / d(col("n"))
+    val pick = cum
+      .withColumn("g8", floor(gain / sst * 100000000.0 + 0.5).cast("long"))
+      .withColumn("dk", datediff(col("day"), to_date(lit("1970-01-01"))))
+      .agg(min(struct((-col("g8")).as("a"), col("dk").as("b"),
+        col("t").as("t"), col("s").as("s"))).as("p"))
+    pick.crossJoin(broadcast(tot))
+      .select(
+        date_format(date_add(to_date(lit("1970-01-01")), col("p.b")), "yyyy-MM-dd")
+          .as("split_day"),
+        col("p.t").as("n_left"), (col("n") - col("p.t")).as("n_right"),
+        graft.text.TextFns.round4(d(col("p.s")) / d(col("p.t")) / 100.0).as("mean_left"),
+        graft.text.TextFns.round4(
+          (d(col("tc")) - d(col("p.s"))) / (d(col("n")) - d(col("p.t"))) / 100.0)
+          .as("mean_right"),
+        ((-col("p.a")).cast("double") / 100000000.0).as("gain_frac"))
+  }
+
+  private val sqlChangepoint = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    val gain = "(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(t AS DOUBLE) " +
+      "+ (CAST(tc AS DOUBLE) - CAST(s AS DOUBLE)) * (CAST(tc AS DOUBLE) - CAST(s AS DOUBLE)) " +
+      "/ (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) " +
+      "- CAST(tc AS DOUBLE) * CAST(tc AS DOUBLE) / CAST(n AS DOUBLE))"
+    val sst = "(CAST(sxx AS DOUBLE) - CAST(tc AS DOUBLE) * CAST(tc AS DOUBLE) / CAST(n AS DOUBLE))"
+    s"""WITH daily AS (SELECT o_orderdate AS day,
+       |                      CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS xc
+       |               FROM orders GROUP BY 1),
+       |     tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(xc) AS BIGINT) AS tc,
+       |                    sum(CAST(xc AS DECIMAL(19,0)) * CAST(xc AS DECIMAL(19,0))) AS sxx
+       |             FROM daily),
+       |     cum AS (SELECT day,
+       |                    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+       |                    CAST(sum(xc) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s,
+       |                    n, tc, sxx
+       |             FROM daily CROSS JOIN tot),
+       |     cand AS (SELECT CAST(floor($gain / $sst * 100000000.0 + 0.5) AS BIGINT) AS g8,
+       |                     date_diff('day', DATE '1970-01-01', day) AS dk, t, s
+       |              FROM cum WHERE t < n),
+       |     pick AS (SELECT min({'a': -g8, 'b': dk, 't': t, 's': s}) AS p FROM cand)
+       |SELECT strftime(DATE '1970-01-01' + CAST((p).b AS INTEGER), '%Y-%m-%d') AS split_day,
+       |       CAST((p).t AS BIGINT) AS n_left, CAST(n - (p).t AS BIGINT) AS n_right,
+       |       ${r4("CAST((p).s AS DOUBLE) / CAST((p).t AS DOUBLE) / 100.0")} AS mean_left,
+       |       ${r4("(CAST(tc AS DOUBLE) - CAST((p).s AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST((p).t AS DOUBLE)) / 100.0")} AS mean_right,
+       |       CAST(-(p).a AS DOUBLE) / 100000000.0 AS gain_frac
+       |FROM pick CROSS JOIN tot""".stripMargin
+  }
+
+  // ---------- q_runs_test: Wald-Wolfowitz randomness of the daily series ----------
+
+  /** Wald–Wolfowitz runs test on the daily-revenue series (1940): are
+    * days above/below the median revenue RANDOMLY interleaved, or do
+    * they clump (trend / regime persistence)? The classic
+    * distribution-free check that the [[cusumDrift]]/[[changepoint]]
+    * monitors have anything to find: z far below 0 means long
+    * same-sign runs — persistence; far above means oscillation.
+    * Ties at the median are dropped (the standard treatment).
+    *
+    * Scale note: the sign-change lag orders the DAY-grain aggregate
+    * (calendar-bounded — the [[cusumDrift]] contract); the median is
+    * one exact `percentile` (≡ `quantile_cont`) over the same bounded
+    * grain. Parity: signs and run counts are all-integer; z's closed
+    * form (sqrt — IEEE-safe) is the single double edge.
+    */
+  def runsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("xc"))
+    val med = daily.agg(expr("percentile(xc, 0.5)").as("med"))
+    val wl = Window.orderBy("day")
+    val signs = daily.crossJoin(broadcast(med))
+      .filter(col("xc").cast("double") =!= col("med"))
+      .withColumn("sgn", when(col("xc").cast("double") > col("med"), 1).otherwise(0))
+      .withColumn("chg",
+        when(lag(col("sgn"), 1).over(wl).isNull, 1)
+          .when(lag(col("sgn"), 1).over(wl) =!= col("sgn"), 1).otherwise(0))
+    def d(c: Column): Column = c.cast("double")
+    val agg = signs.agg(count(lit(1)).as("nn"), sum(col("sgn")).as("n1"),
+      sum(col("chg")).as("runs"))
+      .withColumn("n2", col("nn") - col("n1"))
+    val two = lit(2.0) * d(col("n1")) * d(col("n2"))
+    val nD = d(col("nn"))
+    agg.select(col("nn").as("n_days"), col("n1").as("n_above"),
+      col("n2").as("n_below"), col("runs"),
+      graft.text.TextFns.round4(
+        (d(col("runs")) - (lit(1.0) + two / nD)) /
+          sqrt(two * (two - nD) / (nD * nD * (nD - 1.0)))).as("z_stat"))
+  }
+
+  private val sqlRunsTest = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    val two = "(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+    val nD = "CAST(nn AS DOUBLE)"
+    s"""WITH daily AS (SELECT o_orderdate AS day,
+       |                      CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS xc
+       |               FROM orders GROUP BY 1),
+       |     md AS (SELECT quantile_cont(xc, 0.5) AS med FROM daily),
+       |     sg AS (SELECT day, CASE WHEN CAST(xc AS DOUBLE) > med THEN 1 ELSE 0 END AS sgn
+       |            FROM daily CROSS JOIN md
+       |            WHERE CAST(xc AS DOUBLE) <> med),
+       |     ch AS (SELECT sgn,
+       |                   CASE WHEN lag(sgn) OVER (ORDER BY day) IS NULL THEN 1
+       |                        WHEN lag(sgn) OVER (ORDER BY day) <> sgn THEN 1
+       |                        ELSE 0 END AS chg
+       |            FROM sg),
+       |     a AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(sgn) AS BIGINT) AS n1,
+       |                  CAST(sum(chg) AS BIGINT) AS runs
+       |           FROM ch),
+       |     b AS (SELECT nn, n1, CAST(nn - n1 AS BIGINT) AS n2, runs FROM a)
+       |SELECT nn AS n_days, n1 AS n_above, n2 AS n_below, runs,
+       |       ${r4(s"(CAST(runs AS DOUBLE) - (1.0 + $two / $nD)) / " +
+                 s"sqrt($two * ($two - $nD) / ($nD * $nD * ($nD - 1.0)))")} AS z_stat
+       |FROM b""".stripMargin
+  }
 
   // ---------- q_order_cycle_time: fulfillment-latency distribution ----------
 
@@ -1337,6 +1491,8 @@ object Analytics {
     "q_mann_kendall" -> sqlMannKendall,
     "q_ltv_curve" -> sqlLtvCurve,
     "q_cusum_drift" -> sqlCusumDrift,
+    "q_changepoint" -> sqlChangepoint,
+    "q_runs_test" -> sqlRunsTest,
     "q_order_cycle_time" -> sqlOrderCycleTime,
     "q_rolling_median" -> sqlRollingMedian,
     "q_rfm" -> sqlRfm,

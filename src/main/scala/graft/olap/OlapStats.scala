@@ -1232,7 +1232,153 @@ object OlapStats {
        |       ${duckRound4("quantile_cont(o_totalprice, 0.5)")} AS p50_cont
        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------- q_anova: one-way F across market segments ----------
+
+  /** One-way ANOVA F across the five market segments on order totals
+    * (Fisher 1925) — the k-group generalization of [[welchTtest]]'s
+    * pairwise comparison: does segment membership explain ANY of the
+    * revenue variance? Emits F, its two degrees of freedom, and η²
+    * (SSB/SST — the share of variance segments explain, the effect
+    * size that matters at fact-scale n where F is always "significant").
+    *
+    * Shape: ONE fact pass to exact-DECIMAL per-segment moments (n,
+    * Σx, Σx² — the [[corrStats]] recipe, map-side combinable, O(k)
+    * state), then a k-row collapse. Cross-group sums of the double
+    * per-group terms (Σx²_g/n_g and the within-SS) are LEFT FOLDS in
+    * segment order over the bounded k-element list (`aggregate` ≡
+    * `list_reduce` with prepended init — the CLAUDE.md float-reduction
+    * rule; the terms are ~1e13, far past what round6-into-DECIMAL
+    * staging can carry through Spark's long-valued floor), so both
+    * engines execute the identical addition sequence; the F/η² closed
+    * forms are single-division doubles at the edge.
+    */
+  def anovaF(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val m = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        col("o_totalprice").cast("decimal(18,4)").as("x"),
+        col("o_totalprice").cast("decimal(18,4)")
+          .multiply(col("o_totalprice").cast("decimal(20,4)")).as("xx"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("xx")).as("sxx"))
+    val b = col("sx").cast("double") * col("sx").cast("double") / col("n").cast("double")
+    val agg = m
+      .withColumn("b", b)
+      .withColumn("w", col("sxx").cast("double") - b)
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("nt"), sum(col("sx")).as("tsx"),
+        sort_array(collect_list(struct(col("seg"), col("b").as("b")))).as("bs"),
+        sort_array(collect_list(struct(col("seg"), col("w").as("w")))).as("ws"))
+      // k-element left folds in segment order (bounded list, HOF cost O(k))
+      .withColumn("sb", aggregate(col("bs"), lit(0.0), (acc, s) => acc + s("b")))
+      .withColumn("ssw", aggregate(col("ws"), lit(0.0), (acc, s) => acc + s("w")))
+    val grand = col("tsx").cast("double") * col("tsx").cast("double") / col("nt").cast("double")
+    val ssb = col("sb") - grand
+    val ssw = col("ssw")
+    agg.select(col("k").as("k_groups"), col("nt").as("n_total"),
+      round4((ssb / (col("k").cast("double") - 1.0)) /
+        (ssw / (col("nt").cast("double") - col("k").cast("double")))).as("f_stat"),
+      round4(ssb / (ssb + ssw)).as("eta_sq"))
+  }
+
+  private val sqlAnovaF = {
+    val b = "(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    val grand = "(CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE) / CAST(nt AS DOUBLE))"
+    def fold(v: String) =
+      s"list_reduce([CAST(0 AS DOUBLE)] || list($v ORDER BY seg), (acc, v) -> acc + v)"
+    val ssb = s"(sb - $grand)"
+    s"""WITH t AS (SELECT c_mktsegment AS seg,
+       |                  CAST(o_totalprice AS DECIMAL(18,4)) AS x,
+       |                  CAST(o_totalprice AS DECIMAL(18,4)) * CAST(o_totalprice AS DECIMAL(20,4)) AS xx
+       |           FROM orders JOIN customer ON o_custkey = c_custkey),
+       |     m AS (SELECT seg, count(*) AS n, sum(x) AS sx, sum(xx) AS sxx
+       |           FROM t GROUP BY 1),
+       |     a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nt,
+       |                  sum(sx) AS tsx,
+       |                  ${fold(b)} AS sb,
+       |                  ${fold(s"(CAST(sxx AS DOUBLE) - $b)")} AS ssw
+       |           FROM m)
+       |SELECT k AS k_groups, nt AS n_total,
+       |       ${duckRound4(s"($ssb / (CAST(k AS DOUBLE) - 1.0)) / (ssw / (CAST(nt AS DOUBLE) - CAST(k AS DOUBLE)))")} AS f_stat,
+       |       ${duckRound4(s"$ssb / ($ssb + ssw)")} AS eta_sq
+       |FROM a""".stripMargin
+  }
+
+  // ---------- q_levene: Brown-Forsythe variance-homogeneity test ----------
+
+  /** Brown–Forsythe test (Levene's test with the MEDIAN center,
+    * Brown & Forsythe 1974) for variance homogeneity across market
+    * segments — the assumption check that says whether [[anovaF]]'s
+    * pooled within-variance is even meaningful, and the robust-center
+    * variant that survives the heavy-tailed revenue distribution: the
+    * statistic is a one-way ANOVA F computed on zᵢ = |xᵢ − median_g|.
+    *
+    * Shape: per-segment exact `percentile` medians (≡ quantile_cont,
+    * the verified bit-identical pair) on one fact pass, broadcast back
+    * (k rows), then the same exact-moment ANOVA collapse as [[anovaF]]
+    * — with z ROUND6ed into DECIMAL before its moment sums (z is a
+    * derived double; summing raw doubles at fact grain is partition-
+    * order-dependent, the q_kmeans_refine rule), so both engines see
+    * bit-identical moments.
+    */
+  def leveneBf(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val base = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_totalprice").as("x"))
+    val med = base.groupBy("seg")
+      .agg(expr("percentile(x, 0.5)").as("med"))
+    val z6 = (floor(abs(col("x") - col("med")) * 1000000.0 + 0.5) / 1000000.0)
+      .cast("decimal(24,6)")
+    val m = base.join(broadcast(med), "seg")
+      .withColumn("z", z6)
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum(col("z")).as("sx"),
+        sum(col("z").multiply(col("z"))).as("sxx"))
+    val b = col("sx").cast("double") * col("sx").cast("double") / col("n").cast("double")
+    val agg = m
+      .withColumn("b", b)
+      .withColumn("w", col("sxx").cast("double") - b)
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("nt"), sum(col("sx")).as("tsx"),
+        sort_array(collect_list(struct(col("seg"), col("b").as("b")))).as("bs"),
+        sort_array(collect_list(struct(col("seg"), col("w").as("w")))).as("ws"))
+      .withColumn("sb", aggregate(col("bs"), lit(0.0), (acc, s) => acc + s("b")))
+      .withColumn("ssw", aggregate(col("ws"), lit(0.0), (acc, s) => acc + s("w")))
+    val grand = col("tsx").cast("double") * col("tsx").cast("double") / col("nt").cast("double")
+    val ssb = col("sb") - grand
+    val ssw = col("ssw")
+    agg.select(col("k").as("k_groups"), col("nt").as("n_total"),
+      round4((ssb / (col("k").cast("double") - 1.0)) /
+        (ssw / (col("nt").cast("double") - col("k").cast("double")))).as("bf_stat"))
+  }
+
+  private val sqlLeveneBf = {
+    val b = "(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    val grand = "(CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE) / CAST(nt AS DOUBLE))"
+    def fold(v: String) =
+      s"list_reduce([CAST(0 AS DOUBLE)] || list($v ORDER BY seg), (acc, v) -> acc + v)"
+    val ssb = s"(sb - $grand)"
+    s"""WITH base AS (SELECT c_mktsegment AS seg, o_totalprice AS x
+       |              FROM orders JOIN customer ON o_custkey = c_custkey),
+       |     md AS (SELECT seg, quantile_cont(x, 0.5) AS med FROM base GROUP BY 1),
+       |     zz AS (SELECT base.seg,
+       |                   CAST(floor(abs(x - med) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(24,6)) AS z
+       |            FROM base JOIN md ON base.seg = md.seg),
+       |     m AS (SELECT seg, count(*) AS n, sum(z) AS sx, sum(z * z) AS sxx
+       |           FROM zz GROUP BY 1),
+       |     a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nt,
+       |                  sum(sx) AS tsx,
+       |                  ${fold(b)} AS sb,
+       |                  ${fold(s"(CAST(sxx AS DOUBLE) - $b)")} AS ssw
+       |           FROM m)
+       |SELECT k AS k_groups, nt AS n_total,
+       |       ${duckRound4(s"($ssb / (CAST(k AS DOUBLE) - 1.0)) / (ssw / (CAST(nt AS DOUBLE) - CAST(k AS DOUBLE)))")} AS bf_stat
+       |FROM a""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anova" -> (anovaF _),
+    "q_levene" -> (leveneBf _),
     "q_percentile_disc" -> (percentileDisc _),
     "q_hill_tail" -> (hillTail _),
     "q_welch_ttest" -> (welchTtest _),
@@ -1255,6 +1401,8 @@ object OlapStats {
     "q_outliers" -> (outliers _))
 
   val oracle: Map[String, String] = Map(
+    "q_anova" -> sqlAnovaF,
+    "q_levene" -> sqlLeveneBf,
     "q_percentile_disc" -> sqlPercentileDisc,
     "q_hill_tail" -> sqlHillTail,
     "q_welch_ttest" -> sqlWelchTtest,

@@ -1323,7 +1323,160 @@ object CorpusOps {
        |FROM trm""".stripMargin
   }
 
+  // ---------- q_good_turing: count-of-counts smoothing table ----------
+
+  /** Good–Turing frequency re-estimation table (Good 1953, the
+    * smoothing backbone behind Katz backoff and the KN discounts
+    * `q_kn_xent` fixes by hand): for observed term counts r = 1..8,
+    * the count-of-counts N_r and the adjusted count
+    * r_star = (r+1)·N_{r+1}/N_r — the estimate of how much
+    * probability mass the maximum-likelihood count OVERSTATES for
+    * rare terms (discount = r_star/r < 1 in a Zipfian corpus, the
+    * emitted column). The r = 1 row's N_1
+    * is also the classic unseen-mass estimate. Next to `q_zipf_fit`
+    * (the rank-frequency law) this is the FREQUENCY-of-frequency
+    * view the smoothing literature actually consumes.
+    *
+    * The unit is the TRIGRAM (via the cross-engine
+    * [[graft.functions.TextHashUtil.ngramHashes]] identity — a
+    * value-only kernel, so hash identity is all that matters): this
+    * corpus's unigram vocabulary is ~31 terms with ~900 counts each —
+    * no low-count head at all — while trigrams are properly Zipfian
+    * (N_1 ≈ 9.4k at sf0.01), which is also the realistic grain: GT
+    * smoothing exists FOR the sparse high-order n-gram counts.
+    *
+    * Shape: native gram-hash pass → gram-grain count → count-of-
+    * counts (a ≤ max-count-cardinality table) self-joined on r+1 —
+    * all integer until the two single-division doubles, rounded at
+    * the edge. Linear in tokens, mergeable everywhere.
+    */
+  def goodTuring(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(explode_outer(
+        graft.functions.TextHashes.ngramHashes(col("ts"), 3)).as("term"))
+      .filter(col("term").isNotNull)
+    val counts = terms.groupBy("term").agg(count(lit(1)).as("r"))
+    val coc = counts.groupBy("r").agg(count(lit(1)).as("nr"))
+    coc.filter(col("r") <= 8)
+      .join(broadcast(coc.select((col("r") - 1).as("r"), col("nr").as("nr1"))),
+        Seq("r"), "left")
+      .withColumn("nr1", coalesce(col("nr1"), lit(0L)))
+      .select(col("r"), col("nr").as("n_r"), col("nr1").as("n_r1"),
+        TextFns.round4((col("r") + 1).cast("double") * col("nr1").cast("double")
+          / col("nr").cast("double")).as("r_star"),
+        TextFns.round4((col("r") + 1).cast("double") * col("nr1").cast("double")
+          / col("nr").cast("double") / col("r").cast("double")).as("discount"))
+      .orderBy("r")
+  }
+
+  private val sqlGoodTuring = {
+    val rs = "(CAST(r + 1 AS DOUBLE) * CAST(nr1 AS DOUBLE) / CAST(nr AS DOUBLE))"
+    s"""WITH t AS (SELECT $duckTokens AS ts FROM documents),
+       |     terms AS (SELECT unnest(${TextQueries.duckNgramHashesOf(3)}) AS term FROM t),
+       |     c AS (SELECT term, count(*) AS r FROM terms GROUP BY 1),
+       |     coc AS (SELECT r, CAST(count(*) AS BIGINT) AS nr FROM c GROUP BY 1),
+       |     j AS (SELECT a.r, a.nr, COALESCE(b.nr, 0) AS nr1
+       |           FROM coc a LEFT JOIN coc b ON b.r = a.r + 1
+       |           WHERE a.r <= 8)
+       |SELECT CAST(r AS BIGINT) AS r, nr AS n_r, nr1 AS n_r1,
+       |       ${TextFns.duckRound4(rs)} AS r_star,
+       |       ${TextFns.duckRound4(s"$rs / CAST(r AS DOUBLE)")} AS discount
+       |FROM j ORDER BY r""".stripMargin
+  }
+
+  // ---------- q_keyness: log-likelihood distinctive terms per source ----------
+
+  /** Dunning's log-likelihood keyness (Dunning 1993, the corpus-
+    * linguistics "what words make this source DIFFERENT" test): for
+    * each (source, term), G² = 2·(a·ln(a/E_a) + b·ln(b/E_b)) where a
+    * is the term's count in the source, b its count in the rest, and
+    * E the expected counts under a shared rate. The top-5 OVERUSED
+    * terms per source (a·N > tokens_src·(a+b), the exact-integer
+    * over-representation test) are the source's signature vocabulary
+    * — the audit that catches a crawl slice gone topical.
+    *
+    * Shape: (source × term)-grain counts (linear), joined to the
+    * vocab-grain corpus counts and the bounded source totals. Parity:
+    * each a·ln(·) term is ROUND6ed into DECIMAL before the pair sum
+    * (ln has no cross-engine ulp guarantee — the `q_zipf_fit`
+    * discipline), ranks compare the exact DECIMAL G² with a term
+    * tie-break, and the one output double is rounded at the edge.
+    */
+  def keyness(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("source"), explode_outer(col("ts")).as("term"))
+      .filter(col("term").isNotNull)
+    val st = terms.groupBy("source", "term").agg(count(lit(1)).as("a"))
+    val srcTot = terms.groupBy("source").agg(count(lit(1)).as("sa"))
+    val termTot = terms.groupBy("term").agg(count(lit(1)).as("ab"))
+    val tot = terms.agg(count(lit(1)).as("nn"))
+    def dd(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("double")
+    def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (floor(c * 1000000.0 + 0.5) / 1000000.0).cast("decimal(28,6)")
+    val joined = st
+      .join(broadcast(srcTot), "source")
+      .join(termTot, "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("b", col("ab") - col("a"))
+      .withColumn("bt", col("nn") - col("sa"))
+      // exact-integer over-representation screen BEFORE any float
+      .filter(col("a") * col("nn") > col("sa") * col("ab"))
+      .withColumn("ta", r6(dd(col("a")) * log(dd(col("a"))
+        / (dd(col("sa")) * dd(col("ab")) / dd(col("nn"))))))
+      .withColumn("tb", when(col("b") > 0,
+        r6(dd(col("b")) * log(dd(col("b"))
+          / (dd(col("bt")) * dd(col("ab")) / dd(col("nn"))))))
+        .otherwise(lit(0.0).cast("decimal(28,6)")))
+      .withColumn("g2", (col("ta") + col("tb")) * 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("g2").desc, col("term"))
+    joined
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("rk"), col("term"),
+        col("a").as("cnt_in"), col("b").as("cnt_rest"),
+        TextFns.round4(col("g2").cast("double")).as("g2"))
+      .orderBy("source", "rk")
+  }
+
+  private val sqlKeyness = {
+    def r6(e: String) = s"CAST(floor(($e) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))"
+    val ta = r6("CAST(a AS DOUBLE) * ln(CAST(a AS DOUBLE) " +
+      "/ (CAST(sa AS DOUBLE) * CAST(ab AS DOUBLE) / CAST(nn AS DOUBLE)))")
+    val tb = r6("CAST(b AS DOUBLE) * ln(CAST(b AS DOUBLE) " +
+      "/ (CAST(bt AS DOUBLE) * CAST(ab AS DOUBLE) / CAST(nn AS DOUBLE)))")
+    s"""WITH t AS (SELECT source, $duckTokens AS ts FROM documents),
+       |     terms AS (SELECT source, unnest(ts) AS term FROM t),
+       |     st AS (SELECT source, term, count(*) AS a FROM terms GROUP BY 1, 2),
+       |     stot AS (SELECT source, count(*) AS sa FROM terms GROUP BY 1),
+       |     ttot AS (SELECT term, count(*) AS ab FROM terms GROUP BY 1),
+       |     tot AS (SELECT count(*) AS nn FROM terms),
+       |     j AS (SELECT st.source, st.term, a, sa, ab, nn,
+       |                  ab - a AS b, nn - sa AS bt
+       |           FROM st JOIN stot ON st.source = stot.source
+       |                   JOIN ttot ON st.term = ttot.term
+       |                   CROSS JOIN tot
+       |           WHERE a * nn > sa * ab),
+       |     g AS (SELECT source, term, a, b,
+       |                  ($ta + CASE WHEN b > 0 THEN $tb
+       |                              ELSE CAST(0.0 AS DECIMAL(28,6)) END) * 2 AS g2
+       |           FROM j),
+       |     r AS (SELECT source, term, a, b, g2,
+       |                  row_number() OVER (PARTITION BY source
+       |                                     ORDER BY g2 DESC, term) AS rk
+       |           FROM g)
+       |SELECT source, CAST(rk AS BIGINT) AS rk, term,
+       |       CAST(a AS BIGINT) AS cnt_in, CAST(b AS BIGINT) AS cnt_rest,
+       |       ${TextFns.duckRound4("CAST(g2 AS DOUBLE)")} AS g2
+       |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_good_turing" -> (goodTuring _),
+    "q_keyness" -> (keyness _),
     "q_prf_expand" -> (prfExpand _),
     "q_rbo" -> (rboAgreement _),
     "q_neg_sample" -> (negSample _),
@@ -1343,6 +1496,8 @@ object CorpusOps {
     "q_temperature_mix" -> (temperatureMix _))
 
   val oracle: Map[String, String] = Map(
+    "q_good_turing" -> sqlGoodTuring,
+    "q_keyness" -> sqlKeyness,
     "q_prf_expand" -> sqlPrfExpand,
     "q_rbo" -> sqlRbo,
     "q_neg_sample" -> sqlNegSample,

@@ -1788,6 +1788,71 @@ object VectorQueries {
        |FROM tn JOIN dg ON tn.node = dg.node
        |ORDER BY vec_id""".stripMargin
 
+  // ---------- 13a'. q_assortativity: degree correlation of the similarity graph ----------
+
+  /** Degree assortativity of the blocked similarity graph (Newman
+    * 2002): the Pearson correlation of endpoint degrees over edges —
+    * positive means high-degree docs link to high-degree docs (a
+    * dense near-dup CORE, where cluster-atomic split logic and
+    * canonical election get expensive), negative means hub-and-spoke
+    * (one template with many one-off variants — the boilerplate
+    * signature). The one-number structure audit next to
+    * [[triangleCount]]'s local view: same edges, global mixing.
+    *
+    * Shape: the shared [[collisionEdges]] stage, one node-grain degree
+    * aggregate joined back to both endpoints (linear in edges — the
+    * [[degreeOrient]] join shape), then ONE integer-moment collapse:
+    * with S_jk = Σ d_u·d_w, S_j = Σ(d_u+d_w), S_jj = Σ(d_u²+d_w²)
+    * over the m undirected edges, r = (4m·S_jk − S_j²) /
+    * (2m·S_jj − S_j²) — the directed-double-count algebra folded
+    * closed. ALL integer until the single output division (degrees
+    * are ≤ [[BlockCap]] by construction, so 4m·S_jk ≤ 4m²·cap² stays
+    * far inside BIGINT at any SF this layout reaches; DECIMAL(38,0)
+    * is the swap past ~10⁹ edges), rounded at the edge.
+    */
+  def assortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = collisionEdges(spark, sfDir)
+    val deg = edges
+      .select(explode_outer(array(col("u"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val agg = edges
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("w"), col("deg").as("dw")), "w")
+      .agg(count(lit(1)).as("m"),
+        sum(col("du") * col("dw")).as("sjk"),
+        sum(col("du") + col("dw")).as("sj"),
+        sum(col("du") * col("du") + col("dw") * col("dw")).as("sjj"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    agg.crossJoin(broadcast(nNodes))
+      .select(col("n_nodes"), col("m").as("n_edges"),
+        round4((d(lit(4L) * col("m") * col("sjk") - col("sj") * col("sj"))) /
+          (d(lit(2L) * col("m") * col("sjj") - col("sj") * col("sj"))))
+          .as("assortativity"))
+  }
+
+  private val sqlAssortativity =
+    s"""WITH $duckVecs,
+       |     b0 AS (SELECT vec_id, v, nrm, $duckBucket AS bucket FROM e),
+       |     bn0 AS (SELECT bucket, count(*) AS bn FROM b0 GROUP BY bucket),
+       |     b AS (SELECT vec_id, v, nrm, b0.bucket, ${duckBlk("b0.bucket")} AS blk
+       |           FROM b0 JOIN bn0 ON b0.bucket = bn0.bucket),
+       |     edges AS (SELECT a.vec_id AS u, b2.vec_id AS w
+       |               FROM b a JOIN b b2 ON a.blk = b2.blk AND a.vec_id < b2.vec_id
+       |               WHERE ${duckDot("a.v", "b2.v")} / (a.nrm * b2.nrm) >= $TriThreshold),
+       |     dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+       |            FROM (SELECT unnest([u, w]) AS node FROM edges) GROUP BY 1),
+       |     nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM dg),
+       |     s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+       |                  CAST(sum(a.deg * c.deg) AS BIGINT) AS sjk,
+       |                  CAST(sum(a.deg + c.deg) AS BIGINT) AS sj,
+       |                  CAST(sum(a.deg * a.deg + c.deg * c.deg) AS BIGINT) AS sjj
+       |           FROM edges JOIN dg a ON edges.u = a.node
+       |                      JOIN dg c ON edges.w = c.node)
+       |SELECT n_nodes, m AS n_edges,
+       |       ${duckRound4("CAST(4 * m * sjk - sj * sj AS DOUBLE) / CAST(2 * m * sjj - sj * sj AS DOUBLE)")} AS assortativity
+       |FROM s CROSS JOIN nn""".stripMargin
+
   // ---------- 13b. q_truss_support: k-truss support census + peel kernel ----------
 
   /** Per-edge triangle support of an id-oriented edge list (`u` < `w`)
@@ -4065,6 +4130,7 @@ object VectorQueries {
     "q_dbscan_clusters" -> (dbscanClusters _),
     "q_kmeans_refine" -> (kmeansRefine _),
     "q_triangle_count" -> (triangleCount _),
+    "q_assortativity" -> (assortativity _),
     "q_truss_support" -> (trussSupport _),
     "q_link_pred" -> (linkPred _),
     "q_calibration" -> (calibration _),
@@ -4117,6 +4183,7 @@ object VectorQueries {
     "q_dbscan_clusters" -> sqlDbscanClusters,
     "q_kmeans_refine" -> sqlKmeansRefine,
     "q_triangle_count" -> sqlTriangleCount,
+    "q_assortativity" -> sqlAssortativity,
     "q_truss_support" -> sqlTrussSupport,
     "q_link_pred" -> sqlLinkPred,
     "q_calibration" -> sqlCalibration,

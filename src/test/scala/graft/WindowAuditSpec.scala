@@ -26,6 +26,7 @@ class WindowAuditSpec extends SparkSpec {
     */
   private val sanctioned: Set[String] = Set(
     "q_bm25",            // vocab-grain idf rank
+    "q_changepoint",     // day-grain cumulative + struct-min argmax (calendar-bounded)
     "q_cusum_drift",     // day-grain series (calendar-bounded)
     "q_date_dim",        // dense date surrogate (SurrogateKeys.dense, bounded dim)
     "q_dict_encode",     // vocab-grain code assignment
@@ -45,6 +46,7 @@ class WindowAuditSpec extends SparkSpec {
     "q_ranker_overlap",  // two-phase top-k: global rank sees <= 8k rows (round-13)
     "q_rbo",             // same two-phase top-k lists as q_ranker_overlap (round-14)
     "q_rrf_fusion",      // per-probe fused rank over capped candidates
+    "q_runs_test",       // day-grain sign lag (calendar-bounded)
     "q_running_total",   // month-grain running total (calendar)
     "q_sql_lag",         // month-grain SQL-surface lag
     "q_sql_monthly",     // month-grain SQL-surface trend
