@@ -1429,6 +1429,74 @@ object EtlQueries {
        |FROM l JOIN t ON l.event_type = t.event_type
        |GROUP BY l.event_type, t.n_rows ORDER BY l.event_type""".stripMargin
 
+  // ---------- q_merge_matrix: full four-clause MERGE semantics ----------
+
+  /** The complete MERGE clause matrix as a queryable operator — the
+    * modern lakehouse `MERGE INTO` contract ([[Merge.upsert]] gates
+    * the two-clause upsert; this adds the DELETE arms, including
+    * Spark 4 / Delta's `WHEN NOT MATCHED BY SOURCE`, the "sync table
+    * to feed" clause):
+    *   - matched,     source balance < 0  → DELETE (purge on signal)
+    *   - matched,     otherwise           → UPDATE (take source value)
+    *   - not matched (source-only)        → INSERT
+    *   - not matched BY SOURCE, stale flag→ DELETE (sweep unrefreshed)
+    * Target/source are deterministic residue-class slices of the
+    * customer table (target: even custkey with shifted balance;
+    * source: custkey % 3 = 0 with the raw balance) so every clause
+    * fires. The gate hashes the merged table's per-(custkey % 5)
+    * row counts and exact balance-cent mass plus a key checksum —
+    * any clause mis-fire moves a count or the checksum.
+    *
+    * Shape: ONE full-outer equi-join on the key + codegen'd clause
+    * CASE — the canonical distributed MERGE execution (what Delta/
+    * Iceberg plan under the hood): no per-key window, no skew beyond
+    * the key join, linear at 100 TB. The oracle replays the same
+    * relational algebra in ANSI SQL.
+    */
+  def mergeMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("k"),
+        floor(col("c_acctbal") * 100.0 + 0.5).cast("long").as("balc"))
+    val target = cust.filter(col("k") % 2 === 0)
+      .select(col("k"), (col("balc") + 5000L).as("t_balc"))
+    val source = cust.filter(col("k") % 3 === 0)
+      .select(col("k").as("sk"), col("balc").as("s_balc"))
+    val merged = target.join(source, col("k") === col("sk"), "full_outer")
+      .select(
+        coalesce(col("k"), col("sk")).as("key"),
+        when(col("k").isNotNull && col("sk").isNotNull,
+          when(col("s_balc") < 0, lit(null).cast("long"))      // matched-delete
+            .otherwise(col("s_balc")))                          // matched-update
+          .when(col("k").isNull, col("s_balc"))                 // insert
+          .otherwise(                                           // not matched by source
+            when(col("t_balc") < 0, lit(null).cast("long"))     //   stale-delete
+              .otherwise(col("t_balc"))).as("bal"))             //   keep
+      .filter(col("bal").isNotNull)
+    merged.groupBy((col("key") % 5).as("key_mod"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("bal")).as("bal_cents"),
+        sum(col("key")).as("key_checksum"))
+      .orderBy("key_mod")
+  }
+
+  private val sqlMergeMatrix =
+    """WITH cust AS (SELECT c_custkey AS k,
+      |                     CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS balc
+      |              FROM customer),
+      |     t AS (SELECT k, balc + 5000 AS t_balc FROM cust WHERE k % 2 = 0),
+      |     s AS (SELECT k AS sk, balc AS s_balc FROM cust WHERE k % 3 = 0),
+      |     m AS (SELECT COALESCE(k, sk) AS key,
+      |                  CASE WHEN k IS NOT NULL AND sk IS NOT NULL THEN
+      |                         CASE WHEN s_balc < 0 THEN NULL ELSE s_balc END
+      |                       WHEN k IS NULL THEN s_balc
+      |                       ELSE CASE WHEN t_balc < 0 THEN NULL ELSE t_balc END
+      |                  END AS bal
+      |           FROM t FULL OUTER JOIN s ON k = sk)
+      |SELECT key % 5 AS key_mod, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(bal) AS BIGINT) AS bal_cents,
+      |       CAST(sum(key) AS BIGINT) AS key_checksum
+      |FROM m WHERE bal IS NOT NULL
+      |GROUP BY 1 ORDER BY key_mod""".stripMargin
+
   // ---------- q_catalog_stats: ANALYZE … FOR COLUMNS reaches the catalog ----------
 
   /** Cost-based-optimizer statistics THROUGH the catalog, not just
@@ -1690,6 +1758,7 @@ object EtlQueries {
     "q_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "q_py_title" -> (pyTitleAudit _),
     "q_lww_upsert" -> (lwwUpsert _),
+    "q_merge_matrix" -> (mergeMatrix _),
     "q_late_dims" -> (lateDims _),
     "q_bloom_fpr" -> (bloomFpr _),
     "q_pit_join" -> (pitJoin _),
@@ -1729,6 +1798,7 @@ object EtlQueries {
     "q_jsonl_roundtrip" -> sqlJsonlRoundtrip,
     "q_py_title" -> sqlPyTitle,
     "q_lww_upsert" -> sqlLwwUpsert,
+    "q_merge_matrix" -> sqlMergeMatrix,
     "q_late_dims" -> sqlLateDims,
     "q_bloom_fpr" -> sqlBloomFpr,
     "q_pit_join" -> sqlPitJoin,

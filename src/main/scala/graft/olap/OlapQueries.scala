@@ -590,7 +590,91 @@ object OlapQueries {
       |       JOIN customer ON o_custkey = c_custkey
       |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin
 
+  // ---------- q_strat_ate: stratified treatment-effect adjustment ----------
+
+  /** Stratified (exact-matching) average treatment effect of
+    * discounting on line quantity, adjusting for product brand — the
+    * causal step AFTER [[discountUplift]]'s descriptive table and the
+    * constructive answer to `q_simpson_slopes`' warning: the naive
+    * treated-vs-control difference mixes product composition into the
+    * "effect"; stratifying on brand and re-weighting per-stratum
+    * differences by stratum size (Cochran 1968 subclassification,
+    * the identity-matching limit of propensity adjustment) removes
+    * exactly that confounding axis. Emits both the naive and the
+    * adjusted estimate — the gap IS the composition bias.
+    *
+    * Shape: one fact pass to (brand × arm) integer cells (25-bounded),
+    * a 1-row totals broadcast, per-stratum difference terms ROUND6ed
+    * into DECIMAL before the cross-stratum sum (the order-independent
+    * sum rule — 25 doubles in engine order would differ in the last
+    * ulp). Strata missing an arm are EXCLUDED on both sides (no
+    * within-stratum counterfactual), and totals are over kept strata
+    * so naive and adjusted read on the same population. All integer
+    * until the fixed-shape edge divisions.
+    */
+  def stratAte(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+        (col("l_discount") > 0).cast("long").as("t"),
+        col("l_quantity").cast("long").as("qty"))
+    val p = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand"))
+    val cells = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(col("t")).as("n1"), count(lit(1)).as("n"),
+        sum(col("t") * col("qty")).as("s1"), sum(col("qty")).as("s"))
+      .withColumn("n0", col("n") - col("n1"))
+      .withColumn("s0", col("s") - col("s1"))
+      .filter(col("n1") > 0 && col("n0") > 0)
+    val tot = cells.agg(count(lit(1)).as("kb"), sum(col("n1")).as("nt1"),
+      sum(col("n0")).as("nt0"), sum(col("s1")).as("st1"),
+      sum(col("s0")).as("st0"), sum(col("n")).as("nn"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val term = d(col("n")) / d(col("nn")) *
+      (d(col("s1")) / d(col("n1")) - d(col("s0")) / d(col("n0")))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("t6",
+        (floor(term * 1000000.0 + 0.5) / 1000000.0).cast("decimal(28,6)"))
+      .groupBy("kb", "nt1", "nt0", "st1", "st0")
+      .agg(sum(col("t6")).as("ate6"))
+      .select(col("kb").as("n_strata"),
+        col("nt1").as("n_treated"), col("nt0").as("n_control"),
+        graft.text.TextFns.round4(
+          d(col("st1")) / d(col("nt1")) - d(col("st0")) / d(col("nt0")))
+          .as("naive_diff"),
+        graft.text.TextFns.round4(col("ate6").cast("double")).as("strat_ate"))
+  }
+
+  private val sqlStratAte = {
+    val term = "(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) * " +
+      "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)))"
+    s"""WITH li AS (SELECT l_partkey, CASE WHEN l_discount > 0 THEN 1 ELSE 0 END AS t,
+       |                   CAST(l_quantity AS BIGINT) AS qty
+       |            FROM lineitem),
+       |     cells0 AS (SELECT p_brand AS brand, CAST(sum(t) AS BIGINT) AS n1,
+       |                       CAST(count(*) AS BIGINT) AS n,
+       |                       CAST(sum(t * qty) AS BIGINT) AS s1,
+       |                       CAST(sum(qty) AS BIGINT) AS s
+       |                FROM li JOIN part ON l_partkey = p_partkey GROUP BY 1),
+       |     cells AS (SELECT brand, n1, n, s1, s, n - n1 AS n0, s - s1 AS s0
+       |               FROM cells0 WHERE n1 > 0 AND n - n1 > 0),
+       |     tot AS (SELECT CAST(count(*) AS BIGINT) AS kb, CAST(sum(n1) AS BIGINT) AS nt1,
+       |                    CAST(sum(n0) AS BIGINT) AS nt0, CAST(sum(s1) AS BIGINT) AS st1,
+       |                    CAST(sum(s0) AS BIGINT) AS st0, CAST(sum(n) AS BIGINT) AS nn
+       |             FROM cells),
+       |     a AS (SELECT kb, nt1, nt0, st1, st0,
+       |                  sum(CAST(floor($term * 1000000.0 + 0.5) / 1000000.0
+       |                        AS DECIMAL(28,6))) AS ate6
+       |           FROM cells CROSS JOIN tot
+       |           GROUP BY 1, 2, 3, 4, 5)
+       |SELECT kb AS n_strata, nt1 AS n_treated, nt0 AS n_control,
+       |       ${graft.text.TextFns.duckRound4(
+                  "CAST(st1 AS DOUBLE) / CAST(nt1 AS DOUBLE) - CAST(st0 AS DOUBLE) / CAST(nt0 AS DOUBLE)")} AS naive_diff,
+       |       ${graft.text.TextFns.duckRound4("CAST(ate6 AS DOUBLE)")} AS strat_ate
+       |FROM a""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_strat_ate" -> (stratAte _),
     "q_big_orders" -> (bigOrders _),
     "q_sql_surface" -> (sqlSurface _),
     "q_discount_uplift" -> (discountUplift _),
@@ -609,6 +693,7 @@ object OlapQueries {
     "q_setops" -> (setOps _))
 
   val oracle: Map[String, String] = Map(
+    "q_strat_ate" -> sqlStratAte,
     "q_big_orders" -> sqlBigOrders,
     "q_sql_surface" -> sharedSql,
     "q_discount_uplift" -> sqlDiscountUplift,

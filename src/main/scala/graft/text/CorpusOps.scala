@@ -1474,7 +1474,108 @@ object CorpusOps {
        |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin
   }
 
+  // ---------- q_burrows_delta: stylometric distance between sources ----------
+
+  /** Burrows's Delta between source pairs (Burrows 2002, the standard
+    * stylometric attribution distance): z-score each source's
+    * per-mille rate of the M most frequent terms against the
+    * cross-source distribution, then Delta(s,s') = mean |z_s − z_s'|
+    * over those terms. Low Delta = same "authorial fingerprint" — in
+    * a training corpus, the pair of crawl slices that are the same
+    * template/generator wearing two source labels (the provenance
+    * cousin of `q_source_overlap`'s document-level containment).
+    *
+    * Shape: (source × term) counts densified against the bounded
+    * (sources × top-M) grid, term-grain moment rows, then the bounded
+    * pair join — all dim-cardinality after the one linear token pass.
+    * Parity: per-mille rates are ROUND6ed into DECIMAL at the cell
+    * (exact moments thereafter), the top-M cut ranks integer corpus
+    * counts with a term tie-break, zero-variance terms are excluded
+    * by an EXACT decimal test, each |z − z'| lands in the pair mean
+    * only after round6 (bounded-k double-sum rule), one rounded edge.
+    */
+  def burrowsDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val M = 20
+    val terms = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("source"), explode_outer(col("ts")).as("term"))
+      .filter(col("term").isNotNull)
+    val st = terms.groupBy("source", "term").agg(count(lit(1)).as("a"))
+    val srcTot = terms.groupBy("source").agg(count(lit(1)).as("sa"))
+    val topM = terms.groupBy("term").agg(count(lit(1)).as("ab"))
+      .orderBy(col("ab").desc, col("term")).limit(M).select("term")
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    // densified (source × top-M) rate cells: absent terms are REAL
+    // zero-rate observations, not missing rows
+    val cells = srcTot.crossJoin(broadcast(topM))
+      .join(st, Seq("source", "term"), "left")
+      .withColumn("f6",
+        (floor(lit(1000.0) * coalesce(dd(col("a")), lit(0.0)) / dd(col("sa"))
+          * 1000000.0 + 0.5) / 1000000.0).cast("decimal(18,6)"))
+    val tstats = cells.groupBy("term")
+      .agg(count(lit(1)).as("k"), sum(col("f6")).as("sf"),
+        sum(col("f6") * col("f6")).as("sff"))
+      // zero-variance screen on the DOUBLE variance: its inputs are
+      // exact DECIMAL moments, so the fixed-shape double is
+      // bit-identical across engines and the > 0 compare is too
+      .withColumn("vr", (dd(col("sff")) - dd(col("sf")) * dd(col("sf"))
+        / dd(col("k"))) / dd(col("k")))
+      .filter(col("vr") > 0.0)
+      .withColumn("mu", dd(col("sf")) / dd(col("k")))
+      .withColumn("sg", sqrt(col("vr")))
+    val z = cells.join(broadcast(tstats.select("term", "mu", "sg")), "term")
+      .select(col("term"), col("source"),
+        ((dd(col("f6")) - col("mu")) / col("sg")).as("z"))
+    z.as("x").join(z.as("y"),
+        col("x.term") === col("y.term") && col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+        (floor(abs(col("x.z") - col("y.z")) * 1000000.0 + 0.5) / 1000000.0)
+          .cast("decimal(28,6)").as("d6"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_terms"), sum(col("d6")).as("ds"))
+      .select(col("source_a"), col("source_b"), col("n_terms"),
+        TextFns.round4(col("ds").cast("double") / col("n_terms").cast("double"))
+          .as("delta"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private val sqlBurrowsDelta = {
+    val f6 = "CAST(floor(1000.0 * COALESCE(CAST(a AS DOUBLE), 0.0) / CAST(sa AS DOUBLE) " +
+      "* 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))"
+    s"""WITH t AS (SELECT source, $duckTokens AS ts FROM documents),
+       |     terms AS (SELECT source, unnest(ts) AS term FROM t),
+       |     st AS (SELECT source, term, count(*) AS a FROM terms GROUP BY 1, 2),
+       |     stot AS (SELECT source, count(*) AS sa FROM terms GROUP BY 1),
+       |     topm AS (SELECT term FROM (SELECT term, count(*) AS ab FROM terms GROUP BY 1)
+       |              ORDER BY ab DESC, term LIMIT 20),
+       |     cells AS (SELECT stot.source, topm.term, $f6 AS f6
+       |               FROM stot CROSS JOIN topm
+       |               LEFT JOIN st ON st.source = stot.source AND st.term = topm.term),
+       |     ts2 AS (SELECT term, CAST(count(*) AS BIGINT) AS k,
+       |                    sum(f6) AS sf, sum(f6 * f6) AS sff
+       |             FROM cells GROUP BY 1),
+       |     tv AS (SELECT term, k, sf,
+       |                   (CAST(sff AS DOUBLE) - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE)
+       |                     / CAST(k AS DOUBLE)) / CAST(k AS DOUBLE) AS vr
+       |            FROM ts2),
+       |     tstats AS (SELECT term,
+       |                       CAST(sf AS DOUBLE) / CAST(k AS DOUBLE) AS mu,
+       |                       sqrt(vr) AS sg
+       |                FROM tv WHERE vr > 0.0),
+       |     z AS (SELECT cells.term, source,
+       |                  (CAST(f6 AS DOUBLE) - mu) / sg AS z
+       |           FROM cells JOIN tstats ON cells.term = tstats.term),
+       |     pr AS (SELECT x.source AS source_a, y.source AS source_b,
+       |                   CAST(floor(abs(x.z - y.z) * 1000000.0 + 0.5) / 1000000.0
+       |                     AS DECIMAL(28,6)) AS d6
+       |            FROM z x JOIN z y ON x.term = y.term AND x.source < y.source)
+       |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_terms,
+       |       ${TextFns.duckRound4("CAST(sum(d6) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS delta
+       |FROM pr GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_burrows_delta" -> (burrowsDelta _),
     "q_good_turing" -> (goodTuring _),
     "q_keyness" -> (keyness _),
     "q_prf_expand" -> (prfExpand _),
@@ -1496,6 +1597,7 @@ object CorpusOps {
     "q_temperature_mix" -> (temperatureMix _))
 
   val oracle: Map[String, String] = Map(
+    "q_burrows_delta" -> sqlBurrowsDelta,
     "q_good_turing" -> sqlGoodTuring,
     "q_keyness" -> sqlKeyness,
     "q_prf_expand" -> sqlPrfExpand,
