@@ -1094,6 +1094,7 @@ object Analytics {
     "q_cusum_drift" -> (cusumDrift _),
     "q_changepoint" -> (changepoint _),
     "q_runs_test" -> (runsTest _),
+    "q_median_polish" -> (medianPolish _),
     "q_order_cycle_time" -> (orderCycleTime _),
     "q_rolling_median" -> (rollingMedian _),
     "q_rfm" -> (rfm _))
@@ -1181,6 +1182,87 @@ object Analytics {
        |       ${r4("(CAST(tc AS DOUBLE) - CAST((p).s AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST((p).t AS DOUBLE)) / 100.0")} AS mean_right,
        |       CAST(-(p).a AS DOUBLE) / 100000000.0 AS gain_frac
        |FROM pick CROSS JOIN tot""".stripMargin
+  }
+
+  // ---------- q_median_polish: Tukey two-way robust decomposition ----------
+
+  /** Tukey's median polish (EDA 1977) on the month × market-segment
+    * mean-order-value table: two full row/column sweeps peel robust
+    * MONTH effects and SEGMENT effects off the grid by medians —
+    * where a mean-based two-way decomposition (ANOVA's) lets one
+    * outlier month poison a segment effect, the median sweep does
+    * not. Emits each segment's polished effect plus its mean
+    * absolute residual — the "is segment pricing additive in time"
+    * readout, and the robust complement to [[seasonalIndex]]'s
+    * ratio-to-average table.
+    *
+    * Shape: one fact pass to the bounded (month × segment) grid
+    * (≤ 84×5 cells), then four bounded-grain percentile aggregates
+    * (row sweep, column sweep, ×2) joined back broadcast — all
+    * calendar/dim cardinality after the first aggregate. Parity:
+    * cell means are round6ed doubles of exact DECIMAL cents (both
+    * engines see identical cells), medians are exact `percentile` ≡
+    * `quantile_cont`, subtraction chains run in one literal order,
+    * and the residual summary stages |r| through round6-DECIMAL
+    * before its cross-month sum.
+    */
+  def medianPolish(spark: SparkSession, sfDir: String): DataFrame = {
+    def r6(c: Column): Column = floor(c * 1000000.0 + 0.5) / 1000000.0
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val cells = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+        col("c_mktsegment").as("seg"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("cc"),
+        count(lit(1)).as("n"))
+      .select(col("m"), col("seg"),
+        r6(col("cc").cast("double") / 100.0 / col("n").cast("double")).as("x"))
+      .localCheckpoint(true) // staged: four sweep joins read the grid
+    def rowSweep(df: DataFrame, xc: String, out: String): DataFrame = {
+      val rm = df.groupBy("m").agg(expr(s"percentile($xc, 0.5)").as("rm"))
+      df.join(broadcast(rm), "m").withColumn(out, col(xc) - col("rm")).drop("rm")
+    }
+    def colSweep(df: DataFrame, xc: String, out: String, eff: String): DataFrame = {
+      val cm = df.groupBy("seg").agg(expr(s"percentile($xc, 0.5)").as(eff))
+      df.join(broadcast(cm), "seg").withColumn(out, col(xc) - col(eff))
+    }
+    val s1 = colSweep(rowSweep(cells, "x", "x1"), "x1", "x2", "cm1")
+    val s2 = colSweep(rowSweep(s1, "x2", "x3"), "x3", "x4", "cm2")
+    s2.withColumn("ar6", r6(abs(col("x4"))).cast("decimal(28,6)"))
+      .groupBy("seg", "cm1", "cm2")
+      .agg(count(lit(1)).as("n_months"), sum(col("ar6")).as("ars"))
+      .select(col("seg"), col("n_months"),
+        graft.text.TextFns.round4(col("cm1") + col("cm2")).as("seg_effect"),
+        graft.text.TextFns.round4(
+          col("ars").cast("double") / col("n_months").cast("double"))
+          .as("mean_abs_resid"))
+      .orderBy("seg")
+  }
+
+  private val sqlMedianPolish = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    s"""WITH cells AS (SELECT strftime(o_orderdate, '%Y-%m') AS m, c_mktsegment AS seg,
+       |                      floor(CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |                        / 100.0 / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS x
+       |               FROM orders JOIN customer ON o_custkey = c_custkey
+       |               GROUP BY 1, 2),
+       |     r1 AS (SELECT m, quantile_cont(x, 0.5) AS rm FROM cells GROUP BY 1),
+       |     a1 AS (SELECT cells.m, seg, x - rm AS x1 FROM cells JOIN r1 ON cells.m = r1.m),
+       |     c1 AS (SELECT seg, quantile_cont(x1, 0.5) AS cm1 FROM a1 GROUP BY 1),
+       |     a2 AS (SELECT m, a1.seg, cm1, x1 - cm1 AS x2 FROM a1 JOIN c1 ON a1.seg = c1.seg),
+       |     r2 AS (SELECT m, quantile_cont(x2, 0.5) AS rm2 FROM a2 GROUP BY 1),
+       |     a3 AS (SELECT a2.m, seg, cm1, x2 - rm2 AS x3 FROM a2 JOIN r2 ON a2.m = r2.m),
+       |     c2 AS (SELECT seg, quantile_cont(x3, 0.5) AS cm2 FROM a3 GROUP BY 1),
+       |     a4 AS (SELECT m, a3.seg, cm1, a3cm2.cm2, x3 - a3cm2.cm2 AS x4
+       |            FROM a3 JOIN c2 a3cm2 ON a3.seg = a3cm2.seg),
+       |     f AS (SELECT seg, cm1, cm2, CAST(count(*) AS BIGINT) AS n_months,
+       |                  sum(CAST(floor(abs(x4) * 1000000.0 + 0.5) / 1000000.0
+       |                        AS DECIMAL(28,6))) AS ars
+       |           FROM a4 GROUP BY 1, 2, 3)
+       |SELECT seg, n_months,
+       |       ${r4("cm1 + cm2")} AS seg_effect,
+       |       ${r4("CAST(ars AS DOUBLE) / CAST(n_months AS DOUBLE)")} AS mean_abs_resid
+       |FROM f ORDER BY seg""".stripMargin
   }
 
   // ---------- q_runs_test: Wald-Wolfowitz randomness of the daily series ----------
@@ -1493,6 +1575,7 @@ object Analytics {
     "q_cusum_drift" -> sqlCusumDrift,
     "q_changepoint" -> sqlChangepoint,
     "q_runs_test" -> sqlRunsTest,
+    "q_median_polish" -> sqlMedianPolish,
     "q_order_cycle_time" -> sqlOrderCycleTime,
     "q_rolling_median" -> sqlRollingMedian,
     "q_rfm" -> sqlRfm,

@@ -1574,7 +1574,89 @@ object CorpusOps {
        |FROM pr GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
   }
 
+  // ---------- q_boot_ci: percentile bootstrap confidence interval ----------
+
+  /** Percentile bootstrap CI on the corpus mean quality — the
+    * INTERVAL companion to [[poissonBoot]]'s standard error (Efron's
+    * percentile method: the [2.5%, 97.5%] quantiles of the replicate
+    * means ARE the interval, no normality assumption): identical
+    * deterministic Poisson(1) LCG multiplier kernel (same constants,
+    * same B = [[BootReps]], so the two queries gate the SAME replicate
+    * distribution two ways), finished with one exact `percentile` ≡
+    * `quantile_cont` pair over the B replicate means — the verified
+    * bit-identical interpolation, over round6ed values.
+    *
+    * Shape: one doc-grain scan × B in-row fan-out, a B-row percentile
+    * — the one-pass 100 TB bootstrap with an error BAND instead of a
+    * bar.
+    */
+  def bootCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val r6 = (c: org.apache.spark.sql.Column) =>
+      floor(c * 1000000.0 + 0.5) / 1000000.0
+    val scored = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("doc_id"),
+        floor(TextFns.qualityScore(col("text"), col("ts")) * 1000000.0 + 0.5)
+          .cast("decimal(28,0)").as("qm"))
+    val w = when(col("u") < 368, 0L).when(col("u") < 736, 1L)
+      .when(col("u") < 920, 2L).when(col("u") < 981, 3L).otherwise(4L)
+    val reps = scored
+      .select(col("doc_id"), col("qm"),
+        explode_outer(sequence(lit(1L), lit(BootReps.toLong))).as("b"))
+      .withColumn("u0", pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L)
+        + col("b") * lit(40503L))
+      .withColumn("u", pmod(expr("u0 div 65536"), lit(1000L)))
+      .withColumn("w", w)
+      .groupBy("b")
+      .agg(sum(col("qm") * col("w").cast("decimal(10,0)")).as("swq"),
+        sum(col("w")).as("sw"))
+      .withColumn("m6", r6(col("swq").cast("double") / 1000000.0 /
+        col("sw").cast("double")))
+    reps.agg(count(lit(1)).as("n_replicates"),
+        sum(col("m6").cast("decimal(28,6)")).as("ms"),
+        expr("percentile(m6, 0.025)").as("lo"),
+        expr("percentile(m6, 0.975)").as("hi"))
+      .select(col("n_replicates"),
+        TextFns.round4(col("ms").cast("double")
+          / col("n_replicates").cast("double")).as("boot_mean"),
+        TextFns.round4(col("lo")).as("ci_lo"),
+        TextFns.round4(col("hi")).as("ci_hi"))
+  }
+
+  private val sqlBootCi = {
+    val q = TextQueries.duckQuality
+    s"""WITH t AS (SELECT doc_id, source, text, $duckTokens AS ts FROM documents),
+       |     d AS (SELECT doc_id,
+       |             CAST(floor(($q) * 1000000.0 + 0.5) AS DECIMAL(28,0)) AS qm
+       |           FROM t),
+       |     reps AS (SELECT doc_id, qm, unnest(range(1, ${BootReps + 1})) AS b FROM d),
+       |     wt AS (SELECT b, qm,
+       |              (((doc_id % 1000003) * 2654435761 + b * 40503) // 65536) % 1000 AS u
+       |            FROM reps),
+       |     ww AS (SELECT b, qm,
+       |              CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1
+       |                   WHEN u < 920 THEN 2 WHEN u < 981 THEN 3 ELSE 4 END AS w
+       |            FROM wt),
+       |     rm AS (SELECT b,
+       |              CAST(floor(CAST(sum(qm * CAST(w AS DECIMAL(10,0))) AS DOUBLE)
+       |                / 1000000.0 / CAST(sum(w) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+       |                / 1000000.0 AS m6
+       |            FROM ww GROUP BY b),
+       |     a AS (SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+       |                  CAST(sum(CAST(m6 AS DECIMAL(28,6))) AS DOUBLE)
+       |                    / CAST(count(*) AS DOUBLE) AS mb,
+       |                  quantile_cont(m6, 0.025) AS lo,
+       |                  quantile_cont(m6, 0.975) AS hi
+       |           FROM rm)
+       |SELECT n_replicates,
+       |       ${TextFns.duckRound4("mb")} AS boot_mean,
+       |       ${TextFns.duckRound4("lo")} AS ci_lo,
+       |       ${TextFns.duckRound4("hi")} AS ci_hi
+       |FROM a""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_boot_ci" -> (bootCi _),
     "q_burrows_delta" -> (burrowsDelta _),
     "q_good_turing" -> (goodTuring _),
     "q_keyness" -> (keyness _),
@@ -1597,6 +1679,7 @@ object CorpusOps {
     "q_temperature_mix" -> (temperatureMix _))
 
   val oracle: Map[String, String] = Map(
+    "q_boot_ci" -> sqlBootCi,
     "q_burrows_delta" -> sqlBurrowsDelta,
     "q_good_turing" -> sqlGoodTuring,
     "q_keyness" -> sqlKeyness,

@@ -389,6 +389,74 @@ object TextAnalytics {
        |FROM alld JOIN kept ON alld.source = kept.source
        |ORDER BY alld.source""".stripMargin
 
+  // ---------- q_gen_ladder: k-anonymity generalization ladder ----------
+
+  /** Generalization ladder for the [[kanon]] release decision
+    * (Sweeney's domain-generalization hierarchy): the SAME
+    * quasi-identifier audited at three coarsening levels — L0
+    * nation × segment × $1k band, L1 nation × segment × $5k band,
+    * L2 segment × $10k band — reporting per level the class count
+    * (the utility proxy: more classes = more analytic resolution),
+    * the smallest class, and the k=5 violation mass. The release
+    * review picks the FIRST level whose risk clears policy; kanon
+    * says whether a level passes, this says which level to publish.
+    *
+    * Shape: ONE customer scan fanned to (level, class-key) grain via
+    * a 3-element literal explode, one hash aggregate, one bounded
+    * per-level rollup. All integer; one rounded share.
+    */
+  def genLadder(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val lv = array(
+      struct(lit(0L).as("lvl"),
+        concat_ws("|", col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0)).as("qi")),
+      struct(lit(1L).as("lvl"),
+        concat_ws("|", col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 5000.0)).as("qi")),
+      struct(lit(2L).as("lvl"),
+        concat_ws("|", col("c_mktsegment"),
+          floor(col("c_acctbal") / 10000.0)).as("qi")))
+    val classes = c
+      .select(explode_outer(lv).as("e"))
+      .select(col("e.lvl").as("lvl"), col("e.qi").as("qi"))
+      .groupBy("lvl", "qi").agg(count(lit(1)).as("sz"))
+    classes.groupBy("lvl")
+      .agg(count(lit(1)).as("n_classes"),
+        min(col("sz")).as("min_class"),
+        sum(col("sz")).as("n_rows"),
+        count(when(col("sz") < 5, lit(1))).as("n_violating_k5"),
+        sum(when(col("sz") < 5, col("sz")).otherwise(lit(0L))).as("rows_at_risk"))
+      .select(col("lvl"), col("n_classes"), col("min_class"),
+        col("n_violating_k5"), col("rows_at_risk"),
+        TextFns.round4(col("rows_at_risk").cast("double")
+          / col("n_rows").cast("double")).as("risk_share"))
+      .orderBy("lvl")
+  }
+
+  private val sqlGenLadder =
+    s"""WITH lv AS (
+       |  SELECT 0 AS lvl, CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment || '|'
+       |           || CAST(floor(c_acctbal / 1000.0) AS VARCHAR) AS qi FROM customer
+       |  UNION ALL
+       |  SELECT 1, CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment || '|'
+       |           || CAST(floor(c_acctbal / 5000.0) AS VARCHAR) FROM customer
+       |  UNION ALL
+       |  SELECT 2, c_mktsegment || '|'
+       |           || CAST(floor(c_acctbal / 10000.0) AS VARCHAR) FROM customer),
+       |     cls AS (SELECT lvl, qi, CAST(count(*) AS BIGINT) AS sz
+       |             FROM lv GROUP BY 1, 2),
+       |     a AS (SELECT lvl, CAST(count(*) AS BIGINT) AS n_classes,
+       |                  CAST(min(sz) AS BIGINT) AS min_class,
+       |                  CAST(sum(sz) AS BIGINT) AS n_rows,
+       |                  CAST(count(CASE WHEN sz < 5 THEN 1 END) AS BIGINT) AS n_violating_k5,
+       |                  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk
+       |           FROM cls GROUP BY 1)
+       |SELECT CAST(lvl AS BIGINT) AS lvl, n_classes, min_class, n_violating_k5, rows_at_risk,
+       |       ${TextFns.duckRound4(
+                 "CAST(rows_at_risk AS DOUBLE) / CAST(n_rows AS DOUBLE)")} AS risk_share
+       |FROM a ORDER BY lvl""".stripMargin
+
   // ---------- q_kanon: k-anonymity audit ----------
 
   private val KThresholds = Seq(2L, 5L, 10L)
@@ -1058,6 +1126,7 @@ object TextAnalytics {
     "q_bow_classify" -> (bowClassify _),
     "q_neyman_alloc" -> (neymanAlloc _),
     "q_kanon" -> (kanon _),
+    "q_gen_ladder" -> (genLadder _),
     "q_l_diversity" -> (lDiversity _),
     "q_cross_entropy" -> (crossEntropy _),
     "q_tfidf" -> (tfidf _),
@@ -1077,6 +1146,7 @@ object TextAnalytics {
     "q_bow_classify" -> sqlBowClassify,
     "q_neyman_alloc" -> sqlNeymanAlloc,
     "q_kanon" -> sqlKanon,
+    "q_gen_ladder" -> sqlGenLadder,
     "q_l_diversity" -> sqlLDiversity,
     "q_cross_entropy" -> sqlCrossEntropy,
     "q_tfidf" -> sqlTfidf,

@@ -1853,6 +1853,68 @@ object VectorQueries {
        |       ${duckRound4("CAST(4 * m * sjk - sj * sj AS DOUBLE) / CAST(2 * m * sjj - sj * sj AS DOUBLE)")} AS assortativity
        |FROM s CROSS JOIN nn""".stripMargin
 
+  // ---------- 13a''. q_transitivity: global clustering coefficient ----------
+
+  /** Global transitivity of the blocked similarity graph (Newman's
+    * C = 3·triangles / wedges): the one-number closure ratio next to
+    * [[localTriangleStats]]'s per-node view and [[assortativity]]'s
+    * mixing view — how often "A dups B, B dups C" implies "A dups C".
+    * High C = clique-like duplicate families (closure converges in
+    * one hop); low C at high edge count = chained templates (the
+    * drift case where transitive closure RUNS — exactly when
+    * ConnectedComponents' round budget matters).
+    *
+    * Shape: the shared [[collisionEdges]] stage; ONE wedge-join
+    * triangle count over the [[degreeOrient]]ed list (the O(m^1.5)
+    * bound — counts are orientation-invariant, `TriangleSpec`), and
+    * wedges = Σ d(d−1)/2 from the node-grain degree aggregate. All
+    * integer until the single output division.
+    */
+  def transitivity(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = collisionEdges(spark, sfDir)
+    val oriented = degreeOrient(edges).localCheckpoint(true)
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.w") === col("e2.u"))
+      .join(oriented.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.w") === col("e2.w"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = edges
+      .select(explode_outer(array(col("u"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val agg = deg
+      .select(col("deg"), expr("deg * (deg - 1) DIV 2").as("wedges"))
+      .agg(count(lit(1)).as("n_nodes"),
+        expr("sum(deg) DIV 2").as("n_edges"),
+        sum(col("wedges")).as("n_wedges"))
+    agg.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("n_wedges"),
+        round4(lit(3.0) * col("n_triangles").cast("double")
+          / col("n_wedges").cast("double")).as("transitivity"))
+  }
+
+  private val sqlTransitivity =
+    s"""WITH $duckVecs,
+       |     b0 AS (SELECT vec_id, v, nrm, $duckBucket AS bucket FROM e),
+       |     bn0 AS (SELECT bucket, count(*) AS bn FROM b0 GROUP BY bucket),
+       |     b AS (SELECT vec_id, v, nrm, b0.bucket, ${duckBlk("b0.bucket")} AS blk
+       |           FROM b0 JOIN bn0 ON b0.bucket = bn0.bucket),
+       |     edges AS (SELECT a.vec_id AS u, b2.vec_id AS w
+       |               FROM b a JOIN b b2 ON a.blk = b2.blk AND a.vec_id < b2.vec_id
+       |               WHERE ${duckDot("a.v", "b2.v")} / (a.nrm * b2.nrm) >= $TriThreshold),
+       |     tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+       |             FROM edges e1
+       |             JOIN edges e2 ON e1.w = e2.u
+       |             JOIN edges e3 ON e3.u = e1.u AND e3.w = e2.w),
+       |     dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+       |            FROM (SELECT unnest([u, w]) AS node FROM edges) GROUP BY 1),
+       |     a AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |                  CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
+       |                  CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+       |           FROM dg)
+       |SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       |       ${duckRound4("3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)")} AS transitivity
+       |FROM a CROSS JOIN tri""".stripMargin
+
   // ---------- 13b. q_truss_support: k-truss support census + peel kernel ----------
 
   /** Per-edge triangle support of an id-oriented edge list (`u` < `w`)
@@ -4131,6 +4193,7 @@ object VectorQueries {
     "q_kmeans_refine" -> (kmeansRefine _),
     "q_triangle_count" -> (triangleCount _),
     "q_assortativity" -> (assortativity _),
+    "q_transitivity" -> (transitivity _),
     "q_truss_support" -> (trussSupport _),
     "q_link_pred" -> (linkPred _),
     "q_calibration" -> (calibration _),
@@ -4184,6 +4247,7 @@ object VectorQueries {
     "q_kmeans_refine" -> sqlKmeansRefine,
     "q_triangle_count" -> sqlTriangleCount,
     "q_assortativity" -> sqlAssortativity,
+    "q_transitivity" -> sqlTransitivity,
     "q_truss_support" -> sqlTrussSupport,
     "q_link_pred" -> sqlLinkPred,
     "q_calibration" -> sqlCalibration,
