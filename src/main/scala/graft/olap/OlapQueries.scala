@@ -673,7 +673,92 @@ object OlapQueries {
        |FROM a""".stripMargin
   }
 
+  // ---------- q_ipf_rake: iterative proportional fitting (raking) ----------
+
+  /** Survey raking / IPF (Deming & Stephan 1940): calibrate a
+    * deterministic ⅓ sample of orders (o_orderkey % 3 = 0) to the
+    * FULL population's month and segment margins by alternating
+    * proportional sweeps — the weighting step every survey/panel
+    * pipeline runs so a skewed sample reports population-valid
+    * totals, and [[stratAte]]'s generalization from one stratifier
+    * to two. Three sweeps (row, column, row — ending on the month
+    * sweep so the SEGMENT margins still show a residual), then per
+    * segment: the raked mass vs the true margin and the remaining
+    * relative gap (near 0 = converged in 1½ rounds).
+    *
+    * Shape: one sample pass + one population pass to the bounded
+    * (month × segment) grid and its margins, then three broadcast-
+    * join sweeps over dim-grain rows. Parity: every sweep output is
+    * ROUND6ed into DECIMAL before it feeds ANY sum (sweep
+    * denominators and final masses are exact DECIMAL sums —
+    * partition order can never perturb them); the ratio arithmetic
+    * is fixed-shape doubles over those exact values.
+    */
+  def ipfRake(spark: SparkSession, sfDir: String): DataFrame = {
+    def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (floor(c * 1000000.0 + 0.5) / 1000000.0).cast("decimal(28,6)")
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val all = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+        col("c_mktsegment").as("seg"), col("o_orderkey"))
+    val rowMargin = all.groupBy("m").agg(count(lit(1)).as("tm"))
+    val colMargin = all.groupBy("seg").agg(count(lit(1)).as("ts"))
+    val cells = all.filter(col("o_orderkey") % 3 === 0)
+      .groupBy("m", "seg").agg(count(lit(1)).as("c0"))
+    val s1 = cells
+      .join(broadcast(cells.groupBy("m").agg(sum(col("c0")).as("rt0"))), "m")
+      .join(broadcast(rowMargin), "m")
+      .withColumn("c1", r6(dd(col("c0")) * dd(col("tm")) / dd(col("rt0"))))
+    val s2 = s1
+      .join(broadcast(s1.groupBy("seg").agg(sum(col("c1")).as("ct1"))), "seg")
+      .join(broadcast(colMargin), "seg")
+      .withColumn("c2", r6(dd(col("c1")) * dd(col("ts")) / dd(col("ct1"))))
+    val s3 = s2
+      .join(broadcast(s2.groupBy("m").agg(sum(col("c2")).as("rt2"))), "m")
+      .withColumn("c3", r6(dd(col("c2")) * dd(col("tm")) / dd(col("rt2"))))
+    s3.groupBy("seg", "ts")
+      .agg(count(lit(1)).as("n_cells"), sum(col("c3")).as("mass"))
+      .select(col("seg"), col("n_cells"), col("ts").as("target"),
+        graft.text.TextFns.round4(dd(col("mass"))).as("raked_mass"),
+        graft.text.TextFns.round4(
+          (dd(col("mass")) - dd(col("ts"))) / dd(col("ts"))).as("rel_gap"))
+      .orderBy("seg")
+  }
+
+  private val sqlIpfRake = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    def r6(e: String) = s"CAST(floor(($e) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))"
+    s"""WITH al AS (SELECT strftime(o_orderdate, '%Y-%m') AS m, c_mktsegment AS seg,
+       |                   o_orderkey
+       |            FROM orders JOIN customer ON o_custkey = c_custkey),
+       |     rmg AS (SELECT m, CAST(count(*) AS BIGINT) AS tm FROM al GROUP BY 1),
+       |     cmg AS (SELECT seg, CAST(count(*) AS BIGINT) AS ts FROM al GROUP BY 1),
+       |     cells AS (SELECT m, seg, CAST(count(*) AS BIGINT) AS c0
+       |               FROM al WHERE o_orderkey % 3 = 0 GROUP BY 1, 2),
+       |     rt0 AS (SELECT m, sum(c0) AS rt0 FROM cells GROUP BY 1),
+       |     s1 AS (SELECT cells.m, seg,
+       |                   ${r6("CAST(c0 AS DOUBLE) * CAST(tm AS DOUBLE) / CAST(rt0 AS DOUBLE)")} AS c1
+       |            FROM cells JOIN rt0 ON cells.m = rt0.m JOIN rmg ON cells.m = rmg.m),
+       |     ct1 AS (SELECT seg, sum(c1) AS ct1 FROM s1 GROUP BY 1),
+       |     s2 AS (SELECT m, s1.seg,
+       |                   ${r6("CAST(c1 AS DOUBLE) * CAST(ts AS DOUBLE) / CAST(ct1 AS DOUBLE)")} AS c2
+       |            FROM s1 JOIN ct1 ON s1.seg = ct1.seg JOIN cmg ON s1.seg = cmg.seg),
+       |     rt2 AS (SELECT m, sum(c2) AS rt2 FROM s2 GROUP BY 1),
+       |     s3 AS (SELECT s2.m, seg,
+       |                   ${r6("CAST(c2 AS DOUBLE) * CAST(tm AS DOUBLE) / CAST(rt2 AS DOUBLE)")} AS c3
+       |            FROM s2 JOIN rt2 ON s2.m = rt2.m JOIN rmg ON s2.m = rmg.m),
+       |     f AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_cells, sum(c3) AS mass
+       |           FROM s3 GROUP BY 1)
+       |SELECT f.seg, n_cells, ts AS target,
+       |       ${r4("CAST(mass AS DOUBLE)")} AS raked_mass,
+       |       ${r4("(CAST(mass AS DOUBLE) - CAST(ts AS DOUBLE)) / CAST(ts AS DOUBLE)")} AS rel_gap
+       |FROM f JOIN cmg ON f.seg = cmg.seg ORDER BY f.seg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ipf_rake" -> (ipfRake _),
     "q_strat_ate" -> (stratAte _),
     "q_big_orders" -> (bigOrders _),
     "q_sql_surface" -> (sqlSurface _),
@@ -693,6 +778,7 @@ object OlapQueries {
     "q_setops" -> (setOps _))
 
   val oracle: Map[String, String] = Map(
+    "q_ipf_rake" -> sqlIpfRake,
     "q_strat_ate" -> sqlStratAte,
     "q_big_orders" -> sqlBigOrders,
     "q_sql_surface" -> sharedSql,

@@ -2664,6 +2664,56 @@ object TextQueries {
        |ORDER BY lang""".stripMargin
   }
 
+  // ---------- 5b³. q_lang_confusion: full confusion matrix ----------
+
+  /** The full label × prediction confusion MATRIX of the lexicon
+    * language classifier — the table behind every summary the eval
+    * ladder already gates ([[langAgreement]]'s P/R/F1 are its
+    * margins, [[cohensKappa]]/[[mccGate]] its contractions): which
+    * languages the classifier confuses WITH which, the routing table
+    * a curation team reads before trusting per-language quotas.
+    * Zero cells are omitted (sparse form); row shares are exact
+    * rationals of the emitted integer counts.
+    *
+    * Shape: the shared [[langPreds]] kernel → one bounded ≤25-cell
+    * contingency aggregate + a broadcast row-margin join. All
+    * dim-sized after the doc-grain election.
+    */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = langPreds(spark, sfDir)
+      .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy("lang").agg(sum(col("n")).as("nt"))
+    cells.join(broadcast(rows), "lang")
+      .select(col("lang"), col("pred"), col("n"),
+        TextFns.round4(col("n").cast("double") / col("nt").cast("double"))
+          .as("row_share"))
+      .orderBy("lang", "pred")
+  }
+
+  private val sqlLangConfusion = {
+    val langs = TextFns.langMarkers.keys.toSeq.sorted
+    val hitSel = langs.map { l =>
+      val lex = TextFns.langMarkers(l).map(s => s"'$s'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(ts, t -> list_contains($lex, t))) AS BIGINT) AS hits_$l"
+    }.mkString(", ")
+    val structs = langs.zipWithIndex
+      .map { case (l, i) => s"{'hits': hits_$l, 'nrank': ${-i}}" }
+      .mkString("[", ", ", "]")
+    val langList = langs.map(l => s"'$l'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, lang, $duckTokens AS ts FROM documents),
+       |     h AS (SELECT doc_id, lang, $hitSel FROM t),
+       |     u AS (SELECT doc_id, lang, unnest($structs) AS s FROM h),
+       |     b AS (SELECT doc_id, lang, max(s) AS bs FROM u GROUP BY 1, 2),
+       |     p AS (SELECT lang, ($langList)[CAST(-bs.nrank AS INT) + 1] AS pred FROM b),
+       |     cells AS (SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
+       |               FROM p GROUP BY 1, 2),
+       |     r AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nt FROM cells GROUP BY 1)
+       |SELECT cells.lang, pred, n,
+       |       ${TextFns.duckRound4("CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)")} AS row_share
+       |FROM cells JOIN r ON cells.lang = r.lang
+       |ORDER BY cells.lang, pred""".stripMargin
+  }
+
   // ---------- 5c. q_cohens_kappa: chance-corrected agreement ----------
 
   /** Cohen's κ between the lexicon classifier and the labeled
@@ -3842,6 +3892,7 @@ object TextQueries {
     "q_containment" -> (containment _),
     "q_lang_id" -> (langId _),
     "q_lang_agreement" -> (langAgreement _),
+    "q_lang_confusion" -> (langConfusion _),
     "q_cohens_kappa" -> (cohensKappa _),
     "q_mcnemar" -> (mcnemar _),
     "q_fleiss_kappa" -> (fleissKappa _),
@@ -3899,6 +3950,7 @@ object TextQueries {
     "q_containment" -> sqlContainment,
     "q_lang_id" -> sqlLangId,
     "q_lang_agreement" -> sqlLangAgreement,
+    "q_lang_confusion" -> sqlLangConfusion,
     "q_mcnemar" -> sqlMcnemar,
     "q_fleiss_kappa" -> sqlFleissKappa,
     "q_split_leakage" -> sqlSplitLeakage,

@@ -1853,6 +1853,68 @@ object VectorQueries {
        |       ${duckRound4("CAST(4 * m * sjk - sj * sj AS DOUBLE) / CAST(2 * m * sjj - sj * sj AS DOUBLE)")} AS assortativity
        |FROM s CROSS JOIN nn""".stripMargin
 
+  // ---------- 13a'''. q_degree_hist: log-binned degree distribution ----------
+
+  /** Log₂-binned degree distribution of the blocked similarity graph
+    * — the heavy-tail check beside [[assortativity]] (mixing) and
+    * [[transitivity]] (closure): a straight line in (bin, log count)
+    * is the power-law signature that predicts hub-dominated dedup
+    * graphs (where the [[degreeOrient]]/RaCenterDegCap machinery
+    * earns its keep); an exponential drop means wedge fan-outs stay
+    * bounded on their own. Doc-graph twin of `q_hubness`'s kNN-graph
+    * in-degree census.
+    *
+    * Shape: node-grain degree aggregate → branch-free power-of-two
+    * CASE ladder (degrees are ≤ 2·[[BlockCap]] by construction, so
+    * 11 literal rungs cover every value) → a ≤11-row histogram. All
+    * integer; one rounded share.
+    */
+  def degreeHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = collisionEdges(spark, sfDir)
+    val deg = edges
+      .select(explode_outer(array(col("u"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val bin = (0 to 10).foldLeft(lit(-1L)) { (acc, b) =>
+      when(col("deg") >= (1L << b) && col("deg") < (1L << (b + 1)), lit(b.toLong))
+        .otherwise(acc)
+    }
+    val tot = deg.agg(count(lit(1)).as("nn"))
+    deg.withColumn("bin", bin)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("deg_lo"),
+        max(col("deg")).as("deg_hi"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("deg_lo"), col("deg_hi"), col("n_nodes"),
+        round4(col("n_nodes").cast("double") / col("nn").cast("double"))
+          .as("node_share"))
+      .orderBy("bin")
+  }
+
+  private val sqlDegreeHist = {
+    val bin = (0 to 10).map(b =>
+      s"WHEN deg >= ${1L << b} AND deg < ${1L << (b + 1)} THEN $b")
+      .mkString("CASE ", " ", " ELSE -1 END")
+    s"""WITH $duckVecs,
+       |     b0 AS (SELECT vec_id, v, nrm, $duckBucket AS bucket FROM e),
+       |     bn0 AS (SELECT bucket, count(*) AS bn FROM b0 GROUP BY bucket),
+       |     b AS (SELECT vec_id, v, nrm, b0.bucket, ${duckBlk("b0.bucket")} AS blk
+       |           FROM b0 JOIN bn0 ON b0.bucket = bn0.bucket),
+       |     edges AS (SELECT a.vec_id AS u, b2.vec_id AS w
+       |               FROM b a JOIN b b2 ON a.blk = b2.blk AND a.vec_id < b2.vec_id
+       |               WHERE ${duckDot("a.v", "b2.v")} / (a.nrm * b2.nrm) >= $TriThreshold),
+       |     dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+       |            FROM (SELECT unnest([u, w]) AS node FROM edges) GROUP BY 1),
+       |     tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM dg),
+       |     h AS (SELECT CAST(($bin) AS BIGINT) AS bin,
+       |                  CAST(count(*) AS BIGINT) AS n_nodes,
+       |                  CAST(min(deg) AS BIGINT) AS deg_lo,
+       |                  CAST(max(deg) AS BIGINT) AS deg_hi
+       |           FROM dg GROUP BY 1)
+       |SELECT bin, deg_lo, deg_hi, n_nodes,
+       |       ${duckRound4("CAST(n_nodes AS DOUBLE) / CAST(nn AS DOUBLE)")} AS node_share
+       |FROM h CROSS JOIN tot ORDER BY bin""".stripMargin
+  }
+
   // ---------- 13a''. q_transitivity: global clustering coefficient ----------
 
   /** Global transitivity of the blocked similarity graph (Newman's
@@ -4194,6 +4256,7 @@ object VectorQueries {
     "q_triangle_count" -> (triangleCount _),
     "q_assortativity" -> (assortativity _),
     "q_transitivity" -> (transitivity _),
+    "q_degree_hist" -> (degreeHist _),
     "q_truss_support" -> (trussSupport _),
     "q_link_pred" -> (linkPred _),
     "q_calibration" -> (calibration _),
@@ -4248,6 +4311,7 @@ object VectorQueries {
     "q_triangle_count" -> sqlTriangleCount,
     "q_assortativity" -> sqlAssortativity,
     "q_transitivity" -> sqlTransitivity,
+    "q_degree_hist" -> sqlDegreeHist,
     "q_truss_support" -> sqlTrussSupport,
     "q_link_pred" -> sqlLinkPred,
     "q_calibration" -> sqlCalibration,
