@@ -289,6 +289,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("merge matrix executes as one key-shuffled full-outer join") {
+    // the four-clause MERGE must stay the canonical distributed shape
+    // (one equi-join on the key); a refactor that turns the clause
+    // CASE into per-clause joins or a nested loop re-reads the table
+    // per clause and dies at fact scale
+    val plan = etl.EtlQueries.mergeMatrix(spark, sfTiny)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("FullOuter"), "full-outer clause join missing")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "merge matrix degraded to a nested-loop join")
+    val joins = "Join".r.findAllIn(plan).size
+    assert(joins <= 4, s"merge matrix plans $joins join operators — clause fan-out?")
+  }
+
   test("no declared query plan contains a cartesian product") {
     // nested-loop joins are legitimate ONLY with a broadcast-tiny side
     // (kNN probe, IVF codebook); a CartesianProduct is never right
