@@ -1376,7 +1376,70 @@ object OlapStats {
        |FROM a""".stripMargin
   }
 
+  // ---------- q_trimmed_mean: robust location by tail dropping ----------
+
+  /** Two-sided 5% trimmed mean of order value per market segment —
+    * the DROP companion to `q_winsorize`'s CLAMP: winsorizing pulls
+    * tail mass to the fences (keeps n, caps influence), trimming
+    * removes it (the location estimator with a 5% breakdown point per
+    * side). The emitted mean shift vs the plain mean is the "how much
+    * do tails own this KPI" number read next to the outlier screens.
+    *
+    * Shape: one exact per-segment `percentile` fence row (≡
+    * `quantile_cont`, approx_percentile at 100 TB) broadcast back,
+    * then one conditional DECIMAL aggregate — integer-exact sums on
+    * both the kept slice and the full population, divisions at the
+    * edge only.
+    */
+  def trimmedMean(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val base = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_totalprice").as("x"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("xc"))
+    val fences = base.groupBy("seg")
+      .agg(expr("percentile(x, 0.05)").as("lo"), expr("percentile(x, 0.95)").as("hi"))
+    base.join(broadcast(fences), "seg")
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum(col("xc")).as("sc"),
+        count(when(col("x") >= col("lo") && col("x") <= col("hi"), lit(1)))
+          .as("n_kept"),
+        sum(when(col("x") >= col("lo") && col("x") <= col("hi"), col("xc"))
+          .otherwise(lit(0L))).as("sk"))
+      .select(col("seg"), col("n"), col("n_kept"),
+        round4(col("sc").cast("double") / 100.0 / col("n").cast("double"))
+          .as("mean"),
+        round4(col("sk").cast("double") / 100.0 / col("n_kept").cast("double"))
+          .as("trimmed_mean"),
+        round4(col("sc").cast("double") / 100.0 / col("n").cast("double")
+          - col("sk").cast("double") / 100.0 / col("n_kept").cast("double"))
+          .as("tail_shift"))
+      .orderBy("seg")
+  }
+
+  private val sqlTrimmedMean = {
+    val mean = "(CAST(sc AS DOUBLE) / 100.0 / CAST(n AS DOUBLE))"
+    val tmean = "(CAST(sk AS DOUBLE) / 100.0 / CAST(n_kept AS DOUBLE))"
+    s"""WITH base AS (SELECT c_mktsegment AS seg, o_totalprice AS x,
+       |                     CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS xc
+       |              FROM orders JOIN customer ON o_custkey = c_custkey),
+       |     f AS (SELECT seg, quantile_cont(x, 0.05) AS lo, quantile_cont(x, 0.95) AS hi
+       |           FROM base GROUP BY 1),
+       |     a AS (SELECT base.seg, CAST(count(*) AS BIGINT) AS n,
+       |                  CAST(sum(xc) AS BIGINT) AS sc,
+       |                  CAST(count(CASE WHEN x >= lo AND x <= hi THEN 1 END) AS BIGINT) AS n_kept,
+       |                  CAST(sum(CASE WHEN x >= lo AND x <= hi THEN xc ELSE 0 END) AS BIGINT) AS sk
+       |           FROM base JOIN f ON base.seg = f.seg
+       |           GROUP BY 1)
+       |SELECT seg, n, n_kept,
+       |       ${duckRound4(mean)} AS mean,
+       |       ${duckRound4(tmean)} AS trimmed_mean,
+       |       ${duckRound4(s"$mean - $tmean")} AS tail_shift
+       |FROM a ORDER BY seg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_trimmed_mean" -> (trimmedMean _),
     "q_anova" -> (anovaF _),
     "q_levene" -> (leveneBf _),
     "q_percentile_disc" -> (percentileDisc _),
@@ -1401,6 +1464,7 @@ object OlapStats {
     "q_outliers" -> (outliers _))
 
   val oracle: Map[String, String] = Map(
+    "q_trimmed_mean" -> sqlTrimmedMean,
     "q_anova" -> sqlAnovaF,
     "q_levene" -> sqlLeveneBf,
     "q_percentile_disc" -> sqlPercentileDisc,
