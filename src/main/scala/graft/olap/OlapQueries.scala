@@ -625,6 +625,7 @@ object OlapQueries {
       .withColumn("n0", col("n") - col("n1"))
       .withColumn("s0", col("s") - col("s1"))
       .filter(col("n1") > 0 && col("n0") > 0)
+      .localCheckpoint(true) // staged: totals + the term pass read the cells
     val tot = cells.agg(count(lit(1)).as("kb"), sum(col("n1")).as("nt1"),
       sum(col("n0")).as("nt0"), sum(col("s1")).as("st1"),
       sum(col("s0")).as("st0"), sum(col("n")).as("nn"))
@@ -686,12 +687,16 @@ object OlapQueries {
     * segment: the raked mass vs the true margin and the remaining
     * relative gap (near 0 = converged in 1½ rounds).
     *
-    * Shape: one sample pass + one population pass to the bounded
-    * (month × segment) grid and its margins, then three broadcast-
-    * join sweeps over dim-grain rows. Parity: every sweep output is
-    * ROUND6ed into DECIMAL before it feeds ANY sum (sweep
-    * denominators and final masses are exact DECIMAL sums —
-    * partition order can never perturb them); the ratio arithmetic
+    * Shape: ONE fact pass to a (month × segment) grid carrying BOTH
+    * the population and the sample count per cell (margins are
+    * rollups of that grid — never a second fact scan), then three
+    * broadcast-join sweeps over dim-grain rows, each sweep
+    * localCheckpoint'd because the next references it twice
+    * (denominator rollup + join back; unstaged, the plan re-derived
+    * the fact join once per branch — 8 fact scans observed). Parity:
+    * every sweep output is ROUND6ed into DECIMAL before it feeds ANY
+    * sum (sweep denominators and final masses are exact DECIMAL sums
+    * — partition order can never perturb them); the ratio arithmetic
     * is fixed-shape doubles over those exact values.
     */
   def ipfRake(spark: SparkSession, sfDir: String): DataFrame = {
@@ -700,21 +705,26 @@ object OlapQueries {
     def dd(c: org.apache.spark.sql.Column) = c.cast("double")
     val o = Tables.orders(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
-    val all = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    val grid = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
         col("c_mktsegment").as("seg"), col("o_orderkey"))
-    val rowMargin = all.groupBy("m").agg(count(lit(1)).as("tm"))
-    val colMargin = all.groupBy("seg").agg(count(lit(1)).as("ts"))
-    val cells = all.filter(col("o_orderkey") % 3 === 0)
-      .groupBy("m", "seg").agg(count(lit(1)).as("c0"))
+      .groupBy("m", "seg")
+      .agg(count(lit(1)).as("tc"),
+        count(when(col("o_orderkey") % 3 === 0, lit(1))).as("c0"))
+      .localCheckpoint(true) // staged: margins + cells all read this grid
+    val rowMargin = grid.groupBy("m").agg(sum(col("tc")).as("tm"))
+    val colMargin = grid.groupBy("seg").agg(sum(col("tc")).as("ts"))
+    val cells = grid.filter(col("c0") > 0).select(col("m"), col("seg"), col("c0"))
     val s1 = cells
       .join(broadcast(cells.groupBy("m").agg(sum(col("c0")).as("rt0"))), "m")
       .join(broadcast(rowMargin), "m")
       .withColumn("c1", r6(dd(col("c0")) * dd(col("tm")) / dd(col("rt0"))))
+      .localCheckpoint(true)
     val s2 = s1
       .join(broadcast(s1.groupBy("seg").agg(sum(col("c1")).as("ct1"))), "seg")
       .join(broadcast(colMargin), "seg")
       .withColumn("c2", r6(dd(col("c1")) * dd(col("ts")) / dd(col("ct1"))))
+      .localCheckpoint(true)
     val s3 = s2
       .join(broadcast(s2.groupBy("m").agg(sum(col("c2")).as("rt2"))), "m")
       .withColumn("c3", r6(dd(col("c2")) * dd(col("tm")) / dd(col("rt2"))))

@@ -1357,7 +1357,10 @@ object CorpusOps {
         graft.functions.TextHashes.ngramHashes(col("ts"), 3)).as("term"))
       .filter(col("term").isNotNull)
     val counts = terms.groupBy("term").agg(count(lit(1)).as("r"))
+    // staged: the r+1 self-join reads the count-of-counts twice, and
+    // unstaged each leg re-ran the gram pipeline
     val coc = counts.groupBy("r").agg(count(lit(1)).as("nr"))
+      .localCheckpoint(true)
     coc.filter(col("r") <= 8)
       .join(broadcast(coc.select((col("r") - 1).as("r"), col("nr").as("nr1"))),
         Seq("r"), "left")
@@ -1408,10 +1411,14 @@ object CorpusOps {
       .withColumn("ts", TextFns.tokens(col("text")))
       .select(col("source"), explode_outer(col("ts")).as("term"))
       .filter(col("term").isNotNull)
+    // ONE token pass; every margin is a rollup of the (source, term)
+    // grain (staged — unstaged, each margin re-ran the explode: four
+    // fact passes observed in the plan audit)
     val st = terms.groupBy("source", "term").agg(count(lit(1)).as("a"))
-    val srcTot = terms.groupBy("source").agg(count(lit(1)).as("sa"))
-    val termTot = terms.groupBy("term").agg(count(lit(1)).as("ab"))
-    val tot = terms.agg(count(lit(1)).as("nn"))
+      .localCheckpoint(true)
+    val srcTot = st.groupBy("source").agg(sum(col("a")).as("sa"))
+    val termTot = st.groupBy("term").agg(sum(col("a")).as("ab"))
+    val tot = st.agg(sum(col("a")).as("nn"))
     def dd(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       c.cast("double")
     def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -1500,9 +1507,14 @@ object CorpusOps {
       .withColumn("ts", TextFns.tokens(col("text")))
       .select(col("source"), explode_outer(col("ts")).as("term"))
       .filter(col("term").isNotNull)
+    // ONE token pass; source totals and the top-M cut are rollups of
+    // the staged (source, term) grain (unstaged, the z-table's two
+    // self-join legs re-derived the whole pipeline — four fact passes
+    // and four broadcast crosses observed in the plan audit)
     val st = terms.groupBy("source", "term").agg(count(lit(1)).as("a"))
-    val srcTot = terms.groupBy("source").agg(count(lit(1)).as("sa"))
-    val topM = terms.groupBy("term").agg(count(lit(1)).as("ab"))
+      .localCheckpoint(true)
+    val srcTot = st.groupBy("source").agg(sum(col("a")).as("sa"))
+    val topM = st.groupBy("term").agg(sum(col("a")).as("ab"))
       .orderBy(col("ab").desc, col("term")).limit(M).select("term")
     def dd(c: org.apache.spark.sql.Column) = c.cast("double")
     // densified (source × top-M) rate cells: absent terms are REAL
@@ -1512,6 +1524,7 @@ object CorpusOps {
       .withColumn("f6",
         (floor(lit(1000.0) * coalesce(dd(col("a")), lit(0.0)) / dd(col("sa"))
           * 1000000.0 + 0.5) / 1000000.0).cast("decimal(18,6)"))
+      .localCheckpoint(true) // bounded sources×M grid; term stats + both z legs read it
     val tstats = cells.groupBy("term")
       .agg(count(lit(1)).as("k"), sum(col("f6")).as("sf"),
         sum(col("f6") * col("f6")).as("sff"))
@@ -1526,6 +1539,7 @@ object CorpusOps {
     val z = cells.join(broadcast(tstats.select("term", "mu", "sg")), "term")
       .select(col("term"), col("source"),
         ((dd(col("f6")) - col("mu")) / col("sg")).as("z"))
+      .localCheckpoint(true) // bounded; the pair join reads it twice
     z.as("x").join(z.as("y"),
         col("x.term") === col("y.term") && col("x.source") < col("y.source"))
       .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
