@@ -2680,8 +2680,11 @@ object TextQueries {
     * dim-sized after the doc-grain election.
     */
   def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    // staged: the ≤25-cell contingency is read by the row margin AND
+    // the join back — unstaged, each leg re-runs the doc-grain election
     val cells = langPreds(spark, sfDir)
       .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val rows = cells.groupBy("lang").agg(sum(col("n")).as("nt"))
     cells.join(broadcast(rows), "lang")
       .select(col("lang"), col("pred"), col("n"),
