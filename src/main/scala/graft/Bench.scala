@@ -244,7 +244,16 @@ object Bench {
         val all = warm :: runs
         val best = all.minBy(_.sec)
         val s = runs.map(_.sec).sorted
-        Stat(name, best.sec, s(s.size / 2), s.last - s.head, warm.sec,
+        // Streaming queries run ONE measured pass, so a measured-runs
+        // spread is structurally 0 and the spread>1s contention gate
+        // could never select them — one externally-contended streaming
+        // measurement would become the recorded best with no isolated
+        // re-time. Use |measured − warm| as their contention signal
+        // instead (both executions are full machinery, so a clean run
+        // keeps them close and contention splits them).
+        val spread =
+          if (s.size == 1) math.abs(s.head - warm.sec) else s.last - s.head
+        Stat(name, best.sec, s(s.size / 2), spread, warm.sec,
           runs.map(_.sec), best.shuffleB, best.spillB)
       }
     }
@@ -519,8 +528,12 @@ object Bench {
     def retimeSuspects(in: Seq[Stat]): Seq[Stat] = in.map { s =>
       if (s.best >= 0 && s.spread > 1.0) {
         System.gc()
+        // streaming queries keep their 1-warm+1-measured protocol in
+        // the retime too (their |measured − warm| spread is what
+        // selected them); everything else gets the full 1+3
+        val nIso = if (isStreaming(s.name)) 1 else 3
         val warmIso = execOnce(s.name, qmap(s.name), sfDir).sec
-        val extra = List.fill(3)(execOnce(s.name, qmap(s.name), sfDir).sec)
+        val extra = List.fill(nIso)(execOnce(s.name, qmap(s.name), sfDir).sec)
         if (warmIso >= 0 && extra.forall(_ >= 0))
           s.copy(best = math.min(s.best, math.min(warmIso, extra.min)), isoRuns = extra)
         else s
@@ -670,20 +683,24 @@ object Bench {
             f"[bench] sfup30 spot pass skipped: budget $up30BudgetNow%.0f s")
           Map.empty
         } else {
-          // Spot set: the ANN/IVF serving family FIRST (round-13
-          // verdict #8 — their recall queries are probe-capped, so the
-          // 10× points are flat by construction; the 30× point on data
-          // volume is the honest scale evidence), then the most
-          // expensive main-SF queries, then >3×-per-10× ratios. All
-          // ratio denominators use the RETIMED map (round-13 advice).
+          // Spot set: the 10×-RATIO TAIL first, ratio-DESCENDING
+          // (round-15 verdict #2 — the queries most likely to bend at
+          // scale are exactly the worst 10× scalers, and the previous
+          // rotation never reached them because the ANN family and the
+          // name-sorted >3× set filled the cap), then the most
+          // expensive main-SF queries, then the ANN/IVF serving family
+          // (already 30×-verified in round 15 — kept as trend points,
+          // last in line). All ratio denominators use the RETIMED map
+          // (round-13 advice).
+          val tail = upFinal.collect { case (n, t)
+              if t >= 0 && bestRetimed.getOrElse(n, -1.0) >= 0.05 &&
+                t / bestRetimed(n) > 3.0 => (n, t / bestRetimed(n)) }
+            .toSeq.sortBy(-_._2).map(_._1)
+          val topTen = stats.filter(_.best >= 0).sortBy(-_.best).take(10).map(_.name)
           val annFamily = Seq("q_ivf_search", "q_ivfpq_adc", "q_ivfpq_recall",
             "q_ann_lsh", "q_ann_multiprobe", "q_ivf_nprobe")
             .filter(qmap.contains)
-          val topTen = stats.filter(_.best >= 0).sortBy(-_.best).take(10).map(_.name)
-          val hot = upFinal.collect { case (n, t)
-              if t >= 0 && bestRetimed.getOrElse(n, -1.0) >= 0.05 &&
-                t / bestRetimed(n) > 3.0 => n }.toSeq.sorted
-          val spot = (annFamily ++ topTen ++ hot).distinct.take(16)
+          val spot = (tail ++ topTen ++ annFamily).distinct.take(16)
           try Upscale.ensure(spark, sfDir, dir30, up30Factor)
           catch { case e: Throwable =>
             System.err.println(s"[bench] sfup30 generation failed: ${e.getMessage}") }

@@ -1120,9 +1120,12 @@ object Analytics {
     * double (rank-on-rounded rule).
     */
   def changepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    // staged once: tot, the cumulative window, and the final
+    // crossJoin all re-read the day-grain aggregate (twice-read rule)
     val daily = Tables.orders(spark, sfDir)
       .groupBy(col("o_orderdate").as("day"))
       .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("xc"))
+      .localCheckpoint(true)
     val tot = daily.agg(count(lit(1)).as("n"), sum(col("xc")).as("tc"),
       sum(col("xc").cast("decimal(19,0)") * col("xc").cast("decimal(19,0)")).as("sxx"))
     val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1282,9 +1285,12 @@ object Analytics {
     * form (sqrt — IEEE-safe) is the single double edge.
     */
   def runsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    // staged once: the median aggregate and the sign series both
+    // re-read the day-grain aggregate (twice-read rule)
     val daily = Tables.orders(spark, sfDir)
       .groupBy(col("o_orderdate").as("day"))
       .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("xc"))
+      .localCheckpoint(true)
     val med = daily.agg(expr("percentile(xc, 0.5)").as("med"))
     val wl = Window.orderBy("day")
     val signs = daily.crossJoin(broadcast(med))

@@ -1316,10 +1316,20 @@ object OlapStats {
     * Shape: per-segment exact `percentile` medians (≡ quantile_cont,
     * the verified bit-identical pair) on one fact pass, broadcast back
     * (k rows), then the same exact-moment ANOVA collapse as [[anovaF]]
-    * — with z ROUND6ed into DECIMAL before its moment sums (z is a
-    * derived double; summing raw doubles at fact grain is partition-
-    * order-dependent, the q_kmeans_refine rule), so both engines see
-    * bit-identical moments.
+    * — with z ROUND6ed into DECIMAL(18,6) before its moment sums (z
+    * is a derived double; summing raw doubles at fact grain is
+    * partition-order-dependent, the q_kmeans_refine rule). The
+    * precision matters: at (24,6), Spark's decimal multiply hits the
+    * 38-digit cap and (under allowPrecisionLoss) adjusts (49,12) →
+    * (38,6), ROUNDING each z² to 6 decimals while DuckDB keeps the
+    * exact 12-decimal product — per-engine moments then differ by up
+    * to ~5e-7/row, the SF-growing round4-boundary drift class. At
+    * (18,6) (z ≤ ~1e6 needs 7 integer digits, 12 available) the
+    * product is (37,12) in Spark and — with one operand widened to
+    * (19,6) so DuckDB leaves its int64-backed multiply, which throws
+    * on overflow rather than widening — (38,12) in DuckDB: exact on
+    * both, so both engines see bit-identical moments (the DECIMAL(18,6)
+    * pattern [[graft.text.TextAnalytics]] burrowsDelta uses).
     */
   def leveneBf(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
@@ -1329,7 +1339,7 @@ object OlapStats {
     val med = base.groupBy("seg")
       .agg(expr("percentile(x, 0.5)").as("med"))
     val z6 = (floor(abs(col("x") - col("med")) * 1000000.0 + 0.5) / 1000000.0)
-      .cast("decimal(24,6)")
+      .cast("decimal(18,6)")
     val m = base.join(broadcast(med), "seg")
       .withColumn("z", z6)
       .groupBy("seg")
@@ -1362,9 +1372,10 @@ object OlapStats {
        |              FROM orders JOIN customer ON o_custkey = c_custkey),
        |     md AS (SELECT seg, quantile_cont(x, 0.5) AS med FROM base GROUP BY 1),
        |     zz AS (SELECT base.seg,
-       |                   CAST(floor(abs(x - med) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(24,6)) AS z
+       |                   CAST(floor(abs(x - med) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS z
        |            FROM base JOIN md ON base.seg = md.seg),
-       |     m AS (SELECT seg, count(*) AS n, sum(z) AS sx, sum(z * z) AS sxx
+       |     m AS (SELECT seg, count(*) AS n, sum(z) AS sx,
+       |                  sum(CAST(z AS DECIMAL(19,6)) * z) AS sxx
        |           FROM zz GROUP BY 1),
        |     a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nt,
        |                  sum(sx) AS tsx,

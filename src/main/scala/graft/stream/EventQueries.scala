@@ -4047,6 +4047,16 @@ object EventQueries {
       }
       val slim = batch.select(col("event_type"), col("event_id"),
         floor(col("value") * 1000000.0 + 0.5).cast("long").as("vm"), col("ts"))
+      // AT MOST TWO real-event batches — a hard bound, not a style
+      // choice. Id-sliced files each span the full ts range, so
+      // slice k>0 carries rows OLDER than slice 0's max ts; they
+      // survive the 0-second watermark only because
+      // TransformWithStateExec's late-row filter uses the ONE-BATCH-
+      // LAGGED watermark (still the initial value while batch 2
+      // runs). A third id-sliced batch — the 3-batch pattern the
+      // sibling q_stream_* queries use — would see the watermark
+      // advanced past its rows and drop them as late, failing the
+      // hash gate confusingly (see SKILL.md event-time-timer note).
       (0 until 2).foreach { k =>
         stage(slim.filter(col("event_id") % 2 === k), s"a_slice$k.parquet",
           1600000000000L + k * 60000L)

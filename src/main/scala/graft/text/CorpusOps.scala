@@ -1361,6 +1361,16 @@ object CorpusOps {
     // unstaged each leg re-ran the gram pipeline
     val coc = counts.groupBy("r").agg(count(lit(1)).as("nr"))
       .localCheckpoint(true)
+    // Loud guard (round-15 verdict #8): the table is premised on a
+    // Zipfian low-count head — the unigram grain was rejected exactly
+    // because its N_1 is 0 on this corpus. If an upscaled/changed
+    // corpus ever zeroes N_1 at trigram grain too, the r = 1
+    // unseen-mass row would silently VANISH from the output (no
+    // divide-by-zero — the row just isn't there), so fail loudly
+    // instead. Cheap: coc is already checkpointed, this reads it back.
+    require(coc.filter(col("r") === 1).limit(1).count() == 1L,
+      "q_good_turing: N_1 = 0 at trigram grain — no singleton head in this " +
+        "corpus; the GT table needs a sparser n-gram grain")
     coc.filter(col("r") <= 8)
       .join(broadcast(coc.select((col("r") - 1).as("r"), col("nr").as("nr1"))),
         Seq("r"), "left")
