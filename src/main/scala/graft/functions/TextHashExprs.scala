@@ -465,6 +465,24 @@ object TextHashUtil {
     }
     out
   }
+
+  /** |a ∩ b| for two ASCENDING-sorted, duplicate-free long arrays —
+    * one merge walk, zero allocation. The verify kernel for the exact
+    * set-similarity join (q_ppjoin): `array_intersect` builds a hash
+    * set PER ROW, which at tens of millions of candidate pairs ×
+    * hundreds of grams each was the measured verify wall.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
 }
 
 /** graft_jaro_winkler(a, b): Jaro-Winkler similarity over BYTES,
@@ -490,6 +508,26 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
       (a, b) => s"graft.functions.TextHashUtil.jaroWinkler($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaroWinklerExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** graft_sorted_intersect_count(a, b): |a ∩ b| over ascending-sorted
+  * duplicate-free long arrays — the zero-allocation merge-walk verify
+  * kernel for prefix-filter joins (see
+  * [[TextHashUtil.sortedIntersectCount]]).
+  */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect_count"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHashUtil.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextHashUtil.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCountExpr =
     copy(left = newLeft, right = newRight)
 }
 
@@ -661,6 +699,9 @@ object TextHashes {
     ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(text), k))
   def ngramHashes(ts: Column, n: Int): Column =
     ColumnBridge.column(NgramHashExpr(ColumnBridge.expression(ts), n))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCountExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def winnowFp(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFpExpr(ColumnBridge.expression(text), k, w))
   def charSqSum(text: Column): Column =

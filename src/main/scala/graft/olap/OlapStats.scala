@@ -1449,7 +1449,227 @@ object OlapStats {
        |FROM a ORDER BY seg""".stripMargin
   }
 
+  // ---------- q_kruskal_wallis: k-group rank test on the daily series ----------
+
+  /** Kruskal–Wallis H test (1952) — the rank analog of [[anovaF]]:
+    * does daily revenue DISTRIBUTION depend on day-of-week, judged on
+    * ranks so the heavy revenue tail can't dominate the way it does
+    * the F statistic's variance terms. Emits H, the tie-corrected H,
+    * and the group count — read next to `q_seasonal_dow` (the means)
+    * as the distribution-free second opinion.
+    *
+    * Shape: the [[mannWhitney]] rank discipline generalized to k
+    * groups — VALUE-grain tie groups (cents), an exclusive prefix
+    * scan for cumulative counts, and 2×-scaled average ranks so every
+    * rank sum is an exact integer: R2 contribution of a tie group to
+    * its day-of-week is n_gv·(2·cum + t + 1). The day grain bounds
+    * everything by the calendar; the k-element Σ R2²/n fold is
+    * segment-ordered (the [[anovaF]] k-fold rule). Doubles appear
+    * only in the closed form at the edge.
+    */
+  def kruskalWallis(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("xc"))
+      .withColumn("dow", dayofweek(col("day")).cast("long"))
+      .localCheckpoint(true)
+    val byVal = daily.groupBy("xc").agg(count(lit(1)).as("t"))
+    val cum = graft.etl.PrefixScan.exclusivePrefixSum(byVal, "xc", "t", "cum")
+    val perDow = daily.groupBy("xc", "dow").agg(count(lit(1)).as("cnt"))
+      .join(cum, "xc")
+      .groupBy("dow")
+      .agg(sum(col("cnt")).as("ng"),
+        sum(col("cnt") * (lit(2L) * col("cum") + col("t") + lit(1L))).as("r2"))
+    val ties = cum.agg(
+      sum(when(col("t") >= 2L, col("t") * col("t") * col("t") - col("t"))
+        .otherwise(lit(0L))).as("tsum"))
+    def d(c: Column): Column = c.cast("double")
+    val agg = perDow
+      .agg(count(lit(1)).as("k"), sum(col("ng")).as("nn"),
+        sort_array(collect_list(struct(col("dow"),
+          (col("r2") * col("r2")).as("r2sq"), col("ng").as("ng")))).as("gs"))
+      // k-element left fold in dow order (bounded list)
+      .withColumn("sr", aggregate(col("gs"), lit(0.0),
+        (acc, s) => acc + s("r2sq").cast("double") / s("ng").cast("double")))
+      .crossJoin(broadcast(ties))
+    val nD = d(col("nn"))
+    val h = lit(3.0) * col("sr") / (nD * (nD + 1.0)) - lit(3.0) * (nD + 1.0)
+    val corr = lit(1.0) - d(col("tsum")) / (nD * nD * nD - nD)
+    agg.select(col("nn").as("n_days"), col("k").as("k_groups"),
+      round4(h).as("h_stat"), round4(h / corr).as("h_adj"))
+  }
+
+  private val sqlKruskalWallis = {
+    val nD = "CAST(nn AS DOUBLE)"
+    val h = s"(3.0 * sr / ($nD * ($nD + 1.0)) - 3.0 * ($nD + 1.0))"
+    val corr = s"(1.0 - CAST(tsum AS DOUBLE) / ($nD * $nD * $nD - $nD))"
+    s"""WITH daily AS (SELECT o_orderdate AS day,
+       |                      CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS xc,
+       |                      CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
+       |               FROM orders GROUP BY 1, 3),
+       |     bv AS (SELECT xc, CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY 1),
+       |     cm AS (SELECT *, CAST(coalesce(sum(t) OVER (ORDER BY xc
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+       |            FROM bv),
+       |     pd AS (SELECT dow, CAST(sum(cnt) AS BIGINT) AS ng,
+       |                   CAST(sum(cnt * (2 * cum + t + 1)) AS BIGINT) AS r2
+       |            FROM (SELECT d.xc, dow, CAST(count(*) AS BIGINT) AS cnt
+       |                  FROM daily d GROUP BY 1, 2) g
+       |            JOIN cm ON g.xc = cm.xc
+       |            GROUP BY dow),
+       |     ts AS (SELECT CAST(sum(CASE WHEN t >= 2 THEN t*t*t - t ELSE 0 END) AS BIGINT) AS tsum
+       |            FROM cm),
+       |     a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS nn,
+       |                  list_reduce([CAST(0 AS DOUBLE)] ||
+       |                    list(CAST(r2 * r2 AS DOUBLE) / CAST(ng AS DOUBLE) ORDER BY dow),
+       |                    (acc, v) -> acc + v) AS sr
+       |           FROM pd)
+       |SELECT nn AS n_days, k AS k_groups,
+       |       ${duckRound4(h)} AS h_stat,
+       |       ${duckRound4(s"$h / $corr")} AS h_adj
+       |FROM a CROSS JOIN ts""".stripMargin
+  }
+
+  // ---------- q_friedman: within-block rank test (month × segment) ----------
+
+  /** Friedman test (1937) on the month × market-segment mean-order-
+    * value grid: within every month, rank the k segments by mean
+    * order value, sum ranks per segment over months — do segments
+    * keep a consistent ordering (χ²_F large), or is the monthly
+    * ranking noise? Kendall's W = χ²/(n(k−1)) is emitted as the
+    * agreement coefficient. The rank complement to [[q_median_polish]]
+    * on the exact same grid.
+    *
+    * Parity: the within-block ranking never touches a float — cells
+    * carry exact cents sums and counts, and mean comparison is the
+    * CROSS-MULTIPLIED integer test sc_j·n_i vs sc_i·n_j (DECIMAL(38,0)
+    * products, overflow-safe at any SF); ties take average rank via
+    * the 2×-scaled integer rank2 = 2 + 2·#greater + #equal. Complete
+    * blocks only (the standard treatment — a missing cell has no
+    * rank). Everything is (month × segment)-grain — calendar-bounded.
+    */
+  def friedman(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val cells = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+        col("c_mktsegment").as("seg"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("sc"),
+        count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val k = cells.select(countDistinct(col("seg")).as("k"))
+    val complete = cells.groupBy("m").agg(count(lit(1)).as("kc"))
+      .crossJoin(broadcast(k)).filter(col("kc") === col("k")).select("m")
+    val inBlk = cells.join(complete, "m")
+    def p(sc: Column, n: Column): Column =
+      sc.cast("decimal(38,0)") * n.cast("decimal(19,0)")
+    val ranked = inBlk.as("a").join(inBlk.as("b"), Seq("m"))
+      .groupBy(col("m"), col("a.seg").as("seg"))
+      .agg(sum(when(p(col("b.sc"), col("a.n")) > p(col("a.sc"), col("b.n")), 2L)
+          .when(col("a.seg") =!= col("b.seg") &&
+            p(col("b.sc"), col("a.n")) === p(col("a.sc"), col("b.n")), 1L)
+          .otherwise(0L)).as("above2"))
+      .withColumn("rank2", lit(2L) + col("above2"))
+    def d(c: Column): Column = c.cast("double")
+    val agg = ranked.groupBy("seg").agg(sum(col("rank2")).as("r2"),
+        count(lit(1)).as("nb"))
+      .agg(count(lit(1)).as("k"), max(col("nb")).as("n"),
+        sum(col("r2") * col("r2")).as("sr2"))
+    val chi = lit(3.0) * d(col("sr2")) /
+      (d(col("n")) * d(col("k")) * (d(col("k")) + 1.0)) -
+      lit(3.0) * d(col("n")) * (d(col("k")) + 1.0)
+    agg.select(col("n").as("n_blocks"), col("k").as("k_groups"),
+      round4(chi).as("chi2_f"),
+      round4(chi / (d(col("n")) * (d(col("k")) - 1.0))).as("kendalls_w"))
+  }
+
+  private val sqlFriedman = {
+    val chi = "(3.0 * CAST(sr2 AS DOUBLE) / " +
+      "(CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)) " +
+      "- 3.0 * CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))"
+    s"""WITH cells AS (SELECT strftime(o_orderdate, '%Y-%m') AS m, c_mktsegment AS seg,
+       |                      CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sc,
+       |                      CAST(count(*) AS BIGINT) AS n
+       |               FROM orders JOIN customer ON o_custkey = c_custkey
+       |               GROUP BY 1, 2),
+       |     kk AS (SELECT count(DISTINCT seg) AS k FROM cells),
+       |     cmp AS (SELECT m FROM cells CROSS JOIN kk GROUP BY m, k
+       |             HAVING count(*) = any_value(k)),
+       |     ib AS (SELECT cells.* FROM cells JOIN cmp ON cells.m = cmp.m),
+       |     rk AS (SELECT a.m, a.seg,
+       |                   2 + CAST(sum(CASE
+       |                     WHEN CAST(b.sc AS HUGEINT) * a.n > CAST(a.sc AS HUGEINT) * b.n THEN 2
+       |                     WHEN a.seg <> b.seg AND CAST(b.sc AS HUGEINT) * a.n = CAST(a.sc AS HUGEINT) * b.n THEN 1
+       |                     ELSE 0 END) AS BIGINT) AS rank2
+       |            FROM ib a JOIN ib b ON a.m = b.m
+       |            GROUP BY 1, 2),
+       |     pg AS (SELECT seg, CAST(sum(rank2) AS BIGINT) AS r2,
+       |                   CAST(count(*) AS BIGINT) AS nb
+       |            FROM rk GROUP BY 1),
+       |     a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(max(nb) AS BIGINT) AS n,
+       |                  CAST(sum(r2 * r2) AS BIGINT) AS sr2
+       |           FROM pg)
+       |SELECT n AS n_blocks, k AS k_groups,
+       |       ${duckRound4(chi)} AS chi2_f,
+       |       ${duckRound4(s"$chi / (CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0))")} AS kendalls_w
+       |FROM a""".stripMargin
+  }
+
+  // ---------- q_cochran_q: k related binary treatments ----------
+
+  /** Cochran's Q test (1950) — [[q_mcnemar]]'s k-treatment
+    * generalization: did the customer base's propensity to order
+    * differ across the first three months of the year, judged on the
+    * per-customer binary "ordered in month j" matrix? Q =
+    * (k−1)·(k·ΣG_j² − N²)/(k·N − ΣL_i²) with G the month column
+    * totals and L the per-customer row totals — all-integer until the
+    * single division. All-zero rows cancel from every term, so the
+    * block universe needs no arbitrary inclusion rule.
+    *
+    * Shape: one (customer × month) distinct pass, one customer-grain
+    * aggregate, one global fold — linear, map-combinable, no windows.
+    */
+  def cochranQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 3
+    val cm = Tables.orders(spark, sfDir)
+      .withColumn("mm", month(col("o_orderdate")).cast("long"))
+      .filter(col("mm") <= k)
+      .select(col("o_custkey").as("cust"), col("mm")).distinct()
+      .localCheckpoint(true)
+    val rows = cm.groupBy("cust").agg(count(lit(1)).as("l"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("l")).as("nn"),
+        sum(col("l") * col("l")).as("l2"))
+    val cols = cm.groupBy("mm").agg(count(lit(1)).as("g"))
+      .agg(sum(col("g") * col("g")).as("g2"))
+    def d(c: Column): Column = c.cast("double")
+    rows.crossJoin(broadcast(cols))
+      .select(col("n_blocks"),
+        round4(d(lit(k - 1)) * (d(lit(k)) * d(col("g2")) - d(col("nn")) * d(col("nn"))) /
+          (d(lit(k)) * d(col("nn")) - d(col("l2")))).as("q_stat"))
+  }
+
+  private val sqlCochranQ = {
+    val k = 3
+    val q = s"(CAST(${k - 1} AS DOUBLE) * (CAST($k AS DOUBLE) * CAST(g2 AS DOUBLE) " +
+      "- CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) / " +
+      s"(CAST($k AS DOUBLE) * CAST(nn AS DOUBLE) - CAST(l2 AS DOUBLE)))"
+    s"""WITH cm AS (SELECT DISTINCT o_custkey AS cust,
+       |                   CAST(month(o_orderdate) AS BIGINT) AS mm
+       |            FROM orders WHERE month(o_orderdate) <= $k),
+       |     r AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+       |                  CAST(sum(l) AS BIGINT) AS nn,
+       |                  CAST(sum(l * l) AS BIGINT) AS l2
+       |           FROM (SELECT cust, CAST(count(*) AS BIGINT) AS l FROM cm GROUP BY 1) t),
+       |     c AS (SELECT CAST(sum(g * g) AS BIGINT) AS g2
+       |           FROM (SELECT mm, CAST(count(*) AS BIGINT) AS g FROM cm GROUP BY 1) t)
+       |SELECT n_blocks, ${duckRound4(q)} AS q_stat
+       |FROM r CROSS JOIN c""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kruskal_wallis" -> (kruskalWallis _),
+    "q_friedman" -> (friedman _),
+    "q_cochran_q" -> (cochranQ _),
     "q_trimmed_mean" -> (trimmedMean _),
     "q_anova" -> (anovaF _),
     "q_levene" -> (leveneBf _),
@@ -1475,6 +1695,9 @@ object OlapStats {
     "q_outliers" -> (outliers _))
 
   val oracle: Map[String, String] = Map(
+    "q_kruskal_wallis" -> sqlKruskalWallis,
+    "q_friedman" -> sqlFriedman,
+    "q_cochran_q" -> sqlCochranQ,
     "q_trimmed_mean" -> sqlTrimmedMean,
     "q_anova" -> sqlAnovaF,
     "q_levene" -> sqlLeveneBf,

@@ -2832,13 +2832,14 @@ object EventQueries {
     val batchSchema = spark.read.parquet(path).schema
     val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
     val dir = Files.createTempDirectory("graft_stream_dw")
-    val inDir = dir.resolve("in"); Files.createDirectories(inDir)
     val out = dir.resolve("out").toString
-    Files.copy(Paths.get(path), inDir.resolve("a_events.parquet"))
-    Files.copy(Paths.get(path), inDir.resolve("b_replay.parquet"))
-    Seq("a_events.parquet", "b_replay.parquet").zipWithIndex.foreach {
-      case (f, i) => Files.setLastModifiedTime(inDir.resolve(f),
-        FileTime.fromMillis(1600000000000L + i * 60000L))
+    val inDir = StageCache.cachedIn("dw", sfDir) { (_, in) =>
+      Files.copy(Paths.get(path), in.resolve("a_events.parquet"))
+      Files.copy(Paths.get(path), in.resolve("b_replay.parquet"))
+      Seq("a_events.parquet", "b_replay.parquet").zipWithIndex.foreach {
+        case (f, i) => Files.setLastModifiedTime(in.resolve(f),
+          FileTime.fromMillis(1600000000000L + i * 60000L))
+      }
     }
     val src = spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
@@ -2893,18 +2894,19 @@ object EventQueries {
     val batch = spark.read.parquet(s"$sfDir/events.parquet")
     val batchSchema = batch.schema
     val dir = Files.createTempDirectory("graft_stream_tk")
-    val inDir = dir.resolve("in"); Files.createDirectories(inDir)
-    (0 until 3).foreach { k =>
-      val slice = batch.filter(pmod(col("event_id"), lit(3)) === k)
-      val tmpK = dir.resolve(s"slice$k")
-      slice.coalesce(1).write.parquet(tmpK.toString)
-      val part = Files.list(tmpK).filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("part-") && n.endsWith(".parquet")
-      }.findFirst.get
-      Files.move(part, inDir.resolve(s"s$k.parquet"))
-      Files.setLastModifiedTime(inDir.resolve(s"s$k.parquet"),
-        FileTime.fromMillis(1600000000000L + k * 60000L))
+    val inDir = StageCache.cachedIn("tk", sfDir) { (work, in) =>
+      (0 until 3).foreach { k =>
+        val slice = batch.filter(pmod(col("event_id"), lit(3)) === k)
+        val tmpK = work.resolve(s"slice$k")
+        slice.coalesce(1).write.parquet(tmpK.toString)
+        val part = Files.list(tmpK).filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }.findFirst.get
+        Files.move(part, in.resolve(s"s$k.parquet"))
+        Files.setLastModifiedTime(in.resolve(s"s$k.parquet"),
+          FileTime.fromMillis(1600000000000L + k * 60000L))
+      }
     }
     // bounded driver-held summary: (type, event_id, value), ≤ types×k
     var state = Vector.empty[(String, Long, Double)]
@@ -2994,18 +2996,21 @@ object EventQueries {
     val batch = spark.read.parquet(s"$sfDir/events.parquet")
     val batchSchema = batch.schema
     val dir = Files.createTempDirectory("graft_stream_rs")
-    val stage = dir.resolve("stage"); Files.createDirectories(stage)
-    val inDir = dir.resolve("in"); Files.createDirectories(inDir)
-    (0 until 3).foreach { k =>
-      val tmpK = dir.resolve(s"slice$k")
-      batch.filter(pmod(col("event_id"), lit(3)) === k)
-        .coalesce(1).write.parquet(tmpK.toString)
-      val part = Files.list(tmpK).filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("part-") && n.endsWith(".parquet")
-      }.findFirst.get
-      Files.move(part, stage.resolve(s"s$k.parquet"))
+    // the slices are cached; the ARRIVAL dir must stay per-run — files
+    // arrive into it between the two engine runs (cheap Files.copy)
+    val stage = StageCache.cachedIn("rs", sfDir) { (work, in) =>
+      (0 until 3).foreach { k =>
+        val tmpK = work.resolve(s"slice$k")
+        batch.filter(pmod(col("event_id"), lit(3)) === k)
+          .coalesce(1).write.parquet(tmpK.toString)
+        val part = Files.list(tmpK).filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }.findFirst.get
+        Files.move(part, in.resolve(s"s$k.parquet"))
+      }
     }
+    val inDir = dir.resolve("in"); Files.createDirectories(inDir)
     val out = dir.resolve("out").toString
     def runOnce(): Unit = {
       val src = spark.readStream.schema(batchSchema)
@@ -3058,25 +3063,53 @@ object EventQueries {
     * shared by the two sketch-sink gates (`maxFilesPerTrigger=1` turns
     * each slice into its own micro-batch).
     */
-  private def stageDocSlices(spark: SparkSession, sfDir: String,
-      dir: java.nio.file.Path): org.apache.spark.sql.types.StructType = {
+  /** Stage the events table as three event_id-sliced parquet files in
+    * modification-time order — the micro-batch fixture shared (one
+    * cache entry) by the four full-stream transformWithState gates
+    * (tws/l3/ms/up); [[stageDocSlices]] is its documents twin.
+    */
+  private def stageEventSlices3(spark: SparkSession, sfDir: String)
+      : java.nio.file.Path = {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    StageCache.cachedIn("ev3", sfDir) { (work, in) =>
+      val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      (0 until 3).foreach { k =>
+        val tmpK = work.resolve(s"slice$k")
+        batch.filter(col("event_id") % 3 === k)
+          .coalesce(1).write.parquet(tmpK.toString)
+        val part = Files.list(tmpK).filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }.findFirst.get
+        Files.move(part, in.resolve(s"slice$k.parquet"))
+        Files.setLastModifiedTime(in.resolve(s"slice$k.parquet"),
+          FileTime.fromMillis(1600000000000L + k * 60000L))
+      }
+    }
+  }
+
+  private def stageDocSlices(spark: SparkSession, sfDir: String)
+      : (org.apache.spark.sql.types.StructType, java.nio.file.Path) = {
     import java.nio.file.Files
     import java.nio.file.attribute.FileTime
     val batch = spark.read.parquet(s"$sfDir/documents.parquet")
-    val inDir = dir.resolve("in"); Files.createDirectories(inDir)
-    (0 until 3).foreach { k =>
-      val slice = batch.filter(pmod(col("doc_id"), lit(3)) === k)
-      val tmpK = dir.resolve(s"slice$k")
-      slice.coalesce(1).write.parquet(tmpK.toString)
-      val part = Files.list(tmpK).filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("part-") && n.endsWith(".parquet")
-      }.findFirst.get
-      Files.move(part, inDir.resolve(s"s$k.parquet"))
-      Files.setLastModifiedTime(inDir.resolve(s"s$k.parquet"),
-        FileTime.fromMillis(1600000000000L + k * 60000L))
+    // one shared cache entry serves both sketch gates (identical fixture)
+    val in = StageCache.cachedIn("doc3", sfDir) { (work, in) =>
+      (0 until 3).foreach { k =>
+        val slice = batch.filter(pmod(col("doc_id"), lit(3)) === k)
+        val tmpK = work.resolve(s"slice$k")
+        slice.coalesce(1).write.parquet(tmpK.toString)
+        val part = Files.list(tmpK).filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }.findFirst.get
+        Files.move(part, in.resolve(s"s$k.parquet"))
+        Files.setLastModifiedTime(in.resolve(s"s$k.parquet"),
+          FileTime.fromMillis(1600000000000L + k * 60000L))
+      }
     }
-    batch.schema
+    (batch.schema, in)
   }
 
   /** Streaming count-min sketch maintenance under the correctness
@@ -3093,9 +3126,9 @@ object EventQueries {
     */
   def streamCms(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_cms")
-    val schema = stageDocSlices(spark, sfDir, dir)
+    val (schema, inDir) = stageDocSlices(spark, sfDir)
     val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(dir.resolve("in").toString)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
     val snap = dir.resolve("snap").toString
     val q = Streaming.startCmsSink(src, snap, dir.resolve("cp").toString)
     q.processAllAvailable(); q.stop()
@@ -3120,9 +3153,9 @@ object EventQueries {
     */
   def streamHh(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_hh")
-    val schema = stageDocSlices(spark, sfDir, dir)
+    val (schema, inDir) = stageDocSlices(spark, sfDir)
     val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(dir.resolve("in").toString)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
     val terms = src
       .select(explode_outer(graft.text.TextFns.tokens(col("text"))).as("term"))
       .filter(col("term").isNotNull)
@@ -3170,33 +3203,34 @@ object EventQueries {
     val batchSchema = batch.schema
     val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
     val dir = Files.createTempDirectory("graft_stream_ap")
-    val inDir = dir.resolve("in"); Files.createDirectories(inDir)
     val out = dir.resolve("out").toString
-    Files.copy(Paths.get(path), inDir.resolve("a_events.parquet"))
-    (1 to 2).foreach { k =>
-      val sent = batch.orderBy(col("ts").desc).limit(1)
-        .withColumn("ts",
-          if (isNs) col("ts") + lit(k.toLong * 86400L * 1000000000L)
-          else expr(s"ts + INTERVAL '${k * 24}' HOUR"))
-        .withColumn("event_type", lit("__wm_sentinel"))
-      val tmpK = dir.resolve(s"sent$k")
-      sent.coalesce(1).write.parquet(tmpK.toString)
-      val part = Files.list(tmpK).filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("part-") && n.endsWith(".parquet")
-      }.findFirst.get
-      Files.move(part, inDir.resolve(s"z_sentinel$k.parquet"))
-    }
-    // the file source orders pending files by modification time; stamp
-    // strictly increasing mtimes so events → sentinel1 → sentinel2 is
-    // the guaranteed batch order (a sentinel processed FIRST would
-    // advance the watermark before the real events arrive and drop
-    // them all as late)
-    Seq("a_events.parquet", "z_sentinel1.parquet", "z_sentinel2.parquet")
-      .zipWithIndex.foreach { case (f, i) =>
-        Files.setLastModifiedTime(inDir.resolve(f),
-          FileTime.fromMillis(1600000000000L + i * 60000L))
+    val inDir = StageCache.cachedIn("ap", sfDir) { (work, in) =>
+      Files.copy(Paths.get(path), in.resolve("a_events.parquet"))
+      (1 to 2).foreach { k =>
+        val sent = batch.orderBy(col("ts").desc).limit(1)
+          .withColumn("ts",
+            if (isNs) col("ts") + lit(k.toLong * 86400L * 1000000000L)
+            else expr(s"ts + INTERVAL '${k * 24}' HOUR"))
+          .withColumn("event_type", lit("__wm_sentinel"))
+        val tmpK = work.resolve(s"sent$k")
+        sent.coalesce(1).write.parquet(tmpK.toString)
+        val part = Files.list(tmpK).filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }.findFirst.get
+        Files.move(part, in.resolve(s"z_sentinel$k.parquet"))
       }
+      // the file source orders pending files by modification time; stamp
+      // strictly increasing mtimes so events → sentinel1 → sentinel2 is
+      // the guaranteed batch order (a sentinel processed FIRST would
+      // advance the watermark before the real events arrive and drop
+      // them all as late)
+      Seq("a_events.parquet", "z_sentinel1.parquet", "z_sentinel2.parquet")
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.setLastModifiedTime(in.resolve(f),
+            FileTime.fromMillis(1600000000000L + i * 60000L))
+        }
+    }
     val src = spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
     val evs =
@@ -3385,9 +3419,7 @@ object EventQueries {
     val batchSchema = batch.schema
     val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
     val dir = Files.createTempDirectory("graft_stream_oj")
-    val inDir = dir.resolve("in"); Files.createDirectories(inDir)
     val out = dir.resolve("out").toString
-    Files.copy(Paths.get(path), inDir.resolve("a_events.parquet"))
     // Sentinels must be REAL 'purchase'/'click' rows (user_id = -1 so
     // they join nothing, event_id = -1 so the sink read drops them):
     // a foreign-typed sentinel never advances the watermark, because
@@ -3398,29 +3430,32 @@ object EventQueries {
     // batches: eviction runs against the previous batch's watermark
     // (the streamLate two-phase lag) and the left eviction bound is
     // offset by the 1 h interval.
-    (1 to 3).foreach { k =>
-      val tmp = dir.resolve(s"w_$k")
-      val mx = batch.orderBy(col("ts").desc).limit(1)
-        .withColumn("ts",
-          if (isNs) col("ts") + lit(k.toLong * 86400L * 1000000000L)
-          else expr(s"ts + INTERVAL '${k * 24}' HOUR"))
-        .withColumn("event_id", lit(-1L))
-        .withColumn("user_id", lit(-1L).cast(batchSchema("user_id").dataType))
-      mx.withColumn("event_type", lit("purchase"))
-        .unionByName(mx.withColumn("event_type", lit("click")))
-        .coalesce(1).write.parquet(tmp.toString)
-      val part = Files.list(tmp).filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("part-") && n.endsWith(".parquet")
-      }.findFirst.get
-      Files.move(part, inDir.resolve(s"s${k}_sentinel.parquet"))
-    }
-    Seq("a_events.parquet", "s1_sentinel.parquet", "s2_sentinel.parquet",
-        "s3_sentinel.parquet")
-      .zipWithIndex.foreach { case (f, i) =>
-        Files.setLastModifiedTime(inDir.resolve(f),
-          FileTime.fromMillis(1600000000000L + i * 60000L))
+    val inDir = StageCache.cachedIn("oj", sfDir) { (work, in) =>
+      Files.copy(Paths.get(path), in.resolve("a_events.parquet"))
+      (1 to 3).foreach { k =>
+        val tmp = work.resolve(s"w_$k")
+        val mx = batch.orderBy(col("ts").desc).limit(1)
+          .withColumn("ts",
+            if (isNs) col("ts") + lit(k.toLong * 86400L * 1000000000L)
+            else expr(s"ts + INTERVAL '${k * 24}' HOUR"))
+          .withColumn("event_id", lit(-1L))
+          .withColumn("user_id", lit(-1L).cast(batchSchema("user_id").dataType))
+        mx.withColumn("event_type", lit("purchase"))
+          .unionByName(mx.withColumn("event_type", lit("click")))
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = Files.list(tmp).filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }.findFirst.get
+        Files.move(part, in.resolve(s"s${k}_sentinel.parquet"))
       }
+      Seq("a_events.parquet", "s1_sentinel.parquet", "s2_sentinel.parquet",
+          "s3_sentinel.parquet")
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.setLastModifiedTime(in.resolve(f),
+            FileTime.fromMillis(1600000000000L + i * 60000L))
+        }
+    }
     def side(tpe: String, idAs: String, tsAs: String) = {
       val src = spark.readStream.schema(batchSchema)
         .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
@@ -3496,44 +3531,45 @@ object EventQueries {
     val batchSchema = batch.schema
     val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
     val dir = Files.createTempDirectory("graft_stream_lt")
-    val inDir = dir.resolve("in"); Files.createDirectories(inDir)
     val out = dir.resolve("out").toString
-    Files.copy(Paths.get(path), inDir.resolve("a_events.parquet"))
-    def writeFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = dir.resolve(s"w_$name")
-      df.coalesce(1).write.parquet(tmp.toString)
-      val part = Files.list(tmp).filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("part-") && n.endsWith(".parquet")
-      }.findFirst.get
-      Files.move(part, inDir.resolve(name))
-    }
-    // the replay: earliest ~10% by event time, re-sent verbatim. It
-    // must arrive TWO batches after the events: Spark filters late
-    // rows against the PREVIOUS batch's eviction watermark (the
-    // two-watermark semantics that avoid dropping rows racing a wm
-    // advance), so a replay in batch N is judged by the wm batch N-1
-    // evicted with — one sentinel batch in between publishes the
-    // post-events watermark before the replay is judged (observed:
-    // replay directly after events is accepted wholesale, doubling
-    // early windows).
-    val cut = batch.selectExpr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.1)")
-      .head.getDouble(0).toLong
-    writeFile(batch.filter(
-      unix_micros(col("ts").cast("timestamp")) <= lit(cut)), "c_late_replay.parquet")
-    (1 to 2).foreach { k =>
-      writeFile(batch.orderBy(col("ts").desc).limit(1)
-        .withColumn("ts",
-          if (isNs) col("ts") + lit(k.toLong * 86400L * 1000000000L)
-          else expr(s"ts + INTERVAL '${k * 24}' HOUR"))
-        .withColumn("event_type", lit("__wm_sentinel")), s"${if (k == 1) "b" else "z"}_sentinel$k.parquet")
-    }
-    Seq("a_events.parquet", "b_sentinel1.parquet",
-        "c_late_replay.parquet", "z_sentinel2.parquet")
-      .zipWithIndex.foreach { case (f, i) =>
-        Files.setLastModifiedTime(inDir.resolve(f),
-          FileTime.fromMillis(1600000000000L + i * 60000L))
+    val inDir = StageCache.cachedIn("lt", sfDir) { (work, in) =>
+      Files.copy(Paths.get(path), in.resolve("a_events.parquet"))
+      def writeFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = work.resolve(s"w_$name")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val part = Files.list(tmp).filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }.findFirst.get
+        Files.move(part, in.resolve(name))
       }
+      // the replay: earliest ~10% by event time, re-sent verbatim. It
+      // must arrive TWO batches after the events: Spark filters late
+      // rows against the PREVIOUS batch's eviction watermark (the
+      // two-watermark semantics that avoid dropping rows racing a wm
+      // advance), so a replay in batch N is judged by the wm batch N-1
+      // evicted with — one sentinel batch in between publishes the
+      // post-events watermark before the replay is judged (observed:
+      // replay directly after events is accepted wholesale, doubling
+      // early windows).
+      val cut = batch.selectExpr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.1)")
+        .head.getDouble(0).toLong
+      writeFile(batch.filter(
+        unix_micros(col("ts").cast("timestamp")) <= lit(cut)), "c_late_replay.parquet")
+      (1 to 2).foreach { k =>
+        writeFile(batch.orderBy(col("ts").desc).limit(1)
+          .withColumn("ts",
+            if (isNs) col("ts") + lit(k.toLong * 86400L * 1000000000L)
+            else expr(s"ts + INTERVAL '${k * 24}' HOUR"))
+          .withColumn("event_type", lit("__wm_sentinel")), s"${if (k == 1) "b" else "z"}_sentinel$k.parquet")
+      }
+      Seq("a_events.parquet", "b_sentinel1.parquet",
+          "c_late_replay.parquet", "z_sentinel2.parquet")
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.setLastModifiedTime(in.resolve(f),
+            FileTime.fromMillis(1600000000000L + i * 60000L))
+        }
+    }
     val src = spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
     val evs =
@@ -3605,32 +3641,33 @@ object EventQueries {
     val batchSchema = batch.schema
     val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
     val dir = Files.createTempDirectory("graft_stream_fm")
-    val inDir = dir.resolve("in"); Files.createDirectories(inDir)
     val out = dir.resolve("out").toString
-    Files.copy(java.nio.file.Paths.get(path), inDir.resolve("a_events.parquet"))
-    // one sentinel per user, a day past global max event time
-    val mxTs = batch.agg(max(col("ts")).as("mts"))
-      .withColumn("ts",
-        if (isNs) col("mts") + lit(86400000000000L)
-        else expr("mts + INTERVAL '24' HOUR"))
-      .select("ts")
-    val sent = batch.select(col("user_id")).distinct()
-      .crossJoin(mxTs)
-      .withColumn("event_id", lit(-1L))
-      .withColumn("event_type", lit("__sentinel"))
-      .withColumn("value", lit(0.0))
-      .withColumn("props", lit(null).cast("string"))
-      .select(batchSchema.fieldNames.map(col).toSeq: _*)
-    val tmpS = dir.resolve("sent")
-    sent.coalesce(1).write.parquet(tmpS.toString)
-    val part = Files.list(tmpS).filter { p =>
-      val n = p.getFileName.toString
-      n.startsWith("part-") && n.endsWith(".parquet")
-    }.findFirst.get
-    Files.move(part, inDir.resolve("z_sentinel.parquet"))
-    Seq("a_events.parquet", "z_sentinel.parquet").zipWithIndex.foreach {
-      case (f, i) => Files.setLastModifiedTime(inDir.resolve(f),
-        FileTime.fromMillis(1600000000000L + i * 60000L))
+    val inDir = StageCache.cachedIn("fm", sfDir) { (work, in) =>
+      Files.copy(java.nio.file.Paths.get(path), in.resolve("a_events.parquet"))
+      // one sentinel per user, a day past global max event time
+      val mxTs = batch.agg(max(col("ts")).as("mts"))
+        .withColumn("ts",
+          if (isNs) col("mts") + lit(86400000000000L)
+          else expr("mts + INTERVAL '24' HOUR"))
+        .select("ts")
+      val sent = batch.select(col("user_id")).distinct()
+        .crossJoin(mxTs)
+        .withColumn("event_id", lit(-1L))
+        .withColumn("event_type", lit("__sentinel"))
+        .withColumn("value", lit(0.0))
+        .withColumn("props", lit(null).cast("string"))
+        .select(batchSchema.fieldNames.map(col).toSeq: _*)
+      val tmpS = work.resolve("sent")
+      sent.coalesce(1).write.parquet(tmpS.toString)
+      val part = Files.list(tmpS).filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }.findFirst.get
+      Files.move(part, in.resolve("z_sentinel.parquet"))
+      Seq("a_events.parquet", "z_sentinel.parquet").zipWithIndex.foreach {
+        case (f, i) => Files.setLastModifiedTime(in.resolve(f),
+          FileTime.fromMillis(1600000000000L + i * 60000L))
+      }
     }
     val src = spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
@@ -3751,20 +3788,8 @@ object EventQueries {
       val batch = spark.read.parquet(path)
       val batchSchema = batch.schema
       val dir = Files.createTempDirectory("graft_stream_tws")
-      val inDir = dir.resolve("in"); Files.createDirectories(inDir)
+      val inDir = stageEventSlices3(spark, sfDir)
       val out = dir.resolve("out").toString
-      (0 until 3).foreach { k =>
-        val tmpK = dir.resolve(s"slice$k")
-        batch.filter(col("event_id") % 3 === k)
-          .coalesce(1).write.parquet(tmpK.toString)
-        val part = Files.list(tmpK).filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("part-") && n.endsWith(".parquet")
-        }.findFirst.get
-        Files.move(part, inDir.resolve(s"slice$k.parquet"))
-        Files.setLastModifiedTime(inDir.resolve(s"slice$k.parquet"),
-          FileTime.fromMillis(1600000000000L + k * 60000L))
-      }
       val src = spark.readStream.schema(batchSchema)
         .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
       val evs = src
@@ -3872,20 +3897,21 @@ object EventQueries {
       val batch = spark.read.parquet(path)
       val batchSchema = batch.schema
       val dir = Files.createTempDirectory("graft_stream_ini")
-      val inDir = dir.resolve("in"); Files.createDirectories(inDir)
       val out = dir.resolve("out").toString
       // slices 1-2 stream; slice 0 is "history" served to initial state
-      (1 until 3).foreach { k =>
-        val tmpK = dir.resolve(s"slice$k")
-        batch.filter(col("event_id") % 3 === k)
-          .coalesce(1).write.parquet(tmpK.toString)
-        val part = Files.list(tmpK).filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("part-") && n.endsWith(".parquet")
-        }.findFirst.get
-        Files.move(part, inDir.resolve(s"slice$k.parquet"))
-        Files.setLastModifiedTime(inDir.resolve(s"slice$k.parquet"),
-          FileTime.fromMillis(1600000000000L + k * 60000L))
+      val inDir = StageCache.cachedIn("ini", sfDir) { (work, in) =>
+        (1 until 3).foreach { k =>
+          val tmpK = work.resolve(s"slice$k")
+          batch.filter(col("event_id") % 3 === k)
+            .coalesce(1).write.parquet(tmpK.toString)
+          val part = Files.list(tmpK).filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith("part-") && n.endsWith(".parquet")
+          }.findFirst.get
+          Files.move(part, in.resolve(s"slice$k.parquet"))
+          Files.setLastModifiedTime(in.resolve(s"slice$k.parquet"),
+            FileTime.fromMillis(1600000000000L + k * 60000L))
+        }
       }
       val initAgg = batch.filter(col("event_id") % 3 === 0)
         .select(col("event_type"), col("event_id"),
@@ -4030,42 +4056,43 @@ object EventQueries {
         if (isNs) batch0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         else batch0.withColumn("ts", col("ts").cast("timestamp"))
       val dir = Files.createTempDirectory("graft_stream_tmr")
-      val inDir = dir.resolve("in"); Files.createDirectories(inDir)
       val out = dir.resolve("out").toString
       val maxTsMs = batch.agg(max(col("ts"))).head().getTimestamp(0).getTime
       val flushAtMs = maxTsMs + 12L * 3600 * 1000 // +12 h: past all data,
       // below sentinel-1's +24 h watermark — fires in sentinel-2's batch
-      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-        val tmp = dir.resolve(s"tmp_$name")
-        df.coalesce(1).write.parquet(tmp.toString)
-        val part = Files.list(tmp).filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("part-") && n.endsWith(".parquet")
-        }.findFirst.get
-        Files.move(part, inDir.resolve(name))
-        Files.setLastModifiedTime(inDir.resolve(name), FileTime.fromMillis(mtime))
-      }
       val slim = batch.select(col("event_type"), col("event_id"),
         floor(col("value") * 1000000.0 + 0.5).cast("long").as("vm"), col("ts"))
-      // AT MOST TWO real-event batches — a hard bound, not a style
-      // choice. Id-sliced files each span the full ts range, so
-      // slice k>0 carries rows OLDER than slice 0's max ts; they
-      // survive the 0-second watermark only because
-      // TransformWithStateExec's late-row filter uses the ONE-BATCH-
-      // LAGGED watermark (still the initial value while batch 2
-      // runs). A third id-sliced batch — the 3-batch pattern the
-      // sibling q_stream_* queries use — would see the watermark
-      // advanced past its rows and drop them as late, failing the
-      // hash gate confusingly (see SKILL.md event-time-timer note).
-      (0 until 2).foreach { k =>
-        stage(slim.filter(col("event_id") % 2 === k), s"a_slice$k.parquet",
-          1600000000000L + k * 60000L)
-      }
-      (1 to 2).foreach { k =>
-        stage(slim.orderBy(col("ts").desc).limit(1)
-            .withColumn("ts", expr(s"ts + INTERVAL '${k * 24}' HOUR"))
-            .withColumn("event_type", lit("__wm_sentinel")),
-          s"z_sentinel$k.parquet", 1600000000000L + (2 + k) * 60000L)
+      val inDir = StageCache.cachedIn("tmr", sfDir) { (work, in) =>
+        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = work.resolve(s"tmp_$name")
+          df.coalesce(1).write.parquet(tmp.toString)
+          val part = Files.list(tmp).filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith("part-") && n.endsWith(".parquet")
+          }.findFirst.get
+          Files.move(part, in.resolve(name))
+          Files.setLastModifiedTime(in.resolve(name), FileTime.fromMillis(mtime))
+        }
+        // AT MOST TWO real-event batches — a hard bound, not a style
+        // choice. Id-sliced files each span the full ts range, so
+        // slice k>0 carries rows OLDER than slice 0's max ts; they
+        // survive the 0-second watermark only because
+        // TransformWithStateExec's late-row filter uses the ONE-BATCH-
+        // LAGGED watermark (still the initial value while batch 2
+        // runs). A third id-sliced batch — the 3-batch pattern the
+        // sibling q_stream_* queries use — would see the watermark
+        // advanced past its rows and drop them as late, failing the
+        // hash gate confusingly (see SKILL.md event-time-timer note).
+        (0 until 2).foreach { k =>
+          stage(slim.filter(col("event_id") % 2 === k), s"a_slice$k.parquet",
+            1600000000000L + k * 60000L)
+        }
+        (1 to 2).foreach { k =>
+          stage(slim.orderBy(col("ts").desc).limit(1)
+              .withColumn("ts", expr(s"ts + INTERVAL '${k * 24}' HOUR"))
+              .withColumn("event_type", lit("__wm_sentinel")),
+            s"z_sentinel$k.parquet", 1600000000000L + (2 + k) * 60000L)
+        }
       }
       val src = spark.readStream.schema(slim.schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
@@ -4172,20 +4199,8 @@ object EventQueries {
       val batchSchema = batch.schema
       val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
       val dir = Files.createTempDirectory("graft_stream_l3")
-      val inDir = dir.resolve("in"); Files.createDirectories(inDir)
+      val inDir = stageEventSlices3(spark, sfDir)
       val out = dir.resolve("out").toString
-      (0 until 3).foreach { k =>
-        val tmpK = dir.resolve(s"slice$k")
-        batch.filter(col("event_id") % 3 === k)
-          .coalesce(1).write.parquet(tmpK.toString)
-        val part = Files.list(tmpK).filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("part-") && n.endsWith(".parquet")
-        }.findFirst.get
-        Files.move(part, inDir.resolve(s"slice$k.parquet"))
-        Files.setLastModifiedTime(inDir.resolve(s"slice$k.parquet"),
-          FileTime.fromMillis(1600000000000L + k * 60000L))
-      }
       val src = spark.readStream.schema(batchSchema)
         .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
       val evs =
@@ -4304,20 +4319,8 @@ object EventQueries {
       val batchSchema = batch.schema
       val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
       val dir = Files.createTempDirectory("graft_stream_ms")
-      val inDir = dir.resolve("in"); Files.createDirectories(inDir)
+      val inDir = stageEventSlices3(spark, sfDir)
       val out = dir.resolve("out").toString
-      (0 until 3).foreach { k =>
-        val tmpK = dir.resolve(s"slice$k")
-        batch.filter(col("event_id") % 3 === k)
-          .coalesce(1).write.parquet(tmpK.toString)
-        val part = Files.list(tmpK).filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("part-") && n.endsWith(".parquet")
-        }.findFirst.get
-        Files.move(part, inDir.resolve(s"slice$k.parquet"))
-        Files.setLastModifiedTime(inDir.resolve(s"slice$k.parquet"),
-          FileTime.fromMillis(1600000000000L + k * 60000L))
-      }
       val src = spark.readStream.schema(batchSchema)
         .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
       val evs =
@@ -4394,20 +4397,8 @@ object EventQueries {
     val batchSchema = batch.schema
     val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
     val dir = Files.createTempDirectory("graft_stream_up")
-    val inDir = dir.resolve("in"); Files.createDirectories(inDir)
+    val inDir = stageEventSlices3(spark, sfDir)
     val out = dir.resolve("out").toString
-    (0 until 3).foreach { k =>
-      val tmpK = dir.resolve(s"slice$k")
-      batch.filter(col("event_id") % 3 === k)
-        .coalesce(1).write.parquet(tmpK.toString)
-      val part = Files.list(tmpK).filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("part-") && n.endsWith(".parquet")
-      }.findFirst.get
-      Files.move(part, inDir.resolve(s"slice$k.parquet"))
-      Files.setLastModifiedTime(inDir.resolve(s"slice$k.parquet"),
-        FileTime.fromMillis(1600000000000L + k * 60000L))
-    }
     val src = spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
     val evs =

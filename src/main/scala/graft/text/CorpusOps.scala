@@ -338,6 +338,57 @@ object CorpusOps {
        |       $duckPolyHash AS chunk_hash
        |FROM h ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---------- q_yule_k: Yule's characteristic K per source ----------
+
+  /** Yule's K (Yule 1944) per source — the REPETITIVENESS
+    * characteristic: K = 10⁴·(Σ_m m²·V_m − N)/N² over the term-
+    * frequency spectrum (V_m = types occurring m times, N = tokens).
+    * Unlike raw type/token ratio, K is (approximately) length-
+    * invariant, which is why stylometry and corpus-quality screens
+    * use it to compare sources of different sizes: a boilerplate-
+    * heavy crawl slice shows an elevated K long before exact dedup
+    * can see it. Reads next to `q_zipf_fit` (rank-frequency law) and
+    * `q_chao1` (unseen types) as the third view of the same spectrum.
+    *
+    * Shape: (source × term) counts → (source × m) spectrum → one
+    * all-integer fold; the single division happens once at the edge
+    * (round4). Linear, map-combinable, no windows.
+    */
+  def yuleK(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("source"), explode_outer(col("ts")).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy("source", "term").agg(count(lit(1)).as("m"))
+    tf.groupBy("source", "m").agg(count(lit(1)).as("vm"))
+      .groupBy("source")
+      .agg(sum(col("m") * col("vm")).as("n_tokens"),
+        sum(col("vm")).as("vocab"),
+        sum(col("m") * col("m") * col("vm")).as("m2v"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        TextFns.round4(lit(10000.0) *
+          (col("m2v") - col("n_tokens")).cast("double") /
+          (col("n_tokens").cast("double") * col("n_tokens").cast("double")))
+          .as("yule_k"))
+      .orderBy("source")
+  }
+
+  private val sqlYuleK =
+    s"""WITH t AS (SELECT source, $duckTokens AS ts FROM documents),
+       |     terms AS (SELECT source, unnest(ts) AS term FROM t),
+       |     tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS m
+       |            FROM terms GROUP BY 1, 2),
+       |     sp AS (SELECT source, m, CAST(count(*) AS BIGINT) AS vm
+       |            FROM tf GROUP BY 1, 2),
+       |     a AS (SELECT source, CAST(sum(m * vm) AS BIGINT) AS n_tokens,
+       |                  CAST(sum(vm) AS BIGINT) AS vocab,
+       |                  CAST(sum(m * m * vm) AS BIGINT) AS m2v
+       |           FROM sp GROUP BY 1)
+       |SELECT source, n_tokens, vocab,
+       |       ${TextFns.duckRound4("10000.0 * CAST(m2v - n_tokens AS DOUBLE) / " +
+                "(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))")} AS yule_k
+       |FROM a ORDER BY source""".stripMargin
+
   // ---------- q_mix_schedule: largest-remainder budget apportionment ----------
 
   private val MixBudget = 1000000L // token budget to apportion
@@ -1700,6 +1751,7 @@ object CorpusOps {
     "q_src_checksum" -> (srcChecksum _),
     "q_source_overlap" -> (sourceOverlap _),
     "q_prefix_dup" -> (prefixDup _),
+    "q_yule_k" -> (yuleK _),
     "q_temperature_mix" -> (temperatureMix _))
 
   val oracle: Map[String, String] = Map(
@@ -1719,6 +1771,7 @@ object CorpusOps {
     "q_bm25" -> sqlBm25,
     "q_chunk_plan" -> sqlChunkPlan,
     "q_mix_schedule" -> sqlMixSchedule,
+    "q_yule_k" -> sqlYuleK,
     "q_epoch_plan" -> sqlEpochPlan,
     "q_src_checksum" -> sqlSrcChecksum,
     "q_source_overlap" -> sqlSourceOverlap,

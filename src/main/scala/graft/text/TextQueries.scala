@@ -2179,13 +2179,22 @@ object TextQueries {
 
   // ---------- 4a2. q_ppjoin: EXACT set-similarity join (prefix filter) ----------
 
-  /** Jaccard threshold for the exact join, kept RATIONAL (1/3) so
-    * every filter is integer arithmetic: `jac ≥ 1/3` ⟺
-    * `4·|x∩y| ≥ |x|+|y|`, prefix length `|x| − ⌈|x|/3⌉ + 1` with
-    * `⌈n/3⌉ = (n+2) div 3` — no float boundary anywhere, on either
-    * engine.
+  /** Jaccard threshold for the exact join, kept RATIONAL (1/PpDen) so
+    * every filter is integer arithmetic: `jac ≥ 1/2` ⟺
+    * `3·|x∩y| ≥ |x|+|y|`, prefix length `|x| − ⌈|x|/2⌉ + 1` with
+    * `⌈n/2⌉ = (n+1) div 2` — no float boundary anywhere, on either
+    * engine. τ = 1/2 (round 16; was 1/3): prefix filtering is
+    * structurally weak at low thresholds — at τ = 1/3 the prefix is
+    * 2/3 of every set and the length filter admits 3× size skew, so
+    * 42% of raw candidates survived the positional filter at 10×
+    * while every ACTUAL near-dup pair in this corpus sits at
+    * jac ≥ 0.8 (min observed 0.8 at sf0.1, 0.9 at sf0.01) — the
+    * permissive threshold bought nothing but candidate volume. τ=1/2
+    * is the standard near-duplicate regime the PPJoin literature
+    * evaluates (Xiao WWW'08 uses 0.5-0.95) and leaves the gated
+    * output IDENTICAL at every verified SF.
     */
-  private val PpDen = 3
+  private val PpDen = 2
 
   /** EXACT set-similarity self-join via prefix filtering (SSJoin /
     * PPJoin family — Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07,
@@ -2204,14 +2213,31 @@ object TextQueries {
     * all-pairs join — the gate literally proves the pruning lost
     * nothing.
     *
-    * Scale: compute is distinct-text grain (collapse-before-pairwise);
-    * the df table is gram-vocabulary grain (one map-combinable
-    * aggregate); candidate volume is Σ_gram |prefix-postings|² where
-    * rare-first ordering keeps prefix postings short — boilerplate
-    * grams shared by everything sort LAST and never enter a prefix,
-    * which is exactly the quadratic blowup the ordering exists to
-    * kill; verification touches candidates only. Everything shuffles
-    * on gram or set id — no all-pairs stage at any scale.
+    * Scale: compute is CORE-SIGNATURE grain — a second collapse below
+    * the distinct-text one. Split each gram set into its CORE (grams
+    * with df ≥ 2) and its RESIDUAL (df = 1): a df-1 gram lives in
+    * exactly one set, so it can never be shared — it generates zero
+    * candidates and contributes zero to any intersection; only its
+    * COUNT matters (it inflates ng). Two texts with the same (core
+    * set, ng) are therefore fully exchangeable in the join: same
+    * emitted prefix grams at the same positions (the r residuals are
+    * globally rarest and all sort before the core, so core positions
+    * are r + core-rank for every member), same intersection with
+    * every outside set (|coreₐ ∩ core_b| exactly — residuals drop
+    * out), same Jaccard. The join runs ONCE per signature GROUP;
+    * member pairs expand afterward through output-proportional joins.
+    * This is what bounds the duplicate-VARIANT regime the round-15
+    * 30× upscale exposed (169 s = 44×): k one-token variants of a doc
+    * share the core and differ only in df-1 suffix grams, so a family
+    * that put k postings under every prefix gram (k² candidates per
+    * gram) collapses to TWO groups (base, variants) — candidate
+    * volume returns to Σ_gram |group-postings|², ~constant in the
+    * duplication factor, while the genuinely quadratic part (the
+    * family's k²/2 TRUE result pairs) moves to the expansion joins
+    * that only touch output rows. The df table is gram-vocabulary
+    * grain; everything shuffles on gram or group id — no all-pairs
+    * stage at any scale, and the brute-force oracle still proves the
+    * collapse lost nothing.
     */
   def ppjoin(spark: SparkSession, sfDir: String): DataFrame = {
     val dist = Tables.documents(spark, sfDir)
@@ -2222,53 +2248,125 @@ object TextQueries {
         array_distinct(
           graft.functions.TextHashes.ngramHashes(col("ts"), NgramN)).as("grams"))
       .withColumn("ng", size(col("grams")))
-      // staged once: the gram explode, the prefix join side, and the
-      // two verify joins all re-read this (the capped-block rule)
+      // staged once: the gram explode and the core-annotation join
+      // both re-read this (the capped-block rule)
       .localCheckpoint(true)
     val posting = dist.select(col("sid"), explode_outer(col("grams")).as("g"))
     val gdf = posting.groupBy("g").agg(count(lit(1)).as("df"))
-    // prefix grams WITH their 0-based position in the rare-first
-    // ordering — the position feeds the ppjoin+ positional filter
-    val prefix = posting.join(gdf, "g")
+    // core = the df ≥ 2 grams in rare-first order (df, hash — a GLOBAL
+    // total order); r = how many unshareable df-1 grams precede them
+    val core = posting.join(gdf, "g").filter(col("df") >= 2)
       .groupBy("sid")
       .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("ord"))
-      .join(dist.select(col("sid"), col("ng")), "sid")
-      .select(col("sid"), col("ng"),
-        posexplode_outer(slice(expr("transform(ord, p -> p.g)"), lit(1),
-          (col("ng") - expr(s"(ng + ${PpDen - 1}) div $PpDen") + lit(1))
-            .cast("int"))))
-      .withColumnRenamed("pos", "i").withColumnRenamed("col", "g")
+    val annot = dist.select(col("sid"), col("n_docs"), col("ng"))
+      .join(core, Seq("sid"), "left")
+      .withColumn("ord", coalesce(col("ord"),
+        expr("CAST(array() AS ARRAY<STRUCT<df: BIGINT, g: BIGINT>>)")))
+    // signature groups: min-sid representative + member multiplicity.
+    // The window partitions on the (bounded-multiplicity) signature —
+    // group size is duplicate-VARIANT multiplicity, the same class as
+    // the n_docs exact-duplicate count the first collapse absorbs.
+    // hash keys FIRST in the partition spec: same groups (tuple
+    // equality), but the within-partition sort comparator resolves on
+    // the 64-bit hash and only falls back to the full array compare
+    // on hash ties — array-first keying compared ~300-struct arrays
+    // per sort step
+    val wGrp = Window.partitionBy(xxhash64(col("ord")), col("ng"), col("ord"))
+    val grp = annot
+      .withColumn("gid", min(col("sid")).over(wGrp))
+      .withColumn("m", count(lit(1)).over(wGrp))
+    // members feed three output-proportional joins; reps feed the
+    // prefix emission, two verify joins, and the within-group leg
+    val members = grp.select(col("gid"), col("sid"), col("n_docs"))
+      .localCheckpoint(true)
+    // ghs keeps the rare-first order (prefix emission); gss is the
+    // same set ASCENDING-sorted for the merge-walk verify kernel
+    val reps = grp.filter(col("sid") === col("gid"))
+      .select(col("gid"), col("ng"), col("m"),
+        expr("transform(ord, p -> p.g)").as("ghs"))
+      .withColumn("gss", array_sort(col("ghs")))
+      .withColumn("ncore", size(col("ghs")))
+      .withColumn("r", col("ng") - col("ncore"))
+      .localCheckpoint(true)
+    // prefix grams WITH their 0-based position in the full rare-first
+    // ordering: the window is the first ng − ⌈ng/t⌉ + 1 positions of
+    // the ordered full set; its df-1 occupants (positions 0..r−1)
+    // are dropped — they can't match anything, so the candidate set
+    // is unchanged — and the surviving core grams keep their original
+    // positions i = r + idx for the ppjoin+ positional filter
+    val prefix = reps
+      .withColumn("take",
+        greatest(
+          (col("ng") - expr(s"(ng + ${PpDen - 1}) div $PpDen") + lit(1) -
+            col("r")).cast("int"),
+          lit(0)))
+      .select(col("gid"), col("ng"), col("r"),
+        posexplode_outer(slice(col("ghs"), lit(1), col("take"))))
+      .select(col("gid"), col("ng"), (col("pos") + col("r")).as("i"),
+        col("col").as("g"))
     // Positional filter (ppjoin+, Xiao et al. WWW'08): the rare-first
-    // ordering is a GLOBAL total order (df, gram-hash — both global
-    // attributes), so the first shared prefix gram minimizes its
-    // position in BOTH sets simultaneously (min(ia), min(ib) are
-    // attained by the same gram), and no shared gram can precede it
-    // anywhere — hence overlap ≤ 1 + min(remaining suffix lengths)
-    // at that gram. Pairs whose bound cannot reach the threshold are
-    // pruned BEFORE the array-intersect verify — the stage whose
-    // candidate growth (6.2× per 10×) was the documented scale
-    // watch-item. All-integer, so the brute-force oracle still proves
+    // ordering is a GLOBAL total order, so the first shared prefix
+    // gram minimizes its position in BOTH sets simultaneously and no
+    // shared gram can precede it anywhere — hence overlap ≤ 1 +
+    // min(remaining suffix lengths) at that gram. Pairs whose bound
+    // cannot reach the threshold are pruned BEFORE the array-intersect
+    // verify. All-integer, so the brute-force oracle still proves
     // completeness.
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.g") === col("b.g") && col("a.sid") < col("b.sid") &&
+        col("a.g") === col("b.g") && col("a.gid") < col("b.gid") &&
           least(col("a.ng"), col("b.ng")) * PpDen >=
             greatest(col("a.ng"), col("b.ng")))
-      .groupBy(col("a.sid").as("sa"), col("b.sid").as("sb"),
+      .groupBy(col("a.gid").as("sa"), col("b.gid").as("sb"),
         col("a.ng").as("pna"), col("b.ng").as("pnb"))
       .agg(min(col("a.i")).as("ia"), min(col("b.i")).as("ib"))
       .filter((lit(1) + least(col("pna") - 1 - col("ia"),
           col("pnb") - 1 - col("ib"))) * (PpDen + 1) >=
         col("pna") + col("pnb"))
       .select(col("sa"), col("sb"))
-    cand
-      .join(dist.select(col("sid").as("sa"), col("grams").as("ga"),
-        col("ng").as("na"), col("n_docs").as("n_docs_a")), "sa")
-      .join(dist.select(col("sid").as("sb"), col("grams").as("gb"),
-        col("ng").as("nb"), col("n_docs").as("n_docs_b")), "sb")
-      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+    // verify ONCE per group pair: |coreₐ ∩ core_b| IS |fullₐ ∩ full_b|
+    // for every member pair (residuals are unshareable by definition).
+    // Both joins BROADCAST the signature table: a shuffle join here
+    // carries a ~KB gram array on every candidate-pair row — the
+    // measured verify wall (the sb-side shuffle moved pairs WITH the
+    // already-attached sa arrays). The broadcast is bounded by the
+    // distinct-SIGNATURE table (post-collapse, post-dedup grain); at
+    // 100 TB corpus scale this single-node shortcut is replaced by a
+    // gid-bucketed co-partitioned join — or, the repo's documented
+    // at-scale default for near-dup, MinHash-LSH banding. The
+    // intersect itself is the codegen'd merge-walk kernel over the
+    // ascending-sorted arrays, not array_intersect's per-row hash set.
+    val crossPairs = cand
+      .join(broadcast(reps.select(col("gid").as("sa"), col("gss").as("ga"),
+        col("ng").as("na"))), "sa")
+      .join(broadcast(reps.select(col("gid").as("sb"), col("gss").as("gb"),
+        col("ng").as("nb"))), "sb")
+      .withColumn("inter",
+        graft.functions.TextHashes.sortedIntersectCount(col("ga"), col("gb")))
       .filter(col("inter") * (PpDen + 1) >= col("na") + col("nb"))
-      .select(col("sa").as("set_a"), col("sb").as("set_b"),
-        col("n_docs_a"), col("n_docs_b"),
+      .select(col("sa"), col("sb"), col("na"), col("nb"), col("inter"))
+    // within-group pairs need no candidate stage at all: members share
+    // the core and nothing else, so inter = ncore and both sizes = ng
+    val withinPairs = reps
+      .filter(col("m") >= 2 && col("ng") > 0 &&
+        col("ncore").cast("long") * (PpDen + 1) >= col("ng") * 2)
+      .select(col("gid").as("sa"), col("gid").as("sb"),
+        col("ng").as("na"), col("ng").as("nb"),
+        col("ncore").cast("long").as("inter"))
+    // expansion: every member pair of a qualifying group pair is a
+    // result row with the group-level Jaccard — strictly output-
+    // proportional joins (the only quadratic left is the TRUE result
+    // set itself, which no exact join can shrink)
+    val expanded = crossPairs.unionByName(withinPairs)
+      .join(members.select(col("gid").as("sa"), col("sid").as("s1"),
+        col("n_docs").as("nd1")), "sa")
+      .join(members.select(col("gid").as("sb"), col("sid").as("s2"),
+        col("n_docs").as("nd2")), "sb")
+      .filter(col("sa") =!= col("sb") || col("s1") < col("s2"))
+    expanded
+      .select(least(col("s1"), col("s2")).as("set_a"),
+        greatest(col("s1"), col("s2")).as("set_b"),
+        when(col("s1") < col("s2"), col("nd1")).otherwise(col("nd2")).as("n_docs_a"),
+        when(col("s1") < col("s2"), col("nd2")).otherwise(col("nd1")).as("n_docs_b"),
         TextFns.round4(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
       .orderBy("set_a", "set_b")

@@ -4245,7 +4245,222 @@ object VectorQueries {
        |      UNION ALL SELECT CAST(0.35 AS DOUBLE), d35 FROM a) th CROSS JOIN tot
        |ORDER BY th.threshold""".stripMargin
 
+  // ---------- q_silhouette / q_davies_bouldin / q_calinski: cluster validity ----------
+
+  /** The sqlIvfAssign codebook+scoring CTE stack up to a per-(vector,
+    * cell) round-6 cosine sim — shared by the three cluster-validity
+    * oracles so the assignment is literally [[sqlIvfAssign]]'s.
+    */
+  private val duckValidityScored =
+    s"""$duckVecs,
+       |     x AS (SELECT label AS c_label, CAST(i - 1 AS INT) AS dim, v[CAST(i AS INT)] AS x
+       |           FROM e0 CROSS JOIN range(1, 65) t(i)),
+       |     cd AS (SELECT c_label, dim, avg(x) AS cx FROM x GROUP BY c_label, dim),
+       |     c0 AS (SELECT c_label, list_transform(list_sort(list({'dim': dim, 'cx': cx})), p -> p.cx) AS cv
+       |            FROM cd GROUP BY c_label),
+       |     c AS (SELECT c_label, cv, sqrt(${duckDot("cv", "cv")}) AS cnrm FROM c0),
+       |     scored AS (SELECT e.vec_id, c.c_label,
+       |                       ${duckRound6(s"${duckDot("e.v", "c.cv")} / (e.nrm * c.cnrm)")} AS s6
+       |                FROM e CROSS JOIN c)""".stripMargin
+
+  /** Simplified (centroid-based) SILHOUETTE per cluster: for every
+    * vector, a = cosine distance to its own (nearest) label centroid
+    * and b = distance to the nearest OTHER centroid; s = (b−a)/b
+    * (a ≤ b by construction of the assignment, so max(a,b) = b). The
+    * full silhouette's pairwise a/b is quadratic; the centroid form
+    * is the linear approximation cluster-health dashboards actually
+    * compute, and at this grain it is one broadcast scan — the
+    * assignment is exactly [[ivfAssign]]'s (round-6 sims, c_label
+    * tie-break), extended to keep rank 2.
+    *
+    * Parity: a and b derive from ROUND-6 sims (centroids are avg()-
+    * built — the ulp rule), s is exact arithmetic on those, and the
+    * per-cell mean stages round6(s) in DECIMAL (order-independent)
+    * with one division at the edge.
+    */
+  def silhouette(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+    val scored = vecs.join(broadcast(codebook(vecs)))
+      .withColumn("s6", round6(VectorFns.cosineStaged(
+        col("v"), col("cv"), col("nrm"), col("cnrm"))))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("s6").desc, col("c_label"))
+    val ab = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .groupBy("vec_id")
+      .agg(max(when(col("rk") === 1, col("c_label"))).as("cell"),
+        max(when(col("rk") === 1, lit(1.0) - col("s6"))).as("a"),
+        max(when(col("rk") === 2, lit(1.0) - col("s6"))).as("b"))
+    ab.withColumn("sil",
+        when(col("b") <= 0.0, lit(0.0))
+          .otherwise((col("b") - col("a")) / col("b")))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round6(col("sil")).cast("decimal(18,6)")).as("sd"))
+      .select(col("cell"), col("n_vecs"),
+        round4(col("sd").cast("double") / col("n_vecs").cast("double"))
+          .as("mean_sil"))
+      .orderBy("cell")
+  }
+
+  private val sqlSilhouette =
+    s"""WITH $duckValidityScored,
+       |     rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                      ORDER BY s6 DESC, c_label) AS rk
+       |            FROM scored),
+       |     ab AS (SELECT vec_id,
+       |                   max(CASE WHEN rk = 1 THEN c_label END) AS cell,
+       |                   max(CASE WHEN rk = 1 THEN 1.0 - s6 END) AS a,
+       |                   max(CASE WHEN rk = 2 THEN 1.0 - s6 END) AS b
+       |            FROM rk WHERE rk <= 2 GROUP BY vec_id),
+       |     s AS (SELECT cell,
+       |                  CASE WHEN b <= 0.0 THEN 0.0 ELSE (b - a) / b END AS sil
+       |           FROM ab)
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       |       ${duckRound4(
+                 s"CAST(sum(CAST(${duckRound6("sil")} AS DECIMAL(18,6))) AS DOUBLE)" +
+                   " / CAST(count(*) AS DOUBLE)")} AS mean_sil
+       |FROM s GROUP BY cell ORDER BY cell""".stripMargin
+
+  /** DAVIES–BOULDIN terms per cluster (Davies & Bouldin 1979, cosine-
+    * distance form): scatter Sᵢ = mean distance of members to their
+    * centroid, and the cluster's DB term maxⱼ≠ᵢ (Sᵢ+Sⱼ)/Mᵢⱼ with Mᵢⱼ
+    * the centroid-centroid distance — the "worst neighbor" readout
+    * that says WHICH cluster pair is under-separated, where
+    * [[silhouette]] scores each cluster in isolation. The index
+    * itself is the mean of the emitted terms.
+    *
+    * Shape: one assignment scan ([[assignStep]], broadcast codebook)
+    * to cluster-grain scatter (round-6 distances in DECIMAL), then
+    * all pair math at k×k grain. Sᵢ is DECIMAL/count (exact); ratios
+    * and the max are IEEE-deterministic arithmetic on those exact
+    * values — both engines compute bit-identical terms.
+    */
+  def daviesBouldin(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+    val cb = codebook(vecs).localCheckpoint(true)
+    val sc = assignStep(vecs, cb)
+      .withColumn("d", lit(1.0) - round6(col("sim")))
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"),
+        sum(round6(col("d")).cast("decimal(18,6)")).as("dd"))
+      .withColumn("s", col("dd").cast("double") / col("n_vecs").cast("double"))
+      .select(col("cell"), col("n_vecs"), col("s"))
+    val m = cb.as("i").join(cb.as("j"),
+        col("i.c_label") =!= col("j.c_label"))
+      .select(col("i.c_label").as("ci"), col("j.c_label").as("cj"),
+        (lit(1.0) - round6(VectorFns.cosineStaged(
+          col("i.cv"), col("j.cv"), col("i.cnrm"), col("j.cnrm")))).as("mij"))
+      .filter(col("mij") > 0.0)
+    sc.as("a").join(m, col("a.cell") === col("ci"))
+      .join(sc.select(col("cell").as("cj"), col("s").as("sj")), "cj")
+      .groupBy(col("cell"), col("n_vecs"), col("s"))
+      .agg(max((col("s") + col("sj")) / col("mij")).as("db_term"))
+      .select(col("cell"), col("n_vecs"), round4(col("s")).as("scatter"),
+        round4(col("db_term")).as("db_term"))
+      .orderBy("cell")
+  }
+
+  private val sqlDaviesBouldin =
+    s"""WITH $duckValidityScored,
+       |     best AS (SELECT vec_id, c_label AS cell, s6 FROM (
+       |                SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                  ORDER BY s6 DESC, c_label) AS rk FROM scored)
+       |              WHERE rk = 1),
+       |     sc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       |                   CAST(sum(CAST(${duckRound6("1.0 - s6")} AS DECIMAL(18,6))) AS DOUBLE)
+       |                     / CAST(count(*) AS BIGINT) AS s
+       |            FROM best GROUP BY cell),
+       |     m AS (SELECT i.c_label AS ci, j.c_label AS cj,
+       |                  1.0 - ${duckRound6(
+                             s"${duckDot("i.cv", "j.cv")} / (i.cnrm * j.cnrm)")} AS mij
+       |           FROM c i JOIN c j ON i.c_label <> j.c_label
+       |           WHERE 1.0 - ${duckRound6(
+                        s"${duckDot("i.cv", "j.cv")} / (i.cnrm * j.cnrm)")} > 0.0),
+       |     r AS (SELECT a.cell, a.n_vecs, a.s,
+       |                  max((a.s + b.s) / m.mij) AS db_term
+       |           FROM sc a JOIN m ON a.cell = m.ci
+       |           JOIN sc b ON b.cell = m.cj
+       |           GROUP BY 1, 2, 3)
+       |SELECT cell, n_vecs, ${duckRound4("s")} AS scatter,
+       |       ${duckRound4("db_term")} AS db_term
+       |FROM r ORDER BY cell""".stripMargin
+
+  /** CALINSKI–HARABASZ index (1974), cosine-distance form: the
+    * between/within variance ratio (SSB/(k−1))/(SSW/(n−k)) with
+    * squared cosine distances — SSW from each vector to its assigned
+    * centroid, SSB from each centroid to the GRAND centroid weighted
+    * by cluster size. One number that rises when clusters tighten or
+    * separate; read with the per-cluster [[silhouette]] and
+    * [[daviesBouldin]] terms as the validity triad an embedding-
+    * pipeline owner tracks across re-trainings.
+    *
+    * Parity: every squared distance derives from a round-6 staged
+    * cosine, is itself round-6'd, and aggregates in DECIMAL; the k
+    * SSB terms weight by exact integer cluster sizes. Divisions
+    * happen once, at the edge.
+    */
+  def calinski(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+    val cb = codebook(vecs).localCheckpoint(true)
+    val byCell = assignStep(vecs, cb)
+      .withColumn("d", lit(1.0) - round6(col("sim")))
+      .groupBy("cell").agg(count(lit(1)).as("nk"),
+        sum(round6(col("d") * col("d")).cast("decimal(18,6)")).as("ssw_d"))
+    // grand centroid: the label codebook generalized to one cell
+    val gc = codebookBy(vecs.withColumn("all", lit(1)), "all")
+      .select(col("cv").as("gv"), col("cnrm").as("gnrm"))
+    val ssb = cb.crossJoin(broadcast(gc))
+      .withColumn("db", lit(1.0) - round6(VectorFns.cosineStaged(
+        col("cv"), col("gv"), col("cnrm"), col("gnrm"))))
+      .select(col("c_label").as("cell"), round6(col("db") * col("db"))
+        .cast("decimal(18,6)").as("db2"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    byCell.join(ssb, "cell")
+      .agg(count(lit(1)).as("k"), sum(col("nk")).as("n"),
+        sum(col("ssw_d")).as("ssw"),
+        sum(col("nk").cast("decimal(19,0)") * col("db2")).as("ssb"))
+      .select(col("k").as("k_cells"), col("n").as("n_vecs"),
+        round4(d(col("ssb"))).as("ssb"), round4(d(col("ssw"))).as("ssw"),
+        round4((d(col("ssb")) / (d(col("k")) - 1.0)) /
+          (d(col("ssw")) / (d(col("n")) - d(col("k"))))).as("ch_index"))
+  }
+
+  private val sqlCalinski =
+    s"""WITH $duckValidityScored,
+       |     best AS (SELECT vec_id, c_label AS cell, s6 FROM (
+       |                SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                  ORDER BY s6 DESC, c_label) AS rk FROM scored)
+       |              WHERE rk = 1),
+       |     bc AS (SELECT cell, CAST(count(*) AS BIGINT) AS nk,
+       |                   sum(CAST(${duckRound6("(1.0 - s6) * (1.0 - s6)")}
+       |                     AS DECIMAL(18,6))) AS ssw_d
+       |            FROM best GROUP BY cell),
+       |     gx AS (SELECT CAST(i - 1 AS INT) AS dim, v[CAST(i AS INT)] AS x
+       |            FROM e0, range(1, 65) t(i)),
+       |     gcd AS (SELECT dim, avg(x) AS cx FROM gx GROUP BY dim),
+       |     gc0 AS (SELECT list_transform(list_sort(list({'dim': dim, 'cx': cx})), p -> p.cx) AS gv
+       |             FROM gcd),
+       |     gc AS (SELECT gv, sqrt(${duckDot("gv", "gv")}) AS gnrm FROM gc0),
+       |     sb AS (SELECT c_label AS cell,
+       |                   CAST(${duckRound6(
+                              s"(1.0 - ${duckRound6(s"${duckDot("cv", "gv")} / (cnrm * gnrm)")})" +
+                                s" * (1.0 - ${duckRound6(s"${duckDot("cv", "gv")} / (cnrm * gnrm)")})")}
+       |                     AS DECIMAL(18,6)) AS db2
+       |            FROM c CROSS JOIN gc),
+       |     a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(nk) AS BIGINT) AS n,
+       |                  sum(ssw_d) AS ssw, sum(nk * db2) AS ssb
+       |           FROM bc JOIN sb ON bc.cell = sb.cell)
+       |SELECT k AS k_cells, n AS n_vecs,
+       |       ${duckRound4("CAST(ssb AS DOUBLE)")} AS ssb,
+       |       ${duckRound4("CAST(ssw AS DOUBLE)")} AS ssw,
+       |       ${duckRound4("(CAST(ssb AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0)) / " +
+                "(CAST(ssw AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))")} AS ch_index
+       |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_silhouette" -> (silhouette _),
+    "q_davies_bouldin" -> (daviesBouldin _),
+    "q_calinski" -> (calinski _),
     "q_semdedup_sweep" -> (semdedupSweep _),
     "q_kpp_init" -> (kppInit _),
     "q_cluster_ari" -> (clusterAri _),
@@ -4301,6 +4516,9 @@ object VectorQueries {
     "q_ivfpq_recall" -> (ivfpqRecall _))
 
   val oracle: Map[String, String] = Map(
+    "q_silhouette" -> sqlSilhouette,
+    "q_davies_bouldin" -> sqlDaviesBouldin,
+    "q_calinski" -> sqlCalinski,
     "q_semdedup_sweep" -> sqlSemdedupSweep,
     "q_kpp_init" -> sqlKppInit,
     "q_cluster_ari" -> sqlClusterAri,
