@@ -3653,17 +3653,26 @@ object VectorQueries {
     */
   def dbscanCore(spark: SparkSession, sfDir: String): DataFrame = {
     val cells = withCappedBlock(assignedCells(withVecs(spark, sfDir)), "cell")
+    // staged like [[dbscanClusters]]'s prs (the twice-read rule): the
+    // symmetric edge union reads it twice and both the degree and the
+    // core-neighbor legs read the union — un-staged, the pair join
+    // re-derived up to ~8× behind runtime exchange reuse, and partial
+    // reuse was the round-15 "+0.5 s fixed elevation" watch item (96
+    // exchanges / 20 sort-merge joins in the un-staged plan)
     val prs = cells.as("a").join(cells.as("b"),
         col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("s6", round6(VectorFns.cosineStaged(
         col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))))
       .filter(col("s6") >= NearDupThreshold)
       .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"))
+      .localCheckpoint(true)
     val edges = prs.unionAll(prs.select(col("y").as("x"), col("x").as("y")))
     val deg = edges.groupBy("x").agg(count(lit(1)).as("nn"))
+    // flags feeds the core-neighbor join AND the final rollup
     val flags = cells.select(col("vec_id"), col("label"))
       .join(deg.withColumnRenamed("x", "vec_id"), Seq("vec_id"), "left")
       .withColumn("is_core", coalesce(col("nn"), lit(0L)) >= 3)
+      .localCheckpoint(true)
     val coreNbr = edges
       .join(flags.select(col("vec_id").as("y"), col("is_core").as("y_core")), Seq("y"))
       .filter(col("y_core"))
