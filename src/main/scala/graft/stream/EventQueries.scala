@@ -4279,10 +4279,24 @@ object EventQueries {
         TTLConfig.NONE)
     override def handleInputRows(key: String, rows: Iterator[MsEv],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[MsOut] = {
+      // Pre-combine the batch in memory, then touch each DISTINCT
+      // hour cell once: the first version did containsKey + getValue
+      // + updateValue PER ROW — three state-store round-trips (each
+      // through the key/value encoders into RocksDB) per input row,
+      // which the round-15 30× upscale exposed as the suite's one
+      // superlinear streaming leg (59.3 s = 16.2×: per-batch rows
+      // grow 30× while distinct cells stay calendar-bounded, and
+      // RocksDB write volume amplifies within the batch). Combining
+      // first is also the production shape: state writes should be
+      // per-cell, row volume belongs in the combiner.
+      val acc = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Long)]
       rows.foreach { e =>
-        val (c, v) =
-          if (hist.containsKey(e.hour)) hist.getValue(e.hour) else (0L, 0L)
-        hist.updateValue(e.hour, (c + 1L, v + e.vm))
+        val (c, v) = acc.getOrElse(e.hour, (0L, 0L))
+        acc.update(e.hour, (c + 1L, v + e.vm))
+      }
+      acc.foreach { case (h, (dc, dv)) =>
+        val (c, v) = if (hist.containsKey(h)) hist.getValue(h) else (0L, 0L)
+        hist.updateValue(h, (c + dc, v + dv))
       }
       val cells = hist.iterator().toSeq.sortBy(_._1)
       Iterator.single(MsOut(key, cells.size,
