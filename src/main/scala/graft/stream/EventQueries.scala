@@ -4021,6 +4021,47 @@ object EventQueries {
     }
   }
 
+  /** Processing-time-timer twin of [[TwsTimer]] — the
+    * TimeMode.ProcessingTime leg. Inherently WALL-CLOCK-
+    * nondeterministic (a timer fires whenever a batch runs past its
+    * instant), so it is spec-gated only (`TwsProcessorSpec`), never
+    * oracle-gated: the round-15 verdict's "spec-only is the right
+    * call, but no spec exercises it at all" gap. Same single-live-
+    * timer discipline as the event-time twin, armed relative to the
+    * batch's current processing time — the idle-flush / cache-expiry
+    * shape (event-time timers are the session-close shape).
+    */
+  private[stream] class TwsProcTimer(delayMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, TwsEv, TwsOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var st: ValueState[TwsOut] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TwsOut]("agg",
+        org.apache.spark.sql.Encoders.product[TwsOut], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[TwsEv],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TwsOut] = {
+      var acc = if (st.exists()) st.get() else TwsOut(key, 0L, 0L, Long.MinValue)
+      rows.foreach { e =>
+        acc = TwsOut(key, acc.n_events + 1L, acc.vm_sum + e.vm,
+          math.max(acc.max_event_id, e.event_id))
+      }
+      st.update(acc)
+      // new activity pushes the flush out: disarm, re-arm at now+delay
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(
+        timerValues.getCurrentProcessingTimeInMs() + delayMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: String,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[TwsOut] = {
+      val out: Iterator[TwsOut] =
+        if (st.exists()) Iterator.single(st.get()) else Iterator.empty
+      st.clear()
+      out
+    }
+  }
+
   /** Event-time timers under the hash gate — the one
     * `transformWithState` leg the round-14 suite left ungated: real
     * events stream as two micro-batches (no chronological guarantee —

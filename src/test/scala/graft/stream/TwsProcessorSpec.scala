@@ -24,6 +24,12 @@ import java.sql.Timestamp
   *  - event-time timer arming/expiry: no emission before the
   *    watermark crosses the flush instant, exactly-once firing, state
   *    cleared by the fire ([[TwsTimer]])
+  *  - processing-time timer arming/expiry ([[EventQueries.TwsProcTimer]]
+  *    — the TimeMode.ProcessingTime leg, inherently wall-clock-
+  *    nondeterministic and therefore spec-only by design): fires once
+  *    after the delay in a self-scheduled batch, clears state. NOTE:
+  *    a pending processing-time timer keeps "work available" up, so
+  *    processAllAvailable never returns — that test polls the sink.
   *
   * The state-v2 API requires the RocksDB state-store provider; it is
   * scoped per test and restored (shared session).
@@ -190,6 +196,55 @@ class TwsProcessorSpec extends SparkSpec {
         q.processAllAvailable()
         val after = spark.table("tws_t").as[TwsOut].collect()
         assert(after.contains(TwsOut("a", 1L, 7L, 3L)))
+      } finally q.stop()
+    }
+  }
+
+  test("TwsProcTimer (processing-time) fires once after the delay, clears state") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(String, Long, Long)]
+      val evs = input.toDF().toDF("event_type", "event_id", "vm").as[TwsEv]
+      // generous delay: the no-early-emission assert below must hold
+      // even if the first batches take a while on a loaded machine
+      val delayMs = 3000L
+      val q = evs.groupByKey(_.event_type)
+        .transformWithState(new EventQueries.TwsProcTimer(delayMs),
+          TimeMode.ProcessingTime(), OutputMode.Update())
+        .writeStream.format("memory").queryName("tws_p")
+        .option("checkpointLocation", tmpDir("p"))
+        .outputMode("update").start()
+      // A PENDING processing-time timer keeps the engine's "work
+      // available" signal up, so processAllAvailable NEVER RETURNS
+      // here (verified: hung at the first call) — the wall-clock twin
+      // of the SKILL's ProcessingTimeTimeout no-data-rerun gotcha.
+      // The test therefore never calls it: the default trigger keeps
+      // running batches on its own (the pending timer is work), and
+      // the asserts POLL the sink.
+      def rowsFor(k: String): Array[TwsOut] =
+        spark.table("tws_p").as[TwsOut].collect().filter(_.event_type == k)
+      def pollUntil(deadlineMs: Long)(cond: => Boolean): Boolean = {
+        val limit = System.currentTimeMillis() + deadlineMs
+        while (!cond && System.currentTimeMillis() < limit) Thread.sleep(100)
+        cond
+      }
+      try {
+        val t0 = System.currentTimeMillis()
+        input.addData(("a", 1L, 10L), ("a", 2L, 20L))
+        // inside the delay window nothing may emit (wall-clock guard:
+        // only assert when provably still inside it)
+        Thread.sleep(500)
+        if (System.currentTimeMillis() - t0 < delayMs - 500)
+          assert(rowsFor("a").isEmpty,
+            "timer fired before its processing-time instant")
+        // the engine fires the timer in a self-scheduled batch once
+        // wall clock passes the instant — poll for the emission
+        assert(pollUntil(30000)(rowsFor("a").length == 1),
+          "processing-time timer never fired")
+        assert(rowsFor("a").head == TwsOut("a", 2L, 30L, 2L))
+        // consumed + state cleared: no re-emission afterward
+        Thread.sleep(delayMs + 1000)
+        assert(rowsFor("a").length == 1, "timer re-fired after consumption")
       } finally q.stop()
     }
   }
