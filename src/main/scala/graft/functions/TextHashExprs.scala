@@ -466,6 +466,21 @@ object TextHashUtil {
     out
   }
 
+  /** Count of positions where two equal-length long arrays agree —
+    * the MinHash signature-match kernel (est = posEq/numHashes). One
+    * primitive walk; the zip_with + aggregate HOF form it replaces is
+    * interpreted and allocates a 64-element array per pair.
+    */
+  def posEqCount(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var c = 0L
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1L
+      i += 1
+    }
+    c
+  }
+
   /** |a ∩ b| for two ASCENDING-sorted, duplicate-free long arrays —
     * one merge walk, zero allocation. The verify kernel for the exact
     * set-similarity join (q_ppjoin): `array_intersect` builds a hash
@@ -508,6 +523,23 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
       (a, b) => s"graft.functions.TextHashUtil.jaroWinkler($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaroWinklerExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** graft_pos_eq_count(a, b): positional agreement count of two long
+  * arrays (see [[TextHashUtil.posEqCount]]).
+  */
+case class PosEqCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_pos_eq_count"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHashUtil.posEqCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextHashUtil.posEqCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PosEqCountExpr =
     copy(left = newLeft, right = newRight)
 }
 
@@ -701,6 +733,9 @@ object TextHashes {
     ColumnBridge.column(NgramHashExpr(ColumnBridge.expression(ts), n))
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCountExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def posEqCount(a: Column, b: Column): Column =
+    ColumnBridge.column(PosEqCountExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def winnowFp(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFpExpr(ColumnBridge.expression(text), k, w))

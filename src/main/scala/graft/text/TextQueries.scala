@@ -250,8 +250,12 @@ object TextQueries {
     val staged = docs
       // native codegen'd distinct-shingle set + signature (HOF parity
       // pinned by TextHashSpec) — the interpreted HOF form cost ~2.5 s
-      // of this query's 3.6 s at sf0.1
-      .withColumn("shs", graft.functions.TextHashes.shingleSet(col("text"), K))
+      // of this query's 3.6 s at sf0.1. Shingle sets are staged
+      // ASCENDING-sorted so the pair verify is the merge-walk kernel
+      // (array_intersect builds a hash set per pair — the q_ppjoin
+      // verify lesson applied here too).
+      .withColumn("shs",
+        array_sort(graft.functions.TextHashes.shingleSet(col("text"), K)))
       .withColumn("sig",
         graft.functions.TextHashes.minHashSig(col("text"), K, NumHashes))
       .select(col("doc_id"), col("shs"), size(col("shs")).as("nsh"), col("sig"))
@@ -264,12 +268,12 @@ object TextQueries {
     val b = staged.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"),
       col("nsh").as("nsh_b"), col("sig").as("sig_b"))
     pairs.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("matches", aggregate(
-        zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
-        lit(0L), _ + _))
+      .withColumn("matches",
+        graft.functions.TextHashes.posEqCount(col("sig_a"), col("sig_b")))
       .withColumn("est", col("matches").cast("double") / NumHashes)
-      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("double"))
+      .withColumn("inter",
+        graft.functions.TextHashes.sortedIntersectCount(
+          col("shs_a"), col("shs_b")).cast("double"))
       .withColumn("uni", (col("nsh_a") + col("nsh_b")).cast("double") - col("inter"))
       .withColumn("ex", when(col("uni") === 0, lit(1.0)).otherwise(col("inter") / col("uni")))
       .select(col("doc_a"), col("doc_b"),
@@ -330,31 +334,36 @@ object TextQueries {
     val mask = 1L << BbitB
     val r = 1.0 / mask
     val staged = docs
-      .withColumn("shs", graft.functions.TextHashes.shingleSet(col("text"), K))
+      // sorted shingle sets + a per-doc STAGED b-bit signature (sig
+      // mod 2^b): the masked compare then reuses the positional-match
+      // kernel, instead of re-computing the mod per pair inside an
+      // interpreted zip_with (the q_minhash_est staging discipline)
+      .withColumn("shs",
+        array_sort(graft.functions.TextHashes.shingleSet(col("text"), K)))
       .withColumn("sig",
         graft.functions.TextHashes.minHashSig(col("text"), K, NumHashes))
-      .select(col("doc_id"), col("shs"), size(col("shs")).as("nsh"), col("sig"))
+      .withColumn("sigb", transform(col("sig"), x => pmod(x, lit(mask))))
+      .select(col("doc_id"), col("shs"), size(col("shs")).as("nsh"),
+        col("sig"), col("sigb"))
     val pairs = bandReps(docs)
       .filter(col("rep") < col("doc_id"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
     val a = staged.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"),
-      col("nsh").as("nsh_a"), col("sig").as("sig_a"))
+      col("nsh").as("nsh_a"), col("sig").as("sig_a"), col("sigb").as("sigb_a"))
     val b = staged.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"),
-      col("nsh").as("nsh_b"), col("sig").as("sig_b"))
+      col("nsh").as("nsh_b"), col("sig").as("sig_b"), col("sigb").as("sigb_b"))
     pairs.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("m_full", aggregate(
-        zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
-        lit(0L), _ + _))
-      .withColumn("m_bbit", aggregate(
-        zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x % mask === y % mask, lit(1L)).otherwise(lit(0L))),
-        lit(0L), _ + _))
+      .withColumn("m_full",
+        graft.functions.TextHashes.posEqCount(col("sig_a"), col("sig_b")))
+      .withColumn("m_bbit",
+        graft.functions.TextHashes.posEqCount(col("sigb_a"), col("sigb_b")))
       .withColumn("est_full", col("m_full").cast("double") / NumHashes)
       .withColumn("c_bbit", col("m_bbit").cast("double") / NumHashes)
       .withColumn("est_bbit", (col("c_bbit") - lit(r)) / lit(1.0 - r))
-      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("double"))
+      .withColumn("inter",
+        graft.functions.TextHashes.sortedIntersectCount(
+          col("shs_a"), col("shs_b")).cast("double"))
       .withColumn("uni", (col("nsh_a") + col("nsh_b")).cast("double") - col("inter"))
       .withColumn("ex", when(col("uni") === 0, lit(1.0)).otherwise(col("inter") / col("uni")))
       .select(col("doc_a"), col("doc_b"),
@@ -1045,7 +1054,9 @@ object TextQueries {
     */
   def lshCurve(spark: SparkSession, sfDir: String): DataFrame = {
     val staged = Tables.documents(spark, sfDir)
-      .withColumn("shs", graft.functions.TextHashes.shingleSet(col("text"), K))
+      // sorted for the merge-walk verify (set semantics only)
+      .withColumn("shs",
+        array_sort(graft.functions.TextHashes.shingleSet(col("text"), K)))
       .withColumn("sig",
         graft.functions.TextHashes.minHashSig(col("text"), K, NumHashes))
       .select(col("doc_id"), col("shs"), size(col("shs")).as("nsh"), col("sig"))
@@ -1066,7 +1077,9 @@ object TextQueries {
             element_at(col("sig_b"), i * r + j + 1)).reduce(_ && _)
       }.reduce(_ || _)
     val scored = pairs.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("double"))
+      .withColumn("inter",
+        graft.functions.TextHashes.sortedIntersectCount(
+          col("shs_a"), col("shs_b")).cast("double"))
       .withColumn("uni", (col("nsh_a") + col("nsh_b")).cast("double") - col("inter"))
       .withColumn("ex", when(col("uni") === 0, lit(1.0)).otherwise(col("inter") / col("uni")))
       .withColumn("is_true", TextFns.round4(col("ex")) >= LshCurveTau)

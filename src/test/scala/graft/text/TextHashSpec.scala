@@ -312,4 +312,31 @@ class TextHashSpec extends SparkSpec {
       .collect().head.getInt(0)
     assert(got == 4) // the, and, the, a
   }
+
+  test("sortedIntersectCount equals size(array_intersect) on sorted distinct sets") {
+    val df = texts.toDF("ta").crossJoin(texts.toDF("tb"))
+      .withColumn("sa", array_sort(TextHashes.shingleSet(col("ta"), 5)))
+      .withColumn("sb", array_sort(TextHashes.shingleSet(col("tb"), 5)))
+      .select(
+        TextHashes.sortedIntersectCount(col("sa"), col("sb")).as("native"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("builtin"))
+    df.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+    }
+  }
+
+  test("posEqCount equals the zip_with positional-match fold") {
+    val df = texts.toDF("ta").crossJoin(texts.toDF("tb"))
+      .withColumn("sa", TextHashes.minHashSig(col("ta"), 5, 16))
+      .withColumn("sb", TextHashes.minHashSig(col("tb"), 5, 16))
+      .select(
+        TextHashes.posEqCount(col("sa"), col("sb")).as("native"),
+        aggregate(
+          zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
+          lit(0L), _ + _).as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+    }
+  }
 }
