@@ -1666,7 +1666,150 @@ object OlapStats {
        |FROM r CROSS JOIN c""".stripMargin
   }
 
+  // ---------- q_wasserstein: exact 1-Wasserstein (earth-mover) drift ----------
+
+  /** Exact 1-Wasserstein distance between the AUTOMOBILE and BUILDING
+    * segments' order-value distributions — the drift metric that,
+    * unlike [[tvDrift]]'s bucket overlap or a KS max-gap, prices HOW
+    * FAR the mass moved (W₁ = ∫|F_a−F_b| dx, in dollars): the number
+    * a data-mixture owner reads as "retraining cost" when a source's
+    * value profile shifts. Completes the drift triad's metric axis.
+    *
+    * Parity + scale: ALL-INTEGER until the output edge. Value-grain
+    * (cents) conditional counts; ONE [[graft.etl.PrefixScan]] pass
+    * over a bit-PACKED value (idx ≪ 40 | cumA ≪ 20 | cumB — sums
+    * distribute over the pack, so one scan yields the rank and both
+    * inclusive CDFs numerators; packing needs per-segment totals
+    * < 2²⁰, true through 30× upscale — at larger SF widen the fields
+    * or run two scans); the "next value" comes from an idx+1
+    * equi-join (never a fact-scale lead window). Each integral strip
+    * is (gap cents)·|cumA·n_b − cumB·n_a| — an exact DECIMAL product
+    * summed order-independently; the single division and dollar
+    * rescale happen once at the end.
+    */
+  def wasserstein(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val base = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+      .select((col("c_mktsegment") === "AUTOMOBILE").as("is_a"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("xc"))
+    val g = base.groupBy("xc").agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+      .withColumn("v",
+        lit(1L << 40) + col("na") * lit(1L << 20) + col("nb"))
+    val sc = graft.etl.PrefixScan.exclusivePrefixSum(g, "xc", "v", "cum")
+      .withColumn("idx", expr("cum div 1099511627776"))
+      .withColumn("ca", expr("(cum % 1099511627776) div 1048576") + col("na"))
+      .withColumn("cb", col("cum") % lit(1L << 20) + col("nb"))
+      .localCheckpoint(true)
+    val tot = sc.agg(sum(col("na")).as("nat"), sum(col("nb")).as("nbt"))
+    val nxt = sc.select((col("idx") - 1).as("idx"), col("xc").as("x_next"))
+    sc.join(nxt, "idx")
+      .crossJoin(broadcast(tot))
+      .withColumn("d", abs(col("ca") * col("nbt") - col("cb") * col("nat")))
+      .agg(max(col("nat")).as("n_a"), max(col("nbt")).as("n_b"),
+        (count(lit(1)) + 1).as("n_values"),
+        sum((col("x_next") - col("xc")).cast("decimal(19,0)") *
+          col("d").cast("decimal(19,0)")).as("s"))
+      .select(col("n_a"), col("n_b"), col("n_values"),
+        round4(col("s").cast("double") /
+          (col("n_a") * col("n_b")).cast("double") / 100.0).as("w1_dollars"))
+  }
+
+  private val sqlWasserstein =
+    s"""WITH base AS (SELECT c_mktsegment = 'AUTOMOBILE' AS is_a,
+       |                     CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS xc
+       |              FROM orders JOIN customer ON o_custkey = c_custkey
+       |              WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')),
+       |     g AS (SELECT xc,
+       |                  CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |                  CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+       |           FROM base GROUP BY 1),
+       |     sc AS (SELECT xc, na, nb,
+       |                   CAST(sum(na) OVER w AS BIGINT) AS ca,
+       |                   CAST(sum(nb) OVER w AS BIGINT) AS cb,
+       |                   lead(xc) OVER (ORDER BY xc) AS x_next
+       |            FROM g
+       |            WINDOW w AS (ORDER BY xc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |     tot AS (SELECT CAST(sum(na) AS BIGINT) AS nat, CAST(sum(nb) AS BIGINT) AS nbt
+       |             FROM g)
+       |SELECT nat AS n_a, nbt AS n_b, CAST(count(*) + 1 AS BIGINT) AS n_values,
+       |       ${duckRound4(
+                 "CAST(sum(CAST(x_next - xc AS DECIMAL(19,0)) * " +
+                   "CAST(abs(ca * nbt - cb * nat) AS DECIMAL(19,0))) AS DOUBLE)" +
+                   " / CAST(nat * nbt AS DOUBLE) / 100.0")} AS w1_dollars
+       |FROM sc CROSS JOIN tot
+       |WHERE x_next IS NOT NULL
+       |GROUP BY 1, 2""".stripMargin
+
+  // ---------- q_bhattacharyya: histogram affinity + Hellinger drift ----------
+
+  /** Bhattacharyya coefficient and Hellinger distance between the
+    * same two segments' order-value HISTOGRAMS (fixed $25k-wide
+    * buckets, tail-capped) — the bounded-[0,1] affinity reading next
+    * to [[wasserstein]]'s unbounded dollar metric: BC near 1 means
+    * the shapes overlap; H = √(1−BC) is the proper metric the
+    * drift-alert thresholds are set on (and, unlike KL/PSI, needs no
+    * log — sqrt is the one IEEE-exact transcendental, so the pair is
+    * cross-engine-safe by construction).
+    *
+    * Shape: one bucket-grain conditional aggregate (≤ 23 cells), then
+    * a bucket-ordered k-element fold of √(pᵢ)·√(qᵢ) (explicit
+    * sqrt(a)·sqrt(b) association, never sqrt(a·b) — the float rule).
+    */
+  def bhattacharyya(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val g = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+      .select((col("c_mktsegment") === "AUTOMOBILE").as("is_a"),
+        least(expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) div 2500000"),
+          lit(20L)).as("b"))
+      .groupBy("b").agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("pa"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("pb"))
+    def d(x: Column): Column = x.cast("double")
+    val agg = g.agg(sum(col("pa")).as("nat"), sum(col("pb")).as("nbt"),
+        count(lit(1)).as("n_buckets"),
+        sort_array(collect_list(struct(col("b"), col("pa").as("pa"),
+          col("pb").as("pb")))).as("cells"))
+      .withColumn("bc", aggregate(col("cells"), lit(0.0),
+        (acc, s) => acc +
+          sqrt(s("pa").cast("double") / col("nat").cast("double")) *
+          sqrt(s("pb").cast("double") / col("nbt").cast("double"))))
+    agg.select(col("nat").as("n_a"), col("nbt").as("n_b"), col("n_buckets"),
+      round4(col("bc")).as("bc"),
+      round4(sqrt(greatest(lit(0.0), lit(1.0) - col("bc")))).as("hellinger"))
+  }
+
+  private val sqlBhattacharyya = {
+    val term = "sqrt(CAST(pa AS DOUBLE) / CAST(nat AS DOUBLE)) * " +
+      "sqrt(CAST(pb AS DOUBLE) / CAST(nbt AS DOUBLE))"
+    s"""WITH g AS (SELECT LEAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) // 2500000, 20) AS b,
+       |                  CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS pa,
+       |                  CAST(sum(CASE WHEN c_mktsegment <> 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS pb
+       |           FROM orders JOIN customer ON o_custkey = c_custkey
+       |           WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+       |           GROUP BY 1),
+       |     t AS (SELECT CAST(sum(pa) AS BIGINT) AS nat, CAST(sum(pb) AS BIGINT) AS nbt,
+       |                  CAST(count(*) AS BIGINT) AS n_buckets
+       |           FROM g),
+       |     a AS (SELECT nat, nbt, n_buckets,
+       |                  list_reduce([CAST(0 AS DOUBLE)] || list($term ORDER BY b),
+       |                    (acc, v) -> acc + v) AS bc
+       |           FROM g CROSS JOIN t
+       |           GROUP BY nat, nbt, n_buckets)
+       |SELECT nat AS n_a, nbt AS n_b, n_buckets,
+       |       ${duckRound4("bc")} AS bc,
+       |       ${duckRound4("sqrt(GREATEST(0.0, 1.0 - bc))")} AS hellinger
+       |FROM a""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_wasserstein" -> (wasserstein _),
+    "q_bhattacharyya" -> (bhattacharyya _),
     "q_kruskal_wallis" -> (kruskalWallis _),
     "q_friedman" -> (friedman _),
     "q_cochran_q" -> (cochranQ _),
@@ -1695,6 +1838,8 @@ object OlapStats {
     "q_outliers" -> (outliers _))
 
   val oracle: Map[String, String] = Map(
+    "q_wasserstein" -> sqlWasserstein,
+    "q_bhattacharyya" -> sqlBhattacharyya,
     "q_kruskal_wallis" -> sqlKruskalWallis,
     "q_friedman" -> sqlFriedman,
     "q_cochran_q" -> sqlCochranQ,
