@@ -4466,7 +4466,76 @@ object VectorQueries {
                 "(CAST(ssw AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))")} AS ch_index
        |FROM a""".stripMargin
 
+  // ---------- q_embed_drift: linear-kernel MMD between label distributions ----------
+
+  /** Embedding-DISTRIBUTION drift between every label pair: the
+    * maximum mean discrepancy with the linear kernel, whose closed
+    * form is ‖μ_a − μ_b‖² — the "did my embedding space shift"
+    * monitor an embedding-pipeline owner tracks across re-trainings
+    * and the vector-space sibling of [[graft.olap.OlapStats]]'s
+    * wasserstein/bhattacharyya scalar-drift metrics. (Gaussian-kernel
+    * MMD needs exp — no cross-engine ulp guarantee; the linear kernel
+    * is the exact member of the family, which is why it's the one an
+    * oracle can gate.)
+    *
+    * Parity + scale: one linear posexplode pass to (label × dim)
+    * DECIMAL moments (round6-staged coordinates — the kmeans rule:
+    * never sum raw doubles that feed output), then everything is
+    * bounded (labels² × dims): per-dim mean differences are computed
+    * CROSS-MULTIPLIED in DECIMAL (sa·n_b − sb·n_a — exact), squared
+    * as IEEE-deterministic doubles, and folded in dim order.
+    */
+  def embedDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("x6",
+        (floor(col("x").cast("double") * 1000000.0 + 0.5) / 1000000.0)
+          .cast("decimal(18,6)"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum(col("x6")).as("s"))
+    m.as("a").join(m.as("b"),
+        col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+      .withColumn("diff",
+        (col("a.s").cast("decimal(28,6)") * col("b.n").cast("decimal(19,0)") -
+          col("b.s").cast("decimal(28,6)") * col("a.n").cast("decimal(19,0)"))
+          .cast("double") /
+          (col("a.n") * col("b.n")).cast("double"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(sort_array(collect_list(struct(col("a.dim").as("dim"),
+        (col("diff") * col("diff")).as("d2")))).as("ds"))
+      .withColumn("mmd2",
+        aggregate(col("ds"), lit(0.0), (acc, s) => acc + s("d2")))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round4(col("mmd2")).as("mmd2"),
+        round4(sqrt(col("mmd2"))).as("mmd"))
+      .orderBy("label_a", "label_b")
+  }
+
+  private val sqlEmbedDrift =
+    s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |     x AS (SELECT label, CAST(i - 1 AS INT) AS dim,
+       |                  CAST(floor(v[CAST(i AS INT)] * 1000000.0 + 0.5) / 1000000.0
+       |                    AS DECIMAL(18,6)) AS x6
+       |           FROM e CROSS JOIN range(1, 65) t(i)),
+       |     m AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS n, sum(x6) AS s
+       |           FROM x GROUP BY 1, 2),
+       |     p AS (SELECT a.label AS la, b.label AS lb, a.n AS na, b.n AS nb, a.dim,
+       |                  CAST(CAST(a.s AS DECIMAL(28,6)) * b.n
+       |                       - CAST(b.s AS DECIMAL(28,6)) * a.n AS DOUBLE)
+       |                    / CAST(a.n * b.n AS DOUBLE) AS diff
+       |           FROM m a JOIN m b ON a.dim = b.dim AND a.label < b.label),
+       |     g AS (SELECT la, lb, na, nb,
+       |                  list_reduce([CAST(0 AS DOUBLE)] || list(diff * diff ORDER BY dim),
+       |                    (acc, v) -> acc + v) AS mmd2
+       |           FROM p GROUP BY 1, 2, 3, 4)
+       |SELECT la AS label_a, lb AS label_b, na AS n_a, nb AS n_b,
+       |       ${duckRound4("mmd2")} AS mmd2,
+       |       ${duckRound4("sqrt(mmd2)")} AS mmd
+       |FROM g ORDER BY label_a, label_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_drift" -> (embedDrift _),
     "q_silhouette" -> (silhouette _),
     "q_davies_bouldin" -> (daviesBouldin _),
     "q_calinski" -> (calinski _),
@@ -4525,6 +4594,7 @@ object VectorQueries {
     "q_ivfpq_recall" -> (ivfpqRecall _))
 
   val oracle: Map[String, String] = Map(
+    "q_embed_drift" -> sqlEmbedDrift,
     "q_silhouette" -> sqlSilhouette,
     "q_davies_bouldin" -> sqlDaviesBouldin,
     "q_calinski" -> sqlCalinski,
