@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
 /** Statistical OLAP operators — second-moment statistics, modal
   * aggregates, binning, and Pareto (skyline) selection. Extends the
   * §2.6 aggregate layer with the shapes an analyst reaches for once
-  * sums and ranks are exhausted (reference scope: the OLAP report SQL
-  * under the reference's `queries/` dir; these are the same
-  * star-schema reads with richer aggregate math).
+  * sums and ranks are exhausted (reference scope: the reference's
+  * query layer lives in a separate NextJS repo it only links to —
+  * README.md:7 — so SURVEY.md §2.6 mandates the implicit OLAP surface
+  * its star schema exists to serve; these are the same star-schema
+  * reads with richer aggregate math).
   *
   * Cross-engine determinism: every query here either aggregates in
   * DECIMAL (exact, order-independent) and converts to double once at
@@ -1680,8 +1682,9 @@ object OlapStats {
     * over a bit-PACKED value (idx ≪ 40 | cumA ≪ 20 | cumB — sums
     * distribute over the pack, so one scan yields the rank and both
     * inclusive CDFs numerators; packing needs per-segment totals
-    * < 2²⁰, true through 30× upscale — at larger SF widen the fields
-    * or run two scans); the "next value" comes from an idx+1
+    * < 2²⁰, true through 30× upscale and enforced by a fail-loud
+    * require — at larger SF widen the fields or run two scans); the
+    * "next value" comes from an idx+1
     * equi-join (never a fact-scale lead window). Each integral strip
     * is (gap cents)·|cumA·n_b − cumB·n_a| — an exact DECIMAL product
     * summed order-independently; the single division and dollar
@@ -1705,6 +1708,17 @@ object OlapStats {
       .withColumn("cb", col("cum") % lit(1L << 20) + col("nb"))
       .localCheckpoint(true)
     val tot = sc.agg(sum(col("na")).as("nat"), sum(col("nb")).as("nbt"))
+    // Fail-loud pack-capacity guard (round-17 advice): the 20-bit CDF
+    // fields silently bleed cumB into cumA past 2^20 orders/segment —
+    // the 30× upscale is already at ~86% of capacity. A scalar check
+    // over the eagerly-checkpointed sc is one cheap driver job; at a
+    // larger SF the fix is two prefix scans (or 31-bit fields in two
+    // longs), and this require names that remedy instead of corrupting
+    // w1_dollars quietly.
+    val cap = tot.select(greatest(col("nat"), col("nbt"))).head.getLong(0)
+    require(cap < (1L << 20),
+      s"wasserstein bit-pack overflow: per-segment total $cap >= 2^20 — " +
+        "widen the packed fields or fall back to two prefix scans")
     val nxt = sc.select((col("idx") - 1).as("idx"), col("xc").as("x_next"))
     sc.join(nxt, "idx")
       .crossJoin(broadcast(tot))
