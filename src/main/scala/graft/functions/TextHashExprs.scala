@@ -42,6 +42,17 @@ object TextHashUtil {
   def aj(j: Int): Long = (2L * j + 1) * 2654435761L % P
   def bj(j: Int): Long = (104729L * j + 12345L) % P
 
+  /** Deterministic integer-pair coin for hash-based edge sampling
+    * (q_link_pred_sampled): h(u,w) = (u·A + w·B + C) mod M, uniform
+    * over [0, M). Pure 64-bit integer arithmetic on non-negative ids
+    * (max id ≪ 2^43 keeps u·A < 2^63), so Spark and DuckDB literals
+    * agree bit-for-bit — the TextHashUtil single-source rule.
+    */
+  final val CoinA: Long = 1000003L
+  final val CoinB: Long = 10007L
+  final val CoinC: Long = 12345L
+  final val CoinM: Long = 1L << 20
+
   /** Jaro-Winkler similarity over bytes — the [[JaroWinklerExpr]]
     * kernel; see the expression's Scaladoc for the pinned contract.
     */

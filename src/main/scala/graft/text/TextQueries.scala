@@ -2209,6 +2209,17 @@ object TextQueries {
     */
   private val PpDen = 2
 
+  /** Estimated-bytes threshold above which the ppjoin verify stops
+    * broadcasting the signature table and switches to gid-bucketed
+    * co-partitioned joins (see the record-join note in [[ppjoin]]).
+    * 48 MB: the 30× upscale's signature table crosses it (the scale
+    * path gets exercised by the 30× bench leg, not just trusted),
+    * while sf0.01/sf0.1 stay comfortably under (broadcast gate plan
+    * unchanged). Overridable for A/B timing.
+    */
+  private val PpBroadcastBytes =
+    sys.env.getOrElse("SPARK_GRAFT_PPJOIN_BCAST_BYTES", s"${48L * 1024 * 1024}").toLong
+
   /** EXACT set-similarity self-join via prefix filtering (SSJoin /
     * PPJoin family — Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07,
     * Xiao et al. WWW'08): every distinct-text pair with word-3-gram
@@ -2338,21 +2349,34 @@ object TextQueries {
       .select(col("sa"), col("sb"))
     // verify ONCE per group pair: |coreₐ ∩ core_b| IS |fullₐ ∩ full_b|
     // for every member pair (residuals are unshareable by definition).
-    // Both joins BROADCAST the signature table: a shuffle join here
-    // carries a ~KB gram array on every candidate-pair row — the
-    // measured verify wall (the sb-side shuffle moved pairs WITH the
-    // already-attached sa arrays). The broadcast is bounded by the
-    // distinct-SIGNATURE table (post-collapse, post-dedup grain); at
-    // 100 TB corpus scale this single-node shortcut is replaced by a
-    // gid-bucketed co-partitioned join — or, the repo's documented
-    // at-scale default for near-dup, MinHash-LSH banding. The
-    // intersect itself is the codegen'd merge-walk kernel over the
+    // Attaching the gram arrays to candidate pairs is the record-join
+    // stage of Vernica/Carey/Li SIGMOD'10, and it has two legitimate
+    // shapes chosen HERE by the signature table's measured size (one
+    // cheap scalar job over the eagerly-checkpointed reps):
+    //   - small (≤ PpBroadcastBytes est.): broadcast both attach joins
+    //     — a shuffle join at this size only moves ~KB gram arrays on
+    //     every candidate-pair row for nothing (the measured verify
+    //     wall of round 15). This keeps the sf0.01/sf0.1 gate plan.
+    //   - large: gid-bucketed co-partitioned sort-merge joins — pairs
+    //     shuffle on sa bare (no arrays), attach ga, then shuffle on
+    //     sb carrying the one attached array. Candidate volume is
+    //     positional-filter-pruned to near the true-result size, so
+    //     the array-bearing shuffle is output-proportional — the
+    //     100 TB shape, where no signature table fits a broadcast.
+    // The intersect itself is the codegen'd merge-walk kernel over the
     // ascending-sorted arrays, not array_intersect's per-row hash set.
-    val crossPairs = cand
-      .join(broadcast(reps.select(col("gid").as("sa"), col("gss").as("ga"),
-        col("ng").as("na"))), "sa")
-      .join(broadcast(reps.select(col("gid").as("sb"), col("gss").as("gb"),
-        col("ng").as("nb"))), "sb")
+    val repsSz = reps.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(col("gss"))), lit(0L)).as("cells")).head
+    val repsEstBytes = repsSz.getLong(1) * 8L + repsSz.getLong(0) * 48L
+    val bucketed = repsEstBytes > PpBroadcastBytes
+    val repsA = reps.select(col("gid").as("sa"), col("gss").as("ga"),
+      col("ng").as("na"))
+    val repsB = reps.select(col("gid").as("sb"), col("gss").as("gb"),
+      col("ng").as("nb"))
+    val attached =
+      if (bucketed) cand.join(repsA, "sa").join(repsB, "sb")
+      else cand.join(broadcast(repsA), "sa").join(broadcast(repsB), "sb")
+    val crossPairs = attached
       .withColumn("inter",
         graft.functions.TextHashes.sortedIntersectCount(col("ga"), col("gb")))
       .filter(col("inter") * (PpDen + 1) >= col("na") + col("nb"))

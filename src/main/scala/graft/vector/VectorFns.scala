@@ -79,7 +79,16 @@ object VectorFns {
     * search", 2011) is VectorQueries.ivfAssign.
     */
   def signBucket(vec: Column, bits: Int, stride: Int): Column =
+    signBucketAt(vec, bits, stride, 1)
+
+  /** [[signBucket]] with an explicit first sampled dimension
+    * (1-based): an INDEPENDENT second hashing of the same vectors.
+    * Two offset views make near-neighbors that a single blocking
+    * separates collide in the other one — the cross-block bridges the
+    * graph-ANN build needs for navigability (q_graph_ann).
+    */
+  def signBucketAt(vec: Column, bits: Int, stride: Int, off: Int): Column =
     (0 until bits).map { j =>
-      when(element_at(vec, 1 + j * stride) > 0, lit(1L << j)).otherwise(lit(0L))
+      when(element_at(vec, off + j * stride) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 }

@@ -965,6 +965,222 @@ object VectorQueries {
        |FROM nc LEFT JOIN h ON nc.nprobe = h.nprobe CROSS JOIN np
        |ORDER BY nc.nprobe""".stripMargin
 
+  // ---------- 6c2. q_graph_ann: graph-based ANN (HNSW-lite beam search) ----------
+
+  /** Base-layer out-degree of the neighbor graph, fixed hop budget,
+    * and the beam widths the operating curve reports. EntryStride
+    * defines the coarse layer: every 32nd vector, brute-force-scanned
+    * per probe to elect the search entry — HNSW's upper layers
+    * collapsed into one exactly-scanned sample (N/32 dots per probe),
+    * which is what the hierarchy amounts to asymptotically.
+    */
+  private val GraphDeg = 8
+  private val GraphHops = 5
+  private val GraphBeams = Seq(1, 4, 16, 64)
+  private val EntryStride = 32L
+
+  /** Graph-based ANN serving (the HNSW/NSW family — Malkov & Yashunin
+    * TPAMI 2018): beam search over a persisted deterministic k-NN
+    * graph, reported as recall@[[TopK]] per beam width against the
+    * exact flat scan — the `q_ivf_recall_curve` pattern, completing
+    * the serving-index families (LSH, multi-probe, IVF, PQ/RQ, now
+    * graph). The graph is the top-[[GraphDeg]] cosine out-edges
+    * within each capped LSH block, SYMMETRIZED (in-links make hubs
+    * reachable — the NSW navigability ingredient); the entry point
+    * comes from the coarse layer's exact scan, so the beam starts in
+    * the probe's neighborhood and [[GraphHops]] hops of width-bw
+    * best-first expansion refine it. Beam semantics: visited =
+    * every scored candidate (dedup by max), beam = top-bw of visited
+    * — monotone, so wider beams strictly dominate (the curve's
+    * operating trade is beam width ∝ dots-per-hop vs recall).
+    *
+    * Oracle: DuckDB replays the ENTIRE pipeline (graph build, entry
+    * election, all three hops, recall join) — the gate proves the
+    * search path, not just the recall arithmetic. Parity: every rank
+    * orders on the raw left-fold cosine with vec_id tie-break (the
+    * family's proven-exact convention); the only division per score
+    * is IEEE-correct.
+    *
+    * Scale: graph build is the [[knnBatch]] shape (Σ blk² bounded by
+    * [[BlockCap]]'s sub-split ladder); the graph persists
+    * (localCheckpoint here; a table in production). Per-probe search
+    * cost is bw·[[GraphDeg]]·[[GraphHops]] dots + the N/EntryStride
+    * coarse scan — probes are the bounded audit sample, and each
+    * hop's frontier/candidate set is broadcast-joined against the
+    * graph and corpus (beam side is tiny by construction).
+    */
+  def graphAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = withVecs(spark, sfDir)
+    // TWO independent LSH views (offset sampled dims): a single
+    // blocking yields a graph with zero cross-block edges, so the
+    // beam could never leave the entry's block component (measured:
+    // recall stuck at 0.04 across widths). Union of both views'
+    // within-block candidates gives the bridges; each view is
+    // population-capped independently.
+    def edgesOf(off: Int): DataFrame = {
+      val blocked = withCappedBlock(
+        vecs.withColumn("bucket",
+          VectorFns.signBucketAt(col("v"), LshBits, LshStride, off)), "bucket")
+      blocked.as("a").join(blocked.as("b"),
+          col("a.blk") === col("b.blk") && col("a.vec_id") =!= col("b.vec_id"))
+        .withColumn("sim", VectorFns.cosineStaged(
+          col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"), col("sim"))
+    }
+    val wSrc = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
+    val out = edgesOf(1).unionByName(edgesOf(3))
+      .groupBy("src", "dst").agg(max(col("sim")).as("sim"))
+      .withColumn("rk", row_number().over(wSrc))
+      .filter(col("rk") <= GraphDeg)
+      .select(col("src"), col("dst"))
+    val graph = out.union(out.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val probes = vecs
+      .filter(pmod(col("vec_id"), lit(RecallProbeStep)) === 0 &&
+        col("vec_id") < ProbeIdCap)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+      .localCheckpoint(true)
+    val wProbe = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+    val wBeam = Window.partitionBy("probe_id", "bw")
+      .orderBy(col("sim").desc, col("vec_id"))
+    // coarse layer: exact scan of the every-EntryStride-th sample
+    // elects the entry; fan out to one starting beam row per width
+    // (explode_outer: the width array is provably non-empty — the
+    // InferFiltersFromGenerate rule)
+    val entry = vecs.filter(pmod(col("vec_id"), lit(EntryStride)) === 0)
+      .crossJoin(broadcast(probes))
+      .withColumn("sim", VectorFns.cosineStaged(
+        col("v"), col("pv"), col("nrm"), col("pnrm")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") === 1)
+      .select(col("probe_id"),
+        explode_outer(array(GraphBeams.map(lit): _*)).as("bw"),
+        col("vec_id"), col("sim"))
+    val scoreVecs = vecs.select(col("vec_id"), col("v"), col("nrm"))
+    var visited = entry.localCheckpoint(true)
+    var beam = visited
+    for (_ <- 1 to GraphHops) {
+      val frontier = beam.select(col("probe_id"), col("bw"), col("vec_id").as("src"))
+      val candIds = graph.join(broadcast(frontier), "src")
+        .select(col("probe_id"), col("bw"), col("dst").as("vec_id"))
+      val cand = scoreVecs.join(broadcast(candIds), "vec_id")
+        .join(broadcast(probes), "probe_id")
+        .withColumn("sim", VectorFns.cosineStaged(
+          col("v"), col("pv"), col("nrm"), col("pnrm")))
+        .select(col("probe_id"), col("bw"), col("vec_id"), col("sim"))
+      visited = visited.unionByName(cand)
+        .groupBy("probe_id", "bw", "vec_id").agg(max(col("sim")).as("sim"))
+        .localCheckpoint(true)
+      beam = visited.withColumn("rk", row_number().over(wBeam))
+        .filter(col("rk") <= col("bw"))
+        .select(col("probe_id"), col("bw"), col("vec_id"), col("sim"))
+    }
+    val vis = visited.filter(col("vec_id") =!= col("probe_id"))
+    val ann = vis.withColumn("rk", row_number().over(wBeam))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("bw"), col("vec_id"))
+    val exact = scoreVecs.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", VectorFns.cosineStaged(
+        col("v"), col("pv"), col("nrm"), col("pnrm")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("vec_id"))
+    val nProbes = probes.agg(count(lit(1)).as("n_probes"))
+    val hits = ann.join(exact, Seq("probe_id", "vec_id"))
+      .groupBy("bw").agg(count(lit(1)).as("hits"))
+    vis.groupBy("bw").agg(count(lit(1)).as("n_visited"))
+      .join(hits, Seq("bw"), "left")
+      .crossJoin(broadcast(nProbes))
+      .select(col("bw").as("beam"), col("n_probes"), col("n_visited"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round4(coalesce(col("hits"), lit(0L)).cast("double") /
+          (col("n_probes") * TopK).cast("double")).as("recall"))
+      .orderBy("beam")
+  }
+
+  private val sqlGraphAnn = {
+    val hops = (1 to GraphHops).map { h =>
+      s"""     c$h AS (SELECT bm.probe_id, bm.bw, g.dst AS vec_id,
+         |                   ${duckDot("e.v", "p.pv")} / (e.nrm * p.pnrm) AS sim
+         |            FROM beam${h - 1} bm
+         |            JOIN graph g ON bm.vec_id = g.src
+         |            JOIN e ON e.vec_id = g.dst
+         |            JOIN p ON p.probe_id = bm.probe_id),
+         |     v$h AS (SELECT probe_id, bw, vec_id, max(sim) AS sim
+         |            FROM (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM c$h)
+         |            GROUP BY 1, 2, 3),
+         |     beam$h AS (SELECT probe_id, bw, vec_id, sim FROM (
+         |              SELECT probe_id, bw, vec_id, sim,
+         |                     row_number() OVER (PARTITION BY probe_id, bw
+         |                       ORDER BY sim DESC, vec_id) AS rk
+         |              FROM v$h) WHERE rk <= bw),""".stripMargin
+    }.mkString("\n")
+    def duckBucketAt(off: Int): String =
+      (0 until LshBits).map { j =>
+        s"(CASE WHEN v[${off + j * LshStride}] > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    def viewAt(off: Int, sfx: String): String =
+      s"""b0$sfx AS (SELECT vec_id, v, nrm, ${duckBucketAt(off)} AS bucket FROM e),
+         |     bn0$sfx AS (SELECT bucket, count(*) AS bn FROM b0$sfx GROUP BY bucket),
+         |     b$sfx AS (SELECT vec_id, v, nrm, b0$sfx.bucket,
+         |                      ${duckBlk(s"b0$sfx.bucket")} AS blk
+         |           FROM b0$sfx JOIN bn0$sfx ON b0$sfx.bucket = bn0$sfx.bucket),
+         |     ge$sfx AS (SELECT a.vec_id AS src, b2.vec_id AS dst,
+         |                       ${duckDot("a.v", "b2.v")} / (a.nrm * b2.nrm) AS sim
+         |            FROM b$sfx a JOIN b$sfx b2
+         |              ON a.blk = b2.blk AND a.vec_id <> b2.vec_id)""".stripMargin
+    s"""WITH $duckVecs,
+       |     ${viewAt(1, "x")},
+       |     ${viewAt(3, "y")},
+       |     g0 AS (SELECT src, dst,
+       |                   row_number() OVER (PARTITION BY src
+       |                     ORDER BY sim DESC, dst) AS rk
+       |            FROM (SELECT src, dst, max(sim) AS sim
+       |                  FROM (SELECT * FROM gex UNION ALL SELECT * FROM gey)
+       |                  GROUP BY 1, 2)),
+       |     g1 AS (SELECT src, dst FROM g0 WHERE rk <= $GraphDeg),
+       |     graph AS (SELECT DISTINCT src, dst FROM
+       |                 (SELECT src, dst FROM g1
+       |                  UNION ALL SELECT dst AS src, src AS dst FROM g1)),
+       |     p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm FROM e
+       |           WHERE vec_id % $RecallProbeStep = 0 AND vec_id < $ProbeIdCap),
+       |     entry0 AS (SELECT p.probe_id, e.vec_id,
+       |                       ${duckDot("e.v", "p.pv")} / (e.nrm * p.pnrm) AS sim,
+       |                       row_number() OVER (PARTITION BY p.probe_id
+       |                         ORDER BY ${duckDot("e.v", "p.pv")} / (e.nrm * p.pnrm) DESC,
+       |                                  e.vec_id) AS rk
+       |                FROM e JOIN p ON TRUE WHERE e.vec_id % $EntryStride = 0),
+       |     v0 AS (SELECT probe_id, bw, vec_id, sim
+       |            FROM entry0 CROSS JOIN (VALUES ${
+                      GraphBeams.map(b => s"($b)").mkString(", ")}) t(bw)
+       |            WHERE rk = 1),
+       |     beam0 AS (SELECT * FROM v0),
+       |$hops
+       |     vis AS (SELECT * FROM v$GraphHops WHERE vec_id <> probe_id),
+       |     ann AS (SELECT probe_id, bw, vec_id FROM (
+       |              SELECT probe_id, bw, vec_id,
+       |                     row_number() OVER (PARTITION BY probe_id, bw
+       |                       ORDER BY sim DESC, vec_id) AS rk
+       |              FROM vis) WHERE rk <= $TopK),
+       |     ex AS (SELECT probe_id, vec_id FROM (
+       |             SELECT p.probe_id, e.vec_id,
+       |                    row_number() OVER (PARTITION BY p.probe_id
+       |                      ORDER BY ${duckDot("e.v", "p.pv")} / (e.nrm * p.pnrm) DESC,
+       |                               e.vec_id) AS rk
+       |             FROM e, p WHERE e.vec_id <> p.probe_id) WHERE rk <= $TopK),
+       |     np AS (SELECT count(*) AS n_probes FROM p),
+       |     h AS (SELECT bw, count(*) AS hits
+       |           FROM ann JOIN ex USING (probe_id, vec_id) GROUP BY 1),
+       |     nv AS (SELECT bw, CAST(count(*) AS BIGINT) AS n_visited FROM vis GROUP BY 1)
+       |SELECT CAST(nv.bw AS INT) AS beam, CAST(n_probes AS BIGINT) AS n_probes,
+       |       n_visited, CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+       |       ${duckRound4(
+                 s"CAST(coalesce(hits, 0) AS DOUBLE) / CAST(n_probes * $TopK AS DOUBLE)")} AS recall
+       |FROM nv LEFT JOIN h USING (bw) CROSS JOIN np
+       |ORDER BY beam""".stripMargin
+  }
+
   // ---------- 6d. q_mrl_curve: recall@k vs embedding-dim prefix ----------
 
   /** Matryoshka truncation levels (dim prefixes). The last level is
@@ -2258,6 +2474,122 @@ object VectorQueries {
        |                                WHERE edges.u = wedges.x AND edges.w = wedges.z))
        |SELECT x, z, cn, ${duckRound4("CAST(ra AS DOUBLE)")} AS ra_score
        |FROM cand ORDER BY x, z""".stripMargin
+
+  // ---------- 13f. q_link_pred_sampled: Horvitz-Thompson CN estimator ----------
+
+  /** Per-center edge-sampling target for [[linkPredSampled]]: each
+    * center keeps a neighbor with probability ≈ min(1, cap/deg), so
+    * wedge work is Σ min(deg, cap)² ≤ cap²·|nodes| — LINEAR in the
+    * node count no matter how the graph densifies (the scale-safe
+    * alternative [[linkPred]] lacks: its exact wedge count grows with
+    * Σ deg², and a hard hub cap would silently change the output —
+    * round-16 verdict #4). cap = 4 sits BELOW the max degree at every
+    * oracle SF (5 at sf0.01, 13 at sf0.1) so the driver gate
+    * exercises the live sampling arithmetic — an inactive-at-gate
+    * threshold would make the parity check vacuous (the q_ann_lsh
+    * lesson). Production would run 64-256.
+    */
+  private val LpSampleCap = 4L
+
+  /** Sampled common-neighbor link prediction: the [[linkPred]] recall
+    * signal at bounded cost. Each DIRECTED edge (center u, neighbor
+    * w) flips the deterministic [[graft.functions.TextHashUtil]] coin
+    * h(u,w) < pa(u), where pa(u)/M ≈ min(1, cap/deg(u)) exactly
+    * (pa = ⌈cap·M/deg⌉, all-integer — no float boundary on either
+    * engine). A wedge x–u–z is observed iff both its edges survive,
+    * probability (pa/M)², so the Horvitz-Thompson estimate of the
+    * common-neighbor count is Σ (M/pa)² over observed wedges —
+    * UNBIASED under the hash-uniformity assumption, unlike a degree
+    * cap. Per-pair uncertainty ships WITH the estimate: the standard
+    * HT variance estimate Σ w·(w−1) (w = per-wedge weight; exact for
+    * independent coins), reported as a 95% half-width 1.96·√var.
+    *
+    * Parity: weights are round6'd into DECIMAL before the (x,z) sum
+    * (order-independent — the kmeans/rolling7d rule); the single
+    * sqrt and multiply are IEEE-correctly-rounded; round4 at the
+    * edge. The coin, pa, and the observed-wedge join are all integer
+    * arithmetic the DuckDB oracle reproduces literally.
+    *
+    * Scale: sampled degree ≈ min(deg, cap) bounds the self-join
+    * fan-out at cap² per center; everything else is [[linkPred]]'s
+    * shape (anti-join on existing edges, node-grain degree joins).
+    * Estimator quality degrades on hubs exactly where the exact
+    * query's cost explodes — the stated trade, priced by half_ci.
+    */
+  def linkPredSampled(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextHashUtil.{CoinA, CoinB, CoinC, CoinM}
+    val edges = collisionEdges(spark, sfDir)
+    val und = edges.union(edges.select(col("w").as("u"), col("u").as("w")))
+    val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val sampled = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .withColumn("pa", when(col("du") <= LpSampleCap, lit(CoinM))
+        .otherwise(expr(s"(${LpSampleCap * CoinM} - 1) div du + 1")))
+      .filter(pmod(col("u") * CoinA + col("w") * CoinB + CoinC, lit(CoinM))
+        < col("pa"))
+      // HT weight staged ONCE per directed edge (center-determined):
+      // wt = (M/pa)² — division and multiply both correctly rounded
+      .withColumn("wt",
+        (lit(CoinM.toDouble) / col("pa").cast("double")) *
+          (lit(CoinM.toDouble) / col("pa").cast("double")))
+      .withColumn("wt6",
+        (floor(col("wt") * 1000000.0 + 0.5) / 1000000.0).cast("decimal(28,6)"))
+      .withColumn("vt6",
+        (floor(col("wt") * (col("wt") - 1.0) * 1000000.0 + 0.5) / 1000000.0)
+          .cast("decimal(28,6)"))
+    val wedges = sampled.as("e1")
+      .join(sampled.select(col("u"), col("w")).as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
+      .select(col("e1.w").as("x"), col("e2.w").as("z"),
+        col("e1.wt6").as("wt6"), col("e1.vt6").as("vt6"))
+      .groupBy("x", "z")
+      .agg(count(lit(1)).as("cn_seen"),
+        sum(col("wt6")).as("cne"), sum(col("vt6")).as("vre"))
+    wedges.join(edges,
+        wedges("x") === edges("u") && wedges("z") === edges("w"), "left_anti")
+      .select(col("x"), col("z"), col("cn_seen"),
+        round4(col("cne").cast("double")).as("cn_est"),
+        round4(lit(1.96) * sqrt(col("vre").cast("double"))).as("half_ci"))
+      .orderBy("x", "z")
+  }
+
+  private val sqlLinkPredSampled = {
+    import graft.functions.TextHashUtil.{CoinA, CoinB, CoinC, CoinM}
+    val wtSql = s"(${CoinM}.0 / CAST(pa AS DOUBLE)) * (${CoinM}.0 / CAST(pa AS DOUBLE))"
+    s"""WITH $duckVecs,
+       |     b0 AS (SELECT vec_id, v, nrm, $duckBucket AS bucket FROM e),
+       |     bn0 AS (SELECT bucket, count(*) AS bn FROM b0 GROUP BY bucket),
+       |     b AS (SELECT vec_id, v, nrm, b0.bucket, ${duckBlk("b0.bucket")} AS blk
+       |           FROM b0 JOIN bn0 ON b0.bucket = bn0.bucket),
+       |     edges AS (SELECT a.vec_id AS u, b2.vec_id AS w
+       |               FROM b a JOIN b b2 ON a.blk = b2.blk AND a.vec_id < b2.vec_id
+       |               WHERE ${duckDot("a.v", "b2.v")} / (a.nrm * b2.nrm) >= $TriThreshold),
+       |     und AS (SELECT u, w FROM edges UNION ALL SELECT w AS u, u AS w FROM edges),
+       |     deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+       |     sampled AS (SELECT u, w, pa,
+       |                        CAST(floor($wtSql * 1000000.0 + 0.5) / 1000000.0
+       |                          AS DECIMAL(28,6)) AS wt6,
+       |                        CAST(floor($wtSql * ($wtSql - 1.0) * 1000000.0 + 0.5)
+       |                          / 1000000.0 AS DECIMAL(28,6)) AS vt6
+       |                 FROM (SELECT und.u, und.w,
+       |                              CASE WHEN deg.deg <= $LpSampleCap THEN $CoinM
+       |                                   ELSE (${LpSampleCap * CoinM} - 1) // deg.deg + 1
+       |                              END AS pa
+       |                       FROM und JOIN deg ON und.u = deg.node) t
+       |                 WHERE (u * $CoinA + w * $CoinB + $CoinC) % $CoinM < pa),
+       |     wedges AS (SELECT e1.w AS x, e2.w AS z,
+       |                       CAST(count(*) AS BIGINT) AS cn_seen,
+       |                       sum(e1.wt6) AS cne, sum(e1.vt6) AS vre
+       |                FROM sampled e1 JOIN sampled e2 ON e1.u = e2.u AND e1.w < e2.w
+       |                GROUP BY 1, 2),
+       |     cand AS (SELECT x, z, cn_seen, cne, vre FROM wedges
+       |              WHERE NOT EXISTS (SELECT 1 FROM edges
+       |                                WHERE edges.u = wedges.x AND edges.w = wedges.z))
+       |SELECT x, z, cn_seen,
+       |       ${duckRound4("CAST(cne AS DOUBLE)")} AS cn_est,
+       |       ${duckRound4("1.96 * sqrt(CAST(vre AS DOUBLE))")} AS half_ci
+       |FROM cand ORDER BY x, z""".stripMargin
+  }
 
   // ---------- 14. q_pq_codes: product-quantization encoding ----------
 
@@ -4552,6 +4884,7 @@ object VectorQueries {
     "q_degree_hist" -> (degreeHist _),
     "q_truss_support" -> (trussSupport _),
     "q_link_pred" -> (linkPred _),
+    "q_link_pred_sampled" -> (linkPredSampled _),
     "q_calibration" -> (calibration _),
     "q_vote_auc" -> (voteAuc _),
     "q_pq_codes" -> (pqCodes _),
@@ -4578,6 +4911,7 @@ object VectorQueries {
     "q_ivf_search" -> (ivfSearch _),
     "q_ivf_nprobe" -> (ivfSearchNprobe _),
     "q_ivf_recall_curve" -> (ivfRecallCurve _),
+    "q_graph_ann" -> (graphAnn _),
     "q_mrl_curve" -> (mrlCurve _),
     "q_knn" -> (knn _),
     "q_knn_batch" -> (knnBatch _),
@@ -4611,6 +4945,7 @@ object VectorQueries {
     "q_degree_hist" -> sqlDegreeHist,
     "q_truss_support" -> sqlTrussSupport,
     "q_link_pred" -> sqlLinkPred,
+    "q_link_pred_sampled" -> sqlLinkPredSampled,
     "q_calibration" -> sqlCalibration,
     "q_vote_auc" -> sqlVoteAuc,
     "q_pq_codes" -> sqlPqCodes,
@@ -4637,6 +4972,7 @@ object VectorQueries {
     "q_ivf_search" -> sqlIvfSearch,
     "q_ivf_nprobe" -> sqlIvfSearchNprobe,
     "q_ivf_recall_curve" -> sqlIvfRecallCurve,
+    "q_graph_ann" -> sqlGraphAnn,
     "q_mrl_curve" -> sqlMrlCurve,
     "q_knn" -> sqlKnn,
     "q_knn_batch" -> sqlKnnBatch,
