@@ -2212,13 +2212,14 @@ object TextQueries {
   /** Estimated-bytes threshold above which the ppjoin verify stops
     * broadcasting the signature table and switches to gid-bucketed
     * co-partitioned joins (see the record-join note in [[ppjoin]]).
-    * 48 MB: the 30× upscale's signature table crosses it (the scale
-    * path gets exercised by the 30× bench leg, not just trusted),
-    * while sf0.01/sf0.1 stay comfortably under (broadcast gate plan
-    * unchanged). Overridable for A/B timing.
+    * 16 MB: the 30× upscale's signature table (~35 MB, 79k sigs)
+    * crosses it — the scale path gets exercised by the 30× bench leg,
+    * not just trusted — while sf0.01/sf0.1 (~2 MB) stay comfortably
+    * under (broadcast gate plan unchanged). Overridable for A/B
+    * timing.
     */
   private val PpBroadcastBytes =
-    sys.env.getOrElse("SPARK_GRAFT_PPJOIN_BCAST_BYTES", s"${48L * 1024 * 1024}").toLong
+    sys.env.getOrElse("SPARK_GRAFT_PPJOIN_BCAST_BYTES", s"${16L * 1024 * 1024}").toLong
 
   /** EXACT set-similarity self-join via prefix filtering (SSJoin /
     * PPJoin family — Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07,
@@ -2369,6 +2370,9 @@ object TextQueries {
       coalesce(sum(size(col("gss"))), lit(0L)).as("cells")).head
     val repsEstBytes = repsSz.getLong(1) * 8L + repsSz.getLong(0) * 48L
     val bucketed = repsEstBytes > PpBroadcastBytes
+    System.err.println(s"[ppjoin] ${repsSz.getLong(0)} signatures, " +
+      s"~${repsEstBytes / 1024 / 1024} MB -> " +
+      (if (bucketed) "gid-bucketed co-partitioned verify" else "broadcast verify"))
     val repsA = reps.select(col("gid").as("sa"), col("gss").as("ga"),
       col("ng").as("na"))
     val repsB = reps.select(col("gid").as("sb"), col("gss").as("gb"),
