@@ -99,4 +99,14 @@ class BenchGateSpec extends AnyFunSuite {
     assert(readBaseline("not json{{{") === (Map.empty, Map.empty))
     assert(readBaseline("""{"queries":[1,2]}""") === (Map.empty, Map.empty))
   }
+
+  test("readSkipped: rotation file parse and fail-soft") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate")
+    val p = dir.resolve("skipped.json")
+    java.nio.file.Files.writeString(p, """["q_a","q_b"]""" + "\n")
+    assert(Bench.readSkipped(p) === Set("q_a", "q_b"))
+    assert(Bench.readSkipped(dir.resolve("absent.json")) === Set.empty)
+    java.nio.file.Files.writeString(p, "[]\n")
+    assert(Bench.readSkipped(p) === Set.empty)
+  }
 }

@@ -102,4 +102,25 @@ class VectorRecallSpec extends SparkSpec {
     assert(cands == cands.sorted && cands.distinct == cands,
       s"candidate counts must strictly grow with nprobe: $cands")
   }
+
+  test("graph-ANN beam curve: wider beams visit more and recall does not regress") {
+    // q_graph_ann's operating contract on the fixture: the beam width
+    // is the cost knob (visited = scored candidates, non-decreasing in
+    // width) and recall rides it. Formal monotonicity of best-first
+    // beams is not guaranteed in general (a wider beam can wander), so
+    // like the nprobe curve above this pins the FIXTURE's behavior —
+    // which is what the oracle gate replays too.
+    val rows = VectorQueries.graphAnn(spark, sfTiny)
+      .orderBy("beam")
+      .select("beam", "n_visited", "hits", "recall")
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 4, 16, 64), "curve rows")
+    val visited = rows.map(_.getLong(1)).toSeq
+    assert(visited == visited.sorted,
+      s"visited counts must be non-decreasing in beam width: $visited")
+    val recalls = rows.map(_.getDouble(3)).toSeq
+    assert(recalls == recalls.sorted,
+      s"recall not monotone in beam width on the fixture: $recalls")
+    assert(recalls.last > 0.0, "vacuous: widest beam found nothing")
+  }
 }
