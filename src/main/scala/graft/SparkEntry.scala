@@ -21,6 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     etl.EtlQueries.queries ++ olap.OlapQueries.queries ++
       olap.OlapMore.queries ++ olap.Analytics.queries ++
+      olap.Inference.queries ++
       olap.OlapStats.queries ++ olap.Skew.queries ++ olap.SqlSurface.queries ++
       olap.Subqueries.queries ++
       stream.EventQueries.queries ++ text.TextQueries.queries ++
@@ -35,6 +36,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     etl.EtlQueries.oracle ++ olap.OlapQueries.oracle ++
       olap.OlapMore.oracle ++ olap.Analytics.oracle ++
+      olap.Inference.oracle ++
       olap.OlapStats.oracle ++ olap.Skew.oracle ++ olap.SqlSurface.oracle ++
       olap.Subqueries.oracle ++
       stream.EventQueries.oracle ++ text.TextQueries.oracle ++

@@ -1743,7 +1743,78 @@ object EtlQueries {
       |FROM orders
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------- q_delta_encode: delta+varint encoding-choice audit ----------
+
+  /** Timestamp delta-encoding audit — the lakehouse "which encoding
+    * for this column" decision (`q_dict_encode`'s numeric twin,
+    * Parquet's DELTA_BINARY_PACKED / Gorilla's rationale): per user,
+    * sort events by time and replace each epoch-µs timestamp with its
+    * delta from the predecessor; cost each delta at zigzag-varint
+    * width (1 byte per started 7-bit group — thresholds are exact
+    * integer compares, no log); the series head pays the full 8-byte
+    * anchor. Per event type: raw bytes (8·n), delta-encoded bytes,
+    * and the compression ratio — the number that decides whether the
+    * sorted layout is worth the write-side shuffle.
+    *
+    * Shape: one window partitioned by user_id (fact-scale key count,
+    * bounded rows per key — the allowed partitioned-window form) and
+    * one hash aggregate. Determinism: deltas depend only on the
+    * sorted µs sequence; ties order by event_id so the 8-byte anchor
+    * lands on the same row in both engines. Zigzag of a non-negative
+    * delta is 2d — widths are pure integer CASE thresholds, exact
+    * everywhere.
+    */
+  def deltaEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ord_us"), col("event_id"))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ord_us"))
+      .withColumn("prev", lag(col("ord_us"), 1).over(w))
+      .withColumn("bytes",
+        when(col("prev").isNull, 8L).otherwise({
+          val z = (col("ord_us") - col("prev")) * 2L
+          when(z < (1L << 7), 1L).when(z < (1L << 14), 2L)
+            .when(z < (1L << 21), 3L).when(z < (1L << 28), 4L)
+            .when(z < (1L << 35), 5L).when(z < (1L << 42), 6L)
+            .when(z < (1L << 49), 7L).when(z < (1L << 56), 8L)
+            .otherwise(10L)
+        }))
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        (count(lit(1)) * 8L).as("raw_bytes"),
+        sum(col("bytes")).as("delta_bytes"))
+      .select(col("event_type"), col("n_events"), col("raw_bytes"),
+        col("delta_bytes"),
+        graft.text.TextFns.round4(col("delta_bytes").cast("double") /
+          col("raw_bytes").cast("double")).as("ratio"))
+      .orderBy("event_type")
+  }
+
+  private val sqlDeltaEncode = {
+    val width = (1 to 8).map { k =>
+      s"WHEN z < ${1L << (7 * k)} THEN $k"
+    }.mkString(" ")
+    s"""WITH e AS (SELECT event_type, user_id, event_id,
+       |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ord_us
+       |           FROM events),
+       |     d AS (SELECT event_type,
+       |                  (ord_us - lag(ord_us, 1) OVER (PARTITION BY user_id
+       |                     ORDER BY ord_us, event_id)) * 2 AS z
+       |           FROM e),
+       |     b AS (SELECT event_type,
+       |                  CASE WHEN z IS NULL THEN 8 $width ELSE 10 END AS bytes
+       |           FROM d)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+       |       CAST(sum(bytes) AS BIGINT) AS delta_bytes,
+       |       ${graft.text.TextFns.duckRound4(
+                  "CAST(sum(bytes) AS DOUBLE) / CAST(count(*) * 8 AS DOUBLE)")} AS ratio
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_delta_encode" -> (deltaEncode _),
     "q_bucket_join" -> (bucketJoinExec _),
     "q_mor_read" -> (morRead _),
     "q_snapshot_partition" -> (snapshotPartition _),
@@ -1784,6 +1855,7 @@ object EtlQueries {
     "q_ri_filter" -> (riFilter _))
 
   val oracle: Map[String, String] = Map(
+    "q_delta_encode" -> sqlDeltaEncode,
     "q_bucket_join" -> sqlBucketJoin,
     "q_mor_read" -> sqlMorRead,
     "q_snapshot_partition" -> sqlSnapshotPartition,

@@ -1148,7 +1148,98 @@ object OlapMore {
       |       string_agg(seg, ',' ORDER BY seg) AS segments
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------- q_rank_join: Threshold-Algorithm top-k rank join ----------
+
+  private val RankJoinK = 10
+
+  /** Top-k rank join via Fagin's Threshold Algorithm (Fagin, Lotem &
+    * Naor 2001): the top-[[RankJoinK]] customers by combined score
+    * (total order spend + account balance) WITHOUT joining the two
+    * full ranked lists. Each round reads only a size-m prefix of each
+    * list (`TakeOrderedAndProject` — no shuffle of the full lists),
+    * scores the union of prefix keys with two point-lookup joins, and
+    * stops when the k-th best candidate strictly exceeds the TA
+    * threshold a_m + b_m (an upper bound on every unseen object's
+    * combined score); otherwise m quadruples, degrading gracefully to
+    * the full join. This is the "give me the top 10 by a blended
+    * score over two billion-row rankings" shape where the prefix
+    * depth, not the corpus, bounds the work at 100 TB.
+    *
+    * Parity: spend is DECIMAL-aggregated (order-free) and BOTH list
+    * scores are round4ed BEFORE any ordering, so prefix membership,
+    * the threshold compare, and the final rank are all on exact
+    * 4-decimal values; ties break on c_custkey everywhere. The
+    * strict-> stop rule means an unseen object tied with the k-th
+    * candidate forces another round rather than a nondeterministic
+    * exclusion, so the TA result equals the oracle's full-join top-k
+    * bit-for-bit. Driver pacing collects only bounded scalars (the
+    * two prefix floors and the k candidate rows); the two ranked
+    * lists are customer-grain aggregates, localCheckpointed once so
+    * the loop re-reads cached blocks, freed by session GC (8-row
+    * pattern of OlapMore's other checkpointed aggregates).
+    */
+  def rankJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val round6 = (c: Column) => floor(c * 1000000.0 + 0.5) / 1000000.0
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(round6(col("o_totalprice")).cast("decimal(28,6)")).as("sd"))
+      .select(col("c_custkey"),
+        graft.text.TextFns.round4(col("sd").cast("double")).as("sa"))
+      .localCheckpoint()
+    val bal = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), graft.text.TextFns.round4(col("c_acctbal")).as("sb"))
+      .localCheckpoint()
+    val nA = spend.count()
+    var m = 64L
+    var answer: Option[DataFrame] = None
+    while (answer.isEmpty) {
+      val aPref = spend.orderBy(col("sa").desc, col("c_custkey")).limit(m.toInt)
+      val bPref = bal.orderBy(col("sb").desc, col("c_custkey")).limit(m.toInt)
+      val cand = aPref.select("c_custkey").union(bPref.select("c_custkey")).distinct()
+      // both lookups keep the bounded candidate side broadcast: without
+      // the second hint Spark broadcasts the full (customer-grain)
+      // balance list — fine at test SF, wrong at 100 TB
+      val scored = broadcast(broadcast(cand).join(spend, "c_custkey"))
+        .join(bal, "c_custkey")
+        .withColumn("combined", graft.text.TextFns.round4(col("sa") + col("sb")))
+      val topk = scored.orderBy(col("combined").desc, col("c_custkey"))
+        .limit(RankJoinK)
+      if (m >= nA) answer = Some(topk)
+      else {
+        // TA bound: any customer outside BOTH prefixes has sa <= a_m
+        // and sb <= b_m (prefixes are ordered on the rounded scores)
+        val am = aPref.agg(min(col("sa"))).head.getDouble(0)
+        val bm = bPref.agg(min(col("sb"))).head.getDouble(0)
+        val rows = topk.collect()
+        if (rows.length >= RankJoinK &&
+          rows.last.getAs[Double]("combined") > am + bm) answer = Some(topk)
+        else m = m * 4
+      }
+    }
+    answer.get
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("combined").desc, col("c_custkey"))))
+      .select(col("rank"), col("c_custkey"), col("sa"), col("sb"), col("combined"))
+      .orderBy("rank")
+  }
+
+  private val sqlRankJoin = {
+    val r4 = graft.text.TextFns.duckRound4 _
+    val r6 = (e: String) => s"(floor(($e) * 1000000.0 + 0.5) / 1000000.0)"
+    s"""WITH spend AS (SELECT o_custkey AS c_custkey,
+       |                      ${r4(s"CAST(sum(CAST(${r6("o_totalprice")} AS DECIMAL(28,6))) AS DOUBLE)")} AS sa
+       |               FROM orders GROUP BY 1),
+       |     j AS (SELECT s.c_custkey, s.sa, ${r4("c.c_acctbal")} AS sb,
+       |                  ${r4(s"s.sa + ${r4("c.c_acctbal")}")} AS combined
+       |           FROM spend s JOIN customer c ON s.c_custkey = c.c_custkey),
+       |     r AS (SELECT j.*, row_number() OVER (ORDER BY combined DESC, c_custkey) AS rank
+       |           FROM j)
+       |SELECT CAST(rank AS INT) AS rank, c_custkey, sa, sb, combined
+       |FROM r WHERE rank <= $RankJoinK ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rank_join" -> (rankJoin _),
     "q_listagg" -> (listAgg _),
     "q_topk_agg" -> (topkAgg _),
     "q_division" -> (division _),
@@ -1172,6 +1263,7 @@ object OlapMore {
     "q_price_volume" -> (priceVolume _))
 
   val oracle: Map[String, String] = Map(
+    "q_rank_join" -> sqlRankJoin,
     "q_topk_agg" -> sqlTopkAgg,
     "q_division" -> sqlDivision,
     "q_above_avg" -> sqlAboveAvg,

@@ -633,6 +633,110 @@ object CorpusOps {
        |ORDER BY src_a, src_b""".stripMargin
   }
 
+  // ---------- q_weighted_minhash: integer-CWS weighted-Jaccard sketch ----------
+
+  private val WmhCap = 8L
+  private val WmhHashes = 16
+
+  /** Weighted-Jaccard sketch audit between source term DISTRIBUTIONS —
+    * [[sourceOverlap]]'s set Jaccard ignores how often a term occurs,
+    * but corpus-mix decisions care about mass: J_w = Σmin(c_a,c_b) /
+    * Σmax(c_a,c_b) over per-source token counts. The sketch is the
+    * integer consistent-weighted-sampling reduction (Haveliwala et
+    * al. 2000's replication trick, the exact special case of Ioffe
+    * 2010's ICWS): a token with count c becomes c distinct elements
+    * (h·31+i mod P, i ≤ c, capped at [[WmhCap]] — the standard CWS
+    * truncation, applied to BOTH sides so the audit is apples-to-
+    * apples), and plain MinHash over the replicated multiset
+    * estimates exactly J_w of the capped counts. Output: estimate vs
+    * exact and the absolute error per overlapping source pair — the
+    * calibration that licenses replacing the exact token-grain join
+    * with 16-slot signatures at 100 TB.
+    *
+    * Shape: signatures are 16 distributed min-aggregates over the
+    * replicated token grain (constant ≤[[WmhCap]]× fan-out, no
+    * per-source arrays, no collect); the exact side joins at token
+    * grain on the hash (per-gram pair fan-out bounded by source
+    * cardinality squared — sources are a bounded registry, not a
+    * fact-scale key); pair scoring joins the 20-row signature and
+    * total tables broadcast. Parity: counts and Σmin are exact
+    * integers; hashes are the [[graft.functions.TextHashUtil]]
+    * affine family (a_j·x+b_j mod P, products < 2^62); ASCII-corpus
+    * byte/char walk caveat as documented in CLAUDE.md.
+    */
+  def weightedMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .withColumn("hs", TextFns.tokenHashesFromTokens(col("ts")))
+      // explode_outer: hs is HOF-built (the Generate-filter rule);
+      // a whitespace-only doc contributes one null row, filtered next
+      .select(col("source"), explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull)
+      .groupBy("source", "h")
+      .agg(least(count(lit(1)), lit(WmhCap)).as("c"))
+    val tot = tf.groupBy("source").agg(sum(col("c")).as("tot"))
+    val inter = tf.as("a").join(tf.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(sum(least(col("a.c"), col("b.c"))).as("imin"))
+    val repl = tf
+      .withColumn("i", explode_outer(sequence(lit(1L), col("c"))))
+      .withColumn("hp", (col("h") * 31L + col("i")) % p)
+    val sig = repl.groupBy("source").agg(
+      min((col("hp") * TextFns.aj(0) + TextFns.bj(0)) % p).as("s0"),
+      (1 until WmhHashes).map(j =>
+        min((col("hp") * TextFns.aj(j) + TextFns.bj(j)) % p).as(s"s$j")): _*)
+    val matches = (0 until WmhHashes).map(j =>
+      when(col(s"sa.s$j") === col(s"sb.s$j"), 1).otherwise(0)).reduce(_ + _)
+    inter
+      .join(broadcast(tot.select(col("source").as("src_a"),
+        col("tot").as("tot_a"))), "src_a")
+      .join(broadcast(tot.select(col("source").as("src_b"),
+        col("tot").as("tot_b"))), "src_b")
+      .join(broadcast(sig.as("sa")), col("src_a") === col("sa.source"))
+      .join(broadcast(sig.as("sb")), col("src_b") === col("sb.source"))
+      .withColumn("est", matches.cast("double") / lit(WmhHashes.toDouble))
+      .withColumn("ex", col("imin").cast("double") /
+        (col("tot_a") + col("tot_b") - col("imin")).cast("double"))
+      .select(col("src_a"), col("src_b"),
+        TextFns.round4(col("est")).as("est_sim"),
+        TextFns.round4(col("ex")).as("exact_sim"),
+        TextFns.round4(abs(col("est") - col("ex"))).as("abs_err"))
+      .orderBy("src_a", "src_b")
+  }
+
+  private val sqlWeightedMinhash = {
+    val r4 = TextFns.duckRound4 _
+    val sigCols = (0 until WmhHashes).map(j =>
+      s"min((hp * ${TextFns.aj(j)} + ${TextFns.bj(j)}) % $p) AS s$j").mkString(", ")
+    val matches = (0 until WmhHashes).map(j =>
+      s"CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END").mkString(" + ")
+    val est = s"CAST($matches AS DOUBLE) / ${WmhHashes}.0"
+    val ex = "CAST(imin AS DOUBLE) / CAST(ta.tot + tb.tot - imin AS DOUBLE)"
+    s"""WITH t AS (SELECT source, $duckTokens AS ts FROM documents),
+       |     hh AS (SELECT source, unnest(${TextQueries.duckTokenHashes}) AS h FROM t),
+       |     tf AS (SELECT source, h, CAST(least(count(*), $WmhCap) AS BIGINT) AS c
+       |            FROM hh GROUP BY 1, 2),
+       |     tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM tf GROUP BY 1),
+       |     r0 AS (SELECT source, h, unnest(range(1, c + 1)) AS i FROM tf),
+       |     r AS (SELECT source, (h * 31 + i) % $p AS hp FROM r0),
+       |     sig AS (SELECT source, $sigCols FROM r GROUP BY source),
+       |     inter AS (SELECT a.source AS src_a, b.source AS src_b,
+       |                      CAST(sum(least(a.c, b.c)) AS BIGINT) AS imin
+       |               FROM tf a JOIN tf b ON a.h = b.h AND a.source < b.source
+       |               GROUP BY 1, 2)
+       |SELECT src_a, src_b,
+       |       ${r4(est)} AS est_sim,
+       |       ${r4(ex)} AS exact_sim,
+       |       ${r4(s"abs($est - $ex)")} AS abs_err
+       |FROM inter
+       |JOIN tot ta ON inter.src_a = ta.source
+       |JOIN tot tb ON inter.src_b = tb.source
+       |JOIN sig sa ON inter.src_a = sa.source
+       |JOIN sig sb ON inter.src_b = sb.source
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
   // ---------- q_prefix_dup: shared-prefix clone detection ----------
 
   /** Prefix length (tokens) for clone grouping: long enough that a
@@ -1750,6 +1854,7 @@ object CorpusOps {
     "q_epoch_plan" -> (epochPlan _),
     "q_src_checksum" -> (srcChecksum _),
     "q_source_overlap" -> (sourceOverlap _),
+    "q_weighted_minhash" -> (weightedMinhash _),
     "q_prefix_dup" -> (prefixDup _),
     "q_yule_k" -> (yuleK _),
     "q_temperature_mix" -> (temperatureMix _))
@@ -1775,6 +1880,7 @@ object CorpusOps {
     "q_epoch_plan" -> sqlEpochPlan,
     "q_src_checksum" -> sqlSrcChecksum,
     "q_source_overlap" -> sqlSourceOverlap,
+    "q_weighted_minhash" -> sqlWeightedMinhash,
     "q_prefix_dup" -> sqlPrefixDup,
     "q_temperature_mix" -> sqlTemperatureMix)
 }

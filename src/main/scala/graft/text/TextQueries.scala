@@ -65,7 +65,7 @@ object TextQueries {
     "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
 
   /** Per-token rolling hashes (tokens already materialized as `ts`). */
-  private val duckTokenHashes =
+  private[text] val duckTokenHashes =
     "list_transform(ts, t -> list_reduce([CAST(0 AS BIGINT)] || " +
       "list_transform(range(1, greatest(length(t), 1) + 1), " +
       "i -> CAST(ascii(substring(t, CAST(i AS INT), 1)) AS BIGINT)), " +

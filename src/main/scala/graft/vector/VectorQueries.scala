@@ -4866,7 +4866,79 @@ object VectorQueries {
        |       ${duckRound4("sqrt(mmd2)")} AS mmd
        |FROM g ORDER BY label_a, label_b""".stripMargin
 
+  // ---------- q_grid_join: exact ε-distance join via grid blocking ----------
+
+  private val GridEps = 0.02
+
+  /** Exact ε-distance self-join over the 2D embedding projection
+    * (dims 1–2) via uniform grid blocking — the spatial-join primitive
+    * (Patel & DeWitt 1996's PBSM shape): each point keys to its
+    * ε-width cell, the LEFT side replicates into the 3×3 cell
+    * neighborhood (a constant 9× fan-out), and candidates meet in an
+    * equi-join on the cell key; |Δx| ≤ ε forces adjacent cells, so the
+    * exact L2 ≤ ε verify loses NOTHING — unlike [[dbscanCore]]'s
+    * k-means cell blocking (a documented undercount), this is the
+    * zero-pruning-loss distance join, proven by the brute-force
+    * all-pairs oracle. Output is the per-point neighbor-degree table
+    * (linear in points), never the pair list.
+    *
+    * Shape at 100 TB: one shuffle on (cellx, celly) with a constant
+    * replication factor; per-cell work is quadratic only in the
+    * points of ONE cell (ε sizes the grid to keep cells sparse —
+    * dense-cell skew is handled by halving ε or salting the hot cell,
+    * the AQE skew-join note). Parity: coordinates are float→double
+    * casts, the distance is one fixed-shape expression compared
+    * against the literal ε² — identical IEEE arithmetic per pair on
+    * both engines, and cell membership never reaches the output.
+    */
+  def gridJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = Tables.embeddings(spark, sfDir).select(
+        col("vec_id"),
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y"))
+      .withColumn("cx", floor(col("x") / GridEps).cast("long"))
+      .withColumn("cy", floor(col("y") / GridEps).cast("long"))
+    val offs = for (dx <- Seq(-1L, 0L, 1L); dy <- Seq(-1L, 0L, 1L)) yield (dx, dy)
+    val reps = pts
+      .select(col("vec_id").as("a_id"), col("x").as("xa"), col("y").as("ya"),
+        col("cx"), col("cy"))
+      .withColumn("o", explode(array(offs.map { case (dx, dy) =>
+        struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)))
+      .select(col("a_id"), col("xa"), col("ya"),
+        (col("cx") + col("o.dx")).as("jx"), (col("cy") + col("o.dy")).as("jy"))
+    val right = pts.select(col("vec_id").as("b_id"), col("x").as("xb"),
+      col("y").as("yb"), col("cx").as("jx"), col("cy").as("jy"))
+    val pairs = reps.join(right, Seq("jx", "jy"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("d2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("d2") <= lit(GridEps * GridEps))
+      .select(col("a_id"), col("b_id"))
+    // one evaluation of the pair join: each pair contributes a degree
+    // to both endpoints via a 2-element explode (outer: provably
+    // non-empty, so no size filter is inferred — the CLAUDE.md
+    // Generate rule), instead of a union that re-runs the join
+    pairs
+      .select(explode_outer(array(col("a_id"), col("b_id"))).as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("n_neighbors"))
+      .orderBy("vec_id")
+  }
+
+  private val sqlGridJoin =
+    s"""WITH p AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+       |                  CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+       |     pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |            FROM p a JOIN p b ON a.vec_id < b.vec_id
+       |            WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       |                  <= $GridEps * $GridEps),
+       |     d AS (SELECT a_id AS vec_id FROM pr
+       |           UNION ALL SELECT b_id AS vec_id FROM pr)
+       |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_neighbors
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grid_join" -> (gridJoin _),
     "q_embed_drift" -> (embedDrift _),
     "q_silhouette" -> (silhouette _),
     "q_davies_bouldin" -> (daviesBouldin _),
@@ -4928,6 +5000,7 @@ object VectorQueries {
     "q_ivfpq_recall" -> (ivfpqRecall _))
 
   val oracle: Map[String, String] = Map(
+    "q_grid_join" -> sqlGridJoin,
     "q_embed_drift" -> sqlEmbedDrift,
     "q_silhouette" -> sqlSilhouette,
     "q_davies_bouldin" -> sqlDaviesBouldin,

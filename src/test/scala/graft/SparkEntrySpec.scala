@@ -10,6 +10,7 @@ class SparkEntrySpec extends SparkSpec {
     val packs = Seq(
       etl.EtlQueries.queries, olap.OlapQueries.queries,
       olap.OlapMore.queries, olap.Analytics.queries,
+      olap.Inference.queries,
       olap.OlapStats.queries, olap.Skew.queries, olap.SqlSurface.queries,
       olap.Subqueries.queries,
       stream.EventQueries.queries, text.TextQueries.queries,

@@ -43,6 +43,7 @@ class WindowAuditSpec extends SparkSpec {
     "q_ntile",           // dim-cardinality segmentation (scale note at site)
     "q_percent_rank",    // nation-grain relative standing
     "q_prf_expand",      // vocab-grain expansion-term rank (round-13)
+    "q_rank_join",       // k-row final rank over the TA answer (bounded by k=10; round-17)
     "q_ranker_overlap",  // two-phase top-k: global rank sees <= 8k rows (round-13)
     "q_rbo",             // same two-phase top-k lists as q_ranker_overlap (round-14)
     "q_rrf_fusion",      // per-probe fused rank over capped candidates
