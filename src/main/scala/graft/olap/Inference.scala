@@ -139,10 +139,20 @@ object Inference {
     * posterior match probability — the score a linkage deployment
     * thresholds instead of hand-tuning per-field weights.
     *
-    * Shape: the only fact-scale work is the blocked pair scan that
-    * produces the 8 pattern counts (one hash aggregate over the same
-    * bounded-block join the ER family already runs); EM itself is
-    * arithmetic over 8 rows, driver-paced with the pattern table
+    * Shape: NO pair is ever materialized. For every attribute subset
+    * S, the count of blocked pairs agreeing on at least S is
+    * A_S = Σ C(m, 2) over (block, S-attrs) groups — the
+    * `blockingQuality` arithmetic, one hash aggregate per subset
+    * (2³ = 8 linear passes over part grain, unionable to one
+    * grouping-sets pass). Exact-pattern counts follow by Möbius
+    * inversion: cnt(exactly G) = Σ_{S ⊇ G} (−1)^{|S\G|} A_S, all
+    * BIGINT-exact — so the pattern table costs 8 aggregates
+    * regardless of block sizes, where the naive blocked self-join is
+    * quadratic in the largest block (measured: 38 s at 10×, 572 s at
+    * 30× before this decomposition; 8 aggregates after). The sf0.01
+    * oracle still counts patterns by the brute-force pair join,
+    * proving the inversion loses nothing. EM itself is arithmetic
+    * over 8 rows, driver-paced with the pattern table
     * localCheckpointed once. Updates are Laplace-smoothed
     * ((0.5+num)/(1+den)) so parameters stay interior and every
     * posterior is well-defined. Parity: per-pattern terms are
@@ -160,16 +170,31 @@ object Inference {
       element_at(split(col("p_name"), " "), -1).as("blk"),
       col("p_type"), col("p_size"),
       floor(col("p_retailprice") / FsPriceBucket).cast("long").as("pb"))
-    val pat = p.as("a").join(p.as("b"),
-        col("a.p_brand") === col("b.p_brand") &&
-          col("a.blk") === col("b.blk") &&
-          col("a.p_partkey") < col("b.p_partkey"))
-      .select(
-        when(col("a.p_type") === col("b.p_type"), 1).otherwise(0).as("g_type"),
-        when(col("a.p_size") === col("b.p_size"), 1).otherwise(0).as("g_size"),
-        when(col("a.pb") === col("b.pb"), 1).otherwise(0).as("g_price"))
-      .groupBy("g_type", "g_size", "g_price")
-      .agg(count(lit(1)).as("cnt"))
+    // A_S: pairs agreeing on AT LEAST subset S of (type, size, price),
+    // via C(m,2) at (block ++ S) grain — one linear aggregate per S
+    val attrs = Seq("p_type", "p_size", "pb")
+    def aS(s: Seq[String]): DataFrame =
+      p.groupBy(("p_brand" +: "blk" +: s).map(col): _*)
+        .agg(count(lit(1)).as("m"))
+        .agg(coalesce(sum(expr("(m * (m - 1)) div 2")), lit(0L)).as("a"))
+    val subsets = (0 until 8).map(g => attrs.indices.filter(i => (g & (1 << i)) != 0))
+    // one row (a0..a7), all eight subset aggregates broadcast-joined
+    val aRow = subsets.zipWithIndex.map { case (s, i) =>
+      aS(s.map(attrs)).select(col("a").as(s"a$i"))
+    }.reduce((l, r) => l.crossJoin(broadcast(r)))
+    // Möbius inversion to exactly-G pattern counts; subset bit i of g
+    // corresponds to attrs(i) = (type, size, price)
+    def exactCnt(g: Int): Column =
+      (0 until 8).filter(s => (s & g) == g).map { s =>
+        val sign = if (Integer.bitCount(s ^ g) % 2 == 0) 1L else -1L
+        lit(sign) * col(s"a$s")
+      }.reduce(_ + _)
+    val pat = (0 until 8).map { g =>
+      aRow.select(
+        lit((g >> 0) & 1).as("g_type"), lit((g >> 1) & 1).as("g_size"),
+        lit((g >> 2) & 1).as("g_price"), exactCnt(g).as("cnt"))
+    }.reduce(_.unionByName(_))
+      .filter(col("cnt") > 0)
       .localCheckpoint()
 
     def fk(g: String, m: String): Column =
