@@ -449,8 +449,7 @@ object EtlQueries {
     val assign = PrefixScan
       .packByCapacity(parts, "midx", "rows", VacuumCapacity, "file_id")
       .select(col("midx"), col("file_id"))
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft_compact").toString
+    val outDir = graft.util.Scratch.dir("graft_compact").toString
     li.join(broadcast(assign), "midx")
       .repartition(col("file_id"))
       .write.partitionBy("file_id").mode("overwrite").parquet(outDir)
@@ -1062,7 +1061,7 @@ object EtlQueries {
     * committer — version publish cost is one manifest PUT either way.
     */
   def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_tt").toString
+    val dir = graft.util.Scratch.dir("graft_tt").toString
     val c = new graft.stream.ManifestCommitter(
       dir, spark.sparkContext.hadoopConfiguration, retain = 3)
     val ev = Tables.events(spark, sfDir)
@@ -1118,7 +1117,7 @@ object EtlQueries {
     * FormatsSpec's; the JSONL twin below round-trips props too).
     */
   def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+    val dir = graft.util.Scratch.dir("graft_csv_rt").toString
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("event_type"), col("value"))
@@ -1139,7 +1138,7 @@ object EtlQueries {
     * payload string survives inside the JSON line (escaped), and the
     * parsed-key sum proves it byte-faithful, not just non-null. */
   def jsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_rt").toString
+    val dir = graft.util.Scratch.dir("graft_jsonl_rt").toString
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("event_type"), col("value"), col("props"))
@@ -1180,7 +1179,7 @@ object EtlQueries {
     * contract is that NO format leg changes the answer.
     */
   def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_orc_rt").toString
+    val dir = graft.util.Scratch.dir("graft_orc_rt").toString
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("event_type"), col("value"))
@@ -1198,7 +1197,7 @@ object EtlQueries {
     * change the answer.
     */
   def avroRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_avro_rt").toString
+    val dir = graft.util.Scratch.dir("graft_avro_rt").toString
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("event_type"), col("value"))
@@ -1215,7 +1214,7 @@ object EtlQueries {
     * proven by the same hash-gated aggregate.
     */
   def xmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_xml_rt").toString
+    val dir = graft.util.Scratch.dir("graft_xml_rt").toString
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("event_type"), col("value"))
@@ -1245,7 +1244,7 @@ object EtlQueries {
     * itself stays a plain pruned columnar scan.
     */
   def schemaMerge(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_schema_mrg").toString
+    val dir = graft.util.Scratch.dir("graft_schema_mrg").toString
     val o = Tables.orders(spark, sfDir)
     val cut = lit("1995-01-01").cast("date")
     // old snapshot: pre-cut rows, no channel column yet
@@ -1581,7 +1580,7 @@ object EtlQueries {
     * cheap writes; balances ride as exact integer cents.
     */
   def morRead(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_mor").toString
+    val dir = graft.util.Scratch.dir("graft_mor").toString
     val base = Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_mktsegment"),
         floor(col("c_acctbal") * 100.0 + 0.5).cast("long").as("cents"))
@@ -1703,8 +1702,7 @@ object EtlQueries {
   def snapshotPartition(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
       .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_snap_part").toString
+    val dir = graft.util.Scratch.dir("graft_snap_part").toString
     Warehouse.writePartitioned(
       o.withColumn("batch", lit("v1")), dir, Seq("order_month"))
     Warehouse.writePartitioned(

@@ -3,9 +3,11 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the text-hash kernels
@@ -477,6 +479,166 @@ object TextHashUtil {
     out
   }
 
+  /** Per-document histogram of token-hash buckets, packed as
+    * bucket·2^40 + cnt (bucket < m ≤ 2^20, per-doc cnt < 2^40) sorted
+    * by bucket — the [[charHist]] census form applied to the DSIR
+    * hashed-feature pipeline: one primitive byte walk replaces the
+    * interpreted lower→split→filter→transform(polyHash) HOF chain,
+    * the token-grain explode, AND the token-grain partial hash
+    * aggregate (the downstream (doc, bucket) frame is emitted already
+    * aggregated). Token walk and per-token hash are IDENTICAL to
+    * [[simHash]]'s (space-delimited, ASCII-lowercased, [[polyHash]]
+    * fold — the value-only polyHash parity class: byte walk ≡ the
+    * oracle's character walk on the pure-ASCII corpus); bucket =
+    * h % m with h ∈ [0, P) non-negative, so it equals Spark's
+    * pmod(h, m). Empty text (no tokens) returns an empty array —
+    * `explode_outer` then yields one null row whose null bucket drops
+    * at the inner count join, exactly where the old null-hash row
+    * dropped.
+    */
+  def tokenBucketHist(s: UTF8String, m: Int): ArrayData = {
+    val n = s.numBytes
+    val cnt = new Array[Long](m)
+    var i = 0
+    while (i < n) {
+      while (i < n && s.getByte(i) == ' ') i += 1
+      if (i < n) {
+        var h = 0L
+        while (i < n && s.getByte(i) != ' ') {
+          var c = s.getByte(i) & 0xffL
+          if (c >= 'A' && c <= 'Z') c += 32
+          h = (h * B + c) % P
+          i += 1
+        }
+        cnt((h % m).toInt) += 1
+      }
+    }
+    var distinct = 0
+    var b = 0
+    while (b < m) { if (cnt(b) > 0) distinct += 1; b += 1 }
+    val out = new Array[Long](distinct)
+    var j = 0
+    b = 0
+    while (b < m) {
+      if (cnt(b) > 0) { out(j) = (b.toLong << 40) | cnt(b); j += 1 }
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Canonical stopword list — single source of truth shared with
+    * `TextFns.stopwords` (which delegates here) and the oracle SQL
+    * literals; [[tokenStats]] matches against it with exact string
+    * equality.
+    */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+  private val stopwordSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(s.add)
+    s
+  }
+
+  /** Per-document token statistics in ONE byte walk:
+    * (n = token instances, letters = Σ token length, stops = token
+    * instances in the [[stopwords]] list, topc = count of the most
+    * frequent distinct token). The explode→groupBy(doc, tok)→
+    * groupBy(doc) form this replaces shuffles the corpus's token
+    * STRINGS through two hash aggregates; every statistic is
+    * per-document, so it belongs in the row kernel (guide §2.3
+    * "aggregate before you shuffle", done at expression level).
+    * Distinct-token counting uses EXACT lowercased token strings
+    * (a Java HashMap per row, bounded by document length) — never a
+    * hash, so colliding tokens cannot conflate counts. Token walk =
+    * [[simHash]]'s (space-delimited, ASCII lowercase); `letters`
+    * counts BYTES where the HOF form counts CHARACTERS — identical on
+    * the ASCII corpus (the cdcChunks caveat class).
+    */
+  def tokenStats(s: UTF8String): InternalRow = {
+    val n = s.numBytes
+    val counts = new java.util.HashMap[String, java.lang.Long]()
+    var nTok = 0L
+    var letters = 0L
+    var stops = 0L
+    var i = 0
+    while (i < n) {
+      while (i < n && s.getByte(i) == ' ') i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && s.getByte(i) != ' ') i += 1
+        val len = i - start
+        val b = new Array[Byte](len)
+        var k = 0
+        while (k < len) {
+          var c = s.getByte(start + k)
+          if (c >= 'A' && c <= 'Z') c = (c + 32).toByte
+          b(k) = c
+          k += 1
+        }
+        val tok = new String(b, java.nio.charset.StandardCharsets.US_ASCII)
+        nTok += 1
+        letters += len
+        if (stopwordSet.contains(tok)) stops += 1
+        val cur = counts.get(tok)
+        counts.put(tok, if (cur eq null) 1L else cur + 1L)
+      }
+    }
+    var topc = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val v: Long = it.next(); if (v > topc) topc = v }
+    new GenericInternalRow(Array[Any](nTok, letters, stops, topc))
+  }
+
+  /** Per-document bigram census in ONE walk: (n_grams, n_distinct)
+    * with the exact `wordNgramsFromTokens(ts, 2)` gram semantics —
+    * grams are "tokᵢtokᵢ₊₁" strings (short docs pad: zero or
+    * one token yields the single padded gram, so n_grams =
+    * max(nTok−1, 1)) and distinctness is EXACT gram-string equality
+    * via a per-row HashSet. Replaces the interpreted transform+
+    * concat_ws HOF gram build plus array_distinct's per-row
+    * array-of-strings materialization in q_repetition / the curation
+    * gate.
+    */
+  def bigramStats(s: UTF8String): InternalRow = {
+    val n = s.numBytes
+    val seen = new java.util.HashSet[String]()
+    var nGrams = 0L
+    var prev: String = null
+    var first: String = null
+    var nTok = 0L
+    var i = 0
+    while (i < n) {
+      while (i < n && s.getByte(i) == ' ') i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && s.getByte(i) != ' ') i += 1
+        val len = i - start
+        val b = new Array[Byte](len)
+        var k = 0
+        while (k < len) {
+          var c = s.getByte(start + k)
+          if (c >= 'A' && c <= 'Z') c = (c + 32).toByte
+          b(k) = c
+          k += 1
+        }
+        val tok = new String(b, java.nio.charset.StandardCharsets.US_ASCII)
+        nTok += 1
+        if (first == null) first = tok
+        if (prev != null) {
+          nGrams += 1
+          seen.add(prev + "\u0001" + tok)
+        }
+        prev = tok
+      }
+    }
+    if (nTok <= 1) {
+      // wordNgramsFromTokens pads: 0 tokens → [""], 1 → ["t"]
+      nGrams = 1L
+      seen.add((if (first == null) "" else first) + "\u0001")
+    }
+    new GenericInternalRow(Array[Any](nGrams, seen.size.toLong))
+  }
+
   /** Count of positions where two equal-length long arrays agree —
     * the MinHash signature-match kernel (est = posEq/numHashes). One
     * primitive walk; the zip_with + aggregate HOF form it replaces is
@@ -702,6 +864,57 @@ case class CharHistExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** graft_token_bucket_hist(text, m): token-hash-mod-m histogram
+  * packed as bucket·2^40 + cnt, sorted by bucket (array<long>).
+  */
+case class TokenBucketHistExpr(child: Expression, m: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_bucket_hist"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashUtil.tokenBucketHist(input.asInstanceOf[UTF8String], m)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.tokenBucketHist($c, $m)")
+  override protected def withNewChildInternal(newChild: Expression): TokenBucketHistExpr =
+    copy(child = newChild)
+}
+
+/** graft_token_stats(text): per-doc token statistics
+  * struct(n, letters, stops, topc) — see TextHashUtil.tokenStats.
+  */
+case class TokenStatsExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("letters", LongType, nullable = false),
+    StructField("stops", LongType, nullable = false),
+    StructField("topc", LongType, nullable = false)))
+  override def prettyName: String = "graft_token_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashUtil.tokenStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.tokenStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenStatsExpr =
+    copy(child = newChild)
+}
+
+/** graft_bigram_stats(text): per-doc bigram census
+  * struct(n_grams, n_distinct) — see TextHashUtil.bigramStats.
+  */
+case class BigramStatsExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false)))
+  override def prettyName: String = "graft_bigram_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashUtil.bigramStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.bigramStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): BigramStatsExpr =
+    copy(child = newChild)
+}
+
 /** graft_py_title(text): Python str.title() parity (string). */
 case class PyTitleExpr(child: Expression)
     extends UnaryExpression {
@@ -754,6 +967,12 @@ object TextHashes {
     ColumnBridge.column(CharSqSumExpr(ColumnBridge.expression(text)))
   def charHist(text: Column): Column =
     ColumnBridge.column(CharHistExpr(ColumnBridge.expression(text)))
+  def tokenBucketHist(text: Column, m: Int): Column =
+    ColumnBridge.column(TokenBucketHistExpr(ColumnBridge.expression(text), m))
+  def tokenStats(text: Column): Column =
+    ColumnBridge.column(TokenStatsExpr(ColumnBridge.expression(text)))
+  def bigramStats(text: Column): Column =
+    ColumnBridge.column(BigramStatsExpr(ColumnBridge.expression(text)))
   def cdcChunks(text: Column, k: Int, div: Int): Column =
     ColumnBridge.column(CdcChunksExpr(ColumnBridge.expression(text), k, div))
   def pyTitle(text: Column): Column =

@@ -83,8 +83,17 @@ object ConnectedComponents {
     val e0 = edges.select(col(src).as("a"), col(dst).as("b"))
     val (sym, symIds) = checkpointTracked(
       e0.union(e0.select(col("b").as("a"), col("a").as("b"))).distinct())
+    // Fold ROUND 1 into initialization: labels₀(v) = min(N(v) ∪ {v})
+    // comes out of the same aggregate that enumerates the distinct
+    // nodes (sym is symmetric, so every endpoint appears as `a`) —
+    // one grouped aggregate replaces the old distinct-then-self-label
+    // setup AND the first join+union+aggregate round (guide §2.4:
+    // two operations keyed the same way share one pass). Labels are
+    // identical to the old code's after its first round, so the loop
+    // below converges to the same fixpoint in one fewer iteration.
     var (labels, labelIds) = checkpointTracked(
-      sym.select(col("a").as("node")).distinct().withColumn("lbl", col("node")))
+      sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
+        .select(col("a").as("node"), least(col("a"), col("mb")).as("lbl")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {

@@ -35,6 +35,29 @@ import graft.text.TextFns
   */
 object MediaQueries {
 
+  /** Renders a constant-gray w×h PNG with the memory-cached ImageIO
+    * path. `javax.imageio` defaults to DISK-backed stream caching —
+    * `ImageIO.write(img, fmt, outputStream)` wraps the stream in a
+    * FileCacheImageOutputStream, paying one temp-file
+    * create/write/delete per image (guide §1.2: fix the per-task work
+    * once the job shape is right). All media here lives in byte
+    * arrays; [[Multimodal]] flips the JVM-wide default off, and the
+    * per-closure `setUseCache(false)` calls below cover executors
+    * whose first codec touch is a fixture encode rather than a
+    * [[Multimodal]] member (object init is what runs the static).
+    */
+  private def grayPng(w: Int, h: Int, v: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (v << 16) | (v << 8) | v
+    val row = new Array[Int](w * h)
+    java.util.Arrays.fill(row, rgb)
+    img.setRGB(0, 0, w, h, row, 0, w) // one bulk raster store, not w·h calls
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
   // ---------- q_image_decode: PNG round-trip vs its contract ----------
 
   /** One gray-fill PNG per selected document: width 8+(id%9), height
@@ -52,22 +75,12 @@ object MediaQueries {
       .filter(col("doc_id") % 5 === 0)
       .select(col("doc_id")).as[Long]
     val media = ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { id =>
         val w = 8 + (id % 9).toInt
         val h = 8 + (id % 7).toInt
         val v = (id % 256).toInt
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val rgb = (v << 16) | (v << 8) | v
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-          y += 1
-        }
-        val buf = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", buf)
-        Multimodal.MediaRow(id, "image", buf.toByteArray,
+        Multimodal.MediaRow(id, "image", grayPng(w, h, v),
           Multimodal.MediaMeta(Some(w), Some(h), None, None, Some("png")))
       }
     }
@@ -111,16 +124,23 @@ object MediaQueries {
       .filter(col("doc_id") % 5 === 2)
       .select(col("doc_id")).as[Long]
     val media = ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      // content is dimension-only: (w, h) has ≤ 33·17 distinct values,
+      // so memoize the encode per task (fill value irrelevant to the
+      // census) — the dedup-identical-work rule applied to fixture CPU
+      val memo = new java.util.HashMap[Int, Array[Byte]]()
       it.map { id =>
         val w = 16 + (id % 33).toInt
         val h = 16 + (id % 17).toInt
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        // fill value irrelevant to the census; one setRGB is enough
-        img.setRGB(0, 0, 0x808080)
-        val buf = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", buf)
-        Multimodal.MediaRow(id, "image", buf.toByteArray,
+        val bytes = memo.computeIfAbsent((w << 8) | h, _ => {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          img.setRGB(0, 0, 0x808080)
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", buf)
+          buf.toByteArray
+        })
+        Multimodal.MediaRow(id, "image", bytes,
           Multimodal.MediaMeta(Some(w), Some(h), None, None, Some("png")))
       }
     }
@@ -241,31 +261,43 @@ object MediaQueries {
       .filter(col("doc_id") % 5 === 2)
       .select(col("doc_id")).as[Long]
     val media = ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      // content depends only on (class, scale): 17·3 = 51 distinct
+      // images — memoize the encode per task instead of re-rendering
+      // per row (the distinct-fingerprints-before-work rule applied to
+      // fixture CPU; the decode side still runs once per ROW, which is
+      // the path this query gates)
+      val memo = new java.util.HashMap[Int, Array[Byte]]()
       it.map { id =>
         val c = (id % 17).toInt
         val s = 1 + (id % 3).toInt
         val wh = 8 * s
-        val img = new java.awt.image.BufferedImage(
-          wh, wh, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var i = 0
-        while (i < 8) {
-          var j = 0
-          while (j < 8) {
-            val v = (c * 7 + i * 13 + j * 29) % 256
-            val rgb = (v << 16) | (v << 8) | v
-            var dy = 0
-            while (dy < s) {
-              var dx = 0
-              while (dx < s) { img.setRGB(j * s + dx, i * s + dy, rgb); dx += 1 }
-              dy += 1
+        val bytes = memo.computeIfAbsent(c * 4 + s, _ => {
+          val img = new java.awt.image.BufferedImage(
+            wh, wh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val px = new Array[Int](wh * wh)
+          var i = 0
+          while (i < 8) {
+            var j = 0
+            while (j < 8) {
+              val v = (c * 7 + i * 13 + j * 29) % 256
+              val rgb = (v << 16) | (v << 8) | v
+              var dy = 0
+              while (dy < s) {
+                var dx = 0
+                while (dx < s) { px((i * s + dy) * wh + j * s + dx) = rgb; dx += 1 }
+                dy += 1
+              }
+              j += 1
             }
-            j += 1
+            i += 1
           }
-          i += 1
-        }
-        val buf = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", buf)
-        Multimodal.MediaRow(id, "image", buf.toByteArray,
+          img.setRGB(0, 0, wh, wh, px, 0, wh)
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", buf)
+          buf.toByteArray
+        })
+        Multimodal.MediaRow(id, "image", bytes,
           Multimodal.MediaMeta(Some(wh), Some(wh), None, None, Some("png")))
       }
     }
@@ -332,17 +364,17 @@ object MediaQueries {
       .filter(col("doc_id") % 5 === 3)
       .select(col("doc_id")).as[Long]
     val media = ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      // a frame is fully determined by its 16×12 gray shade v — at
+      // most 256 distinct PNGs exist, so memoize the encode per task
+      // (the container walk and per-frame DECODE below still run once
+      // per video/frame — that is the path the query gates)
+      val frameMemo = new java.util.HashMap[Int, Array[Byte]]()
       it.map { id =>
         val nf = 3 + (id % 5).toInt
         val frames = (0 until nf).map { i =>
           val v = ((id * 7 + i * 31) % 256).toInt
-          val img = new java.awt.image.BufferedImage(
-            16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val rgb = (v << 16) | (v << 8) | v
-          for (y <- 0 until 12; x <- 0 until 16) img.setRGB(x, y, rgb)
-          val buf = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", buf)
-          buf.toByteArray
+          frameMemo.computeIfAbsent(v, _ => grayPng(16, 12, v))
         }
         val avih = java.nio.ByteBuffer.allocate(56)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -481,34 +513,44 @@ object MediaQueries {
       .filter(col("doc_id") % 5 === 3)
       .select(col("doc_id")).as[Long]
     val media = ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      // content depends only on (class, variant): 11·3 = 33 distinct
+      // images — memoize the encode per task (same rationale as
+      // [[imagePhash]]; the per-ROW decode is what the query gates)
+      val memo = new java.util.HashMap[Int, Array[Byte]]()
       it.map { id =>
         val c = (id % 11).toInt
         val t = (id % 3).toInt
         val pert = (c * 5 + t * 17) % 64
         val s = 2
         val wh = 8 * s
-        val img = new java.awt.image.BufferedImage(
-          wh, wh, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var i = 0
-        while (i < 8) {
-          var j = 0
-          while (j < 8) {
-            val base = (c * 7 + i * 13 + j * 29) % 256
-            val v = if (t > 0 && i * 8 + j == pert) (base + 128) % 256 else base
-            val rgb = (v << 16) | (v << 8) | v
-            var dy = 0
-            while (dy < s) {
-              var dx = 0
-              while (dx < s) { img.setRGB(j * s + dx, i * s + dy, rgb); dx += 1 }
-              dy += 1
+        val bytes = memo.computeIfAbsent(c * 4 + t, _ => {
+          val img = new java.awt.image.BufferedImage(
+            wh, wh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val px = new Array[Int](wh * wh)
+          var i = 0
+          while (i < 8) {
+            var j = 0
+            while (j < 8) {
+              val base = (c * 7 + i * 13 + j * 29) % 256
+              val v = if (t > 0 && i * 8 + j == pert) (base + 128) % 256 else base
+              val rgb = (v << 16) | (v << 8) | v
+              var dy = 0
+              while (dy < s) {
+                var dx = 0
+                while (dx < s) { px((i * s + dy) * wh + j * s + dx) = rgb; dx += 1 }
+                dy += 1
+              }
+              j += 1
             }
-            j += 1
+            i += 1
           }
-          i += 1
-        }
-        val buf = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", buf)
-        Multimodal.MediaRow(id, "image", buf.toByteArray,
+          img.setRGB(0, 0, wh, wh, px, 0, wh)
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", buf)
+          buf.toByteArray
+        })
+        Multimodal.MediaRow(id, "image", bytes,
           Multimodal.MediaMeta(Some(wh), Some(wh), None, None, Some("png")))
       }
     }

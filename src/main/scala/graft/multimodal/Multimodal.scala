@@ -33,6 +33,16 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // javax.imageio defaults to DISK-backed stream caching: every
+  // ImageIO.read/write through a raw Input/OutputStream wraps it in a
+  // FileCache stream — one temp-file create/write/delete PER IMAGE.
+  // All media in this package lives in byte arrays, so the
+  // memory-cached stream is strictly better (guide §1.2 per-task
+  // work). Runs once per JVM when the object loads; the fixture
+  // closures in [[MediaQueries]] repeat the (idempotent) call in case
+  // an executor's first codec touch precedes object init.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** media(media_id, kind, content, meta) — canonical multimodal table. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -2570,7 +2570,7 @@ object EventQueries {
     import org.apache.spark.sql.streaming.Trigger
     val path = s"$sfDir/events.parquet"
     val batchSchema = spark.read.parquet(path).schema
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_q").toString
+    val dir = graft.util.Scratch.dir("graft_stream_q").toString
     val out = s"$dir/out"
     // the streaming file source requires a DIRECTORY path; the
     // testdata table is a single file, so stream the directory with a
@@ -2639,7 +2639,7 @@ object EventQueries {
         src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => src.withColumn("ts", col("ts").cast("timestamp"))
     }
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ss").toString
+    val dir = graft.util.Scratch.dir("graft_stream_ss").toString
     val out = s"$dir/out"
     val q = evs
       .withColumn("vm", floor(col("value") * 1000000.0 + 0.5).cast("decimal(28,0)"))
@@ -2713,7 +2713,7 @@ object EventQueries {
         src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => src.withColumn("ts", col("ts").cast("timestamp"))
     }
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sl").toString
+    val dir = graft.util.Scratch.dir("graft_stream_sl").toString
     val out = s"$dir/out"
     val q = evs
       .withColumn("vm", floor(col("value") * 1000000.0 + 0.5).cast("decimal(28,0)"))
@@ -2779,7 +2779,7 @@ object EventQueries {
     def src = spark.readStream.schema(batchSchema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
       .select(col("event_id"), col("event_type"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dd").toString
+    val dir = graft.util.Scratch.dir("graft_stream_dd").toString
     val out = s"$dir/out"
     val q = src.unionByName(src)
       .dropDuplicates("event_id")
@@ -2831,7 +2831,7 @@ object EventQueries {
     val path = s"$sfDir/events.parquet"
     val batchSchema = spark.read.parquet(path).schema
     val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
-    val dir = Files.createTempDirectory("graft_stream_dw")
+    val dir = graft.util.Scratch.dir("graft_stream_dw")
     val out = dir.resolve("out").toString
     val inDir = StageCache.cachedIn("dw", sfDir) { (_, in) =>
       Files.copy(Paths.get(path), in.resolve("a_events.parquet"))
@@ -2893,7 +2893,7 @@ object EventQueries {
     import java.nio.file.attribute.FileTime
     val batch = spark.read.parquet(s"$sfDir/events.parquet")
     val batchSchema = batch.schema
-    val dir = Files.createTempDirectory("graft_stream_tk")
+    val dir = graft.util.Scratch.dir("graft_stream_tk")
     val inDir = StageCache.cachedIn("tk", sfDir) { (work, in) =>
       (0 until 3).foreach { k =>
         val slice = batch.filter(pmod(col("event_id"), lit(3)) === k)
@@ -2995,7 +2995,7 @@ object EventQueries {
     import java.nio.file.attribute.FileTime
     val batch = spark.read.parquet(s"$sfDir/events.parquet")
     val batchSchema = batch.schema
-    val dir = Files.createTempDirectory("graft_stream_rs")
+    val dir = graft.util.Scratch.dir("graft_stream_rs")
     // the slices are cached; the ARRIVAL dir must stay per-run — files
     // arrive into it between the two engine runs (cheap Files.copy)
     val stage = StageCache.cachedIn("rs", sfDir) { (work, in) =>
@@ -3125,7 +3125,7 @@ object EventQueries {
     * like the other nine streaming execution modes.
     */
   def streamCms(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_cms")
+    val dir = graft.util.Scratch.dir("graft_stream_cms")
     val (schema, inDir) = stageDocSlices(spark, sfDir)
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
@@ -3152,7 +3152,7 @@ object EventQueries {
     * within-partition row order and is not cross-engine replayable.
     */
   def streamHh(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_hh")
+    val dir = graft.util.Scratch.dir("graft_stream_hh")
     val (schema, inDir) = stageDocSlices(spark, sfDir)
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
@@ -3202,7 +3202,7 @@ object EventQueries {
     val batch = spark.read.parquet(path)
     val batchSchema = batch.schema
     val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
-    val dir = Files.createTempDirectory("graft_stream_ap")
+    val dir = graft.util.Scratch.dir("graft_stream_ap")
     val out = dir.resolve("out").toString
     val inDir = StageCache.cachedIn("ap", sfDir) { (work, in) =>
       Files.copy(Paths.get(path), in.resolve("a_events.parquet"))
@@ -3291,7 +3291,7 @@ object EventQueries {
     }
     val p = side("purchase", "p_id", "p_ts")
     val c = side("click", "c_id", "c_ts").withColumnRenamed("user_id", "c_user")
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_j").toString
+    val dir = graft.util.Scratch.dir("graft_stream_j").toString
     val out = s"$dir/out"
     val q = p.join(c, col("user_id") === col("c_user") &&
         col("c_ts") <= col("p_ts") &&
@@ -3353,7 +3353,7 @@ object EventQueries {
     val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
     val cust = graft.schema.Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_en").toString
+    val dir = graft.util.Scratch.dir("graft_stream_en").toString
     val out = s"$dir/out"
     val src = spark.readStream.schema(batchSchema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
@@ -3418,7 +3418,7 @@ object EventQueries {
     val batch = spark.read.parquet(path)
     val batchSchema = batch.schema
     val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
-    val dir = Files.createTempDirectory("graft_stream_oj")
+    val dir = graft.util.Scratch.dir("graft_stream_oj")
     val out = dir.resolve("out").toString
     // Sentinels must be REAL 'purchase'/'click' rows (user_id = -1 so
     // they join nothing, event_id = -1 so the sink read drops them):
@@ -3530,7 +3530,7 @@ object EventQueries {
     val batch = spark.read.parquet(path)
     val batchSchema = batch.schema
     val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
-    val dir = Files.createTempDirectory("graft_stream_lt")
+    val dir = graft.util.Scratch.dir("graft_stream_lt")
     val out = dir.resolve("out").toString
     val inDir = StageCache.cachedIn("lt", sfDir) { (work, in) =>
       Files.copy(Paths.get(path), in.resolve("a_events.parquet"))
@@ -3640,7 +3640,7 @@ object EventQueries {
     val batch = spark.read.parquet(path)
     val batchSchema = batch.schema
     val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
-    val dir = Files.createTempDirectory("graft_stream_fm")
+    val dir = graft.util.Scratch.dir("graft_stream_fm")
     val out = dir.resolve("out").toString
     val inDir = StageCache.cachedIn("fm", sfDir) { (work, in) =>
       Files.copy(java.nio.file.Paths.get(path), in.resolve("a_events.parquet"))
@@ -3787,7 +3787,7 @@ object EventQueries {
       val path = s"$sfDir/events.parquet"
       val batch = spark.read.parquet(path)
       val batchSchema = batch.schema
-      val dir = Files.createTempDirectory("graft_stream_tws")
+      val dir = graft.util.Scratch.dir("graft_stream_tws")
       val inDir = stageEventSlices3(spark, sfDir)
       val out = dir.resolve("out").toString
       val src = spark.readStream.schema(batchSchema)
@@ -3896,7 +3896,7 @@ object EventQueries {
       val path = s"$sfDir/events.parquet"
       val batch = spark.read.parquet(path)
       val batchSchema = batch.schema
-      val dir = Files.createTempDirectory("graft_stream_ini")
+      val dir = graft.util.Scratch.dir("graft_stream_ini")
       val out = dir.resolve("out").toString
       // slices 1-2 stream; slice 0 is "history" served to initial state
       val inDir = StageCache.cachedIn("ini", sfDir) { (work, in) =>
@@ -4097,7 +4097,7 @@ object EventQueries {
       val batch =
         if (isNs) batch0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         else batch0.withColumn("ts", col("ts").cast("timestamp"))
-      val dir = Files.createTempDirectory("graft_stream_tmr")
+      val dir = graft.util.Scratch.dir("graft_stream_tmr")
       val out = dir.resolve("out").toString
       val maxTsMs = batch.agg(max(col("ts"))).head().getTimestamp(0).getTime
       val flushAtMs = maxTsMs + 12L * 3600 * 1000 // +12 h: past all data,
@@ -4207,7 +4207,7 @@ object EventQueries {
       val batch = spark.read.parquet(s"$sfDir/events.parquet")
       val slim = batch.select(col("event_type"), col("event_id"),
         floor(col("value") * 1000000.0 + 0.5).cast("long").as("vm"))
-      val dir = Files.createTempDirectory("graft_stream_ptmr")
+      val dir = graft.util.Scratch.dir("graft_stream_ptmr")
       val out = dir.resolve("out").toString
       val inDir = StageCache.cachedIn("ptmr", sfDir) { (work, in) =>
         def stage(df: DataFrame, name: String, mtime: Long): Unit = {
@@ -4342,7 +4342,7 @@ object EventQueries {
       val batch = spark.read.parquet(path)
       val batchSchema = batch.schema
       val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
-      val dir = Files.createTempDirectory("graft_stream_l3")
+      val dir = graft.util.Scratch.dir("graft_stream_l3")
       val inDir = stageEventSlices3(spark, sfDir)
       val out = dir.resolve("out").toString
       val src = spark.readStream.schema(batchSchema)
@@ -4476,7 +4476,7 @@ object EventQueries {
       val batch = spark.read.parquet(path)
       val batchSchema = batch.schema
       val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
-      val dir = Files.createTempDirectory("graft_stream_ms")
+      val dir = graft.util.Scratch.dir("graft_stream_ms")
       val inDir = stageEventSlices3(spark, sfDir)
       val out = dir.resolve("out").toString
       val src = spark.readStream.schema(batchSchema)
@@ -4554,7 +4554,7 @@ object EventQueries {
     val batch = spark.read.parquet(path)
     val batchSchema = batch.schema
     val isNs = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
-    val dir = Files.createTempDirectory("graft_stream_up")
+    val dir = graft.util.Scratch.dir("graft_stream_up")
     val inDir = stageEventSlices3(spark, sfDir)
     val out = dir.resolve("out").toString
     val src = spark.readStream.schema(batchSchema)

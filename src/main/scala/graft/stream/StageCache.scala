@@ -78,7 +78,12 @@ private[graft] object StageCache {
     */
   def cachedIn(tag: String, sfDir: String)(build: (Path, Path) => Unit): Path = {
     val want = stamp(tag, sfDir)
-    val root = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stage_cache")
+    // same RAM-backed base as the per-run scratch dirs (Scratch):
+    // the staged fixtures are re-read by every streaming run, and on
+    // the sandbox's ext4 /tmp those reads are disk ops for no reason.
+    // Builds stay under the SAME root so the atomic publish rename
+    // never crosses filesystems.
+    val root = graft.util.Scratch.base.resolve("graft_stage_cache")
     Files.createDirectories(root)
     val key = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(want))
     val dest = root.resolve(s"${tag}_$key")

@@ -156,20 +156,23 @@ object DocOps {
     * list) and is deliberately absent from the audit.
     */
   def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
-    val stop = TextFns.stopwords
-    val toks = Tables.documents(spark, sfDir)
-      .withColumn("ts", TextFns.tokens(col("text")))
-      .select(col("doc_id"), col("source"), explode_outer(col("ts")).as("tok"))
-      .filter(col("tok").isNotNull)
-    val perDoc = toks
-      .groupBy("doc_id", "source", "tok")
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id", "source")
-      .agg(
-        sum(col("cnt")).as("n"),
-        sum(col("cnt") * length(col("tok")).cast("long")).as("letters"),
-        sum(when(col("tok").isInCollection(stop), col("cnt")).otherwise(0L)).as("stops"),
-        max(col("cnt")).as("topc"))
+    // All four per-document statistics come from the native
+    // graft_token_stats kernel in ONE codegen'd byte walk per row —
+    // the explode→groupBy(doc,tok)→groupBy(doc) form it replaces
+    // shuffled the corpus's token STRINGS through two hash aggregates
+    // (guide §2.3/§2.4: the statistics are per-document, so they
+    // belong in the row expression; zero exchanges now precede the
+    // source rollup). Distinct-token counts use exact lowercased
+    // strings inside the kernel, so values are identical; a document
+    // with zero tokens returns n = 0 and is filtered out exactly
+    // where the old explode_outer + isNotNull dropped it.
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextHashes.tokenStats(col("text")).as("st"))
+      .select(col("doc_id"), col("source"),
+        col("st.n").as("n"), col("st.letters").as("letters"),
+        col("st.stops").as("stops"), col("st.topc").as("topc"))
+      .filter(col("n") > 0)
     perDoc
       .withColumn("p_wc",
         when(col("n").between(WcMin, WcMax), 1L).otherwise(0L))
@@ -1620,17 +1623,24 @@ object DocOps {
     * constants on both sides.
     */
   def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .withColumn("toks", TextFns.tokens(col("text")))
-      .withColumn("hs", TextFns.tokenHashesFromTokens(col("toks")))
-    // explode_outer: tokens is provably non-empty (text is non-empty)
-    // and a plain explode would get an InferFiltersFromGenerate
-    // size(arr)>0 filter that re-inlines the HOF pipeline (CLAUDE.md)
-    val tb = docs.select(col("doc_id"), col("lang"),
-        explode_outer(col("hs")).as("h"))
-      .withColumn("b", pmod(col("h"), lit(DsirBuckets)))
-    val tf = tb.groupBy(col("doc_id"), col("lang"), col("b"))
-      .agg(count(lit(1)).as("tf"))
+    // Native per-doc bucket census (graft_token_bucket_hist): one
+    // codegen'd byte walk replaces the interpreted lower→split→
+    // transform(polyHash) HOF chain, the TOKEN-grain explode, and the
+    // token-grain partial aggregate — the (doc, bucket, tf) frame
+    // comes out of the scan already aggregated (guide §2.3 "aggregate
+    // before you shuffle" done at expression level; same packed-long
+    // census shape as q_byte_entropy's charHist). Bucket values are
+    // identical: the kernel's token walk/hash is the simHash parity
+    // class (byte walk ≡ char walk on the ASCII corpus) and
+    // h % m ≡ pmod(h, m) for h ∈ [0, P). explode_outer keeps the
+    // InferFiltersFromGenerate guard off the kernel (CLAUDE.md).
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        explode_outer(graft.functions.TextHashes.tokenBucketHist(
+          col("text"), DsirBuckets.toInt)).as("pk"))
+      .select(col("doc_id"), col("lang"),
+        shiftRight(col("pk"), 40).as("b"),
+        col("pk").bitwiseAND(lit((1L << 40) - 1)).as("tf"))
     val rawCnt = tf.groupBy("b").agg(sum(col("tf")).as("rc"))
     val tgtCnt = tf.filter(col("lang") === "en")
       .groupBy("b").agg(sum(col("tf")).as("tc"))
@@ -1803,9 +1813,16 @@ object DocOps {
     val pos = staged.select(col("gid"), col("m"),
       posexplode_outer(col("hs")).as(Seq("p0", "h")))
       .localCheckpoint(true)
+    // "in ≥2 distinct texts" ⟺ min(gid) ≠ max(gid): a plain min/max
+    // pair folds into the SAME single hash aggregate as max(m), where
+    // countDistinct planned a second, (h, gid)-grain aggregate pass
+    // (Spark rewrites mixed distinct/non-distinct aggregates through
+    // an Expand) — one shuffle instead of two on the gram-grain frame,
+    // the query's dominant volume (guide §2.4).
     val dupGrams = pos.groupBy("h")
-      .agg(countDistinct(col("gid")).as("ng"), max(col("m")).as("mm"))
-      .filter(col("ng") >= 2 || col("mm") >= 2).select("h")
+      .agg(min(col("gid")).as("g0"), max(col("gid")).as("g1"),
+        max(col("m")).as("mm"))
+      .filter(col("g0") =!= col("g1") || col("mm") >= 2).select("h")
     val byGroup = Window.partitionBy("gid").orderBy("p0")
     val uniqCov = pos.filter(col("m") === 1)
       .join(dupGrams, "h")

@@ -168,10 +168,11 @@ object TextFns {
   }
 
   /** English-ish stopword list used by the quality score + stats.
-    * Fixed and mirrored in the oracle SQL.
+    * Fixed and mirrored in the oracle SQL; the canonical list lives in
+    * TextHashUtil (single source of truth — the native tokenStats
+    * kernel matches against the same instance).
     */
-  val stopwords: Seq[String] =
-    Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+  val stopwords: Seq[String] = graft.functions.TextHashUtil.stopwords
 
   /** Marker lexicons for the n-gram/lexicon language-ID heuristic. */
   val langMarkers: Map[String, Seq[String]] = Map(
@@ -202,11 +203,19 @@ object TextFns {
   def qualityScore(text: Column, ts: Column): Column = {
     // guard: ANSI mode throws on /0 for empty text (DuckDB would give
     // inf) — both sides divide by max(len, 1)
+    // Token statistics come from the native graft_token_stats kernel
+    // (one codegen'd byte walk) instead of the interpreted
+    // size/filter/aggregate HOF trio over the staged `ts` — same
+    // values (token count, stopword instance hits, Σ token length;
+    // byte ≡ char length on the ASCII corpus), at one virtual call
+    // per row. `ts` stays in the signature: several callers stage it
+    // for OTHER columns, and the staging contract is theirs.
+    val st = graft.functions.TextHashes.tokenStats(text)
     val nChars = greatest(length(text), lit(1)).cast("double")
-    val nTok = greatest(size(ts), lit(1)).cast("double")
+    val nTok = greatest(st.getField("n"), lit(1L)).cast("double")
     val punct = (nChars - length(regexp_replace(text, "[.!?,;:]", ""))).cast("double")
-    val stopHits = size(filter(ts, t => t.isInCollection(stopwords))).cast("double")
-    val meanTokLen = aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok
+    val stopHits = st.getField("stops").cast("double")
+    val meanTokLen = st.getField("letters").cast("double") / nTok
     val lenScore = least(nChars / lit(400.0), lit(1.0))
     val punctScore = least(punct / nChars * 20.0, lit(1.0))
     val stopScore = least(stopHits / nTok * 4.0, lit(1.0))

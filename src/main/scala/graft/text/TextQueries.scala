@@ -2944,9 +2944,13 @@ object TextQueries {
   // ---------- 7. q_token_count: BPE-ish regex token accounting ----------
 
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    // regexp_count ≡ size(regexp_extract_all(...)) without
+    // materializing the per-doc token ARRAY just to measure it —
+    // the match loop is the same, the per-token string allocations
+    // and the array copy disappear (guide §1.2 per-task work)
     Tables.documents(spark, sfDir)
       .withColumn("n_tok",
-        size(expr(s"regexp_extract_all(text, '${TextFns.bpeTokenRegex}', 0)")))
+        expr(s"regexp_count(text, '${TextFns.bpeTokenRegex}')"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).cast("long").as("total_tokens"),
@@ -3061,13 +3065,21 @@ object TextQueries {
     * duplicate-line fraction with the same intent.
     */
   def repetition(spark: SparkSession, sfDir: String): DataFrame =
+    // native graft_bigram_stats kernel: one byte walk per row yields
+    // (n_grams, n_distinct) with wordNgramsFromTokens' exact gram
+    // semantics (incl. short-doc padding) — replaces the interpreted
+    // transform+concat_ws gram build and array_distinct's per-row
+    // string-array materialization; rep_ratio is the same round4 of
+    // 1 − distinct/total
     Tables.documents(spark, sfDir)
-      .withColumn("ts", TextFns.tokens(col("text")))
-      .withColumn("grams", TextFns.wordNgramsFromTokens(col("ts"), 2))
       .select(col("doc_id"),
-        size(col("grams")).cast("long").as("n_grams"),
-        size(array_distinct(col("grams"))).cast("long").as("n_distinct"),
-        TextFns.repetitionRatio(col("grams")).as("rep_ratio"))
+        graft.functions.TextHashes.bigramStats(col("text")).as("bs"))
+      .select(col("doc_id"),
+        col("bs.n_grams").as("n_grams"),
+        col("bs.n_distinct").as("n_distinct"),
+        TextFns.round4(lit(1.0) -
+          col("bs.n_distinct").cast("double") /
+            col("bs.n_grams").cast("double")).as("rep_ratio"))
       .withColumn("is_repetitive", col("rep_ratio") >= RepetitionThreshold)
       .orderBy("doc_id")
 

@@ -180,6 +180,82 @@ class TextHashSpec extends SparkSpec {
     assert(native((withEmpty.length - 1, 'a'.toLong)) == 4L)
   }
 
+  test("native tokenBucketHist equals HOF tokenize+hash+pmod+groupBy census") {
+    // the q_dsir_weights kernel contract: per-doc (bucket, tf) pairs
+    // must equal the explode-and-aggregate form over the HOF token
+    // hashes — same token walk, same polyHash, bucket = pmod(h, m)
+    val m = 256
+    val withEmpty = texts :+ "" :+ "Par PAR par  extra"
+    val hof = withEmpty.zipWithIndex.map(_.swap).toDF("id", "text")
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .withColumn("hs", TextFns.tokenHashesFromTokens(col("ts")))
+      .select(col("id"), explode(col("hs")).as("h"))
+      .groupBy(col("id"), pmod(col("h"), lit(m.toLong)).as("b"))
+      .agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val native = withEmpty.zipWithIndex.map(_.swap).toDF("id", "text")
+      .select(col("id"),
+        explode(TextHashes.tokenBucketHist(col("text"), m)).as("pk"))
+      .select(col("id"), shiftright(col("pk"), 40).as("b"),
+        col("pk").bitwiseAND(lit((1L << 40) - 1)).as("tf"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(native == hof)
+    // empty text: no tokens — empty census on both sides (explode
+    // emits no row), and mixed-case tokens collapse (ASCII lowercase)
+    assert(!native.keys.exists(_._1 == withEmpty.length - 2))
+  }
+
+  test("native tokenStats equals explode+groupBy token census") {
+    // q_gopher_rules / qualityScore kernel contract: (n, letters,
+    // stops, topc) per doc must equal the two-level aggregate over
+    // exploded tokens
+    val cases = texts :+ "" :+ "The THE the zz  zz" :+ "solo"
+    val df = cases.zipWithIndex.map(_.swap).toDF("id", "text")
+    val hof = df
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .select(col("id"), explode_outer(col("ts")).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy("id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("id")
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("cnt") * length(col("tok")).cast("long")).as("letters"),
+        sum(when(col("tok").isInCollection(TextFns.stopwords), col("cnt"))
+          .otherwise(0L)).as("stops"),
+        max(col("cnt")).as("topc"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val native = df
+      .select(col("id"), TextHashes.tokenStats(col("text")).as("st"))
+      .select(col("id"), col("st.n"), col("st.letters"), col("st.stops"),
+        col("st.topc"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    cases.indices.foreach { i =>
+      if (hof.contains(i)) assert(native(i) == hof(i), s"case $i")
+      else assert(native(i) == ((0L, 0L, 0L, 0L)), s"empty case $i")
+    }
+    // "The THE the zz  zz": 5 tokens, lowercase collapse → topc = 3
+    assert(native(cases.length - 2) == ((5L, 13L, 3L, 3L)))
+  }
+
+  test("native bigramStats equals wordNgrams+array_distinct census") {
+    val cases = texts :+ "" :+ "solo" :+ "a b a b a"
+    val df = cases.zipWithIndex.map(_.swap).toDF("id", "text")
+    val hof = df
+      .withColumn("ts", TextFns.tokens(col("text")))
+      .withColumn("grams", TextFns.wordNgramsFromTokens(col("ts"), 2))
+      .select(col("id"), size(col("grams")).cast("long").as("g"),
+        size(array_distinct(col("grams"))).cast("long").as("d"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val native = df
+      .select(col("id"), TextHashes.bigramStats(col("text")).as("bs"))
+      .select(col("id"), col("bs.n_grams"), col("bs.n_distinct"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(native == hof)
+    // "a b a b a": grams ab, ba, ab, ba → 4 total, 2 distinct
+    assert(native(cases.length - 1) == ((4L, 2L)))
+  }
+
   test("native simHash equals HOF simhash pipeline") {
     val df = texts.toDF("text")
       .withColumn("ts", TextFns.tokens(col("text")))
