@@ -561,8 +561,14 @@ object MediaQueries {
     // distinct fingerprints BEFORE any pairwise work (CLAUDE.md rule)
     val fps = ph.groupBy("phash", "hi", "lo")
       .agg(min(col("media_id")).as("rep"), count(lit(1)).as("sz"))
+    // packed long band key b·256 + band byte, sliced from the hi/lo
+    // integer halves already staged above — bijective with the
+    // "b:8-bit-substring" string form (same buckets), and the banded
+    // self-join hashes/compares longs instead of 10-char strings
     val bandKeys = array((0 until 8).map { b =>
-      concat(lit(s"$b:"), substring(col("phash"), b * 8 + 1, 8))
+      val half = if (b < 4) col("hi") else col("lo")
+      val shift = 1L << ((b % 4 match { case 0 => 3; case 1 => 2; case 2 => 1; case _ => 0 }) * 8)
+      ((half / lit(shift)).cast("long") % 256L) + lit(b * 256L)
     }: _*)
     val bands = fps.select(col("phash"), col("hi"), col("lo"), col("rep"),
       explode(bandKeys).as("band"))

@@ -112,6 +112,28 @@ object TextFns {
       concat_ws(",", (lit(s"$b:") +: parts): _*)
     }: _*)
 
+  /** Packed LSH band keys — BIJECTIVE with [[lshBandKeys]]: the band
+    * index plus the band's signature rows packed pairwise as
+    * v₁·P + v₂ (values < P, so each pack < P² < 2^62 — exactly
+    * invertible, zero collision risk), grouped and joined as
+    * fixed-width integers instead of ~40-byte concat_ws strings.
+    * Same buckets, same downstream output; the band-grain shuffle
+    * carries 8-byte longs and hashes/compares integers (guide §2.3
+    * "narrower types"). Only used as an internal group/join key —
+    * the oracle keeps the string form, which denotes the same
+    * partition of docs.
+    */
+  def lshBandPacked(signature: Column, rowsPerBand: Int, numBands: Int): Column = {
+    require(rowsPerBand % 2 == 0, s"rowsPerBand must be even: $rowsPerBand")
+    array((0 until numBands).map { b =>
+      val packs = (0 until rowsPerBand by 2).map { r =>
+        (element_at(signature, b * rowsPerBand + r + 1) * P +
+          element_at(signature, b * rowsPerBand + r + 2)).as(s"p${r / 2}")
+      }
+      struct((lit(b).as("b") +: packs): _*)
+    }: _*)
+  }
+
   /** Space-delimited tokens (lowercased, empties dropped). Plain ' '
     * split, not \s+, so the oracle's string_split matches exactly.
     */

@@ -183,7 +183,10 @@ object TextQueries {
       .withColumn("sig",
         graft.functions.TextHashes.minHashSig(col("text"), K, NumHashes))
       .select(col("doc_id"),
-        explode(TextFns.lshBandKeys(col("sig"), RowsPerBand, NumBands)).as("band"))
+        // packed band keys: bijective with the oracle's string form
+        // (same buckets), shuffled as fixed-width integers —
+        // TextFns.lshBandPacked
+        explode(TextFns.lshBandPacked(col("sig"), RowsPerBand, NumBands)).as("band"))
 
   /** Each band membership joined to its bucket representative
     * (min doc_id per band) — the single definition of bucket
@@ -1061,7 +1064,7 @@ object TextQueries {
         graft.functions.TextHashes.minHashSig(col("text"), K, NumHashes))
       .select(col("doc_id"), col("shs"), size(col("shs")).as("nsh"), col("sig"))
     val bands2 = staged.select(col("doc_id"),
-      explode(TextFns.lshBandKeys(col("sig"), 2, NumHashes / 2)).as("band"))
+      explode(TextFns.lshBandPacked(col("sig"), 2, NumHashes / 2)).as("band"))
     val reps = bands2.groupBy("band").agg(min(col("doc_id")).as("rep"))
     val pairs = bands2.join(reps, "band")
       .filter(col("rep") < col("doc_id"))
@@ -1382,6 +1385,40 @@ object TextQueries {
     * the base labeling; a deployment reads it from the snapshot store
     * exactly like [[deltaDedup]]'s band index.
     */
+  /** Connected components of a MIN-ORIENTED edge list — every edge
+    * (a, b) has a < b with `a` a band representative — by star
+    * contraction: each node's incidence set is the reps of its edges
+    * plus itself where it is a rep; contract every node to its MIN
+    * incident rep, connect reps that co-occur in one node's incidence,
+    * run the driver-paced fixpoint on the contracted REP graph only,
+    * and lift labels back through the node→min-rep map. The labeling
+    * is IDENTICAL to the raw fixpoint over the symmetrized edges: a
+    * component's global min node always appears as a rep (every edge
+    * is min-oriented, so a non-rep minimum would have a smaller
+    * neighbor — contradiction), rep-graph connectivity mirrors node
+    * connectivity through shared incidences, and min-rep labels lift
+    * exactly. Same construction [[docComponentsTracked]] uses for the
+    * full band graph (oracle-proven there), generalized to edge
+    * SUBSETS (ccRefresh's pre-batch graph, ccForget's survivor and
+    * touched subgraphs) — the fixpoint runs at rep grain instead of
+    * doc grain, which is what the 10×/30× legs pay for.
+    */
+  private[text] def contractedComponentsTracked(p: DataFrame): (DataFrame, Set[Int]) = {
+    import graft.graph.ConnectedComponents
+    val inc = p.select(col("b").as("node"), col("a").as("r"))
+      .unionByName(p.select(col("a").as("node"), col("a").as("r")))
+    val nodeMin = inc.groupBy("node").agg(min(col("r")).as("r0"))
+    val repEdges = inc.join(nodeMin, "node")
+      .filter(col("r") =!= col("r0"))
+      .select(col("r0").as("src"), col("r").as("dst"))
+      .distinct()
+    val (repComp, ids) = ConnectedComponents.runTracked(repEdges)
+    val lbl = nodeMin
+      .join(repComp.withColumnRenamed("node", "r0"), Seq("r0"), "left")
+      .select(col("node"), coalesce(col("component"), col("r0")).as("component"))
+    (lbl, ids)
+  }
+
   def ccRefresh(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.graph.ConnectedComponents
     val (p, pIds) = ConnectedComponents.checkpointTracked(
@@ -1392,9 +1429,7 @@ object TextQueries {
     def isNew(c: Column): Column = pmod(c, lit(10)) === CcBatchResidue
     val oldE = p.filter(!isNew(col("a")) && !isNew(col("b")))
     val newE = p.filter(isNew(col("a")) || isNew(col("b")))
-    val oldSym = oldE.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(oldE.select(col("b").as("src"), col("a").as("dst")))
-    val (base, baseIds) = ConnectedComponents.runTracked(oldSym)
+    val (base, baseIds) = contractedComponentsTracked(oldE)
     val contracted = newE
       .join(base.select(col("node").as("a"), col("component").as("compA")),
         Seq("a"), "left")
@@ -1464,9 +1499,7 @@ object TextQueries {
         .select(col("rep").as("a"), col("doc_id").as("b"))
         .distinct())
     def erased(c: Column): Column = pmod(c, lit(11)) === ForgetResidue
-    val sym = p.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
-    val (base, baseIds) = ConnectedComponents.runTracked(sym)
+    val (base, baseIds) = contractedComponentsTracked(p)
     val touched = base.filter(erased(col("node")))
       .select(col("component").as("tc")).distinct()
     val kept = p.filter(!erased(col("a")) && !erased(col("b")))
@@ -1479,9 +1512,9 @@ object TextQueries {
       .select("a", "b")
     val untouched = kept.join(touched, col("cA") === col("tc"),
         "left_anti")
-    val affSym = affected.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(affected.select(col("b").as("src"), col("a").as("dst")))
-    val (aff, affIds) = ConnectedComponents.runTracked(affSym)
+    // affected is an (a, b) subset of p — still min-oriented, so the
+    // same contraction applies to the touched-subgraph re-run
+    val (aff, affIds) = contractedComponentsTracked(affected)
     val untouchedLbl = untouched.select(col("a").as("node"))
       .unionByName(untouched.select(col("b").as("node"))).distinct()
       .join(base, Seq("node"))
@@ -3006,9 +3039,10 @@ object TextQueries {
     // Exact-duplicate texts (common in real corpora) would otherwise
     // make bucket pair counts quadratic in duplicate multiplicity.
     val fps = docs.groupBy("sh").agg(min(col("doc_id")).as("rep"))
+    // packed long band key b·256 + byte — bijective with the oracle's
+    // "b:byte" string (same buckets), integer-hashed in the self-join
     val bandKeys = array((0 until SimBands).map { b =>
-      concat(lit(s"$b:"),
-        ((col("sh") / lit(1L << (b * 8))).cast("long") % 256L).cast("string"))
+      ((col("sh") / lit(1L << (b * 8))).cast("long") % 256L) + lit(b * 256L)
     }: _*)
     val bands = fps.select(col("sh"), col("rep"), explode(bandKeys).as("band"))
     // only SMALLER neighbor reps matter: the cluster id is a min;
