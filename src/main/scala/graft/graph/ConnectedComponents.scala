@@ -125,6 +125,43 @@ object ConnectedComponents {
     (labels.select(col("node"), col("lbl").as("component")), labelIds)
   }
 
+  /** [[runTracked]] with one STAR-CONTRACTION round in front: orient
+    * every edge (min, max), contract each node to the minimum of its
+    * incident small-endpoints (plus itself where it IS one), run the
+    * fixpoint only on the contracted graph of those local minima, and
+    * lift labels back through the node→min map. Identical labeling
+    * (the returned component ids are still global component minima):
+    * a component's global min node always appears as a small endpoint
+    * — every edge is min-oriented, so a minimum that only appeared on
+    * the large side would have a smaller neighbor — and the
+    * contracted graph preserves connectivity exactly (for edge (a,b):
+    * b is linked to a and to min(b)'s rep through b's own incidence;
+    * a to min(a)'s likewise). The fixpoint then iterates over the
+    * local-minima graph — for the star-shaped near-dup graphs this
+    * library serves, a small fraction of the nodes — which is what
+    * the 10×/30× legs pay for. Self-loops are dropped by orientation
+    * (they never affect components); nodes incident ONLY to
+    * self-loops do not occur in this codebase's edge lists.
+    */
+  def runContractedTracked(edges: DataFrame, src: String = "src",
+                           dst: String = "dst"): (DataFrame, Set[Int]) = {
+    val e = edges.select(
+        least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b"))
+    val inc = e.select(col("b").as("node"), col("a").as("r"))
+      .unionByName(e.select(col("a").as("node"), col("a").as("r")))
+    val nodeMin = inc.groupBy("node").agg(min(col("r")).as("r0"))
+    val repEdges = inc.join(nodeMin, "node")
+      .filter(col("r") =!= col("r0"))
+      .select(col("r0").as("src"), col("r").as("dst"))
+      .distinct()
+    val (repComp, ids) = runTracked(repEdges)
+    val lbl = nodeMin
+      .join(repComp.withColumnRenamed("node", "r0"), Seq("r0"), "left")
+      .select(col("node"), coalesce(col("component"), col("r0")).as("component"))
+    (lbl, ids)
+  }
+
   /** The O(log d)-round variant: alternating Large-Star / Small-Star
     * edge rewrites (Kiveris et al., "Connected Components in MapReduce
     * and Beyond", SoCC'14). Each round re-points nodes at ever-smaller

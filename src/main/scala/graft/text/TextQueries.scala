@@ -1403,21 +1403,8 @@ object TextQueries {
     * touched subgraphs) — the fixpoint runs at rep grain instead of
     * doc grain, which is what the 10×/30× legs pay for.
     */
-  private[text] def contractedComponentsTracked(p: DataFrame): (DataFrame, Set[Int]) = {
-    import graft.graph.ConnectedComponents
-    val inc = p.select(col("b").as("node"), col("a").as("r"))
-      .unionByName(p.select(col("a").as("node"), col("a").as("r")))
-    val nodeMin = inc.groupBy("node").agg(min(col("r")).as("r0"))
-    val repEdges = inc.join(nodeMin, "node")
-      .filter(col("r") =!= col("r0"))
-      .select(col("r0").as("src"), col("r").as("dst"))
-      .distinct()
-    val (repComp, ids) = ConnectedComponents.runTracked(repEdges)
-    val lbl = nodeMin
-      .join(repComp.withColumnRenamed("node", "r0"), Seq("r0"), "left")
-      .select(col("node"), coalesce(col("component"), col("r0")).as("component"))
-    (lbl, ids)
-  }
+  private[text] def contractedComponentsTracked(p: DataFrame): (DataFrame, Set[Int]) =
+    graft.graph.ConnectedComponents.runContractedTracked(p, "a", "b")
 
   def ccRefresh(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.graph.ConnectedComponents

@@ -1663,7 +1663,10 @@ object VectorQueries {
         col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
       .filter(col("sim") >= NearDupThreshold)
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
-    val (comp, compIds) = ConnectedComponents.runTracked(edges)
+    // star-contraction front (runContractedTracked scaladoc): the
+    // fixpoint iterates over the local-minima graph only — identical
+    // labeling, fewer rounds of edge-grain shuffle at scale
+    val (comp, compIds) = ConnectedComponents.runContractedTracked(edges)
     val out = cells.select(col("vec_id"), col("cell"))
       .join(comp.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
@@ -4084,7 +4087,7 @@ object VectorQueries {
       .join(core.select(col("vec_id").as("x")), "x")
       .join(core.select(col("vec_id").as("y")), "y")
       .select(col("x").as("src"), col("y").as("dst"))
-    val (comp, compIds) = ConnectedComponents.runTracked(coreE)
+    val (comp, compIds) = ConnectedComponents.runContractedTracked(coreE)
     val coreComp = core
       .join(comp.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"),

@@ -44,6 +44,32 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  private def componentsContracted(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val (lbl, ids) =
+      ConnectedComponents.runContractedTracked(edges.toDF("src", "dst"))
+    val got = lbl.as[(Long, Long)].collect().toMap
+    ConnectedComponents.free(lbl, ids)
+    got
+  }
+
+  test("contracted variant equals label propagation on seeded random graphs") {
+    for (seed <- Seq(7, 21, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(50)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      assert(componentsContracted(edges) == unionFind(edges),
+        s"contracted/union-find mismatch at seed $seed")
+    }
+    // unoriented + duplicate edges normalize; chains contract through
+    // local minima (nodes on the large side of every edge)
+    assert(componentsContracted(Seq((2L, 1L), (1L, 2L), (3L, 2L), (5L, 4L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    assert(componentsContracted(
+      Seq((1L, 5L), (5L, 9L), (9L, 12L), (12L, 30L), (20L, 21L))) ==
+      Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 12L -> 1L, 30L -> 1L,
+        20L -> 20L, 21L -> 20L))
+  }
+
   private def componentsHalving(edges: Seq[(Long, Long)]): Map[Long, Long] =
     ConnectedComponents.runHalving(edges.toDF("src", "dst"))
       .as[(Long, Long)].collect().toMap
