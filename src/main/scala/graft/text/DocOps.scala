@@ -1799,9 +1799,20 @@ object DocOps {
     // measured 21.6× per 10× — pure duplicate multiplication; real
     // web corpora duplicate even harder. dup(h) at group grain:
     // h in ≥2 distinct texts OR in any text with multiplicity ≥2.
-    val groups = docs.groupBy("text")
-      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("m"),
-        min(col("len")).as("glen"))
+    // ONE doc-grain pass over the text strings: aggregate to
+    // (text, source) grain first — groups and the final per-source
+    // rollup both derive from it, so the corpus text crosses an
+    // exchange exactly once (the round-17 30× profile put ~60 of the
+    // query's 114 s in the old tail, which re-joined every DOC row on
+    // its full text string; guide §2.3 "aggregate before you
+    // shuffle" / §8 "move heavy bytes once").
+    val sgroups = docs.groupBy(col("text"), col("source"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("sdoc"),
+        min(col("len")).as("slen"))
+      .localCheckpoint(true)
+    val groups = sgroups.groupBy("text")
+      .agg(min(col("sdoc")).as("gid"), sum(col("cnt")).as("m"),
+        min(col("slen")).as("glen"))
     val staged = groups
       .withColumn("hs", graft.functions.TextHashes.shingleHashes(col("text"), SubK))
       .select("gid", "m", "hs")
@@ -1834,12 +1845,16 @@ object DocOps {
     val gcov = groups.filter(col("m") >= 2)
       .select(col("gid"), col("glen").as("gcov"))
       .unionByName(uniqCov)
-    val covered = docs
+    // group-grain rollup: (text, source) counts join the per-group
+    // coverage and weight it by multiplicity — identical to joining
+    // every doc row to its group's gcov (inner ≡ the old left +
+    // isNotNull), at ~distinct-text grain instead of doc grain
+    val covered = sgroups
       .join(groups.select(col("text"), col("gid")), Seq("text"))
-      .join(gcov, Seq("gid"), "left")
-      .filter(col("gcov").isNotNull)
+      .join(gcov, Seq("gid"))
       .groupBy("source")
-      .agg(count(lit(1)).as("docs_hit"), sum(col("gcov")).as("dup_chars"))
+      .agg(sum(col("cnt")).as("docs_hit"),
+        sum(col("cnt") * col("gcov")).as("dup_chars"))
     docs.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_chars"))
       .join(covered, Seq("source"), "left")
