@@ -1731,12 +1731,14 @@ object TextQueries {
       .join(langs.select(col("doc_id").as("dst"), col("lang").as("nb_lang")), "dst")
       .groupBy("src", "nb_lang")
       .agg(count(lit(1)).as("n_votes"))
-    val byVote = Window.partitionBy("src")
-      .orderBy(col("n_votes").desc, col("nb_lang"))
+    // winning vote as min(struct(−n_votes, nb_lang)) — unique sort
+    // key per src, so it is exactly the old row_number()=1 row; the
+    // aggregate combines partials on the votes grain map-side instead
+    // of shuffling the whole vote table under a window sort.
     val newLabels = votes
-      .withColumn("rk", row_number().over(byVote))
-      .filter(col("rk") === 1)
-      .select(col("src").as("doc_id"), col("nb_lang").as("new_label"))
+      .groupBy(col("src"))
+      .agg(min(struct((-col("n_votes")).as("k1"), col("nb_lang").as("k2"))).as("w"))
+      .select(col("src").as("doc_id"), col("w.k2").as("new_label"))
     newLabels
       .join(langs, "doc_id")
       .groupBy("lang", "new_label")

@@ -625,18 +625,26 @@ object VectorQueries {
     * shared step behind [[assignedCells]] and each [[kmeansRefine]]
     * round. Rank on the rounded sim with c_label tie-break (avg-built
     * centroids — the ulp rule).
+    *
+    * Shape: the argmax is min(struct(−round6(sim), c_label, payload))
+    * — ordering-equivalent to the old row_number window because the
+    * (sim, c_label) sort key is unique per vec_id (one row per
+    * centroid). The aggregate PARTIALLY combines map-side: all C
+    * candidate rows of a vector sit in the producing partition (the
+    * codebook side is broadcast), so the exchange moves one row per
+    * VECTOR, not one per (vector × centroid), and no sort runs at
+    * all — the window form shuffled and sorted the full N×C fan-out.
     */
-  private def assignStep(df: DataFrame, cb: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(round6(col("sim")).desc, col("c_label"))
+  private def assignStep(df: DataFrame, cb: DataFrame): DataFrame =
     df.join(broadcast(cb))
       .withColumn("sim", VectorFns.cosineStaged(
         col("v"), col("cv"), col("nrm"), col("cnrm")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
-        col("c_label").as("cell"), col("sim"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-round6(col("sim"))).as("k1"), col("c_label").as("k2"),
+        struct(col("label"), col("v"), col("nrm"),
+          col("c_label").as("cell"), col("sim")).as("p"))).as("w"))
+      .select(col("vec_id"), col("w.p.label"), col("w.p.v"), col("w.p.nrm"),
+        col("w.p.cell"), col("w.p.sim"))
 
   def ivfAssign(spark: SparkSession, sfDir: String): DataFrame =
     assignedCells(withVecs(spark, sfDir))
@@ -864,17 +872,22 @@ object VectorQueries {
   def ivfRecallCurve(spark: SparkSession, sfDir: String): DataFrame = {
     val vecs = withVecs(spark, sfDir)
     val cb = codebook(vecs)
+    // Corpus-side assignment goes through the shared argmin aggregate
+    // (one row per vector crosses the exchange); the top-nprobe rank
+    // is windowed only over the PROBE subset — per-vector ranks are
+    // independent, so filtering before ranking is exact, and the
+    // full-corpus ×centroids sort the shared window paid is gone.
+    val assigned = assignStep(vecs, cb)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(round6(col("sim")).desc, col("c_label"))
-    val ranked = vecs.join(broadcast(cb))
+    val probeCells = vecs
+      .filter(pmod(col("vec_id"), lit(RecallProbeStep)) === 0 && col("vec_id") < ProbeIdCap)
+      .join(broadcast(cb))
       .withColumn("sim", VectorFns.cosineStaged(
         col("v"), col("cv"), col("nrm"), col("cnrm")))
       .withColumn("rk", row_number().over(w))
-    val assigned = ranked.filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_label").as("cell"))
-    val probeCells = ranked
-      .filter((pmod(col("vec_id"), lit(RecallProbeStep)) === 0 && col("vec_id") < ProbeIdCap)
-        && col("rk") <= IvfNprobe)
+      .filter(col("rk") <= IvfNprobe)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pnrm"), col("c_label").as("pcell"), col("rk").as("prank"))
     val probes = vecs.filter((pmod(col("vec_id"), lit(RecallProbeStep)) === 0 && col("vec_id") < ProbeIdCap))
@@ -1047,15 +1060,19 @@ object VectorQueries {
     // elects the entry; fan out to one starting beam row per width
     // (explode_outer: the width array is provably non-empty — the
     // InferFiltersFromGenerate rule)
+    // entry election: min(struct(−sim, vec_id)) per probe — the
+    // coarse scan's winner aggregates map-side instead of shuffling
+    // the sampled-corpus × probes fan under a window sort.
     val entry = vecs.filter(pmod(col("vec_id"), lit(EntryStride)) === 0)
       .crossJoin(broadcast(probes))
       .withColumn("sim", VectorFns.cosineStaged(
         col("v"), col("pv"), col("nrm"), col("pnrm")))
-      .withColumn("rk", row_number().over(wProbe))
-      .filter(col("rk") === 1)
+      .groupBy(col("probe_id"))
+      .agg(min(struct((-col("sim")).as("k1"), col("vec_id").as("k2"),
+        col("sim").as("s"))).as("w"))
       .select(col("probe_id"),
         explode_outer(array(GraphBeams.map(lit): _*)).as("bw"),
-        col("vec_id"), col("sim"))
+        col("w.k2").as("vec_id"), col("w.s").as("sim"))
     val scoreVecs = vecs.select(col("vec_id"), col("v"), col("nrm"))
     var visited = entry.localCheckpoint(true)
     var beam = visited
@@ -2642,15 +2659,17 @@ object VectorQueries {
     * codebook — rank on round6 distance with code tie-break
     * (avg-built codebook, the ulp rule). Keeps (vec_id, s, code, d2).
     */
-  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("s"))
-      .orderBy(round6(col("d2")).asc, col("code"))
+  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
+    // argmin as min(struct(round6(d2), code, d2)) — the assignStep
+    // shape: unique sort key per (vec_id, s), partial agg collapses
+    // the ×codes fan-out map-side, no shuffle-then-sort of it.
     subs.join(broadcast(cb), col("s") === col("cs"))
       .withColumn("diff", zip_with(col("sv"), col("cv"), (x, y) => x - y))
       .withColumn("d2", VectorFns.dot(col("diff"), col("diff")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-  }
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(round6(col("d2")).as("k1"), col("code").as("k2"),
+        col("d2").as("d"))).as("w"))
+      .select(col("vec_id"), col("s"), col("w.k2").as("code"), col("w.d").as("d2"))
 
   def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
     val vecs = withVecs(spark, sfDir)
@@ -2765,17 +2784,19 @@ object VectorQueries {
       .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("ps"))
       .select(col("c_label"), expr("transform(ps, p -> p.cx)").as("cv"))
       .withColumn("cnrm2", VectorFns.dot(col("cv"), col("cv")))
-    val w1 = Window.partitionBy("vec_id")
-      .orderBy(round6(col("d2")).asc, col("c_label"))
+    // Both argmins are min(struct(round6(dist), code, payload)) — the
+    // assignStep shape: unique sort key per vector, map-side partial
+    // collapse of the ×codes fan-out, no window sort.
     val a1 = vecs.join(broadcast(cb1))
       .withColumn("d2", col("nrm2") + col("cnrm2") -
         lit(2.0) * VectorFns.dot(col("v"), col("cv")))
-      .withColumn("rk", row_number().over(w1))
-      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(round6(col("d2")).as("k1"), col("c_label").as("k2"),
+        struct(col("v"), col("cv")).as("p"))).as("w"))
       // ONE residual array per winning row (corpus-sized, not ×codes)
-      .withColumn("r", zip_with(col("v"), col("cv"),
+      .withColumn("r", zip_with(col("w.p.v"), col("w.p.cv"),
         (x, y) => floor((x - y) * 1000000.0 + 0.5) / 1000000.0))
-      .select(col("vec_id"), col("c_label").as("c1"), col("r"))
+      .select(col("vec_id"), col("w.k2").as("c1"), col("r"))
     val withB = a1
       .withColumn("b2", VectorFns.signBucket(col("r"), RqBits, RqStride))
       .withColumn("rr", VectorFns.dot(col("r"), col("r")))
@@ -2786,15 +2807,14 @@ object VectorQueries {
       .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("ps"))
       .select(col("c_b"), expr("transform(ps, p -> p.cx)").as("cv2"))
       .withColumn("c2n2", VectorFns.dot(col("cv2"), col("cv2")))
-    val w2 = Window.partitionBy("vec_id")
-      .orderBy(round6(col("e2")).asc, col("c_b"))
     withB.join(broadcast(cb2))
       .withColumn("e2", col("rr") + col("c2n2") -
         lit(2.0) * VectorFns.dot(col("r"), col("cv2")))
-      .withColumn("rk", row_number().over(w2))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("c1"), col("c_b").as("c2"),
-        round4(col("rr")).as("err1"), round4(col("e2")).as("err2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(round6(col("e2")).as("k1"), col("c_b").as("k2"),
+        struct(col("c1"), col("rr"), col("e2")).as("p"))).as("w"))
+      .select(col("vec_id"), col("w.p.c1").as("c1"), col("w.k2").as("c2"),
+        round4(col("w.p.rr")).as("err1"), round4(col("w.p.e2")).as("err2"))
       .orderBy("vec_id")
   }
 
@@ -3635,11 +3655,15 @@ object VectorQueries {
         VectorFns.cosineStaged(col("v"), col("pv"), col("nrm"), col("pnrm")))
       .withColumn("ham", expr(
         "CAST(bit_count(lo ^ plo) + bit_count(hi ^ phi) AS BIGINT)"))
+    // True-NN election as min(struct(−sim, vec_id, ham)) — exact raw
+    // sims, the (sim, vec_id) key is unique per probe; the aggregate
+    // collapses the corpus×probes fan-out map-side instead of
+    // shuffling and sorting it under a window.
     val nn = joined
-      .withColumn("rk", row_number().over(Window.partitionBy("probe_id")
-        .orderBy(col("sim").desc, col("vec_id"))))
-      .filter(col("rk") === 1)
-      .select(col("probe_id"), col("vec_id").as("nn_id"), col("ham").as("nn_ham"))
+      .groupBy(col("probe_id"))
+      .agg(min(struct((-col("sim")).as("k1"), col("vec_id").as("k2"),
+        col("ham").as("h"))).as("w"))
+      .select(col("probe_id"), col("w.k2").as("nn_id"), col("w.h").as("nn_ham"))
     val ranks = joined.select(col("probe_id"), col("vec_id"), col("ham"))
       .join(broadcast(nn), "probe_id")
       .groupBy("probe_id")

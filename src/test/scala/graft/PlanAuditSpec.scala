@@ -182,6 +182,28 @@ class PlanAuditSpec extends SparkSpec {
       s"q_leakage_split plan contains ${windows.size} WindowExec node(s)")
   }
 
+  test("argmin assignments plan as aggregates, not windows") {
+    // assignStep/pqAssign/labelProp winners are min(struct(...)) hash
+    // aggregates: the fan-out collapses in the partial phase, so the
+    // exchange moves one row per entity instead of one per candidate
+    // and no corpus-grain window sort runs. A WindowExec reappearing
+    // in these plans means the argmin regressed to the rank shape.
+    // (The DuckDB oracles still rank with row_number() — the oracle
+    // gate is the value-equivalence proof of the two forms.)
+    for ((name, df) <- Seq(
+        "q_ivf_assign" -> vector.VectorQueries.ivfAssign(spark, sfTiny),
+        "q_pq_codes" -> vector.VectorQueries.pqCodes(spark, sfTiny),
+        "q_rq_codes" -> vector.VectorQueries.rqCodes(spark, sfTiny),
+        "q_quant_mrr" -> vector.VectorQueries.quantMrr(spark, sfTiny),
+        "q_label_prop" -> text.TextQueries.labelProp(spark, sfTiny))) {
+      val windows = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty,
+        s"$name plan contains ${windows.size} WindowExec node(s)")
+    }
+  }
+
   test("rrfFusion bounds both modality lists before the fusion join") {
     // the fusion windows are legal ONLY because each input is already
     // top-k-limited; pin that both lists flow through a limit operator
